@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Central catalog for the driver-provided parquet tables.
+  *
+  * Carries the reference's load surface (i3cols `cols.load`, lazy mmap —
+  * see SURVEY.md §2.1 R5) re-expressed as lazy, column-pruned,
+  * predicate-pushed Parquet scans. At 100 TB these reads become
+  * multi-executor file splits with row-group skipping; nothing here
+  * collects to the driver.
+  */
+object Tables {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Lazy parquet scan of one driver table. */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts is stored as parquet timestamp[ns], which Spark 4.x
+    * refuses to read natively (PARQUET_TYPE_ILLEGAL). Verified recipe
+    * (FIXTURES.md): read nanos as BIGINT, then truncate to micros with
+    * integer division — `ts DIV 1000`, NOT `/1000` (BIGINT `/` routes
+    * through DOUBLE and loses precision at 1.7e18 magnitudes). DuckDB
+    * reads the same column natively as µs TIMESTAMP with identical
+    * truncation, so both sides agree exactly.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, dir, "events").withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame  = t(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame    = t(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame  = t(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame  = t(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame      = t(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame    = t(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame    = t(spark, dir, "region")
+  def documents(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")
+
+  // ---- oracle-parity helpers (SURVEY.md §2.6) ----
+
+  /** Round a float aggregate for hash-stable comparison. */
+  def r2(c: Column): Column = round(c, 2)
+  def r4(c: Column): Column = round(c, 4)
+
+  /** Spark count()/rank() et al. return Int or Long inconsistently vs
+    * DuckDB's BIGINT; normalize every integer aggregate to LongType. */
+  def big(c: Column): Column = c.cast("long")
+
+  /** Order-independent money sum. Double summation over ~1e5 rows at
+    * ~1e5 magnitudes carries ~1e-4..1e-3 accumulation error that depends
+    * on partition/merge order — enough to flip a round(x, 2) at the .005
+    * boundary and fail hash-parity. Summing as DECIMAL(18,2) is exact and
+    * associative; the single final cast to double is deterministic on
+    * both engines. Oracle side: CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE).
+    */
+  def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** Oracle-SQL fragment matching [[dsum]]. */
+  def dsumSql(expr: String): String = s"CAST(SUM(CAST($expr AS DECIMAL(18,2))) AS DOUBLE)"
+
+  /** Like [[dsum]] but for COMPUTED money expressions (products of
+    * 2-decimal values have up to 6 exact decimals; casting those to
+    * DECIMAL(…,2) hits exact .xx5 midpoints, where Spark rounds the
+    * double's shortest string repr half-up while DuckDB rounds the exact
+    * binary value — systematic mismatches). DECIMAL(24,6) holds the
+    * product exactly, so no midpoint is ever hit. */
+  def dsum6(c: Column): Column = sum(c.cast("decimal(24,6)")).cast("double")
+  def dsum6Sql(expr: String): String = s"CAST(SUM(CAST($expr AS DECIMAL(24,6))) AS DOUBLE)"
+
+  /** Engine-agnostic rounding for computed doubles. Spark's round()
+    * rounds the value's shortest decimal repr (HALF_UP via
+    * BigDecimal.valueOf), DuckDB rounds the exact binary value — they
+    * disagree whenever the true value terminates at the midpoint digit
+    * (structural for cents arithmetic). floor(x*10^n + 0.5)/10^n is the
+    * SAME IEEE arithmetic on both engines → bit-identical results.
+    * Do not use on possibly-NaN input (Spark floor(NaN)→0, DuckDB→NaN). */
+  def fround(c: Column, n: Int): Column = {
+    val f = math.pow(10, n)
+    floor(c * f + 0.5) / f
+  }
+  def froundSql(expr: String, n: Int): String =
+    s"FLOOR(($expr) * 1e$n + 0.5) / 1e$n"
+
+  /** Exact average: decimal sum (order-independent) over count, floor-
+    * rounded. Plain AVG of cents values is sum/count whose decimal
+    * expansion often terminates near the rounding digit → see [[fround]]. */
+  def avgExact(c: Column, n: Int): Column =
+    fround(sum(c.cast("decimal(18,2)")).cast("double") / count(lit(1)), n)
+  def avgExactSql(expr: String, n: Int): String =
+    froundSql(s"CAST(SUM(CAST($expr AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)", n)
+}

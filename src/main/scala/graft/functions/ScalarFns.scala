@@ -1,0 +1,129 @@
+package graft.functions
+
+import graft.Tables._
+import org.apache.spark.sql.functions._
+
+/** Scalar-function bundles (reference analog: i3cols vectorized NumPy
+  * expression math, SURVEY.md §2.1 R9). Everything here is a built-in
+  * Catalyst expression — whole-stage-codegen'd, pushdown-transparent;
+  * no UDFs in these hot paths.
+  */
+object ScalarFns {
+
+  val queries: Map[String, Q] = Map(
+    "fn_string" -> ((s, dir) =>
+      part(s, dir)
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("up"),
+          substring(col("p_name"), 1, 8).as("pre"),
+          concat(col("p_brand"), lit("#"), col("p_type")).as("cat"),
+          lpad(col("p_size").cast("string"), 4, "0").as("padded"),
+          regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
+          big(length(col("p_name"))).as("n_chars"),
+          big(size(split(col("p_name"), " "))).as("n_words"),
+          trim(col("p_type")).as("typ"))
+        .orderBy("p_partkey")),
+
+    "fn_datetime" -> ((s, dir) =>
+      events(s, dir)
+        .select(
+          col("event_id"),
+          date_trunc("day", col("ts")).as("d"),
+          date_trunc("hour", col("ts")).as("h"),
+          big(hour(col("ts"))).as("hr"),
+          big(dayofmonth(col("ts"))).as("dom"),
+          big(datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))).as("days_since"),
+          (col("ts") + expr("INTERVAL 90 MINUTES")).as("ts_plus"))
+        .orderBy("event_id")),
+
+    "fn_math" -> ((s, dir) =>
+      part(s, dir)
+        .select(
+          col("p_partkey"),
+          round(log(col("p_retailprice")), 6).as("ln_p"),
+          round(sqrt(col("p_retailprice")), 6).as("sqrt_p"),
+          round(pow(col("p_size").cast("double"), 2.0), 1).as("size_sq"),
+          r2(abs(col("p_retailprice") - 1000.0)).as("abs_dev"),
+          big(col("p_size") % 7).as("size_mod"),
+          signum(col("p_retailprice") - 1000.0).cast("int").as("sgn"),
+          big(ceil(col("p_retailprice"))).as("ceil_p"),
+          big(floor(col("p_retailprice"))).as("floor_p"))
+        .orderBy("p_partkey")),
+
+    "fn_json" -> ((s, dir) =>
+      events(s, dir)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"),
+          (get_json_object(col("props"), "$.k").cast("long") % 10).as("k_mod"),
+          get_json_object(col("props"), "$.missing").as("missing"),
+          big(length(col("props"))).as("props_len"))
+        .orderBy("event_id")),
+
+    // Higher-order array functions over a packed per-order array — the
+    // ragged-column compute surface (no explode, no shuffle after pack).
+    "fn_array" -> ((s, dir) =>
+      lineitem(s, dir)
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_list(col("l_linenumber"))).as("lns"))
+        .select(
+          col("l_orderkey"),
+          big(size(col("lns"))).as("n"),
+          array_contains(col("lns"), 1).as("has1"),
+          col("lns").getItem(0).as("first_ln"),
+          big(aggregate(col("lns"), lit(0L), (acc, x) => acc + x.cast("long"))).as("ln_sum"),
+          transform(col("lns"), x => x * 2).as("doubled"))
+        .orderBy("l_orderkey")),
+
+    // Map construction + lookup. No oracle: parquet MAP layout/ordering
+    // is engine-specific; covered by a unit test instead.
+    "fn_map" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy("user_id", "event_type").agg(big(count(lit(1))).as("n"))
+        .groupBy("user_id")
+        .agg(map_from_entries(sort_array(collect_list(struct(col("event_type"), col("n"))))).as("type_counts"))
+        .select(col("user_id"),
+                element_at(col("type_counts"), "click").as("clicks"),
+                big(size(col("type_counts"))).as("n_types"))
+        .orderBy("user_id"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "fn_string" ->
+      ("SELECT p_partkey, UPPER(p_name) AS up, SUBSTR(p_name, 1, 8) AS pre, " +
+       "p_brand || '#' || p_type AS cat, LPAD(CAST(p_size AS VARCHAR), 4, '0') AS padded, " +
+       "REGEXP_EXTRACT(p_name, '([a-z]+)', 1) AS first_word, " +
+       "CAST(LENGTH(p_name) AS BIGINT) AS n_chars, " +
+       "CAST(LEN(STRING_SPLIT(p_name, ' ')) AS BIGINT) AS n_words, " +
+       "TRIM(p_type) AS typ FROM part ORDER BY p_partkey"),
+    "fn_datetime" ->
+      ("SELECT event_id, DATE_TRUNC('day', ts) AS d, DATE_TRUNC('hour', ts) AS h, " +
+       "CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr, " +
+       "CAST(EXTRACT(day FROM ts) AS BIGINT) AS dom, " +
+       "CAST(DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS days_since, " +
+       "ts + INTERVAL 90 MINUTE AS ts_plus FROM events ORDER BY event_id"),
+    "fn_math" ->
+      ("SELECT p_partkey, ROUND(LN(p_retailprice), 6) AS ln_p, " +
+       "ROUND(SQRT(p_retailprice), 6) AS sqrt_p, " +
+       "ROUND(POW(CAST(p_size AS DOUBLE), 2.0), 1) AS size_sq, " +
+       "ROUND(ABS(p_retailprice - 1000.0), 2) AS abs_dev, " +
+       "CAST(p_size % 7 AS BIGINT) AS size_mod, " +
+       "CAST(SIGN(p_retailprice - 1000.0) AS INT) AS sgn, " +
+       "CAST(CEIL(p_retailprice) AS BIGINT) AS ceil_p, " +
+       "CAST(FLOOR(p_retailprice) AS BIGINT) AS floor_p " +
+       "FROM part ORDER BY p_partkey"),
+    "fn_json" ->
+      ("SELECT event_id, CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k, " +
+       "CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) % 10 AS k_mod, " +
+       "JSON_EXTRACT_STRING(props, '$.missing') AS missing, " +
+       "CAST(LENGTH(props) AS BIGINT) AS props_len FROM events ORDER BY event_id"),
+    "fn_array" ->
+      ("SELECT l_orderkey, CAST(LEN(lns) AS BIGINT) AS n, " +
+       "LIST_CONTAINS(lns, 1) AS has1, lns[1] AS first_ln, " +
+       "CAST(LIST_SUM(lns) AS BIGINT) AS ln_sum, " +
+       "LIST_TRANSFORM(lns, x -> x * 2) AS doubled FROM " +
+       "(SELECT l_orderkey, LIST(l_linenumber ORDER BY l_linenumber) AS lns " +
+       "FROM lineitem GROUP BY l_orderkey) ORDER BY l_orderkey")
+  )
+}

@@ -1,0 +1,169 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.functions._
+
+/** Aggregation operators (reference analog: i3cols per-event/ per-category
+  * reductions, SURVEY.md §2.1 R6/R8). All are partial+final hash
+  * aggregates (map-side combine before the shuffle); none collect to the
+  * driver. approx_count_distinct is the 100 TB-honest variant of COUNT
+  * DISTINCT (single pass, fixed memory, mergeable sketch).
+  */
+object Aggregations {
+
+  val queries: Map[String, Q] = Map(
+    // Flagship — TPC-H Q1 shape. Partial agg on every input split, one
+    // tiny shuffle of 6-ish groups.
+    "agg_hash_groupby" -> ((s, dir) =>
+      lineitem(s, dir)
+        .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          r2(sum("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum6(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          dsum6(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+          avgExact(col("l_quantity"), 4).as("avg_qty"),
+          avgExact(col("l_extendedprice"), 4).as("avg_price"),
+          avgExact(col("l_discount"), 4).as("avg_disc"),
+          big(count(lit(1))).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // Exact distinct — expands to a two-phase aggregate.
+    "agg_distinct" -> ((s, dir) =>
+      orders(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(big(countDistinct(col("o_custkey"))).as("n_cust"),
+             big(count(lit(1))).as("n_orders"))
+        .orderBy("o_orderstatus")),
+
+    // HLL sketch distinct — what COUNT(DISTINCT) becomes at 100 TB.
+    // No oracle (sketch estimates are engine-specific); unit test bounds
+    // it within 5% of exact.
+    "agg_approx_distinct" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy("event_type")
+        .agg(big(approx_count_distinct(col("user_id"))).as("approx_users"))
+        .orderBy("event_type")),
+
+    // ROLLUP over a broadcast-joined dim hierarchy. Built on a
+    // pre-projected input: rollup's Expand duplicates the join output
+    // attrs, which trips Spark's ambiguous-self-join detector when the
+    // grouping columns come straight from the join.
+    "agg_rollup" -> ((s, dir) => {
+      // rollup's Expand duplicates the grouping attrs in scope, making
+      // post-agg Dataset-handle resolution ambiguous; the SQL surface
+      // resolves ORDER BY against the SELECT list instead.
+      customer(s, dir).createOrReplaceTempView("graft_ru_customer")
+      nation(s, dir).createOrReplaceTempView("graft_ru_nation")
+      s.sql(
+        """SELECT n_name, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+          |CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal,
+          |CAST(grouping_id() AS BIGINT) AS gid
+          |FROM graft_ru_customer JOIN graft_ru_nation ON c_nationkey = n_nationkey
+          |GROUP BY ROLLUP (n_name, c_mktsegment)
+          |ORDER BY gid, n_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST
+          |""".stripMargin)
+    }),
+
+    "agg_cube" -> ((s, dir) =>
+      lineitem(s, dir)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(big(count(lit(1))).as("n"), dsum(col("l_extendedprice")).as("total"),
+             big(grouping_id()).as("gid"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+                 col("l_linestatus").asc_nulls_first)),
+
+    // Explicit GROUPING SETS via the SQL surface.
+    "agg_grouping_sets" -> ((s, dir) => {
+      customer(s, dir).createOrReplaceTempView("graft_customer")
+      nation(s, dir).createOrReplaceTempView("graft_nation")
+      s.sql(
+        """SELECT n_name, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+          |CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal,
+          |CAST(grouping_id() AS BIGINT) AS gid
+          |FROM graft_customer JOIN graft_nation ON c_nationkey = n_nationkey
+          |GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+          |ORDER BY gid, n_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""".stripMargin)
+    }),
+
+    // Statistical aggregates.
+    "agg_stats" -> ((s, dir) =>
+      lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          r4(stddev_samp(col("l_quantity"))).as("sd_qty"),
+          r4(var_samp(col("l_quantity"))).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+          r2(covar_samp(col("l_quantity"), col("l_extendedprice"))).as("cov_qp"),
+          r2(min(col("l_extendedprice"))).as("min_p"),
+          r2(max(col("l_extendedprice"))).as("max_p"))
+        .orderBy("l_returnflag")),
+
+    // Exact interpolated percentiles (single-pass sort-based).
+    "agg_percentile" -> ((s, dir) =>
+      orders(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(r4(expr("percentile(o_totalprice, 0.5)")).as("p50"),
+             r4(expr("percentile(o_totalprice, 0.9)")).as("p90"))
+        .orderBy("o_orderstatus")),
+
+    // Ordered list aggregation (deterministic: sorted, unique elements).
+    "agg_collect_sorted" -> ((s, dir) =>
+      lineitem(s, dir)
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_list(col("l_linenumber"))).as("linenumbers"))
+        .orderBy("l_orderkey"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "agg_hash_groupby" ->
+      ("SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty, " +
+       s"${dsumSql("l_extendedprice")} AS sum_base_price, " +
+       s"${dsum6Sql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price, " +
+       s"${dsum6Sql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge, " +
+       s"${avgExactSql("l_quantity", 4)} AS avg_qty, " +
+       s"${avgExactSql("l_extendedprice", 4)} AS avg_price, " +
+       s"${avgExactSql("l_discount", 4)} AS avg_disc, " +
+       "CAST(COUNT(*) AS BIGINT) AS count_order " +
+       "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' " +
+       "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+    "agg_distinct" ->
+      ("SELECT o_orderstatus, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust, " +
+       "CAST(COUNT(*) AS BIGINT) AS n_orders FROM orders " +
+       "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "agg_rollup" ->
+      ("SELECT n_name, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n, " +
+       s"${dsumSql("c_acctbal")} AS bal, CAST(GROUPING(n_name, c_mktsegment) AS BIGINT) AS gid " +
+       "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+       "GROUP BY ROLLUP (n_name, c_mktsegment) " +
+       "ORDER BY gid, n_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST"),
+    "agg_cube" ->
+      ("SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n, " +
+       s"${dsumSql("l_extendedprice")} AS total, " +
+       "CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid " +
+       "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) " +
+       "ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"),
+    "agg_grouping_sets" ->
+      ("SELECT n_name, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n, " +
+       s"${dsumSql("c_acctbal")} AS bal, CAST(GROUPING(n_name, c_mktsegment) AS BIGINT) AS gid " +
+       "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+       "GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ()) " +
+       "ORDER BY gid, n_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST"),
+    "agg_stats" ->
+      ("SELECT l_returnflag, ROUND(STDDEV_SAMP(l_quantity), 4) AS sd_qty, " +
+       "ROUND(VAR_SAMP(l_quantity), 4) AS var_qty, " +
+       "ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qp, " +
+       "ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS cov_qp, " +
+       "ROUND(MIN(l_extendedprice), 2) AS min_p, ROUND(MAX(l_extendedprice), 2) AS max_p " +
+       "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "agg_percentile" ->
+      ("SELECT o_orderstatus, " +
+       "ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p50, " +
+       "ROUND(PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p90 " +
+       "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "agg_collect_sorted" ->
+      ("SELECT l_orderkey, list(l_linenumber ORDER BY l_linenumber) AS linenumbers " +
+       "FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey")
+  )
+}

@@ -1,0 +1,173 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Exact dedup is a hash-groupBy (one shuffle on the digest). Near-dup
+  * detection is MinHash-LSH: per-doc signatures are computed row-locally
+  * with higher-order functions (no explode of the shingle set through a
+  * shuffle), then candidate generation is an equi-join on LSH band keys —
+  * the only shuffle — which keeps the pair space near-linear instead of
+  * O(n²). SimHash is the complementary fingerprint (Hamming-proximate
+  * bit signature); both are engine-hash-specific, so they are
+  * property-tested rather than oracle-checked.
+  */
+object Dedup {
+
+  val NumPerms  = 32 // MinHash permutations
+  val NumBands  = 8  // LSH bands (r = 4 rows/band) → s-curve threshold ~0.56
+  val RowsPerBand = NumPerms / NumBands
+
+  /** Word tokens of the normalized text. */
+  def tokens(c: Column): Column = split(lower(trim(c)), " ")
+
+  /** Distinct word 3-shingles, computed row-locally. */
+  def shingles(c: Column): Column = {
+    val toks = tokens(c)
+    array_distinct(
+      when(size(toks) >= 3,
+        transform(sequence(lit(0), size(toks) - 3),
+                  i => concat_ws(" ", slice(toks, i + 1, lit(3)))))
+      .otherwise(array(concat_ws(" ", toks))))
+  }
+
+  /** MinHash signature: array of NumPerms minima of seeded 64-bit hashes
+    * over the shingle set. Row-local, codegen'd, no shuffle. */
+  def minhashSignature(shingleCol: Column): Column =
+    array((0 until NumPerms).map { p =>
+      array_min(transform(shingleCol, s => xxhash64(s, lit(p))))
+    }: _*)
+
+  /** Candidate near-dup pairs via LSH banding over the signatures. */
+  def minhashCandidates(docs: DataFrame): DataFrame = {
+    val sigs = docs
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh")))
+    // band key = hash of the band's signature slice; explode to (band, key)
+    val banded = sigs.select(
+      col("doc_id"), col("sh"), col("sig"),
+      posexplode(array((0 until NumBands).map { b =>
+        xxhash64(concat_ws(",",
+          slice(col("sig"), b * RowsPerBand + 1, RowsPerBand)), lit(b))
+      }: _*)).as(Seq("band", "bkey")))
+    val left  = banded.select(col("band"), col("bkey"), col("doc_id").as("a"), col("sh").as("sh_a"))
+    val right = banded.select(col("band"), col("bkey"), col("doc_id").as("b"), col("sh").as("sh_b"))
+    left.join(right, Seq("band", "bkey"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"), col("sh_a"), col("sh_b"))
+      .distinct()
+  }
+
+  /** Candidate pairs verified with exact Jaccard over shingle sets. */
+  def minhashPairs(docs: DataFrame, jaccardMin: Double): DataFrame =
+    minhashCandidates(docs)
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .where(col("jaccard") >= jaccardMin)
+      .select(col("a"), col("b"), r4(col("jaccard")).as("jaccard"))
+
+  /** 64-bit SimHash over token set: per-bit majority vote of token
+    * hashes, computed row-locally with nested higher-order functions. */
+  def simhash(c: Column): Column = {
+    val toks = array_distinct(tokens(c))
+    val votes = aggregate(
+      toks,
+      array_repeat(lit(0), 64),
+      (acc, t) => zip_with(acc, transform(sequence(lit(0), lit(63)),
+        i => when(call_function("shiftright", xxhash64(t), i).bitwiseAND(1) === 1, 1).otherwise(-1)),
+        (a, v) => a + v))
+    aggregate(
+      transform(sequence(lit(0), lit(63)),
+        i => when(element_at(votes, i + 1) > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup: digest of normalized text, keep the minimum doc_id
+    // per digest; n_dups counts the collapsed rows.
+    "dedup_exact" -> ((s, dir) =>
+      documents(s, dir)
+        .groupBy(md5(col("text").cast("binary")).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"), big(count(lit(1))).as("n_dups"))
+        .orderBy("keep_id")),
+
+    // MinHash-LSH near-dup summary: per-doc candidate count (rows = all
+    // docs, so the driver's rows>0 check is meaningful even when the
+    // corpus has no near-dups). Property tests plant real dups.
+    "dedup_minhash" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val pairs = minhashPairs(docs, 0.5)
+      val counts = pairs.select(col("a").as("doc_id"))
+        .unionByName(pairs.select(col("b").as("doc_id")))
+        .groupBy("doc_id").agg(big(count(lit(1))).as("n_near_dups"))
+      docs.select("doc_id").join(counts, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"))
+        .orderBy("doc_id")
+    }),
+
+    // SimHash fingerprints + per-fingerprint duplicate count.
+    "dedup_simhash" -> ((s, dir) => {
+      val fp = documents(s, dir).select(col("doc_id"), simhash(col("text")).as("fp"))
+      val dupCount = fp.groupBy("fp").agg(big(count(lit(1))).as("n_same"))
+      fp.join(dupCount, Seq("fp")).select("doc_id", "fp", "n_same").orderBy("doc_id")
+    }),
+
+    // Bag-of-words fingerprint (order-insensitive dedup): md5 of the
+    // sorted distinct token set. Oracle-checkable (md5 is engine-stable).
+    "dedup_fingerprint" -> ((s, dir) => {
+      val fp = documents(s, dir).select(
+        col("doc_id"),
+        md5(concat_ws(" ", array_sort(array_distinct(tokens(col("text"))))).cast("binary")).as("fp"))
+      val dupCount = fp.groupBy("fp").agg(big(count(lit(1))).as("n_same"))
+      fp.join(dupCount, Seq("fp")).select("doc_id", "fp", "n_same").orderBy("doc_id")
+    }),
+
+    // N-gram Jaccard near-dup: exact pairwise Jaccard over word
+    // 3-shingles, blocked by (lang, source) to bound the pair space.
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      val d = documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"), shingles(col("text")).as("sh"))
+      val a = d.select(col("lang"), col("source"), col("doc_id").as("a"), col("sh").as("sh_a"))
+      val b = d.select(col("lang"), col("source"), col("doc_id").as("b"), col("sh").as("sh_b"))
+      a.join(b, Seq("lang", "source"))
+        .where(col("a") < col("b"))
+        .withColumn("jaccard",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        .groupBy("lang", "source")
+        .agg(big(count(lit(1))).as("n_pairs"),
+             r4(max(col("jaccard"))).as("max_jaccard"),
+             r4(avg(col("jaccard"))).as("avg_jaccard"))
+        .orderBy("lang", "source")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      ("SELECT MD5(text) AS h, MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_dups " +
+       "FROM documents GROUP BY MD5(text) ORDER BY keep_id"),
+    "dedup_fingerprint" ->
+      ("WITH fp AS (SELECT doc_id, " +
+       "MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(LOWER(TRIM(text)), ' '))), ' ')) AS fp " +
+       "FROM documents) " +
+       "SELECT doc_id, fp, n_same FROM fp JOIN " +
+       "(SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_same FROM fp GROUP BY fp) USING (fp) " +
+       "ORDER BY doc_id"),
+    "dedup_ngram_jaccard" ->
+      ("WITH sh AS (SELECT doc_id, lang, source, " +
+       "LIST_DISTINCT(CASE WHEN LEN(STRING_SPLIT(LOWER(TRIM(text)), ' ')) >= 3 THEN " +
+       "LIST_TRANSFORM(RANGE(0, LEN(STRING_SPLIT(LOWER(TRIM(text)), ' ')) - 2), " +
+       "i -> ARRAY_TO_STRING(STRING_SPLIT(LOWER(TRIM(text)), ' ')[i+1:i+3], ' ')) " +
+       "ELSE [ARRAY_TO_STRING(STRING_SPLIT(LOWER(TRIM(text)), ' '), ' ')] END) AS sh " +
+       "FROM documents) " +
+       "SELECT a.lang, a.source, CAST(COUNT(*) AS BIGINT) AS n_pairs, " +
+       "ROUND(MAX(LEN(LIST_INTERSECT(a.sh, b.sh)) * 1.0 / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh)))), 4) AS max_jaccard, " +
+       "ROUND(AVG(LEN(LIST_INTERSECT(a.sh, b.sh)) * 1.0 / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh)))), 4) AS avg_jaccard " +
+       "FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id " +
+       "GROUP BY a.lang, a.source ORDER BY a.lang, a.source")
+  )
+}

@@ -1,0 +1,197 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.functions._
+
+/** Join operators. The reference has no relational joins (implicit
+  * positional alignment only — SURVEY.md §1.1); this is the declared
+  * engine surface. Every join here is written for 100 TB shape:
+  * dimension tables broadcast, large-large joins shuffle on their equi
+  * keys, the theta/range join is bucketized into an equi-join (never a
+  * full cross product), and the as-of join is a single-shuffle
+  * union-and-window rather than a per-row lookup.
+  */
+object Joins {
+
+  val queries: Map[String, Q] = Map(
+    // Large-ish equi-join, aggregated. Shuffle on the join key; AQE picks
+    // broadcast automatically when one side is small at runtime.
+    "join_inner_hash" -> ((s, dir) =>
+      orders(s, dir)
+        .join(customer(s, dir), col("o_custkey") === col("c_custkey"), "inner")
+        .groupBy("c_mktsegment")
+        .agg(big(count(lit(1))).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+        .orderBy("c_mktsegment")),
+
+    // Star-schema dims explicitly broadcast: zero shuffle of the fact side
+    // beyond the final tiny aggregation.
+    "join_broadcast" -> ((s, dir) =>
+      customer(s, dir)
+        .join(broadcast(nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(big(count(lit(1))).as("n_cust"), dsum(col("c_acctbal")).as("total_bal"))
+        .orderBy("r_name", "n_name")),
+
+    // Large-large: force sort-merge (the plan that survives when neither
+    // side fits in memory at 100 TB).
+    "join_sortmerge" -> ((s, dir) =>
+      lineitem(s, dir).hint("merge")
+        .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(big(count(lit(1))).as("n_li"),
+             dsum6(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy("o_orderstatus")),
+
+    // Left outer with null-aware aggregates: customers with zero orders
+    // must appear with n_orders = 0.
+    "join_outer_left" -> ((s, dir) =>
+      customer(s, dir)
+        .join(orders(s, dir), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(big(count(col("o_orderkey"))).as("n_orders"),
+             coalesce(dsum(col("o_totalprice")), lit(0.0)).as("spent"))
+        .orderBy("c_custkey")),
+
+    // Full outer of two pre-aggregated sides (per-nation supplier vs
+    // customer balance) — aggregate-before-join keeps the shuffle tiny.
+    "join_outer_full" -> ((s, dir) => {
+      val sAgg = supplier(s, dir).groupBy(col("s_nationkey").as("snk"))
+        .agg(dsum(col("s_acctbal")).as("supp_bal"))
+      val cAgg = customer(s, dir).groupBy(col("c_nationkey").as("cnk"))
+        .agg(dsum(col("c_acctbal")).as("cust_bal"))
+      sAgg.join(cAgg, col("snk") === col("cnk"), "full")
+        .select(coalesce(col("snk"), col("cnk")).as("nationkey"),
+                col("supp_bal"), col("cust_bal"))
+        .orderBy(col("nationkey").asc_nulls_first)
+    }),
+
+    // Existential join — no row multiplication, dedup-free.
+    "join_semi" -> ((s, dir) =>
+      customer(s, dir)
+        .join(orders(s, dir).where(col("o_orderpriority") === "1-URGENT"),
+              col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    // Negated existential.
+    "join_anti" -> ((s, dir) =>
+      customer(s, dir)
+        .join(orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    // Theta/range join done scalably: bucketize price to integer buckets
+    // and equi-join on bucket (candidates = bucket±1), then filter the
+    // exact range predicate. Never a cross product — at 100 TB the naive
+    // BroadcastNestedLoopJoin is the difference between minutes and days.
+    "join_theta_range" -> ((s, dir) => {
+      val p  = part(s, dir).select("p_partkey", "p_brand", "p_retailprice")
+      val p1 = p.withColumn("bkt", floor(col("p_retailprice")))
+      val p2 = p.select(col("p_partkey").as("k2"), col("p_brand").as("b2"),
+                        col("p_retailprice").as("pr2"))
+        .withColumn("bkt", explode(array(floor(col("pr2")) - 1, floor(col("pr2")),
+                                         floor(col("pr2")) + 1)))
+      p1.join(p2, Seq("bkt"))
+        .where(col("b2") =!= col("p_brand") &&
+               col("pr2") >= col("p_retailprice") - 1.0 &&
+               col("pr2") <= col("p_retailprice") + 1.0)
+        .groupBy("p_partkey")
+        .agg(big(count(lit(1))).as("n_close"))
+        .orderBy("p_partkey")
+    }),
+
+    // As-of join (latest event at or before each order date, per user):
+    // union-tag + running-window max. ONE shuffle on the user key —
+    // the scalable formulation vs. a per-order point lookup. Emits the
+    // matched timestamp (not an id) so equal-timestamp ties cannot make
+    // the result nondeterministic.
+    "join_asof" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, dir)
+        .select(col("user_id").as("uid"), col("ts"),
+                lit(0).as("is_order"), lit(null).cast("long").as("o_orderkey"))
+      val od = orders(s, dir)
+        .select(col("o_custkey").as("uid"), col("o_orderdate").as("ts"),
+                lit(1).as("is_order"), col("o_orderkey"))
+      val w = Window.partitionBy("uid").orderBy(col("ts"), col("is_order"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.unionByName(od)
+        .withColumn("last_ev_ts",
+          max(when(col("is_order") === 0, col("ts"))).over(w))
+        .where(col("is_order") === 1)
+        .select(col("o_orderkey"), col("uid").as("o_custkey"), col("last_ev_ts"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Interval self-join: same-user event pairs within 10 minutes.
+    // Equi-join on user_id bounds the quadratic blowup to within-user
+    // groups (salt the hot users at real scale).
+    "join_interval_overlap" -> ((s, dir) => {
+      val e1 = events(s, dir).select(col("user_id"), col("ts").as("ts1"),
+                                     col("event_id").as("id1"))
+      val e2 = events(s, dir).select(col("user_id"), col("ts").as("ts2"),
+                                     col("event_id").as("id2"))
+      e1.join(e2, Seq("user_id"))
+        .where(col("id2") =!= col("id1") &&
+               col("ts2") >= col("ts1") &&
+               col("ts2") < col("ts1") + expr("INTERVAL 10 MINUTES"))
+        .groupBy("user_id")
+        .agg(big(count(lit(1))).as("n_pairs"))
+        .orderBy("user_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "join_inner_hash" ->
+      ("SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders, " +
+       s"${dsumSql("o_totalprice")} AS revenue " +
+       "FROM orders JOIN customer ON o_custkey = c_custkey " +
+       "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+    "join_broadcast" ->
+      ("SELECT r_name, n_name, CAST(COUNT(*) AS BIGINT) AS n_cust, " +
+       s"${dsumSql("c_acctbal")} AS total_bal " +
+       "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+       "JOIN region ON n_regionkey = r_regionkey " +
+       "GROUP BY r_name, n_name ORDER BY r_name, n_name"),
+    "join_sortmerge" ->
+      ("SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_li, " +
+       s"${dsum6Sql("l_extendedprice * (1 - l_discount)")} AS revenue " +
+       "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+       "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "join_outer_left" ->
+      ("SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders, " +
+       s"COALESCE(${dsumSql("o_totalprice")}, 0.0) AS spent " +
+       "FROM customer LEFT JOIN orders ON c_custkey = o_custkey " +
+       "GROUP BY c_custkey ORDER BY c_custkey"),
+    "join_outer_full" ->
+      ("SELECT COALESCE(s.snk, c.cnk) AS nationkey, s.supp_bal, c.cust_bal FROM " +
+       s"(SELECT s_nationkey AS snk, ${dsumSql("s_acctbal")} AS supp_bal FROM supplier GROUP BY s_nationkey) s " +
+       "FULL JOIN " +
+       s"(SELECT c_nationkey AS cnk, ${dsumSql("c_acctbal")} AS cust_bal FROM customer GROUP BY c_nationkey) c " +
+       "ON s.snk = c.cnk ORDER BY nationkey ASC NULLS FIRST"),
+    "join_semi" ->
+      ("SELECT c_custkey, c_name FROM customer WHERE c_custkey IN " +
+       "(SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') " +
+       "ORDER BY c_custkey"),
+    "join_anti" ->
+      ("SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS " +
+       "(SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey"),
+    "join_theta_range" ->
+      ("SELECT p1.p_partkey, CAST(COUNT(*) AS BIGINT) AS n_close " +
+       "FROM part p1 JOIN part p2 ON p2.p_brand <> p1.p_brand " +
+       "AND p2.p_retailprice >= p1.p_retailprice - 1.0 " +
+       "AND p2.p_retailprice <= p1.p_retailprice + 1.0 " +
+       "GROUP BY p1.p_partkey ORDER BY p1.p_partkey"),
+    "join_asof" ->
+      ("SELECT o_orderkey, o_custkey, " +
+       "(SELECT MAX(e.ts) FROM events e WHERE e.user_id = o.o_custkey AND e.ts <= o.o_orderdate) AS last_ev_ts " +
+       "FROM orders o ORDER BY o_orderkey"),
+    "join_interval_overlap" ->
+      ("SELECT e1.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs " +
+       "FROM events e1 JOIN events e2 ON e1.user_id = e2.user_id " +
+       "AND e2.event_id <> e1.event_id AND e2.ts >= e1.ts " +
+       "AND e2.ts < e1.ts + INTERVAL 10 MINUTE " +
+       "GROUP BY e1.user_id ORDER BY e1.user_id")
+  )
+}

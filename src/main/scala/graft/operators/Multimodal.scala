@@ -1,0 +1,123 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: media (image/audio/video) as opaque
+  * `binary` payload columns with typed metadata, and a distributed
+  * decode / feature-extract stage.
+  *
+  * The decode itself is STUBBED (no media libraries in this container) by
+  * a deterministic fake that derives "pixels" from the payload bytes —
+  * clearly marked below. Everything Spark-side is real: the binary
+  * schema, the partition-parallel `mapPartitions` batch shape (the Scala
+  * analog of `mapInPandas` — one iterator per partition, amortized setup
+  * per batch, arbitrary-size payload streaming), and the typed feature
+  * schema coming back out.
+  */
+object Multimodal {
+
+  /** Typed metadata carried alongside the opaque payload. */
+  case class MediaMeta(media_type: String, width: Int, height: Int, n_bytes: Long)
+
+  /** Feature row produced by the decode stage. */
+  val featureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("mean_byte", DoubleType, nullable = false),
+    StructField("frame_count", IntegerType, nullable = false)
+  ))
+
+  /** Attach a binary payload column + typed metadata to documents —
+    * the ingest shape for media: (id, payload binary, meta struct). */
+  def withPayload(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      col("text").cast("binary").as("payload"),
+      struct(
+        (when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video")).as("media_type"),
+        (col("n_chars") % 640).cast("int").as("width"),
+        (col("n_chars") % 480).cast("int").as("height"),
+        length(col("text")).cast("long").as("n_bytes")).as("meta"))
+
+  /** Distributed decode / feature-extract over binary payloads.
+    *
+    * Runs partition-parallel with one iterator per partition — the batch
+    * shape a real decoder needs (library init once per partition, then
+    * stream rows). ===== STUB: the per-row "decode" below is a
+    * deterministic fake (mean byte value + fake frame count derived from
+    * payload length); a real deployment swaps ONLY the body of
+    * `decodeOne` for e.g. JPEG decode + resize. =====
+    */
+  def decodeFeatures(spark: SparkSession, withBinary: DataFrame): DataFrame = {
+    val rdd = withBinary.select("doc_id", "payload", "meta.media_type").rdd
+      .mapPartitions { rows =>
+        // per-partition setup would init the codec library here (once)
+        def decodeOne(docId: Long, payload: Array[Byte], mediaType: String): Row = {
+          // STUB decode — deterministic fake standing in for real media work
+          val mean = if (payload.isEmpty) 0.0
+                     else payload.map(b => (b & 0xff).toDouble).sum / payload.length
+          val frames = 1 + (payload.length % 30)
+          Row(docId, mediaType, payload.length.toLong,
+              math.rint(mean * 10000) / 10000, frames)
+        }
+        rows.map(r => decodeOne(r.getLong(0), r.getAs[Array[Byte]](1), r.getString(2)))
+      }
+    spark.createDataFrame(rdd, featureSchema)
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Binary payload metadata extraction — oracle-checkable because the
+    // digest and lengths are engine-stable (no stub involved).
+    "multimodal_meta" -> ((s, dir) =>
+      withPayload(documents(s, dir))
+        .select(
+          col("doc_id"),
+          col("meta.media_type").as("media_type"),
+          big(length(col("payload"))).as("n_bytes"),
+          sha2(col("payload"), 256).as("sha"),
+          col("meta.width").as("width"),
+          col("meta.height").as("height"))
+        .orderBy("doc_id")),
+
+    // documents ⋈ embeddings → struct{text meta, vector} + per-label
+    // stats; scalar projection only (hash-stable).
+    "multimodal_join" -> ((s, dir) =>
+      documents(s, dir)
+        .join(embeddings(s, dir), col("doc_id") === col("vec_id"))
+        .select(col("label"), col("n_chars"),
+                Similarity.norm(Similarity.asDouble(col("embedding"))).as("nrm"))
+        .groupBy("label")
+        .agg(big(count(lit(1))).as("n"),
+             fround(sum(col("n_chars")).cast("double") / count(lit(1)), 4).as("avg_chars"),
+             r4(avg(col("nrm"))).as("avg_norm"))
+        .orderBy("label")),
+
+    // Decode pipeline end-to-end (stubbed decode, real plumbing). No
+    // oracle: the stub's output is engine-internal; unit tests pin it.
+    "multimodal_decode" -> ((s, dir) =>
+      decodeFeatures(s, withPayload(documents(s, dir)))
+        .orderBy("doc_id"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "multimodal_meta" ->
+      ("SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' " +
+       "ELSE 'video' END AS media_type, " +
+       "CAST(LENGTH(text) AS BIGINT) AS n_bytes, " +
+       "SHA256(text) AS sha, " +
+       "CAST(n_chars % 640 AS INT) AS width, CAST(n_chars % 480 AS INT) AS height " +
+       "FROM documents ORDER BY doc_id"),
+    "multimodal_join" ->
+      ("SELECT label, CAST(COUNT(*) AS BIGINT) AS n, " +
+       froundSql("CAST(SUM(n_chars) AS DOUBLE) / COUNT(*)", 4) + " AS avg_chars, " +
+       "ROUND(AVG(SQRT(LIST_DOT_PRODUCT(embedding, embedding))), 4) AS avg_norm " +
+       "FROM documents JOIN embeddings ON doc_id = vec_id " +
+       "GROUP BY label ORDER BY label")
+  )
+}

@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (Array[Float], dim 64).
+  *
+  * The kernels (dot, norm, cosine) are higher-order-function expressions
+  * — codegen'd, row-local, no UDF boxing. Brute-force top-k broadcasts
+  * the query vector (one tiny broadcast, no shuffle of the corpus);
+  * threshold pair-search blocks by label so the join is an equi-join on
+  * the block key, never an all-pairs cross product. The LSH-bucketed
+  * variant (random-hyperplane signs) is the 100 TB ANN path: candidate
+  * generation collapses to an equi-join on bucket signature.
+  */
+object Similarity {
+
+  /** Element-wise promote to double (float math differs across engines). */
+  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k against one query vector. */
+  def topK(emb: DataFrame, queryVecId: Long, k: Int): DataFrame = {
+    val q = emb.where(col("vec_id") === queryVecId)
+      .select(asDouble(col("embedding")).as("qv"))
+    emb.where(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), fround(cosine(asDouble(col("embedding")), col("qv")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Random-hyperplane LSH bucket signature: sign pattern of the vector
+    * against `nPlanes` pseudo-random hyperplanes (deterministic seeded
+    * construction — no RNG at plan time). Vectors in the same bucket are
+    * ANN candidates; candidate generation is an equi-join on `bucket`. */
+  def lshBucket(v: Column, nPlanes: Int, dim: Int): Column = {
+    // plane p component j = hash(p, j) mapped into [-1, 1] — fixed seed,
+    // identical on every executor, no data movement.
+    def planeComp(p: Int, j: Int): Column =
+      (pmod(xxhash64(lit(p * 1024 + j)), lit(2000001L)) - 1000000L).cast("double") / 1000000.0
+    val bits = (0 until nPlanes).map { p =>
+      val proj = (0 until dim).map(j => element_at(v, j + 1).cast("double") * planeComp(p, j))
+        .reduce(_ + _)
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** ANN via LSH buckets: same-bucket neighbors of the query, exact
+    * cosine re-rank within the bucket. */
+  def annTopK(emb: DataFrame, queryVecId: Long, k: Int, nPlanes: Int = 8): DataFrame = {
+    val bucketed = emb.withColumn("bucket", lshBucket(col("embedding"), nPlanes, 64))
+    val q = bucketed.where(col("vec_id") === queryVecId)
+      .select(col("bucket"), asDouble(col("embedding")).as("qv"))
+    bucketed.where(col("vec_id") =!= queryVecId)
+      .join(broadcast(q), Seq("bucket"))
+      .select(col("vec_id"), r4(cosine(asDouble(col("embedding")), col("qv"))).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Brute-force cosine top-10 of query vec_id=0 — the exactness
+    // baseline every ANN variant is judged against.
+    "sim_topk" -> ((s, dir) => topK(embeddings(s, dir), 0L, 10)),
+
+    // Same-label pairs with cosine ≥ 0.2, blocked self-join.
+    "sim_pairs_threshold" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val a = e.select(col("label"), col("vec_id").as("a"), asDouble(col("embedding")).as("va"))
+      val b = e.select(col("label"), col("vec_id").as("b"), asDouble(col("embedding")).as("vb"))
+      a.join(b, Seq("label"))
+        .where(col("a") < col("b"))
+        .withColumn("cos", cosine(col("va"), col("vb")))
+        .where(col("cos") >= 0.2)
+        .select(col("label"), col("a"), col("b"), fround(col("cos"), 4).as("cos"))
+        .orderBy("label", "a", "b")
+    }),
+
+    // ANN path: LSH-bucketed approximate neighbors (no oracle — bucket
+    // membership is hash-construction-specific; property tests assert
+    // recall against the brute-force baseline).
+    "sim_ann_lsh" -> ((s, dir) => annTopK(embeddings(s, dir), 0L, 10))
+  )
+
+  val oracle: Map[String, String] = Map(
+    // CAST to DOUBLE[] so DuckDB's kernel does the same double-precision
+    // arithmetic as our promoted HOF pipeline.
+    "sim_topk" ->
+      ("SELECT e.vec_id, " +
+       froundSql("LIST_COSINE_SIMILARITY(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))", 4) +
+       " AS cos " +
+       "FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q " +
+       "WHERE e.vec_id <> 0 ORDER BY cos DESC, e.vec_id LIMIT 10"),
+    "sim_pairs_threshold" ->
+      ("SELECT a.label, a.vec_id AS a, b.vec_id AS b, " +
+       froundSql("LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))", 4) +
+       " AS cos " +
+       "FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id " +
+       "WHERE LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.2 " +
+       "ORDER BY a.label, a, b")
+  )
+}

@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sort / limit / top-k and set operations (reference analog: i3cols
+  * offset-aware concat = union, SURVEY.md §2.1 R4; sort-by-time).
+  * Global sorts are range-partitioned samples (scales linearly); global
+  * top-k compiles to TakeOrderedAndProject (per-partition heap + tiny
+  * driver merge — no global sort at all). Per-group top-k is one window
+  * shuffle, never a self-join.
+  */
+object SortSetOps {
+
+  val queries: Map[String, Q] = Map(
+    // Multi-column sort with an explicitly null-producing key and
+    // explicit null placement (Spark and DuckDB disagree on defaults).
+    "sort_multi_nulls" -> ((s, dir) =>
+      orders(s, dir)
+        .select(col("o_orderkey"),
+                nullif(col("o_orderpriority"), lit("5-LOW")).as("pri"),
+                r2(col("o_totalprice")).as("total"))
+        .orderBy(col("pri").asc_nulls_last, col("total").desc, col("o_orderkey"))),
+
+    // Global top-k: TakeOrderedAndProject, not a full sort.
+    "topk_global" -> ((s, dir) =>
+      orders(s, dir)
+        .select(col("o_orderkey"), r2(col("o_totalprice")).as("total"))
+        .orderBy(col("total").desc, col("o_orderkey"))
+        .limit(25)),
+
+    // Per-group top-k via ranked window.
+    "topk_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"), r2(col("o_totalprice")).as("total"),
+                big(row_number().over(w)).as("rn"))
+        .where(col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // UNION ALL of two time slices, re-aggregated — the i3cols
+    // combine-runs analog: union is plan-level only, no shuffle of its own.
+    "set_union_all" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val a = ev.where(dayofmonth(col("ts")).between(1, 10))
+      val b = ev.where(dayofmonth(col("ts")).between(11, 20))
+      a.unionByName(b)
+        .groupBy("event_type")
+        .agg(big(count(lit(1))).as("n"), r2(sum(col("value"))).as("val_sum"))
+        .orderBy("event_type")
+    }),
+
+    "set_union_distinct" -> ((s, dir) => {
+      val urgent = orders(s, dir).where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("custkey"))
+      val rich = orders(s, dir).where(col("o_totalprice") > 150000)
+        .select(col("o_custkey").as("custkey"))
+      urgent.union(rich).distinct().orderBy("custkey")
+    }),
+
+    "set_intersect" -> ((s, dir) => {
+      val urgent = orders(s, dir).where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("custkey"))
+      val rich = orders(s, dir).where(col("o_totalprice") > 150000)
+        .select(col("o_custkey").as("custkey"))
+      urgent.intersect(rich).orderBy("custkey")
+    }),
+
+    "set_except" -> ((s, dir) => {
+      val all = customer(s, dir).select(col("c_custkey").as("custkey"))
+      val buyers = orders(s, dir).select(col("o_custkey").as("custkey"))
+      all.except(buyers).orderBy("custkey")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "sort_multi_nulls" ->
+      ("SELECT o_orderkey, NULLIF(o_orderpriority, '5-LOW') AS pri, ROUND(o_totalprice, 2) AS total " +
+       "FROM orders ORDER BY pri ASC NULLS LAST, total DESC, o_orderkey"),
+    "topk_global" ->
+      ("SELECT o_orderkey, ROUND(o_totalprice, 2) AS total FROM orders " +
+       "ORDER BY total DESC, o_orderkey LIMIT 25"),
+    "topk_per_group" ->
+      ("SELECT * FROM (SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS total, " +
+       "CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn " +
+       "FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn"),
+    "set_union_all" ->
+      ("SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS val_sum FROM (" +
+       "SELECT * FROM events WHERE EXTRACT(day FROM ts) BETWEEN 1 AND 10 " +
+       "UNION ALL SELECT * FROM events WHERE EXTRACT(day FROM ts) BETWEEN 11 AND 20" +
+       ") GROUP BY event_type ORDER BY event_type"),
+    "set_union_distinct" ->
+      ("SELECT custkey FROM (" +
+       "SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT' " +
+       "UNION SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000" +
+       ") ORDER BY custkey"),
+    "set_intersect" ->
+      ("SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT' " +
+       "INTERSECT SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000 " +
+       "ORDER BY custkey"),
+    "set_except" ->
+      ("SELECT c_custkey AS custkey FROM customer " +
+       "EXCEPT SELECT o_custkey AS custkey FROM orders ORDER BY custkey")
+  )
+}

@@ -1,0 +1,140 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token stats,
+  * TF-IDF, per-language corpus stats, quality scoring, and a
+  * corpus-trained language-ID heuristic. Tokenization is split-on-space
+  * (the fixture guarantees clean single-space ASCII text). All pipelines
+  * are explode → hash-aggregate → (optional) window top-k: map-side
+  * combine keeps the token shuffle proportional to the vocabulary, not
+  * the corpus.
+  */
+object TextOps {
+
+  val queries: Map[String, Q] = Map(
+    // Top-20 terms per language by frequency.
+    "text_tokens" -> ((s, dir) => {
+      val counts = documents(s, dir)
+        .select(col("lang"), explode(split(lower(col("text")), " ")).as("token"))
+        .groupBy("lang", "token").agg(big(count(lit(1))).as("cnt"))
+      val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("token"))
+      counts.withColumn("rn", big(row_number().over(w)))
+        .where(col("rn") <= 20)
+        .orderBy("lang", "rn")
+    }),
+
+    // TF-IDF with idf = ln(N/df); top-5 terms per doc.
+    "text_tfidf" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val tf = docs
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+        .groupBy("doc_id", "term").agg(big(count(lit(1))).as("tf"))
+      val df_ = tf.groupBy("term").agg(big(count(lit(1))).as("df"))
+      val n = docs.agg(big(count(lit(1))).as("n_docs"))
+      val scored = tf.join(df_, Seq("term")).crossJoin(broadcast(n))
+        .withColumn("score",
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+      scored.withColumn("rn", big(row_number().over(w)))
+        .where(col("rn") <= 5)
+        .select("doc_id", "term", "score", "rn")
+        .orderBy("doc_id", "rn")
+    }),
+
+    // Per-language corpus stats.
+    "text_lang_stats" -> ((s, dir) =>
+      documents(s, dir)
+        .groupBy("lang")
+        .agg(big(count(lit(1))).as("n_docs"),
+             fround(sum(col("n_chars")).cast("double") / count(lit(1)), 4).as("avg_chars"),
+             big(countDistinct(col("source"))).as("n_sources"))
+        .orderBy("lang")),
+
+    // Quality scoring: token counts, mean token length, type-token ratio.
+    "text_quality" -> ((s, dir) => {
+      val toks = split(lower(col("text")), " ")
+      documents(s, dir)
+        .select(
+          col("doc_id"),
+          big(size(toks)).as("n_tokens"),
+          fround(aggregate(toks, lit(0L), (acc, t) => acc + length(t),
+                           acc => acc.cast("double")) / size(toks), 4).as("avg_tok_len"),
+          fround(size(array_distinct(toks)).cast("double") / size(toks), 4).as("ttr"),
+          big(col("n_chars")).as("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // Language-ID heuristic trained on the corpus itself: each language's
+    // profile = its top-30 most-frequent tokens; a doc's predicted lang =
+    // argmax over profile-hit counts. Broadcast the tiny profile table.
+    "text_langid" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val tok = docs.select(col("doc_id"), col("lang"),
+                            explode(split(lower(col("text")), " ")).as("token"))
+      val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("token"))
+      val profiles = tok.groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w)).where(col("rn") <= 30)
+        .select(col("lang").as("profile_lang"), col("token"))
+      val hits = tok.join(broadcast(profiles), Seq("token"))
+        .groupBy("doc_id", "profile_lang").agg(big(count(lit(1))).as("hits"))
+      val wBest = Window.partitionBy("doc_id").orderBy(col("hits").desc, col("profile_lang"))
+      hits.withColumn("rn", row_number().over(wBest)).where(col("rn") === 1)
+        .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+        .select(col("doc_id"), col("profile_lang").as("predicted"), col("lang").as("actual"),
+                col("hits"),
+                (col("profile_lang") === col("lang")).as("correct"))
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "text_tokens" ->
+      ("WITH counts AS (SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS cnt FROM " +
+       "(SELECT lang, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS token FROM documents) " +
+       "GROUP BY lang, token) " +
+       "SELECT lang, token, cnt, rn FROM (SELECT lang, token, cnt, " +
+       "CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS BIGINT) AS rn " +
+       "FROM counts) WHERE rn <= 20 ORDER BY lang, rn"),
+    "text_tfidf" ->
+      ("WITH tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM " +
+       "(SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS term FROM documents) " +
+       "GROUP BY doc_id, term), " +
+       "df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term), " +
+       "n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents), " +
+       "scored AS (SELECT tf.doc_id, tf.term, " +
+       "ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS score " +
+       "FROM tf JOIN df USING (term), n), " +
+       "ranked AS (SELECT doc_id, term, score, " +
+       "CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rn FROM scored) " +
+       "SELECT doc_id, term, score, rn FROM ranked WHERE rn <= 5 ORDER BY doc_id, rn"),
+    "text_lang_stats" ->
+      ("SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+       froundSql("CAST(SUM(n_chars) AS DOUBLE) / COUNT(*)", 4) + " AS avg_chars, " +
+       "CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources FROM documents " +
+       "GROUP BY lang ORDER BY lang"),
+    "text_quality" ->
+      ("SELECT doc_id, CAST(LEN(toks) AS BIGINT) AS n_tokens, " +
+       froundSql("CAST(LIST_SUM(LIST_TRANSFORM(toks, t -> LENGTH(t))) AS DOUBLE) / LEN(toks)", 4) +
+       " AS avg_tok_len, " +
+       froundSql("CAST(LEN(LIST_DISTINCT(toks)) AS DOUBLE) / LEN(toks)", 4) + " AS ttr, " +
+       "CAST(n_chars AS BIGINT) AS n_chars FROM " +
+       "(SELECT doc_id, n_chars, STRING_SPLIT(LOWER(text), ' ') AS toks FROM documents) " +
+       "ORDER BY doc_id"),
+    "text_langid" ->
+      ("WITH tok AS (SELECT doc_id, lang, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS token FROM documents), " +
+       "profiles AS (SELECT lang AS profile_lang, token FROM " +
+       "(SELECT lang, token, COUNT(*) AS cnt, " +
+       "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, token) AS rn " +
+       "FROM tok GROUP BY lang, token) WHERE rn <= 30), " +
+       "hits AS (SELECT t.doc_id, p.profile_lang, CAST(COUNT(*) AS BIGINT) AS hits " +
+       "FROM tok t JOIN profiles p USING (token) GROUP BY t.doc_id, p.profile_lang), " +
+       "best AS (SELECT doc_id, profile_lang, hits, " +
+       "ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, profile_lang) AS rn FROM hits) " +
+       "SELECT b.doc_id, b.profile_lang AS predicted, d.lang AS actual, b.hits, " +
+       "b.profile_lang = d.lang AS correct " +
+       "FROM best b JOIN documents d USING (doc_id) WHERE b.rn = 1 ORDER BY b.doc_id")
+  )
+}

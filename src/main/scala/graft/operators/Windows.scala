@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window functions. At scale each window is one shuffle on its
+  * PARTITION BY key; partition keys here (nation, user, customer) are
+  * high-cardinality enough to spread. Skewed partition keys would get the
+  * salt-and-merge pattern; none of these fixtures need it.
+  */
+object Windows {
+
+  val queries: Map[String, Q] = Map(
+    "win_rank" -> ((s, dir) => {
+      val w = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal").desc, col("c_custkey"))
+      val wr = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal").desc)
+      customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"), r2(col("c_acctbal")).as("acctbal"),
+                big(row_number().over(w)).as("rn"),
+                big(rank().over(wr)).as("rnk"),
+                big(dense_rank().over(wr)).as("drnk"))
+        .orderBy("c_nationkey", "rn")
+    }),
+
+    // Per-user event time deltas in exact integer microseconds (no
+    // float, no truncation ambiguity across engines).
+    "win_lag_lead" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"),
+                (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))).as("gap_us"),
+                (unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts"))).as("next_us"))
+        .orderBy("event_id")
+    }),
+
+    // 7-row moving aggregate.
+    "win_frame_rows" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-6, Window.currentRow)
+      events(s, dir)
+        .select(col("event_id"), col("user_id"),
+                r4(sum(col("value")).over(w)).as("mov_sum"),
+                big(count(lit(1)).over(w)).as("mov_n"))
+        .orderBy("event_id")
+    }),
+
+    // RANGE frame running total — ties on the order key share a value,
+    // so the output is deterministic even with duplicate dates.
+    "win_frame_range" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"),
+                r2(sum(col("o_totalprice")).over(w)).as("running_total"))
+        .orderBy("o_orderkey")
+    }),
+
+    "win_ntile" -> ((s, dir) => {
+      val w = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal").desc, col("c_custkey"))
+      customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"),
+                big(ntile(4).over(w)).as("quartile"))
+        .orderBy("c_nationkey", "quartile", "c_custkey")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "win_rank" ->
+      ("SELECT c_custkey, c_nationkey, ROUND(c_acctbal, 2) AS acctbal, " +
+       "CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rn, " +
+       "CAST(RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS BIGINT) AS rnk, " +
+       "CAST(DENSE_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS BIGINT) AS drnk " +
+       "FROM customer ORDER BY c_nationkey, rn"),
+    "win_lag_lead" ->
+      ("SELECT event_id, user_id, ts, " +
+       "epoch_us(ts) - epoch_us(LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us, " +
+       "epoch_us(LEAD(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) - epoch_us(ts) AS next_us " +
+       "FROM events ORDER BY event_id"),
+    "win_frame_rows" ->
+      ("SELECT event_id, user_id, " +
+       "ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS mov_sum, " +
+       "CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov_n " +
+       "FROM events ORDER BY event_id"),
+    "win_frame_range" ->
+      ("SELECT o_orderkey, o_custkey, " +
+       "ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total " +
+       "FROM orders ORDER BY o_orderkey"),
+    "win_ntile" ->
+      ("SELECT c_custkey, c_nationkey, " +
+       "CAST(NTILE(4) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS quartile " +
+       "FROM customer ORDER BY c_nationkey, quartile, c_custkey")
+  )
+}

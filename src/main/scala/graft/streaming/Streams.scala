@@ -1,0 +1,118 @@
+package graft.streaming
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Streaming operators, declared as their batch-equivalent DataFrames
+  * (the driver's oracle is batch SQL). The *same* transformations run as
+  * a real Structured Streaming job in the unit tests — file source →
+  * Trigger.AvailableNow → memory sink — asserting stream ≡ batch, which
+  * is the Spark-idiomatic correctness argument for watermarks/windows.
+  *
+  * Scale notes: tumbling/sliding windows are pure hash aggregations on
+  * (window, keys) — partial-agg'd, mergeable, no per-key state growth.
+  * Session windows in streaming use session_window (state-store backed,
+  * watermark-bounded); the batch equivalent is the gaps-and-islands
+  * window pipeline, one shuffle on user_id.
+  */
+object Streams {
+
+  /** Tumbling 1h window aggregate — shared by the batch query and the
+    * streaming test (identical transformation, different source). */
+  def tumbling(ev: DataFrame): DataFrame =
+    ev.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(big(count(lit(1))).as("n"), r2(sum(col("value"))).as("val_sum"))
+      .select(col("w.start").as("wstart"), col("event_type"), col("n"), col("val_sum"))
+
+  /** Sliding 1h window, 15-minute slide. */
+  def sliding(ev: DataFrame): DataFrame =
+    ev.groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(big(count(lit(1))).as("n"), r2(sum(col("value"))).as("val_sum"))
+      .select(col("w.start").as("wstart"), col("n"), col("val_sum"))
+
+  /** Batch gaps-and-islands sessionization: 30-minute inactivity gap. */
+  def sessionsBatch(ev: DataFrame): DataFrame = {
+    val wOrd = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("prev_ts", lag(col("ts"), 1).over(wOrd))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+             unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 30L * 60 * 1000000, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(wRun))
+      .groupBy("user_id", "session_id")
+      .agg(min(col("ts")).as("session_start"),
+           big(count(lit(1))).as("n_events"),
+           (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("dur_us"))
+      .select("user_id", "session_start", "n_events", "dur_us")
+  }
+
+  /** Streaming-native sessionization used by the stream≡batch test. */
+  def sessionsStream(ev: DataFrame): DataFrame =
+    ev.withWatermark("ts", "10 days")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(big(count(lit(1))).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
+
+  /** First event per (user, type) in (ts, event_id) order. */
+  def dedupBatch(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type").orderBy(col("ts"), col("event_id"))
+    ev.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select("user_id", "event_type", "event_id", "ts")
+  }
+
+  /** Watermark semantics, batch-modelled: drop events arriving (by
+    * event_id as arrival order) more than 1h behind the running max ts.
+    * Not batch-SQL-reproducible in the oracle (watermarking is a
+    * streaming-only contract) — property-tested instead. */
+  def watermarkLateBatch(ev: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("event_id")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("max_seen_us", max(unix_micros(col("ts"))).over(w))
+      .where(unix_micros(col("ts")) >= col("max_seen_us") - 3600L * 1000000)
+      .select("event_id", "user_id", "event_type", "ts")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "stream_tumbling" -> ((s, dir) =>
+      tumbling(events(s, dir)).orderBy("wstart", "event_type")),
+    "stream_sliding" -> ((s, dir) =>
+      sliding(events(s, dir)).orderBy("wstart")),
+    "stream_session" -> ((s, dir) =>
+      sessionsBatch(events(s, dir)).orderBy("user_id", "session_start")),
+    "stream_dedup" -> ((s, dir) =>
+      dedupBatch(events(s, dir)).orderBy("user_id", "event_type")),
+    "stream_watermark_late" -> ((s, dir) =>
+      watermarkLateBatch(events(s, dir)).orderBy("event_id"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "stream_tumbling" ->
+      ("SELECT DATE_TRUNC('hour', ts) AS wstart, event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
+       "ROUND(SUM(value), 2) AS val_sum FROM events " +
+       "GROUP BY wstart, event_type ORDER BY wstart, event_type"),
+    // Every event belongs to exactly 4 sliding windows: starts at
+    // floor(ts/15min) - k*15min for k in 0..3. make_timestamp takes µs.
+    "stream_sliding" ->
+      ("SELECT MAKE_TIMESTAMP((epoch_us(ts) // 900000000) * 900000000 - CAST(k AS BIGINT) * 900000000) AS wstart, " +
+       "CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS val_sum " +
+       "FROM events, (SELECT UNNEST([0,1,2,3]) AS k) " +
+       "GROUP BY wstart ORDER BY wstart"),
+    "stream_session" ->
+      ("WITH flags AS (SELECT user_id, event_id, ts, " +
+       "CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) <= INTERVAL 30 MINUTE " +
+       "THEN 0 ELSE 1 END AS new_session FROM events), " +
+       "ids AS (SELECT user_id, ts, " +
+       "SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id " +
+       "FROM flags) " +
+       "SELECT user_id, MIN(ts) AS session_start, CAST(COUNT(*) AS BIGINT) AS n_events, " +
+       "epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us " +
+       "FROM ids GROUP BY user_id, session_id ORDER BY user_id, session_start"),
+    "stream_dedup" ->
+      ("SELECT user_id, event_type, event_id, ts FROM " +
+       "(SELECT user_id, event_type, event_id, ts, " +
+       "ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn FROM events) " +
+       "WHERE rn = 1 ORDER BY user_id, event_type")
+  )
+}
