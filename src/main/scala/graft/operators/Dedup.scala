@@ -71,20 +71,13 @@ object Dedup {
       .select(col("a"), col("b"), r4(col("jaccard")).as("jaccard"))
 
   /** 64-bit SimHash over token set: per-bit majority vote of token
-    * hashes, computed row-locally with nested higher-order functions. */
-  def simhash(c: Column): Column = {
-    val toks = array_distinct(tokens(c))
-    val votes = aggregate(
-      toks,
-      array_repeat(lit(0), 64),
-      (acc, t) => zip_with(acc, transform(sequence(lit(0), lit(63)),
-        i => when(call_function("shiftright", xxhash64(t), i).bitwiseAND(1) === 1, 1).otherwise(-1)),
-        (a, v) => a + v))
-    aggregate(
-      transform(sequence(lit(0), lit(63)),
-        i => when(element_at(votes, i + 1) > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
+    * hashes. Token hashing stays a codegen'd `xxhash64` transform; the
+    * vote loop is the native [[graft.functions.SimHash64]] expression
+    * (a pure-HOF formulation falls back to interpreted eval and was
+    * ~1000× slower at bench). */
+  def simhash(c: Column): Column =
+    graft.functions.SimHash64(
+      transform(array_distinct(tokens(c)), t => xxhash64(t)))
 
   val queries: Map[String, Q] = Map(
     // Exact dedup: digest of normalized text, keep the minimum doc_id
@@ -109,22 +102,26 @@ object Dedup {
         .orderBy("doc_id")
     }),
 
-    // SimHash fingerprints + per-fingerprint duplicate count.
-    "dedup_simhash" -> ((s, dir) => {
-      val fp = documents(s, dir).select(col("doc_id"), simhash(col("text")).as("fp"))
-      val dupCount = fp.groupBy("fp").agg(big(count(lit(1))).as("n_same"))
-      fp.join(dupCount, Seq("fp")).select("doc_id", "fp", "n_same").orderBy("doc_id")
-    }),
+    // SimHash fingerprints + per-fingerprint duplicate count. A window
+    // count over fp computes the hash pipeline once with one shuffle
+    // (the groupBy-then-self-join shape scans and hashes twice).
+    "dedup_simhash" -> ((s, dir) =>
+      documents(s, dir)
+        .select(col("doc_id"), simhash(col("text")).as("fp"))
+        .withColumn("n_same",
+          big(count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("fp"))))
+        .orderBy("doc_id")),
 
     // Bag-of-words fingerprint (order-insensitive dedup): md5 of the
     // sorted distinct token set. Oracle-checkable (md5 is engine-stable).
-    "dedup_fingerprint" -> ((s, dir) => {
-      val fp = documents(s, dir).select(
-        col("doc_id"),
-        md5(concat_ws(" ", array_sort(array_distinct(tokens(col("text"))))).cast("binary")).as("fp"))
-      val dupCount = fp.groupBy("fp").agg(big(count(lit(1))).as("n_same"))
-      fp.join(dupCount, Seq("fp")).select("doc_id", "fp", "n_same").orderBy("doc_id")
-    }),
+    "dedup_fingerprint" -> ((s, dir) =>
+      documents(s, dir)
+        .select(
+          col("doc_id"),
+          md5(concat_ws(" ", array_sort(array_distinct(tokens(col("text"))))).cast("binary")).as("fp"))
+        .withColumn("n_same",
+          big(count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("fp"))))
+        .orderBy("doc_id")),
 
     // N-gram Jaccard near-dup: exact pairwise Jaccard over word
     // 3-shingles, blocked by (lang, source) to bound the pair space.

@@ -37,32 +37,30 @@ object Similarity {
       .limit(k)
   }
 
-  /** Random-hyperplane LSH bucket signature: sign pattern of the vector
-    * against `nPlanes` pseudo-random hyperplanes (deterministic seeded
-    * construction — no RNG at plan time). Vectors in the same bucket are
-    * ANN candidates; candidate generation is an equi-join on `bucket`. */
-  def lshBucket(v: Column, nPlanes: Int, dim: Int): Column = {
-    // plane p component j = hash(p, j) mapped into [-1, 1] — fixed seed,
-    // identical on every executor, no data movement.
-    def planeComp(p: Int, j: Int): Column =
-      (pmod(xxhash64(lit(p * 1024 + j)), lit(2000001L)) - 1000000L).cast("double") / 1000000.0
-    val bits = (0 until nPlanes).map { p =>
-      val proj = (0 until dim).map(j => element_at(v, j + 1).cast("double") * planeComp(p, j))
-        .reduce(_ + _)
-      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
-
-  /** ANN via LSH buckets: same-bucket neighbors of the query, exact
-    * cosine re-rank within the bucket. */
-  def annTopK(emb: DataFrame, queryVecId: Long, k: Int, nPlanes: Int = 8): DataFrame = {
-    val bucketed = emb.withColumn("bucket", lshBucket(col("embedding"), nPlanes, 64))
-    val q = bucketed.where(col("vec_id") === queryVecId)
-      .select(col("bucket"), asDouble(col("embedding")).as("qv"))
-    bucketed.where(col("vec_id") =!= queryVecId)
-      .join(broadcast(q), Seq("bucket"))
-      .select(col("vec_id"), r4(cosine(asDouble(col("embedding")), col("qv"))).as("cos"))
+  /** Multi-table random-hyperplane ANN: each vector gets `nTables` LSH
+    * bucket signatures of `bits` sign-bits (native codegen'd kernel,
+    * [[graft.functions.HyperplaneLsh]]); candidates are vectors sharing
+    * the query's bucket in ANY table (equi-join on (table, bucket)
+    * against a broadcast of the query's buckets — no corpus shuffle),
+    * then exact cosine re-rank of the candidate set only. A neighbor at
+    * angle θ is recalled with prob 1−(1−(1−θ/π)^bits)^nTables while the
+    * scanned fraction stays ≈ nTables/2^bits — the sublinear scale path. */
+  def annTopK(emb: DataFrame, queryVecId: Long, k: Int,
+              nTables: Int = 8, bits: Int = 8): DataFrame = {
+    val bucketed = emb.select(
+      col("vec_id"), col("embedding"),
+      posexplode(graft.functions.HyperplaneLsh(col("embedding"), nTables, bits))
+        .as(Seq("tbl", "bucket")))
+    val qBuckets = bucketed.where(col("vec_id") === queryVecId)
+      .select(col("tbl"), col("bucket"))
+    val candidates = bucketed.where(col("vec_id") =!= queryVecId)
+      .join(broadcast(qBuckets), Seq("tbl", "bucket"))
+      .select("vec_id").distinct()
+    val q = emb.where(col("vec_id") === queryVecId)
+      .select(asDouble(col("embedding")).as("qv"))
+    emb.join(candidates, Seq("vec_id"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), fround(cosine(asDouble(col("embedding")), col("qv")), 4).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
   }

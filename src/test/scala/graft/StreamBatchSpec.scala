@@ -1,0 +1,61 @@
+package graft
+
+import graft.streaming.Streams
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Stream ≡ batch equivalence: each streaming op runs as a REAL
+  * Structured Streaming job (file source → Trigger.AvailableNow →
+  * memory sink) and must produce the batch declaration's rows
+  * (SURVEY.md §5.2.4). */
+class StreamBatchSpec extends SparkSpec {
+
+  /** Events written once to a temp parquet dir in (ts, event_id) order,
+    * so file-source arrival order matches the batch tie-break order. */
+  private lazy val stagedEvents: (String, DataFrame) = {
+    val dir = Files.createTempDirectory("graft_stream_ev").toString
+    val ev = Tables.events(spark, sf001).orderBy("ts", "event_id")
+    ev.coalesce(1).write.mode("overwrite").parquet(dir)
+    (dir, spark.read.parquet(dir))
+  }
+
+  private def streamed(name: String, transform: DataFrame => DataFrame,
+                       mode: String): DataFrame = {
+    val (dir, batchView) = stagedEvents
+    val src = spark.readStream.schema(batchView.schema).parquet(dir)
+    val q = transform(src).writeStream
+      .format("memory").queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  test("stream_tumbling: streaming result equals batch result") {
+    val out = streamed("t_tumbling", Streams.tumbling, "complete")
+    assertSameRows(out, Streams.tumbling(stagedEvents._2), "tumbling")
+  }
+
+  test("stream_sliding: streaming result equals batch result") {
+    val out = streamed("t_sliding", Streams.sliding, "complete")
+    assertSameRows(out, Streams.sliding(stagedEvents._2), "sliding")
+  }
+
+  test("stream_session: session_window stream equals gaps-and-islands batch") {
+    val out = streamed("t_session", Streams.sessionsStream, "complete")
+    val batch = Streams.sessionsBatch(stagedEvents._2)
+      .select("user_id", "session_start", "n_events")
+    assertSameRows(out, batch, "session")
+  }
+
+  test("stream_dedup: dropDuplicates stream equals row_number batch") {
+    val out = streamed("t_dedup",
+      ev => ev.dropDuplicates("user_id", "event_type")
+        .select("user_id", "event_type", "event_id", "ts"),
+      "append")
+    assertSameRows(out, Streams.dedupBatch(stagedEvents._2), "dedup")
+  }
+}
