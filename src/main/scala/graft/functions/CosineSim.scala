@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftx.shims
+import org.apache.spark.sql.types._
+
+/** Imperative cosine kernel. Sums are sequential in index order — the
+  * same association as the higher-order `aggregate` formulation and as
+  * DuckDB's list kernel, so results are bit-identical to the oracle. */
+object CosineSimImpl {
+  def cosine(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}
+
+/** Native codegen'd cosine similarity over `array<float|double>` pairs
+  * (SURVEY.md §4.3: the HOF pipeline is interpreted per element and was
+  * the top cost of `sim_topk`/`sim_pairs_threshold` at bench). */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def elemFloat(e: Expression): Option[Boolean] = e.dataType match {
+    case ArrayType(FloatType, _) => Some(true)
+    case ArrayType(DoubleType, _) => Some(false)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemFloat(left).isDefined && elemFloat(right).isDefined)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double> args, got " +
+        s"${left.dataType.sql}, ${right.dataType.sql}")
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine"
+
+  private lazy val aF = elemFloat(left).get
+  private lazy val bF = elemFloat(right).get
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CosineSimImpl.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], aF, bF)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.CosineSimImpl.cosine($a, $b, $aF, $bF)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSim {
+  def apply(a: Column, b: Column): Column =
+    shims.column(CosineSim(shims.expression(a), shims.expression(b)))
+}

@@ -24,15 +24,17 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Native codegen'd cosine (double accumulation, index order — same
+    * association as the HOF form and DuckDB's kernel). */
+  def cosine(a: Column, b: Column): Column = graft.functions.CosineSim(a, b)
 
   /** Brute-force cosine top-k against one query vector. */
   def topK(emb: DataFrame, queryVecId: Long, k: Int): DataFrame = {
     val q = emb.where(col("vec_id") === queryVecId)
-      .select(asDouble(col("embedding")).as("qv"))
+      .select(col("embedding").as("qv"))
     emb.where(col("vec_id") =!= queryVecId)
       .crossJoin(broadcast(q))
-      .select(col("vec_id"), fround(cosine(asDouble(col("embedding")), col("qv")), 4).as("cos"))
+      .select(col("vec_id"), fround(cosine(col("embedding"), col("qv")), 4).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
   }
@@ -57,10 +59,10 @@ object Similarity {
       .join(broadcast(qBuckets), Seq("tbl", "bucket"))
       .select("vec_id").distinct()
     val q = emb.where(col("vec_id") === queryVecId)
-      .select(asDouble(col("embedding")).as("qv"))
+      .select(col("embedding").as("qv"))
     emb.join(candidates, Seq("vec_id"))
       .crossJoin(broadcast(q))
-      .select(col("vec_id"), fround(cosine(asDouble(col("embedding")), col("qv")), 4).as("cos"))
+      .select(col("vec_id"), fround(cosine(col("embedding"), col("qv")), 4).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
   }
@@ -73,8 +75,8 @@ object Similarity {
     // Same-label pairs with cosine ≥ 0.2, blocked self-join.
     "sim_pairs_threshold" -> ((s, dir) => {
       val e = embeddings(s, dir)
-      val a = e.select(col("label"), col("vec_id").as("a"), asDouble(col("embedding")).as("va"))
-      val b = e.select(col("label"), col("vec_id").as("b"), asDouble(col("embedding")).as("vb"))
+      val a = e.select(col("label"), col("vec_id").as("a"), col("embedding").as("va"))
+      val b = e.select(col("label"), col("vec_id").as("b"), col("embedding").as("vb"))
       a.join(b, Seq("label"))
         .where(col("a") < col("b"))
         .withColumn("cos", cosine(col("va"), col("vb")))

@@ -72,8 +72,12 @@ object TextOps {
     // argmax over profile-hit counts. Broadcast the tiny profile table.
     "text_langid" -> ((s, dir) => {
       val docs = documents(s, dir)
+      // the tokenized corpus feeds BOTH profile-building and scoring;
+      // cache it so the scan+explode runs once (at 100 TB: persist or
+      // checkpoint the tokenized corpus for exactly the same reason)
       val tok = docs.select(col("doc_id"), col("lang"),
                             explode(split(lower(col("text")), " ")).as("token"))
+        .cache()
       val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("token"))
       val profiles = tok.groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
         .withColumn("rn", row_number().over(w)).where(col("rn") <= 30)
