@@ -1,0 +1,61 @@
+package graft
+
+/** Physical-plan audits: the properties that decide 100 TB viability
+  * (SURVEY.md §4) are asserted here so they cannot silently regress —
+  * filter/column pushdown to the parquet scan, broadcast of small dims,
+  * partial aggregation, TakeOrderedAndProject for top-k, and no
+  * corpus-side shuffle in the broadcast similarity search. */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf001).queryExecution.executedPlan.toString
+
+  test("scan_pruned_filtered pushes the predicate and prunes columns at the scan") {
+    val p = plan("scan_pruned_filtered")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("l_shipdate"), p)
+    // pruned read schema must not include unprojected wide columns
+    assert(!p.contains("l_comment"), p)
+  }
+
+  test("join_broadcast broadcasts the dimension tables") {
+    val p = plan("join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("join_sortmerge keeps the large-large join a shuffle join") {
+    val p = plan("join_sortmerge")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("agg_hash_groupby splits into partial and final hash aggregation") {
+    val p = plan("agg_hash_groupby")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("SortAggregate"), p)
+  }
+
+  test("topk_global compiles to TakeOrderedAndProject (no full sort)") {
+    val p = plan("topk_global")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("sim_topk never shuffles the corpus (broadcast query vector only)") {
+    val p = plan("sim_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    // the only exchange allowed below the top-k is the broadcast of the
+    // single query vector; a repartition/hash exchange of the corpus
+    // would be a scale bug
+    assert(!p.contains("hashpartitioning"), p)
+  }
+
+  test("whole-stage codegen covers the hot paths of the flagship aggregate") {
+    // AQE finalizes stages only at execution; run the query, then check
+    // the final adaptive plan for codegen stage markers (`*(n)`)
+    val df = SparkEntry.queries("agg_hash_groupby")(spark, sf001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), p.take(300))
+    assert(p.contains("*("), p.take(2000))
+  }
+}
