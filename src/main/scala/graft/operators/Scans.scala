@@ -44,6 +44,49 @@ object Scans {
         .orderBy("l_returnflag")
     }),
 
+    // i3cols R2 analog (extract_season run discovery): dataset metadata
+    // parsed from file paths with input_file_name + regexp_extract — at
+    // scale this is how run/subrun/season columns come from a directory
+    // tree without touching file contents.
+    // (the sf tag is also extractable the same way, but is excluded from
+    // the projection so the oracle stays scale-factor-independent)
+    "source_file_discovery" -> ((s, dir) =>
+      events(s, dir)
+        .select(
+          regexp_extract(input_file_name(), "([a-z]+)\\.parquet", 1).as("table_name"))
+        .groupBy("table_name")
+        .agg(big(count(lit(1))).as("n_rows"))
+        .orderBy("table_name")),
+
+    // CSV sink + schema-on-read source roundtrip (row-ish interchange
+    // format; shortest-repr double formatting survives the roundtrip).
+    "sink_csv_roundtrip" -> ((s, dir) => {
+      val out = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_csv_roundtrip"
+      lineitem(s, dir)
+        .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+        .write.mode("overwrite").option("header", "true").csv(out)
+      s.read.option("header", "true")
+        .schema("l_orderkey BIGINT, l_returnflag STRING, l_quantity DOUBLE, l_extendedprice DOUBLE")
+        .csv(out)
+        .groupBy("l_returnflag")
+        .agg(big(count(lit(1))).as("n"), dsum(col("l_extendedprice")).as("total"))
+        .orderBy("l_returnflag")
+    }),
+
+    // JSON schema-on-read: parse the props JSON column against a declared
+    // schema (from_json), then aggregate the typed field — the i3cols R3
+    // frame-object → declared-dtype encoding analog.
+    "source_json_schema" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("event_type"),
+                from_json(col("props"),
+                  org.apache.spark.sql.types.StructType.fromDDL("k INT")).as("p"))
+        .groupBy("event_type")
+        .agg(big(count(col("p.k"))).as("n_k"),
+             big(sum(col("p.k"))).as("sum_k"),
+             fround(sum(col("p.k")).cast("double") / count(col("p.k")), 4).as("avg_k"))
+        .orderBy("event_type")),
+
     // i3cols R6/R7 analog: category-index build = partitionBy on write;
     // index application = partition-pruned read of one category dir.
     "scan_partitioned_write" -> ((s, dir) => {
@@ -71,6 +114,17 @@ object Scans {
        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "scan_partitioned_write" ->
       ("SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty " +
-       "FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_returnflag ORDER BY l_returnflag")
+       "FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "source_file_discovery" ->
+      "SELECT 'events' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows FROM events",
+    "sink_csv_roundtrip" ->
+      ("SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, " +
+       s"${dsumSql("l_extendedprice")} AS total " +
+       "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "source_json_schema" ->
+      ("SELECT event_type, CAST(COUNT(k) AS BIGINT) AS n_k, CAST(SUM(k) AS BIGINT) AS sum_k, " +
+       froundSql("CAST(SUM(k) AS DOUBLE) / COUNT(k)", 4) + " AS avg_k FROM " +
+       "(SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events) " +
+       "GROUP BY event_type ORDER BY event_type")
   )
 }

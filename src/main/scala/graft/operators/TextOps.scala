@@ -67,6 +67,23 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Token counting two ways: whitespace tokens vs a BPE-ish regex
+    // (letter runs | digit runs | punctuation runs) — the token-budget
+    // accounting a training pipeline runs per document. The alternation's
+    // branches are disjoint character classes, so Java and RE2 regex
+    // engines agree exactly.
+    "text_token_count" -> ((s, dir) => {
+      val bpeish = "[a-z]+|[0-9]+|[^a-z0-9 ]+"
+      documents(s, dir)
+        .select(
+          col("doc_id"),
+          big(size(split(lower(col("text")), " "))).as("n_ws_tokens"),
+          big(size(regexp_extract_all(lower(col("text")), lit(bpeish), lit(0)))).as("n_bpe_tokens"))
+        .withColumn("bpe_ratio",
+          fround(col("n_bpe_tokens").cast("double") / col("n_ws_tokens"), 4))
+        .orderBy("doc_id")
+    }),
+
     // Language-ID heuristic trained on the corpus itself: each language's
     // profile = its top-30 most-frequent tokens; a doc's predicted lang =
     // argmax over profile-hit counts. Broadcast the tiny profile table.
@@ -127,6 +144,11 @@ object TextOps {
        "CAST(n_chars AS BIGINT) AS n_chars FROM " +
        "(SELECT doc_id, n_chars, STRING_SPLIT(LOWER(text), ' ') AS toks FROM documents) " +
        "ORDER BY doc_id"),
+    "text_token_count" ->
+      ("SELECT doc_id, CAST(LEN(STRING_SPLIT(LOWER(text), ' ')) AS BIGINT) AS n_ws_tokens, " +
+       "CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+|[0-9]+|[^a-z0-9 ]+')) AS BIGINT) AS n_bpe_tokens, " +
+       froundSql("CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+|[0-9]+|[^a-z0-9 ]+')) AS DOUBLE) / LEN(STRING_SPLIT(LOWER(text), ' '))", 4) +
+       " AS bpe_ratio FROM documents ORDER BY doc_id"),
     "text_langid" ->
       ("WITH tok AS (SELECT doc_id, lang, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS token FROM documents), " +
        "profiles AS (SELECT lang AS profile_lang, token FROM " +
