@@ -29,6 +29,24 @@ object Aggregations {
           big(count(lit(1))).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
 
+    // Skew-resilient two-phase aggregation: phase 1 aggregates on
+    // (key, salt) so a hot key's rows spread over 16 reducers; phase 2
+    // merges the 16 partials per key. Decimal sums are associative, so
+    // the result is bit-identical to the direct groupBy (the oracle
+    // proves it). This is the hand-rolled analog of AQE skew splitting,
+    // for when the skew is in the AGG key rather than a join.
+    "agg_salted_skew" -> ((s, dir) => {
+      val salted = lineitem(s, dir)
+        .withColumn("salt", pmod(col("l_orderkey"), lit(16)))
+        .groupBy("l_returnflag", "salt")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("p_qty"),
+             count(lit(1)).as("p_n"))
+      salted.groupBy("l_returnflag")
+        .agg(sum(col("p_qty")).cast("double").as("sum_qty"),
+             big(sum(col("p_n"))).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
     // Exact distinct — expands to a two-phase aggregate.
     "agg_distinct" -> ((s, dir) =>
       orders(s, dir)
@@ -128,6 +146,10 @@ object Aggregations {
        "CAST(COUNT(*) AS BIGINT) AS count_order " +
        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' " +
        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+    "agg_salted_skew" ->
+      ("SELECT l_returnflag, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
+       "CAST(COUNT(*) AS BIGINT) AS n FROM lineitem " +
+       "GROUP BY l_returnflag ORDER BY l_returnflag"),
     "agg_distinct" ->
       ("SELECT o_orderstatus, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust, " +
        "CAST(COUNT(*) AS BIGINT) AS n_orders FROM orders " +
