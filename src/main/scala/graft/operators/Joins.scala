@@ -124,6 +124,38 @@ object Joins {
         .orderBy("o_orderkey")
     }),
 
+    // Bucketed co-located join: both sides pre-bucketed on the join key
+    // into the same bucket count → the join needs NO exchange at read
+    // time (each task joins bucket i with bucket i). At 100 TB this is
+    // the difference between re-shuffling two fact tables on every join
+    // and shuffling once at ingest; the bucket layout persists in the
+    // table catalog. PlanAuditSpec asserts the exchange-free plan.
+    "join_bucketed_colocated" -> ((s, dir) => {
+      val nb = 8
+      // always (re)written: the bucket layout must come from THIS sfDir.
+      // A fresh metastore can meet a leftover warehouse dir from an
+      // earlier JVM → drop the catalog entry AND the orphan location.
+      Seq("graft_orders_b", "graft_customer_b").foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val p = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir") + "/" + t)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+      orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite")
+        .bucketBy(nb, "o_custkey").sortBy("o_custkey")
+        .saveAsTable("graft_orders_b")
+      customer(s, dir).select("c_custkey", "c_mktsegment")
+        .write.mode("overwrite")
+        .bucketBy(nb, "c_custkey").sortBy("c_custkey")
+        .saveAsTable("graft_customer_b")
+      s.table("graft_orders_b")
+        .join(s.table("graft_customer_b"), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(big(count(lit(1))).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+        .orderBy("c_mktsegment")
+    }),
+
     // Interval self-join: same-user event pairs within 10 minutes.
     // Equi-join on user_id bounds the quadratic blowup to within-user
     // groups (salt the hot users at real scale).
@@ -187,6 +219,11 @@ object Joins {
       ("SELECT o_orderkey, o_custkey, " +
        "(SELECT MAX(e.ts) FROM events e WHERE e.user_id = o.o_custkey AND e.ts <= o.o_orderdate) AS last_ev_ts " +
        "FROM orders o ORDER BY o_orderkey"),
+    "join_bucketed_colocated" ->
+      ("SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders, " +
+       s"${dsumSql("o_totalprice")} AS revenue " +
+       "FROM orders JOIN customer ON o_custkey = c_custkey " +
+       "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
     "join_interval_overlap" ->
       ("SELECT e1.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs " +
        "FROM events e1 JOIN events e2 ON e1.user_id = e2.user_id " +

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Generator-driven laws for the custom kernels (pure JVM — no Spark
+  * session needed, so these run in milliseconds). Uses raw ScalaCheck
+  * generators sampled in-loop (the scalatest bridge artifact is not a
+  * declared dependency). */
+class ExpressionLawsSpec extends AnyFunSuite {
+
+  private def forAllSamples[T](g: Gen[T], n: Int = 200)(f: T => Unit): Unit = {
+    var tried = 0
+    var it = 0
+    while (tried < n && it < n * 10) {
+      g.sample.foreach { v => f(v); tried += 1 }
+      it += 1
+    }
+    assert(tried > n / 2, s"generator too sparse: $tried/$n samples")
+  }
+
+  private val hashArrays: Gen[Array[Long]] =
+    Gen.nonEmptyListOf(Gen.long).map(_.toArray)
+
+  private val vectors: Gen[Array[Float]] =
+    Gen.chooseNum(2, 64)
+      .flatMap(n => Gen.listOfN(n, Gen.chooseNum(-10.0f, 10.0f)).map(_.toArray))
+      .suchThat(v => v.exists(x => math.abs(x) > 1e-3))
+
+  test("simhash is permutation-invariant (bag semantics)") {
+    forAllSamples(hashArrays) { hs =>
+      val a = functions.SimHashImpl.simhash64(ArrayData.toArrayData(hs))
+      val b = functions.SimHashImpl.simhash64(ArrayData.toArrayData(hs.reverse))
+      assert(a == b)
+    }
+  }
+
+  test("simhash of a single hash is that hash itself") {
+    forAllSamples(Gen.long) { h =>
+      val fp = functions.SimHashImpl.simhash64(ArrayData.toArrayData(Array(h)))
+      assert(fp == h)
+    }
+  }
+
+  test("cosine is symmetric, bounded, and 1 on itself") {
+    forAllSamples(vectors) { v =>
+      val w = v.map(x => -x * 2.0f + 1.0f)
+      val a = ArrayData.toArrayData(v); val b = ArrayData.toArrayData(w)
+      val ab = functions.CosineSimImpl.cosine(a, b, true, true)
+      val ba = functions.CosineSimImpl.cosine(b, a, true, true)
+      assert(ab == ba)
+      assert(ab >= -1.0 - 1e-9 && ab <= 1.0 + 1e-9)
+      val aa = functions.CosineSimImpl.cosine(a, a, true, true)
+      assert(math.abs(aa - 1.0) < 1e-9)
+    }
+  }
+
+  test("LSH buckets are scale-invariant (cosine semantics)") {
+    forAllSamples(Gen.zip(vectors, Gen.chooseNum(0.1f, 50.0f))) { case (v, c) =>
+      val a = functions.HyperplaneLshImpl
+        .buckets(ArrayData.toArrayData(v), 8, 8).toLongArray()
+      val b = functions.HyperplaneLshImpl
+        .buckets(ArrayData.toArrayData(v.map(_ * c)), 8, 8).toLongArray()
+      assert(a.sameElements(b))
+    }
+  }
+
+  test("LSH bucket arrays have the requested table count, bits bounded") {
+    forAllSamples(vectors) { v =>
+      val bs = functions.HyperplaneLshImpl
+        .buckets(ArrayData.toArrayData(v), 4, 6).toLongArray()
+      assert(bs.length == 4)
+      assert(bs.forall(b => b >= 0 && b < (1L << 6)))
+    }
+  }
+}

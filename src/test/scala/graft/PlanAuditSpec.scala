@@ -49,6 +49,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("hashpartitioning"), p)
   }
 
+  test("join_bucketed_colocated joins without re-shuffling either side") {
+    val p = plan("join_bucketed_colocated")
+    assert(p.contains("Bucketed: true"), p)
+    // the join key must NOT be re-partitioned — bucket layout satisfies
+    // the join's distribution requirement
+    assert(!p.contains("hashpartitioning(o_custkey"), p)
+    assert(!p.contains("hashpartitioning(c_custkey"), p)
+  }
+
   test("whole-stage codegen covers the hot paths of the flagship aggregate") {
     // AQE finalizes stages only at execution; run the query, then check
     // the final adaptive plan for codegen stage markers (`*(n)`)
