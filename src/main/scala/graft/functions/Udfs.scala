@@ -53,17 +53,17 @@ object Udfs {
         .orderBy("l_returnflag")
     }),
 
-    // Generator/UDTF surface: per-order date spine. explode(sequence())
-    // is the built-in Generator; a custom Catalyst Generator would plug
-    // into exactly this position.
+    // Generator/UDTF surface: per-order date spine via the CUSTOM
+    // Catalyst Generator (graft.functions.DateSpineGen) — the oracle is
+    // the same SQL that checked the built-in explode(sequence()) form,
+    // so the hash match proves the extension point end-to-end.
     "udtf_generate" -> ((s, dir) =>
       orders(s, dir)
         .where(col("o_orderkey") <= 200)
         .select(col("o_orderkey"),
-                explode(sequence(
+                DateSpineGen(
                   to_date(col("o_orderdate")),
-                  date_add(to_date(col("o_orderdate")), 3),
-                  expr("INTERVAL 1 DAY"))).as("d"))
+                  date_add(to_date(col("o_orderdate")), 3)).as("d"))
         .orderBy("o_orderkey", "d"))
   )
 
