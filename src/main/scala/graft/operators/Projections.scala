@@ -9,7 +9,27 @@ import org.apache.spark.sql.functions._
   */
 object Projections {
 
+  /** Typed view of the orders table — the Dataset[T] API edge
+    * (SURVEY.md §1.2: typed at edges, Catalyst-optimizable DataFrame in
+    * the core). */
+  case class OrderRow(o_orderkey: Long, o_custkey: Long, o_orderstatus: String,
+                      o_totalprice: Double)
+
   val queries: Map[String, Q] = Map(
+    // Typed Dataset surface: case-class Encoder + column-expression
+    // filters. Filters stay Column-based (not closures) so pushdown and
+    // pruning survive the typed boundary — the plan is identical to the
+    // untyped form, which is the point of doing typed-at-the-edges.
+    "typed_dataset" -> ((s, dir) => {
+      import s.implicits._
+      orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .as[OrderRow]
+        .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 100000)
+        .map(o => (o.o_orderkey, o.o_custkey, math.floor(o.o_totalprice / 1000).toLong))
+        .toDF("o_orderkey", "o_custkey", "price_k")
+        .orderBy("o_orderkey")
+    }),
     // Derived-column arithmetic — the classic TPC-H revenue expression.
     "project_arith" -> ((s, dir) =>
       lineitem(s, dir)
@@ -48,6 +68,10 @@ object Projections {
   )
 
   val oracle: Map[String, String] = Map(
+    "typed_dataset" ->
+      ("SELECT o_orderkey, o_custkey, CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS price_k " +
+       "FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 100000 " +
+       "ORDER BY o_orderkey"),
     "project_arith" ->
       ("SELECT l_orderkey, l_linenumber, " +
        s"${froundSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 2)} AS gross, " +

@@ -58,6 +58,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("hashpartitioning(c_custkey"), p)
   }
 
+  test("join_asof shuffles exactly once on the user key (plus final sort)") {
+    val p = plan("join_asof")
+    // one hashpartitioning for the union+window, one rangepartitioning
+    // for the deterministic ORDER BY — and nothing else
+    assert("hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("dedup_exact is a single shuffle on the digest") {
+    val p = plan("dedup_exact")
+    assert("hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("ragged_reduce_hof reduces per event with only the pack shuffle") {
+    val p = plan("ragged_reduce_hof")
+    assert("hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
   test("whole-stage codegen covers the hot paths of the flagship aggregate") {
     // AQE finalizes stages only at execution; run the query, then check
     // the final adaptive plan for codegen stage markers (`*(n)`)
