@@ -73,6 +73,19 @@ object Scans {
         .orderBy("l_returnflag")
     }),
 
+    // ORC sink/source roundtrip — the second columnar format (same lazy,
+    // pruned, predicate-pushed scan machinery as parquet).
+    "sink_orc_roundtrip" -> ((s, dir) => {
+      val out = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_orc_roundtrip"
+      orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .groupBy("o_orderstatus")
+        .agg(big(count(lit(1))).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
     // JSON schema-on-read: parse the props JSON column against a declared
     // schema (from_json), then aggregate the typed field — the i3cols R3
     // frame-object → declared-dtype encoding analog.
@@ -121,6 +134,10 @@ object Scans {
       ("SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, " +
        s"${dsumSql("l_extendedprice")} AS total " +
        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "sink_orc_roundtrip" ->
+      ("SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n, " +
+       s"${dsumSql("o_totalprice")} AS total " +
+       "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     "source_json_schema" ->
       ("SELECT event_type, CAST(COUNT(k) AS BIGINT) AS n_k, CAST(SUM(k) AS BIGINT) AS sum_k, " +
        froundSql("CAST(SUM(k) AS DOUBLE) / COUNT(k)", 4) + " AS avg_k FROM " +

@@ -63,6 +63,32 @@ object Streams {
       .select("user_id", "event_type", "event_id", "ts")
   }
 
+  /** Custom streaming state via flatMapGroupsWithState: a per-user
+    * running event counter whose state survives across micro-batches
+    * (the KeyValueGroupedDataset stateful-processing surface). Emits
+    * the user's cumulative count once per micro-batch it appears in;
+    * after all batches, the latest emission per user equals the batch
+    * groupBy count — which is what [[statefulCountsBatch]] declares and
+    * the stream test asserts across multiple batches. */
+  def statefulCountsStream(ev: DataFrame): DataFrame = {
+    import ev.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    ev.select(col("user_id").as[Long], col("event_id").as[Long])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long)], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          Iterator((uid, n))
+      }
+      .toDF("user_id", "n_events")
+  }
+
+  /** Batch declaration of the stateful counter's final state. */
+  def statefulCountsBatch(ev: DataFrame): DataFrame =
+    ev.groupBy("user_id").agg(big(count(lit(1))).as("n_events"))
+
   /** Watermark semantics, batch-modelled: drop events arriving (by
     * event_id as arrival order) more than 1h behind the running max ts.
     * Not batch-SQL-reproducible in the oracle (watermarking is a
@@ -83,6 +109,8 @@ object Streams {
       sessionsBatch(events(s, dir)).orderBy("user_id", "session_start")),
     "stream_dedup" -> ((s, dir) =>
       dedupBatch(events(s, dir)).orderBy("user_id", "event_type")),
+    "stream_stateful_count" -> ((s, dir) =>
+      statefulCountsBatch(events(s, dir)).orderBy("user_id")),
     "stream_watermark_late" -> ((s, dir) =>
       watermarkLateBatch(events(s, dir)).orderBy("event_id"))
   )
@@ -109,6 +137,9 @@ object Streams {
        "SELECT user_id, MIN(ts) AS session_start, CAST(COUNT(*) AS BIGINT) AS n_events, " +
        "epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us " +
        "FROM ids GROUP BY user_id, session_id ORDER BY user_id, session_start"),
+    "stream_stateful_count" ->
+      ("SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events FROM events " +
+       "GROUP BY user_id ORDER BY user_id"),
     "stream_dedup" ->
       ("SELECT user_id, event_type, event_id, ts FROM " +
        "(SELECT user_id, event_type, event_id, ts, " +

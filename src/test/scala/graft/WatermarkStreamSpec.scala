@@ -50,6 +50,30 @@ class WatermarkStreamSpec extends SparkSpec {
       s"late straggler leaked into the closed window: $rows")
   }
 
+  test("flatMapGroupsWithState counter carries state across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val counted = graft.streaming.Streams.statefulCountsStream(
+      mem.toDF().toDF("user_id", "event_id"))
+    val q = counted.writeStream.format("memory").queryName("state_cnt")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+
+    mem.addData((1L, 10L), (1L, 11L), (2L, 20L)) // batch 1: u1=2, u2=1
+    q.processAllAvailable()
+    mem.addData((1L, 12L), (2L, 21L), (2L, 22L)) // batch 2: u1=3, u2=3
+    q.processAllAvailable()
+    q.stop()
+
+    // the counter's LATEST emission per user must be the cross-batch
+    // cumulative total — state survived the batch boundary
+    val latest = spark.table("state_cnt")
+      .groupBy("user_id").agg(max("n_events").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(latest == Map(1L -> 3L, 2L -> 3L), latest.toString)
+    // and both batches emitted (append mode → one row per user per batch)
+    assert(spark.table("state_cnt").count() == 4L)
+  }
+
   test("dropDuplicates within watermark dedups in-window, forgets out-of-window") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long)]
