@@ -34,12 +34,12 @@ object Dedup {
       .otherwise(array(concat_ws(" ", toks))))
   }
 
-  /** MinHash signature: array of NumPerms minima of seeded 64-bit hashes
-    * over the shingle set. Row-local, codegen'd, no shuffle. */
+  /** MinHash signature: NumPerms minima over the shingle set — base
+    * shingle hashes stay a codegen'd xxhash64 transform, the per-perm
+    * minima run in the native single-pass kernel
+    * ([[graft.functions.MinHashSig]]). Row-local, no shuffle. */
   def minhashSignature(shingleCol: Column): Column =
-    array((0 until NumPerms).map { p =>
-      array_min(transform(shingleCol, s => xxhash64(s, lit(p))))
-    }: _*)
+    graft.functions.MinHashSig(transform(shingleCol, s => xxhash64(s)), NumPerms)
 
   /** Candidate near-dup pairs via LSH banding over the signatures. */
   def minhashCandidates(docs: DataFrame): DataFrame = {

@@ -66,6 +66,17 @@ class ExpressionLawsSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash signature is permutation-invariant and union = elementwise min") {
+    forAllSamples(Gen.zip(hashArrays, hashArrays)) { case (a, b) =>
+      def sig(xs: Array[Long]) = functions.MinHashSigImpl
+        .signature(ArrayData.toArrayData(xs), 16).toLongArray()
+      assert(sig(a).sameElements(sig(a.reverse)))
+      val u = sig(a ++ b)
+      val m = sig(a).zip(sig(b)).map { case (x, y) => math.min(x, y) }
+      assert(u.sameElements(m), "sig(A∪B) must be elementwise min of sigs")
+    }
+  }
+
   test("LSH bucket arrays have the requested table count, bits bounded") {
     forAllSamples(vectors) { v =>
       val bs = functions.HyperplaneLshImpl
