@@ -123,6 +123,34 @@ object Dedup {
           big(count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("fp"))))
         .orderBy("doc_id")),
 
+    // Embedding-cosine near-dup: candidate pairs from multi-table LSH
+    // buckets (shuffle ~L·n/2^bits, never all-pairs), exact cosine ≥ τ
+    // on candidates only. Approximate in the candidate set, exact in
+    // every reported score — no oracle (bucket membership is
+    // hash-specific); property tests plant near-copies and assert
+    // recall, mirroring sim_ann_lsh.
+    "dedup_embedding" -> ((s, dir) => {
+      val bucketed = embeddings(s, dir).select(
+        col("vec_id"), col("embedding"),
+        posexplode(graft.functions.HyperplaneLsh(col("embedding"), 8, 8))
+          .as(Seq("tbl", "bucket")))
+      val a = bucketed.select(col("tbl"), col("bucket"),
+        col("vec_id").as("a"), col("embedding").as("va"))
+      val b = bucketed.select(col("tbl"), col("bucket"),
+        col("vec_id").as("b"), col("embedding").as("vb"))
+      a.join(b, Seq("tbl", "bucket"))
+        .where(col("a") < col("b"))
+        .select(col("a"), col("b"),
+                graft.functions.CosineSim(col("va"), col("vb")).as("cos"))
+        // τ tuned to the synthetic corpus's similarity scale (max
+        // pairwise cos ≈ 0.51); production near-dup dedup runs τ ≈ 0.9+,
+        // where LSH recall is far higher (see the planted-copy test)
+        .where(col("cos") >= 0.35)
+        .groupBy("a", "b") // a pair can collide in several tables
+        .agg(r4(max(col("cos"))).as("cos"))
+        .orderBy("a", "b")
+    }),
+
     // N-gram Jaccard near-dup: exact pairwise Jaccard over word
     // 3-shingles, blocked by (lang, source) to bound the pair space.
     "dedup_ngram_jaccard" -> ((s, dir) => {

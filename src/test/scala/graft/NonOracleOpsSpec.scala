@@ -124,6 +124,36 @@ class NonOracleOpsSpec extends SparkSpec {
     assert(recalled >= 4, s"recalled only $recalled of 5 planted near-copies: $ann")
   }
 
+  test("dedup_embedding finds planted near-duplicate vectors") {
+    val emb = Tables.embeddings(spark, sf001)
+    // plant a near-copy of every 10th vector (multiplicative noise keeps
+    // cosine ≈ 0.999, well above the 0.95 threshold)
+    val planted = emb.where(col("vec_id") % 10 === 0)
+      .select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => (x * (lit(1.0) + lit(0.02) * sin(i.cast("double")))).cast("float"))
+          .as("embedding"),
+        col("label"))
+    val n = planted.count()
+    val spiked = emb.unionByName(planted)
+    // run the op's pipeline on the spiked corpus
+    val bucketed = spiked.select(col("vec_id"), col("embedding"),
+      posexplode(functions.HyperplaneLsh(col("embedding"), 8, 8)).as(Seq("tbl", "bucket")))
+    val a = bucketed.select(col("tbl"), col("bucket"), col("vec_id").as("a"), col("embedding").as("va"))
+    val b = bucketed.select(col("tbl"), col("bucket"), col("vec_id").as("b"), col("embedding").as("vb"))
+    val pairs = a.join(b, Seq("tbl", "bucket")).where(col("a") < col("b"))
+      .select(col("a"), col("b"), functions.CosineSim(col("va"), col("vb")).as("cos"))
+      .where(col("cos") >= 0.95)
+      .select("a", "b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recalled = emb.where(col("vec_id") % 10 === 0)
+      .select("vec_id").as[Long].collect()
+      .count(id => pairs.contains((id, id + 1000000L)))
+    assert(recalled >= (n * 0.8).toInt,
+      s"recalled $recalled of $n planted near-copies")
+  }
+
   test("topk_global is the prefix of the full sort") {
     val top = SparkEntry.queries("topk_global")(spark, sf001).collect()
     val full = Tables.orders(spark, sf001)
