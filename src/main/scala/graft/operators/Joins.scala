@@ -157,14 +157,22 @@ object Joins {
     }),
 
     // Interval self-join: same-user event pairs within 10 minutes.
-    // Equi-join on user_id bounds the quadratic blowup to within-user
-    // groups (salt the hot users at real scale).
+    // Bucketized like the theta join: ts2 ∈ [ts1, ts1+10min) implies
+    // bucket(ts2) ∈ {bucket(ts1), bucket(ts1)+1} for 10-minute buckets,
+    // so the right side replicates into its own and previous bucket and
+    // the join key becomes (user_id, bucket) — candidates per row are
+    // O(events in two buckets), not O(events per user). This is what
+    // keeps a dense user's month of events from exploding quadratically.
     "join_interval_overlap" -> ((s, dir) => {
-      val e1 = events(s, dir).select(col("user_id"), col("ts").as("ts1"),
-                                     col("event_id").as("id1"))
-      val e2 = events(s, dir).select(col("user_id"), col("ts").as("ts2"),
-                                     col("event_id").as("id2"))
-      e1.join(e2, Seq("user_id"))
+      val bucketUs = 600L * 1000000 // 10 minutes in µs
+      val e1 = events(s, dir)
+        .select(col("user_id"), col("ts").as("ts1"), col("event_id").as("id1"))
+        .withColumn("b", (unix_micros(col("ts1")) / bucketUs).cast("long"))
+      val e2 = events(s, dir)
+        .select(col("user_id"), col("ts").as("ts2"), col("event_id").as("id2"))
+        .withColumn("b2", (unix_micros(col("ts2")) / bucketUs).cast("long"))
+        .withColumn("b", explode(array(col("b2"), col("b2") - 1)))
+      e1.join(e2, Seq("user_id", "b"))
         .where(col("id2") =!= col("id1") &&
                col("ts2") >= col("ts1") &&
                col("ts2") < col("ts1") + expr("INTERVAL 10 MINUTES"))
