@@ -41,6 +41,15 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")
 
+  /** Scratch path for sink/roundtrip operators, scoped by input dir and
+    * JVM: two scale factors or a concurrent Bench+Verify pair never
+    * collide on the same output location (ADVICE r1). */
+  def scratch(dir: String, name: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val pid = ProcessHandle.current().pid()
+    s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_${name}_${tag}_$pid"
+  }
+
   // ---- oracle-parity helpers (SURVEY.md §2.6) ----
 
   /** Round a float aggregate for hash-stable comparison. */

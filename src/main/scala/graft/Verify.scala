@@ -26,6 +26,10 @@ object Verify {
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+        // any cache a query built (e.g. text_langid's tokenized corpus)
+        // is scoped to that query — drop it so a long session running
+        // all queries doesn't accumulate executor storage (ADVICE r1)
+        spark.sharedState.cacheManager.clearCache()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

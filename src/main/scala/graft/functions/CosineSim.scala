@@ -10,13 +10,23 @@ import org.apache.spark.sql.types._
 
 /** Imperative cosine kernel. Sums are sequential in index order — the
   * same association as the higher-order `aggregate` formulation and as
-  * DuckDB's list kernel, so results are bit-identical to the oracle. */
+  * DuckDB's list kernel, so results are bit-identical to the oracle.
+  * Mismatched dimensions or null slots throw (ADVICE r1): DuckDB's
+  * LIST_COSINE_SIMILARITY errors on dim mismatch, and a null slot read
+  * as 0 would be a silently wrong score. Parquet declares embedding
+  * elements nullable even though no fixture row contains one, so the
+  * guard lives here, not in the type check. */
 object CosineSimImpl {
   def cosine(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"graft_cosine: dimension mismatch ($n vs ${b.numElements()})")
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(s"graft_cosine: null element at index $i")
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       dot += x * y; na += x * x; nb += y * y

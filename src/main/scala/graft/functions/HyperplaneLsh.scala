@@ -25,6 +25,12 @@ object HyperplaneLshImpl {
     * table t is global plane index t*bits+p. O(nTables·bits·dim). */
   def buckets(v: ArrayData, nTables: Int, bits: Int): ArrayData = {
     val dim = v.numElements()
+    var k = 0
+    while (k < dim) {
+      if (v.isNullAt(k))
+        throw new IllegalArgumentException(s"graft_hyperplane_lsh: null element at index $k")
+      k += 1
+    }
     val out = new Array[Long](nTables)
     var t = 0
     while (t < nTables) {

@@ -24,6 +24,8 @@ object MinHashSigImpl {
     val sig = Array.fill(nPerms)(Long.MaxValue)
     var i = 0
     while (i < n) {
+      if (hashes.isNullAt(i))
+        throw new IllegalArgumentException(s"graft_minhash_sig: null element at index $i")
       val h = hashes.getLong(i)
       var p = 0
       while (p < nPerms) {

@@ -73,11 +73,12 @@ object ScalarFns {
           array_contains(col("lns"), 1).as("has1"),
           col("lns").getItem(0).as("first_ln"),
           big(aggregate(col("lns"), lit(0L), (acc, x) => acc + x.cast("long"))).as("ln_sum"),
-          transform(col("lns"), x => x * 2).as("doubled"))
+          array_join(transform(col("lns"), x => (x * 2).cast("string")), ",").as("doubled"))
         .orderBy("l_orderkey")),
 
-    // Map construction + lookup. No oracle: parquet MAP layout/ordering
-    // is engine-specific; covered by a unit test instead.
+    // Map construction + lookup. The projected output is all scalar
+    // (lookup result + cardinality), so it IS oracle-checkable even
+    // though the intermediate MAP layout is engine-specific.
     "fn_map" -> ((s, dir) =>
       events(s, dir)
         .groupBy("user_id", "event_type").agg(big(count(lit(1))).as("n"))
@@ -122,8 +123,13 @@ object ScalarFns {
       ("SELECT l_orderkey, CAST(LEN(lns) AS BIGINT) AS n, " +
        "LIST_CONTAINS(lns, 1) AS has1, lns[1] AS first_ln, " +
        "CAST(LIST_SUM(lns) AS BIGINT) AS ln_sum, " +
-       "LIST_TRANSFORM(lns, x -> x * 2) AS doubled FROM " +
+       "ARRAY_TO_STRING(LIST_TRANSFORM(lns, x -> CAST(x * 2 AS VARCHAR)), ',') AS doubled FROM " +
        "(SELECT l_orderkey, LIST(l_linenumber ORDER BY l_linenumber) AS lns " +
-       "FROM lineitem GROUP BY l_orderkey) ORDER BY l_orderkey")
+       "FROM lineitem GROUP BY l_orderkey) ORDER BY l_orderkey"),
+    "fn_map" ->
+      ("WITH tc AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n " +
+       "FROM events GROUP BY user_id, event_type) " +
+       "SELECT user_id, MAX(CASE WHEN event_type = 'click' THEN n END) AS clicks, " +
+       "CAST(COUNT(*) AS BIGINT) AS n_types FROM tc GROUP BY user_id ORDER BY user_id")
   )
 }

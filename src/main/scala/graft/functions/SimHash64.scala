@@ -18,6 +18,8 @@ object SimHashImpl {
     val votes = new Array[Int](64)
     var i = 0
     while (i < n) {
+      if (hashes.isNullAt(i))
+        throw new IllegalArgumentException(s"graft_simhash64: null element at index $i")
       val h = hashes.getLong(i)
       var b = 0
       while (b < 64) {

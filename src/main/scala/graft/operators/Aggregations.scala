@@ -127,10 +127,13 @@ object Aggregations {
         .orderBy("o_orderstatus")),
 
     // Ordered list aggregation (deterministic: sorted, unique elements).
+    // Projected as a joined string: the driver's row-sorter can't order
+    // array cells, and the string is bit-comparable across engines.
     "agg_collect_sorted" -> ((s, dir) =>
       lineitem(s, dir)
         .groupBy("l_orderkey")
-        .agg(sort_array(collect_list(col("l_linenumber"))).as("linenumbers"))
+        .agg(array_join(transform(sort_array(collect_list(col("l_linenumber"))),
+                                  _.cast("string")), ",").as("linenumbers"))
         .orderBy("l_orderkey"))
   )
 
@@ -185,7 +188,7 @@ object Aggregations {
        "ROUND(PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p90 " +
        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     "agg_collect_sorted" ->
-      ("SELECT l_orderkey, list(l_linenumber ORDER BY l_linenumber) AS linenumbers " +
+      ("SELECT l_orderkey, STRING_AGG(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber) AS linenumbers " +
        "FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey")
   )
 }

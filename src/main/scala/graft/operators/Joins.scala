@@ -132,25 +132,35 @@ object Joins {
     // table catalog. PlanAuditSpec asserts the exchange-free plan.
     "join_bucketed_colocated" -> ((s, dir) => {
       val nb = 8
-      // always (re)written: the bucket layout must come from THIS sfDir.
-      // A fresh metastore can meet a leftover warehouse dir from an
-      // earlier JVM → drop the catalog entry AND the orphan location.
-      Seq("graft_orders_b", "graft_customer_b").foreach { t =>
-        s.sql(s"DROP TABLE IF EXISTS $t")
-        val p = new org.apache.hadoop.fs.Path(
-          s.conf.get("spark.sql.warehouse.dir") + "/" + t)
-        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-      }
-      orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice")
-        .write.mode("overwrite")
-        .bucketBy(nb, "o_custkey").sortBy("o_custkey")
-        .saveAsTable("graft_orders_b")
-      customer(s, dir).select("c_custkey", "c_mktsegment")
-        .write.mode("overwrite")
-        .bucketBy(nb, "c_custkey").sortBy("c_custkey")
-        .saveAsTable("graft_customer_b")
-      s.table("graft_orders_b")
-        .join(s.table("graft_customer_b"), col("o_custkey") === col("c_custkey"))
+      // Table names are scoped by the input dir (ADVICE r1): a bucketed
+      // table that exists in the catalog under this name was, by
+      // construction, built from THIS sfDir — reuse it instead of
+      // re-deleting/re-writing (which raced with concurrent queries and
+      // touched paths derived from mutable session conf). Only a missing
+      // catalog entry triggers a build, and then the only delete is of
+      // the orphaned location left by a previous JVM's metastore loss.
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val ordersT = s"graft_orders_b_$tag"
+      val custT   = s"graft_customer_b_$tag"
+      def build(t: String, write: => Unit): Unit =
+        if (!s.catalog.tableExists(t)) {
+          val p = new org.apache.hadoop.fs.Path(
+            s.conf.get("spark.sql.warehouse.dir") + "/" + t)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+          write
+        }
+      build(ordersT,
+        orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice")
+          .write.mode("overwrite")
+          .bucketBy(nb, "o_custkey").sortBy("o_custkey")
+          .saveAsTable(ordersT))
+      build(custT,
+        customer(s, dir).select("c_custkey", "c_mktsegment")
+          .write.mode("overwrite")
+          .bucketBy(nb, "c_custkey").sortBy("c_custkey")
+          .saveAsTable(custT))
+      s.table(ordersT)
+        .join(s.table(custT), col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(big(count(lit(1))).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
         .orderBy("c_mktsegment")

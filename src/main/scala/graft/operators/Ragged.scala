@@ -72,7 +72,8 @@ object Ragged {
         .agg(big(count(lit(1))).as("n_members"),
              min(col("c_custkey")).as("min_key"),
              max(col("c_custkey")).as("max_key"),
-             slice(sort_array(collect_list(col("c_custkey"))), 1, 5).as("sample5"))
+             array_join(transform(slice(sort_array(collect_list(col("c_custkey"))), 1, 5),
+                                  _.cast("string")), ",").as("sample5"))
         .orderBy("c_nationkey"))
   )
 
@@ -94,7 +95,7 @@ object Ragged {
     "categ_index" ->
       ("SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_members, " +
        "MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key, " +
-       "(LIST(c_custkey ORDER BY c_custkey))[1:5] AS sample5 " +
+       "ARRAY_TO_STRING(LIST_TRANSFORM((LIST(c_custkey ORDER BY c_custkey))[1:5], x -> CAST(x AS VARCHAR)), ',') AS sample5 " +
        "FROM customer GROUP BY c_nationkey ORDER BY c_nationkey")
   )
 }

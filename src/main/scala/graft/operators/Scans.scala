@@ -34,7 +34,7 @@ object Scans {
     // i3cols R5 analog: write columns out, read them back, aggregate.
     // The roundtrip must preserve values exactly (columnar fidelity).
     "sink_roundtrip" -> ((s, dir) => {
-      val out = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_roundtrip"
+      val out = scratch(dir, "roundtrip")
       lineitem(s, dir)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
         .write.mode("overwrite").parquet(out)
@@ -61,7 +61,7 @@ object Scans {
     // CSV sink + schema-on-read source roundtrip (row-ish interchange
     // format; shortest-repr double formatting survives the roundtrip).
     "sink_csv_roundtrip" -> ((s, dir) => {
-      val out = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_csv_roundtrip"
+      val out = scratch(dir, "csv_roundtrip")
       lineitem(s, dir)
         .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
         .write.mode("overwrite").option("header", "true").csv(out)
@@ -76,7 +76,7 @@ object Scans {
     // ORC sink/source roundtrip — the second columnar format (same lazy,
     // pruned, predicate-pushed scan machinery as parquet).
     "sink_orc_roundtrip" -> ((s, dir) => {
-      val out = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_orc_roundtrip"
+      val out = scratch(dir, "orc_roundtrip")
       orders(s, dir)
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
         .write.mode("overwrite").orc(out)
@@ -103,7 +103,7 @@ object Scans {
     // i3cols R6/R7 analog: category-index build = partitionBy on write;
     // index application = partition-pruned read of one category dir.
     "scan_partitioned_write" -> ((s, dir) => {
-      val out = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_partitioned"
+      val out = scratch(dir, "partitioned")
       lineitem(s, dir)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
         .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
