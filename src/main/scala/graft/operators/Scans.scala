@@ -106,6 +106,11 @@ object Scans {
       val out = scratch(dir, "partitioned")
       lineitem(s, dir)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        // co-locate each partition value before the write: 1 file per
+        // category dir instead of (tasks × categories) small files —
+        // at 100 TB the small-file explosion is the classic
+        // partitionBy failure mode
+        .repartition(col("l_returnflag"))
         .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
       s.read.parquet(out)
         .where(col("l_returnflag") === "R") // partition-pruned: reads one dir

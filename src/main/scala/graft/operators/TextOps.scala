@@ -26,15 +26,21 @@ object TextOps {
         .orderBy("lang", "rn")
     }),
 
-    // TF-IDF with idf = ln(N/df); top-5 terms per doc.
+    // TF-IDF with idf = ln(N/df); top-5 terms per doc. df comes from a
+    // window count over the tf rows (one partition per term) instead of
+    // a groupBy + join back — that formulation recomputed the corpus
+    // explode twice and shuffled tf a second time for the term join;
+    // this one explodes once and touches each tf row in exactly three
+    // key-partitioned passes (doc term-count, term df, doc top-k).
     "text_tfidf" -> ((s, dir) => {
       val docs = documents(s, dir)
       val tf = docs
         .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
         .groupBy("doc_id", "term").agg(big(count(lit(1))).as("tf"))
-      val df_ = tf.groupBy("term").agg(big(count(lit(1))).as("df"))
       val n = docs.agg(big(count(lit(1))).as("n_docs"))
-      val scored = tf.join(df_, Seq("term")).crossJoin(broadcast(n))
+      val scored = tf
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+        .crossJoin(broadcast(n))
         .withColumn("score",
           round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
       val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
