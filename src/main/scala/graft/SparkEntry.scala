@@ -18,6 +18,7 @@ object SparkEntry {
     operators.Scans.queries ++
     operators.Projections.queries ++
     operators.Joins.queries ++
+    operators.Relational.queries ++
     operators.Aggregations.queries ++
     operators.Windows.queries ++
     operators.SortSetOps.queries ++
@@ -36,6 +37,7 @@ object SparkEntry {
     operators.Scans.oracle ++
     operators.Projections.oracle ++
     operators.Joins.oracle ++
+    operators.Relational.oracle ++
     operators.Aggregations.oracle ++
     operators.Windows.oracle ++
     operators.SortSetOps.oracle ++

@@ -1,0 +1,232 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Extended relational surface: pivot/unpivot reshaping, correlated
+  * subqueries, lateral joins, ordered string aggregation, deterministic
+  * mode, FILTER-clause conditional aggregation, hash-deterministic
+  * sampling, and a recursive CTE. These are the SQL-facing operators a
+  * user of a full analytics engine expects beyond the core
+  * scan/join/agg set (SURVEY.md §2.2 north star). Every query is
+  * expressed so Catalyst keeps the scalable plan: correlated
+  * subqueries decorrelate into aggregate joins, the lateral top-k
+  * becomes a ranked window, pivot is a single hash aggregate over
+  * conditional projections.
+  */
+object Relational {
+
+  private val Segments =
+    Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+  val queries: Map[String, Q] = Map(
+    // Wide reshape: one row per nation, one column per market segment.
+    // With the value list given explicitly, pivot compiles to ONE
+    // hash aggregate of conditional sums — no per-value scan, no
+    // driver-side distinct-value collection (which at 100 TB would be
+    // a full extra pass before planning even starts).
+    "pivot_wide" -> ((s, dir) =>
+      customer(s, dir)
+        .join(broadcast(nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .pivot("c_mktsegment", Segments)
+        .agg(dsum(col("c_acctbal")))
+        .orderBy("n_name")),
+
+    // Long reshape (inverse): melt three measure columns into
+    // (measure, value) rows — Expand multiplies rows 3× map-side, the
+    // aggregate collapses immediately; nothing wide ever shuffles.
+    "unpivot_long" -> ((s, dir) =>
+      lineitem(s, dir)
+        .unpivot(Array(col("l_orderkey")),
+                 Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+                 "measure", "value")
+        .groupBy("measure")
+        .agg(big(count(lit(1))).as("n"), dsum6(col("value")).as("total"))
+        .orderBy("measure")),
+
+    // Scalar subqueries: an uncorrelated one in the predicate (exact
+    // MAX — no float-boundary ambiguity between engines) and a
+    // correlated one in the projection. Catalyst decorrelates the
+    // projection subquery into a left outer aggregate join keyed on
+    // l_orderkey — a per-row point lookup would be the non-scalable
+    // reading.
+    "subq_scalar" -> ((s, dir) => {
+      orders(s, dir).createOrReplaceTempView("graft_sq_orders")
+      lineitem(s, dir).createOrReplaceTempView("graft_sq_lineitem")
+      s.sql(
+        """SELECT o_orderkey, ROUND(o_totalprice, 2) AS total,
+          |  (SELECT CAST(COUNT(*) AS BIGINT) FROM graft_sq_lineitem
+          |   WHERE l_orderkey = o_orderkey) AS n_items
+          |FROM graft_sq_orders
+          |WHERE o_totalprice > (SELECT MAX(o_totalprice) FROM graft_sq_orders) * 0.7
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
+
+    // Correlated EXISTS + uncorrelated IN — both rewrite to semi joins
+    // (no row multiplication, no distinct pass).
+    "subq_exists_in" -> ((s, dir) => {
+      customer(s, dir).createOrReplaceTempView("graft_sq_customer")
+      orders(s, dir).createOrReplaceTempView("graft_sq_orders2")
+      s.sql(
+        """SELECT c_custkey, c_name FROM graft_sq_customer c
+          |WHERE EXISTS (SELECT 1 FROM graft_sq_orders2 o
+          |              WHERE o.o_custkey = c.c_custkey
+          |                AND o.o_orderpriority = '1-URGENT')
+          |  AND c_custkey IN (SELECT o_custkey FROM graft_sq_orders2
+          |                    WHERE o_totalprice > 100000)
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // Lateral join: per-customer top-2 orders as a correlated LATERAL
+    // subquery with ORDER BY + LIMIT. Spark plans this as one ranked
+    // window over the orders side — per-group top-k with a single
+    // shuffle, not a per-customer executed subquery.
+    "join_lateral" -> ((s, dir) => {
+      customer(s, dir).createOrReplaceTempView("graft_lat_customer")
+      orders(s, dir).createOrReplaceTempView("graft_lat_orders")
+      s.sql(
+        """SELECT c.c_custkey, t.o_orderkey, t.total
+          |FROM graft_lat_customer c,
+          |LATERAL (SELECT o_orderkey, ROUND(o_totalprice, 2) AS total
+          |         FROM graft_lat_orders
+          |         WHERE o_custkey = c.c_custkey
+          |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+          |ORDER BY c.c_custkey, t.total DESC, t.o_orderkey""".stripMargin)
+    }),
+
+    // Ordered string aggregation (LISTAGG ... WITHIN GROUP): the
+    // ANSI-standard form of "concatenate group members sorted".
+    "agg_listagg" -> ((s, dir) => {
+      orders(s, dir).createOrReplaceTempView("graft_la_orders")
+      s.sql(
+        """SELECT o_orderpriority,
+          |  listagg(DISTINCT o_orderstatus, ',')
+          |    WITHIN GROUP (ORDER BY o_orderstatus) AS statuses,
+          |  CAST(COUNT(*) AS BIGINT) AS n
+          |FROM graft_la_orders
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    }),
+
+    // Deterministic mode: most frequent source per language, ties
+    // broken lexicographically. Built as count + ranked window (the
+    // built-in mode() leaves tie order engine-specific, which can
+    // never be oracle-checked).
+    "agg_mode_tiebreak" -> ((s, dir) => {
+      val counts = documents(s, dir)
+        .groupBy("lang", "source").agg(big(count(lit(1))).as("n_docs"))
+      val w = Window.partitionBy("lang").orderBy(col("n_docs").desc, col("source"))
+      counts.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select("lang", "source", "n_docs")
+        .orderBy("lang")
+    }),
+
+    // Conditional aggregation with the ANSI FILTER clause + boolean
+    // aggregates — one pass, one hash aggregate, no self-joins.
+    "agg_conditional" -> ((s, dir) => {
+      lineitem(s, dir).createOrReplaceTempView("graft_cond_lineitem")
+      s.sql(
+        """SELECT l_returnflag,
+          |  CAST(COUNT(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS n_disc,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+          |       FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_f,
+          |  BOOL_OR(l_quantity > 49) AS any_big,
+          |  BOOL_AND(l_extendedprice > 0) AS all_pos,
+          |  CAST(COUNT(*) AS BIGINT) AS n
+          |FROM graft_cond_lineitem
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    }),
+
+    // Deterministic sampling: hash/modulo on a stable key — unlike
+    // TABLESAMPLE (seeded per split, unreproducible across engines and
+    // re-partitions), a key-modulo sample is exactly repeatable, joins
+    // consistently across tables sharing the key, and pushes to the
+    // scan as an ordinary predicate.
+    "sample_hash" -> ((s, dir) =>
+      lineitem(s, dir)
+        .where(pmod(col("l_orderkey"), lit(20)) === 0)
+        .groupBy("l_returnflag")
+        .agg(big(count(lit(1))).as("n"), dsum(col("l_extendedprice")).as("total"))
+        .orderBy("l_returnflag")),
+
+    // Recursive CTE: a 12-row month spine generated by iteration, LEFT
+    // JOINed to order counts — the relational fixed-point surface
+    // (org charts, BOM explosions, graph reachability at bounded depth).
+    "cte_recursive" -> ((s, dir) => {
+      orders(s, dir).createOrReplaceTempView("graft_rc_orders")
+      s.sql(
+        """WITH RECURSIVE m(mo) AS (
+          |  SELECT 1
+          |  UNION ALL
+          |  SELECT mo + 1 FROM m WHERE mo < 12
+          |)
+          |SELECT mo, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+          |FROM m LEFT JOIN graft_rc_orders
+          |  ON EXTRACT(MONTH FROM o_orderdate) = mo
+          |GROUP BY mo ORDER BY mo""".stripMargin)
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "pivot_wide" ->
+      ("SELECT n_name, " +
+       Segments.map(seg =>
+         s"""CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) FILTER (WHERE c_mktsegment = '$seg') AS DOUBLE) AS "$seg"""")
+         .mkString(", ") +
+       " FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+       "GROUP BY n_name ORDER BY n_name"),
+    "unpivot_long" ->
+      ("SELECT measure, n, total FROM (" +
+       s"SELECT 'l_quantity' AS measure, CAST(COUNT(*) AS BIGINT) AS n, ${dsum6Sql("l_quantity")} AS total FROM lineitem " +
+       "UNION ALL " +
+       s"SELECT 'l_extendedprice', CAST(COUNT(*) AS BIGINT), ${dsum6Sql("l_extendedprice")} FROM lineitem " +
+       "UNION ALL " +
+       s"SELECT 'l_discount', CAST(COUNT(*) AS BIGINT), ${dsum6Sql("l_discount")} FROM lineitem" +
+       ") ORDER BY measure"),
+    "subq_scalar" ->
+      ("SELECT o_orderkey, ROUND(o_totalprice, 2) AS total, " +
+       "(SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem WHERE l_orderkey = o_orderkey) AS n_items " +
+       "FROM orders WHERE o_totalprice > (SELECT MAX(o_totalprice) FROM orders) * 0.7 " +
+       "ORDER BY o_orderkey"),
+    "subq_exists_in" ->
+      ("SELECT c_custkey, c_name FROM customer c " +
+       "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey " +
+       "AND o.o_orderpriority = '1-URGENT') " +
+       "AND c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000) " +
+       "ORDER BY c_custkey"),
+    "join_lateral" ->
+      ("SELECT c.c_custkey, t.o_orderkey, t.total FROM customer c, " +
+       "LATERAL (SELECT o_orderkey, ROUND(o_totalprice, 2) AS total FROM orders " +
+       "WHERE o_custkey = c.c_custkey ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t " +
+       "ORDER BY c.c_custkey, t.total DESC, t.o_orderkey"),
+    "agg_listagg" ->
+      ("SELECT o_orderpriority, " +
+       "STRING_AGG(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses, " +
+       "CAST(COUNT(*) AS BIGINT) AS n " +
+       "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "agg_mode_tiebreak" ->
+      ("SELECT lang, source, n_docs FROM (" +
+       "SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+       "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, source) AS rn " +
+       "FROM documents GROUP BY lang, source) WHERE rn = 1 ORDER BY lang"),
+    "agg_conditional" ->
+      ("SELECT l_returnflag, " +
+       "CAST(COUNT(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS n_disc, " +
+       "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_f, " +
+       "BOOL_OR(l_quantity > 49) AS any_big, " +
+       "BOOL_AND(l_extendedprice > 0) AS all_pos, " +
+       "CAST(COUNT(*) AS BIGINT) AS n " +
+       "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "sample_hash" ->
+      ("SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, " +
+       s"${dsumSql("l_extendedprice")} AS total " +
+       "FROM lineitem WHERE l_orderkey % 20 = 0 " +
+       "GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "cte_recursive" ->
+      ("WITH RECURSIVE m(mo) AS (SELECT 1 UNION ALL SELECT mo + 1 FROM m WHERE mo < 12) " +
+       "SELECT mo, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders " +
+       "FROM m LEFT JOIN orders ON EXTRACT(MONTH FROM o_orderdate) = mo " +
+       "GROUP BY mo ORDER BY mo")
+  )
+}
