@@ -76,6 +76,34 @@ object ScalarFns {
           array_join(transform(col("lns"), x => (x * 2).cast("string")), ",").as("doubled"))
         .orderBy("l_orderkey")),
 
+    // Regex bundle: global replace, match-run extraction/counting,
+    // boolean match, anchored extract. Patterns are plain character
+    // classes + literal alternations, where Java's regex and DuckDB's
+    // RE2 agree exactly (lookaround/backrefs would not).
+    "fn_regex" -> ((s, dir) =>
+      part(s, dir)
+        .select(
+          col("p_partkey"),
+          regexp_replace(col("p_name"), "[aeiou]", "").as("novowel"),
+          big(size(regexp_extract_all(col("p_name"), lit("[a-z]+"), lit(0)))).as("n_runs"),
+          col("p_name").rlike("red|blue").as("has_color"),
+          regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"))
+        .orderBy("p_partkey")),
+
+    // Struct surface: build, lexicographic aggregate (argmax/argmin as
+    // MAX/MIN over a struct — one aggregate pass, no window, no join),
+    // and field projection.
+    "fn_struct" -> ((s, dir) =>
+      orders(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(
+          max(struct(r2(col("o_totalprice")).as("t"), col("o_orderkey").as("k"))).as("best"),
+          min(struct(col("o_orderdate").as("d"), col("o_orderkey").as("k"))).as("first"))
+        .select(col("o_orderstatus"),
+                col("best.t").as("best_total"), col("best.k").as("best_key"),
+                col("first.d").as("first_date"), col("first.k").as("first_key"))
+        .orderBy("o_orderstatus")),
+
     // Map construction + lookup. The projected output is all scalar
     // (lookup result + cardinality), so it IS oracle-checkable even
     // though the intermediate MAP layout is engine-specific.
@@ -126,6 +154,20 @@ object ScalarFns {
        "ARRAY_TO_STRING(LIST_TRANSFORM(lns, x -> CAST(x * 2 AS VARCHAR)), ',') AS doubled FROM " +
        "(SELECT l_orderkey, LIST(l_linenumber ORDER BY l_linenumber) AS lns " +
        "FROM lineitem GROUP BY l_orderkey) ORDER BY l_orderkey"),
+    "fn_regex" ->
+      ("SELECT p_partkey, REGEXP_REPLACE(p_name, '[aeiou]', '', 'g') AS novowel, " +
+       "CAST(LEN(REGEXP_EXTRACT_ALL(p_name, '[a-z]+')) AS BIGINT) AS n_runs, " +
+       "REGEXP_MATCHES(p_name, 'red|blue') AS has_color, " +
+       "REGEXP_EXTRACT(p_name, '([a-z]+)$', 1) AS last_word " +
+       "FROM part ORDER BY p_partkey"),
+    "fn_struct" ->
+      ("WITH x AS (SELECT o_orderstatus, ROUND(o_totalprice, 2) AS t2, o_orderkey, o_orderdate FROM orders), " +
+       "b AS (SELECT o_orderstatus, t2 AS best_total, o_orderkey AS best_key, " +
+       "ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY t2 DESC, o_orderkey DESC) AS rn FROM x), " +
+       "f AS (SELECT o_orderstatus, o_orderdate AS first_date, o_orderkey AS first_key, " +
+       "ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY o_orderdate, o_orderkey) AS rn FROM x) " +
+       "SELECT b.o_orderstatus, b.best_total, b.best_key, f.first_date, f.first_key " +
+       "FROM b JOIN f USING (o_orderstatus) WHERE b.rn = 1 AND f.rn = 1 ORDER BY o_orderstatus"),
     "fn_map" ->
       ("WITH tc AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n " +
        "FROM events GROUP BY user_id, event_type) " +

@@ -62,6 +62,40 @@ object Windows {
         .select(col("c_custkey"), col("c_nationkey"),
                 big(ntile(4).over(w)).as("quartile"))
         .orderBy("c_nationkey", "quartile", "c_custkey")
+    }),
+
+    // Distribution analytics (percent_rank / cume_dist) plus
+    // first/last over an explicit full-partition frame. Both engines
+    // compute pr = (rank-1)/(n-1) and cd = peers≤/n with the same IEEE
+    // division, so fround gives bit-identical output.
+    "win_percent_rank" -> ((s, dir) => {
+      val wo = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal").desc)
+      val wf = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal").desc, col("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"),
+                fround(percent_rank().over(wo), 6).as("pr"),
+                fround(cume_dist().over(wo), 6).as("cd"),
+                r2(first(col("c_acctbal")).over(wf)).as("top_bal"),
+                r2(last(col("c_acctbal")).over(wf)).as("bot_bal"))
+        .orderBy("c_nationkey", "c_custkey")
+    }),
+
+    // Time-based RANGE frame: per-user trailing 1-hour event count and
+    // sum, ordered by exact integer microseconds (a float time axis
+    // would make frame membership engine-dependent). This is the
+    // sessionless sliding aggregate a feature-engineering pipeline
+    // computes per interaction; one shuffle on user_id.
+    "win_time_range" -> ((s, dir) => {
+      val hourUs = 3600L * 1000000
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+        .rangeBetween(-hourUs, 0)
+      events(s, dir)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .select(col("event_id"), col("user_id"),
+                big(count(lit(1)).over(w)).as("n_1h"),
+                r4(sum(col("value")).over(w)).as("sum_1h"))
+        .orderBy("event_id")
     })
   )
 
@@ -89,6 +123,23 @@ object Windows {
     "win_ntile" ->
       ("SELECT c_custkey, c_nationkey, " +
        "CAST(NTILE(4) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS quartile " +
-       "FROM customer ORDER BY c_nationkey, quartile, c_custkey")
+       "FROM customer ORDER BY c_nationkey, quartile, c_custkey"),
+    "win_percent_rank" ->
+      ("SELECT c_custkey, c_nationkey, " +
+       froundSql("PERCENT_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC)", 6) + " AS pr, " +
+       froundSql("CUME_DIST() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC)", 6) + " AS cd, " +
+       "ROUND(FIRST_VALUE(c_acctbal) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS top_bal, " +
+       "ROUND(LAST_VALUE(c_acctbal) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS bot_bal " +
+       "FROM customer ORDER BY c_nationkey, c_custkey"),
+    "win_time_range" ->
+      ("SELECT event_id, user_id, " +
+       "CAST(COUNT(*) OVER w AS BIGINT) AS n_1h, " +
+       "ROUND(SUM(value) OVER w, 4) AS sum_1h " +
+       "FROM events " +
+       "WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) " +
+       "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) " +
+       "ORDER BY event_id")
   )
 }
