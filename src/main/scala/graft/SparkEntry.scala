@@ -25,6 +25,7 @@ object SparkEntry {
     operators.Ragged.queries ++
     operators.Dedup.queries ++
     operators.Similarity.queries ++
+    operators.Vectors.queries ++
     operators.TextOps.queries ++
     operators.Multimodal.queries ++
     functions.ScalarFns.queries ++
@@ -44,6 +45,7 @@ object SparkEntry {
     operators.Ragged.oracle ++
     operators.Dedup.oracle ++
     operators.Similarity.oracle ++
+    operators.Vectors.oracle ++
     operators.TextOps.oracle ++
     operators.Multimodal.oracle ++
     functions.ScalarFns.oracle ++

@@ -102,7 +102,30 @@ object Multimodal {
     // oracle: the stub's output is engine-internal; unit tests pin it.
     "multimodal_decode" -> ((s, dir) =>
       decodeFeatures(s, withPayload(documents(s, dir)))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Frame sampling over "video" payloads: fixed 240-byte stride
+    // frames, first-5 sampled offsets, and an md5 of frame 0 — the
+    // Spark-side shape of a video pipeline (frame count from container
+    // metadata, offset plan, per-frame digest/decode) with the codec
+    // stubbed by byte arithmetic. Row-local; the only shuffle is the
+    // final ORDER BY.
+    "multimodal_framesample" -> ((s, dir) => {
+      val stride = 240
+      withPayload(documents(s, dir))
+        .where(col("meta.media_type") === "video")
+        .withColumn("n_frames",
+          (floor((length(col("payload")) - 1) / stride) + 1).cast("long"))
+        .select(
+          col("doc_id"),
+          big(length(col("payload"))).as("n_bytes"),
+          col("n_frames"),
+          array_join(
+            transform(sequence(lit(0L), least(col("n_frames") - 1, lit(4L))),
+                      i => (i * stride).cast("string")), ",").as("sample_offsets"),
+          md5(substring(col("payload"), 1, stride)).as("frame0_md5"))
+        .orderBy("doc_id")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -118,6 +141,15 @@ object Multimodal {
        froundSql("CAST(SUM(n_chars) AS DOUBLE) / COUNT(*)", 4) + " AS avg_chars, " +
        "ROUND(AVG(SQRT(LIST_DOT_PRODUCT(embedding, embedding))), 4) AS avg_norm " +
        "FROM documents JOIN embeddings ON doc_id = vec_id " +
-       "GROUP BY label ORDER BY label")
+       "GROUP BY label ORDER BY label"),
+    "multimodal_framesample" ->
+      ("WITH v AS (SELECT doc_id, text, CAST(LENGTH(text) AS BIGINT) AS n_bytes, " +
+       "CAST(FLOOR((LENGTH(text) - 1) / 240) + 1 AS BIGINT) AS n_frames " +
+       "FROM documents WHERE doc_id % 3 = 2) " +
+       "SELECT doc_id, n_bytes, n_frames, " +
+       "ARRAY_TO_STRING(LIST_TRANSFORM(RANGE(0, CAST(LEAST(n_frames - 1, 4) AS BIGINT) + 1), " +
+       "i -> CAST(i * 240 AS VARCHAR)), ',') AS sample_offsets, " +
+       "MD5(SUBSTRING(text, 1, 240)) AS frame0_md5 " +
+       "FROM v ORDER BY doc_id")
   )
 }

@@ -90,6 +90,25 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Word-bigram extraction, top-10 per language — n-gram statistics
+    // are the backbone of contamination checks and LM-data analysis.
+    // Bigrams are built row-locally (transform over token indices, no
+    // self-join of the exploded tokens), then one hash-agg + window.
+    "text_ngram" -> ((s, dir) => {
+      val toks = split(lower(col("text")), " ")
+      val bigrams = when(size(toks) >= 2,
+        transform(sequence(lit(0), size(toks) - 2),
+          i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
+        .otherwise(array().cast("array<string>"))
+      val counts = documents(s, dir)
+        .select(col("lang"), explode(bigrams).as("bigram"))
+        .groupBy("lang", "bigram").agg(big(count(lit(1))).as("cnt"))
+      val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("bigram"))
+      counts.withColumn("rn", big(row_number().over(w)))
+        .where(col("rn") <= 10)
+        .orderBy("lang", "rn")
+    }),
+
     // Language-ID heuristic trained on the corpus itself: each language's
     // profile = its top-30 most-frequent tokens; a doc's predicted lang =
     // argmax over profile-hit counts. Broadcast the tiny profile table.
@@ -155,6 +174,15 @@ object TextOps {
        "CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+|[0-9]+|[^a-z0-9 ]+')) AS BIGINT) AS n_bpe_tokens, " +
        froundSql("CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+|[0-9]+|[^a-z0-9 ]+')) AS DOUBLE) / LEN(STRING_SPLIT(LOWER(text), ' '))", 4) +
        " AS bpe_ratio FROM documents ORDER BY doc_id"),
+    "text_ngram" ->
+      ("WITH toks AS (SELECT lang, STRING_SPLIT(LOWER(text), ' ') AS t FROM documents), " +
+       "bg AS (SELECT lang, UNNEST(CASE WHEN LEN(t) >= 2 THEN " +
+       "LIST_TRANSFORM(RANGE(0, LEN(t) - 1), i -> t[i+1] || ' ' || t[i+2]) " +
+       "ELSE [] END) AS bigram FROM toks), " +
+       "counts AS (SELECT lang, bigram, CAST(COUNT(*) AS BIGINT) AS cnt FROM bg GROUP BY lang, bigram) " +
+       "SELECT lang, bigram, cnt, rn FROM (SELECT lang, bigram, cnt, " +
+       "CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, bigram) AS BIGINT) AS rn " +
+       "FROM counts) WHERE rn <= 10 ORDER BY lang, rn"),
     "text_langid" ->
       ("WITH tok AS (SELECT doc_id, lang, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS token FROM documents), " +
        "profiles AS (SELECT lang AS profile_lang, token FROM " +

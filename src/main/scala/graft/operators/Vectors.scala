@@ -1,0 +1,118 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector operators beyond similarity search: normalization,
+  * int8 quantization, and an IVF (inverted-file) ANN index — the
+  * vector-pipeline stages a training-data platform runs before/instead
+  * of exact search. All arithmetic is element-wise double math in
+  * deterministic index order, so every operator here is oracle-checked
+  * against DuckDB's list kernels (unusual for "vector DB" ops — the
+  * whole pipeline is exactly reproducible, not just tested for recall).
+  */
+object Vectors {
+
+  val queries: Map[String, Q] = Map(
+    // L2 normalization surface: norm, first unit component, sum of unit
+    // components. Row-local (no shuffle); the HOF pipeline evaluates
+    // per element but stays a single projection pass.
+    "vec_normalize" -> ((s, dir) => {
+      val v = Similarity.asDouble(col("embedding"))
+      embeddings(s, dir)
+        .select(col("vec_id"), v.as("v"))
+        .withColumn("l2raw", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+        .select(
+          col("vec_id"),
+          fround(col("l2raw"), 6).as("l2"),
+          fround(element_at(col("v"), 1) / col("l2raw"), 6).as("c0_unit"),
+          fround(aggregate(col("v"), lit(0.0), (a, x) => a + x) / col("l2raw"), 6)
+            .as("sum_unit"))
+        .orderBy("vec_id")
+    }),
+
+    // Symmetric int8 quantization: scale = 127/max|x|, q_i =
+    // floor(x_i*scale + .5) (fround-style — engine-agnostic, unlike
+    // round()). Emits the scale and the exact integer checksum of the
+    // quantized vector; at 100 TB this is the 4× storage/bandwidth cut
+    // before ANN, and the checksum is the parity proof that two engines
+    // would produce byte-identical quantized tensors.
+    "vec_quantize" -> ((s, dir) =>
+      embeddings(s, dir)
+        .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+        .withColumn("amax", aggregate(col("v"), lit(0.0), (a, x) => greatest(a, abs(x))))
+        .select(
+          col("vec_id"),
+          fround(lit(127.0) / col("amax"), 6).as("scale"),
+          big(aggregate(col("v"), lit(0L),
+            (a, x) => a + floor(x * lit(127.0) / col("amax") + 0.5).cast("long")))
+            .as("qsum"))
+        .orderBy("vec_id")),
+
+    // IVF ANN with deterministic coarse centroids (the nlist=8 smallest
+    // vec_ids stand in for a k-means job's output — centroid CHOICE is
+    // offline; centroid USE is what scales). Assignment = broadcast of
+    // 8 centroids against the corpus, one ranked window; probe = the
+    // query's top-2 centroid lists only, exact cosine re-rank inside
+    // them. Scanned fraction ≈ nprobe/nlist of the corpus, and unlike
+    // LSH the whole path is deterministic — this one IS oracle-checked.
+    "sim_ann_ivf" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val cent = e.where(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val assign = e.crossJoin(broadcast(cent))
+        .withColumn("sim", Similarity.cosine(col("embedding"), col("cv")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cid"))))
+        .where(col("rn") === 1)
+        .select(col("vec_id"), col("cid"))
+      val q = e.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val probes = cent.crossJoin(broadcast(q))
+        .withColumn("sim", Similarity.cosine(col("cv"), col("qv")))
+        .orderBy(col("sim").desc, col("cid")).limit(2)
+        .select("cid")
+      e.join(assign.join(broadcast(probes), Seq("cid")).select("vec_id"), Seq("vec_id"))
+        .where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+                fround(Similarity.cosine(col("embedding"), col("qv")), 4).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "vec_normalize" ->
+      ("WITH x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+       "n AS (SELECT vec_id, v, SQRT(LIST_SUM(LIST_TRANSFORM(v, e -> e * e))) AS l2raw FROM x) " +
+       "SELECT vec_id, " +
+       froundSql("l2raw", 6) + " AS l2, " +
+       froundSql("v[1] / l2raw", 6) + " AS c0_unit, " +
+       froundSql("LIST_SUM(v) / l2raw", 6) + " AS sum_unit " +
+       "FROM n ORDER BY vec_id"),
+    "vec_quantize" ->
+      ("WITH x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+       "a AS (SELECT vec_id, v, LIST_MAX(LIST_TRANSFORM(v, e -> ABS(e))) AS amax FROM x) " +
+       "SELECT vec_id, " +
+       froundSql("127.0 / amax", 6) + " AS scale, " +
+       "CAST(LIST_SUM(LIST_TRANSFORM(v, e -> CAST(FLOOR(e * 127.0 / amax + 0.5) AS BIGINT))) AS BIGINT) AS qsum " +
+       "FROM a ORDER BY vec_id"),
+    "sim_ann_ivf" ->
+      ("WITH cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv " +
+       "FROM embeddings WHERE vec_id < 8), " +
+       "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings), " +
+       "assign AS (SELECT vec_id, cid FROM (" +
+       "SELECT v.vec_id, cent.cid, ROW_NUMBER() OVER (PARTITION BY v.vec_id " +
+       "ORDER BY LIST_COSINE_SIMILARITY(v.ev, cent.cv) DESC, cent.cid) AS rn " +
+       "FROM v, cent) WHERE rn = 1), " +
+       "q AS (SELECT ev AS qv FROM v WHERE vec_id = 0), " +
+       "probes AS (SELECT cid FROM cent, q " +
+       "ORDER BY LIST_COSINE_SIMILARITY(cent.cv, q.qv) DESC, cid LIMIT 2) " +
+       "SELECT v.vec_id, " +
+       froundSql("LIST_COSINE_SIMILARITY(v.ev, q.qv)", 4) + " AS cos " +
+       "FROM v JOIN assign USING (vec_id), q " +
+       "WHERE assign.cid IN (SELECT cid FROM probes) AND v.vec_id <> 0 " +
+       "ORDER BY cos DESC, v.vec_id LIMIT 10")
+  )
+}

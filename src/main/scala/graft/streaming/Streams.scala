@@ -100,7 +100,50 @@ object Streams {
       .select("event_id", "user_id", "event_type", "ts")
   }
 
+  /** Stream-static join: the enrichment pattern — a stream joined to a
+    * slowly-changing dimension. The static side broadcasts (re-read per
+    * micro-batch in a real deployment, so dim updates flow in); the
+    * stream side never shuffles for the join. Shared by the batch query
+    * and the streaming test. */
+  def staticJoin(ev: DataFrame, cust: DataFrame): DataFrame =
+    ev.join(broadcast(cust.select(col("c_custkey"), col("c_mktsegment"))),
+            col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment", "event_type")
+      .agg(big(count(lit(1))).as("n"), r2(sum(col("value"))).as("val_sum"))
+
+  /** Stream-stream interval join, batch-declared: each purchase joined
+    * to the same user's clicks in the preceding 30 minutes (attribution
+    * join). In streaming both sides hash-partition on the user key and
+    * the range condition is exactly what lets watermarks evict state —
+    * a click older than 30min past the watermark can never match; the
+    * batch equivalent is the same equi-join + range filter. */
+  def intervalJoinPairs(ev: DataFrame, withWatermarks: Boolean): DataFrame = {
+    val clicks0 = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+    val buys0 = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("buy_uid"), col("ts").as("buy_ts"), col("event_id").as("buy_id"))
+    val clicks = if (withWatermarks) clicks0.withWatermark("click_ts", "1 hour") else clicks0
+    val buys   = if (withWatermarks) buys0.withWatermark("buy_ts", "1 hour") else buys0
+    buys.join(clicks,
+        col("buy_uid") === col("user_id") &&
+        col("click_ts") >= col("buy_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("click_ts") <= col("buy_ts"))
+      .select(col("buy_uid").as("user_id"), col("buy_id"), col("click_id"))
+  }
+
+  def intervalJoinBatch(ev: DataFrame): DataFrame =
+    intervalJoinPairs(ev, withWatermarks = false)
+      .groupBy("user_id")
+      .agg(big(count(lit(1))).as("n_pairs"),
+           big(countDistinct(col("buy_id"))).as("n_attributed"))
+
   val queries: Map[String, Q] = Map(
+    "stream_static_join" -> ((s, dir) =>
+      staticJoin(events(s, dir), customer(s, dir))
+        .orderBy("c_mktsegment", "event_type")),
+    "stream_stream_interval" -> ((s, dir) =>
+      intervalJoinBatch(events(s, dir))
+        .orderBy("user_id")),
     "stream_tumbling" -> ((s, dir) =>
       tumbling(events(s, dir)).orderBy("wstart", "event_type")),
     "stream_sliding" -> ((s, dir) =>
@@ -116,6 +159,19 @@ object Streams {
   )
 
   val oracle: Map[String, String] = Map(
+    "stream_static_join" ->
+      ("SELECT c_mktsegment, event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
+       "ROUND(SUM(value), 2) AS val_sum " +
+       "FROM events JOIN customer ON user_id = c_custkey " +
+       "GROUP BY c_mktsegment, event_type ORDER BY c_mktsegment, event_type"),
+    "stream_stream_interval" ->
+      ("SELECT b.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs, " +
+       "CAST(COUNT(DISTINCT b.event_id) AS BIGINT) AS n_attributed " +
+       "FROM (SELECT user_id, ts AS buy_ts, event_id FROM events WHERE event_type = 'purchase') b " +
+       "JOIN (SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click') c " +
+       "ON b.user_id = c.user_id " +
+       "AND c.click_ts >= b.buy_ts - INTERVAL 30 MINUTE AND c.click_ts <= b.buy_ts " +
+       "GROUP BY b.user_id ORDER BY b.user_id"),
     "stream_tumbling" ->
       ("SELECT DATE_TRUNC('hour', ts) AS wstart, event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
        "ROUND(SUM(value), 2) AS val_sum FROM events " +

@@ -77,6 +77,30 @@ class ExpressionLawsSpec extends AnyFunSuite {
     }
   }
 
+  test("kernels fail fast on dimension mismatch and null slots (no silent zeros)") {
+    val a = ArrayData.toArrayData(Array(1.0f, 2.0f, 3.0f))
+    val b = ArrayData.toArrayData(Array(1.0f, 2.0f))
+    intercept[IllegalArgumentException] {
+      functions.CosineSimImpl.cosine(a, b, true, true)
+    }
+    val withNull = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Any](1.0f, null, 3.0f))
+    intercept[IllegalArgumentException] {
+      functions.CosineSimImpl.cosine(a, withNull, true, true)
+    }
+    val hashesWithNull = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Any](1L, null))
+    intercept[IllegalArgumentException] {
+      functions.SimHashImpl.simhash64(hashesWithNull)
+    }
+    intercept[IllegalArgumentException] {
+      functions.MinHashSigImpl.signature(hashesWithNull, 4)
+    }
+    intercept[IllegalArgumentException] {
+      functions.HyperplaneLshImpl.buckets(withNull, 2, 4)
+    }
+  }
+
   test("LSH bucket arrays have the requested table count, bits bounded") {
     forAllSamples(vectors) { v =>
       val bs = functions.HyperplaneLshImpl

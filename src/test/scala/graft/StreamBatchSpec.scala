@@ -51,6 +51,19 @@ class StreamBatchSpec extends SparkSpec {
     assertSameRows(out, batch, "session")
   }
 
+  test("stream_static_join: stream-static broadcast enrichment equals batch") {
+    val cust = Tables.customer(spark, sf001)
+    val out = streamed("t_static_join", ev => Streams.staticJoin(ev, cust), "complete")
+    assertSameRows(out, Streams.staticJoin(stagedEvents._2, cust), "static_join")
+  }
+
+  test("stream_stream_interval: watermarked stream-stream self-join emits the batch pairs") {
+    val out = streamed("t_ss_interval",
+      ev => Streams.intervalJoinPairs(ev, withWatermarks = true), "append")
+    assertSameRows(out,
+      Streams.intervalJoinPairs(stagedEvents._2, withWatermarks = false), "ss_interval")
+  }
+
   test("stream_dedup: dropDuplicates stream equals row_number batch") {
     val out = streamed("t_dedup",
       ev => ev.dropDuplicates("user_id", "event_type")
