@@ -52,31 +52,45 @@ object Vectors {
 
     // IVF ANN with deterministic coarse centroids (the nlist=8 smallest
     // vec_ids stand in for a k-means job's output — centroid CHOICE is
-    // offline; centroid USE is what scales). Assignment = broadcast of
-    // 8 centroids against the corpus, one ranked window; probe = the
-    // query's top-2 centroid lists only, exact cosine re-rank inside
-    // them. Scanned fraction ≈ nprobe/nlist of the corpus, and unlike
-    // LSH the whole path is deterministic — this one IS oracle-checked.
+    // offline; centroid USE is what scales). The 8-centroid "index" is
+    // collected to the driver (the one legitimate collect: a fixed-size
+    // index artifact, exactly what a production IVF loads before
+    // planning), probe selection runs driver-side, and both centroid
+    // assignment and query distance become row-local literal
+    // expressions. Physical plan: ONE corpus scan → filter → project →
+    // TakeOrderedAndProject. Zero joins, zero shuffles — scanned work ≈
+    // nprobe/nlist of the corpus, and the whole path is deterministic,
+    // so unlike LSH it IS oracle-checked.
     "sim_ann_ivf" -> ((s, dir) => {
       val e = embeddings(s, dir)
-      val cent = e.where(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-      val assign = e.crossJoin(broadcast(cent))
-        .withColumn("sim", Similarity.cosine(col("embedding"), col("cv")))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cid"))))
-        .where(col("rn") === 1)
-        .select(col("vec_id"), col("cid"))
-      val q = e.where(col("vec_id") === 0).select(col("embedding").as("qv"))
-      val probes = cent.crossJoin(broadcast(q))
-        .withColumn("sim", Similarity.cosine(col("cv"), col("qv")))
-        .orderBy(col("sim").desc, col("cid")).limit(2)
-        .select("cid")
-      e.join(assign.join(broadcast(probes), Seq("cid")).select("vec_id"), Seq("vec_id"))
-        .where(col("vec_id") =!= 0)
-        .crossJoin(broadcast(q))
+      val cents: Array[(Long, Array[Float])] = e.where(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      val qv: Array[Float] = e.where(col("vec_id") === 0)
+        .select(col("embedding")).collect()(0).getSeq[Float](0).toArray
+      def cosLocal(a: Array[Float], b: Array[Float]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+          i += 1
+        }
+        dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val probeCids = cents.map { case (cid, cv) => (cid, cosLocal(cv, qv)) }
+        .sortBy { case (cid, s) => (-s, cid) }.take(2).map(_._1)
+      // row-local argmax over the 8 centroid literals: array_max of
+      // (sim, -cid) structs = max sim, ties to the smallest cid
+      val simStructs = cents.map { case (cid, cv) =>
+        struct(Similarity.cosine(col("embedding"), typedLit(cv)).as("s"),
+               lit(-cid).as("neg"))
+      }
+      e.where(col("vec_id") =!= 0)
+        .withColumn("cid", -array_max(array(simStructs: _*)).getField("neg"))
+        .where(col("cid").isin(probeCids: _*))
         .select(col("vec_id"),
-                fround(Similarity.cosine(col("embedding"), col("qv")), 4).as("cos"))
+                fround(Similarity.cosine(col("embedding"), typedLit(qv)), 4).as("cos"))
         .orderBy(col("cos").desc, col("vec_id"))
         .limit(10)
     })

@@ -75,6 +75,33 @@ class PlanAuditSpec extends SparkSpec {
     assert("hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
+  test("sim_ann_ivf runs shuffle-free: scan -> filter -> top-k, no exchange at all") {
+    val p = plan("sim_ann_ivf")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("pivot_wide is a hash aggregate, not per-value scans") {
+    val p = plan("pivot_wide")
+    // one scan of customer only
+    assert("customer\\.parquet".r.findAllIn(p).size == 1, p)
+    assert(p.contains("pivotfirst"), p)
+  }
+
+  test("join_lateral decorrelates to a ranked window, not a per-row subquery") {
+    val p = plan("join_lateral")
+    assert(p.contains("row_number"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("subq_scalar pushes the uncorrelated MAX filter into the scan") {
+    val p = plan("subq_scalar")
+    assert(p.contains("Subquery"), p)
+    // correlated COUNT decorrelates to an aggregate + join, no loops
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("whole-stage codegen covers the hot paths of the flagship aggregate") {
     // AQE finalizes stages only at execution; run the query, then check
     // the final adaptive plan for codegen stage markers (`*(n)`)
