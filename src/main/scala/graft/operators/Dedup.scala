@@ -24,15 +24,24 @@ object Dedup {
   /** Word tokens of the normalized text. */
   def tokens(c: Column): Column = split(lower(trim(c)), " ")
 
-  /** Distinct word 3-shingles, computed row-locally. */
-  def shingles(c: Column): Column = {
-    val toks = tokens(c)
+  /** Distinct word 3-shingles over an already-materialized token-array
+    * column. The tokens MUST be a bound column, not an inline
+    * `split(...)` expression: HOF lambdas re-evaluate their children
+    * per element, so an inline split would re-tokenize the document
+    * once per shingle. */
+  def shinglesOf(toks: Column): Column =
     array_distinct(
       when(size(toks) >= 3,
         transform(sequence(lit(0), size(toks) - 3),
                   i => concat_ws(" ", slice(toks, i + 1, lit(3)))))
       .otherwise(array(concat_ws(" ", toks))))
-  }
+
+  /** documents → (doc_id, extra..., sh) with tokens materialized first. */
+  def withShingles(docs: DataFrame, extra: String*): DataFrame =
+    docs.select((Seq(col("doc_id"), tokens(col("text")).as("toks")) ++
+                 extra.map(col)): _*)
+      .select((Seq(col("doc_id"), shinglesOf(col("toks")).as("sh")) ++
+               extra.map(col)): _*)
 
   /** MinHash signature: NumPerms minima over the shingle set — base
     * shingle hashes stay a codegen'd xxhash64 transform, the per-perm
@@ -43,8 +52,7 @@ object Dedup {
 
   /** Candidate near-dup pairs via LSH banding over the signatures. */
   def minhashCandidates(docs: DataFrame): DataFrame = {
-    val sigs = docs
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
+    val sigs = withShingles(docs)
       .withColumn("sig", minhashSignature(col("sh")))
     // band key = hash of the band's signature slice; explode to (band, key)
     val banded = sigs.select(
@@ -154,8 +162,7 @@ object Dedup {
     // N-gram Jaccard near-dup: exact pairwise Jaccard over word
     // 3-shingles, blocked by (lang, source) to bound the pair space.
     "dedup_ngram_jaccard" -> ((s, dir) => {
-      val d = documents(s, dir)
-        .select(col("doc_id"), col("lang"), col("source"), shingles(col("text")).as("sh"))
+      val d = withShingles(documents(s, dir), "lang", "source")
       val a = d.select(col("lang"), col("source"), col("doc_id").as("a"), col("sh").as("sh_a"))
       val b = d.select(col("lang"), col("source"), col("doc_id").as("b"), col("sh").as("sh_b"))
       a.join(b, Seq("lang", "source"))

@@ -95,12 +95,17 @@ object TextOps {
     // Bigrams are built row-locally (transform over token indices, no
     // self-join of the exploded tokens), then one hash-agg + window.
     "text_ngram" -> ((s, dir) => {
-      val toks = split(lower(col("text")), " ")
-      val bigrams = when(size(toks) >= 2,
-        transform(sequence(lit(0), size(toks) - 2),
-          i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
+      // tokenize into a materialized column FIRST: an element_at(toks, i)
+      // inside the transform lambda re-evaluates its child per element,
+      // so an inline split would re-tokenize the document once per
+      // bigram (measured 4x the whole query's cost at sf0.1)
+      val t = col("t")
+      val bigrams = when(size(t) >= 2,
+        transform(sequence(lit(0), size(t) - 2),
+          i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2))))
         .otherwise(array().cast("array<string>"))
       val counts = documents(s, dir)
+        .select(col("lang"), split(lower(col("text")), " ").as("t"))
         .select(col("lang"), explode(bigrams).as("bigram"))
         .groupBy("lang", "bigram").agg(big(count(lit(1))).as("cnt"))
       val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("bigram"))
