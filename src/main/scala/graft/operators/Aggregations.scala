@@ -126,6 +126,19 @@ object Aggregations {
              r4(expr("percentile(o_totalprice, 0.9)")).as("p90"))
         .orderBy("o_orderstatus")),
 
+    // Sketch percentiles — what exact percentile() becomes at 100 TB:
+    // a mergeable fixed-memory quantile summary (single pass, partial
+    // + final merge) instead of a per-group sort. No oracle (summary
+    // internals are engine-specific); property-tested within 2% of the
+    // exact interpolated percentile.
+    "agg_approx_quantile" -> ((s, dir) =>
+      orders(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(r4(expr("approx_percentile(o_totalprice, 0.5, 10000)")).as("p50_approx"),
+             r4(expr("approx_percentile(o_totalprice, 0.9, 10000)")).as("p90_approx"),
+             big(count(lit(1))).as("n"))
+        .orderBy("o_orderstatus")),
+
     // Ordered list aggregation (deterministic: sorted, unique elements).
     // Projected as a joined string: the driver's row-sorter can't order
     // array cells, and the string is bit-comparable across engines.

@@ -86,6 +86,48 @@ object Scans {
         .orderBy("o_orderstatus")
     }),
 
+    // Small-files compaction — the maintenance op every long-lived
+    // 100 TB table needs: a fragmented layout (64 files here standing
+    // in for thousands of streaming micro-batch outputs) is rewritten
+    // with coalesce, which merges partitions WITHOUT a shuffle (a
+    // repartition-based compact would move every byte twice). Values
+    // must survive the rewrite exactly — the oracle checks against the
+    // original table.
+    "sink_compact" -> ((s, dir) => {
+      val frag = scratch(dir, "fragmented")
+      val comp = scratch(dir, "compacted")
+      lineitem(s, dir)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .repartition(64)
+        .write.mode("overwrite").parquet(frag)
+      s.read.parquet(frag).coalesce(4).write.mode("overwrite").parquet(comp)
+      s.read.parquet(comp)
+        .groupBy("l_returnflag")
+        .agg(big(count(lit(1))).as("n"), r2(sum("l_quantity")).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Schema evolution across file generations (i3cols R4: seasons
+    // combine even when later runs carry extra keys): generation A
+    // lacks o_orderstatus, generation B has it; mergeSchema reads the
+    // union schema with nulls for the missing column — the NULL group
+    // below IS the legacy generation.
+    "scan_schema_evolution" -> ((s, dir) => {
+      val genA = scratch(dir, "evo_a")
+      val genB = scratch(dir, "evo_b")
+      val od = orders(s, dir)
+      od.where(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite").parquet(genA)
+      od.where(col("o_orderkey") % 2 === 1)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .write.mode("overwrite").parquet(genB)
+      s.read.option("mergeSchema", "true").parquet(genA, genB)
+        .groupBy("o_orderstatus")
+        .agg(big(count(lit(1))).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first)
+    }),
+
     // JSON schema-on-read: parse the props JSON column against a declared
     // schema (from_json), then aggregate the typed field — the i3cols R3
     // frame-object → declared-dtype encoding analog.
@@ -143,6 +185,14 @@ object Scans {
       ("SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n, " +
        s"${dsumSql("o_totalprice")} AS total " +
        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "sink_compact" ->
+      ("SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty " +
+       "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "scan_schema_evolution" ->
+      ("SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS o_orderstatus, " +
+       "CAST(COUNT(*) AS BIGINT) AS n, " +
+       s"${dsumSql("o_totalprice")} AS total " +
+       "FROM orders GROUP BY 1 ORDER BY o_orderstatus NULLS FIRST"),
     "source_json_schema" ->
       ("SELECT event_type, CAST(COUNT(k) AS BIGINT) AS n_k, CAST(SUM(k) AS BIGINT) AS sum_k, " +
        froundSql("CAST(SUM(k) AS DOUBLE) / COUNT(k)", 4) + " AS avg_k FROM " +

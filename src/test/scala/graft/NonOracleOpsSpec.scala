@@ -22,6 +22,22 @@ class NonOracleOpsSpec extends SparkSpec {
     }
   }
 
+  test("agg_approx_quantile is within 2% of the exact interpolated percentile") {
+    val approx = SparkEntry.queries("agg_approx_quantile")(spark, sf01)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = Tables.orders(spark, sf01)
+      .groupBy("o_orderstatus")
+      .agg(expr("percentile(o_totalprice, 0.5)").as("p50"),
+           expr("percentile(o_totalprice, 0.9)").as("p90"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (k, (a50, a90)) =>
+      val (e50, e90) = exact(k)
+      assert(math.abs(a50 - e50) / e50 <= 0.02, s"$k p50: approx=$a50 exact=$e50")
+      assert(math.abs(a90 - e90) / e90 <= 0.02, s"$k p90: approx=$a90 exact=$e90")
+    }
+  }
+
   test("fn_map builds per-user type->count maps consistent with raw counts") {
     val out = SparkEntry.queries("fn_map")(spark, sf001)
     val rows = out.collect()
