@@ -166,6 +166,26 @@ object Joins {
         .orderBy("c_mktsegment")
     }),
 
+    // Salted join for join-key skew: the fact side gets a salt from a
+    // NON-key column (spreading one hot key over 8 reducers); the dim
+    // side replicates ×8 via explode so every (key, salt) pair still
+    // meets its match. The rewrite is exact — the oracle is the plain
+    // join. This is the manual fallback for skew AQE can't fix (e.g.
+    // when the hot key is known and the dim side is replicable but too
+    // big to broadcast whole).
+    "join_salted_skew" -> ((s, dir) => {
+      val nSalts = 8
+      val ev = events(s, dir)
+        .withColumn("salt", pmod(col("event_id"), lit(nSalts)))
+      val cust = customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .withColumn("salt", explode(array((0 until nSalts).map(lit): _*)))
+      ev.join(cust, col("user_id") === col("c_custkey") && ev("salt") === cust("salt"))
+        .groupBy("c_mktsegment")
+        .agg(big(count(lit(1))).as("n_events"), r2(sum(col("value"))).as("val_sum"))
+        .orderBy("c_mktsegment")
+    }),
+
     // Interval self-join: same-user event pairs within 10 minutes.
     // Bucketized like the theta join: ts2 ∈ [ts1, ts1+10min) implies
     // bucket(ts2) ∈ {bucket(ts1), bucket(ts1)+1} for 10-minute buckets,
@@ -241,6 +261,11 @@ object Joins {
       ("SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders, " +
        s"${dsumSql("o_totalprice")} AS revenue " +
        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+       "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+    "join_salted_skew" ->
+      ("SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_events, " +
+       "ROUND(SUM(value), 2) AS val_sum " +
+       "FROM events JOIN customer ON user_id = c_custkey " +
        "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
     "join_interval_overlap" ->
       ("SELECT e1.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs " +
