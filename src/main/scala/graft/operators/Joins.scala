@@ -149,13 +149,20 @@ object Joins {
           p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
           write
         }
+      // repartition on the bucket key with the bucket count BEFORE the
+      // bucketed write: bucketBy emits one file per (task, bucket)
+      // pair, so an unpartitioned input writes tasks×buckets small
+      // files; hash-pre-partitioned input writes exactly nb files —
+      // the same small-file explosion partitionBy has, one level down
       build(ordersT,
         orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice")
+          .repartition(nb, col("o_custkey"))
           .write.mode("overwrite")
           .bucketBy(nb, "o_custkey").sortBy("o_custkey")
           .saveAsTable(ordersT))
       build(custT,
         customer(s, dir).select("c_custkey", "c_mktsegment")
+          .repartition(nb, col("c_custkey"))
           .write.mode("overwrite")
           .bucketBy(nb, "c_custkey").sortBy("c_custkey")
           .saveAsTable(custT))

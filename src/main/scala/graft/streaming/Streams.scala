@@ -138,6 +138,21 @@ object Streams {
            big(countDistinct(col("buy_id"))).as("n_attributed"))
 
   val queries: Map[String, Q] = Map(
+    // foreachBatch sink: the escape hatch that gives a stream every
+    // batch writer Spark has (parquet here; JDBC/upsert in prod).
+    // Batch declaration = the same write-then-read roundtrip; the unit
+    // test runs the real writeStream.foreachBatch and asserts the
+    // landed rows equal the stream input exactly-once under
+    // AvailableNow.
+    "stream_foreach_batch" -> ((s, dir) => {
+      val out = graft.Tables.scratch(dir, "febatch")
+      events(s, dir).select("event_id", "event_type", "value")
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .groupBy("event_type")
+        .agg(big(count(lit(1))).as("n"), r2(sum(col("value"))).as("val_sum"))
+        .orderBy("event_type")
+    }),
     "stream_static_join" -> ((s, dir) =>
       staticJoin(events(s, dir), customer(s, dir))
         .orderBy("c_mktsegment", "event_type")),
@@ -159,6 +174,9 @@ object Streams {
   )
 
   val oracle: Map[String, String] = Map(
+    "stream_foreach_batch" ->
+      ("SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS val_sum " +
+       "FROM events GROUP BY event_type ORDER BY event_type"),
     "stream_static_join" ->
       ("SELECT c_mktsegment, event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
        "ROUND(SUM(value), 2) AS val_sum " +

@@ -64,6 +64,21 @@ class StreamBatchSpec extends SparkSpec {
       Streams.intervalJoinPairs(stagedEvents._2, withWatermarks = false), "ss_interval")
   }
 
+  test("stream_foreach_batch: foreachBatch parquet sink lands exactly the stream's rows") {
+    val (dir, batchView) = stagedEvents
+    val out = Files.createTempDirectory("graft_febatch").toString
+    val src = spark.readStream.schema(batchView.schema).parquet(dir)
+    val q = src.select("event_id", "event_type", "value").writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.write.mode("append").parquet(out)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assertSameRows(spark.read.parquet(out),
+      batchView.select("event_id", "event_type", "value"), "febatch")
+  }
+
   test("stream_dedup: dropDuplicates stream equals row_number batch") {
     val out = streamed("t_dedup",
       ev => ev.dropDuplicates("user_id", "event_type")
