@@ -90,6 +90,35 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // End-to-end training-data pipeline: exact dedup → quality gate →
+    // per-language corpus budget. This is the composition the engine
+    // exists for — three stages, each individually oracle-checked
+    // elsewhere, fused into one plan (Catalyst pipelines the dedup
+    // semi-join, the quality projection, and the final aggregate; the
+    // corpus is scanned twice — digest pass + kept-rows pass — and
+    // shuffled twice, independent of how many quality features are
+    // computed).
+    "pipeline_e2e" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val keep = docs
+        .groupBy(md5(col("text").cast("binary")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val toks = col("toks")
+      docs.join(keep, Seq("doc_id"), "left_semi")
+        .select(col("lang"), split(lower(col("text")), " ").as("toks"))
+        .select(col("lang"),
+                size(toks).as("n_tokens"),
+                (size(array_distinct(toks)).cast("double") / size(toks)).as("ttr"))
+        .where(col("n_tokens") >= 20 && col("ttr") >= 0.5)
+        .groupBy("lang")
+        .agg(big(count(lit(1))).as("n_docs"),
+             big(sum(col("n_tokens"))).as("total_tokens"),
+             fround(min(col("ttr")), 4).as("min_ttr"),
+             fround(max(col("ttr")), 4).as("max_ttr"))
+        .orderBy("lang")
+    }),
+
     // Word-bigram extraction, top-10 per language — n-gram statistics
     // are the backbone of contamination checks and LM-data analysis.
     // Bigrams are built row-locally (transform over token indices, no
@@ -179,6 +208,17 @@ object TextOps {
        "CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+|[0-9]+|[^a-z0-9 ]+')) AS BIGINT) AS n_bpe_tokens, " +
        froundSql("CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+|[0-9]+|[^a-z0-9 ]+')) AS DOUBLE) / LEN(STRING_SPLIT(LOWER(text), ' '))", 4) +
        " AS bpe_ratio FROM documents ORDER BY doc_id"),
+    "pipeline_e2e" ->
+      ("WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY MD5(text)), " +
+       "q AS (SELECT lang, LEN(STRING_SPLIT(LOWER(text), ' ')) AS n_tokens, " +
+       "CAST(LEN(LIST_DISTINCT(STRING_SPLIT(LOWER(text), ' '))) AS DOUBLE) / LEN(STRING_SPLIT(LOWER(text), ' ')) AS ttr " +
+       "FROM documents WHERE doc_id IN (SELECT doc_id FROM keep)) " +
+       "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+       "CAST(SUM(n_tokens) AS BIGINT) AS total_tokens, " +
+       froundSql("MIN(ttr)", 4) + " AS min_ttr, " +
+       froundSql("MAX(ttr)", 4) + " AS max_ttr " +
+       "FROM q WHERE n_tokens >= 20 AND ttr >= 0.5 " +
+       "GROUP BY lang ORDER BY lang"),
     "text_ngram" ->
       ("WITH toks AS (SELECT lang, STRING_SPLIT(LOWER(text), ' ') AS t FROM documents), " +
        "bg AS (SELECT lang, UNNEST(CASE WHEN LEN(t) >= 2 THEN " +

@@ -102,6 +102,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("AQE re-plans small shuffles at runtime (coalesce or broadcast demotion)") {
+    val df = SparkEntry.queries("join_inner_hash")(spark, sf001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), p.take(300))
+    assert(p.contains("AQEShuffleRead") || p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("whole-stage codegen covers the hot paths of the flagship aggregate") {
     // AQE finalizes stages only at execution; run the query, then check
     // the final adaptive plan for codegen stage markers (`*(n)`)
