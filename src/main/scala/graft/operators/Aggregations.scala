@@ -126,6 +126,36 @@ object Aggregations {
              r4(expr("percentile(o_totalprice, 0.9)")).as("p90"))
         .orderBy("o_orderstatus")),
 
+    // Fixed-width histogram: bucket = floor(x/step) is a row-local
+    // projection, so the histogram is ONE hash aggregate whose shuffle
+    // is ~|buckets| — the constant-memory distribution profile that
+    // runs in a single pass at any scale.
+    "agg_histogram" -> ((s, dir) => {
+      val step = 25000.0
+      orders(s, dir)
+        .withColumn("bucket", floor(col("o_totalprice") / step).cast("long"))
+        .groupBy("bucket")
+        .agg(big(count(lit(1))).as("n"),
+             r2(min(col("o_totalprice"))).as("lo"),
+             r2(max(col("o_totalprice"))).as("hi"))
+        .orderBy("bucket")
+    }),
+
+    // Share-of-total, the SCALABLE way: the naive window SUM() OVER ()
+    // forces every row through one partition; aggregating first and
+    // broadcasting the single grand total keeps everything partial and
+    // parallel. (The oracle uses a scalar subquery — same numbers.)
+    "win_share_of_total" -> ((s, dir) => {
+      val od = orders(s, dir)
+      val totals = od.groupBy("o_orderstatus")
+        .agg(dsum(col("o_totalprice")).as("status_total"))
+      val grand = od.agg(dsum(col("o_totalprice")).as("grand"))
+      totals.crossJoin(broadcast(grand))
+        .select(col("o_orderstatus"), col("status_total"),
+                fround(col("status_total") / col("grand") * 100, 4).as("pct"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Sketch percentiles — what exact percentile() becomes at 100 TB:
     // a mergeable fixed-memory quantile summary (single pass, partial
     // + final merge) instead of a per-group sort. No oracle (summary
@@ -202,6 +232,17 @@ object Aggregations {
        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     "agg_collect_sorted" ->
       ("SELECT l_orderkey, STRING_AGG(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber) AS linenumbers " +
-       "FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey")
+       "FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey"),
+    "agg_histogram" ->
+      ("SELECT CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS bucket, " +
+       "CAST(COUNT(*) AS BIGINT) AS n, " +
+       "ROUND(MIN(o_totalprice), 2) AS lo, ROUND(MAX(o_totalprice), 2) AS hi " +
+       "FROM orders GROUP BY bucket ORDER BY bucket"),
+    "win_share_of_total" ->
+      ("WITH t AS (SELECT o_orderstatus, " +
+       s"${dsumSql("o_totalprice")} AS status_total FROM orders GROUP BY o_orderstatus) " +
+       "SELECT o_orderstatus, status_total, " +
+       froundSql(s"status_total / (SELECT ${dsumSql("o_totalprice")} FROM orders) * 100", 4) +
+       " AS pct FROM t ORDER BY o_orderstatus")
   )
 }

@@ -40,6 +40,16 @@ object SortSetOps {
         .orderBy("o_custkey", "rn")
     }),
 
+    // Keyset-stable pagination: OFFSET+LIMIT over a total order. At
+    // scale the offset still evaluates the full prefix — the scan
+    // remains a top-(offset+limit) heap, so keep offsets shallow and
+    // use keyset (WHERE key > last_seen) pagination for deep pages.
+    "sort_paginate" -> ((s, dir) =>
+      orders(s, dir)
+        .select(col("o_orderkey"), r2(col("o_totalprice")).as("total"))
+        .orderBy(col("total").desc, col("o_orderkey"))
+        .offset(100).limit(20)),
+
     // UNION ALL of two time slices, re-aggregated — the i3cols
     // combine-runs analog: union is plan-level only, no shuffle of its own.
     "set_union_all" -> ((s, dir) => {
@@ -86,6 +96,9 @@ object SortSetOps {
       ("SELECT * FROM (SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS total, " +
        "CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn " +
        "FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn"),
+    "sort_paginate" ->
+      ("SELECT o_orderkey, ROUND(o_totalprice, 2) AS total FROM orders " +
+       "ORDER BY total DESC, o_orderkey LIMIT 20 OFFSET 100"),
     "set_union_all" ->
       ("SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS val_sum FROM (" +
        "SELECT * FROM events WHERE EXTRACT(day FROM ts) BETWEEN 1 AND 10 " +
