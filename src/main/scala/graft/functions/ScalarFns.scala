@@ -76,6 +76,20 @@ object ScalarFns {
           array_join(transform(col("lns"), x => (x * 2).cast("string")), ",").as("doubled"))
         .orderBy("l_orderkey")),
 
+    // Bitwise bundle: masks, shifts, xor, popcount — the flag-field and
+    // bitmap arithmetic every encoded-ID / feature-flag schema needs.
+    "fn_bitwise" -> ((s, dir) =>
+      part(s, dir)
+        .select(
+          col("p_partkey"),
+          big(col("p_size").bitwiseAND(lit(15))).as("lo4"),
+          big(col("p_size").bitwiseOR(lit(64))).as("with_flag"),
+          big(col("p_size").bitwiseXOR(col("p_partkey"))).as("xored"),
+          big(shiftleft(col("p_size"), 2)).as("shl2"),
+          big(shiftright(col("p_size"), 1)).as("shr1"),
+          bit_count(col("p_size")).as("popcnt"))
+        .orderBy("p_partkey")),
+
     // Regex bundle: global replace, match-run extraction/counting,
     // boolean match, anchored extract. Patterns are plain character
     // classes + literal alternations, where Java's regex and DuckDB's
@@ -154,6 +168,13 @@ object ScalarFns {
        "ARRAY_TO_STRING(LIST_TRANSFORM(lns, x -> CAST(x * 2 AS VARCHAR)), ',') AS doubled FROM " +
        "(SELECT l_orderkey, LIST(l_linenumber ORDER BY l_linenumber) AS lns " +
        "FROM lineitem GROUP BY l_orderkey) ORDER BY l_orderkey"),
+    "fn_bitwise" ->
+      ("SELECT p_partkey, CAST(p_size & 15 AS BIGINT) AS lo4, " +
+       "CAST(p_size | 64 AS BIGINT) AS with_flag, " +
+       "CAST(XOR(CAST(p_size AS BIGINT), p_partkey) AS BIGINT) AS xored, " +
+       "CAST(p_size << 2 AS BIGINT) AS shl2, CAST(p_size >> 1 AS BIGINT) AS shr1, " +
+       "CAST(BIT_COUNT(p_size) AS INT) AS popcnt " +
+       "FROM part ORDER BY p_partkey"),
     "fn_regex" ->
       ("SELECT p_partkey, REGEXP_REPLACE(p_name, '[aeiou]', '', 'g') AS novowel, " +
        "CAST(LEN(REGEXP_EXTRACT_ALL(p_name, '[a-z]+')) AS BIGINT) AS n_runs, " +

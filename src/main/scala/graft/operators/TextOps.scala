@@ -158,11 +158,13 @@ object TextOps {
       val profiles = tok.groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
         .withColumn("rn", row_number().over(w)).where(col("rn") <= 30)
         .select(col("lang").as("profile_lang"), col("token"))
+      // the doc's actual lang rides through the aggregation key (it is
+      // functionally dependent on doc_id), saving a join back to docs
+      // and its shuffle
       val hits = tok.join(broadcast(profiles), Seq("token"))
-        .groupBy("doc_id", "profile_lang").agg(big(count(lit(1))).as("hits"))
+        .groupBy("doc_id", "lang", "profile_lang").agg(big(count(lit(1))).as("hits"))
       val wBest = Window.partitionBy("doc_id").orderBy(col("hits").desc, col("profile_lang"))
       hits.withColumn("rn", row_number().over(wBest)).where(col("rn") === 1)
-        .join(docs.select("doc_id", "lang"), Seq("doc_id"))
         .select(col("doc_id"), col("profile_lang").as("predicted"), col("lang").as("actual"),
                 col("hits"),
                 (col("profile_lang") === col("lang")).as("correct"))
