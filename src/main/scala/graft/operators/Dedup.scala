@@ -159,6 +159,34 @@ object Dedup {
         .orderBy("a", "b")
     }),
 
+    // Corpus-level MinHash sketches: because sig(A∪B) is the
+    // elementwise min of sig(A) and sig(B), a GROUP's sketch is a
+    // plain MIN aggregate over its documents' signatures — a mergeable
+    // partial aggregate, so per-(lang, source) corpus sketches cost
+    // one hash-agg shuffle of (group, perm, min) triples no matter how
+    // many documents feed them. Cross-source similarity is then the
+    // matching-slot fraction between 32-slot sketches — how a 100 TB
+    // pipeline compares whole corpora without touching documents
+    // twice. No oracle (xxhash64-specific); property-tested against
+    // exact union-shingle Jaccard.
+    "dedup_source_sketch" -> ((s, dir) => {
+      val sigs = withShingles(documents(s, dir), "lang", "source")
+        .withColumn("sig", minhashSignature(col("sh")))
+      val groupSig = sigs
+        .select(col("lang"), col("source"), posexplode(col("sig")).as(Seq("pos", "v")))
+        .groupBy("lang", "source", "pos").agg(min(col("v")).as("mv"))
+      val a = groupSig.select(col("lang"), col("source").as("src_a"),
+                              col("pos"), col("mv").as("va"))
+      val b = groupSig.select(col("lang"), col("source").as("src_b"),
+                              col("pos"), col("mv").as("vb"))
+      a.join(b, Seq("lang", "pos"))
+        .where(col("src_a") < col("src_b"))
+        .groupBy("lang", "src_a", "src_b")
+        .agg(fround(sum(when(col("va") === col("vb"), 1.0).otherwise(0.0)) /
+                    count(lit(1)), 4).as("est_jaccard"))
+        .orderBy("lang", "src_a", "src_b")
+    }),
+
     // N-gram Jaccard near-dup: exact pairwise Jaccard over word
     // 3-shingles, blocked by (lang, source) to bound the pair space.
     "dedup_ngram_jaccard" -> ((s, dir) => {

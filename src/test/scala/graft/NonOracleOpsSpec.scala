@@ -22,6 +22,24 @@ class NonOracleOpsSpec extends SparkSpec {
     }
   }
 
+  test("dedup_source_sketch estimates cross-source Jaccard within MinHash error") {
+    val out = SparkEntry.queries("dedup_source_sketch")(spark, sf001).collect()
+    assert(out.nonEmpty)
+    val shingleSets = Dedup.withShingles(Tables.documents(spark, sf001), "lang", "source")
+      .select(col("lang"), col("source"), explode(col("sh")).as("g"))
+      .distinct().collect()
+      .groupBy(r => (r.getString(0), r.getString(1)))
+      .map { case (k, rs) => k -> rs.map(_.getString(2)).toSet }
+    out.foreach { r =>
+      val (lang, a, b, est) =
+        (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3))
+      val (sa, sb) = (shingleSets((lang, a)), shingleSets((lang, b)))
+      val exact = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      // 32 permutations → σ = sqrt(J(1−J)/32) ≤ 0.09; 0.35 ≈ 4σ
+      assert(math.abs(est - exact) <= 0.35, s"$lang $a-$b est=$est exact=$exact")
+    }
+  }
+
   test("agg_approx_quantile is within 2% of the exact interpolated percentile") {
     val approx = SparkEntry.queries("agg_approx_quantile")(spark, sf01)
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
