@@ -1,0 +1,88 @@
+package graft.api
+
+import graft.Tables.{big, fround}
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Library facade over the training-data operators: wrap any DataFrame
+  * with a `doc_id` and `text` column and chain the pipeline stages
+  * fluently — the API a user of the reference library would reach for
+  * after switching. Each method delegates to the same implementations
+  * the oracle-checked queries run (operators/Dedup, TextOps shapes),
+  * so facade results inherit their verification.
+  *
+  * {{{
+  * Corpus(docs)
+  *   .dedupExact()
+  *   .qualityFilter(minTokens = 20, minTtr = 0.5)
+  *   .withTokenCounts()
+  *   .df
+  * }}}
+  */
+final case class Corpus(df: DataFrame) {
+
+  private def toks: Column = split(lower(col("text")), " ")
+
+  /** Keep one document (min doc_id) per exact normalized-text digest. */
+  def dedupExact(): Corpus = {
+    val keep = df.groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    Corpus(df.join(keep, Seq("doc_id"), "left_semi"))
+  }
+
+  /** Near-duplicate pairs (doc_id a < b) with exact Jaccard ≥ τ over
+    * word 3-shingles, candidates from MinHash-LSH banding. */
+  def nearDupPairs(jaccardMin: Double): DataFrame =
+    Dedup.minhashPairs(df, jaccardMin)
+
+  /** Drop documents failing the token-count / type-token-ratio gate. */
+  def qualityFilter(minTokens: Int, minTtr: Double): Corpus =
+    Corpus(df
+      .withColumn("__n", size(toks))
+      .withColumn("__ttr", size(array_distinct(toks)).cast("double") / col("__n"))
+      .where(col("__n") >= minTokens && col("__ttr") >= minTtr)
+      .drop("__n", "__ttr"))
+
+  /** Add `n_tokens` (whitespace) and `n_bpe_tokens` (letter/digit/punct
+    * runs) — the token-budget columns. */
+  def withTokenCounts(): Corpus =
+    Corpus(df
+      .withColumn("n_tokens", big(size(toks)))
+      .withColumn("n_bpe_tokens",
+        big(size(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9 ]+"), lit(0))))))
+
+  /** 64-bit SimHash fingerprint column (native kernel). */
+  def withSimHash(colName: String = "simhash"): Corpus =
+    Corpus(df.withColumn(colName, Dedup.simhash(col("text"))))
+
+  /** Long-form (doc_id, token) view for token-level analytics. */
+  def tokens(): DataFrame =
+    df.select(col("doc_id"), explode(toks).as("token"))
+
+  /** Per-group corpus stats: doc count, total whitespace tokens. */
+  def budget(groupCols: String*): DataFrame =
+    df.withColumn("__n", size(toks))
+      .groupBy(groupCols.map(col): _*)
+      .agg(big(count(lit(1))).as("n_docs"), big(sum(col("__n"))).as("total_tokens"))
+}
+
+/** Facade over an embeddings DataFrame (`vec_id`, `embedding`). */
+final case class VectorCorpus(df: DataFrame) {
+
+  /** Exact cosine top-k neighbors of one vector (broadcast, no corpus
+    * shuffle). */
+  def topK(queryVecId: Long, k: Int): DataFrame =
+    Similarity.topK(df, queryVecId, k)
+
+  /** LSH-approximate top-k (multi-table hyperplane buckets). */
+  def annTopK(queryVecId: Long, k: Int): DataFrame =
+    Similarity.annTopK(df, queryVecId, k)
+
+  /** Add an L2-norm column. */
+  def withNorm(colName: String = "l2"): VectorCorpus =
+    VectorCorpus(df.withColumn(colName,
+      fround(sqrt(aggregate(Similarity.asDouble(col("embedding")),
+        lit(0.0), (a, x) => a + x * x)), 6)))
+}

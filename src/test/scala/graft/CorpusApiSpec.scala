@@ -1,0 +1,49 @@
+package graft
+
+import graft.api.{Corpus, VectorCorpus}
+import org.apache.spark.sql.functions._
+
+/** The library facade produces the same results as the oracle-checked
+  * query formulations it delegates to. */
+class CorpusApiSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sf001)
+
+  test("dedupExact keeps exactly one doc per digest") {
+    val out = Corpus(docs).dedupExact().df
+    val nDigests = docs.select(md5(col("text").cast("binary"))).distinct().count()
+    assert(out.count() == nDigests)
+    assert(out.select("doc_id").distinct().count() == nDigests)
+  }
+
+  test("qualityFilter matches the pipeline_e2e gate") {
+    val out = Corpus(docs).dedupExact().qualityFilter(20, 0.5).df
+    // pipeline_e2e's per-lang n_docs must equal the facade's group count
+    val viaQuery = SparkEntry.queries("pipeline_e2e")(spark, sf001)
+      .select("lang", "n_docs")
+    val viaApi = out.groupBy("lang").agg(count(lit(1)).cast("long").as("n_docs"))
+    assertSameRows(viaApi, viaQuery, "quality gate")
+  }
+
+  test("withTokenCounts adds consistent budgets and budget() aggregates them") {
+    val c = Corpus(docs).withTokenCounts()
+    val bad = c.df.where(col("n_tokens") <= 0 || col("n_bpe_tokens") < col("n_tokens")).count()
+    assert(bad == 0, "bpe tokens must be >= whitespace tokens > 0")
+    val b = c.budget("lang")
+    val total = b.agg(sum("n_docs")).collect()(0).getLong(0)
+    assert(total == docs.count())
+  }
+
+  test("VectorCorpus.topK equals the sim_topk query") {
+    val viaApi = VectorCorpus(Tables.embeddings(spark, sf001)).topK(0L, 10)
+    val viaQuery = SparkEntry.queries("sim_topk")(spark, sf001)
+    assertSameRows(viaApi, viaQuery, "topk")
+  }
+
+  test("withSimHash column equals the dedup_simhash fingerprints") {
+    val viaApi = Corpus(docs).withSimHash().df.select("doc_id", "simhash")
+    val viaQuery = SparkEntry.queries("dedup_simhash")(spark, sf001)
+      .select(col("doc_id"), col("fp").as("simhash"))
+    assertSameRows(viaApi, viaQuery, "simhash")
+  }
+}
