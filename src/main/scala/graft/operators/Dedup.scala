@@ -87,6 +87,36 @@ object Dedup {
     graft.functions.SimHash64(
       transform(array_distinct(tokens(c)), t => xxhash64(t)))
 
+  /** Connected components of an undirected pair graph (cols `a`, `b`)
+    * by Pregel-style min-label propagation: each round is one join +
+    * one min-aggregate, labels only decrease, and Σlabel is strictly
+    * monotone — an unchanged sum IS the fixpoint. Converges in
+    * O(diameter) rounds; near-dup graphs are clique-ish so diameters
+    * are tiny. Returns (node, cluster = min node of its component). */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("a"), col("b"))
+      .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+      .cache()
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("cluster", col("node"))
+    var prevSum = Long.MaxValue
+    var iters = 0
+    var done = false
+    while (!done && iters < 15) {
+      val next = labels.unionByName(
+          edges.join(labels.withColumnRenamed("node", "a"), Seq("a"))
+            .select(col("b").as("node"), col("cluster")))
+        .groupBy("node").agg(min(col("cluster")).as("cluster"))
+        .cache()
+      val s = next.agg(sum(col("cluster"))).collect()(0).getLong(0)
+      done = s == prevSum
+      prevSum = s
+      labels = next
+      iters += 1
+    }
+    labels
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: digest of normalized text, keep the minimum doc_id
     // per digest; n_dups counts the collapsed rows.
@@ -159,6 +189,27 @@ object Dedup {
         .orderBy("a", "b")
     }),
 
+    // Near-dup CLUSTERS: connected components of the exact-Jaccard
+    // pair graph (≥ 0.02 over 3-shingles, (lang, source)-blocked — the
+    // synthetic corpus has no strong dups, so the threshold is tuned
+    // to yield a non-trivial graph), turning pairwise hits into
+    // "keep one per cluster" decisions. The deterministic pair source
+    // makes the whole component structure oracle-checkable (DuckDB
+    // recursive CTE computes the same transitive closure). Multi-hop
+    // convergence is unit-tested on planted chain/triangle graphs.
+    "dedup_cluster" -> ((s, dir) => {
+      val d = withShingles(documents(s, dir), "lang", "source")
+      val l = d.select(col("lang"), col("source"), col("doc_id").as("a"), col("sh").as("sh_a"))
+      val r = d.select(col("lang"), col("source"), col("doc_id").as("b"), col("sh").as("sh_b"))
+      val pairs = l.join(r, Seq("lang", "source"))
+        .where(col("a") < col("b") &&
+               size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+               size(array_union(col("sh_a"), col("sh_b"))) >= 0.02)
+        .select(col("a"), col("b"))
+      connectedComponents(pairs)
+        .select(col("node").as("doc_id"), col("cluster")).orderBy("doc_id")
+    }),
+
     // Corpus-level MinHash sketches: because sig(A∪B) is the
     // elementwise min of sig(A) and sig(B), a GROUP's sketch is a
     // plain MIN aggregate over its documents' signatures — a mergeable
@@ -217,6 +268,21 @@ object Dedup {
        "SELECT doc_id, fp, n_same FROM fp JOIN " +
        "(SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_same FROM fp GROUP BY fp) USING (fp) " +
        "ORDER BY doc_id"),
+    "dedup_cluster" ->
+      ("WITH RECURSIVE sh AS (SELECT doc_id, lang, source, " +
+       "LIST_DISTINCT(CASE WHEN LEN(STRING_SPLIT(LOWER(TRIM(text)), ' ')) >= 3 THEN " +
+       "LIST_TRANSFORM(RANGE(0, LEN(STRING_SPLIT(LOWER(TRIM(text)), ' ')) - 2), " +
+       "i -> ARRAY_TO_STRING(STRING_SPLIT(LOWER(TRIM(text)), ' ')[i+1:i+3], ' ')) " +
+       "ELSE [ARRAY_TO_STRING(STRING_SPLIT(LOWER(TRIM(text)), ' '), ' ')] END) AS sh " +
+       "FROM documents), " +
+       "pairs AS (SELECT a.doc_id AS a, b.doc_id AS b FROM sh a JOIN sh b " +
+       "ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id " +
+       "WHERE LEN(LIST_INTERSECT(a.sh, b.sh)) * 1.0 / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) >= 0.02), " +
+       "edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs), " +
+       "reach(src, dst) AS (SELECT a, b FROM edges " +
+       "UNION SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a) " +
+       "SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster " +
+       "FROM reach GROUP BY src ORDER BY doc_id"),
     "dedup_ngram_jaccard" ->
       ("WITH sh AS (SELECT doc_id, lang, source, " +
        "LIST_DISTINCT(CASE WHEN LEN(STRING_SPLIT(LOWER(TRIM(text)), ' ')) >= 3 THEN " +

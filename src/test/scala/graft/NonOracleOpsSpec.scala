@@ -22,6 +22,19 @@ class NonOracleOpsSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents resolves chains, triangles, and isolated pairs") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), // 5-node chain -> cluster 1
+      (10L, 11L), (11L, 12L), (10L, 12L),     // triangle -> cluster 10
+      (20L, 21L)                              // isolated pair -> cluster 20
+    ).toDF("a", "b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(got(_) == 1L), got)
+    assert((10L to 12L).forall(got(_) == 10L), got)
+    assert(got(20L) == 20L && got(21L) == 20L, got)
+  }
+
   test("dedup_source_sketch estimates cross-source Jaccard within MinHash error") {
     val out = SparkEntry.queries("dedup_source_sketch")(spark, sf001).collect()
     assert(out.nonEmpty)
