@@ -94,11 +94,20 @@ object Dedup {
     * O(diameter) rounds; near-dup graphs are clique-ish so diameters
     * are tiny. Returns (node, cluster = min node of its component). */
   def connectedComponents(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("a"), col("b"))
-      .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
-      .cache()
+    // The pair-generation join upstream is the expensive part; the
+    // edge list itself is tiny (near-dup graphs are sparse). Eager
+    // localCheckpoint runs that join exactly ONCE and truncates the
+    // lineage, so every propagation round plans against a small
+    // in-memory table instead of re-deriving (or re-optimizing) the
+    // full upstream plan. At cluster scale this becomes a
+    // checkpoint to reliable storage — same shape.
+    // coalesce(1): the edge list is a few hundred rows — one partition
+    // makes every loop job a single task and lets AQE broadcast it
+    val p = pairs.select(col("a"), col("b")).coalesce(1).localCheckpoint()
+    val edges = p.unionByName(p.select(col("b").as("a"), col("a").as("b")))
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("cluster", col("node"))
+      .localCheckpoint()
     var prevSum = Long.MaxValue
     var iters = 0
     var done = false
@@ -107,7 +116,7 @@ object Dedup {
           edges.join(labels.withColumnRenamed("node", "a"), Seq("a"))
             .select(col("b").as("node"), col("cluster")))
         .groupBy("node").agg(min(col("cluster")).as("cluster"))
-        .cache()
+        .localCheckpoint()
       val s = next.agg(sum(col("cluster"))).collect()(0).getLong(0)
       done = s == prevSum
       prevSum = s
