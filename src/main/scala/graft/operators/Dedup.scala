@@ -43,6 +43,15 @@ object Dedup {
       .select((Seq(col("doc_id"), shinglesOf(col("toks")).as("sh")) ++
                extra.map(col)): _*)
 
+  /** Like [[withShingles]] but with the shingle set xxhash64'd to
+    * `array<bigint>`: set relations (and therefore Jaccard) survive
+    * 64-bit hashing (collision odds ~(n²/2⁶⁵) ≈ 0), while every pair
+    * join downstream shuffles compact longs instead of full shingle
+    * strings — 4-8× less join I/O, same scores. */
+  def withHashedShingles(docs: DataFrame, extra: String*): DataFrame =
+    withShingles(docs, extra: _*)
+      .withColumn("sh", transform(col("sh"), s => xxhash64(s)))
+
   /** MinHash signature: NumPerms minima over the shingle set — base
     * shingle hashes stay a codegen'd xxhash64 transform, the per-perm
     * minima run in the native single-pass kernel
@@ -52,8 +61,8 @@ object Dedup {
 
   /** Candidate near-dup pairs via LSH banding over the signatures. */
   def minhashCandidates(docs: DataFrame): DataFrame = {
-    val sigs = withShingles(docs)
-      .withColumn("sig", minhashSignature(col("sh")))
+    val sigs = withHashedShingles(docs)
+      .withColumn("sig", graft.functions.MinHashSig(col("sh"), NumPerms))
     // band key = hash of the band's signature slice; explode to (band, key)
     val banded = sigs.select(
       col("doc_id"), col("sh"), col("sig"),
@@ -207,7 +216,7 @@ object Dedup {
     // recursive CTE computes the same transitive closure). Multi-hop
     // convergence is unit-tested on planted chain/triangle graphs.
     "dedup_cluster" -> ((s, dir) => {
-      val d = withShingles(documents(s, dir), "lang", "source")
+      val d = withHashedShingles(documents(s, dir), "lang", "source")
       val l = d.select(col("lang"), col("source"), col("doc_id").as("a"), col("sh").as("sh_a"))
       val r = d.select(col("lang"), col("source"), col("doc_id").as("b"), col("sh").as("sh_b"))
       val pairs = l.join(r, Seq("lang", "source"))
@@ -250,7 +259,7 @@ object Dedup {
     // N-gram Jaccard near-dup: exact pairwise Jaccard over word
     // 3-shingles, blocked by (lang, source) to bound the pair space.
     "dedup_ngram_jaccard" -> ((s, dir) => {
-      val d = withShingles(documents(s, dir), "lang", "source")
+      val d = withHashedShingles(documents(s, dir), "lang", "source")
       val a = d.select(col("lang"), col("source"), col("doc_id").as("a"), col("sh").as("sh_a"))
       val b = d.select(col("lang"), col("source"), col("doc_id").as("b"), col("sh").as("sh_b"))
       a.join(b, Seq("lang", "source"))
