@@ -176,7 +176,7 @@ object Scans {
       ("SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty " +
        "FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_returnflag ORDER BY l_returnflag"),
     "source_file_discovery" ->
-      "SELECT 'events' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows FROM events",
+      "SELECT 'events' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows FROM events ORDER BY table_name",
     "sink_csv_roundtrip" ->
       ("SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, " +
        s"${dsumSql("l_extendedprice")} AS total " +
