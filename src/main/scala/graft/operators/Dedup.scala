@@ -239,8 +239,8 @@ object Dedup {
     // twice. No oracle (xxhash64-specific); property-tested against
     // exact union-shingle Jaccard.
     "dedup_source_sketch" -> ((s, dir) => {
-      val sigs = withShingles(documents(s, dir), "lang", "source")
-        .withColumn("sig", minhashSignature(col("sh")))
+      val sigs = withHashedShingles(documents(s, dir), "lang", "source")
+        .withColumn("sig", graft.functions.MinHashSig(col("sh"), NumPerms))
       val groupSig = sigs
         .select(col("lang"), col("source"), posexplode(col("sig")).as(Seq("pos", "v")))
         .groupBy("lang", "source", "pos").agg(min(col("v")).as("mv"))
