@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// keep sbt's "[success] Total time" line off stdout: the bench driver
+// JSON-parses the tail of `sbt runMain graft.Bench` output, and the
+// success banner landing AFTER the result line defeated that parse in
+// rounds 1-2 (BENCH_r01/r02: parsed:null)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

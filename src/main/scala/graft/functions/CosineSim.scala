@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftx.shims
 import org.apache.spark.sql.types._
@@ -33,6 +33,26 @@ object CosineSimImpl {
       i += 1
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** cosine(x, x) without the redundant arithmetic. Bit-identical to
+    * `cosine(a, a, f, f)`: there dot == na == nb (same accumulation
+    * order), so the result is na / (sqrt(na) * sqrt(na)) — NOT a
+    * constant 1.0 (an all-zero vector gives 0/0 = NaN, and
+    * sqrt(na)² can differ from na by an ulp). Null elements throw
+    * exactly like the two-argument kernel. */
+  def selfCosine(a: ArrayData, aFloat: Boolean): Double = {
+    val n = a.numElements()
+    var na = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i))
+        throw new IllegalArgumentException(s"graft_cosine: null element at index $i")
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      na += x * x
+      i += 1
+    }
+    na / (math.sqrt(na) * math.sqrt(na))
   }
 }
 
@@ -76,4 +96,38 @@ case class CosineSim(left: Expression, right: Expression)
 object CosineSim {
   def apply(a: Column, b: Column): Column =
     shims.column(CosineSim(shims.expression(a), shims.expression(b)))
+}
+
+/** Strength-reduced `cosine(x, x)` — the rewrite target of
+  * [[graft.plans.SelfCosineIsOne]]. One multiply-add per element
+  * instead of three, while preserving the degenerate semantics the
+  * two-argument kernel has (zero vector → NaN, null element → throw,
+  * null array → null), so the optimizer rule stays
+  * semantics-preserving for ALL inputs (ADVICE r2). */
+case class SelfCosine(child: Expression) extends UnaryExpression {
+
+  private def elemFloat: Option[Boolean] = child.dataType match {
+    case ArrayType(FloatType, _)  => Some(true)
+    case ArrayType(DoubleType, _) => Some(false)
+    case _                        => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemFloat.isDefined) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float|double> arg, got ${child.dataType.sql}")
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_selfcos"
+
+  private lazy val aF = elemFloat.get
+
+  override def nullSafeEval(a: Any): Any =
+    CosineSimImpl.selfCosine(a.asInstanceOf[ArrayData], aF)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.CosineSimImpl.selfCosine($a, $aF)")
+
+  override protected def withNewChildInternal(newChild: Expression): SelfCosine =
+    copy(child = newChild)
 }

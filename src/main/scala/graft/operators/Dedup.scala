@@ -47,10 +47,23 @@ object Dedup {
     * `array<bigint>`: set relations (and therefore Jaccard) survive
     * 64-bit hashing (collision odds ~(n²/2⁶⁵) ≈ 0), while every pair
     * join downstream shuffles compact longs instead of full shingle
-    * strings — 4-8× less join I/O, same scores. */
+    * strings — 4-8× less join I/O, same scores. Sorted ascending once
+    * per document so pairwise set ops downstream are merge scans
+    * ([[jaccardSorted]]) instead of per-pair hash-set builds. */
   def withHashedShingles(docs: DataFrame, extra: String*): DataFrame =
     withShingles(docs, extra: _*)
-      .withColumn("sh", transform(col("sh"), s => xxhash64(s)))
+      .withColumn("sh", array_sort(transform(col("sh"), s => xxhash64(s))))
+
+  /** Exact Jaccard over two SORTED hashed-shingle arrays: one merge
+    * scan for |A∩B| ([[graft.functions.SortedIntersectSize]]),
+    * |A∪B| = |A|+|B|−|A∩B| (both sides duplicate-free). Same value,
+    * bit-for-bit, as size(array_intersect)/size(array_union) — both
+    * divisions are int-over-int in doubles — at a fraction of the
+    * cost (no per-pair hash sets). */
+  def jaccardSorted(a: Column, b: Column): Column = {
+    val inter = graft.functions.SortedIntersectSize(a, b)
+    inter.cast("double") / (size(a) + size(b) - inter).cast("double")
+  }
 
   /** MinHash signature: NumPerms minima over the shingle set — base
     * shingle hashes stay a codegen'd xxhash64 transform, the per-perm
@@ -81,9 +94,7 @@ object Dedup {
   /** Candidate pairs verified with exact Jaccard over shingle sets. */
   def minhashPairs(docs: DataFrame, jaccardMin: Double): DataFrame =
     minhashCandidates(docs)
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-        size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard", jaccardSorted(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= jaccardMin)
       .select(col("a"), col("b"), r4(col("jaccard")).as("jaccard"))
 
@@ -102,6 +113,17 @@ object Dedup {
     * monotone — an unchanged sum IS the fixpoint. Converges in
     * O(diameter) rounds; near-dup graphs are clique-ish so diameters
     * are tiny. Returns (node, cluster = min node of its component). */
+  /** Driver-side union-find cutoff: below this many edges the
+    * component solve is a local union-find on collected pairs instead
+    * of a distributed fixpoint loop. Near-dup edge lists are tiny
+    * relative to the corpus (sparse graphs), so production CC
+    * implementations hybridize exactly like this — the distributed
+    * loop's per-round job overhead (join + agg + checkpoint + collect
+    * ×O(diameter)) dwarfs a one-partition collect until the graph is
+    * millions of edges. The distributed path stays for larger graphs
+    * and is unit-tested on planted chains/triangles. */
+  val LocalCcMaxEdges = 4000000L
+
   def connectedComponents(pairs: DataFrame): DataFrame = {
     // The pair-generation join upstream is the expensive part; the
     // edge list itself is tiny (near-dup graphs are sparse). Eager
@@ -109,10 +131,13 @@ object Dedup {
     // lineage, so every propagation round plans against a small
     // in-memory table instead of re-deriving (or re-optimizing) the
     // full upstream plan. At cluster scale this becomes a
-    // checkpoint to reliable storage — same shape.
-    // coalesce(1): the edge list is a few hundred rows — one partition
-    // makes every loop job a single task and lets AQE broadcast it
-    val p = pairs.select(col("a"), col("b")).coalesce(1).localCheckpoint()
+    // checkpoint to reliable storage — same shape. The checkpoint
+    // keeps the upstream partitioning: a coalesce(1) BEFORE it would
+    // run the whole pair join + Jaccard filter in one task (that
+    // serialization was ~2 s of dedup_cluster at sf0.1).
+    val p = pairs.select(col("a"), col("b")).localCheckpoint()
+    val nEdges = p.count()
+    if (nEdges <= LocalCcMaxEdges) return localComponents(p)
     val edges = p.unionByName(p.select(col("b").as("a"), col("a").as("b")))
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("cluster", col("node"))
@@ -120,19 +145,70 @@ object Dedup {
     var prevSum = Long.MaxValue
     var iters = 0
     var done = false
-    while (!done && iters < 15) {
+    // Labels only decrease, so Σlabel is strictly monotone until the
+    // fixpoint — convergence is guaranteed in ≤ diameter rounds. The
+    // cap is a safety net far above any real near-dup graph's
+    // diameter; hitting it means the result is NOT converged, which
+    // must be loud, not silently wrong (ADVICE r2).
+    val MaxIters = 60
+    while (!done && iters < MaxIters) {
       val next = labels.unionByName(
           edges.join(labels.withColumnRenamed("node", "a"), Seq("a"))
             .select(col("b").as("node"), col("cluster")))
         .groupBy("node").agg(min(col("cluster")).as("cluster"))
         .localCheckpoint()
-      val s = next.agg(sum(col("cluster"))).collect()(0).getLong(0)
-      done = s == prevSum
-      prevSum = s
+      // sum() over zero rows is a single NULL row — an empty pair
+      // graph (e.g. a scale factor where no pair clears the Jaccard
+      // threshold) must yield the empty labeling, not an NPE
+      // (ADVICE r2)
+      val row = next.agg(sum(col("cluster"))).collect()(0)
+      if (row.isNullAt(0)) done = true
+      else {
+        val s = row.getLong(0)
+        done = s == prevSum
+        prevSum = s
+      }
       labels = next
       iters += 1
     }
+    if (!done)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $MaxIters rounds — " +
+        "component diameter exceeds the cap; labels would be wrong")
     labels
+  }
+
+  /** Union-find over a collected edge list (the small-graph arm of
+    * [[connectedComponents]]). Same contract: (node, cluster = min
+    * node id of the component). Path-halving find, union-by-min so
+    * the root IS the representative. */
+  private def localComponents(p: DataFrame): DataFrame = {
+    val spark = p.sparkSession
+    import spark.implicits._
+    val edges = p.as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      var px = parent.getOrElse(x, x)
+      while (px != x) {
+        val ppx = parent.getOrElse(px, px)
+        parent(x) = ppx // path halving
+        x = ppx
+        px = parent.getOrElse(x, x)
+      }
+      x
+    }
+    def union(a: Long, b: Long): Unit = {
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        // min root wins → the final root is the component's min id
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val nodes = scala.collection.mutable.TreeSet.empty[Long]
+    edges.foreach { case (a, b) => nodes += a; nodes += b; union(a, b) }
+    val labels = nodes.toSeq.map(n => (n, find(n)))
+    spark.createDataFrame(labels).toDF("node", "cluster")
   }
 
   val queries: Map[String, Q] = Map(
@@ -221,8 +297,7 @@ object Dedup {
       val r = d.select(col("lang"), col("source"), col("doc_id").as("b"), col("sh").as("sh_b"))
       val pairs = l.join(r, Seq("lang", "source"))
         .where(col("a") < col("b") &&
-               size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-               size(array_union(col("sh_a"), col("sh_b"))) >= 0.02)
+               jaccardSorted(col("sh_a"), col("sh_b")) >= 0.02)
         .select(col("a"), col("b"))
       connectedComponents(pairs)
         .select(col("node").as("doc_id"), col("cluster")).orderBy("doc_id")
@@ -232,7 +307,7 @@ object Dedup {
     // elementwise min of sig(A) and sig(B), a GROUP's sketch is a
     // plain MIN aggregate over its documents' signatures — a mergeable
     // partial aggregate, so per-(lang, source) corpus sketches cost
-    // one hash-agg shuffle of (group, perm, min) triples no matter how
+    // one hash-agg shuffle of per-group partials no matter how
     // many documents feed them. Cross-source similarity is then the
     // matching-slot fraction between 32-slot sketches — how a 100 TB
     // pipeline compares whole corpora without touching documents
@@ -241,18 +316,30 @@ object Dedup {
     "dedup_source_sketch" -> ((s, dir) => {
       val sigs = withHashedShingles(documents(s, dir), "lang", "source")
         .withColumn("sig", graft.functions.MinHashSig(col("sh"), NumPerms))
-      val groupSig = sigs
-        .select(col("lang"), col("source"), posexplode(col("sig")).as(Seq("pos", "v")))
-        .groupBy("lang", "source", "pos").agg(min(col("v")).as("mv"))
-      val a = groupSig.select(col("lang"), col("source").as("src_a"),
-                              col("pos"), col("mv").as("va"))
-      val b = groupSig.select(col("lang"), col("source").as("src_b"),
-                              col("pos"), col("mv").as("vb"))
-      a.join(b, Seq("lang", "pos"))
+      // group sketch = elementwise min of member signatures, expressed
+      // as 32 plain MIN aggregates (one per slot): stays a mergeable
+      // partial aggregate (one hash-agg shuffle of (lang, source)
+      // groups) with NO 32× posexplode row blowup — the r2 shape
+      // shuffled 32·n exploded rows and re-ran the whole document
+      // pipeline on both sides of the pair join (16.8 s at sf0.1).
+      // The sketch table is #langs × #sources rows → checkpoint it so
+      // the self-join plans against the tiny result, not the corpus.
+      val slotMins = (0 until NumPerms).map(i =>
+        min(element_at(col("sig"), i + 1)).as(s"m$i"))
+      val groupSig = sigs.groupBy("lang", "source")
+        .agg(slotMins.head, slotMins.tail: _*)
+        .select(col("lang"), col("source"),
+                array((0 until NumPerms).map(i => col(s"m$i")): _*).as("sketch"))
+        .coalesce(1).localCheckpoint()
+      val a = groupSig.select(col("lang"), col("source").as("src_a"), col("sketch").as("ka"))
+      val b = groupSig.select(col("lang"), col("source").as("src_b"), col("sketch").as("kb"))
+      a.join(b, Seq("lang"))
         .where(col("src_a") < col("src_b"))
-        .groupBy("lang", "src_a", "src_b")
-        .agg(fround(sum(when(col("va") === col("vb"), 1.0).otherwise(0.0)) /
-                    count(lit(1)), 4).as("est_jaccard"))
+        .select(col("lang"), col("src_a"), col("src_b"),
+          fround(
+            aggregate(
+              zip_with(col("ka"), col("kb"), (x, y) => when(x === y, 1.0).otherwise(0.0)),
+              lit(0.0), (acc, v) => acc + v) / NumPerms, 4).as("est_jaccard"))
         .orderBy("lang", "src_a", "src_b")
     }),
 
@@ -264,9 +351,7 @@ object Dedup {
       val b = d.select(col("lang"), col("source"), col("doc_id").as("b"), col("sh").as("sh_b"))
       a.join(b, Seq("lang", "source"))
         .where(col("a") < col("b"))
-        .withColumn("jaccard",
-          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        .withColumn("jaccard", jaccardSorted(col("sh_a"), col("sh_b")))
         .groupBy("lang", "source")
         .agg(big(count(lit(1))).as("n_pairs"),
              r4(max(col("jaccard"))).as("max_jaccard"),

@@ -132,14 +132,27 @@ object Joins {
     // table catalog. PlanAuditSpec asserts the exchange-free plan.
     "join_bucketed_colocated" -> ((s, dir) => {
       val nb = 8
-      // Table names are scoped by the input dir (ADVICE r1): a bucketed
+      // Table names are scoped by a fingerprint of the input dir AND
+      // its source files (name/size/mtime) (ADVICE r1+r2): a bucketed
       // table that exists in the catalog under this name was, by
-      // construction, built from THIS sfDir — reuse it instead of
+      // construction, built from THIS data — reuse it instead of
       // re-deleting/re-writing (which raced with concurrent queries and
-      // touched paths derived from mutable session conf). Only a missing
-      // catalog entry triggers a build, and then the only delete is of
-      // the orphaned location left by a previous JVM's metastore loss.
-      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      // touched paths derived from mutable session conf). Regenerated
+      // fixtures change the fingerprint → a fresh table, never stale
+      // buckets; the hash is also collision-free where the old
+      // [^A-Za-z0-9]→_ sanitization wasn't (/d/sf0.1 vs /d/sf0_1).
+      def fsSig(path: String): String = {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (!fs.exists(p)) "absent"
+        else fs.listStatus(p).sortBy(_.getPath.getName)
+          .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+          .mkString(",")
+      }
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$dir|${fsSig(s"$dir/orders.parquet")}|${fsSig(s"$dir/customer.parquet")}"
+          .getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(16)
       val ordersT = s"graft_orders_b_$tag"
       val custT   = s"graft_customer_b_$tag"
       def build(t: String, write: => Unit): Unit =

@@ -6,7 +6,6 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.DoubleType
 
 /** The engine's `SparkSessionExtensions` module: what a user installs
   * with `spark.sql.extensions=graft.plans.GraftExtensions` to get the
@@ -19,7 +18,7 @@ import org.apache.spark.sql.types.DoubleType
   *   - `graft_simhash64(hashes)`    native SimHash fingerprint
   *   - `graft_minhash_sig(h, k)`    single-pass MinHash signature
   *   - `graft_hyperplane_lsh(v, l, b)` multi-table LSH buckets
-  *   - [[SelfCosineIsOne]]          optimizer rule: cosine(x, x) ⇒ 1.0
+  *   - [[SelfCosineIsOne]]          optimizer rule: cosine(x, x) ⇒ single-pass self-cosine
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -68,15 +67,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 }
 
-/** Optimizer rule: `graft_cosine(x, x)` is identically 1.0 for any
-  * non-degenerate x, so fold it to a literal — the pattern shows up
-  * when generated similarity matrices include the diagonal. Null
-  * propagation is preserved by keeping the null check on the child. */
+/** Optimizer rule: strength-reduce `graft_cosine(x, x)` to the
+  * single-pass [[graft.functions.SelfCosine]] kernel — the pattern
+  * shows up when generated similarity matrices include the diagonal.
+  * NOT folded to a literal 1.0 (ADVICE r2): the two-argument kernel
+  * returns NaN for an all-zero vector, throws on null elements, and
+  * is an ulp off 1.0 when sqrt(‖x‖²)² ≠ ‖x‖²; `SelfCosine`
+  * reproduces all of that bit-for-bit, so the rewrite is
+  * semantics-preserving for every input, degenerate or not. */
 object SelfCosineIsOne extends Rule[LogicalPlan] {
-  import org.apache.spark.sql.catalyst.expressions.{If, IsNull, Literal => L}
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case CosineSim(a, b) if a.deterministic && a.semanticEquals(b) =>
-        If(IsNull(a), L(null, DoubleType), L(1.0, DoubleType))
+        graft.functions.SelfCosine(a)
     }
 }

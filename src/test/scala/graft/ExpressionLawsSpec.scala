@@ -28,6 +28,32 @@ class ExpressionLawsSpec extends AnyFunSuite {
       .flatMap(n => Gen.listOfN(n, Gen.chooseNum(-10.0f, 10.0f)).map(_.toArray))
       .suchThat(v => v.exists(x => math.abs(x) > 1e-3))
 
+  test("sorted-intersect size equals the set-intersection cardinality") {
+    val sortedSets: Gen[(Array[Long], Array[Long])] =
+      Gen.zip(Gen.listOf(Gen.chooseNum(-100L, 100L)), Gen.listOf(Gen.chooseNum(-100L, 100L)))
+        .map { case (a, b) => (a.distinct.sorted.toArray, b.distinct.sorted.toArray) }
+    forAllSamples(sortedSets) { case (a, b) =>
+      val got = functions.SortedIntersectImpl.intersectSize(
+        ArrayData.toArrayData(a), ArrayData.toArrayData(b))
+      assert(got == a.toSet.intersect(b.toSet).size)
+      // and the derived union identity jaccardSorted relies on
+      assert(a.length + b.length - got == a.toSet.union(b.toSet).size)
+    }
+  }
+
+  test("selfCosine is bit-identical to cosine(x, x), NaN on zero vectors") {
+    forAllSamples(vectors) { v =>
+      val a = ArrayData.toArrayData(v)
+      val self = functions.CosineSimImpl.selfCosine(a, true)
+      val both = functions.CosineSimImpl.cosine(a, a, true, true)
+      assert(java.lang.Double.doubleToLongBits(self) ==
+             java.lang.Double.doubleToLongBits(both))
+    }
+    val z = ArrayData.toArrayData(Array(0.0f, 0.0f))
+    assert(functions.CosineSimImpl.selfCosine(z, true).isNaN)
+    assert(functions.CosineSimImpl.cosine(z, z, true, true).isNaN)
+  }
+
   test("simhash is permutation-invariant (bag semantics)") {
     forAllSamples(hashArrays) { hs =>
       val a = functions.SimHashImpl.simhash64(ArrayData.toArrayData(hs))

@@ -35,12 +35,41 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getInt(3) == 4)
   }
 
-  test("SelfCosineIsOne folds cosine(x, x) out of the optimized plan") {
+  // inputs below are id-dependent (non-foldable) so built-in constant
+  // folding can't evaluate the expression into a LocalRelation before
+  // the plan-shape assertions run
+
+  test("SelfCosineIsOne strength-reduces cosine(x, x) in the optimized plan") {
     val df = extended.sql(
-      "SELECT graft_cosine(v, v) AS c FROM VALUES (array(3.0d, 4.0d)) t(v)")
+      """SELECT graft_cosine(v, v) AS c FROM
+        |(SELECT array(cast(id AS double) + 3.0d, 4.0d) AS v FROM range(1))""".stripMargin)
     val optimized = df.queryExecution.optimizedPlan.toString
-    assert(!optimized.contains("graft_cosine"), optimized)
+    assert(optimized.contains("graft_selfcos"), optimized)
+    assert(!optimized.contains("graft_cosine("), optimized)
     assert(df.collect()(0).getDouble(0) == 1.0)
+  }
+
+  test("the rewrite preserves degenerate cosine semantics (ADVICE r2)") {
+    // all-zero vector: kernel yields 0/0 = NaN — the rewritten plan must too
+    val zero = extended.sql( // range(1) ⇒ id = 0 ⇒ the vector is (0.0, 0.0) at runtime
+      """SELECT graft_cosine(v, v) AS c FROM
+        |(SELECT array(cast(id AS double), 0.0d) AS v FROM range(1))""".stripMargin)
+    assert(zero.queryExecution.optimizedPlan.toString.contains("graft_selfcos"))
+    assert(zero.collect()(0).getDouble(0).isNaN)
+    // null array: null in, null out
+    val nul = extended.sql(
+      """SELECT graft_cosine(v, v) AS c FROM
+        |(SELECT if(id < 0, array(1.0d), cast(null AS array<double>)) AS v FROM range(1))""".stripMargin)
+    assert(nul.collect()(0).isNullAt(0))
+    // null element: the kernel throws — the rewritten form must not
+    // silently return 1.0 (that was the unsound fold)
+    val bad = extended.sql(
+      """SELECT graft_cosine(v, v) AS c FROM
+        |(SELECT array(1.0d, if(id < 0, 1.0d, cast(null AS double))) AS v FROM range(1))""".stripMargin)
+    val e = intercept[Exception] { bad.collect() }
+    def causes(t: Throwable): Seq[Throwable] =
+      Option(t).map(x => x +: causes(x.getCause)).getOrElse(Nil)
+    assert(causes(e).exists(c => Option(c.getMessage).exists(_.contains("null element"))), e.toString)
   }
 
   test("the rule leaves cosine(x, y) with distinct children untouched") {
