@@ -16,6 +16,7 @@ run / fork := true
 // success banner landing AFTER the result line defeated that parse in
 // rounds 1-2 (BENCH_r01/r02: parsed:null)
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

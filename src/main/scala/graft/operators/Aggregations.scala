@@ -12,6 +12,20 @@ import org.apache.spark.sql.functions._
 object Aggregations {
 
   val queries: Map[String, Q] = Map(
+    // arg-min/arg-max (max_by/min_by): richest/poorest customer per
+    // nation in ONE hash aggregate — no window, no self-join. Ties on
+    // acctbal are broken by custkey via an exact integer composite key
+    // (acctbal has 2 decimals, so bal*100 is integral; custkey < 1e7),
+    // because neither engine defines which arg wins a tie.
+    "agg_arg_minmax" -> ((s, dir) => {
+      val key = round(col("c_acctbal") * 100).cast("long") * 10000000L + col("c_custkey")
+      customer(s, dir).groupBy("c_nationkey")
+        .agg(max_by(col("c_custkey"), key).as("top_cust"),
+             min_by(col("c_custkey"), key).as("bottom_cust"),
+             max(col("c_acctbal")).as("max_bal"),
+             min(col("c_acctbal")).as("min_bal"))
+        .orderBy("c_nationkey")
+    }),
     // Flagship — TPC-H Q1 shape. Partial agg on every input split, one
     // tiny shuffle of 6-ish groups.
     "agg_hash_groupby" -> ((s, dir) =>
@@ -181,6 +195,12 @@ object Aggregations {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_arg_minmax" ->
+      ("SELECT c_nationkey, " +
+       "ARG_MAX(c_custkey, CAST(ROUND(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey) AS top_cust, " +
+       "ARG_MIN(c_custkey, CAST(ROUND(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey) AS bottom_cust, " +
+       "MAX(c_acctbal) AS max_bal, MIN(c_acctbal) AS min_bal " +
+       "FROM customer GROUP BY c_nationkey ORDER BY c_nationkey"),
     "agg_hash_groupby" ->
       ("SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty, " +
        s"${dsumSql("l_extendedprice")} AS sum_base_price, " +

@@ -113,6 +113,20 @@ object Dedup {
     * monotone — an unchanged sum IS the fixpoint. Converges in
     * O(diameter) rounds; near-dup graphs are clique-ish so diameters
     * are tiny. Returns (node, cluster = min node of its component). */
+  /** Exact near-dup pairs: (lang, source)-blocked self-join with the
+    * merge-scan Jaccard predicate — the shared pair source for
+    * clustering ([[connectedComponents]]) and graph triage
+    * (`graph_degree`). Blocking bounds the candidate space to
+    * Σ|block|², never all-pairs. */
+  def blockedJaccardPairs(docs: DataFrame, minJ: Double): DataFrame = {
+    val d = withHashedShingles(docs, "lang", "source")
+    val l = d.select(col("lang"), col("source"), col("doc_id").as("a"), col("sh").as("sh_a"))
+    val r = d.select(col("lang"), col("source"), col("doc_id").as("b"), col("sh").as("sh_b"))
+    l.join(r, Seq("lang", "source"))
+      .where(col("a") < col("b") && jaccardSorted(col("sh_a"), col("sh_b")) >= minJ)
+      .select(col("a"), col("b"))
+  }
+
   /** Driver-side union-find cutoff: below this many edges the
     * component solve is a local union-find on collected pairs instead
     * of a distributed fixpoint loop. Near-dup edge lists are tiny
@@ -291,16 +305,21 @@ object Dedup {
     // makes the whole component structure oracle-checkable (DuckDB
     // recursive CTE computes the same transitive closure). Multi-hop
     // convergence is unit-tested on planted chain/triangle graphs.
-    "dedup_cluster" -> ((s, dir) => {
-      val d = withHashedShingles(documents(s, dir), "lang", "source")
-      val l = d.select(col("lang"), col("source"), col("doc_id").as("a"), col("sh").as("sh_a"))
-      val r = d.select(col("lang"), col("source"), col("doc_id").as("b"), col("sh").as("sh_b"))
-      val pairs = l.join(r, Seq("lang", "source"))
-        .where(col("a") < col("b") &&
-               jaccardSorted(col("sh_a"), col("sh_b")) >= 0.02)
-        .select(col("a"), col("b"))
-      connectedComponents(pairs)
-        .select(col("node").as("doc_id"), col("cluster")).orderBy("doc_id")
+    "dedup_cluster" -> ((s, dir) =>
+      connectedComponents(blockedJaccardPairs(documents(s, dir), 0.02))
+        .select(col("node").as("doc_id"), col("cluster")).orderBy("doc_id")),
+
+    // Degree histogram of the near-dup pair graph: the triage view a
+    // pipeline operator reads BEFORE clustering — a fat tail of
+    // high-degree nodes means template spam (drop wholesale), degree
+    // ≈ 1 everywhere means simple pairwise dups (keep-min suffices).
+    "graph_degree" -> ((s, dir) => {
+      val pairs = blockedJaccardPairs(documents(s, dir), 0.02)
+      pairs.select(col("a").as("node"))
+        .unionByName(pairs.select(col("b").as("node")))
+        .groupBy("node").agg(big(count(lit(1))).as("degree"))
+        .groupBy("degree").agg(big(count(lit(1))).as("n_nodes"))
+        .orderBy("degree")
     }),
 
     // Corpus-level MinHash sketches: because sig(A∪B) is the
@@ -386,6 +405,20 @@ object Dedup {
        "UNION SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a) " +
        "SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster " +
        "FROM reach GROUP BY src ORDER BY doc_id"),
+    "graph_degree" ->
+      ("WITH sh AS (SELECT doc_id, lang, source, " +
+       "LIST_DISTINCT(CASE WHEN LEN(STRING_SPLIT(LOWER(TRIM(text)), ' ')) >= 3 THEN " +
+       "LIST_TRANSFORM(RANGE(0, LEN(STRING_SPLIT(LOWER(TRIM(text)), ' ')) - 2), " +
+       "i -> ARRAY_TO_STRING(STRING_SPLIT(LOWER(TRIM(text)), ' ')[i+1:i+3], ' ')) " +
+       "ELSE [ARRAY_TO_STRING(STRING_SPLIT(LOWER(TRIM(text)), ' '), ' ')] END) AS sh " +
+       "FROM documents), " +
+       "pairs AS (SELECT a.doc_id AS a, b.doc_id AS b FROM sh a JOIN sh b " +
+       "ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id " +
+       "WHERE LEN(LIST_INTERSECT(a.sh, b.sh)) * 1.0 / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) >= 0.02), " +
+       "deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM " +
+       "(SELECT a AS node FROM pairs UNION ALL SELECT b AS node FROM pairs) GROUP BY node) " +
+       "SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg " +
+       "GROUP BY degree ORDER BY degree"),
     "dedup_ngram_jaccard" ->
       ("WITH sh AS (SELECT doc_id, lang, source, " +
        "LIST_DISTINCT(CASE WHEN LEN(STRING_SPLIT(LOWER(TRIM(text)), ' ')) >= 3 THEN " +

@@ -98,6 +98,23 @@ object Multimodal {
              r4(avg(col("nrm"))).as("avg_norm"))
         .orderBy("label")),
 
+    // Fixed-size chunk plan over binary payloads: the shape of audio
+    // segmentation / large-blob upload planning — chunk count, tail
+    // size, and a digest of the head chunk, all derived row-locally
+    // from the opaque bytes (no shuffle until the final ORDER BY).
+    "multimodal_chunks" -> ((s, dir) => {
+      val chunk = 64
+      withPayload(documents(s, dir))
+        .select(
+          col("doc_id"),
+          col("meta.media_type").as("media_type"),
+          big(length(col("payload"))).as("n_bytes"),
+          ceil(length(col("payload")).cast("double") / chunk).cast("long").as("n_chunks"),
+          (length(col("payload")) % chunk).cast("long").as("tail_bytes"),
+          md5(substring(col("payload"), 1, chunk)).as("head_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Decode pipeline end-to-end (stubbed decode, real plumbing). No
     // oracle: the stub's output is engine-internal; unit tests pin it.
     "multimodal_decode" -> ((s, dir) =>
@@ -142,6 +159,14 @@ object Multimodal {
        "ROUND(AVG(SQRT(LIST_DOT_PRODUCT(embedding, embedding))), 4) AS avg_norm " +
        "FROM documents JOIN embeddings ON doc_id = vec_id " +
        "GROUP BY label ORDER BY label"),
+    "multimodal_chunks" ->
+      ("SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' " +
+       "ELSE 'video' END AS media_type, " +
+       "CAST(LENGTH(text) AS BIGINT) AS n_bytes, " +
+       "CAST(CEIL(LENGTH(text) / 64.0) AS BIGINT) AS n_chunks, " +
+       "CAST(LENGTH(text) % 64 AS BIGINT) AS tail_bytes, " +
+       "MD5(SUBSTRING(text, 1, 64)) AS head_md5 " +
+       "FROM documents ORDER BY doc_id"),
     "multimodal_framesample" ->
       ("WITH v AS (SELECT doc_id, text, CAST(LENGTH(text) AS BIGINT) AS n_bytes, " +
        "CAST(FLOOR((LENGTH(text) - 1) / 240) + 1 AS BIGINT) AS n_frames " +

@@ -85,6 +85,21 @@ object Similarity {
         .orderBy("label", "a", "b")
     }),
 
+    // Range (radius) search: ALL neighbors of the query above a cosine
+    // floor, not a fixed k — the retrieval mode for "everything similar
+    // enough", e.g. near-dup blocklists. Same zero-shuffle shape as
+    // top-k: broadcast query, scan-local cosine, filter; the plan has
+    // no exchange before the final (tiny) ordered result.
+    "sim_range_search" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val q = e.where(col("vec_id") === 0L).select(col("embedding").as("qv"))
+      e.where(col("vec_id") =!= 0L)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), fround(cosine(col("embedding"), col("qv")), 4).as("cos"))
+        .where(col("cos") >= 0.15)
+        .orderBy(col("cos").desc, col("vec_id"))
+    }),
+
     // ANN path: LSH-bucketed approximate neighbors (no oracle — bucket
     // membership is hash-construction-specific; property tests assert
     // recall against the brute-force baseline).
@@ -100,6 +115,14 @@ object Similarity {
        " AS cos " +
        "FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q " +
        "WHERE e.vec_id <> 0 ORDER BY cos DESC, e.vec_id LIMIT 10"),
+    "sim_range_search" ->
+      ("SELECT e.vec_id, " +
+       froundSql("LIST_COSINE_SIMILARITY(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))", 4) +
+       " AS cos " +
+       "FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q " +
+       "WHERE e.vec_id <> 0 AND " +
+       froundSql("LIST_COSINE_SIMILARITY(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))", 4) +
+       " >= 0.15 ORDER BY cos DESC, e.vec_id"),
     "sim_pairs_threshold" ->
       ("SELECT a.label, a.vec_id AS a, b.vec_id AS b, " +
        froundSql("LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))", 4) +

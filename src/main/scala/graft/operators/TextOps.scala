@@ -15,6 +15,58 @@ import org.apache.spark.sql.functions._
 object TextOps {
 
   val queries: Map[String, Q] = Map(
+    // Stopword scrubbing (the cleaning pass before tokenizer training):
+    // drop stoplist tokens per doc with a row-local array filter — no
+    // shuffle until the per-lang accounting aggregate. Reports tokens/
+    // chars removed per language so the budget impact is auditable.
+    "text_scrub_stopwords" -> ((s, dir) => {
+      val stop = Seq("a", "the", "and", "of")
+      documents(s, dir)
+        .select(col("lang"), split(lower(trim(col("text"))), " ").as("toks"))
+        .withColumn("kept", filter(col("toks"), t => !t.isInCollection(stop)))
+        .groupBy("lang")
+        .agg(big(count(lit(1))).as("n_docs"),
+             big(sum(size(col("toks")))).as("n_tokens"),
+             big(sum(size(col("toks")) - size(col("kept")))).as("n_removed"),
+             big(sum(length(concat_ws(" ", col("kept"))))).as("n_chars_after"))
+        .orderBy("lang")
+    }),
+
+    // Cross-document shingle document-frequency: the contamination /
+    // train-test-leakage detector — a 3-shingle appearing in many
+    // documents of a language is boilerplate or duplicated passage.
+    // Shingle sets are per-doc distinct, so count(*) per shingle IS
+    // document frequency; explode → hash-agg keeps the shuffle
+    // proportional to the shingle vocabulary.
+    "text_shingle_df" -> ((s, dir) => {
+      val d = Dedup.withShingles(documents(s, dir), "lang")
+      val dfreq = d.select(col("lang"), explode(col("sh")).as("shingle"))
+        .groupBy("lang", "shingle").agg(big(count(lit(1))).as("df"))
+      val w = Window.partitionBy("lang").orderBy(col("df").desc, col("shingle"))
+      dfreq.withColumn("rn", big(row_number().over(w)))
+        .where(col("rn") <= 10)
+        .orderBy("lang", "rn")
+    }),
+
+    // Stratified (balanced) sampling: downsample every language to the
+    // smallest language's document count, deterministically (first-k by
+    // doc_id per stratum — reproducible across runs, unlike rand()).
+    // The per-stratum target is a broadcast scalar, the selection one
+    // rank-window pass: no driver loop, no second scan.
+    "sample_stratified" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val target = d.groupBy("lang").agg(count(lit(1)).as("cnt"))
+        .agg(min(col("cnt")).as("target"))
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+      d.withColumn("rn", row_number().over(w))
+        .crossJoin(broadcast(target))
+        .where(col("rn") <= col("target"))
+        .groupBy("lang")
+        .agg(big(count(lit(1))).as("n_sampled"),
+             big(sum(col("n_chars"))).as("chars_sampled"))
+        .orderBy("lang")
+    }),
+
     // Top-20 terms per language by frequency.
     "text_tokens" -> ((s, dir) => {
       val counts = documents(s, dir)
@@ -173,6 +225,35 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_scrub_stopwords" ->
+      ("WITH t AS (SELECT lang, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS toks, " +
+       "LIST_FILTER(STRING_SPLIT(LOWER(TRIM(text)), ' '), x -> x NOT IN ('a', 'the', 'and', 'of')) AS kept " +
+       "FROM documents) " +
+       "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+       "CAST(SUM(LEN(toks)) AS BIGINT) AS n_tokens, " +
+       "CAST(SUM(LEN(toks) - LEN(kept)) AS BIGINT) AS n_removed, " +
+       "CAST(SUM(LENGTH(ARRAY_TO_STRING(kept, ' '))) AS BIGINT) AS n_chars_after " +
+       "FROM t GROUP BY lang ORDER BY lang"),
+    "text_shingle_df" ->
+      ("WITH sh AS (SELECT doc_id, lang, " +
+       "LIST_DISTINCT(CASE WHEN LEN(STRING_SPLIT(LOWER(TRIM(text)), ' ')) >= 3 THEN " +
+       "LIST_TRANSFORM(RANGE(0, LEN(STRING_SPLIT(LOWER(TRIM(text)), ' ')) - 2), " +
+       "i -> ARRAY_TO_STRING(STRING_SPLIT(LOWER(TRIM(text)), ' ')[i+1:i+3], ' ')) " +
+       "ELSE [ARRAY_TO_STRING(STRING_SPLIT(LOWER(TRIM(text)), ' '), ' ')] END) AS sh " +
+       "FROM documents), " +
+       "e AS (SELECT lang, UNNEST(sh) AS shingle FROM sh), " +
+       "dfreq AS (SELECT lang, shingle, CAST(COUNT(*) AS BIGINT) AS df FROM e GROUP BY lang, shingle) " +
+       "SELECT lang, shingle, df, rn FROM (SELECT lang, shingle, df, " +
+       "CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY df DESC, shingle) AS BIGINT) AS rn " +
+       "FROM dfreq) WHERE rn <= 10 ORDER BY lang, rn"),
+    "sample_stratified" ->
+      ("WITH t AS (SELECT MIN(cnt) AS target FROM " +
+       "(SELECT COUNT(*) AS cnt FROM documents GROUP BY lang)), " +
+       "r AS (SELECT lang, n_chars, " +
+       "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn FROM documents) " +
+       "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sampled, " +
+       "CAST(SUM(n_chars) AS BIGINT) AS chars_sampled " +
+       "FROM r, t WHERE rn <= target GROUP BY lang ORDER BY lang"),
     "text_tokens" ->
       ("WITH counts AS (SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS cnt FROM " +
        "(SELECT lang, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS token FROM documents) " +

@@ -15,6 +15,30 @@ import org.apache.spark.sql.functions._
 object Vectors {
 
   val queries: Map[String, Q] = Map(
+    // Per-label centroid + member-to-centroid cosine stats: the
+    // cluster-quality probe run after labeling/clustering a corpus.
+    // Centroid = elementwise mean via posexplode → (label, pos) hash
+    // agg (mergeable partials; decimal(24,6) sums so the mean is
+    // order-independent and oracle-exact), re-packed with an ordered
+    // collect, then ONE broadcast join sends the #labels×dim centroids
+    // back to the member scan — the corpus itself never shuffles.
+    "vec_centroid" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val cent = e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("label", "pos")
+        .agg((dsum6(col("v")) / count(lit(1))).as("c"))
+        .groupBy("label")
+        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+        .select(col("label"), transform(col("pc"), x => x.getField("c")).as("centroid"))
+      e.join(broadcast(cent), Seq("label"))
+        .select(col("label"), Similarity.cosine(col("embedding"), col("centroid")).as("cos"))
+        .groupBy("label")
+        .agg(big(count(lit(1))).as("n_vecs"),
+             fround(dsum6(col("cos")) / count(lit(1)), 4).as("avg_cos"),
+             r4(min(col("cos"))).as("min_cos"),
+             r4(max(col("cos"))).as("max_cos"))
+        .orderBy("label")
+    }),
     // L2 normalization surface: norm, first unit component, sum of unit
     // components. Row-local (no shuffle); the HOF pipeline evaluates
     // per element but stays a single projection pass.
@@ -97,6 +121,19 @@ object Vectors {
   )
 
   val oracle: Map[String, String] = Map(
+    "vec_centroid" ->
+      ("WITH pe AS (SELECT label, GENERATE_SUBSCRIPTS(embedding, 1) AS pos, " +
+       "UNNEST(CAST(embedding AS DOUBLE[])) AS v FROM embeddings), " +
+       "cent AS (SELECT label, pos, " + dsum6Sql("v") + " / COUNT(*) AS c " +
+       "FROM pe GROUP BY label, pos), " +
+       "cl AS (SELECT label, LIST(c ORDER BY pos) AS centroid FROM cent GROUP BY label), " +
+       "cos AS (SELECT e.label, " +
+       "LIST_COSINE_SIMILARITY(CAST(e.embedding AS DOUBLE[]), cl.centroid) AS cos " +
+       "FROM embeddings e JOIN cl USING (label)) " +
+       "SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs, " +
+       froundSql(dsum6Sql("cos") + " / COUNT(*)", 4) + " AS avg_cos, " +
+       "ROUND(MIN(cos), 4) AS min_cos, ROUND(MAX(cos), 4) AS max_cos " +
+       "FROM cos GROUP BY label ORDER BY label"),
     "vec_normalize" ->
       ("WITH x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
        "n AS (SELECT vec_id, v, SQRT(LIST_SUM(LIST_TRANSFORM(v, e -> e * e))) AS l2raw FROM x) " +

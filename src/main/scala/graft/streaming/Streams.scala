@@ -161,6 +161,21 @@ object Streams {
         .orderBy("user_id")),
     "stream_tumbling" -> ((s, dir) =>
       tumbling(events(s, dir)).orderBy("wstart", "event_type")),
+    // Windowed top-k: top-3 event types per tumbling hour. The window
+    // aggregate is streaming-native (mergeable, watermark-bounded); the
+    // rank is applied per emitted window — in a live job that ranking
+    // runs inside foreachBatch over the append stream, which is the
+    // standard top-k-over-windows deployment shape.
+    "stream_topk_windowed" -> ((s, dir) => {
+      val counts = events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(big(count(lit(1))).as("n"))
+        .select(col("w.start").as("wstart"), col("event_type"), col("n"))
+      val w = Window.partitionBy("wstart").orderBy(col("n").desc, col("event_type"))
+      counts.withColumn("rn", big(row_number().over(w)))
+        .where(col("rn") <= 3)
+        .orderBy("wstart", "rn")
+    }),
     "stream_sliding" -> ((s, dir) =>
       sliding(events(s, dir)).orderBy("wstart")),
     "stream_session" -> ((s, dir) =>
@@ -194,6 +209,12 @@ object Streams {
       ("SELECT DATE_TRUNC('hour', ts) AS wstart, event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
        "ROUND(SUM(value), 2) AS val_sum FROM events " +
        "GROUP BY wstart, event_type ORDER BY wstart, event_type"),
+    "stream_topk_windowed" ->
+      ("WITH counts AS (SELECT DATE_TRUNC('hour', ts) AS wstart, event_type, " +
+       "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY wstart, event_type) " +
+       "SELECT wstart, event_type, n, rn FROM (SELECT wstart, event_type, n, " +
+       "CAST(ROW_NUMBER() OVER (PARTITION BY wstart ORDER BY n DESC, event_type) AS BIGINT) AS rn " +
+       "FROM counts) WHERE rn <= 3 ORDER BY wstart, rn"),
     // Every event belongs to exactly 4 sliding windows: starts at
     // floor(ts/15min) - k*15min for k in 0..3. make_timestamp takes µs.
     "stream_sliding" ->

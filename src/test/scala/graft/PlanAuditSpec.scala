@@ -102,6 +102,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("sim_range_search never shuffles the corpus (broadcast query vector only)") {
+    val p = plan("sim_range_search")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("hashpartitioning"), p)
+  }
+
+  test("vec_centroid broadcasts the centroid table back to the member scan") {
+    val p = plan("vec_centroid")
+    // centroids (#labels rows) must be the broadcast side; the member
+    // embeddings scan must not hash-shuffle for the join
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("agg_arg_minmax is one partial+final hash aggregate, no window") {
+    val p = plan("agg_arg_minmax")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("AQE re-plans small shuffles at runtime (coalesce or broadcast demotion)") {
     val df = SparkEntry.queries("join_inner_hash")(spark, sf001)
     df.collect()
