@@ -173,21 +173,14 @@ object TextOps {
 
     // Word-bigram extraction, top-10 per language — n-gram statistics
     // are the backbone of contamination checks and LM-data analysis.
-    // Bigrams are built row-locally (transform over token indices, no
-    // self-join of the exploded tokens), then one hash-agg + window.
+    // Bigrams are emitted row-locally by the native NgramGenerate
+    // Generator (one eval loop per row — the HOF transform+explode
+    // formulation ran an interpreted lambda per bigram and was the
+    // query's dominant cost), then one hash-agg + window.
     "text_ngram" -> ((s, dir) => {
-      // tokenize into a materialized column FIRST: an element_at(toks, i)
-      // inside the transform lambda re-evaluates its child per element,
-      // so an inline split would re-tokenize the document once per
-      // bigram (measured 4x the whole query's cost at sf0.1)
-      val t = col("t")
-      val bigrams = when(size(t) >= 2,
-        transform(sequence(lit(0), size(t) - 2),
-          i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2))))
-        .otherwise(array().cast("array<string>"))
       val counts = documents(s, dir)
         .select(col("lang"), split(lower(col("text")), " ").as("t"))
-        .select(col("lang"), explode(bigrams).as("bigram"))
+        .select(col("lang"), graft.functions.NgramGenerate(col("t"), 2).as("bigram"))
         .groupBy("lang", "bigram").agg(big(count(lit(1))).as("cnt"))
       val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("bigram"))
       counts.withColumn("rn", big(row_number().over(w)))

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{CosineSim, HyperplaneLsh, MinHashSig, SimHash64}
+import graft.functions.{CosineSim, HyperplaneLsh, MinHashSig, NgramGenerate, SimHash64}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -18,6 +18,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *   - `graft_simhash64(hashes)`    native SimHash fingerprint
   *   - `graft_minhash_sig(h, k)`    single-pass MinHash signature
   *   - `graft_hyperplane_lsh(v, l, b)` multi-table LSH buckets
+  *   - `graft_ngrams(tokens, n)`    native n-gram Generator (UDTF)
   *   - [[SelfCosineIsOne]]          optimizer rule: cosine(x, x) ⇒ single-pass self-cosine
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -62,6 +63,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => throw new IllegalArgumentException(
             s"nTables/bits must be integer literals, got $other")
         }
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_ngrams"),
+      info("graft_ngrams", "graft_ngrams(tokens, n) - generator emitting word n-grams as rows"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_ngrams(tokens, n)")
+        val n = args(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"n must be an integer literal, got $other")
+        }
+        NgramGenerate(args(0), n)
       }))
     ext.injectOptimizerRule(_ => SelfCosineIsOne)
   }

@@ -26,6 +26,22 @@ object Streams {
       .agg(big(count(lit(1))).as("n"), r2(sum(col("value"))).as("val_sum"))
       .select(col("w.start").as("wstart"), col("event_type"), col("n"), col("val_sum"))
 
+  /** Windowed-top-k stage 1: per-hour per-type counts — the part that
+    * runs streaming-native (mergeable window aggregate). */
+  def topkCounts(ev: DataFrame): DataFrame =
+    ev.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(big(count(lit(1))).as("n"))
+      .select(col("w.start").as("wstart"), col("event_type"), col("n"))
+
+  /** Windowed-top-k stage 2: rank within each window, keep top 3. In a
+    * live job this runs inside foreachBatch over the aggregate stream —
+    * the standard deployment for top-k over windows (rank is not an
+    * incremental operator). */
+  def rankTop3(counts: DataFrame): DataFrame = {
+    val w = Window.partitionBy("wstart").orderBy(col("n").desc, col("event_type"))
+    counts.withColumn("rn", big(row_number().over(w))).where(col("rn") <= 3)
+  }
+
   /** Sliding 1h window, 15-minute slide. */
   def sliding(ev: DataFrame): DataFrame =
     ev.groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
@@ -161,21 +177,10 @@ object Streams {
         .orderBy("user_id")),
     "stream_tumbling" -> ((s, dir) =>
       tumbling(events(s, dir)).orderBy("wstart", "event_type")),
-    // Windowed top-k: top-3 event types per tumbling hour. The window
-    // aggregate is streaming-native (mergeable, watermark-bounded); the
-    // rank is applied per emitted window — in a live job that ranking
-    // runs inside foreachBatch over the append stream, which is the
-    // standard top-k-over-windows deployment shape.
-    "stream_topk_windowed" -> ((s, dir) => {
-      val counts = events(s, dir)
-        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-        .agg(big(count(lit(1))).as("n"))
-        .select(col("w.start").as("wstart"), col("event_type"), col("n"))
-      val w = Window.partitionBy("wstart").orderBy(col("n").desc, col("event_type"))
-      counts.withColumn("rn", big(row_number().over(w)))
-        .where(col("rn") <= 3)
-        .orderBy("wstart", "rn")
-    }),
+    // Windowed top-k: top-3 event types per tumbling hour (see
+    // [[topkCounts]]/[[rankTop3]] for the streaming split).
+    "stream_topk_windowed" -> ((s, dir) =>
+      rankTop3(topkCounts(events(s, dir))).orderBy("wstart", "rn")),
     "stream_sliding" -> ((s, dir) =>
       sliding(events(s, dir)).orderBy("wstart")),
     "stream_session" -> ((s, dir) =>

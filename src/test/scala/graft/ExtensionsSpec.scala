@@ -72,6 +72,19 @@ class ExtensionsSpec extends SparkSpec {
     assert(causes(e).exists(c => Option(c.getMessage).exists(_.contains("null element"))), e.toString)
   }
 
+  test("graft_ngrams generator is callable from SQL and matches the HOF bigrams") {
+    val got = extended.sql(
+      """SELECT ngram FROM (SELECT split('a b c d', ' ') AS t)
+        |LATERAL VIEW graft_ngrams(t, 2) g AS ngram ORDER BY ngram""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("a b", "b c", "c d"))
+    // < n tokens emits nothing
+    val none = extended.sql(
+      """SELECT ngram FROM (SELECT split('solo', ' ') AS t)
+        |LATERAL VIEW graft_ngrams(t, 2) g AS ngram""".stripMargin).count()
+    assert(none == 0)
+  }
+
   test("the rule leaves cosine(x, y) with distinct children untouched") {
     // non-foldable children (id-dependent) so built-in constant folding
     // can't collapse the expression before the check

@@ -64,6 +64,15 @@ class StreamBatchSpec extends SparkSpec {
       Streams.intervalJoinPairs(stagedEvents._2, withWatermarks = false), "ss_interval")
   }
 
+  test("stream_topk_windowed: ranked top-3 over the streamed window counts equals batch") {
+    // stage 1 (window counts) streams; stage 2 (rank) applies to the
+    // completed aggregate table — the foreachBatch deployment shape
+    val counts = streamed("t_topk_counts", Streams.topkCounts, "complete")
+    assertSameRows(
+      Streams.rankTop3(counts),
+      Streams.rankTop3(Streams.topkCounts(stagedEvents._2)), "topk_windowed")
+  }
+
   test("stream_foreach_batch: foreachBatch parquet sink lands exactly the stream's rows") {
     val (dir, batchView) = stagedEvents
     val out = Files.createTempDirectory("graft_febatch").toString
