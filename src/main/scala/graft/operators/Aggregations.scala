@@ -12,6 +12,25 @@ import org.apache.spark.sql.functions._
 object Aggregations {
 
   val queries: Map[String, Q] = Map(
+    // Two-level mergeable distinct counting: per-language HLL sketches
+    // of the token vocabulary, then a corpus-wide estimate by UNIONING
+    // THE SKETCHES — no second pass over the data. This is how 100 TB
+    // distinct counts compose: sketches are fixed-size, partial-
+    // aggregate map-side, and re-aggregate along any rollup path
+    // (per-source → per-lang → corpus) without touching rows again.
+    // No oracle (sketch encoding is engine-specific); property-tested
+    // within 5% of exact per level.
+    "agg_hll_merge" -> ((s, dir) => {
+      val tok = documents(s, dir)
+        .select(col("lang"), explode(split(lower(col("text")), " ")).as("token"))
+      val perLang = tok.groupBy("lang").agg(hll_sketch_agg(col("token")).as("sk"))
+      val corpus = perLang.agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_distinct"))
+        .select(lit("ALL").as("lang"), col("est_distinct"))
+      perLang.select(col("lang"), hll_sketch_estimate(col("sk")).as("est_distinct"))
+        .unionByName(corpus)
+        .orderBy("lang")
+    }),
+
     // arg-min/arg-max (max_by/min_by): richest/poorest customer per
     // nation in ONE hash aggregate — no window, no self-join. Ties on
     // acctbal are broken by custkey via an exact integer composite key

@@ -138,7 +138,8 @@ object Dedup {
     * and is unit-tested on planted chains/triangles. */
   val LocalCcMaxEdges = 4000000L
 
-  def connectedComponents(pairs: DataFrame): DataFrame = {
+  def connectedComponents(pairs: DataFrame,
+                          localMaxEdges: Long = LocalCcMaxEdges): DataFrame = {
     // The pair-generation join upstream is the expensive part; the
     // edge list itself is tiny (near-dup graphs are sparse). Eager
     // localCheckpoint runs that join exactly ONCE and truncates the
@@ -151,7 +152,7 @@ object Dedup {
     // serialization was ~2 s of dedup_cluster at sf0.1).
     val p = pairs.select(col("a"), col("b")).localCheckpoint()
     val nEdges = p.count()
-    if (nEdges <= LocalCcMaxEdges) return localComponents(p)
+    if (nEdges <= localMaxEdges) return localComponents(p)
     val edges = p.unionByName(p.select(col("b").as("a"), col("a").as("b")))
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("cluster", col("node"))

@@ -15,6 +15,24 @@ import org.apache.spark.sql.functions._
 object Vectors {
 
   val queries: Map[String, Q] = Map(
+    // Per-label bounding box (elementwise min/max of embeddings) via
+    // the native TypedImperativeAggregate kernel: partial-aggregated
+    // map-side, the shuffle carries one 64-slot array per (group,
+    // partition) — the posexplode alternative shuffles dim× the rows.
+    // Output arrays are projected as fixed-scale decimal strings (the
+    // driver's comparator cannot sort array cells, and decimal
+    // rendering is engine-stable where double rendering is not).
+    "vec_bbox" -> ((s, dir) => {
+      def fmt(a: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        array_join(transform(a, x =>
+          round(x, 4).cast("decimal(14,4)").cast("string")), ",")
+      embeddings(s, dir).groupBy("label")
+        .agg(big(count(lit(1))).as("n_vecs"),
+             fmt(graft.functions.ArrayExtremeAgg.min(col("embedding"))).as("mins"),
+             fmt(graft.functions.ArrayExtremeAgg.max(col("embedding"))).as("maxs"))
+        .orderBy("label")
+    }),
+
     // Per-label centroid + member-to-centroid cosine stats: the
     // cluster-quality probe run after labeling/clustering a corpus.
     // Centroid = elementwise mean via posexplode → (label, pos) hash
@@ -121,6 +139,17 @@ object Vectors {
   )
 
   val oracle: Map[String, String] = Map(
+    "vec_bbox" ->
+      ("WITH pe AS (SELECT label, GENERATE_SUBSCRIPTS(embedding, 1) AS pos, " +
+       "UNNEST(CAST(embedding AS DOUBLE[])) AS v FROM embeddings), " +
+       "ext AS (SELECT label, pos, MIN(v) AS mn, MAX(v) AS mx FROM pe GROUP BY label, pos), " +
+       "box AS (SELECT label, " +
+       "ARRAY_TO_STRING(LIST(CAST(CAST(ROUND(mn, 4) AS DECIMAL(14,4)) AS VARCHAR) ORDER BY pos), ',') AS mins, " +
+       "ARRAY_TO_STRING(LIST(CAST(CAST(ROUND(mx, 4) AS DECIMAL(14,4)) AS VARCHAR) ORDER BY pos), ',') AS maxs " +
+       "FROM ext GROUP BY label) " +
+       "SELECT label, n_vecs, mins, maxs FROM box JOIN " +
+       "(SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM embeddings GROUP BY label) USING (label) " +
+       "ORDER BY label"),
     "vec_centroid" ->
       ("WITH pe AS (SELECT label, GENERATE_SUBSCRIPTS(embedding, 1) AS pos, " +
        "UNNEST(CAST(embedding AS DOUBLE[])) AS v FROM embeddings), " +

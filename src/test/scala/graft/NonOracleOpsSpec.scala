@@ -22,17 +22,66 @@ class NonOracleOpsSpec extends SparkSpec {
     }
   }
 
-  test("connectedComponents resolves chains, triangles, and isolated pairs") {
+  test("agg_hll_merge: sketch estimates within 5% of exact at both levels") {
+    val got = SparkEntry.queries("agg_hll_merge")(spark, sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tok = Tables.documents(spark, sf001)
+      .select(col("lang"), explode(split(lower(col("text")), " ")).as("token"))
+    val exactPerLang = tok.groupBy("lang").agg(countDistinct("token").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactAll = tok.select("token").distinct().count()
+    exactPerLang.foreach { case (lang, e) =>
+      assert(math.abs(got(lang) - e).toDouble / e <= 0.05, s"$lang: got=${got(lang)} exact=$e")
+    }
+    assert(math.abs(got("ALL") - exactAll).toDouble / exactAll <= 0.05,
+      s"ALL: got=${got("ALL")} exact=$exactAll")
+  }
+
+  test("connectedComponents resolves chains, triangles, and isolated pairs (both arms)") {
     val pairs = Seq(
       (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), // 5-node chain -> cluster 1
       (10L, 11L), (11L, 12L), (10L, 12L),     // triangle -> cluster 10
       (20L, 21L)                              // isolated pair -> cluster 20
     ).toDF("a", "b")
-    val got = Dedup.connectedComponents(pairs)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert((1L to 5L).forall(got(_) == 1L), got)
-    assert((10L to 12L).forall(got(_) == 10L), got)
-    assert(got(20L) == 20L && got(21L) == 20L, got)
+    // localMaxEdges = -1 forces the distributed label-propagation arm;
+    // the default exercises the driver union-find arm
+    for (localMax <- Seq(Dedup.LocalCcMaxEdges, -1L)) {
+      val got = Dedup.connectedComponents(pairs, localMax)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert((1L to 5L).forall(got(_) == 1L), s"localMax=$localMax: $got")
+      assert((10L to 12L).forall(got(_) == 10L), s"localMax=$localMax: $got")
+      assert(got(20L) == 20L && got(21L) == 20L, s"localMax=$localMax: $got")
+    }
+  }
+
+  test("connectedComponents on an empty pair graph returns empty, not NPE (ADVICE r2)") {
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    for (localMax <- Seq(Dedup.LocalCcMaxEdges, -1L)) {
+      assert(Dedup.connectedComponents(empty, localMax).count() == 0, s"localMax=$localMax")
+    }
+  }
+
+  test("ArrayExtremeAgg: distributed elementwise min/max, nulls skipped, empty group null") {
+    import graft.functions.ArrayExtremeAgg
+    val rows = Seq(
+      (0, Some(Seq(1.0f, 5.0f))), (0, Some(Seq(3.0f, 2.0f))), (0, None),
+      (1, Some(Seq(7.0f, -7.0f))), (2, None))
+    val df = rows.toDF("g", "v").repartition(4) // force partial + merge across partitions
+    val out = df.groupBy("g")
+      .agg(ArrayExtremeAgg.min(col("v")).as("mn"), ArrayExtremeAgg.max(col("v")).as("mx"))
+      .orderBy("g").collect()
+    assert(out(0).getSeq[Double](1) == Seq(1.0, 2.0), out(0))
+    assert(out(0).getSeq[Double](2) == Seq(3.0, 5.0), out(0))
+    assert(out(1).getSeq[Double](1) == Seq(7.0, -7.0), out(1))
+    assert(out(2).isNullAt(1) && out(2).isNullAt(2), out(2)) // only-null group -> NULL
+    // dimension mismatch must throw, not zip-truncate
+    val bad = Seq((0, Seq(1.0f)), (0, Seq(1.0f, 2.0f))).toDF("g", "v")
+    val e = intercept[Exception] {
+      bad.groupBy("g").agg(ArrayExtremeAgg.min(col("v"))).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).map(x => Option(x.getMessage).toSeq ++ msgs(x.getCause)).getOrElse(Nil)
+    assert(msgs(e).exists(_.contains("dimension mismatch")), e.toString)
   }
 
   test("dedup_source_sketch estimates cross-source Jaccard within MinHash error") {
