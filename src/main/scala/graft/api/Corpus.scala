@@ -66,6 +66,37 @@ final case class Corpus(df: DataFrame) {
     df.withColumn("__n", size(toks))
       .groupBy(groupCols.map(col): _*)
       .agg(big(count(lit(1))).as("n_docs"), big(sum(col("__n"))).as("total_tokens"))
+
+  /** Near-dup CLUSTERS: one row per clustered doc with its component's
+    * min doc_id — the "keep one per cluster" decision input. Pairs come
+    * from the blocked exact-Jaccard join; components from the hybrid
+    * union-find / label-propagation solver. Requires `lang` and
+    * `source` columns (the blocking keys). */
+  def nearDupClusters(jaccardMin: Double): DataFrame =
+    Dedup.connectedComponents(Dedup.blockedJaccardPairs(df, jaccardMin))
+      .select(col("node").as("doc_id"), col("cluster"))
+
+  /** Collapse near-dup clusters: keep the min doc_id of every cluster
+    * (non-clustered documents pass through untouched). */
+  def dedupNear(jaccardMin: Double): Corpus = {
+    val drop = nearDupClusters(jaccardMin)
+      .where(col("doc_id") =!= col("cluster")).select("doc_id")
+    Corpus(df.join(drop, Seq("doc_id"), "left_anti"))
+  }
+
+  /** Remove stoplist tokens from `text` (row-local array filter). */
+  def scrubStopwords(stop: Seq[String]): Corpus =
+    Corpus(df.withColumn("text",
+      concat_ws(" ", filter(toks, t => !t.isInCollection(stop)))))
+
+  /** Balanced per-stratum downsample: deterministic first-`perStratum`
+    * docs (by doc_id) of every distinct value of `stratumCol`. */
+  def sampleStratified(stratumCol: String, perStratum: Int): Corpus = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol).orderBy("doc_id")
+    Corpus(df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= perStratum).drop("__rn"))
+  }
 }
 
 /** Facade over an embeddings DataFrame (`vec_id`, `embedding`). */
@@ -85,4 +116,23 @@ final case class VectorCorpus(df: DataFrame) {
     VectorCorpus(df.withColumn(colName,
       fround(sqrt(aggregate(Similarity.asDouble(col("embedding")),
         lit(0.0), (a, x) => a + x * x)), 6)))
+
+  /** All neighbors of one vector with cosine ≥ `minCos` (broadcast
+    * query, no corpus shuffle), strongest first. */
+  def rangeSearch(queryVecId: Long, minCos: Double): DataFrame = {
+    val q = df.where(col("vec_id") === queryVecId).select(col("embedding").as("qv"))
+    df.where(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+              fround(Similarity.cosine(col("embedding"), col("qv")), 4).as("cos"))
+      .where(col("cos") >= minCos)
+      .orderBy(col("cos").desc, col("vec_id"))
+  }
+
+  /** Per-group elementwise min/max bounding boxes (native mergeable
+    * aggregate — one array per group crosses the shuffle). */
+  def bbox(groupCols: String*): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.ArrayExtremeAgg.min(col("embedding")).as("mins"),
+           graft.functions.ArrayExtremeAgg.max(col("embedding")).as("maxs"))
 }

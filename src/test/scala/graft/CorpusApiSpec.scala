@@ -40,6 +40,45 @@ class CorpusApiSpec extends SparkSpec {
     assertSameRows(viaApi, viaQuery, "topk")
   }
 
+  test("nearDupClusters equals the dedup_cluster query; dedupNear keeps cluster minima") {
+    val viaApi = Corpus(docs).nearDupClusters(0.02)
+    val viaQuery = SparkEntry.queries("dedup_cluster")(spark, sf001)
+    assertSameRows(viaApi, viaQuery, "clusters")
+    val kept = Corpus(docs).dedupNear(0.02).df
+    // every cluster representative survives; every non-representative is gone
+    val reps = viaApi.where(col("doc_id") === col("cluster")).count()
+    val dropped = viaApi.where(col("doc_id") =!= col("cluster")).count()
+    assert(kept.count() == docs.count() - dropped)
+    assert(kept.join(viaApi.where(col("doc_id") =!= col("cluster")), Seq("doc_id"),
+      "left_semi").count() == 0)
+    assert(kept.join(viaApi.where(col("doc_id") === col("cluster")), Seq("doc_id"),
+      "left_semi").count() == reps)
+  }
+
+  test("scrubStopwords removes exactly the stoplist tokens") {
+    val out = Corpus(docs).scrubStopwords(Seq("a", "the")).df
+    val leftover = out
+      .select(explode(split(lower(col("text")), " ")).as("t"))
+      .where(col("t").isin("a", "the")).count()
+    assert(leftover == 0)
+  }
+
+  test("sampleStratified caps every stratum deterministically") {
+    val out = Corpus(docs).sampleStratified("lang", 7)
+    val sizes = out.df.groupBy("lang").count().collect().map(_.getLong(1))
+    assert(sizes.forall(_ <= 7), sizes.mkString(","))
+    // deterministic: same call twice, same rows
+    assertSameRows(out.df, Corpus(docs).sampleStratified("lang", 7).df, "stratified")
+  }
+
+  test("VectorCorpus rangeSearch equals sim_range_search; bbox equals the native agg") {
+    val emb = Tables.embeddings(spark, sf001)
+    assertSameRows(VectorCorpus(emb).rangeSearch(0L, 0.15),
+      SparkEntry.queries("sim_range_search")(spark, sf001), "range search")
+    val box = VectorCorpus(emb).bbox("label")
+    assert(box.count() == emb.select("label").distinct().count())
+  }
+
   test("withSimHash column equals the dedup_simhash fingerprints") {
     val viaApi = Corpus(docs).withSimHash().df.select("doc_id", "simhash")
     val viaQuery = SparkEntry.queries("dedup_simhash")(spark, sf001)
