@@ -119,7 +119,10 @@ object Dedup {
     * (`graph_degree`). Blocking bounds the candidate space to
     * Σ|block|², never all-pairs. */
   def blockedJaccardPairs(docs: DataFrame, minJ: Double): DataFrame = {
-    val d = withHashedShingles(docs, "lang", "source")
+    // both join sides read the shingled projection — checkpoint it so
+    // tokenize+shingle+hash+sort runs once, not twice (at cluster
+    // scale: cache/checkpoint the shingled corpus for the same reason)
+    val d = withHashedShingles(docs, "lang", "source").localCheckpoint()
     val l = d.select(col("lang"), col("source"), col("doc_id").as("a"), col("sh").as("sh_a"))
     val r = d.select(col("lang"), col("source"), col("doc_id").as("b"), col("sh").as("sh_b"))
     l.join(r, Seq("lang", "source"))
@@ -363,6 +366,27 @@ object Dedup {
         .orderBy("lang", "src_a", "src_b")
     }),
 
+    // Asymmetric containment (|A∩B| / |A|): catches excerpt/subset
+    // duplication — a short document fully contained in a longer one
+    // scores 1.0 here but near zero on Jaccard, so a Jaccard-only
+    // dedup ships the duplicated excerpt. Directed (a,b ordered
+    // pairs); same blocked join + merge-scan intersection as the
+    // Jaccard family, so adding the containment view costs no new
+    // join shape.
+    "dedup_containment" -> ((s, dir) => {
+      val d = withHashedShingles(documents(s, dir), "lang", "source")
+      val a = d.select(col("lang"), col("source"), col("doc_id").as("a"), col("sh").as("sh_a"))
+      val b = d.select(col("lang"), col("source"), col("doc_id").as("b"), col("sh").as("sh_b"))
+      a.join(b, Seq("lang", "source"))
+        .where(col("a") =!= col("b"))
+        .withColumn("containment",
+          graft.functions.SortedIntersectSize(col("sh_a"), col("sh_b")).cast("double") /
+          size(col("sh_a")).cast("double"))
+        .where(col("containment") >= 0.1)
+        .select(col("a"), col("b"), r4(col("containment")).as("containment"))
+        .orderBy("a", "b")
+    }),
+
     // N-gram Jaccard near-dup: exact pairwise Jaccard over word
     // 3-shingles, blocked by (lang, source) to bound the pair space.
     "dedup_ngram_jaccard" -> ((s, dir) => {
@@ -420,6 +444,18 @@ object Dedup {
        "(SELECT a AS node FROM pairs UNION ALL SELECT b AS node FROM pairs) GROUP BY node) " +
        "SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg " +
        "GROUP BY degree ORDER BY degree"),
+    "dedup_containment" ->
+      ("WITH sh AS (SELECT doc_id, lang, source, " +
+       "LIST_DISTINCT(CASE WHEN LEN(STRING_SPLIT(LOWER(TRIM(text)), ' ')) >= 3 THEN " +
+       "LIST_TRANSFORM(RANGE(0, LEN(STRING_SPLIT(LOWER(TRIM(text)), ' ')) - 2), " +
+       "i -> ARRAY_TO_STRING(STRING_SPLIT(LOWER(TRIM(text)), ' ')[i+1:i+3], ' ')) " +
+       "ELSE [ARRAY_TO_STRING(STRING_SPLIT(LOWER(TRIM(text)), ' '), ' ')] END) AS sh " +
+       "FROM documents) " +
+       "SELECT a.doc_id AS a, b.doc_id AS b, " +
+       "ROUND(LEN(LIST_INTERSECT(a.sh, b.sh)) * 1.0 / LEN(a.sh), 4) AS containment " +
+       "FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source AND a.doc_id <> b.doc_id " +
+       "WHERE LEN(LIST_INTERSECT(a.sh, b.sh)) * 1.0 / LEN(a.sh) >= 0.1 " +
+       "ORDER BY a, b"),
     "dedup_ngram_jaccard" ->
       ("WITH sh AS (SELECT doc_id, lang, source, " +
        "LIST_DISTINCT(CASE WHEN LEN(STRING_SPLIT(LOWER(TRIM(text)), ' ')) >= 3 THEN " +

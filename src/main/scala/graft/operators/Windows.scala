@@ -12,6 +12,21 @@ import org.apache.spark.sql.functions._
 object Windows {
 
   val queries: Map[String, Q] = Map(
+    // Forward-fill (gap fill): carry the last non-null observation
+    // forward per user in event-time order — the time-series repair op
+    // (sensor dropouts, sparse attribute streams). last(ignoreNulls)
+    // over a running frame is one shuffle on the partition key; no
+    // self-join, no driver loop. Here the "sparse" column is value
+    // observed only on click events.
+    "win_fill_forward" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir)
+        .withColumn("v", when(col("event_type") === "click", col("value")))
+        .select(col("event_id"), col("user_id"), col("ts"),
+                r2(last(col("v"), ignoreNulls = true).over(w)).as("filled"))
+        .orderBy("event_id")
+    }),
     "win_rank" -> ((s, dir) => {
       val w = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal").desc, col("c_custkey"))
       val wr = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal").desc)
@@ -100,6 +115,12 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "win_fill_forward" ->
+      ("SELECT event_id, user_id, ts, " +
+       "ROUND(LAST_VALUE(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS) " +
+       "OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS filled " +
+       "FROM events ORDER BY event_id"),
     "win_rank" ->
       ("SELECT c_custkey, c_nationkey, ROUND(c_acctbal, 2) AS acctbal, " +
        "CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rn, " +
