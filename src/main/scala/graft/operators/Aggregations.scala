@@ -11,7 +11,37 @@ import org.apache.spark.sql.functions._
   */
 object Aggregations {
 
+  /** Shared SQL for exact higher-moment statistics: raw power sums in
+    * decimal(38,10) (order-independent, mergeable partials), then
+    * variance/skewness/kurtosis derived in double with IDENTICAL
+    * formula text on both engines — every multiply/divide associates
+    * the same way, sqrt replaces pow (sqrt is correctly rounded IEEE;
+    * libm pow is not), so the hash-compare holds on computed doubles.
+    * This is how a 100 TB profiler gets distribution shape in ONE
+    * mergeable pass instead of Spark's/DuckDB's engine-specific
+    * (and mutually incompatible) skewness/kurtosis built-ins. */
+  private def momentsSql(table: String): String = {
+    def ds(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(38,10))) AS DOUBLE)"
+    "WITH sums AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
+    s"${ds("value")} AS s1, ${ds("value*value")} AS s2, " +
+    s"${ds("value*value*value")} AS s3, ${ds("value*value*value*value")} AS s4 " +
+    s"FROM $table GROUP BY event_type), " +
+    "m AS (SELECT event_type, n, s1 / n AS mean, s2 / n AS m2r, s3 / n AS m3r, s4 / n AS m4r FROM sums), " +
+    "c AS (SELECT event_type, n, mean, m2r, m3r, m4r, m2r - mean * mean AS v FROM m) " +
+    "SELECT event_type, n, " +
+    froundSql("mean", 4) + " AS mean, " + froundSql("v", 4) + " AS variance, " +
+    froundSql("(m3r - 3 * mean * m2r + 2 * mean * mean * mean) / (v * SQRT(v))", 4) + " AS skew, " +
+    froundSql("(m4r - 4 * mean * m3r + 6 * mean * mean * m2r - 3 * mean * mean * mean * mean) / (v * v) - 3", 4) + " AS kurt " +
+    "FROM c ORDER BY event_type"
+  }
+
   val queries: Map[String, Q] = Map(
+    // Exact distribution-shape profile (mean/variance/skew/kurtosis)
+    // from one pass of mergeable decimal power sums — see momentsSql.
+    "agg_moments" -> ((s, dir) => {
+      events(s, dir).createOrReplaceTempView("graft_events_moments")
+      s.sql(momentsSql("graft_events_moments"))
+    }),
     // Two-level mergeable distinct counting: per-language HLL sketches
     // of the token vocabulary, then a corpus-wide estimate by UNIONING
     // THE SKETCHES — no second pass over the data. This is how 100 TB
@@ -214,6 +244,7 @@ object Aggregations {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_moments" -> momentsSql("events"),
     "agg_arg_minmax" ->
       ("SELECT c_nationkey, " +
        "ARG_MAX(c_custkey, CAST(ROUND(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey) AS top_cust, " +

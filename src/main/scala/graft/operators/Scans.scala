@@ -73,6 +73,21 @@ object Scans {
         .orderBy("l_returnflag")
     }),
 
+    // JSON-lines sink/source roundtrip — the interchange format: write
+    // newline-delimited JSON, re-read with a DECLARED schema (schema
+    // inference is a second full pass at 100 TB — never infer).
+    "sink_json_roundtrip" -> ((s, dir) => {
+      val out = scratch(dir, "json_roundtrip")
+      nation(s, dir).join(customer(s, dir), col("n_nationkey") === col("c_nationkey"))
+        .select("n_name", "c_custkey", "c_acctbal")
+        .write.mode("overwrite").json(out)
+      s.read.schema("n_name STRING, c_custkey BIGINT, c_acctbal DOUBLE")
+        .json(out)
+        .groupBy("n_name")
+        .agg(big(count(lit(1))).as("n"), dsum(col("c_acctbal")).as("total_bal"))
+        .orderBy("n_name")
+    }),
+
     // ORC sink/source roundtrip — the second columnar format (same lazy,
     // pruned, predicate-pushed scan machinery as parquet).
     "sink_orc_roundtrip" -> ((s, dir) => {
@@ -181,6 +196,11 @@ object Scans {
       ("SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, " +
        s"${dsumSql("l_extendedprice")} AS total " +
        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "sink_json_roundtrip" ->
+      ("SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n, " +
+       s"${dsumSql("c_acctbal")} AS total_bal " +
+       "FROM nation JOIN customer ON n_nationkey = c_nationkey " +
+       "GROUP BY n_name ORDER BY n_name"),
     "sink_orc_roundtrip" ->
       ("SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n, " +
        s"${dsumSql("o_totalprice")} AS total " +
