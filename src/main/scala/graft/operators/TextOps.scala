@@ -67,6 +67,27 @@ object TextOps {
         .orderBy("lang")
     }),
 
+    // Unigram language-model quality score (the perplexity-filter
+    // analog): train a unigram LM on the corpus itself (token → corpus
+    // probability), score each document by average token log-prob.
+    // Low scores = improbable token streams (garbled/off-distribution
+    // text). The LM is vocabulary-sized → broadcast; per-doc log-prob
+    // sums run in decimal so the score is order-independent and
+    // oracle-exact.
+    "text_lm_score" -> ((s, dir) => {
+      val tok = documents(s, dir)
+        .select(col("doc_id"), col("lang"), explode(split(lower(col("text")), " ")).as("token"))
+      val counts = tok.groupBy("token").agg(big(count(lit(1))).as("cnt"))
+      val tot = counts.agg(big(sum(col("cnt"))).as("total"))
+      tok.join(broadcast(counts), Seq("token"))
+        .crossJoin(broadcast(tot))
+        .withColumn("lp", log(col("cnt").cast("double") / col("total").cast("double")))
+        .groupBy("doc_id", "lang")
+        .agg(big(count(lit(1))).as("n_tokens"),
+             fround(dsum6(col("lp")) / count(lit(1)), 4).as("avg_logprob"))
+        .orderBy("doc_id")
+    }),
+
     // Top-20 terms per language by frequency.
     "text_tokens" -> ((s, dir) => {
       val counts = documents(s, dir)
@@ -218,6 +239,15 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_lm_score" ->
+      ("WITH tok AS (SELECT doc_id, lang, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS token FROM documents), " +
+       "counts AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY token), " +
+       "tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM counts) " +
+       "SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_tokens, " +
+       froundSql(dsum6Sql("LN(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))") + " / COUNT(*)", 4) +
+       " AS avg_logprob " +
+       "FROM tok JOIN counts USING (token), tot " +
+       "GROUP BY doc_id, lang ORDER BY doc_id"),
     "text_scrub_stopwords" ->
       ("WITH t AS (SELECT lang, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS toks, " +
        "LIST_FILTER(STRING_SPLIT(LOWER(TRIM(text)), ' '), x -> x NOT IN ('a', 'the', 'and', 'of')) AS kept " +
