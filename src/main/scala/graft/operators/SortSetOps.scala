@@ -40,6 +40,20 @@ object SortSetOps {
         .orderBy("o_custkey", "rn")
     }),
 
+    // Per-group top-k as a CUSTOM WHOLE OPERATOR (logical node +
+    // planner strategy + two-stage physical exec with map-side
+    // k-bounded heaps): at most k·groups·partitions rows cross the
+    // shuffle, vs the window formulation shuffling every row. Same
+    // rows as topk_per_group (deterministic tie-break) — the oracle
+    // proves the custom operator exact.
+    "topk_per_group_native" -> ((s, dir) => {
+      val o = orders(s, dir).select("o_custkey", "o_orderkey", "o_totalprice")
+      graft.plans.TopKPerGroup(o, Seq("o_custkey"), "o_totalprice", 3,
+          descending = true, tieCols = Seq("o_orderkey"))
+        .select(col("o_custkey"), col("o_orderkey"), r2(col("o_totalprice")).as("total"))
+        .orderBy(col("o_custkey"), col("total").desc, col("o_orderkey"))
+    }),
+
     // Keyset-stable pagination: OFFSET+LIMIT over a total order. At
     // scale the offset still evaluates the full prefix — the scan
     // remains a top-(offset+limit) heap, so keep offsets shallow and
@@ -96,6 +110,11 @@ object SortSetOps {
       ("SELECT * FROM (SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS total, " +
        "CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn " +
        "FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn"),
+    "topk_per_group_native" ->
+      ("SELECT o_custkey, o_orderkey, total FROM " +
+       "(SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS total, " +
+       "ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn " +
+       "FROM orders) WHERE rn <= 3 ORDER BY o_custkey, total DESC, o_orderkey"),
     "sort_paginate" ->
       ("SELECT o_orderkey, ROUND(o_totalprice, 2) AS total FROM orders " +
        "ORDER BY total DESC, o_orderkey LIMIT 20 OFFSET 100"),

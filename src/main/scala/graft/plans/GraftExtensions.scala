@@ -77,6 +77,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         NgramGenerate(args(0), n)
       }))
     ext.injectOptimizerRule(_ => SelfCosineIsOne)
+    // whole-operator extension: per-group top-k physical planning
+    ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)
   }
 }
 
