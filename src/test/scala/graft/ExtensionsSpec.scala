@@ -85,6 +85,18 @@ class ExtensionsSpec extends SparkSpec {
     assert(none == 0)
   }
 
+  test("the injected planner strategy plans the custom top-k node (no per-call registration)") {
+    import org.apache.spark.sql.graftx.shims
+    val df = extended.range(100).selectExpr("id % 5 AS g", "id AS v")
+    val plan = plans.TopKPerGroupPlan(
+      Seq(shims.expression(df("g"))), shims.expression(df("v")),
+      descending = true, tie = Nil, k = 2, child = shims.analyzed(df))
+    val out = shims.ofRows(extended, plan)
+    assert(out.count() == 10) // 5 groups x top-2
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("PartialTopKPerGroup"), p)
+  }
+
   test("the rule leaves cosine(x, y) with distinct children untouched") {
     // non-foldable children (id-dependent) so built-in constant folding
     // can't collapse the expression before the check
