@@ -49,10 +49,16 @@ object Dedup {
     * join downstream shuffles compact longs instead of full shingle
     * strings — 4-8× less join I/O, same scores. Sorted ascending once
     * per document so pairwise set ops downstream are merge scans
-    * ([[jaccardSorted]]) instead of per-pair hash-set builds. */
+    * ([[jaccardSorted]]) instead of per-pair hash-set builds. The whole
+    * shingle→distinct→hash→sort chain runs in the single-pass native
+    * kernel [[graft.functions.HashedShingles]] (spec-pinned equal to
+    * the five-stage HOF formulation). */
   def withHashedShingles(docs: DataFrame, extra: String*): DataFrame =
-    withShingles(docs, extra: _*)
-      .withColumn("sh", array_sort(transform(col("sh"), s => xxhash64(s))))
+    docs.select((Seq(col("doc_id"), tokens(col("text")).as("toks")) ++
+                 extra.map(col)): _*)
+      .select((Seq(col("doc_id"),
+                   graft.functions.HashedShingles(col("toks"), 3).as("sh")) ++
+               extra.map(col)): _*)
 
   /** Exact Jaccard over two SORTED hashed-shingle arrays: one merge
     * scan for |A∩B| ([[graft.functions.SortedIntersectSize]]),

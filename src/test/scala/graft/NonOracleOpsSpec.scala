@@ -22,6 +22,19 @@ class NonOracleOpsSpec extends SparkSpec {
     }
   }
 
+  test("HashedShingles kernel equals the five-stage HOF shingle pipeline") {
+    val docs = Tables.documents(spark, sf001)
+    val viaKernel = Dedup.withHashedShingles(docs).select(col("doc_id"), col("sh"))
+    val viaHof = Dedup.withShingles(docs)
+      .withColumn("sh", array_sort(transform(col("sh"), s => xxhash64(s))))
+      .select(col("doc_id"), col("sh"))
+    // compare as joined strings (array cells aren't comparator-sortable)
+    def flat(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        concat_ws(",", transform(col("sh"), x => x.cast("string"))).as("sh"))
+    assertSameRows(flat(viaKernel), flat(viaHof), "hashed shingles")
+  }
+
   test("agg_hll_merge: sketch estimates within 5% of exact at both levels") {
     val got = SparkEntry.queries("agg_hll_merge")(spark, sf001)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
