@@ -324,7 +324,9 @@ object Dedup {
     // high-degree nodes means template spam (drop wholesale), degree
     // ≈ 1 everywhere means simple pairwise dups (keep-min suffices).
     "graph_degree" -> ((s, dir) => {
-      val pairs = blockedJaccardPairs(documents(s, dir), 0.02)
+      // both union branches read the pair list — checkpoint it so the
+      // expensive pair join runs once, not once per direction
+      val pairs = blockedJaccardPairs(documents(s, dir), 0.02).localCheckpoint()
       pairs.select(col("a").as("node"))
         .unionByName(pairs.select(col("b").as("node")))
         .groupBy("node").agg(big(count(lit(1))).as("degree"))

@@ -122,6 +122,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("text_lm_score broadcasts the vocabulary LM; the corpus never hash-shuffles for it") {
+    val p = plan("text_lm_score")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    // the token stream shuffles only for the per-doc aggregate, never
+    // for the LM join (the LM is vocabulary-sized)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("sample_stratified is one rank window + broadcast target, no second corpus scan") {
+    val p = plan("sample_stratified")
+    assert("documents\\.parquet".r.findAllIn(p).size <= 2, p) // data pass + tiny count pass
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
   test("AQE re-plans small shuffles at runtime (coalesce or broadcast demotion)") {
     val df = SparkEntry.queries("join_inner_hash")(spark, sf001)
     df.collect()
