@@ -42,10 +42,11 @@ object SortSetOps {
 
     // Per-group top-k as a CUSTOM WHOLE OPERATOR (logical node +
     // planner strategy + two-stage physical exec with map-side
-    // k-bounded heaps): at most k·groups·partitions rows cross the
-    // shuffle, vs the window formulation shuffling every row. Same
-    // rows as topk_per_group (deterministic tie-break) — the oracle
-    // proves the custom operator exact.
+    // k-bounded heaps). Spark's WindowGroupLimit already bounds the
+    // window plan's shuffle; the custom exec further drops both full
+    // partition sorts and the Window itself (O(n log k) vs
+    // O(n log n)). Same rows as topk_per_group (deterministic
+    // tie-break) — the oracle proves the custom operator exact.
     "topk_per_group_native" -> ((s, dir) => {
       val o = orders(s, dir).select("o_custkey", "o_orderkey", "o_totalprice")
       graft.plans.TopKPerGroup(o, Seq("o_custkey"), "o_totalprice", 3,

@@ -17,15 +17,17 @@ import scala.collection.mutable
   * and a two-stage physical operator with map-side bounded-heap
   * pruning.
   *
-  * Why a custom operator: the standard formulation (rank window +
-  * `rn <= k` filter) shuffles EVERY row to its group's reducer and
-  * sorts whole groups before the filter drops all but k. At 100 TB
-  * that shuffle is the query. This operator keeps a k-bounded heap
-  * per group on the MAP side, so at most k·groups·partitions rows
-  * cross the wire, and no group is ever fully sorted — O(n log k)
-  * compares, O(groups·k) memory, same exact rows (ties broken by the
-  * caller-supplied tie columns, so the result is deterministic and
-  * oracle-checkable).
+  * Why a custom operator: the rank-window formulation is partially
+  * optimized by Spark itself (4.x inserts `WindowGroupLimit Partial`
+  * before the shuffle, bounding shuffle volume to ~k·groups·
+  * partitions) — but that plan still FULL-SORTS every input partition
+  * by (group, order) before the partial limit, sorts again after the
+  * exchange, and then runs the Window machinery. This operator
+  * replaces both sorts and the Window with k-bounded heaps:
+  * O(n log k) compares instead of O(n log n), O(groups·k) memory, no
+  * row_number evaluation — same shuffle volume, same exact rows
+  * (ties broken by the caller-supplied tie columns, so the result is
+  * deterministic and oracle-checkable).
   *
   * Physical shape (EnsureRequirements inserts the exchange):
   * {{{
