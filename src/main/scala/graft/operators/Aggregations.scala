@@ -61,6 +61,23 @@ object Aggregations {
         .orderBy("lang")
     }),
 
+    // EXACT distributed distinct counting via bitmap words (the
+    // bitmap-index pattern): pack user presence into 62-bit words
+    // keyed by (group, id-bucket) — BIT_OR is associative/commutative,
+    // so words partial-aggregate map-side and the shuffle carries one
+    // word per populated bucket (dense-id distinct at ~1 bit/user,
+    // vs hashing every id for count(DISTINCT)'s expand-rewrite, vs
+    // approximate HLL). popcount-sum of the words IS the exact count.
+    // 62-bit words because a 1<<63 shift overflows signed arithmetic
+    // on some engines (DuckDB throws).
+    "agg_bitmap_distinct" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("event_type"), expr("user_id DIV 62").as("bucket"),
+                expr("shiftleft(1L, CAST(user_id % 62 AS INT))").as("bit"))
+        .groupBy("event_type", "bucket").agg(bit_or(col("bit")).as("word"))
+        .groupBy("event_type").agg(big(sum(bit_count(col("word")))).as("n_users_exact"))
+        .orderBy("event_type")),
+
     // arg-min/arg-max (max_by/min_by): richest/poorest customer per
     // nation in ONE hash aggregate — no window, no self-join. Ties on
     // acctbal are broken by custkey via an exact integer composite key
@@ -245,6 +262,12 @@ object Aggregations {
 
   val oracle: Map[String, String] = Map(
     "agg_moments" -> momentsSql("events"),
+    "agg_bitmap_distinct" ->
+      ("WITH words AS (SELECT event_type, user_id // 62 AS bucket, " +
+       "BIT_OR(1::BIGINT << CAST(user_id % 62 AS INT)) AS word " +
+       "FROM events GROUP BY 1, 2) " +
+       "SELECT event_type, CAST(SUM(BIT_COUNT(word)) AS BIGINT) AS n_users_exact " +
+       "FROM words GROUP BY event_type ORDER BY event_type"),
     "agg_arg_minmax" ->
       ("SELECT c_nationkey, " +
        "ARG_MAX(c_custkey, CAST(ROUND(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey) AS top_cust, " +

@@ -22,6 +22,15 @@ class NonOracleOpsSpec extends SparkSpec {
     }
   }
 
+  test("agg_bitmap_distinct equals exact count(DISTINCT) per group") {
+    val got = SparkEntry.queries("agg_bitmap_distinct")(spark, sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, sf001)
+      .groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == exact, s"got=$got exact=$exact")
+  }
+
   test("HashedShingles kernel equals the five-stage HOF shingle pipeline") {
     val docs = Tables.documents(spark, sf001)
     val viaKernel = Dedup.withHashedShingles(docs).select(col("doc_id"), col("sh"))
