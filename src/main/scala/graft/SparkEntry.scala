@@ -28,6 +28,7 @@ object SparkEntry {
     operators.Vectors.queries ++
     operators.TextOps.queries ++
     operators.Multimodal.queries ++
+    operators.Analytics.queries ++
     functions.ScalarFns.queries ++
     functions.Udfs.queries ++
     streaming.Streams.queries
@@ -48,6 +49,7 @@ object SparkEntry {
     operators.Vectors.oracle ++
     operators.TextOps.oracle ++
     operators.Multimodal.oracle ++
+    operators.Analytics.oracle ++
     functions.ScalarFns.oracle ++
     functions.Udfs.oracle ++
     streaming.Streams.oracle

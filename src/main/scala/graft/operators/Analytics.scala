@@ -1,0 +1,117 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Event-analytics operators: conversion funnels and cohort retention —
+  * the product-analytics queries an events table exists to answer
+  * (i3cols' event-series analysis surface generalized to the web-event
+  * shape of the `events` fixture; reference analog: per-event ordered
+  * series reductions, SURVEY.md §2.1 R3/R8).
+  *
+  * Both operators are single-shuffle designs: the corpus shuffles ONCE
+  * on `user_id`, and every sequential/temporal rule is then evaluated
+  * row-locally (funnel: an `aggregate` fold over the packed, sorted
+  * event list; retention: a join back to the per-user first-day
+  * aggregate that reuses the same hash partitioning — Catalyst plans no
+  * second exchange for it). At 100 TB this is the pattern that
+  * survives: per-user state never leaves its partition, and no window
+  * re-sort of the whole corpus is needed.
+  */
+object Analytics {
+
+  /** Stage codes keep the in-array sort stable at equal timestamps:
+    * view(0) < click(1) < purchase(2), so a strictly-later-stage rule
+    * (`t > t_prev`) resolves equal-micros pairs identically here and in
+    * the oracle's `ts > tv` joins. */
+  private def stageCode(c: Column): Column =
+    when(c === "view", 0).when(c === "click", 1).otherwise(2)
+
+  val queries: Map[String, Q] = Map(
+    // Conversion funnel view → click → purchase: per user, the first
+    // view, the first click strictly after it, the first purchase
+    // strictly after that. Packing each user's (ts, stage) pairs and
+    // folding the sorted array with `aggregate` evaluates the whole
+    // sequential rule in one row-local pass — no iterative self-joins,
+    // no per-stage shuffles; the three-way dependency costs the same
+    // one exchange a plain count-per-user would.
+    "events_funnel" -> ((s, dir) => {
+      val e = events(s, dir)
+        .where(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id"),
+          struct(unix_micros(col("ts")).as("t"),
+                 stageCode(col("event_type")).as("c")).as("ev"))
+      val packed = e.groupBy("user_id")
+        .agg(array_sort(collect_list(col("ev"))).as("evs"))
+      val z = struct(lit(null).cast("long").as("tv"),
+                     lit(null).cast("long").as("tc"),
+                     lit(null).cast("long").as("tp"))
+      val folded = packed.withColumn("f",
+        aggregate(col("evs"), z, (st, ev) => {
+          val (t, c) = (ev.getField("t"), ev.getField("c"))
+          val tv = when(st.getField("tv").isNull && c === 0, t)
+            .otherwise(st.getField("tv"))
+          val tc = when(st.getField("tc").isNull && c === 1 &&
+                        st.getField("tv").isNotNull && t > st.getField("tv"), t)
+            .otherwise(st.getField("tc"))
+          val tp = when(st.getField("tp").isNull && c === 2 &&
+                        st.getField("tc").isNotNull && t > st.getField("tc"), t)
+            .otherwise(st.getField("tp"))
+          struct(tv.as("tv"), tc.as("tc"), tp.as("tp"))
+        }))
+      // micros diffs are exact longs, so the mean is one deterministic
+      // double division (fround: engine-stable rounding, Tables.scala)
+      folded.agg(
+        big(count(col("f.tv"))).as("n_view"),
+        big(count(col("f.tc"))).as("n_click"),
+        big(count(col("f.tp"))).as("n_purchase"),
+        fround(sum(col("f.tp") - col("f.tv")).cast("double") /
+               count(col("f.tp")) / 1e6, 2).as("avg_s_to_purchase"))
+    }),
+
+    // Cohort retention: cohort = a user's first active day; count
+    // distinct users active at day offsets 0..7 from their cohort day.
+    // The per-user first-day aggregate and the join back to the event
+    // scan both hash on user_id — one shuffle, reused. The output is
+    // the (cohort × offset) matrix, bounded by days × 8 regardless of
+    // corpus size.
+    "events_retention" -> ((s, dir) => {
+      val e = events(s, dir).select(col("user_id"), to_date(col("ts")).as("d"))
+      val first = e.groupBy("user_id").agg(min(col("d")).as("d0"))
+      e.join(first, Seq("user_id"))
+        .select(col("user_id"), date_format(col("d0"), "yyyy-MM-dd").as("cohort_day"),
+                big(datediff(col("d"), col("d0"))).as("day_offset"))
+        .where(col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(big(countDistinct(col("user_id"))).as("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "events_funnel" ->
+      ("WITH f AS (SELECT user_id, event_type, ts FROM events " +
+       "           WHERE event_type IN ('view','click','purchase')), " +
+       "v AS (SELECT user_id, MIN(ts) AS tv FROM f WHERE event_type = 'view' GROUP BY 1), " +
+       "c AS (SELECT f.user_id, MIN(ts) AS tc FROM f JOIN v USING (user_id) " +
+       "      WHERE event_type = 'click' AND ts > tv GROUP BY 1), " +
+       "p AS (SELECT f.user_id, MIN(ts) AS tp FROM f JOIN c USING (user_id) " +
+       "      WHERE event_type = 'purchase' AND ts > tc GROUP BY 1) " +
+       "SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view, " +
+       "CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click, " +
+       "CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase, " +
+       "(SELECT " +
+       froundSql("CAST(SUM(epoch_us(tp) - epoch_us(tv)) AS DOUBLE) / COUNT(*) / 1e6", 2) +
+       " FROM p JOIN v USING (user_id)) AS avg_s_to_purchase"),
+    "events_retention" ->
+      ("WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events), " +
+       "f AS (SELECT user_id, MIN(d) AS d0 FROM e GROUP BY 1) " +
+       "SELECT STRFTIME(d0, '%Y-%m-%d') AS cohort_day, " +
+       "CAST(DATE_DIFF('day', d0, d) AS BIGINT) AS day_offset, " +
+       "CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users " +
+       "FROM e JOIN f USING (user_id) " +
+       "WHERE DATE_DIFF('day', d0, d) <= 7 " +
+       "GROUP BY 1, 2 ORDER BY 1, 2")
+  )
+}

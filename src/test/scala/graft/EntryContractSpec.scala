@@ -23,6 +23,7 @@ class EntryContractSpec extends AnyFunSuite {
     "Vectors" -> operators.Vectors.queries,
     "TextOps" -> operators.TextOps.queries,
     "Multimodal" -> operators.Multimodal.queries,
+    "Analytics" -> operators.Analytics.queries,
     "ScalarFns" -> functions.ScalarFns.queries,
     "Udfs" -> functions.Udfs.queries,
     "Streams" -> streaming.Streams.queries)
