@@ -257,7 +257,29 @@ object Aggregations {
         .groupBy("l_orderkey")
         .agg(array_join(transform(sort_array(collect_list(col("l_linenumber"))),
                                   _.cast("string")), ",").as("linenumbers"))
-        .orderBy("l_orderkey"))
+        .orderBy("l_orderkey")),
+
+    // Pairwise correlation matrix: all 6 Pearson correlations among 4
+    // measure columns in ONE aggregation pass (Spark computes every
+    // corr() as mergeable co-moment partials in the same hash agg), then
+    // a row-local explode unpivots the single result row into matrix
+    // form. One scan + one 1-row shuffle regardless of column count —
+    // versus the naive pair-loop that scans the table 6 times.
+    "agg_corr_matrix" -> ((s, dir) => {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val pairs = for {
+        i <- cols.indices; j <- cols.indices if i < j
+      } yield (cols(i), cols(j))
+      val aggd = lineitem(s, dir).agg(
+        round(corr(col(pairs.head._1), col(pairs.head._2)), 6).as("c0"),
+        pairs.tail.zipWithIndex.map { case ((a, b), k) =>
+          round(corr(col(a), col(b)), 6).as(s"c${k + 1}") }: _*)
+      aggd.select(explode(array(pairs.zipWithIndex.map { case ((a, b), k) =>
+          struct(lit(a).as("col_a"), lit(b).as("col_b"), col(s"c$k").as("r"))
+        }: _*)).as("m"))
+        .select(col("m.col_a"), col("m.col_b"), col("m.r"))
+        .orderBy("col_a", "col_b")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -336,6 +358,14 @@ object Aggregations {
        s"${dsumSql("o_totalprice")} AS status_total FROM orders GROUP BY o_orderstatus) " +
        "SELECT o_orderstatus, status_total, " +
        froundSql(s"status_total / (SELECT ${dsumSql("o_totalprice")} FROM orders) * 100", 4) +
-       " AS pct FROM t ORDER BY o_orderstatus")
+       " AS pct FROM t ORDER BY o_orderstatus"),
+    "agg_corr_matrix" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val rows = for {
+        i <- cols.indices; j <- cols.indices if i < j
+      } yield s"SELECT '${cols(i)}' AS col_a, '${cols(j)}' AS col_b, " +
+              s"ROUND(CORR(${cols(i)}, ${cols(j)}), 6) AS r FROM lineitem"
+      rows.mkString("", " UNION ALL ", " ORDER BY col_a, col_b")
+    }
   )
 }

@@ -229,6 +229,51 @@ object Joins {
         .groupBy("user_id")
         .agg(big(count(lit(1))).as("n_pairs"))
         .orderBy("user_id")
+    }),
+
+    // Cross join as a report scaffold: every (region × returnflag)
+    // combination carries the flag's global totals, so downstream
+    // per-region allocation always sees a dense matrix (no missing
+    // combos after sparse joins). Both sides are aggregates a few rows
+    // tall — Catalyst plans a BroadcastNestedLoopJoin, never a
+    // shuffle; the pattern stays O(dims) at any corpus size because
+    // the cross product is over DIMENSIONS, not facts.
+    "join_cross" -> ((s, dir) => {
+      val r = region(s, dir).select(col("r_name"))
+      val f = lineitem(s, dir).groupBy("l_returnflag")
+        .agg(big(count(lit(1))).as("n_items"), dsum(col("l_quantity")).as("qty"))
+      r.crossJoin(f)
+        .select(col("r_name"), col("l_returnflag"), col("n_items"), col("qty"))
+        .orderBy("r_name", "l_returnflag")
+    }),
+
+    // Bloom-prefiltered join (semi-join reduction): build a Bloom
+    // filter over the selective side's keys (urgent orders), prefilter
+    // the fact scan with it, then run the exact join — false positives
+    // are eliminated by the join, so the result is bit-identical to
+    // the plain join while the shuffle carries only ~|matching|(1+fpp)
+    // fact rows instead of the whole table. This is the pattern behind
+    // Spark's own runtime bloom-filter rewrite
+    // (spark.sql.optimizer.runtime.bloomFilter.enabled, on by
+    // default); building it explicitly makes the reduction available
+    // across stages (e.g. before a checkpoint) where the optimizer
+    // rewrite can't reach. The build is one treeAggregate over the
+    // filtered dim; the filter ships to executors as a broadcast.
+    "join_bloom_prefilter" -> ((s, dir) => {
+      val urgent = orders(s, dir)
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val bf = urgent.stat.bloomFilter("o_orderkey", 100000L, 0.01)
+      val bfB = s.sparkContext.broadcast(bf)
+      val mightContain = udf((k: Long) => bfB.value.mightContain(k))
+      lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .where(mightContain(col("l_orderkey")))
+        .join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(month(col("o_orderdate")).cast("long").as("order_month"))
+        .agg(big(count(lit(1))).as("n_items"),
+             dsum6(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy("order_month")
     })
   )
 
@@ -292,6 +337,18 @@ object Joins {
        "FROM events e1 JOIN events e2 ON e1.user_id = e2.user_id " +
        "AND e2.event_id <> e1.event_id AND e2.ts >= e1.ts " +
        "AND e2.ts < e1.ts + INTERVAL 10 MINUTE " +
-       "GROUP BY e1.user_id ORDER BY e1.user_id")
+       "GROUP BY e1.user_id ORDER BY e1.user_id"),
+    "join_cross" ->
+      ("SELECT r_name, l_returnflag, n_items, qty FROM region CROSS JOIN " +
+       "(SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_items, " +
+       dsumSql("l_quantity") + " AS qty FROM lineitem GROUP BY l_returnflag) " +
+       "ORDER BY r_name, l_returnflag"),
+    "join_bloom_prefilter" ->
+      ("SELECT CAST(MONTH(o_orderdate) AS BIGINT) AS order_month, " +
+       "CAST(COUNT(*) AS BIGINT) AS n_items, " +
+       dsum6Sql("l_extendedprice * (1 - l_discount)") + " AS revenue " +
+       "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+       "WHERE o_orderpriority = '1-URGENT' " +
+       "GROUP BY 1 ORDER BY 1")
   )
 }

@@ -85,6 +85,30 @@ object Similarity {
         .orderBy("label", "a", "b")
     }),
 
+    // kNN join: EVERY vector gets its top-3 same-label neighbors (the
+    // batch form of ANN search — dataset-vs-dataset, not query-vs-
+    // dataset). Label blocking turns all-pairs into an equi-join on the
+    // block key; Spark 4's WindowGroupLimit then bounds each partition
+    // to k rows before the final sort. Ranking happens on the ROUNDED
+    // score (plus id tie-break) so rank order is engine-stable even
+    // when two scores differ below the rounding precision. At 100 TB
+    // the label block is replaced by an LSH/IVF bucket key (see
+    // sim_ann_lsh/sim_ann_ivf) — the join+window shape is identical.
+    "sim_knn_join" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = embeddings(s, dir)
+      val a = e.select(col("label"), col("vec_id"), col("embedding").as("va"))
+      val b = e.select(col("label"), col("vec_id").as("nbr_id"), col("embedding").as("vb"))
+      val pairs = a.join(b, Seq("label"))
+        .where(col("vec_id") =!= col("nbr_id"))
+        .select(col("label"), col("vec_id"), col("nbr_id"),
+                fround(cosine(col("va"), col("vb")), 4).as("cos"))
+      val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nbr_id"))
+      pairs.withColumn("rnk", big(row_number().over(w)))
+        .where(col("rnk") <= 3)
+        .orderBy("vec_id", "rnk")
+    }),
+
     // Range (radius) search: ALL neighbors of the query above a cosine
     // floor, not a fixed k — the retrieval mode for "everything similar
     // enough", e.g. near-dup blocklists. Same zero-shuffle shape as
@@ -129,6 +153,15 @@ object Similarity {
        " AS cos " +
        "FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id " +
        "WHERE LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.2 " +
-       "ORDER BY a.label, a, b")
+       "ORDER BY a.label, a, b"),
+    "sim_knn_join" ->
+      ("SELECT * FROM (SELECT a.label, a.vec_id, b.vec_id AS nbr_id, " +
+       froundSql("LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))", 4) +
+       " AS cos, " +
+       "CAST(ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY " +
+       froundSql("LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))", 4) +
+       " DESC, b.vec_id) AS BIGINT) AS rnk " +
+       "FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id) " +
+       "WHERE rnk <= 3 ORDER BY vec_id, rnk")
   )
 }

@@ -235,6 +235,60 @@ object TextOps {
                 col("hits"),
                 (col("profile_lang") === col("lang")).as("correct"))
         .orderBy("doc_id")
+    }),
+
+    // Gopher-style composite quality rules (Rae et al. 2021,
+    // arXiv:2112.11446 §A1.1 — the public rule family behind most LLM
+    // corpus filters): token-count bounds, mean-token-length bounds,
+    // stopword-presence. Every rule is a row-local expression over the
+    // token array — the corpus never shuffles; only the per-lang
+    // rule-failure tallies do (bounded by #langs). Thresholds are
+    // tuned to this fixture so both outcomes occur and the aggregate
+    // actually discriminates.
+    "text_gopher_quality" -> ((s, dir) => {
+      val stop = Seq("a", "the", "and", "of", "to")
+      val toks = split(lower(trim(col("text"))), " ")
+      documents(s, dir)
+        .withColumn("n_tok", size(toks))
+        .withColumn("mean_len",
+          aggregate(transform(toks, t => length(t)), lit(0L), _ + _)
+            .cast("double") / col("n_tok"))
+        .withColumn("stop_hits", size(filter(toks, t => t.isInCollection(stop))))
+        .withColumn("ok_len", col("n_tok").between(20, 5000))
+        .withColumn("ok_mean", col("mean_len") >= 4.8 && col("mean_len") <= 6.0)
+        .withColumn("ok_stop", col("stop_hits") >= 1)
+        .groupBy("lang")
+        .agg(big(count(lit(1))).as("n_docs"),
+             big(sum(when(col("ok_len") && col("ok_mean") && col("ok_stop"), 1)
+               .otherwise(0))).as("n_pass"),
+             big(sum(when(!col("ok_len"), 1).otherwise(0))).as("n_fail_len"),
+             big(sum(when(!col("ok_mean"), 1).otherwise(0))).as("n_fail_mean"),
+             big(sum(when(!col("ok_stop"), 1).otherwise(0))).as("n_fail_stop"))
+        .orderBy("lang")
+    }),
+
+    // Intra-document chunk dedup (the repeated-paragraph/boilerplate
+    // detector run before cross-doc dedup): split each doc's tokens
+    // into consecutive 2-token chunks and count repeats WITHIN the
+    // doc. Chunking, dedup and counting are all row-local array ops —
+    // zero shuffle until the per-lang tally — and that locality is the
+    // point at 100 TB: intra-doc structure never needs a join.
+    "text_dedup_chunks" -> ((s, dir) => {
+      val cw = 2
+      val toks = split(lower(trim(col("text"))), " ")
+      documents(s, dir)
+        .withColumn("chunks",
+          transform(sequence(lit(0), floor((size(toks) + lit(cw - 1)) / lit(cw)).cast("int") - 1),
+            i => concat_ws(" ", slice(toks, i * cw + 1, lit(cw)))))
+        .withColumn("n_chunks", big(size(col("chunks"))))
+        .withColumn("n_uniq", big(size(array_distinct(col("chunks")))))
+        .groupBy("lang")
+        .agg(big(count(lit(1))).as("n_docs"),
+             big(sum(when(col("n_uniq") < col("n_chunks"), 1).otherwise(0)))
+               .as("n_docs_with_repeat"),
+             big(sum(col("n_chunks") - col("n_uniq"))).as("n_repeated_chunks"),
+             big(sum(col("n_chunks"))).as("n_chunks_total"))
+        .orderBy("lang")
     })
   )
 
@@ -346,6 +400,29 @@ object TextOps {
        "ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, profile_lang) AS rn FROM hits) " +
        "SELECT b.doc_id, b.profile_lang AS predicted, d.lang AS actual, b.hits, " +
        "b.profile_lang = d.lang AS correct " +
-       "FROM best b JOIN documents d USING (doc_id) WHERE b.rn = 1 ORDER BY b.doc_id")
+       "FROM best b JOIN documents d USING (doc_id) WHERE b.rn = 1 ORDER BY b.doc_id"),
+    "text_gopher_quality" ->
+      ("WITH t AS (SELECT lang, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS toks FROM documents), " +
+       "m AS (SELECT lang, LEN(toks) AS n_tok, " +
+       "CAST(LIST_SUM(LIST_TRANSFORM(toks, tk -> LEN(tk))) AS DOUBLE) / LEN(toks) AS mean_len, " +
+       "LEN(LIST_FILTER(toks, tk -> LIST_CONTAINS(['a','the','and','of','to'], tk))) AS stop_hits " +
+       "FROM t) " +
+       "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+       "CAST(SUM(CASE WHEN n_tok BETWEEN 20 AND 5000 AND mean_len >= 4.8 " +
+       "AND mean_len <= 6.0 AND stop_hits >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass, " +
+       "CAST(SUM(CASE WHEN NOT (n_tok BETWEEN 20 AND 5000) THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_len, " +
+       "CAST(SUM(CASE WHEN NOT (mean_len >= 4.8 AND mean_len <= 6.0) THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_mean, " +
+       "CAST(SUM(CASE WHEN NOT (stop_hits >= 1) THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stop " +
+       "FROM m GROUP BY lang ORDER BY lang"),
+    "text_dedup_chunks" ->
+      ("WITH t AS (SELECT lang, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS toks FROM documents), " +
+       "c AS (SELECT lang, " +
+       "LIST_TRANSFORM(RANGE(CAST(CEIL(LEN(toks) / 2.0) AS BIGINT)), " +
+       "i -> ARRAY_TO_STRING(toks[i*2+1:i*2+2], ' ')) AS chunks FROM t) " +
+       "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+       "CAST(SUM(CASE WHEN LEN(LIST_DISTINCT(chunks)) < LEN(chunks) THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_repeat, " +
+       "CAST(SUM(LEN(chunks) - LEN(LIST_DISTINCT(chunks))) AS BIGINT) AS n_repeated_chunks, " +
+       "CAST(SUM(LEN(chunks)) AS BIGINT) AS n_chunks_total " +
+       "FROM c GROUP BY lang ORDER BY lang")
   )
 }
