@@ -279,6 +279,24 @@ object Aggregations {
         }: _*)).as("m"))
         .select(col("m.col_a"), col("m.col_b"), col("m.r"))
         .orderBy("col_a", "col_b")
+    }),
+
+    // Heavy hitters via the native Space-Saving sketch
+    // ([[graft.functions.FreqSketchAgg]]): fixed-memory, mergeable,
+    // partial-aggregated map-side — the shuffle carries one
+    // capacity-entry sketch per partition, never the key space. Here
+    // capacity (64) exceeds the key cardinality (50), so no eviction
+    // fires and the sketch is EXACT — the same kernel that answers
+    // approximately when the key space is the open vocabulary of a
+    // 100 TB corpus (guarantees property-tested in NonOracleOpsSpec).
+    "agg_freq_topk" -> ((s, dir) => {
+      val key = concat_ws(":", col("event_type"), (col("user_id") % 10).cast("string"))
+      events(s, dir).select(key.as("k"))
+        .agg(graft.functions.FreqSketchAgg(col("k"), 64).as("sk"))
+        .select(explode(col("sk")).as("e"))
+        .select(col("e.key").as("key"), col("e.est").as("est"), col("e.err").as("err"))
+        .orderBy(col("est").desc, col("key"))
+        .limit(10)
     })
   )
 
@@ -366,6 +384,10 @@ object Aggregations {
       } yield s"SELECT '${cols(i)}' AS col_a, '${cols(j)}' AS col_b, " +
               s"ROUND(CORR(${cols(i)}, ${cols(j)}), 6) AS r FROM lineitem"
       rows.mkString("", " UNION ALL ", " ORDER BY col_a, col_b")
-    }
+    },
+    "agg_freq_topk" ->
+      ("SELECT event_type || ':' || CAST(user_id % 10 AS VARCHAR) AS key, " +
+       "CAST(COUNT(*) AS BIGINT) AS est, CAST(0 AS BIGINT) AS err " +
+       "FROM events GROUP BY 1 ORDER BY est DESC, key LIMIT 10")
   )
 }

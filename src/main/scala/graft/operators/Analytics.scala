@@ -103,7 +103,8 @@ object Analytics {
        "CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase, " +
        "(SELECT " +
        froundSql("CAST(SUM(epoch_us(tp) - epoch_us(tv)) AS DOUBLE) / COUNT(*) / 1e6", 2) +
-       " FROM p JOIN v USING (user_id)) AS avg_s_to_purchase"),
+       " FROM p JOIN v USING (user_id)) AS avg_s_to_purchase " +
+       "ORDER BY n_view"),
     "events_retention" ->
       ("WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events), " +
        "f AS (SELECT user_id, MIN(d) AS d0 FROM e GROUP BY 1) " +

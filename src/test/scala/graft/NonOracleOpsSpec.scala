@@ -279,4 +279,43 @@ class NonOracleOpsSpec extends SparkSpec {
       .limit(25).select("o_orderkey").as[Long].collect()
     assert(top.map(_.getLong(0)).toSeq == full.toSeq)
   }
+
+  test("FreqSketchAgg under eviction: Space-Saving guarantees hold") {
+    // Zipf-ish stream: key k appears 2000/k times, 200 distinct keys,
+    // capacity 16 — evictions fire constantly across 8 partitions.
+    val n = 200
+    val rows = (1 to n).flatMap(k => Seq.fill(2000 / k)(f"k$k%03d"))
+    val truth = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = rows.size.toLong
+    val cap = 16
+    val sketch = rows.toDF("k").repartition(8)
+      .agg(functions.FreqSketchAgg(col("k"), cap).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.key"), col("e.est"), col("e.err"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(sketch.length <= cap)
+    sketch.foreach { case (k, est, err) =>
+      val t = truth(k)
+      assert(est >= t, s"$k: estimate $est undercounts true $t")
+      assert(est - err <= t, s"$k: est-err ${est - err} exceeds true $t")
+    }
+    // merged sketches keep min-counter error ≤ N/cap per merge level;
+    // with one merge round the bound doubles — assert the 2N/cap bound
+    sketch.foreach { case (k, _, err) =>
+      assert(err <= 2 * total / cap, s"$k: err $err > 2N/cap ${2 * total / cap}")
+    }
+    // the unambiguous heavy hitter must survive eviction
+    assert(sketch.exists(_._1 == "k001"), "true top-1 key evicted")
+  }
+
+  test("FreqSketchAgg without eviction is exact (agg_freq_topk contract)") {
+    val got = SparkEntry.queries("agg_freq_topk")(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val exact = Tables.events(spark, sf001)
+      .select(concat_ws(":", col("event_type"), (col("user_id") % 10).cast("string")).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("k")).limit(10)
+      .collect().map(r => (r.getString(0), r.getLong(1), 0L))
+    assert(got.toSeq == exact.toSeq)
+  }
 }
