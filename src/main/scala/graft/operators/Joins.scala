@@ -153,8 +153,17 @@ object Joins {
         .digest(s"$dir|${fsSig(s"$dir/orders.parquet")}|${fsSig(s"$dir/customer.parquet")}"
           .getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.take(16)
-      val ordersT = s"graft_orders_b_$tag"
-      val custT   = s"graft_customer_b_$tag"
+      // pid scope: the catalog is per-JVM (in-memory), but the
+      // warehouse DIR is shared — two concurrent JVMs (bench + verify)
+      // each saw "table missing" and wrote the same path twice,
+      // doubling the data files a later read picks up. Cross-JVM reuse
+      // was never real (tableExists is this JVM's catalog), so keying
+      // the name by pid removes the race at zero reuse cost; the
+      // fingerprint still invalidates within-JVM reuse on fixture
+      // regeneration.
+      val pid = ProcessHandle.current().pid()
+      val ordersT = s"graft_orders_b_${tag}_$pid"
+      val custT   = s"graft_customer_b_${tag}_$pid"
       def build(t: String, write: => Unit): Unit =
         if (!s.catalog.tableExists(t)) {
           val p = new org.apache.hadoop.fs.Path(

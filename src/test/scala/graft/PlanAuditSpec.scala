@@ -144,6 +144,49 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("AQEShuffleRead") || p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("join_cross is a broadcast nested-loop over dims, never a shuffle product") {
+    val p = plan("join_cross")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("join_bloom_prefilter keeps the fact-side parquet pushdown despite the UDF filter") {
+    val p = plan("join_bloom_prefilter")
+    // the bloom UDF must not block column pruning: fact scan reads only
+    // the three projected lineitem columns
+    assert(!p.contains("l_comment") && !p.contains("l_shipdate"), p)
+    assert(p.contains("mightContain") || p.contains("UDF"), p)
+  }
+
+  test("sim_knn_join bounds per-vector candidates before the rank sort (WindowGroupLimit)") {
+    val p = plan("sim_knn_join")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("events_funnel is a single user_id exchange (fold is row-local)") {
+    val p = plan("events_funnel")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges\n$p")
+  }
+
+  test("events_retention reuses the user_id partitioning between agg and join") {
+    val df = SparkEntry.queries("events_retention")(spark, sf001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // first-day agg + join back: both hash on user_id → at most the
+    // initial scan exchanges on user_id plus the final group-by; a
+    // third user_id exchange would mean the reuse broke
+    val userExchanges = "hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(userExchanges <= 2, s"user_id exchanged $userExchanges times\n$p")
+  }
+
+  test("agg_freq_topk partial-aggregates the sketch map-side") {
+    val p = plan("agg_freq_topk")
+    assert(p.contains("partial_graft_freq_topk") ||
+           "ObjectHashAggregate.*graft_freq_topk".r.findFirstIn(p).isDefined, p)
+    assert(p.contains("Exchange SinglePartition"), p)
+  }
+
   test("whole-stage codegen covers the hot paths of the flagship aggregate") {
     // AQE finalizes stages only at execution; run the query, then check
     // the final adaptive plan for codegen stage markers (`*(n)`)
