@@ -235,6 +235,66 @@ object Dedup {
     spark.createDataFrame(labels).toDF("node", "cluster")
   }
 
+  /** BFS depths from the graph's minimum node id — the second iterative
+    * graph primitive (after [[connectedComponents]]) and the same
+    * hybrid: driver-local BFS below [[LocalCcMaxEdges]] collected
+    * edges, distributed frontier expansion (join + min-aggregate per
+    * round, checkpointed) above. Distances are small exact integers, so
+    * unlike PageRank the result is oracle-checkable bit-for-bit.
+    * Returns (node, dist) for every node reachable from the source.
+    * Same loud non-convergence contract as the CC loop. */
+  def bfsDepths(pairs: DataFrame, localMaxEdges: Long = LocalCcMaxEdges): DataFrame = {
+    val p = pairs.select(col("a"), col("b")).localCheckpoint()
+    val spark = p.sparkSession
+    import spark.implicits._
+    val nEdges = p.count()
+    if (nEdges == 0) return spark.createDataFrame(Seq.empty[(Long, Long)]).toDF("node", "dist")
+    if (nEdges <= localMaxEdges) {
+      val edges = p.as[(Long, Long)].collect()
+      val adj = scala.collection.mutable.HashMap.empty[Long, List[Long]]
+      edges.foreach { case (a, b) =>
+        adj(a) = b :: adj.getOrElse(a, Nil)
+        adj(b) = a :: adj.getOrElse(b, Nil)
+      }
+      val src = adj.keysIterator.min
+      val dist = scala.collection.mutable.HashMap(src -> 0L)
+      var frontier = List(src)
+      while (frontier.nonEmpty) {
+        frontier = frontier.flatMap(n => adj(n).filter(!dist.contains(_))
+          .map { m => dist(m) = dist(n) + 1; m })
+      }
+      return spark.createDataFrame(dist.toSeq).toDF("node", "dist")
+    }
+    val edges = p.unionByName(p.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    val src = edges.agg(min(col("a"))).collect()(0).getLong(0)
+    var dist = Seq((src, 0L)).toDF("node", "dist").localCheckpoint()
+    var prevCount = 0L
+    var iters = 0
+    var done = false
+    val MaxIters = 60
+    // reached-node count is strictly monotone until the fixpoint; each
+    // round expands the whole reached set (not just the last frontier)
+    // — one extra join per round buys idempotent, restartable rounds
+    while (!done && iters < MaxIters) {
+      val next = dist.unionByName(
+          edges.join(dist.withColumnRenamed("node", "a"), Seq("a"))
+            .select(col("b").as("node"), (col("dist") + 1).as("dist")))
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+      val n = next.count()
+      done = n == prevCount
+      prevCount = n
+      dist = next
+      iters += 1
+    }
+    if (!done)
+      throw new IllegalStateException(
+        s"bfsDepths did not converge in $MaxIters rounds — " +
+        "graph diameter exceeds the cap; depths would be wrong")
+    dist
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: digest of normalized text, keep the minimum doc_id
     // per digest; n_dups counts the collapsed rows.
@@ -332,6 +392,18 @@ object Dedup {
         .groupBy("node").agg(big(count(lit(1))).as("degree"))
         .groupBy("degree").agg(big(count(lit(1))).as("n_nodes"))
         .orderBy("degree")
+    }),
+
+    // BFS depth histogram from the min node of the near-dup graph:
+    // how far duplication chains reach (A≈B≈C≈… transitive near-dup
+    // drift that pairwise thresholds miss). Depths are exact integers
+    // → oracle-checked against a recursive-CTE BFS, unusual for an
+    // iterative distributed graph op.
+    "graph_bfs" -> ((s, dir) => {
+      val pairs = blockedJaccardPairs(documents(s, dir), 0.02)
+      bfsDepths(pairs)
+        .groupBy("dist").agg(big(count(lit(1))).as("n_nodes"))
+        .orderBy("dist")
     }),
 
     // Corpus-level MinHash sketches: because sig(A∪B) is the
@@ -452,6 +524,22 @@ object Dedup {
        "(SELECT a AS node FROM pairs UNION ALL SELECT b AS node FROM pairs) GROUP BY node) " +
        "SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg " +
        "GROUP BY degree ORDER BY degree"),
+    "graph_bfs" ->
+      ("WITH RECURSIVE sh AS (SELECT doc_id, lang, source, " +
+       "LIST_DISTINCT(CASE WHEN LEN(STRING_SPLIT(LOWER(TRIM(text)), ' ')) >= 3 THEN " +
+       "LIST_TRANSFORM(RANGE(0, LEN(STRING_SPLIT(LOWER(TRIM(text)), ' ')) - 2), " +
+       "i -> ARRAY_TO_STRING(STRING_SPLIT(LOWER(TRIM(text)), ' ')[i+1:i+3], ' ')) " +
+       "ELSE [ARRAY_TO_STRING(STRING_SPLIT(LOWER(TRIM(text)), ' '), ' ')] END) AS sh " +
+       "FROM documents), " +
+       "pairs AS (SELECT a.doc_id AS a, b.doc_id AS b FROM sh a JOIN sh b " +
+       "ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id " +
+       "WHERE LEN(LIST_INTERSECT(a.sh, b.sh)) * 1.0 / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) >= 0.02), " +
+       "edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs), " +
+       "walk(node, dist) AS (SELECT MIN(a), 0 FROM edges HAVING MIN(a) IS NOT NULL " +
+       "UNION SELECT e.b, w.dist + 1 FROM walk w JOIN edges e ON w.node = e.a WHERE w.dist < 60), " +
+       "d AS (SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM walk GROUP BY node) " +
+       "SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM d " +
+       "GROUP BY dist ORDER BY dist"),
     "dedup_containment" ->
       ("WITH sh AS (SELECT doc_id, lang, source, " +
        "LIST_DISTINCT(CASE WHEN LEN(STRING_SPLIT(LOWER(TRIM(text)), ' ')) >= 3 THEN " +

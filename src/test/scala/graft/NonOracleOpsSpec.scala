@@ -83,6 +83,26 @@ class NonOracleOpsSpec extends SparkSpec {
     }
   }
 
+  test("bfsDepths: exact depths on chain + shortcut + unreachable component (both arms)") {
+    // source = min node 1; 1-2-3-4-5 chain with a 1-4 shortcut, so
+    // dist(4)=1 (not 3) and dist(5)=2; nodes 20-21 are a separate
+    // component — unreachable, thus absent from the result
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L),
+      (20L, 21L)
+    ).toDF("a", "b")
+    val want = Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 2L)
+    for (localMax <- Seq(Dedup.LocalCcMaxEdges, -1L)) {
+      val got = Dedup.bfsDepths(pairs, localMax)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"localMax=$localMax: $got")
+    }
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    for (localMax <- Seq(Dedup.LocalCcMaxEdges, -1L)) {
+      assert(Dedup.bfsDepths(empty, localMax).count() == 0, s"localMax=$localMax")
+    }
+  }
+
   test("ArrayExtremeAgg: distributed elementwise min/max, nulls skipped, empty group null") {
     import graft.functions.ArrayExtremeAgg
     val rows = Seq(
