@@ -76,6 +76,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         NgramGenerate(args(0), n)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_freq_topk"),
+      info("graft_freq_topk",
+        "graft_freq_topk(key, capacity) - mergeable Space-Saving heavy-hitters sketch; " +
+        "returns array<struct<key,est,err>> sorted by est desc (exact when capacity >= distinct keys)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_freq_topk(key, capacity)")
+        val cap = args(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"capacity must be an integer literal, got $other")
+        }
+        graft.functions.FreqSketchAgg(args(0), cap).toAggregateExpression()
+      }))
     ext.injectOptimizerRule(_ => SelfCosineIsOne)
     // whole-operator extension: per-group top-k physical planning
     ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)

@@ -35,6 +35,17 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getInt(3) == 4)
   }
 
+  test("graft_freq_topk aggregate is callable from SQL (exact below capacity)") {
+    val rows = extended.sql(
+      """SELECT e.key, e.est, e.err
+        |FROM (SELECT graft_freq_topk(k, 8) AS sk
+        |      FROM VALUES ('a'),('a'),('a'),('b'),('b'),('c') AS t(k))
+        |LATERAL VIEW explode(sk) AS e
+        |""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq(("a", 3L, 0L), ("b", 2L, 0L), ("c", 1L, 0L)))
+  }
+
   // inputs below are id-dependent (non-foldable) so built-in constant
   // folding can't evaluate the expression into a LocalRelation before
   // the plan-shape assertions run
