@@ -129,7 +129,24 @@ object ScalarFns {
         .select(col("user_id"),
                 element_at(col("type_counts"), "click").as("clicks"),
                 big(size(col("type_counts"))).as("n_types"))
-        .orderBy("user_id"))
+        .orderBy("user_id")),
+
+    // Null-safety bundle: the ANSI-adjacent escape hatches a pipeline
+    // leans on when raw data divides by zero or mixes sentinels —
+    // try_divide (null, never an exception, even under ANSI mode),
+    // nullif/coalesce sentinel handling, least/greatest. All row-local
+    // and codegen'd; l_discount is genuinely zero on a fraction of
+    // rows, so both branches of every expression are exercised.
+    "fn_null_safety" -> ((s, dir) =>
+      lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          fround(try_divide(col("l_extendedprice"), col("l_discount")), 2).as("safe_ratio"),
+          fround(coalesce(try_divide(col("l_extendedprice"), col("l_discount")), lit(-1.0)), 2)
+            .as("filled_ratio"),
+          nullif(col("l_linestatus"), lit("O")).as("status_or_null"),
+          r2(greatest(col("l_tax"), col("l_discount"))).as("hi_rate"),
+          r2(least(col("l_tax"), col("l_discount"))).as("lo_rate"))
+        .orderBy("l_orderkey", "l_linenumber"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -193,6 +210,14 @@ object ScalarFns {
       ("WITH tc AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n " +
        "FROM events GROUP BY user_id, event_type) " +
        "SELECT user_id, MAX(CASE WHEN event_type = 'click' THEN n END) AS clicks, " +
-       "CAST(COUNT(*) AS BIGINT) AS n_types FROM tc GROUP BY user_id ORDER BY user_id")
+       "CAST(COUNT(*) AS BIGINT) AS n_types FROM tc GROUP BY user_id ORDER BY user_id"),
+    "fn_null_safety" ->
+      ("SELECT l_orderkey, l_linenumber, " +
+       froundSql("l_extendedprice / NULLIF(l_discount, 0)", 2) + " AS safe_ratio, " +
+       froundSql("COALESCE(l_extendedprice / NULLIF(l_discount, 0), -1.0)", 2) + " AS filled_ratio, " +
+       "NULLIF(l_linestatus, 'O') AS status_or_null, " +
+       "ROUND(GREATEST(l_tax, l_discount), 2) AS hi_rate, " +
+       "ROUND(LEAST(l_tax, l_discount), 2) AS lo_rate " +
+       "FROM lineitem ORDER BY l_orderkey, l_linenumber")
   )
 }

@@ -111,6 +111,27 @@ object Windows {
                 big(count(lit(1)).over(w)).as("n_1h"),
                 r4(sum(col("value")).over(w)).as("sum_1h"))
         .orderBy("event_id")
+    }),
+
+    // Running DISTINCT count per user (distinct event types seen so
+    // far): exact cumulative distinct is not a frame-able aggregate, so
+    // it decomposes into two windows — a first-occurrence flag
+    // (row_number over user×type = 1) and a running sum of flags over
+    // the user's timeline. Both windows partition by user_id, so the
+    // corpus shuffles once; total order (ts, event_id) makes every
+    // rank deterministic.
+    "win_running_distinct" -> ((s, dir) => {
+      val wFirst = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts"), col("event_id"))
+      val wRun = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir)
+        .withColumn("first_seen",
+          when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+        .select(col("event_id"), col("user_id"),
+                big(sum(col("first_seen")).over(wRun)).as("n_distinct_types"))
+        .orderBy("event_id")
     })
   )
 
@@ -161,6 +182,14 @@ object Windows {
        "FROM events " +
        "WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) " +
        "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) " +
-       "ORDER BY event_id")
+       "ORDER BY event_id"),
+    "win_running_distinct" ->
+      ("WITH f AS (SELECT event_id, user_id, ts, " +
+       "CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type " +
+       "ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS first_seen FROM events) " +
+       "SELECT event_id, user_id, " +
+       "CAST(SUM(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_distinct_types " +
+       "FROM f ORDER BY event_id")
   )
 }
