@@ -42,6 +42,22 @@ object Streams {
     counts.withColumn("rn", big(row_number().over(w))).where(col("rn") <= 3)
   }
 
+  /** Windowed heavy hitters where the Space-Saving sketch IS the
+    * aggregation state: one fixed-size mergeable buffer per window in
+    * the state store, and the ranked top-3 falls out of the sketch's
+    * sorted output with a row-local slice — no second rank stage, no
+    * foreachBatch. Capacity 8 exceeds the 5-type key space, so the
+    * result is exact (FreqSketchAgg contract); at an open key space
+    * the same query degrades gracefully to approximate instead of
+    * growing state per key. */
+  def freqSketchWindowed(ev: DataFrame): DataFrame =
+    ev.groupBy(window(col("ts"), "6 hours").as("w"))
+      .agg(graft.functions.FreqSketchAgg(col("event_type"), 8).as("sk"))
+      .select(col("w.start").as("wstart"),
+              posexplode(slice(col("sk"), 1, 3)).as(Seq("pos", "e")))
+      .select(col("wstart"), big(col("pos") + 1).as("rn"),
+              col("e.key").as("event_type"), col("e.est").as("n"))
+
   /** Sliding 1h window, 15-minute slide. */
   def sliding(ev: DataFrame): DataFrame =
     ev.groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
@@ -181,6 +197,8 @@ object Streams {
     // [[topkCounts]]/[[rankTop3]] for the streaming split).
     "stream_topk_windowed" -> ((s, dir) =>
       rankTop3(topkCounts(events(s, dir))).orderBy("wstart", "rn")),
+    "stream_freq_sketch" -> ((s, dir) =>
+      freqSketchWindowed(events(s, dir)).orderBy("wstart", "rn")),
     "stream_sliding" -> ((s, dir) =>
       sliding(events(s, dir)).orderBy("wstart")),
     "stream_session" -> ((s, dir) =>
@@ -218,6 +236,15 @@ object Streams {
       ("WITH counts AS (SELECT DATE_TRUNC('hour', ts) AS wstart, event_type, " +
        "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY wstart, event_type) " +
        "SELECT wstart, event_type, n, rn FROM (SELECT wstart, event_type, n, " +
+       "CAST(ROW_NUMBER() OVER (PARTITION BY wstart ORDER BY n DESC, event_type) AS BIGINT) AS rn " +
+       "FROM counts) WHERE rn <= 3 ORDER BY wstart, rn"),
+    // 6-hour tumbling buckets: TIME_BUCKET matches Spark's epoch-aligned
+    // window(); capacity 8 > 5 event types, so the sketch is exact and
+    // the oracle is a plain ranked count
+    "stream_freq_sketch" ->
+      ("WITH counts AS (SELECT TIME_BUCKET(INTERVAL 6 HOUR, ts) AS wstart, event_type, " +
+       "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY wstart, event_type) " +
+       "SELECT wstart, rn, event_type, n FROM (SELECT wstart, event_type, n, " +
        "CAST(ROW_NUMBER() OVER (PARTITION BY wstart ORDER BY n DESC, event_type) AS BIGINT) AS rn " +
        "FROM counts) WHERE rn <= 3 ORDER BY wstart, rn"),
     // Every event belongs to exactly 4 sliding windows: starts at

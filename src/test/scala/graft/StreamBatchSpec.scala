@@ -51,6 +51,11 @@ class StreamBatchSpec extends SparkSpec {
     assertSameRows(out, batch, "session")
   }
 
+  test("stream_freq_sketch: sketch-state windowed heavy hitters equal batch") {
+    val out = streamed("t_freq_sketch", Streams.freqSketchWindowed, "complete")
+    assertSameRows(out, Streams.freqSketchWindowed(stagedEvents._2), "freq_sketch")
+  }
+
   test("stream_static_join: stream-static broadcast enrichment equals batch") {
     val cust = Tables.customer(spark, sf001)
     val out = streamed("t_static_join", ev => Streams.staticJoin(ev, cust), "complete")
