@@ -174,8 +174,43 @@ object Scans {
         .groupBy("l_returnflag")
         .agg(big(count(lit(1))).as("n"), r2(sum("l_quantity")).as("sum_qty"))
         .orderBy("l_returnflag")
+    }),
+
+    // Z-order (Morton) clustering key: interleave 8-bit bucket ranks of
+    // two dimensions so sorting by the single z key co-locates rows
+    // that are close in BOTH — the layout that makes 2-D box filters
+    // prune row groups/files on either column (Delta/Iceberg's OPTIMIZE
+    // ZORDER, done with plain codegen'd integer ops). The query
+    // verifies the z math end-to-end: macro-cell histogram with
+    // per-cell bounding boxes, bit-identical to the oracle's formula;
+    // ZOrderLayoutSpec asserts the locality property (z-sorted runs
+    // have far tighter 2-D boxes than a 1-D sort's).
+    "scan_zorder_layout" -> ((s, dir) => {
+      val o = orders(s, dir)
+      val mx = o.agg(max(col("o_custkey")).as("mck"),
+                     max(col("o_totalprice")).as("mtp"))
+      val withZ = o.crossJoin(broadcast(mx))
+        .withColumn("bx", floor(col("o_custkey") * 256.0 / (col("mck") + 1)).cast("long"))
+        .withColumn("bv", floor(col("o_totalprice") * 256.0 / (col("mtp") + 1)).cast("long"))
+        .withColumn("z", zInterleave8(col("bx"), col("bv")))
+      withZ.groupBy(floor(col("z") / 1024.0).cast("long").as("zcell"))
+        .agg(big(count(lit(1))).as("n"),
+             big(min(col("bx"))).as("bx_min"), big(max(col("bx"))).as("bx_max"),
+             big(min(col("bv"))).as("bv_min"), big(max(col("bv"))).as("bv_max"))
+        .orderBy("zcell")
     })
   )
+
+  /** Morton interleave of the low 8 bits of two bucket ranks: bit i of
+    * `bx` lands at position 2i, bit i of `by` at 2i+1. Pure shifts/
+    * masks/adds — whole-stage-codegen'd, and expressible identically
+    * in the oracle's SQL dialect. */
+  def zInterleave8(bx: org.apache.spark.sql.Column,
+                           by: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 8).map { i =>
+      shiftleft(shiftright(bx, i).bitwiseAND(1L), 2 * i) +
+      shiftleft(shiftright(by, i).bitwiseAND(1L), 2 * i + 1)
+    }.reduce(_ + _)
 
   val oracle: Map[String, String] = Map(
     "scan_parquet" ->
@@ -217,6 +252,20 @@ object Scans {
       ("SELECT event_type, CAST(COUNT(k) AS BIGINT) AS n_k, CAST(SUM(k) AS BIGINT) AS sum_k, " +
        froundSql("CAST(SUM(k) AS DOUBLE) / COUNT(k)", 4) + " AS avg_k FROM " +
        "(SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events) " +
-       "GROUP BY event_type ORDER BY event_type")
+       "GROUP BY event_type ORDER BY event_type"),
+    "scan_zorder_layout" -> {
+      val zTerms = (0 until 8).map { i =>
+        s"(((bx >> $i) & 1) << ${2 * i}) + (((bv >> $i) & 1) << ${2 * i + 1})"
+      }.mkString(" + ")
+      ("WITH mx AS (SELECT MAX(o_custkey) AS mck, MAX(o_totalprice) AS mtp FROM orders), " +
+       "b AS (SELECT CAST(FLOOR(o_custkey * 256.0 / (mck + 1)) AS BIGINT) AS bx, " +
+       "CAST(FLOOR(o_totalprice * 256.0 / (mtp + 1)) AS BIGINT) AS bv " +
+       "FROM orders, mx), " +
+       s"z AS (SELECT bx, bv, $zTerms AS z FROM b) " +
+       "SELECT CAST(FLOOR(z / 1024.0) AS BIGINT) AS zcell, CAST(COUNT(*) AS BIGINT) AS n, " +
+       "CAST(MIN(bx) AS BIGINT) AS bx_min, CAST(MAX(bx) AS BIGINT) AS bx_max, " +
+       "CAST(MIN(bv) AS BIGINT) AS bv_min, CAST(MAX(bv) AS BIGINT) AS bv_max " +
+       "FROM z GROUP BY zcell ORDER BY zcell")
+    }
   )
 }

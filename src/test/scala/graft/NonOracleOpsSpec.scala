@@ -300,6 +300,38 @@ class NonOracleOpsSpec extends SparkSpec {
     assert(top.map(_.getLong(0)).toSeq == full.toSeq)
   }
 
+  test("z-order clustering yields far tighter 2-D run boxes than a 1-D sort") {
+    import graft.operators.Scans
+    // bucketize both dims to 0..255, sort by z vs by bx alone, chunk
+    // into 16 consecutive runs (stand-ins for files), compare the mean
+    // bounding-box area — the quantity that predicts min/max pruning
+    val o = Tables.orders(spark, sf001)
+    val mx = o.agg(max(col("o_custkey")).as("mck"), max(col("o_totalprice")).as("mtp"))
+    val b = o.crossJoin(broadcast(mx))
+      .withColumn("bx", floor(col("o_custkey") * 256.0 / (col("mck") + 1)).cast("long"))
+      .withColumn("bv", floor(col("o_totalprice") * 256.0 / (col("mtp") + 1)).cast("long"))
+      .withColumn("z", Scans.zInterleave8(col("bx"), col("bv")))
+    // a bx-sorted layout prunes bx filters perfectly but leaves every
+    // run spanning the FULL bv range — filters on the second dimension
+    // prune nothing. z-order's point is bounded spans on BOTH dims.
+    def meanRunSpans(sorted: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val rows = sorted.select("bx", "bv").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val runs = rows.grouped(math.max(1, rows.length / 16)).map(_.toSeq).toSeq
+      def mean(f: Seq[(Long, Long)] => Double) = runs.map(f).sum / runs.length
+      (mean(r => (r.map(_._1).max - r.map(_._1).min + 1).toDouble),
+       mean(r => (r.map(_._2).max - r.map(_._2).min + 1).toDouble))
+    }
+    val (zBx, zBv) = meanRunSpans(b.orderBy("z"))
+    val (dBx, dBv) = meanRunSpans(b.orderBy("bx", "bv"))
+    assert(zBv < dBv / 2,
+      s"z-order mean bv span $zBv not < half of bx-sort's $dBv")
+    assert(zBx < 256.0 / 2,
+      s"z-order lost bx locality entirely: mean span $zBx")
+    assert(dBx < zBx,
+      s"sanity: bx-sort should have the tightest bx spans ($dBx vs $zBx)")
+  }
+
   test("FreqSketchAgg under eviction: Space-Saving guarantees hold") {
     // Zipf-ish stream: key k appears 2000/k times, 200 distinct keys,
     // capacity 16 — evictions fire constantly across 8 partitions.
