@@ -496,28 +496,28 @@ object Dedup {
        "(SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_same FROM fp GROUP BY fp) USING (fp) " +
        "ORDER BY doc_id"),
     "dedup_cluster" ->
-      ("WITH RECURSIVE sh AS (SELECT doc_id, lang, source, " +
+      ("WITH RECURSIVE sh AS MATERIALIZED (SELECT doc_id, lang, source, " +
        "LIST_DISTINCT(CASE WHEN LEN(STRING_SPLIT(LOWER(TRIM(text)), ' ')) >= 3 THEN " +
        "LIST_TRANSFORM(RANGE(0, LEN(STRING_SPLIT(LOWER(TRIM(text)), ' ')) - 2), " +
        "i -> ARRAY_TO_STRING(STRING_SPLIT(LOWER(TRIM(text)), ' ')[i+1:i+3], ' ')) " +
        "ELSE [ARRAY_TO_STRING(STRING_SPLIT(LOWER(TRIM(text)), ' '), ' ')] END) AS sh " +
        "FROM documents), " +
-       "pairs AS (SELECT a.doc_id AS a, b.doc_id AS b FROM sh a JOIN sh b " +
+       "pairs AS MATERIALIZED (SELECT a.doc_id AS a, b.doc_id AS b FROM sh a JOIN sh b " +
        "ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id " +
        "WHERE LEN(LIST_INTERSECT(a.sh, b.sh)) * 1.0 / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) >= 0.02), " +
-       "edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs), " +
+       "edges AS MATERIALIZED (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs), " +
        "reach(src, dst) AS (SELECT a, b FROM edges " +
        "UNION SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a) " +
        "SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster " +
        "FROM reach GROUP BY src ORDER BY doc_id"),
     "graph_degree" ->
-      ("WITH sh AS (SELECT doc_id, lang, source, " +
+      ("WITH sh AS MATERIALIZED (SELECT doc_id, lang, source, " +
        "LIST_DISTINCT(CASE WHEN LEN(STRING_SPLIT(LOWER(TRIM(text)), ' ')) >= 3 THEN " +
        "LIST_TRANSFORM(RANGE(0, LEN(STRING_SPLIT(LOWER(TRIM(text)), ' ')) - 2), " +
        "i -> ARRAY_TO_STRING(STRING_SPLIT(LOWER(TRIM(text)), ' ')[i+1:i+3], ' ')) " +
        "ELSE [ARRAY_TO_STRING(STRING_SPLIT(LOWER(TRIM(text)), ' '), ' ')] END) AS sh " +
        "FROM documents), " +
-       "pairs AS (SELECT a.doc_id AS a, b.doc_id AS b FROM sh a JOIN sh b " +
+       "pairs AS MATERIALIZED (SELECT a.doc_id AS a, b.doc_id AS b FROM sh a JOIN sh b " +
        "ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id " +
        "WHERE LEN(LIST_INTERSECT(a.sh, b.sh)) * 1.0 / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) >= 0.02), " +
        "deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM " +
@@ -525,23 +525,23 @@ object Dedup {
        "SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg " +
        "GROUP BY degree ORDER BY degree"),
     "graph_bfs" ->
-      ("WITH RECURSIVE sh AS (SELECT doc_id, lang, source, " +
+      ("WITH RECURSIVE sh AS MATERIALIZED (SELECT doc_id, lang, source, " +
        "LIST_DISTINCT(CASE WHEN LEN(STRING_SPLIT(LOWER(TRIM(text)), ' ')) >= 3 THEN " +
        "LIST_TRANSFORM(RANGE(0, LEN(STRING_SPLIT(LOWER(TRIM(text)), ' ')) - 2), " +
        "i -> ARRAY_TO_STRING(STRING_SPLIT(LOWER(TRIM(text)), ' ')[i+1:i+3], ' ')) " +
        "ELSE [ARRAY_TO_STRING(STRING_SPLIT(LOWER(TRIM(text)), ' '), ' ')] END) AS sh " +
        "FROM documents), " +
-       "pairs AS (SELECT a.doc_id AS a, b.doc_id AS b FROM sh a JOIN sh b " +
+       "pairs AS MATERIALIZED (SELECT a.doc_id AS a, b.doc_id AS b FROM sh a JOIN sh b " +
        "ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id " +
        "WHERE LEN(LIST_INTERSECT(a.sh, b.sh)) * 1.0 / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) >= 0.02), " +
-       "edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs), " +
+       "edges AS MATERIALIZED (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs), " +
        "walk(node, dist) AS (SELECT MIN(a), 0 FROM edges HAVING MIN(a) IS NOT NULL " +
        "UNION SELECT e.b, w.dist + 1 FROM walk w JOIN edges e ON w.node = e.a WHERE w.dist < 60), " +
        "d AS (SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM walk GROUP BY node) " +
        "SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM d " +
        "GROUP BY dist ORDER BY dist"),
     "dedup_containment" ->
-      ("WITH sh AS (SELECT doc_id, lang, source, " +
+      ("WITH sh AS MATERIALIZED (SELECT doc_id, lang, source, " +
        "LIST_DISTINCT(CASE WHEN LEN(STRING_SPLIT(LOWER(TRIM(text)), ' ')) >= 3 THEN " +
        "LIST_TRANSFORM(RANGE(0, LEN(STRING_SPLIT(LOWER(TRIM(text)), ' ')) - 2), " +
        "i -> ARRAY_TO_STRING(STRING_SPLIT(LOWER(TRIM(text)), ' ')[i+1:i+3], ' ')) " +
@@ -553,7 +553,7 @@ object Dedup {
        "WHERE LEN(LIST_INTERSECT(a.sh, b.sh)) * 1.0 / LEN(a.sh) >= 0.1 " +
        "ORDER BY a, b"),
     "dedup_ngram_jaccard" ->
-      ("WITH sh AS (SELECT doc_id, lang, source, " +
+      ("WITH sh AS MATERIALIZED (SELECT doc_id, lang, source, " +
        "LIST_DISTINCT(CASE WHEN LEN(STRING_SPLIT(LOWER(TRIM(text)), ' ')) >= 3 THEN " +
        "LIST_TRANSFORM(RANGE(0, LEN(STRING_SPLIT(LOWER(TRIM(text)), ' ')) - 2), " +
        "i -> ARRAY_TO_STRING(STRING_SPLIT(LOWER(TRIM(text)), ' ')[i+1:i+3], ' ')) " +
