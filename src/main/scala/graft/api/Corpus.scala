@@ -97,6 +97,46 @@ final case class Corpus(df: DataFrame) {
     Corpus(df.withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= perStratum).drop("__rn"))
   }
+
+  /** Gopher-style composite quality gate: token-count bounds, mean
+    * token length bounds, minimum stopword hits — all row-local
+    * (text_gopher_quality's rules as a filter stage). */
+  def gopherFilter(minTokens: Int = 20, maxTokens: Int = 5000,
+                   minMeanLen: Double = 2.0, maxMeanLen: Double = 12.0,
+                   stop: Seq[String] = Seq("a", "the", "and", "of", "to"),
+                   minStopHits: Int = 1): Corpus =
+    Corpus(df
+      .withColumn("__t", toks)
+      .withColumn("__n", size(col("__t")))
+      .withColumn("__ml",
+        aggregate(transform(col("__t"), t => length(t)), lit(0L), _ + _)
+          .cast("double") / col("__n"))
+      .withColumn("__sh", size(filter(col("__t"), t => t.isInCollection(stop))))
+      .where(col("__n").between(minTokens, maxTokens) &&
+             col("__ml") >= minMeanLen && col("__ml") <= maxMeanLen &&
+             col("__sh") >= minStopHits)
+      .drop("__t", "__n", "__ml", "__sh"))
+
+  /** Per-doc repeated-chunk ratio column (intra-doc boilerplate signal;
+    * text_dedup_chunks' row-local chunking). */
+  def withChunkRepeatRatio(chunkTokens: Int = 2,
+                           colName: String = "chunk_repeat_ratio"): Corpus = {
+    val t = toks
+    val chunks = transform(
+      sequence(lit(0), floor((size(t) + lit(chunkTokens - 1)) / lit(chunkTokens)).cast("int") - 1),
+      i => concat_ws(" ", slice(t, i * chunkTokens + 1, lit(chunkTokens))))
+    Corpus(df.withColumn(colName,
+      fround((size(chunks) - size(array_distinct(chunks))).cast("double") /
+             size(chunks), 4)))
+  }
+
+  /** Global heavy-hitter tokens via the mergeable Space-Saving sketch
+    * (fixed memory at any vocabulary size; exact when `capacity`
+    * exceeds the distinct-token count). */
+  def frequentTokens(capacity: Int): DataFrame =
+    tokens().agg(graft.functions.FreqSketchAgg(col("token"), capacity).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.key").as("token"), col("e.est").as("est"), col("e.err").as("err"))
 }
 
 /** Facade over an embeddings DataFrame (`vec_id`, `embedding`). */
@@ -135,4 +175,21 @@ final case class VectorCorpus(df: DataFrame) {
     df.groupBy(groupCols.map(col): _*)
       .agg(graft.functions.ArrayExtremeAgg.min(col("embedding")).as("mins"),
            graft.functions.ArrayExtremeAgg.max(col("embedding")).as("maxs"))
+
+  /** Dataset-vs-dataset kNN join: every vector's top-`k` neighbors
+    * within its `blockCol` block (sim_knn_join's shape — swap the
+    * block key for an LSH/IVF bucket at open scale). Ranks on the
+    * rounded score for engine-stable order. */
+  def knnJoin(k: Int, blockCol: String = "label"): DataFrame = {
+    val a = df.select(col(blockCol), col("vec_id"), col("embedding").as("va"))
+    val b = df.select(col(blockCol), col("vec_id").as("nbr_id"), col("embedding").as("vb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("cos").desc, col("nbr_id"))
+    a.join(b, Seq(blockCol))
+      .where(col("vec_id") =!= col("nbr_id"))
+      .select(col(blockCol), col("vec_id"), col("nbr_id"),
+              fround(Similarity.cosine(col("va"), col("vb")), 4).as("cos"))
+      .withColumn("rnk", big(row_number().over(w)))
+      .where(col("rnk") <= k)
+  }
 }

@@ -85,4 +85,43 @@ class CorpusApiSpec extends SparkSpec {
       .select(col("doc_id"), col("fp").as("simhash"))
     assertSameRows(viaApi, viaQuery, "simhash")
   }
+
+  test("gopherFilter passes exactly the docs text_gopher_quality counts as passing") {
+    val kept = Corpus(docs)
+      .gopherFilter(minTokens = 20, maxTokens = 5000,
+        minMeanLen = 4.8, maxMeanLen = 6.0, minStopHits = 1)
+      .df.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = SparkEntry.queries("text_gopher_quality")(spark, sf001)
+      .select("lang", "n_pass")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap.filter(_._2 > 0)
+    assert(kept == expected, s"kept=$kept expected=$expected")
+  }
+
+  test("withChunkRepeatRatio agrees with text_dedup_chunks per-lang totals") {
+    val api = Corpus(docs).withChunkRepeatRatio().df
+    val anyRepeat = api.where(col("chunk_repeat_ratio") > 0)
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = SparkEntry.queries("text_dedup_chunks")(spark, sf001)
+      .select("lang", "n_docs_with_repeat")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap.filter(_._2 > 0)
+    assert(anyRepeat == expected, s"api=$anyRepeat expected=$expected")
+  }
+
+  test("frequentTokens with ample capacity equals exact token counts") {
+    val got = Corpus(docs).frequentTokens(100000)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.forall(_._3 == 0L), "ample capacity must have zero error")
+    val exact = Corpus(docs).tokens().groupBy("token").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.map(t => t._1 -> t._2).toMap == exact)
+  }
+
+  test("VectorCorpus.knnJoin equals the sim_knn_join query") {
+    val emb = Tables.embeddings(spark, sf001)
+    val viaApi = VectorCorpus(emb).knnJoin(3)
+      .select("label", "vec_id", "nbr_id", "cos", "rnk")
+    assertSameRows(viaApi, SparkEntry.queries("sim_knn_join")(spark, sf001), "knn")
+  }
 }
