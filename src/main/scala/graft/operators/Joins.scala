@@ -240,6 +240,31 @@ object Joins {
         .orderBy("user_id")
     }),
 
+    // Forward as-of: each order joined to the user's FIRST event
+    // at-or-after the order date (the mirror of join_asof's
+    // latest-prior). Same union-tag + one-window design — a running
+    // min over the future frame — so the whole bitemporal pair costs
+    // ONE shuffle on the user key; ties (event at the exact order
+    // timestamp) are included by ordering orders before events at
+    // equal ts.
+    "join_asof_forward" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, dir)
+        .select(col("user_id").as("uid"), col("ts"),
+                lit(0).as("is_order"), lit(null).cast("long").as("o_orderkey"))
+      val od = orders(s, dir)
+        .select(col("o_custkey").as("uid"), col("o_orderdate").as("ts"),
+                lit(1).as("is_order"), col("o_orderkey"))
+      val w = Window.partitionBy("uid").orderBy(col("ts"), col("is_order").desc)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      ev.unionByName(od)
+        .withColumn("next_ev_ts",
+          min(when(col("is_order") === 0, col("ts"))).over(w))
+        .where(col("is_order") === 1)
+        .select(col("o_orderkey"), col("uid").as("o_custkey"), col("next_ev_ts"))
+        .orderBy("o_orderkey")
+    }),
+
     // Cross join as a report scaffold: every (region × returnflag)
     // combination carries the flag's global totals, so downstream
     // per-region allocation always sees a dense matrix (no missing
@@ -330,6 +355,10 @@ object Joins {
     "join_asof" ->
       ("SELECT o_orderkey, o_custkey, " +
        "(SELECT MAX(e.ts) FROM events e WHERE e.user_id = o.o_custkey AND e.ts <= o.o_orderdate) AS last_ev_ts " +
+       "FROM orders o ORDER BY o_orderkey"),
+    "join_asof_forward" ->
+      ("SELECT o_orderkey, o_custkey, " +
+       "(SELECT MIN(e.ts) FROM events e WHERE e.user_id = o.o_custkey AND e.ts >= o.o_orderdate) AS next_ev_ts " +
        "FROM orders o ORDER BY o_orderkey"),
     "join_bucketed_colocated" ->
       ("SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders, " +

@@ -104,32 +104,35 @@ object Vectors {
     // nprobe/nlist of the corpus, and the whole path is deterministic,
     // so unlike LSH it IS oracle-checked.
     "sim_ann_ivf" -> ((s, dir) => {
+      val (cents, qv, probeCids) = ivfPrelude(s, dir)
       val e = embeddings(s, dir)
-      val cents: Array[(Long, Array[Float])] = e.where(col("vec_id") < 8)
-        .select(col("vec_id"), col("embedding"))
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-        .sortBy(_._1)
-      val qv: Array[Float] = e.where(col("vec_id") === 0)
-        .select(col("embedding")).collect()(0).getSeq[Float](0).toArray
-      def cosLocal(a: Array[Float], b: Array[Float]): Double = {
-        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-        while (i < a.length) {
-          dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
-          i += 1
-        }
-        dot / (math.sqrt(na) * math.sqrt(nb))
-      }
-      val probeCids = cents.map { case (cid, cv) => (cid, cosLocal(cv, qv)) }
-        .sortBy { case (cid, s) => (-s, cid) }.take(2).map(_._1)
-      // row-local argmax over the 8 centroid literals: array_max of
-      // (sim, -cid) structs = max sim, ties to the smallest cid
-      val simStructs = cents.map { case (cid, cv) =>
-        struct(Similarity.cosine(col("embedding"), typedLit(cv)).as("s"),
-               lit(-cid).as("neg"))
-      }
       e.where(col("vec_id") =!= 0)
-        .withColumn("cid", -array_max(array(simStructs: _*)).getField("neg"))
+        .withColumn("cid", ivfAssign(cents))
+        .where(col("cid").isin(probeCids: _*))
+        .select(col("vec_id"),
+                fround(Similarity.cosine(col("embedding"), typedLit(qv)), 4).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
+    }),
+
+    // IVF as DATA LAYOUT: the index is not a sidecar structure but the
+    // partitioning of the table itself — embeddings land in
+    // partitionBy(cid) dirs at ingest, and a probe is a
+    // partition-PRUNED read of nprobe dirs (PlanAuditSpec pins
+    // PartitionFilters). At 100 TB this is how a vector corpus is
+    // actually stored for ANN: the probe reads nprobe/nlist of the
+    // bytes, no index server, no per-query assignment pass. Results
+    // are identical to the scan-side IVF (same centroids, same probe
+    // set) — the shared oracle proves it.
+    "sim_ivf_layout" -> ((s, dir) => {
+      val (cents, qv, probeCids) = ivfPrelude(s, dir)
+      val out = scratch(dir, "ivf_layout")
+      val e = embeddings(s, dir)
+      e.where(col("vec_id") =!= 0)
+        .withColumn("cid", ivfAssign(cents))
+        .repartition(col("cid"))
+        .write.mode("overwrite").partitionBy("cid").parquet(out)
+      s.read.parquet(out)
         .where(col("cid").isin(probeCids: _*))
         .select(col("vec_id"),
                 fround(Similarity.cosine(col("embedding"), typedLit(qv)), 4).as("cos"))
@@ -137,6 +140,44 @@ object Vectors {
         .limit(10)
     })
   )
+
+  /** Shared IVF prelude: deterministic centroids (the 8 lowest
+    * vec_ids), the query vector, and the 2 probe cells nearest the
+    * query — all driver-side scalars (a #centroids×dim collect, tiny
+    * at any corpus scale since nlist ≪ corpus). */
+  private def ivfPrelude(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (Array[(Long, Array[Float])], Array[Float], Array[Long]) = {
+    val e = embeddings(s, dir)
+    val cents: Array[(Long, Array[Float])] = e.where(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val qv: Array[Float] = e.where(col("vec_id") === 0)
+      .select(col("embedding")).collect()(0).getSeq[Float](0).toArray
+    def cosLocal(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probeCids = cents.map { case (cid, cv) => (cid, cosLocal(cv, qv)) }
+      .sortBy { case (cid, sim) => (-sim, cid) }.take(2).map(_._1)
+    (cents, qv, probeCids)
+  }
+
+  /** Row-local centroid assignment: argmax over the centroid literals
+    * via array_max of (sim, -cid) structs — max sim, ties to the
+    * smallest cid. Codegen'd, no shuffle, no UDF. */
+  private def ivfAssign(cents: Array[(Long, Array[Float])]): org.apache.spark.sql.Column = {
+    val simStructs = cents.map { case (cid, cv) =>
+      struct(Similarity.cosine(col("embedding"), typedLit(cv)).as("s"),
+             lit(-cid).as("neg"))
+    }
+    -array_max(array(simStructs: _*)).getField("neg")
+  }
 
   val oracle: Map[String, String] = Map(
     "vec_bbox" ->
@@ -194,5 +235,27 @@ object Vectors {
        "FROM v JOIN assign USING (vec_id), q " +
        "WHERE assign.cid IN (SELECT cid FROM probes) AND v.vec_id <> 0 " +
        "ORDER BY cos DESC, v.vec_id LIMIT 10")
-  )
+  ) ++ {
+    // the layout variant must return exactly the scan-side IVF's rows —
+    // same centroids, same probe set, different physical access path
+    Map("sim_ivf_layout" -> oracleIvfBase)
+  }
+
+  // def, not val: `oracle` above initializes first (declaration order)
+  private def oracleIvfBase: String =
+    ("WITH cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv " +
+     "FROM embeddings WHERE vec_id < 8), " +
+     "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings), " +
+     "assign AS (SELECT vec_id, cid FROM (" +
+     "SELECT v.vec_id, cent.cid, ROW_NUMBER() OVER (PARTITION BY v.vec_id " +
+     "ORDER BY LIST_COSINE_SIMILARITY(v.ev, cent.cv) DESC, cent.cid) AS rn " +
+     "FROM v, cent) WHERE rn = 1), " +
+     "q AS (SELECT ev AS qv FROM v WHERE vec_id = 0), " +
+     "probes AS (SELECT cid FROM cent, q " +
+     "ORDER BY LIST_COSINE_SIMILARITY(cent.cv, q.qv) DESC, cid LIMIT 2) " +
+     "SELECT v.vec_id, " +
+     froundSql("LIST_COSINE_SIMILARITY(v.ev, q.qv)", 4) + " AS cos " +
+     "FROM v JOIN assign USING (vec_id), q " +
+     "WHERE assign.cid IN (SELECT cid FROM probes) AND v.vec_id <> 0 " +
+     "ORDER BY cos DESC, v.vec_id LIMIT 10")
 }

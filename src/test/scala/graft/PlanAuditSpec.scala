@@ -187,6 +187,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Exchange SinglePartition"), p)
   }
 
+  test("sim_ivf_layout probe is a partition-pruned read of the nprobe cells") {
+    val df = SparkEntry.queries("sim_ivf_layout")(spark, sf001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [cid"), p)
+  }
+
+  test("join_asof_forward is one shuffle on the user key like its backward twin") {
+    val p = plan("join_asof_forward")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges\n$p")
+  }
+
   test("whole-stage codegen covers the hot paths of the flagship aggregate") {
     // AQE finalizes stages only at execution; run the query, then check
     // the final adaptive plan for codegen stage markers (`*(n)`)
