@@ -86,6 +86,28 @@ object Analytics {
         .groupBy("cohort_day", "day_offset")
         .agg(big(countDistinct(col("user_id"))).as("n_users"))
         .orderBy("cohort_day", "day_offset")
+    }),
+
+    // First-order Markov transition matrix over each user's event
+    // sequence: P(next type | current type). One lag window per user
+    // (single shuffle on user_id), then a bounded types² aggregate.
+    // Transition probabilities divide two exact longs, so the matrix
+    // is engine-stable under fround. The sequence-model view of an
+    // event log — the input to session-based recommenders and anomaly
+    // scoring.
+    "events_markov" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val trans = events(s, dir)
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .where(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(big(count(lit(1))).as("n"))
+      val totals = trans.groupBy("from_type").agg(sum(col("n")).as("tot"))
+      trans.join(broadcast(totals), Seq("from_type"))
+        .select(col("from_type"), col("to_type"), col("n"),
+                fround(col("n").cast("double") / col("tot"), 4).as("p"))
+        .orderBy("from_type", "to_type")
     })
   )
 
@@ -113,6 +135,17 @@ object Analytics {
        "CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users " +
        "FROM e JOIN f USING (user_id) " +
        "WHERE DATE_DIFF('day', d0, d) <= 7 " +
-       "GROUP BY 1, 2 ORDER BY 1, 2")
+       "GROUP BY 1, 2 ORDER BY 1, 2"),
+    "events_markov" ->
+      ("WITH seq AS (SELECT user_id, event_type, " +
+       "LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type " +
+       "FROM events), " +
+       "trans AS (SELECT event_type AS from_type, next_type AS to_type, " +
+       "CAST(COUNT(*) AS BIGINT) AS n FROM seq WHERE next_type IS NOT NULL " +
+       "GROUP BY 1, 2), " +
+       "tot AS (SELECT from_type, SUM(n) AS tot FROM trans GROUP BY 1) " +
+       "SELECT from_type, to_type, n, " +
+       froundSql("CAST(n AS DOUBLE) / tot", 4) + " AS p " +
+       "FROM trans JOIN tot USING (from_type) ORDER BY from_type, to_type")
   )
 }

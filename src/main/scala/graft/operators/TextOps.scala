@@ -267,6 +267,29 @@ object TextOps {
         .orderBy("lang")
     }),
 
+    // Per-language token entropy (vocabulary-diversity signal — the
+    // corpus-health metric next to type-token ratio): H = -Σ p·ln p
+    // over the language's token distribution, perplexity = e^H. Two
+    // hash aggregates (token counts → entropy), shuffle bounded by the
+    // vocabulary. Each p·ln p term is identical IEEE math on both
+    // engines and the sum runs in decimal(24,6) (dsum6), so the
+    // reduction is order-independent — bit-stable on any cluster
+    // layout, same pattern as text_lm_score.
+    "text_entropy" -> ((s, dir) => {
+      val tok = documents(s, dir)
+        .select(col("lang"), explode(split(lower(trim(col("text"))), " ")).as("token"))
+      val counts = tok.groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
+      val totals = counts.groupBy("lang").agg(sum(col("cnt")).as("tot"),
+                                              big(count(lit(1))).as("vocab"))
+      counts.join(broadcast(totals), Seq("lang"))
+        .withColumn("p", col("cnt").cast("double") / col("tot").cast("double"))
+        .groupBy("lang")
+        .agg(first(col("vocab")).as("vocab"),
+             fround(-dsum6(col("p") * log(col("p"))), 4).as("entropy_nats"),
+             fround(exp(-dsum6(col("p") * log(col("p")))), 2).as("perplexity"))
+        .orderBy("lang")
+    }),
+
     // Intra-document chunk dedup (the repeated-paragraph/boilerplate
     // detector run before cross-doc dedup): split each doc's tokens
     // into consecutive 2-token chunks and count repeats WITHIN the
@@ -401,6 +424,15 @@ object TextOps {
        "SELECT b.doc_id, b.profile_lang AS predicted, d.lang AS actual, b.hits, " +
        "b.profile_lang = d.lang AS correct " +
        "FROM best b JOIN documents d USING (doc_id) WHERE b.rn = 1 ORDER BY b.doc_id"),
+    "text_entropy" ->
+      ("WITH tok AS (SELECT lang, UNNEST(STRING_SPLIT(LOWER(TRIM(text)), ' ')) AS token FROM documents), " +
+       "counts AS (SELECT lang, token, COUNT(*) AS cnt FROM tok GROUP BY 1, 2), " +
+       "tot AS (SELECT lang, SUM(cnt) AS tot, CAST(COUNT(*) AS BIGINT) AS vocab FROM counts GROUP BY 1), " +
+       "h AS (SELECT lang, ANY_VALUE(vocab) AS vocab, " +
+       "-" + dsum6Sql("(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)) * LN(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))") +
+       " AS hn FROM counts JOIN tot USING (lang) GROUP BY lang) " +
+       "SELECT lang, vocab, " + froundSql("hn", 4) + " AS entropy_nats, " +
+       froundSql("EXP(hn)", 2) + " AS perplexity FROM h ORDER BY lang"),
     "text_gopher_quality" ->
       ("WITH t AS (SELECT lang, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS toks FROM documents), " +
        "m AS (SELECT lang, LEN(toks) AS n_tok, " +
