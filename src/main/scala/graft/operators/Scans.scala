@@ -176,6 +176,33 @@ object Scans {
         .orderBy("l_returnflag")
     }),
 
+    // Manifest-based file skipping (the Delta/Iceberg data-skipping
+    // move on plain parquet): a one-scan manifest records each file's
+    // min/max of the clustering key; a later range query consults the
+    // manifest FIRST and opens only overlapping files. Row-group
+    // pruning needs every footer opened — at 100 TB with millions of
+    // files, the manifest turns "open every footer" into one tiny
+    // metadata read. The layout write is range-partitioned so file
+    // key-ranges are tight and disjoint; ManifestPruneSpec asserts the
+    // probe reads a strict subset of files, the oracle proves the
+    // answer is exactly the plain filter's.
+    "scan_manifest_pruned" -> ((s, dir) => {
+      val out = scratch(dir, "manifest_src")
+      lineitem(s, dir)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .repartitionByRange(16, col("l_orderkey"))
+        .write.mode("overwrite").parquet(out)
+      val files = manifestPrune(s, out, "l_orderkey", 100L, 2000L)
+      // a fully-pruned probe must yield the empty result, not a
+      // zero-path read error
+      val base = if (files.isEmpty) s.read.parquet(out).where(lit(false))
+                 else s.read.parquet(files: _*)
+      base.where(col("l_orderkey").between(100L, 2000L))
+        .groupBy("l_returnflag")
+        .agg(big(count(lit(1))).as("n"), r2(sum("l_quantity")).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     // Z-order (Morton) clustering key: interleave 8-bit bucket ranks of
     // two dimensions so sorting by the single z key co-locates rows
     // that are close in BOTH — the layout that makes 2-D box filters
@@ -200,6 +227,21 @@ object Scans {
         .orderBy("zcell")
     })
   )
+
+  /** Build the file-level min/max manifest for `keyCol` (one
+    * distributed scan, group-by input_file_name) and return the files
+    * whose [min, max] overlaps [lo, hi]. In a real deployment the
+    * manifest persists next to the table and is maintained
+    * incrementally on write; the overlap test is a driver-side filter
+    * over O(#files) manifest rows — metadata, not data. */
+  def manifestPrune(s: org.apache.spark.sql.SparkSession, path: String,
+                    keyCol: String, lo: Long, hi: Long): Seq[String] = {
+    val manifest = s.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(keyCol)).as("mn"), max(col(keyCol)).as("mx"))
+    manifest.where(col("mx") >= lo && col("mn") <= hi)
+      .select("file").collect().map(_.getString(0)).toSeq
+  }
 
   /** Morton interleave of the low 8 bits of two bucket ranks: bit i of
     * `bx` lands at position 2i, bit i of `by` at 2i+1. Pure shifts/
@@ -253,6 +295,11 @@ object Scans {
        froundSql("CAST(SUM(k) AS DOUBLE) / COUNT(k)", 4) + " AS avg_k FROM " +
        "(SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events) " +
        "GROUP BY event_type ORDER BY event_type"),
+    "scan_manifest_pruned" ->
+      ("SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, " +
+       "ROUND(SUM(l_quantity), 2) AS sum_qty " +
+       "FROM lineitem WHERE l_orderkey BETWEEN 100 AND 2000 " +
+       "GROUP BY l_returnflag ORDER BY l_returnflag"),
     "scan_zorder_layout" -> {
       val zTerms = (0 until 8).map { i =>
         s"(((bx >> $i) & 1) << ${2 * i}) + (((bv >> $i) & 1) << ${2 * i + 1})"

@@ -332,6 +332,27 @@ class NonOracleOpsSpec extends SparkSpec {
       s"sanity: bx-sort should have the tightest bx spans ($dBx vs $zBx)")
   }
 
+  test("manifest pruning opens a strict subset of files and loses no rows") {
+    import graft.operators.Scans
+    val out = java.nio.file.Files.createTempDirectory("graft_manifest").toString
+    Tables.lineitem(spark, sf001)
+      .select("l_orderkey", "l_quantity")
+      .repartitionByRange(16, col("l_orderkey"))
+      .write.mode("overwrite").parquet(out)
+    val all = spark.read.parquet(out).inputFiles.length
+    val pruned = Scans.manifestPrune(spark, out, "l_orderkey", 100L, 2000L)
+    assert(pruned.nonEmpty && pruned.length < all,
+      s"pruned ${pruned.length} of $all files — no skipping happened")
+    // the pruned read agrees with the full filtered read exactly
+    val viaPruned = spark.read.parquet(pruned: _*)
+      .where(col("l_orderkey").between(100L, 2000L))
+    val viaFull = spark.read.parquet(out)
+      .where(col("l_orderkey").between(100L, 2000L))
+    assertSameRows(viaPruned, viaFull, "manifest prune")
+    // out-of-range probe prunes everything
+    assert(Scans.manifestPrune(spark, out, "l_orderkey", Long.MaxValue - 1, Long.MaxValue).isEmpty)
+  }
+
   test("FreqSketchAgg under eviction: Space-Saving guarantees hold") {
     // Zipf-ish stream: key k appears 2000/k times, 200 distinct keys,
     // capacity 16 — evictions fire constantly across 8 partitions.
