@@ -108,6 +108,34 @@ object Analytics {
         .select(col("from_type"), col("to_type"), col("n"),
                 fround(col("n").cast("double") / col("tot"), 4).as("p"))
         .orderBy("from_type", "to_type")
+    }),
+
+    // Daily-volume anomaly detection: flag (event_type, day) cells
+    // whose count sits ≥2σ from the type's mean. Variance comes from
+    // EXACT integer power sums (Σn, Σn²) rather than a streaming
+    // stddev, so z-scores are bit-identical on any partitioning and
+    // against the oracle — the same trick agg_moments uses. Two
+    // bounded aggregates + a broadcast join; the corpus shuffles once.
+    // (At 100 TB key volumes the power sums move to decimal as in
+    // agg_moments; longs hold comfortably at fixture scale.)
+    "events_anomaly" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(big(count(lit(1))).as("n"))
+      val stats = daily.groupBy("event_type")
+        .agg(sum(col("n")).as("s1"), sum(col("n") * col("n")).as("s2"),
+             big(count(lit(1))).as("nd"))
+      daily.join(broadcast(stats), Seq("event_type"))
+        .withColumn("mean", col("s1").cast("double") / col("nd"))
+        .withColumn("vars",
+          (col("s2").cast("double") -
+           col("s1").cast("double") * col("s1").cast("double") / col("nd")) /
+          (col("nd") - 1))
+        .withColumn("z", (col("n") - col("mean")) / sqrt(col("vars")))
+        .where(abs(col("z")) >= 2.0)
+        .select(col("event_type"), date_format(col("d"), "yyyy-MM-dd").as("day"),
+                col("n"), fround(col("z"), 4).as("z"))
+        .orderBy("event_type", "day")
     })
   )
 
@@ -146,6 +174,18 @@ object Analytics {
        "tot AS (SELECT from_type, SUM(n) AS tot FROM trans GROUP BY 1) " +
        "SELECT from_type, to_type, n, " +
        froundSql("CAST(n AS DOUBLE) / tot", 4) + " AS p " +
-       "FROM trans JOIN tot USING (from_type) ORDER BY from_type, to_type")
+       "FROM trans JOIN tot USING (from_type) ORDER BY from_type, to_type"),
+    "events_anomaly" ->
+      ("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, " +
+       "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), " +
+       "stats AS (SELECT event_type, SUM(n) AS s1, SUM(n * n) AS s2, " +
+       "CAST(COUNT(*) AS BIGINT) AS nd FROM daily GROUP BY 1), " +
+       "z AS (SELECT event_type, d, n, " +
+       "(n - CAST(s1 AS DOUBLE) / nd) / " +
+       "SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / nd) / (nd - 1)) AS z " +
+       "FROM daily JOIN stats USING (event_type)) " +
+       "SELECT event_type, STRFTIME(d, '%Y-%m-%d') AS day, n, " +
+       froundSql("z", 4) + " AS z FROM z WHERE ABS(z) >= 2.0 " +
+       "ORDER BY event_type, day")
   )
 }
