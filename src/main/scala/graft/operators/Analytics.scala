@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables._
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Event-analytics operators: conversion funnels and cohort retention —
@@ -28,6 +28,44 @@ object Analytics {
   private def stageCode(c: Column): Column =
     when(c === "view", 0).when(c === "click", 1).otherwise(2)
 
+  /** The funnel body over any (user_id, ts, event_type) frame —
+    * exposed so the strictly-after tie semantics are unit-testable on
+    * synthetic sequences (equal-micros stages must NOT advance the
+    * funnel, matching the oracle's `ts > tv` joins exactly). */
+  def funnelOf(ev: DataFrame): DataFrame = {
+    val e = ev
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"),
+        struct(unix_micros(col("ts")).as("t"),
+               stageCode(col("event_type")).as("c")).as("ev"))
+    val packed = e.groupBy("user_id")
+      .agg(array_sort(collect_list(col("ev"))).as("evs"))
+    val z = struct(lit(null).cast("long").as("tv"),
+                   lit(null).cast("long").as("tc"),
+                   lit(null).cast("long").as("tp"))
+    val folded = packed.withColumn("f",
+      aggregate(col("evs"), z, (st, ev) => {
+        val (t, c) = (ev.getField("t"), ev.getField("c"))
+        val tv = when(st.getField("tv").isNull && c === 0, t)
+          .otherwise(st.getField("tv"))
+        val tc = when(st.getField("tc").isNull && c === 1 &&
+                      st.getField("tv").isNotNull && t > st.getField("tv"), t)
+          .otherwise(st.getField("tc"))
+        val tp = when(st.getField("tp").isNull && c === 2 &&
+                      st.getField("tc").isNotNull && t > st.getField("tc"), t)
+          .otherwise(st.getField("tp"))
+        struct(tv.as("tv"), tc.as("tc"), tp.as("tp"))
+      }))
+    // micros diffs are exact longs, so the mean is one deterministic
+    // double division (fround: engine-stable rounding, Tables.scala)
+    folded.agg(
+      big(count(col("f.tv"))).as("n_view"),
+      big(count(col("f.tc"))).as("n_click"),
+      big(count(col("f.tp"))).as("n_purchase"),
+      fround(sum(col("f.tp") - col("f.tv")).cast("double") /
+             count(col("f.tp")) / 1e6, 2).as("avg_s_to_purchase"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Conversion funnel view → click → purchase: per user, the first
     // view, the first click strictly after it, the first purchase
@@ -36,39 +74,7 @@ object Analytics {
     // sequential rule in one row-local pass — no iterative self-joins,
     // no per-stage shuffles; the three-way dependency costs the same
     // one exchange a plain count-per-user would.
-    "events_funnel" -> ((s, dir) => {
-      val e = events(s, dir)
-        .where(col("event_type").isin("view", "click", "purchase"))
-        .select(col("user_id"),
-          struct(unix_micros(col("ts")).as("t"),
-                 stageCode(col("event_type")).as("c")).as("ev"))
-      val packed = e.groupBy("user_id")
-        .agg(array_sort(collect_list(col("ev"))).as("evs"))
-      val z = struct(lit(null).cast("long").as("tv"),
-                     lit(null).cast("long").as("tc"),
-                     lit(null).cast("long").as("tp"))
-      val folded = packed.withColumn("f",
-        aggregate(col("evs"), z, (st, ev) => {
-          val (t, c) = (ev.getField("t"), ev.getField("c"))
-          val tv = when(st.getField("tv").isNull && c === 0, t)
-            .otherwise(st.getField("tv"))
-          val tc = when(st.getField("tc").isNull && c === 1 &&
-                        st.getField("tv").isNotNull && t > st.getField("tv"), t)
-            .otherwise(st.getField("tc"))
-          val tp = when(st.getField("tp").isNull && c === 2 &&
-                        st.getField("tc").isNotNull && t > st.getField("tc"), t)
-            .otherwise(st.getField("tp"))
-          struct(tv.as("tv"), tc.as("tc"), tp.as("tp"))
-        }))
-      // micros diffs are exact longs, so the mean is one deterministic
-      // double division (fround: engine-stable rounding, Tables.scala)
-      folded.agg(
-        big(count(col("f.tv"))).as("n_view"),
-        big(count(col("f.tc"))).as("n_click"),
-        big(count(col("f.tp"))).as("n_purchase"),
-        fround(sum(col("f.tp") - col("f.tv")).cast("double") /
-               count(col("f.tp")) / 1e6, 2).as("avg_s_to_purchase"))
-    }),
+    "events_funnel" -> ((s, dir) => funnelOf(events(s, dir))),
 
     // Cohort retention: cohort = a user's first active day; count
     // distinct users active at day offsets 0..7 from their cohort day.

@@ -332,6 +332,27 @@ class NonOracleOpsSpec extends SparkSpec {
       s"sanity: bx-sort should have the tightest bx spans ($dBx vs $zBx)")
   }
 
+  test("events_funnel tie semantics: a stage at identical micros does not advance") {
+    import graft.operators.Analytics
+    import java.sql.Timestamp
+    def ts(us: Long) = new Timestamp(us / 1000) // ms precision suffices here
+    // user 1: clean view < click < purchase → full conversion
+    // user 2: click at the SAME instant as the view → click must not count
+    // user 3: purchase BEFORE the first click → purchase must not count
+    // user 4: click with no prior view → neither click nor purchase counts
+    val rows = Seq(
+      (1L, ts(1000000L), "view"), (1L, ts(2000000L), "click"), (1L, ts(3000000L), "purchase"),
+      (2L, ts(1000000L), "view"), (2L, ts(1000000L), "click"), (2L, ts(2000000L), "purchase"),
+      (3L, ts(1000000L), "view"), (3L, ts(3000000L), "click"), (3L, ts(2000000L), "purchase"),
+      (4L, ts(1000000L), "click"), (4L, ts(2000000L), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val r = Analytics.funnelOf(rows).collect()(0)
+    assert(r.getLong(0) == 3, s"n_view: $r")      // users 1,2,3 viewed
+    assert(r.getLong(1) == 2, s"n_click: $r")     // users 1,3 (user 2's tie rejected)
+    assert(r.getLong(2) == 1, s"n_purchase: $r")  // only user 1 (3's purchase precedes click)
+    assert(math.abs(r.getDouble(3) - 2.0) < 1e-9, s"avg_s: $r")
+  }
+
   test("manifest pruning opens a strict subset of files and loses no rows") {
     import graft.operators.Scans
     val out = java.nio.file.Files.createTempDirectory("graft_manifest").toString
