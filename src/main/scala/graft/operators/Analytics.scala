@@ -116,6 +116,28 @@ object Analytics {
         .orderBy("from_type", "to_type")
     }),
 
+    // DAU / trailing-7-day WAU / stickiness — the engagement triple.
+    // The corpus collapses to distinct (day, user) once (one shuffle);
+    // WAU is then a range join of that small activity set against the
+    // day spine (spine is O(days) → broadcast side), never a second
+    // pass over raw events. DAU/WAU divides two exact longs.
+    "events_dau_wau" -> ((s, dir) => {
+      val activity = events(s, dir)
+        .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+      val dau = activity.groupBy("d")
+        .agg(big(countDistinct(col("user_id"))).as("dau"))
+      val spine = dau.select(col("d").as("sd"))
+      val wau = broadcast(spine)
+        .join(activity, col("d").between(date_sub(col("sd"), 6), col("sd")))
+        .groupBy(col("sd"))
+        .agg(big(countDistinct(col("user_id"))).as("wau"))
+      dau.join(wau, col("d") === col("sd"))
+        .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+                col("dau"), col("wau"),
+                fround(col("dau").cast("double") / col("wau"), 4).as("stickiness"))
+        .orderBy("day")
+    }),
+
     // Daily-volume anomaly detection: flag (event_type, day) cells
     // whose count sits ≥2σ from the type's mean. Variance comes from
     // EXACT integer power sums (Σn, Σn²) rather than a streaming
@@ -181,6 +203,14 @@ object Analytics {
        "SELECT from_type, to_type, n, " +
        froundSql("CAST(n AS DOUBLE) / tot", 4) + " AS p " +
        "FROM trans JOIN tot USING (from_type) ORDER BY from_type, to_type"),
+    "events_dau_wau" ->
+      ("WITH act AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events), " +
+       "dau AS (SELECT d, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau FROM act GROUP BY 1), " +
+       "wau AS (SELECT s.d AS sd, CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS wau " +
+       "FROM (SELECT d FROM dau) s JOIN act a ON a.d BETWEEN s.d - 6 AND s.d GROUP BY 1) " +
+       "SELECT STRFTIME(d, '%Y-%m-%d') AS day, dau, wau, " +
+       froundSql("CAST(dau AS DOUBLE) / wau", 4) + " AS stickiness " +
+       "FROM dau JOIN wau ON d = sd ORDER BY day"),
     "events_anomaly" ->
       ("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, " +
        "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), " +

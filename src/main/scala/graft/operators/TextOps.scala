@@ -267,6 +267,27 @@ object TextOps {
         .orderBy("lang")
     }),
 
+    // Cross-SOURCE contamination matrix: for every source pair, how
+    // many distinct 3-shingles they share — the train/test-leakage
+    // detector across data providers (text_shingle_df finds
+    // boilerplate WITHIN a language; this finds it BETWEEN sources).
+    // (source, shingle-hash) is distinct-ed before the self-join, so a
+    // shingle shared by k sources contributes exactly C(k,2) pairs;
+    // the join shuffles compact 64-bit hashes, vocabulary-bounded. At
+    // open scale, drop the top-df shingles first (they dominate the
+    // pair blowup and carry no leakage signal).
+    "text_contamination" -> ((s, dir) => {
+      val ss = Dedup.withHashedShingles(documents(s, dir), "source")
+        .select(col("source"), explode(col("sh")).as("h")).distinct()
+      val a = ss.select(col("source").as("src_a"), col("h"))
+      val b = ss.select(col("source").as("src_b"), col("h"))
+      a.join(b, Seq("h")).where(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(big(count(lit(1))).as("shared_shingles"))
+        .orderBy(col("shared_shingles").desc, col("src_a"), col("src_b"))
+        .limit(10)
+    }),
+
     // Per-language token entropy (vocabulary-diversity signal — the
     // corpus-health metric next to type-token ratio): H = -Σ p·ln p
     // over the language's token distribution, perplexity = e^H. Two
@@ -424,6 +445,18 @@ object TextOps {
        "SELECT b.doc_id, b.profile_lang AS predicted, d.lang AS actual, b.hits, " +
        "b.profile_lang = d.lang AS correct " +
        "FROM best b JOIN documents d USING (doc_id) WHERE b.rn = 1 ORDER BY b.doc_id"),
+    "text_contamination" ->
+      ("WITH sh AS MATERIALIZED (SELECT source, doc_id, " +
+       "LIST_DISTINCT(CASE WHEN LEN(STRING_SPLIT(LOWER(TRIM(text)), ' ')) >= 3 THEN " +
+       "LIST_TRANSFORM(RANGE(0, LEN(STRING_SPLIT(LOWER(TRIM(text)), ' ')) - 2), " +
+       "i -> ARRAY_TO_STRING(STRING_SPLIT(LOWER(TRIM(text)), ' ')[i+1:i+3], ' ')) " +
+       "ELSE [ARRAY_TO_STRING(STRING_SPLIT(LOWER(TRIM(text)), ' '), ' ')] END) AS sh " +
+       "FROM documents), " +
+       "ss AS (SELECT DISTINCT source, UNNEST(sh) AS g FROM sh) " +
+       "SELECT a.source AS src_a, b.source AS src_b, " +
+       "CAST(COUNT(*) AS BIGINT) AS shared_shingles " +
+       "FROM ss a JOIN ss b ON a.g = b.g AND a.source < b.source " +
+       "GROUP BY 1, 2 ORDER BY shared_shingles DESC, src_a, src_b LIMIT 10"),
     "text_entropy" ->
       ("WITH tok AS (SELECT lang, UNNEST(STRING_SPLIT(LOWER(TRIM(text)), ' ')) AS token FROM documents), " +
        "counts AS (SELECT lang, token, COUNT(*) AS cnt FROM tok GROUP BY 1, 2), " +
