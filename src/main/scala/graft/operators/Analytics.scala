@@ -109,10 +109,13 @@ object Analytics {
         .where(col("next_type").isNotNull)
         .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
         .agg(big(count(lit(1))).as("n"))
-      val totals = trans.groupBy("from_type").agg(sum(col("n")).as("tot"))
-      trans.join(broadcast(totals), Seq("from_type"))
+      // row totals via a window over the tiny transition matrix — a
+      // totals JOIN would plan the corpus-wide lag window TWICE (once
+      // under each join branch); the window shares the single branch
+      val wTot = org.apache.spark.sql.expressions.Window.partitionBy("from_type")
+      trans
         .select(col("from_type"), col("to_type"), col("n"),
-                fround(col("n").cast("double") / col("tot"), 4).as("p"))
+                fround(col("n").cast("double") / sum(col("n")).over(wTot), 4).as("p"))
         .orderBy("from_type", "to_type")
     }),
 
@@ -198,11 +201,10 @@ object Analytics {
        "FROM events), " +
        "trans AS (SELECT event_type AS from_type, next_type AS to_type, " +
        "CAST(COUNT(*) AS BIGINT) AS n FROM seq WHERE next_type IS NOT NULL " +
-       "GROUP BY 1, 2), " +
-       "tot AS (SELECT from_type, SUM(n) AS tot FROM trans GROUP BY 1) " +
+       "GROUP BY 1, 2) " +
        "SELECT from_type, to_type, n, " +
-       froundSql("CAST(n AS DOUBLE) / tot", 4) + " AS p " +
-       "FROM trans JOIN tot USING (from_type) ORDER BY from_type, to_type"),
+       froundSql("CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type)", 4) + " AS p " +
+       "FROM trans ORDER BY from_type, to_type"),
     "events_dau_wau" ->
       ("WITH act AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events), " +
        "dau AS (SELECT d, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau FROM act GROUP BY 1), " +

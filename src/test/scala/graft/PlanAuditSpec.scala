@@ -199,6 +199,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges\n$p")
   }
 
+  test("events_dau_wau broadcasts the day spine into the range join") {
+    val p = plan("events_dau_wau")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("events_markov shuffles the corpus once (lag window), transitions stay bounded") {
+    val p = plan("events_markov")
+    val exchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 user_id exchange, got $exchanges\n$p")
+  }
+
   test("whole-stage codegen covers the hot paths of the flagship aggregate") {
     // AQE finalizes stages only at execution; run the query, then check
     // the final adaptive plan for codegen stage markers (`*(n)`)
