@@ -169,6 +169,28 @@ object Streams {
       .agg(big(count(lit(1))).as("n_pairs"),
            big(countDistinct(col("buy_id"))).as("n_attributed"))
 
+  /** Stream-stream LEFT OUTER interval join: purchases WITH their
+    * attributing clicks, plus null-padded rows for purchases that had
+    * none — the semantics that need watermarks to be decidable at all
+    * (a missing match is only known once the watermark passes the join
+    * window, at which point the state store emits the null row). Under
+    * Trigger.AvailableNow the final watermark closes every window, so
+    * stream ≡ batch LEFT JOIN exactly — asserted in StreamBatchSpec. */
+  def intervalJoinOuter(ev: DataFrame, withWatermarks: Boolean): DataFrame = {
+    val clicks0 = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+    val buys0 = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("buy_uid"), col("ts").as("buy_ts"), col("event_id").as("buy_id"))
+    val clicks = if (withWatermarks) clicks0.withWatermark("click_ts", "1 hour") else clicks0
+    val buys   = if (withWatermarks) buys0.withWatermark("buy_ts", "1 hour") else buys0
+    buys.join(clicks,
+        col("buy_uid") === col("user_id") &&
+        col("click_ts") >= col("buy_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("click_ts") <= col("buy_ts"),
+        "leftOuter")
+      .select(col("buy_uid").as("user_id"), col("buy_id"), col("click_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     // foreachBatch sink: the escape hatch that gives a stream every
     // batch writer Spark has (parquet here; JDBC/upsert in prod).
@@ -199,6 +221,12 @@ object Streams {
       rankTop3(topkCounts(events(s, dir))).orderBy("wstart", "rn")),
     "stream_freq_sketch" -> ((s, dir) =>
       freqSketchWindowed(events(s, dir)).orderBy("wstart", "rn")),
+    "stream_outer_interval" -> ((s, dir) =>
+      intervalJoinOuter(events(s, dir), withWatermarks = false)
+        .groupBy("user_id")
+        .agg(big(count(lit(1))).as("n_rows"),
+             big(sum(when(col("click_id").isNull, 1).otherwise(0))).as("n_unattributed"))
+        .orderBy("user_id")),
     "stream_sliding" -> ((s, dir) =>
       sliding(events(s, dir)).orderBy("wstart")),
     "stream_session" -> ((s, dir) =>
@@ -220,6 +248,14 @@ object Streams {
        "ROUND(SUM(value), 2) AS val_sum " +
        "FROM events JOIN customer ON user_id = c_custkey " +
        "GROUP BY c_mktsegment, event_type ORDER BY c_mktsegment, event_type"),
+    "stream_outer_interval" ->
+      ("SELECT b.user_id, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+       "CAST(SUM(CASE WHEN c.click_ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unattributed " +
+       "FROM (SELECT user_id, ts AS buy_ts, event_id FROM events WHERE event_type = 'purchase') b " +
+       "LEFT JOIN (SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click') c " +
+       "ON b.user_id = c.user_id " +
+       "AND c.click_ts >= b.buy_ts - INTERVAL 30 MINUTE AND c.click_ts <= b.buy_ts " +
+       "GROUP BY b.user_id ORDER BY b.user_id"),
     "stream_stream_interval" ->
       ("SELECT b.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs, " +
        "CAST(COUNT(DISTINCT b.event_id) AS BIGINT) AS n_attributed " +

@@ -11,6 +11,7 @@ import org.apache.spark.sql.streaming.Trigger
   * memory sink) and must produce the batch declaration's rows
   * (SURVEY.md §5.2.4). */
 class StreamBatchSpec extends SparkSpec {
+  import spark.implicits._
 
   /** Events written once to a temp parquet dir in (ts, event_id) order,
     * so file-source arrival order matches the batch tie-break order. */
@@ -60,6 +61,41 @@ class StreamBatchSpec extends SparkSpec {
     val cust = Tables.customer(spark, sf001)
     val out = streamed("t_static_join", ev => Streams.staticJoin(ev, cust), "complete")
     assertSameRows(out, Streams.staticJoin(stagedEvents._2, cust), "static_join")
+  }
+
+  test("stream_outer_interval: watermarked LEFT OUTER interval join emits batch rows incl. null pads") {
+    // null-padded rows for unmatched purchases emit only once the
+    // watermark passes their join window; purchases inside the final
+    // watermark delay would stay open forever on a finite stream. A
+    // trailing flush event (a 'view', invisible to both join sides)
+    // advances the watermark past everything — the standard
+    // end-of-stream close — after which stream ≡ batch LEFT JOIN.
+    val (srcDir, batchView) = stagedEvents
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_outer").toString
+    val maxTs = batchView.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    def flushRow(id: Long, plusHours: Int, typ: String) =
+      Seq((id, new java.sql.Timestamp(maxTs.getTime + plusHours * 3600 * 1000L),
+           -1L, typ, 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // watermarks hang off the click/purchase FILTERED branches, so the
+    // flush must be visible to BOTH: a sentinel click and purchase
+    // (user -1, 30+ min apart → they can never join, and the sentinel
+    // purchase's own window never closes so it emits nothing). File 2,
+    // written later and processed as its own batch, gives the state
+    // store the post-file-1 watermark in which to emit the null rows.
+    spark.read.parquet(srcDir)
+      .unionByName(flushRow(Long.MaxValue - 3, 4, "click"))
+      .unionByName(flushRow(Long.MaxValue - 2, 5, "purchase"))
+      .orderBy("ts", "event_id").coalesce(1).write.mode("overwrite").parquet(dir)
+    flushRow(Long.MaxValue - 1, 6, "click").coalesce(1).write.mode("append").parquet(dir)
+    val src = spark.readStream.schema(batchView.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = Streams.intervalJoinOuter(src, withWatermarks = true).writeStream
+      .format("memory").queryName("t_ss_outer").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assertSameRows(spark.table("t_ss_outer").where(col("user_id") =!= -1L),
+      Streams.intervalJoinOuter(batchView, withWatermarks = false), "ss_outer")
   }
 
   test("stream_stream_interval: watermarked stream-stream self-join emits the batch pairs") {
