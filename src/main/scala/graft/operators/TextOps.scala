@@ -267,6 +267,25 @@ object TextOps {
         .orderBy("lang")
     }),
 
+    // BPE tokenizer training, merge-candidate step: adjacent character
+    // pairs weighted by word frequency — the argmax IS the first BPE
+    // merge (Sennrich et al. 2016). The corpus collapses to its
+    // vocabulary FIRST (the classic trick: pair generation runs per
+    // distinct word, weighted by count, not per occurrence), so the
+    // explode is vocab-bounded no matter how large the corpus.
+    "text_bpe_pairs" -> ((s, dir) => {
+      val wc = documents(s, dir)
+        .select(explode(split(lower(trim(col("text"))), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+      wc.where(length(col("w")) >= 2)
+        .select(col("cnt"),
+          explode(transform(sequence(lit(1), length(col("w")) - 1),
+            i => col("w").substr(i, lit(2)))).as("pair"))
+        .groupBy("pair").agg(big(sum(col("cnt"))).as("freq"))
+        .orderBy(col("freq").desc, col("pair"))
+        .limit(10)
+    }),
+
     // Cross-SOURCE contamination matrix: for every source pair, how
     // many distinct 3-shingles they share — the train/test-leakage
     // detector across data providers (text_shingle_df finds
@@ -445,6 +464,13 @@ object TextOps {
        "SELECT b.doc_id, b.profile_lang AS predicted, d.lang AS actual, b.hits, " +
        "b.profile_lang = d.lang AS correct " +
        "FROM best b JOIN documents d USING (doc_id) WHERE b.rn = 1 ORDER BY b.doc_id"),
+    "text_bpe_pairs" ->
+      ("WITH wc AS (SELECT w, COUNT(*) AS cnt FROM " +
+       "(SELECT UNNEST(STRING_SPLIT(LOWER(TRIM(text)), ' ')) AS w FROM documents) GROUP BY w) " +
+       "SELECT pair, CAST(SUM(cnt) AS BIGINT) AS freq FROM " +
+       "(SELECT cnt, UNNEST(LIST_TRANSFORM(RANGE(1, LEN(w)), i -> SUBSTR(w, CAST(i AS INT), 2))) AS pair " +
+       "FROM wc WHERE LEN(w) >= 2) " +
+       "GROUP BY pair ORDER BY freq DESC, pair LIMIT 10"),
     "text_contamination" ->
       ("WITH sh AS MATERIALIZED (SELECT source, doc_id, " +
        "LIST_DISTINCT(CASE WHEN LEN(STRING_SPLIT(LOWER(TRIM(text)), ' ')) >= 3 THEN " +
