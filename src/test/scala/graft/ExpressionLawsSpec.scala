@@ -135,4 +135,46 @@ class ExpressionLawsSpec extends AnyFunSuite {
       assert(bs.forall(b => b >= 0 && b < (1L << 6)))
     }
   }
+
+  private val sketchStreams: Gen[List[String]] =
+    Gen.listOf(Gen.chooseNum(0, 40).map(i => s"k$i"))
+
+  private def sketchOf(keys: Seq[String], cap: Int) = {
+    val agg = functions.FreqSketchAgg(
+      org.apache.spark.sql.catalyst.expressions.Literal("x"), cap)
+    keys.foldLeft(agg.createAggregationBuffer()) { (b, k) =>
+      b.get(k) match {
+        case Some((c, e)) => b.update(k, (c + 1, e)); b
+        case None if b.size < cap => b.update(k, (1L, 0L)); b
+        case None =>
+          val (ek, (ec, _)) = b.minBy { case (kk, (c, _)) => (c, kk) }
+          b.remove(ek); b.update(k, (ec + 1, ec)); b
+      }
+    }
+  }
+
+  test("FreqSketchAgg serde roundtrip is the identity") {
+    val agg = functions.FreqSketchAgg(
+      org.apache.spark.sql.catalyst.expressions.Literal("x"), 8)
+    forAllSamples(sketchStreams) { keys =>
+      val buf = sketchOf(keys, 8)
+      assert(agg.deserialize(agg.serialize(buf)) == buf)
+    }
+  }
+
+  test("FreqSketchAgg merge is commutative and preserves the overestimate bound") {
+    val agg = functions.FreqSketchAgg(
+      org.apache.spark.sql.catalyst.expressions.Literal("x"), 8)
+    forAllSamples(Gen.zip(sketchStreams, sketchStreams)) { case (ka, kb) =>
+      val truth = (ka ++ kb).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      // merge mutates its arguments — build fresh buffers per direction
+      val ab = agg.merge(sketchOf(ka, 8), sketchOf(kb, 8))
+      val ba = agg.merge(sketchOf(kb, 8), sketchOf(ka, 8))
+      assert(ab == ba, s"merge not commutative: $ab vs $ba")
+      ab.foreach { case (k, (est, err)) =>
+        assert(est >= truth(k), s"$k underestimated: $est < ${truth(k)}")
+        assert(est - err <= truth(k), s"$k: est-err exceeds truth")
+      }
+    }
+  }
 }
