@@ -119,6 +119,40 @@ object Analytics {
         .orderBy("from_type", "to_type")
     }),
 
+    // Audience overlap (inclusion–exclusion over distinct users): how
+    // many users click, purchase, do both, do either. ONE scan —
+    // conditional distinct aggregates share the hash aggregate — and
+    // the intersection falls out arithmetically, no self-join.
+    "events_audience_overlap" -> ((s, dir) => {
+      val e = events(s, dir)
+      e.agg(
+          big(countDistinct(when(col("event_type") === "click", col("user_id"))))
+            .as("n_click"),
+          big(countDistinct(when(col("event_type") === "purchase", col("user_id"))))
+            .as("n_purchase"),
+          big(countDistinct(when(col("event_type").isin("click", "purchase"), col("user_id"))))
+            .as("n_either"))
+        .select(col("n_click"), col("n_purchase"), col("n_either"),
+                (col("n_click") + col("n_purchase") - col("n_either")).as("n_both"))
+        .orderBy("n_click")
+    }),
+
+    // Longest daily-activity streak per user — gaps-and-islands over
+    // distinct active days: consecutive days share an island id
+    // (day − rank(day) is constant within a run). Two windows over the
+    // small distinct (user, day) set, both partitioned by user_id —
+    // one corpus shuffle, then everything stays in place.
+    "events_streaks" -> ((s, dir) => {
+      val act = events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      act
+        .withColumn("grp", expr("date_sub(d, row_number() OVER (PARTITION BY user_id ORDER BY d))"))
+        .groupBy("user_id", "grp").agg(big(count(lit(1))).as("len"))
+        .groupBy("user_id")
+        .agg(max(col("len")).as("max_streak"), big(count(lit(1))).as("n_streaks"))
+        .orderBy("user_id")
+    }),
+
     // DAU / trailing-7-day WAU / stickiness — the engagement triple.
     // The corpus collapses to distinct (day, user) once (one shuffle);
     // WAU is then a range join of that small activity set against the
@@ -205,6 +239,19 @@ object Analytics {
        "SELECT from_type, to_type, n, " +
        froundSql("CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type)", 4) + " AS p " +
        "FROM trans ORDER BY from_type, to_type"),
+    "events_audience_overlap" ->
+      ("SELECT n_click, n_purchase, n_either, " +
+       "n_click + n_purchase - n_either AS n_both FROM " +
+       "(SELECT CAST(COUNT(DISTINCT CASE WHEN event_type = 'click' THEN user_id END) AS BIGINT) AS n_click, " +
+       "CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS BIGINT) AS n_purchase, " +
+       "CAST(COUNT(DISTINCT CASE WHEN event_type IN ('click','purchase') THEN user_id END) AS BIGINT) AS n_either " +
+       "FROM events) ORDER BY n_click"),
+    "events_streaks" ->
+      ("WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events), " +
+       "g AS (SELECT user_id, d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS INT) AS grp FROM act), " +
+       "runs AS (SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len FROM g GROUP BY 1, 2) " +
+       "SELECT user_id, MAX(len) AS max_streak, CAST(COUNT(*) AS BIGINT) AS n_streaks " +
+       "FROM runs GROUP BY 1 ORDER BY user_id"),
     "events_dau_wau" ->
       ("WITH act AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events), " +
        "dau AS (SELECT d, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau FROM act GROUP BY 1), " +
