@@ -74,7 +74,32 @@ object Ragged {
              max(col("c_custkey")).as("max_key"),
              array_join(transform(slice(sort_array(collect_list(col("c_custkey"))), 1, 5),
                                   _.cast("string")), ",").as("sample5"))
-        .orderBy("c_nationkey"))
+        .orderBy("c_nationkey")),
+
+    // Positional alignment of two ragged columns (the reference's
+    // charge×flag pulse-series move, i3cols R3/R8): pack ONCE as a
+    // struct array sorted by linenumber — both fields inherit the same
+    // offsets by construction — then project the parallel arrays and
+    // zip_with them row-locally. The decimal fold makes the per-event
+    // reduction order-independent, so the zipped result is oracle-
+    // exact. One pack shuffle; alignment itself never shuffles.
+    "ragged_zip" -> ((s, dir) => {
+      val packed = lineitem(s, dir)
+        .groupBy("l_orderkey")
+        .agg(array_sort(collect_list(struct(
+          col("l_linenumber"), col("l_quantity"), col("l_discount")))).as("xs"))
+        .select(col("l_orderkey"),
+          transform(col("xs"), x => x.getField("l_quantity")).as("qtys"),
+          transform(col("xs"), x => x.getField("l_discount")).as("discs"))
+      packed.select(col("l_orderkey"),
+          big(size(col("qtys"))).as("n_items"),
+          aggregate(
+            zip_with(col("qtys"), col("discs"), (q, d) => q * (lit(1) - d)),
+            lit(0).cast("decimal(24,6)"),
+            (acc, x) => (acc + x.cast("decimal(24,6)")).cast("decimal(24,6)"))
+            .cast("double").as("eff_qty"))
+        .orderBy("l_orderkey")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -96,6 +121,10 @@ object Ragged {
       ("SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_members, " +
        "MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key, " +
        "ARRAY_TO_STRING(LIST_TRANSFORM((LIST(c_custkey ORDER BY c_custkey))[1:5], x -> CAST(x AS VARCHAR)), ',') AS sample5 " +
-       "FROM customer GROUP BY c_nationkey ORDER BY c_nationkey")
+       "FROM customer GROUP BY c_nationkey ORDER BY c_nationkey"),
+    "ragged_zip" ->
+      ("SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_items, " +
+       dsum6Sql("l_quantity * (1 - l_discount)") + " AS eff_qty " +
+       "FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey")
   )
 }

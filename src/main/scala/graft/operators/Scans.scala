@@ -176,6 +176,42 @@ object Scans {
         .orderBy("l_returnflag")
     }),
 
+    // ANALYZE-style column profile: null count, min/max, exact distinct
+    // count, average length — per column, in ONE scan (every profile is
+    // a conditional aggregate sharing the same hash aggregate). This is
+    // the stats-collection pass a cost-based optimizer feeds on; at
+    // 100 TB exact NDVs switch to approx_count_distinct partials, same
+    // single-scan shape. Unpivoted row-locally to (column, stat) form.
+    "scan_columnar_stats" -> ((s, dir) => {
+      val o = orders(s, dir)
+      val profiled = o.agg(
+        big(count(lit(1))).as("n_rows"),
+        big(count(col("o_orderkey"))).as("nn_key"),
+        big(countDistinct(col("o_custkey"))).as("ndv_cust"),
+        big(countDistinct(col("o_orderstatus"))).as("ndv_status"),
+        r2(min(col("o_totalprice"))).as("min_price"),
+        r2(max(col("o_totalprice"))).as("max_price"),
+        fround(sum(length(col("o_orderpriority")).cast("long")).cast("double") /
+               count(lit(1)), 4).as("avg_len_prio"))
+      profiled.select(explode(array(
+          struct(lit("o_orderkey").as("column"), lit("non_null").as("stat"),
+                 col("nn_key").cast("double").as("value")),
+          struct(lit("o_custkey").as("column"), lit("ndv").as("stat"),
+                 col("ndv_cust").cast("double").as("value")),
+          struct(lit("o_orderstatus").as("column"), lit("ndv").as("stat"),
+                 col("ndv_status").cast("double").as("value")),
+          struct(lit("o_totalprice").as("column"), lit("min").as("stat"),
+                 col("min_price").as("value")),
+          struct(lit("o_totalprice").as("column"), lit("max").as("stat"),
+                 col("max_price").as("value")),
+          struct(lit("o_orderpriority").as("column"), lit("avg_len").as("stat"),
+                 col("avg_len_prio").as("value")),
+          struct(lit("_table").as("column"), lit("rows").as("stat"),
+                 col("n_rows").cast("double").as("value")))).as("p"))
+        .select(col("p.column"), col("p.stat"), col("p.value"))
+        .orderBy("column", "stat")
+    }),
+
     // Manifest-based file skipping (the Delta/Iceberg data-skipping
     // move on plain parquet): a one-scan manifest records each file's
     // min/max of the clustering key; a later range query consults the
@@ -295,6 +331,22 @@ object Scans {
        froundSql("CAST(SUM(k) AS DOUBLE) / COUNT(k)", 4) + " AS avg_k FROM " +
        "(SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events) " +
        "GROUP BY event_type ORDER BY event_type"),
+    "scan_columnar_stats" ->
+      ("WITH p AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+       "CAST(COUNT(o_orderkey) AS BIGINT) AS nn_key, " +
+       "CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS ndv_cust, " +
+       "CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS ndv_status, " +
+       "ROUND(MIN(o_totalprice), 2) AS min_price, ROUND(MAX(o_totalprice), 2) AS max_price, " +
+       froundSql("CAST(SUM(CAST(LENGTH(o_orderpriority) AS BIGINT)) AS DOUBLE) / COUNT(*)", 4) +
+       " AS avg_len_prio FROM orders) " +
+       "SELECT 'o_orderkey' AS \"column\", 'non_null' AS stat, CAST(nn_key AS DOUBLE) AS value FROM p " +
+       "UNION ALL SELECT 'o_custkey', 'ndv', CAST(ndv_cust AS DOUBLE) FROM p " +
+       "UNION ALL SELECT 'o_orderstatus', 'ndv', CAST(ndv_status AS DOUBLE) FROM p " +
+       "UNION ALL SELECT 'o_totalprice', 'min', min_price FROM p " +
+       "UNION ALL SELECT 'o_totalprice', 'max', max_price FROM p " +
+       "UNION ALL SELECT 'o_orderpriority', 'avg_len', avg_len_prio FROM p " +
+       "UNION ALL SELECT '_table', 'rows', CAST(n_rows AS DOUBLE) FROM p " +
+       "ORDER BY \"column\", stat"),
     "scan_manifest_pruned" ->
       ("SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, " +
        "ROUND(SUM(l_quantity), 2) AS sum_qty " +
