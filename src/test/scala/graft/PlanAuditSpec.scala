@@ -210,6 +210,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 user_id exchange, got $exchanges\n$p")
   }
 
+  test("scan_columnar_stats profiles every column in one scan (no self-joins)") {
+    val p = plan("scan_columnar_stats")
+    assert(!p.contains("Join"), p)
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 scan, got $scans\n$p")
+  }
+
+  test("ragged_zip aligns and reduces with only the pack shuffle") {
+    val p = plan("ragged_zip")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges\n$p")
+  }
+
   test("whole-stage codegen covers the hot paths of the flagship aggregate") {
     // AQE finalizes stages only at execution; run the query, then check
     // the final adaptive plan for codegen stage markers (`*(n)`)
