@@ -131,6 +131,20 @@ object ScalarFns {
                 big(size(col("type_counts"))).as("n_types"))
         .orderBy("user_id")),
 
+    // Binary encode/decode bundle: base64 and hex transport encodings
+    // plus a decode-of-encode roundtrip length — the interchange
+    // primitives every payload pipeline (webhooks, blob sidecars,
+    // audit logs) leans on. Row-local and codegen'd.
+    "fn_encode" -> ((s, dir) =>
+      part(s, dir)
+        .select(col("p_partkey"),
+          base64(col("p_name").cast("binary")).as("b64"),
+          hex(col("p_name").cast("binary")).as("hx"),
+          length(unbase64(base64(col("p_name").cast("binary"))))
+            .cast("long").as("rt_len"),
+          length(col("p_name")).cast("long").as("orig_len"))
+        .orderBy("p_partkey")),
+
     // Null-safety bundle: the ANSI-adjacent escape hatches a pipeline
     // leans on when raw data divides by zero or mixes sentinels —
     // try_divide (null, never an exception, even under ANSI mode),
@@ -211,6 +225,12 @@ object ScalarFns {
        "FROM events GROUP BY user_id, event_type) " +
        "SELECT user_id, MAX(CASE WHEN event_type = 'click' THEN n END) AS clicks, " +
        "CAST(COUNT(*) AS BIGINT) AS n_types FROM tc GROUP BY user_id ORDER BY user_id"),
+    "fn_encode" ->
+      ("SELECT p_partkey, TO_BASE64(CAST(p_name AS BLOB)) AS b64, " +
+       "HEX(CAST(p_name AS BLOB)) AS hx, " +
+       "CAST(OCTET_LENGTH(FROM_BASE64(TO_BASE64(CAST(p_name AS BLOB)))) AS BIGINT) AS rt_len, " +
+       "CAST(LENGTH(p_name) AS BIGINT) AS orig_len " +
+       "FROM part ORDER BY p_partkey"),
     "fn_null_safety" ->
       ("SELECT l_orderkey, l_linenumber, " +
        froundSql("l_extendedprice / NULLIF(l_discount, 0)", 2) + " AS safe_ratio, " +

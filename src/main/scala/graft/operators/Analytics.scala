@@ -175,6 +175,25 @@ object Analytics {
         .orderBy("day")
     }),
 
+    // Inter-arrival gap distribution per event type — the burstiness /
+    // rate-profile view (Poisson-ness check before capacity modeling).
+    // One lag window per type; gaps are exact µs longs, so the
+    // interpolated percentiles are engine-stable without rounding
+    // games beyond the final fround.
+    "events_inter_arrival" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+        .where(col("gap_us").isNotNull)
+        .groupBy("event_type")
+        .agg(big(count(lit(1))).as("n_gaps"),
+             fround(expr("percentile(gap_us, 0.5)") / 1e6, 4).as("p50_s"),
+             fround(expr("percentile(gap_us, 0.9)") / 1e6, 4).as("p90_s"),
+             fround(max(col("gap_us")).cast("double") / 1e6, 4).as("max_s"))
+        .orderBy("event_type")
+    }),
+
     // Daily-volume anomaly detection: flag (event_type, day) cells
     // whose count sits ≥2σ from the type's mean. Variance comes from
     // EXACT integer power sums (Σn, Σn²) rather than a streaming
@@ -260,6 +279,15 @@ object Analytics {
        "SELECT STRFTIME(d, '%Y-%m-%d') AS day, dau, wau, " +
        froundSql("CAST(dau AS DOUBLE) / wau", 4) + " AS stickiness " +
        "FROM dau JOIN wau ON d = sd ORDER BY day"),
+    "events_inter_arrival" ->
+      ("WITH g AS (SELECT event_type, " +
+       "epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS gap_us " +
+       "FROM events) " +
+       "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps, " +
+       froundSql("PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY gap_us) / 1e6", 4) + " AS p50_s, " +
+       froundSql("PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY gap_us) / 1e6", 4) + " AS p90_s, " +
+       froundSql("CAST(MAX(gap_us) AS DOUBLE) / 1e6", 4) + " AS max_s " +
+       "FROM g WHERE gap_us IS NOT NULL GROUP BY event_type ORDER BY event_type"),
     "events_anomaly" ->
       ("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, " +
        "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), " +
