@@ -223,6 +223,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 exchange, got $exchanges\n$p")
   }
 
+  test("text_bpe_pairs explodes AFTER the vocabulary aggregate (vocab-bounded, not corpus-bounded)") {
+    val p = plan("text_bpe_pairs")
+    // the pair Generate must sit above the word-count HashAggregate:
+    // corpus explodes once into words, pairs explode only per distinct word
+    val genIdx = p.indexOf("Generate explode")
+    val aggIdx = p.lastIndexOf("HashAggregate")
+    assert(genIdx >= 0, p)
+    // at least one aggregate below (later in the plan string than) the pair generate
+    assert(p.indexOf("HashAggregate", genIdx) >= 0 && aggIdx > genIdx,
+      s"pair explode not above the vocabulary aggregate\n$p")
+  }
+
+  test("events_inter_arrival is one lag window per type, no self-join") {
+    val p = plan("events_inter_arrival")
+    assert(!p.contains("Join"), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 2, s"expected <=2 exchanges (window + final agg), got $exchanges\n$p")
+  }
+
   test("whole-stage codegen covers the hot paths of the flagship aggregate") {
     // AQE finalizes stages only at execution; run the query, then check
     // the final adaptive plan for codegen stage markers (`*(n)`)
