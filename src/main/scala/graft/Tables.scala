@@ -41,6 +41,20 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")
 
+  /** Content fingerprint of a table path: file names + sizes + mtimes.
+    * Shared by every cross-query memo/catalog key (bucketed-table reuse
+    * in Joins, the near-dup pair memo in Dedup, the skip manifest in
+    * Scans): a regenerated fixture at the same path changes the
+    * fingerprint, so stale cached artifacts are never served. */
+  def fsSig(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) "absent"
+    else fs.listStatus(p).sortBy(_.getPath.getName)
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .mkString(",")
+  }
+
   /** Scratch path for sink/roundtrip operators, scoped by input dir and
     * JVM: two scale factors or a concurrent Bench+Verify pair never
     * collide on the same output location (ADVICE r1). */

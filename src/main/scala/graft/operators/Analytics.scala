@@ -215,6 +215,11 @@ object Analytics {
           (col("s2").cast("double") -
            col("s1").cast("double") * col("s1").cast("double") / col("nd")) /
           (col("nd") - 1))
+        // nd=1 or zero variance makes z NaN/±Inf; Spark's NaN-greatest
+        // semantics would let it pass abs(z)>=2 and fround(NaN) then
+        // diverges between engines (Spark floor(NaN)→0, DuckDB→NaN) —
+        // guard BEFORE the threshold, mirrored in the oracle (ADVICE r3)
+        .where(col("nd") > 1 && col("vars") > 0)
         .withColumn("z", (col("n") - col("mean")) / sqrt(col("vars")))
         .where(abs(col("z")) >= 2.0)
         .select(col("event_type"), date_format(col("d"), "yyyy-MM-dd").as("day"),
@@ -296,7 +301,8 @@ object Analytics {
        "z AS (SELECT event_type, d, n, " +
        "(n - CAST(s1 AS DOUBLE) / nd) / " +
        "SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / nd) / (nd - 1)) AS z " +
-       "FROM daily JOIN stats USING (event_type)) " +
+       "FROM daily JOIN stats USING (event_type) " +
+       "WHERE nd > 1 AND (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / nd) / (nd - 1) > 0) " +
        "SELECT event_type, STRFTIME(d, '%Y-%m-%d') AS day, n, " +
        froundSql("z", 4) + " AS z FROM z WHERE ABS(z) >= 2.0 " +
        "ORDER BY event_type, day")

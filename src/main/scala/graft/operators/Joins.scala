@@ -141,14 +141,7 @@ object Joins {
       // fixtures change the fingerprint → a fresh table, never stale
       // buckets; the hash is also collision-free where the old
       // [^A-Za-z0-9]→_ sanitization wasn't (/d/sf0.1 vs /d/sf0_1).
-      def fsSig(path: String): String = {
-        val p = new org.apache.hadoop.fs.Path(path)
-        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (!fs.exists(p)) "absent"
-        else fs.listStatus(p).sortBy(_.getPath.getName)
-          .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
-          .mkString(",")
-      }
+      def fsSig(path: String): String = graft.Tables.fsSig(s, path)
       val tag = java.security.MessageDigest.getInstance("MD5")
         .digest(s"$dir|${fsSig(s"$dir/orders.parquet")}|${fsSig(s"$dir/customer.parquet")}"
           .getBytes("UTF-8"))
