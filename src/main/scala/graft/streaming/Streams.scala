@@ -121,14 +121,30 @@ object Streams {
   def statefulCountsBatch(ev: DataFrame): DataFrame =
     ev.groupBy("user_id").agg(big(count(lit(1))).as("n_events"))
 
-  /** Watermark semantics, batch-modelled: drop events arriving (by
-    * event_id as arrival order) more than 1h behind the running max ts.
-    * Not batch-SQL-reproducible in the oracle (watermarking is a
-    * streaming-only contract) — property-tested instead. */
+  /** Watermark semantics, batch-modelled on MICRO-BATCH granularity —
+    * Spark's actual contract: the watermark advances at batch
+    * boundaries (global max event time of PRIOR batches − delay), never
+    * per row, so an event is late iff its ts trails the max event time
+    * of every preceding micro-batch by >1h. Arrival order (event_id)
+    * chunks into 1000-event micro-batches; per-batch maxima are one
+    * partitioned aggregate, the prefix-max across the tiny batch-
+    * summary table is a broadcast theta join (NOT a global window — the
+    * r3 model's `Window.orderBy(event_id)` moved the whole corpus to
+    * one task; here only #batches summary rows are driver-scale, like
+    * the dau_wau day spine). In production #batches is bounded by the
+    * trigger cadence, not the data volume. Deterministic ⇒ oracle-
+    * checkable (the r3 per-row model was declared un-SQL-able; the
+    * faithful batch-granularity model is plain SQL). */
   def watermarkLateBatch(ev: DataFrame): DataFrame = {
-    val w = Window.orderBy(col("event_id")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ev.withColumn("max_seen_us", max(unix_micros(col("ts"))).over(w))
-      .where(unix_micros(col("ts")) >= col("max_seen_us") - 3600L * 1000000)
+    val e = ev.withColumn("bid", expr("event_id DIV 1000"))
+    val bmax = e.groupBy("bid").agg(max(unix_micros(col("ts"))).as("mx"))
+    val wm = bmax.join(
+        bmax.select(col("bid").as("pbid"), col("mx").as("pmx")),
+        col("pbid") < col("bid"), "left")
+      .groupBy("bid").agg(max(col("pmx")).as("prev_max"))
+    e.join(broadcast(wm), Seq("bid"))
+      .where(col("prev_max").isNull ||
+             unix_micros(col("ts")) >= col("prev_max") - 3600L * 1000000)
       .select("event_id", "user_id", "event_type", "ts")
   }
 
@@ -240,6 +256,20 @@ object Streams {
   )
 
   val oracle: Map[String, String] = Map(
+    // micro-batch watermark model (see watermarkLateBatch): batch id =
+    // arrival-order event_id DIV 1000, watermark for a batch = max
+    // event time over all PRIOR batches − 1h. Deterministic, so the
+    // streaming-semantics model is fully oracle-checked (it was a
+    // property-tested no_oracle row through r3).
+    "stream_watermark_late" ->
+      ("WITH e AS (SELECT event_id, user_id, event_type, ts, event_id // 1000 AS bid FROM events), " +
+       "bmax AS (SELECT bid, MAX(epoch_us(ts)) AS mx FROM e GROUP BY bid), " +
+       "wm AS (SELECT x.bid, MAX(p.mx) AS prev_max FROM bmax x " +
+       "LEFT JOIN bmax p ON p.bid < x.bid GROUP BY x.bid) " +
+       "SELECT e.event_id, e.user_id, e.event_type, e.ts " +
+       "FROM e JOIN wm USING (bid) " +
+       "WHERE prev_max IS NULL OR epoch_us(e.ts) >= prev_max - 3600000000 " +
+       "ORDER BY event_id"),
     "stream_foreach_batch" ->
       ("SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS val_sum " +
        "FROM events GROUP BY event_type ORDER BY event_type"),

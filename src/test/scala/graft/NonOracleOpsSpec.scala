@@ -173,16 +173,22 @@ class NonOracleOpsSpec extends SparkSpec {
     }
   }
 
-  test("stream_watermark_late keeps exactly the events within 1h of running max ts") {
+  test("stream_watermark_late drops exactly the events behind the prior-batch watermark") {
     val out = SparkEntry.queries("stream_watermark_late")(spark, sf001)
       .select("event_id").as[Long].collect().toSet
     val ev = Tables.events(spark, sf001)
       .select(col("event_id"), unix_micros(col("ts")).as("us"))
       .orderBy("event_id").collect()
-    var maxSeen = Long.MinValue
-    val expect = ev.flatMap { r =>
-      maxSeen = math.max(maxSeen, r.getLong(1))
-      if (r.getLong(1) >= maxSeen - 3600L * 1000000) Some(r.getLong(0)) else None
+    // reference model: 1000-event arrival-order micro-batches; the
+    // watermark a batch is filtered against is the max event time over
+    // every PRIOR batch (Spark advances watermarks at batch boundaries)
+    val byBatch = ev.groupBy(r => r.getLong(0) / 1000).toSeq.sortBy(_._1)
+    var prevMax = Long.MinValue
+    val expect = byBatch.flatMap { case (_, rows) =>
+      val keep = rows.filter(r =>
+        prevMax == Long.MinValue || r.getLong(1) >= prevMax - 3600L * 1000000)
+      prevMax = math.max(prevMax, rows.map(_.getLong(1)).max)
+      keep.map(_.getLong(0))
     }.toSet
     assert(out == expect)
   }
