@@ -160,7 +160,27 @@ object ScalarFns {
           nullif(col("l_linestatus"), lit("O")).as("status_or_null"),
           r2(greatest(col("l_tax"), col("l_discount"))).as("hi_rate"),
           r2(least(col("l_tax"), col("l_discount"))).as("lo_rate"))
-        .orderBy("l_orderkey", "l_linenumber"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // uint64 / 0.1-ns DAQ-tick fidelity (SURVEY.md §1.2): the
+    // reference's event headers carry DAQ times as unsigned 64-bit
+    // 0.1-ns tick counts, which exceed signed-long range (epoch-µs ×
+    // 10⁴ ≈ 1.75e19 > 2⁶³−1). Spark has no unsigned long, so the
+    // declared mapping is DECIMAL(20,0): exact at full uint64 range,
+    // exact min/max/difference arithmetic, hash-aggregatable. Output
+    // ticks as strings — the one cross-engine type both sides render
+    // identically (DuckDB's HUGEINT and Spark's decimal agree on
+    // digits, not on parquet physical type).
+    "fn_uint64_ticks" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("event_type"),
+          (unix_micros(col("ts")).cast("decimal(20,0)") * lit(10000L)).as("tick"))
+        .groupBy("event_type")
+        .agg(big(count(lit(1))).as("n"),
+             min(col("tick")).cast("string").as("min_tick"),
+             max(col("tick")).cast("string").as("max_tick"),
+             (max(col("tick")) - min(col("tick"))).cast("string").as("span_ticks"))
+        .orderBy("event_type"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -238,6 +258,16 @@ object ScalarFns {
        "NULLIF(l_linestatus, 'O') AS status_or_null, " +
        "ROUND(GREATEST(l_tax, l_discount), 2) AS hi_rate, " +
        "ROUND(LEAST(l_tax, l_discount), 2) AS lo_rate " +
-       "FROM lineitem ORDER BY l_orderkey, l_linenumber")
+       "FROM lineitem ORDER BY l_orderkey, l_linenumber"),
+    // HUGEINT is DuckDB's exact >64-bit integer — the oracle twin of
+    // Spark's DECIMAL(20,0) uint64 mapping; both render ticks as the
+    // same digit strings
+    "fn_uint64_ticks" ->
+      ("WITH t AS (SELECT event_type, CAST(epoch_us(ts) AS HUGEINT) * 10000 AS tick FROM events) " +
+       "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
+       "CAST(MIN(tick) AS VARCHAR) AS min_tick, " +
+       "CAST(MAX(tick) AS VARCHAR) AS max_tick, " +
+       "CAST(MAX(tick) - MIN(tick) AS VARCHAR) AS span_ticks " +
+       "FROM t GROUP BY event_type ORDER BY event_type")
   )
 }

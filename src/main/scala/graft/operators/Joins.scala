@@ -291,11 +291,21 @@ object Joins {
         .where(col("o_orderpriority") === "1-URGENT")
         .select(col("o_orderkey"), col("o_orderdate"))
       val bf = urgent.stat.bloomFilter("o_orderkey", 100000L, 0.01)
-      val bfB = s.sparkContext.broadcast(bf)
-      val mightContain = udf((k: Long) => bfB.value.mightContain(k))
+      // probe with the native BloomFilterMightContain expression — the
+      // same codegen'd probe Spark's runtime bloom-filter rule emits —
+      // instead of a boxed per-row Scala UDF (VERDICT r3 #5). The
+      // serialized filter rides as a foldable binary literal, exactly
+      // how the injected rule ships its subquery result.
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      val probe = org.apache.spark.sql.graftx.shims.column(
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          org.apache.spark.sql.catalyst.expressions.Literal.create(
+            bos.toByteArray, org.apache.spark.sql.types.BinaryType),
+          org.apache.spark.sql.graftx.shims.expression(col("l_orderkey"))))
       lineitem(s, dir)
         .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-        .where(mightContain(col("l_orderkey")))
+        .where(probe)
         .join(urgent, col("l_orderkey") === col("o_orderkey"))
         .groupBy(month(col("o_orderdate")).cast("long").as("order_month"))
         .agg(big(count(lit(1))).as("n_items"),

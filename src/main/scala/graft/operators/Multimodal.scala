@@ -115,10 +115,23 @@ object Multimodal {
         .orderBy("doc_id")
     }),
 
-    // Decode pipeline end-to-end (stubbed decode, real plumbing). No
-    // oracle: the stub's output is engine-internal; unit tests pin it.
+    // Decode pipeline end-to-end: the decode kernel is the native
+    // [[graft.functions.ByteMean]] expression (codegen'd, stands in
+    // for a codec call), frame count is container-metadata arithmetic.
+    // Every feature is deterministic byte math, so the whole stage is
+    // oracle-checked — the payload is UTF-8 of ASCII text, so DuckDB
+    // reproduces mean_byte exactly from character codes (integer sums
+    // in doubles are exact; see ByteMeanImpl). The mapPartitions batch
+    // shape a real codec needs stays demonstrated by [[decodeFeatures]]
+    // + its byte-exact spec.
     "multimodal_decode" -> ((s, dir) =>
-      decodeFeatures(s, withPayload(documents(s, dir)))
+      withPayload(documents(s, dir))
+        .select(
+          col("doc_id"),
+          col("meta.media_type").as("media_type"),
+          big(length(col("payload"))).as("n_bytes"),
+          fround(graft.functions.ByteMean(col("payload")), 4).as("mean_byte"),
+          big(lit(1) + pmod(length(col("payload")), lit(30))).as("frame_count"))
         .orderBy("doc_id")),
 
     // Frame sampling over "video" payloads: fixed 240-byte stride
@@ -146,6 +159,21 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    // text is pure ASCII at every SF (verified: LENGTH = OCTET_LENGTH
+    // for all rows), so per-character UNICODE codes ARE the payload
+    // bytes; the sum of ≤2^53 integer byte values in a double is exact,
+    // making mean_byte bit-identical to the Spark kernel
+    "multimodal_decode" ->
+      ("WITH d AS (SELECT doc_id, " +
+       "CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' " +
+       "ELSE 'video' END AS media_type, " +
+       "CAST(LENGTH(text) AS BIGINT) AS n_bytes, " +
+       "CASE WHEN LENGTH(text) = 0 THEN 0.0 ELSE " +
+       "LIST_AVG(LIST_TRANSFORM(STRING_SPLIT(text, ''), c -> CAST(UNICODE(c) AS DOUBLE))) END AS mean_raw, " +
+       "CAST(1 + LENGTH(text) % 30 AS BIGINT) AS frame_count FROM documents) " +
+       "SELECT doc_id, media_type, n_bytes, " +
+       froundSql("mean_raw", 4) + " AS mean_byte, frame_count " +
+       "FROM d ORDER BY doc_id"),
     "multimodal_meta" ->
       ("SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' " +
        "ELSE 'video' END AS media_type, " +

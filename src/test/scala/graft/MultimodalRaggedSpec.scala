@@ -12,16 +12,34 @@ class MultimodalRaggedSpec extends SparkSpec {
   test("multimodal_decode emits one typed feature row per document") {
     val docs = Tables.documents(spark, sf001)
     val out = SparkEntry.queries("multimodal_decode")(spark, sf001)
-    assert(out.schema == Multimodal.featureSchema)
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "media_type", "n_bytes", "mean_byte", "frame_count"))
     assert(out.count() == docs.count())
-    // stub decode is deterministic: mean_byte of a payload equals the
-    // driver-side recomputation for a sampled row
+    // the native ByteMean kernel is deterministic: mean_byte equals the
+    // driver-side recomputation (same fround) for a sampled row
     val row = out.where(col("doc_id") === 0).collect().head
+    val text = docs.where(col("doc_id") === 0).select("text").as[String].collect().head
+    val bytes = text.getBytes("UTF-8")
+    val mean = math.floor(
+      bytes.map(b => (b & 0xff).toLong).sum.toDouble / bytes.length * 10000 + 0.5) / 10000
+    assert(row.getDouble(3) == mean)
+    assert(row.getLong(2) == bytes.length.toLong)
+    assert(row.getLong(4) == 1L + bytes.length % 30)
+  }
+
+  test("decodeFeatures mapPartitions batch shape matches the native kernel") {
+    // the per-partition iterator surface a real codec binds to: one
+    // feature row per doc, mean_byte agreeing with ByteMeanImpl
+    val feats = Multimodal.decodeFeatures(spark,
+      Multimodal.withPayload(Tables.documents(spark, sf001)))
+    assert(feats.schema == Multimodal.featureSchema)
+    val docs = Tables.documents(spark, sf001)
+    assert(feats.count() == docs.count())
+    val row = feats.where(col("doc_id") === 0).collect().head
     val text = docs.where(col("doc_id") === 0).select("text").as[String].collect().head
     val bytes = text.getBytes("UTF-8")
     val mean = math.rint(bytes.map(b => (b & 0xff).toDouble).sum / bytes.length * 10000) / 10000
     assert(row.getDouble(3) == mean)
-    assert(row.getLong(2) == bytes.length.toLong)
   }
 
   test("multimodal payloads survive the binary roundtrip byte-exactly") {
