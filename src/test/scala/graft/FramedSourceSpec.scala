@@ -1,0 +1,63 @@
+package graft
+
+import graft.sources.FramedSource
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The DataSource V2 framed-format connector (the i3cols R1–R3 extract
+  * story): schema inference from the first frame, lossless extraction
+  * of every typed key including the ragged array, and column pruning
+  * pushed into the frame parser. */
+class FramedSourceSpec extends SparkSpec {
+
+  /** Trigger the fixture write (memoized per JVM) and return its dir. */
+  private def fixtureDir: String = {
+    SparkEntry.queries("source_framed_extract")(spark, sf001).collect()
+    Tables.scratch(sf001, "framed_src")
+  }
+
+  test("schema inference discovers every key name and type from one frame") {
+    assert(FramedSource.infer(fixtureDir) == StructType(Seq(
+      StructField("event_id", LongType, nullable = false),
+      StructField("user_id", LongType, nullable = false),
+      StructField("ts_us", LongType, nullable = false),
+      StructField("value", DoubleType, nullable = false),
+      StructField("event_type", StringType, nullable = false),
+      StructField("pulses", ArrayType(LongType, containsNull = false), nullable = false))))
+  }
+
+  test("extraction is lossless: framed roundtrip equals the source rows, ragged key included") {
+    val back = spark.read.format("graft.sources.FramedSource").load(fixtureDir)
+      .select("event_id", "user_id", "ts_us", "value", "event_type", "pulses")
+    val expected = Tables.events(spark, sf001)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+              col("value"), col("event_type"),
+              // sequence(1, 0) would generate a DESCENDING ramp, so the
+              // np=0 case needs an explicit empty array
+              when(col("event_id") % 5 === 0, array().cast("array<bigint>"))
+                .otherwise(transform(sequence(lit(1L), col("event_id") % 5),
+                  i => unix_micros(col("ts")) % 1000000L + i - 1)).as("pulses"))
+    assertSameRows(
+      back.withColumn("pulses", col("pulses").cast("string")),
+      expected.withColumn("pulses", col("pulses").cast("string")),
+      "framed roundtrip")
+  }
+
+  test("column pruning reaches the frame parser (BatchScan reads only requested keys)") {
+    val pruned = spark.read.format("graft.sources.FramedSource").load(fixtureDir)
+      .select("event_type")
+    val p = pruned.queryExecution.executedPlan.toString
+    assert(p.contains("BatchScan"), p)
+    assert(p.contains("event_type"), p)
+    // unrequested keys must not appear in the scan output
+    assert(!p.contains("pulses") && !p.contains("user_id"), p)
+    assert(pruned.distinct().count() == 5)
+  }
+
+  test("parallelism is per file: one input partition per .frames file") {
+    val n = FramedSource.frameFiles(fixtureDir).size
+    assert(n > 1, s"fixture should span multiple files, got $n")
+    val scanned = spark.read.format("graft.sources.FramedSource").load(fixtureDir)
+    assert(scanned.rdd.getNumPartitions == n)
+  }
+}
