@@ -16,6 +16,17 @@ object Bench {
     try {
       spark.range(1000).selectExpr("sum(id)").collect()
       spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count().collect()
+      // JIT warmup of the heaviest generated-code surface (the shingle
+      // posting-join pipeline) on the SMALLEST scale factor: measured
+      // cold-vs-warm at sf0.1 is 5.0s vs 1.0s for identical plans with
+      // codegen on OR off — the gap is HotSpot warming the iterator hot
+      // loops, a per-JVM constant that otherwise lands on whichever
+      // pair-family query the map yields first. Warming on sf0.001 data
+      // touches none of the measured SF's data or memos.
+      val warmDir = new java.io.File(sfDir).getParent + "/sf0.001"
+      if (new java.io.File(s"$warmDir/documents.parquet").exists() && warmDir != sfDir)
+        operators.Dedup.blockedJaccardPairs(
+          spark.read.parquet(s"$warmDir/documents.parquet"), 0.02).count()
     } catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

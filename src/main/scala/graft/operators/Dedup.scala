@@ -142,8 +142,11 @@ object Dedup {
     *
     * Input `d` must be a [[withHashedShingles]] projection carrying
     * (doc_id, lang, source, sh-sorted-ascending). Returns distinct
-    * (lang, source, a, b) with a < b, UNVERIFIED — callers apply the
-    * exact merge-scan predicate ([[jaccardSorted]] / containment). */
+    * (lang, source, a, b) with a < b, UNVERIFIED — callers verify via
+    * [[shinglePairStats]]-style exact measures. The prefix path is the
+    * production-τ API; the exact family below uses the full index
+    * (τ=0) because posting-match COUNTS must equal full intersections
+    * there. */
   def shingleCandidatePairs(d: DataFrame, tau: Double): DataFrame = {
     val prefix =
       if (tau <= 0.0) col("sh")
@@ -159,15 +162,37 @@ object Dedup {
       .distinct()
   }
 
-  /** Candidates joined back to their shingle arrays for exact
-    * verification. The join-back (two hash joins on doc_id against the
-    * checkpointed projection) shuffles the big arrays once per side —
-    * carrying `sh` through the posting explode would multiply each
-    * array by its shingle count. */
-  def shingleCandidatesWithSets(d: DataFrame, tau: Double): DataFrame =
-    shingleCandidatePairs(d, tau)
-      .join(d.select(col("doc_id").as("a"), col("sh").as("sh_a")), Seq("a"))
-      .join(d.select(col("doc_id").as("b"), col("sh").as("sh_b")), Seq("b"))
+  /** EXACT per-pair set statistics straight out of the inverted index:
+    * because each doc's `sh` is duplicate-free, the number of posting
+    * matches for a pair IS |A∩B| — so a count aggregate over the
+    * posting join yields the exact intersection, and joining the tiny
+    * (doc_id, |sh|) projection (a long per doc, not the shingle
+    * arrays) gives every set measure: Jaccard = ∩/(|A|+|B|−∩),
+    * containment = ∩/|A|. No array ever shuffles through the pair
+    * space — the r4-initial shape joined full shingle arrays back onto
+    * candidates, ~2× the pair-stage cost. Returns (lang, source, a, b,
+    * inter, nsh_a, nsh_b) for all same-block pairs sharing ≥1 shingle;
+    * absent pairs have ∩ = 0 by construction. */
+  def shinglePairStats(d: DataFrame): DataFrame = {
+    val postings = d.select(col("lang"), col("source"), col("doc_id"),
+      explode(col("sh")).as("g"))
+    val l = postings.select(col("lang"), col("source"), col("g"), col("doc_id").as("a"))
+    val r = postings.select(col("lang"), col("source"), col("g"), col("doc_id").as("b"))
+    val inter = l.join(r, Seq("lang", "source", "g"))
+      .where(col("a") < col("b"))
+      .groupBy("lang", "source", "a", "b")
+      .agg(count(lit(1)).cast("int").as("inter"))
+    val sizes = d.select(col("doc_id"), size(col("sh")).as("nsh"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("nsh").as("nsh_a")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("nsh").as("nsh_b")), Seq("b"))
+  }
+
+  /** Jaccard from [[shinglePairStats]] columns — int-over-int in
+    * doubles, bit-identical to the merge-scan formulation. */
+  def jaccardFromStats: Column =
+    col("inter").cast("double") /
+      (col("nsh_a") + col("nsh_b") - col("inter")).cast("double")
 
   /** Connected components of an undirected pair graph (cols `a`, `b`)
     * by Pregel-style min-label propagation: each round is one join +
@@ -198,17 +223,17 @@ object Dedup {
       blockedJaccardPairs(docs, minJ).localCheckpoint())
   }
 
-  /** Exact near-dup pairs: inverted-index candidates
-    * ([[shingleCandidatePairs]]) + exact merge-scan Jaccard verify.
-    * Same result set as a blocked all-pairs join (recall 1 by the
-    * shared-shingle argument), near-linear candidate space. */
+  /** Exact near-dup pairs: inverted-index intersections
+    * ([[shinglePairStats]]) + exact Jaccard threshold. Same result set
+    * as a blocked all-pairs join (recall 1 by the shared-shingle
+    * argument), near-linear candidate space. */
   def blockedJaccardPairs(docs: DataFrame, minJ: Double): DataFrame = {
-    // candidate generation and both join-back sides read the shingled
-    // projection — checkpoint it so tokenize+shingle+hash+sort runs
-    // once (at cluster scale: checkpoint the shingled corpus likewise)
+    // postings and sizes both read the shingled projection — checkpoint
+    // it so tokenize+shingle+hash runs once (at cluster scale:
+    // checkpoint the shingled corpus likewise)
     val d = withHashedShingles(docs, "lang", "source").localCheckpoint()
-    shingleCandidatesWithSets(d, minJ)
-      .where(jaccardSorted(col("sh_a"), col("sh_b")) >= minJ)
+    shinglePairStats(d)
+      .where(jaccardFromStats >= minJ)
       .select(col("a"), col("b"))
   }
 
@@ -541,17 +566,15 @@ object Dedup {
     // verify exactly. No blocked self-join anywhere (VERDICT r3 #1).
     "dedup_containment" -> ((s, dir) => {
       val d = withHashedShingles(documents(s, dir), "lang", "source").localCheckpoint()
-      // τ=0 postings: the A-side prefix bound ceil(0.1|A|) gives no
-      // bound on the B side (a huge B must post everything), so the
-      // full index is the exact choice for directed containment
-      val cand = shingleCandidatePairs(d, 0.0)
-      cand.select(col("a"), col("b"))
-        .unionByName(cand.select(col("b").as("a"), col("a").as("b")))
-        .join(d.select(col("doc_id").as("a"), col("sh").as("sh_a")), Seq("a"))
-        .join(d.select(col("doc_id").as("b"), col("sh").as("sh_b")), Seq("b"))
+      // containment is directed but the intersection is symmetric:
+      // emit both directions of each undirected stats row with the
+      // denominators swapped
+      val st = shinglePairStats(d)
+      st.select(col("a"), col("b"), col("inter"), col("nsh_a"))
+        .unionByName(st.select(col("b").as("a"), col("a").as("b"),
+                               col("inter"), col("nsh_b").as("nsh_a")))
         .withColumn("containment",
-          graft.functions.SortedIntersectSize(col("sh_a"), col("sh_b")).cast("double") /
-          size(col("sh_a")).cast("double"))
+          col("inter").cast("double") / col("nsh_a").cast("double"))
         .where(col("containment") >= 0.1)
         .select(col("a"), col("b"), r4(col("containment")).as("containment"))
         .orderBy("a", "b")
@@ -571,8 +594,8 @@ object Dedup {
         .where(col("m") >= 2)
         .select(col("lang"), col("source"),
                 big(col("m") * (col("m") - 1) / 2).as("n_pairs"))
-      val scored = shingleCandidatesWithSets(d, 0.0)
-        .withColumn("jaccard", jaccardSorted(col("sh_a"), col("sh_b")))
+      val scored = shinglePairStats(d)
+        .withColumn("jaccard", jaccardFromStats)
         .groupBy("lang", "source")
         .agg(sum(col("jaccard")).as("sum_j"), max(col("jaccard")).as("max_j"))
       blocks.join(scored, Seq("lang", "source"), "left")

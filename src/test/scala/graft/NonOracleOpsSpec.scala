@@ -193,6 +193,22 @@ class NonOracleOpsSpec extends SparkSpec {
     assert(out == expect)
   }
 
+  test("prefix-filtered candidate generation keeps every pair above threshold (AllPairs lemma)") {
+    // the production-τ candidate path: with prefixes of length
+    // |X| − ceil(τ|X|) + 1 over hash-sorted shingles, every pair with
+    // true Jaccard ≥ τ must still collide on ≥1 posted shingle
+    val tau = 0.3
+    val d = Dedup.withHashedShingles(
+      Tables.documents(spark, sf001).limit(300), "lang", "source").localCheckpoint()
+    val cand = Dedup.shingleCandidatePairs(d, tau)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val truth = Dedup.shinglePairStats(d)
+      .where(Dedup.jaccardFromStats >= tau)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(truth.subsetOf(cand),
+      s"prefix filter dropped ${(truth -- cand).size} qualifying pairs")
+  }
+
   test("dedup_minhash finds planted near-duplicates") {
     val docs = Tables.documents(spark, sf001).select("doc_id", "text").limit(50)
     // plant: copy of doc with one token appended → Jaccard close to 1
