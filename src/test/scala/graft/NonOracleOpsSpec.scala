@@ -375,6 +375,27 @@ class NonOracleOpsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(3) - 2.0) < 1e-9, s"avg_s: $r")
   }
 
+  test("persisted category index lists every layout file with exact row counts") {
+    // build (memoized) by running the query once, then audit the artifact
+    SparkEntry.queries("scan_categ_index_persisted")(spark, sf001).collect()
+    val out = Tables.scratch(sf001, "categ_layout")
+    val idx = spark.read.parquet(s"$out/_index")
+      .select("category", "file", "n_rows").collect()
+    // every indexed file exists and the per-category row counts match
+    // the layout read — the index is trustworthy query metadata
+    idx.foreach(r => assert(new java.io.File(
+      r.getString(1).stripPrefix("file:")).exists(), r.getString(1)))
+    val idxCounts = idx.groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(2)).sum).toMap
+    val layoutCounts = spark.read.parquet(out)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(idxCounts == layoutCounts, s"$idxCounts vs $layoutCounts")
+    // the probe consults the index for 2 of 5 categories → strict subset
+    val probed = idx.filter(r => Set("click", "purchase")(r.getString(0))).map(_.getString(1))
+    assert(probed.nonEmpty && probed.length < idx.length)
+  }
+
   test("manifest pruning opens a strict subset of files and loses no rows") {
     import graft.operators.Scans
     val out = java.nio.file.Files.createTempDirectory("graft_manifest").toString
