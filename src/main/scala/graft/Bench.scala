@@ -2,6 +2,15 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
+    // Silence log4j2 BEFORE the session starts: the harness JSON-parses
+    // the tail of combined output, and Spark's INFO startup/shutdown
+    // spew on stderr can flush after stdout's JSON line and evict it
+    // from the captured tail (BENCH_r03 recorded parsed:null with a
+    // log-noise tail). With the root logger at ERROR the entire stderr
+    // stream stays a few lines, so the JSON line always survives.
+    try org.apache.logging.log4j.core.config.Configurator.setRootLevel(
+      org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

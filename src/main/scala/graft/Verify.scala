@@ -5,6 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    // keep Spark's log spew out of the harness-captured output (same
+    // rationale as Bench); [verify] failure lines print to stderr
+    // directly and are unaffected
+    try org.apache.logging.log4j.core.config.Configurator.setRootLevel(
+      org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => }
     val sfDir = args(0)
     val outDir = args(1)
     // optional 3rd arg: comma-separated query-name filter (local iteration)
