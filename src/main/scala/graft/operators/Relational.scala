@@ -150,6 +150,27 @@ object Relational {
         .agg(big(count(lit(1))).as("n"), dsum(col("l_extendedprice")).as("total"))
         .orderBy("l_returnflag")),
 
+    // Deterministic train/val/test split — the assignment every
+    // training-data pipeline makes exactly once and must be able to
+    // recompute forever: bucket = first 8 hex digits of md5(doc_id)
+    // mod 100 (engine-portable, key-stable, order-free), 80/10/10.
+    // Row-local + one agg shuffle; at 100 TB the split column is
+    // computed at ingest and partitioned on, never re-decided.
+    "sample_split" -> ((s, dir) =>
+      documents(s, dir)
+        .withColumn("bucket",
+          pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"),
+               lit(100)))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test"))
+        .groupBy("lang", "split")
+        .agg(big(count(lit(1))).as("n_docs"),
+             big(sum(col("n_chars"))).as("n_chars"),
+             min(col("doc_id")).as("first_doc"))
+        .orderBy("lang", "split")),
+
     // Recursive CTE: a 12-row month spine generated by iteration, LEFT
     // JOINed to order counts — the relational fixed-point surface
     // (org charts, BOM explosions, graph reachability at bounded depth).
@@ -223,6 +244,18 @@ object Relational {
        s"${dsumSql("l_extendedprice")} AS total " +
        "FROM lineitem WHERE l_orderkey % 20 = 0 " +
        "GROUP BY l_returnflag ORDER BY l_returnflag"),
+    // same md5-prefix bucket: DuckDB parses the 8 hex digits with
+    // from_hex → blob → big-endian int reconstruction is avoided by
+    // CASTing via base-16 string arithmetic (hex literal concat)
+    "sample_split" ->
+      ("WITH b AS (SELECT lang, doc_id, n_chars, " +
+       "CAST(CONCAT('0x', SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket " +
+       "FROM documents), " +
+       "s AS (SELECT lang, doc_id, n_chars, " +
+       "CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split FROM b) " +
+       "SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+       "CAST(SUM(n_chars) AS BIGINT) AS n_chars, MIN(doc_id) AS first_doc " +
+       "FROM s GROUP BY lang, split ORDER BY lang, split"),
     "cte_recursive" ->
       ("WITH RECURSIVE m(mo) AS (SELECT 1 UNION ALL SELECT mo + 1 FROM m WHERE mo < 12) " +
        "SELECT mo, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders " +

@@ -297,6 +297,23 @@ object Scans {
         .orderBy("event_type")
     }),
 
+    // Filter pushdown through the frame parser: the same framed fixture
+    // probed with predicates — the connector evaluates the comparisons
+    // DURING parsing (failing frames never materialize rows) and Spark
+    // re-applies them above the scan (best-effort + residual, parquet's
+    // own contract). FramedSourceSpec pins the row-shedding behavior;
+    // the oracle proves the filtered extract exact.
+    "source_framed_filtered" -> ((s, dir) => {
+      // ensure the fixture exists (same memo as source_framed_extract)
+      queries("source_framed_extract")(s, dir)
+      val out = scratch(dir, "framed_src")
+      s.read.format("graft.sources.FramedSource").load(out)
+        .where(col("event_type") === "purchase" && col("value") >= 50.0)
+        .groupBy("user_id")
+        .agg(big(count(lit(1))).as("n"), dsum(col("value")).as("val_sum"))
+        .orderBy("user_id")
+    }),
+
     // PERSISTED category index consulted by later queries (the R6 gap
     // from VERDICT r3 "missing" #2): i3cols materializes a
     // (category, start, stop) index so grouped slices never rescan
@@ -472,6 +489,11 @@ object Scans {
        "CAST(SUM(np) AS BIGINT) AS n_pulses, " +
        "CAST(SUM(np * base + (np * (np - 1)) // 2) AS BIGINT) AS pulse_sum " +
        "FROM e GROUP BY event_type ORDER BY event_type"),
+    "source_framed_filtered" ->
+      ("SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n, " +
+       s"${dsumSql("value")} AS val_sum FROM events " +
+       "WHERE event_type = 'purchase' AND value >= 50.0 " +
+       "GROUP BY user_id ORDER BY user_id"),
     "scan_parquet" ->
       "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "scan_pruned_filtered" ->

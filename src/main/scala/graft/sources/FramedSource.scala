@@ -145,83 +145,158 @@ case class FramedTable(tableSchema: StructType, path: String) extends Table with
     new FramedScanBuilder(schema, FramedSource.pathOf(options))
 }
 
-/** Column pruning reaches the parser: `pruneColumns` receives exactly
-  * the columns the query needs (Catalyst's required-columns pushdown),
-  * and the reader materializes only those. */
+/** Column pruning AND filter pushdown reach the parser: `pruneColumns`
+  * receives exactly the columns the query needs, and `pushFilters`
+  * hands the reader simple comparison predicates to evaluate DURING
+  * frame parsing — a failing frame is dropped before its row
+  * materializes. Pushdown here is best-effort: every filter is also
+  * returned as a residual so Spark re-applies it above the scan (the
+  * same contract parquet's row-group filtering uses), which keeps
+  * correctness trivially safe while the scan sheds the bulk early. */
 class FramedScanBuilder(full: StructType, path: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
   private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = FramedScan(full, required, path)
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(FramedFilters.supported)
+    filters // all residual: Spark re-applies, we pre-drop
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = FramedScan(full, required, path, pushed.toSeq)
 }
 
-case class FramedScan(full: StructType, required: StructType, path: String)
+/** The predicate subset the frame parser evaluates: comparisons and IN
+  * over long/double/string keys. Anything else stays Spark-side. */
+object FramedFilters {
+  import org.apache.spark.sql.sources._
+  def supported(f: Filter): Boolean = f match {
+    case EqualTo(_, _) | GreaterThan(_, _) | GreaterThanOrEqual(_, _) |
+         LessThan(_, _) | LessThanOrEqual(_, _) | In(_, _) => true
+    case _ => false
+  }
+
+  /** Evaluate one pushed filter against decoded frame values (keyed by
+    * column name; Comparable longs/doubles/strings). Unknown columns
+    * (not decoded) pass — residual evaluation catches them. */
+  def eval(f: Filter, v: Map[String, Any]): Boolean = {
+    import scala.math.Ordering.Implicits._
+    def cmp(attr: String, value: Any)(op: Int => Boolean): Boolean =
+      v.get(attr) match {
+        case Some(x: Long)   => op(x.compareTo(value.asInstanceOf[Number].longValue))
+        case Some(x: Double) => op(x.compareTo(value.asInstanceOf[Number].doubleValue))
+        case Some(x: String) => op(x.compareTo(value.toString))
+        case _ => true
+      }
+    f match {
+      case EqualTo(a, value)            => cmp(a, value)(_ == 0)
+      case GreaterThan(a, value)        => cmp(a, value)(_ > 0)
+      case GreaterThanOrEqual(a, value) => cmp(a, value)(_ >= 0)
+      case LessThan(a, value)           => cmp(a, value)(_ < 0)
+      case LessThanOrEqual(a, value)    => cmp(a, value)(_ <= 0)
+      case In(a, values)                => values.exists(value => cmp(a, value)(_ == 0))
+      case _ => true
+    }
+  }
+}
+
+case class FramedScan(full: StructType, required: StructType, path: String,
+                      pushed: Seq[org.apache.spark.sql.sources.Filter])
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def description(): String =
+    s"FramedScan path=$path, ReadSchema: ${required.simpleString}, " +
+    s"PushedFilters: [${pushed.mkString(", ")}]"
   override def planInputPartitions(): Array[InputPartition] =
     FramedSource.frameFiles(path).map(f => FramedPartition(f): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    FramedReaderFactory(full, required)
+    FramedReaderFactory(full, required, pushed)
 }
 
 case class FramedPartition(file: String) extends InputPartition
 
-case class FramedReaderFactory(full: StructType, required: StructType)
+case class FramedReaderFactory(full: StructType, required: StructType,
+                               pushed: Seq[org.apache.spark.sql.sources.Filter])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new FramedReader(partition.asInstanceOf[FramedPartition].file, required)
+    new FramedReader(partition.asInstanceOf[FramedPartition].file, required, pushed)
 }
 
 /** Streams frames out of one file: per frame, walks the key directory,
-  * decodes required keys into their output ordinals, and `skipBytes`
-  * past everything else. */
-class FramedReader(file: String, required: StructType)
+  * decodes required keys into their output ordinals, `skipBytes` past
+  * everything else, and drops the frame before materializing a row if
+  * any pushed filter fails (filter columns are always decoded: every
+  * pushed filter is also residual, so Catalyst keeps its columns in
+  * the required schema). */
+class FramedReader(file: String, required: StructType,
+                   pushed: Seq[org.apache.spark.sql.sources.Filter])
     extends PartitionReader[InternalRow] {
   private val ordinals: Map[String, Int] =
     required.fieldNames.zipWithIndex.toMap
+  private val filterAttrs: Set[String] = pushed.flatMap(_.references).toSet
   private val p = new Path(file)
   private val in = new DataInputStream(p.getFileSystem(new Configuration()).open(p))
   private var row: InternalRow = _
 
   override def next(): Boolean = {
-    val bodyLen =
-      try in.readInt()
-      catch { case _: EOFException => return false }
-    require(bodyLen >= 4, s"corrupt frame (bodyLen=$bodyLen) in $file")
-    val nKeys = in.readInt()
-    val values = new Array[Any](required.length)
-    var i = 0
-    while (i < nKeys) {
-      val nameLen = in.readUnsignedShort()
-      val nb = new Array[Byte](nameLen); in.readFully(nb)
-      val tag = in.readByte()
-      val ord = ordinals.getOrElse(new String(nb, "UTF-8"), -1)
-      tag match {
-        case FramedFormat.TagLong =>
-          if (ord >= 0) values(ord) = in.readLong() else in.skipBytes(8)
-        case FramedFormat.TagDouble =>
-          if (ord >= 0) values(ord) = in.readDouble() else in.skipBytes(8)
-        case FramedFormat.TagString =>
-          val len = in.readInt()
-          if (ord >= 0) {
-            val sb = new Array[Byte](len); in.readFully(sb)
-            values(ord) = UTF8String.fromBytes(sb)
-          } else in.skipBytes(len)
-        case FramedFormat.TagLongArray =>
-          val n = in.readInt()
-          if (ord >= 0) {
-            val arr = new Array[Long](n)
-            var j = 0
-            while (j < n) { arr(j) = in.readLong(); j += 1 }
-            values(ord) = new GenericArrayData(arr)
-          } else in.skipBytes(n * 8)
-        case t => throw new IllegalStateException(s"unknown type tag $t in $file")
+    while (true) {
+      val bodyLen =
+        try in.readInt()
+        catch { case _: EOFException => return false }
+      require(bodyLen >= 4, s"corrupt frame (bodyLen=$bodyLen) in $file")
+      val nKeys = in.readInt()
+      val values = new Array[Any](required.length)
+      // scala-typed copies of filter-referenced keys for predicate eval
+      var fvals = Map.empty[String, Any]
+      var i = 0
+      while (i < nKeys) {
+        val nameLen = in.readUnsignedShort()
+        val nb = new Array[Byte](nameLen); in.readFully(nb)
+        val name = new String(nb, "UTF-8")
+        val tag = in.readByte()
+        val ord = ordinals.getOrElse(name, -1)
+        val wantF = filterAttrs.contains(name)
+        tag match {
+          case FramedFormat.TagLong =>
+            if (ord >= 0 || wantF) {
+              val v = in.readLong()
+              if (ord >= 0) values(ord) = v
+              if (wantF) fvals += name -> v
+            } else in.skipBytes(8)
+          case FramedFormat.TagDouble =>
+            if (ord >= 0 || wantF) {
+              val v = in.readDouble()
+              if (ord >= 0) values(ord) = v
+              if (wantF) fvals += name -> v
+            } else in.skipBytes(8)
+          case FramedFormat.TagString =>
+            val len = in.readInt()
+            if (ord >= 0 || wantF) {
+              val sb = new Array[Byte](len); in.readFully(sb)
+              if (ord >= 0) values(ord) = UTF8String.fromBytes(sb)
+              if (wantF) fvals += name -> new String(sb, "UTF-8")
+            } else in.skipBytes(len)
+          case FramedFormat.TagLongArray =>
+            val n = in.readInt()
+            if (ord >= 0) {
+              val arr = new Array[Long](n)
+              var j = 0
+              while (j < n) { arr(j) = in.readLong(); j += 1 }
+              values(ord) = new GenericArrayData(arr)
+            } else in.skipBytes(n * 8)
+          case t => throw new IllegalStateException(s"unknown type tag $t in $file")
+        }
+        i += 1
       }
-      i += 1
+      if (pushed.forall(FramedFilters.eval(_, fvals))) {
+        row = new GenericInternalRow(values)
+        return true
+      }
     }
-    row = new GenericInternalRow(values)
-    true
+    false
   }
 
   override def get(): InternalRow = row

@@ -103,6 +103,21 @@ class ExpressionLawsSpec extends AnyFunSuite {
     }
   }
 
+  test("byte-mean is exact, bounded, and invariant to byte order") {
+    import graft.functions.ByteMeanImpl
+    assert(ByteMeanImpl.mean(Array.empty[Byte]) == 0.0)
+    forAllSamples(Gen.nonEmptyListOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))) { bs =>
+      val a = bs.toArray
+      val m = ByteMeanImpl.mean(a)
+      assert(m >= 0.0 && m <= 255.0, s"out of unsigned-byte range: $m")
+      // exact long-sum reference (the documented determinism contract)
+      val ref = a.map(b => (b & 0xff).toLong).sum.toDouble / a.length
+      assert(m == ref)
+      // bag semantics: order cannot change an exact integer sum
+      assert(ByteMeanImpl.mean(a.reverse) == m)
+    }
+  }
+
   test("kernels fail fast on dimension mismatch and null slots (no silent zeros)") {
     val a = ArrayData.toArrayData(Array(1.0f, 2.0f, 3.0f))
     val b = ArrayData.toArrayData(Array(1.0f, 2.0f))

@@ -54,6 +54,32 @@ class FramedSourceSpec extends SparkSpec {
     assert(pruned.distinct().count() == 5)
   }
 
+  test("filter pushdown reaches the scan and the parser sheds failing frames") {
+    val df = spark.read.format("graft.sources.FramedSource").load(fixtureDir)
+      .where(col("event_type") === "purchase" && col("value") >= 50.0)
+    val scan = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }.head.asInstanceOf[graft.sources.FramedScan]
+    assert(scan.pushed.length == 2, scan.description())
+    // reader-level: a pushed filter drops frames before rows materialize
+    val file = FramedSource.frameFiles(fixtureDir).head
+    val req = StructType(Seq(StructField("event_type", StringType, nullable = false)))
+    def countRows(pushed: Seq[org.apache.spark.sql.sources.Filter]): Int = {
+      val r = new graft.sources.FramedReader(file, req, pushed)
+      var n = 0
+      while (r.next()) n += 1
+      r.close()
+      n
+    }
+    val all = countRows(Nil)
+    val shed = countRows(Seq(org.apache.spark.sql.sources.EqualTo("event_type", "purchase")))
+    assert(shed > 0 && shed < all, s"pushed filter kept $shed of $all")
+    // best-effort + residual is exact end-to-end
+    val viaParquet = Tables.events(spark, sf001)
+      .where(col("event_type") === "purchase" && col("value") >= 50.0).count()
+    assert(df.count() == viaParquet)
+  }
+
   test("parallelism is per file: one input partition per .frames file") {
     val n = FramedSource.frameFiles(fixtureDir).size
     assert(n > 1, s"fixture should span multiple files, got $n")
