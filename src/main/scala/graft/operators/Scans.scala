@@ -257,37 +257,7 @@ object Scans {
     // function of each event: n = event_id % 5, pulse[i] = (epoch_us %
     // 1e6) + i, giving the oracle a closed form).
     "source_framed_extract" -> ((s, dir) => {
-      val out = scratch(dir, "framed_src")
-      framedMemo.getOrElseUpdate(
-        s"$out|${graft.Tables.fsSig(s, s"$dir/events.parquet")}", {
-          import graft.sources.FramedFormat._
-          val rows = events(s, dir)
-            .select(col("event_id"), col("user_id"), col("event_type"),
-                    col("value"), unix_micros(col("ts")).as("ts_us"))
-            .repartition(8, col("event_id"))
-          rows.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-            if (it.hasNext) {
-              val pid = org.apache.spark.TaskContext.getPartitionId()
-              val p = new org.apache.hadoop.fs.Path(s"$out/part-$pid.frames")
-              val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-              val dos = new java.io.DataOutputStream(
-                new java.io.BufferedOutputStream(fs.create(p, true)))
-              try it.foreach { r =>
-                val eventId = r.getLong(0)
-                val tsUs = r.getLong(4)
-                val base = tsUs % 1000000L
-                val pulses = Array.tabulate((eventId % 5).toInt)(i => base + i)
-                writeFrame(dos, Seq(
-                  ("event_id", TagLong, eventId),
-                  ("user_id", TagLong, r.getLong(1)),
-                  ("ts_us", TagLong, tsUs),
-                  ("value", TagDouble, r.getDouble(3)),
-                  ("event_type", TagString, r.getString(2)),
-                  ("pulses", TagLongArray, pulses)))
-              } finally dos.close()
-            }
-          }
-        })
+      val out = framedFixture(s, dir)
       s.read.format("graft.sources.FramedSource").load(out)
         .groupBy("event_type")
         .agg(big(count(lit(1))).as("n"),
@@ -304,9 +274,7 @@ object Scans {
     // own contract). FramedSourceSpec pins the row-shedding behavior;
     // the oracle proves the filtered extract exact.
     "source_framed_filtered" -> ((s, dir) => {
-      // ensure the fixture exists (same memo as source_framed_extract)
-      queries("source_framed_extract")(s, dir)
-      val out = scratch(dir, "framed_src")
+      val out = framedFixture(s, dir)
       s.read.format("graft.sources.FramedSource").load(out)
         .where(col("event_type") === "purchase" && col("value") >= 50.0)
         .groupBy("user_id")
@@ -414,6 +382,47 @@ object Scans {
     * feeding `source_framed_extract`. */
   private val framedMemo =
     scala.collection.concurrent.TrieMap.empty[String, Unit]
+
+  /** Write (once per JVM + source state) and return the framed
+    * sequential fixture directory: executors serialize events into
+    * length-prefixed frames — long/double/string keys plus the ragged
+    * `pulses` array (n = event_id % 5, pulse[i] = epoch_us % 1e6 + i, a
+    * closed form the oracles reproduce). Shared by the batch extract,
+    * the filtered probe, and the streaming tail. */
+  def framedFixture(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val out = scratch(dir, "framed_src")
+    framedMemo.getOrElseUpdate(
+      s"$out|${graft.Tables.fsSig(s, s"$dir/events.parquet")}", {
+        import graft.sources.FramedFormat._
+        val rows = events(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+                  col("value"), unix_micros(col("ts")).as("ts_us"))
+          .repartition(8, col("event_id"))
+        rows.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          if (it.hasNext) {
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val p = new org.apache.hadoop.fs.Path(s"$out/part-$pid.frames")
+            val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+            val dos = new java.io.DataOutputStream(
+              new java.io.BufferedOutputStream(fs.create(p, true)))
+            try it.foreach { r =>
+              val eventId = r.getLong(0)
+              val tsUs = r.getLong(4)
+              val base = tsUs % 1000000L
+              val pulses = Array.tabulate((eventId % 5).toInt)(i => base + i)
+              writeFrame(dos, Seq(
+                ("event_id", TagLong, eventId),
+                ("user_id", TagLong, r.getLong(1)),
+                ("ts_us", TagLong, tsUs),
+                ("value", TagDouble, r.getDouble(3)),
+                ("event_type", TagString, r.getString(2)),
+                ("pulses", TagLongArray, pulses)))
+            } finally dos.close()
+          }
+        }
+      })
+    out
+  }
 
   /** Once-per-(JVM, source-state) guard for the category layout +
     * persisted index feeding `scan_categ_index_persisted`. */

@@ -140,7 +140,7 @@ case class FramedTable(tableSchema: StructType, path: String) extends Table with
   override def schema(): StructType = tableSchema
   override def name(): String = s"framed($path)"
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new FramedScanBuilder(schema, FramedSource.pathOf(options))
 }
@@ -212,6 +212,45 @@ case class FramedScan(full: StructType, required: StructType, path: String,
     s"PushedFilters: [${pushed.mkString(", ")}]"
   override def planInputPartitions(): Array[InputPartition] =
     FramedSource.frameFiles(path).map(f => FramedPartition(f): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    FramedReaderFactory(full, required, pushed)
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new FramedMicroBatchStream(full, required, pushed, path)
+}
+
+/** Streaming extraction — "tail the DAQ output directory": frame files
+  * land append-only (a written file is immutable, the `.i3` contract),
+  * so the stream offset is simply how many files (sorted by name) have
+  * been processed. Each micro-batch claims the newly-landed suffix,
+  * one input partition per file, reusing the exact batch reader —
+  * pruning and filter pushdown included. Restart-safe: offsets are
+  * file counts against a stable sort, checkpointed by the engine. */
+class FramedMicroBatchStream(full: StructType, required: StructType,
+                             pushed: Seq[org.apache.spark.sql.sources.Filter],
+                             path: String)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  case class FileCountOffset(n: Int) extends Offset {
+    override def json(): String = n.toString
+  }
+
+  override def initialOffset(): Offset = FileCountOffset(0)
+  override def latestOffset(): Offset =
+    FileCountOffset(FramedSource.frameFiles(path).size)
+  override def deserializeOffset(json: String): Offset =
+    FileCountOffset(json.trim.toInt)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[FileCountOffset].n
+    val e = end.asInstanceOf[FileCountOffset].n
+    FramedSource.frameFiles(path).slice(s, e)
+      .map(f => FramedPartition(f): InputPartition).toArray
+  }
+
   override def createReaderFactory(): PartitionReaderFactory =
     FramedReaderFactory(full, required, pushed)
 }

@@ -252,10 +252,53 @@ object Streams {
     "stream_stateful_count" -> ((s, dir) =>
       statefulCountsBatch(events(s, dir)).orderBy("user_id")),
     "stream_watermark_late" -> ((s, dir) =>
-      watermarkLateBatch(events(s, dir)).orderBy("event_id"))
+      watermarkLateBatch(events(s, dir)).orderBy("event_id")),
+
+    // Streaming EXTRACT: tail the framed sequential fixture through the
+    // FramedSource micro-batch stream (offset = processed-file count
+    // over the append-only directory), land typed columns in parquet
+    // under AvailableNow, aggregate the landing. The oracle proves the
+    // streamed extraction lossless against the original events — the
+    // continuous version of source_framed_extract (i3cols' per-file
+    // extract loop as a Structured Streaming job). The stream runs once
+    // per (JVM, source state); its sink is content-keyed scratch.
+    "stream_framed_extract" -> ((s, dir) => {
+      val src = graft.operators.Scans.framedFixture(s, dir)
+      val sink = graft.Tables.scratch(dir, "framed_stream_sink")
+      val ckpt = graft.Tables.scratch(dir, "framed_stream_ckpt")
+      framedStreamMemo.getOrElseUpdate(
+        s"$sink|${graft.Tables.fsSig(s, s"$dir/events.parquet")}", {
+          val q = s.readStream.format("graft.sources.FramedSource").load(src)
+            .select("event_id", "event_type", "value", "pulses")
+            .writeStream.format("parquet")
+            .option("path", sink).option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination(120000)
+        })
+      s.read.parquet(sink)
+        .groupBy("event_type")
+        .agg(big(count(lit(1))).as("n"),
+             dsum(col("value")).as("val_sum"),
+             big(sum(size(col("pulses")))).as("n_pulses"))
+        .orderBy("event_type")
+    })
   )
 
+  /** Once-per-(JVM, source-state) guard for the streaming-extract
+    * landing job. */
+  private val framedStreamMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
   val oracle: Map[String, String] = Map(
+    // the streamed extraction must be lossless: aggregates over the
+    // landed columns equal the same aggregates over the source events
+    // (pulses count has the closed form event_id % 5)
+    "stream_framed_extract" ->
+      ("SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
+       s"${dsumSql("value")} AS val_sum, " +
+       "CAST(SUM(event_id % 5) AS BIGINT) AS n_pulses " +
+       "FROM events GROUP BY event_type ORDER BY event_type"),
     // micro-batch watermark model (see watermarkLateBatch): batch id =
     // arrival-order event_id DIV 1000, watermark for a batch = max
     // event time over all PRIOR batches − 1h. Deterministic, so the

@@ -80,6 +80,41 @@ class FramedSourceSpec extends SparkSpec {
     assert(df.count() == viaParquet)
   }
 
+  test("streaming read tails the directory: files landing between batches arrive exactly once") {
+    import graft.sources.FramedFormat._
+    val dir = java.nio.file.Files.createTempDirectory("graft_framed_stream").toString
+    def writeFile(name: String, ids: Range): Unit = {
+      val dos = new java.io.DataOutputStream(
+        new java.io.FileOutputStream(s"$dir/$name"))
+      try ids.foreach { i =>
+        writeFrame(dos, Seq(
+          ("event_id", TagLong, i.toLong),
+          ("etype", TagString, if (i % 2 == 0) "a" else "b")))
+      } finally dos.close()
+    }
+    writeFile("f0.frames", 0 until 10)
+    writeFile("f1.frames", 10 until 25)
+
+    val out = java.nio.file.Files.createTempDirectory("graft_framed_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_framed_ckpt").toString
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft.sources.FramedSource").load(dir)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+    }
+    runOnce()
+    assert(spark.read.parquet(out).count() == 25)
+    // a new file lands; a restarted stream picks up ONLY the suffix
+    writeFile("f2.frames", 25 until 31)
+    runOnce()
+    val all = spark.read.parquet(out)
+    assert(all.count() == 31, "appended file must arrive exactly once")
+    assert(all.select("event_id").distinct().count() == 31)
+  }
+
   test("parallelism is per file: one input partition per .frames file") {
     val n = FramedSource.frameFiles(fixtureDir).size
     assert(n > 1, s"fixture should span multiple files, got $n")
