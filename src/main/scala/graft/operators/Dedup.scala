@@ -592,8 +592,12 @@ object Dedup {
       val blocks = d.groupBy("lang", "source")
         .agg(count(lit(1)).as("m"))
         .where(col("m") >= 2)
+        // decimal arithmetic: Column `/` is double division, which
+        // loses exactness past m ≈ 9.5e7 (m·(m−1) > 2^53) — precisely
+        // the corpus-sized blocks this family is designed for; the
+        // decimal product is exact and m(m−1) is always even
         .select(col("lang"), col("source"),
-                big(col("m") * (col("m") - 1) / 2).as("n_pairs"))
+                expr("CAST(CAST(m AS DECIMAL(38,0)) * (m - 1) / 2 AS BIGINT)").as("n_pairs"))
       val scored = shinglePairStats(d)
         .withColumn("jaccard", jaccardFromStats)
         .groupBy("lang", "source")

@@ -329,12 +329,20 @@ object Scans {
         .where(col("category").isin(wanted: _*))
         .select("category", "file")
         .collect().groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1)).toSeq)
-      wanted.filter(index.contains)
+      val perCat = wanted.filter(index.contains)
         .map { cat =>
           s.read.parquet(index(cat): _*).withColumn("event_type", lit(cat))
         }
-        .reduce(_ unionByName _)
-        .groupBy("event_type")
+      // a fully-pruned probe (no wanted category in the index) must
+      // yield the empty result, not an empty.reduce error
+      val base =
+        if (perCat.isEmpty)
+          s.read.parquet(idxPath)
+            .select(lit(0L).as("event_id"), col("category").as("event_type"),
+                    lit(0.0).as("value"))
+            .where(lit(false))
+        else perCat.reduce(_ unionByName _)
+      base.groupBy("event_type")
         .agg(big(count(lit(1))).as("n"), r2(sum(col("value"))).as("val_sum"))
         .orderBy("event_type")
     }),
@@ -394,6 +402,11 @@ object Scans {
     framedMemo.getOrElseUpdate(
       s"$out|${graft.Tables.fsSig(s, s"$dir/events.parquet")}", {
         import graft.sources.FramedFormat._
+        // clear any prior state first: per-file overwrite alone would
+        // leave a stale part file behind if a regeneration produces an
+        // empty shuffle partition
+        val outP = new org.apache.hadoop.fs.Path(out)
+        outP.getFileSystem(s.sparkContext.hadoopConfiguration).delete(outP, true)
         val rows = events(s, dir)
           .select(col("event_id"), col("user_id"), col("event_type"),
                   col("value"), unix_micros(col("ts")).as("ts_us"))

@@ -169,25 +169,35 @@ class FramedScanBuilder(full: StructType, path: String)
 }
 
 /** The predicate subset the frame parser evaluates: comparisons and IN
-  * over long/double/string keys. Anything else stays Spark-side. */
+  * over long/double/string keys. Anything else stays Spark-side. A
+  * pushed filter can only ever DROP rows (residual evaluation cannot
+  * restore one), so admission is conservative: null comparison values
+  * are rejected (Spark's null semantics stay Spark-side) and string
+  * ordering uses UTF8String — byte/code-point order, exactly Spark's
+  * binary collation — never Java's UTF-16 code-unit compareTo, which
+  * disagrees on supplementary characters. */
 object FramedFilters {
   import org.apache.spark.sql.sources._
   def supported(f: Filter): Boolean = f match {
-    case EqualTo(_, _) | GreaterThan(_, _) | GreaterThanOrEqual(_, _) |
-         LessThan(_, _) | LessThanOrEqual(_, _) | In(_, _) => true
+    case EqualTo(_, v)            => v != null
+    case GreaterThan(_, v)        => v != null
+    case GreaterThanOrEqual(_, v) => v != null
+    case LessThan(_, v)           => v != null
+    case LessThanOrEqual(_, v)    => v != null
+    case In(_, vs)                => vs != null && vs.forall(_ != null)
     case _ => false
   }
 
   /** Evaluate one pushed filter against decoded frame values (keyed by
-    * column name; Comparable longs/doubles/strings). Unknown columns
-    * (not decoded) pass — residual evaluation catches them. */
+    * column name). Unknown columns (not decoded) pass — residual
+    * evaluation catches them. */
   def eval(f: Filter, v: Map[String, Any]): Boolean = {
-    import scala.math.Ordering.Implicits._
     def cmp(attr: String, value: Any)(op: Int => Boolean): Boolean =
       v.get(attr) match {
         case Some(x: Long)   => op(x.compareTo(value.asInstanceOf[Number].longValue))
         case Some(x: Double) => op(x.compareTo(value.asInstanceOf[Number].doubleValue))
-        case Some(x: String) => op(x.compareTo(value.toString))
+        case Some(x: String) => op(UTF8String.fromString(x)
+          .compareTo(UTF8String.fromString(value.toString)))
         case _ => true
       }
     f match {
@@ -221,33 +231,47 @@ case class FramedScan(full: StructType, required: StructType, path: String,
 
 /** Streaming extraction — "tail the DAQ output directory": frame files
   * land append-only (a written file is immutable, the `.i3` contract),
-  * so the stream offset is simply how many files (sorted by name) have
-  * been processed. Each micro-batch claims the newly-landed suffix,
-  * one input partition per file, reusing the exact batch reader —
-  * pruning and filter pushdown included. Restart-safe: offsets are
-  * file counts against a stable sort, checkpointed by the engine. */
+  * and the offset is the SET of processed file names — a landed file's
+  * name may sort anywhere (a count-into-sorted-list offset would both
+  * re-deliver and permanently skip files whose names sort before
+  * already-processed ones), so the set is the only checkpoint state
+  * that gives exactly-once under arbitrary naming. Each micro-batch
+  * claims the set difference, one input partition per new file,
+  * reusing the exact batch reader — pruning and filter pushdown
+  * included. This is the same contract as Spark's FileStreamSource
+  * seen-files map; at production file counts the set is compacted
+  * exactly as its compact log is. */
 class FramedMicroBatchStream(full: StructType, required: StructType,
                              pushed: Seq[org.apache.spark.sql.sources.Filter],
                              path: String)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
-  case class FileCountOffset(n: Int) extends Offset {
-    override def json(): String = n.toString
+  case class FileSetOffset(files: Set[String]) extends Offset {
+    // single-line JSON array (the engine's offset log is line-oriented,
+    // so the serialized form must never contain a raw newline)
+    override def json(): String = {
+      implicit val fmt: org.json4s.Formats =
+        org.json4s.jackson.Serialization.formats(org.json4s.NoTypeHints)
+      org.json4s.jackson.Serialization.write(files.toSeq.sorted)
+    }
   }
 
-  override def initialOffset(): Offset = FileCountOffset(0)
+  override def initialOffset(): Offset = FileSetOffset(Set.empty)
   override def latestOffset(): Offset =
-    FileCountOffset(FramedSource.frameFiles(path).size)
-  override def deserializeOffset(json: String): Offset =
-    FileCountOffset(json.trim.toInt)
+    FileSetOffset(FramedSource.frameFiles(path).toSet)
+  override def deserializeOffset(json: String): Offset = {
+    implicit val fmt: org.json4s.Formats =
+      org.json4s.jackson.Serialization.formats(org.json4s.NoTypeHints)
+    FileSetOffset(org.json4s.jackson.Serialization.read[Seq[String]](json).toSet)
+  }
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[FileCountOffset].n
-    val e = end.asInstanceOf[FileCountOffset].n
-    FramedSource.frameFiles(path).slice(s, e)
+    val s = start.asInstanceOf[FileSetOffset].files
+    val e = end.asInstanceOf[FileSetOffset].files
+    (e -- s).toSeq.sorted
       .map(f => FramedPartition(f): InputPartition).toArray
   }
 

@@ -264,18 +264,31 @@ object Streams {
     // per (JVM, source state); its sink is content-keyed scratch.
     "stream_framed_extract" -> ((s, dir) => {
       val src = graft.operators.Scans.framedFixture(s, dir)
-      val sink = graft.Tables.scratch(dir, "framed_stream_sink")
-      val ckpt = graft.Tables.scratch(dir, "framed_stream_ckpt")
-      framedStreamMemo.getOrElseUpdate(
-        s"$sink|${graft.Tables.fsSig(s, s"$dir/events.parquet")}", {
-          val q = s.readStream.format("graft.sources.FramedSource").load(src)
-            .select("event_id", "event_type", "value", "pulses")
-            .writeStream.format("parquet")
-            .option("path", sink).option("checkpointLocation", ckpt)
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
-          q.awaitTermination(120000)
-        })
+      // sink + checkpoint are keyed by the SOURCE fingerprint: a
+      // regenerated fixture must get a fresh checkpoint (the old one
+      // has the prior state's offsets committed) and a fresh landing
+      // dir, never stale rows under a reused path
+      val sig = java.security.MessageDigest.getInstance("MD5")
+        .digest(graft.Tables.fsSig(s, s"$dir/events.parquet").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      val sink = graft.Tables.scratch(dir, s"framed_stream_sink_$sig")
+      val ckpt = graft.Tables.scratch(dir, s"framed_stream_ckpt_$sig")
+      framedStreamMemo.getOrElseUpdate(sink, {
+        val q = s.readStream.format("graft.sources.FramedSource").load(src)
+          .select("event_id", "event_type", "value", "pulses")
+          .writeStream.format("parquet")
+          .option("path", sink).option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        // loud on timeout: memoizing an unfinished landing would race
+        // the still-running stream on every later read
+        if (!q.awaitTermination(120000)) {
+          q.stop()
+          throw new IllegalStateException(
+            "stream_framed_extract: AvailableNow landing did not finish in 120s")
+        }
+        true
+      })
       s.read.parquet(sink)
         .groupBy("event_type")
         .agg(big(count(lit(1))).as("n"),
