@@ -267,6 +267,24 @@ object Scans {
         .orderBy("event_type")
     }),
 
+    // Run discovery via the `_file` METADATA column (i3cols parses run
+    // ids out of `.i3` file names; Spark-native, provenance lives
+    // outside the data schema as a SupportsMetadataColumns column).
+    // Per-run row counts depend on the fixture writer's hash
+    // partitioning (not oracle-reproducible), so the checked outputs
+    // are the distribution-free invariants: every one of the 8 written
+    // runs is discovered, and no row is lost or duplicated across them.
+    "source_framed_runs" -> ((s, dir) => {
+      val out = framedFixture(s, dir)
+      s.read.format("graft-framed").load(out)
+        .select(regexp_extract(col("_file"), "part-(\\d+)\\.frames$", 1).as("run"),
+                col("event_id"))
+        .groupBy("run").agg(count(lit(1)).as("n"))
+        .agg(big(count(lit(1))).as("n_runs"),
+             big(sum(col("n"))).as("n_rows"))
+        .orderBy("n_runs")
+    }),
+
     // Filter pushdown through the frame parser: the same framed fixture
     // probed with predicates — the connector evaluates the comparisons
     // DURING parsing (failing frames never materialize rows) and Spark
@@ -511,6 +529,12 @@ object Scans {
        "CAST(SUM(np) AS BIGINT) AS n_pulses, " +
        "CAST(SUM(np * base + (np * (np - 1)) // 2) AS BIGINT) AS pulse_sum " +
        "FROM e GROUP BY event_type ORDER BY event_type"),
+    // 8 = the fixture's writer partition count; at fixture row counts a
+    // hash-empty partition is statistically impossible, and a missing
+    // file would surface here as n_runs < 8
+    "source_framed_runs" ->
+      ("SELECT CAST(8 AS BIGINT) AS n_runs, CAST(COUNT(*) AS BIGINT) AS n_rows " +
+       "FROM events ORDER BY n_runs"),
     "source_framed_filtered" ->
       ("SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n, " +
        s"${dsumSql("value")} AS val_sum FROM events " +

@@ -82,7 +82,10 @@ object FramedFormat {
   * equivalent of i3cols extracting only the requested frame keys into
   * per-key column dirs. Usage:
   * `spark.read.format("graft.sources.FramedSource").load(dir)`. */
-class FramedSource extends TableProvider {
+class FramedSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graft-framed"
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     FramedSource.infer(FramedSource.pathOf(options))
 
@@ -136,13 +139,27 @@ object FramedSource {
   }
 }
 
-case class FramedTable(tableSchema: StructType, path: String) extends Table with SupportsRead {
+/** `_file` metadata column: which frame file a row came from — the
+  * i3cols run/season-discovery surface (run ids parse out of file
+  * names), exposed the Spark-native way so it participates in
+  * projection and aggregation without living in the data schema. */
+case class FramedTable(tableSchema: StructType, path: String)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def schema(): StructType = tableSchema
   override def name(): String = s"framed($path)"
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new FramedScanBuilder(schema, FramedSource.pathOf(options))
+  override def metadataColumns():
+      Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = "_file"
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "frame file this row was extracted from"
+    })
 }
 
 /** Column pruning AND filter pushdown reach the parser: `pruneColumns`
@@ -299,6 +316,9 @@ class FramedReader(file: String, required: StructType,
     extends PartitionReader[InternalRow] {
   private val ordinals: Map[String, Int] =
     required.fieldNames.zipWithIndex.toMap
+  // `_file` metadata column: constant per partition, filled post-parse
+  private val fileOrd: Int = ordinals.getOrElse("_file", -1)
+  private val fileUtf8 = UTF8String.fromString(file)
   private val filterAttrs: Set[String] = pushed.flatMap(_.references).toSet
   private val p = new Path(file)
   private val in = new DataInputStream(p.getFileSystem(new Configuration()).open(p))
@@ -355,6 +375,7 @@ class FramedReader(file: String, required: StructType,
         i += 1
       }
       if (pushed.forall(FramedFilters.eval(_, fvals))) {
+        if (fileOrd >= 0) values(fileOrd) = fileUtf8
         row = new GenericInternalRow(values)
         return true
       }

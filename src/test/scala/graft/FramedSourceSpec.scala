@@ -115,6 +115,18 @@ class FramedSourceSpec extends SparkSpec {
     assert(all.select("event_id").distinct().count() == 31)
   }
 
+  test("_file metadata column carries provenance without living in the data schema") {
+    val df = spark.read.format("graft-framed").load(fixtureDir) // registered short name
+    assert(!df.columns.contains("_file"), "metadata column must not leak into the default projection")
+    val withFile = df.select(col("_file"), col("event_id"))
+    // every row's _file is a real fixture file, and rows group back to
+    // exactly the file set on disk
+    val files = withFile.select("_file").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(files == FramedSource.frameFiles(fixtureDir).toSet)
+    assert(withFile.count() == df.count())
+  }
+
   test("parallelism is per file: one input partition per .frames file") {
     val n = FramedSource.frameFiles(fixtureDir).size
     assert(n > 1, s"fixture should span multiple files, got $n")
