@@ -127,6 +127,44 @@ class FramedSourceSpec extends SparkSpec {
     assert(withFile.count() == df.count())
   }
 
+  test("corrupt input fails loudly and names the file — never silent truncation") {
+    import graft.sources.FramedFormat._
+    val dir = java.nio.file.Files.createTempDirectory("graft_framed_corrupt")
+    def freshFile(name: String)(tail: java.io.DataOutputStream => Unit): String = {
+      val f = dir.resolve(name).toString
+      val dos = new java.io.DataOutputStream(new java.io.FileOutputStream(f))
+      // one valid frame first: corruption mid-file must not surface as a
+      // clean EOF after the good prefix
+      try { writeFrame(dos, Seq(("event_id", TagLong, 1L))); tail(dos) }
+      finally dos.close()
+      f
+    }
+    val req = StructType(Seq(StructField("event_id", LongType, nullable = false)))
+    def readAll(file: String): Int = {
+      val r = new graft.sources.FramedReader(file, req, Nil)
+      try { var n = 0; while (r.next()) n += 1; n } finally r.close()
+    }
+
+    // (a) negative body length — the length-prefix contract is broken
+    val bad = freshFile("bad_len.frames") { dos => dos.writeInt(-5) }
+    val e1 = intercept[IllegalArgumentException](readAll(bad))
+    assert(e1.getMessage.contains("corrupt frame") && e1.getMessage.contains(bad), e1.getMessage)
+
+    // (b) unknown type tag — a frame from a newer/foreign writer
+    val tagged = freshFile("bad_tag.frames") { dos =>
+      dos.writeInt(12); dos.writeInt(1)           // bodyLen, nKeys
+      dos.writeShort(1); dos.write('k'); dos.writeByte(99)
+    }
+    val e2 = intercept[IllegalStateException](readAll(tagged))
+    assert(e2.getMessage.contains("unknown type tag 99") && e2.getMessage.contains(tagged), e2.getMessage)
+
+    // (c) truncation mid-frame (torn write): loud EOF, not a short read
+    val torn = freshFile("torn.frames") { dos =>
+      dos.writeInt(64); dos.writeInt(2)           // claims 2 keys, delivers none
+    }
+    intercept[java.io.EOFException](readAll(torn))
+  }
+
   test("parallelism is per file: one input partition per .frames file") {
     val n = FramedSource.frameFiles(fixtureDir).size
     assert(n > 1, s"fixture should span multiple files, got $n")
