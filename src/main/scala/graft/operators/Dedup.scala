@@ -162,27 +162,69 @@ object Dedup {
       .distinct()
   }
 
+  /** Document-frequency cap for the exact pair family (VERDICT r4 #1,
+    * the last 100× scale risk): a shingle shared by d documents
+    * contributes C(d, 2) posting pairs, so ONE boilerplate phrase with
+    * df in the millions ("all rights reserved …" on a web corpus) is a
+    * shuffle-skew detonation. Postings with df > this cap are treated
+    * as STOP-SHINGLES and dropped before the pair join — the standard
+    * AllPairs move — which bounds any single key's pair contribution
+    * at C(cap, 2) and the total candidate space at Σ_uncapped C(df,2).
+    *
+    * Exactness contract: all similarity measures are then computed
+    * over the stop-filtered shingle sets A\S, B\S (S = shingles with
+    * df > cap) — intersections AND set sizes consistently, the same
+    * semantics as stopword removal before similarity. A pair is missed
+    * only if its entire overlap is stop-shingles; on corpora whose max
+    * df is below the cap (this fixture's max df is 3) the filter is
+    * the identity and every measure is bit-identical to the uncapped
+    * exact computation — the oracle-checked configuration. */
+  val MaxShingleDf = 64
+
   /** EXACT per-pair set statistics straight out of the inverted index:
     * because each doc's `sh` is duplicate-free, the number of posting
     * matches for a pair IS |A∩B| — so a count aggregate over the
-    * posting join yields the exact intersection, and joining the tiny
-    * (doc_id, |sh|) projection (a long per doc, not the shingle
-    * arrays) gives every set measure: Jaccard = ∩/(|A|+|B|−∩),
-    * containment = ∩/|A|. No array ever shuffles through the pair
-    * space — the r4-initial shape joined full shingle arrays back onto
-    * candidates, ~2× the pair-stage cost. Returns (lang, source, a, b,
-    * inter, nsh_a, nsh_b) for all same-block pairs sharing ≥1 shingle;
-    * absent pairs have ∩ = 0 by construction. */
-  def shinglePairStats(d: DataFrame): DataFrame = {
+    * posting join yields the exact intersection, and the per-doc
+    * posting counts (a long per doc, not the shingle arrays) give
+    * every set measure: Jaccard = ∩/(|A|+|B|−∩), containment = ∩/|A|.
+    * No array ever shuffles through the pair space — the r4-initial
+    * shape joined full shingle arrays back onto candidates, ~2× the
+    * pair-stage cost.
+    *
+    * Skew bound ([[MaxShingleDf]]): per-shingle dfs come from one
+    * map-side-combined aggregate (partial aggregation absorbs the hot
+    * keys — the df computation itself cannot skew), the over-cap
+    * shingles form a list that is SMALL by construction (≤
+    * #postings/cap entries), and a broadcast anti-join drops their
+    * postings before the pair join. All stats — intersections and the
+    * nsh_* sizes — are computed from the SAME bounded posting set, so
+    * the measures are exact over the stop-filtered sets. Returns
+    * (lang, source, a, b, inter, nsh_a, nsh_b) for same-block pairs
+    * sharing ≥1 uncapped shingle; absent pairs have ∩ = 0 by
+    * construction. */
+  def shinglePairStats(d: DataFrame, maxDf: Int = MaxShingleDf): DataFrame = {
+    // postings feed the df aggregate, the pair join and the size
+    // aggregate; the explode is a cheap row-local recompute from the
+    // (caller-checkpointed) shingled projection, so it is NOT
+    // checkpointed here — materializing the full inverted index in the
+    // block manager would cost more than re-exploding
     val postings = d.select(col("lang"), col("source"), col("doc_id"),
       explode(col("sh")).as("g"))
-    val l = postings.select(col("lang"), col("source"), col("g"), col("doc_id").as("a"))
-    val r = postings.select(col("lang"), col("source"), col("g"), col("doc_id").as("b"))
+    val stop = postings.groupBy("lang", "source", "g")
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf)
+      .select("lang", "source", "g")
+    val bounded = postings.join(broadcast(stop), Seq("lang", "source", "g"), "left_anti")
+    val l = bounded.select(col("lang"), col("source"), col("g"), col("doc_id").as("a"))
+    val r = bounded.select(col("lang"), col("source"), col("g"), col("doc_id").as("b"))
     val inter = l.join(r, Seq("lang", "source", "g"))
       .where(col("a") < col("b"))
       .groupBy("lang", "source", "a", "b")
       .agg(count(lit(1)).cast("int").as("inter"))
-    val sizes = d.select(col("doc_id"), size(col("sh")).as("nsh"))
+    // |A\S| per doc = the doc's surviving posting count (sh is
+    // duplicate-free), so sizes come from the same bounded postings —
+    // consistent stop-filtered semantics for every downstream ratio
+    val sizes = bounded.groupBy("doc_id").agg(count(lit(1)).cast("int").as("nsh"))
     inter
       .join(sizes.select(col("doc_id").as("a"), col("nsh").as("nsh_a")), Seq("a"))
       .join(sizes.select(col("doc_id").as("b"), col("nsh").as("nsh_b")), Seq("b"))
@@ -607,6 +649,28 @@ object Dedup {
                 r4(coalesce(col("max_j"), lit(0.0))).as("max_jaccard"),
                 r4(coalesce(col("sum_j"), lit(0.0)) / col("n_pairs")).as("avg_jaccard"))
         .orderBy("lang", "source")
+    }),
+
+    // The prefix-filtered AllPairs path END-TO-END at a production
+    // threshold (VERDICT r4 #7): candidates from
+    // [[shingleCandidatePairs]] at τ=0.5 — each doc posts only its
+    // first |X| − ceil(τ|X|) + 1 sorted-hash shingles, ~half the index
+    // at this τ — then EXACT merge-scan Jaccard verification on the
+    // candidates only. The oracle computes the same pair set the
+    // quadratic way in DuckDB, proving the prefix lemma (no qualifying
+    // pair escapes the pruned index) end-to-end, not just in the
+    // property test. The fixture plants one strong near-dup pair
+    // (J ≈ 0.97), so the result is non-trivial at every SF.
+    "dedup_allpairs_prefix" -> ((s, dir) => {
+      val d = withHashedShingles(documents(s, dir), "lang", "source").localCheckpoint()
+      val arrs = d.select(col("doc_id"), col("sh"))
+      shingleCandidatePairs(d, 0.5)
+        .join(arrs.select(col("doc_id").as("a"), col("sh").as("sh_a")), Seq("a"))
+        .join(arrs.select(col("doc_id").as("b"), col("sh").as("sh_b")), Seq("b"))
+        .withColumn("jaccard", jaccardSorted(col("sh_a"), col("sh_b")))
+        .where(col("jaccard") >= 0.5)
+        .select(col("a"), col("b"), r4(col("jaccard")).as("jaccard"))
+        .orderBy("a", "b")
     })
   )
 
@@ -681,6 +745,18 @@ object Dedup {
        "ROUND(LEN(LIST_INTERSECT(a.sh, b.sh)) * 1.0 / LEN(a.sh), 4) AS containment " +
        "FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source AND a.doc_id <> b.doc_id " +
        "WHERE LEN(LIST_INTERSECT(a.sh, b.sh)) * 1.0 / LEN(a.sh) >= 0.1 " +
+       "ORDER BY a, b"),
+    "dedup_allpairs_prefix" ->
+      ("WITH sh AS MATERIALIZED (SELECT doc_id, lang, source, " +
+       "LIST_DISTINCT(CASE WHEN LEN(STRING_SPLIT(LOWER(TRIM(text)), ' ')) >= 3 THEN " +
+       "LIST_TRANSFORM(RANGE(0, LEN(STRING_SPLIT(LOWER(TRIM(text)), ' ')) - 2), " +
+       "i -> ARRAY_TO_STRING(STRING_SPLIT(LOWER(TRIM(text)), ' ')[i+1:i+3], ' ')) " +
+       "ELSE [ARRAY_TO_STRING(STRING_SPLIT(LOWER(TRIM(text)), ' '), ' ')] END) AS sh " +
+       "FROM documents) " +
+       "SELECT a.doc_id AS a, b.doc_id AS b, " +
+       "ROUND(LEN(LIST_INTERSECT(a.sh, b.sh)) * 1.0 / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))), 4) AS jaccard " +
+       "FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id " +
+       "WHERE LEN(LIST_INTERSECT(a.sh, b.sh)) * 1.0 / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) >= 0.5 " +
        "ORDER BY a, b"),
     "dedup_ngram_jaccard" ->
       ("WITH sh AS MATERIALIZED (SELECT doc_id, lang, source, " +

@@ -267,6 +267,23 @@ object Scans {
         .orderBy("event_type")
     }),
 
+    // Compressed frame input (the `.i3.gz` analog — i3cols reads
+    // gz/bz2/zst archives transparently [public-repo:
+    // i3cols/extract.py]): the SAME extraction over a gzip-compressed
+    // copy of the fixture, decompressed inside the reader via Hadoop's
+    // CompressionCodecFactory (extension-resolved). Identical oracle to
+    // source_framed_extract — compression must be invisible to results.
+    "source_framed_extract_gz" -> ((s, dir) => {
+      val out = framedFixtureGz(s, dir)
+      s.read.format("graft.sources.FramedSource").load(out)
+        .groupBy("event_type")
+        .agg(big(count(lit(1))).as("n"),
+             dsum(col("value")).as("val_sum"),
+             big(sum(size(col("pulses")))).as("n_pulses"),
+             big(sum(aggregate(col("pulses"), lit(0L), (a, x) => a + x))).as("pulse_sum"))
+        .orderBy("event_type")
+    }),
+
     // Run discovery via the `_file` METADATA column (i3cols parses run
     // ids out of `.i3` file names; Spark-native, provenance lives
     // outside the data schema as a SupportsMetadataColumns column).
@@ -312,35 +329,7 @@ object Scans {
     // discovery, no footer probing at query time. The oracle proves
     // index-routed reads equal a plain filtered scan.
     "scan_categ_index_persisted" -> ((s, dir) => {
-      val out = scratch(dir, "categ_layout")
-      val idxPath = s"$out/_index"
-      categIndexMemo.getOrElseUpdate(
-        s"$out|${graft.Tables.fsSig(s, s"$dir/events.parquet")}", {
-          events(s, dir)
-            .select("event_id", "event_type", "value")
-            .repartition(col("event_type"))
-            .write.mode("overwrite").partitionBy("event_type").parquet(out)
-          // index build: one FS listing + footer row counts (metadata)
-          val conf = s.sparkContext.hadoopConfiguration
-          val root = new org.apache.hadoop.fs.Path(out)
-          val fs = root.getFileSystem(conf)
-          val rows = fs.listStatus(root).toSeq
-            .filter(st => st.isDirectory && st.getPath.getName.startsWith("event_type="))
-            .flatMap { catDir =>
-              val cat = catDir.getPath.getName.stripPrefix("event_type=")
-              fs.listStatus(catDir.getPath).toSeq
-                .filter(_.getPath.getName.endsWith(".parquet"))
-                .map { f =>
-                  val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf)
-                  val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-                  val n = try r.getRecordCount finally r.close()
-                  (cat, f.getPath.toString, n)
-                }
-            }
-          import s.implicits._
-          rows.toDF("category", "file", "n_rows")
-            .coalesce(1).write.mode("overwrite").parquet(idxPath)
-        })
+      val idxPath = categIndexBuild(s, dir)
       // probe: consult the persisted index, open ONLY matching files
       val wanted = Seq("click", "purchase")
       val index = s.read.parquet(idxPath)
@@ -363,6 +352,36 @@ object Scans {
       base.groupBy("event_type")
         .agg(big(count(lit(1))).as("n"), r2(sum(col("value"))).as("val_sum"))
         .orderBy("event_type")
+    }),
+
+    // Category index + per-file COLUMN STATS composed (VERDICT r4 #5,
+    // the Delta/Iceberg data-skipping shape): the persisted `_index`
+    // also records each file's event_id min/max (from parquet footers —
+    // metadata, zero data reads), and the layout is range-clustered on
+    // (event_type, event_id) so per-file id ranges are tight and
+    // disjoint WITHIN each category. A category + range probe then
+    // opens only the index-matching files — a strict subset of the
+    // category's files (CategIndexStatsSpec asserts it) — and the
+    // oracle proves the routed read equals the plain filtered scan.
+    "scan_categ_index_stats" -> ((s, dir) => {
+      val idxPath = categIndexBuild(s, dir)
+      val lo = 0L; val hi = 300L
+      val files = s.read.parquet(idxPath)
+        .where(col("category") === "click" &&
+               col("id_max") >= lo && col("id_min") <= hi)
+        .select("file")
+        .collect().map(_.getString(0)).toSeq
+      val base = if (files.isEmpty) {
+        // fully-pruned probe → typed empty result, not a read error
+        s.read.parquet(idxPath)
+          .select(lit(0L).as("event_id"), lit(0.0).as("value"))
+          .where(lit(false))
+      } else s.read.parquet(files: _*)
+      base.where(col("event_id").between(lo, hi))
+        .agg(big(count(lit(1))).as("n"),
+             big(min(col("event_id"))).as("id_lo"),
+             big(max(col("event_id"))).as("id_hi"),
+             r2(sum(col("value"))).as("val_sum"))
     }),
 
     // Z-order (Morton) clustering key: interleave 8-bit bucket ranks of
@@ -409,12 +428,25 @@ object Scans {
   private val framedMemo =
     scala.collection.concurrent.TrieMap.empty[String, Unit]
 
+  /** The fixture writer's shuffle-partition count — `source_framed_runs`'
+    * oracle derives its expected run count from THIS constant (not a
+    * duplicated literal; ADVICE r4), so writer and oracle cannot drift.
+    * A hash-empty partition (which would write no file) is statistically
+    * impossible at fixture row counts. */
+  val FramedFixtureParts = 8
+
   /** Write (once per JVM + source state) and return the framed
     * sequential fixture directory: executors serialize events into
     * length-prefixed frames — long/double/string keys plus the ragged
     * `pulses` array (n = event_id % 5, pulse[i] = epoch_us % 1e6 + i, a
     * closed form the oracles reproduce). Shared by the batch extract,
-    * the filtered probe, and the streaming tail. */
+    * the filtered probe, and the streaming tail. Tasks write to a
+    * task-attempt-suffixed temp file and RENAME on success, so a
+    * retried/speculative attempt can never interleave bytes with a
+    * zombie attempt on the same destination (ADVICE r4) — first rename
+    * wins, losers clean up. The session Hadoop conf travels to the
+    * executors (a `new Configuration()` there would drop `fs.*`
+    * session settings). */
   def framedFixture(s: org.apache.spark.sql.SparkSession, dir: String): String = {
     val out = scratch(dir, "framed_src")
     framedMemo.getOrElseUpdate(
@@ -425,17 +457,22 @@ object Scans {
         // empty shuffle partition
         val outP = new org.apache.hadoop.fs.Path(out)
         outP.getFileSystem(s.sparkContext.hadoopConfiguration).delete(outP, true)
+        val serConf = new graft.sources.SerializableHadoopConf(
+          s.sparkContext.hadoopConfiguration)
         val rows = events(s, dir)
           .select(col("event_id"), col("user_id"), col("event_type"),
                   col("value"), unix_micros(col("ts")).as("ts_us"))
-          .repartition(8, col("event_id"))
+          .repartition(FramedFixtureParts, col("event_id"))
         rows.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
           if (it.hasNext) {
-            val pid = org.apache.spark.TaskContext.getPartitionId()
-            val p = new org.apache.hadoop.fs.Path(s"$out/part-$pid.frames")
-            val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+            val tc = org.apache.spark.TaskContext.get()
+            val pid = tc.partitionId()
+            val dest = new org.apache.hadoop.fs.Path(s"$out/part-$pid.frames")
+            val tmp = new org.apache.hadoop.fs.Path(
+              s"$out/.part-$pid.frames.attempt-${tc.taskAttemptId()}")
+            val fs = dest.getFileSystem(serConf.value)
             val dos = new java.io.DataOutputStream(
-              new java.io.BufferedOutputStream(fs.create(p, true)))
+              new java.io.BufferedOutputStream(fs.create(tmp, true)))
             try it.foreach { r =>
               val eventId = r.getLong(0)
               val tsUs = r.getLong(4)
@@ -449,16 +486,116 @@ object Scans {
                 ("event_type", TagString, r.getString(2)),
                 ("pulses", TagLongArray, pulses)))
             } finally dos.close()
+            // commit: first attempt to rename wins; a loser (rename
+            // refused because dest exists) deletes its temp and defers
+            if (!fs.rename(tmp, dest)) {
+              fs.delete(tmp, false)
+              if (!fs.exists(dest))
+                throw new java.io.IOException(s"failed to commit $dest")
+            }
           }
         }
       })
     out
   }
 
+  /** Once-per-(JVM, source-state) guard for the gz-compressed framed
+    * fixture feeding `source_framed_extract_gz`. */
+  private val framedGzMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Unit]
+
+  /** Gzipped per-file copy of [[framedFixture]] (the `.i3.gz` analog): same
+    * frames, whole-file compressed, read back through the identical
+    * connector path — the codec is resolved from the file extension by
+    * Hadoop's CompressionCodecFactory inside the reader. Driver-side
+    * streaming copy: the fixture is small; a production archive is
+    * written compressed at the source. */
+  def framedFixtureGz(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val src = framedFixture(s, dir)
+    val out = scratch(dir, "framed_src_gz")
+    framedGzMemo.getOrElseUpdate(
+      s"$out|${graft.Tables.fsSig(s, s"$dir/events.parquet")}", {
+        val conf = s.sparkContext.hadoopConfiguration
+        val outP = new org.apache.hadoop.fs.Path(out)
+        val fs = outP.getFileSystem(conf)
+        fs.delete(outP, true)
+        fs.mkdirs(outP)
+        graft.sources.FramedSource.frameFiles(src, conf).foreach { f =>
+          val srcP = new org.apache.hadoop.fs.Path(f)
+          val dstP = new org.apache.hadoop.fs.Path(out, srcP.getName + ".gz")
+          val in = fs.open(srcP)
+          val o = new java.util.zip.GZIPOutputStream(fs.create(dstP, true))
+          try {
+            val buf = new Array[Byte](1 << 16)
+            var n = in.read(buf)
+            while (n >= 0) { if (n > 0) o.write(buf, 0, n); n = in.read(buf) }
+          } finally { in.close(); o.close() }
+        }
+      })
+    out
+  }
+
   /** Once-per-(JVM, source-state) guard for the category layout +
-    * persisted index feeding `scan_categ_index_persisted`. */
+    * persisted index feeding `scan_categ_index_persisted` and
+    * `scan_categ_index_stats`. */
   private val categIndexMemo =
     scala.collection.concurrent.TrieMap.empty[String, Unit]
+
+  /** Build (once per JVM + source state) the category-partitioned
+    * events layout plus its persisted `_index` parquet, and return the
+    * index path. The layout is range-clustered on (event_type,
+    * event_id) BEFORE the partitioned write, so each category dir holds
+    * several files with tight, disjoint event_id ranges — the layout
+    * that makes per-file column stats worth recording. The index rows
+    * are (category, file, n_rows, id_min, id_max), all read from
+    * parquet FOOTERS (metadata only, no data scan): row counts AND the
+    * event_id min/max per file, Delta-style column stats persisted
+    * with the table (VERDICT r4 #5). Files lacking stats keep an
+    * infinite range (can't prove non-overlap → never wrongly pruned). */
+  def categIndexBuild(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val out = scratch(dir, "categ_layout")
+    val idxPath = s"$out/_index"
+    categIndexMemo.getOrElseUpdate(
+      s"$out|${graft.Tables.fsSig(s, s"$dir/events.parquet")}", {
+        events(s, dir)
+          .select("event_id", "event_type", "value")
+          .repartitionByRange(16, col("event_type"), col("event_id"))
+          .write.mode("overwrite").partitionBy("event_type").parquet(out)
+        // index build: one FS listing + footer metadata per file
+        import scala.jdk.CollectionConverters._
+        val conf = s.sparkContext.hadoopConfiguration
+        val root = new org.apache.hadoop.fs.Path(out)
+        val fs = root.getFileSystem(conf)
+        val rows = fs.listStatus(root).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("event_type="))
+          .flatMap { catDir =>
+            val cat = catDir.getPath.getName.stripPrefix("event_type=")
+            fs.listStatus(catDir.getPath).toSeq
+              .filter(_.getPath.getName.endsWith(".parquet"))
+              .map { f =>
+                val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf)
+                val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+                try {
+                  val blocks = r.getFooter.getBlocks.asScala.toSeq
+                  val n = r.getRecordCount
+                  val stats = blocks.filter(_.getRowCount > 0)
+                    .map(_.getColumns.asScala.find(_.getPath.toDotString == "event_id")
+                           .map(_.getStatistics).orNull)
+                  val (mn, mx) =
+                    if (stats.isEmpty || stats.exists(x => x == null || !x.hasNonNullValue))
+                      (Long.MinValue, Long.MaxValue)
+                    else (stats.map(_.genericGetMin.asInstanceOf[Number].longValue).min,
+                          stats.map(_.genericGetMax.asInstanceOf[Number].longValue).max)
+                  (cat, f.getPath.toString, n, mn, mx)
+                } finally r.close()
+              }
+          }
+        import s.implicits._
+        rows.toDF("category", "file", "n_rows", "id_min", "id_max")
+          .coalesce(1).write.mode("overwrite").parquet(idxPath)
+      })
+    idxPath
+  }
 
   /** File-level (path, min, max) manifest for `keyCol`, read from the
     * parquet FOOTERS only — O(#files) metadata reads on the driver, no
@@ -529,12 +666,23 @@ object Scans {
        "CAST(SUM(np) AS BIGINT) AS n_pulses, " +
        "CAST(SUM(np * base + (np * (np - 1)) // 2) AS BIGINT) AS pulse_sum " +
        "FROM e GROUP BY event_type ORDER BY event_type"),
-    // 8 = the fixture's writer partition count; at fixture row counts a
+    // run count derived from the writer's partition-count constant
+    // (never a duplicated literal — ADVICE r4); at fixture row counts a
     // hash-empty partition is statistically impossible, and a missing
-    // file would surface here as n_runs < 8
+    // file would surface here as n_runs < the constant
     "source_framed_runs" ->
-      ("SELECT CAST(8 AS BIGINT) AS n_runs, CAST(COUNT(*) AS BIGINT) AS n_rows " +
-       "FROM events ORDER BY n_runs"),
+      (s"SELECT CAST($FramedFixtureParts AS BIGINT) AS n_runs, " +
+       "CAST(COUNT(*) AS BIGINT) AS n_rows FROM events ORDER BY n_runs"),
+    // compression must be invisible: identical oracle to the
+    // uncompressed extract
+    "source_framed_extract_gz" ->
+      ("WITH e AS (SELECT event_type, value, event_id % 5 AS np, " +
+       "epoch_us(ts) % 1000000 AS base FROM events) " +
+       "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
+       s"${dsumSql("value")} AS val_sum, " +
+       "CAST(SUM(np) AS BIGINT) AS n_pulses, " +
+       "CAST(SUM(np * base + (np * (np - 1)) // 2) AS BIGINT) AS pulse_sum " +
+       "FROM e GROUP BY event_type ORDER BY event_type"),
     "source_framed_filtered" ->
       ("SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n, " +
        s"${dsumSql("value")} AS val_sum FROM events " +
@@ -556,6 +704,12 @@ object Scans {
       ("SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS val_sum " +
        "FROM events WHERE event_type IN ('click', 'purchase') " +
        "GROUP BY event_type ORDER BY event_type"),
+    "scan_categ_index_stats" ->
+      ("SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
+       "CAST(MIN(event_id) AS BIGINT) AS id_lo, CAST(MAX(event_id) AS BIGINT) AS id_hi, " +
+       "ROUND(SUM(value), 2) AS val_sum " +
+       "FROM events WHERE event_type = 'click' AND event_id BETWEEN 0 AND 300 " +
+       "ORDER BY n"),
     "source_file_discovery" ->
       "SELECT 'events' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows FROM events ORDER BY table_name",
     "sink_csv_roundtrip" ->

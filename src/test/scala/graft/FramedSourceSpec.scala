@@ -171,4 +171,207 @@ class FramedSourceSpec extends SparkSpec {
     val scanned = spark.read.format("graft.sources.FramedSource").load(fixtureDir)
     assert(scanned.rdd.getNumPartitions == n)
   }
+
+  test("Trigger.AvailableNow drains natively in multiple bounded micro-batches, exactly once") {
+    import graft.sources.FramedFormat._
+    val dir = java.nio.file.Files.createTempDirectory("graft_framed_an").toString
+    def writeFile(name: String, ids: Range): Unit = {
+      val dos = new java.io.DataOutputStream(new java.io.FileOutputStream(s"$dir/$name"))
+      try ids.foreach(i => writeFrame(dos, Seq(("event_id", TagLong, i.toLong))))
+      finally dos.close()
+    }
+    (0 until 4).foreach(k => writeFile(s"f$k.frames", k * 10 until (k + 1) * 10))
+    val out = java.nio.file.Files.createTempDirectory("graft_framed_an_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_framed_an_ckpt").toString
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft.sources.FramedSource")
+        .option("maxFilesPerTrigger", "1").load(dir)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(60000), "AvailableNow drain did not finish")
+    }
+    runOnce()
+    // one offset entry per micro-batch: the 4-file dir under
+    // maxFilesPerTrigger=1 must take 4 batches, NOT the single-batch
+    // fallback the engine uses for sources without native support
+    val batches = new java.io.File(s"$ckpt/offsets").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(batches >= 4, s"expected >=4 bounded micro-batches, got $batches")
+    assert(spark.read.parquet(out).count() == 40)
+    // a file landing after the drain is picked up by the NEXT run only,
+    // exactly once
+    writeFile("f4.frames", 40 until 55)
+    runOnce()
+    val all = spark.read.parquet(out)
+    assert(all.count() == 55)
+    assert(all.select("event_id").distinct().count() == 55)
+  }
+
+  test("mid-drain restart with an uncommitted batch re-runs it without duplicates") {
+    import graft.sources.FramedFormat._
+    val dir = java.nio.file.Files.createTempDirectory("graft_framed_rs").toString
+    (0 until 3).foreach { k =>
+      val dos = new java.io.DataOutputStream(new java.io.FileOutputStream(s"$dir/f$k.frames"))
+      try (k * 10 until (k + 1) * 10).foreach(i =>
+        writeFrame(dos, Seq(("event_id", TagLong, i.toLong))))
+      finally dos.close()
+    }
+    val out = java.nio.file.Files.createTempDirectory("graft_framed_rs_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_framed_rs_ckpt").toString
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft.sources.FramedSource")
+        .option("maxFilesPerTrigger", "1").load(dir)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(60000))
+    }
+    runOnce()
+    assert(spark.read.parquet(out).count() == 30)
+    // simulate a crash between offset write and commit: drop the last
+    // commit marker so batch N is planned-but-uncommitted on restart —
+    // exactly the edge the engine's single-batch fallback warns about
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    val lastCrc = new java.io.File(s"$ckpt/commits/.${commits.last.getName}.crc")
+    assert(commits.last.delete())
+    if (lastCrc.exists()) assert(lastCrc.delete())
+    runOnce()
+    val all = spark.read.parquet(out)
+    assert(all.count() == 30, "re-run of the uncommitted batch must not duplicate rows")
+    assert(all.select("event_id").distinct().count() == 30)
+  }
+
+  test("gz-compressed frame files decode identically through the connector") {
+    import graft.sources.FramedFormat._
+    val dir = java.nio.file.Files.createTempDirectory("graft_framed_gz").toString
+    def frames(n: Int): Seq[Seq[(String, Byte, Any)]] =
+      (0 until n).map(i => Seq(
+        ("event_id", TagLong, i.toLong),
+        ("score", TagDouble, i * 0.5),
+        ("kind", TagString, s"k${i % 3}"),
+        ("pulses", TagLongArray, Array.tabulate(i % 4)(_.toLong))))
+    val raw = new java.io.DataOutputStream(new java.io.FileOutputStream(s"$dir/a.frames"))
+    try frames(20).foreach(writeFrame(raw, _)) finally raw.close()
+    val gz = new java.io.DataOutputStream(new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(s"$dir/b.frames.gz")))
+    try frames(20).foreach(writeFrame(gz, _)) finally gz.close()
+    // listing accepts both; 2 files → 2 partitions → both decoded
+    assert(FramedSource.frameFiles(dir).size == 2)
+    val back = spark.read.format("graft.sources.FramedSource").load(dir)
+    assert(back.count() == 40)
+    // every row appears exactly twice (once per file) — the gz copy is
+    // byte-identical after decode
+    val dup = back.groupBy("event_id", "score", "kind", "pulses").count()
+    assert(dup.where(col("count") =!= 2).isEmpty, "gz decode diverged from raw")
+    // corrupt-input contract holds through the codec: torn frame in gz
+    val torn = new java.io.DataOutputStream(new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(s"$dir/torn.frames.gz")))
+    try { writeFrame(torn, Seq(("event_id", TagLong, 1L))); torn.writeInt(64); torn.writeInt(2) }
+    finally torn.close()
+    val req = StructType(Seq(StructField("event_id", LongType, nullable = false)))
+    val r = new graft.sources.FramedReader(s"$dir/torn.frames.gz", req, Nil)
+    try intercept[java.io.EOFException] { while (r.next()) () } finally r.close()
+  }
+
+  test("session hadoop conf reaches the scan and survives serialization to readers") {
+    spark.sparkContext.hadoopConfiguration.set("graft.test.marker", "visible")
+    try {
+      val df = spark.read.format("graft.sources.FramedSource").load(fixtureDir)
+        .select("event_id")
+      val scan = df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+      }.head.asInstanceOf[graft.sources.FramedScan]
+      assert(scan.conf.value.get("graft.test.marker") == "visible",
+        "session conf key not captured at scan build")
+      // the reader factory ships the conf through java serialization
+      val bytes = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bytes)
+      oos.writeObject(scan.createReaderFactory()); oos.close()
+      val back = new java.io.ObjectInputStream(
+        new java.io.ByteArrayInputStream(bytes.toByteArray))
+        .readObject().asInstanceOf[graft.sources.FramedReaderFactory]
+      assert(back.conf.value.get("graft.test.marker") == "visible",
+        "conf key lost in serialization to the executor side")
+    } finally spark.sparkContext.hadoopConfiguration.unset("graft.test.marker")
+  }
+
+  test("fractional comparison values on long keys are rejected at admission and safe in eval") {
+    import org.apache.spark.sql.sources._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType, nullable = false),
+      StructField("value", DoubleType, nullable = false),
+      StructField("event_type", StringType, nullable = false)))
+    // ADVICE r4: LessThan(k, 3.5) via longValue truncation would
+    // evaluate k < 3 and unrecoverably drop k = 3
+    assert(!graft.sources.FramedFilters.supported(LessThan("event_id", 3.5), schema))
+    assert(!graft.sources.FramedFilters.supported(EqualTo("event_id", 3.5f), schema))
+    assert(graft.sources.FramedFilters.supported(LessThan("event_id", 3L), schema))
+    assert(graft.sources.FramedFilters.supported(LessThan("event_id", 3), schema))
+    assert(graft.sources.FramedFilters.supported(LessThan("value", 3), schema))
+    assert(graft.sources.FramedFilters.supported(EqualTo("event_type", "x"), schema))
+    assert(!graft.sources.FramedFilters.supported(EqualTo("event_type", 1L), schema))
+    assert(!graft.sources.FramedFilters.supported(EqualTo("nosuch", 1L), schema))
+    assert(!graft.sources.FramedFilters.supported(EqualTo("event_id", null), schema))
+    // the public eval surface compares exactly even when handed a
+    // fractional value: k = 3 satisfies k < 3.5
+    assert(graft.sources.FramedFilters.eval(LessThan("event_id", 3.5), Map("event_id" -> 3L)))
+    assert(!graft.sources.FramedFilters.eval(LessThan("event_id", 3.0), Map("event_id" -> 3L)))
+    assert(graft.sources.FramedFilters.eval(GreaterThan("event_id", 2.5), Map("event_id" -> 3L)))
+  }
+
+  test("torn write inside a SKIPPED payload fails loudly — pruning never hides truncation") {
+    import graft.sources.FramedFormat._
+    val dir = java.nio.file.Files.createTempDirectory("graft_framed_skip")
+    val f = dir.resolve("skip_torn.frames").toString
+    val dos = new java.io.DataOutputStream(new java.io.FileOutputStream(f))
+    try {
+      writeFrame(dos, Seq(("event_id", TagLong, 1L), ("blob", TagString, "full payload")))
+      // second frame: blob declares 100 bytes but the file ends after 4;
+      // bodyLen is consistent with the DECLARED length so the checked
+      // skip (not length validation) is what trips
+      val name = "blob".getBytes("UTF-8")
+      dos.writeInt(4 + 2 + name.length + 1 + 4 + 100)
+      dos.writeInt(1)
+      dos.writeShort(name.length); dos.write(name); dos.writeByte(TagString)
+      dos.writeInt(100); dos.write("oops".getBytes("UTF-8"))
+    } finally dos.close()
+    // required schema EXCLUDES blob → its payload takes the skip path
+    val req = StructType(Seq(StructField("event_id", LongType, nullable = false)))
+    val r = new graft.sources.FramedReader(f, req, Nil)
+    // ADVICE r4: an unchecked skipBytes would surface this as a clean
+    // EOF after one good row — silent truncation
+    try {
+      val e = intercept[java.io.EOFException] { while (r.next()) () }
+      assert(e.getMessage.contains("truncated frame") && e.getMessage.contains(f), e.getMessage)
+    } finally r.close()
+  }
+
+  test("corrupt array count cannot overflow the skip into misaligned garbage") {
+    import graft.sources.FramedFormat._
+    val dir = java.nio.file.Files.createTempDirectory("graft_framed_ovf")
+    val f = dir.resolve("overflow.frames").toString
+    val dos = new java.io.DataOutputStream(new java.io.FileOutputStream(f))
+    try {
+      writeFrame(dos, Seq(("event_id", TagLong, 1L), ("arr", TagLongArray, Array(1L, 2L))))
+      // corrupt count 0x30000000: n * 8 overflows Int to a negative
+      // no-op skip in unchecked arithmetic, silently misaligning the
+      // parse; checked n.toLong * 8 vs bodyLen must throw instead
+      val name = "arr".getBytes("UTF-8")
+      dos.writeInt(4 + 2 + name.length + 1 + 4 + 16)
+      dos.writeInt(1)
+      dos.writeShort(name.length); dos.write(name); dos.writeByte(TagLongArray)
+      dos.writeInt(0x30000000)
+      dos.writeLong(1L); dos.writeLong(2L)
+    } finally dos.close()
+    val req = StructType(Seq(StructField("event_id", LongType, nullable = false)))
+    val r = new graft.sources.FramedReader(f, req, Nil)
+    try {
+      val e = intercept[IllegalStateException] { while (r.next()) () }
+      assert(e.getMessage.contains("corrupt frame") && e.getMessage.contains("array"), e.getMessage)
+    } finally r.close()
+  }
 }

@@ -253,6 +253,11 @@ class PlanAuditSpec extends SparkSpec {
       assert(p.contains("Generate explode"), s"$q: no posting explode\n$p")
       assert("Join \\[lang#\\d+, source#\\d+, g#\\d+".r.findFirstIn(p).isDefined,
         s"$q: candidate join not keyed on the shingle posting\n$p")
+      // VERDICT r4 #1: the df cap is ACTIVE in the audited plan — stop
+      // shingles (df > MaxShingleDf) are dropped via a broadcast
+      // anti-join before the pair join, bounding posting-list skew
+      assert(p.contains("LeftAnti"),
+        s"$q: stop-shingle anti-join missing — posting skew unbounded\n$p")
       // the block-summary LeftOuter join on (lang, source) is fine
       // (block-count rows, not docs); the quadratic shape is an INNER
       // self-join of the doc projection on the block keys alone
