@@ -267,6 +267,29 @@ object Scans {
         .orderBy("event_type")
     }),
 
+    // Framed WRITE path (the R5 "save" story for the sequential
+    // format): encode typed columns — ragged array included — into
+    // length-prefixed frames through the DSv2 write path (two-phase
+    // task commit: temp file per attempt, driver-side rename), then
+    // read the files back through the same connector. The oracle
+    // closes the write→read loop against the ORIGINAL events table.
+    "sink_framed_roundtrip" -> ((s, dir) => {
+      val out = scratch(dir, "framed_sink")
+      events(s, dir).select(
+          col("event_id"), col("event_type"), col("value"),
+          when(col("event_id") % 5 === 0, array().cast("array<bigint>"))
+            .otherwise(transform(sequence(lit(1L), col("event_id") % 5),
+              i => unix_micros(col("ts")) % 1000000L + i - 1)).as("pulses"))
+        .write.format("graft.sources.FramedSource").mode("overwrite").save(out)
+      s.read.format("graft.sources.FramedSource").load(out)
+        .groupBy("event_type")
+        .agg(big(count(lit(1))).as("n"),
+             dsum(col("value")).as("val_sum"),
+             big(sum(size(col("pulses")))).as("n_pulses"),
+             big(sum(aggregate(col("pulses"), lit(0L), (a, x) => a + x))).as("pulse_sum"))
+        .orderBy("event_type")
+    }),
+
     // Compressed frame input (the `.i3.gz` analog — i3cols reads
     // gz/bz2/zst archives transparently [public-repo:
     // i3cols/extract.py]): the SAME extraction over a gzip-compressed
@@ -673,6 +696,16 @@ object Scans {
     "source_framed_runs" ->
       (s"SELECT CAST($FramedFixtureParts AS BIGINT) AS n_runs, " +
        "CAST(COUNT(*) AS BIGINT) AS n_rows FROM events ORDER BY n_runs"),
+    // write→read roundtrip must be lossless: same closed form as the
+    // extract oracle
+    "sink_framed_roundtrip" ->
+      ("WITH e AS (SELECT event_type, value, event_id % 5 AS np, " +
+       "epoch_us(ts) % 1000000 AS base FROM events) " +
+       "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
+       s"${dsumSql("value")} AS val_sum, " +
+       "CAST(SUM(np) AS BIGINT) AS n_pulses, " +
+       "CAST(SUM(np * base + (np * (np - 1)) // 2) AS BIGINT) AS pulse_sum " +
+       "FROM e GROUP BY event_type ORDER BY event_type"),
     // compression must be invisible: identical oracle to the
     // uncompressed extract
     "source_framed_extract_gz" ->

@@ -171,9 +171,16 @@ object FramedSource {
   }
 
   /** Schema discovery = read ONE frame's key directory (the G-frame
-    * analog): name + type tag per key, in frame order. */
+    * analog): name + type tag per key, in frame order. A missing
+    * directory yields the EMPTY schema instead of an error: that is
+    * the write-target case (`df.write...save(dir)` infers before the
+    * first byte exists; the write schema comes from the query). An
+    * existing directory with no frame files still errors — that is a
+    * user pointing a READ at the wrong place. */
   def infer(dir: String,
             conf: Configuration = sessionHadoopConf()): StructType = {
+    val dirP = new Path(dir)
+    if (!dirP.getFileSystem(conf).exists(dirP)) return StructType(Nil)
     val files = frameFiles(dir, conf)
     require(files.nonEmpty, s"no .frames files under $dir")
     val in = openFrames(files.head, conf)
@@ -207,13 +214,19 @@ object FramedSource {
   * projection and aggregation without living in the data schema. */
 case class FramedTable(tableSchema: StructType, path: String)
     extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def schema(): StructType = tableSchema
   override def name(): String = s"framed($path)"
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new FramedScanBuilder(schema, FramedSource.pathOf(options), options)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo):
+      org.apache.spark.sql.connector.write.WriteBuilder =
+    new FramedWriteBuilder(info, path)
   override def metadataColumns():
       Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
     Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
@@ -589,4 +602,140 @@ class FramedReader(file: String, required: StructType,
 
   override def get(): InternalRow = row
   override def close(): Unit = in.close()
+}
+
+/** DSv2 WRITE path — the i3cols R5 "save" story for the framed format:
+  * `df.write.format("graft.sources.FramedSource").mode("append"|
+  * "overwrite").save(dir)`. Two-phase commit, engine-coordinated:
+  * each task writes a dot-prefixed temp file (invisible to
+  * [[FramedSource.frameFiles]], whose listing keeps only `*.frames`)
+  * and reports it in its commit message; the driver's `commit` renames
+  * every temp to its final name AFTER all tasks succeed (truncating
+  * the prior file set first in overwrite mode), and `abort` deletes
+  * the temps — a failed or speculative attempt can never leave a
+  * half-written `.frames` file visible. Final names carry the query id
+  * (a UUID), so concurrent/successive appends cannot collide. */
+class FramedWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo,
+                         path: String)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var truncateOnCommit = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    truncateOnCommit = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write = {
+    val schema = info.schema()
+    schema.fields.foreach { f =>
+      require(FramedWrite.tagOf(f.dataType).isDefined,
+        s"FramedSource cannot encode column ${f.name}: ${f.dataType.simpleString} " +
+        "(supported: bigint, double, string, array<bigint>)")
+    }
+    FramedWrite(schema, path, info.queryId(), truncateOnCommit,
+      new SerializableHadoopConf(FramedSource.sessionHadoopConf()))
+  }
+}
+
+object FramedWrite {
+  def tagOf(dt: DataType): Option[Byte] = dt match {
+    case LongType => Some(FramedFormat.TagLong)
+    case DoubleType => Some(FramedFormat.TagDouble)
+    case StringType => Some(FramedFormat.TagString)
+    case ArrayType(LongType, _) => Some(FramedFormat.TagLongArray)
+    case _ => None
+  }
+}
+
+case class FramedCommitMessage(tmpPath: String, finalName: String)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+case class FramedWrite(schema: StructType, path: String, queryId: String,
+                       truncate: Boolean, conf: SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.write.Write
+    with org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+
+  override def toBatch: BatchWrite = this
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    FramedWriterFactory(schema, path, queryId, conf)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf.value)
+    if (truncate)
+      FramedSource.frameFiles(path, conf.value)
+        .foreach(f => fs.delete(new Path(f), false))
+    messages.foreach {
+      case FramedCommitMessage(tmp, finalName) =>
+        val t = new Path(tmp)
+        val dest = new Path(root, finalName)
+        if (!fs.rename(t, dest))
+          throw new java.io.IOException(s"framed write commit: rename $t -> $dest failed")
+      case _ => // empty partition: nothing written
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(conf.value)
+    messages.foreach {
+      case FramedCommitMessage(tmp, _) => fs.delete(new Path(tmp), false)
+      case _ =>
+    }
+  }
+}
+
+case class FramedWriterFactory(schema: StructType, path: String, queryId: String,
+                               conf: SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long):
+      org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new FramedDataWriter(schema, path, queryId, partitionId, taskId, conf.value)
+}
+
+/** Task-side frame encoder: rows stream straight into the temp file
+  * (no buffering of the partition); empty partitions commit nothing.
+  * The temp name carries the task id, which is unique per ATTEMPT —
+  * two attempts of the same partition write disjoint temps, and only
+  * the one whose commit message reaches the driver gets renamed. */
+class FramedDataWriter(schema: StructType, path: String, queryId: String,
+                       partitionId: Int, taskId: Long, hadoopConf: Configuration)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  private val tmp = new Path(path, s".part-$queryId-$partitionId.frames.tmp-$taskId")
+  private val finalName = s"part-$queryId-$partitionId.frames"
+  private val fs = tmp.getFileSystem(hadoopConf)
+  private var out: DataOutputStream = _
+  private var wrote = false
+  private val fields = schema.fields.map(f => (f.name, FramedWrite.tagOf(f.dataType).get))
+
+  override def write(record: InternalRow): Unit = {
+    if (out == null) {
+      // parent may not exist yet (fresh write target)
+      fs.mkdirs(new Path(path))
+      out = new DataOutputStream(new java.io.BufferedOutputStream(fs.create(tmp, true)))
+      wrote = true
+    }
+    val keys = fields.zipWithIndex.map { case ((name, tag), i) =>
+      val v: Any = tag match {
+        case FramedFormat.TagLong => record.getLong(i)
+        case FramedFormat.TagDouble => record.getDouble(i)
+        case FramedFormat.TagString => record.getUTF8String(i).toString
+        case FramedFormat.TagLongArray => record.getArray(i).toLongArray()
+      }
+      (name, tag, v)
+    }.toSeq
+    FramedFormat.writeFrame(out, keys)
+  }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    if (out != null) out.close()
+    if (wrote) FramedCommitMessage(tmp.toString, finalName)
+    else new org.apache.spark.sql.connector.write.WriterCommitMessage {}
+  }
+
+  override def abort(): Unit = {
+    if (out != null) out.close()
+    fs.delete(tmp, false)
+  }
+
+  override def close(): Unit = ()
 }

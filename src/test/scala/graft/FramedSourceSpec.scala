@@ -350,6 +350,40 @@ class FramedSourceSpec extends SparkSpec {
     } finally r.close()
   }
 
+  test("DSv2 write path: append/overwrite semantics, lossless roundtrip, no temp residue") {
+    val dir = s"${java.nio.file.Files.createTempDirectory("graft_framed_w")}/table"
+    val df = spark.range(0, 100).select(
+      col("id").as("event_id"),
+      concat(lit("k"), col("id") % 3).as("kind"),
+      (col("id") * 0.5).as("score"),
+      transform(sequence(lit(0L), col("id") % 4), i => i * 2).as("pulses"))
+    df.write.format("graft.sources.FramedSource").mode("overwrite").save(dir)
+    val back = spark.read.format("graft.sources.FramedSource").load(dir)
+    assert(back.columns.toSeq == Seq("event_id", "kind", "score", "pulses"))
+    assertSameRows(
+      back.withColumn("pulses", col("pulses").cast("string")),
+      df.withColumn("pulses", col("pulses").cast("string")),
+      "framed write roundtrip")
+    // append adds, overwrite truncates back to one copy
+    df.write.format("graft.sources.FramedSource").mode("append").save(dir)
+    assert(spark.read.format("graft.sources.FramedSource").load(dir).count() == 200)
+    df.write.format("graft.sources.FramedSource").mode("overwrite").save(dir)
+    assert(spark.read.format("graft.sources.FramedSource").load(dir).count() == 100)
+    // two-phase commit leaves no temp files behind: only *.frames and
+    // their local-FS ChecksumFileSystem companions (.<name>.crc)
+    val residue = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(n => n.endsWith(".frames") || n.endsWith(".crc"))
+    assert(residue.isEmpty, s"non-frame residue: ${residue.mkString(",")}")
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.contains(".tmp-")),
+      "uncommitted temp file left behind")
+    // unencodable column types are rejected loudly at write build
+    val bad = spark.range(3).select(col("id").cast("int").as("i"))
+    val e = intercept[Exception] {
+      bad.write.format("graft.sources.FramedSource").mode("append").save(dir)
+    }
+    assert(e.getMessage.contains("cannot encode"), e.getMessage)
+  }
+
   test("corrupt array count cannot overflow the skip into misaligned garbage") {
     import graft.sources.FramedFormat._
     val dir = java.nio.file.Files.createTempDirectory("graft_framed_ovf")
