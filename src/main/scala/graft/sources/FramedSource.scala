@@ -149,14 +149,21 @@ object FramedSource {
     }
 
   def frameFiles(dir: String,
-                 conf: Configuration = sessionHadoopConf()): Seq[String] = {
+                 conf: Configuration = sessionHadoopConf()): Seq[String] =
+    frameFileStatuses(dir, conf).map(_._1)
+
+  /** (path, byte length) per frame file, name-sorted — the lengths
+    * feed partition packing (for compressed files the length is the
+    * on-disk compressed size, the same proxy Spark's own file sources
+    * pack by). */
+  def frameFileStatuses(dir: String, conf: Configuration): Seq[(String, Long)] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(conf)
     val factory = new CompressionCodecFactory(conf)
     fs.listStatus(p).toSeq
       .filter(st => isFrameFile(st.getPath.getName, factory))
       .sortBy(_.getPath.getName)
-      .map(_.getPath.toString)
+      .map(st => (st.getPath.toString, st.getLen))
   }
 
   /** Open one frame file for reading, decompressing through the codec
@@ -270,9 +277,18 @@ class FramedScanBuilder(full: StructType, path: String,
         n
       }
     }
+    val targetPartitionBytes = {
+      val v = options.get("targetPartitionBytes")
+      if (v == null) 0L
+      else {
+        val n = v.toLong
+        require(n > 0, s"targetPartitionBytes must be positive, got $n")
+        n
+      }
+    }
     FramedScan(full, required, path, pushed.toSeq,
       new SerializableHadoopConf(FramedSource.sessionHadoopConf()),
-      maxFilesPerTrigger)
+      maxFilesPerTrigger, targetPartitionBytes)
   }
 }
 
@@ -358,16 +374,47 @@ object FramedFilters {
 case class FramedScan(full: StructType, required: StructType, path: String,
                       pushed: Seq[org.apache.spark.sql.sources.Filter],
                       conf: SerializableHadoopConf,
-                      maxFilesPerTrigger: Int = Int.MaxValue)
+                      maxFilesPerTrigger: Int = Int.MaxValue,
+                      targetPartitionBytes: Long = 0L)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"FramedScan path=$path, ReadSchema: ${required.simpleString}, " +
     s"PushedFilters: [${pushed.mkString(", ")}]"
-  override def planInputPartitions(): Array[InputPartition] =
-    FramedSource.frameFiles(path, conf.value)
-      .map(f => FramedPartition(f): InputPartition).toArray
+
+  /** Default: one partition per file (the writer owns split sizing —
+    * the format's contract). `targetPartitionBytes` opts into greedy
+    * bin-packing of name-adjacent files for the many-tiny-files
+    * directory (a DAQ emitting one small file per run would otherwise
+    * cost one task per file — 10⁶ files is 10⁶ task launches): files
+    * accumulate into a composite partition until the target is
+    * exceeded, with a per-file open cost so a partition never packs
+    * unboundedly many zero-length files — the same packing model as
+    * Spark's own FilePartition/maxPartitionBytes/openCostInBytes. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val statuses = FramedSource.frameFileStatuses(path, conf.value)
+    if (targetPartitionBytes <= 0L)
+      statuses.map(s => FramedPartition(Seq(s._1)): InputPartition).toArray
+    else {
+      val openCost = 4L * 1024 * 1024
+      val parts = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+      var cur = scala.collection.mutable.ArrayBuffer.empty[String]
+      var curBytes = 0L
+      statuses.foreach { case (f, len) =>
+        val sz = len + openCost
+        if (cur.nonEmpty && curBytes + sz > targetPartitionBytes) {
+          parts += FramedPartition(cur.toSeq)
+          cur = scala.collection.mutable.ArrayBuffer.empty[String]
+          curBytes = 0L
+        }
+        cur += f
+        curBytes += sz
+      }
+      if (cur.nonEmpty) parts += FramedPartition(cur.toSeq)
+      parts.toArray
+    }
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     FramedReaderFactory(full, required, pushed, conf)
   override def toMicroBatchStream(checkpointLocation: String):
@@ -468,22 +515,25 @@ class FramedMicroBatchStream(full: StructType, required: StructType,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[FileSetOffset].files
     val e = end.asInstanceOf[FileSetOffset].files
+    // streaming stays one partition per file: the batch is already
+    // bounded by maxFilesPerTrigger, and per-file partitions keep the
+    // landing parallel within the batch
     (e -- s).toSeq.sorted
-      .map(f => FramedPartition(f): InputPartition).toArray
+      .map(f => FramedPartition(Seq(f)): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     FramedReaderFactory(full, required, pushed, conf)
 }
 
-case class FramedPartition(file: String) extends InputPartition
+case class FramedPartition(files: Seq[String]) extends InputPartition
 
 case class FramedReaderFactory(full: StructType, required: StructType,
                                pushed: Seq[org.apache.spark.sql.sources.Filter],
                                conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new FramedReader(partition.asInstanceOf[FramedPartition].file, required, pushed,
+    new FramedReader(partition.asInstanceOf[FramedPartition].files, required, pushed,
       conf.value)
 }
 
@@ -510,7 +560,8 @@ object FramedReader {
   }
 }
 
-/** Streams frames out of one file: per frame, walks the key directory,
+/** Streams frames out of one or more files (a packed partition reads
+  * its files sequentially): per frame, walks the key directory,
   * decodes required keys into their output ordinals, skips past
   * everything else with CHECKED skips, and drops the frame before
   * materializing a row if any pushed filter fails (filter columns are
@@ -518,19 +569,41 @@ object FramedReader {
   * keeps its columns in the required schema). Every variable-length
   * count is validated against the frame's declared body length before
   * use — a corrupt length can neither overflow (`n.toLong * 8`) nor
-  * misalign the parse into garbage rows. */
-class FramedReader(file: String, required: StructType,
+  * misalign the parse into garbage rows. The EOF that advances to the
+  * next file is ONLY the clean one at a frame boundary; a torn frame
+  * mid-file still fails loudly. */
+class FramedReader(files: Seq[String], required: StructType,
                    pushed: Seq[org.apache.spark.sql.sources.Filter],
                    hadoopConf: Configuration = FramedSource.sessionHadoopConf())
     extends PartitionReader[InternalRow] {
+  def this(file: String, required: StructType,
+           pushed: Seq[org.apache.spark.sql.sources.Filter]) =
+    this(Seq(file), required, pushed)
+
   private val ordinals: Map[String, Int] =
     required.fieldNames.zipWithIndex.toMap
-  // `_file` metadata column: constant per partition, filled post-parse
+  // `_file` metadata column: constant per FILE, filled post-parse
   private val fileOrd: Int = ordinals.getOrElse("_file", -1)
-  private val fileUtf8 = UTF8String.fromString(file)
   private val filterAttrs: Set[String] = pushed.flatMap(_.references).toSet
-  private val in = FramedSource.openFrames(file, hadoopConf)
+  private var fileIdx = -1
+  private var file: String = _
+  private var fileUtf8: UTF8String = _
+  private var in: DataInputStream = _
   private var row: InternalRow = _
+
+  /** Close the current stream and open the next file; false when the
+    * partition is exhausted. */
+  private def advanceFile(): Boolean = {
+    if (in != null) { in.close(); in = null }
+    fileIdx += 1
+    if (fileIdx >= files.length) false
+    else {
+      file = files(fileIdx)
+      fileUtf8 = UTF8String.fromString(file)
+      in = FramedSource.openFrames(file, hadoopConf)
+      true
+    }
+  }
 
   private def checkLen(len: Long, what: String, bodyLen: Int): Unit =
     if (len < 0 || len > bodyLen)
@@ -538,10 +611,18 @@ class FramedReader(file: String, required: StructType,
         s"corrupt frame ($what length $len exceeds body $bodyLen) in $file")
 
   override def next(): Boolean = {
+    if (in == null && !advanceFile()) return false
     while (true) {
       val bodyLen =
         try in.readInt()
-        catch { case _: EOFException => return false }
+        catch { case _: EOFException =>
+          // clean end of this file's frame stream → next file (if any)
+          if (!advanceFile()) return false
+          else {
+            val r = next()
+            return r
+          }
+        }
       require(bodyLen >= 4, s"corrupt frame (bodyLen=$bodyLen) in $file")
       val nKeys = in.readInt()
       checkLen(nKeys.toLong, "key count", bodyLen)
@@ -601,7 +682,7 @@ class FramedReader(file: String, required: StructType,
   }
 
   override def get(): InternalRow = row
-  override def close(): Unit = in.close()
+  override def close(): Unit = if (in != null) in.close()
 }
 
 /** DSv2 WRITE path — the i3cols R5 "save" story for the framed format:

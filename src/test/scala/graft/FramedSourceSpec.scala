@@ -350,6 +350,32 @@ class FramedSourceSpec extends SparkSpec {
     } finally r.close()
   }
 
+  test("targetPartitionBytes packs many small files into composite partitions, losslessly") {
+    import graft.sources.FramedFormat._
+    val dir = java.nio.file.Files.createTempDirectory("graft_framed_pack").toString
+    (0 until 6).foreach { k =>
+      val dos = new java.io.DataOutputStream(new java.io.FileOutputStream(s"$dir/f$k.frames"))
+      try (k * 10 until (k + 1) * 10).foreach(i =>
+        writeFrame(dos, Seq(("event_id", TagLong, i.toLong))))
+      finally dos.close()
+    }
+    // default: writer owns split sizing → one partition per file
+    val perFile = spark.read.format("graft.sources.FramedSource").load(dir)
+    assert(perFile.rdd.getNumPartitions == 6)
+    // packed: 6 tiny files + 4 MB open cost each under a 16 MB target
+    // → ceil(6 × 4 MB / 16 MB) = 2 composite partitions
+    val packed = spark.read.format("graft.sources.FramedSource")
+      .option("targetPartitionBytes", (16L * 1024 * 1024).toString).load(dir)
+    assert(packed.rdd.getNumPartitions == 2, s"got ${packed.rdd.getNumPartitions}")
+    // no row lost or duplicated across the file boundary inside a partition
+    assert(packed.count() == 60)
+    assert(packed.select("event_id").distinct().count() == 60)
+    // `_file` provenance stays per FILE, not per partition
+    assert(packed.select(col("_file")).distinct().count() == 6)
+    // pushdown still sheds inside every packed file
+    assert(packed.where(col("event_id") < 15L).count() == 15)
+  }
+
   test("DSv2 write path: append/overwrite semantics, lossless roundtrip, no temp residue") {
     val dir = s"${java.nio.file.Files.createTempDirectory("graft_framed_w")}/table"
     val df = spark.range(0, 100).select(

@@ -267,6 +267,15 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("dedup_allpairs_prefix joins on the posted shingle prefix, never all-pairs") {
+    val p = plan("dedup_allpairs_prefix")
+    // candidates come from the prefix-posting equi-join (keyed on g);
+    // verification joins arrays back by doc id — no cartesian anywhere
+    assert("Join \\[lang#\\d+, source#\\d+, g#\\d+".r.findFirstIn(p).isDefined,
+      s"candidate join not keyed on the posted shingle\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("whole-stage codegen covers the hot paths of the flagship aggregate") {
     // AQE finalizes stages only at execution; run the query, then check
     // the final adaptive plan for codegen stage markers (`*(n)`)
