@@ -227,7 +227,8 @@ case class FramedTable(tableSchema: StructType, path: String)
   override def name(): String = s"framed($path)"
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new FramedScanBuilder(schema, FramedSource.pathOf(options), options)
   override def newWriteBuilder(
@@ -732,26 +733,59 @@ case class FramedCommitMessage(tmpPath: String, finalName: String)
 case class FramedWrite(schema: StructType, path: String, queryId: String,
                        truncate: Boolean, conf: SerializableHadoopConf)
     extends org.apache.spark.sql.connector.write.Write
-    with org.apache.spark.sql.connector.write.BatchWrite {
+    with org.apache.spark.sql.connector.write.BatchWrite
+    with org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write._
 
   override def toBatch: BatchWrite = this
+  override def toStreaming: streaming.StreamingWrite = this
+
+  // both parent traits default this true; Scala requires an explicit
+  // arbiter when two default methods collide
+  override def useCommitCoordinator(): Boolean = true
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     FramedWriterFactory(schema, path, queryId, conf)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val root = new Path(path)
-    val fs = root.getFileSystem(conf.value)
+    val fs = new Path(path).getFileSystem(conf.value)
     if (truncate)
       FramedSource.frameFiles(path, conf.value)
         .foreach(f => fs.delete(new Path(f), false))
+    publish(messages, idempotent = false)
+  }
+
+  /** STREAMING sink: micro-batch epochs land as independent file sets
+    * (final names carry the epoch id, so successive epochs never
+    * collide and the directory stays a valid source for the framed
+    * STREAM reader — the relay shape). Epoch re-commit after a crash
+    * between sink commit and checkpoint write is IDEMPOTENT: a rename
+    * whose destination already exists means this epoch's file was
+    * published by the prior attempt — the temp is simply dropped.
+    * That is exactly-once at file granularity because an epoch replay
+    * re-runs the same deterministic batch under the same epoch id. */
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo):
+      streaming.StreamingDataWriterFactory =
+    FramedWriterFactory(schema, path, queryId, conf)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    publish(messages, idempotent = true)
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    abort(messages)
+
+  private def publish(messages: Array[WriterCommitMessage], idempotent: Boolean): Unit = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf.value)
     messages.foreach {
       case FramedCommitMessage(tmp, finalName) =>
         val t = new Path(tmp)
         val dest = new Path(root, finalName)
-        if (!fs.rename(t, dest))
-          throw new java.io.IOException(s"framed write commit: rename $t -> $dest failed")
+        if (!fs.rename(t, dest)) {
+          if (idempotent && fs.exists(dest)) fs.delete(t, false)
+          else throw new java.io.IOException(
+            s"framed write commit: rename $t -> $dest failed")
+        }
       case _ => // empty partition: nothing written
     }
   }
@@ -767,10 +801,14 @@ case class FramedWrite(schema: StructType, path: String, queryId: String,
 
 case class FramedWriterFactory(schema: StructType, path: String, queryId: String,
                                conf: SerializableHadoopConf)
-    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+    extends org.apache.spark.sql.connector.write.DataWriterFactory
+    with org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long):
       org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     new FramedDataWriter(schema, path, queryId, partitionId, taskId, conf.value)
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long):
+      org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new FramedDataWriter(schema, path, queryId, partitionId, taskId, conf.value, epochId)
 }
 
 /** Task-side frame encoder: rows stream straight into the temp file
@@ -779,10 +817,17 @@ case class FramedWriterFactory(schema: StructType, path: String, queryId: String
   * two attempts of the same partition write disjoint temps, and only
   * the one whose commit message reaches the driver gets renamed. */
 class FramedDataWriter(schema: StructType, path: String, queryId: String,
-                       partitionId: Int, taskId: Long, hadoopConf: Configuration)
+                       partitionId: Int, taskId: Long, hadoopConf: Configuration,
+                       epochId: Long = -1L)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
-  private val tmp = new Path(path, s".part-$queryId-$partitionId.frames.tmp-$taskId")
-  private val finalName = s"part-$queryId-$partitionId.frames"
+  // streaming epochs get epoch-scoped final names: epochs never collide
+  // with each other, and an epoch replay regenerates the SAME name —
+  // the idempotent-re-commit key
+  private val stem =
+    if (epochId >= 0) s"part-$queryId-e$epochId-$partitionId"
+    else s"part-$queryId-$partitionId"
+  private val tmp = new Path(path, s".$stem.frames.tmp-$taskId")
+  private val finalName = s"$stem.frames"
   private val fs = tmp.getFileSystem(hadoopConf)
   private var out: DataOutputStream = _
   private var wrote = false

@@ -410,6 +410,43 @@ class FramedSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("cannot encode"), e.getMessage)
   }
 
+  test("streaming WRITE: framed-to-framed relay lands epochs exactly once across restarts") {
+    import graft.sources.FramedFormat._
+    val src = java.nio.file.Files.createTempDirectory("graft_relay_src").toString
+    def writeFile(name: String, ids: Range): Unit = {
+      val dos = new java.io.DataOutputStream(new java.io.FileOutputStream(s"$src/$name"))
+      try ids.foreach(i => writeFrame(dos, Seq(
+        ("event_id", TagLong, i.toLong), ("score", TagDouble, i * 1.5))))
+      finally dos.close()
+    }
+    (0 until 3).foreach(k => writeFile(s"f$k.frames", k * 10 until (k + 1) * 10))
+    val sink = s"${java.nio.file.Files.createTempDirectory("graft_relay_sink")}/out"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_relay_ckpt").toString
+    def relayOnce(): Unit = {
+      val q = spark.readStream.format("graft.sources.FramedSource")
+        .option("maxFilesPerTrigger", "1").load(src)
+        .writeStream.format("graft.sources.FramedSource")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(60000), "relay drain did not finish")
+    }
+    relayOnce()
+    val landed = spark.read.format("graft.sources.FramedSource").load(sink)
+    assert(landed.count() == 30)
+    assert(landed.select("event_id").distinct().count() == 30)
+    // epoch-scoped file names: ≥3 epochs landed as separate files
+    assert(graft.sources.FramedSource.frameFiles(sink).size >= 3)
+    // a new source file after the drain relays exactly once on restart
+    writeFile("f3.frames", 30 until 42)
+    relayOnce()
+    val all = spark.read.format("graft.sources.FramedSource").load(sink)
+    assert(all.count() == 42, "appended file must relay exactly once")
+    assert(all.select("event_id").distinct().count() == 42)
+    // values survive the double framed roundtrip bit-for-bit
+    assert(all.where(col("score") =!= col("event_id") * 1.5).isEmpty)
+  }
+
   test("corrupt array count cannot overflow the skip into misaligned garbage") {
     import graft.sources.FramedFormat._
     val dir = java.nio.file.Files.createTempDirectory("graft_framed_ovf")
