@@ -841,11 +841,22 @@ class FramedDataWriter(schema: StructType, path: String, queryId: String,
       wrote = true
     }
     val keys = fields.zipWithIndex.map { case ((name, tag), i) =>
+      // the frame format has no null encoding — a null must fail the
+      // task loudly (getLong on a null slot would silently encode 0)
+      if (record.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"framed format cannot encode NULL (key $name); filter or " +
+          "coalesce nulls before writing")
       val v: Any = tag match {
         case FramedFormat.TagLong => record.getLong(i)
         case FramedFormat.TagDouble => record.getDouble(i)
         case FramedFormat.TagString => record.getUTF8String(i).toString
-        case FramedFormat.TagLongArray => record.getArray(i).toLongArray()
+        case FramedFormat.TagLongArray =>
+          val arr = record.getArray(i)
+          if (arr.numElements() > 0 && (0 until arr.numElements()).exists(arr.isNullAt))
+            throw new IllegalArgumentException(
+              s"framed format cannot encode NULL array elements (key $name)")
+          arr.toLongArray()
       }
       (name, tag, v)
     }.toSeq

@@ -410,6 +410,41 @@ class FramedSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("cannot encode"), e.getMessage)
   }
 
+  test("writer task abort removes its temp; epoch re-commit is idempotent; nulls fail loudly") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    val dir = java.nio.file.Files.createTempDirectory("graft_framed_wcommit").toString
+    val schema = StructType(Seq(StructField("event_id", LongType, nullable = true)))
+    val conf = new graft.sources.SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
+    def listAll() = new java.io.File(dir).listFiles().map(_.getName).toSeq
+    // (a) abort deletes the temp — a failed attempt leaves nothing
+    val w1 = new graft.sources.FramedDataWriter(schema, dir, "q1", 0, 7L, conf.value)
+    w1.write(new GenericInternalRow(Array[Any](1L)))
+    w1.abort()
+    assert(!listAll().exists(_.contains("tmp")), listAll().mkString(","))
+    // (b) streaming epoch re-commit: replay of a committed epoch drops
+    // its temp instead of failing (crash between sink commit and
+    // checkpoint write)
+    val write = graft.sources.FramedWrite(schema, dir, "q1", truncate = false, conf)
+    def epochAttempt(taskId: Long) = {
+      val w = new graft.sources.FramedDataWriter(schema, dir, "q1", 0, taskId, conf.value, epochId = 5L)
+      w.write(new GenericInternalRow(Array[Any](42L)))
+      w.commit()
+    }
+    write.commit(5L, Array(epochAttempt(100L)))
+    write.commit(5L, Array(epochAttempt(101L))) // replay, must not throw
+    assert(graft.sources.FramedSource.frameFiles(dir).size == 1)
+    assert(!listAll().exists(_.contains("tmp")), listAll().mkString(","))
+    assert(spark.read.format("graft.sources.FramedSource").load(dir).count() == 1)
+    // (c) null values must fail the task, never encode garbage
+    val w2 = new graft.sources.FramedDataWriter(schema, dir, "q2", 0, 8L, conf.value)
+    val e = intercept[IllegalArgumentException] {
+      w2.write(new GenericInternalRow(Array[Any](null)))
+    }
+    assert(e.getMessage.contains("cannot encode NULL"), e.getMessage)
+    w2.abort()
+  }
+
   test("streaming WRITE: framed-to-framed relay lands epochs exactly once across restarts") {
     import graft.sources.FramedFormat._
     val src = java.nio.file.Files.createTempDirectory("graft_relay_src").toString
