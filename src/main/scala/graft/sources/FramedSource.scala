@@ -190,28 +190,41 @@ object FramedSource {
     if (!dirP.getFileSystem(conf).exists(dirP)) return StructType(Nil)
     val files = frameFiles(dir, conf)
     require(files.nonEmpty, s"no .frames files under $dir")
-    val in = openFrames(files.head, conf)
-    try {
-      val bodyLen = in.readInt()
-      require(bodyLen > 0, s"empty first frame in ${files.head}")
-      val nKeys = in.readInt()
-      StructType((0 until nKeys).map { _ =>
-        val nameLen = in.readUnsignedShort()
-        val nb = new Array[Byte](nameLen); in.readFully(nb)
-        val tag = in.readByte()
-        // skip this key's payload to reach the next key header (checked:
-        // a torn first frame must fail loudly even during inference)
-        tag match {
-          case FramedFormat.TagLong | FramedFormat.TagDouble =>
-            FramedReader.skipFully(in, 8L, files.head)
-          case FramedFormat.TagString =>
-            FramedReader.skipFully(in, in.readInt().toLong, files.head)
-          case FramedFormat.TagLongArray =>
-            FramedReader.skipFully(in, in.readInt().toLong * 8L, files.head)
+    // first file that yields a frame wins; files that are empty at the
+    // very first byte (a writer touched but never filled them) are
+    // skipped — an EOF anywhere PAST the first byte is still a torn
+    // frame and still fails loudly
+    files.foreach { f =>
+      val in = openFrames(f, conf)
+      try {
+        val bodyLen =
+          try in.readInt()
+          catch { case _: EOFException => -1 } // empty file → next
+        if (bodyLen >= 0) {
+          require(bodyLen > 0, s"empty first frame in $f")
+          val nKeys = in.readInt()
+          return StructType((0 until nKeys).map { _ =>
+            val nameLen = in.readUnsignedShort()
+            val nb = new Array[Byte](nameLen); in.readFully(nb)
+            val tag = in.readByte()
+            // skip this key's payload to reach the next key header
+            // (checked: a torn first frame must fail loudly even
+            // during inference)
+            tag match {
+              case FramedFormat.TagLong | FramedFormat.TagDouble =>
+                FramedReader.skipFully(in, 8L, f)
+              case FramedFormat.TagString =>
+                FramedReader.skipFully(in, in.readInt().toLong, f)
+              case FramedFormat.TagLongArray =>
+                FramedReader.skipFully(in, in.readInt().toLong * 8L, f)
+            }
+            StructField(new String(nb, "UTF-8"), FramedFormat.sparkType(tag),
+              nullable = false)
+          })
         }
-        StructField(new String(nb, "UTF-8"), FramedFormat.sparkType(tag), nullable = false)
-      })
-    } finally in.close()
+      } finally in.close()
+    }
+    throw new IllegalArgumentException(s"all .frames files under $dir are empty")
   }
 }
 
@@ -614,16 +627,19 @@ class FramedReader(files: Seq[String], required: StructType,
   override def next(): Boolean = {
     if (in == null && !advanceFile()) return false
     while (true) {
+      // the ONLY clean EOF is at a frame boundary of the current file:
+      // advance to the partition's next file and re-enter the loop
+      // (iteratively — a packed partition of many exhausted files must
+      // not grow the stack)
+      var atBoundaryEof = false
       val bodyLen =
         try in.readInt()
         catch { case _: EOFException =>
-          // clean end of this file's frame stream → next file (if any)
           if (!advanceFile()) return false
-          else {
-            val r = next()
-            return r
-          }
+          atBoundaryEof = true
+          0
         }
+      if (!atBoundaryEof) {
       require(bodyLen >= 4, s"corrupt frame (bodyLen=$bodyLen) in $file")
       val nKeys = in.readInt()
       checkLen(nKeys.toLong, "key count", bodyLen)
@@ -678,6 +694,7 @@ class FramedReader(files: Seq[String], required: StructType,
         row = new GenericInternalRow(values)
         return true
       }
+      } // !atBoundaryEof
     }
     false
   }

@@ -374,6 +374,14 @@ class FramedSourceSpec extends SparkSpec {
     assert(packed.select(col("_file")).distinct().count() == 6)
     // pushdown still sheds inside every packed file
     assert(packed.where(col("event_id") < 15L).count() == 15)
+    // empty files interleaved in a packed partition are skipped
+    // iteratively (clean frame-boundary EOF → next file), not mistaken
+    // for truncation
+    (0 until 3).foreach(k => new java.io.FileOutputStream(s"$dir/e$k.frames").close())
+    val withEmpty = spark.read.format("graft.sources.FramedSource")
+      .option("targetPartitionBytes", (64L * 1024 * 1024).toString).load(dir)
+    assert(withEmpty.rdd.getNumPartitions == 1)
+    assert(withEmpty.count() == 60)
   }
 
   test("DSv2 write path: append/overwrite semantics, lossless roundtrip, no temp residue") {
