@@ -267,6 +267,26 @@ object Scans {
         .orderBy("event_type")
     }),
 
+    // Composite-partition read of the framed fixture: same extraction,
+    // but the 8 files are bin-packed into few partitions via
+    // targetPartitionBytes (the many-tiny-files posture at 100 TB —
+    // a DAQ emitting one small file per run must not cost one task per
+    // file). The oracle is identical to source_framed_extract: packing
+    // must be invisible to results; FramedSourceSpec pins the actual
+    // partition-count reduction and per-file provenance.
+    "source_framed_packed" -> ((s, dir) => {
+      val out = framedFixture(s, dir)
+      s.read.format("graft.sources.FramedSource")
+        .option("targetPartitionBytes", (32L * 1024 * 1024).toString)
+        .load(out)
+        .groupBy("event_type")
+        .agg(big(count(lit(1))).as("n"),
+             dsum(col("value")).as("val_sum"),
+             big(sum(size(col("pulses")))).as("n_pulses"),
+             big(sum(aggregate(col("pulses"), lit(0L), (a, x) => a + x))).as("pulse_sum"))
+        .orderBy("event_type")
+    }),
+
     // Framed WRITE path (the R5 "save" story for the sequential
     // format): encode typed columns — ragged array included — into
     // length-prefixed frames through the DSv2 write path (two-phase
@@ -696,6 +716,16 @@ object Scans {
     "source_framed_runs" ->
       (s"SELECT CAST($FramedFixtureParts AS BIGINT) AS n_runs, " +
        "CAST(COUNT(*) AS BIGINT) AS n_rows FROM events ORDER BY n_runs"),
+    // packing must be invisible to results: identical oracle to the
+    // per-file extract
+    "source_framed_packed" ->
+      ("WITH e AS (SELECT event_type, value, event_id % 5 AS np, " +
+       "epoch_us(ts) % 1000000 AS base FROM events) " +
+       "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
+       s"${dsumSql("value")} AS val_sum, " +
+       "CAST(SUM(np) AS BIGINT) AS n_pulses, " +
+       "CAST(SUM(np * base + (np * (np - 1)) // 2) AS BIGINT) AS pulse_sum " +
+       "FROM e GROUP BY event_type ORDER BY event_type"),
     // write→read roundtrip must be lossless: same closed form as the
     // extract oracle
     "sink_framed_roundtrip" ->
