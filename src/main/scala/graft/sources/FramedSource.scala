@@ -330,12 +330,25 @@ object FramedFilters {
   }
 
   /** Value type admissible for a comparison against `attr`'s decoded
-    * type? Unknown attributes are rejected (nothing to pre-drop on). */
+    * type? Unknown attributes are rejected (nothing to pre-drop on).
+    * Double keys additionally reject integral values that do not
+    * roundtrip through double (|v| > 2⁵³): `doubleValue` on such a
+    * literal silently shifts the comparison point, and a pushed drop
+    * is unrecoverable — the residual filter re-checks only rows the
+    * scan emitted. */
   private def typeOk(attr: String, v: Any, schema: StructType): Boolean =
     schema.find(_.name == attr).exists { f =>
       (f.dataType, v) match {
         case (LongType, _)              => integral(v)
-        case (DoubleType, _: Number)    => true
+        case (DoubleType, n: Number)    =>
+          // explicit range, no abs/roundtrip tricks: Long.MaxValue
+          // rounds UP to 2⁶³ whose .toLong clamps right back, and
+          // math.abs(Long.MinValue) overflows negative — both would
+          // slip a bounds test written the "clever" way
+          !integral(n) || {
+            val lv = n.asInstanceOf[Number].longValue
+            lv >= -(1L << 53) && lv <= (1L << 53)
+          }
         case (StringType, _: String)    => true
         case _ => false
       }
@@ -764,6 +777,13 @@ case class FramedWrite(schema: StructType, path: String, queryId: String,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     FramedWriterFactory(schema, path, queryId, conf)
 
+  /** Batch commit. Publication is per-file-atomic (rename), not
+    * whole-job-atomic: a driver crash mid-commit can leave a partial
+    * file set (and, in overwrite mode, the old set already truncated)
+    * — the same window Hadoop's FileOutputCommitter v2 and Spark's own
+    * non-transactional file sinks accept. Whole-job atomicity needs a
+    * log/manifest layer (Delta-style) above the format, not a
+    * connector-level fix. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(path).getFileSystem(conf.value)
     if (truncate)

@@ -312,6 +312,12 @@ class FramedSourceSpec extends SparkSpec {
     assert(graft.sources.FramedFilters.supported(LessThan("event_id", 3L), schema))
     assert(graft.sources.FramedFilters.supported(LessThan("event_id", 3), schema))
     assert(graft.sources.FramedFilters.supported(LessThan("value", 3), schema))
+    // double keys reject integral literals beyond 2^53: doubleValue
+    // shifts the comparison point and a pushed drop is unrecoverable
+    assert(graft.sources.FramedFilters.supported(LessThan("value", 1L << 53), schema))
+    assert(!graft.sources.FramedFilters.supported(LessThan("value", (1L << 53) + 1), schema))
+    assert(!graft.sources.FramedFilters.supported(LessThan("value", Long.MaxValue), schema))
+    assert(!graft.sources.FramedFilters.supported(LessThan("value", Long.MinValue), schema))
     assert(graft.sources.FramedFilters.supported(EqualTo("event_type", "x"), schema))
     assert(!graft.sources.FramedFilters.supported(EqualTo("event_type", 1L), schema))
     assert(!graft.sources.FramedFilters.supported(EqualTo("nosuch", 1L), schema))
