@@ -165,6 +165,26 @@ class FramedSourceSpec extends SparkSpec {
     intercept[java.io.EOFException](readAll(torn))
   }
 
+  test("inference errors loudly on frameless and all-empty dirs, but not on a missing write target") {
+    // existing dir without frame files: a READ pointed at the wrong place
+    val noFrames = java.nio.file.Files.createTempDirectory("graft_noframes").toString
+    new java.io.FileOutputStream(s"$noFrames/readme.txt").close()
+    val e1 = intercept[Exception] {
+      spark.read.format("graft.sources.FramedSource").load(noFrames).schema
+    }
+    assert(e1.getMessage.contains("no .frames files"), e1.getMessage)
+    // every frame file empty: nothing to infer from
+    val allEmpty = java.nio.file.Files.createTempDirectory("graft_allempty").toString
+    new java.io.FileOutputStream(s"$allEmpty/a.frames").close()
+    val e2 = intercept[Exception] {
+      spark.read.format("graft.sources.FramedSource").load(allEmpty).schema
+    }
+    assert(e2.getMessage.contains("are empty"), e2.getMessage)
+    // missing dir: the write-target case — empty schema, no error
+    assert(graft.sources.FramedSource.infer(s"$allEmpty/not_there") ==
+      org.apache.spark.sql.types.StructType(Nil))
+  }
+
   test("parallelism is per file: one input partition per .frames file") {
     val n = FramedSource.frameFiles(fixtureDir).size
     assert(n > 1, s"fixture should span multiple files, got $n")
