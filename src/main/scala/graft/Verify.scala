@@ -25,6 +25,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // ADVICE r5: the MaxShingleDf stop-shingle cap is exactness-critical
+    // for the pair family — the DuckDB oracles compute UNCAPPED stats,
+    // so a fixture whose max shingle df crossed the cap would diverge
+    // silently. Guarded IN the correctness harness so the invariant
+    // holds at every scale factor the driver verifies, not just the
+    // sf0.001 a spec pins. Skipped under a query filter (local
+    // iteration on one unrelated query shouldn't pay a corpus scan).
+    if (only.isEmpty && new java.io.File(s"$sfDir/documents.parquet").exists()) {
+      val maxDf = graft.operators.Dedup.maxShingleDf(Tables.documents(spark, sfDir))
+      require(maxDf <= graft.operators.Dedup.MaxShingleDf,
+        s"fixture max shingle df $maxDf at $sfDir exceeds the " +
+        s"MaxShingleDf=${graft.operators.Dedup.MaxShingleDf} cap — pair-family " +
+        "oracle rows would diverge from the capped computation")
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       if (only.isEmpty || only.contains(name)) {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

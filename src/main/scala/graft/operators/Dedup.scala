@@ -181,6 +181,19 @@ object Dedup {
     * exact computation — the oracle-checked configuration. */
   val MaxShingleDf = 64
 
+  /** Largest per-(lang, source) shingle document frequency in `docs` —
+    * the guard input for the [[MaxShingleDf]] exactness contract: the
+    * pair-family oracles compute UNCAPPED stats, so every
+    * oracle-checked fixture must stay within the cap. Asserted by
+    * Verify at EVERY scale factor the driver verifies (ADVICE r5: a
+    * spec pinning only sf0.001 would let a regenerated larger fixture
+    * silently diverge at sf0.01/sf0.1) and by NonOracleOpsSpec. */
+  def maxShingleDf(docs: DataFrame): Long =
+    withHashedShingles(docs, "lang", "source")
+      .select(col("lang"), col("source"), explode(col("sh")).as("g"))
+      .groupBy("lang", "source", "g").count()
+      .agg(max("count")).collect()(0).getLong(0)
+
   /** EXACT per-pair set statistics straight out of the inverted index:
     * because each doc's `sh` is duplicate-free, the number of posting
     * matches for a pair IS |A∩B| — so a count aggregate over the

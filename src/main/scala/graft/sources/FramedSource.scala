@@ -192,15 +192,13 @@ object FramedSource {
     require(files.nonEmpty, s"no .frames files under $dir")
     // first file that yields a frame wins; files that are empty at the
     // very first byte (a writer touched but never filled them) are
-    // skipped — an EOF anywhere PAST the first byte is still a torn
-    // frame and still fails loudly
+    // skipped — an EOF anywhere PAST the first byte (even inside the
+    // 4-byte header; ADVICE r5) is a torn frame and fails loudly
     files.foreach { f =>
       val in = openFrames(f, conf)
       try {
-        val bodyLen =
-          try in.readInt()
-          catch { case _: EOFException => -1 } // empty file → next
-        if (bodyLen >= 0) {
+        val bodyLen = FramedReader.readFrameLen(in, f) // EofFrameLen: empty file → next
+        if (bodyLen != FramedReader.EofFrameLen) {
           require(bodyLen > 0, s"empty first frame in $f")
           val nKeys = in.readInt()
           return StructType((0 until nKeys).map { _ =>
@@ -242,8 +240,19 @@ case class FramedTable(tableSchema: StructType, path: String)
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new FramedScanBuilder(schema, FramedSource.pathOf(options), options)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // a missing directory is only valid as a WRITE target ([[FramedSource.infer]]
+    // suppresses the error there because the write schema comes from the
+    // query); a READ of one must fail HERE, at analysis, with a clear
+    // message — not later with a 0-column DataFrame and a confusing
+    // execution-time FileNotFound / "column not found" (ADVICE r5)
+    val p = FramedSource.pathOf(options)
+    val hp = new Path(p)
+    require(hp.getFileSystem(FramedSource.sessionHadoopConf()).exists(hp),
+      s"graft-framed: read path does not exist: $p " +
+      "(a missing directory is only valid as a write target)")
+    new FramedScanBuilder(schema, p, options)
+  }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo):
       org.apache.spark.sql.connector.write.WriteBuilder =
@@ -365,25 +374,55 @@ object FramedFilters {
     case _ => false
   }
 
+  /** The comparison value as an exact BigDecimal, or None when it has
+    * no finite decimal form (NaN/Infinity) — callers fall back to
+    * IEEE-ordering compareTo, Spark's own double semantics. Float and
+    * Double convert through their exact binary value, everything else
+    * through its decimal string, so no precision is invented or lost. */
+  private def exactDecimal(n: Number): Option[java.math.BigDecimal] = n match {
+    case d: java.lang.Double =>
+      if (d.isNaN || d.isInfinite) None
+      else Some(new java.math.BigDecimal(d.doubleValue))
+    case f: java.lang.Float =>
+      if (f.isNaN || f.isInfinite) None
+      else Some(new java.math.BigDecimal(f.doubleValue))
+    case _ => Some(new java.math.BigDecimal(n.toString))
+  }
+
   /** Evaluate one pushed filter against decoded frame values (keyed by
     * column name). Unknown columns (not decoded) pass — residual
-    * evaluation catches them. Long-key comparisons against a
-    * fractional value (possible only via the public reader surface —
-    * `supported` rejects them) go through BigDecimal so truncation can
-    * never widen the drop set. */
+    * evaluation catches them. The public reader surface can be handed
+    * filters `supported` would reject, so BOTH key types defend
+    * identically (ADVICE r5 closed the double-key half): a non-Number
+    * comparison value passes through (residual decides; a
+    * ClassCastException here would kill the task), and a value with
+    * more decimal precision than the key's type goes through exact
+    * BigDecimal comparison so rounding can never widen the drop set. */
   def eval(f: Filter, v: Map[String, Any]): Boolean = {
     def cmp(attr: String, value: Any)(op: Int => Boolean): Boolean =
       v.get(attr) match {
         case Some(x: Long) => value match {
           case n if integral(n) => op(x.compareTo(n.asInstanceOf[Number].longValue))
-          case n: Number =>
-            op(java.math.BigDecimal.valueOf(x)
-              .compareTo(new java.math.BigDecimal(n.toString)))
+          case n: Number => exactDecimal(n) match {
+            case Some(e) => op(java.math.BigDecimal.valueOf(x).compareTo(e))
+            case None    => op(x.toDouble.compareTo(n.doubleValue))
+          }
           case _ => true
         }
-        case Some(x: Double) => op(x.compareTo(value.asInstanceOf[Number].doubleValue))
-        case Some(x: String) => op(UTF8String.fromString(x)
-          .compareTo(UTF8String.fromString(value.toString)))
+        case Some(x: Double) => value match {
+          case n: Number =>
+            val e = if (x.isNaN || x.isInfinite) None else exactDecimal(n)
+            e match {
+              case Some(d) => op(new java.math.BigDecimal(x).compareTo(d))
+              case None    => op(x.compareTo(n.doubleValue))
+            }
+          case _ => true
+        }
+        case Some(x: String) => value match {
+          case s: String => op(UTF8String.fromString(x)
+            .compareTo(UTF8String.fromString(s)))
+          case _ => true
+        }
         case _ => true
       }
     f match {
@@ -468,10 +507,17 @@ case class FramedScan(full: StructType, required: StructType, path: String,
   * weaker when an uncommitted batch exists; VERDICT r4 #2).
   *
   * Offset size: each offset carries the live processed-file set. It is
-  * bounded by the files PRESENT in the directory, not by all files
-  * ever: names absent from the current listing (aged-out/archived
-  * files) are dropped from every new offset — self-compaction that is
-  * safe precisely because names are never reused. */
+  * bounded by the files PRESENT in the directory (plus a short grace
+  * window), not by all files ever: a name absent from
+  * [[FramedMicroBatchStream.CompactAfterMissing]] CONSECUTIVE listings
+  * (aged-out/archived files) is dropped from new offsets —
+  * self-compaction that is safe because names are never reused. A
+  * SINGLE listing without the name must NOT compact it: one transient
+  * or non-atomic listing (FS hiccup, object-store list inconsistency,
+  * a file briefly archived then restored) would otherwise re-admit the
+  * file as fresh on reappearance — duplicate delivery (ADVICE r5).
+  * Spark's own FileStreamSource compacts by age, never by absence from
+  * one listing; consecutive-absence is the listing-driven analog. */
 class FramedMicroBatchStream(full: StructType, required: StructType,
                              pushed: Seq[org.apache.spark.sql.sources.Filter],
                              path: String,
@@ -509,19 +555,43 @@ class FramedMicroBatchStream(full: StructType, required: StructType,
 
   override def initialOffset(): Offset = FileSetOffset(Set.empty)
 
+  /** Processed names absent from this many CONSECUTIVE live listings
+    * are compacted out of new offsets (see class doc). */
+  val CompactAfterMissing = 3
+  /** Driver-memory consecutive-absence counts. A query restart resets
+    * them to zero, which only DELAYS compaction — the safe direction
+    * (a name is never dropped early, so never re-admitted early). */
+  private val missingCounts = scala.collection.mutable.Map.empty[String, Int]
+
   /** Admission-controlled advance: up to the limit's file count of
     * unprocessed files (deterministic name order) joins the processed
-    * set. Names no longer present in the directory are compacted out
-    * (see class doc). */
+    * set. Names missing from several consecutive listings are
+    * compacted out (see class doc); under Trigger.AvailableNow the
+    * universe is a pinned snapshot, not a listing observation, so no
+    * compaction happens during a drain. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val universe = availableNowTarget.getOrElse(listNow())
     val s = start.asInstanceOf[FileSetOffset].files
     val cap = limit match {
       case m: ReadMaxFiles => m.maxFiles()
       case _ => Int.MaxValue
     }
-    val fresh = (universe -- s).toSeq.sorted.take(cap)
-    FileSetOffset((s intersect universe) ++ fresh)
+    availableNowTarget match {
+      case Some(universe) =>
+        val fresh = (universe -- s).toSeq.sorted.take(cap)
+        FileSetOffset(s ++ fresh)
+      case None =>
+        val universe = listNow()
+        val retained = s.filter { f =>
+          if (universe.contains(f)) { missingCounts.remove(f); true }
+          else {
+            val n = missingCounts.getOrElse(f, 0) + 1
+            if (n >= CompactAfterMissing) { missingCounts.remove(f); false }
+            else { missingCounts(f) = n; true }
+          }
+        }
+        val fresh = (universe -- s).toSeq.sorted.take(cap)
+        FileSetOffset(retained ++ fresh)
+    }
   }
 
   override def latestOffset(): Offset =
@@ -585,6 +655,31 @@ object FramedReader {
       }
     }
   }
+
+  /** Clean end-of-file sentinel from [[readFrameLen]] — outside the
+    * int32 range, so it can never collide with real header bytes. */
+  val EofFrameLen: Long = Long.MinValue
+
+  /** Read the 4-byte big-endian frame-length header, or [[EofFrameLen]]
+    * at a CLEAN end-of-file (zero header bytes). A file ending 1–3
+    * bytes INTO the header is a torn frame and fails loudly: a plain
+    * `readInt` raises the same EOFException for both cases, so the
+    * partial header would be silently treated as a frame-boundary EOF
+    * and the reader would advance past the corruption (ADVICE r5). The
+    * first byte is probed with `read()` (the only EOF-distinguishing
+    * primitive), the remaining three demanded with `readFully`. */
+  def readFrameLen(in: DataInputStream, file: String): Long = {
+    val b0 = in.read()
+    if (b0 == -1) return EofFrameLen
+    val rest = new Array[Byte](3)
+    try in.readFully(rest)
+    catch { case _: EOFException =>
+      throw new EOFException(
+        s"truncated frame header (file ends inside the 4-byte length prefix) in $file")
+    }
+    ((b0 << 24) | ((rest(0) & 0xff) << 16) | ((rest(1) & 0xff) << 8) |
+      (rest(2) & 0xff)).toLong
+  }
 }
 
 /** Streams frames out of one or more files (a packed partition reads
@@ -643,15 +738,15 @@ class FramedReader(files: Seq[String], required: StructType,
       // the ONLY clean EOF is at a frame boundary of the current file:
       // advance to the partition's next file and re-enter the loop
       // (iteratively — a packed partition of many exhausted files must
-      // not grow the stack)
+      // not grow the stack). readFrameLen distinguishes it from a file
+      // torn INSIDE the 4-byte header, which still fails loudly.
       var atBoundaryEof = false
-      val bodyLen =
-        try in.readInt()
-        catch { case _: EOFException =>
-          if (!advanceFile()) return false
-          atBoundaryEof = true
-          0
-        }
+      val lenOrEof = FramedReader.readFrameLen(in, file)
+      if (lenOrEof == FramedReader.EofFrameLen) {
+        if (!advanceFile()) return false
+        atBoundaryEof = true
+      }
+      val bodyLen = if (atBoundaryEof) 0 else lenOrEof.toInt
       if (!atBoundaryEof) {
       require(bodyLen >= 4, s"corrupt frame (bodyLen=$bodyLen) in $file")
       val nKeys = in.readInt()

@@ -516,6 +516,118 @@ class FramedSourceSpec extends SparkSpec {
     assert(all.where(col("score") =!= col("event_id") * 1.5).isEmpty)
   }
 
+  test("a file torn inside the 4-byte frame-length header fails loudly, not as a clean EOF") {
+    import graft.sources.FramedFormat._
+    val dir = java.nio.file.Files.createTempDirectory("graft_framed_hdr")
+    val f = dir.resolve("torn_header.frames").toString
+    val dos = new java.io.DataOutputStream(new java.io.FileOutputStream(f))
+    // one good frame, then 2 of the next frame's 4 length bytes — a
+    // torn write mid-header. A plain readInt EOF would silently end
+    // the file after the good row (ADVICE r5).
+    try { writeFrame(dos, Seq(("event_id", TagLong, 1L))); dos.writeShort(0) }
+    finally dos.close()
+    val req = StructType(Seq(StructField("event_id", LongType, nullable = false)))
+    val r = new graft.sources.FramedReader(f, req, Nil)
+    try {
+      val e = intercept[java.io.EOFException] { while (r.next()) () }
+      assert(e.getMessage.contains("truncated frame header") && e.getMessage.contains(f),
+        e.getMessage)
+    } finally r.close()
+    // inference is equally loud when its first frame's header is torn:
+    // only a ZERO-byte file is the skippable empty-writer case
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_framed_hdr2")
+    val dos2 = new java.io.DataOutputStream(
+      new java.io.FileOutputStream(dir2.resolve("only_header_bytes.frames").toString))
+    try dos2.writeShort(0) finally dos2.close()
+    val e2 = intercept[java.io.EOFException] { graft.sources.FramedSource.infer(dir2.toString) }
+    assert(e2.getMessage.contains("truncated frame header"), e2.getMessage)
+  }
+
+  test("reading a missing directory fails at analysis with a clear message") {
+    val missing = s"${java.nio.file.Files.createTempDirectory("graft_framed_miss")}/not_there"
+    val e = intercept[Exception] {
+      spark.read.format("graft.sources.FramedSource").load(missing).collect()
+    }
+    assert(e.getMessage.contains("read path does not exist"), e.getMessage)
+    // the write path stays open: a first write CREATES the directory
+    spark.range(3).select(col("id").as("event_id"))
+      .write.format("graft.sources.FramedSource").mode("append").save(missing)
+    assert(spark.read.format("graft.sources.FramedSource").load(missing).count() == 3)
+  }
+
+  test("double-key eval is hardened like the long key: non-Number passes, precision never shifts the drop") {
+    import org.apache.spark.sql.sources._
+    import graft.sources.FramedFilters.eval
+    // non-Number comparison value on a double key: pass through to the
+    // residual, never ClassCastException (ADVICE r5)
+    assert(eval(LessThan("value", "oops"), Map("value" -> 1.0)))
+    // a decimal with more precision than double: 0.1 is really
+    // 0.1000000000000000055511151231257827…; a doubleValue comparison
+    // against 0.1000000000000000056 would wrongly call them equal and
+    // drop the row on EqualTo-negation shapes — BigDecimal keeps the
+    // true ordering (value > key here)
+    assert(eval(GreaterThan("value", new java.math.BigDecimal("0.1000000000000000055511151231257827021181583404541015625")),
+      Map("value" -> 0.1)) === false) // equal, not greater
+    assert(eval(EqualTo("value", new java.math.BigDecimal("0.1000000000000000055511151231257827021181583404541015625")),
+      Map("value" -> 0.1)))
+    assert(!eval(EqualTo("value", new java.math.BigDecimal("0.1000000000000000056")),
+      Map("value" -> 0.1)))
+    assert(eval(LessThan("value", new java.math.BigDecimal("0.1000000000000000056")),
+      Map("value" -> 0.1)))
+    // NaN/Infinity values fall back to IEEE ordering instead of
+    // throwing in BigDecimal
+    assert(eval(LessThan("value", Double.PositiveInfinity), Map("value" -> 1.0)))
+    assert(!eval(GreaterThan("value", Double.NaN), Map("value" -> 1.0)))
+    assert(eval(EqualTo("value", 1.0), Map("value" -> 1.0)))
+    // long-key NaN comparison is equally safe (shared exactDecimal path)
+    assert(eval(LessThan("event_id", Double.NaN), Map("event_id" -> 3L)))
+    // string keys pass through non-String values
+    assert(eval(EqualTo("event_type", 7L), Map("event_type" -> "x")))
+  }
+
+  test("streaming offset compaction needs consecutive absent listings — one listing flicker never re-admits a file") {
+    import graft.sources.{FramedFormat, FramedMicroBatchStream, SerializableHadoopConf}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val dir = java.nio.file.Files.createTempDirectory("graft_framed_compact").toString
+    def writeFile(name: String): Unit = {
+      val dos = new java.io.DataOutputStream(new java.io.FileOutputStream(s"$dir/$name"))
+      try FramedFormat.writeFrame(dos, Seq(("event_id", FramedFormat.TagLong, 1L)))
+      finally dos.close()
+    }
+    writeFile("f0.frames"); writeFile("f1.frames")
+    val schema = StructType(Seq(StructField("event_id", LongType, nullable = false)))
+    val stream = new FramedMicroBatchStream(schema, schema, Nil, dir,
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+    def files(o: org.apache.spark.sql.connector.read.streaming.Offset): Set[String] =
+      o.asInstanceOf[stream.FileSetOffset].files
+    val o1 = stream.latestOffset(stream.initialOffset(), ReadLimit.allAvailable())
+    assert(files(o1).size == 2)
+    // f1 vanishes from ONE listing (FS hiccup / non-atomic object-store
+    // listing / archive-then-restore), then reappears: the processed
+    // name must survive the flicker — dropping it would re-admit the
+    // file as fresh and deliver its rows twice (ADVICE r5)
+    val f1 = new java.io.File(s"$dir/f1.frames")
+    val bytes = java.nio.file.Files.readAllBytes(f1.toPath)
+    assert(f1.delete())
+    val o2 = stream.latestOffset(o1, ReadLimit.allAvailable())
+    assert(files(o2).exists(_.endsWith("f1.frames")),
+      "one absent listing must not compact a processed file")
+    java.nio.file.Files.write(f1.toPath, bytes)
+    val o3 = stream.latestOffset(o2, ReadLimit.allAvailable())
+    assert(stream.planInputPartitions(o2, o3).isEmpty,
+      "reappeared file was re-admitted as fresh — duplicate delivery")
+    // truly-gone files DO compact, after CompactAfterMissing
+    // consecutive absent listings — the offset stays bounded by the
+    // directory's live contents plus a short grace window
+    assert(f1.delete())
+    var o = o3
+    (1 to stream.CompactAfterMissing).foreach { _ =>
+      o = stream.latestOffset(o, ReadLimit.allAvailable())
+    }
+    assert(!files(o).exists(_.endsWith("f1.frames")),
+      "aged-out file never compacted — offsets would grow unboundedly")
+  }
+
   test("corrupt array count cannot overflow the skip into misaligned garbage") {
     import graft.sources.FramedFormat._
     val dir = java.nio.file.Files.createTempDirectory("graft_framed_ovf")

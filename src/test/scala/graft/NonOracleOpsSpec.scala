@@ -245,12 +245,11 @@ class NonOracleOpsSpec extends SparkSpec {
     // the shipped default cap leaves the natural fixture untouched
     // (max df is 3 at sf0.001), so every oracle row is the exact
     // uncapped computation — the contract the green CORRECTNESS
-    // entries for the pair family certify with the cap ACTIVE
-    val nat = Dedup.withHashedShingles(
-      Tables.documents(spark, sf001), "lang", "source").localCheckpoint()
-    val maxDf = nat.select(col("lang"), col("source"), explode(col("sh")).as("g"))
-      .groupBy("lang", "source", "g").count()
-      .agg(max("count")).collect()(0).getLong(0)
+    // entries for the pair family certify with the cap ACTIVE.
+    // (Verify re-asserts the same invariant at EVERY scale factor the
+    // driver runs — ADVICE r5; this spec pins sf0.001 and the shared
+    // helper.)
+    val maxDf = Dedup.maxShingleDf(Tables.documents(spark, sf001))
     assert(maxDf <= Dedup.MaxShingleDf,
       s"fixture max df $maxDf exceeds the cap — oracle rows would diverge")
   }
