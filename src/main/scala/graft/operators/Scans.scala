@@ -310,6 +310,31 @@ object Scans {
         .orderBy("event_type")
     }),
 
+    // SPLIT read of one LARGE indexed frame file (VERDICT r5 #1 — the
+    // last 100-TB gap in the extract story): the DSv2 writer records
+    // frame-start offsets every indexBlockBytes and publishes a
+    // sidecar FrameIndex, so the planner can cut ONE big engine-written
+    // file into ranged partitions instead of serializing it onto one
+    // task. The fixture is the whole events extract written as a
+    // SINGLE file; the probe reads it back at a split size chosen as
+    // fileLen/8 — several ranged partitions at every scale factor
+    // (FramedSourceSpec pins the >1-partition and zero-loss/dup
+    // properties; this oracle proves value-level losslessness).
+    "source_framed_split" -> ((s, dir) => {
+      val out = framedSplitFixture(s, dir)
+      val len = graft.sources.FramedSource
+        .frameFileStatuses(out, s.sparkContext.hadoopConfiguration).head._2
+      s.read.format("graft.sources.FramedSource")
+        .option("targetSplitBytes", math.max(len / 8, 16L * 1024).toString)
+        .load(out)
+        .groupBy("event_type")
+        .agg(big(count(lit(1))).as("n"),
+             dsum(col("value")).as("val_sum"),
+             big(sum(size(col("pulses")))).as("n_pulses"),
+             big(sum(aggregate(col("pulses"), lit(0L), (a, x) => a + x))).as("pulse_sum"))
+        .orderBy("event_type")
+    }),
+
     // Compressed frame input (the `.i3.gz` analog — i3cols reads
     // gz/bz2/zst archives transparently [public-repo:
     // i3cols/extract.py]): the SAME extraction over a gzip-compressed
@@ -542,6 +567,33 @@ object Scans {
     out
   }
 
+  /** Once-per-(JVM, source-state) guard for the single-large-file
+    * indexed fixture feeding `source_framed_split`. */
+  private val framedSplitMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Unit]
+
+  /** Write (once per JVM + source state) the events extract as ONE
+    * frame file through the DSv2 writer, with a dense FrameIndex
+    * sidecar (8 KiB blocks) so the split planner has boundaries to cut
+    * at even at sf0.001. Same closed-form pulses as [[framedFixture]],
+    * so the shared extract oracle applies. */
+  def framedSplitFixture(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val out = scratch(dir, "framed_split_src")
+    framedSplitMemo.getOrElseUpdate(
+      s"$out|${graft.Tables.fsSig(s, s"$dir/events.parquet")}", {
+        events(s, dir).select(
+            col("event_id"), col("event_type"), col("value"),
+            when(col("event_id") % 5 === 0, array().cast("array<bigint>"))
+              .otherwise(transform(sequence(lit(1L), col("event_id") % 5),
+                i => unix_micros(col("ts")) % 1000000L + i - 1)).as("pulses"))
+          .coalesce(1)
+          .write.format("graft.sources.FramedSource")
+          .option("indexBlockBytes", (8L * 1024).toString)
+          .mode("overwrite").save(out)
+      })
+    out
+  }
+
   /** Once-per-(JVM, source-state) guard for the gz-compressed framed
     * fixture feeding `source_framed_extract_gz`. */
   private val framedGzMemo =
@@ -729,6 +781,17 @@ object Scans {
     // write→read roundtrip must be lossless: same closed form as the
     // extract oracle
     "sink_framed_roundtrip" ->
+      ("WITH e AS (SELECT event_type, value, event_id % 5 AS np, " +
+       "epoch_us(ts) % 1000000 AS base FROM events) " +
+       "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
+       s"${dsumSql("value")} AS val_sum, " +
+       "CAST(SUM(np) AS BIGINT) AS n_pulses, " +
+       "CAST(SUM(np * base + (np * (np - 1)) // 2) AS BIGINT) AS pulse_sum " +
+       "FROM e GROUP BY event_type ORDER BY event_type"),
+    // splitting must be invisible to results: identical oracle to the
+    // per-file extract (the fixture is the same extract, one indexed
+    // file instead of eight)
+    "source_framed_split" ->
       ("WITH e AS (SELECT event_type, value, event_id % 5 AS np, " +
        "epoch_us(ts) % 1000000 AS base FROM events) " +
        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, " +

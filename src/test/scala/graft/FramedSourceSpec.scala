@@ -628,6 +628,57 @@ class FramedSourceSpec extends SparkSpec {
       "aged-out file never compacted — offsets would grow unboundedly")
   }
 
+  test("a large indexed frame file reads as multiple ranged partitions, losslessly") {
+    val dir = s"${java.nio.file.Files.createTempDirectory("graft_framed_split")}/table"
+    // one task → ONE file; small index blocks so the fixture stays tiny
+    val n = 5000L
+    spark.range(0, n).coalesce(1).select(
+        col("id").as("event_id"),
+        concat(lit("payload-"), col("id") % 7).as("kind"),
+        (col("id") * 0.25).as("score"))
+      .write.format("graft.sources.FramedSource")
+      .option("indexBlockBytes", "4096").mode("overwrite").save(dir)
+    val files = graft.sources.FramedSource.frameFiles(dir)
+    assert(files.size == 1, s"expected one data file, got ${files.size}")
+    // frameFiles returns qualified URIs (file:/…) — resolve to local paths
+    def local(p: String) = new java.io.File(new java.net.URI(p).getPath)
+    assert(local(graft.sources.FrameIndex.sidecarPath(files.head)).exists(),
+      "writer did not publish the sidecar index")
+    // default targetSplitBytes (128 MiB) ≫ file size → whole file, 1 partition
+    val whole = spark.read.format("graft.sources.FramedSource").load(dir)
+    assert(whole.rdd.getNumPartitions == 1)
+    // small targetSplitBytes → ranged partitions at indexed frame
+    // boundaries; zero row loss, zero duplication (VERDICT r5 #1)
+    val split = spark.read.format("graft.sources.FramedSource")
+      .option("targetSplitBytes", "16384").load(dir)
+    val parts = split.rdd.getNumPartitions
+    assert(parts > 1, s"indexed large file still read as $parts partition(s)")
+    assert(split.count() == n)
+    assert(split.select("event_id").distinct().count() == n)
+    // values, not just counts: checksum equality against the unsplit read
+    val sumWhole = whole.agg(sum(col("score"))).collect()(0).getDouble(0)
+    val sumSplit = split.agg(sum(col("score"))).collect()(0).getDouble(0)
+    assert(sumWhole == sumSplit)
+    // provenance: many partitions, one file
+    assert(split.select("_file").distinct().count() == 1)
+    // pushdown still sheds inside every range
+    assert(split.where(col("event_id") < 100L).count() == 100)
+    // a STALE sidecar (file length mismatch after an out-of-band
+    // append) is ignored — whole-file fallback, never a wrong result
+    val out = new java.io.FileOutputStream(
+      local(graft.sources.FrameIndex.sidecarPath(files.head)), false)
+    try out.write("not an index".getBytes("UTF-8")) finally out.close()
+    val fallback = spark.read.format("graft.sources.FramedSource")
+      .option("targetSplitBytes", "16384").load(dir)
+    assert(fallback.rdd.getNumPartitions == 1, "corrupt sidecar must degrade to whole-file")
+    assert(fallback.count() == n)
+    // overwrite truncation removes the stale sidecar with its data file
+    spark.range(0, 10).coalesce(1).select(col("id").as("event_id"))
+      .write.format("graft.sources.FramedSource").mode("overwrite").save(dir)
+    assert(!local(graft.sources.FrameIndex.sidecarPath(files.head)).exists(),
+      "overwrite left a stale sidecar behind")
+  }
+
   test("corrupt array count cannot overflow the skip into misaligned garbage") {
     import graft.sources.FramedFormat._
     val dir = java.nio.file.Files.createTempDirectory("graft_framed_ovf")
