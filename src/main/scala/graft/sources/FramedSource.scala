@@ -72,13 +72,35 @@ object FramedFormat {
   val TagDouble: Byte = 1
   val TagString: Byte = 2
   val TagLongArray: Byte = 3
+  /** Ragged array of multi-field records — the reference's signature
+    * pulse-series shape (I3RecoPulse: time, charge, …) `[public-repo:
+    * i3cols/dtypes.py]`. Payload (self-describing, COLUMN-major):
+    * {{{
+    *   uint8 nFields, nFields × (uint16 nameLen, name utf8, int8 fieldTag),
+    *   int32 n, nFields × (n × 8 bytes)      // fieldTag ∈ {long, double}
+    * }}}
+    * Column-major blocks are i3cols' per-field `data.npy` laid into the
+    * frame: an unrequested struct field skips as ONE checked
+    * `n × 8`-byte skip, so nested-schema pruning reaches the parser. */
+  val TagStructArray: Byte = 4
 
   def sparkType(tag: Byte): DataType = tag match {
     case TagLong => LongType
     case TagDouble => DoubleType
     case TagString => StringType
     case TagLongArray => ArrayType(LongType, containsNull = false)
+    // TagStructArray's type needs the payload's field directory —
+    // inference parses it in place (see FramedSource.infer)
     case t => throw new IllegalArgumentException(s"unknown frame type tag $t")
+  }
+
+  /** Column-major value for a [[TagStructArray]] key: `fields` are the
+    * record type's (name, field tag) in declared order; `cols(i)` is
+    * field i's values for all `count` elements (`Array[Long]` or
+    * `Array[Double]`, matching the tag). */
+  case class StructColumns(fields: Seq[(String, Byte)], count: Int, cols: Seq[AnyRef]) {
+    require(fields.length == cols.length,
+      s"struct column count ${cols.length} != field count ${fields.length}")
   }
 
   /** Write one frame; returns the frame's total on-disk byte count
@@ -101,6 +123,25 @@ object FramedFormat {
           val sb = v.getBytes("UTF-8"); b.writeInt(sb.length); b.write(sb)
         case (TagLongArray, v: Array[Long]) =>
           b.writeInt(v.length); v.foreach(b.writeLong)
+        case (TagStructArray, v: StructColumns) =>
+          b.writeByte(v.fields.length)
+          v.fields.foreach { case (fn, ft) =>
+            require(ft == TagLong || ft == TagDouble,
+              s"struct field $fn: only long/double fields are fixed-width encodable")
+            val fb = fn.getBytes("UTF-8")
+            b.writeShort(fb.length); b.write(fb); b.writeByte(ft)
+          }
+          b.writeInt(v.count)
+          v.fields.zip(v.cols).foreach {
+            case ((fn, TagLong), a: Array[Long]) =>
+              require(a.length == v.count, s"struct column $fn length ${a.length} != ${v.count}")
+              a.foreach(b.writeLong)
+            case ((fn, TagDouble), a: Array[Double]) =>
+              require(a.length == v.count, s"struct column $fn length ${a.length} != ${v.count}")
+              a.foreach(b.writeDouble)
+            case ((fn, ft), a) =>
+              throw new IllegalArgumentException(s"struct column $fn: tag $ft vs $a")
+          }
         case other => throw new IllegalArgumentException(s"bad key $name: $other")
       }
     }
@@ -291,19 +332,40 @@ object FramedSource {
             val nameLen = in.readUnsignedShort()
             val nb = new Array[Byte](nameLen); in.readFully(nb)
             val tag = in.readByte()
-            // skip this key's payload to reach the next key header
-            // (checked: a torn first frame must fail loudly even
-            // during inference)
-            tag match {
-              case FramedFormat.TagLong | FramedFormat.TagDouble =>
-                FramedReader.skipFully(in, 8L, f)
+            // resolve this key's type and skip its payload to reach
+            // the next key header (checked: a torn first frame must
+            // fail loudly even during inference)
+            val dt: DataType = tag match {
+              case FramedFormat.TagLong =>
+                FramedReader.skipFully(in, 8L, f); LongType
+              case FramedFormat.TagDouble =>
+                FramedReader.skipFully(in, 8L, f); DoubleType
               case FramedFormat.TagString =>
-                FramedReader.skipFully(in, in.readInt().toLong, f)
+                FramedReader.skipFully(in, in.readInt().toLong, f); StringType
               case FramedFormat.TagLongArray =>
                 FramedReader.skipFully(in, in.readInt().toLong * 8L, f)
+                ArrayType(LongType, containsNull = false)
+              case FramedFormat.TagStructArray =>
+                // the payload's field directory IS the record type
+                val nf = in.readUnsignedByte()
+                val sfs = (0 until nf).map { _ =>
+                  val fl = in.readUnsignedShort()
+                  val fb = new Array[Byte](fl); in.readFully(fb)
+                  val ftag = in.readByte()
+                  val fdt = ftag match {
+                    case FramedFormat.TagLong => LongType
+                    case FramedFormat.TagDouble => DoubleType
+                    case t => throw new IllegalArgumentException(
+                      s"unknown struct field tag $t in $f")
+                  }
+                  StructField(new String(fb, "UTF-8"), fdt, nullable = false)
+                }
+                FramedReader.skipFully(in, in.readInt().toLong * 8L * nf, f)
+                ArrayType(StructType(sfs), containsNull = false)
+              case t => throw new IllegalArgumentException(
+                s"unknown frame type tag $t in $f")
             }
-            StructField(new String(nb, "UTF-8"), FramedFormat.sparkType(tag),
-              nullable = false)
+            StructField(new String(nb, "UTF-8"), dt, nullable = false)
           })
         }
       } finally in.close()
@@ -937,6 +999,72 @@ class FramedReader(splits: Seq[FramedSplit], required: StructType,
               while (j < n) { arr(j) = in.readLong(); j += 1 }
               values(ord) = new GenericArrayData(arr)
             } else FramedReader.skipFully(in, n.toLong * 8L, file)
+          case FramedFormat.TagStructArray =>
+            // the field directory precedes the data, so it is parsed
+            // even when the key is skipped (it sizes the skip)
+            val nf = in.readUnsignedByte()
+            val wireFields = new Array[(String, Byte)](nf)
+            var fi = 0
+            while (fi < nf) {
+              val fl = in.readUnsignedShort()
+              checkLen(fl.toLong, "struct field name", bodyLen)
+              val fb = new Array[Byte](fl); in.readFully(fb)
+              wireFields(fi) = (new String(fb, "UTF-8"), in.readByte())
+              fi += 1
+            }
+            val n = in.readInt()
+            checkLen(n.toLong * 8L * nf, "struct array", bodyLen)
+            if (ord >= 0) {
+              // the required element type may be a PRUNED subset of the
+              // wire fields (nested-schema pruning): unrequested field
+              // blocks skip in one checked n×8-byte hop — the payload
+              // is column-major precisely for this
+              val st = required.fields(ord).dataType.asInstanceOf[ArrayType]
+                .elementType.asInstanceOf[StructType]
+              val outOrd: Map[String, Int] = st.fieldNames.zipWithIndex.toMap
+              val colVals = new Array[Array[Any]](st.length)
+              var wi = 0
+              while (wi < nf) {
+                val (fname, ftag) = wireFields(wi)
+                val o = outOrd.getOrElse(fname, -1)
+                ftag match {
+                  case FramedFormat.TagLong =>
+                    if (o >= 0) {
+                      val a = new Array[Any](n)
+                      var j = 0
+                      while (j < n) { a(j) = in.readLong(); j += 1 }
+                      colVals(o) = a
+                    } else FramedReader.skipFully(in, n.toLong * 8L, file)
+                  case FramedFormat.TagDouble =>
+                    if (o >= 0) {
+                      val a = new Array[Any](n)
+                      var j = 0
+                      while (j < n) { a(j) = in.readDouble(); j += 1 }
+                      colVals(o) = a
+                    } else FramedReader.skipFully(in, n.toLong * 8L, file)
+                  case t => throw new IllegalStateException(
+                    s"unknown struct field tag $t in $file")
+                }
+                wi += 1
+              }
+              var oi = 0
+              while (oi < st.length) {
+                if (colVals(oi) == null) throw new IllegalStateException(
+                  s"struct array key $name lacks required field " +
+                  s"${st.fields(oi).name} in $file")
+                oi += 1
+              }
+              val rows = new Array[Any](n)
+              var j = 0
+              while (j < n) {
+                val vals = new Array[Any](st.length)
+                var k = 0
+                while (k < st.length) { vals(k) = colVals(k)(j); k += 1 }
+                rows(j) = new GenericInternalRow(vals)
+                j += 1
+              }
+              values(ord) = new GenericArrayData(rows)
+            } else FramedReader.skipFully(in, n.toLong * 8L * nf, file)
           case t => throw new IllegalStateException(s"unknown type tag $t in $file")
         }
         i += 1
@@ -979,7 +1107,8 @@ class FramedWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWrite
     schema.fields.foreach { f =>
       require(FramedWrite.tagOf(f.dataType).isDefined,
         s"FramedSource cannot encode column ${f.name}: ${f.dataType.simpleString} " +
-        "(supported: bigint, double, string, array<bigint>)")
+        "(supported: bigint, double, string, array<bigint>, " +
+        "array<struct> of bigint/double fields)")
     }
     val indexBlockBytes = {
       val v = info.options().get("indexBlockBytes")
@@ -1007,6 +1136,10 @@ object FramedWrite {
     case DoubleType => Some(FramedFormat.TagDouble)
     case StringType => Some(FramedFormat.TagString)
     case ArrayType(LongType, _) => Some(FramedFormat.TagLongArray)
+    case ArrayType(st: StructType, _)
+      if st.fields.nonEmpty &&
+         st.fields.forall(f => f.dataType == LongType || f.dataType == DoubleType) =>
+      Some(FramedFormat.TagStructArray)
     case _ => None
   }
 }
@@ -1148,7 +1281,8 @@ class FramedDataWriter(schema: StructType, path: String, queryId: String,
   private val fs = tmp.getFileSystem(hadoopConf)
   private var out: DataOutputStream = _
   private var wrote = false
-  private val fields = schema.fields.map(f => (f.name, FramedWrite.tagOf(f.dataType).get))
+  private val fields =
+    schema.fields.map(f => (f.name, FramedWrite.tagOf(f.dataType).get, f.dataType))
   // frame-offset index state: every boundary recorded here is the
   // byte offset of a frame START ≥ indexBlockBytes past the previous
   // one — the sidecar that makes a LARGE output file range-splittable
@@ -1163,7 +1297,7 @@ class FramedDataWriter(schema: StructType, path: String, queryId: String,
       wrote = true
     }
     if (bytesOut - indexOffsets.last >= indexBlockBytes) indexOffsets += bytesOut
-    val keys = fields.zipWithIndex.map { case ((name, tag), i) =>
+    val keys = fields.zipWithIndex.map { case ((name, tag, dt), i) =>
       // the frame format has no null encoding — a null must fail the
       // task loudly (getLong on a null slot would silently encode 0)
       if (record.isNullAt(i))
@@ -1180,6 +1314,33 @@ class FramedDataWriter(schema: StructType, path: String, queryId: String,
             throw new IllegalArgumentException(
               s"framed format cannot encode NULL array elements (key $name)")
           arr.toLongArray()
+        case FramedFormat.TagStructArray =>
+          // row-major Catalyst array of structs → the format's
+          // column-major fixed-width blocks
+          val st = dt.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+          val arr = record.getArray(i)
+          val n = arr.numElements()
+          val dir = st.fields.toSeq.map(f => (f.name,
+            if (f.dataType == LongType) FramedFormat.TagLong else FramedFormat.TagDouble))
+          val cols: Seq[AnyRef] = st.fields.toSeq.zipWithIndex.map { case (f, fi) =>
+            def struct(j: Int) = {
+              if (arr.isNullAt(j))
+                throw new IllegalArgumentException(
+                  s"framed format cannot encode NULL array elements (key $name)")
+              val e = arr.getStruct(j, st.length)
+              if (e.isNullAt(fi))
+                throw new IllegalArgumentException(
+                  s"framed format cannot encode NULL struct field ${f.name} (key $name)")
+              e
+            }
+            f.dataType match {
+              case LongType   => Array.tabulate(n)(j => struct(j).getLong(fi))
+              case DoubleType => Array.tabulate(n)(j => struct(j).getDouble(fi))
+              case other => throw new IllegalArgumentException(
+                s"unencodable struct field type $other (key $name)")
+            }
+          }
+          FramedFormat.StructColumns(dir, n, cols)
       }
       (name, tag, v)
     }.toSeq

@@ -679,6 +679,105 @@ class FramedSourceSpec extends SparkSpec {
       "overwrite left a stale sidecar behind")
   }
 
+  test("tag-4 ragged struct key (pulse series) roundtrips through write and read, schema included") {
+    val dir = s"${java.nio.file.Files.createTempDirectory("graft_framed_t4")}/table"
+    val df = spark.range(0, 200).select(
+      col("id").as("event_id"),
+      when(col("id") % 4 === 0, array().cast("array<struct<t:bigint,q:double>>"))
+        .otherwise(transform(sequence(lit(1L), col("id") % 4), i =>
+          struct((col("id") * 10 + i - 1).as("t"), ((i - 1).cast("double") * 0.5).as("q"))))
+        .as("pulses"))
+    df.write.format("graft.sources.FramedSource").mode("overwrite").save(dir)
+    // inference reconstructs the nested type from the wire field directory
+    assert(graft.sources.FramedSource.infer(dir) == StructType(Seq(
+      StructField("event_id", LongType, nullable = false),
+      StructField("pulses", ArrayType(StructType(Seq(
+        StructField("t", LongType, nullable = false),
+        StructField("q", DoubleType, nullable = false))), containsNull = false),
+        nullable = false))))
+    val back = spark.read.format("graft.sources.FramedSource").load(dir)
+    assertSameRows(
+      back.withColumn("pulses", col("pulses").cast("string")),
+      df.withColumn("pulses", col("pulses").cast("string")),
+      "tag-4 roundtrip")
+    // NULL struct elements / fields fail the write loudly
+    val withNull = spark.range(3).select(col("id").as("event_id"),
+      array(struct(lit(1L).as("t"),
+        when(col("id") === 1L, lit(null).cast("double")).otherwise(lit(0.5)).as("q")))
+        .as("pulses"))
+    val e = intercept[Exception] {
+      withNull.write.format("graft.sources.FramedSource").mode("append").save(dir)
+    }
+    assert(e.getMessage.contains("NULL") || e.getCause != null, e.getMessage)
+  }
+
+  test("struct-field pruning reaches the frame parser: unrequested field blocks are skipped") {
+    import graft.sources.FramedFormat._
+    val dir = java.nio.file.Files.createTempDirectory("graft_framed_t4p").toString
+    val dos = new java.io.DataOutputStream(new java.io.FileOutputStream(s"$dir/a.frames"))
+    try (0 until 10).foreach { i =>
+      writeFrame(dos, Seq(
+        ("event_id", TagLong, i.toLong),
+        ("pulses", TagStructArray, StructColumns(
+          Seq(("t", TagLong), ("q", TagDouble), ("w", TagDouble)),
+          3,
+          Seq(Array.tabulate(3)(j => (i * 10 + j).toLong),
+              Array.tabulate(3)(j => j * 0.5),
+              Array.tabulate(3)(j => j * 2.0))))))
+    } finally dos.close()
+    // reader-level: a required schema whose struct keeps only (t) must
+    // decode t and SKIP the q/w column blocks — and the decode must
+    // stay aligned (all 10 frames parse)
+    val pruned = StructType(Seq(
+      StructField("pulses", ArrayType(StructType(Seq(
+        StructField("t", LongType, nullable = false))), containsNull = false),
+        nullable = false)))
+    val r = new graft.sources.FramedReader(s"$dir/a.frames", pruned, Nil)
+    var n = 0
+    var tSum = 0L
+    try while (r.next()) {
+      val arr = r.get().getArray(0)
+      (0 until arr.numElements()).foreach(j => tSum += arr.getStruct(j, 1).getLong(0))
+      n += 1
+    } finally r.close()
+    assert(n == 10)
+    assert(tSum == (0 until 10).map(i => 3L * (i * 10) + 3L).sum)
+    // end-to-end: projecting one nested field yields correct values
+    val viaDf = spark.read.format("graft.sources.FramedSource").load(dir)
+      .select(explode(col("pulses")).as("p")).select(sum(col("p.t"))).collect()(0).getLong(0)
+    assert(viaDf == tSum)
+    // a required field the wire lacks fails loudly (foreign/evolved file)
+    val missing = StructType(Seq(
+      StructField("pulses", ArrayType(StructType(Seq(
+        StructField("nosuch", LongType, nullable = false))), containsNull = false),
+        nullable = false)))
+    val r2 = new graft.sources.FramedReader(s"$dir/a.frames", missing, Nil)
+    try {
+      val e = intercept[IllegalStateException] { while (r2.next()) () }
+      assert(e.getMessage.contains("lacks required field"), e.getMessage)
+    } finally r2.close()
+    // corrupt struct-array count: checked against bodyLen, never a
+    // misaligned parse
+    val f2 = s"$dir/bad_count.frames"
+    val dos2 = new java.io.DataOutputStream(new java.io.FileOutputStream(f2))
+    try {
+      val name = "pulses".getBytes("UTF-8")
+      val tb = "t".getBytes("UTF-8")
+      dos2.writeInt(4 + 2 + name.length + 1 + 1 + (2 + tb.length + 1) + 4 + 8)
+      dos2.writeInt(1)
+      dos2.writeShort(name.length); dos2.write(name); dos2.writeByte(TagStructArray)
+      dos2.writeByte(1); dos2.writeShort(tb.length); dos2.write(tb); dos2.writeByte(TagLong)
+      dos2.writeInt(0x20000000) // claims 2^29 elements in a 30-byte body
+      dos2.writeLong(7L)
+    } finally dos2.close()
+    val r3 = new graft.sources.FramedReader(f2, pruned, Nil)
+    try {
+      val e = intercept[IllegalStateException] { while (r3.next()) () }
+      assert(e.getMessage.contains("corrupt frame") && e.getMessage.contains("struct array"),
+        e.getMessage)
+    } finally r3.close()
+  }
+
   test("corrupt array count cannot overflow the skip into misaligned garbage") {
     import graft.sources.FramedFormat._
     val dir = java.nio.file.Files.createTempDirectory("graft_framed_ovf")
