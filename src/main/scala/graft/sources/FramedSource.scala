@@ -1119,8 +1119,31 @@ class FramedWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWrite
         n
       }
     }
+    val conf = FramedSource.sessionHadoopConf()
+    val compression = Option(info.options().get("compression")).map { name =>
+      // resolve AND exercise the codec on the driver at write build:
+      // an unknown name or a codec whose native library is absent in
+      // this runtime (zstd needs libhadoop+libzstd; gzip/bzip2 are
+      // pure-JVM-capable) must fail the query at analysis, not 10⁴
+      // tasks into the job
+      val codec =
+        try new CompressionCodecFactory(conf).getCodecByName(name)
+        catch { case e: Exception =>
+          throw new IllegalArgumentException(
+            s"framed sink: unknown compression codec '$name'", e)
+        }
+      require(codec != null, s"framed sink: unknown compression codec '$name'")
+      try codec.createOutputStream(
+        new java.io.ByteArrayOutputStream()).close()
+      catch { case e: Throwable =>
+        throw new IllegalArgumentException(
+          s"framed sink: codec '$name' is not usable in this runtime " +
+          s"(${e.getMessage}); gzip and bzip2 are always available", e)
+      }
+      name
+    }
     FramedWrite(schema, path, info.queryId(), truncateOnCommit,
-      new SerializableHadoopConf(FramedSource.sessionHadoopConf()), indexBlockBytes)
+      new SerializableHadoopConf(conf), indexBlockBytes, compression)
   }
 }
 
@@ -1153,7 +1176,8 @@ case class FramedCommitMessage(tmpPath: String, finalName: String,
 
 case class FramedWrite(schema: StructType, path: String, queryId: String,
                        truncate: Boolean, conf: SerializableHadoopConf,
-                       indexBlockBytes: Long = FramedWrite.DefaultIndexBlockBytes)
+                       indexBlockBytes: Long = FramedWrite.DefaultIndexBlockBytes,
+                       compression: Option[String] = None)
     extends org.apache.spark.sql.connector.write.Write
     with org.apache.spark.sql.connector.write.BatchWrite
     with org.apache.spark.sql.connector.write.streaming.StreamingWrite {
@@ -1167,7 +1191,7 @@ case class FramedWrite(schema: StructType, path: String, queryId: String,
   override def useCommitCoordinator(): Boolean = true
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    FramedWriterFactory(schema, path, queryId, conf, indexBlockBytes)
+    FramedWriterFactory(schema, path, queryId, conf, indexBlockBytes, compression)
 
   /** Batch commit. Publication is per-file-atomic (rename), not
     * whole-job-atomic: a driver crash mid-commit can leave a partial
@@ -1200,7 +1224,7 @@ case class FramedWrite(schema: StructType, path: String, queryId: String,
     * re-runs the same deterministic batch under the same epoch id. */
   override def createStreamingWriterFactory(info: PhysicalWriteInfo):
       streaming.StreamingDataWriterFactory =
-    FramedWriterFactory(schema, path, queryId, conf, indexBlockBytes)
+    FramedWriterFactory(schema, path, queryId, conf, indexBlockBytes, compression)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     publish(messages, idempotent = true)
@@ -1246,17 +1270,18 @@ case class FramedWrite(schema: StructType, path: String, queryId: String,
 
 case class FramedWriterFactory(schema: StructType, path: String, queryId: String,
                                conf: SerializableHadoopConf,
-                               indexBlockBytes: Long = FramedWrite.DefaultIndexBlockBytes)
+                               indexBlockBytes: Long = FramedWrite.DefaultIndexBlockBytes,
+                               compression: Option[String] = None)
     extends org.apache.spark.sql.connector.write.DataWriterFactory
     with org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long):
       org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     new FramedDataWriter(schema, path, queryId, partitionId, taskId, conf.value,
-      indexBlockBytes = indexBlockBytes)
+      indexBlockBytes = indexBlockBytes, compression = compression)
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long):
       org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     new FramedDataWriter(schema, path, queryId, partitionId, taskId, conf.value, epochId,
-      indexBlockBytes)
+      indexBlockBytes, compression)
 }
 
 /** Task-side frame encoder: rows stream straight into the temp file
@@ -1267,17 +1292,24 @@ case class FramedWriterFactory(schema: StructType, path: String, queryId: String
 class FramedDataWriter(schema: StructType, path: String, queryId: String,
                        partitionId: Int, taskId: Long, hadoopConf: Configuration,
                        epochId: Long = -1L,
-                       indexBlockBytes: Long = FramedWrite.DefaultIndexBlockBytes)
+                       indexBlockBytes: Long = FramedWrite.DefaultIndexBlockBytes,
+                       compression: Option[String] = None)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  // compressed output (the i3cols archive-at-rest posture: `.i3.gz`):
+  // the codec's default extension lands IN the final name, so the
+  // reader's extension-resolved decode path picks it up unchanged
+  private val codec = compression.map(
+    new CompressionCodecFactory(hadoopConf).getCodecByName(_))
+  private val ext = codec.map(_.getDefaultExtension).getOrElse("")
   // streaming epochs get epoch-scoped final names: epochs never collide
   // with each other, and an epoch replay regenerates the SAME name —
   // the idempotent-re-commit key
   private val stem =
     if (epochId >= 0) s"part-$queryId-e$epochId-$partitionId"
     else s"part-$queryId-$partitionId"
-  private val tmp = new Path(path, s".$stem.frames.tmp-$taskId")
-  private val idxTmp = new Path(path, s".$stem.frames.idx.tmp-$taskId")
-  private val finalName = s"$stem.frames"
+  private val tmp = new Path(path, s".$stem.frames$ext.tmp-$taskId")
+  private val idxTmp = new Path(path, s".$stem.frames$ext.idx.tmp-$taskId")
+  private val finalName = s"$stem.frames$ext"
   private val fs = tmp.getFileSystem(hadoopConf)
   private var out: DataOutputStream = _
   private var wrote = false
@@ -1293,10 +1325,17 @@ class FramedDataWriter(schema: StructType, path: String, queryId: String,
     if (out == null) {
       // parent may not exist yet (fresh write target)
       fs.mkdirs(new Path(path))
-      out = new DataOutputStream(new java.io.BufferedOutputStream(fs.create(tmp, true)))
+      val raw: java.io.OutputStream = codec match {
+        case Some(c) => c.createOutputStream(fs.create(tmp, true))
+        case None    => fs.create(tmp, true)
+      }
+      out = new DataOutputStream(new java.io.BufferedOutputStream(raw))
       wrote = true
     }
-    if (bytesOut - indexOffsets.last >= indexBlockBytes) indexOffsets += bytesOut
+    // no offset index for compressed output: a whole-file codec stream
+    // cannot seek, so the file is unsplittable regardless
+    if (codec.isEmpty && bytesOut - indexOffsets.last >= indexBlockBytes)
+      indexOffsets += bytesOut
     val keys = fields.zipWithIndex.map { case ((name, tag, dt), i) =>
       // the frame format has no null encoding — a null must fail the
       // task loudly (getLong on a null slot would silently encode 0)
@@ -1352,6 +1391,7 @@ class FramedDataWriter(schema: StructType, path: String, queryId: String,
     if (wrote) {
       // emit the sidecar only when the file spans ≥2 index blocks — a
       // single-block file cannot be split any finer than "whole file"
+      // (compressed output never records boundaries, so never emits)
       val idx = if (indexOffsets.length >= 2) {
         val o = new DataOutputStream(new java.io.BufferedOutputStream(fs.create(idxTmp, true)))
         try FrameIndex.write(o, bytesOut, indexOffsets.toSeq) finally o.close()

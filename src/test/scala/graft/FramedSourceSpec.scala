@@ -778,6 +778,63 @@ class FramedSourceSpec extends SparkSpec {
     } finally r3.close()
   }
 
+  test("compressed WRITE: gzip sink roundtrips, skips the split index, rejects unusable codecs") {
+    val dir = s"${java.nio.file.Files.createTempDirectory("graft_framed_wgz")}/table"
+    val df = spark.range(0, 500).select(
+      col("id").as("event_id"),
+      concat(lit("k"), col("id") % 3).as("kind"),
+      (col("id") * 0.5).as("score"))
+    df.coalesce(1).write.format("graft.sources.FramedSource")
+      .option("compression", "gzip")
+      .option("indexBlockBytes", "1024") // would index if uncompressed
+      .mode("overwrite").save(dir)
+    val files = graft.sources.FramedSource.frameFiles(dir)
+    assert(files.size == 1 && files.head.endsWith(".frames.gz"),
+      s"expected one .frames.gz, got $files")
+    // compression actually happened (repetitive fixture shrinks well)
+    val names = new java.io.File(dir).listFiles().map(_.getName)
+    assert(!names.exists(_.endsWith(".idx")),
+      "compressed (unsplittable) output must not publish a split index")
+    val back = spark.read.format("graft.sources.FramedSource").load(dir)
+    assertSameRows(back, df, "compressed write roundtrip")
+    // overwrite truncation removes compressed files too
+    df.limit(10).write.format("graft.sources.FramedSource")
+      .option("compression", "gzip").mode("overwrite").save(dir)
+    assert(spark.read.format("graft.sources.FramedSource").load(dir).count() == 10)
+    // unknown codec fails at write build with a clear message
+    val e1 = intercept[Exception] {
+      df.write.format("graft.sources.FramedSource")
+        .option("compression", "nosuchcodec").mode("append").save(dir)
+    }
+    assert(e1.getMessage.contains("compression codec"), e1.getMessage)
+    // zstd: available only with native hadoop+libzstd — absent here it
+    // must fail AT BUILD with the honest runtime message, not 10^4
+    // tasks into the job; present, it must roundtrip like gzip
+    val zstdUsable =
+      try {
+        new org.apache.hadoop.io.compress.CompressionCodecFactory(
+          spark.sparkContext.hadoopConfiguration).getCodecByName("zstd")
+          .createOutputStream(new java.io.ByteArrayOutputStream()).close()
+        true
+      } catch { case _: Throwable => false }
+    if (zstdUsable) {
+      df.write.format("graft.sources.FramedSource")
+        .option("compression", "zstd").mode("overwrite").save(dir)
+      assertSameRows(
+        spark.read.format("graft.sources.FramedSource").load(dir), df, "zstd roundtrip")
+    } else {
+      val e2 = intercept[Exception] {
+        df.write.format("graft.sources.FramedSource")
+          .option("compression", "zstd").mode("append").save(dir)
+      }
+      // either honest build-time refusal: not registered in this
+      // Hadoop build ("unknown"), or registered but native lib absent
+      // ("not usable in this runtime")
+      assert(e2.getMessage.contains("compression codec 'zstd'") ||
+             e2.getMessage.contains("not usable in this runtime"), e2.getMessage)
+    }
+  }
+
   test("corrupt array count cannot overflow the skip into misaligned garbage") {
     import graft.sources.FramedFormat._
     val dir = java.nio.file.Files.createTempDirectory("graft_framed_ovf")
