@@ -500,6 +500,37 @@ object Scans {
              r2(sum(col("value"))).as("val_sum"))
     }),
 
+    // MULTI-LEVEL category index (VERDICT r5 #4 — the run→subrun
+    // analog of i3cols' hierarchical keys: season/run/subrun dirs with
+    // an index per level [public-repo: i3cols/extract.py]): the layout
+    // nests TWO categorical levels (event_type, then a user bucket)
+    // and the persisted `_index` records (category, bucket, file,
+    // n_rows, id_min, id_max) from parquet footers. A probe consults
+    // the index on BOTH levels plus the id range and opens only the
+    // matching cell's overlapping files — a strict subset of the
+    // level-1 category's files (CategIndex2Spec asserts it); the
+    // oracle proves the routed read equals the plain filtered scan.
+    "scan_categ_index_multilevel" -> ((s, dir) => {
+      val idxPath = categIndex2Build(s, dir)
+      val lo = 0L; val hi = 500L
+      val files = s.read.parquet(idxPath)
+        .where(col("category") === "click" && col("bucket") === 2L &&
+               col("id_max") >= lo && col("id_min") <= hi)
+        .select("file")
+        .collect().map(_.getString(0)).toSeq
+      val base = if (files.isEmpty) {
+        // fully-pruned probe → typed empty result, not a read error
+        s.read.parquet(idxPath)
+          .select(lit(0L).as("event_id"), lit(0.0).as("value"))
+          .where(lit(false))
+      } else s.read.parquet(files: _*)
+      base.where(col("event_id").between(lo, hi))
+        .agg(big(count(lit(1))).as("n"),
+             big(min(col("event_id"))).as("id_lo"),
+             big(max(col("event_id"))).as("id_hi"),
+             r2(sum(col("value"))).as("val_sum"))
+    }),
+
     // Z-order (Morton) clustering key: interleave 8-bit bucket ranks of
     // two dimensions so sorting by the single z key co-locates rows
     // that are close in BOTH — the layout that makes 2-D box filters
@@ -770,6 +801,71 @@ object Scans {
     idxPath
   }
 
+  /** Once-per-(JVM, source-state) guard for the TWO-LEVEL category
+    * layout + index feeding `scan_categ_index_multilevel`. */
+  private val categIndex2Memo =
+    scala.collection.concurrent.TrieMap.empty[String, Unit]
+
+  /** Build (once per JVM + source state) the two-level category layout
+    * — event_type (level 1) nesting user bucket = user_id % 4 (level
+    * 2) — plus its persisted `_index`, and return the index path. The
+    * layout is range-clustered on (event_type, bucket, event_id)
+    * before the nested partitioned write, so each (category, bucket)
+    * cell holds files with tight event_id ranges; the index rows
+    * (category, bucket, file, n_rows, id_min, id_max) come from
+    * parquet FOOTERS only, like [[categIndexBuild]]. This is the
+    * hierarchical-key shape: level-1 prune → level-2 prune → range
+    * prune, each cutting the file list before any data is read. */
+  def categIndex2Build(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val out = scratch(dir, "categ2_layout")
+    val idxPath = s"$out/_index"
+    categIndex2Memo.getOrElseUpdate(
+      s"$out|${graft.Tables.fsSig(s, s"$dir/events.parquet")}", {
+        events(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+          .withColumn("bucket", col("user_id") % 4)
+          .repartitionByRange(32, col("event_type"), col("bucket"), col("event_id"))
+          .write.mode("overwrite").partitionBy("event_type", "bucket").parquet(out)
+        import scala.jdk.CollectionConverters._
+        val conf = s.sparkContext.hadoopConfiguration
+        val root = new org.apache.hadoop.fs.Path(out)
+        val fs = root.getFileSystem(conf)
+        val rows = fs.listStatus(root).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("event_type="))
+          .flatMap { catDir =>
+            val cat = catDir.getPath.getName.stripPrefix("event_type=")
+            fs.listStatus(catDir.getPath).toSeq
+              .filter(st => st.isDirectory && st.getPath.getName.startsWith("bucket="))
+              .flatMap { bDir =>
+                val bucket = bDir.getPath.getName.stripPrefix("bucket=").toLong
+                fs.listStatus(bDir.getPath).toSeq
+                  .filter(_.getPath.getName.endsWith(".parquet"))
+                  .map { f =>
+                    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf)
+                    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+                    try {
+                      val blocks = r.getFooter.getBlocks.asScala.toSeq
+                      val n = r.getRecordCount
+                      val stats = blocks.filter(_.getRowCount > 0)
+                        .map(_.getColumns.asScala.find(_.getPath.toDotString == "event_id")
+                               .map(_.getStatistics).orNull)
+                      val (mn, mx) =
+                        if (stats.isEmpty || stats.exists(x => x == null || !x.hasNonNullValue))
+                          (Long.MinValue, Long.MaxValue)
+                        else (stats.map(_.genericGetMin.asInstanceOf[Number].longValue).min,
+                              stats.map(_.genericGetMax.asInstanceOf[Number].longValue).max)
+                      (cat, bucket, f.getPath.toString, n, mn, mx)
+                    } finally r.close()
+                  }
+              }
+          }
+        import s.implicits._
+        rows.toDF("category", "bucket", "file", "n_rows", "id_min", "id_max")
+          .coalesce(1).write.mode("overwrite").parquet(idxPath)
+      })
+    idxPath
+  }
+
   /** File-level (path, min, max) manifest for `keyCol`, read from the
     * parquet FOOTERS only — O(#files) metadata reads on the driver, no
     * distributed data scan at all. This is exactly what an incremental
@@ -934,6 +1030,14 @@ object Scans {
        "ROUND(SUM(value), 2) AS val_sum " +
        "FROM events WHERE event_type = 'click' AND event_id BETWEEN 0 AND 300 " +
        "ORDER BY n"),
+    // two-level routed read ≡ plain scan filtered on BOTH categorical
+    // levels plus the range (Spark's % and DuckDB's % agree on sign)
+    "scan_categ_index_multilevel" ->
+      ("SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
+       "CAST(MIN(event_id) AS BIGINT) AS id_lo, CAST(MAX(event_id) AS BIGINT) AS id_hi, " +
+       "ROUND(SUM(value), 2) AS val_sum " +
+       "FROM events WHERE event_type = 'click' AND user_id % 4 = 2 " +
+       "AND event_id BETWEEN 0 AND 500 ORDER BY n"),
     "source_file_discovery" ->
       "SELECT 'events' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows FROM events ORDER BY table_name",
     "sink_csv_roundtrip" ->

@@ -275,6 +275,29 @@ class NonOracleOpsSpec extends SparkSpec {
     }
   }
 
+  test("multi-level category index routes a probe to a strict subset of one level-1 category's files") {
+    SparkEntry.queries("scan_categ_index_multilevel")(spark, sf001).collect()
+    val idxPath = s"${Tables.scratch(sf001, "categ2_layout")}/_index"
+    val idx = spark.read.parquet(idxPath)
+      .select("category", "bucket", "file", "id_min", "id_max").collect()
+    val click = idx.filter(_.getString(0) == "click")
+    val buckets = click.map(_.getLong(1)).distinct
+    assert(buckets.length > 1, s"click spans ${buckets.length} bucket(s) — no level-2 to exploit")
+    // the probe's cell (click, bucket=2) + range [0,500]
+    val matching = click.filter(r => r.getLong(1) == 2L &&
+      r.getLong(4) >= 0L && r.getLong(3) <= 500L)
+    assert(matching.nonEmpty && matching.length < click.length,
+      s"probe matched ${matching.length} of ${click.length} click files")
+    // no pruned click file may hold a row the probe's filters accept —
+    // level-2 and range stats are both trustworthy
+    val prunedFiles = click.filterNot(matching.contains).map(_.getString(2))
+    prunedFiles.foreach { f =>
+      assert(spark.read.parquet(f)
+        .where(col("user_id") % 4 === 2L && col("event_id").between(0L, 500L)).isEmpty,
+        s"pruned file $f holds rows matching the probe")
+    }
+  }
+
   test("dedup_minhash finds planted near-duplicates") {
     val docs = Tables.documents(spark, sf001).select("doc_id", "text").limit(50)
     // plant: copy of doc with one token appended → Jaccard close to 1
