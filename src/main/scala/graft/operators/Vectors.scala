@@ -92,17 +92,21 @@ object Vectors {
             .as("qsum"))
         .orderBy("vec_id")),
 
-    // IVF ANN with deterministic coarse centroids (the nlist=8 smallest
-    // vec_ids stand in for a k-means job's output — centroid CHOICE is
-    // offline; centroid USE is what scales). The 8-centroid "index" is
-    // collected to the driver (the one legitimate collect: a fixed-size
-    // index artifact, exactly what a production IVF loads before
-    // planning), probe selection runs driver-side, and both centroid
-    // assignment and query distance become row-local literal
-    // expressions. Physical plan: ONE corpus scan → filter → project →
-    // TakeOrderedAndProject. Zero joins, zero shuffles — scanned work ≈
-    // nprobe/nlist of the corpus, and the whole path is deterministic,
-    // so unlike LSH it IS oracle-checked.
+    // IVF ANN with TRAINED coarse centroids (VERDICT r5 #6): seeded
+    // init (the nlist=8 lowest vec_ids) refined by IvfLloydIters
+    // deterministic Lloyd rounds — assignment is max-cosine (ties to
+    // the smallest cid), the update is the elementwise mean, which for
+    // cosine IS the spherical-k-means maximizer (cosine is
+    // scale-invariant in the centroid, so normalizing the mean changes
+    // nothing). Each round is one corpus-wide hash aggregate over
+    // k·dim cells; only the k×dim centroid matrix is collected (the
+    // one legitimate collect: a fixed-size index artifact, exactly
+    // what a production IVF loads before planning). Means use
+    // decimal(24,6) sums and 6-decimal rounding so DuckDB reproduces
+    // every round bit-exactly — the whole trained index is
+    // oracle-checked, unlike any hash-specific LSH. Probe-time plan is
+    // unchanged: ONE corpus scan → filter → project →
+    // TakeOrderedAndProject; zero joins, zero shuffles.
     "sim_ann_ivf" -> ((s, dir) => {
       val (cents, qv, probeCids) = ivfPrelude(s, dir)
       val e = embeddings(s, dir)
@@ -141,42 +145,90 @@ object Vectors {
     })
   )
 
-  /** Shared IVF prelude: deterministic centroids (the 8 lowest
-    * vec_ids), the query vector, and the 2 probe cells nearest the
-    * query — all driver-side scalars (a #centroids×dim collect, tiny
-    * at any corpus scale since nlist ≪ corpus). */
+  /** Fixed Lloyd round count — small and FIXED so the oracle can
+    * unroll the same rounds as plain SQL CTEs. */
+  val IvfLloydIters = 2
+
+  /** Per-(JVM, source-state) memo of the trained centroids: training
+    * is an index-build (offline in production), so the two IVF queries
+    * share one trained artifact instead of re-running Lloyd. */
+  private val ivfMemo = scala.collection.concurrent.TrieMap
+    .empty[String, (Array[(Long, Array[Double])], Array[Float], Array[Long])]
+
+  /** Shared IVF prelude: centroids Lloyd-trained from the seeded init
+    * (the 8 lowest vec_ids), the query vector, and the 2 probe cells
+    * nearest the query — all driver-side scalars (a #centroids×dim
+    * collect per round, tiny at any corpus scale since nlist ≪
+    * corpus; the corpus itself never leaves the executors). */
   private def ivfPrelude(s: org.apache.spark.sql.SparkSession, dir: String)
-      : (Array[(Long, Array[Float])], Array[Float], Array[Long]) = {
-    val e = embeddings(s, dir)
-    val cents: Array[(Long, Array[Float])] = e.where(col("vec_id") < 8)
-      .select(col("vec_id"), col("embedding"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      .sortBy(_._1)
-    val qv: Array[Float] = e.where(col("vec_id") === 0)
-      .select(col("embedding")).collect()(0).getSeq[Float](0).toArray
-    def cosLocal(a: Array[Float], b: Array[Float]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) {
-        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
-        i += 1
+      : (Array[(Long, Array[Double])], Array[Float], Array[Long]) =
+    ivfMemo.getOrElseUpdate(graft.Tables.fsSig(s, s"$dir/embeddings.parquet"), {
+      val e = embeddings(s, dir)
+      // seeded deterministic init — the DOUBLE view of the stored
+      // floats, exactly DuckDB's CAST(embedding AS DOUBLE[])
+      val init: Array[(Long, Array[Double])] = e.where(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+        .sortBy(_._1)
+      val cents = (1 to IvfLloydIters).foldLeft(init)((c, _) => lloydStep(e, c))
+      val qv: Array[Float] = e.where(col("vec_id") === 0)
+        .select(col("embedding")).collect()(0).getSeq[Float](0).toArray
+      val qvD = qv.map(_.toDouble)
+      def cosLocal(a: Array[Double], b: Array[Double]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i)
+          i += 1
+        }
+        dot / (math.sqrt(na) * math.sqrt(nb))
       }
-      dot / (math.sqrt(na) * math.sqrt(nb))
-    }
-    val probeCids = cents.map { case (cid, cv) => (cid, cosLocal(cv, qv)) }
-      .sortBy { case (cid, sim) => (-sim, cid) }.take(2).map(_._1)
-    (cents, qv, probeCids)
+      val probeCids = cents.map { case (cid, cv) => (cid, cosLocal(cv, qvD)) }
+        .sortBy { case (cid, sim) => (-sim, cid) }.take(2).map(_._1)
+      (cents, qv, probeCids)
+    })
+
+  /** One Lloyd round: assign every vector to its max-cosine centroid
+    * (ties to the smallest cid), then take the elementwise member mean
+    * per centroid — decimal(24,6) sums / count (order-independent,
+    * engine-exact, the vec_centroid recipe) ROUNDED to 6 decimals so
+    * both engines feed bit-identical centroids into the next round. An
+    * empty cluster keeps its previous centroid. One map-side-combined
+    * hash aggregate over k·dim cells; collects only k×dim doubles. */
+  def lloydStep(e: org.apache.spark.sql.DataFrame,
+                cents: Array[(Long, Array[Double])]): Array[(Long, Array[Double])] = {
+    val means = e.withColumn("cid", ivfAssign(cents))
+      .select(col("cid"), posexplode(Similarity.asDouble(col("embedding"))).as(Seq("pos", "v")))
+      .groupBy("cid", "pos")
+      .agg(fround(dsum6(col("v")) / count(lit(1)), 6).as("c"))
+      .groupBy("cid")
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("cid"), transform(col("pc"), x => x.getField("c")).as("cv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .toMap
+    cents.map { case (cid, cv) => (cid, means.getOrElse(cid, cv)) }
   }
 
   /** Row-local centroid assignment: argmax over the centroid literals
     * via array_max of (sim, -cid) structs — max sim, ties to the
     * smallest cid. Codegen'd, no shuffle, no UDF. */
-  private def ivfAssign(cents: Array[(Long, Array[Float])]): org.apache.spark.sql.Column = {
+  def ivfAssign(cents: Array[(Long, Array[Double])]): org.apache.spark.sql.Column = {
     val simStructs = cents.map { case (cid, cv) =>
       struct(Similarity.cosine(col("embedding"), typedLit(cv)).as("s"),
              lit(-cid).as("neg"))
     }
     -array_max(array(simStructs: _*)).getField("neg")
+  }
+
+  /** Sum over the corpus of each vector's best centroid cosine — the
+    * (negated) spherical-k-means objective; the Lloyd property test
+    * asserts it never decreases across rounds. */
+  def ivfObjective(e: org.apache.spark.sql.DataFrame,
+                   cents: Array[(Long, Array[Double])]): Double = {
+    val best = array_max(array(cents.map { case (_, cv) =>
+      Similarity.cosine(col("embedding"), typedLit(cv)) }: _*))
+    e.agg(sum(best)).collect()(0).getDouble(0)
   }
 
   val oracle: Map[String, String] = Map(
@@ -219,43 +271,51 @@ object Vectors {
        froundSql("127.0 / amax", 6) + " AS scale, " +
        "CAST(LIST_SUM(LIST_TRANSFORM(v, e -> CAST(FLOOR(e * 127.0 / amax + 0.5) AS BIGINT))) AS BIGINT) AS qsum " +
        "FROM a ORDER BY vec_id"),
-    "sim_ann_ivf" ->
-      ("WITH cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv " +
-       "FROM embeddings WHERE vec_id < 8), " +
-       "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings), " +
-       "assign AS (SELECT vec_id, cid FROM (" +
-       "SELECT v.vec_id, cent.cid, ROW_NUMBER() OVER (PARTITION BY v.vec_id " +
-       "ORDER BY LIST_COSINE_SIMILARITY(v.ev, cent.cv) DESC, cent.cid) AS rn " +
-       "FROM v, cent) WHERE rn = 1), " +
-       "q AS (SELECT ev AS qv FROM v WHERE vec_id = 0), " +
-       "probes AS (SELECT cid FROM cent, q " +
-       "ORDER BY LIST_COSINE_SIMILARITY(cent.cv, q.qv) DESC, cid LIMIT 2) " +
-       "SELECT v.vec_id, " +
-       froundSql("LIST_COSINE_SIMILARITY(v.ev, q.qv)", 4) + " AS cos " +
-       "FROM v JOIN assign USING (vec_id), q " +
-       "WHERE assign.cid IN (SELECT cid FROM probes) AND v.vec_id <> 0 " +
-       "ORDER BY cos DESC, v.vec_id LIMIT 10")
+    "sim_ann_ivf" -> oracleIvfBase
   ) ++ {
     // the layout variant must return exactly the scan-side IVF's rows —
-    // same centroids, same probe set, different physical access path
+    // same trained centroids, same probe set, different access path
     Map("sim_ivf_layout" -> oracleIvfBase)
   }
 
-  // def, not val: `oracle` above initializes first (declaration order)
-  private def oracleIvfBase: String =
-    ("WITH cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv " +
-     "FROM embeddings WHERE vec_id < 8), " +
-     "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings), " +
-     "assign AS (SELECT vec_id, cid FROM (" +
-     "SELECT v.vec_id, cent.cid, ROW_NUMBER() OVER (PARTITION BY v.vec_id " +
-     "ORDER BY LIST_COSINE_SIMILARITY(v.ev, cent.cv) DESC, cent.cid) AS rn " +
-     "FROM v, cent) WHERE rn = 1), " +
-     "q AS (SELECT ev AS qv FROM v WHERE vec_id = 0), " +
-     "probes AS (SELECT cid FROM cent, q " +
-     "ORDER BY LIST_COSINE_SIMILARITY(cent.cv, q.qv) DESC, cid LIMIT 2) " +
-     "SELECT v.vec_id, " +
-     froundSql("LIST_COSINE_SIMILARITY(v.ev, q.qv)", 4) + " AS cos " +
-     "FROM v JOIN assign USING (vec_id), q " +
-     "WHERE assign.cid IN (SELECT cid FROM probes) AND v.vec_id <> 0 " +
-     "ORDER BY cos DESC, v.vec_id LIMIT 10")
+  /** The full trained-IVF oracle: [[IvfLloydIters]] Lloyd rounds
+    * unrolled as CTE pairs (aK = max-cosine assignment against c(K-1),
+    * ties to the smallest cid; mK/cK = 6-decimal-rounded decimal(24,6)
+    * member means with empty-cluster fallback to the previous round),
+    * mirroring [[lloydStep]] exactly, then assignment + 2-probe top-10
+    * against the FINAL centroids. `def`, not `val`: `oracle` above
+    * initializes first (declaration order). */
+  private def oracleIvfBase: String = {
+    val rounds = (1 to IvfLloydIters).map { k =>
+      val prev = s"c${k - 1}"
+      s"a$k AS (SELECT vec_id, cid FROM (" +
+      s"SELECT v.vec_id, $prev.cid, ROW_NUMBER() OVER (PARTITION BY v.vec_id " +
+      s"ORDER BY LIST_COSINE_SIMILARITY(v.ev, $prev.cv) DESC, $prev.cid) AS rn " +
+      s"FROM v, $prev) WHERE rn = 1), " +
+      s"m$k AS (SELECT a$k.cid, pe.pos, " +
+      froundSql(dsum6Sql("pe.v") + " / COUNT(*)", 6) + " AS c " +
+      s"FROM a$k JOIN pe USING (vec_id) GROUP BY a$k.cid, pe.pos), " +
+      s"c$k AS (SELECT cid, LIST(c ORDER BY pos) AS cv FROM m$k GROUP BY cid " +
+      s"UNION ALL SELECT cid, cv FROM $prev WHERE cid NOT IN (SELECT cid FROM m$k))"
+    }.mkString(", ")
+    val cf = s"c$IvfLloydIters"
+    "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings), " +
+    "pe AS (SELECT vec_id, GENERATE_SUBSCRIPTS(embedding, 1) AS pos, " +
+    "UNNEST(CAST(embedding AS DOUBLE[])) AS v FROM embeddings), " +
+    "c0 AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv " +
+    "FROM embeddings WHERE vec_id < 8), " +
+    rounds + ", " +
+    "assign AS (SELECT vec_id, cid FROM (" +
+    s"SELECT v.vec_id, $cf.cid, ROW_NUMBER() OVER (PARTITION BY v.vec_id " +
+    s"ORDER BY LIST_COSINE_SIMILARITY(v.ev, $cf.cv) DESC, $cf.cid) AS rn " +
+    s"FROM v, $cf) WHERE rn = 1), " +
+    "q AS (SELECT ev AS qv FROM v WHERE vec_id = 0), " +
+    s"probes AS (SELECT cid FROM $cf, q " +
+    s"ORDER BY LIST_COSINE_SIMILARITY($cf.cv, q.qv) DESC, cid LIMIT 2) " +
+    "SELECT v.vec_id, " +
+    froundSql("LIST_COSINE_SIMILARITY(v.ev, q.qv)", 4) + " AS cos " +
+    "FROM v JOIN assign USING (vec_id), q " +
+    "WHERE assign.cid IN (SELECT cid FROM probes) AND v.vec_id <> 0 " +
+    "ORDER BY cos DESC, v.vec_id LIMIT 10"
+  }
 }

@@ -298,6 +298,29 @@ class NonOracleOpsSpec extends SparkSpec {
     }
   }
 
+  test("IVF Lloyd training: the spherical-k-means objective is non-decreasing per round") {
+    import graft.operators.Vectors
+    val e = Tables.embeddings(spark, sf001)
+    val init = e.where(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    // run a round more than the shipped IvfLloydIters to show the
+    // property is the algorithm's, not an artifact of stopping early
+    val objectives = (1 to Vectors.IvfLloydIters + 1)
+      .scanLeft(init)((c, _) => Vectors.lloydStep(e, c))
+      .map(c => Vectors.ivfObjective(e, c))
+    objectives.sliding(2).foreach { case Seq(a, b) =>
+      // mean-update = spherical k-means maximizer (cosine is scale-
+      // invariant in the centroid); tolerance covers the 6-decimal
+      // centroid rounding both engines apply
+      assert(b >= a - 1e-4, s"objective decreased: $objectives")
+    }
+    // training actually moved the needle vs the raw seed
+    assert(objectives.last > objectives.head, s"no improvement: $objectives")
+  }
+
   test("dedup_minhash finds planted near-duplicates") {
     val docs = Tables.documents(spark, sf001).select("doc_id", "text").limit(50)
     // plant: copy of doc with one token appended → Jaccard close to 1
