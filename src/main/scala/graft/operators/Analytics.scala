@@ -194,6 +194,18 @@ object Analytics {
         .orderBy("event_type")
     }),
 
+    // Gap-based batch SESSIONIZATION (the batch twin of
+    // stream_session): a session breaks when a user's inter-event gap
+    // exceeds 30 minutes. Single-shuffle house style — the corpus
+    // shuffles ONCE on user_id, each user's time-sorted event list is
+    // folded row-locally into (n_sessions, max session size, total
+    // session duration); durations stay exact integer micros until
+    // one final division. Session stats are invariant to tie order at
+    // equal timestamps (a zero gap can never break a session), so the
+    // oracle can use the standard lag/cumsum WINDOW formulation — a
+    // genuinely independent derivation of the same partition.
+    "events_sessionize" -> ((s, dir) => sessionizeOf(events(s, dir))),
+
     // Daily-volume anomaly detection: flag (event_type, day) cells
     // whose count sits ≥2σ from the type's mean. Variance comes from
     // EXACT integer power sums (Σn, Σn²) rather than a streaming
@@ -228,7 +240,70 @@ object Analytics {
     })
   )
 
+  /** Session gap threshold: 30 minutes in micros. The break condition
+    * is strict (`gap > threshold`): an exactly-30-minute gap stays in
+    * the session, mirrored by the oracle's `>` (spec-pinned). */
+  val SessionGapUs = 1800L * 1000000L
+
+  /** The sessionization body over any (user_id, ts) frame — exposed so
+    * boundary semantics (strict `>` threshold, zero-gap ties, the
+    * single-event user) are unit-testable on synthetic sequences. */
+  def sessionizeOf(ev: DataFrame): DataFrame = {
+    val packed = ev
+      .select(col("user_id"), unix_micros(col("ts")).as("t"))
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(col("t"))).as("ts"))
+    // fold state: prev event time, session count, current session
+    // size, max closed-session size, current session start, summed
+    // closed-session durations
+    val z = struct(lit(null).cast("long").as("prev"), lit(0L).as("ns"),
+                   lit(0L).as("cur"), lit(0L).as("mx"),
+                   lit(null).cast("long").as("st"), lit(0L).as("dur"))
+    packed.withColumn("f",
+        aggregate(col("ts"), z, (st, t) => {
+          val isNew = st.getField("prev").isNull ||
+            (t - st.getField("prev") > lit(SessionGapUs))
+          val closedDur = when(st.getField("prev").isNull, 0L)
+            .otherwise(st.getField("prev") - st.getField("st"))
+          struct(
+            t.as("prev"),
+            (st.getField("ns") + when(isNew, 1L).otherwise(0L)).as("ns"),
+            when(isNew, 1L).otherwise(st.getField("cur") + 1L).as("cur"),
+            when(isNew, greatest(st.getField("mx"), st.getField("cur")))
+              .otherwise(st.getField("mx")).as("mx"),
+            when(isNew, t).otherwise(st.getField("st")).as("st"),
+            when(isNew, st.getField("dur") + closedDur)
+              .otherwise(st.getField("dur")).as("dur"))
+        }))
+      // close the final (always non-empty) session
+      .select(col("user_id"),
+        big(col("f.ns")).as("n_sessions"),
+        big(size(col("ts"))).as("n_events"),
+        big(greatest(col("f.mx"), col("f.cur"))).as("max_sess_events"),
+        fround((col("f.dur") + col("f.prev") - col("f.st")).cast("double") /
+               col("f.ns") / 1e6, 4).as("avg_sess_dur_s"))
+      .orderBy("user_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    // independent window-formulation derivation of the same session
+    // partition the HOF fold computes (stats are tie-order invariant)
+    "events_sessionize" ->
+      ("WITH o AS (SELECT user_id, epoch_us(ts) AS t FROM events), " +
+       "g AS (SELECT user_id, t, CASE WHEN LAG(t) OVER " +
+       "(PARTITION BY user_id ORDER BY t) IS NULL OR " +
+       s"t - LAG(t) OVER (PARTITION BY user_id ORDER BY t) > $SessionGapUs " +
+       "THEN 1 ELSE 0 END AS nb FROM o), " +
+       "se AS (SELECT user_id, t, SUM(nb) OVER (PARTITION BY user_id ORDER BY t " +
+       "ROWS UNBOUNDED PRECEDING) AS sess FROM g), " +
+       "per AS (SELECT user_id, sess, COUNT(*) AS ev, MAX(t) - MIN(t) AS dur " +
+       "FROM se GROUP BY user_id, sess) " +
+       "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions, " +
+       "CAST(SUM(ev) AS BIGINT) AS n_events, " +
+       "CAST(MAX(ev) AS BIGINT) AS max_sess_events, " +
+       froundSql("CAST(SUM(dur) AS DOUBLE) / COUNT(*) / 1000000.0", 4) +
+       " AS avg_sess_dur_s " +
+       "FROM per GROUP BY user_id ORDER BY user_id"),
     "events_funnel" ->
       ("WITH f AS (SELECT user_id, event_type, ts FROM events " +
        "           WHERE event_type IN ('view','click','purchase')), " +

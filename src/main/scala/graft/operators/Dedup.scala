@@ -543,6 +543,33 @@ object Dedup {
       connectedComponents(blockedJaccardPairsCached(documents(s, dir), dir, 0.02))
         .select(col("node").as("doc_id"), col("cluster")).orderBy("doc_id")),
 
+    // Canonical-survivor selection — the step that makes dedup a
+    // PIPELINE rather than a report: every near-dup cluster keeps
+    // exactly one representative (most content = max n_chars, ties to
+    // the smallest doc_id), un-clustered docs survive as themselves.
+    // Scale shape: the cluster map is tiny (graph nodes only), joined
+    // LEFT onto the corpus, and the argmax is ONE hash aggregate via
+    // struct-max (no corpus-wide window sort); the per-lang survivor
+    // counts and character volume are the pipeline's audit output.
+    "dedup_keep_canonical" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val clusters = connectedComponents(blockedJaccardPairsCached(docs, dir, 0.02))
+        .select(col("node").as("doc_id"), col("cluster"))
+      val member = docs.select("doc_id", "lang", "n_chars")
+        .join(clusters, Seq("doc_id"), "left")
+        .withColumn("cl", coalesce(col("cluster"), col("doc_id")))
+      member.groupBy("cl")
+        // struct comparison is field-order lexicographic: max n_chars,
+        // then max(-doc_id) = min doc_id; lang rides along (clusters
+        // are (lang, source)-blocked, so it is constant per cluster
+        // and unreachable by the comparison anyway: doc_id is unique)
+        .agg(max(struct(col("n_chars"), (-col("doc_id")).as("nd"), col("lang"))).as("k"))
+        .groupBy(col("k.lang").as("lang"))
+        .agg(big(count(lit(1))).as("n_kept"),
+             big(sum(col("k.n_chars"))).as("kept_chars"))
+        .orderBy("lang")
+    }),
+
     // Degree histogram of the near-dup pair graph: the triage view a
     // pipeline operator reads BEFORE clustering — a fat tail of
     // high-degree nodes means template spam (drop wholesale), degree
@@ -713,6 +740,31 @@ object Dedup {
        "UNION SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a) " +
        "SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster " +
        "FROM reach GROUP BY src ORDER BY doc_id"),
+    // same recursive cluster derivation as dedup_cluster, then the
+    // canonical pick (max n_chars, min doc_id) via a window — an
+    // independent formulation of the query's struct-max aggregate
+    "dedup_keep_canonical" ->
+      ("WITH RECURSIVE sh AS MATERIALIZED (SELECT doc_id, lang, source, " +
+       "LIST_DISTINCT(CASE WHEN LEN(STRING_SPLIT(LOWER(TRIM(text)), ' ')) >= 3 THEN " +
+       "LIST_TRANSFORM(RANGE(0, LEN(STRING_SPLIT(LOWER(TRIM(text)), ' ')) - 2), " +
+       "i -> ARRAY_TO_STRING(STRING_SPLIT(LOWER(TRIM(text)), ' ')[i+1:i+3], ' ')) " +
+       "ELSE [ARRAY_TO_STRING(STRING_SPLIT(LOWER(TRIM(text)), ' '), ' ')] END) AS sh " +
+       "FROM documents), " +
+       "pairs AS MATERIALIZED (SELECT a.doc_id AS a, b.doc_id AS b FROM sh a JOIN sh b " +
+       "ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id " +
+       "WHERE LEN(LIST_INTERSECT(a.sh, b.sh)) * 1.0 / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) >= 0.02), " +
+       "edges AS MATERIALIZED (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs), " +
+       "reach(src, dst) AS (SELECT a, b FROM edges " +
+       "UNION SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a), " +
+       "cl AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster " +
+       "FROM reach GROUP BY src), " +
+       "m AS (SELECT d.doc_id, d.lang, d.n_chars, " +
+       "COALESCE(cl.cluster, d.doc_id) AS c FROM documents d LEFT JOIN cl USING (doc_id)), " +
+       "k AS (SELECT lang, n_chars, ROW_NUMBER() OVER " +
+       "(PARTITION BY c ORDER BY n_chars DESC, doc_id) AS rn FROM m) " +
+       "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept, " +
+       "CAST(SUM(n_chars) AS BIGINT) AS kept_chars " +
+       "FROM k WHERE rn = 1 GROUP BY lang ORDER BY lang"),
     "graph_degree" ->
       ("WITH sh AS MATERIALIZED (SELECT doc_id, lang, source, " +
        "LIST_DISTINCT(CASE WHEN LEN(STRING_SPLIT(LOWER(TRIM(text)), ' ')) >= 3 THEN " +

@@ -133,6 +133,37 @@ object TextOps {
         .orderBy("lang")),
 
     // Quality scoring: token counts, mean token length, type-token ratio.
+    // PII scrubbing — the redaction pass every public-corpus pipeline
+    // runs before training: emails and phone-shaped tokens are
+    // replaced with typed placeholders, and the redaction COUNTS are
+    // reported per language (the audit trail). The fixture text
+    // carries no PII, so a deterministic contact line derived from
+    // doc_id is appended first — the oracle rebuilds the identical
+    // line and must then agree on every match count and on the full
+    // scrubbed character volume. Regexes use only character classes
+    // and bounded quantifiers, where Java (Spark) and RE2 (DuckDB)
+    // agree exactly; DuckDB's regexp_replace needs the explicit 'g'
+    // flag to match Spark's replace-all semantics. Row-local: one
+    // projection pass, no shuffle before the final small aggregate.
+    "text_pii_scrub" -> ((s, dir) => {
+      val d = documents(s, dir).withColumn("pii",
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      d.withColumn("n_email", size(regexp_extract_all(col("pii"), lit(PiiEmailRe), lit(0))))
+        .withColumn("n_phone", size(regexp_extract_all(col("pii"), lit(PiiPhoneRe), lit(0))))
+        .withColumn("scrubbed",
+          regexp_replace(regexp_replace(col("pii"), PiiEmailRe, "[EMAIL]"),
+                         PiiPhoneRe, "[PHONE]"))
+        .groupBy("lang")
+        .agg(big(count(lit(1))).as("n_docs"),
+             big(sum(col("n_email"))).as("emails"),
+             big(sum(col("n_phone"))).as("phones"),
+             big(sum(length(col("scrubbed")).cast("long"))).as("scrubbed_chars"))
+        .orderBy("lang")
+    }),
+
     "text_quality" -> ((s, dir) => {
       val toks = split(lower(col("text")), " ")
       documents(s, dir)
@@ -355,7 +386,30 @@ object TextOps {
     })
   )
 
+  /** PII patterns shared by the query and (verbatim) the oracle:
+    * character classes + bounded quantifiers only — the subset where
+    * Java regex (Spark) and RE2 (DuckDB) agree exactly. */
+  val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiPhoneRe = "\\+1-555-[0-9]{4}"
+
   val oracle: Map[String, String] = Map(
+    // the oracle rebuilds the same synthetic contact line, then must
+    // agree on match counts and the scrubbed character volume;
+    // DuckDB string literals keep backslashes raw, and its
+    // regexp_replace is single-match unless given 'g'
+    "text_pii_scrub" ->
+      ("WITH p AS (SELECT lang, text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+       "'@example.com or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS pii " +
+       "FROM documents), " +
+       s"x AS (SELECT lang, len(regexp_extract_all(pii, '$PiiEmailRe')) AS n_email, " +
+       s"len(regexp_extract_all(pii, '$PiiPhoneRe')) AS n_phone, " +
+       s"regexp_replace(regexp_replace(pii, '$PiiEmailRe', '[EMAIL]', 'g'), " +
+       s"'$PiiPhoneRe', '[PHONE]', 'g') AS scrubbed FROM p) " +
+       "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+       "CAST(SUM(n_email) AS BIGINT) AS emails, " +
+       "CAST(SUM(n_phone) AS BIGINT) AS phones, " +
+       "CAST(SUM(CAST(LENGTH(scrubbed) AS BIGINT)) AS BIGINT) AS scrubbed_chars " +
+       "FROM x GROUP BY lang ORDER BY lang"),
     "text_lm_score" ->
       ("WITH tok AS (SELECT doc_id, lang, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS token FROM documents), " +
        "counts AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY token), " +

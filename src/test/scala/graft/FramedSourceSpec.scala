@@ -835,6 +835,26 @@ class FramedSourceSpec extends SparkSpec {
     }
   }
 
+  test("nested-schema pruning reaches the scan: a t-only projection prunes q from ReadSchema") {
+    val dir = s"${java.nio.file.Files.createTempDirectory("graft_framed_t4n")}/table"
+    spark.range(0, 50).select(
+        col("id").as("event_id"),
+        transform(sequence(lit(0L), col("id") % 3), i =>
+          struct((col("id") + i).as("t"), (i.cast("double") * 0.5).as("q"))).as("pulses"))
+      .write.format("graft.sources.FramedSource").mode("overwrite").save(dir)
+    val df = spark.read.format("graft.sources.FramedSource").load(dir)
+      .select(explode(col("pulses")).as("p")).select(col("p.t"))
+    val scan = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }.head.asInstanceOf[graft.sources.FramedScan]
+    val elem = scan.readSchema()("pulses").dataType
+      .asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+    assert(elem.fieldNames.toSeq == Seq("t"),
+      s"q not pruned from the scan: ${scan.readSchema().simpleString}")
+    assert(df.agg(sum(col("t"))).collect()(0).getLong(0) ==
+      (0L until 50L).map(id => (0L to id % 3).map(id + _).sum).sum)
+  }
+
   test("corrupt array count cannot overflow the skip into misaligned garbage") {
     import graft.sources.FramedFormat._
     val dir = java.nio.file.Files.createTempDirectory("graft_framed_ovf")

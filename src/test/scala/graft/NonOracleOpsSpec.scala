@@ -321,6 +321,28 @@ class NonOracleOpsSpec extends SparkSpec {
     assert(objectives.last > objectives.head, s"no improvement: $objectives")
   }
 
+  test("sessionize boundary semantics: strict 30-min threshold, zero-gap ties, single-event user") {
+    import graft.operators.Analytics
+    val base = 1000000000000000L // µs
+    val gap = Analytics.SessionGapUs
+    val rows = Seq(
+      // user 1: events at 0, +gap (exactly 30 min: SAME session),
+      // +gap+1µs past that (breaks) → sessions of 2 and 1
+      (1L, base), (1L, base + gap), (1L, base + 2 * gap + 1),
+      // user 2: a zero-gap tie then a break → sessions of 2 and 1
+      (2L, base), (2L, base), (2L, base + gap + 1),
+      // user 3: single event → one session, duration 0
+      (3L, base))
+    val ev = rows.toDF("user_id", "us")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"))
+    val out = Analytics.sessionizeOf(ev).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(out(1L) == ((2L, 3L, 2L, gap / 2 / 1e6)), out(1L).toString)
+    assert(out(2L) == ((2L, 3L, 2L, 0.0)), out(2L).toString)
+    assert(out(3L) == ((1L, 1L, 1L, 0.0)), out(3L).toString)
+  }
+
   test("dedup_minhash finds planted near-duplicates") {
     val docs = Tables.documents(spark, sf001).select("doc_id", "text").limit(50)
     // plant: copy of doc with one token appended → Jaccard close to 1
