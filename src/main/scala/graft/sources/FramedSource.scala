@@ -124,6 +124,10 @@ object FramedFormat {
         case (TagLongArray, v: Array[Long]) =>
           b.writeInt(v.length); v.foreach(b.writeLong)
         case (TagStructArray, v: StructColumns) =>
+          // the field count is a uint8 on the wire — a wider struct
+          // must fail loudly, never truncate into a corrupt directory
+          require(v.fields.length <= 255,
+            s"struct array key $name: ${v.fields.length} fields exceeds the format's 255")
           b.writeByte(v.fields.length)
           v.fields.foreach { case (fn, ft) =>
             require(ft == TagLong || ft == TagDouble,
@@ -1160,7 +1164,7 @@ object FramedWrite {
     case StringType => Some(FramedFormat.TagString)
     case ArrayType(LongType, _) => Some(FramedFormat.TagLongArray)
     case ArrayType(st: StructType, _)
-      if st.fields.nonEmpty &&
+      if st.fields.nonEmpty && st.fields.length <= 255 &&
          st.fields.forall(f => f.dataType == LongType || f.dataType == DoubleType) =>
       Some(FramedFormat.TagStructArray)
     case _ => None

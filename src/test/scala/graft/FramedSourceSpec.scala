@@ -700,6 +700,15 @@ class FramedSourceSpec extends SparkSpec {
       back.withColumn("pulses", col("pulses").cast("string")),
       df.withColumn("pulses", col("pulses").cast("string")),
       "tag-4 roundtrip")
+    // a struct wider than the wire's uint8 field count is rejected at
+    // write BUILD (tagOf declines it), never truncated into corruption
+    val wide = StructType((0 until 256).map(i =>
+      StructField(s"f$i", LongType, nullable = false)))
+    assert(graft.sources.FramedWrite.tagOf(
+      ArrayType(wide, containsNull = false)).isEmpty)
+    assert(graft.sources.FramedWrite.tagOf(ArrayType(StructType(
+      (0 until 255).map(i => StructField(s"f$i", LongType, nullable = false))),
+      containsNull = false)).contains(graft.sources.FramedFormat.TagStructArray))
     // NULL struct elements / fields fail the write loudly
     val withNull = spark.range(3).select(col("id").as("event_id"),
       array(struct(lit(1L).as("t"),
