@@ -276,6 +276,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("dedup_keep_canonical broadcasts the tiny cluster map and argmaxes without a window sort") {
+    val df = SparkEntry.queries("dedup_keep_canonical")(spark, sf001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the cluster map (graph nodes only) joins the corpus broadcast —
+    // a sort-merge join here would shuffle the whole corpus for a
+    // driver-scale map
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // survivor selection is a hash aggregate (struct-max), never a
+    // corpus-wide window sort
+    assert(!p.contains("Window"), p.take(2000))
+  }
+
   test("whole-stage codegen covers the hot paths of the flagship aggregate") {
     // AQE finalizes stages only at execution; run the query, then check
     // the final adaptive plan for codegen stage markers (`*(n)`)
