@@ -249,6 +249,18 @@ object Analytics {
     * boundary semantics (strict `>` threshold, zero-gap ties, the
     * single-event user) are unit-testable on synthetic sequences. */
   def sessionizeOf(ev: DataFrame): DataFrame = {
+    // Skew note (VERDICT r6): collect_list packs ONE user's full event
+    // history into a single array on the holding executor — the right
+    // single-exchange plan for any plausible per-user volume, but a
+    // degenerate key (one user owning a double-digit percent of a
+    // 100 TB corpus) would OOM that executor. The escape hatches, in
+    // preference order: (a) pre-split the hot key by session-day
+    // (groupBy(user_id, to_date(ts)), fold per day, then merge the
+    // day-boundary sessions with one tiny second-level fold — only
+    // boundary sessions cross days), or (b) fall back to the window
+    // formulation the oracle uses (lag/cumsum over a user_id-range
+    // sort), which spills via the sort instead of holding the array.
+    // The unbounded/continuous case is stream_session's job.
     val packed = ev
       .select(col("user_id"), unix_micros(col("ts")).as("t"))
       .groupBy("user_id")

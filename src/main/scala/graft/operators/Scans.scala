@@ -335,6 +335,35 @@ object Scans {
         .orderBy("event_type")
     }),
 
+    // SPLIT read of one BLOCK-COMPRESSED frame file (VERDICT r6 #1 —
+    // the last 100-TB gap in the extract story): the archive posture
+    // at rest is compressed AND huge, and a whole-file codec stream
+    // cannot seek, so before FrameIndex v2 every compressed file
+    // serialized onto one task. The writer now compresses each
+    // ~indexBlockBytes of frames as an independent gzip member and the
+    // v2 sidecar maps member starts to raw offsets, so the planner
+    // cuts ONE .frames.gz into ranged partitions that each seek to a
+    // member boundary and decode only their raw-byte budget. Fixture =
+    // the whole events extract as a SINGLE gz file; split size
+    // compressedLen/8 → several ranged partitions at every scale
+    // (FramedSourceSpec pins >1-partition, zero loss/dup, and the
+    // corrupt-sidecar whole-file fallback; this oracle proves
+    // value-level losslessness).
+    "source_framed_split_gz" -> ((s, dir) => {
+      val out = framedSplitGzFixture(s, dir)
+      val len = graft.sources.FramedSource
+        .frameFileStatuses(out, s.sparkContext.hadoopConfiguration).head._2
+      s.read.format("graft.sources.FramedSource")
+        .option("targetSplitBytes", math.max(len / 8, 4L * 1024).toString)
+        .load(out)
+        .groupBy("event_type")
+        .agg(big(count(lit(1))).as("n"),
+             dsum(col("value")).as("val_sum"),
+             big(sum(size(col("pulses")))).as("n_pulses"),
+             big(sum(aggregate(col("pulses"), lit(0L), (a, x) => a + x))).as("pulse_sum"))
+        .orderBy("event_type")
+    }),
+
     // RAGGED STRUCT key (tag 4) through the framed connector — the
     // reference's signature pulse-series shape (I3RecoPulse: time,
     // charge, …) [public-repo: i3cols/dtypes.py], VERDICT r5 #2: each
@@ -673,6 +702,36 @@ object Scans {
     out
   }
 
+  /** Once-per-(JVM, source-state) guard for the single-large-file
+    * BLOCK-COMPRESSED fixture feeding `source_framed_split_gz`. */
+  private val framedSplitGzMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Unit]
+
+  /** Write (once per JVM + source state) the events extract as ONE
+    * block-compressed gz frame file through the DSv2 writer: each
+    * 8 KiB of raw frames becomes an independent gzip member, and the
+    * v2 sidecar maps member starts to raw offsets — the fixture that
+    * proves a compressed archive file still range-splits. Same
+    * closed-form pulses as [[framedFixture]], so the shared extract
+    * oracle applies. */
+  def framedSplitGzFixture(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val out = scratch(dir, "framed_split_gz_src")
+    framedSplitGzMemo.getOrElseUpdate(
+      s"$out|${graft.Tables.fsSig(s, s"$dir/events.parquet")}", {
+        events(s, dir).select(
+            col("event_id"), col("event_type"), col("value"),
+            when(col("event_id") % 5 === 0, array().cast("array<bigint>"))
+              .otherwise(transform(sequence(lit(1L), col("event_id") % 5),
+                i => unix_micros(col("ts")) % 1000000L + i - 1)).as("pulses"))
+          .coalesce(1)
+          .write.format("graft.sources.FramedSource")
+          .option("compression", "gzip")
+          .option("indexBlockBytes", (8L * 1024).toString)
+          .mode("overwrite").save(out)
+      })
+    out
+  }
+
   /** Once-per-(JVM, source-state) guard for the pulse-series fixture
     * feeding `source_framed_pulses`. */
   private val framedPulsesMemo =
@@ -966,6 +1025,17 @@ object Scans {
     // per-file extract (the fixture is the same extract, one indexed
     // file instead of eight)
     "source_framed_split" ->
+      ("WITH e AS (SELECT event_type, value, event_id % 5 AS np, " +
+       "epoch_us(ts) % 1000000 AS base FROM events) " +
+       "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
+       s"${dsumSql("value")} AS val_sum, " +
+       "CAST(SUM(np) AS BIGINT) AS n_pulses, " +
+       "CAST(SUM(np * base + (np * (np - 1)) // 2) AS BIGINT) AS pulse_sum " +
+       "FROM e GROUP BY event_type ORDER BY event_type"),
+    // block-compressed splitting must be invisible to results:
+    // identical oracle to the per-file extract (the fixture is the
+    // same extract, one block-gz file instead of eight raw)
+    "source_framed_split_gz" ->
       ("WITH e AS (SELECT event_type, value, event_id % 5 AS np, " +
        "epoch_us(ts) % 1000000 AS base FROM events) " +
        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, " +

@@ -787,7 +787,7 @@ class FramedSourceSpec extends SparkSpec {
     } finally r3.close()
   }
 
-  test("compressed WRITE: gzip sink roundtrips, skips the split index, rejects unusable codecs") {
+  test("compressed WRITE: gzip sink roundtrips, block-splits via the v2 index, rejects unusable codecs") {
     val dir = s"${java.nio.file.Files.createTempDirectory("graft_framed_wgz")}/table"
     val df = spark.range(0, 500).select(
       col("id").as("event_id"),
@@ -795,17 +795,40 @@ class FramedSourceSpec extends SparkSpec {
       (col("id") * 0.5).as("score"))
     df.coalesce(1).write.format("graft.sources.FramedSource")
       .option("compression", "gzip")
-      .option("indexBlockBytes", "1024") // would index if uncompressed
+      .option("indexBlockBytes", "1024") // several codec members
       .mode("overwrite").save(dir)
     val files = graft.sources.FramedSource.frameFiles(dir)
     assert(files.size == 1 && files.head.endsWith(".frames.gz"),
       s"expected one .frames.gz, got $files")
-    // compression actually happened (repetitive fixture shrinks well)
+    // block-compressed output publishes the v2 member-boundary sidecar
+    // (VERDICT r6 #1: compressed files split too)
     val names = new java.io.File(dir).listFiles().map(_.getName)
-    assert(!names.exists(_.endsWith(".idx")),
-      "compressed (unsplittable) output must not publish a split index")
+    assert(names.exists(_.endsWith(".idx")),
+      "block-compressed output must publish its v2 split index")
+    // whole-file read: concatenated members are a valid gzip stream
     val back = spark.read.format("graft.sources.FramedSource").load(dir)
+    assert(back.rdd.getNumPartitions == 1, "default split size must keep one partition")
     assertSameRows(back, df, "compressed write roundtrip")
+    // ranged read: member-boundary seeks, zero loss/dup, same values
+    val split = spark.read.format("graft.sources.FramedSource")
+      .option("targetSplitBytes", "2048").load(dir)
+    assert(split.rdd.getNumPartitions > 1,
+      s"block-compressed indexed file still read as one partition")
+    assertSameRows(split, df, "block-compressed ranged read")
+    // a STALE sidecar (content no longer matching the data file) is
+    // ignored — whole-file fallback, never a wrong result
+    def local(p: String) = new java.io.File(new java.net.URI(p).getPath)
+    val sidecar = local(graft.sources.FrameIndex.sidecarPath(files.head))
+    val goodBytes = java.nio.file.Files.readAllBytes(sidecar.toPath)
+    val bad = goodBytes.clone()
+    bad(goodBytes.length / 2) = (bad(goodBytes.length / 2) ^ 0x55).toByte
+    java.nio.file.Files.write(sidecar.toPath, bad)
+    val fb = spark.read.format("graft.sources.FramedSource")
+      .option("targetSplitBytes", "2048").load(dir)
+    assert(fb.rdd.getNumPartitions == 1,
+      "corrupt (CRC-failing) sidecar must degrade to whole-file read")
+    assertSameRows(fb, df, "corrupt-sidecar fallback")
+    java.nio.file.Files.write(sidecar.toPath, goodBytes)
     // overwrite truncation removes compressed files too
     df.limit(10).write.format("graft.sources.FramedSource")
       .option("compression", "gzip").mode("overwrite").save(dir)
@@ -842,6 +865,39 @@ class FramedSourceSpec extends SparkSpec {
       assert(e2.getMessage.contains("compression codec 'zstd'") ||
              e2.getMessage.contains("not usable in this runtime"), e2.getMessage)
     }
+  }
+
+  test("bin-packing composes with index splitting: a huge indexed file fans out inside a packed directory") {
+    val dir = s"${java.nio.file.Files.createTempDirectory("graft_framed_packsplit")}/table"
+    // one large indexed file...
+    spark.range(0, 5000).coalesce(1).select(
+        col("id").as("event_id"), (col("id") * 0.25).as("score"))
+      .write.format("graft.sources.FramedSource")
+      .option("indexBlockBytes", "4096").mode("overwrite").save(dir)
+    // ...plus several small ones in the same directory
+    spark.range(5000, 5100).repartition(4).select(
+        col("id").as("event_id"), (col("id") * 0.25).as("score"))
+      .write.format("graft.sources.FramedSource").mode("append").save(dir)
+    // packing enabled AND a small split size: the big file must still
+    // cut into ranged pieces (ADVICE r6 — before, the packing branch
+    // never consulted the index, so one huge file serialized onto one
+    // task even when its sidecar allowed splits)
+    val packed = spark.read.format("graft.sources.FramedSource")
+      .option("targetPartitionBytes", (6L * 1024 * 1024).toString)
+      .option("targetSplitBytes", "16384")
+      .load(dir)
+    val df = packed.select(col("_file"), col("event_id"))
+    assert(df.count() == 5100, "packing+splitting lost or duplicated rows")
+    assert(df.select("event_id").distinct().count() == 5100)
+    val bigFile = graft.sources.FramedSource.frameFiles(dir)
+      .map(f => f -> new java.io.File(new java.net.URI(f).getPath).length())
+      .maxBy(_._2)._1
+    val bigParts = packed
+      .select(col("_file"), org.apache.spark.sql.functions.spark_partition_id().as("p"))
+      .where(col("_file") === bigFile)
+      .select("p").distinct().count()
+    assert(bigParts > 1,
+      s"large indexed file still serializes onto $bigParts partition under packing")
   }
 
   test("nested-schema pruning reaches the scan: a t-only projection prunes q from ReadSchema") {
