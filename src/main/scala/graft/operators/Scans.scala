@@ -387,6 +387,56 @@ object Scans {
         .orderBy("event_type")
     }),
 
+    // SCALAR STRUCT key (tag 5) through the framed connector — the
+    // reference's per-event header (I3EventHeader: run/subrun/event
+    // ids + times) [public-repo: i3cols/dtypes.py], VERDICT r6 #2:
+    // each event carries ONE nested record struct<run,sub,t0,q>,
+    // written through the DSv2 writer and read back with the `sub`
+    // field UNREQUESTED — nested pruning reaches the parser, which
+    // skips it in one checked 8-byte hop (FramedSourceSpec pins the
+    // pruned ReadSchema and the full-field roundtrip; this oracle
+    // proves the projected fields lossless at value level).
+    "source_framed_header" -> ((s, dir) => {
+      val out = framedHeaderFixture(s, dir)
+      s.read.format("graft.sources.FramedSource").load(out)
+        .select(col("header.run").as("run"), col("header.t0").as("t0"),
+                col("header.q").as("q"))
+        .groupBy("run")
+        .agg(big(count(lit(1))).as("n"),
+             big(sum(col("t0") % 1000000L)).as("t0_sum"),
+             dsum(col("q")).as("q_sum"))
+        .orderBy("run")
+    }),
+
+    // SUB-EVENT (Q/P frame) hierarchy through the connector (VERDICT
+    // r6 #3): in the reference, a DAQ Q-frame carries several physics
+    // P-frames — SURVEY §1.1 maps them onto a nested array or child
+    // rows keyed by `sub_event_id` [public-repo: i3cols/extract.py].
+    // The fixture writes each Q-frame event with its P-frame
+    // sub-events as a tag-4 ragged struct (sub_id, q); the query
+    // lands them as CHILD ROWS — posexplode with the parent's keys —
+    // and the oracle proves event↔sub-event ALIGNMENT survives the
+    // write→read roundtrip three ways: `aligned` (explode position ==
+    // wire sub_id, order preserved), `assoc_sum` (parent event_id ⊗
+    // child sub_id cross-term — children attached to the WRONG parent
+    // would shift it), and the per-field closed-form sums. Events
+    // with ZERO sub-events (event_id % 3 == 0) exercise the empty
+    // Q-frame edge.
+    "source_framed_subevents" -> ((s, dir) => {
+      val out = framedSubeventsFixture(s, dir)
+      s.read.format("graft.sources.FramedSource").load(out)
+        .select(col("event_id"), col("event_type"),
+                posexplode(col("subevents")).as(Seq("pos", "se")))
+        .groupBy("event_type")
+        .agg(big(count(lit(1))).as("n_subevents"),
+             big(sum(col("se.sub_id"))).as("sub_id_sum"),
+             big(sum(when(col("pos") === col("se.sub_id"), 1L).otherwise(0L)))
+               .as("aligned"),
+             big(sum(col("event_id") * col("se.sub_id"))).as("assoc_sum"),
+             dsum(col("se.q")).as("q_sum"))
+        .orderBy("event_type")
+    }),
+
     // Compressed framed WRITE (VERDICT r5 #3 — the i3cols
     // compressed-at-rest archive posture, writer side): same
     // write→read roundtrip as sink_framed_roundtrip but with
@@ -558,6 +608,38 @@ object Scans {
              big(min(col("event_id"))).as("id_lo"),
              big(max(col("event_id"))).as("id_hi"),
              r2(sum(col("value"))).as("val_sum"))
+    }),
+
+    // INCREMENTAL index maintenance (VERDICT r6 #4 — the combine-runs
+    // season workflow): the archived season is indexed once; a NEW
+    // run lands as an append-only partitioned write and ONLY its
+    // files' footers are read to extend the persisted `_index`
+    // (existing data files and their index rows are untouched —
+    // NonOracleOpsSpec pins both invariants). The probe consults the
+    // appended index and must see BOTH phases' rows; the oracle is the
+    // plain filtered scan over ALL events — the proof that the
+    // incrementally-maintained index routes the appended run.
+    "scan_categ_index_append" -> ((s, dir) => {
+      val idxPath = categIndexAppendBuild(s, dir)
+      val wanted = Seq("purchase", "view")
+      val index = s.read.parquet(idxPath)
+        .where(col("category").isin(wanted: _*))
+        .select("category", "file")
+        .collect().groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1)).toSeq)
+      val perCat = wanted.filter(index.contains)
+        .map { cat =>
+          s.read.parquet(index(cat): _*).withColumn("event_type", lit(cat))
+        }
+      val base =
+        if (perCat.isEmpty)
+          s.read.parquet(idxPath)
+            .select(lit(0L).as("event_id"), col("category").as("event_type"),
+                    lit(0.0).as("value"))
+            .where(lit(false))
+        else perCat.reduce(_ unionByName _)
+      base.groupBy("event_type")
+        .agg(big(count(lit(1))).as("n"), r2(sum(col("value"))).as("val_sum"))
+        .orderBy("event_type")
     }),
 
     // Z-order (Morton) clustering key: interleave 8-bit bucket ranks of
@@ -762,6 +844,88 @@ object Scans {
     out
   }
 
+  /** Once-per-(JVM, source-state) guard for the event-header fixture
+    * feeding `source_framed_header`. */
+  private val framedHeaderMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Unit]
+
+  /** Write (once per JVM + source state) the event-header fixture:
+    * each event carries ONE scalar record
+    * `header struct<run:bigint, sub:bigint, t0:bigint, q:double>`
+    * with the closed forms run = event_id % 97, sub = event_id % 10,
+    * t0 = epoch_us, q = value — all reproducible by the oracle from
+    * the events table. Written through the DSv2 writer (tag-5
+    * encode), read back by the query with `sub` pruned away. */
+  def framedHeaderFixture(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val out = scratch(dir, "framed_header_src")
+    framedHeaderMemo.getOrElseUpdate(
+      s"$out|${graft.Tables.fsSig(s, s"$dir/events.parquet")}", {
+        events(s, dir).select(
+            col("event_id"),
+            struct((col("event_id") % 97).as("run"),
+                   (col("event_id") % 10).as("sub"),
+                   unix_micros(col("ts")).as("t0"),
+                   col("value").as("q")).as("header"))
+          .repartition(FramedFixtureParts, col("event_id"))
+          .write.format("graft.sources.FramedSource")
+          .mode("overwrite").save(out)
+      })
+    out
+  }
+
+  /** Once-per-(JVM, source-state) guard for the Q/P sub-event fixture
+    * feeding `source_framed_subevents`. */
+  private val framedSubMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Unit]
+
+  /** Write (once per JVM + source state) the Q/P hierarchy fixture:
+    * each Q-frame event carries `subevents
+    * array<struct<sub_id:bigint, q:double>>` — its P frames — with
+    * the closed forms n = event_id % 3 (so every third Q frame has NO
+    * sub-events), sub_id = 0..n-1 in order, q_i = (event_id % 7) +
+    * 0.25·i. Written through the DSv2 writer (tag-4 encode). */
+  def framedSubeventsFixture(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val out = scratch(dir, "framed_sub_src")
+    framedSubMemo.getOrElseUpdate(
+      s"$out|${graft.Tables.fsSig(s, s"$dir/events.parquet")}", {
+        events(s, dir).select(
+            col("event_id"), col("event_type"),
+            when(col("event_id") % 3 === 0,
+                 array().cast("array<struct<sub_id:bigint,q:double>>"))
+              .otherwise(transform(sequence(lit(0L), col("event_id") % 3 - 1), i =>
+                struct(i.as("sub_id"),
+                       ((col("event_id") % 7).cast("double") +
+                        i.cast("double") * 0.25).as("q")))).as("subevents"))
+          .repartition(FramedFixtureParts, col("event_id"))
+          .write.format("graft.sources.FramedSource")
+          .mode("overwrite").save(out)
+      })
+    out
+  }
+
+  /** Once-per-(JVM, source-state) guard for the framed DOCUMENTS
+    * fixture feeding `pipeline_framed_e2e`. */
+  private val framedDocsMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Unit]
+
+  /** Write (once per JVM + source state) the documents corpus through
+    * the framed DSv2 sink — the R1 extract posture for TEXT: the LLM
+    * pipeline's raw input arrives as sequential frame files, not
+    * parquet. Carries MORE keys than the pipeline needs (source,
+    * n_chars) so the e2e plan's parser-level pruning is observable. */
+  def framedDocsFixture(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val out = scratch(dir, "framed_docs_src")
+    framedDocsMemo.getOrElseUpdate(
+      s"$out|${graft.Tables.fsSig(s, s"$dir/documents.parquet")}", {
+        graft.Tables.documents(s, dir)
+          .select("doc_id", "lang", "source", "n_chars", "text")
+          .repartition(FramedFixtureParts, col("doc_id"))
+          .write.format("graft.sources.FramedSource")
+          .mode("overwrite").save(out)
+      })
+    out
+  }
+
   /** Once-per-(JVM, source-state) guard for the gz-compressed framed
     * fixture feeding `source_framed_extract_gz`. */
   private val framedGzMemo =
@@ -824,38 +988,125 @@ object Scans {
           .select("event_id", "event_type", "value")
           .repartitionByRange(16, col("event_type"), col("event_id"))
           .write.mode("overwrite").partitionBy("event_type").parquet(out)
-        // index build: one FS listing + footer metadata per file
-        import scala.jdk.CollectionConverters._
-        val conf = s.sparkContext.hadoopConfiguration
-        val root = new org.apache.hadoop.fs.Path(out)
-        val fs = root.getFileSystem(conf)
-        val rows = fs.listStatus(root).toSeq
-          .filter(st => st.isDirectory && st.getPath.getName.startsWith("event_type="))
-          .flatMap { catDir =>
-            val cat = catDir.getPath.getName.stripPrefix("event_type=")
-            fs.listStatus(catDir.getPath).toSeq
-              .filter(_.getPath.getName.endsWith(".parquet"))
-              .map { f =>
-                val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf)
-                val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-                try {
-                  val blocks = r.getFooter.getBlocks.asScala.toSeq
-                  val n = r.getRecordCount
-                  val stats = blocks.filter(_.getRowCount > 0)
-                    .map(_.getColumns.asScala.find(_.getPath.toDotString == "event_id")
-                           .map(_.getStatistics).orNull)
-                  val (mn, mx) =
-                    if (stats.isEmpty || stats.exists(x => x == null || !x.hasNonNullValue))
-                      (Long.MinValue, Long.MaxValue)
-                    else (stats.map(_.genericGetMin.asInstanceOf[Number].longValue).min,
-                          stats.map(_.genericGetMax.asInstanceOf[Number].longValue).max)
-                  (cat, f.getPath.toString, n, mn, mx)
-                } finally r.close()
-              }
-          }
-        import s.implicits._
-        rows.toDF("category", "file", "n_rows", "id_min", "id_max")
-          .coalesce(1).write.mode("overwrite").parquet(idxPath)
+        categIndexWrite(s, out, idxPath)
+      })
+    idxPath
+  }
+
+  /** Footer-only index row for one parquet file of one category:
+    * (category, file, n_rows, id_min, id_max) — row count and
+    * event_id min/max from the parquet FOOTER, zero data reads. Files
+    * lacking stats keep an infinite range (can't prove non-overlap →
+    * never wrongly pruned). */
+  def footerIndexRow(conf: org.apache.hadoop.conf.Configuration, cat: String,
+                     f: org.apache.hadoop.fs.FileStatus):
+      (String, String, Long, Long, Long) = {
+    import scala.jdk.CollectionConverters._
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val blocks = r.getFooter.getBlocks.asScala.toSeq
+      val n = r.getRecordCount
+      val stats = blocks.filter(_.getRowCount > 0)
+        .map(_.getColumns.asScala.find(_.getPath.toDotString == "event_id")
+               .map(_.getStatistics).orNull)
+      val (mn, mx) =
+        if (stats.isEmpty || stats.exists(x => x == null || !x.hasNonNullValue))
+          (Long.MinValue, Long.MaxValue)
+        else (stats.map(_.genericGetMin.asInstanceOf[Number].longValue).min,
+              stats.map(_.genericGetMax.asInstanceOf[Number].longValue).max)
+      (cat, f.getPath.toString, n, mn, mx)
+    } finally r.close()
+  }
+
+  /** Full `_index` build for a one-level category layout: one FS
+    * listing + one footer read per file, persisted as the tiny
+    * metadata parquet next to the layout. */
+  def categIndexWrite(s: org.apache.spark.sql.SparkSession,
+                      layoutPath: String, idxPath: String): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(layoutPath)
+    val fs = root.getFileSystem(conf)
+    val rows = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("event_type="))
+      .flatMap { catDir =>
+        val cat = catDir.getPath.getName.stripPrefix("event_type=")
+        fs.listStatus(catDir.getPath).toSeq
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map(f => footerIndexRow(conf, cat, f))
+      }
+    import s.implicits._
+    rows.toDF("category", "file", "n_rows", "id_min", "id_max")
+      .coalesce(1).write.mode("overwrite").parquet(idxPath)
+  }
+
+  /** INCREMENTAL `_index` maintenance (VERDICT r6 #4 — the reference's
+    * season workflow appends runs to an existing layout; `combine_runs`
+    * `[public-repo: i3cols/utils.py]`): list the category dirs, diff
+    * the live parquet files against the index's recorded file set,
+    * footer-read ONLY the unindexed files, and persist old rows ∪ new
+    * rows. Existing DATA files are never read or touched — the
+    * incremental cost is O(new files) footer reads plus a rewrite of
+    * the tiny metadata parquet (at 100 TB the index for a season is
+    * a few MB; rewriting it is free, re-footer-reading a million
+    * archived files is not). Returns the newly indexed file paths
+    * (the spec asserts they are exactly the appended run's files and
+    * that old data files' bytes are untouched). */
+  def categIndexAppend(s: org.apache.spark.sql.SparkSession,
+                       layoutPath: String, idxPath: String): Seq[String] = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(layoutPath)
+    val fs = root.getFileSystem(conf)
+    // materialized BEFORE the overwrite below — the index is tiny
+    val old = s.read.parquet(idxPath)
+      .select("category", "file", "n_rows", "id_min", "id_max")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    val known = old.map(_._2).toSet
+    val fresh = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("event_type="))
+      .flatMap { catDir =>
+        val cat = catDir.getPath.getName.stripPrefix("event_type=")
+        fs.listStatus(catDir.getPath).toSeq
+          .filter(f => f.getPath.getName.endsWith(".parquet") &&
+                       !known.contains(f.getPath.toString))
+          .map(f => footerIndexRow(conf, cat, f))
+      }
+    if (fresh.nonEmpty) {
+      import s.implicits._
+      (old ++ fresh).toDF("category", "file", "n_rows", "id_min", "id_max")
+        .coalesce(1).write.mode("overwrite").parquet(idxPath)
+    }
+    fresh.map(_._2)
+  }
+
+  /** Once-per-(JVM, source-state) guard for the append-cycle layout
+    * feeding `scan_categ_index_append`. */
+  private val categAppendMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Unit]
+
+  /** Build (once per JVM + source state) the append-cycle layout: the
+    * archived season (event_id % 10 < 8) is written and fully indexed
+    * first; then the NEW run (event_id % 10 ≥ 8) lands as an
+    * append-only partitioned write, and [[categIndexAppend]] indexes
+    * exactly its files. The probe over the resulting `_index` must see
+    * BOTH phases' rows — the proof that the incrementally-maintained
+    * index routes appended data. */
+  def categIndexAppendBuild(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val out = scratch(dir, "categ_append_layout")
+    val idxPath = s"$out/_index"
+    categAppendMemo.getOrElseUpdate(
+      s"$out|${graft.Tables.fsSig(s, s"$dir/events.parquet")}", {
+        val ev = events(s, dir).select("event_id", "event_type", "value")
+        ev.where(col("event_id") % 10 < 8)
+          .repartitionByRange(16, col("event_type"), col("event_id"))
+          .write.mode("overwrite").partitionBy("event_type").parquet(out)
+        categIndexWrite(s, out, idxPath)
+        ev.where(col("event_id") % 10 >= 8)
+          .repartitionByRange(4, col("event_type"), col("event_id"))
+          .write.mode("append").partitionBy("event_type").parquet(out)
+        categIndexAppend(s, out, idxPath)
       })
     idxPath
   }
@@ -1053,6 +1304,26 @@ object Scans {
        "CAST(SUM(np * base + (np * (np - 1)) // 2) AS BIGINT) AS t_sum, " +
        s"${dsumSql("np * m + 0.25 * ((np * (np - 1)) // 2)")} AS q_sum " +
        "FROM e GROUP BY event_type ORDER BY event_type"),
+    // tag-5 write→read roundtrip must be lossless: closed forms for
+    // the header's projected fields (t0 summed mod 1e6 so the sum
+    // stays in long range at every scale factor)
+    "source_framed_header" ->
+      ("SELECT event_id % 97 AS run, CAST(COUNT(*) AS BIGINT) AS n, " +
+       "CAST(SUM(epoch_us(ts) % 1000000) AS BIGINT) AS t0_sum, " +
+       s"${dsumSql("value")} AS q_sum " +
+       "FROM events GROUP BY 1 ORDER BY run"),
+    // Q/P alignment closed forms: np = event_id % 3 sub-events per
+    // Q frame; aligned == n_subevents proves order survived, assoc_sum
+    // proves children stayed with their parent
+    "source_framed_subevents" ->
+      ("WITH e AS (SELECT event_type, event_id, event_id % 3 AS np, " +
+       "event_id % 7 AS m FROM events) " +
+       "SELECT event_type, CAST(SUM(np) AS BIGINT) AS n_subevents, " +
+       "CAST(SUM((np * (np - 1)) // 2) AS BIGINT) AS sub_id_sum, " +
+       "CAST(SUM(np) AS BIGINT) AS aligned, " +
+       "CAST(SUM(event_id * ((np * (np - 1)) // 2)) AS BIGINT) AS assoc_sum, " +
+       s"${dsumSql("np * m + 0.25 * ((np * (np - 1)) // 2)")} AS q_sum " +
+       "FROM e WHERE np > 0 GROUP BY event_type ORDER BY event_type"),
     // compressed WRITE must be invisible to the read-back: identical
     // oracle to the uncompressed sink roundtrip
     "sink_framed_compressed" ->
@@ -1093,6 +1364,12 @@ object Scans {
     "scan_categ_index_persisted" ->
       ("SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS val_sum " +
        "FROM events WHERE event_type IN ('click', 'purchase') " +
+       "GROUP BY event_type ORDER BY event_type"),
+    // the appended-index probe must equal the plain scan over ALL
+    // events — base season AND appended run
+    "scan_categ_index_append" ->
+      ("SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS val_sum " +
+       "FROM events WHERE event_type IN ('purchase', 'view') " +
        "GROUP BY event_type ORDER BY event_type"),
     "scan_categ_index_stats" ->
       ("SELECT CAST(COUNT(*) AS BIGINT) AS n, " +

@@ -223,6 +223,45 @@ object TextOps {
         .orderBy("lang")
     }),
 
+    // The FULL R1→LLM composition (VERDICT r6 #5): the corpus arrives
+    // as FRAME FILES (the extract posture — raw pipeline input is
+    // sequential, not parquet), and ONE fused plan takes it through
+    // extract → exact dedup (min doc_id per content hash) → quality
+    // gate (length + TTR) → deterministic train/val/test split →
+    // per-(lang, split) accounting. Parser-level column pruning feeds
+    // the dedup stage: the fixture carries source/n_chars keys the
+    // pipeline never asks for, and the framed reader skips them
+    // without decoding (PlanAuditSpec pins the pruned ReadSchema).
+    // Same shuffle shape as pipeline_e2e: content-hash agg + semi
+    // join + one final aggregate.
+    "pipeline_framed_e2e" -> ((s, dir) => {
+      val src = graft.operators.Scans.framedDocsFixture(s, dir)
+      val docs = s.read.format("graft.sources.FramedSource").load(src)
+        .select("doc_id", "lang", "text")
+      val keep = docs
+        .groupBy(md5(col("text").cast("binary")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val toks = col("toks")
+      docs.join(keep, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("lang"), split(lower(col("text")), " ").as("toks"))
+        .select(col("doc_id"), col("lang"),
+                size(toks).as("n_tokens"),
+                (size(array_distinct(toks)).cast("double") / size(toks)).as("ttr"))
+        .where(col("n_tokens") >= 20 && col("ttr") >= 0.5)
+        .withColumn("bucket",
+          pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"),
+               lit(100)))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test"))
+        .groupBy("lang", "split")
+        .agg(big(count(lit(1))).as("n_docs"),
+             big(sum(col("n_tokens"))).as("total_tokens"))
+        .orderBy("lang", "split")
+    }),
+
     // Word-bigram extraction, top-10 per language — n-gram statistics
     // are the backbone of contamination checks and LM-data analysis.
     // Bigrams are emitted row-locally by the native NgramGenerate
@@ -485,6 +524,21 @@ object TextOps {
        "CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+|[0-9]+|[^a-z0-9 ]+')) AS BIGINT) AS n_bpe_tokens, " +
        froundSql("CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+|[0-9]+|[^a-z0-9 ]+')) AS DOUBLE) / LEN(STRING_SPLIT(LOWER(text), ' '))", 4) +
        " AS bpe_ratio FROM documents ORDER BY doc_id"),
+    // identical corpus semantics to pipeline_e2e + sample_split: the
+    // framed transport must be invisible to the pipeline's output
+    "pipeline_framed_e2e" ->
+      ("WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY MD5(text)), " +
+       "q AS (SELECT doc_id, lang, LEN(STRING_SPLIT(LOWER(text), ' ')) AS n_tokens, " +
+       "CAST(LEN(LIST_DISTINCT(STRING_SPLIT(LOWER(text), ' '))) AS DOUBLE) / LEN(STRING_SPLIT(LOWER(text), ' ')) AS ttr " +
+       "FROM documents WHERE doc_id IN (SELECT doc_id FROM keep)), " +
+       "f AS (SELECT doc_id, lang, n_tokens, " +
+       "CAST(CONCAT('0x', SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket " +
+       "FROM q WHERE n_tokens >= 20 AND ttr >= 0.5), " +
+       "s AS (SELECT lang, n_tokens, " +
+       "CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split FROM f) " +
+       "SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+       "CAST(SUM(n_tokens) AS BIGINT) AS total_tokens " +
+       "FROM s GROUP BY lang, split ORDER BY lang, split"),
     "pipeline_e2e" ->
       ("WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY MD5(text)), " +
        "q AS (SELECT lang, LEN(STRING_SPLIT(LOWER(text), ' ')) AS n_tokens, " +

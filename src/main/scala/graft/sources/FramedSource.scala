@@ -49,6 +49,8 @@ class SerializableHadoopConf(@transient var value: Configuration) extends Serial
   *   key     := uint16 nameLen, name utf8, int8 typeTag, payload
   *   payload := long(8) | double(8) | int32 len + utf8 | int32 n + n*long(8)
   *              (tag 0)   (tag 1)     (tag 2)            (tag 3)
+  *              | struct-array (tag 4) | struct (tag 5)   — self-describing,
+  *                see [[FramedFormat.TagStructArray]] / [[FramedFormat.TagStruct]]
   * }}}
   * Frames carry no sync marker, so a BARE file is not splittable
   * mid-stream — parallelism is per file, exactly i3cols'
@@ -87,15 +89,35 @@ object FramedFormat {
     * frame: an unrequested struct field skips as ONE checked
     * `n × 8`-byte skip, so nested-schema pruning reaches the parser. */
   val TagStructArray: Byte = 4
+  /** Scalar multi-field record — the reference's per-event header
+    * shape (I3EventHeader: run/subrun/event ids + times) `[public-repo:
+    * i3cols/dtypes.py]`: ONE nested record per frame, not an array.
+    * Payload (self-describing, same field directory as tag 4):
+    * {{{
+    *   uint8 nFields, nFields × (uint16 nameLen, name utf8, int8 fieldTag),
+    *   nFields × 8 bytes                     // fieldTag ∈ {long, double}
+    * }}}
+    * Values follow in directory order, so an unrequested field skips
+    * as one checked 8-byte hop — nested-schema pruning reaches the
+    * parser for scalar structs exactly as for pulse series. */
+  val TagStruct: Byte = 5
 
   def sparkType(tag: Byte): DataType = tag match {
     case TagLong => LongType
     case TagDouble => DoubleType
     case TagString => StringType
     case TagLongArray => ArrayType(LongType, containsNull = false)
-    // TagStructArray's type needs the payload's field directory —
-    // inference parses it in place (see FramedSource.infer)
+    // TagStructArray's / TagStruct's type needs the payload's field
+    // directory — inference parses it in place (see FramedSource.infer)
     case t => throw new IllegalArgumentException(s"unknown frame type tag $t")
+  }
+
+  /** Scalar record value for a [[TagStruct]] key: `fields` are the
+    * record type's (name, field tag) in declared order; `values(i)` is
+    * field i's boxed Long or Double, matching the tag. */
+  case class StructScalar(fields: Seq[(String, Byte)], values: Seq[Any]) {
+    require(fields.length == values.length,
+      s"struct value count ${values.length} != field count ${fields.length}")
   }
 
   /** Column-major value for a [[TagStructArray]] key: `fields` are the
@@ -149,6 +171,22 @@ object FramedFormat {
               a.foreach(b.writeDouble)
             case ((fn, ft), a) =>
               throw new IllegalArgumentException(s"struct column $fn: tag $ft vs $a")
+          }
+        case (TagStruct, v: StructScalar) =>
+          require(v.fields.length <= 255,
+            s"struct key $name: ${v.fields.length} fields exceeds the format's 255")
+          b.writeByte(v.fields.length)
+          v.fields.foreach { case (fn, ft) =>
+            require(ft == TagLong || ft == TagDouble,
+              s"struct field $fn: only long/double fields are fixed-width encodable")
+            val fb = fn.getBytes("UTF-8")
+            b.writeShort(fb.length); b.write(fb); b.writeByte(ft)
+          }
+          v.fields.zip(v.values).foreach {
+            case ((_, TagLong), x: java.lang.Long)     => b.writeLong(x)
+            case ((_, TagDouble), x: java.lang.Double) => b.writeDouble(x)
+            case ((fn, ft), x) =>
+              throw new IllegalArgumentException(s"struct field $fn: tag $ft vs $x")
           }
         case other => throw new IllegalArgumentException(s"bad key $name: $other")
       }
@@ -462,6 +500,24 @@ object FramedSource {
                 }
                 FramedReader.skipFully(in, in.readInt().toLong * 8L * nf, f)
                 ArrayType(StructType(sfs), containsNull = false)
+              case FramedFormat.TagStruct =>
+                // scalar record: same field directory, one 8-byte value
+                // per field follows
+                val nf = in.readUnsignedByte()
+                val sfs = (0 until nf).map { _ =>
+                  val fl = in.readUnsignedShort()
+                  val fb = new Array[Byte](fl); in.readFully(fb)
+                  val ftag = in.readByte()
+                  val fdt = ftag match {
+                    case FramedFormat.TagLong => LongType
+                    case FramedFormat.TagDouble => DoubleType
+                    case t => throw new IllegalArgumentException(
+                      s"unknown struct field tag $t in $f")
+                  }
+                  StructField(new String(fb, "UTF-8"), fdt, nullable = false)
+                }
+                FramedReader.skipFully(in, 8L * nf, f)
+                StructType(sfs)
               case t => throw new IllegalArgumentException(
                 s"unknown frame type tag $t in $f")
             }
@@ -1194,6 +1250,52 @@ class FramedReader(splits: Seq[FramedSplit], required: StructType,
               }
               values(ord) = new GenericArrayData(rows)
             } else FramedReader.skipFully(in, n.toLong * 8L * nf, file)
+          case FramedFormat.TagStruct =>
+            // scalar record (the per-event header): directory precedes
+            // the values, so it is parsed even when the key is skipped
+            val nf = in.readUnsignedByte()
+            val wireFields = new Array[(String, Byte)](nf)
+            var fi = 0
+            while (fi < nf) {
+              val fl = in.readUnsignedShort()
+              checkLen(fl.toLong, "struct field name", bodyLen)
+              val fb = new Array[Byte](fl); in.readFully(fb)
+              wireFields(fi) = (new String(fb, "UTF-8"), in.readByte())
+              fi += 1
+            }
+            checkLen(8L * nf, "struct", bodyLen)
+            if (ord >= 0) {
+              // the required type may be a PRUNED subset of the wire
+              // fields (nested-schema pruning): an unrequested field
+              // skips in one checked 8-byte hop
+              val st = required.fields(ord).dataType.asInstanceOf[StructType]
+              val outOrd: Map[String, Int] = st.fieldNames.zipWithIndex.toMap
+              val vals = new Array[Any](st.length)
+              var wi = 0
+              while (wi < nf) {
+                val (fname, ftag) = wireFields(wi)
+                val o = outOrd.getOrElse(fname, -1)
+                ftag match {
+                  case FramedFormat.TagLong =>
+                    if (o >= 0) vals(o) = in.readLong()
+                    else FramedReader.skipFully(in, 8L, file)
+                  case FramedFormat.TagDouble =>
+                    if (o >= 0) vals(o) = in.readDouble()
+                    else FramedReader.skipFully(in, 8L, file)
+                  case t => throw new IllegalStateException(
+                    s"unknown struct field tag $t in $file")
+                }
+                wi += 1
+              }
+              var oi = 0
+              while (oi < st.length) {
+                if (vals(oi) == null) throw new IllegalStateException(
+                  s"struct key $name lacks required field " +
+                  s"${st.fields(oi).name} in $file")
+                oi += 1
+              }
+              values(ord) = new GenericInternalRow(vals)
+            } else FramedReader.skipFully(in, 8L * nf, file)
           case t => throw new IllegalStateException(s"unknown type tag $t in $file")
         }
         i += 1
@@ -1237,7 +1339,7 @@ class FramedWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWrite
       require(FramedWrite.tagOf(f.dataType).isDefined,
         s"FramedSource cannot encode column ${f.name}: ${f.dataType.simpleString} " +
         "(supported: bigint, double, string, array<bigint>, " +
-        "array<struct> of bigint/double fields)")
+        "array<struct> / struct of bigint/double fields)")
     }
     val indexBlockBytes = {
       val v = info.options().get("indexBlockBytes")
@@ -1292,6 +1394,10 @@ object FramedWrite {
       if st.fields.nonEmpty && st.fields.length <= 255 &&
          st.fields.forall(f => f.dataType == LongType || f.dataType == DoubleType) =>
       Some(FramedFormat.TagStructArray)
+    case st: StructType
+      if st.fields.nonEmpty && st.fields.length <= 255 &&
+         st.fields.forall(f => f.dataType == LongType || f.dataType == DoubleType) =>
+      Some(FramedFormat.TagStruct)
     case _ => None
   }
 }
@@ -1552,6 +1658,24 @@ class FramedDataWriter(schema: StructType, path: String, queryId: String,
             }
           }
           FramedFormat.StructColumns(dir, n, cols)
+        case FramedFormat.TagStruct =>
+          // one scalar record (the per-event header shape)
+          val st = dt.asInstanceOf[StructType]
+          val row = record.getStruct(i, st.length)
+          val dir = st.fields.toSeq.map(f => (f.name,
+            if (f.dataType == LongType) FramedFormat.TagLong else FramedFormat.TagDouble))
+          val vals: Seq[Any] = st.fields.toSeq.zipWithIndex.map { case (f, fi) =>
+            if (row.isNullAt(fi))
+              throw new IllegalArgumentException(
+                s"framed format cannot encode NULL struct field ${f.name} (key $name)")
+            f.dataType match {
+              case LongType   => java.lang.Long.valueOf(row.getLong(fi))
+              case DoubleType => java.lang.Double.valueOf(row.getDouble(fi))
+              case other => throw new IllegalArgumentException(
+                s"unencodable struct field type $other (key $name)")
+            }
+          }
+          FramedFormat.StructScalar(dir, vals)
       }
       (name, tag, v)
     }.toSeq

@@ -787,6 +787,111 @@ class FramedSourceSpec extends SparkSpec {
     } finally r3.close()
   }
 
+  test("tag-5 scalar struct key (event header) roundtrips through write and read, schema included") {
+    val dir = s"${java.nio.file.Files.createTempDirectory("graft_framed_t5")}/table"
+    val df = spark.range(0, 200).select(
+      col("id").as("event_id"),
+      struct((col("id") % 7).as("run"), (col("id") % 3).as("sub"),
+             (col("id") * 1000L - 5L).as("t0"),
+             (col("id").cast("double") * 0.25 - 1.0).as("q")).as("header"))
+    df.write.format("graft.sources.FramedSource").mode("overwrite").save(dir)
+    // inference reconstructs the nested type from the wire field directory
+    assert(graft.sources.FramedSource.infer(dir) == StructType(Seq(
+      StructField("event_id", LongType, nullable = false),
+      StructField("header", StructType(Seq(
+        StructField("run", LongType, nullable = false),
+        StructField("sub", LongType, nullable = false),
+        StructField("t0", LongType, nullable = false),
+        StructField("q", DoubleType, nullable = false))), nullable = false))))
+    val back = spark.read.format("graft.sources.FramedSource").load(dir)
+    assertSameRows(
+      back.withColumn("header", col("header").cast("string")),
+      df.withColumn("header", col("header").cast("string")),
+      "tag-5 roundtrip")
+    // a struct wider than the wire's uint8 field count is rejected at
+    // write BUILD (tagOf declines it), never truncated into corruption
+    val wide = StructType((0 until 256).map(i =>
+      StructField(s"f$i", LongType, nullable = false)))
+    assert(graft.sources.FramedWrite.tagOf(wide).isEmpty)
+    assert(graft.sources.FramedWrite.tagOf(StructType(
+      (0 until 255).map(i => StructField(s"f$i", LongType, nullable = false))))
+      .contains(graft.sources.FramedFormat.TagStruct))
+    // NULL struct fields fail the write loudly
+    val withNull = spark.range(3).select(col("id").as("event_id"),
+      struct(lit(1L).as("run"),
+        when(col("id") === 1L, lit(null).cast("double")).otherwise(lit(0.5)).as("q"))
+        .as("header"))
+    val e = intercept[Exception] {
+      withNull.write.format("graft.sources.FramedSource").mode("append").save(dir)
+    }
+    assert(e.getMessage.contains("NULL") || e.getCause != null, e.getMessage)
+  }
+
+  test("scalar-struct field pruning reaches the frame parser and the scan (tag 5)") {
+    import graft.sources.FramedFormat._
+    val dir = java.nio.file.Files.createTempDirectory("graft_framed_t5p").toString
+    val dos = new java.io.DataOutputStream(new java.io.FileOutputStream(s"$dir/a.frames"))
+    try (0 until 10).foreach { i =>
+      writeFrame(dos, Seq(
+        ("event_id", TagLong, i.toLong),
+        ("header", TagStruct, StructScalar(
+          Seq(("run", TagLong), ("t0", TagLong), ("q", TagDouble)),
+          Seq(java.lang.Long.valueOf(i % 3L), java.lang.Long.valueOf(i * 100L),
+              java.lang.Double.valueOf(i * 0.5))))))
+    } finally dos.close()
+    // reader-level: a required schema keeping only (t0) must decode t0
+    // and SKIP run/q — and the decode must stay aligned (all 10 parse)
+    val pruned = StructType(Seq(
+      StructField("header", StructType(Seq(
+        StructField("t0", LongType, nullable = false))), nullable = false)))
+    val r = new graft.sources.FramedReader(s"$dir/a.frames", pruned, Nil)
+    var n = 0
+    var tSum = 0L
+    try while (r.next()) {
+      tSum += r.get().getStruct(0, 1).getLong(0)
+      n += 1
+    } finally r.close()
+    assert(n == 10)
+    assert(tSum == (0 until 10).map(_ * 100L).sum)
+    // end-to-end: nested pruning reaches the scan's ReadSchema
+    val df = spark.read.format("graft.sources.FramedSource").load(dir)
+      .select(col("header.t0").as("t0"))
+    val scan = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }.head.asInstanceOf[graft.sources.FramedScan]
+    val st = scan.readSchema()("header").dataType.asInstanceOf[StructType]
+    assert(st.fieldNames.toSeq == Seq("t0"),
+      s"run/q not pruned from the scan: ${scan.readSchema().simpleString}")
+    assert(df.agg(sum(col("t0"))).collect()(0).getLong(0) == tSum)
+    // a required field the wire lacks fails loudly (foreign/evolved file)
+    val missing = StructType(Seq(
+      StructField("header", StructType(Seq(
+        StructField("nosuch", LongType, nullable = false))), nullable = false)))
+    val r2 = new graft.sources.FramedReader(s"$dir/a.frames", missing, Nil)
+    try {
+      val e = intercept[IllegalStateException] { while (r2.next()) () }
+      assert(e.getMessage.contains("lacks required field"), e.getMessage)
+    } finally r2.close()
+    // corrupt field-name length: checked against bodyLen, never a
+    // misaligned parse into garbage values
+    val f2 = s"$dir/bad_name.frames"
+    val dos2 = new java.io.DataOutputStream(new java.io.FileOutputStream(f2))
+    try {
+      val name = "header".getBytes("UTF-8")
+      dos2.writeInt(4 + 2 + name.length + 1 + 1 + 2) // tiny body
+      dos2.writeInt(1)
+      dos2.writeShort(name.length); dos2.write(name); dos2.writeByte(TagStruct)
+      dos2.writeByte(1)
+      dos2.writeShort(0xFFFF) // field-name length far beyond the body
+    } finally dos2.close()
+    val r3 = new graft.sources.FramedReader(f2, pruned, Nil)
+    try {
+      val e = intercept[IllegalStateException] { while (r3.next()) () }
+      assert(e.getMessage.contains("corrupt frame") &&
+        e.getMessage.contains("struct field name"), e.getMessage)
+    } finally r3.close()
+  }
+
   test("compressed WRITE: gzip sink roundtrips, block-splits via the v2 index, rejects unusable codecs") {
     val dir = s"${java.nio.file.Files.createTempDirectory("graft_framed_wgz")}/table"
     val df = spark.range(0, 500).select(

@@ -275,6 +275,68 @@ class NonOracleOpsSpec extends SparkSpec {
     }
   }
 
+  test("incremental _index append footer-reads only the new run's files and never touches old data") {
+    import graft.operators.Scans
+    val dir = s"${java.nio.file.Files.createTempDirectory("graft_categ_append")}/table"
+    val idxPath = s"$dir/_index"
+    val ev = spark.range(0, 1000).select(
+      col("id").as("event_id"),
+      concat(lit("t"), col("id") % 3).as("event_type"),
+      (col("id") * 0.5).as("value"))
+    // season bootstrap: archived runs, fully indexed once
+    ev.where(col("event_id") % 10 < 8)
+      .repartition(4)
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    Scans.categIndexWrite(spark, dir, idxPath)
+    val idxBefore = spark.read.parquet(idxPath)
+      .select("file").collect().map(_.getString(0)).toSet
+    def dataFiles(): Seq[java.io.File] =
+      new java.io.File(dir).listFiles()
+        .filter(d => d.isDirectory && d.getName.startsWith("event_type="))
+        .flatMap(_.listFiles().filter(_.getName.endsWith(".parquet"))).toSeq
+    val before = dataFiles()
+      .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+    // the new run lands append-only
+    ev.where(col("event_id") % 10 >= 8)
+      .repartition(2)
+      .write.mode("append").partitionBy("event_type").parquet(dir)
+    val newlyIndexed = Scans.categIndexAppend(spark, dir, idxPath)
+    // 1) ONLY the appended files were footer-read
+    assert(newlyIndexed.nonEmpty)
+    assert(newlyIndexed.toSet.intersect(idxBefore).isEmpty,
+      "incremental update re-read already-indexed files")
+    // 2) the old data files' bytes are untouched (length + mtime)
+    before.foreach { case (p, (len, mtime)) =>
+      val f = new java.io.File(p)
+      assert(f.exists() && f.length() == len && f.lastModified() == mtime,
+        s"append cycle modified existing data file $p")
+    }
+    // 3) the appended index covers exactly the live file set...
+    val liveFiles = dataFiles().map(_.getAbsolutePath).toSet
+    val idxAfter = spark.read.parquet(idxPath)
+      .select("file").collect().map(_.getString(0)).toSet
+    def localPath(p: String) =
+      new java.io.File(new java.net.URI(p).getPath).getAbsolutePath
+    assert(idxAfter.map(localPath) == liveFiles,
+      "appended index does not cover exactly the live files")
+    assert(idxAfter == idxBefore ++ newlyIndexed)
+    // ...and equals a from-scratch rebuild, row for row
+    val rebuilt = s"$dir/_index_rebuilt"
+    Scans.categIndexWrite(spark, dir, rebuilt)
+    val a = spark.read.parquet(idxPath).collect().map(_.toString).sorted
+    val b = spark.read.parquet(rebuilt).collect().map(_.toString).sorted
+    assert(a.sameElements(b), "incrementally-appended index diverges from a full rebuild")
+    // 4) a probe routed by the appended index sees BOTH phases' rows
+    val t1Files = spark.read.parquet(idxPath)
+      .where(col("category") === "t1").select("file")
+      .collect().map(_.getString(0)).toSeq
+    val routed = spark.read.parquet(t1Files: _*)
+      .agg(count(lit(1)), sum(col("event_id"))).collect()(0)
+    val plain = ev.where(col("event_type") === "t1")
+      .agg(count(lit(1)), sum(col("event_id"))).collect()(0)
+    assert(routed == plain, s"routed $routed != plain $plain")
+  }
+
   test("multi-level category index routes a probe to a strict subset of one level-1 category's files") {
     SparkEntry.queries("scan_categ_index_multilevel")(spark, sf001).collect()
     val idxPath = s"${Tables.scratch(sf001, "categ2_layout")}/_index"

@@ -291,6 +291,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), p.take(2000))
   }
 
+  test("pipeline_framed_e2e prunes the framed scan to the pipeline's columns") {
+    // AQE hides the scans until execution: run, then audit the final
+    // plan string (FramedScan.description embeds each ReadSchema)
+    val df = SparkEntry.queries("pipeline_framed_e2e")(spark, sf001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val schemas =
+      "FramedScan [^,]*, ReadSchema: struct<([^>]*)>".r
+        .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(schemas.nonEmpty, s"no framed scan in the e2e plan\n${p.take(2000)}")
+    // the fixture carries source/n_chars keys the pipeline never asks
+    // for: parser-level pruning must keep them out of every ReadSchema
+    // (the frame parser then skips their payloads without decoding)
+    schemas.foreach { s =>
+      assert(!s.contains("source") && !s.contains("n_chars"),
+        s"unpruned framed ReadSchema: struct<$s>")
+      assert(s.split(",").forall(f =>
+        Set("doc_id", "lang", "text").contains(f.split(":")(0))),
+        s"unexpected framed ReadSchema: struct<$s>")
+    }
+  }
+
   test("whole-stage codegen covers the hot paths of the flagship aggregate") {
     // AQE finalizes stages only at execution; run the query, then check
     // the final adaptive plan for codegen stage markers (`*(n)`)
