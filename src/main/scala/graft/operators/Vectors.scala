@@ -119,6 +119,47 @@ object Vectors {
         .limit(10)
     }),
 
+    // PRODUCT-QUANTIZED ANN (the IVF companion at 100 TB — memory
+    // compression, where IVF is candidate pruning): the 64-dim corpus
+    // splits into PqSubspaces=4 16-dim subspaces, each with a
+    // PqCodes=8 codebook trained by seeded deterministic k-means
+    // (argmin-L2 assignment with ties to the smallest code;
+    // decimal(24,6) means rounded to 6 decimals — the IVF recipe), so
+    // every vector compresses to 4 codes (64×4 B → 4 B, the 64×
+    // memory cut that lets a 100 TB corpus's index live in RAM).
+    // Query-time ADC: the 4×8 table of squared query-to-codeword
+    // distances is computed DRIVER-side (the one tiny artifact), and
+    // each row's approximate distance is 4 codegen'd map lookups — no
+    // join, no shuffle, one corpus scan into TakeOrderedAndProject.
+    // The ENTIRE pipeline (training included) is oracle-checked: the
+    // oracle unrolls the same k-means rounds per subspace as CTEs —
+    // a TRAINED PQ index reproduced bit-exactly by a second engine.
+    // NonOracleOpsSpec adds the k-means property (quantization MSE
+    // non-increasing under training).
+    "sim_ann_pq" -> ((s, dir) => {
+      val (books, qsubs) = pqPrelude(s, dir)
+      // ADC distance tables: dsq = LIST_DISTANCE² in the oracle, so
+      // compute sqrt(Σd²)·sqrt(Σd²) here too — bit-identical doubles
+      def dsq(a: Array[Double], b: Array[Double]): Double = {
+        var s2 = 0.0
+        var i = 0
+        while (i < a.length) { val d = a(i) - b(i); s2 += d * d; i += 1 }
+        val dd = math.sqrt(s2)
+        dd * dd
+      }
+      val dts: Array[Map[Long, Double]] = books.zipWithIndex.map { case (cb, j) =>
+        cb.map { case (code, cv) => code -> dsq(qsubs(j), cv) }.toMap
+      }
+      val adist = (0 until PqSubspaces).map { j =>
+        element_at(typedLit(dts(j)), pqAssign(pqSub(j), books(j)))
+      }.reduce(_ + _)
+      embeddings(s, dir)
+        .where(col("vec_id") =!= 0)
+        .select(col("vec_id"), fround(adist, 4).as("adist"))
+        .orderBy(col("adist").asc, col("vec_id"))
+        .limit(10)
+    }),
+
     // IVF as DATA LAYOUT: the index is not a sidecar structure but the
     // partitioning of the table itself — embeddings land in
     // partitionBy(cid) dirs at ingest, and a probe is a
@@ -148,6 +189,87 @@ object Vectors {
   /** Fixed Lloyd round count — small and FIXED so the oracle can
     * unroll the same rounds as plain SQL CTEs. */
   val IvfLloydIters = 2
+
+  /** PQ geometry: 64-dim vectors → 4 subspaces × 16 dims, 8 codewords
+    * per subspace (3 bits), 1 training round — all FIXED so the
+    * oracle unrolls training as CTEs like the IVF oracle does. */
+  val PqSubspaces = 4
+  val PqSubDim = 16
+  val PqCodes = 8
+  val PqIters = 1
+
+  /** Subspace j of the (double view of the) embedding — 1-based slice,
+    * matching the oracle's `ev[(j·16+1):(j·16+16)]`. */
+  def pqSub(j: Int): org.apache.spark.sql.Column =
+    slice(Similarity.asDouble(col("embedding")), j * PqSubDim + 1, PqSubDim)
+
+  /** Squared L2 distance, summed in index order (same op order as
+    * DuckDB's LIST_DISTANCE internals, so comparisons agree bitwise;
+    * no sqrt — monotone, and assignment only compares). */
+  def l2sq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column):
+      org.apache.spark.sql.Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+
+  /** Row-local PQ code assignment: argmin squared-L2 over the
+    * codebook literals via struct-min — min distance, ties to the
+    * smallest code. Codegen'd, no shuffle, no UDF. */
+  def pqAssign(sub: org.apache.spark.sql.Column,
+               cb: Array[(Long, Array[Double])]): org.apache.spark.sql.Column =
+    array_min(array(cb.map { case (code, cv) =>
+      struct(l2sq(sub, typedLit(cv)).as("d"), lit(code).as("c"))
+    }: _*)).getField("c")
+
+  /** One k-means round for subspace j: assign every subvector to its
+    * argmin-L2 codeword, then take elementwise member means —
+    * decimal(24,6) sums / count rounded to 6 decimals (the lloydStep
+    * recipe) so both engines feed bit-identical codebooks forward.
+    * Empty cells keep their previous codeword. One hash aggregate
+    * over PqCodes·PqSubDim cells; only the tiny codebook collects. */
+  def pqLloydStep(e: org.apache.spark.sql.DataFrame, j: Int,
+                  cb: Array[(Long, Array[Double])]): Array[(Long, Array[Double])] = {
+    val means = e.withColumn("code", pqAssign(pqSub(j), cb))
+      .select(col("code"), posexplode(pqSub(j)).as(Seq("pos", "x")))
+      .groupBy("code", "pos")
+      .agg(fround(dsum6(col("x")) / count(lit(1)), 6).as("c"))
+      .groupBy("code")
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("code"), transform(col("pc"), x => x.getField("c")).as("cv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .toMap
+    cb.map { case (code, cv) => (code, means.getOrElse(code, cv)) }
+  }
+
+  /** Per-(JVM, source-state) memo of the trained PQ codebooks + query
+    * subvectors — training is an index build, shared across runs. */
+  private val pqMemo = scala.collection.concurrent.TrieMap
+    .empty[String, (Array[Array[(Long, Array[Double])]], Array[Array[Double]])]
+
+  /** Trained PQ codebooks (one per subspace; seeded init = the
+    * PqCodes lowest vec_ids' subvectors, PqIters k-means rounds) and
+    * the query vector's subvectors. Only codebook-sized artifacts are
+    * ever collected. */
+  def pqPrelude(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (Array[Array[(Long, Array[Double])]], Array[Array[Double]]) =
+    pqMemo.getOrElseUpdate(graft.Tables.fsSig(s, s"$dir/embeddings.parquet"), {
+      val e = embeddings(s, dir)
+      val initRows = e.where(col("vec_id") < PqCodes)
+        .select(col("vec_id"), col("embedding"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+        .sortBy(_._1)
+      val books = (0 until PqSubspaces).map { j =>
+        val init = initRows.map { case (id, ev) =>
+          (id, ev.slice(j * PqSubDim, (j + 1) * PqSubDim))
+        }
+        (1 to PqIters).foldLeft(init)((c, _) => pqLloydStep(e, j, c))
+      }.toArray
+      val qv = e.where(col("vec_id") === 0)
+        .select(col("embedding")).collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+      val qsubs = (0 until PqSubspaces)
+        .map(j => qv.slice(j * PqSubDim, (j + 1) * PqSubDim)).toArray
+      (books, qsubs)
+    })
 
   /** Per-(JVM, source-state) memo of the trained centroids: training
     * is an index-build (offline in production), so the two IVF queries
@@ -274,7 +396,8 @@ object Vectors {
        froundSql("127.0 / amax", 6) + " AS scale, " +
        "CAST(LIST_SUM(LIST_TRANSFORM(v, e -> CAST(FLOOR(e * 127.0 / amax + 0.5) AS BIGINT))) AS BIGINT) AS qsum " +
        "FROM a ORDER BY vec_id"),
-    "sim_ann_ivf" -> oracleIvfBase
+    "sim_ann_ivf" -> oracleIvfBase,
+    "sim_ann_pq" -> oraclePqBase
   ) ++ {
     // the layout variant must return exactly the scan-side IVF's rows —
     // same trained centroids, same probe set, different access path
@@ -288,6 +411,55 @@ object Vectors {
     * mirroring [[lloydStep]] exactly, then assignment + 2-probe top-10
     * against the FINAL centroids. `def`, not `val`: `oracle` above
     * initializes first (declaration order). */
+  /** The PQ oracle unrolls the SAME per-subspace k-means rounds the
+    * engine trains (seeded init, argmin-L2 with ties to the smallest
+    * code, decimal(24,6)+fround6 means), then replays the ADC query:
+    * squared LIST_DISTANCE tables joined by (subspace, code), summed
+    * in EXPLICIT subspace order (a bare SUM() would sum in an
+    * unspecified order — the per-j CASE pivot keeps the four-double
+    * addition chain identical to the engine's). */
+  private def oraclePqBase: String = {
+    val rounds = (1 to PqIters).map { k =>
+      val prev = s"c${k - 1}"
+      s"a$k AS (SELECT vec_id, j, code FROM (" +
+      s"SELECT s.vec_id, s.j, c.code, ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j " +
+      s"ORDER BY LIST_DISTANCE(s.sv, c.cv) ASC, c.code) AS rn " +
+      s"FROM sub s JOIN $prev c ON s.j = c.j) WHERE rn = 1), " +
+      s"m$k AS (SELECT a.j, a.code, pe.pos, " +
+      froundSql(dsum6Sql("pe.x") + " / COUNT(*)", 6) + " AS c " +
+      s"FROM a$k a JOIN pe ON a.vec_id = pe.vec_id AND a.j = pe.j " +
+      s"GROUP BY a.j, a.code, pe.pos), " +
+      s"c$k AS (SELECT j, code, LIST(c ORDER BY pos) AS cv FROM m$k GROUP BY j, code " +
+      s"UNION ALL SELECT p.j, p.code, p.cv FROM $prev p WHERE NOT EXISTS " +
+      s"(SELECT 1 FROM m$k WHERE m$k.j = p.j AND m$k.code = p.code))"
+    }.mkString(", ")
+    val cf = s"c$PqIters"
+    val jList = (0 until PqSubspaces).mkString("[", ",", "]")
+    val adChain = (0 until PqSubspaces)
+      .map(j => s"MAX(CASE WHEN e.j = $j THEN dt.dsq END)").mkString(" + ")
+    "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings), " +
+    s"jj AS (SELECT UNNEST($jList) AS j), " +
+    "sub AS MATERIALIZED (SELECT vec_id, j, " +
+    s"ev[(j * $PqSubDim + 1):(j * $PqSubDim + $PqSubDim)] AS sv FROM v, jj), " +
+    "pe AS MATERIALIZED (SELECT vec_id, j, GENERATE_SUBSCRIPTS(sv, 1) AS pos, " +
+    "UNNEST(sv) AS x FROM sub), " +
+    s"c0 AS (SELECT j, vec_id AS code, sv AS cv FROM sub WHERE vec_id < $PqCodes), " +
+    rounds + ", " +
+    "enc AS (SELECT vec_id, j, code FROM (" +
+    s"SELECT s.vec_id, s.j, c.code, ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j " +
+    s"ORDER BY LIST_DISTANCE(s.sv, c.cv) ASC, c.code) AS rn " +
+    s"FROM sub s JOIN $cf c ON s.j = c.j) WHERE rn = 1), " +
+    "q AS (SELECT j, sv AS qs FROM sub WHERE vec_id = 0), " +
+    s"dt AS (SELECT c.j, c.code, " +
+    s"LIST_DISTANCE(q.qs, c.cv) * LIST_DISTANCE(q.qs, c.cv) AS dsq " +
+    s"FROM $cf c JOIN q ON c.j = q.j), " +
+    "ad AS (SELECT e.vec_id, " + adChain + " AS adist " +
+    "FROM enc e JOIN dt ON e.j = dt.j AND e.code = dt.code " +
+    "WHERE e.vec_id <> 0 GROUP BY e.vec_id) " +
+    "SELECT vec_id, " + froundSql("adist", 4) + " AS adist " +
+    "FROM ad ORDER BY adist, vec_id LIMIT 10"
+  }
+
   private def oracleIvfBase: String = {
     val rounds = (1 to IvfLloydIters).map { k =>
       val prev = s"c${k - 1}"

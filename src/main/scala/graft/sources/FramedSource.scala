@@ -1300,6 +1300,20 @@ class FramedReader(splits: Seq[FramedSplit], required: StructType,
         }
         i += 1
       }
+      // a frame missing a REQUIRED key must fail loudly (a foreign or
+      // schema-evolved file): the schema declares every key
+      // non-nullable, so a silently-null slot would be data corruption
+      // one aggregate away from a wrong answer — the same contract the
+      // struct decoders already enforce for their fields (`lacks
+      // required field`). `_file` is metadata, filled below.
+      var ro = 0
+      while (ro < values.length) {
+        if (values(ro) == null && ro != fileOrd)
+          throw new IllegalStateException(
+            s"frame lacks required key ${required.fields(ro).name} in $file " +
+            "(foreign or schema-evolved file; extract the key sets separately)")
+        ro += 1
+      }
       if (pushed.forall(FramedFilters.eval(_, fvals))) {
         if (fileOrd >= 0) values(fileOrd) = fileUtf8
         row = new GenericInternalRow(values)

@@ -787,6 +787,43 @@ class FramedSourceSpec extends SparkSpec {
     } finally r3.close()
   }
 
+  test("a frame missing a required top-level key fails loudly, never a silent null slot") {
+    import graft.sources.FramedFormat._
+    val dir = java.nio.file.Files.createTempDirectory("graft_framed_misskey").toString
+    val d1 = new java.io.DataOutputStream(new java.io.FileOutputStream(s"$dir/a.frames"))
+    try (0 until 3).foreach { i =>
+      writeFrame(d1, Seq(("a", TagLong, i.toLong), ("b", TagDouble, i * 0.5)))
+    } finally d1.close()
+    // a later (schema-evolved / foreign) file carries only key `a`
+    val d2 = new java.io.DataOutputStream(new java.io.FileOutputStream(s"$dir/b.frames"))
+    try writeFrame(d2, Seq(("a", TagLong, 99L))) finally d2.close()
+    val schema = StructType(Seq(
+      StructField("a", LongType, nullable = false),
+      StructField("b", DoubleType, nullable = false)))
+    val r = new graft.sources.FramedReader(s"$dir/b.frames", schema, Nil)
+    try {
+      val e = intercept[IllegalStateException] { while (r.next()) () }
+      assert(e.getMessage.contains("lacks required key") && e.getMessage.contains("b"),
+        e.getMessage)
+    } finally r.close()
+    // the well-formed file still reads; _file metadata stays exempt —
+    // and pruning makes the contract precise: a query touching only
+    // keys PRESENT everywhere succeeds over the mixed dir...
+    val ok = spark.read.format("graft.sources.FramedSource").load(dir)
+      .where(col("_file").endsWith("a.frames"))
+    assert(ok.count() == 3)
+    assert(spark.read.format("graft.sources.FramedSource").load(dir)
+      .select("a").count() == 4)
+    // ...while one demanding the evolved-away key fails loudly
+    val e2 = intercept[Exception] {
+      spark.read.format("graft.sources.FramedSource").load(dir)
+        .select("a", "b").collect()
+    }
+    assert(e2.toString.contains("lacks required key") ||
+           Option(e2.getCause).exists(_.toString.contains("lacks required key")),
+      e2.toString)
+  }
+
   test("tag-5 scalar struct key (event header) roundtrips through write and read, schema included") {
     val dir = s"${java.nio.file.Files.createTempDirectory("graft_framed_t5")}/table"
     val df = spark.range(0, 200).select(

@@ -383,6 +383,42 @@ class NonOracleOpsSpec extends SparkSpec {
     assert(objectives.last > objectives.head, s"no improvement: $objectives")
   }
 
+  test("PQ training: per-subspace quantization MSE is non-increasing per k-means round") {
+    import graft.operators.Vectors
+    val e = Tables.embeddings(spark, sf001)
+    val initRows = e.where(col("vec_id") < Vectors.PqCodes)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    // MSE under a codebook = Σ over vectors of the min squared-L2 to
+    // any codeword (assignment is the argmin, so this IS the k-means
+    // objective); decimal sum for partition-order independence
+    def mse(j: Int, cb: Array[(Long, Array[Double])]): Double = {
+      val minDist = array_min(array(cb.map { case (_, cv) =>
+        Vectors.l2sq(Vectors.pqSub(j), typedLit(cv))
+      }: _*))
+      e.agg(Tables.dsum6(minDist)).collect()(0).getDouble(0)
+    }
+    (0 until Vectors.PqSubspaces).foreach { j =>
+      val init = initRows.map { case (id, ev) =>
+        (id, ev.slice(j * Vectors.PqSubDim, (j + 1) * Vectors.PqSubDim))
+      }
+      // one round PAST the shipped PqIters: the property is the
+      // algorithm's, not an artifact of stopping early
+      val objectives = (1 to Vectors.PqIters + 1)
+        .scanLeft(init)((c, _) => Vectors.pqLloydStep(e, j, c))
+        .map(c => mse(j, c))
+      objectives.sliding(2).foreach { case Seq(a, b) =>
+        // both k-means steps (assignment, mean update) minimize
+        // squared L2; tolerance covers the 6-decimal codeword rounding
+        assert(b <= a + 1e-4, s"subspace $j MSE increased: $objectives")
+      }
+      assert(objectives.last < objectives.head,
+        s"subspace $j training did not improve: $objectives")
+    }
+  }
+
   test("sessionize boundary semantics: strict 30-min threshold, zero-gap ties, single-event user") {
     import graft.operators.Analytics
     val base = 1000000000000000L // µs
