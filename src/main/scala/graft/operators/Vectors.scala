@@ -160,6 +160,43 @@ object Vectors {
         .limit(10)
     }),
 
+    // IVF + PQ COMPOSED — the production ANN shape at 100 TB: the
+    // trained coarse index PRUNES (only the nprobe=2 cells nearest
+    // the query are scanned — nprobe/nlist of the bytes) and the
+    // trained PQ codebooks COMPRESS (ranking touches 4 codes per
+    // row, never the full vector). The plan stays one corpus scan →
+    // row-local cell filter → row-local ADC projection →
+    // TakeOrderedAndProject: zero joins, zero shuffles
+    // (PlanAuditSpec pins it). Both trained artifacts are the
+    // memoized driver-side literals the standalone queries share —
+    // and the ENTIRE composition is oracle-checked: the oracle
+    // stitches the IVF prelude (candidate filter) to the "s"-prefixed
+    // PQ prelude (codes + ADC table) in one WITH clause.
+    "sim_ann_ivfpq" -> ((s, dir) => {
+      val (cents, _, probeCids) = ivfPrelude(s, dir)
+      val (books, qsubs) = pqPrelude(s, dir)
+      def dsq(a: Array[Double], b: Array[Double]): Double = {
+        var s2 = 0.0
+        var i = 0
+        while (i < a.length) { val d = a(i) - b(i); s2 += d * d; i += 1 }
+        val dd = math.sqrt(s2)
+        dd * dd
+      }
+      val dts: Array[Map[Long, Double]] = books.zipWithIndex.map { case (cb, j) =>
+        cb.map { case (code, cv) => code -> dsq(qsubs(j), cv) }.toMap
+      }
+      val adist = (0 until PqSubspaces).map { j =>
+        element_at(typedLit(dts(j)), pqAssign(pqSub(j), books(j)))
+      }.reduce(_ + _)
+      embeddings(s, dir)
+        .where(col("vec_id") =!= 0)
+        .withColumn("cid", ivfAssign(cents))
+        .where(col("cid").isin(probeCids: _*))
+        .select(col("vec_id"), fround(adist, 4).as("adist"))
+        .orderBy(col("adist").asc, col("vec_id"))
+        .limit(10)
+    }),
+
     // IVF as DATA LAYOUT: the index is not a sidecar structure but the
     // partitioning of the table itself — embeddings land in
     // partitionBy(cid) dirs at ingest, and a probe is a
@@ -397,7 +434,8 @@ object Vectors {
        "CAST(LIST_SUM(LIST_TRANSFORM(v, e -> CAST(FLOOR(e * 127.0 / amax + 0.5) AS BIGINT))) AS BIGINT) AS qsum " +
        "FROM a ORDER BY vec_id"),
     "sim_ann_ivf" -> oracleIvfBase,
-    "sim_ann_pq" -> oraclePqBase
+    "sim_ann_pq" -> oraclePqBase,
+    "sim_ann_ivfpq" -> oracleIvfPqBase
   ) ++ {
     // the layout variant must return exactly the scan-side IVF's rows —
     // same trained centroids, same probe set, different access path
@@ -411,56 +449,86 @@ object Vectors {
     * mirroring [[lloydStep]] exactly, then assignment + 2-probe top-10
     * against the FINAL centroids. `def`, not `val`: `oracle` above
     * initializes first (declaration order). */
-  /** The PQ oracle unrolls the SAME per-subspace k-means rounds the
-    * engine trains (seeded init, argmin-L2 with ties to the smallest
-    * code, decimal(24,6)+fround6 means), then replays the ADC query:
-    * squared LIST_DISTANCE tables joined by (subspace, code), summed
-    * in EXPLICIT subspace order (a bare SUM() would sum in an
-    * unspecified order — the per-j CASE pivot keeps the four-double
-    * addition chain identical to the engine's). */
-  private def oraclePqBase: String = {
+  /** PQ CTE prelude with a NAME PREFIX so it can coexist with the IVF
+    * prelude in one WITH clause (empty prefix for the standalone PQ
+    * oracle; the composed IVF+PQ oracle uses "s"). Unrolls the SAME
+    * per-subspace k-means rounds the engine trains (seeded init,
+    * argmin-L2 with ties to the smallest code, decimal(24,6)+fround6
+    * means), ending in `{p}enc` (per-vector codes) and `{p}dt` (the
+    * squared LIST_DISTANCE ADC table). References `v`, which the
+    * caller's WITH must define first. */
+  private def pqCtes(p: String): String = {
     val rounds = (1 to PqIters).map { k =>
-      val prev = s"c${k - 1}"
-      s"a$k AS (SELECT vec_id, j, code FROM (" +
+      val prev = s"${p}c${k - 1}"
+      s"${p}a$k AS (SELECT vec_id, j, code FROM (" +
       s"SELECT s.vec_id, s.j, c.code, ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j " +
       s"ORDER BY LIST_DISTANCE(s.sv, c.cv) ASC, c.code) AS rn " +
-      s"FROM sub s JOIN $prev c ON s.j = c.j) WHERE rn = 1), " +
-      s"m$k AS (SELECT a.j, a.code, pe.pos, " +
+      s"FROM ${p}sub s JOIN $prev c ON s.j = c.j) WHERE rn = 1), " +
+      s"${p}m$k AS (SELECT a.j, a.code, pe.pos, " +
       froundSql(dsum6Sql("pe.x") + " / COUNT(*)", 6) + " AS c " +
-      s"FROM a$k a JOIN pe ON a.vec_id = pe.vec_id AND a.j = pe.j " +
+      s"FROM ${p}a$k a JOIN ${p}pe pe ON a.vec_id = pe.vec_id AND a.j = pe.j " +
       s"GROUP BY a.j, a.code, pe.pos), " +
-      s"c$k AS (SELECT j, code, LIST(c ORDER BY pos) AS cv FROM m$k GROUP BY j, code " +
-      s"UNION ALL SELECT p.j, p.code, p.cv FROM $prev p WHERE NOT EXISTS " +
-      s"(SELECT 1 FROM m$k WHERE m$k.j = p.j AND m$k.code = p.code))"
+      s"${p}c$k AS (SELECT j, code, LIST(c ORDER BY pos) AS cv FROM ${p}m$k GROUP BY j, code " +
+      s"UNION ALL SELECT pv.j, pv.code, pv.cv FROM $prev pv WHERE NOT EXISTS " +
+      s"(SELECT 1 FROM ${p}m$k m WHERE m.j = pv.j AND m.code = pv.code))"
     }.mkString(", ")
-    val cf = s"c$PqIters"
+    val cf = s"${p}c$PqIters"
     val jList = (0 until PqSubspaces).mkString("[", ",", "]")
-    val adChain = (0 until PqSubspaces)
-      .map(j => s"MAX(CASE WHEN e.j = $j THEN dt.dsq END)").mkString(" + ")
-    "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings), " +
-    s"jj AS (SELECT UNNEST($jList) AS j), " +
-    "sub AS MATERIALIZED (SELECT vec_id, j, " +
-    s"ev[(j * $PqSubDim + 1):(j * $PqSubDim + $PqSubDim)] AS sv FROM v, jj), " +
-    "pe AS MATERIALIZED (SELECT vec_id, j, GENERATE_SUBSCRIPTS(sv, 1) AS pos, " +
-    "UNNEST(sv) AS x FROM sub), " +
-    s"c0 AS (SELECT j, vec_id AS code, sv AS cv FROM sub WHERE vec_id < $PqCodes), " +
+    s"${p}jj AS (SELECT UNNEST($jList) AS j), " +
+    s"${p}sub AS MATERIALIZED (SELECT vec_id, j, " +
+    s"ev[(j * $PqSubDim + 1):(j * $PqSubDim + $PqSubDim)] AS sv FROM v, ${p}jj), " +
+    s"${p}pe AS MATERIALIZED (SELECT vec_id, j, GENERATE_SUBSCRIPTS(sv, 1) AS pos, " +
+    s"UNNEST(sv) AS x FROM ${p}sub), " +
+    s"${p}c0 AS (SELECT j, vec_id AS code, sv AS cv FROM ${p}sub WHERE vec_id < $PqCodes), " +
     rounds + ", " +
-    "enc AS (SELECT vec_id, j, code FROM (" +
+    s"${p}enc AS (SELECT vec_id, j, code FROM (" +
     s"SELECT s.vec_id, s.j, c.code, ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j " +
     s"ORDER BY LIST_DISTANCE(s.sv, c.cv) ASC, c.code) AS rn " +
-    s"FROM sub s JOIN $cf c ON s.j = c.j) WHERE rn = 1), " +
-    "q AS (SELECT j, sv AS qs FROM sub WHERE vec_id = 0), " +
-    s"dt AS (SELECT c.j, c.code, " +
+    s"FROM ${p}sub s JOIN $cf c ON s.j = c.j) WHERE rn = 1), " +
+    s"${p}q AS (SELECT j, sv AS qs FROM ${p}sub WHERE vec_id = 0), " +
+    s"${p}dt AS (SELECT c.j, c.code, " +
     s"LIST_DISTANCE(q.qs, c.cv) * LIST_DISTANCE(q.qs, c.cv) AS dsq " +
-    s"FROM $cf c JOIN q ON c.j = q.j), " +
-    "ad AS (SELECT e.vec_id, " + adChain + " AS adist " +
+    s"FROM $cf c JOIN ${p}q q ON c.j = q.j)"
+  }
+
+  /** Explicit four-term ADC addition chain over `e` (codes) and `dt`
+    * (distance table) — a bare SUM() would add in an unspecified
+    * order; the per-j CASE pivot keeps the double addition chain
+    * identical to the engine's. */
+  private def pqAdChain: String = (0 until PqSubspaces)
+    .map(j => s"MAX(CASE WHEN e.j = $j THEN dt.dsq END)").mkString(" + ")
+
+  /** The PQ oracle: trained codebooks unrolled as CTEs, then the ADC
+    * replay — see [[pqCtes]]. */
+  private def oraclePqBase: String =
+    "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings), " +
+    pqCtes("") + ", " +
+    "ad AS (SELECT e.vec_id, " + pqAdChain + " AS adist " +
     "FROM enc e JOIN dt ON e.j = dt.j AND e.code = dt.code " +
     "WHERE e.vec_id <> 0 GROUP BY e.vec_id) " +
     "SELECT vec_id, " + froundSql("adist", 4) + " AS adist " +
     "FROM ad ORDER BY adist, vec_id LIMIT 10"
-  }
 
-  private def oracleIvfBase: String = {
+  /** The composed IVF+PQ oracle: the IVF prelude (trained coarse
+    * centroids, per-vector cell assignment, 2 probe cells) supplies
+    * the CANDIDATE filter; the "s"-prefixed PQ prelude supplies codes
+    * + ADC table; the final select ranks only candidates by the
+    * explicit ADC chain. */
+  private def oracleIvfPqBase: String =
+    "WITH " + ivfCtes + ", " + pqCtes("s") + ", " +
+    "ad AS (SELECT e.vec_id, " + pqAdChain + " AS adist " +
+    "FROM senc e JOIN sdt dt ON e.j = dt.j AND e.code = dt.code " +
+    "WHERE e.vec_id <> 0 AND e.vec_id IN " +
+    "(SELECT vec_id FROM assign WHERE cid IN (SELECT cid FROM probes)) " +
+    "GROUP BY e.vec_id) " +
+    "SELECT vec_id, " + froundSql("adist", 4) + " AS adist " +
+    "FROM ad ORDER BY adist, vec_id LIMIT 10"
+
+  /** IVF CTE prelude (v, pe, c0..cN, assign, q, probes) — the trained
+    * coarse index unrolled; reused verbatim by the composed IVF+PQ
+    * oracle. Defines `v`, so a caller combining it with [[pqCtes]]
+    * puts it FIRST in the WITH clause. */
+  private def ivfCtes: String = {
     val rounds = (1 to IvfLloydIters).map { k =>
       val prev = s"c${k - 1}"
       s"a$k AS (SELECT vec_id, cid FROM (" +
@@ -474,7 +542,7 @@ object Vectors {
       s"UNION ALL SELECT cid, cv FROM $prev WHERE cid NOT IN (SELECT cid FROM m$k))"
     }.mkString(", ")
     val cf = s"c$IvfLloydIters"
-    "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings), " +
+    "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings), " +
     "pe AS (SELECT vec_id, GENERATE_SUBSCRIPTS(embedding, 1) AS pos, " +
     "UNNEST(CAST(embedding AS DOUBLE[])) AS v FROM embeddings), " +
     "c0 AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv " +
@@ -486,11 +554,14 @@ object Vectors {
     s"FROM v, $cf) WHERE rn = 1), " +
     "q AS (SELECT ev AS qv FROM v WHERE vec_id = 0), " +
     s"probes AS (SELECT cid FROM $cf, q " +
-    s"ORDER BY LIST_COSINE_SIMILARITY($cf.cv, q.qv) DESC, cid LIMIT 2) " +
+    s"ORDER BY LIST_COSINE_SIMILARITY($cf.cv, q.qv) DESC, cid LIMIT 2)"
+  }
+
+  private def oracleIvfBase: String =
+    "WITH " + ivfCtes + " " +
     "SELECT v.vec_id, " +
     froundSql("LIST_COSINE_SIMILARITY(v.ev, q.qv)", 4) + " AS cos " +
     "FROM v JOIN assign USING (vec_id), q " +
     "WHERE assign.cid IN (SELECT cid FROM probes) AND v.vec_id <> 0 " +
     "ORDER BY cos DESC, v.vec_id LIMIT 10"
-  }
 }

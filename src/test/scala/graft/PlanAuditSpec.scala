@@ -313,6 +313,16 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("sim_ann_ivfpq is one scan into top-k: no joins, no aggregates, no window") {
+    val p = plan("sim_ann_ivfpq")
+    // both trained indexes are driver-side literals: IVF cell filter
+    // and PQ ADC ranking must stay row-local projections — the only
+    // plan that reads nprobe/nlist of a 100 TB corpus with no shuffle
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("HashAggregate") && !p.contains("Window"), p.take(2000))
+  }
+
   test("whole-stage codegen covers the hot paths of the flagship aggregate") {
     // AQE finalizes stages only at execution; run the query, then check
     // the final adaptive plan for codegen stage markers (`*(n)`)
