@@ -115,6 +115,49 @@ class FramedSourceSpec extends SparkSpec {
     assert(all.select("event_id").distinct().count() == 31)
   }
 
+  test("streaming tail decodes compressed files landing mid-stream — block-gz included") {
+    import graft.sources.FramedFormat._
+    val dir = java.nio.file.Files.createTempDirectory("graft_framed_stream_gz").toString
+    // seed file: uncompressed (schema inference source)
+    val d0 = new java.io.DataOutputStream(new java.io.FileOutputStream(s"$dir/f0.frames"))
+    try (0 until 5).foreach(i => writeFrame(d0, Seq(("event_id", TagLong, i.toLong))))
+    finally d0.close()
+    val out = java.nio.file.Files.createTempDirectory("graft_framed_sgz_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_framed_sgz_ck").toString
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft.sources.FramedSource").load(dir)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+    }
+    runOnce()
+    assert(spark.read.parquet(out).count() == 5)
+    // a whole-file-gz archive lands (the .i3.gz relay shape)...
+    val gz = new java.io.DataOutputStream(new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(s"$dir/f1.frames.gz")))
+    try (5 until 12).foreach(i => writeFrame(gz, Seq(("event_id", TagLong, i.toLong))))
+    finally gz.close()
+    // ...and a BLOCK-compressed engine-written file (multi-member gz +
+    // v2 sidecar) lands via the DSv2 sink into a staging dir, then
+    // moves in (rename keeps the .idx name pairing)
+    val stage = java.nio.file.Files.createTempDirectory("graft_framed_sgz_stage").toString
+    spark.range(12, 40).coalesce(1).select(col("id").as("event_id"))
+      .write.format("graft.sources.FramedSource")
+      .option("compression", "gzip").option("indexBlockBytes", "64")
+      .mode("overwrite").save(stage)
+    new java.io.File(stage).listFiles()
+      .filter(f => f.getName.endsWith(".frames.gz") || f.getName.endsWith(".idx"))
+      .foreach { f =>
+        assert(f.renameTo(new java.io.File(dir, f.getName)), s"move failed: $f")
+      }
+    runOnce()
+    val all = spark.read.parquet(out)
+    assert(all.count() == 40, "compressed landings must arrive exactly once")
+    assert(all.select("event_id").distinct().count() == 40)
+  }
+
   test("_file metadata column carries provenance without living in the data schema") {
     val df = spark.read.format("graft-framed").load(fixtureDir) // registered short name
     assert(!df.columns.contains("_file"), "metadata column must not leak into the default projection")
