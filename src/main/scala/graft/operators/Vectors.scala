@@ -242,10 +242,13 @@ object Vectors {
 
   /** Squared L2 distance, summed in index order (same op order as
     * DuckDB's LIST_DISTANCE internals, so comparisons agree bitwise;
-    * no sqrt — monotone, and assignment only compares). */
+    * no sqrt — monotone, and assignment only compares). Native
+    * codegen'd kernel: the PQ assignment evaluates this
+    * PqSubspaces×PqCodes times per row, and the interpreted
+    * zip_with/aggregate HOF was the query's dominant cost. */
   def l2sq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column):
       org.apache.spark.sql.Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+    graft.functions.L2Sq(a, b)
 
   /** Row-local PQ code assignment: argmin squared-L2 over the
     * codebook literals via struct-min — min distance, ties to the
@@ -256,25 +259,37 @@ object Vectors {
       struct(l2sq(sub, typedLit(cv)).as("d"), lit(code).as("c"))
     }: _*)).getField("c")
 
-  /** One k-means round for subspace j: assign every subvector to its
-    * argmin-L2 codeword, then take elementwise member means —
-    * decimal(24,6) sums / count rounded to 6 decimals (the lloydStep
-    * recipe) so both engines feed bit-identical codebooks forward.
-    * Empty cells keep their previous codeword. One hash aggregate
-    * over PqCodes·PqSubDim cells; only the tiny codebook collects. */
-  def pqLloydStep(e: org.apache.spark.sql.DataFrame, j: Int,
-                  cb: Array[(Long, Array[Double])]): Array[(Long, Array[Double])] = {
-    val means = e.withColumn("code", pqAssign(pqSub(j), cb))
-      .select(col("code"), posexplode(pqSub(j)).as(Seq("pos", "x")))
-      .groupBy("code", "pos")
+  /** One k-means round for ALL subspaces in ONE corpus pass: each row
+    * emits (j, assigned code, subvector) per subspace, and a single
+    * hash aggregate over PqSubspaces·PqCodes·PqSubDim cells takes the
+    * elementwise member means — decimal(24,6) sums / count rounded to
+    * 6 decimals (the lloydStep recipe) so both engines feed
+    * bit-identical codebooks forward. Per-subspace computations are
+    * independent, so fusing them changes nothing semantically — it
+    * just trains the whole PQ index with one scan per round instead
+    * of m (at 100 TB, m corpus passes vs one is the training bill).
+    * Empty cells keep their previous codeword; only the tiny codebook
+    * matrix collects. */
+  def pqLloydStepAll(e: org.apache.spark.sql.DataFrame,
+                     books: Array[Array[(Long, Array[Double])]])
+      : Array[Array[(Long, Array[Double])]] = {
+    val perSub = (0 until PqSubspaces).map { j =>
+      struct(lit(j).as("j"), pqAssign(pqSub(j), books(j)).as("code"),
+             pqSub(j).as("sv"))
+    }
+    val means = e.select(explode(array(perSub: _*)).as("a"))
+      .select(col("a.j"), col("a.code"), posexplode(col("a.sv")).as(Seq("pos", "x")))
+      .groupBy("j", "code", "pos")
       .agg(fround(dsum6(col("x")) / count(lit(1)), 6).as("c"))
-      .groupBy("code")
+      .groupBy("j", "code")
       .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
-      .select(col("code"), transform(col("pc"), x => x.getField("c")).as("cv"))
+      .select(col("j"), col("code"), transform(col("pc"), x => x.getField("c")).as("cv"))
       .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .map(r => ((r.getInt(0), r.getLong(1)), r.getSeq[Double](2).toArray))
       .toMap
-    cb.map { case (code, cv) => (code, means.getOrElse(code, cv)) }
+    books.zipWithIndex.map { case (cb, j) =>
+      cb.map { case (code, cv) => (code, means.getOrElse((j, code), cv)) }
+    }
   }
 
   /** Per-(JVM, source-state) memo of the trained PQ codebooks + query
@@ -295,12 +310,13 @@ object Vectors {
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
         .sortBy(_._1)
-      val books = (0 until PqSubspaces).map { j =>
-        val init = initRows.map { case (id, ev) =>
-          (id, ev.slice(j * PqSubDim, (j + 1) * PqSubDim))
-        }
-        (1 to PqIters).foldLeft(init)((c, _) => pqLloydStep(e, j, c))
-      }.toArray
+      val initBooks: Array[Array[(Long, Array[Double])]] =
+        (0 until PqSubspaces).map { j =>
+          initRows.map { case (id, ev) =>
+            (id, ev.slice(j * PqSubDim, (j + 1) * PqSubDim))
+          }
+        }.toArray
+      val books = (1 to PqIters).foldLeft(initBooks)((b, _) => pqLloydStepAll(e, b))
       val qv = e.where(col("vec_id") === 0)
         .select(col("embedding")).collect()(0).getSeq[Float](0).map(_.toDouble).toArray
       val qsubs = (0 until PqSubspaces)

@@ -118,11 +118,34 @@ class ExpressionLawsSpec extends AnyFunSuite {
     }
   }
 
+  test("l2sq equals the index-order fold bit-for-bit, is symmetric, and is 0 on itself") {
+    forAllSamples(vectors) { v =>
+      val w = v.map(x => -x * 2.0f + 1.0f)
+      val a = ArrayData.toArrayData(v); val b = ArrayData.toArrayData(w)
+      val ab = functions.L2SqImpl.l2sq(a, b, true, true)
+      // reference: the exact fold the HOF formulation (and DuckDB's
+      // LIST_DISTANCE pre-sqrt accumulator) computes, in index order
+      var ref = 0.0
+      v.indices.foreach { i =>
+        val d = v(i).toDouble - w(i).toDouble
+        ref += d * d
+      }
+      assert(java.lang.Double.doubleToLongBits(ab) ==
+             java.lang.Double.doubleToLongBits(ref))
+      assert(functions.L2SqImpl.l2sq(b, a, true, true) == ab, "symmetry")
+      assert(functions.L2SqImpl.l2sq(a, a, true, true) == 0.0)
+      assert(ab >= 0.0)
+    }
+  }
+
   test("kernels fail fast on dimension mismatch and null slots (no silent zeros)") {
     val a = ArrayData.toArrayData(Array(1.0f, 2.0f, 3.0f))
     val b = ArrayData.toArrayData(Array(1.0f, 2.0f))
     intercept[IllegalArgumentException] {
       functions.CosineSimImpl.cosine(a, b, true, true)
+    }
+    intercept[IllegalArgumentException] {
+      functions.L2SqImpl.l2sq(a, b, true, true)
     }
     val withNull = new org.apache.spark.sql.catalyst.util.GenericArrayData(
       Array[Any](1.0f, null, 3.0f))

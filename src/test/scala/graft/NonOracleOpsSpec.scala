@@ -400,15 +400,18 @@ class NonOracleOpsSpec extends SparkSpec {
       }: _*))
       e.agg(Tables.dsum6(minDist)).collect()(0).getDouble(0)
     }
+    val initBooks: Array[Array[(Long, Array[Double])]] =
+      (0 until Vectors.PqSubspaces).map { j =>
+        initRows.map { case (id, ev) =>
+          (id, ev.slice(j * Vectors.PqSubDim, (j + 1) * Vectors.PqSubDim))
+        }
+      }.toArray
+    // one round PAST the shipped PqIters: the property is the
+    // algorithm's, not an artifact of stopping early
+    val stages = (1 to Vectors.PqIters + 1)
+      .scanLeft(initBooks)((b, _) => Vectors.pqLloydStepAll(e, b))
     (0 until Vectors.PqSubspaces).foreach { j =>
-      val init = initRows.map { case (id, ev) =>
-        (id, ev.slice(j * Vectors.PqSubDim, (j + 1) * Vectors.PqSubDim))
-      }
-      // one round PAST the shipped PqIters: the property is the
-      // algorithm's, not an artifact of stopping early
-      val objectives = (1 to Vectors.PqIters + 1)
-        .scanLeft(init)((c, _) => Vectors.pqLloydStep(e, j, c))
-        .map(c => mse(j, c))
+      val objectives = stages.map(b => mse(j, b(j)))
       objectives.sliding(2).foreach { case Seq(a, b) =>
         // both k-means steps (assignment, mean update) minimize
         // squared L2; tolerance covers the 6-decimal codeword rounding
