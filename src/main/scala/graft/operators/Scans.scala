@@ -387,6 +387,35 @@ object Scans {
         .orderBy("event_type")
     }),
 
+    // Index BACKFILL for an EXTERNALLY-produced archive: the fixture
+    // is ONE large bare .frames file written WITHOUT the engine's
+    // sink (no sidecar — the shape of any archive the DAQ or a
+    // third-party tool produced), which would serialize onto one task
+    // forever. `backfillIndexes` walks the frame headers once
+    // (IO-bound, bodies skipped, distributed across executors) and
+    // publishes the same v2 sidecar the writer would have — after
+    // which the planner cuts the file into ranged partitions like any
+    // engine-written one. The oracle proves the post-backfill split
+    // read lossless; FramedSourceSpec pins 1-partition-before /
+    // >1-after, walk-vs-file-length torn detection, and the
+    // compressed-file refusal.
+    "source_framed_backfill" -> ((s, dir) => {
+      val out = framedBareFixture(s, dir)
+      graft.sources.FramedSource.backfillIndexes(s, out,
+        blockBytes = 8L * 1024, minBytes = 16L * 1024)
+      val len = graft.sources.FramedSource
+        .frameFileStatuses(out, s.sparkContext.hadoopConfiguration).head._2
+      s.read.format("graft.sources.FramedSource")
+        .option("targetSplitBytes", math.max(len / 8, 16L * 1024).toString)
+        .load(out)
+        .groupBy("event_type")
+        .agg(big(count(lit(1))).as("n"),
+             dsum(col("value")).as("val_sum"),
+             big(sum(size(col("pulses")))).as("n_pulses"),
+             big(sum(aggregate(col("pulses"), lit(0L), (a, x) => a + x))).as("pulse_sum"))
+        .orderBy("event_type")
+    }),
+
     // SCALAR STRUCT key (tag 5) through the framed connector — the
     // reference's per-event header (I3EventHeader: run/subrun/event
     // ids + times) [public-repo: i3cols/dtypes.py], VERDICT r6 #2:
@@ -780,6 +809,62 @@ object Scans {
           .write.format("graft.sources.FramedSource")
           .option("indexBlockBytes", (8L * 1024).toString)
           .mode("overwrite").save(out)
+      })
+    out
+  }
+
+  /** Once-per-(JVM, source-state) guard for the BARE (sidecar-less)
+    * single-file fixture feeding `source_framed_backfill`. */
+  private val framedBareMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Unit]
+
+  /** Write (once per JVM + source state) the events extract as ONE
+    * bare `.frames` file WITHOUT the DSv2 sink — no sidecar, the
+    * externally-produced-archive shape `backfillIndexes` exists for.
+    * Same keys and closed-form pulses as [[framedFixture]], so the
+    * shared extract oracle applies. */
+  def framedBareFixture(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val out = scratch(dir, "framed_bare_src")
+    framedBareMemo.getOrElseUpdate(
+      s"$out|${graft.Tables.fsSig(s, s"$dir/events.parquet")}", {
+        import graft.sources.FramedFormat._
+        val outP = new org.apache.hadoop.fs.Path(out)
+        outP.getFileSystem(s.sparkContext.hadoopConfiguration).delete(outP, true)
+        val serConf = new graft.sources.SerializableHadoopConf(
+          s.sparkContext.hadoopConfiguration)
+        events(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+                  col("value"), unix_micros(col("ts")).as("ts_us"))
+          .repartition(1)
+          .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+            if (it.hasNext) {
+              val tc = org.apache.spark.TaskContext.get()
+              val dest = new org.apache.hadoop.fs.Path(s"$out/archive.frames")
+              val tmp = new org.apache.hadoop.fs.Path(
+                s"$out/.archive.frames.attempt-${tc.taskAttemptId()}")
+              val fs = dest.getFileSystem(serConf.value)
+              val dos = new java.io.DataOutputStream(
+                new java.io.BufferedOutputStream(fs.create(tmp, true)))
+              try it.foreach { r =>
+                val eventId = r.getLong(0)
+                val tsUs = r.getLong(4)
+                val base = tsUs % 1000000L
+                val pulses = Array.tabulate((eventId % 5).toInt)(i => base + i)
+                writeFrame(dos, Seq(
+                  ("event_id", TagLong, eventId),
+                  ("user_id", TagLong, r.getLong(1)),
+                  ("ts_us", TagLong, tsUs),
+                  ("value", TagDouble, r.getDouble(3)),
+                  ("event_type", TagString, r.getString(2)),
+                  ("pulses", TagLongArray, pulses)))
+              } finally dos.close()
+              if (!fs.rename(tmp, dest)) {
+                fs.delete(tmp, false)
+                if (!fs.exists(dest))
+                  throw new java.io.IOException(s"failed to commit $dest")
+              }
+            }
+          }
       })
     out
   }
@@ -1276,6 +1361,17 @@ object Scans {
     // per-file extract (the fixture is the same extract, one indexed
     // file instead of eight)
     "source_framed_split" ->
+      ("WITH e AS (SELECT event_type, value, event_id % 5 AS np, " +
+       "epoch_us(ts) % 1000000 AS base FROM events) " +
+       "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
+       s"${dsumSql("value")} AS val_sum, " +
+       "CAST(SUM(np) AS BIGINT) AS n_pulses, " +
+       "CAST(SUM(np * base + (np * (np - 1)) // 2) AS BIGINT) AS pulse_sum " +
+       "FROM e GROUP BY event_type ORDER BY event_type"),
+    // backfill must be invisible to results: identical oracle to the
+    // per-file extract (the fixture is the same extract, one BARE
+    // file whose index arrived by backfill)
+    "source_framed_backfill" ->
       ("WITH e AS (SELECT event_type, value, event_id % 5 AS np, " +
        "epoch_us(ts) % 1000000 AS base FROM events) " +
        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, " +

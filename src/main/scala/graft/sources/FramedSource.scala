@@ -320,6 +320,61 @@ object FrameIndex {
     } catch { case _: java.io.IOException => None }
   }
 
+  /** Walk one BARE (uncompressed) frame file sequentially and publish
+    * the sidecar its producer never wrote — the BACKFILL that makes an
+    * EXTERNALLY-produced archive file range-splittable. The walk reads
+    * only the 4-byte frame headers and skips bodies (IO-bound, no
+    * decode); every recorded offset is a frame start by construction.
+    * The walked byte count must equal the live file length (a torn or
+    * concurrently-appended file fails loudly — publishing a sidecar
+    * for it would be wrong). Compressed files are rejected: codec
+    * -member boundaries are only known to the block-compressing
+    * writer. Publication is atomic (tmp + rename); losing a race to a
+    * concurrent backfill is fine — the winner's sidecar is
+    * equivalent. Returns true when a sidecar was published (files
+    * spanning <2 blocks gain nothing and publish none). */
+  def backfill(file: String, conf: Configuration,
+               blockBytes: Long = FramedWrite.DefaultIndexBlockBytes): Boolean = {
+    val p = new Path(file)
+    val fs = p.getFileSystem(conf)
+    require(new CompressionCodecFactory(conf).getCodec(p) == null,
+      s"cannot backfill an index into compressed $file " +
+      "(codec-member boundaries are only known to the writer)")
+    val len = fs.getFileStatus(p).getLen
+    val in = new DataInputStream(new java.io.BufferedInputStream(fs.open(p), 1 << 16))
+    val entries = scala.collection.mutable.ArrayBuffer((0L, 0L))
+    var off = 0L
+    try {
+      var done = false
+      while (!done) {
+        val l = FramedReader.readFrameLen(in, file)
+        if (l == FramedReader.EofFrameLen) done = true
+        else {
+          val bodyLen = l.toInt
+          require(bodyLen >= 4, s"corrupt frame (bodyLen=$bodyLen) at offset $off in $file")
+          if (off - entries.last._1 >= blockBytes) entries += ((off, off))
+          FramedReader.skipFully(in, bodyLen.toLong, file)
+          off += 4L + bodyLen
+        }
+      }
+    } finally in.close()
+    require(off == len,
+      s"frame walk ended at $off but $file is $len bytes (file changed or torn)")
+    if (entries.length < 2) false
+    else {
+      val dest = new Path(sidecarPath(file))
+      val tmp = new Path(sidecarPath(file) + s".tmp-${java.util.UUID.randomUUID()}")
+      val o = new DataOutputStream(new java.io.BufferedOutputStream(fs.create(tmp, true)))
+      try write(o, len, len, blockCompressed = false, entries.toSeq) finally o.close()
+      if (fs.exists(dest)) fs.delete(dest, false) // stale sidecar: replace
+      if (!fs.rename(tmp, dest)) {
+        fs.delete(tmp, false)
+        require(fs.exists(dest), s"backfill publish failed for $file")
+      }
+      true
+    }
+  }
+
   /** One cut piece of an indexed file: seek the ON-DISK stream to
     * `diskStart` (a frame start, or a codec-member start for
     * block-compressed files) and consume exactly `rawLen` decompressed
@@ -439,6 +494,35 @@ object FramedSource {
         "cannot seek; only indexed codec-member boundaries are seekable)")
       if (start > 0L) raw.seek(start)
       new DataInputStream(new java.io.BufferedInputStream(codec.createInputStream(raw), 1 << 16))
+    }
+  }
+
+  /** Backfill sidecar indexes for every BARE frame file in `dir`
+    * larger than `minBytes` that lacks a valid index — in parallel
+    * across executors, one sequential header walk per file (see
+    * [[FrameIndex.backfill]]). This is the on-ramp for EXTERNALLY
+    * -produced archives: a directory of DAQ-written multi-GB `.frames`
+    * files becomes range-splittable after one IO-bound pass, after
+    * which every read fans out. Compressed and already-indexed files
+    * are skipped. Returns the files that got a sidecar. */
+  def backfillIndexes(s: SparkSession, dir: String,
+                      blockBytes: Long = FramedWrite.DefaultIndexBlockBytes,
+                      minBytes: Long = FramedScan.DefaultTargetSplitBytes): Seq[String] = {
+    val conf = new SerializableHadoopConf(s.sessionState.newHadoopConf())
+    val factory = new CompressionCodecFactory(conf.value)
+    val candidates = frameFileStatuses(dir, conf.value)
+      .filter { case (f, len) =>
+        len > minBytes &&
+        factory.getCodec(new Path(f)) == null &&
+        FrameIndex.read(f, len, conf.value).isEmpty
+      }
+      .map(_._1)
+    if (candidates.isEmpty) Seq.empty
+    else {
+      val bb = blockBytes
+      s.sparkContext.parallelize(candidates, candidates.size)
+        .filter(f => FrameIndex.backfill(f, conf.value, bb))
+        .collect().toSeq
     }
   }
 

@@ -830,6 +830,62 @@ class FramedSourceSpec extends SparkSpec {
     } finally r3.close()
   }
 
+  test("index backfill makes an externally-produced bare archive range-splittable") {
+    import graft.sources.FramedFormat._
+    val dir = s"${java.nio.file.Files.createTempDirectory("graft_framed_backfill")}/table"
+    new java.io.File(dir).mkdirs()
+    // a bare archive no engine sink wrote: no sidecar
+    val n = 4000
+    val dos = new java.io.DataOutputStream(new java.io.FileOutputStream(s"$dir/a.frames"))
+    try (0 until n).foreach { i =>
+      writeFrame(dos, Seq(
+        ("event_id", TagLong, i.toLong),
+        ("score", TagDouble, i * 0.25),
+        ("kind", TagString, s"k${i % 5}")))
+    } finally dos.close()
+    def parts(split: Long): Int =
+      spark.read.format("graft.sources.FramedSource")
+        .option("targetSplitBytes", split.toString).load(dir).rdd.getNumPartitions
+    assert(parts(8192) == 1, "bare file must read whole before backfill")
+    val indexed = graft.sources.FramedSource.backfillIndexes(
+      spark, dir, blockBytes = 4096, minBytes = 16 * 1024)
+    assert(indexed.size == 1 && indexed.head.endsWith("a.frames"), indexed.toString)
+    assert(parts(8192) > 1, "backfilled file must split")
+    // lossless: same rows, same values, through the ranged read
+    val split = spark.read.format("graft.sources.FramedSource")
+      .option("targetSplitBytes", "8192").load(dir)
+    assert(split.count() == n)
+    assert(split.select("event_id").distinct().count() == n)
+    assert(split.agg(sum(col("score"))).collect()(0).getDouble(0) ==
+           (0 until n).map(_ * 0.25).sum)
+    // idempotent: a second pass finds the valid sidecar and does nothing
+    assert(graft.sources.FramedSource.backfillIndexes(
+      spark, dir, blockBytes = 4096, minBytes = 16 * 1024).isEmpty)
+    // small and compressed files are skipped entirely
+    val d2 = new java.io.DataOutputStream(new java.io.FileOutputStream(s"$dir/small.frames"))
+    try writeFrame(d2, Seq(("event_id", TagLong, 0L))) finally d2.close()
+    val gz = new java.io.DataOutputStream(new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(s"$dir/c.frames.gz")))
+    try (0 until 5000).foreach(i => writeFrame(gz, Seq(("event_id", TagLong, i.toLong))))
+    finally gz.close()
+    assert(graft.sources.FramedSource.backfillIndexes(
+      spark, dir, blockBytes = 4096, minBytes = 16).isEmpty,
+      "small/compressed files must be skipped")
+    // a torn file (truncated mid-frame) fails the walk loudly — no
+    // sidecar is ever published for it
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/a.frames"))
+    val tornPath = java.nio.file.Paths.get(s"$dir/torn.frames")
+    java.nio.file.Files.write(tornPath, bytes.take(bytes.length - 7))
+    val e = intercept[Exception] {
+      graft.sources.FrameIndex.backfill(s"$dir/torn.frames",
+        spark.sparkContext.hadoopConfiguration, 4096)
+    }
+    assert(e.getMessage.contains("truncated") || e.getMessage.contains("torn") ||
+           e.getMessage.contains("corrupt"), e.getMessage)
+    assert(!new java.io.File(s"$dir/torn.frames.idx").exists())
+  }
+
   test("a frame missing a required top-level key fails loudly, never a silent null slot") {
     import graft.sources.FramedFormat._
     val dir = java.nio.file.Files.createTempDirectory("graft_framed_misskey").toString
