@@ -1166,6 +1166,48 @@ object Scans {
     fresh.map(_._2)
   }
 
+  /** [[categIndexAppend]] for the TWO-LEVEL (category, bucket) layout
+    * — the run→subrun shape: appended runs land under nested
+    * event_type= / bucket= dirs and ONLY their footers are read to
+    * extend the (category, bucket, file, n_rows, id_min, id_max)
+    * index. Same invariants, one more listing level. */
+  def categIndex2Append(s: org.apache.spark.sql.SparkSession,
+                        layoutPath: String, idxPath: String): Seq[String] = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(layoutPath)
+    val fs = root.getFileSystem(conf)
+    val old = s.read.parquet(idxPath)
+      .select("category", "bucket", "file", "n_rows", "id_min", "id_max")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+                 r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSeq
+    val known = old.map(_._3).toSet
+    val fresh = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("event_type="))
+      .flatMap { catDir =>
+        val cat = catDir.getPath.getName.stripPrefix("event_type=")
+        fs.listStatus(catDir.getPath).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("bucket="))
+          .flatMap { bDir =>
+            val bucket = bDir.getPath.getName.stripPrefix("bucket=").toLong
+            fs.listStatus(bDir.getPath).toSeq
+              .filter(f => f.getPath.getName.endsWith(".parquet") &&
+                           !known.contains(f.getPath.toString))
+              .map { f =>
+                val (c, file, n, mn, mx) = footerIndexRow(conf, cat, f)
+                (c, bucket, file, n, mn, mx)
+              }
+          }
+      }
+    if (fresh.nonEmpty) {
+      import s.implicits._
+      (old ++ fresh).toDF("category", "bucket", "file", "n_rows", "id_min", "id_max")
+        .coalesce(1).write.mode("overwrite").parquet(idxPath)
+    }
+    fresh.map(_._3)
+  }
+
   /** Once-per-(JVM, source-state) guard for the append-cycle layout
     * feeding `scan_categ_index_append`. */
   private val categAppendMemo =

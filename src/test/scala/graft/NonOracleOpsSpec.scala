@@ -337,6 +337,81 @@ class NonOracleOpsSpec extends SparkSpec {
     assert(routed == plain, s"routed $routed != plain $plain")
   }
 
+  test("two-level incremental _index append: new run's footers only, routed probe sees both phases") {
+    import graft.operators.Scans
+    val dir = s"${java.nio.file.Files.createTempDirectory("graft_categ2_append")}/table"
+    val idxPath = s"$dir/_index"
+    val ev = spark.range(0, 1200).select(
+      col("id").as("event_id"),
+      concat(lit("t"), col("id") % 2).as("event_type"),
+      (col("id") % 3).as("bucket"),
+      (col("id") * 0.5).as("value"))
+    ev.where(col("event_id") % 10 < 8)
+      .repartition(2)
+      .write.mode("overwrite").partitionBy("event_type", "bucket").parquet(dir)
+    // full two-level footer index (the categIndex2Build shape)
+    run2LevelIndex(dir, idxPath)
+    val idxBefore = spark.read.parquet(idxPath)
+      .select("file").collect().map(_.getString(0)).toSet
+    val before = twoLevelFiles(dir).map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+    ev.where(col("event_id") % 10 >= 8)
+      .repartition(2)
+      .write.mode("append").partitionBy("event_type", "bucket").parquet(dir)
+    val newlyIndexed = Scans.categIndex2Append(spark, dir, idxPath)
+    assert(newlyIndexed.nonEmpty &&
+      newlyIndexed.toSet.intersect(idxBefore).isEmpty,
+      "two-level incremental update re-read already-indexed files")
+    before.foreach { case (p, (len, mtime)) =>
+      val f = new java.io.File(p)
+      assert(f.exists() && f.length() == len && f.lastModified() == mtime,
+        s"append cycle modified existing data file $p")
+    }
+    // a (category, bucket)-routed probe over the appended index sees
+    // both phases' rows
+    val files = spark.read.parquet(idxPath)
+      .where(col("category") === "t1" && col("bucket") === 2L)
+      .select("file").collect().map(_.getString(0)).toSeq
+    val routed = spark.read.parquet(files: _*)
+      .agg(count(lit(1)), sum(col("event_id"))).collect()(0)
+    val plain = ev.where(col("event_type") === "t1" && col("bucket") === 2L)
+      .agg(count(lit(1)), sum(col("event_id"))).collect()(0)
+    assert(routed == plain, s"routed $routed != plain $plain")
+  }
+
+  private def twoLevelFiles(dir: String): Seq[java.io.File] =
+    new java.io.File(dir).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("event_type="))
+      .flatMap(_.listFiles().filter(b => b.isDirectory && b.getName.startsWith("bucket=")))
+      .flatMap(_.listFiles().filter(_.getName.endsWith(".parquet"))).toSeq
+
+  /** Build the (category, bucket, file, n_rows, id_min, id_max) index
+    * from footers — the categIndex2Build walk over an arbitrary dir. */
+  private def run2LevelIndex(dir: String, idxPath: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(conf)
+    val rows = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("event_type="))
+      .flatMap { catDir =>
+        val cat = catDir.getPath.getName.stripPrefix("event_type=")
+        fs.listStatus(catDir.getPath).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("bucket="))
+          .flatMap { bDir =>
+            val bucket = bDir.getPath.getName.stripPrefix("bucket=").toLong
+            fs.listStatus(bDir.getPath).toSeq
+              .filter(_.getPath.getName.endsWith(".parquet"))
+              .map { f =>
+                val (c, file, n, mn, mx) =
+                  graft.operators.Scans.footerIndexRow(conf, cat, f)
+                (c, bucket, file, n, mn, mx)
+              }
+          }
+      }
+    import spark.implicits._
+    rows.toDF("category", "bucket", "file", "n_rows", "id_min", "id_max")
+      .coalesce(1).write.mode("overwrite").parquet(idxPath)
+  }
+
   test("multi-level category index routes a probe to a strict subset of one level-1 category's files") {
     SparkEntry.queries("scan_categ_index_multilevel")(spark, sf001).collect()
     val idxPath = s"${Tables.scratch(sf001, "categ2_layout")}/_index"
