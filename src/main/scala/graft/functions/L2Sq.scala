@@ -11,8 +11,11 @@ import org.apache.spark.sql.types._
 /** Imperative squared-L2 kernel. The sum is sequential in index order —
   * the same association as the higher-order `aggregate` formulation and
   * as DuckDB's LIST_DISTANCE internals (which this equals after its
-  * sqrt; comparisons agree because sqrt is monotone), so PQ assignment
-  * ties resolve identically on both engines. Mismatched dimensions or
+  * sqrt). NOTE: sqrt is monotone but NOT injective in doubles (distinct
+  * squared distances can collapse to one double after sqrt), so
+  * comparisons that must match an `ORDER BY LIST_DISTANCE, code`
+  * oracle tie-break compare `sqrt(l2sq)`, not the raw square — see
+  * [[graft.operators.Vectors.pqAssign]]. Mismatched dimensions or
   * null slots throw, exactly like [[CosineSimImpl]] (a null read as 0
   * would be a silently wrong distance). */
 object L2SqImpl {

@@ -138,24 +138,9 @@ object Vectors {
     // non-increasing under training).
     "sim_ann_pq" -> ((s, dir) => {
       val (books, qsubs) = pqPrelude(s, dir)
-      // ADC distance tables: dsq = LIST_DISTANCE² in the oracle, so
-      // compute sqrt(Σd²)·sqrt(Σd²) here too — bit-identical doubles
-      def dsq(a: Array[Double], b: Array[Double]): Double = {
-        var s2 = 0.0
-        var i = 0
-        while (i < a.length) { val d = a(i) - b(i); s2 += d * d; i += 1 }
-        val dd = math.sqrt(s2)
-        dd * dd
-      }
-      val dts: Array[Map[Long, Double]] = books.zipWithIndex.map { case (cb, j) =>
-        cb.map { case (code, cv) => code -> dsq(qsubs(j), cv) }.toMap
-      }
-      val adist = (0 until PqSubspaces).map { j =>
-        element_at(typedLit(dts(j)), pqAssign(pqSub(j), books(j)))
-      }.reduce(_ + _)
       embeddings(s, dir)
         .where(col("vec_id") =!= 0)
-        .select(col("vec_id"), fround(adist, 4).as("adist"))
+        .select(col("vec_id"), fround(pqAdist(books, qsubs), 4).as("adist"))
         .orderBy(col("adist").asc, col("vec_id"))
         .limit(10)
     }),
@@ -175,24 +160,11 @@ object Vectors {
     "sim_ann_ivfpq" -> ((s, dir) => {
       val (cents, _, probeCids) = ivfPrelude(s, dir)
       val (books, qsubs) = pqPrelude(s, dir)
-      def dsq(a: Array[Double], b: Array[Double]): Double = {
-        var s2 = 0.0
-        var i = 0
-        while (i < a.length) { val d = a(i) - b(i); s2 += d * d; i += 1 }
-        val dd = math.sqrt(s2)
-        dd * dd
-      }
-      val dts: Array[Map[Long, Double]] = books.zipWithIndex.map { case (cb, j) =>
-        cb.map { case (code, cv) => code -> dsq(qsubs(j), cv) }.toMap
-      }
-      val adist = (0 until PqSubspaces).map { j =>
-        element_at(typedLit(dts(j)), pqAssign(pqSub(j), books(j)))
-      }.reduce(_ + _)
       embeddings(s, dir)
         .where(col("vec_id") =!= 0)
         .withColumn("cid", ivfAssign(cents))
         .where(col("cid").isin(probeCids: _*))
-        .select(col("vec_id"), fround(adist, 4).as("adist"))
+        .select(col("vec_id"), fround(pqAdist(books, qsubs), 4).as("adist"))
         .orderBy(col("adist").asc, col("vec_id"))
         .limit(10)
     }),
@@ -241,23 +213,57 @@ object Vectors {
     slice(Similarity.asDouble(col("embedding")), j * PqSubDim + 1, PqSubDim)
 
   /** Squared L2 distance, summed in index order (same op order as
-    * DuckDB's LIST_DISTANCE internals, so comparisons agree bitwise;
-    * no sqrt — monotone, and assignment only compares). Native
-    * codegen'd kernel: the PQ assignment evaluates this
-    * PqSubspaces×PqCodes times per row, and the interpreted
-    * zip_with/aggregate HOF was the query's dominant cost. */
+    * DuckDB's LIST_DISTANCE internals, so `sqrt` of it IS
+    * LIST_DISTANCE bit-for-bit). Native codegen'd kernel: the PQ
+    * assignment evaluates this PqSubspaces×PqCodes times per row, and
+    * the interpreted zip_with/aggregate HOF was the query's dominant
+    * cost. */
   def l2sq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column):
       org.apache.spark.sql.Column =
     graft.functions.L2Sq(a, b)
 
-  /** Row-local PQ code assignment: argmin squared-L2 over the
-    * codebook literals via struct-min — min distance, ties to the
-    * smallest code. Codegen'd, no shuffle, no UDF. */
+  /** Row-local PQ code assignment: argmin L2 over the codebook
+    * literals via struct-min — min distance, ties to the smallest
+    * code. Codegen'd, no shuffle, no UDF. The compared value is
+    * `sqrt(l2sq)`, NOT the squared distance: the oracle orders by
+    * `LIST_DISTANCE ASC, code`, and while sqrt is monotone it is not
+    * injective in doubles (e.g. sqrt(1.0) == sqrt(nextUp(1.0)) under
+    * round-to-even), so two squared distances that are strictly
+    * ordered can be a TIE after sqrt — where the oracle falls through
+    * to the code tie-break but a squared-distance comparison would
+    * not. Comparing the identical post-sqrt double keeps the two
+    * engines' assignments bit-identical in that edge too. */
   def pqAssign(sub: org.apache.spark.sql.Column,
                cb: Array[(Long, Array[Double])]): org.apache.spark.sql.Column =
     array_min(array(cb.map { case (code, cv) =>
-      struct(l2sq(sub, typedLit(cv)).as("d"), lit(code).as("c"))
+      struct(sqrt(l2sq(sub, typedLit(cv))).as("d"), lit(code).as("c"))
     }: _*)).getField("c")
+
+  /** ADC approximate distance for one row: the PqSubspaces×PqCodes
+    * table of squared query-to-codeword distances is computed
+    * DRIVER-side (the one tiny artifact) and each row's distance is
+    * PqSubspaces codegen'd map lookups keyed by the row's assigned
+    * codes — no join, no shuffle. dsq replays the oracle's
+    * `LIST_DISTANCE(q,c) * LIST_DISTANCE(q,c)` (sqrt then square)
+    * rather than summing squares directly, so the literals are
+    * bit-identical doubles in both engines. Shared by sim_ann_pq and
+    * sim_ann_ivfpq — the float-sensitive recipe lives ONCE. */
+  def pqAdist(books: Array[Array[(Long, Array[Double])]],
+              qsubs: Array[Array[Double]]): org.apache.spark.sql.Column = {
+    def dsq(a: Array[Double], b: Array[Double]): Double = {
+      var s2 = 0.0
+      var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s2 += d * d; i += 1 }
+      val dd = math.sqrt(s2)
+      dd * dd
+    }
+    val dts: Array[Map[Long, Double]] = books.zipWithIndex.map { case (cb, j) =>
+      cb.map { case (code, cv) => code -> dsq(qsubs(j), cv) }.toMap
+    }
+    (0 until PqSubspaces).map { j =>
+      element_at(typedLit(dts(j)), pqAssign(pqSub(j), books(j)))
+    }.reduce(_ + _)
+  }
 
   /** One k-means round for ALL subspaces in ONE corpus pass: each row
     * emits (j, assigned code, subvector) per subspace, and a single

@@ -238,6 +238,9 @@ object FrameIndex {
   val HeaderBytes: Int = 4 + 4 + 8 + 8 + 4 + 4
   val EntryBytes: Int = 16
   val CrcBytes: Int = 8
+  /** legacy v1 layout: magic, version, dataLength, n; raw offsets. */
+  val V1HeaderBytes: Int = 4 + 4 + 8 + 4
+  val V1EntryBytes: Int = 8
   /** Sidecar size ceiling — 64 MiB indexes ~64 TB of data at the
     * default block size; anything larger is not a sidecar this writer
     * produced and is rejected before allocation (ADVICE r6). */
@@ -285,7 +288,9 @@ object FrameIndex {
         try fs.getFileStatus(p)
         catch { case _: java.io.FileNotFoundException => return None }
       val len = st.getLen
-      if (len < HeaderBytes + 2L * EntryBytes + CrcBytes || len > MaxSidecarBytes)
+      // lower bound = the smaller (v1) layout's 2-entry minimum; each
+      // version branch then cross-checks its own exact size
+      if (len < V1HeaderBytes + 2L * V1EntryBytes || len > MaxSidecarBytes)
         return None
       val buf = new Array[Byte](len.toInt)
       val in = fs.open(p)
@@ -293,7 +298,33 @@ object FrameIndex {
       val crc = new java.util.zip.CRC32()
       crc.update(buf, 0, buf.length - CrcBytes)
       val din = new DataInputStream(new java.io.ByteArrayInputStream(buf))
-      if (din.readInt() != Magic || din.readInt() != Version) return None
+      if (din.readInt() != Magic) return None
+      val version = din.readInt()
+      if (version == 1) {
+        // legacy v1 sidecar (pre-block-compression engine): int64
+        // dataLength, int32 n, n × int64 raw frame-start offsets — no
+        // flags, no rawLength, no CRC. Parsed under the same
+        // staleness / exact-byte-size / monotonicity guards so an
+        // archive indexed by the older engine KEEPS its
+        // splittability after this upgrade instead of silently
+        // demoting every large indexed file to a one-task
+        // whole-file read (v1 files are uncompressed by
+        // construction: disk == raw).
+        if (din.readLong() != dataLength) return None // stale
+        val n = din.readInt()
+        if (n < 2 || (len - V1HeaderBytes) != n.toLong * V1EntryBytes) return None
+        val offs = new Array[Long](n)
+        var i = 0
+        while (i < n) { offs(i) = din.readLong(); i += 1 }
+        var ok = offs(0) == 0L && offs(n - 1) < dataLength
+        i = 1
+        while (ok && i < n) { ok = offs(i) > offs(i - 1); i += 1 }
+        return if (ok) Some(Info(blockCompressed = false, rawLength = dataLength,
+                                 disk = offs, raw = offs))
+               else None
+      }
+      if (version != Version) return None
+      if (len < HeaderBytes + 2L * EntryBytes + CrcBytes) return None
       if (din.readLong() != dataLength) return None // stale: file changed
       val rawLength = din.readLong()
       val flags = din.readInt()
@@ -484,16 +515,26 @@ object FramedSource {
                    memberStart: Boolean = false): DataInputStream = {
     val p = new Path(file)
     val raw = p.getFileSystem(conf).open(p)
-    val codec = new CompressionCodecFactory(conf).getCodec(p)
-    if (codec == null) {
-      if (start > 0L) raw.seek(start)
-      new DataInputStream(new java.io.BufferedInputStream(raw, 1 << 16))
-    } else {
-      require(start == 0L || memberStart,
-        s"ranged read of whole-file-compressed $file is impossible (codec streams " +
-        "cannot seek; only indexed codec-member boundaries are seekable)")
-      if (start > 0L) raw.seek(start)
-      new DataInputStream(new java.io.BufferedInputStream(codec.createInputStream(raw), 1 << 16))
+    // anything after the open that throws (the memberStart require, a
+    // seek past EOF after the file shrank, codec-stream construction)
+    // must not leak `raw`: one leaked connection per task retry
+    // degrades S3A/HDFS connection pools across exactly the retry
+    // storm the failure causes
+    try {
+      val codec = new CompressionCodecFactory(conf).getCodec(p)
+      if (codec == null) {
+        if (start > 0L) raw.seek(start)
+        new DataInputStream(new java.io.BufferedInputStream(raw, 1 << 16))
+      } else {
+        require(start == 0L || memberStart,
+          s"ranged read of whole-file-compressed $file is impossible (codec streams " +
+          "cannot seek; only indexed codec-member boundaries are seekable)")
+        if (start > 0L) raw.seek(start)
+        new DataInputStream(new java.io.BufferedInputStream(codec.createInputStream(raw), 1 << 16))
+      }
+    } catch { case e: Throwable =>
+      try raw.close() catch { case s: Throwable => e.addSuppressed(s) }
+      throw e
     }
   }
 
@@ -878,15 +919,26 @@ case class FramedScan(full: StructType, required: StructType, path: String,
     // whole file. A sidecar whose compression flag disagrees with the
     // file's extension is foreign — ignored, whole-file fallback.
     def pieces(f: String, len: Long): Seq[(FramedSplit, Long)] = {
+      // compressed files consult the index even below the split
+      // threshold: a block-compressed sidecar's rawLength gives the
+      // whole read an exact raw-byte budget, so a decoder that stops
+      // at the first codec member (a runtime without multi-member
+      // support reading another runtime's block-compressed output)
+      // fails LOUDLY instead of silently dropping every block but the
+      // first — member boundaries are frame boundaries, so nothing
+      // else distinguishes that truncation from a clean EOF.
+      val compressed = factory.getCodec(new Path(f)) != null
       val indexed =
-        if (len > targetSplitBytes) FrameIndex.read(f, len, conf.value) else None
+        if (len > targetSplitBytes || compressed) FrameIndex.read(f, len, conf.value)
+        else None
       indexed match {
-        case Some(info)
-            if info.blockCompressed == (factory.getCodec(new Path(f)) != null) =>
-          FrameIndex.ranges(info, len, targetSplitBytes).map { r =>
-            (FramedSplit(f, r.diskStart, r.rawLen,
-               memberStart = info.blockCompressed), r.diskLen)
-          }
+        case Some(info) if info.blockCompressed == compressed =>
+          if (len > targetSplitBytes)
+            FrameIndex.ranges(info, len, targetSplitBytes).map { r =>
+              (FramedSplit(f, r.diskStart, r.rawLen,
+                 memberStart = info.blockCompressed), r.diskLen)
+            }
+          else Seq((FramedSplit(f, 0L, info.rawLength), len))
         case _ => Seq((FramedSplit(f), len))
       }
     }
@@ -1471,8 +1523,18 @@ class FramedWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWrite
       }
       name
     }
+    // block compression (independent codec members + split sidecar) is
+    // only correct when this runtime's decoder reads concatenated
+    // members — probed once at analysis. A codec that fails the probe
+    // degrades to ONE whole-file stream (correct, unsplit) instead of
+    // silently truncating reads at the first member.
+    val blockCompress = compression.exists { name =>
+      FramedWrite.concatMemberSafe(
+        new CompressionCodecFactory(conf).getCodecByName(name))
+    }
     FramedWrite(schema, path, info.queryId(), truncateOnCommit,
-      new SerializableHadoopConf(conf), indexBlockBytes, compression)
+      new SerializableHadoopConf(conf), indexBlockBytes, compression,
+      blockCompress)
   }
 }
 
@@ -1482,6 +1544,38 @@ object FramedWrite {
     * per 16 MiB of data (0.00005%) while letting the planner cut reads
     * down to targetSplitBytes ≥ one block. */
   val DefaultIndexBlockBytes: Long = 16L * 1024 * 1024
+
+  /** Can this runtime's decoder read CONCATENATED members of this
+    * codec as one stream? Block compression writes each ~block of
+    * frames as an independent codec member, which is only correct if
+    * a whole-file read decodes ALL members — gzip/bzip2 formats allow
+    * concatenation, but e.g. raw-zlib (Default/DeflateCodec) decoders
+    * stop at the first member's end, which would SILENTLY truncate a
+    * whole-file read to the first block (member boundaries are frame
+    * boundaries, so the loss looks like a clean EOF). Probed, not
+    * whitelisted, because the capability is a property of the
+    * decoder implementation in THIS runtime, not just the format
+    * (a native-zlib gzip decoder may lack the multi-member support
+    * the pure-JVM one has). Codecs that fail the probe still
+    * compress — as one whole-file stream, unsplit (the pre-v2
+    * posture). */
+  def concatMemberSafe(codec: org.apache.hadoop.io.compress.CompressionCodec): Boolean =
+    try {
+      val p1 = "graft-concat-probe-member-one".getBytes("UTF-8")
+      val p2 = "graft-concat-probe-member-two".getBytes("UTF-8")
+      val buf = new java.io.ByteArrayOutputStream()
+      Seq(p1, p2).foreach { p =>
+        val cs = codec.createOutputStream(buf)
+        cs.write(p); cs.close()
+      }
+      val in = codec.createInputStream(new java.io.ByteArrayInputStream(buf.toByteArray))
+      val got = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](256)
+      var n = in.read(tmp)
+      while (n >= 0) { got.write(tmp, 0, n); n = in.read(tmp) }
+      in.close()
+      java.util.Arrays.equals(got.toByteArray, p1 ++ p2)
+    } catch { case _: Exception => false }
 
   def tagOf(dt: DataType): Option[Byte] = dt match {
     case LongType => Some(FramedFormat.TagLong)
@@ -1510,7 +1604,8 @@ case class FramedCommitMessage(tmpPath: String, finalName: String,
 case class FramedWrite(schema: StructType, path: String, queryId: String,
                        truncate: Boolean, conf: SerializableHadoopConf,
                        indexBlockBytes: Long = FramedWrite.DefaultIndexBlockBytes,
-                       compression: Option[String] = None)
+                       compression: Option[String] = None,
+                       blockCompress: Boolean = true)
     extends org.apache.spark.sql.connector.write.Write
     with org.apache.spark.sql.connector.write.BatchWrite
     with org.apache.spark.sql.connector.write.streaming.StreamingWrite {
@@ -1524,7 +1619,7 @@ case class FramedWrite(schema: StructType, path: String, queryId: String,
   override def useCommitCoordinator(): Boolean = true
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    FramedWriterFactory(schema, path, queryId, conf, indexBlockBytes, compression)
+    FramedWriterFactory(schema, path, queryId, conf, indexBlockBytes, compression, blockCompress)
 
   /** Batch commit. Publication is per-file-atomic (rename), not
     * whole-job-atomic: a driver crash mid-commit can leave a partial
@@ -1557,7 +1652,7 @@ case class FramedWrite(schema: StructType, path: String, queryId: String,
     * re-runs the same deterministic batch under the same epoch id. */
   override def createStreamingWriterFactory(info: PhysicalWriteInfo):
       streaming.StreamingDataWriterFactory =
-    FramedWriterFactory(schema, path, queryId, conf, indexBlockBytes, compression)
+    FramedWriterFactory(schema, path, queryId, conf, indexBlockBytes, compression, blockCompress)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     publish(messages, idempotent = true)
@@ -1604,17 +1699,39 @@ case class FramedWrite(schema: StructType, path: String, queryId: String,
 case class FramedWriterFactory(schema: StructType, path: String, queryId: String,
                                conf: SerializableHadoopConf,
                                indexBlockBytes: Long = FramedWrite.DefaultIndexBlockBytes,
-                               compression: Option[String] = None)
+                               compression: Option[String] = None,
+                               blockCompress: Boolean = true)
     extends org.apache.spark.sql.connector.write.DataWriterFactory
     with org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long):
       org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     new FramedDataWriter(schema, path, queryId, partitionId, taskId, conf.value,
-      indexBlockBytes = indexBlockBytes, compression = compression)
+      indexBlockBytes = indexBlockBytes, compression = compression,
+      blockCompress = blockCompress)
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long):
       org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     new FramedDataWriter(schema, path, queryId, partitionId, taskId, conf.value, epochId,
-      indexBlockBytes, compression)
+      indexBlockBytes, compression, blockCompress)
+}
+
+object FramedDataWriter {
+  /** Counts bytes written through to the underlying file stream, and
+    * turns `close()` into a flush: each block-compressed codec MEMBER
+    * is written through its own [[CompressionCodec]] stream whose
+    * close must release the member's deflater WITHOUT closing the
+    * shared file (the file outlives every member). `closeUnderlying`
+    * really closes. */
+  final class CountingNonClosingStream(under: java.io.OutputStream)
+      extends java.io.OutputStream {
+    var count: Long = 0L
+    override def write(b: Int): Unit = { under.write(b); count += 1 }
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+      under.write(b, off, len); count += len
+    }
+    override def flush(): Unit = under.flush()
+    override def close(): Unit = under.flush()
+    def closeUnderlying(): Unit = under.close()
+  }
 }
 
 /** Task-side frame encoder: rows stream straight into the temp file
@@ -1626,16 +1743,20 @@ class FramedDataWriter(schema: StructType, path: String, queryId: String,
                        partitionId: Int, taskId: Long, hadoopConf: Configuration,
                        epochId: Long = -1L,
                        indexBlockBytes: Long = FramedWrite.DefaultIndexBlockBytes,
-                       compression: Option[String] = None)
+                       compression: Option[String] = None,
+                       blockCompress: Boolean = true)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
   // compressed output (the i3cols archive-at-rest posture: `.i3.gz`):
   // the codec's default extension lands IN the final name, so the
   // reader's extension-resolved decode path picks it up unchanged.
-  // Compression is BLOCK-wise (VERDICT r6 #1): each ~indexBlockBytes
-  // of frames becomes an independent codec member — concatenated
-  // members are a valid gzip/bzip2 stream, so a whole-file read is
-  // byte-identical in content, while the v2 sidecar's member
+  // When `blockCompress` (the build-time concatMemberSafe probe
+  // passed), compression is BLOCK-wise (VERDICT r6 #1): each
+  // ~indexBlockBytes of frames becomes an independent codec member —
+  // concatenated members decode as one stream, so a whole-file read
+  // is byte-identical in content, while the v2 sidecar's member
   // boundaries make even the compressed archive range-splittable.
+  // Otherwise the file is ONE whole-file codec stream: correct
+  // everywhere, never split (no sidecar is emitted).
   private val codec = compression.map(
     new CompressionCodecFactory(hadoopConf).getCodecByName(_))
   private val ext = codec.map(_.getDefaultExtension).getOrElse("")
@@ -1653,7 +1774,7 @@ class FramedDataWriter(schema: StructType, path: String, queryId: String,
   // block-compressed path state: frames buffer raw into blockBuf and
   // flush to fileOut as one independent codec member per block; the
   // pooled compressor is reset per member (SequenceFile's pattern)
-  private var fileOut: java.io.OutputStream = _
+  private var fileOut: FramedDataWriter.CountingNonClosingStream = _
   private var blockBuf: java.io.ByteArrayOutputStream = _
   private var compressor: org.apache.hadoop.io.compress.Compressor = _
   private var pendingBoundary = false
@@ -1671,18 +1792,19 @@ class FramedDataWriter(schema: StructType, path: String, queryId: String,
 
   /** Compress the buffered block as ONE codec member appended to the
     * file; the next frame written begins a new member (and records a
-    * split boundary). */
+    * split boundary). The member streams STRAIGHT into the file
+    * through the counting close-shield — no second in-memory buffer
+    * of the compressed member on the write hot path; closing the
+    * member stream releases its deflater without closing the file. */
   private def flushBlock(): Unit = if (blockBuf.size() > 0) {
     out.flush()
-    val member = new java.io.ByteArrayOutputStream()
     val cs =
       if (compressor != null) {
         compressor.reset()
-        codec.get.createOutputStream(member, compressor)
-      } else codec.get.createOutputStream(member)
+        codec.get.createOutputStream(fileOut, compressor)
+      } else codec.get.createOutputStream(fileOut)
     try blockBuf.writeTo(cs) finally cs.close()
-    member.writeTo(fileOut)
-    diskBytesOut += member.size()
+    diskBytesOut = fileOut.count
     blockBuf.reset()
     pendingBoundary = true
   }
@@ -1692,11 +1814,20 @@ class FramedDataWriter(schema: StructType, path: String, queryId: String,
       // parent may not exist yet (fresh write target)
       fs.mkdirs(new Path(path))
       codec match {
-        case Some(c) =>
-          fileOut = new java.io.BufferedOutputStream(fs.create(tmp, true))
+        case Some(c) if blockCompress =>
+          fileOut = new FramedDataWriter.CountingNonClosingStream(
+            new java.io.BufferedOutputStream(fs.create(tmp, true)))
           blockBuf = new java.io.ByteArrayOutputStream()
           out = new DataOutputStream(blockBuf)
           compressor = org.apache.hadoop.io.compress.CodecPool.getCompressor(c)
+        case Some(c) =>
+          // concat-unsafe codec: one whole-file stream, never split
+          compressor = org.apache.hadoop.io.compress.CodecPool.getCompressor(c)
+          val base = new java.io.BufferedOutputStream(fs.create(tmp, true))
+          val cs =
+            if (compressor != null) c.createOutputStream(base, compressor)
+            else c.createOutputStream(base)
+          out = new DataOutputStream(new java.io.BufferedOutputStream(cs))
         case None =>
           out = new DataOutputStream(
             new java.io.BufferedOutputStream(fs.create(tmp, true)))
@@ -1704,7 +1835,8 @@ class FramedDataWriter(schema: StructType, path: String, queryId: String,
       wrote = true
     }
     // record the split boundary at the frame START that opens a new
-    // index block (raw path) / codec member (compressed path)
+    // index block (raw path) / codec member (block-compressed path);
+    // a whole-file codec stream records none (unsplittable)
     if (codec.isEmpty) {
       if (rawBytesOut - indexEntries.last._2 >= indexBlockBytes)
         indexEntries += ((rawBytesOut, rawBytesOut))
@@ -1778,12 +1910,12 @@ class FramedDataWriter(schema: StructType, path: String, queryId: String,
       (name, tag, v)
     }.toSeq
     rawBytesOut += FramedFormat.writeFrame(out, keys)
-    if (codec.nonEmpty && blockBuf.size() >= indexBlockBytes) flushBlock()
+    if (blockBuf != null && blockBuf.size() >= indexBlockBytes) flushBlock()
   }
 
   private def closeStreams(): Unit = {
     if (out != null) {
-      if (codec.nonEmpty) { flushBlock(); fileOut.close() }
+      if (blockBuf != null) { flushBlock(); fileOut.closeUnderlying() }
       else out.close()
       out = null
     }

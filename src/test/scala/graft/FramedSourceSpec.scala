@@ -1108,6 +1108,85 @@ class FramedSourceSpec extends SparkSpec {
     }
   }
 
+  test("legacy v1 sidecars still split; concat-unsafe codecs degrade to one unsplit stream") {
+    // (a) v1 back-compat: an archive indexed by the pre-v2 engine must
+    // KEEP its splittability after the upgrade (review r7: rejecting
+    // v1 silently demoted every old indexed file to one task)
+    val dir = s"${java.nio.file.Files.createTempDirectory("graft_framed_v1idx")}/table"
+    val df = spark.range(0, 3000).coalesce(1).select(
+      col("id").as("event_id"), (col("id") * 0.25).as("score"))
+    df.write.format("graft.sources.FramedSource")
+      .option("indexBlockBytes", "4096").mode("overwrite").save(dir)
+    val file = graft.sources.FramedSource.frameFiles(dir).head
+    def local(p: String) = new java.io.File(new java.net.URI(p).getPath)
+    val dataLen = local(file).length()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val v2 = graft.sources.FrameIndex.read(file, dataLen, conf).get
+    assert(!v2.blockCompressed && v2.disk.length >= 2)
+    // rewrite the sidecar in the v1 layout: magic, version=1,
+    // dataLength, n, raw offsets — no flags, no rawLength, no CRC
+    val sidecar = local(graft.sources.FrameIndex.sidecarPath(file))
+    val bos = new java.io.ByteArrayOutputStream()
+    val o = new java.io.DataOutputStream(bos)
+    o.writeInt(graft.sources.FrameIndex.Magic)
+    o.writeInt(1)
+    o.writeLong(dataLen)
+    o.writeInt(v2.raw.length)
+    v2.raw.foreach(o.writeLong)
+    java.nio.file.Files.write(sidecar.toPath, bos.toByteArray)
+    // the out-of-band rewrite invalidates LocalFileSystem's checksum
+    // sibling — drop it (a REAL v1 archive has a v1-consistent .crc)
+    new java.io.File(sidecar.getParentFile, s".${sidecar.getName}.crc").delete()
+    val parsed = graft.sources.FrameIndex.read(file, dataLen, conf)
+    assert(parsed.isDefined, "v1 sidecar must still parse")
+    assert(!parsed.get.blockCompressed &&
+      parsed.get.disk.sameElements(v2.raw) && parsed.get.raw.sameElements(v2.raw))
+    val split = spark.read.format("graft.sources.FramedSource")
+      .option("targetSplitBytes", "16384").load(dir)
+    assert(split.rdd.getNumPartitions > 1,
+      "v1-indexed file must still fan out into ranged partitions")
+    assertSameRows(split, df, "v1-sidecar ranged read")
+    // a corrupt v1 body (bad offsets) still degrades to whole-file
+    val badBos = new java.io.ByteArrayOutputStream()
+    val b = new java.io.DataOutputStream(badBos)
+    b.writeInt(graft.sources.FrameIndex.Magic); b.writeInt(1)
+    b.writeLong(dataLen); b.writeInt(2); b.writeLong(5L); b.writeLong(3L)
+    java.nio.file.Files.write(sidecar.toPath, badBos.toByteArray)
+    assert(graft.sources.FrameIndex.read(file, dataLen, conf).isEmpty,
+      "non-monotonic v1 offsets must be rejected")
+    // (b) block compression is gated on the runtime's decoder reading
+    // CONCATENATED codec members (review r7: raw-zlib style decoders
+    // that stop at the first member would silently truncate a
+    // whole-file read to the first block). This runtime's pure-JVM
+    // decoders all pass; the probe is the analysis-time gate that
+    // keeps a runtime where they don't from ever writing a file it
+    // cannot fully read back.
+    val factory = new org.apache.hadoop.io.compress.CompressionCodecFactory(conf)
+    assert(graft.sources.FramedWrite.concatMemberSafe(factory.getCodecByName("gzip")))
+    assert(graft.sources.FramedWrite.concatMemberSafe(factory.getCodecByName("bzip2")))
+    // (c) the concat-unsafe fallback path: a writer built with
+    // blockCompress=false emits ONE whole-file codec stream and NO
+    // split sidecar — correct everywhere, just unsplit
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_framed_ss").toString
+    val schema = StructType(Seq(StructField("event_id", LongType, nullable = true)))
+    val sconf = new graft.sources.SerializableHadoopConf(conf)
+    val w = new graft.sources.FramedDataWriter(schema, dir2, "qss", 0, 1L, conf,
+      indexBlockBytes = 64L, compression = Some("gzip"), blockCompress = false)
+    (0L until 500L).foreach(i => w.write(new GenericInternalRow(Array[Any](i))))
+    val msg = w.commit()
+    graft.sources.FramedWrite(schema, dir2, "qss", truncate = false, sconf)
+      .commit(Array(msg))
+    val names2 = new java.io.File(dir2).listFiles().map(_.getName)
+    assert(names2.exists(_.endsWith(".frames.gz")), names2.mkString(","))
+    assert(!names2.exists(_.endsWith(".idx")),
+      "single-stream compressed output must not publish a split index")
+    val back = spark.read.format("graft.sources.FramedSource").load(dir2)
+    assert(back.rdd.getNumPartitions == 1)
+    assert(back.count() == 500 && back.agg(sum(col("event_id"))).collect()(0).getLong(0)
+      == (0L until 500L).sum)
+  }
+
   test("bin-packing composes with index splitting: a huge indexed file fans out inside a packed directory") {
     val dir = s"${java.nio.file.Files.createTempDirectory("graft_framed_packsplit")}/table"
     // one large indexed file...
