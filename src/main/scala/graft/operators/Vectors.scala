@@ -169,6 +169,37 @@ object Vectors {
         .limit(10)
     }),
 
+    // IVF+PQ WITH EXACT RE-RANKING — the step production ANN adds on
+    // top of ADC: quantized distances are approximations (4 codes per
+    // row), so the top-k by ADC alone can misorder near-ties; the fix
+    // is a SHORTLIST (top RerankShortlist=30 by ADC — unrounded, with
+    // the vec_id tiebreak, so the cut is a total order over
+    // bit-identical doubles in both engines) re-ranked by the EXACT
+    // cosine on the full vectors. The expensive exact kernel touches
+    // 30 rows instead of the corpus; the corpus-side plan is unchanged
+    // (one scan → cell filter → ADC → TakeOrderedAndProject) and the
+    // re-rank is a second tiny TakeOrderedAndProject over it — still
+    // zero joins, zero shuffles. At 100 TB this is the recall
+    // recovery knob: shortlist depth trades one cheap ADC pass
+    // against exact distance evaluations on a constant-size set.
+    "sim_ann_ivfpq_rerank" -> ((s, dir) => {
+      val (cents, qv, probeCids) = ivfPrelude(s, dir)
+      val (books, qsubs) = pqPrelude(s, dir)
+      val shortlist = embeddings(s, dir)
+        .where(col("vec_id") =!= 0)
+        .withColumn("cid", ivfAssign(cents))
+        .where(col("cid").isin(probeCids: _*))
+        .select(col("vec_id"), col("embedding"),
+                pqAdist(books, qsubs).as("adist"))
+        .orderBy(col("adist").asc, col("vec_id"))
+        .limit(RerankShortlist)
+      shortlist
+        .select(col("vec_id"),
+                fround(Similarity.cosine(col("embedding"), typedLit(qv)), 4).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
+    }),
+
     // IVF as DATA LAYOUT: the index is not a sidecar structure but the
     // partitioning of the table itself — embeddings land in
     // partitionBy(cid) dirs at ingest, and a probe is a
@@ -206,6 +237,10 @@ object Vectors {
   val PqSubDim = 16
   val PqCodes = 8
   val PqIters = 1
+
+  /** ADC shortlist depth for the exact re-rank stage — small and
+    * FIXED so the oracle replays the identical cut. */
+  val RerankShortlist = 30
 
   /** Subspace j of the (double view of the) embedding — 1-based slice,
     * matching the oracle's `ev[(j·16+1):(j·16+16)]`. */
@@ -457,7 +492,8 @@ object Vectors {
        "FROM a ORDER BY vec_id"),
     "sim_ann_ivf" -> oracleIvfBase,
     "sim_ann_pq" -> oraclePqBase,
-    "sim_ann_ivfpq" -> oracleIvfPqBase
+    "sim_ann_ivfpq" -> oracleIvfPqBase,
+    "sim_ann_ivfpq_rerank" -> oracleIvfPqRerank
   ) ++ {
     // the layout variant must return exactly the scan-side IVF's rows —
     // same trained centroids, same probe set, different access path
@@ -545,6 +581,23 @@ object Vectors {
     "GROUP BY e.vec_id) " +
     "SELECT vec_id, " + froundSql("adist", 4) + " AS adist " +
     "FROM ad ORDER BY adist, vec_id LIMIT 10"
+
+  /** IVF+PQ with exact re-ranking: the same composed prelude, an
+    * UNROUNDED ADC shortlist cut at [[RerankShortlist]] (total order:
+    * adist then vec_id, bit-identical doubles in both engines), then
+    * the exact cosine on the shortlist's full vectors. */
+  private def oracleIvfPqRerank: String =
+    "WITH " + ivfCtes + ", " + pqCtes("s") + ", " +
+    "ad AS (SELECT e.vec_id, " + pqAdChain + " AS adist " +
+    "FROM senc e JOIN sdt dt ON e.j = dt.j AND e.code = dt.code " +
+    "WHERE e.vec_id <> 0 AND e.vec_id IN " +
+    "(SELECT vec_id FROM assign WHERE cid IN (SELECT cid FROM probes)) " +
+    "GROUP BY e.vec_id), " +
+    s"short AS (SELECT vec_id FROM ad ORDER BY adist, vec_id LIMIT $RerankShortlist) " +
+    "SELECT v.vec_id, " +
+    froundSql("LIST_COSINE_SIMILARITY(v.ev, q.qv)", 4) + " AS cos " +
+    "FROM v JOIN short USING (vec_id), q " +
+    "ORDER BY cos DESC, v.vec_id LIMIT 10"
 
   /** IVF CTE prelude (v, pe, c0..cN, assign, q, probes) — the trained
     * coarse index unrolled; reused verbatim by the composed IVF+PQ

@@ -323,6 +323,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("HashAggregate") && !p.contains("Window"), p.take(2000))
   }
 
+  test("sim_ann_ivfpq_rerank keeps the corpus pass shuffle-free: two stacked top-ks, no join") {
+    val p = plan("sim_ann_ivfpq_rerank")
+    // ADC shortlist then exact re-rank: the corpus sees ONE scan into
+    // TakeOrderedAndProject(30); the exact kernel runs on the
+    // constant-size shortlist in a second TakeOrderedAndProject —
+    // never as a corpus-wide projection, never via a join
+    assert(p.sliding("TakeOrderedAndProject".length).count(_ == "TakeOrderedAndProject") >= 2,
+      p.take(2000))
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("HashAggregate") && !p.contains("Window"), p.take(2000))
+  }
+
   test("whole-stage codegen covers the hot paths of the flagship aggregate") {
     // AQE finalizes stages only at execution; run the query, then check
     // the final adaptive plan for codegen stage markers (`*(n)`)
