@@ -497,6 +497,33 @@ class NonOracleOpsSpec extends SparkSpec {
     }
   }
 
+  test("PQ assignment ties resolve like the oracle's ORDER BY LIST_DISTANCE, code") {
+    import graft.operators.Vectors
+    // sqrt is monotone but NOT injective in doubles: 1.0 and
+    // nextUp(1.0) = 1+2^-52 are distinct, yet sqrt(1+2^-52) ≈ 1+2^-53
+    // rounds-to-even back to exactly 1.0. A comparator on the RAW
+    // squared distance sees a strict order where the oracle's
+    // post-sqrt ORDER BY sees a tie and falls through to the code
+    // tiebreak — so the engine must compare post-sqrt too.
+    val d2a = 1.0                       // |(1,0)|²
+    val d2b = 1.0 + math.pow(2, -52)    // |(1, 2^-26)|² — exact: 1 + 2^-52
+    assert(d2a != d2b, "premise: squared distances are distinct doubles")
+    assert(math.sqrt(d2a) == math.sqrt(d2b),
+      "premise: their square roots collide to the same double")
+    // vector at the origin; the FARTHER-by-square codeword carries the
+    // SMALLER code, so only the post-sqrt tie-break can select it
+    val cb = Array(
+      (5L, Array(1.0, 0.0)),
+      (3L, Array(1.0, math.pow(2, -26))))
+    val picked = spark.range(1)
+      .select(Vectors.pqAssign(typedLit(Array(0.0, 0.0)), cb).as("code"))
+      .collect()(0).getLong(0)
+    // raw-square comparison would pick 5 (strictly smaller d²); the
+    // oracle — and therefore the engine — picks 3 (tie on LIST_DISTANCE,
+    // smaller code wins)
+    assert(picked == 3L, s"tie-break diverged from the oracle: picked $picked")
+  }
+
   test("sessionize boundary semantics: strict 30-min threshold, zero-gap ties, single-event user") {
     import graft.operators.Analytics
     val base = 1000000000000000L // µs
