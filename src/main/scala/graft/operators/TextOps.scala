@@ -194,6 +194,42 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Token-budgeted MIXTURE selection — the step that turns a scored
+    // corpus into a training MIX: per language, documents are taken
+    // greedily in a deterministic preference order (n_chars DESC,
+    // doc_id — an all-INTEGER key, so the cut point is exact in any
+    // engine; a float score would make the boundary doc
+    // rounding-dependent) until the kept prefix holds half the
+    // language's token mass (`2·cumsum ≤ total`, integer arithmetic —
+    // a relative budget bites at EVERY corpus scale where an absolute
+    // one goes slack). ONE shuffle on lang serves both window specs
+    // (running sum + language total share the partitioning, so
+    // Catalyst stacks two Window nodes over a single Exchange); the
+    // sort is per-language, never global. At 100 TB the per-lang sort
+    // is the real cost and the right one — mixture selection is
+    // order-sensitive by definition; a skewed language salts by
+    // quality-band first, trading exactness of the boundary doc for
+    // bounded partitions.
+    "text_mixture_budget" -> ((s, dir) => {
+      val toks = big(size(split(lower(col("text")), " ")))
+      val ord = Window.partitionBy("lang")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.partitionBy("lang")
+      documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"), toks.as("toks"))
+        .withColumn("cum", sum(col("toks")).over(ord))
+        .withColumn("total", sum(col("toks")).over(all))
+        .where(col("cum") * 2 <= col("total"))
+        .groupBy("lang")
+        .agg(big(count(lit(1))).as("n_docs"),
+             big(sum(col("toks"))).as("kept_tokens"),
+             big(min(col("total"))).as("total_tokens"),
+             big(min(col("doc_id"))).as("min_doc"),
+             big(max(col("doc_id"))).as("max_doc"))
+        .orderBy("lang")
+    }),
+
     // End-to-end training-data pipeline: exact dedup → quality gate →
     // per-language corpus budget. This is the composition the engine
     // exists for — three stages, each individually oracle-checked
@@ -524,6 +560,18 @@ object TextOps {
        "CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+|[0-9]+|[^a-z0-9 ]+')) AS BIGINT) AS n_bpe_tokens, " +
        froundSql("CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+|[0-9]+|[^a-z0-9 ]+')) AS DOUBLE) / LEN(STRING_SPLIT(LOWER(text), ' '))", 4) +
        " AS bpe_ratio FROM documents ORDER BY doc_id"),
+    "text_mixture_budget" ->
+      ("WITH t AS (SELECT doc_id, lang, n_chars, " +
+       "CAST(LEN(STRING_SPLIT(LOWER(text), ' ')) AS BIGINT) AS toks FROM documents), " +
+       "c AS (SELECT doc_id, lang, toks, " +
+       "SUM(toks) OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+       "SUM(toks) OVER (PARTITION BY lang) AS total FROM t) " +
+       "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+       "CAST(SUM(toks) AS BIGINT) AS kept_tokens, " +
+       "CAST(MIN(total) AS BIGINT) AS total_tokens, " +
+       "CAST(MIN(doc_id) AS BIGINT) AS min_doc, CAST(MAX(doc_id) AS BIGINT) AS max_doc " +
+       "FROM c WHERE cum * 2 <= total GROUP BY lang ORDER BY lang"),
     // identical corpus semantics to pipeline_e2e + sample_split: the
     // framed transport must be invisible to the pipeline's output
     "pipeline_framed_e2e" ->

@@ -335,6 +335,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("HashAggregate") && !p.contains("Window"), p.take(2000))
   }
 
+  test("text_mixture_budget: one corpus shuffle serves both window specs") {
+    val p = plan("text_mixture_budget")
+    // running-sum and language-total windows share the lang
+    // partitioning: Catalyst must stack the two Window nodes over ONE
+    // hash Exchange (the only corpus-wide shuffle; the trailing range
+    // exchange orders 5 grouped rows). A second corpus shuffle here
+    // would double the op's cost for free.
+    assert(p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") == 1, p.take(3000))
+    assert(p.sliding("Window".length).count(_ == "Window") >= 2, p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"), p.take(3000))
+  }
+
   test("whole-stage codegen covers the hot paths of the flagship aggregate") {
     // AQE finalizes stages only at execution; run the query, then check
     // the final adaptive plan for codegen stage markers (`*(n)`)
