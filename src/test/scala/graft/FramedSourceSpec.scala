@@ -1187,6 +1187,33 @@ class FramedSourceSpec extends SparkSpec {
       == (0L until 500L).sum)
   }
 
+  test("bzip2 block compression roundtrips and splits like gzip") {
+    // the second concat-safe codec family takes the same block-wise
+    // path: independent members, v2 sidecar, ranged member-seek reads
+    val dir = s"${java.nio.file.Files.createTempDirectory("graft_framed_wbz2")}/table"
+    val df = spark.range(0, 400).select(
+      col("id").as("event_id"),
+      concat(lit("k"), col("id") % 3).as("kind"),
+      (col("id") * 0.5).as("score"))
+    df.coalesce(1).write.format("graft.sources.FramedSource")
+      .option("compression", "bzip2")
+      .option("indexBlockBytes", "1024")
+      .mode("overwrite").save(dir)
+    val files = graft.sources.FramedSource.frameFiles(dir)
+    assert(files.size == 1 && files.head.endsWith(".frames.bz2"),
+      s"expected one .frames.bz2, got $files")
+    assert(new java.io.File(dir).listFiles().map(_.getName).exists(_.endsWith(".idx")),
+      "block-compressed bzip2 output must publish its v2 split index")
+    val back = spark.read.format("graft.sources.FramedSource").load(dir)
+    assert(back.rdd.getNumPartitions == 1)
+    assertSameRows(back, df, "bzip2 whole-file roundtrip")
+    val split = spark.read.format("graft.sources.FramedSource")
+      .option("targetSplitBytes", "2048").load(dir)
+    assert(split.rdd.getNumPartitions > 1,
+      "block-compressed bzip2 indexed file still read as one partition")
+    assertSameRows(split, df, "bzip2 ranged member-seek read")
+  }
+
   test("bin-packing composes with index splitting: a huge indexed file fans out inside a packed directory") {
     val dir = s"${java.nio.file.Files.createTempDirectory("graft_framed_packsplit")}/table"
     // one large indexed file...
