@@ -468,6 +468,44 @@ object Dedup {
         .agg(min(col("doc_id")).as("keep_id"), big(count(lit(1))).as("n_dups"))
         .orderBy("keep_id")),
 
+    // INCREMENTAL dedup — the daily-ingest story, the dedup twin of
+    // the incremental `_index` append: the already-ingested corpus is
+    // represented by its PERSISTED digest index (parquet at rest,
+    // built once at ingest), and admitting a new run costs O(new
+    // docs): digest the batch, LEFT-join the index (dup-vs-base),
+    // min-per-digest within the batch (dup-in-batch; a digest the
+    // base already holds is dup_base even for the batch's first copy).
+    // The base corpus TEXT is never re-read — at 100 TB the digest
+    // index is ~16 bytes/doc against KBs of text, the read cut that
+    // makes per-run dedup affordable; the index then grows by the
+    // kept docs' digests, append-only, exactly like `_index`. The
+    // fingerprint here is the normalized 32-char prefix (boilerplate
+    // /mirror detection — and, unlike full-text md5, it genuinely
+    // collides in the fixtures, so every classification path runs at
+    // every SF); the mechanism is fingerprint-agnostic.
+    "dedup_incremental" -> ((s, dir) => {
+      val fp = md5(substring(lower(col("text")), 1, 32).cast("binary"))
+      val docs = documents(s, dir)
+      val idx = scratch(dir, "dedup_digest_idx")
+      docs.where(col("doc_id") % 2 === 0)
+        .select(fp.as("h")).distinct()
+        .write.mode("overwrite").parquet(idx)
+      val known = s.read.parquet(idx).withColumn("in_base", lit(1L))
+      val incoming = docs.where(col("doc_id") % 2 =!= 0)
+        .select(col("doc_id"), col("lang"), fp.as("h"))
+      val firstIn = incoming.groupBy("h").agg(min(col("doc_id")).as("first_id"))
+      incoming
+        .join(firstIn, Seq("h"))
+        .join(known, Seq("h"), "left")
+        .withColumn("status",
+          when(col("in_base") === 1L, lit("dup_base"))
+            .when(col("doc_id") =!= col("first_id"), lit("dup_batch"))
+            .otherwise(lit("kept")))
+        .groupBy("lang", "status")
+        .agg(big(count(lit(1))).as("n"), big(min(col("doc_id"))).as("min_doc"))
+        .orderBy("lang", "status")
+    }),
+
     // MinHash-LSH near-dup summary: per-doc candidate count (rows = all
     // docs, so the driver's rows>0 check is meaningful even when the
     // corpus has no near-dups). Property tests plant real dups.
@@ -718,6 +756,18 @@ object Dedup {
     "dedup_exact" ->
       ("SELECT MD5(text) AS h, MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_dups " +
        "FROM documents GROUP BY MD5(text) ORDER BY keep_id"),
+    "dedup_incremental" ->
+      ("WITH fp AS (SELECT doc_id, lang, MD5(SUBSTRING(LOWER(text), 1, 32)) AS h FROM documents), " +
+       "base AS (SELECT DISTINCT h FROM fp WHERE doc_id % 2 = 0), " +
+       "inc AS (SELECT doc_id, lang, h FROM fp WHERE doc_id % 2 <> 0), " +
+       "fi AS (SELECT h, MIN(doc_id) AS first_id FROM inc GROUP BY h), " +
+       "cls AS (SELECT i.lang, i.doc_id, " +
+       "CASE WHEN b.h IS NOT NULL THEN 'dup_base' " +
+       "WHEN i.doc_id <> fi.first_id THEN 'dup_batch' ELSE 'kept' END AS status " +
+       "FROM inc i JOIN fi USING (h) LEFT JOIN base b ON i.h = b.h) " +
+       "SELECT lang, status, CAST(COUNT(*) AS BIGINT) AS n, " +
+       "CAST(MIN(doc_id) AS BIGINT) AS min_doc " +
+       "FROM cls GROUP BY lang, status ORDER BY lang, status"),
     "dedup_fingerprint" ->
       ("WITH fp AS (SELECT doc_id, " +
        "MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(LOWER(TRIM(text)), ' '))), ' ')) AS fp " +
