@@ -194,6 +194,25 @@ object Analytics {
         .orderBy("event_type")
     }),
 
+    // INTERVAL COALESCING — the range-consolidation operator: the
+    // union of overlapping spans into disjoint covers. The
+    // set-theoretic complement of join_interval_overlap (which PAIRS
+    // spans) and of events_sessionize (which groups POINTS by gap;
+    // this merges SPANS by overlap). Each event carries a
+    // deterministic integer span [t, t + (event_id % 7 + 1) min]; per
+    // user, a span starting at or before the running max end MERGES
+    // into the open cover (closed intervals — touching endpoints
+    // merge), one starting after it opens a new cover. ONE shuffle on
+    // user_id serves both window specs (running max end + cover
+    // numbering share partitioning AND ordering, so Catalyst stacks
+    // them over a single Exchange), then two bounded aggregates.
+    // Durations are exact integer micros end to end — no float ever
+    // enters the cut.
+    "events_interval_coalesce" -> ((s, dir) =>
+      coalesceOf(events(s, dir)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("s0"))
+        .withColumn("e0", col("s0") + (col("event_id") % 7 + 1) * 60L * 1000000L))),
+
     // Gap-based batch SESSIONIZATION (the batch twin of
     // stream_session): a session breaks when a user's inter-event gap
     // exceeds 30 minutes. Single-shuffle house style — the corpus
@@ -297,7 +316,44 @@ object Analytics {
       .orderBy("user_id")
   }
 
+  /** The coalescing body over any (user_id, event_id, s0, e0) frame —
+    * exposed so boundary semantics (closed intervals: touching
+    * endpoints merge; strictly-after opens a cover; the single-span
+    * user) are unit-testable on synthetic sequences. */
+  def coalesceOf(iv: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy("user_id").orderBy(col("s0"), col("e0"), col("event_id"))
+    val prevMax = max(col("e0"))
+      .over(w.rowsBetween(W.unboundedPreceding, -1))
+    iv.withColumn("newc",
+        when(prevMax.isNull || col("s0") > prevMax, 1L).otherwise(0L))
+      .withColumn("cover", sum(col("newc"))
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .groupBy("user_id", "cover")
+      .agg(min(col("s0")).as("cs"), max(col("e0")).as("ce"))
+      .groupBy("user_id")
+      .agg(big(count(lit(1))).as("n_covers"),
+           big(sum(col("ce") - col("cs"))).as("covered_us"),
+           big(max(col("ce") - col("cs"))).as("max_cover_us"))
+      .orderBy("user_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    "events_interval_coalesce" ->
+      ("WITH iv AS (SELECT user_id, event_id, epoch_us(ts) AS s0, " +
+       "epoch_us(ts) + (event_id % 7 + 1) * 60 * 1000000 AS e0 FROM events), " +
+       "m AS (SELECT user_id, event_id, s0, e0, MAX(e0) OVER " +
+       "(PARTITION BY user_id ORDER BY s0, e0, event_id " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM iv), " +
+       "c AS (SELECT user_id, s0, e0, SUM(CASE WHEN pm IS NULL OR s0 > pm " +
+       "THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY s0, e0, event_id " +
+       "ROWS UNBOUNDED PRECEDING) AS cover FROM m), " +
+       "g AS (SELECT user_id, cover, MIN(s0) AS cs, MAX(e0) AS ce " +
+       "FROM c GROUP BY user_id, cover) " +
+       "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_covers, " +
+       "CAST(SUM(ce - cs) AS BIGINT) AS covered_us, " +
+       "CAST(MAX(ce - cs) AS BIGINT) AS max_cover_us " +
+       "FROM g GROUP BY user_id ORDER BY user_id"),
     // independent window-formulation derivation of the same session
     // partition the HOF fold computes (stats are tie-order invariant)
     "events_sessionize" ->

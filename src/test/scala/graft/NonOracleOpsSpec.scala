@@ -524,6 +524,28 @@ class NonOracleOpsSpec extends SparkSpec {
     assert(picked == 3L, s"tie-break diverged from the oracle: picked $picked")
   }
 
+  test("interval coalesce boundary semantics: touching endpoints merge, strictly-after splits, containment") {
+    import graft.operators.Analytics
+    val rows = Seq(
+      // user 1: [0,10], [10,20] touch (closed intervals: MERGE),
+      // [21,30] strictly after → covers [0,20] and [21,30]
+      (1L, 1L, 0L, 10L), (1L, 2L, 10L, 20L), (1L, 3L, 21L, 30L),
+      // user 2: [0,100] contains [5,50] and [60,90] → ONE cover of 100
+      (2L, 4L, 0L, 100L), (2L, 5L, 5L, 50L), (2L, 6L, 60L, 90L),
+      // user 3: chained overlap [0,10],[5,15],[14,25] → one cover [0,25]
+      (3L, 7L, 0L, 10L), (3L, 8L, 5L, 15L), (3L, 9L, 14L, 25L),
+      // user 4: single span
+      (4L, 10L, 7L, 9L))
+    val iv = rows.toDF("user_id", "event_id", "s0", "e0")
+    val out = Analytics.coalesceOf(iv).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) == ((2L, 29L, 20L)), out(1L).toString)
+    assert(out(2L) == ((1L, 100L, 100L)), out(2L).toString)
+    assert(out(3L) == ((1L, 25L, 25L)), out(3L).toString)
+    assert(out(4L) == ((1L, 2L, 2L)), out(4L).toString)
+  }
+
   test("sessionize boundary semantics: strict 30-min threshold, zero-gap ties, single-event user") {
     import graft.operators.Analytics
     val base = 1000000000000000L // µs
