@@ -21,6 +21,15 @@ object Dedup {
   val NumBands  = 8  // LSH bands (r = 4 rows/band) → s-curve threshold ~0.56
   val RowsPerBand = NumPerms / NumBands
 
+  /** PageRank: small FIXED round count + damping so the oracle can
+    * unroll the identical rounds as CTEs (the Lloyd/PQ discipline).
+    * Base is a LITERAL, not `1 - damping`: 1.0 - 0.85 evaluates to
+    * 0.15000000000000002 in doubles while the SQL text `0.15` parses
+    * to a different double — both engines must use the literal. */
+  val PageRankIters = 2
+  val PageRankDamping = 0.85
+  val PageRankBase = 0.15
+
   /** Word tokens of the normalized text. */
   def tokens(c: Column): Column = split(lower(trim(c)), " ")
 
@@ -608,6 +617,41 @@ object Dedup {
         .orderBy("lang")
     }),
 
+    // PAGERANK over the near-dup pair graph — the repo's
+    // iterative-fixpoint recipe (FIXED round count, per-round fround6,
+    // decimal sums: the Lloyd/PQ pattern) applied to a graph
+    // algorithm: a second engine unrolls the identical rounds as CTEs
+    // and reproduces a TRAINED centrality bit-exactly. In the dedup
+    // pipeline this ranks template hubs — the documents whose
+    // near-dup neighborhoods dominate a cluster (drop-wholesale
+    // candidates that degree alone misreads when chains are long).
+    // Per round: contributions fround6(r/deg) flow along the (tiny,
+    // memoized, checkpointed) edge list — ONE edge-list shuffle per
+    // round; the corpus never re-enters. n (node count) is a
+    // metadata-scale driver scalar like the Lloyd k×dim collect.
+    "graph_pagerank" -> ((s, dir) => {
+      val pairs = blockedJaccardPairsCached(documents(s, dir), dir, 0.02)
+      val edges = pairs.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(pairs.select(col("b").as("u"), col("a").as("v")))
+      val base = edges.groupBy("u").agg(big(count(lit(1))).as("deg"))
+        .select(col("u").as("node"), col("deg"))
+      val n = base.count()
+      var st = base.withColumn("r", fround(lit(1.0) / n, 6))
+      (1 to PageRankIters).foreach { _ =>
+        val contribs = edges
+          .join(st.select(col("node").as("u"),
+                          fround(col("r") / col("deg"), 6).as("c")), Seq("u"))
+          .groupBy(col("v").as("node")).agg(dsum6(col("c")).as("sc"))
+        st = base.join(contribs, Seq("node"), "left")
+          .withColumn("r", fround(
+            lit(PageRankBase) / n +
+            lit(PageRankDamping) * coalesce(col("sc"), lit(0.0)), 6))
+          .select("node", "deg", "r")
+      }
+      st.select(col("node"), col("deg"), fround(col("r"), 4).as("rank"))
+        .orderBy(col("rank").desc, col("node")).limit(20)
+    }),
+
     // Degree histogram of the near-dup pair graph: the triage view a
     // pipeline operator reads BEFORE clustering — a fat tail of
     // high-degree nodes means template spam (drop wholesale), degree
@@ -815,6 +859,33 @@ object Dedup {
        "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept, " +
        "CAST(SUM(n_chars) AS BIGINT) AS kept_chars " +
        "FROM k WHERE rn = 1 GROUP BY lang ORDER BY lang"),
+    "graph_pagerank" -> {
+      val rounds = (1 to PageRankIters).map { k =>
+        s"c$k AS (SELECT e.v AS node, " +
+        dsum6Sql(froundSql(s"p.r / p.deg", 6)) + " AS sc " +
+        s"FROM edges e JOIN r${k - 1} p ON e.u = p.node GROUP BY e.v), " +
+        s"r$k AS (SELECT b.node, b.deg, " +
+        froundSql(s"$PageRankBase / nn.n + $PageRankDamping * COALESCE(c.sc, 0.0)", 6) +
+        s" AS r FROM base b LEFT JOIN c$k c USING (node), nn)"
+      }.mkString(", ")
+      "WITH sh AS MATERIALIZED (SELECT doc_id, lang, source, " +
+      "LIST_DISTINCT(CASE WHEN LEN(STRING_SPLIT(LOWER(TRIM(text)), ' ')) >= 3 THEN " +
+      "LIST_TRANSFORM(RANGE(0, LEN(STRING_SPLIT(LOWER(TRIM(text)), ' ')) - 2), " +
+      "i -> ARRAY_TO_STRING(STRING_SPLIT(LOWER(TRIM(text)), ' ')[i+1:i+3], ' ')) " +
+      "ELSE [ARRAY_TO_STRING(STRING_SPLIT(LOWER(TRIM(text)), ' '), ' ')] END) AS sh " +
+      "FROM documents), " +
+      "pairs AS MATERIALIZED (SELECT a.doc_id AS a, b.doc_id AS b FROM sh a JOIN sh b " +
+      "ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id " +
+      "WHERE LEN(LIST_INTERSECT(a.sh, b.sh)) * 1.0 / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) >= 0.02), " +
+      "edges AS MATERIALIZED (SELECT a AS u, b AS v FROM pairs " +
+      "UNION ALL SELECT b AS u, a AS v FROM pairs), " +
+      "base AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY u), " +
+      "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base), " +
+      "r0 AS (SELECT node, deg, " + froundSql("1.0 / nn.n", 6) + " AS r FROM base, nn), " +
+      rounds + " " +
+      s"SELECT node, deg, " + froundSql(s"r$PageRankIters.r", 4) + " AS rank " +
+      s"FROM r$PageRankIters ORDER BY rank DESC, node LIMIT 20"
+    },
     "graph_degree" ->
       ("WITH sh AS MATERIALIZED (SELECT doc_id, lang, source, " +
        "LIST_DISTINCT(CASE WHEN LEN(STRING_SPLIT(LOWER(TRIM(text)), ' ')) >= 3 THEN " +
