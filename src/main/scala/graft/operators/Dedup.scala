@@ -502,9 +502,13 @@ object Dedup {
       val known = s.read.parquet(idx).withColumn("in_base", lit(1L))
       val incoming = docs.where(col("doc_id") % 2 =!= 0)
         .select(col("doc_id"), col("lang"), fp.as("h"))
-      val firstIn = incoming.groupBy("h").agg(min(col("doc_id")).as("first_id"))
+      // batch-first id via ONE window over the digest partitioning —
+      // the groupBy-then-self-join shape would scan and shuffle the
+      // batch twice for the same answer (the house rule the simhash
+      // and fingerprint ops already follow)
       incoming
-        .join(firstIn, Seq("h"))
+        .withColumn("first_id", min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("h")))
         .join(known, Seq("h"), "left")
         .withColumn("status",
           when(col("in_base") === 1L, lit("dup_base"))
@@ -796,6 +800,27 @@ object Dedup {
     })
   )
 
+  /** The shingle CTE every pair-graph oracle shares — the ONE copy of
+    * the shingling recipe (review r7: it was pasted verbatim in eight
+    * oracle strings; an edit that missed one would silently
+    * desynchronize that oracle from the engine it checks). MATERIALIZED
+    * because DuckDB's recursive arms otherwise re-evaluate it per
+    * iteration. */
+  private def shCte: String =
+    "sh AS MATERIALIZED (SELECT doc_id, lang, source, " +
+    "LIST_DISTINCT(CASE WHEN LEN(STRING_SPLIT(LOWER(TRIM(text)), ' ')) >= 3 THEN " +
+    "LIST_TRANSFORM(RANGE(0, LEN(STRING_SPLIT(LOWER(TRIM(text)), ' ')) - 2), " +
+    "i -> ARRAY_TO_STRING(STRING_SPLIT(LOWER(TRIM(text)), ' ')[i+1:i+3], ' ')) " +
+    "ELSE [ARRAY_TO_STRING(STRING_SPLIT(LOWER(TRIM(text)), ' '), ' ')] END) AS sh " +
+    "FROM documents)"
+
+  /** The τ=0.02 Jaccard pair CTE over [[shCte]] — the oracle mirror of
+    * [[blockedJaccardPairsCached]], shared by the graph family. */
+  private def pairsCte: String =
+    "pairs AS MATERIALIZED (SELECT a.doc_id AS a, b.doc_id AS b FROM sh a JOIN sh b " +
+    "ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id " +
+    "WHERE LEN(LIST_INTERSECT(a.sh, b.sh)) * 1.0 / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) >= 0.02)"
+
   val oracle: Map[String, String] = Map(
     "dedup_exact" ->
       ("SELECT MD5(text) AS h, MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_dups " +
@@ -820,15 +845,8 @@ object Dedup {
        "(SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_same FROM fp GROUP BY fp) USING (fp) " +
        "ORDER BY doc_id"),
     "dedup_cluster" ->
-      ("WITH RECURSIVE sh AS MATERIALIZED (SELECT doc_id, lang, source, " +
-       "LIST_DISTINCT(CASE WHEN LEN(STRING_SPLIT(LOWER(TRIM(text)), ' ')) >= 3 THEN " +
-       "LIST_TRANSFORM(RANGE(0, LEN(STRING_SPLIT(LOWER(TRIM(text)), ' ')) - 2), " +
-       "i -> ARRAY_TO_STRING(STRING_SPLIT(LOWER(TRIM(text)), ' ')[i+1:i+3], ' ')) " +
-       "ELSE [ARRAY_TO_STRING(STRING_SPLIT(LOWER(TRIM(text)), ' '), ' ')] END) AS sh " +
-       "FROM documents), " +
-       "pairs AS MATERIALIZED (SELECT a.doc_id AS a, b.doc_id AS b FROM sh a JOIN sh b " +
-       "ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id " +
-       "WHERE LEN(LIST_INTERSECT(a.sh, b.sh)) * 1.0 / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) >= 0.02), " +
+      ("WITH RECURSIVE " + shCte + ", " +
+       pairsCte + ", " +
        "edges AS MATERIALIZED (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs), " +
        "reach(src, dst) AS (SELECT a, b FROM edges " +
        "UNION SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a) " +
@@ -838,15 +856,8 @@ object Dedup {
     // canonical pick (max n_chars, min doc_id) via a window — an
     // independent formulation of the query's struct-max aggregate
     "dedup_keep_canonical" ->
-      ("WITH RECURSIVE sh AS MATERIALIZED (SELECT doc_id, lang, source, " +
-       "LIST_DISTINCT(CASE WHEN LEN(STRING_SPLIT(LOWER(TRIM(text)), ' ')) >= 3 THEN " +
-       "LIST_TRANSFORM(RANGE(0, LEN(STRING_SPLIT(LOWER(TRIM(text)), ' ')) - 2), " +
-       "i -> ARRAY_TO_STRING(STRING_SPLIT(LOWER(TRIM(text)), ' ')[i+1:i+3], ' ')) " +
-       "ELSE [ARRAY_TO_STRING(STRING_SPLIT(LOWER(TRIM(text)), ' '), ' ')] END) AS sh " +
-       "FROM documents), " +
-       "pairs AS MATERIALIZED (SELECT a.doc_id AS a, b.doc_id AS b FROM sh a JOIN sh b " +
-       "ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id " +
-       "WHERE LEN(LIST_INTERSECT(a.sh, b.sh)) * 1.0 / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) >= 0.02), " +
+      ("WITH RECURSIVE " + shCte + ", " +
+       pairsCte + ", " +
        "edges AS MATERIALIZED (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs), " +
        "reach(src, dst) AS (SELECT a, b FROM edges " +
        "UNION SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a), " +
@@ -868,15 +879,8 @@ object Dedup {
         froundSql(s"$PageRankBase / nn.n + $PageRankDamping * COALESCE(c.sc, 0.0)", 6) +
         s" AS r FROM base b LEFT JOIN c$k c USING (node), nn)"
       }.mkString(", ")
-      "WITH sh AS MATERIALIZED (SELECT doc_id, lang, source, " +
-      "LIST_DISTINCT(CASE WHEN LEN(STRING_SPLIT(LOWER(TRIM(text)), ' ')) >= 3 THEN " +
-      "LIST_TRANSFORM(RANGE(0, LEN(STRING_SPLIT(LOWER(TRIM(text)), ' ')) - 2), " +
-      "i -> ARRAY_TO_STRING(STRING_SPLIT(LOWER(TRIM(text)), ' ')[i+1:i+3], ' ')) " +
-      "ELSE [ARRAY_TO_STRING(STRING_SPLIT(LOWER(TRIM(text)), ' '), ' ')] END) AS sh " +
-      "FROM documents), " +
-      "pairs AS MATERIALIZED (SELECT a.doc_id AS a, b.doc_id AS b FROM sh a JOIN sh b " +
-      "ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id " +
-      "WHERE LEN(LIST_INTERSECT(a.sh, b.sh)) * 1.0 / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) >= 0.02), " +
+      "WITH " + shCte + ", " +
+      pairsCte + ", " +
       "edges AS MATERIALIZED (SELECT a AS u, b AS v FROM pairs " +
       "UNION ALL SELECT b AS u, a AS v FROM pairs), " +
       "base AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY u), " +
@@ -887,15 +891,8 @@ object Dedup {
       s"FROM r$PageRankIters ORDER BY rank DESC, node LIMIT 20"
     },
     "graph_degree" ->
-      ("WITH sh AS MATERIALIZED (SELECT doc_id, lang, source, " +
-       "LIST_DISTINCT(CASE WHEN LEN(STRING_SPLIT(LOWER(TRIM(text)), ' ')) >= 3 THEN " +
-       "LIST_TRANSFORM(RANGE(0, LEN(STRING_SPLIT(LOWER(TRIM(text)), ' ')) - 2), " +
-       "i -> ARRAY_TO_STRING(STRING_SPLIT(LOWER(TRIM(text)), ' ')[i+1:i+3], ' ')) " +
-       "ELSE [ARRAY_TO_STRING(STRING_SPLIT(LOWER(TRIM(text)), ' '), ' ')] END) AS sh " +
-       "FROM documents), " +
-       "pairs AS MATERIALIZED (SELECT a.doc_id AS a, b.doc_id AS b FROM sh a JOIN sh b " +
-       "ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id " +
-       "WHERE LEN(LIST_INTERSECT(a.sh, b.sh)) * 1.0 / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) >= 0.02), " +
+      ("WITH " + shCte + ", " +
+       pairsCte + ", " +
        "deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM " +
        "(SELECT a AS node FROM pairs UNION ALL SELECT b AS node FROM pairs) GROUP BY node) " +
        "SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg " +
@@ -905,15 +902,8 @@ object Dedup {
     // Spark side fails loudly past the cap, the CTE would truncate, so
     // the caps must move together.
     "graph_bfs" ->
-      ("WITH RECURSIVE sh AS MATERIALIZED (SELECT doc_id, lang, source, " +
-       "LIST_DISTINCT(CASE WHEN LEN(STRING_SPLIT(LOWER(TRIM(text)), ' ')) >= 3 THEN " +
-       "LIST_TRANSFORM(RANGE(0, LEN(STRING_SPLIT(LOWER(TRIM(text)), ' ')) - 2), " +
-       "i -> ARRAY_TO_STRING(STRING_SPLIT(LOWER(TRIM(text)), ' ')[i+1:i+3], ' ')) " +
-       "ELSE [ARRAY_TO_STRING(STRING_SPLIT(LOWER(TRIM(text)), ' '), ' ')] END) AS sh " +
-       "FROM documents), " +
-       "pairs AS MATERIALIZED (SELECT a.doc_id AS a, b.doc_id AS b FROM sh a JOIN sh b " +
-       "ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id " +
-       "WHERE LEN(LIST_INTERSECT(a.sh, b.sh)) * 1.0 / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) >= 0.02), " +
+      ("WITH RECURSIVE " + shCte + ", " +
+       pairsCte + ", " +
        "edges AS MATERIALIZED (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs), " +
        "walk(node, dist) AS (SELECT MIN(a), 0 FROM edges HAVING MIN(a) IS NOT NULL " +
        "UNION SELECT e.b, w.dist + 1 FROM walk w JOIN edges e ON w.node = e.a WHERE w.dist < 60), " +
@@ -921,36 +911,21 @@ object Dedup {
        "SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM d " +
        "GROUP BY dist ORDER BY dist"),
     "dedup_containment" ->
-      ("WITH sh AS MATERIALIZED (SELECT doc_id, lang, source, " +
-       "LIST_DISTINCT(CASE WHEN LEN(STRING_SPLIT(LOWER(TRIM(text)), ' ')) >= 3 THEN " +
-       "LIST_TRANSFORM(RANGE(0, LEN(STRING_SPLIT(LOWER(TRIM(text)), ' ')) - 2), " +
-       "i -> ARRAY_TO_STRING(STRING_SPLIT(LOWER(TRIM(text)), ' ')[i+1:i+3], ' ')) " +
-       "ELSE [ARRAY_TO_STRING(STRING_SPLIT(LOWER(TRIM(text)), ' '), ' ')] END) AS sh " +
-       "FROM documents) " +
+      ("WITH " + shCte + " " +
        "SELECT a.doc_id AS a, b.doc_id AS b, " +
        "ROUND(LEN(LIST_INTERSECT(a.sh, b.sh)) * 1.0 / LEN(a.sh), 4) AS containment " +
        "FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source AND a.doc_id <> b.doc_id " +
        "WHERE LEN(LIST_INTERSECT(a.sh, b.sh)) * 1.0 / LEN(a.sh) >= 0.1 " +
        "ORDER BY a, b"),
     "dedup_allpairs_prefix" ->
-      ("WITH sh AS MATERIALIZED (SELECT doc_id, lang, source, " +
-       "LIST_DISTINCT(CASE WHEN LEN(STRING_SPLIT(LOWER(TRIM(text)), ' ')) >= 3 THEN " +
-       "LIST_TRANSFORM(RANGE(0, LEN(STRING_SPLIT(LOWER(TRIM(text)), ' ')) - 2), " +
-       "i -> ARRAY_TO_STRING(STRING_SPLIT(LOWER(TRIM(text)), ' ')[i+1:i+3], ' ')) " +
-       "ELSE [ARRAY_TO_STRING(STRING_SPLIT(LOWER(TRIM(text)), ' '), ' ')] END) AS sh " +
-       "FROM documents) " +
+      ("WITH " + shCte + " " +
        "SELECT a.doc_id AS a, b.doc_id AS b, " +
        "ROUND(LEN(LIST_INTERSECT(a.sh, b.sh)) * 1.0 / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))), 4) AS jaccard " +
        "FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id " +
        "WHERE LEN(LIST_INTERSECT(a.sh, b.sh)) * 1.0 / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) >= 0.5 " +
        "ORDER BY a, b"),
     "dedup_ngram_jaccard" ->
-      ("WITH sh AS MATERIALIZED (SELECT doc_id, lang, source, " +
-       "LIST_DISTINCT(CASE WHEN LEN(STRING_SPLIT(LOWER(TRIM(text)), ' ')) >= 3 THEN " +
-       "LIST_TRANSFORM(RANGE(0, LEN(STRING_SPLIT(LOWER(TRIM(text)), ' ')) - 2), " +
-       "i -> ARRAY_TO_STRING(STRING_SPLIT(LOWER(TRIM(text)), ' ')[i+1:i+3], ' ')) " +
-       "ELSE [ARRAY_TO_STRING(STRING_SPLIT(LOWER(TRIM(text)), ' '), ' ')] END) AS sh " +
-       "FROM documents) " +
+      ("WITH " + shCte + " " +
        "SELECT a.lang, a.source, CAST(COUNT(*) AS BIGINT) AS n_pairs, " +
        "ROUND(MAX(LEN(LIST_INTERSECT(a.sh, b.sh)) * 1.0 / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh)))), 4) AS max_jaccard, " +
        "ROUND(AVG(LEN(LIST_INTERSECT(a.sh, b.sh)) * 1.0 / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh)))), 4) AS avg_jaccard " +

@@ -172,10 +172,13 @@ object Vectors {
     // IVF+PQ WITH EXACT RE-RANKING — the step production ANN adds on
     // top of ADC: quantized distances are approximations (4 codes per
     // row), so the top-k by ADC alone can misorder near-ties; the fix
-    // is a SHORTLIST (top RerankShortlist=30 by ADC — unrounded, with
-    // the vec_id tiebreak, so the cut is a total order over
-    // bit-identical doubles in both engines) re-ranked by the EXACT
-    // cosine on the full vectors. The expensive exact kernel touches
+    // is a SHORTLIST (top RerankShortlist=30 by ADC, ROUNDED to 4
+    // decimals with the vec_id tiebreak — a total order whose cut
+    // point tolerates last-ulp accumulation drift between engines,
+    // the same fround discipline every other cross-engine comparison
+    // uses; review r7 flagged the unrounded cut as the one surface
+    // demanding bit-exactness) re-ranked by the EXACT cosine on the
+    // full vectors. The expensive exact kernel touches
     // 30 rows instead of the corpus; the corpus-side plan is unchanged
     // (one scan → cell filter → ADC → TakeOrderedAndProject) and the
     // re-rank is a second tiny TakeOrderedAndProject over it — still
@@ -190,7 +193,7 @@ object Vectors {
         .withColumn("cid", ivfAssign(cents))
         .where(col("cid").isin(probeCids: _*))
         .select(col("vec_id"), col("embedding"),
-                pqAdist(books, qsubs).as("adist"))
+                fround(pqAdist(books, qsubs), 4).as("adist"))
         .orderBy(col("adist").asc, col("vec_id"))
         .limit(RerankShortlist)
       shortlist
@@ -582,10 +585,12 @@ object Vectors {
     "SELECT vec_id, " + froundSql("adist", 4) + " AS adist " +
     "FROM ad ORDER BY adist, vec_id LIMIT 10"
 
-  /** IVF+PQ with exact re-ranking: the same composed prelude, an
-    * UNROUNDED ADC shortlist cut at [[RerankShortlist]] (total order:
-    * adist then vec_id, bit-identical doubles in both engines), then
-    * the exact cosine on the shortlist's full vectors. */
+  /** IVF+PQ with exact re-ranking: the same composed prelude, the ADC
+    * shortlist cut at [[RerankShortlist]] on the 4-decimal-ROUNDED
+    * distance (total order via the vec_id tiebreak; rounding makes
+    * the cut tolerant of last-ulp accumulation drift between
+    * engines — the repo's standard fround discipline), then the exact
+    * cosine on the shortlist's full vectors. */
   private def oracleIvfPqRerank: String =
     "WITH " + ivfCtes + ", " + pqCtes("s") + ", " +
     "ad AS (SELECT e.vec_id, " + pqAdChain + " AS adist " +
@@ -593,7 +598,8 @@ object Vectors {
     "WHERE e.vec_id <> 0 AND e.vec_id IN " +
     "(SELECT vec_id FROM assign WHERE cid IN (SELECT cid FROM probes)) " +
     "GROUP BY e.vec_id), " +
-    s"short AS (SELECT vec_id FROM ad ORDER BY adist, vec_id LIMIT $RerankShortlist) " +
+    "short AS (SELECT vec_id FROM ad ORDER BY " + froundSql("adist", 4) +
+    s", vec_id LIMIT $RerankShortlist) " +
     "SELECT v.vec_id, " +
     froundSql("LIST_COSINE_SIMILARITY(v.ev, q.qv)", 4) + " AS cos " +
     "FROM v JOIN short USING (vec_id), q " +

@@ -329,8 +329,7 @@ class PlanAuditSpec extends SparkSpec {
     // TakeOrderedAndProject(30); the exact kernel runs on the
     // constant-size shortlist in a second TakeOrderedAndProject —
     // never as a corpus-wide projection, never via a join
-    assert(p.sliding("TakeOrderedAndProject".length).count(_ == "TakeOrderedAndProject") >= 2,
-      p.take(2000))
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2, p.take(2000))
     assert(!p.contains("Join") && !p.contains("CartesianProduct"), p.take(2000))
     assert(!p.contains("HashAggregate") && !p.contains("Window"), p.take(2000))
   }
@@ -342,9 +341,8 @@ class PlanAuditSpec extends SparkSpec {
     // hash Exchange (the only corpus-wide shuffle; the trailing range
     // exchange orders 5 grouped rows). A second corpus shuffle here
     // would double the op's cost for free.
-    assert(p.sliding("Exchange hashpartitioning".length)
-      .count(_ == "Exchange hashpartitioning") == 1, p.take(3000))
-    assert(p.sliding("Window".length).count(_ == "Window") >= 2, p.take(3000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(3000))
+    assert("Window".r.findAllIn(p).size >= 2, p.take(3000))
     assert(!p.contains("CartesianProduct") && !p.contains("Join"), p.take(3000))
   }
 
