@@ -124,6 +124,52 @@ object Joins {
         .orderBy("o_orderkey")
     }),
 
+    // NEAREST as-of with tolerance — the BIDIRECTIONAL variant of
+    // join_asof (backward-only): each purchase event matches the
+    // nearest view event of the same user within ±30 min, whichever
+    // side is closer, tie to the earlier (backward) neighbor. Same
+    // union-tag + window machinery, ONE shuffle on user_id, and both
+    // directional windows share partitioning AND ordering, so they
+    // stack over a single Exchange — no per-row range probe, no
+    // interval explosion. The sort key (t, tag, event_id) puts a view
+    // at the exact purchase micro BEFORE the purchase row, so a
+    // zero-distance neighbor lands in the backward window and the
+    // backward tie rule applies identically in both engines. All
+    // distances are exact integer µs.
+    "join_asof_nearest" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tolUs = 1800L * 1000000L
+      val ev = events(s, dir)
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), unix_micros(col("ts")).as("t"),
+                lit(0).as("tag"), col("event_id"))
+      val purch = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("t"),
+                lit(1).as("tag"), col("event_id"))
+      val ord = Window.partitionBy("user_id")
+        .orderBy(col("t"), col("tag"), col("event_id"))
+      val prevV = max(when(col("tag") === 0, col("t")))
+        .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      val nextV = min(when(col("tag") === 0, col("t")))
+        .over(ord.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+      views.unionByName(purch)
+        .withColumn("dprev", col("t") - prevV)
+        .withColumn("dnext", nextV - col("t"))
+        .where(col("tag") === 1)
+        .withColumn("dist",
+          when(col("dprev").isNotNull &&
+               (col("dnext").isNull || col("dprev") <= col("dnext")), col("dprev"))
+            .otherwise(col("dnext")))
+        .where(col("dist").isNotNull && col("dist") <= tolUs)
+        .withColumn("direction",
+          when(col("dprev").isNotNull &&
+               (col("dnext").isNull || col("dprev") <= col("dnext")), lit("backward"))
+            .otherwise(lit("forward")))
+        .select(col("event_id"), col("user_id"), col("dist").as("dist_us"),
+                col("direction"))
+        .orderBy("event_id")
+    }),
+
     // Bucketed co-located join: both sides pre-bucketed on the join key
     // into the same bucket count → the join needs NO exchange at read
     // time (each task joins bucket i with bucket i). At 100 TB this is
@@ -363,6 +409,25 @@ object Joins {
       ("SELECT o_orderkey, o_custkey, " +
        "(SELECT MIN(e.ts) FROM events e WHERE e.user_id = o.o_custkey AND e.ts >= o.o_orderdate) AS next_ev_ts " +
        "FROM orders o ORDER BY o_orderkey"),
+    // independent correlated-subquery derivation of the window
+    // formulation; equal-micros views land in BOTH tprev and tnext
+    // here but only the backward window there — outcome identical
+    // because dprev = 0 wins the tie in both
+    "join_asof_nearest" ->
+      ("WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events " +
+       "WHERE event_type = 'purchase'), " +
+       "pv AS (SELECT p.event_id, p.user_id, p.t, " +
+       "(SELECT MAX(epoch_us(v.ts)) FROM events v WHERE v.event_type = 'view' " +
+       "AND v.user_id = p.user_id AND epoch_us(v.ts) <= p.t) AS tprev, " +
+       "(SELECT MIN(epoch_us(v.ts)) FROM events v WHERE v.event_type = 'view' " +
+       "AND v.user_id = p.user_id AND epoch_us(v.ts) >= p.t) AS tnext FROM p), " +
+       "d AS (SELECT event_id, user_id, " +
+       "CASE WHEN tprev IS NOT NULL AND (tnext IS NULL OR t - tprev <= tnext - t) " +
+       "THEN t - tprev ELSE tnext - t END AS dist_us, " +
+       "CASE WHEN tprev IS NOT NULL AND (tnext IS NULL OR t - tprev <= tnext - t) " +
+       "THEN 'backward' ELSE 'forward' END AS direction FROM pv) " +
+       "SELECT event_id, user_id, dist_us, direction FROM d " +
+       "WHERE dist_us IS NOT NULL AND dist_us <= 1800000000 ORDER BY event_id"),
     "join_bucketed_colocated" ->
       ("SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders, " +
        s"${dsumSql("o_totalprice")} AS revenue " +
