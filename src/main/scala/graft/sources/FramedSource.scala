@@ -218,26 +218,42 @@ object FramedFormat {
   * reader seeks the raw file to a member start, opens a fresh codec
   * stream there, and consumes exactly its raw-byte budget.
   *
-  * Layout (big-endian): int32 magic "FIDX", int32 version=2, int64
+  * Layout (big-endian): int32 magic "FIDX", int32 version=3, int64
   * dataLength (the indexed file's ON-DISK byte length — the staleness
   * guard: a sidecar whose dataLength disagrees with the live file is
   * ignored and the file reads whole, never wrongly), int64 rawLength
   * (decompressed byte length; == dataLength when uncompressed), int32
   * flags (0 = uncompressed, 1 = block-compressed), int32 n, n ×
   * (int64 diskOffset, int64 rawOffset) strictly increasing from
-  * (0, 0), int64 CRC32 of all preceding bytes. The CRC plus the
+  * (0, 0), then the v3 STATS section (int32 nStatKeys, per key:
+  * uint16 nameLen, name utf8, int8 tag ∈ {long, double}, n × (int8
+  * allPresent, int64 minBits, int64 maxBits) — min/max of the key
+  * over index block i, encoded as the long value or the double's
+  * raw bits), int64 CRC32 of all preceding bytes. The CRC plus the
   * byte-size-vs-n cross-check reject corrupt or foreign sidecars
   * BEFORE any allocation or seek (ADVICE r6: a corrupt n must not
   * drive a multi-GB planner allocation, and a structurally-plausible
-  * but wrong sidecar must not seek readers into mid-frame garbage). */
+  * but wrong sidecar must not seek readers into mid-frame garbage).
+  *
+  * The stats section is the framed analog of Parquet's row-group
+  * min/max (VERDICT r7 #2): the planner refutes pushed predicates
+  * per BLOCK and drops refuted ranges before any data IO. A block is
+  * only skippable when `allPresent` certifies every frame in it
+  * carries the key (a frame missing the key passes every pushed
+  * filter by contract, so a partial block can never be dropped).
+  * v1/v2 sidecars (and v3 with zero stat keys — e.g. backfilled
+  * archives, whose header walk never decodes bodies) parse with
+  * empty stats and keep today's no-skip behavior. */
 object FrameIndex {
   val Magic = 0x46494458 // "FIDX"
-  val Version = 2
+  val Version = 3
 
   /** header = magic, version, dataLength, rawLength, flags, n. */
   val HeaderBytes: Int = 4 + 4 + 8 + 8 + 4 + 4
   val EntryBytes: Int = 16
   val CrcBytes: Int = 8
+  /** per stat key per block: int8 allPresent, int64 min, int64 max. */
+  val StatEntryBytes: Int = 17
   /** legacy v1 layout: magic, version, dataLength, n; raw offsets. */
   val V1HeaderBytes: Int = 4 + 4 + 8 + 4
   val V1EntryBytes: Int = 8
@@ -245,16 +261,28 @@ object FrameIndex {
     * default block size; anything larger is not a sidecar this writer
     * produced and is rejected before allocation (ADVICE r6). */
   val MaxSidecarBytes: Long = 64L * 1024 * 1024
+  /** More stat keys than any sane schema — structural reject bound. */
+  val MaxStatKeys = 4096
+
+  /** Per-block min/max of one scalar long/double key. `present(i)`
+    * certifies EVERY frame of block i carries the key; `min`/`max`
+    * hold the long value or the double's bits (`doubleToLongBits`,
+    * canonical NaN so the sidecar is byte-deterministic). */
+  case class KeyStats(name: String, tag: Byte, present: Array[Boolean],
+                      min: Array[Long], max: Array[Long])
 
   /** Parsed, validated sidecar: parallel strictly-increasing offset
-    * arrays (disk(i) == raw(i) for uncompressed files). */
+    * arrays (disk(i) == raw(i) for uncompressed files); `stats` empty
+    * for v1/v2 sidecars and stats-less v3 ones. */
   case class Info(blockCompressed: Boolean, rawLength: Long,
-                  disk: Array[Long], raw: Array[Long])
+                  disk: Array[Long], raw: Array[Long],
+                  stats: Seq[KeyStats] = Nil)
 
   def sidecarPath(dataFile: String): String = dataFile + ".idx"
 
   def write(out: DataOutputStream, dataLength: Long, rawLength: Long,
-            blockCompressed: Boolean, entries: Seq[(Long, Long)]): Unit = {
+            blockCompressed: Boolean, entries: Seq[(Long, Long)],
+            stats: Seq[KeyStats] = Nil): Unit = {
     val payload = new java.io.ByteArrayOutputStream()
     val b = new DataOutputStream(payload)
     b.writeInt(Magic)
@@ -264,6 +292,23 @@ object FrameIndex {
     b.writeInt(if (blockCompressed) 1 else 0)
     b.writeInt(entries.length)
     entries.foreach { case (d, r) => b.writeLong(d); b.writeLong(r) }
+    b.writeInt(stats.length)
+    stats.foreach { k =>
+      require(k.present.length == entries.length &&
+              k.min.length == entries.length && k.max.length == entries.length,
+        s"stat key ${k.name}: ${k.min.length} blocks vs ${entries.length} entries")
+      val nb = k.name.getBytes("UTF-8")
+      b.writeShort(nb.length)
+      b.write(nb)
+      b.writeByte(k.tag)
+      var i = 0
+      while (i < entries.length) {
+        b.writeByte(if (k.present(i)) 1 else 0)
+        b.writeLong(k.min(i))
+        b.writeLong(k.max(i))
+        i += 1
+      }
+    }
     b.flush()
     val bytes = payload.toByteArray
     val crc = new java.util.zip.CRC32()
@@ -323,7 +368,7 @@ object FrameIndex {
                                  disk = offs, raw = offs))
                else None
       }
-      if (version != Version) return None
+      if (version != 2 && version != Version) return None
       if (len < HeaderBytes + 2L * EntryBytes + CrcBytes) return None
       if (din.readLong() != dataLength) return None // stale: file changed
       val rawLength = din.readLong()
@@ -332,12 +377,51 @@ object FrameIndex {
       val blockCompressed = flags == 1
       if (!blockCompressed && rawLength != dataLength) return None
       val n = din.readInt()
-      // byte-size cross-check: n must be exactly what the file holds
-      if (n < 2 || (len - HeaderBytes - CrcBytes) != n.toLong * EntryBytes) return None
+      // byte-size cross-check BEFORE allocation: v2 must hold exactly
+      // n entries; v3 at least that plus its stat-key count
+      val afterEntries = HeaderBytes.toLong + n.toLong * EntryBytes
+      if (n < 2) return None
+      if (version == 2 && (len - HeaderBytes - CrcBytes) != n.toLong * EntryBytes) return None
+      if (version == Version && len < afterEntries + 4 + CrcBytes) return None
       val disk = new Array[Long](n)
       val raw = new Array[Long](n)
       var i = 0
       while (i < n) { disk(i) = din.readLong(); raw(i) = din.readLong(); i += 1 }
+      // v3 stats section: every key's byte extent is checked against
+      // what the buffer actually still holds before any allocation
+      val stats =
+        if (version == 2) Nil
+        else {
+          val nKeys = din.readInt()
+          if (nKeys < 0 || nKeys > MaxStatKeys) return None
+          var remaining = len - afterEntries - 4 - CrcBytes
+          val out = scala.collection.mutable.ArrayBuffer.empty[KeyStats]
+          var k = 0
+          while (k < nKeys) {
+            if (remaining < 3) return None
+            val nameLen = din.readUnsignedShort()
+            if (remaining < 3L + nameLen + n.toLong * StatEntryBytes) return None
+            val nb = new Array[Byte](nameLen)
+            din.readFully(nb)
+            val tag = din.readByte()
+            if (tag != FramedFormat.TagLong && tag != FramedFormat.TagDouble) return None
+            val present = new Array[Boolean](n)
+            val mn = new Array[Long](n)
+            val mx = new Array[Long](n)
+            var j = 0
+            while (j < n) {
+              present(j) = din.readByte() != 0
+              mn(j) = din.readLong()
+              mx(j) = din.readLong()
+              j += 1
+            }
+            remaining -= 3L + nameLen + n.toLong * StatEntryBytes
+            out += KeyStats(new String(nb, "UTF-8"), tag, present, mn, mx)
+            k += 1
+          }
+          if (remaining != 0) return None // trailing garbage is foreign
+          out.toSeq
+        }
       if (din.readLong() != crc.getValue) return None
       var ok = disk(0) == 0L && raw(0) == 0L &&
         disk(n - 1) < dataLength && raw(n - 1) < rawLength
@@ -347,7 +431,7 @@ object FrameIndex {
           (blockCompressed || disk(i) == raw(i))
         i += 1
       }
-      if (ok) Some(Info(blockCompressed, rawLength, disk, raw)) else None
+      if (ok) Some(Info(blockCompressed, rawLength, disk, raw, stats)) else None
     } catch { case _: java.io.IOException => None }
   }
 
@@ -430,6 +514,33 @@ object FrameIndex {
       i += 1
     }
     out += Range(sd, dataLength - sd, sr, info.rawLength - sr)
+    out.toSeq
+  }
+
+  /** [[ranges]] over only the blocks `keep` retains — the stats-skip
+    * cut list. Each maximal run of kept blocks becomes ranges of
+    * ~`targetBytes` on-disk each; dropped blocks are never read (their
+    * bytes appear in NO range — the IO saving IS the point). An
+    * all-false mask yields zero ranges: the whole file is refuted. */
+  def rangesKept(info: Info, dataLength: Long, targetBytes: Long,
+                 keep: Array[Boolean]): Seq[Range] = {
+    val n = info.disk.length
+    require(keep.length == n, s"keep mask ${keep.length} vs $n blocks")
+    def diskEnd(i: Int) = if (i + 1 < n) info.disk(i + 1) else dataLength
+    def rawEnd(i: Int) = if (i + 1 < n) info.raw(i + 1) else info.rawLength
+    val out = scala.collection.mutable.ArrayBuffer.empty[Range]
+    var i = 0
+    while (i < n) {
+      if (!keep(i)) i += 1
+      else {
+        var j = i
+        while (j + 1 < n && keep(j + 1) &&
+               diskEnd(j) - info.disk(i) < targetBytes) j += 1
+        out += Range(info.disk(i), diskEnd(j) - info.disk(i),
+                     info.raw(i), rawEnd(j) - info.raw(i))
+        i = j + 1
+      }
+    }
     out.toSeq
   }
 }
@@ -873,6 +984,74 @@ object FramedFilters {
       case _ => true
     }
   }
+
+  /** Which index blocks of `info` can still hold a row passing every
+    * pushed filter? All-true when the sidecar carries no stats or no
+    * filter is refutable — exactly today's behavior (the degrade
+    * contract for v1/v2/backfilled sidecars). Only blocks whose
+    * `present` flag certifies the key in EVERY frame participate:
+    * a frame missing the key passes every pushed filter in [[eval]],
+    * so a partial block is never skippable. */
+  def keptBlocks(info: FrameIndex.Info, pushed: Seq[Filter]): Array[Boolean] = {
+    val n = info.disk.length
+    val keep = Array.fill(n)(true)
+    if (info.stats.isEmpty || pushed.isEmpty) return keep
+    var i = 0
+    while (i < n) {
+      def statOf(attr: String): Option[(Byte, Long, Long)] =
+        info.stats.find(_.name == attr).filter(_.present(i))
+          .map(k => (k.tag, k.min(i), k.max(i)))
+      keep(i) = !pushed.exists(f => refutesBlock(f, statOf))
+      i += 1
+    }
+    keep
+  }
+
+  /** Can NO row of a block with the given per-key (min, max) satisfy
+    * `f`? Sound-side-only: any uncertainty returns false (the block
+    * is read and rows re-checked by [[eval]] + the residual — a wrong
+    * `true` here is silent data loss, a wrong `false` just IO).
+    * Long-key stats only refute against integral values (the only
+    * values `supported` admits for pushdown on long keys). Double-key
+    * stats refuse to refute when a bound is non-finite: with
+    * `Double.compare` ordering NaN is the largest and ±Inf the
+    * extremes, so FINITE bounds certify every row in the block is
+    * finite, and the BigDecimal comparison below is exactly the
+    * finite-row ordering [[eval]] uses. */
+  private def refutesBlock(f: Filter,
+                           statOf: String => Option[(Byte, Long, Long)]): Boolean = {
+    def bounds(attr: String): Option[(java.math.BigDecimal, java.math.BigDecimal)] =
+      statOf(attr).flatMap {
+        case (FramedFormat.TagLong, mn, mx) =>
+          Some((java.math.BigDecimal.valueOf(mn), java.math.BigDecimal.valueOf(mx)))
+        case (FramedFormat.TagDouble, mnBits, mxBits) =>
+          val mn = java.lang.Double.longBitsToDouble(mnBits)
+          val mx = java.lang.Double.longBitsToDouble(mxBits)
+          if (java.lang.Double.isFinite(mn) && java.lang.Double.isFinite(mx))
+            Some((new java.math.BigDecimal(mn), new java.math.BigDecimal(mx)))
+          else None
+        case _ => None
+      }
+    def refute(attr: String, value: Any)(r: (java.math.BigDecimal, java.math.BigDecimal,
+                                             java.math.BigDecimal) => Boolean): Boolean =
+      (bounds(attr), value) match {
+        case (Some((mn, mx)), n: Number) =>
+          exactDecimal(n).exists(v => r(mn, mx, v))
+        case _ => false
+      }
+    f match {
+      case EqualTo(a, v) => refute(a, v)((mn, mx, x) =>
+        x.compareTo(mn) < 0 || x.compareTo(mx) > 0)
+      case GreaterThan(a, v)        => refute(a, v)((_, mx, x) => mx.compareTo(x) <= 0)
+      case GreaterThanOrEqual(a, v) => refute(a, v)((_, mx, x) => mx.compareTo(x) < 0)
+      case LessThan(a, v)           => refute(a, v)((mn, _, x) => mn.compareTo(x) >= 0)
+      case LessThanOrEqual(a, v)    => refute(a, v)((mn, _, x) => mn.compareTo(x) > 0)
+      case In(a, vs) if vs != null && vs.nonEmpty =>
+        vs.forall(v => refute(a, v)((mn, mx, x) =>
+          x.compareTo(mn) < 0 || x.compareTo(mx) > 0))
+      case _ => false
+    }
+  }
 }
 
 object FramedScan {
@@ -928,17 +1107,30 @@ case class FramedScan(full: StructType, required: StructType, path: String,
       // first — member boundaries are frame boundaries, so nothing
       // else distinguishes that truncation from a clean EOF.
       val compressed = factory.getCodec(new Path(f)) != null
+      // pushed filters additionally consult the index below the split
+      // threshold: a v3 sidecar's per-block stats can refute whole
+      // blocks (the row-group min/max analog), and the cheapest IO is
+      // the IO never planned
       val indexed =
-        if (len > targetSplitBytes || compressed) FrameIndex.read(f, len, conf.value)
+        if (len > targetSplitBytes || compressed || pushed.nonEmpty)
+          FrameIndex.read(f, len, conf.value)
         else None
       indexed match {
         case Some(info) if info.blockCompressed == compressed =>
-          if (len > targetSplitBytes)
+          val keep = FramedFilters.keptBlocks(info, pushed)
+          if (!keep.forall(identity))
+            // stats refuted ≥1 block: plan only the surviving runs
+            FrameIndex.rangesKept(info, len, targetSplitBytes, keep).map { r =>
+              (FramedSplit(f, r.diskStart, r.rawLen,
+                 memberStart = info.blockCompressed), r.diskLen)
+            }
+          else if (len > targetSplitBytes)
             FrameIndex.ranges(info, len, targetSplitBytes).map { r =>
               (FramedSplit(f, r.diskStart, r.rawLen,
                  memberStart = info.blockCompressed), r.diskLen)
             }
-          else Seq((FramedSplit(f, 0L, info.rawLength), len))
+          else if (compressed) Seq((FramedSplit(f, 0L, info.rawLength), len))
+          else Seq((FramedSplit(f), len))
         case _ => Seq((FramedSplit(f), len))
       }
     }
@@ -1789,6 +1981,59 @@ class FramedDataWriter(schema: StructType, path: String, queryId: String,
   private var rawBytesOut: Long = 0L
   private var diskBytesOut: Long = 0L
   private val indexEntries = scala.collection.mutable.ArrayBuffer((0L, 0L))
+  // per-block min/max stats for scalar long/double keys — the sidecar
+  // v3 stats section (the row-group min/max analog). Every schema key
+  // appears in every frame this writer emits (nulls are rejected), so
+  // allPresent is true by construction; the flag stays on the wire
+  // for stats produced by other paths (backfill writes none). Doubles
+  // accumulate under Double.compare ordering (NaN largest, -0 < 0) so
+  // FINITE sealed bounds certify a NaN/Inf-free block — the planner's
+  // precondition for refuting.
+  private val statFields: Array[(String, Byte)] = fields.collect {
+    case (name, tag, _) if tag == FramedFormat.TagLong ||
+                           tag == FramedFormat.TagDouble => (name, tag)
+  }
+  private val statSlot: Array[Int] = {
+    var next = -1
+    fields.map { case (_, tag, _) =>
+      if (tag == FramedFormat.TagLong || tag == FramedFormat.TagDouble) {
+        next += 1; next
+      } else -1
+    }
+  }
+  private val blockMinL = new Array[Long](statFields.length)
+  private val blockMaxL = new Array[Long](statFields.length)
+  private val blockMinD = new Array[Double](statFields.length)
+  private val blockMaxD = new Array[Double](statFields.length)
+  private var blockFrames = 0L
+  // sealed per-block rows: one Array[(min, max)] (bits for doubles)
+  private val sealedStats =
+    scala.collection.mutable.ArrayBuffer.empty[Array[(Long, Long)]]
+
+  private def sealBlockStats(): Unit = {
+    sealedStats += Array.tabulate(statFields.length) { k =>
+      statFields(k)._2 match {
+        case FramedFormat.TagLong => (blockMinL(k), blockMaxL(k))
+        case _ => (java.lang.Double.doubleToLongBits(blockMinD(k)),
+                   java.lang.Double.doubleToLongBits(blockMaxD(k)))
+      }
+    }
+    blockFrames = 0L
+  }
+
+  private def statLong(slot: Int, v: Long): Unit =
+    if (blockFrames == 0L) { blockMinL(slot) = v; blockMaxL(slot) = v }
+    else {
+      if (v < blockMinL(slot)) blockMinL(slot) = v
+      if (v > blockMaxL(slot)) blockMaxL(slot) = v
+    }
+
+  private def statDouble(slot: Int, v: Double): Unit =
+    if (blockFrames == 0L) { blockMinD(slot) = v; blockMaxD(slot) = v }
+    else {
+      if (java.lang.Double.compare(v, blockMinD(slot)) < 0) blockMinD(slot) = v
+      if (java.lang.Double.compare(v, blockMaxD(slot)) > 0) blockMaxD(slot) = v
+    }
 
   /** Compress the buffered block as ONE codec member appended to the
     * file; the next frame written begins a new member (and records a
@@ -1838,11 +2083,14 @@ class FramedDataWriter(schema: StructType, path: String, queryId: String,
     // index block (raw path) / codec member (block-compressed path);
     // a whole-file codec stream records none (unsplittable)
     if (codec.isEmpty) {
-      if (rawBytesOut - indexEntries.last._2 >= indexBlockBytes)
+      if (rawBytesOut - indexEntries.last._2 >= indexBlockBytes) {
         indexEntries += ((rawBytesOut, rawBytesOut))
+        sealBlockStats() // this frame starts the new block
+      }
     } else if (pendingBoundary) {
       indexEntries += ((diskBytesOut, rawBytesOut))
       pendingBoundary = false
+      sealBlockStats()
     }
     val keys = fields.zipWithIndex.map { case ((name, tag, dt), i) =>
       // the frame format has no null encoding — a null must fail the
@@ -1852,8 +2100,10 @@ class FramedDataWriter(schema: StructType, path: String, queryId: String,
           s"framed format cannot encode NULL (key $name); filter or " +
           "coalesce nulls before writing")
       val v: Any = tag match {
-        case FramedFormat.TagLong => record.getLong(i)
-        case FramedFormat.TagDouble => record.getDouble(i)
+        case FramedFormat.TagLong =>
+          val x = record.getLong(i); statLong(statSlot(i), x); x
+        case FramedFormat.TagDouble =>
+          val x = record.getDouble(i); statDouble(statSlot(i), x); x
         case FramedFormat.TagString => record.getUTF8String(i).toString
         case FramedFormat.TagLongArray =>
           val arr = record.getArray(i)
@@ -1910,6 +2160,7 @@ class FramedDataWriter(schema: StructType, path: String, queryId: String,
       (name, tag, v)
     }.toSeq
     rawBytesOut += FramedFormat.writeFrame(out, keys)
+    blockFrames += 1L
     if (blockBuf != null && blockBuf.size() >= indexBlockBytes) flushBlock()
   }
 
@@ -1932,9 +2183,16 @@ class FramedDataWriter(schema: StructType, path: String, queryId: String,
       // single-block file cannot be split any finer than "whole file"
       val idx = if (indexEntries.length >= 2) {
         val dataLength = if (codec.isEmpty) rawBytesOut else diskBytesOut
+        sealBlockStats() // the final block's frames
+        val stats = statFields.toSeq.zipWithIndex.map { case ((name, tag), k) =>
+          FrameIndex.KeyStats(name, tag,
+            Array.fill(sealedStats.length)(true),
+            sealedStats.map(_(k)._1).toArray,
+            sealedStats.map(_(k)._2).toArray)
+        }
         val o = new DataOutputStream(new java.io.BufferedOutputStream(fs.create(idxTmp, true)))
         try FrameIndex.write(o, dataLength, rawBytesOut, codec.nonEmpty,
-          indexEntries.toSeq)
+          indexEntries.toSeq, stats)
         finally o.close()
         Some(idxTmp.toString)
       } else None
