@@ -1291,4 +1291,208 @@ class FramedSourceSpec extends SparkSpec {
       assert(e.getMessage.contains("corrupt frame") && e.getMessage.contains("array"), e.getMessage)
     } finally r.close()
   }
+
+  // ---- v3 per-block min/max stats skipping (the row-group analog) ----
+
+  /** One sorted, indexed, single-file fixture in a fresh temp dir:
+    * event_id is a 0..3999 ramp so consecutive index blocks hold
+    * DISJOINT id ranges — the layout that gives stats their pruning
+    * power. Returns (dir, file URI, data length, the source frame). */
+  private def sortedStatsFixture(): (String, String, Long, org.apache.spark.sql.DataFrame) = {
+    val dir = s"${java.nio.file.Files.createTempDirectory("graft_framed_skip")}/table"
+    val df = spark.range(0, 4000).coalesce(1)
+      .select(col("id").as("event_id"), (col("id") * 0.25).as("score"))
+      .sortWithinPartitions("event_id")
+    df.write.format("graft.sources.FramedSource")
+      .option("indexBlockBytes", "4096").mode("overwrite").save(dir)
+    val file = graft.sources.FramedSource.frameFiles(dir).head
+    val len = new java.io.File(new java.net.URI(file).getPath).length()
+    (dir, file, len, df)
+  }
+
+  test("v3 stats: a selective pushed predicate plans a strict subset of blocks") {
+    import org.apache.spark.sql.sources._
+    val (dir, file, dataLen, _) = sortedStatsFixture()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val info = graft.sources.FrameIndex.read(file, dataLen, conf).get
+    // the writer recorded stats for both scalar keys, all-present
+    assert(info.stats.map(_.name).toSet == Set("event_id", "score"))
+    assert(info.disk.length >= 4, s"fixture too small: ${info.disk.length} blocks")
+    val ids = info.stats.find(_.name == "event_id").get
+    assert(ids.present.forall(identity))
+    // sorted input → strictly increasing disjoint per-block id ranges
+    assert(ids.min.zip(ids.max).forall { case (mn, mx) => mn <= mx })
+    assert(ids.max.init.zip(ids.min.tail).forall { case (pmx, nmn) => pmx < nmn })
+    // the planner-side mask: lowest 5% of ids keeps block 0, refutes most
+    val keep = graft.sources.FramedFilters.keptBlocks(
+      info, Seq(LessThanOrEqual("event_id", 199L)))
+    assert(keep(0), "the block holding matching ids must survive")
+    assert(keep.count(!_) >= info.disk.length / 2, s"mask: ${keep.mkString(",")}")
+    def blockExtent(i: Int): (Long, Long) =
+      (info.disk(i), if (i + 1 < info.disk.length) info.disk(i + 1) else dataLen)
+    val kept = graft.sources.FrameIndex.rangesKept(info, dataLen, 4096L, keep)
+    // STRICT subset of the file's bytes, refuted blocks in NO range…
+    assert(kept.map(_.diskLen).sum < dataLen)
+    for (i <- keep.indices if !keep(i); r <- kept) {
+      val (bs, be) = blockExtent(i)
+      assert(r.diskStart >= be || r.diskStart + r.diskLen <= bs,
+        s"refuted block $i [$bs,$be) overlaps planned range $r")
+    }
+    // …and every kept block fully covered (a wrong skip is data loss)
+    for (i <- keep.indices if keep(i)) {
+      val (bs, be) = blockExtent(i)
+      assert(kept.exists(r => r.diskStart <= bs && be <= r.diskStart + r.diskLen),
+        s"kept block $i [$bs,$be) not covered by $kept")
+    }
+    // end-to-end: the DSv2 plan carries only the surviving ranges
+    val pruned = spark.read.format("graft.sources.FramedSource")
+      .option("targetSplitBytes", "4096").load(dir)
+      .where(col("event_id") <= 199L)
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }.head.asInstanceOf[graft.sources.FramedScan]
+    val splits = scan.planInputPartitions()
+      .flatMap(_.asInstanceOf[graft.sources.FramedPartition].splits)
+    assert(splits.nonEmpty && splits.forall(_.length >= 0L))
+    assert(splits.map(_.length).sum < dataLen,
+      s"planned raw bytes ${splits.map(_.length).sum} must be < file's $dataLen")
+    // value-level safety: the pruned read loses and invents nothing
+    assert(pruned.count() == 200L)
+    assert(pruned.agg(sum(col("event_id"))).head().getLong(0) == (0L to 199L).sum)
+  }
+
+  test("stats-skip degrades: v2 sidecar, backfilled stats-less v3, unrefutable filters") {
+    import org.apache.spark.sql.sources._
+    val (dir, file, dataLen, df) = sortedStatsFixture()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val v3 = graft.sources.FrameIndex.read(file, dataLen, conf).get
+    // no filters / a key without stats / an unhandled filter shape →
+    // all-true mask (exactly today's no-skip planning)
+    assert(graft.sources.FramedFilters.keptBlocks(v3, Nil).forall(identity))
+    assert(graft.sources.FramedFilters.keptBlocks(
+      v3, Seq(EqualTo("no_such_key", 5L))).forall(identity))
+    assert(graft.sources.FramedFilters.keptBlocks(
+      v3, Seq(Not(EqualTo("event_id", 5L)))).forall(identity))
+    // crafted v2 sidecar (the r6/r7 engine's layout: header + entries
+    // + CRC, NO stats section) over the same data file — the
+    // back-compat branch the current writer can no longer produce
+    val sidecar = new java.io.File(new java.net.URI(
+      graft.sources.FrameIndex.sidecarPath(file)).getPath)
+    val bos = new java.io.ByteArrayOutputStream()
+    val o = new java.io.DataOutputStream(bos)
+    o.writeInt(graft.sources.FrameIndex.Magic)
+    o.writeInt(2)
+    o.writeLong(dataLen)
+    o.writeLong(v3.rawLength)
+    o.writeInt(0)
+    o.writeInt(v3.disk.length)
+    v3.disk.indices.foreach { i => o.writeLong(v3.disk(i)); o.writeLong(v3.raw(i)) }
+    o.flush()
+    val body = bos.toByteArray
+    val crc = new java.util.zip.CRC32()
+    crc.update(body, 0, body.length)
+    o.writeLong(crc.getValue)
+    o.flush()
+    java.nio.file.Files.write(sidecar.toPath, bos.toByteArray)
+    // out-of-band rewrite invalidates LocalFileSystem's checksum sibling
+    new java.io.File(sidecar.getParentFile, s".${sidecar.getName}.crc").delete()
+    val v2 = graft.sources.FrameIndex.read(file, dataLen, conf).get
+    assert(v2.stats.isEmpty, "v2 sidecars parse with EMPTY stats")
+    assert(v2.disk.sameElements(v3.disk) && v2.raw.sameElements(v3.raw) &&
+      v2.rawLength == v3.rawLength && !v2.blockCompressed)
+    // …and keeps splitting: ranged read, >1 partition, identical rows
+    val split = spark.read.format("graft.sources.FramedSource")
+      .option("targetSplitBytes", "16384").load(dir)
+    assert(split.rdd.getNumPartitions > 1, "v2-indexed file must still fan out")
+    assertSameRows(split, df, "v2-sidecar ranged read")
+    // degrade: the refutable predicate plans the FULL file on v2 stats
+    assert(graft.sources.FramedFilters.keptBlocks(
+      v2, Seq(LessThanOrEqual("event_id", 199L))).forall(identity))
+    val prunedV2 = spark.read.format("graft.sources.FramedSource")
+      .option("targetSplitBytes", "4096").load(dir)
+      .where(col("event_id") <= 199L)
+    val scanV2 = prunedV2.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }.head.asInstanceOf[graft.sources.FramedScan]
+    val splitsV2 = scanV2.planInputPartitions()
+      .flatMap(_.asInstanceOf[graft.sources.FramedPartition].splits)
+    assert(splitsV2.map(_.length).sum == dataLen,
+      "stats-less sidecar must keep full-range planning")
+    assert(prunedV2.count() == 200L)
+    // backfilled v3 (bodies never decoded → zero stat keys) degrades too
+    assert(sidecar.delete())
+    new java.io.File(sidecar.getParentFile, s".${sidecar.getName}.crc").delete()
+    assert(graft.sources.FrameIndex.backfill(file, conf, blockBytes = 4096L))
+    val bf = graft.sources.FrameIndex.read(file, dataLen, conf).get
+    assert(bf.stats.isEmpty, "backfill walks headers only — no stats")
+    assert(graft.sources.FramedFilters.keptBlocks(
+      bf, Seq(LessThanOrEqual("event_id", 199L))).forall(identity))
+  }
+
+  test("stats-skip: an all-refuted file plans ZERO ranges") {
+    import org.apache.spark.sql.sources._
+    val (dir, file, dataLen, _) = sortedStatsFixture()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val info = graft.sources.FrameIndex.read(file, dataLen, conf).get
+    val keep = graft.sources.FramedFilters.keptBlocks(
+      info, Seq(GreaterThan("event_id", 1000000L)))
+    assert(keep.forall(!_))
+    assert(graft.sources.FrameIndex.rangesKept(info, dataLen, 4096L, keep).isEmpty)
+    val none = spark.read.format("graft.sources.FramedSource")
+      .option("targetSplitBytes", "4096").load(dir)
+      .where(col("event_id") > 1000000L)
+    val scan = none.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }.head.asInstanceOf[graft.sources.FramedScan]
+    assert(scan.planInputPartitions().isEmpty, "no surviving block → no IO planned")
+    assert(none.count() == 0L)
+  }
+
+  test("block refutation: refute/non-refute per filter; partial or non-finite stats never skip") {
+    import org.apache.spark.sql.sources._
+    import graft.sources.{FrameIndex, FramedFilters, FramedFormat}
+    def infoOf(ks: FrameIndex.KeyStats) =
+      FrameIndex.Info(blockCompressed = false, rawLength = 100L,
+        disk = Array(0L), raw = Array(0L), stats = Seq(ks))
+    def longKey(mn: Long, mx: Long, present: Boolean = true) =
+      FrameIndex.KeyStats("k", FramedFormat.TagLong,
+        Array(present), Array(mn), Array(mx))
+    def dblKey(mn: Double, mx: Double) =
+      FrameIndex.KeyStats("d", FramedFormat.TagDouble, Array(true),
+        Array(java.lang.Double.doubleToLongBits(mn)),
+        Array(java.lang.Double.doubleToLongBits(mx)))
+    def kept(f: Filter, ks: FrameIndex.KeyStats): Boolean =
+      FramedFilters.keptBlocks(infoOf(ks), Seq(f))(0)
+    // long key, block range [10, 20] — each operator's refute edge
+    assert(!kept(EqualTo("k", 25L), longKey(10, 20)))
+    assert(!kept(EqualTo("k", 9L), longKey(10, 20)))
+    assert(kept(EqualTo("k", 10L), longKey(10, 20)))
+    assert(kept(EqualTo("k", 20L), longKey(10, 20)))
+    assert(!kept(GreaterThan("k", 20L), longKey(10, 20)))
+    assert(kept(GreaterThan("k", 19L), longKey(10, 20)))
+    assert(!kept(GreaterThanOrEqual("k", 21L), longKey(10, 20)))
+    assert(kept(GreaterThanOrEqual("k", 20L), longKey(10, 20)))
+    assert(!kept(LessThan("k", 10L), longKey(10, 20)))
+    assert(kept(LessThan("k", 11L), longKey(10, 20)))
+    assert(!kept(LessThanOrEqual("k", 9L), longKey(10, 20)))
+    assert(kept(LessThanOrEqual("k", 10L), longKey(10, 20)))
+    // In refutes only when EVERY member misses the block
+    assert(!kept(In("k", Array[Any](25L, 30L)), longKey(10, 20)))
+    assert(kept(In("k", Array[Any](25L, 15L)), longKey(10, 20)))
+    // a block whose present flag is FALSE is NEVER skipped: a frame
+    // missing the key passes every pushed filter by contract
+    assert(kept(EqualTo("k", 25L), longKey(10, 20, present = false)))
+    assert(kept(GreaterThan("k", 1000L), longKey(10, 20, present = false)))
+    // double key, block range [1.0, 4.5]
+    assert(!kept(GreaterThan("d", 4.5), dblKey(1.0, 4.5)))
+    assert(kept(GreaterThan("d", 4.0), dblKey(1.0, 4.5)))
+    assert(!kept(EqualTo("d", 0.5), dblKey(1.0, 4.5)))
+    assert(kept(EqualTo("d", 1.0), dblKey(1.0, 4.5)))
+    // non-finite bounds REFUSE to refute (NaN/Inf break the finite
+    // BigDecimal ordering the comparison relies on)
+    assert(kept(EqualTo("d", 99.0), dblKey(1.0, Double.NaN)))
+    assert(kept(EqualTo("d", 99.0), dblKey(Double.NegativeInfinity, 4.5)))
+    assert(kept(GreaterThan("d", 1e308), dblKey(1.0, Double.PositiveInfinity)))
+    assert(kept(LessThan("d", -1e308), dblKey(Double.NegativeInfinity, 4.5)))
+  }
 }
