@@ -29,6 +29,15 @@ object Dedup {
   val PageRankIters = 2
   val PageRankDamping = 0.85
   val PageRankBase = 0.15
+  /** Lineage hatch for deep PageRank runs: the per-round join+agg
+    * grows the logical plan linearly in the round count — negligible
+    * at the shipped [[PageRankIters]] = 2, but a production 10–50
+    * round run would pay quadratic re-optimization and risk stack
+    * overflow in plan traversal. Every k-th round truncates lineage
+    * (localCheckpoint here; a reliable checkpoint on a cluster — the
+    * same upgrade named on the CC loop). Never fires at 2 rounds, so
+    * the round-unrolled CTE oracle is unaffected. */
+  val PageRankCheckpointEvery = 8
 
   /** Word tokens of the normalized text. */
   def tokens(c: Column): Column = split(lower(trim(c)), " ")
@@ -366,16 +375,23 @@ object Dedup {
     * family (ADVICE r2). */
   private def largeSmallStarComponents(p: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // canonical storage: (hi, lo) with hi > lo, distinct, no self-loops
+    // canonical storage: (hi, lo) with hi > lo, distinct, no self-loops.
+    // Self-pairs (a,a) carry no connectivity but DO declare the node:
+    // they are re-united as singletons at the end so both arms agree
+    // on all inputs (ADVICE r8 — localComponents keeps such nodes).
     var edges = p
       .select(greatest(col("a"), col("b")).as("hi"),
               least(col("a"), col("b")).as("lo"))
       .where(col("hi") =!= col("lo"))
       .distinct()
       .localCheckpoint()
-    // O(log² n) alternations in theory, single digits observed on the
-    // planted-graph specs; the cap is a loud safety net, not a tuning.
-    val MaxIters = 40
+    // Proven bound is O(log² n) alternations — which for adversarial
+    // graphs at n≈2³² exceeds any small constant — but real near-dup
+    // graphs converge in single digits (the planted specs: ≤5). The
+    // cap is a loud safety net (exception, never wrong labels), sized
+    // far above observed convergence yet bounded so a logic bug can't
+    // spin forever.
+    val MaxIters = 100
     var iters = 0
     var done = false
     while (!done && iters < MaxIters) {
@@ -414,9 +430,16 @@ object Dedup {
         s"$MaxIters alternations — labels would be wrong")
     // fixpoint = one min-rooted star per component: every edge is
     // (member, root); roots label themselves
-    edges.select(col("hi").as("node"), col("lo").as("cluster"))
+    val labels = edges.select(col("hi").as("node"), col("lo").as("cluster"))
       .unionByName(edges.select(col("lo").as("node"), col("lo").as("cluster")))
       .distinct()
+    // nodes declared ONLY by self-pairs never entered the star rounds;
+    // they are their own singleton clusters (the localComponents
+    // contract — both arms must agree on all inputs)
+    val selfOnly = p.where(col("a") === col("b"))
+      .select(col("a").as("node")).distinct()
+      .join(labels, Seq("node"), "left_anti")
+    labels.unionByName(selfOnly.select(col("node"), col("node").as("cluster")))
   }
 
   /** Union-find over a collected edge list (the small-graph arm of
@@ -693,7 +716,7 @@ object Dedup {
         .select(col("u").as("node"), col("deg"))
       val n = base.count()
       var st = base.withColumn("r", fround(lit(1.0) / n, 6))
-      (1 to PageRankIters).foreach { _ =>
+      (1 to PageRankIters).foreach { i =>
         val contribs = edges
           .join(st.select(col("node").as("u"),
                           fround(col("r") / col("deg"), 6).as("c")), Seq("u"))
@@ -703,6 +726,7 @@ object Dedup {
             lit(PageRankBase) / n +
             lit(PageRankDamping) * coalesce(col("sc"), lit(0.0)), 6))
           .select("node", "deg", "r")
+        if (i % PageRankCheckpointEvery == 0) st = st.localCheckpoint()
       }
       st.select(col("node"), col("deg"), fround(col("r"), 4).as("rank"))
         .orderBy(col("rank").desc, col("node")).limit(20)

@@ -1145,12 +1145,13 @@ object Scans {
     * (category, file, n_rows, id_min, id_max) — row count and
     * event_id min/max from the parquet FOOTER, zero data reads. Files
     * lacking stats keep an infinite range (can't prove non-overlap →
-    * never wrongly pruned). */
+    * never wrongly pruned). Takes the path, not a FileStatus, so it
+    * runs equally on the driver or inside an executor task. */
   def footerIndexRow(conf: org.apache.hadoop.conf.Configuration, cat: String,
-                     f: org.apache.hadoop.fs.FileStatus):
-      (String, String, Long, Long, Long) = {
+                     file: String): (String, String, Long, Long, Long) = {
     import scala.jdk.CollectionConverters._
-    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf)
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new org.apache.hadoop.fs.Path(file), conf)
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try {
       val blocks = r.getFooter.getBlocks.asScala.toSeq
@@ -1163,8 +1164,30 @@ object Scans {
           (Long.MinValue, Long.MaxValue)
         else (stats.map(_.genericGetMin.asInstanceOf[Number].longValue).min,
               stats.map(_.genericGetMax.asInstanceOf[Number].longValue).max)
-      (cat, f.getPath.toString, n, mn, mx)
+      (cat, file, n, mn, mx)
     } finally r.close()
+  }
+
+  /** Footer-read `(category, file)` pairs ON EXECUTORS and return
+    * their index rows, in input order (VERDICT r8 #3 — the appended
+    * run's walk must not serialize on the driver: a 10k-file run is
+    * 10k independent ~ms footer opens, embarrassingly parallel, the
+    * same shape as `backfillIndexes`' distributed header walk).
+    * Directory LISTING stays on the driver — one RPC per category
+    * dir, metadata-scale. Footer reads are far cheaper than task
+    * launches one-by-one, so files are batched into at most
+    * 2×parallelism slices rather than one task per file. */
+  private def footerIndexRows(s: org.apache.spark.sql.SparkSession,
+                              todo: Seq[(String, String)]):
+      Seq[(String, String, Long, Long, Long)] = {
+    if (todo.isEmpty) return Seq.empty
+    val conf = new graft.sources.SerializableHadoopConf(
+      s.sparkContext.hadoopConfiguration)
+    val slices = math.max(1,
+      math.min(todo.size, 2 * s.sparkContext.defaultParallelism))
+    s.sparkContext.parallelize(todo, slices)
+      .map { case (cat, f) => footerIndexRow(conf.value, cat, f) }
+      .collect().toSeq
   }
 
   /** Full `_index` build for a one-level category layout: one FS
@@ -1175,16 +1198,17 @@ object Scans {
     val conf = s.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(layoutPath)
     val fs = root.getFileSystem(conf)
-    val rows = fs.listStatus(root).toSeq
+    val todo = fs.listStatus(root).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("event_type="))
       .flatMap { catDir =>
         val cat = catDir.getPath.getName.stripPrefix("event_type=")
         fs.listStatus(catDir.getPath).toSeq
           .filter(_.getPath.getName.endsWith(".parquet"))
-          .map(f => footerIndexRow(conf, cat, f))
+          .map(f => (cat, f.getPath.toString))
       }
     import s.implicits._
-    rows.toDF("category", "file", "n_rows", "id_min", "id_max")
+    footerIndexRows(s, todo)
+      .toDF("category", "file", "n_rows", "id_min", "id_max")
       .coalesce(1).write.mode("overwrite").parquet(idxPath)
   }
 
@@ -1212,15 +1236,16 @@ object Scans {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
       .toSeq
     val known = old.map(_._2).toSet
-    val fresh = fs.listStatus(root).toSeq
+    val todo = fs.listStatus(root).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("event_type="))
       .flatMap { catDir =>
         val cat = catDir.getPath.getName.stripPrefix("event_type=")
         fs.listStatus(catDir.getPath).toSeq
           .filter(f => f.getPath.getName.endsWith(".parquet") &&
                        !known.contains(f.getPath.toString))
-          .map(f => footerIndexRow(conf, cat, f))
+          .map(f => (cat, f.getPath.toString))
       }
+    val fresh = footerIndexRows(s, todo)
     if (fresh.nonEmpty) {
       import s.implicits._
       (old ++ fresh).toDF("category", "file", "n_rows", "id_min", "id_max")
@@ -1246,7 +1271,7 @@ object Scans {
                  r.getLong(3), r.getLong(4), r.getLong(5)))
       .toSeq
     val known = old.map(_._3).toSet
-    val fresh = fs.listStatus(root).toSeq
+    val todo = fs.listStatus(root).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("event_type="))
       .flatMap { catDir =>
         val cat = catDir.getPath.getName.stripPrefix("event_type=")
@@ -1257,12 +1282,12 @@ object Scans {
             fs.listStatus(bDir.getPath).toSeq
               .filter(f => f.getPath.getName.endsWith(".parquet") &&
                            !known.contains(f.getPath.toString))
-              .map { f =>
-                val (c, file, n, mn, mx) = footerIndexRow(conf, cat, f)
-                (c, bucket, file, n, mn, mx)
-              }
+              .map(f => (cat, bucket, f.getPath.toString))
           }
       }
+    val bucketOf = todo.map(t => t._3 -> t._2).toMap
+    val fresh = footerIndexRows(s, todo.map(t => (t._1, t._3)))
+      .map { case (c, file, n, mn, mx) => (c, bucketOf(file), file, n, mn, mx) }
     if (fresh.nonEmpty) {
       import s.implicits._
       (old ++ fresh).toDF("category", "bucket", "file", "n_rows", "id_min", "id_max")
@@ -1330,7 +1355,7 @@ object Scans {
         val conf = s.sparkContext.hadoopConfiguration
         val root = new org.apache.hadoop.fs.Path(out)
         val fs = root.getFileSystem(conf)
-        val rows = fs.listStatus(root).toSeq
+        val todo = fs.listStatus(root).toSeq
           .filter(st => st.isDirectory && st.getPath.getName.startsWith("event_type="))
           .flatMap { catDir =>
             val cat = catDir.getPath.getName.stripPrefix("event_type=")
@@ -1340,25 +1365,12 @@ object Scans {
                 val bucket = bDir.getPath.getName.stripPrefix("bucket=").toLong
                 fs.listStatus(bDir.getPath).toSeq
                   .filter(_.getPath.getName.endsWith(".parquet"))
-                  .map { f =>
-                    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf)
-                    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-                    try {
-                      val blocks = r.getFooter.getBlocks.asScala.toSeq
-                      val n = r.getRecordCount
-                      val stats = blocks.filter(_.getRowCount > 0)
-                        .map(_.getColumns.asScala.find(_.getPath.toDotString == "event_id")
-                               .map(_.getStatistics).orNull)
-                      val (mn, mx) =
-                        if (stats.isEmpty || stats.exists(x => x == null || !x.hasNonNullValue))
-                          (Long.MinValue, Long.MaxValue)
-                        else (stats.map(_.genericGetMin.asInstanceOf[Number].longValue).min,
-                              stats.map(_.genericGetMax.asInstanceOf[Number].longValue).max)
-                      (cat, bucket, f.getPath.toString, n, mn, mx)
-                    } finally r.close()
-                  }
+                  .map(f => (cat, bucket, f.getPath.toString))
               }
           }
+        val bucketOf = todo.map(t => t._3 -> t._2).toMap
+        val rows = footerIndexRows(s, todo.map(t => (t._1, t._3)))
+          .map { case (c, file, n, mn, mx) => (c, bucketOf(file), file, n, mn, mx) }
         import s.implicits._
         rows.toDF("category", "bucket", "file", "n_rows", "id_min", "id_max")
           .coalesce(1).write.mode("overwrite").parquet(idxPath)

@@ -76,6 +76,20 @@ class NonOracleOpsSpec extends SparkSpec {
     }
   }
 
+  /** Scope a JVM property mutation: snapshot, set, run, ALWAYS
+    * restore — the shared pattern for every prop-mutating test
+    * (ADVICE r8: a leaked flag would skew concurrently-running suites
+    * if parallel suite execution is ever enabled). */
+  private def withSysProp[T](key: String, value: String)(body: => T): T = {
+    val prev = sys.props.get(key)
+    sys.props(key) = value
+    try body
+    finally prev match {
+      case Some(v) => sys.props(key) = v
+      case None    => sys.props.remove(key)
+    }
+  }
+
   test("distributed large/small-star CC matches the driver arm on the real fixture (forced flag)") {
     // the flag routes the REAL dedup_cluster / dedup_keep_canonical
     // queries through the distributed arm — the VERDICT-r7 "forced on
@@ -85,11 +99,22 @@ class NonOracleOpsSpec extends SparkSpec {
     val clusterBase = snap("dedup_cluster")
     val canonBase = snap("dedup_keep_canonical")
     assert(clusterBase.nonEmpty, "fixture pair graph must be non-trivial")
-    sys.props("graft.cc.forceDistributed") = "true"
-    try {
+    withSysProp("graft.cc.forceDistributed", "true") {
       assert(snap("dedup_cluster") == clusterBase)
       assert(snap("dedup_keep_canonical") == canonBase)
-    } finally sys.props.remove("graft.cc.forceDistributed")
+    }
+  }
+
+  test("both CC arms keep nodes declared only by self-pairs (singleton clusters)") {
+    // (a,a) carries no connectivity but declares the node: the
+    // distributed arm must return it labeled with itself, exactly as
+    // the driver union-find arm does (ADVICE r8 cross-arm contract)
+    val pairs = Seq((1L, 2L), (7L, 7L)).toDF("a", "b")
+    for (localMax <- Seq(Dedup.LocalCcMaxEdges, -1L)) {
+      val got = Dedup.connectedComponents(pairs, localMax)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 7L -> 7L), s"localMax=$localMax: $got")
+    }
   }
 
   test("large/small-star converges on a long chain (multi-hop, distributed arm)") {
@@ -427,8 +452,8 @@ class NonOracleOpsSpec extends SparkSpec {
             fs.listStatus(bDir.getPath).toSeq
               .filter(_.getPath.getName.endsWith(".parquet"))
               .map { f =>
-                val (c, file, n, mn, mx) =
-                  graft.operators.Scans.footerIndexRow(conf, cat, f)
+                val (c, file, n, mn, mx) = graft.operators.Scans
+                  .footerIndexRow(conf, cat, f.getPath.toString)
                 (c, bucket, file, n, mn, mx)
               }
           }
