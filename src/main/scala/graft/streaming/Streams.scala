@@ -207,6 +207,71 @@ object Streams {
       .select(col("buy_uid").as("user_id"), col("buy_id"), col("click_id"))
   }
 
+  /** Fingerprint shared by batch `dedup_incremental`, the
+    * `stream_incremental_dedup` batch declaration, and the streaming
+    * foreachBatch step: md5 of the normalized 32-char prefix. */
+  def incrementalFp(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    md5(substring(lower(c), 1, 32).cast("binary"))
+
+  /** Bootstrap the persisted digest index from the base corpus: one
+    * distinct digest per row, landed under the reserved batch_id = -1
+    * partition (appended micro-batches each own their batch_id ≥ 0
+    * partition — the partition IS the provenance). */
+  def incrementalDedupBootstrap(base: DataFrame, idxPath: String): Unit =
+    base.select(incrementalFp(col("text")).as("h")).distinct()
+      .withColumn("batch_id", lit(-1L))
+      .write.mode("overwrite").partitionBy("batch_id").parquet(idxPath)
+
+  /** ONE micro-batch of the STREAMING incremental dedup — the
+    * foreachBatch body (VERDICT r8 #4: the digest index as state,
+    * classify-then-grow). The batch's docs are classified against the
+    * index as of all STRICTLY earlier batches — `batch_id < batchId`,
+    * never `<=`: a replayed batch must not see its own failed
+    * attempt's partition, or every previously-kept doc would
+    * reclassify as a dup and the replacement partition would lose
+    * them. Both writes land in the batch's OWN batch_id partition
+    * under dynamic partition overwrite, so a replay (restart after
+    * crash, speculative re-execution) overwrites its prior output
+    * byte-for-byte instead of double-appending — exactly-once on the
+    * index and the classification without any transaction log.
+    * Classification per doc: digest in the base partition → dup_base;
+    * in any earlier batch's partition → dup_batch (an earlier
+    * micro-batch kept it); first doc_id of its digest within this
+    * batch → kept (and its digest joins the index); else dup_batch.
+    * At 100 TB the index is ~16 bytes per base doc against KBs of
+    * text and each micro-batch is admission-bounded, so the step
+    * costs O(batch) + one index-side shuffle on the digest. */
+  def incrementalDedupStep(s: SparkSession, idxPath: String, outPath: String)
+                          (batch: DataFrame, batchId: Long): Unit = {
+    val known = s.read.parquet(idxPath)
+      .where(col("batch_id") < batchId)
+      .groupBy("h").agg(min(col("batch_id")).as("src_batch"))
+    val classified = batch
+      .select(col("doc_id"), col("lang"), incrementalFp(col("text")).as("h"))
+      .withColumn("first_id", min(col("doc_id")).over(Window.partitionBy("h")))
+      .join(known, Seq("h"), "left")
+      .withColumn("status",
+        when(col("src_batch") === -1L, lit("dup_base"))
+          .when(col("src_batch").isNotNull, lit("dup_batch"))
+          .when(col("doc_id") =!= col("first_id"), lit("dup_batch"))
+          .otherwise(lit("kept")))
+      .select("doc_id", "lang", "h", "status")
+      .persist()
+    try {
+      // classification FIRST, index growth LAST: a crash between the
+      // two leaves the index without this batch's partition, so the
+      // replay recomputes the identical classification (it reads only
+      // strictly-earlier index state either way)
+      classified.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(outPath)
+      classified.where(col("status") === "kept").select("h")
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(idxPath)
+    } finally classified.unpersist()
+  }
+
   val queries: Map[String, Q] = Map(
     // foreachBatch sink: the escape hatch that gives a stream every
     // batch writer Spark has (parquet here; JDBC/upsert in prod).
@@ -253,6 +318,38 @@ object Streams {
       statefulCountsBatch(events(s, dir)).orderBy("user_id")),
     "stream_watermark_late" -> ((s, dir) =>
       watermarkLateBatch(events(s, dir)).orderBy("event_id")),
+
+    // STREAMING incremental dedup, batch-declared (VERDICT r8 #4 —
+    // dedup_incremental composed with the streaming surface): the
+    // persisted digest index is the state; each micro-batch
+    // classifies against the index as of all strictly-earlier batches
+    // and grows it append-only by its newly-kept digests (see
+    // [[incrementalDedupStep]]; StreamIncrementalDedupSpec runs the
+    // REAL foreachBatch job across a restart and a replayed batch).
+    // This batch declaration models the stream exactly because
+    // micro-batches arrive in doc_id order: sequential
+    // classify-then-grow over ordered chunks equals the global rule —
+    // dup_base iff the digest is in the base corpus; kept iff first
+    // incoming doc_id of its digest; else dup_batch. Chunk identity
+    // (bid) only decides WHERE the kept doc lands, never any status.
+    "stream_incremental_dedup" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val fp = incrementalFp(col("text"))
+      val base = docs.where(col("doc_id") % 2 === 0)
+        .select(fp.as("h")).distinct().withColumn("in_base", lit(1L))
+      docs.where(col("doc_id") % 2 =!= 0)
+        .select(col("doc_id"), col("lang"), fp.as("h"),
+                expr("doc_id DIV 100").as("bid"))
+        .withColumn("first_id", min(col("doc_id")).over(Window.partitionBy("h")))
+        .join(base, Seq("h"), "left")
+        .withColumn("status",
+          when(col("in_base") === 1L, lit("dup_base"))
+            .when(col("doc_id") =!= col("first_id"), lit("dup_batch"))
+            .otherwise(lit("kept")))
+        .groupBy("bid", "lang", "status")
+        .agg(big(count(lit(1))).as("n"), big(min(col("doc_id"))).as("min_doc"))
+        .orderBy("bid", "lang", "status")
+    }),
 
     // Streaming EXTRACT: tail the framed sequential fixture through the
     // FramedSource micro-batch stream (offset = processed-file count
@@ -311,6 +408,21 @@ object Streams {
     scala.collection.concurrent.TrieMap.empty[String, Boolean]
 
   val oracle: Map[String, String] = Map(
+    // the chunk-sequential stream equals this global classification
+    // (chunks arrive in doc_id order; see the query comment)
+    "stream_incremental_dedup" ->
+      ("WITH fp AS (SELECT doc_id, lang, MD5(SUBSTRING(LOWER(text), 1, 32)) AS h, " +
+       "CAST(doc_id // 100 AS BIGINT) AS bid FROM documents), " +
+       "base AS (SELECT DISTINCT h FROM fp WHERE doc_id % 2 = 0), " +
+       "inc AS (SELECT doc_id, lang, h, bid FROM fp WHERE doc_id % 2 <> 0), " +
+       "fi AS (SELECT h, MIN(doc_id) AS first_id FROM inc GROUP BY h), " +
+       "cls AS (SELECT i.bid, i.lang, i.doc_id, " +
+       "CASE WHEN b.h IS NOT NULL THEN 'dup_base' " +
+       "WHEN i.doc_id <> fi.first_id THEN 'dup_batch' ELSE 'kept' END AS status " +
+       "FROM inc i JOIN fi USING (h) LEFT JOIN base b ON i.h = b.h) " +
+       "SELECT bid, lang, status, CAST(COUNT(*) AS BIGINT) AS n, " +
+       "CAST(MIN(doc_id) AS BIGINT) AS min_doc " +
+       "FROM cls GROUP BY bid, lang, status ORDER BY bid, lang, status"),
     // the streamed extraction must be lossless: aggregates over the
     // landed columns equal the same aggregates over the source events
     // (pulses count has the closed form event_id % 5)
