@@ -28,6 +28,18 @@ object Dedup {
     * to a different double — both engines must use the literal. */
   val PageRankIters = 2
   val PageRankDamping = 0.85
+
+  /** Incremental-dedup fingerprint — md5 of the normalized 32-char
+    * prefix (boilerplate/mirror detection; unlike full-text md5 it
+    * genuinely collides in the fixtures, so every classification path
+    * runs at every SF). Single definition shared by batch
+    * `dedup_incremental`, the `stream_incremental_dedup` batch
+    * declaration, and the streaming foreachBatch step
+    * ([[graft.streaming.Streams.incrementalDedupStep]]) — the
+    * mechanism is fingerprint-agnostic, but the two arms must never
+    * drift apart. */
+  def incrementalFp(c: Column): Column =
+    md5(substring(lower(c), 1, 32).cast("binary"))
   val PageRankBase = 0.15
   /** Lineage hatch for deep PageRank runs: the per-round join+agg
     * grows the logical plan linearly in the round count — negligible
@@ -563,12 +575,10 @@ object Dedup {
     // index is ~16 bytes/doc against KBs of text, the read cut that
     // makes per-run dedup affordable; the index then grows by the
     // kept docs' digests, append-only, exactly like `_index`. The
-    // fingerprint here is the normalized 32-char prefix (boilerplate
-    // /mirror detection — and, unlike full-text md5, it genuinely
-    // collides in the fixtures, so every classification path runs at
-    // every SF); the mechanism is fingerprint-agnostic.
+    // fingerprint is [[incrementalFp]] — one definition shared with
+    // the streaming arm.
     "dedup_incremental" -> ((s, dir) => {
-      val fp = md5(substring(lower(col("text")), 1, 32).cast("binary"))
+      val fp = incrementalFp(col("text"))
       val docs = documents(s, dir)
       val idx = scratch(dir, "dedup_digest_idx")
       docs.where(col("doc_id") % 2 === 0)

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.Tables._
+import graft.operators.Dedup.incrementalFp
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -207,11 +208,6 @@ object Streams {
       .select(col("buy_uid").as("user_id"), col("buy_id"), col("click_id"))
   }
 
-  /** Fingerprint shared by batch `dedup_incremental`, the
-    * `stream_incremental_dedup` batch declaration, and the streaming
-    * foreachBatch step: md5 of the normalized 32-char prefix. */
-  def incrementalFp(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    md5(substring(lower(c), 1, 32).cast("binary"))
 
   /** Bootstrap the persisted digest index from the base corpus: one
     * distinct digest per row, landed under the reserved batch_id = -1

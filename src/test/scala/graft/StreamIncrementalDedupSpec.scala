@@ -1,0 +1,180 @@
+package graft
+
+import graft.operators.Dedup
+import graft.streaming.Streams
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** The REAL streaming incremental dedup (VERDICT r9 #1): the
+  * foreachBatch job [[Streams.incrementalDedupStep]] driven by an
+  * actual Structured Streaming query — file source, maxFilesPerTrigger
+  * = 1 (one micro-batch per staged chunk), Trigger.AvailableNow,
+  * checkpointed — including a RESTART with a REPLAYED batch: the step
+  * runs for a batchId, its writes land, but the checkpoint commit is
+  * lost (crash window), and the restarted stream re-delivers the same
+  * batch under the same batchId. Exactly-once on both the digest index
+  * and the classification output must hold:
+  *   - `batch_id < batchId` (never `<=`) keeps the replay from seeing
+  *     its own failed attempt's partition — otherwise every kept doc
+  *     of the replayed batch would reclassify as dup_batch;
+  *   - dynamic partition overwrite makes the replay byte-for-byte
+  *     idempotent — no double-append of rows or digests.
+  * Both runs must equal the global rule (dup_base iff digest in base;
+  * kept iff first incoming doc_id of its digest; else dup_batch) and
+  * the oracle-checked `stream_incremental_dedup` batch declaration. */
+class StreamIncrementalDedupSpec extends SparkSpec {
+
+  /** Odd-doc_id docs in doc_id order, cut into 3 chunks; each chunk is
+    * one parquet file staged with strictly increasing mtimes so the
+    * file source delivers chunk i as micro-batch i. */
+  private lazy val chunkFiles: Seq[Path] = {
+    val stage = Files.createTempDirectory("graft_incdedup_chunks")
+    val docs = Tables.documents(spark, sf001)
+    val ids = docs.where(col("doc_id") % 2 =!= 0)
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val cuts = Seq(ids(ids.length / 3), ids(2 * ids.length / 3))
+    val ranges = Seq(
+      (ids.head, cuts(0)),                  // [lo, c0)
+      (cuts(0), cuts(1)),                   // [c0, c1)
+      (cuts(1), ids.last + 1))              // [c1, hi]
+    ranges.zipWithIndex.map { case ((lo, hi), i) =>
+      val tmp = Files.createTempDirectory(s"graft_incdedup_w$i")
+      docs.where(col("doc_id") % 2 =!= 0 &&
+                 col("doc_id") >= lo && col("doc_id") < hi)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val dst = stage.resolve(f"chunk$i%d.parquet")
+      Files.copy(part, dst, StandardCopyOption.REPLACE_EXISTING)
+      dst
+    }
+  }
+
+  private def freshDirs(tag: String): (String, String, String, String) = {
+    val root = Files.createTempDirectory(s"graft_incdedup_$tag")
+    (root.resolve("watched").toString, root.resolve("ckpt").toString,
+     root.resolve("idx").toString, root.resolve("out").toString)
+  }
+
+  /** Stage chunk files [0, upTo) into the watched dir with increasing
+    * mtimes (file-source delivery order = doc_id order). */
+  private def stage(watched: String, upTo: Int): Unit = {
+    val dir = Paths.get(watched)
+    Files.createDirectories(dir)
+    val t0 = 1700000000000L
+    chunkFiles.take(upTo).zipWithIndex.foreach { case (src, i) =>
+      val dst = dir.resolve(src.getFileName)
+      if (!Files.exists(dst)) Files.copy(src, dst)
+      dst.toFile.setLastModified(t0 + i * 60000L)
+    }
+  }
+
+  /** One run of the REAL streaming job: file source → foreachBatch
+    * ([[Streams.incrementalDedupStep]]) under AvailableNow. */
+  private def runStream(watched: String, ckpt: String, idx: String, out: String): Unit = {
+    val schema = spark.read.parquet(chunkFiles.head.toString).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(watched)
+      .writeStream
+      .foreachBatch(Streams.incrementalDedupStep(spark, idx, out) _)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  private def bootstrap(idx: String): Unit =
+    Streams.incrementalDedupBootstrap(
+      Tables.documents(spark, sf001).where(col("doc_id") % 2 === 0), idx)
+
+  /** The global rule the stream must reproduce regardless of chunking. */
+  private lazy val expectedByDoc: DataFrame = {
+    val docs = Tables.documents(spark, sf001)
+    val fp = Dedup.incrementalFp(col("text"))
+    val base = docs.where(col("doc_id") % 2 === 0)
+      .select(fp.as("h")).distinct().withColumn("in_base", lit(1L))
+    docs.where(col("doc_id") % 2 =!= 0)
+      .select(col("doc_id"), fp.as("h"))
+      .withColumn("first_id", min(col("doc_id")).over(Window.partitionBy("h")))
+      .join(base, Seq("h"), "left")
+      .withColumn("status",
+        when(col("in_base") === 1L, lit("dup_base"))
+          .when(col("doc_id") =!= col("first_id"), lit("dup_batch"))
+          .otherwise(lit("kept")))
+      .select("doc_id", "status")
+  }
+
+  private def checkFinalState(idx: String, out: String, hint: String): Unit = {
+    val outDf = spark.read.parquet(out)
+    // exactly-once on the classification: every odd doc once, statuses
+    // equal the global rule
+    assert(outDf.count() == 250 &&
+           outDf.select("doc_id").distinct().count() == 250,
+      s"$hint: classification rows must be exactly-once per doc")
+    assertSameRows(outDf.select("doc_id", "status"), expectedByDoc, hint)
+    // exactly-once on the index: base digests + one row per kept
+    // digest, no digest twice (kept ⇒ not already known)
+    val idxDf = spark.read.parquet(idx)
+    assert(idxDf.count() == idxDf.select("h").distinct().count(),
+      s"$hint: digest index must hold each digest exactly once")
+    val baseN = idxDf.where(col("batch_id") === -1L).count()
+    val keptN = outDf.where(col("status") === "kept").count()
+    assert(idxDf.count() == baseN + keptN,
+      s"$hint: index = base digests + kept digests")
+    // and the oracle-checked batch declaration aggregates identically
+    val agg = outDf
+      .withColumn("bid", expr("doc_id DIV 100"))
+      .groupBy("bid", "lang", "status")
+      .agg(Tables.big(count(lit(1))).as("n"),
+           Tables.big(min(col("doc_id"))).as("min_doc"))
+    val decl = SparkEntry.queries("stream_incremental_dedup")(spark, sf001)
+    assertSameRows(agg, decl, s"$hint vs batch declaration")
+  }
+
+  test("straight-through: 3 real micro-batches equal the global rule and the batch declaration") {
+    val (watched, ckpt, idx, out) = freshDirs("straight")
+    bootstrap(idx)
+    stage(watched, 3)
+    runStream(watched, ckpt, idx, out)
+    // the stream really ran 3 micro-batches: one batch_id partition each
+    // (partition discovery infers batch_id as int — cast before collect)
+    val bids = spark.read.parquet(out)
+      .select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(bids == Seq(0L, 1L, 2L), s"expected batches 0,1,2, got $bids")
+    checkFinalState(idx, out, "straight-through")
+  }
+
+  test("restart + replayed batch: crashed attempt overwritten, no double-count, statuses stable") {
+    val (watched, ckpt, idx, out) = freshDirs("replay")
+    bootstrap(idx)
+    // run 1: batches 0 and 1 commit
+    stage(watched, 2)
+    runStream(watched, ckpt, idx, out)
+    assert(Files.exists(Paths.get(ckpt, "commits", "1")) &&
+           !Files.exists(Paths.get(ckpt, "commits", "2")),
+      "run 1 must commit exactly batches 0 and 1")
+    // crash window: batch 2's step executes fully (both writes land)
+    // but the checkpoint never records it — the restarted stream WILL
+    // re-deliver chunk2 under the same batchId 2
+    stage(watched, 3)
+    Streams.incrementalDedupStep(spark, idx, out)(
+      spark.read.parquet(chunkFiles(2).toString), 2L)
+    val idxAfterCrash = spark.read.parquet(idx).count()
+    val outAfterCrash = spark.read.parquet(out).count()
+    // run 2: restart from the same checkpoint replays batch 2
+    runStream(watched, ckpt, idx, out)
+    assert(Files.exists(Paths.get(ckpt, "commits", "2")),
+      "run 2 must actually process batch 2 — otherwise the replay assertions are vacuous")
+    // dynamic partition overwrite: replay replaced, never appended
+    assert(spark.read.parquet(idx).count() == idxAfterCrash,
+      "replay must overwrite the crashed attempt's index partition, not append")
+    assert(spark.read.parquet(out).count() == outAfterCrash,
+      "replay must overwrite the crashed attempt's output partition, not append")
+    checkFinalState(idx, out, "restart+replay")
+  }
+}
