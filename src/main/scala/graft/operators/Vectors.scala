@@ -244,13 +244,9 @@ object Vectors {
     // shortlist depth are chosen by exactly this report run on a
     // held-out query set.
     "sim_ann_recall" -> ((s, dir) => {
-      val (_, qv, _) = ivfPrelude(s, dir)
-      val exact = embeddings(s, dir)
-        .where(col("vec_id") =!= 0)
-        .select(col("vec_id"),
-                fround(Similarity.cosine(col("embedding"), typedLit(qv)), 4).as("cos"))
-        .orderBy(col("cos").desc, col("vec_id"))
-        .limit(10)
+      // the exactness baseline is the SAME helper sim_topk ships —
+      // one definition of the exact cut, like the method closures
+      val exact = Similarity.topK(embeddings(s, dir), 0L, 10)
         .select(col("vec_id"), lit(1L).as("hit"))
       Seq("ivf" -> "sim_ann_ivf", "pq" -> "sim_ann_pq",
           "ivfpq" -> "sim_ann_ivfpq", "ivfpq_rerank" -> "sim_ann_ivfpq_rerank")

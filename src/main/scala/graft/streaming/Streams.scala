@@ -208,7 +208,6 @@ object Streams {
       .select(col("buy_uid").as("user_id"), col("buy_id"), col("click_id"))
   }
 
-
   /** Bootstrap the persisted digest index from the base corpus: one
     * distinct digest per row, landed under the reserved batch_id = -1
     * partition (appended micro-batches each own their batch_id ≥ 0

@@ -3,7 +3,7 @@ package graft
 import graft.operators.Dedup
 import graft.streaming.Streams
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -45,8 +45,8 @@ class StreamIncrementalDedupSpec extends SparkSpec {
       docs.where(col("doc_id") % 2 =!= 0 &&
                  col("doc_id") >= lo && col("doc_id") < hi)
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
-        .findFirst().get()
+      val part = tmp.toFile.listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath
       val dst = stage.resolve(f"chunk$i%d.parquet")
       Files.copy(part, dst, StandardCopyOption.REPLACE_EXISTING)
       dst
@@ -84,7 +84,10 @@ class StreamIncrementalDedupSpec extends SparkSpec {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    // bounded wait: a wedged stream must fail the suite loudly, not
+    // hang it (the stream_framed_extract pattern)
+    if (!q.awaitTermination(120000))
+      throw new IllegalStateException("incremental dedup stream did not drain in 120s")
   }
 
   private def bootstrap(idx: String): Unit =
@@ -110,11 +113,9 @@ class StreamIncrementalDedupSpec extends SparkSpec {
 
   private def checkFinalState(idx: String, out: String, hint: String): Unit = {
     val outDf = spark.read.parquet(out)
-    // exactly-once on the classification: every odd doc once, statuses
-    // equal the global rule
-    assert(outDf.count() == 250 &&
-           outDf.select("doc_id").distinct().count() == 250,
-      s"$hint: classification rows must be exactly-once per doc")
+    // exactly-once on the classification: multiset equality against
+    // the one-row-per-odd-doc global rule catches any double-counted,
+    // dropped, or misclassified doc in one check
     assertSameRows(outDf.select("doc_id", "status"), expectedByDoc, hint)
     // exactly-once on the index: base digests + one row per kept
     // digest, no digest twice (kept ⇒ not already known)
