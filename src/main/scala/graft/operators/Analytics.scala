@@ -256,6 +256,37 @@ object Analytics {
         .select(col("event_type"), date_format(col("d"), "yyyy-MM-dd").as("day"),
                 col("n"), fround(col("z"), 4).as("z"))
         .orderBy("event_type", "day")
+    }),
+
+    // Triangle enumeration over the part co-purchase graph (parts
+    // linked when they share an order, support ≥ 2 co-occurrences):
+    // the graph-structure primitive behind clustering coefficients,
+    // community seeds and recommendation strength. The classic
+    // distributed shape: orient every edge a < b (each triangle
+    // counted exactly once, wedge work halved), build wedges by
+    // joining oriented edges head-to-tail, close them against the
+    // edge list. The orderkey self-join explodes only within a basket
+    // (bounded k per order), the support threshold prunes the edge
+    // list before any wedge forms, and the three reads of the same
+    // edge subtree share their shuffles via ReuseExchange (pinned in
+    // PlanAuditSpec). At 100 TB the further standard step is
+    // degree-ordered orientation (low-degree node first), which
+    // bounds per-node wedge fan-out on skewed graphs.
+    "graph_triangles" -> ((s, dir) => {
+      val li = lineitem(s, dir).select(col("l_orderkey").as("ok"), col("l_partkey"))
+      val edges = li.select(col("ok"), col("l_partkey").as("a"))
+        .join(li.select(col("ok"), col("l_partkey").as("b")), Seq("ok"))
+        .where(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n_cooc"))
+        .where(col("n_cooc") >= 2)
+        .select("a", "b")
+      val wedges = edges.join(
+        edges.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+      wedges.join(
+          edges.select(col("a").as("a3"), col("b").as("c3")),
+          col("a") === col("a3") && col("c") === col("c3"))
+        .select("a", "b", "c")
+        .orderBy("a", "b", "c")
     })
   )
 
@@ -448,6 +479,15 @@ object Analytics {
        "WHERE nd > 1 AND (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / nd) / (nd - 1) > 0) " +
        "SELECT event_type, STRFTIME(d, '%Y-%m-%d') AS day, n, " +
        froundSql("z", 4) + " AS z FROM z WHERE ABS(z) >= 2.0 " +
-       "ORDER BY event_type, day")
+       "ORDER BY event_type, day"),
+    "graph_triangles" ->
+      ("WITH edges AS MATERIALIZED (SELECT l1.l_partkey AS a, l2.l_partkey AS b " +
+       "FROM lineitem l1 JOIN lineitem l2 " +
+       "ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey " +
+       "GROUP BY 1, 2 HAVING COUNT(*) >= 2) " +
+       "SELECT e1.a, e1.b, e2.b AS c FROM edges e1 " +
+       "JOIN edges e2 ON e1.b = e2.a " +
+       "JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b " +
+       "ORDER BY e1.a, e1.b, c")
   )
 }

@@ -171,6 +171,87 @@ object Relational {
              min(col("doc_id")).as("first_doc"))
         .orderBy("lang", "split")),
 
+    // Fixed-SIZE deterministic sample (the reservoir-sampling analog):
+    // the k docs with the smallest seeded md5 keys ARE a uniform
+    // without-replacement sample of size k (bottom-k sketch), and
+    // unlike a true streaming reservoir the selection is key-stable —
+    // any engine, any partitioning, any day recomputes the same k
+    // rows. Complements sample_hash (fixed RATE) and
+    // sample_stratified (per-stratum): this is the fixed-BUDGET eval
+    // set. Spark plans it as TakeOrderedAndProject (pinned): per-
+    // partition size-k heaps merged once — no global sort, no second
+    // pass, and the same bottom-k structure is a mergeable sketch if
+    // per-shard samples need unioning later.
+    "sample_reservoir_k" -> ((s, dir) =>
+      documents(s, dir)
+        .withColumn("rk", md5(concat(lit("res:"), col("doc_id").cast("string"))))
+        .select("doc_id", "lang", "n_chars", "rk")
+        .orderBy("rk", "doc_id")
+        .limit(100)),
+
+    // CDC MERGE (upsert, latest-wins): the nightly "apply the change
+    // feed onto the snapshot" operator every warehouse pipeline runs.
+    // Base = latest pre-cutoff order per customer, delta = latest
+    // post-cutoff order per customer; MERGE semantics via one full
+    // outer join on the entity key — matched → update, delta-only →
+    // insert, base-only → keep. Each side condenses to one row per key
+    // with a single ranked window (shuffle on o_custkey), and the join
+    // reuses that same key so no third shuffle appears. At 100 TB the
+    // delta is normally days-scale vs a years-scale base: broadcast
+    // the delta side and the merge touches the base exactly once, or
+    // bucket both by entity key and it is exchange-free.
+    "merge_upsert" -> ((s, dir) => {
+      val cutoff = lit("1999-01-01").cast("timestamp")
+      def latest(df: org.apache.spark.sql.DataFrame, tag: String) = {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+        df.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+          .select(col("o_custkey").as(s"${tag}_custkey"),
+                  col("o_orderkey").as(s"${tag}_orderkey"),
+                  col("o_totalprice").as(s"${tag}_price"),
+                  col("o_orderpriority").as(s"${tag}_priority"))
+      }
+      val base  = latest(orders(s, dir).where(col("o_orderdate") < cutoff), "b")
+      val delta = latest(orders(s, dir).where(col("o_orderdate") >= cutoff), "d")
+      base.join(delta, col("b_custkey") === col("d_custkey"), "full_outer")
+        .select(
+          coalesce(col("d_custkey"), col("b_custkey")).as("o_custkey"),
+          when(col("d_custkey").isNull, "keep")
+            .when(col("b_custkey").isNull, "insert")
+            .otherwise("update").as("action"),
+          coalesce(col("d_orderkey"), col("b_orderkey")).as("o_orderkey"),
+          round(coalesce(col("d_price"), col("b_price")), 2).as("total"),
+          coalesce(col("d_priority"), col("b_priority")).as("o_orderpriority"))
+        .orderBy("o_custkey")
+    }),
+
+    // SCD2 history build (changelog compaction): per entity, collapse
+    // the raw change feed into versioned validity intervals — keep only
+    // rows where the tracked attribute actually changed (run
+    // compression via lag), then derive valid_from/valid_to from
+    // consecutive kept rows (lead) and flag the open interval as
+    // current. Both window layers share the o_custkey partitioning, so
+    // the whole history build is ONE shuffle on the entity key followed
+    // by two in-partition sorted passes — at 100 TB that is the floor
+    // for any per-entity temporal operator. Dates project as yyyymmdd
+    // ints (engine-portable; raw timestamps never cross the oracle).
+    "scd2_history" -> ((s, dir) => {
+      def ymd(c: org.apache.spark.sql.Column) =
+        big(year(c) * 10000 + month(c) * 100 + dayofmonth(c))
+      val ord = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val chg = orders(s, dir)
+        .withColumn("prev", lag(col("o_orderpriority"), 1).over(ord))
+        .where(col("prev").isNull || col("prev") =!= col("o_orderpriority"))
+      chg
+        .withColumn("version", big(row_number().over(ord)))
+        .withColumn("valid_from", ymd(col("o_orderdate")))
+        .withColumn("valid_to", lead(ymd(col("o_orderdate")), 1).over(ord))
+        .select(col("o_custkey"), col("version"), col("o_orderpriority"),
+                col("valid_from"), col("valid_to"),
+                col("valid_to").isNull.as("is_current"))
+        .orderBy("o_custkey", "version")
+    }),
+
     // Recursive CTE: a 12-row month spine generated by iteration, LEFT
     // JOINed to order counts — the relational fixed-point surface
     // (org charts, BOM explosions, graph reachability at bounded depth).
@@ -256,6 +337,39 @@ object Relational {
        "SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
        "CAST(SUM(n_chars) AS BIGINT) AS n_chars, MIN(doc_id) AS first_doc " +
        "FROM s GROUP BY lang, split ORDER BY lang, split"),
+    "sample_reservoir_k" ->
+      ("SELECT doc_id, lang, n_chars, " +
+       "MD5('res:' || CAST(doc_id AS VARCHAR)) AS rk FROM documents " +
+       "ORDER BY rk, doc_id LIMIT 100"),
+    "merge_upsert" ->
+      ("WITH base AS (SELECT * FROM (SELECT o_custkey, o_orderkey, o_totalprice, o_orderpriority, " +
+       "ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn " +
+       "FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01') WHERE rn = 1), " +
+       "delta AS (SELECT * FROM (SELECT o_custkey, o_orderkey, o_totalprice, o_orderpriority, " +
+       "ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn " +
+       "FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01') WHERE rn = 1) " +
+       "SELECT COALESCE(d.o_custkey, b.o_custkey) AS o_custkey, " +
+       "CASE WHEN d.o_custkey IS NULL THEN 'keep' WHEN b.o_custkey IS NULL THEN 'insert' " +
+       "ELSE 'update' END AS action, " +
+       "COALESCE(d.o_orderkey, b.o_orderkey) AS o_orderkey, " +
+       "ROUND(COALESCE(d.o_totalprice, b.o_totalprice), 2) AS total, " +
+       "COALESCE(d.o_orderpriority, b.o_orderpriority) AS o_orderpriority " +
+       "FROM base b FULL OUTER JOIN delta d ON b.o_custkey = d.o_custkey " +
+       "ORDER BY o_custkey"),
+    "scd2_history" ->
+      ("WITH ord AS (SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority, " +
+       "LAG(o_orderpriority) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev " +
+       "FROM orders), " +
+       "chg AS (SELECT * FROM ord WHERE prev IS NULL OR prev <> o_orderpriority), " +
+       "v AS (SELECT o_custkey, o_orderpriority, " +
+       "CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS version, " +
+       "CAST(EXTRACT(YEAR FROM o_orderdate) * 10000 + EXTRACT(MONTH FROM o_orderdate) * 100 + " +
+       "EXTRACT(DAY FROM o_orderdate) AS BIGINT) AS valid_from, " +
+       "CAST(LEAD(EXTRACT(YEAR FROM o_orderdate) * 10000 + EXTRACT(MONTH FROM o_orderdate) * 100 + " +
+       "EXTRACT(DAY FROM o_orderdate)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS valid_to " +
+       "FROM chg) " +
+       "SELECT o_custkey, version, o_orderpriority, valid_from, valid_to, " +
+       "valid_to IS NULL AS is_current FROM v ORDER BY o_custkey, version"),
     "cte_recursive" ->
       ("WITH RECURSIVE m(mo) AS (SELECT 1 UNION ALL SELECT mo + 1 FROM m WHERE mo < 12) " +
        "SELECT mo, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders " +

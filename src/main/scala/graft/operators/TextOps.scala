@@ -458,6 +458,58 @@ object TextOps {
              big(sum(col("n_chunks") - col("n_uniq"))).as("n_repeated_chunks"),
              big(sum(col("n_chunks"))).as("n_chunks_total"))
         .orderBy("lang")
+    }),
+
+    // Training-export shuffle + sharding: the LAST batch op of every
+    // corpus pipeline — assign each doc a seeded pseudorandom key
+    // (md5, so any engine can recompute the epoch layout forever),
+    // hash-mod the key prefix into shards, and fix the within-shard
+    // order by that key. Everything is row-local except one ranked
+    // window per shard; the report pins the exact order via a
+    // positional signature Σ rank·doc_id, so a re-shuffle regression
+    // can never hash-match. At 100 TB this is literally the writer
+    // plan: repartition(shard) + sortWithinPartitions(shkey) +
+    // partitionBy(shard) — no global sort, no single-partition window
+    // (ntile over a global ORDER BY would be the scale bug here).
+    "export_shuffle_shards" -> ((s, dir) => {
+      val keyed = documents(s, dir)
+        .withColumn("shkey", md5(concat(lit("shard:"), col("doc_id").cast("string"))))
+        .withColumn("shard",
+          pmod(conv(substring(col("shkey"), 1, 8), 16, 10).cast("long"), lit(8)))
+      val w = Window.partitionBy("shard").orderBy("shkey", "doc_id")
+      keyed.withColumn("rn", big(row_number().over(w)))
+        .groupBy("shard")
+        .agg(big(count(lit(1))).as("n_docs"),
+             big(sum(col("n_chars"))).as("n_chars"),
+             min(col("shkey")).as("first_key"),
+             max(col("shkey")).as("last_key"),
+             big(sum(col("rn") * col("doc_id"))).as("order_sig"))
+        .orderBy("shard")
+    }),
+
+    // Sequence packing (concatenate-and-slice): lay the corpus out as
+    // one token stream per language and slice it into fixed 256-token
+    // training windows — each doc's manifest row records its stream
+    // offset, its first/last window, and whether it straddles a window
+    // boundary (the attention-masking case). One cumulative-sum window
+    // per language partition; the layout is embarrassingly parallel
+    // across (lang) streams, and at 100 TB you sub-shard each language
+    // (partition by lang, shard) so every partition packs its own
+    // contiguous stream with zero cross-partition coordination.
+    "text_pack_sequences" -> ((s, dir) => {
+      val budget = 256
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+                size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+                (col("cum") - col("n_tokens")).as("start_off"),
+                expr(s"(cum - n_tokens) DIV $budget").as("seq_first"),
+                expr(s"(cum - 1) DIV $budget").as("seq_last"))
+        .withColumn("straddles", col("seq_last") > col("seq_first"))
+        .orderBy("doc_id")
     })
   )
 
@@ -670,6 +722,30 @@ object TextOps {
        "CAST(SUM(CASE WHEN LEN(LIST_DISTINCT(chunks)) < LEN(chunks) THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_repeat, " +
        "CAST(SUM(LEN(chunks) - LEN(LIST_DISTINCT(chunks))) AS BIGINT) AS n_repeated_chunks, " +
        "CAST(SUM(LEN(chunks)) AS BIGINT) AS n_chunks_total " +
-       "FROM c GROUP BY lang ORDER BY lang")
+       "FROM c GROUP BY lang ORDER BY lang"),
+    // same seeded md5 key + 8-hex-digit prefix mod as the Spark side
+    // (the sample_split hex-parse recipe); the positional signature
+    // Σ rank·doc_id pins the within-shard order exactly
+    "export_shuffle_shards" ->
+      ("WITH k AS (SELECT doc_id, n_chars, MD5('shard:' || CAST(doc_id AS VARCHAR)) AS shkey FROM documents), " +
+       "s AS (SELECT *, CAST(CONCAT('0x', SUBSTRING(shkey, 1, 8)) AS BIGINT) % 8 AS shard FROM k), " +
+       "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY shard ORDER BY shkey, doc_id) AS rn FROM s) " +
+       "SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+       "CAST(SUM(n_chars) AS BIGINT) AS n_chars, " +
+       "MIN(shkey) AS first_key, MAX(shkey) AS last_key, " +
+       "CAST(SUM(rn * doc_id) AS BIGINT) AS order_sig " +
+       "FROM r GROUP BY shard ORDER BY shard"),
+    // integer division (//) floors on the non-negative offsets here,
+    // matching Spark's DIV on longs
+    "text_pack_sequences" ->
+      ("WITH t AS (SELECT doc_id, lang, CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens FROM documents), " +
+       "c AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t) " +
+       "SELECT doc_id, lang, n_tokens, " +
+       "CAST(cum - n_tokens AS BIGINT) AS start_off, " +
+       "CAST((cum - n_tokens) // 256 AS BIGINT) AS seq_first, " +
+       "CAST((cum - 1) // 256 AS BIGINT) AS seq_last, " +
+       "((cum - 1) // 256) > ((cum - n_tokens) // 256) AS straddles " +
+       "FROM c ORDER BY doc_id")
   )
 }

@@ -346,6 +346,59 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("Join"), p.take(3000))
   }
 
+  test("merge_upsert: one shuffle per side, the merge join reuses the entity-key partitioning") {
+    val p = plan("merge_upsert")
+    // each side condenses via a ranked window (one hash exchange on
+    // o_custkey); the full outer join's distribution requirement is
+    // satisfied by that same partitioning, so a THIRD hash exchange
+    // before the join would be a scale bug (the trailing range
+    // exchange orders the merged snapshot)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p.take(3000))
+    assert(p.contains("FullOuter"), p.take(3000))
+  }
+
+  test("scd2_history: the whole history build rides ONE entity-key shuffle") {
+    val p = plan("scd2_history")
+    // lag-compression and the version/lead windows share the
+    // o_custkey partitioning: Catalyst must stack all Window nodes
+    // over a single hash Exchange; filter preserves partitioning, so
+    // the post-compression windows need only an in-partition sort
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
+  test("export_shuffle_shards and text_pack_sequences never collapse to a single partition") {
+    // the scale trap for shuffle-sharding / sequence-packing is a
+    // GLOBAL ordered window (ntile / cumsum over a global ORDER BY) —
+    // one partition processing the whole corpus. Both ops must key
+    // their windows (shard / lang) and show no SinglePartition
+    // exchange anywhere below the final tiny ordered report.
+    for (q <- Seq("export_shuffle_shards", "text_pack_sequences")) {
+      val p = plan(q)
+      assert(!p.contains("SinglePartition"), s"$q:\n" + p.take(3000))
+      assert(p.contains("hashpartitioning"), s"$q:\n" + p.take(3000))
+    }
+  }
+
+  test("sample_reservoir_k compiles to TakeOrderedAndProject (bottom-k heaps, no global sort)") {
+    val p = plan("sample_reservoir_k")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("Exchange rangepartitioning"), p.take(2000))
+  }
+
+  test("graph_triangles shares the edge subtree's shuffles across its three reads") {
+    // the oriented edge list is read three times (wedge tail, wedge
+    // head, closure); without exchange reuse each read would redo the
+    // orderkey self-join + co-occurrence aggregate from the scan.
+    // Reuse is an AQE runtime decision, so execute first and assert on
+    // the final adaptive plan (same pattern as the codegen audit).
+    val df = SparkEntry.queries("graph_triangles")(spark, sf001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), p.take(300))
+    assert(p.contains("ReusedExchange"), p.take(3000))
+  }
+
   test("whole-stage codegen covers the hot paths of the flagship aggregate") {
     // AQE finalizes stages only at execution; run the query, then check
     // the final adaptive plan for codegen stage markers (`*(n)`)
