@@ -18,17 +18,29 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is stored as parquet timestamp[ns], which Spark 4.x
-    * refuses to read natively (PARQUET_TYPE_ILLEGAL). Verified recipe
-    * (FIXTURES.md): read nanos as BIGINT, then truncate to micros with
-    * integer division — `ts DIV 1000`, NOT `/1000` (BIGINT `/` routes
-    * through DOUBLE and loses precision at 1.7e18 magnitudes). DuckDB
-    * reads the same column natively as µs TIMESTAMP with identical
-    * truncation, so both sides agree exactly.
+  /** events.ts arrives in whatever parquet timestamp flavor the driver
+    * generated this round, so the load is TYPE-ADAPTIVE; downstream
+    * code always sees a session-TZ (UTC) µs TIMESTAMP:
+    *  - timestamp[ns] (rounds 1–9): Spark 4.x refuses it natively
+    *    (PARQUET_TYPE_ILLEGAL) → `nanosAsLong` reads BIGINT nanos,
+    *    truncated with `ts DIV 1000` (integer division — `/1000` would
+    *    route through DOUBLE and lose precision at 1.7e18 magnitudes).
+    *  - timestamp[us] (round-10 regeneration): read natively as
+    *    TIMESTAMP_NTZ, cast to TIMESTAMP — with the session TZ pinned
+    *    to UTC the micros value is unchanged, matching DuckDB's naive
+    *    read bit-for-bit.
+    * Both shapes agree with the oracle exactly (FIXTURES.md).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events").withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val raw = t(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame  = t(spark, dir, "lineitem")
