@@ -21,6 +21,50 @@ import org.apache.spark.sql.functions._
   */
 object Analytics {
 
+  /** K-core peeling: threshold and FIXED round count (both engines run
+    * exactly this many peel rounds — the oracle unrolls them as CTEs,
+    * see graph_kcore; KCoreSpec plants a graph whose 2-core needs
+    * several rounds and shows convergence inside the cap). */
+  val KCoreK = 2
+  val KCorePeelRounds = 4
+
+  /** Market-basket co-occurrence edge list — the ONE definition shared
+    * by `graph_triangles` and `graph_kcore`: part pairs sharing an
+    * order at least twice (support ≥ 2), canonical a < b. The orderkey
+    * self-join explodes only within a basket (bounded k per order) and
+    * the support threshold prunes before any downstream graph work. */
+  def cooccurEdges(li: DataFrame): DataFrame = {
+    val l = li.select(col("l_orderkey").as("ok"), col("l_partkey"))
+    l.select(col("ok"), col("l_partkey").as("a"))
+      .join(l.select(col("ok"), col("l_partkey").as("b")), Seq("ok"))
+      .where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_cooc"))
+      .where(col("n_cooc") >= 2)
+      .select("a", "b")
+  }
+
+  /** `rounds` peel iterations over a BIDIRECTIONAL (u, v) edge list:
+    * each round drops nodes whose degree < k and induces the edge list
+    * on the survivors. Exposed so KCoreSpec can plant graphs and pin
+    * convergence; graph_kcore runs it at the shipped constants. */
+  def kcorePeel(bidir: DataFrame, k: Int, rounds: Int): DataFrame = {
+    // per-round lineage truncation (the CC/PageRank loop discipline):
+    // without it, round i re-evaluates round i-1 once per consumer —
+    // the degree agg AND both semi-joins — so the base edge build
+    // re-runs 2^rounds times and the plan grows unboundedly
+    var edges = bidir.localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = edges.groupBy("u").agg(count(lit(1)).as("d"))
+        .where(col("d") >= k).select("u")
+      edges = edges
+        .join(keep, Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
+        .select("u", "v")
+        .localCheckpoint()
+    }
+    edges
+  }
+
   /** Stage codes keep the in-array sort stable at equal timestamps:
     * view(0) < click(1) < purchase(2), so a strictly-later-stage rule
     * (`t > t_prev`) resolves equal-micros pairs identically here and in
@@ -273,13 +317,7 @@ object Analytics {
     // degree-ordered orientation (low-degree node first), which
     // bounds per-node wedge fan-out on skewed graphs.
     "graph_triangles" -> ((s, dir) => {
-      val li = lineitem(s, dir).select(col("l_orderkey").as("ok"), col("l_partkey"))
-      val edges = li.select(col("ok"), col("l_partkey").as("a"))
-        .join(li.select(col("ok"), col("l_partkey").as("b")), Seq("ok"))
-        .where(col("a") < col("b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("n_cooc"))
-        .where(col("n_cooc") >= 2)
-        .select("a", "b")
+      val edges = cooccurEdges(lineitem(s, dir))
       val wedges = edges.join(
         edges.select(col("a").as("b"), col("b").as("c")), Seq("b"))
       wedges.join(
@@ -287,6 +325,69 @@ object Analytics {
           col("a") === col("a3") && col("c") === col("c3"))
         .select("a", "b", "c")
         .orderBy("a", "b", "c")
+    }),
+
+    // K-CORE peeling of the co-occurrence graph: iteratively drop
+    // nodes of degree < k until only the k-core remains — the dense-
+    // cluster detector (triangles find local closure; the 2-core finds
+    // every node on a CYCLE, the minimal "not just a tree tail"
+    // membership). Both engines run EXACTLY [[KCorePeelRounds]] peel
+    // rounds — no fixpoint test — so the oracle unrolls the identical
+    // rounds as CTEs (the PageRank/Lloyd fixed-round discipline);
+    // KCoreSpec plants a graph whose peel needs several rounds and
+    // pins convergence inside the cap. Scale shape: each round is one
+    // hash-agg + two semi-joins over the EDGE LIST only (already
+    // support-pruned); the lineitem corpus is touched once to build
+    // the edges and never re-enters the loop.
+    "graph_kcore" -> ((s, dir) => {
+      val pairs = cooccurEdges(lineitem(s, dir))
+      val bidir = pairs.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(pairs.select(col("b").as("u"), col("a").as("v")))
+      kcorePeel(bidir, KCoreK, KCorePeelRounds)
+        .groupBy(col("u").as("node"))
+        .agg(big(count(lit(1))).as("core_degree"))
+        .orderBy("node")
+    }),
+
+    // RFM segmentation (recency / frequency / monetary) — the
+    // classic audience-scoring cube, built WITHOUT the global-NTILE
+    // trap: a corpus-wide NTILE(5) would funnel every user through one
+    // window partition (single-task global sort — the canonical
+    // 100 TB scale-killer). Instead the per-user metric table (ONE
+    // shuffle on user_id) feeds a metadata-scale exact-percentile
+    // aggregate whose 12 quintile cuts are BROADCAST back, and each
+    // user buckets itself row-locally against the cut vector. At
+    // production scale the exact percentile swaps for
+    // approx_percentile — same plan shape, same broadcast. All three
+    // metrics are exact integers (days / counts / floor-cents), so
+    // bucketing never compares FP-noisy values; the cuts themselves
+    // are fround6-pinned on both engines before any comparison.
+    "events_rfm" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val perUser = ev.groupBy("user_id").agg(
+        max(to_date(col("ts"))).as("last_d"),
+        big(count(lit(1))).as("f"),
+        big(sum(floor(col("value") * 100).cast("long"))).as("m"))
+      val asof = ev.agg(max(to_date(col("ts"))).as("asof_d"))
+      val rfm = perUser.crossJoin(broadcast(asof))
+        .withColumn("r", big(datediff(col("asof_d"), col("last_d"))))
+      val th = rfm.agg(
+        expr("percentile(r, array(0.2, 0.4, 0.6, 0.8))").as("tr"),
+        expr("percentile(f, array(0.2, 0.4, 0.6, 0.8))").as("tf"),
+        expr("percentile(m, array(0.2, 0.4, 0.6, 0.8))").as("tm"))
+      // quintile index 1..5: 1 + number of cuts strictly below x
+      def bucket(x: Column, t: Column): Column =
+        lit(1) + (1 to 4).map(i =>
+          when(x > fround(element_at(t, i), 6), 1).otherwise(0)).reduce(_ + _)
+      rfm.crossJoin(broadcast(th))
+        // recency inverts: the most-RECENT quintile scores 5
+        .withColumn("r_score", big(lit(6) - bucket(col("r"), col("tr"))))
+        .withColumn("f_score", big(bucket(col("f"), col("tf"))))
+        .withColumn("m_score", big(bucket(col("m"), col("tm"))))
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(big(count(lit(1))).as("n_users"),
+             big(sum(col("m"))).as("monetary_cents"))
+        .orderBy("r_score", "f_score", "m_score")
     })
   )
 
@@ -368,6 +469,13 @@ object Analytics {
            big(max(col("ce") - col("cs"))).as("max_cover_us"))
       .orderBy("user_id")
   }
+
+  /** Oracle mirror of [[cooccurEdges]] — ends in CTE `edges`. */
+  private val CoocCte: String =
+    "edges AS MATERIALIZED (SELECT l1.l_partkey AS a, l2.l_partkey AS b " +
+    "FROM lineitem l1 JOIN lineitem l2 " +
+    "ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey " +
+    "GROUP BY 1, 2 HAVING COUNT(*) >= 2)"
 
   val oracle: Map[String, String] = Map(
     "events_interval_coalesce" ->
@@ -481,13 +589,52 @@ object Analytics {
        froundSql("z", 4) + " AS z FROM z WHERE ABS(z) >= 2.0 " +
        "ORDER BY event_type, day"),
     "graph_triangles" ->
-      ("WITH edges AS MATERIALIZED (SELECT l1.l_partkey AS a, l2.l_partkey AS b " +
-       "FROM lineitem l1 JOIN lineitem l2 " +
-       "ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey " +
-       "GROUP BY 1, 2 HAVING COUNT(*) >= 2) " +
+      ("WITH " + CoocCte + " " +
        "SELECT e1.a, e1.b, e2.b AS c FROM edges e1 " +
        "JOIN edges e2 ON e1.b = e2.a " +
        "JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b " +
-       "ORDER BY e1.a, e1.b, c")
+       "ORDER BY e1.a, e1.b, c"),
+    // the same fixed KCorePeelRounds the engine runs, unrolled: round
+    // i keeps nodes with degree >= KCoreK in e_{i-1}, then induces
+    // e_i on the kept set
+    "graph_kcore" -> {
+      val rounds = (1 to KCorePeelRounds).map { i =>
+        s"n$i AS (SELECT u FROM e${i - 1} GROUP BY u HAVING COUNT(*) >= $KCoreK), " +
+        s"e$i AS (SELECT e.u, e.v FROM e${i - 1} e " +
+        s"JOIN n$i x ON e.u = x.u JOIN n$i y ON e.v = y.u)"
+      }.mkString(", ")
+      "WITH " + CoocCte + ", " +
+      "e0 AS MATERIALIZED (SELECT a AS u, b AS v FROM edges " +
+      "UNION ALL SELECT b AS u, a AS v FROM edges), " +
+      rounds + " " +
+      s"SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS core_degree " +
+      s"FROM e$KCorePeelRounds GROUP BY u ORDER BY node"
+    },
+    // same quintile-cut derivation: exact interpolated percentiles of
+    // the integer metrics, fround6-pinned BEFORE the bucket compare
+    "events_rfm" -> {
+      def cut(metric: String, i: Int): String =
+        froundSql(s"PERCENTILE_CONT(0.${2 * i}) WITHIN GROUP (ORDER BY $metric)", 6)
+      def bucket(x: String, t: String): String =
+        "1 " + (1 to 4).map(i => s"+ (CASE WHEN $x > t_$t$i THEN 1 ELSE 0 END)").mkString(" ")
+      "WITH pu AS (SELECT user_id, MAX(CAST(ts AS DATE)) AS last_d, " +
+      "CAST(COUNT(*) AS BIGINT) AS f, " +
+      "CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS m " +
+      "FROM events GROUP BY 1), " +
+      // `asof` is a DuckDB reserved word (ASOF JOIN) — name it asof_d
+      "a AS (SELECT MAX(CAST(ts AS DATE)) AS asof_d FROM events), " +
+      "rfm AS (SELECT user_id, CAST(DATE_DIFF('day', last_d, asof_d) AS BIGINT) AS r, " +
+      "f, m FROM pu, a), " +
+      "th AS (SELECT " +
+      Seq("r", "f", "m").flatMap(x => (1 to 4).map(i => cut(x, i) + s" AS t_$x$i"))
+        .mkString(", ") +
+      " FROM rfm), " +
+      "sc AS (SELECT CAST(6 - (" + bucket("r", "r") + ") AS BIGINT) AS r_score, " +
+      "CAST(" + bucket("f", "f") + " AS BIGINT) AS f_score, " +
+      "CAST(" + bucket("m", "m") + " AS BIGINT) AS m_score, m FROM rfm, th) " +
+      "SELECT r_score, f_score, m_score, CAST(COUNT(*) AS BIGINT) AS n_users, " +
+      "CAST(SUM(m) AS BIGINT) AS monetary_cents " +
+      "FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
+    }
   )
 }

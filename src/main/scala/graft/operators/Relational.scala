@@ -20,6 +20,56 @@ object Relational {
   private val Segments =
     Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
 
+  /** yyyymmdd BIGINT of a date/timestamp column — the engine-portable
+    * day key (raw timestamps never cross the oracle boundary). */
+  private def ymd(c: org.apache.spark.sql.Column) =
+    big(year(c) * 10000 + month(c) * 100 + dayofmonth(c))
+
+  /** SCD2 history over the orders change feed — the ONE definition
+    * shared by `scd2_history` (the dump) and `join_pit_scd2` (the
+    * point-in-time consumer): per customer, run-compressed priority
+    * versions with [valid_from, valid_to) yyyymmdd validity. Both
+    * window layers share the o_custkey partitioning → one shuffle. */
+  def scd2Of(od: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ord = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    od.withColumn("prev", lag(col("o_orderpriority"), 1).over(ord))
+      .where(col("prev").isNull || col("prev") =!= col("o_orderpriority"))
+      .withColumn("version", big(row_number().over(ord)))
+      .withColumn("valid_from", ymd(col("o_orderdate")))
+      .withColumn("valid_to", lead(ymd(col("o_orderdate")), 1).over(ord))
+      .select(col("o_custkey"), col("version"), col("o_orderpriority"),
+              col("valid_from"), col("valid_to"))
+  }
+
+  /** Point-in-time resolution: each fact row (o_custkey, at, …) gains
+    * `prio_at_ship` = the [[scd2Of]] version valid at `at` ('none'
+    * before the first version). The as-of union+window pattern — dim
+    * version rows (tag 0) and fact rows (tag 1) share ONE shuffle on
+    * the entity key, and a running struct-max over (valid_from,
+    * version) resolves the newest version at or before each fact
+    * row-locally. Same-day version ties resolve to the highest
+    * version — exactly the [valid_from, valid_to) interval semantics
+    * (a zero-width same-day version matches nothing on either
+    * engine); PitScd2Spec pins both edges. */
+  def pitPriority(dim: org.apache.spark.sql.DataFrame,
+                  facts: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val d = dim.select(col("o_custkey"), lit(0).as("tag"),
+      col("valid_from").as("at"), col("version"),
+      col("o_orderpriority").as("prio"))
+    val f = facts.withColumn("tag", lit(1))
+      .withColumn("version", lit(null).cast("long"))
+      .withColumn("prio", lit(null).cast("string"))
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("at"), col("tag"), col("version"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.unionByName(f, allowMissingColumns = true)
+      .withColumn("cur", max(when(col("tag") === 0,
+        struct(col("at"), col("version"), col("prio")))).over(w))
+      .where(col("tag") === 1)
+      .withColumn("prio_at_ship", coalesce(col("cur.prio"), lit("none")))
+      .drop("tag", "version", "prio", "cur")
+  }
+
   val queries: Map[String, Q] = Map(
     // Wide reshape: one row per nation, one column per market segment.
     // With the value list given explicitly, pivot compiles to ONE
@@ -235,21 +285,34 @@ object Relational {
     // by two in-partition sorted passes — at 100 TB that is the floor
     // for any per-entity temporal operator. Dates project as yyyymmdd
     // ints (engine-portable; raw timestamps never cross the oracle).
-    "scd2_history" -> ((s, dir) => {
-      def ymd(c: org.apache.spark.sql.Column) =
-        big(year(c) * 10000 + month(c) * 100 + dayofmonth(c))
-      val ord = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-      val chg = orders(s, dir)
-        .withColumn("prev", lag(col("o_orderpriority"), 1).over(ord))
-        .where(col("prev").isNull || col("prev") =!= col("o_orderpriority"))
-      chg
-        .withColumn("version", big(row_number().over(ord)))
-        .withColumn("valid_from", ymd(col("o_orderdate")))
-        .withColumn("valid_to", lead(ymd(col("o_orderdate")), 1).over(ord))
-        .select(col("o_custkey"), col("version"), col("o_orderpriority"),
-                col("valid_from"), col("valid_to"),
-                col("valid_to").isNull.as("is_current"))
-        .orderBy("o_custkey", "version")
+    "scd2_history" -> ((s, dir) =>
+      scd2Of(orders(s, dir))
+        .withColumn("is_current", col("valid_to").isNull)
+        .orderBy("o_custkey", "version")),
+
+    // POINT-IN-TIME (temporal) join: each lineitem resolves the
+    // customer's order-priority version valid ON ITS SHIP DATE — the
+    // feature-store lookup ("attribute as of event time", no leakage
+    // from the future). Implementation is the as-of union+window
+    // pattern, NOT an interval join: SCD2 version rows (tag 0) and
+    // fact rows (tag 1) union on the customer key, the corpus shuffles
+    // ONCE on o_custkey, and a running struct-max over
+    // (valid_from, version) resolves the newest version at or before
+    // each fact row-locally — no interval explosion, no per-row range
+    // probe, and the dim side never broadcasts (at 100 TB the dim is
+    // itself huge). Same-day version ties resolve to the highest
+    // version — exactly the [valid_from, valid_to) interval semantics
+    // the oracle joins on (a zero-width same-day version matches
+    // nothing on either engine).
+    "join_pit_scd2" -> ((s, dir) => {
+      val facts = lineitem(s, dir)
+        .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey"), ymd(col("l_shipdate")).as("at"),
+                col("l_extendedprice").as("price"))
+      pitPriority(scd2Of(orders(s, dir)), facts)
+        .groupBy(col("prio_at_ship"))
+        .agg(big(count(lit(1))).as("n_items"), dsum(col("price")).as("revenue"))
+        .orderBy("prio_at_ship")
     }),
 
     // Recursive CTE: a 12-row month spine generated by iteration, LEFT
@@ -269,6 +332,20 @@ object Relational {
           |GROUP BY mo ORDER BY mo""".stripMargin)
     })
   )
+
+  /** Oracle mirror of [[scd2Of]] — ends in CTE `v`. */
+  private val Scd2Cte: String =
+    "ord AS (SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority, " +
+    "LAG(o_orderpriority) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev " +
+    "FROM orders), " +
+    "chg AS (SELECT * FROM ord WHERE prev IS NULL OR prev <> o_orderpriority), " +
+    "v AS (SELECT o_custkey, o_orderpriority, " +
+    "CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS version, " +
+    "CAST(EXTRACT(YEAR FROM o_orderdate) * 10000 + EXTRACT(MONTH FROM o_orderdate) * 100 + " +
+    "EXTRACT(DAY FROM o_orderdate) AS BIGINT) AS valid_from, " +
+    "CAST(LEAD(EXTRACT(YEAR FROM o_orderdate) * 10000 + EXTRACT(MONTH FROM o_orderdate) * 100 + " +
+    "EXTRACT(DAY FROM o_orderdate)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS valid_to " +
+    "FROM chg)"
 
   val oracle: Map[String, String] = Map(
     "pivot_wide" ->
@@ -357,19 +434,25 @@ object Relational {
        "FROM base b FULL OUTER JOIN delta d ON b.o_custkey = d.o_custkey " +
        "ORDER BY o_custkey"),
     "scd2_history" ->
-      ("WITH ord AS (SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority, " +
-       "LAG(o_orderpriority) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev " +
-       "FROM orders), " +
-       "chg AS (SELECT * FROM ord WHERE prev IS NULL OR prev <> o_orderpriority), " +
-       "v AS (SELECT o_custkey, o_orderpriority, " +
-       "CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS version, " +
-       "CAST(EXTRACT(YEAR FROM o_orderdate) * 10000 + EXTRACT(MONTH FROM o_orderdate) * 100 + " +
-       "EXTRACT(DAY FROM o_orderdate) AS BIGINT) AS valid_from, " +
-       "CAST(LEAD(EXTRACT(YEAR FROM o_orderdate) * 10000 + EXTRACT(MONTH FROM o_orderdate) * 100 + " +
-       "EXTRACT(DAY FROM o_orderdate)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS valid_to " +
-       "FROM chg) " +
+      ("WITH " + Scd2Cte + " " +
        "SELECT o_custkey, version, o_orderpriority, valid_from, valid_to, " +
        "valid_to IS NULL AS is_current FROM v ORDER BY o_custkey, version"),
+    // interval-semantics formulation of the same point-in-time
+    // resolution the query's running struct-max computes: the SCD2
+    // intervals partition each customer's timeline, so the LEFT JOIN
+    // matches at most one version per fact
+    "join_pit_scd2" ->
+      ("WITH " + Scd2Cte + ", " +
+       "f AS (SELECT o.o_custkey, " +
+       "CAST(EXTRACT(YEAR FROM l_shipdate) * 10000 + EXTRACT(MONTH FROM l_shipdate) * 100 + " +
+       "EXTRACT(DAY FROM l_shipdate) AS BIGINT) AS s, l.l_extendedprice AS price " +
+       "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey), " +
+       "j AS (SELECT COALESCE(v.o_orderpriority, 'none') AS prio_at_ship, f.price " +
+       "FROM f LEFT JOIN v ON v.o_custkey = f.o_custkey " +
+       "AND v.valid_from <= f.s AND (v.valid_to IS NULL OR f.s < v.valid_to)) " +
+       "SELECT prio_at_ship, CAST(COUNT(*) AS BIGINT) AS n_items, " +
+       dsumSql("price") + " AS revenue " +
+       "FROM j GROUP BY 1 ORDER BY 1"),
     "cte_recursive" ->
       ("WITH RECURSIVE m(mo) AS (SELECT 1 UNION ALL SELECT mo + 1 FROM m WHERE mo < 12) " +
        "SELECT mo, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders " +

@@ -14,6 +14,44 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Winnowing parameters (text_winnowing): word-gram size k and hash
+    * window w — any shared token run of length ≥ k + w - 1 (= 6) is
+    * guaranteed a shared fingerprint (the SIGMOD'03 noise/guarantee
+    * thresholds). Both engines encode the pair identically. */
+  val WinnowK = 3
+  val WinnowW = 4
+
+  /** Winnowing selection over a (doc_id, text) frame → per doc the
+    * sorted distinct selected keys (md5(gram) ‖ zero-padded inverted
+    * position — so a window MIN implements "min hash, rightmost
+    * position" in one comparison) plus the gram count. Exposed so
+    * WinnowingSpec can plant shared-substring documents and decode
+    * selected positions from the key suffix. */
+  def winnowOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), split(lower(trim(col("text"))), " ").as("t"))
+    val grams = toks.select(col("doc_id"),
+      posexplode(when(size(col("t")) >= WinnowK,
+        expr(s"transform(sequence(0, size(t) - $WinnowK), " +
+             s"i -> concat_ws(' ', slice(t, i + 1, $WinnowK)))"))
+        .otherwise(array(concat_ws(" ", col("t"))))).as(Seq("pos", "gram")))
+    val keyed = grams.withColumn("k",
+      concat(md5(col("gram").cast("binary")),
+             lpad((lit(99999999) - col("pos")).cast("string"), 8, "0")))
+    val whole = Window.partitionBy("doc_id")
+    val frame = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, WinnowW - 1)
+    keyed
+      .withColumn("n_grams", count(lit(1)).over(whole))
+      .withColumn("wmin", min(col("k")).over(frame))
+      // window starts only: every full w-window, or the single
+      // degenerate whole-doc window when the doc has < w grams
+      .where(col("pos") <= greatest(col("n_grams") - WinnowW, lit(0)))
+      .groupBy("doc_id")
+      .agg(big(max(col("n_grams"))).as("n_grams"),
+           array_sort(array_distinct(collect_list(col("wmin")))).as("fps"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Stopword scrubbing (the cleaning pass before tokenizer training):
     // drop stoplist tokens per doc with a row-local array filter — no
@@ -314,6 +352,27 @@ object TextOps {
         .where(col("rn") <= 10)
         .orderBy("lang", "rn")
     }),
+
+    // WINNOWING document fingerprints (Schleimer/Wilkerson/Aiken,
+    // SIGMOD'03 — the MOSS algorithm): hash every positional word
+    // 3-gram, slide a window of 4 hashes, and select each window's
+    // minimum (ties to the RIGHTMOST position); the distinct selected
+    // hashes are the document's fingerprint sketch, guaranteeing any
+    // shared run of ≥ k+w-1 tokens yields a shared fingerprint —
+    // the local-substring-match detector that whole-doc MinHash
+    // misses. Everything is row-local until ONE shuffle on doc_id
+    // serves both window passes (grams never leave their document),
+    // and the per-doc sketch compresses to an md5 signature so the
+    // output stays narrow at any corpus scale. The rightmost-min tie
+    // rule is encoded ONCE, in the sort key: md5(gram) ‖ zero-padded
+    // (BIG - pos), so a plain window MIN is the whole selection rule
+    // on both engines.
+    "text_winnowing" -> ((s, dir) =>
+      winnowOf(documents(s, dir))
+        .select(col("doc_id"), col("n_grams"),
+                big(size(col("fps"))).as("n_fp"),
+                md5(concat_ws(",", col("fps")).cast("binary")).as("fp_sig"))
+        .orderBy("doc_id")),
 
     // Language-ID heuristic trained on the corpus itself: each language's
     // profile = its top-30 most-frequent tokens; a doc's predicted lang =
@@ -659,6 +718,22 @@ object TextOps {
        "SELECT lang, bigram, cnt, rn FROM (SELECT lang, bigram, cnt, " +
        "CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, bigram) AS BIGINT) AS rn " +
        "FROM counts) WHERE rn <= 10 ORDER BY lang, rn"),
+    // identical k/w and the identical composite sort key — the two
+    // zipped UNNESTs enumerate (pos, gram) exactly like posexplode
+    "text_winnowing" ->
+      ("WITH toks AS (SELECT doc_id, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS t FROM documents), " +
+       s"g AS (SELECT doc_id, UNNEST(CASE WHEN LEN(t) >= $WinnowK THEN RANGE(0, LEN(t) - ${WinnowK - 1}) ELSE [0] END) AS pos, " +
+       s"UNNEST(CASE WHEN LEN(t) >= $WinnowK THEN LIST_TRANSFORM(RANGE(0, LEN(t) - ${WinnowK - 1}), " +
+       s"i -> ARRAY_TO_STRING(t[i+1:i+$WinnowK], ' ')) " +
+       "ELSE [ARRAY_TO_STRING(t, ' ')] END) AS gram FROM toks), " +
+       "k AS (SELECT doc_id, pos, MD5(gram) || LPAD(CAST(99999999 - pos AS VARCHAR), 8, '0') AS k FROM g), " +
+       "w AS (SELECT doc_id, pos, k, COUNT(*) OVER (PARTITION BY doc_id) AS n_grams, " +
+       s"MIN(k) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS wmin FROM k), " +
+       s"sel AS (SELECT doc_id, n_grams, wmin FROM w WHERE pos <= GREATEST(n_grams - $WinnowW, 0)), " +
+       "agg AS (SELECT doc_id, CAST(MAX(n_grams) AS BIGINT) AS n_grams, " +
+       "LIST_SORT(LIST_DISTINCT(LIST(wmin))) AS fps FROM sel GROUP BY doc_id) " +
+       "SELECT doc_id, n_grams, CAST(LEN(fps) AS BIGINT) AS n_fp, " +
+       "MD5(ARRAY_TO_STRING(fps, ',')) AS fp_sig FROM agg ORDER BY doc_id"),
     "text_langid" ->
       ("WITH tok AS (SELECT doc_id, lang, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS token FROM documents), " +
        "profiles AS (SELECT lang AS profile_lang, token FROM " +
