@@ -399,6 +399,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("ReusedExchange"), p.take(3000))
   }
 
+  test("events_rfm buckets row-locally: no window anywhere, cuts broadcast back") {
+    // the RFM trap is a global NTILE window; the shipped plan must
+    // bucket by comparing against BROADCAST percentile cuts instead,
+    // and the duplicated per-user subtree (metrics + cut derivation)
+    // must dedupe to a ReusedExchange at runtime
+    val df = SparkEntry.queries("events_rfm")(spark, sf001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), p.take(300))
+    assert(!p.contains("Window"), p.take(3000))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("ReusedExchange"), p.take(3000))
+  }
+
+  test("join_pit_scd2 resolves versions by window, never an interval product") {
+    val p = plan("join_pit_scd2")
+    // the as-of resolution must be the running struct-max window over
+    // the o_custkey partitioning — a range/interval join would show a
+    // nested-loop product of facts × versions (the 100 TB explosion)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(3000))
+    assert("Exchange hashpartitioning\\(o_custkey".r.findAllIn(p).size == 2, p.take(3000))
+  }
+
+  test("text_winnowing stacks both per-doc windows over ONE doc_id shuffle") {
+    val p = plan("text_winnowing")
+    assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(p).size == 1, p.take(3000))
+    assert(!p.contains("SinglePartition"), p.take(3000))
+  }
+
   test("whole-stage codegen covers the hot paths of the flagship aggregate") {
     // AQE finalizes stages only at execution; run the query, then check
     // the final adaptive plan for codegen stage markers (`*(n)`)
