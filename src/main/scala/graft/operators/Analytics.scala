@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables._
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-analytics operators: conversion funnels and cohort retention —
@@ -63,6 +64,44 @@ object Analytics {
         .localCheckpoint()
     }
     edges
+  }
+
+  /** Attribution lookback: 7 days in micros, INCLUSIVE at the boundary
+    * (a touch exactly 7 days before the purchase attributes — both
+    * engines test `purchase_t - touch_t <= tol`; AttributionSpec pins
+    * the edge). */
+  val AttributionLookbackUs: Long = 7L * 86400L * 1000000L
+
+  /** Last-touch resolution over an events frame: one row per purchase
+    * with `channel` = the nearest preceding non-purchase event_type of
+    * the same user within `tolUs` ('none' otherwise). Union-tag +
+    * running struct-max — ONE shuffle on user_id, row-local resolve,
+    * never an interval join of purchases × touches. The lookback test
+    * applies AFTER the as-of pick (equivalent: only the nearest
+    * preceding touch can satisfy it). A touch at the exact purchase
+    * micro sorts BEFORE the purchase (tag order) and attributes;
+    * equal-t touches resolve to the highest event_id. */
+  def attributeLastTouch(ev: DataFrame, tolUs: Long): DataFrame = {
+    val touch = ev.where(col("event_type") =!= "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("t"),
+              lit(0).as("tag"), col("event_id"),
+              col("event_type").as("etype"),
+              lit(null).cast("double").as("value"))
+    val purch = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("t"),
+              lit(1).as("tag"), col("event_id"),
+              lit(null).cast("string").as("etype"), col("value"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("t"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    touch.unionByName(purch)
+      .withColumn("last", max(when(col("tag") === 0,
+        struct(col("t"), col("event_id"), col("etype")))).over(w))
+      .where(col("tag") === 1)
+      .withColumn("channel",
+        when(col("last").isNotNull && col("t") - col("last.t") <= tolUs,
+             col("last.etype")).otherwise("none"))
+      .select("user_id", "t", "event_id", "value", "channel")
   }
 
   /** Stage codes keep the in-array sort stable at equal timestamps:
@@ -349,6 +388,27 @@ object Analytics {
         .orderBy("node")
     }),
 
+    // LAST-TOUCH ATTRIBUTION with a bounded lookback: each purchase
+    // credits its value to the nearest PRECEDING non-purchase event of
+    // the same user within 7 days ('none' beyond the window or with no
+    // touch at all) — the marketing-attribution / RL-reward-assignment
+    // primitive. The bounded lookback is what the as-of family lacks:
+    // resolution is still the union-tag + running struct-max pattern
+    // (ONE shuffle on user_id, row-local resolve — never an interval
+    // join of purchases × touches), with the window test applied AFTER
+    // the as-of pick, which is equivalent because only the NEAREST
+    // preceding touch can ever satisfy it. Ties: a touch at the exact
+    // purchase micro sorts BEFORE the purchase (tag order), so it
+    // attributes — mirrored by the oracle's `tch.t <= p.t`; equal-t
+    // touches resolve to the highest event_id on both engines. Revenue
+    // stays exact floor-cents end to end.
+    "events_attribution" -> ((s, dir) =>
+      attributeLastTouch(events(s, dir), AttributionLookbackUs)
+        .groupBy("channel")
+        .agg(big(count(lit(1))).as("n_purchases"),
+             big(sum(floor(col("value") * 100).cast("long"))).as("attributed_cents"))
+        .orderBy("channel")),
+
     // RFM segmentation (recency / frequency / monetary) — the
     // classic audience-scoring cube, built WITHOUT the global-NTILE
     // trap: a corpus-wide NTILE(5) would funnel every user through one
@@ -610,6 +670,27 @@ object Analytics {
       s"SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS core_degree " +
       s"FROM e$KCorePeelRounds GROUP BY u ORDER BY node"
     },
+    // independent interval-join formulation of the same attribution:
+    // all candidate touches in the lookback window, ranked by recency
+    // (t DESC, event_id DESC), rank-1 wins — vs the query's as-of
+    // struct-max, which never materializes the candidate set
+    "events_attribution" ->
+      ("WITH p AS (SELECT user_id, epoch_us(ts) AS t, event_id, value " +
+       "FROM events WHERE event_type = 'purchase'), " +
+       "tch AS (SELECT user_id, epoch_us(ts) AS t, event_id, event_type " +
+       "FROM events WHERE event_type <> 'purchase'), " +
+       "cand AS (SELECT p.user_id, p.event_id AS pid, p.value, tch.event_type, " +
+       "ROW_NUMBER() OVER (PARTITION BY p.user_id, p.event_id " +
+       "ORDER BY tch.t DESC, tch.event_id DESC) AS rn " +
+       "FROM p JOIN tch ON tch.user_id = p.user_id " +
+       s"AND tch.t <= p.t AND p.t - tch.t <= $AttributionLookbackUs), " +
+       "att AS (SELECT p.user_id, p.event_id, p.value, " +
+       "COALESCE(c.event_type, 'none') AS channel " +
+       "FROM p LEFT JOIN cand c ON c.user_id = p.user_id " +
+       "AND c.pid = p.event_id AND c.rn = 1) " +
+       "SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_purchases, " +
+       "CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS attributed_cents " +
+       "FROM att GROUP BY 1 ORDER BY 1"),
     // same quintile-cut derivation: exact interpolated percentiles of
     // the integer metrics, fround6-pinned BEFORE the bucket compare
     "events_rfm" -> {
