@@ -21,6 +21,24 @@ object TextOps {
   val WinnowK = 3
   val WinnowW = 4
 
+  /** Per-doc unigram LM scores — the ONE definition shared by
+    * `text_lm_score` (the dump) and `text_quality_buckets` (the
+    * CCNet-style consumer): corpus-trained token probabilities
+    * (vocabulary-scale, broadcast), per-doc decimal log-prob sums so
+    * the score is order-independent and oracle-exact. */
+  def lmScores(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), col("lang"), explode(split(lower(col("text")), " ")).as("token"))
+    val counts = tok.groupBy("token").agg(big(count(lit(1))).as("cnt"))
+    val tot = counts.agg(big(sum(col("cnt"))).as("total"))
+    tok.join(broadcast(counts), Seq("token"))
+      .crossJoin(broadcast(tot))
+      .withColumn("lp", log(col("cnt").cast("double") / col("total").cast("double")))
+      .groupBy("doc_id", "lang")
+      .agg(big(count(lit(1))).as("n_tokens"),
+           fround(dsum6(col("lp")) / count(lit(1)), 4).as("avg_logprob"))
+  }
+
   /** Winnowing selection over a (doc_id, text) frame → per doc the
     * sorted distinct selected keys (md5(gram) ‖ zero-padded inverted
     * position — so a window MIN implements "min hash, rightmost
@@ -112,18 +130,33 @@ object TextOps {
     // text). The LM is vocabulary-sized → broadcast; per-doc log-prob
     // sums run in decimal so the score is order-independent and
     // oracle-exact.
-    "text_lm_score" -> ((s, dir) => {
-      val tok = documents(s, dir)
-        .select(col("doc_id"), col("lang"), explode(split(lower(col("text")), " ")).as("token"))
-      val counts = tok.groupBy("token").agg(big(count(lit(1))).as("cnt"))
-      val tot = counts.agg(big(sum(col("cnt"))).as("total"))
-      tok.join(broadcast(counts), Seq("token"))
-        .crossJoin(broadcast(tot))
-        .withColumn("lp", log(col("cnt").cast("double") / col("total").cast("double")))
-        .groupBy("doc_id", "lang")
-        .agg(big(count(lit(1))).as("n_tokens"),
-             fround(dsum6(col("lp")) / count(lit(1)), 4).as("avg_logprob"))
-        .orderBy("doc_id")
+    "text_lm_score" -> ((s, dir) => lmScores(documents(s, dir)).orderBy("doc_id")),
+
+    // CCNet-style QUALITY BUCKETS (Wenzek et al., public recipe:
+    // head/middle/tail by LM score): per language, cut the per-doc
+    // unigram-LM score at its 30th/70th percentiles and bucket docs
+    // tail/middle/head — the standard pretraining-data triage that
+    // keeps 'head' for training and drops or downsamples 'tail'. Cuts
+    // derive in a metadata-scale per-lang aggregate and BROADCAST back
+    // (the events_rfm shape — no global window, no per-lang sort of
+    // the corpus); scores are fround4'd and cuts fround6-pinned, so
+    // bucket edges never flip between engines. At 100 TB the exact
+    // percentile swaps for approx_percentile, same plan.
+    "text_quality_buckets" -> ((s, dir) => {
+      val scores = lmScores(documents(s, dir))
+      val cuts = scores.groupBy("lang").agg(
+        fround(expr("percentile(avg_logprob, 0.3)"), 6).as("c30"),
+        fround(expr("percentile(avg_logprob, 0.7)"), 6).as("c70"))
+      scores.join(broadcast(cuts), Seq("lang"))
+        .withColumn("bucket",
+          when(col("avg_logprob") > col("c70"), "head")
+            .when(col("avg_logprob") > col("c30"), "middle")
+            .otherwise("tail"))
+        .groupBy("lang", "bucket")
+        .agg(big(count(lit(1))).as("n_docs"),
+             big(sum(col("n_tokens"))).as("n_tokens"),
+             fround(dsum6(col("avg_logprob")) / count(lit(1)), 4).as("avg_score"))
+        .orderBy("lang", "bucket")
     }),
 
     // Top-20 terms per language by frequency.
@@ -578,6 +611,15 @@ object TextOps {
   val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PiiPhoneRe = "\\+1-555-[0-9]{4}"
 
+  /** Oracle mirror of [[lmScores]] — ends in CTE `lm`. */
+  private val LmCte: String =
+    "tok AS (SELECT doc_id, lang, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS token FROM documents), " +
+    "counts AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY token), " +
+    "tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM counts), " +
+    "lm AS (SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_tokens, " +
+    froundSql(dsum6Sql("LN(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))") + " / COUNT(*)", 4) +
+    " AS avg_logprob FROM tok JOIN counts USING (token), tot GROUP BY doc_id, lang)"
+
   val oracle: Map[String, String] = Map(
     // the oracle rebuilds the same synthetic contact line, then must
     // agree on match counts and the scrubbed character volume;
@@ -597,14 +639,23 @@ object TextOps {
        "CAST(SUM(CAST(LENGTH(scrubbed) AS BIGINT)) AS BIGINT) AS scrubbed_chars " +
        "FROM x GROUP BY lang ORDER BY lang"),
     "text_lm_score" ->
-      ("WITH tok AS (SELECT doc_id, lang, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS token FROM documents), " +
-       "counts AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY token), " +
-       "tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM counts) " +
-       "SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_tokens, " +
-       froundSql(dsum6Sql("LN(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))") + " / COUNT(*)", 4) +
-       " AS avg_logprob " +
-       "FROM tok JOIN counts USING (token), tot " +
-       "GROUP BY doc_id, lang ORDER BY doc_id"),
+      ("WITH " + LmCte + " " +
+       "SELECT doc_id, lang, n_tokens, avg_logprob FROM lm ORDER BY doc_id"),
+    // the same per-lang 30/70 cuts, derived with PERCENTILE_CONT and
+    // fround6-pinned before the bucket compare
+    "text_quality_buckets" ->
+      ("WITH " + LmCte + ", " +
+       "cuts AS (SELECT lang, " +
+       froundSql("PERCENTILE_CONT(0.3) WITHIN GROUP (ORDER BY avg_logprob)", 6) + " AS c30, " +
+       froundSql("PERCENTILE_CONT(0.7) WITHIN GROUP (ORDER BY avg_logprob)", 6) + " AS c70 " +
+       "FROM lm GROUP BY lang), " +
+       "b AS (SELECT lm.lang, CASE WHEN avg_logprob > c70 THEN 'head' " +
+       "WHEN avg_logprob > c30 THEN 'middle' ELSE 'tail' END AS bucket, " +
+       "n_tokens, avg_logprob FROM lm JOIN cuts USING (lang)) " +
+       "SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+       "CAST(SUM(n_tokens) AS BIGINT) AS n_tokens, " +
+       froundSql(dsum6Sql("avg_logprob") + " / COUNT(*)", 4) + " AS avg_score " +
+       "FROM b GROUP BY 1, 2 ORDER BY 1, 2"),
     "text_scrub_stopwords" ->
       ("WITH t AS (SELECT lang, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS toks, " +
        "LIST_FILTER(STRING_SPLIT(LOWER(TRIM(text)), ' '), x -> x NOT IN ('a', 'the', 'and', 'of')) AS kept " +

@@ -429,6 +429,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), p.take(3000))
   }
 
+  test("events_attribution resolves on one user_id shuffle, no purchase-by-touch product") {
+    val p = plan("events_attribution")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1, p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(3000))
+  }
+
+  test("text_quality_buckets broadcasts the per-lang cuts, no window anywhere") {
+    val p = plan("text_quality_buckets")
+    assert(!p.contains("Window"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("whole-stage codegen covers the hot paths of the flagship aggregate") {
     // AQE finalizes stages only at execution; run the query, then check
     // the final adaptive plan for codegen stage markers (`*(n)`)
