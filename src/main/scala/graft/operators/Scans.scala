@@ -219,7 +219,7 @@ object Scans {
     // pruning needs every footer opened — at 100 TB with millions of
     // files, the manifest turns "open every footer" into one tiny
     // metadata read. The layout write is range-partitioned so file
-    // key-ranges are tight and disjoint; ManifestPruneSpec asserts the
+    // key-ranges are tight and disjoint; NonOracleOpsSpec asserts the
     // probe reads a strict subset of files, the oracle proves the
     // answer is exactly the plain filter's.
     "scan_manifest_pruned" -> ((s, dir) => {
@@ -617,7 +617,7 @@ object Scans {
     // (event_type, event_id) so per-file id ranges are tight and
     // disjoint WITHIN each category. A category + range probe then
     // opens only the index-matching files — a strict subset of the
-    // category's files (CategIndexStatsSpec asserts it) — and the
+    // category's files (NonOracleOpsSpec asserts it) — and the
     // oracle proves the routed read equals the plain filtered scan.
     "scan_categ_index_stats" -> ((s, dir) => {
       val idxPath = categIndexBuild(s, dir)
@@ -648,7 +648,7 @@ object Scans {
     // n_rows, id_min, id_max) from parquet footers. A probe consults
     // the index on BOTH levels plus the id range and opens only the
     // matching cell's overlapping files — a strict subset of the
-    // level-1 category's files (CategIndex2Spec asserts it); the
+    // level-1 category's files (NonOracleOpsSpec asserts it); the
     // oracle proves the routed read equals the plain filtered scan.
     "scan_categ_index_multilevel" -> ((s, dir) => {
       val idxPath = categIndex2Build(s, dir)
@@ -710,7 +710,7 @@ object Scans {
     // ZORDER, done with plain codegen'd integer ops). The query
     // verifies the z math end-to-end: macro-cell histogram with
     // per-cell bounding boxes, bit-identical to the oracle's formula;
-    // ZOrderLayoutSpec asserts the locality property (z-sorted runs
+    // NonOracleOpsSpec asserts the locality property (z-sorted runs
     // have far tighter 2-D boxes than a 1-D sort's).
     "scan_zorder_layout" -> ((s, dir) => {
       val o = orders(s, dir)
