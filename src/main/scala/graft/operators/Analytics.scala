@@ -29,6 +29,22 @@ object Analytics {
   val KCoreK = 2
   val KCorePeelRounds = 4
 
+  /** Session-scoped memo of [[cooccurEdges]] over the lineitem fixture:
+    * graph_triangles and graph_kcore share ONE evaluation of the basket
+    * self-join per (session, fixture state) — the same fsSig + identity
+    * discipline as Dedup.pairsMemo (a regenerated fixture or restarted
+    * session rebuilds instead of serving stale checkpoint blocks). The
+    * support-pruned edge list is tiny, so retention is a few KB. */
+  private val coocMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
+  def cooccurEdgesCached(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val sig = graft.Tables.fsSig(s, s"$dir/lineitem.parquet")
+    coocMemo.getOrElseUpdate(
+      (System.identityHashCode(s), s"$dir|$sig"),
+      cooccurEdges(lineitem(s, dir)).localCheckpoint())
+  }
+
   /** Market-basket co-occurrence edge list — the ONE definition shared
     * by `graph_triangles` and `graph_kcore`: part pairs sharing an
     * order at least twice (support ≥ 2), canonical a < b. The orderkey
@@ -356,7 +372,7 @@ object Analytics {
     // degree-ordered orientation (low-degree node first), which
     // bounds per-node wedge fan-out on skewed graphs.
     "graph_triangles" -> ((s, dir) => {
-      val edges = cooccurEdges(lineitem(s, dir))
+      val edges = cooccurEdgesCached(s, dir)
       val wedges = edges.join(
         edges.select(col("a").as("b"), col("b").as("c")), Seq("b"))
       wedges.join(
@@ -379,7 +395,7 @@ object Analytics {
     // support-pruned); the lineitem corpus is touched once to build
     // the edges and never re-enters the loop.
     "graph_kcore" -> ((s, dir) => {
-      val pairs = cooccurEdges(lineitem(s, dir))
+      val pairs = cooccurEdgesCached(s, dir)
       val bidir = pairs.select(col("a").as("u"), col("b").as("v"))
         .unionByName(pairs.select(col("b").as("u"), col("a").as("v")))
       kcorePeel(bidir, KCoreK, KCorePeelRounds)
