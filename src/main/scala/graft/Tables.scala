@@ -36,10 +36,17 @@ object Tables {
     val raw = t(spark, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
+        // nanosAsLong only fires for parquet timestamp[ns]; a plain
+        // BIGINT micros column would land here too and be divided 1000×
+        // wrong — no such fixture has existed, and the loud default
+        // below catches every other surprise shape
         raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
       case org.apache.spark.sql.types.TimestampNTZType =>
         raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
-      case _ => raw
+      case org.apache.spark.sql.types.TimestampType => raw
+      case other => sys.error(
+        s"events.ts arrived as unsupported type $other — teach Tables.events " +
+        "the new fixture shape instead of letting it flow unvalidated")
     }
   }
 

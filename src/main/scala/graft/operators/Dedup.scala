@@ -790,7 +790,6 @@ object Dedup {
         .orderBy("dist")
     }),
 
-
     // Corpus-level MinHash sketches: because sig(A∪B) is the
     // elementwise min of sig(A) and sig(B), a GROUP's sketch is a
     // plain MIN aggregate over its documents' signatures — a mergeable

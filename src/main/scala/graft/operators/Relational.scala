@@ -25,6 +25,12 @@ object Relational {
   private def ymd(c: org.apache.spark.sql.Column) =
     big(year(c) * 10000 + month(c) * 100 + dayofmonth(c))
 
+  /** Oracle-SQL fragment matching [[ymd]] — the ONE copy of the
+    * yyyymmdd encoding on the SQL side. */
+  private def ymdSql(expr: String): String =
+    s"EXTRACT(YEAR FROM $expr) * 10000 + EXTRACT(MONTH FROM $expr) * 100 + " +
+    s"EXTRACT(DAY FROM $expr)"
+
   /** SCD2 history over the orders change feed — the ONE definition
     * shared by `scd2_history` (the dump) and `join_pit_scd2` (the
     * point-in-time consumer): per customer, run-compressed priority
@@ -341,10 +347,8 @@ object Relational {
     "chg AS (SELECT * FROM ord WHERE prev IS NULL OR prev <> o_orderpriority), " +
     "v AS (SELECT o_custkey, o_orderpriority, " +
     "CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS version, " +
-    "CAST(EXTRACT(YEAR FROM o_orderdate) * 10000 + EXTRACT(MONTH FROM o_orderdate) * 100 + " +
-    "EXTRACT(DAY FROM o_orderdate) AS BIGINT) AS valid_from, " +
-    "CAST(LEAD(EXTRACT(YEAR FROM o_orderdate) * 10000 + EXTRACT(MONTH FROM o_orderdate) * 100 + " +
-    "EXTRACT(DAY FROM o_orderdate)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS valid_to " +
+    s"CAST(${ymdSql("o_orderdate")} AS BIGINT) AS valid_from, " +
+    s"CAST(LEAD(${ymdSql("o_orderdate")}) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS valid_to " +
     "FROM chg)"
 
   val oracle: Map[String, String] = Map(
@@ -444,8 +448,7 @@ object Relational {
     "join_pit_scd2" ->
       ("WITH " + Scd2Cte + ", " +
        "f AS (SELECT o.o_custkey, " +
-       "CAST(EXTRACT(YEAR FROM l_shipdate) * 10000 + EXTRACT(MONTH FROM l_shipdate) * 100 + " +
-       "EXTRACT(DAY FROM l_shipdate) AS BIGINT) AS s, l.l_extendedprice AS price " +
+       s"CAST(${ymdSql("l_shipdate")} AS BIGINT) AS s, l.l_extendedprice AS price " +
        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey), " +
        "j AS (SELECT COALESCE(v.o_orderpriority, 'none') AS prio_at_ship, f.price " +
        "FROM f LEFT JOIN v ON v.o_custkey = f.o_custkey " +

@@ -3,9 +3,12 @@ package graft
 import org.apache.spark.sql.functions._
 
 /** CCNet-style quality buckets (text_quality_buckets): the oracle pins
-  * exact values; these invariants survive any fixture — per-language
-  * doc conservation, all three buckets populated, and strict score
-  * ordering head > middle > tail within every language. */
+  * exact values; these add fixture-level canaries — doc conservation
+  * holds on ANY fixture; bucket presence and the strict
+  * head > middle > tail mean ordering additionally assume each
+  * language has enough score diversity that the 30/70 cuts separate
+  * (true at every shipped SF — a degenerate regenerated fixture fails
+  * these two with an explicit message, not a lookup error). */
 class QualityBucketsSpec extends SparkSpec {
 
   private lazy val rows =
@@ -28,6 +31,8 @@ class QualityBucketsSpec extends SparkSpec {
   test("bucket mean scores order head > middle > tail in every language") {
     rows.groupBy(_.getString(0)).foreach { case (lang, rs) =>
       val m = rs.map(r => r.getString(1) -> r.getDouble(4)).toMap
+      assert(Seq("head", "middle", "tail").forall(m.contains),
+        s"$lang is missing a bucket (degenerate score distribution): $m")
       assert(m("head") > m("middle") && m("middle") > m("tail"), s"$lang: $m")
     }
   }
