@@ -27,6 +27,25 @@ object Windows {
                 r2(last(col("v"), ignoreNulls = true).over(w)).as("filled"))
         .orderBy("event_id")
     }),
+    // ROLLING EXACT MEDIAN — the robust moving-average (spike-immune
+    // trend line): per order status, the interpolated median of the
+    // trailing 10 totals in date order. One shuffle on the partition
+    // key; the frame is BOUNDED (10 rows), so per-row state is O(w)
+    // regardless of partition length — the property that keeps a
+    // rolling quantile viable on year-long partitions at 100 TB.
+    // Midpoint interpolation of 2-dec money terminates at 3 decimals,
+    // so the fround4 is midpoint-free and engine-stable.
+    "win_rolling_median" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-9, Window.currentRow)
+      orders(s, dir)
+        .withColumn("roll_med",
+          fround(expr("percentile(o_totalprice, 0.5)").over(w), 4))
+        .select(col("o_orderkey"), col("o_orderstatus"), col("roll_med"))
+        .orderBy("o_orderkey")
+    }),
+
     "win_rank" -> ((s, dir) => {
       val w = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal").desc, col("c_custkey"))
       val wr = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal").desc)
@@ -136,6 +155,11 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "win_rolling_median" ->
+      ("SELECT o_orderkey, o_orderstatus, " +
+       froundSql("QUANTILE_CONT(o_totalprice, 0.5) OVER (PARTITION BY o_orderstatus " +
+         "ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)", 4) +
+       " AS roll_med FROM orders ORDER BY o_orderkey"),
     "win_fill_forward" ->
       ("SELECT event_id, user_id, ts, " +
        "ROUND(LAST_VALUE(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS) " +
