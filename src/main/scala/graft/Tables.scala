@@ -38,9 +38,18 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         // nanosAsLong only fires for parquet timestamp[ns]; a plain
         // BIGINT micros column would land here too and be divided 1000×
-        // wrong — no such fixture has existed, and the loud default
-        // below catches every other surprise shape
-        raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        // wrong. Row-local magnitude guard (ADVICE r10): nanos for any
+        // post-1973 instant exceed 1e17 while micros stay below 1e14
+        // until year ~5138 — a sub-threshold value means the fixture is
+        // NOT nanos, so fail loudly on the first row instead of
+        // silently corrupting every timestamp 1000×. The CASE folds
+        // into the same codegen'd projection: no extra scan, no action.
+        raw.withColumn("ts", expr(
+          "timestamp_micros((CASE WHEN ts < 100000000000000000 THEN " +
+          "CAST(raise_error(concat('events.ts BIGINT value ', CAST(ts AS STRING), " +
+          "' is below nanos magnitude (1e17) — a micros-as-BIGINT fixture? " +
+          "Teach Tables.events the new shape instead of dividing it 1000x wrong')) AS BIGINT) " +
+          "ELSE ts END) DIV 1000)"))
       case org.apache.spark.sql.types.TimestampNTZType =>
         raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case org.apache.spark.sql.types.TimestampType => raw

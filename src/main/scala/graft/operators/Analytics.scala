@@ -29,20 +29,74 @@ object Analytics {
   val KCoreK = 2
   val KCorePeelRounds = 4
 
-  /** Session-scoped memo of [[cooccurEdges]] over the lineitem fixture:
+  /** Context-scoped memo of [[cooccurEdges]] over the lineitem fixture:
     * graph_triangles and graph_kcore share ONE evaluation of the basket
-    * self-join per (session, fixture state) — the same fsSig + identity
-    * discipline as Dedup.pairsMemo (a regenerated fixture or restarted
-    * session rebuilds instead of serving stale checkpoint blocks). The
-    * support-pruned edge list is tiny, so retention is a few KB. */
+    * self-join per (context, fixture state) — the same fsSig discipline
+    * as Dedup.pairsMemo (a regenerated fixture or restarted context
+    * rebuilds instead of serving stale checkpoint blocks). Keyed by
+    * `applicationId` (ADVICE r10: identityHashCode can collide between
+    * a dead and a live session): the id is timestamped and never
+    * reused, and its lifetime is EXACTLY the block manager's — the
+    * localCheckpoint blocks this memo guards live and die with the
+    * SparkContext. The support-pruned edge list is tiny, so retention
+    * is a few KB. */
   private val coocMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
   def cooccurEdgesCached(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val sig = graft.Tables.fsSig(s, s"$dir/lineitem.parquet")
     coocMemo.getOrElseUpdate(
-      (System.identityHashCode(s), s"$dir|$sig"),
+      (s.sparkContext.applicationId, s"$dir|$sig"),
       cooccurEdges(lineitem(s, dir)).localCheckpoint())
+  }
+
+  /** Degree-ordered orientation of an undirected (a, b) edge list —
+    * the standard skew bound for distributed triangle enumeration
+    * (each edge points from its LOWER-degree endpoint to the higher,
+    * ties by id): every node's out-degree is then at most O(√m), so
+    * per-node wedge fan-out is bounded even on power-law graphs where
+    * id-orientation lets a hub with degree d generate d²/2 wedges.
+    * Emits (src, dst, ddeg) with ddeg = dst's degree, carried so the
+    * wedge join can order its two legs by the SAME (degree, id) total
+    * order without re-joining degrees. TriangleOrientationSpec plants
+    * a hub and pins the bound. */
+  def orientByDegree(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("a").as("n"))
+      .unionByName(edges.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    edges
+      .join(deg.select(col("n").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("deg").as("db")), Seq("b"))
+      .select(
+        when(aFirst, col("a")).otherwise(col("b")).as("src"),
+        when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+        when(aFirst, col("db")).otherwise(col("da")).as("ddeg"))
+  }
+
+  /** Wedges of a degree-oriented edge list: two out-edges of one
+    * src, legs ordered v before w in the (degree, id) total order —
+    * so each triangle forms exactly ONE wedge (at its order-lowest
+    * node) and closes against exactly one oriented edge v→w. */
+  def orientedWedges(o: DataFrame): DataFrame =
+    o.select(col("src"), col("dst").as("v"), col("ddeg").as("dv"))
+      .join(o.select(col("src"), col("dst").as("w"), col("ddeg").as("dw")),
+            Seq("src"))
+      .where(col("dv") < col("dw") ||
+             (col("dv") === col("dw") && col("v") < col("w")))
+
+  /** Triangle enumeration over an undirected (a, b) edge list via
+    * degree-ordered wedges; output re-canonicalized to id-sorted
+    * (a < b < c) triples so the result is orientation-independent
+    * (the oracle never sees degrees). */
+  def trianglesOf(edges: DataFrame): DataFrame = {
+    val o = orientByDegree(edges)
+    orientedWedges(o)
+      .join(o.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+      .select(array_sort(array(col("src"), col("v"), col("w"))).as("t"))
+      .select(col("t").getItem(0).as("a"), col("t").getItem(1).as("b"),
+              col("t").getItem(2).as("c"))
   }
 
   /** Market-basket co-occurrence edge list — the ONE definition shared
@@ -63,8 +117,20 @@ object Analytics {
   /** `rounds` peel iterations over a BIDIRECTIONAL (u, v) edge list:
     * each round drops nodes whose degree < k and induces the edge list
     * on the survivors. Exposed so KCoreSpec can plant graphs and pin
-    * convergence; graph_kcore runs it at the shipped constants. */
-  def kcorePeel(bidir: DataFrame, k: Int, rounds: Int): DataFrame = {
+    * convergence; graph_kcore runs it at the shipped constants.
+    *
+    * `requireConverged` (graph_kcore sets it): after the fixed rounds,
+    * ONE extra degree pass over the (already support-pruned, edge-list-
+    * scale) survivors — if any node still has degree < k the peel has
+    * NOT reached the true k-core and the query fails with a named
+    * error instead of silently returning a partially peeled graph
+    * (VERDICT r10: the one code path where a correct fixture answer
+    * and a wrong at-scale answer used to share a silent exit; same
+    * loud-non-convergence house rule as the CC label loop in Dedup).
+    * The check costs one hash-agg + limit(1) on the final edge list —
+    * metadata-scale next to any single peel round. */
+  def kcorePeel(bidir: DataFrame, k: Int, rounds: Int,
+                requireConverged: Boolean = false): DataFrame = {
     // per-round lineage truncation (the CC/PageRank loop discipline):
     // without it, round i re-evaluates round i-1 once per consumer —
     // the degree agg AND both semi-joins — so the base edge build
@@ -78,6 +144,14 @@ object Analytics {
         .join(keep.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
         .select("u", "v")
         .localCheckpoint()
+    }
+    if (requireConverged) {
+      val unpeeled = edges.groupBy("u").agg(count(lit(1)).as("d"))
+        .where(col("d") < k).limit(1).count()
+      if (unpeeled > 0) sys.error(
+        s"k-core peel NOT converged after $rounds fixed rounds (a node of " +
+        s"degree < $k survives): raise KCorePeelRounds for this graph — " +
+        "refusing to return a partially peeled graph as the k-core")
     }
     edges
   }
@@ -360,27 +434,23 @@ object Analytics {
     // Triangle enumeration over the part co-purchase graph (parts
     // linked when they share an order, support ≥ 2 co-occurrences):
     // the graph-structure primitive behind clustering coefficients,
-    // community seeds and recommendation strength. The classic
-    // distributed shape: orient every edge a < b (each triangle
-    // counted exactly once, wedge work halved), build wedges by
-    // joining oriented edges head-to-tail, close them against the
-    // edge list. The orderkey self-join explodes only within a basket
-    // (bounded k per order), the support threshold prunes the edge
-    // list before any wedge forms, and the three reads of the same
-    // edge subtree share their shuffles via ReuseExchange (pinned in
-    // PlanAuditSpec). At 100 TB the further standard step is
-    // degree-ordered orientation (low-degree node first), which
-    // bounds per-node wedge fan-out on skewed graphs.
-    "graph_triangles" -> ((s, dir) => {
-      val edges = cooccurEdgesCached(s, dir)
-      val wedges = edges.join(
-        edges.select(col("a").as("b"), col("b").as("c")), Seq("b"))
-      wedges.join(
-          edges.select(col("a").as("a3"), col("b").as("c3")),
-          col("a") === col("a3") && col("c") === col("c3"))
-        .select("a", "b", "c")
-        .orderBy("a", "b", "c")
-    }),
+    // community seeds and recommendation strength. The distributed
+    // shape with the skew bound built in: DEGREE-ORDERED orientation
+    // ([[orientByDegree]] — each edge points low-degree → high-degree,
+    // so out-degrees are O(√m) and a hub of degree d can never fan
+    // out d²/2 wedges the way id-orientation lets it; the MPC/node-
+    // iterator standard), wedges joined head-to-tail at each edge's
+    // order-lowest node, closed against the oriented edge list, then
+    // re-canonicalized to id-sorted triples so the output (and the
+    // oracle) is orientation-independent. The orderkey self-join
+    // explodes only within a basket (bounded k per order), the
+    // support threshold prunes the edge list before any wedge forms,
+    // and the reads of the memoized edge subtree share one
+    // materialization (pinned in PlanAuditSpec);
+    // TriangleOrientationSpec plants a hub graph and pins the wedge
+    // bound plus result invariance.
+    "graph_triangles" -> ((s, dir) =>
+      trianglesOf(cooccurEdgesCached(s, dir)).orderBy("a", "b", "c")),
 
     // K-CORE peeling of the co-occurrence graph: iteratively drop
     // nodes of degree < k until only the k-core remains — the dense-
@@ -390,7 +460,11 @@ object Analytics {
     // rounds — no fixpoint test — so the oracle unrolls the identical
     // rounds as CTEs (the PageRank/Lloyd fixed-round discipline);
     // KCoreSpec plants a graph whose peel needs several rounds and
-    // pins convergence inside the cap. Scale shape: each round is one
+    // pins convergence inside the cap — and requireConverged makes a
+    // graph needing MORE rounds fail loudly instead of returning a
+    // partially peeled graph as the k-core (the oracle contract stays
+    // fixed-round: when the check passes, N rounds == the fixpoint).
+    // Scale shape: each round is one
     // hash-agg + two semi-joins over the EDGE LIST only (already
     // support-pruned); the lineitem corpus is touched once to build
     // the edges and never re-enters the loop.
@@ -398,7 +472,7 @@ object Analytics {
       val pairs = cooccurEdgesCached(s, dir)
       val bidir = pairs.select(col("a").as("u"), col("b").as("v"))
         .unionByName(pairs.select(col("b").as("u"), col("a").as("v")))
-      kcorePeel(bidir, KCoreK, KCorePeelRounds)
+      kcorePeel(bidir, KCoreK, KCorePeelRounds, requireConverged = true)
         .groupBy(col("u").as("node"))
         .agg(big(count(lit(1))).as("core_degree"))
         .orderBy("node")

@@ -292,22 +292,24 @@ object Dedup {
     * triage (`graph_degree`), clustering (`dedup_cluster`) and
     * reachability (`graph_bfs`) all read the SAME pair graph, and a
     * production pipeline computes it once and reuses the checkpoint —
-    * three queries, one candidate join. Keyed by sessionUUID (a
-    * restarted session, whose checkpoint blocks are gone, rebuilds
-    * instead of reading dead block ids) AND the documents fixture's
+    * three queries, one candidate join. Keyed by the context's
+    * `applicationId` (timestamped, never reused — a restarted context,
+    * whose checkpoint blocks are gone, rebuilds instead of reading dead
+    * block ids; identityHashCode could collide between a dead and a
+    * live session, ADVICE r10) AND the documents fixture's
     * content fingerprint (ADVICE r3: a regenerated fixture at the same
     * dir must not serve a stale pair graph — same fsSig discipline as
     * the bucketed-table memo in Joins). The edge list is tiny (sparse
     * graphs), so retention is a few KB. */
   private val pairsMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, Double), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(String, String, Double), DataFrame]
 
-  /** [[blockedJaccardPairs]] through the session-scoped checkpoint memo. */
+  /** [[blockedJaccardPairs]] through the context-scoped checkpoint memo. */
   def blockedJaccardPairsCached(docs: DataFrame, dir: String, minJ: Double): DataFrame = {
     val spark = docs.sparkSession
     val sig = graft.Tables.fsSig(spark, s"$dir/documents.parquet")
     pairsMemo.getOrElseUpdate(
-      (System.identityHashCode(spark), s"$dir|$sig", minJ),
+      (spark.sparkContext.applicationId, s"$dir|$sig", minJ),
       blockedJaccardPairs(docs, minJ).localCheckpoint())
   }
 

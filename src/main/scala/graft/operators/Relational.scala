@@ -31,6 +31,24 @@ object Relational {
     s"EXTRACT(YEAR FROM $expr) * 10000 + EXTRACT(MONTH FROM $expr) * 100 + " +
     s"EXTRACT(DAY FROM $expr)"
 
+  /** Snapshot/delta cutoff shared by the CDC merge family. */
+  private val MergeCutoff = lit("1999-01-01").cast("timestamp")
+
+  /** Latest order per customer (the change-feed "condense to one row
+    * per key" step shared by merge_upsert and merge_cdc_delete): one
+    * ranked window — ONE shuffle on the entity key — columns prefixed
+    * so the two merge sides never collide. */
+  private def latestPerCustomer(df: org.apache.spark.sql.DataFrame,
+                                tag: String): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    df.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("o_custkey").as(s"${tag}_custkey"),
+              col("o_orderkey").as(s"${tag}_orderkey"),
+              col("o_totalprice").as(s"${tag}_price"),
+              col("o_orderpriority").as(s"${tag}_priority"))
+  }
+
   /** SCD2 history over the orders change feed — the ONE definition
     * shared by `scd2_history` (the dump) and `join_pit_scd2` (the
     * point-in-time consumer): per customer, run-compressed priority
@@ -257,18 +275,8 @@ object Relational {
     // the delta side and the merge touches the base exactly once, or
     // bucket both by entity key and it is exchange-free.
     "merge_upsert" -> ((s, dir) => {
-      val cutoff = lit("1999-01-01").cast("timestamp")
-      def latest(df: org.apache.spark.sql.DataFrame, tag: String) = {
-        val w = Window.partitionBy("o_custkey")
-          .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
-        df.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-          .select(col("o_custkey").as(s"${tag}_custkey"),
-                  col("o_orderkey").as(s"${tag}_orderkey"),
-                  col("o_totalprice").as(s"${tag}_price"),
-                  col("o_orderpriority").as(s"${tag}_priority"))
-      }
-      val base  = latest(orders(s, dir).where(col("o_orderdate") < cutoff), "b")
-      val delta = latest(orders(s, dir).where(col("o_orderdate") >= cutoff), "d")
+      val base  = latestPerCustomer(orders(s, dir).where(col("o_orderdate") < MergeCutoff), "b")
+      val delta = latestPerCustomer(orders(s, dir).where(col("o_orderdate") >= MergeCutoff), "d")
       base.join(delta, col("b_custkey") === col("d_custkey"), "full_outer")
         .select(
           coalesce(col("d_custkey"), col("b_custkey")).as("o_custkey"),
@@ -278,6 +286,44 @@ object Relational {
           coalesce(col("d_orderkey"), col("b_orderkey")).as("o_orderkey"),
           round(coalesce(col("d_price"), col("b_price")), 2).as("total"),
           coalesce(col("d_priority"), col("b_priority")).as("o_orderpriority"))
+        .orderBy("o_custkey")
+    }),
+
+    // CDC MERGE with a DELETE arm (the full four-way change-feed
+    // apply): a real CDC stream carries tombstones, not just upserts.
+    // The fixture has no delete flag, so the tombstone rule is a
+    // deterministic stand-in both engines share: a delta row whose
+    // latest order priority is '5-LOW' is a delete record. MERGE
+    // semantics over the same one-full-outer-join shape as
+    // merge_upsert: base-only → keep, matched + tombstone → DELETE
+    // (the key leaves the snapshot; emitted with NULL payload so the
+    // action split is auditable), matched otherwise → update,
+    // delta-only + live → insert, and delta-only + tombstone — a
+    // delete of a key that never existed — is a NO-OP and emits
+    // nothing (idempotent delete, exactly ANSI MERGE's WHEN NOT
+    // MATCHED THEN DO NOTHING). Same scale shape as merge_upsert:
+    // each side condenses on one entity-key shuffle, the full outer
+    // join reuses that partitioning, no third exchange.
+    "merge_cdc_delete" -> ((s, dir) => {
+      val base  = latestPerCustomer(orders(s, dir).where(col("o_orderdate") < MergeCutoff), "b")
+      val delta = latestPerCustomer(orders(s, dir).where(col("o_orderdate") >= MergeCutoff), "d")
+        .withColumn("tomb", col("d_priority") === "5-LOW")
+      val matched = col("b_custkey").isNotNull && col("d_custkey").isNotNull
+      val del = matched && col("tomb")
+      base.join(delta, col("b_custkey") === col("d_custkey"), "full_outer")
+        .where(!(col("b_custkey").isNull && col("tomb")))
+        .select(
+          coalesce(col("d_custkey"), col("b_custkey")).as("o_custkey"),
+          when(col("d_custkey").isNull, "keep")
+            .when(col("b_custkey").isNull, "insert")
+            .when(col("tomb"), "delete")
+            .otherwise("update").as("action"),
+          when(del, lit(null).cast("long"))
+            .otherwise(coalesce(col("d_orderkey"), col("b_orderkey"))).as("o_orderkey"),
+          when(del, lit(null).cast("double"))
+            .otherwise(round(coalesce(col("d_price"), col("b_price")), 2)).as("total"),
+          when(del, lit(null).cast("string"))
+            .otherwise(coalesce(col("d_priority"), col("b_priority"))).as("o_orderpriority"))
         .orderBy("o_custkey")
     }),
 
@@ -436,6 +482,31 @@ object Relational {
        "ROUND(COALESCE(d.o_totalprice, b.o_totalprice), 2) AS total, " +
        "COALESCE(d.o_orderpriority, b.o_orderpriority) AS o_orderpriority " +
        "FROM base b FULL OUTER JOIN delta d ON b.o_custkey = d.o_custkey " +
+       "ORDER BY o_custkey"),
+    // same four-way CASE; delta-only tombstones (deletes of absent
+    // keys) filtered out as the MERGE no-op arm; deleted keys keep a
+    // NULL payload so the action split stays auditable
+    "merge_cdc_delete" ->
+      ("WITH base AS (SELECT * FROM (SELECT o_custkey, o_orderkey, o_totalprice, o_orderpriority, " +
+       "ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn " +
+       "FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01') WHERE rn = 1), " +
+       "delta AS (SELECT *, o_orderpriority = '5-LOW' AS tomb FROM " +
+       "(SELECT o_custkey, o_orderkey, o_totalprice, o_orderpriority, " +
+       "ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn " +
+       "FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01') WHERE rn = 1) " +
+       "SELECT o_custkey, action, o_orderkey, total, o_orderpriority FROM (" +
+       "SELECT COALESCE(d.o_custkey, b.o_custkey) AS o_custkey, " +
+       "CASE WHEN d.o_custkey IS NULL THEN 'keep' " +
+       "WHEN b.o_custkey IS NULL THEN 'insert' " +
+       "WHEN d.tomb THEN 'delete' ELSE 'update' END AS action, " +
+       "CASE WHEN b.o_custkey IS NOT NULL AND d.tomb THEN NULL " +
+       "ELSE COALESCE(d.o_orderkey, b.o_orderkey) END AS o_orderkey, " +
+       "CASE WHEN b.o_custkey IS NOT NULL AND d.tomb THEN NULL " +
+       "ELSE ROUND(COALESCE(d.o_totalprice, b.o_totalprice), 2) END AS total, " +
+       "CASE WHEN b.o_custkey IS NOT NULL AND d.tomb THEN NULL " +
+       "ELSE COALESCE(d.o_orderpriority, b.o_orderpriority) END AS o_orderpriority " +
+       "FROM base b FULL OUTER JOIN delta d ON b.o_custkey = d.o_custkey " +
+       "WHERE NOT (b.o_custkey IS NULL AND d.tomb)) " +
        "ORDER BY o_custkey"),
     "scd2_history" ->
       ("WITH " + Scd2Cte + " " +

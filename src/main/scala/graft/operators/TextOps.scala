@@ -21,6 +21,32 @@ object TextOps {
   val WinnowK = 3
   val WinnowW = 4
 
+  /** Inverted-position tie-break constant for the winnowing sort key:
+    * the key suffix is `lpad(WinnowPosMax - pos, WinnowPosPad, '0')`,
+    * so ascending key order = descending position = the SIGMOD'03
+    * rightmost-min rule. 12 digits keep the subtraction non-negative
+    * (and the zero-padded string order correct) up to 1e12 grams per
+    * document — far past any real corpus's per-doc bound (ADVICE r10:
+    * the previous 8-digit pad silently inverted the tie rule past 1e8
+    * grams). Both engines interpolate the SAME constants. */
+  val WinnowPosMax = 999999999999L
+  val WinnowPosPad = 12
+
+  /** Cross-doc winnow matching (text_winnow_pairs): fingerprints
+    * selected in more than `MaxWinnowFpDf` documents are boilerplate
+    * (license headers, navigation chrome) and are dropped from the
+    * posting index BEFORE the pair join — the same stop-shingle
+    * discipline as [[Dedup.MaxShingleDf]], and the same skew bound: no
+    * posting list ever exceeds the cap, so the pair join explodes at
+    * most cap² rows per fingerprint, never all-pairs. Unlike the
+    * dedup family's uncapped oracles, the cap here is PART of the
+    * operator and the oracle mirrors it. `MinWinnowShared` is the
+    * match threshold: ≥ 2 independently selected shared fingerprints
+    * before a pair is reported (the spec drives the guarantee path at
+    * threshold 1). */
+  val MaxWinnowFpDf = 64
+  val MinWinnowShared = 2
+
   /** Per-doc unigram LM scores — the ONE definition shared by
     * `text_lm_score` (the dump) and `text_quality_buckets` (the
     * CCNet-style consumer): corpus-trained token probabilities
@@ -55,7 +81,7 @@ object TextOps {
         .otherwise(array(concat_ws(" ", col("t"))))).as(Seq("pos", "gram")))
     val keyed = grams.withColumn("k",
       concat(md5(col("gram").cast("binary")),
-             lpad((lit(99999999) - col("pos")).cast("string"), 8, "0")))
+             lpad((lit(WinnowPosMax) - col("pos")).cast("string"), WinnowPosPad, "0")))
     val whole = Window.partitionBy("doc_id")
     val frame = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(Window.currentRow, WinnowW - 1)
@@ -68,6 +94,46 @@ object TextOps {
       .groupBy("doc_id")
       .agg(big(max(col("n_grams"))).as("n_grams"),
            array_sort(array_distinct(collect_list(col("wmin")))).as("fps"))
+  }
+
+  /** Per-doc selected fingerprint HASHES (the 32-hex md5 prefix of
+    * each [[winnowOf]] key, position suffix stripped): matching across
+    * documents is on hash values — the SIGMOD'03 guarantee is that two
+    * docs sharing a token run of ≥ k+w-1 select the same minimal HASH
+    * from the full window inside the run, at different positions. */
+  def winnowFps(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    winnowOf(docs)
+      .select(col("doc_id"), explode(col("fps")).as("k"))
+      .select(col("doc_id"), substring(col("k"), 1, 32).as("fp"))
+      .distinct()
+
+  /** Local-overlap pairs via a winnow-fingerprint posting index — the
+    * MOSS excerpt/plagiarism detector that whole-doc MinHash provably
+    * misses (a shared paragraph moves whole-doc Jaccard ~0): docs
+    * sharing ≥ `minShared` selected fingerprint hashes, with each
+    * side's capped sketch size for context. Posting-indexed, never
+    * all-pairs: over-cap (boilerplate) fingerprints drop via a
+    * broadcast anti-join (the over-cap list is ≤ #postings/cap rows by
+    * construction), then the self-join explodes at most cap² per
+    * fingerprint. The fp projection is localCheckpointed because the
+    * df aggregate, both join sides and the size aggregate all read it
+    * — rerunning tokenize+gram+two-window-passes four times would
+    * quadruple the op (same discipline as blockedJaccardPairs). */
+  def winnowPairs(docs: org.apache.spark.sql.DataFrame,
+                  minShared: Int, maxDf: Int): org.apache.spark.sql.DataFrame = {
+    val fp = winnowFps(docs).localCheckpoint()
+    val over = fp.groupBy("fp").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf).select("fp")
+    val kept = fp.join(broadcast(over), Seq("fp"), "left_anti")
+    val sizes = kept.groupBy("doc_id").agg(big(count(lit(1))).as("n_fp"))
+    kept.select(col("fp"), col("doc_id").as("a"))
+      .join(kept.select(col("fp"), col("doc_id").as("b")), Seq("fp"))
+      .where(col("a") < col("b"))
+      .groupBy("a", "b").agg(big(count(lit(1))).as("shared_fp"))
+      .where(col("shared_fp") >= minShared)
+      .join(sizes.select(col("doc_id").as("a"), col("n_fp").as("n_fp_a")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("n_fp").as("n_fp_b")), Seq("b"))
+      .select("a", "b", "shared_fp", "n_fp_a", "n_fp_b")
   }
 
   val queries: Map[String, Q] = Map(
@@ -406,6 +472,21 @@ object TextOps {
                 big(size(col("fps"))).as("n_fp"),
                 md5(concat_ws(",", col("fps")).cast("binary")).as("fp_sig"))
         .orderBy("doc_id")),
+
+    // WINNOW PAIR MATCHING (the cross-doc half of MOSS): join the
+    // per-doc winnow fingerprints through a posting index and report
+    // doc pairs sharing ≥ MinWinnowShared selected hashes — the
+    // LOCAL-overlap detector (shared paragraph, copied excerpt,
+    // train/test contamination at passage granularity) that whole-doc
+    // MinHash misses because one shared paragraph barely moves
+    // whole-doc Jaccard. Boilerplate fingerprints (df > MaxWinnowFpDf)
+    // drop before the join — the stop-shingle rule — so no posting
+    // list exceeds the cap and the pair space stays near-linear at
+    // any corpus size; WinnowingSpec proves the k+w-1 shared-run
+    // guarantee end-to-end across planted documents.
+    "text_winnow_pairs" -> ((s, dir) =>
+      winnowPairs(documents(s, dir), MinWinnowShared, MaxWinnowFpDf)
+        .orderBy("a", "b")),
 
     // Language-ID heuristic trained on the corpus itself: each language's
     // profile = its top-30 most-frequent tokens; a doc's predicted lang =
@@ -777,7 +858,7 @@ object TextOps {
        s"UNNEST(CASE WHEN LEN(t) >= $WinnowK THEN LIST_TRANSFORM(RANGE(0, LEN(t) - ${WinnowK - 1}), " +
        s"i -> ARRAY_TO_STRING(t[i+1:i+$WinnowK], ' ')) " +
        "ELSE [ARRAY_TO_STRING(t, ' ')] END) AS gram FROM toks), " +
-       "k AS (SELECT doc_id, pos, MD5(gram) || LPAD(CAST(99999999 - pos AS VARCHAR), 8, '0') AS k FROM g), " +
+       s"k AS (SELECT doc_id, pos, MD5(gram) || LPAD(CAST($WinnowPosMax - pos AS VARCHAR), $WinnowPosPad, '0') AS k FROM g), " +
        "w AS (SELECT doc_id, pos, k, COUNT(*) OVER (PARTITION BY doc_id) AS n_grams, " +
        s"MIN(k) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS wmin FROM k), " +
        s"sel AS (SELECT doc_id, n_grams, wmin FROM w WHERE pos <= GREATEST(n_grams - $WinnowW, 0)), " +
@@ -785,6 +866,29 @@ object TextOps {
        "LIST_SORT(LIST_DISTINCT(LIST(wmin))) AS fps FROM sel GROUP BY doc_id) " +
        "SELECT doc_id, n_grams, CAST(LEN(fps) AS BIGINT) AS n_fp, " +
        "MD5(ARRAY_TO_STRING(fps, ',')) AS fp_sig FROM agg ORDER BY doc_id"),
+    // identical winnow selection CTEs, then the posting index: hash
+    // part of each selected key (position suffix stripped), per-doc
+    // distinct, boilerplate cap mirrored, pair join on fp with a < b
+    "text_winnow_pairs" ->
+      ("WITH toks AS (SELECT doc_id, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS t FROM documents), " +
+       s"g AS (SELECT doc_id, UNNEST(CASE WHEN LEN(t) >= $WinnowK THEN RANGE(0, LEN(t) - ${WinnowK - 1}) ELSE [0] END) AS pos, " +
+       s"UNNEST(CASE WHEN LEN(t) >= $WinnowK THEN LIST_TRANSFORM(RANGE(0, LEN(t) - ${WinnowK - 1}), " +
+       s"i -> ARRAY_TO_STRING(t[i+1:i+$WinnowK], ' ')) " +
+       "ELSE [ARRAY_TO_STRING(t, ' ')] END) AS gram FROM toks), " +
+       s"k AS (SELECT doc_id, pos, MD5(gram) || LPAD(CAST($WinnowPosMax - pos AS VARCHAR), $WinnowPosPad, '0') AS k FROM g), " +
+       "w AS (SELECT doc_id, pos, k, COUNT(*) OVER (PARTITION BY doc_id) AS n_grams, " +
+       s"MIN(k) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS wmin FROM k), " +
+       s"sel AS (SELECT doc_id, wmin FROM w WHERE pos <= GREATEST(n_grams - $WinnowW, 0)), " +
+       "fpd AS (SELECT DISTINCT doc_id, SUBSTRING(wmin, 1, 32) AS fp FROM sel), " +
+       s"kept AS (SELECT doc_id, fp FROM fpd WHERE fp NOT IN " +
+       s"(SELECT fp FROM fpd GROUP BY fp HAVING COUNT(*) > $MaxWinnowFpDf)), " +
+       "sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp FROM kept GROUP BY doc_id), " +
+       "p AS (SELECT x.doc_id AS a, y.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS shared_fp " +
+       "FROM kept x JOIN kept y ON x.fp = y.fp AND x.doc_id < y.doc_id " +
+       s"GROUP BY 1, 2 HAVING COUNT(*) >= $MinWinnowShared) " +
+       "SELECT p.a, p.b, p.shared_fp, sa.n_fp AS n_fp_a, sb.n_fp AS n_fp_b " +
+       "FROM p JOIN sizes sa ON p.a = sa.doc_id JOIN sizes sb ON p.b = sb.doc_id " +
+       "ORDER BY a, b"),
     "text_langid" ->
       ("WITH tok AS (SELECT doc_id, lang, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS token FROM documents), " +
        "profiles AS (SELECT lang AS profile_lang, token FROM " +

@@ -43,6 +43,25 @@ class KCoreSpec extends SparkSpec {
     assert(Analytics.kcorePeel(bidir(planted), 3, 4).count() == 0)
   }
 
+  test("a graph needing more rounds than the cap fails LOUDLY under requireConverged") {
+    // pendant chain of 8 nodes: the 2-core is empty but stripping it
+    // takes 4 rounds (one link pair per round) — at 2 rounds nodes
+    // 3..6 survive with chain-end degrees < 2, so the check must
+    // refuse to return the partial peel as the k-core
+    val chain = bidir((1L to 7L).map(i => (i, i + 1)))
+    val e = intercept[RuntimeException] {
+      Analytics.kcorePeel(chain, 2, 2, requireConverged = true)
+    }
+    assert(e.getMessage.contains("NOT converged"), e.getMessage)
+  }
+
+  test("requireConverged is inert on a converged graph (fixture path unchanged)") {
+    assertSameRows(
+      Analytics.kcorePeel(bidir(planted), 2, 4, requireConverged = true),
+      Analytics.kcorePeel(bidir(planted), 2, 4),
+      "requireConverged changed a converged result")
+  }
+
   test("fixture co-occurrence graph converges inside the shipped round cap") {
     val pairs = Analytics.cooccurEdges(Tables.lineitem(spark, sf001))
     val b = pairs.select(col("a").as("u"), col("b").as("v"))
@@ -50,5 +69,18 @@ class KCoreSpec extends SparkSpec {
     val atCap = Analytics.kcorePeel(b, Analytics.KCoreK, Analytics.KCorePeelRounds)
     val beyond = Analytics.kcorePeel(b, Analytics.KCoreK, Analytics.KCorePeelRounds + 2)
     assertSameRows(atCap, beyond, "peel not converged at the shipped cap")
+  }
+
+  test("convergence at the cap holds on the larger sf0.01 fixture too") {
+    // ADVICE r10: the equals-the-true-k-core property was pinned only
+    // at sf0.001; a regenerated larger fixture could silently need
+    // more rounds (requireConverged would catch it at run time — this
+    // pins it at test time on the SF the driver verifies)
+    val pairs = Analytics.cooccurEdges(Tables.lineitem(spark, sf01))
+    val b = pairs.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(pairs.select(col("b").as("u"), col("a").as("v")))
+    val atCap = Analytics.kcorePeel(b, Analytics.KCoreK, Analytics.KCorePeelRounds)
+    val beyond = Analytics.kcorePeel(b, Analytics.KCoreK, Analytics.KCorePeelRounds + 2)
+    assertSameRows(atCap, beyond, "sf0.01 peel not converged at the shipped cap")
   }
 }

@@ -357,6 +357,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("FullOuter"), p.take(3000))
   }
 
+  test("merge_cdc_delete keeps the merge_upsert plan shape (delete arm adds no shuffle)") {
+    val p = plan("merge_cdc_delete")
+    // the tombstone flag and four-way CASE are row-local projections:
+    // still one entity-key exchange per side, the full outer join
+    // reuses that partitioning, no third hash exchange
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p.take(3000))
+    assert(p.contains("FullOuter"), p.take(3000))
+  }
+
+  test("text_winnow_pairs is posting-indexed: equi-join on fp, over-cap drop broadcast") {
+    val p = plan("text_winnow_pairs")
+    // the pair join must be an equi-join on the fingerprint (posting
+    // buckets, never all-pairs), and the over-cap boilerplate list —
+    // small by construction — must drop via a broadcast anti-join
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p.take(3000))
+  }
+
   test("scd2_history: the whole history build rides ONE entity-key shuffle") {
     val p = plan("scd2_history")
     // lag-compression and the version/lead windows share the

@@ -16,8 +16,8 @@ class WinnowingSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getSeq[String](2))
       .toMap
 
-  private def positions(keys: Seq[String]): Seq[Int] =
-    keys.map(k => 99999999 - k.drop(32).toInt).sorted
+  private def positions(keys: Seq[String]): Seq[Long] =
+    keys.map(k => TextOps.WinnowPosMax - k.drop(32).toLong).sorted
 
   private def hashes(keys: Seq[String]): Set[String] = keys.map(_.take(32)).toSet
 
@@ -42,6 +42,64 @@ class WinnowingSpec extends SparkSpec {
   test("short docs (< w grams) yield exactly one fingerprint") {
     val d = fps(Seq(1L -> "just four tokens here", 2L -> "tiny"))
     assert(d(1L).length == 1 && d(2L).length == 1)
+  }
+
+  test("all-equal grams select the RIGHTMOST position (12-digit pad keeps order)") {
+    // the widened pad must preserve the inverted-position ordering for
+    // positions near zero (the boundary the old 8-digit pad handled)
+    val d = fps(Seq(1L -> "y y y y y y y"))
+    assert(positions(d(1L)) == Seq(3L, 4L))
+  }
+
+  // ---- cross-doc pair matching (text_winnow_pairs) ----
+
+  private def pairs(docs: Seq[(Long, String)], minShared: Int): Set[(Long, Long, Long)] =
+    TextOps.winnowPairs(docs.toDF("doc_id", "text"), minShared, TextOps.MaxWinnowFpDf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+
+  test("a planted shared paragraph is detected as a pair ACROSS documents") {
+    // the k+w-1 guarantee end-to-end through the posting join: the
+    // shared 6-token run sits at different offsets in unrelated
+    // contexts; doc 3 uses a fully disjoint vocabulary (negative
+    // control — zero shared fingerprints, so NO pair touches it)
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val p = pairs(Seq(
+      1L -> s"one two $shared three four five",
+      2L -> s"red orange yellow green blue $shared",
+      3L -> "lorem ipsum dolor sit amet consectetur adipiscing elit sed"),
+      minShared = 1)
+    assert(p.exists(t => t._1 == 1L && t._2 == 2L),
+      s"shared-paragraph pair (1,2) not detected: $p")
+    assert(!p.exists(t => t._1 == 3L || t._2 == 3L),
+      s"disjoint-vocabulary doc 3 matched something: $p")
+  }
+
+  test("identical documents share their entire fingerprint sketch") {
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val full = TextOps.winnowPairs(
+        Seq(1L -> text, 2L -> text).toDF("doc_id", "text"),
+        1, TextOps.MaxWinnowFpDf)
+      .collect().head
+    assert(full.getLong(0) == 1L && full.getLong(1) == 2L)
+    assert(full.getLong(2) == full.getLong(3) && full.getLong(2) == full.getLong(4),
+      s"exact duplicates must share ALL fingerprints: $full")
+  }
+
+  test("boilerplate fingerprints (df over the cap) never form pairs") {
+    // five identical docs: every fingerprint has df = 5 exactly (no
+    // boundary windows — the whole doc is the boilerplate). With the
+    // cap below 5 every posting drops and no pair survives (the
+    // stop-shingle rule); at the shipped cap all C(5,2) pairs appear.
+    val text = "standard license header apache version two zero granted"
+    val docs = (1L to 5L).map(i => i -> text)
+    val capped = TextOps.winnowPairs(docs.toDF("doc_id", "text"), 1, 4)
+    assert(capped.count() == 0,
+      "over-cap boilerplate fingerprints still formed pairs")
+    val uncapped = TextOps.winnowPairs(
+      docs.toDF("doc_id", "text"), 1, TextOps.MaxWinnowFpDf)
+    assert(uncapped.count() == 10L, "below-cap identical docs should all pair")
   }
 
   test("fingerprint density is bounded by the window count") {
