@@ -25,9 +25,14 @@ object Analytics {
   /** K-core peeling: threshold and FIXED round count (both engines run
     * exactly this many peel rounds — the oracle unrolls them as CTEs,
     * see graph_kcore; KCoreSpec plants a graph whose 2-core needs
-    * several rounds and shows convergence inside the cap). */
+    * several rounds and shows convergence inside the cap). 8 rounds:
+    * the sf0.1 co-occurrence graph needs 6 (the r11 requireConverged
+    * check caught the r10 cap of 4 returning a partial peel there —
+    * the oracle agreed only because it truncated identically), +2
+    * margin; extra rounds are identity on a converged graph, and the
+    * loud check remains the backstop for any graph needing more. */
   val KCoreK = 2
-  val KCorePeelRounds = 4
+  val KCorePeelRounds = 8
 
   /** Context-scoped memo of [[cooccurEdges]] over the lineitem fixture:
     * graph_triangles and graph_kcore share ONE evaluation of the basket
