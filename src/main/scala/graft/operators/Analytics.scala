@@ -34,6 +34,16 @@ object Analytics {
   val KCoreK = 2
   val KCorePeelRounds = 8
 
+  /** Label-propagation round count. Unlike k-core there is NO fixpoint
+    * contract to enforce: synchronous LPA has no unique fixpoint (it
+    * can 2-cycle on bipartite structure), so the operator's declared
+    * semantics are exactly "the label state after [[LpaRounds]]
+    * synchronous rounds" — both engines run the identical rounds and
+    * the oracle unrolls them as CTEs (the PageRank/Lloyd fixed-round
+    * discipline). LabelPropagationSpec pins the planted-clique
+    * behavior and the deterministic tie rule. */
+  val LpaRounds = 4
+
   /** Context-scoped memo of [[cooccurEdges]] over the lineitem fixture:
     * graph_triangles and graph_kcore share ONE evaluation of the basket
     * self-join per (context, fixture state) — the same fsSig discipline
@@ -159,6 +169,74 @@ object Analytics {
         "refusing to return a partially peeled graph as the k-core")
     }
     edges
+  }
+
+  /** `rounds` synchronous label-propagation iterations over a
+    * BIDIRECTIONAL (u, v) edge list — the classic near-linear community
+    * detector (Raghavan et al. 2007, synchronous variant). Every node
+    * starts labeled with its own id; each round it adopts the label
+    * held by the MOST of its neighbors, ties broken by the SMALLEST
+    * label — a total, engine-portable rule (no random tie flips, no
+    * visit-order dependence), encoded row-locally as
+    * `max(struct(cnt, -lab))` so the pick is a plain hash aggregate,
+    * never a per-node window sort. Scale shape: each round is one join
+    * of the label table to the edge list on the neighbor key plus two
+    * hash-aggs, all shuffling on the node key only; the corpus that
+    * built the edges never re-enters the loop, and per-round
+    * localCheckpoint truncates lineage exactly like the k-core/CC
+    * loops (without it round i re-evaluates round i-1 once per
+    * consumer and the plan grows 2^rounds). */
+  def labelPropagate(bidir: DataFrame, rounds: Int): DataFrame = {
+    val edges = bidir.localCheckpoint()
+    var labels = edges.select(col("u").as("node")).distinct()
+      .withColumn("lab", col("node"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      labels = edges
+        .join(labels.withColumnRenamed("node", "v"), Seq("v"))
+        .groupBy(col("u"), col("lab"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("u").as("node"))
+        .agg(max(struct(col("cnt"), (-col("lab")).as("neg_lab"))).as("m"))
+        .select(col("node"), (-col("m.neg_lab")).as("lab"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
+  /** Per-EDGE neighborhood Jaccard over an undirected canonical (a, b)
+    * edge list — the link-strength / tie-strength primitive (Jaccard
+    * of N(a)\{b} and N(b)\{a}; common neighbors = triangles through
+    * the edge). The naive formulation joins the bidirectional list to
+    * itself on the shared neighbor — exactly the unbounded hub wedge
+    * fan-out degree orientation exists to prevent — so instead the
+    * common-neighbor counts are DERIVED from [[trianglesOf]] (each
+    * id-sorted triangle contributes one co-neighbor to each of its
+    * three edges), inheriting the O(√m) per-node wedge bound, and the
+    * degree table joins back on the edge endpoints. An isolated edge
+    * (both endpoints degree 1) has an empty neighborhood union; its
+    * Jaccard is defined as 0 on both engines. */
+  def neighborJaccard(edges: DataFrame): DataFrame = {
+    val bidir = edges.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
+    val deg = bidir.groupBy("u").agg(big(count(lit(1))).as("d"))
+    val tri = trianglesOf(edges)
+    val edgeCommon = tri.select(col("a").as("x"), col("b").as("y"))
+      .unionByName(tri.select(col("a").as("x"), col("c").as("y")))
+      .unionByName(tri.select(col("b").as("x"), col("c").as("y")))
+      .groupBy("x", "y").agg(big(count(lit(1))).as("common"))
+    edges
+      .join(deg.select(col("u").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("u").as("b"), col("d").as("db")), Seq("b"))
+      .join(edgeCommon.select(col("x").as("a"), col("y").as("b"), col("common")),
+            Seq("a", "b"), "left")
+      .withColumn("common", coalesce(col("common"), lit(0L)))
+      .withColumn("denom", col("da") + col("db") - lit(2) - col("common"))
+      .select(col("a"), col("b"), col("common"),
+        when(col("denom") === 0, lit(0.0))
+          .otherwise(fround(col("common").cast("double") / col("denom"), 4))
+          .as("jaccard"))
+      .orderBy("a", "b")
   }
 
   /** Attribution lookback: 7 days in micros, INCLUSIVE at the boundary
@@ -543,7 +621,31 @@ object Analytics {
         .agg(big(count(lit(1))).as("n_users"),
              big(sum(col("m"))).as("monetary_cents"))
         .orderBy("r_score", "f_score", "m_score")
-    })
+    }),
+
+    // LABEL-PROPAGATION community detection on the co-occurrence
+    // graph (r11): [[LpaRounds]] synchronous rounds, most-frequent-
+    // neighbor-label with min-label ties — the near-linear community
+    // detector whose per-round cost is one node-keyed join + two
+    // hash-aggs over the edge list only. Fixed-round BY CONTRACT (see
+    // [[LpaRounds]]); the oracle unrolls the identical rounds.
+    "graph_label_propagation" -> ((s, dir) => {
+      val pairs = cooccurEdgesCached(s, dir)
+      val bidir = pairs.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(pairs.select(col("b").as("u"), col("a").as("v")))
+      labelPropagate(bidir, LpaRounds)
+        .select(col("node"), col("lab").as("community"))
+        .orderBy("node")
+    }),
+
+    // NEIGHBORHOOD JACCARD per co-occurrence edge (r11): tie
+    // strength / link prediction over the same graph — common
+    // neighbors derived from the degree-ORIENTED triangle
+    // enumeration (never a naive hub-unbounded wedge join), degrees
+    // joined back on the endpoints. Shares the memoized edge subtree
+    // with triangles/kcore/LPA.
+    "graph_neighbor_jaccard" -> ((s, dir) =>
+      neighborJaccard(cooccurEdgesCached(s, dir)))
   )
 
   /** Session gap threshold: 30 minutes in micros. The break condition
@@ -811,6 +913,42 @@ object Analytics {
       "SELECT r_score, f_score, m_score, CAST(COUNT(*) AS BIGINT) AS n_users, " +
       "CAST(SUM(m) AS BIGINT) AS monetary_cents " +
       "FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
-    }
+    },
+    // the same fixed LpaRounds the engine runs, unrolled: round i
+    // counts neighbor labels from l_{i-1} and picks (max cnt, min lab)
+    // per node — the engine's max(struct(cnt, -lab)) as a window rank
+    "graph_label_propagation" -> {
+      val rounds = (1 to LpaRounds).map { i =>
+        s"c$i AS (SELECT e.u, l.lab, COUNT(*) AS cnt " +
+        s"FROM e0 e JOIN l${i - 1} l ON e.v = l.node GROUP BY 1, 2), " +
+        s"l$i AS (SELECT u AS node, lab FROM (SELECT u, lab, " +
+        "ROW_NUMBER() OVER (PARTITION BY u ORDER BY cnt DESC, lab ASC) AS rn " +
+        s"FROM c$i) WHERE rn = 1)"
+      }.mkString(", ")
+      "WITH " + CoocCte + ", " +
+      "e0 AS MATERIALIZED (SELECT a AS u, b AS v FROM edges " +
+      "UNION ALL SELECT b AS u, a AS v FROM edges), " +
+      "l0 AS (SELECT DISTINCT u AS node, u AS lab FROM e0), " +
+      rounds + " " +
+      s"SELECT node, lab AS community FROM l$LpaRounds ORDER BY node"
+    },
+    // independent naive-wedge formulation of the engine's triangle-
+    // derived common-neighbor counts (fixture-scale only — the engine
+    // side deliberately avoids this hub-unbounded self-join)
+    "graph_neighbor_jaccard" ->
+      ("WITH " + CoocCte + ", " +
+       "e0 AS MATERIALIZED (SELECT a AS u, b AS v FROM edges " +
+       "UNION ALL SELECT b AS u, a AS v FROM edges), " +
+       "deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM e0 GROUP BY 1), " +
+       "cm AS (SELECT e1.u AS a, e2.u AS b, CAST(COUNT(*) AS BIGINT) AS common " +
+       "FROM e0 e1 JOIN e0 e2 ON e1.v = e2.v AND e1.u < e2.u GROUP BY 1, 2), " +
+       "j AS (SELECT e.a, e.b, COALESCE(cm.common, 0) AS common, " +
+       "da.d + db.d - 2 - COALESCE(cm.common, 0) AS denom " +
+       "FROM edges e JOIN deg da ON da.u = e.a JOIN deg db ON db.u = e.b " +
+       "LEFT JOIN cm ON cm.a = e.a AND cm.b = e.b) " +
+       "SELECT a, b, CAST(common AS BIGINT) AS common, " +
+       "CASE WHEN denom = 0 THEN 0.0 ELSE " +
+       froundSql("CAST(common AS DOUBLE) / denom", 4) + " END AS jaccard " +
+       "FROM j ORDER BY a, b")
   )
 }

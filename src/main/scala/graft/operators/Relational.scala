@@ -263,6 +263,30 @@ object Relational {
         .orderBy("rk", "doc_id")
         .limit(100)),
 
+    // WEIGHTED without-replacement sample of fixed size k — the
+    // Efraimidis–Spirakis A-ES bottom-k: each doc draws u ∈ (0, 1]
+    // from a seeded md5 (key-stable — any engine, any partitioning
+    // recomputes the same sample) and keeps key = -ln(u)/w with
+    // w = n_chars, so a doc's selection probability is proportional
+    // to its length — the "sample training tokens, not documents"
+    // primitive. The k smallest keys win; same TakeOrderedAndProject
+    // plan as sample_reservoir_k (per-partition k-heaps, one merge,
+    // no global sort) and the bottom-k keyset is a mergeable sketch
+    // across shards. The key is fround8-pinned on both engines
+    // BEFORE the top-k ordering (ln is the one transcendental —
+    // last-ulp engine differences are absorbed by the rounding, and
+    // ties break on doc_id).
+    "sample_weighted" -> ((s, dir) => {
+      val u = (conv(substring(md5(concat(lit("wres:"),
+                 col("doc_id").cast("string"))), 1, 8), 16, 10)
+                 .cast("long") + 1).cast("double") / lit(4294967296.0)
+      documents(s, dir)
+        .withColumn("wkey", fround(-log(u) / col("n_chars"), 8))
+        .select("doc_id", "lang", "n_chars", "wkey")
+        .orderBy("wkey", "doc_id")
+        .limit(100)
+    }),
+
     // CDC MERGE (upsert, latest-wins): the nightly "apply the change
     // feed onto the snapshot" operator every warehouse pipeline runs.
     // Base = latest pre-cutoff order per customer, delta = latest
@@ -468,6 +492,14 @@ object Relational {
       ("SELECT doc_id, lang, n_chars, " +
        "MD5('res:' || CAST(doc_id AS VARCHAR)) AS rk FROM documents " +
        "ORDER BY rk, doc_id LIMIT 100"),
+    // same A-ES key: u from the md5 prefix via the hex-literal CAST,
+    // -LN(u)/n_chars fround8-pinned before the bottom-k
+    "sample_weighted" ->
+      ("WITH b AS (SELECT doc_id, lang, n_chars, " +
+       froundSql("-LN((CAST(CONCAT('0x', SUBSTRING(MD5('wres:' || " +
+       "CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1) / 4294967296.0) " +
+       "/ n_chars", 8) + " AS wkey FROM documents) " +
+       "SELECT doc_id, lang, n_chars, wkey FROM b ORDER BY wkey, doc_id LIMIT 100"),
     "merge_upsert" ->
       ("WITH base AS (SELECT * FROM (SELECT o_custkey, o_orderkey, o_totalprice, o_orderpriority, " +
        "ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn " +

@@ -405,6 +405,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange rangepartitioning"), p.take(2000))
   }
 
+  test("sample_weighted keeps the bottom-k plan (A-ES key, no global sort)") {
+    val p = plan("sample_weighted")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("Exchange rangepartitioning"), p.take(2000))
+  }
+
+  test("graph_neighbor_jaccard: all equi-joins, no cartesian, no nested-loop fallback") {
+    // common-neighbor counts come from the degree-oriented triangle
+    // enumeration; every downstream join (degrees ×2, common counts)
+    // is a key equi-join — a CartesianProduct or BNLJ anywhere means
+    // the naive wedge formulation leaked back in
+    val p = plan("graph_neighbor_jaccard")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+  }
+
   test("graph_triangles reads the edge list from ONE materialization across its three reads") {
     // the oriented edge list is read three times (wedge tail, wedge
     // head, closure); the cooccurEdgesCached memo checkpoints the
