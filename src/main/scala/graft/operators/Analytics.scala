@@ -204,6 +204,41 @@ object Analytics {
     labels
   }
 
+  /** Modularity report of the [[labelPropagate]] partition over an
+    * undirected canonical (a, b) edge list: per community, node count,
+    * internal edge count, degree sum, and the Newman-Girvan modularity
+    * contribution e_c/m − (d_c/2m)² — the standard partition-quality
+    * score (Σ over communities = Q). Squared term written as x·x (not
+    * pow) so both engines run the identical IEEE ops before the
+    * fround6 pin. Scale shape: the label table joins the edge list on
+    * its two endpoints (node-keyed shuffles), everything else is hash
+    * aggregation; m arrives as a broadcast one-row aggregate, never a
+    * driver-side collect in the query path. */
+  def modularityOf(edges: DataFrame, rounds: Int): DataFrame = {
+    val bidir = edges.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
+    val lab = labelPropagate(bidir, rounds)
+    val mDf = edges.agg(big(count(lit(1))).as("m"))
+    val eIn = edges
+      .join(lab.select(col("node").as("a"), col("lab").as("ca")), Seq("a"))
+      .join(lab.select(col("node").as("b"), col("lab").as("cb")), Seq("b"))
+      .where(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community"))
+      .agg(big(count(lit(1))).as("e_in"))
+    val halfDeg = col("d_sum").cast("double") / (col("m") * 2)
+    bidir.groupBy("u").agg(big(count(lit(1))).as("d"))
+      .join(lab.withColumnRenamed("node", "u"), Seq("u"))
+      .groupBy(col("lab").as("community"))
+      .agg(big(count(lit(1))).as("n_nodes"), big(sum(col("d"))).as("d_sum"))
+      .join(eIn, Seq("community"), "left")
+      .withColumn("e_in", coalesce(col("e_in"), lit(0L)))
+      .crossJoin(broadcast(mDf))
+      .select(col("community"), col("n_nodes"), col("e_in"), col("d_sum"),
+        fround(col("e_in").cast("double") / col("m") - halfDeg * halfDeg, 6)
+          .as("q_contrib"))
+      .orderBy("community")
+  }
+
   /** Per-EDGE neighborhood Jaccard over an undirected canonical (a, b)
     * edge list — the link-strength / tie-strength primitive (Jaccard
     * of N(a)\{b} and N(b)\{a}; common neighbors = triangles through
@@ -638,6 +673,27 @@ object Analytics {
         .orderBy("node")
     }),
 
+    // CONNECTED COMPONENTS of the co-occurrence graph (r11):
+    // component sizes through the SHARED hybrid solver
+    // (Dedup.connectedComponents — driver union-find below
+    // LocalCcMaxEdges, loud-convergence large/small-star SoCC'14
+    // above; the forceDistributed hook lets specs pin cross-arm
+    // equality). Completes the graph family: degree/BFS/PageRank run
+    // on the doc-similarity graph, CC here on co-occurrence.
+    "graph_cc" -> ((s, dir) =>
+      graft.operators.Dedup.connectedComponents(cooccurEdgesCached(s, dir))
+        .groupBy(col("cluster").as("component"))
+        .agg(big(count(lit(1))).as("n_nodes"))
+        .orderBy("component")),
+
+    // MODULARITY of the LPA partition (r11): the partition-quality
+    // report — per community, size, internal edges, degree sum and
+    // the Newman-Girvan contribution e_c/m − (d_c/2m)². Community
+    // detection without a quality score is unfalsifiable at scale;
+    // this is the one-number answer to "did LPA find structure".
+    "graph_modularity" -> ((s, dir) =>
+      modularityOf(cooccurEdgesCached(s, dir), LpaRounds)),
+
     // NEIGHBORHOOD JACCARD per co-occurrence edge (r11): tie
     // strength / link prediction over the same graph — common
     // neighbors derived from the degree-ORIENTED triangle
@@ -733,6 +789,27 @@ object Analytics {
     "FROM lineitem l1 JOIN lineitem l2 " +
     "ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey " +
     "GROUP BY 1, 2 HAVING COUNT(*) >= 2)"
+
+  /** Oracle mirror of [[labelPropagate]] at [[LpaRounds]] over the
+    * co-occurrence graph — the full CTE chain through `l{LpaRounds}`
+    * (round i counts neighbor labels from l_{i-1} and picks (max cnt,
+    * min lab) per node: the engine's max(struct(cnt, -lab)) as a
+    * window rank). Shared by graph_label_propagation and
+    * graph_modularity. */
+  private val LpaCte: String = {
+    val rounds = (1 to LpaRounds).map { i =>
+      s"c$i AS (SELECT e.u, l.lab, COUNT(*) AS cnt " +
+      s"FROM e0 e JOIN l${i - 1} l ON e.v = l.node GROUP BY 1, 2), " +
+      s"l$i AS (SELECT u AS node, lab FROM (SELECT u, lab, " +
+      "ROW_NUMBER() OVER (PARTITION BY u ORDER BY cnt DESC, lab ASC) AS rn " +
+      s"FROM c$i) WHERE rn = 1)"
+    }.mkString(", ")
+    CoocCte + ", " +
+    "e0 AS MATERIALIZED (SELECT a AS u, b AS v FROM edges " +
+    "UNION ALL SELECT b AS u, a AS v FROM edges), " +
+    "l0 AS (SELECT DISTINCT u AS node, u AS lab FROM e0), " +
+    rounds
+  }
 
   val oracle: Map[String, String] = Map(
     "events_interval_coalesce" ->
@@ -914,24 +991,40 @@ object Analytics {
       "CAST(SUM(m) AS BIGINT) AS monetary_cents " +
       "FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
     },
-    // the same fixed LpaRounds the engine runs, unrolled: round i
-    // counts neighbor labels from l_{i-1} and picks (max cnt, min lab)
-    // per node — the engine's max(struct(cnt, -lab)) as a window rank
-    "graph_label_propagation" -> {
-      val rounds = (1 to LpaRounds).map { i =>
-        s"c$i AS (SELECT e.u, l.lab, COUNT(*) AS cnt " +
-        s"FROM e0 e JOIN l${i - 1} l ON e.v = l.node GROUP BY 1, 2), " +
-        s"l$i AS (SELECT u AS node, lab FROM (SELECT u, lab, " +
-        "ROW_NUMBER() OVER (PARTITION BY u ORDER BY cnt DESC, lab ASC) AS rn " +
-        s"FROM c$i) WHERE rn = 1)"
-      }.mkString(", ")
-      "WITH " + CoocCte + ", " +
-      "e0 AS MATERIALIZED (SELECT a AS u, b AS v FROM edges " +
-      "UNION ALL SELECT b AS u, a AS v FROM edges), " +
-      "l0 AS (SELECT DISTINCT u AS node, u AS lab FROM e0), " +
-      rounds + " " +
-      s"SELECT node, lab AS community FROM l$LpaRounds ORDER BY node"
-    },
+    // transitive-closure formulation (the dedup_cluster recursion
+    // over the co-occurrence edge list): component id = min reachable
+    // node — independent of the engine's union-find / star rounds
+    "graph_cc" ->
+      ("WITH RECURSIVE " + CoocCte + ", " +
+       "bi AS MATERIALIZED (SELECT a, b FROM edges UNION SELECT b, a FROM edges), " +
+       "reach(src, dst) AS (SELECT a, b FROM bi " +
+       "UNION SELECT r.src, e.b FROM reach r JOIN bi e ON r.dst = e.a), " +
+       "cl AS (SELECT src AS node, LEAST(src, MIN(dst)) AS cluster " +
+       "FROM reach GROUP BY src) " +
+       "SELECT cluster AS component, CAST(COUNT(*) AS BIGINT) AS n_nodes " +
+       "FROM cl GROUP BY 1 ORDER BY 1"),
+    // the same fixed LpaRounds the engine runs, unrolled (LpaCte)
+    "graph_label_propagation" ->
+      ("WITH " + LpaCte + " " +
+       s"SELECT node, lab AS community FROM l$LpaRounds ORDER BY node"),
+    // same LPA labels, then the Newman-Girvan per-community report;
+    // squared term as x*x to mirror the engine's IEEE ops exactly
+    "graph_modularity" ->
+      ("WITH " + LpaCte + ", " +
+       "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges), " +
+       s"lab AS (SELECT node, lab FROM l$LpaRounds), " +
+       "ein AS (SELECT la.lab AS community, CAST(COUNT(*) AS BIGINT) AS e_in " +
+       "FROM edges e JOIN lab la ON e.a = la.node JOIN lab lb ON e.b = lb.node " +
+       "WHERE la.lab = lb.lab GROUP BY 1), " +
+       "deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM e0 GROUP BY 1), " +
+       "ds AS (SELECT la.lab AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes, " +
+       "CAST(SUM(d) AS BIGINT) AS d_sum FROM deg JOIN lab la ON deg.u = la.node GROUP BY 1) " +
+       "SELECT ds.community, n_nodes, CAST(COALESCE(e_in, 0) AS BIGINT) AS e_in, d_sum, " +
+       froundSql("CAST(COALESCE(e_in, 0) AS DOUBLE) / m - " +
+         "(CAST(d_sum AS DOUBLE) / (m * 2)) * (CAST(d_sum AS DOUBLE) / (m * 2))", 6) +
+       " AS q_contrib " +
+       "FROM ds LEFT JOIN ein ON ds.community = ein.community, m " +
+       "ORDER BY ds.community"),
     // independent naive-wedge formulation of the engine's triangle-
     // derived common-neighbor counts (fixture-scale only — the engine
     // side deliberately avoids this hub-unbounded self-join)

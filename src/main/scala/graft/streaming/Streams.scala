@@ -267,6 +267,71 @@ object Streams {
     } finally classified.unpersist()
   }
 
+  /** Bucket count for the streaming-CDC snapshot layout. Fixture-scale
+    * 8; at 100 TB this is the table's real bucket count (thousands) —
+    * the step's cost is proportional to the AFFECTED buckets only,
+    * never the snapshot size. */
+  val CdcSnapshotBuckets = 8L
+
+  /** Normalize an orders change feed into CDC rows: key = o_custkey,
+    * version order = (o_orderdate, o_orderkey) — a TOTAL order, so
+    * latest-wins is well-defined under any arrival order — and op =
+    * 'd' (tombstone) for '5-LOW' priority rows, 'u' otherwise (the
+    * merge_cdc_delete stand-in rule, shared with the oracle). */
+  def cdcDelta(orders: DataFrame): DataFrame =
+    orders.select(
+      col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("o_orderdate"),
+      when(col("o_orderpriority") === "5-LOW", lit("d")).otherwise(lit("u")).as("op"))
+      .withColumn("bucket", pmod(col("o_custkey"), lit(CdcSnapshotBuckets)))
+
+  /** Latest-wins condensation: one surviving change row per key —
+    * the per-key argmax over (o_orderdate, o_orderkey). Tombstones
+    * SURVIVE here (soft delete): keeping the winning tombstone as a
+    * row makes the merge an idempotent absorption — re-applying any
+    * already-applied delta reproduces the same state even when the
+    * winner is a delete — and is exactly the merge-on-read tombstone
+    * retention of Delta/Hudi-style tables (compaction drops them
+    * later). The LIVE view filters `op <> 'd'`. */
+  def cdcLatestWins(changes: DataFrame): DataFrame =
+    changes
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)))
+      .where(col("rn") === 1).drop("rn")
+
+  /** ONE micro-batch of the STREAMING CDC apply — the foreachBatch
+    * body that keeps a bucketed snapshot current from a change feed
+    * (the warehouse "apply the CDC log" job, streaming-native).
+    * Scale shape: the batch's affected bucket set is metadata-scale
+    * (collected once), the snapshot is read PARTITION-PRUNED to those
+    * buckets, merged latest-wins with the batch, and written back via
+    * dynamic partition overwrite — cost O(batch + affected buckets),
+    * never O(snapshot). Exactly-once without a transaction log: the
+    * merge is idempotent (latest-wins over the union absorbs a
+    * replayed delta, tombstones retained as soft deletes) and the
+    * overwrite replaces affected buckets byte-for-byte, so the
+    * crash-window replay (step ran, checkpoint commit lost) lands the
+    * identical state. localCheckpoint breaks the read-from/write-to
+    * self-dependence on the snapshot path (the affected-bucket slice
+    * is batch-scale by construction; a production writer would land a
+    * new snapshot version dir and flip a manifest instead).
+    * StreamCdcApplySpec drives this through a real checkpointed
+    * stream including the replay window. */
+  def cdcApplyStep(s: SparkSession, snapPath: String)(batch: DataFrame, batchId: Long): Unit = {
+    val delta = cdcDelta(batch)
+    val affected = delta.select("bucket").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val existing =
+      if (new java.io.File(snapPath).exists())
+        s.read.parquet(snapPath)
+          .where(col("bucket").isin(affected: _*))
+          .select(delta.columns.map(col): _*)
+      else delta.limit(0)
+    val merged = cdcLatestWins(existing.unionByName(delta)).localCheckpoint()
+    merged.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(snapPath)
+  }
+
   val queries: Map[String, Q] = Map(
     // foreachBatch sink: the escape hatch that gives a stream every
     // batch writer Spark has (parquet here; JDBC/upsert in prod).
@@ -327,6 +392,21 @@ object Streams {
     // dup_base iff the digest is in the base corpus; kept iff first
     // incoming doc_id of its digest; else dup_batch. Chunk identity
     // (bid) only decides WHERE the kept doc lands, never any status.
+    // STREAMING CDC APPLY, batch-declared: the live view of the
+    // bucketed snapshot after the whole change feed has streamed
+    // through [[cdcApplyStep]]. The declaration models the stream
+    // exactly because latest-wins over a TOTAL version order is
+    // associative-commutative-idempotent: sequential per-batch merges
+    // (any chunking, any arrival order, any replay) equal one global
+    // per-key argmax. Tombstone keys drop from the live view;
+    // StreamCdcApplySpec runs the REAL checkpointed foreachBatch job
+    // across a restart + replayed batch and pins snapshot == this.
+    "stream_cdc_apply" -> ((s, dir) =>
+      cdcLatestWins(cdcDelta(orders(s, dir)))
+        .where(col("op") =!= "d")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_custkey")),
+
     "stream_incremental_dedup" -> ((s, dir) => {
       val docs = documents(s, dir)
       val fp = incrementalFp(col("text"))
@@ -403,6 +483,14 @@ object Streams {
     scala.collection.concurrent.TrieMap.empty[String, Boolean]
 
   val oracle: Map[String, String] = Map(
+    // global latest-wins over the total (o_orderdate, o_orderkey)
+    // version order, tombstones ('5-LOW') excluded from the live view
+    "stream_cdc_apply" ->
+      ("WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice, o_orderpriority, " +
+       "ROW_NUMBER() OVER (PARTITION BY o_custkey " +
+       "ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders) " +
+       "SELECT o_custkey, o_orderkey, o_totalprice FROM r " +
+       "WHERE rn = 1 AND o_orderpriority <> '5-LOW' ORDER BY o_custkey"),
     // the chunk-sequential stream equals this global classification
     // (chunks arrive in doc_id order; see the query comment)
     "stream_incremental_dedup" ->

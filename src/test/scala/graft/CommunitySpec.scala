@@ -53,6 +53,16 @@ class CommunitySpec extends SparkSpec {
     assert(got == Map(7L -> 7L, 8L -> 7L, 9L -> 7L), s"got $got")
   }
 
+  test("modularity: bridged cliques score the hand-computed Newman-Girvan contributions") {
+    // m = 13 edges; each community: 6 internal edges, degree sum
+    // 3·3 + 4 = 13 → q = 6/13 − (13/26)² = 0.2115384…, fround6
+    val got = Analytics.modularityOf(twoCliques.toDF("a", "b"), Analytics.LpaRounds)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSeq
+    assert(got == Seq((1L, 4L, 6L, 13L, 0.211538), (11L, 4L, 6L, 13L, 0.211538)),
+      s"got $got")
+  }
+
   test("neighbor Jaccard: planted triangle + pendant + isolated edge") {
     // triangle {1,2,3}, pendant 4 on 1, isolated edge (5,6):
     // degrees d1=3 d2=d3=2 d4=1 d5=d6=1
