@@ -673,6 +673,44 @@ object Analytics {
         .orderBy("node")
     }),
 
+    // LINEAR MULTI-TOUCH ATTRIBUTION (r11): each purchase splits its
+    // value EQUALLY across every non-purchase touch of the same user
+    // in the 7-day lookback (last-touch's candidate-set sibling — here
+    // the candidates must genuinely materialize, which is why the
+    // as-of family avoided them; the bounded lookback keeps the
+    // per-purchase fan-out at per-user weekly activity, never the
+    // whole history). Credits are EXACT integers end to end: pool =
+    // floor-cents × 1000, credit = pool DIV n_touches (millicents) —
+    // no float division, so the sum is order-independent and the
+    // remainder (< n_touches millicents per purchase) is auditable
+    // rather than smeared. Touchless purchases credit 'none' in full.
+    // Scale shape: one user_id equi-join (range as post-filter) + one
+    // purchase-keyed count + one channel agg; the only heavy key is a
+    // bot-grade user — the standard salting hatch applies.
+    "events_attribution_linear" -> ((s, dir) =>
+      attributeLinear(events(s, dir), AttributionLookbackUs)),
+
+    // TOP USER JOURNEY PATHS (r11): the "what do the first five steps
+    // look like" product-analytics staple — each user's first 5
+    // events (by time, event_id ties) join into a '>'-path, counted
+    // and top-20'd. Scale shape: the rn ≤ 5 rank filter compiles to
+    // WindowGroupLimit (per-partition running-rank cutoff — the
+    // corpus never fully sorts), the path agg reuses the user_id
+    // partitioning, and the final top-20 is TakeOrderedAndProject.
+    "events_user_paths" -> ((s, dir) => {
+      val ev = events(s, dir)
+      ev.withColumn("rn", row_number().over(
+          Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))))
+        .where(col("rn") <= 5)
+        .groupBy("user_id")
+        .agg(concat_ws(">",
+          expr("transform(array_sort(collect_list(struct(rn, event_type))), x -> x.event_type)"))
+          .as("path"))
+        .groupBy("path").agg(big(count(lit(1))).as("n_users"))
+        .orderBy(col("n_users").desc, col("path"))
+        .limit(20)
+    }),
+
     // CONNECTED COMPONENTS of the co-occurrence graph (r11):
     // component sizes through the SHARED hybrid solver
     // (Dedup.connectedComponents — driver union-find below
@@ -703,6 +741,34 @@ object Analytics {
     "graph_neighbor_jaccard" -> ((s, dir) =>
       neighborJaccard(cooccurEdgesCached(s, dir)))
   )
+
+  /** Linear multi-touch resolution over an events frame: every
+    * purchase splits its pool (floor-cents × 1000) equally across all
+    * non-purchase touches of the same user within `tolUs` (both the
+    * touch-at-purchase-micro and the lookback boundary INCLUSIVE,
+    * matching [[attributeLastTouch]]'s edges); credit = pool DIV
+    * n_touches in exact integer millicents, touchless purchases
+    * credit 'none' in full. Exposed for AttributionSpec's planted
+    * edge-case sequences. */
+  def attributeLinear(ev: DataFrame, tolUs: Long): DataFrame = {
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("pt"),
+              col("event_id").as("pid"),
+              (floor(col("value") * 100).cast("long") * 1000).as("pool"))
+    val t = ev.where(col("event_type") =!= "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("tt"),
+              col("event_type").as("ch"))
+    p.join(t,
+        p("user_id") === t("user_id") && col("tt") <= col("pt") &&
+        col("pt") - col("tt") <= tolUs, "left")
+      .withColumn("channel", coalesce(col("ch"), lit("none")))
+      .withColumn("n_t", count(lit(1)).over(Window.partitionBy("pid")))
+      .withColumn("credit", expr("pool DIV n_t"))
+      .groupBy("channel")
+      .agg(big(count(lit(1))).as("n_credits"),
+           big(sum(col("credit"))).as("attributed_millicents"))
+      .orderBy("channel")
+  }
 
   /** Session gap threshold: 30 minutes in micros. The break condition
     * is strict (`gap > threshold`): an exactly-30-minute gap stays in
@@ -991,6 +1057,32 @@ object Analytics {
       "CAST(SUM(m) AS BIGINT) AS monetary_cents " +
       "FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
     },
+    // same candidate interval join, integer millicent credits; the
+    // touch-at-purchase-micro and 7-day boundaries both inclusive,
+    // mirroring the engine (and last-touch attribution's edge pins)
+    "events_attribution_linear" ->
+      ("WITH p AS (SELECT user_id, epoch_us(ts) AS pt, event_id AS pid, " +
+       "CAST(FLOOR(value * 100) AS BIGINT) * 1000 AS pool " +
+       "FROM events WHERE event_type = 'purchase'), " +
+       "tch AS (SELECT user_id, epoch_us(ts) AS tt, event_type AS ch " +
+       "FROM events WHERE event_type <> 'purchase'), " +
+       "cand AS (SELECT p.pid, p.pool, COALESCE(t.ch, 'none') AS channel " +
+       "FROM p LEFT JOIN tch t ON t.user_id = p.user_id " +
+       s"AND t.tt <= p.pt AND p.pt - t.tt <= $AttributionLookbackUs), " +
+       "n AS (SELECT pid, COUNT(*) AS n_t FROM cand GROUP BY 1), " +
+       "cr AS (SELECT channel, pool // n_t AS credit FROM cand JOIN n USING (pid)) " +
+       "SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_credits, " +
+       "CAST(SUM(credit) AS BIGINT) AS attributed_millicents " +
+       "FROM cr GROUP BY 1 ORDER BY 1"),
+    // first-5 path per user via the same (ts, event_id) rank, ordered
+    // STRING_AGG, top-20 with the path tie-break
+    "events_user_paths" ->
+      ("WITH o AS (SELECT user_id, event_type, ROW_NUMBER() OVER " +
+       "(PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events), " +
+       "pth AS (SELECT user_id, STRING_AGG(event_type, '>' ORDER BY rn) AS path " +
+       "FROM o WHERE rn <= 5 GROUP BY 1) " +
+       "SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users FROM pth " +
+       "GROUP BY 1 ORDER BY n_users DESC, path LIMIT 20"),
     // transitive-closure formulation (the dedup_cluster recursion
     // over the co-occurrence edge list): component id = min reachable
     // node — independent of the engine's union-find / star rounds

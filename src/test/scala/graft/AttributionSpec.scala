@@ -59,4 +59,32 @@ class AttributionSpec extends SparkSpec {
       (10L, t0, 1L, "purchase", 5.0)))
     assert(got == Map(10L -> "none"))
   }
+
+  private def linear(rows: Seq[(Long, Long, Long, String, Double)]): Map[String, (Long, Long)] =
+    Analytics.attributeLinear(ev(rows), Analytics.AttributionLookbackUs)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("linear attribution: equal integer split, inclusive boundaries, touchless 'none' in full") {
+    val t0 = 1000L * DayUs
+    val got = linear(Seq(
+      // user 1: purchase 10.00 → pool 1,000,000 millicents over 3
+      // touches (one AT the purchase micro, one AT the 7-day edge):
+      // credit 333,333 each, remainder 1 withheld (auditable)
+      (1L, t0 - 7 * DayUs, 1L, "view", 0.0),
+      (2L, t0 - DayUs, 1L, "click", 0.0),
+      (3L, t0, 1L, "view", 0.0),
+      (10L, t0, 1L, "purchase", 10.0),
+      // user 2: only touch is 7 days + 1 µs old → outside, full pool
+      // to 'none'
+      (4L, t0 - 7 * DayUs - 1L, 2L, "click", 0.0),
+      (20L, t0, 2L, "purchase", 5.0),
+      // user 3: a touch AFTER the purchase never credits
+      (5L, t0 + 1L, 3L, "view", 0.0),
+      (30L, t0, 3L, "purchase", 2.0)))
+    assert(got == Map(
+      "view" -> (2L, 666666L),   // users 1 (×2 @333333)
+      "click" -> (1L, 333333L),  // user 1
+      "none" -> (2L, 700000L)),  // users 2 (500000) + 3 (200000)
+      s"got $got")
+  }
 }

@@ -411,6 +411,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange rangepartitioning"), p.take(2000))
   }
 
+  test("events_user_paths: rank cutoff is a WindowGroupLimit, top-20 a TakeOrderedAndProject") {
+    // the rn <= 5 filter must push into the window as a per-partition
+    // running-rank cutoff (the corpus never fully materializes its
+    // rank), and the final top-20 must be heap-based, not a global sort
+    val p = plan("events_user_paths")
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
+
+  test("events_attribution_linear: candidate join is a user-key equi-join, never a product") {
+    val p = plan("events_attribution_linear")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+  }
+
   test("graph_neighbor_jaccard: all equi-joins, no cartesian, no nested-loop fallback") {
     // common-neighbor counts come from the degree-oriented triangle
     // enumeration; every downstream join (degrees ×2, common counts)
