@@ -259,6 +259,22 @@ object Aggregations {
                                   _.cast("string")), ",").as("linenumbers"))
         .orderBy("l_orderkey")),
 
+    // PER-GROUP OLS REGRESSION via sufficient statistics (r11): slope
+    // / intercept / r² of extendedprice on quantity per returnflag —
+    // distributed linear regression THE scalable way: one hash-agg
+    // pass accumulates (n, Σx, Σy, Σxx, Σxy, Σyy) as mergeable
+    // partials, the closed form evaluates on the grouped row. The sums
+    // are DECIMAL-exact (2-decimal inputs; products have ≤4 exact
+    // decimals → DECIMAL(24,6), the dsum6 discipline) so they are
+    // order-independent; the final closed-form division runs the
+    // IDENTICAL IEEE expression tree on both engines before the
+    // fround6 pin. At 100 TB this shape is one corpus scan + a
+    // per-group constant — versus iterative solvers that shuffle per
+    // step. (corr() already proves the co-moment path; this op ships
+    // the full fit.)
+    "agg_group_ols" -> ((s, dir) =>
+      groupOls(lineitem(s, dir), "l_returnflag", "l_quantity", "l_extendedprice")),
+
     // Pairwise correlation matrix: all 6 Pearson correlations among 4
     // measure columns in ONE aggregation pass (Spark computes every
     // corr() as mergeable co-moment partials in the same hash agg), then
@@ -299,6 +315,34 @@ object Aggregations {
         .limit(10)
     })
   )
+
+  /** Per-group OLS fit of `y` on `x` via mergeable sufficient
+    * statistics — (n, Σx, Σy, Σxx, Σxy, Σyy) accumulate decimal-exact
+    * in one hash-agg pass (inputs have ≤2 decimals, products ≤4 →
+    * DECIMAL(24,6), the dsum6 discipline), then the closed form
+    * evaluates per group with an IEEE expression tree the oracle
+    * mirrors token-for-token before the fround6 pin. OlsSpec pins the
+    * algebra on planted exact-fit and known-residual data. */
+  def groupOls(df: org.apache.spark.sql.DataFrame,
+               group: String, x: String, y: String): org.apache.spark.sql.DataFrame = {
+    val nD = col("n").cast("double")
+    val num = nD * col("sxy") - col("sx") * col("sy")
+    val den = nD * col("sxx") - col("sx") * col("sx")
+    val den2 = nD * col("syy") - col("sy") * col("sy")
+    val slope = num / den
+    df.groupBy(group)
+      .agg(big(count(lit(1))).as("n"),
+           sum(col(x).cast("decimal(18,2)")).cast("double").as("sx"),
+           sum(col(y).cast("decimal(18,2)")).cast("double").as("sy"),
+           sum((col(x) * col(x)).cast("decimal(24,6)")).cast("double").as("sxx"),
+           sum((col(x) * col(y)).cast("decimal(24,6)")).cast("double").as("sxy"),
+           sum((col(y) * col(y)).cast("decimal(24,6)")).cast("double").as("syy"))
+      .select(col(group), col("n"),
+              fround(slope, 6).as("slope"),
+              fround((col("sy") - slope * col("sx")) / nD, 6).as("intercept"),
+              fround((num * num) / (den * den2), 6).as("r2"))
+      .orderBy(group)
+  }
 
   val oracle: Map[String, String] = Map(
     "agg_moments" -> momentsSql("events"),
@@ -366,6 +410,25 @@ object Aggregations {
     "agg_collect_sorted" ->
       ("SELECT l_orderkey, STRING_AGG(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber) AS linenumbers " +
        "FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey"),
+    // identical sufficient statistics (decimal-exact sums) and the
+    // identical closed-form IEEE expression tree before the fround pin
+    "agg_group_ols" -> {
+      val num = "CAST(n AS DOUBLE) * sxy - sx * sy"
+      val den = "CAST(n AS DOUBLE) * sxx - sx * sx"
+      val den2 = "CAST(n AS DOUBLE) * syy - sy * sy"
+      "WITH g AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, " +
+      "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx, " +
+      "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy, " +
+      "CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(24,6))) AS DOUBLE) AS sxx, " +
+      "CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(24,6))) AS DOUBLE) AS sxy, " +
+      "CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(24,6))) AS DOUBLE) AS syy " +
+      "FROM lineitem GROUP BY 1) " +
+      "SELECT l_returnflag, n, " +
+      froundSql(s"($num) / ($den)", 6) + " AS slope, " +
+      froundSql(s"(sy - (($num) / ($den)) * sx) / CAST(n AS DOUBLE)", 6) + " AS intercept, " +
+      froundSql(s"(($num) * ($num)) / (($den) * ($den2))", 6) + " AS r2 " +
+      "FROM g ORDER BY l_returnflag"
+    },
     "agg_histogram" ->
       ("SELECT CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS bucket, " +
        "CAST(COUNT(*) AS BIGINT) AS n, " +

@@ -673,6 +673,32 @@ object Analytics {
         .orderBy("node")
     }),
 
+    // COHORT LTV CURVE (r11): cumulative purchase revenue per
+    // first-seen-day cohort across day offsets 0..7 — retention's
+    // revenue twin (the "when does a cohort pay back" curve). Exact
+    // floor-cents end to end; the cumulative window runs over the
+    // ALREADY-aggregated (cohort, offset) rows — metadata-scale, ≤8
+    // rows per cohort — never the event corpus. One user_id shuffle
+    // (first-day agg + join reuse the partitioning), one cohort agg.
+    "events_ltv_curve" -> ((s, dir) => {
+      val e = events(s, dir).select(col("user_id"), to_date(col("ts")).as("d"),
+        when(col("event_type") === "purchase",
+             floor(col("value") * 100).cast("long")).otherwise(0L).as("cents"))
+      val f = e.groupBy("user_id").agg(min(col("d")).as("d0"))
+      val rev = e.join(f, Seq("user_id"))
+        .withColumn("day_offset", big(datediff(col("d"), col("d0"))))
+        .where(col("day_offset") <= 7)
+        .groupBy("d0", "day_offset")
+        .agg(sum(col("cents")).as("cents"))
+      val coh = f.groupBy("d0").agg(big(count(lit(1))).as("n_users"))
+      rev.join(coh, Seq("d0"))
+        .withColumn("cum_cents", big(sum(col("cents"))
+          .over(Window.partitionBy("d0").orderBy("day_offset"))))
+        .select(date_format(col("d0"), "yyyy-MM-dd").as("cohort_day"),
+                col("day_offset"), col("n_users"), col("cum_cents"))
+        .orderBy("cohort_day", "day_offset")
+    }),
+
     // LINEAR MULTI-TOUCH ATTRIBUTION (r11): each purchase splits its
     // value EQUALLY across every non-purchase touch of the same user
     // in the 7-day lookback (last-touch's candidate-set sibling — here
@@ -1057,6 +1083,18 @@ object Analytics {
       "CAST(SUM(m) AS BIGINT) AS monetary_cents " +
       "FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
     },
+    "events_ltv_curve" ->
+      ("WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d, " +
+       "CASE WHEN event_type = 'purchase' THEN CAST(FLOOR(value * 100) AS BIGINT) " +
+       "ELSE 0 END AS cents FROM events), " +
+       "f AS (SELECT user_id, MIN(d) AS d0 FROM e GROUP BY 1), " +
+       "rev AS (SELECT d0, CAST(DATE_DIFF('day', d0, d) AS BIGINT) AS day_offset, " +
+       "SUM(cents) AS cents FROM e JOIN f USING (user_id) " +
+       "WHERE DATE_DIFF('day', d0, d) <= 7 GROUP BY 1, 2), " +
+       "coh AS (SELECT d0, CAST(COUNT(*) AS BIGINT) AS n_users FROM f GROUP BY 1) " +
+       "SELECT STRFTIME(d0, '%Y-%m-%d') AS cohort_day, day_offset, n_users, " +
+       "CAST(SUM(cents) OVER (PARTITION BY d0 ORDER BY day_offset) AS BIGINT) AS cum_cents " +
+       "FROM rev JOIN coh USING (d0) ORDER BY 1, 2"),
     // same candidate interval join, integer millicent credits; the
     // touch-at-purchase-micro and 7-day boundaries both inclusive,
     // mirroring the engine (and last-touch attribution's edge pins)

@@ -136,6 +136,28 @@ object TextOps {
       .select("a", "b", "shared_fp", "n_fp_a", "n_fp_b")
   }
 
+  /** Oracle mirror of [[winnowPairs]] — the full winnow-selection +
+    * posting-index CTE chain ending in `sizes` (per-doc kept-fp
+    * counts) and `p` (the qualifying pairs). Shared by
+    * text_winnow_pairs and text_winnow_clusters. */
+  private lazy val WinnowPairsCte: String =
+    "toks AS (SELECT doc_id, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS t FROM documents), " +
+    s"g AS (SELECT doc_id, UNNEST(CASE WHEN LEN(t) >= $WinnowK THEN RANGE(0, LEN(t) - ${WinnowK - 1}) ELSE [0] END) AS pos, " +
+    s"UNNEST(CASE WHEN LEN(t) >= $WinnowK THEN LIST_TRANSFORM(RANGE(0, LEN(t) - ${WinnowK - 1}), " +
+    s"i -> ARRAY_TO_STRING(t[i+1:i+$WinnowK], ' ')) " +
+    "ELSE [ARRAY_TO_STRING(t, ' ')] END) AS gram FROM toks), " +
+    s"k AS (SELECT doc_id, pos, MD5(gram) || LPAD(CAST($WinnowPosMax - pos AS VARCHAR), $WinnowPosPad, '0') AS k FROM g), " +
+    "w AS (SELECT doc_id, pos, k, COUNT(*) OVER (PARTITION BY doc_id) AS n_grams, " +
+    s"MIN(k) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS wmin FROM k), " +
+    s"sel AS (SELECT doc_id, wmin FROM w WHERE pos <= GREATEST(n_grams - $WinnowW, 0)), " +
+    "fpd AS (SELECT DISTINCT doc_id, SUBSTRING(wmin, 1, 32) AS fp FROM sel), " +
+    s"kept AS (SELECT doc_id, fp FROM fpd WHERE fp NOT IN " +
+    s"(SELECT fp FROM fpd GROUP BY fp HAVING COUNT(*) > $MaxWinnowFpDf)), " +
+    "sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp FROM kept GROUP BY doc_id), " +
+    "p AS (SELECT x.doc_id AS a, y.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS shared_fp " +
+    "FROM kept x JOIN kept y ON x.fp = y.fp AND x.doc_id < y.doc_id " +
+    s"GROUP BY 1, 2 HAVING COUNT(*) >= $MinWinnowShared)"
+
   val queries: Map[String, Q] = Map(
     // Stopword scrubbing (the cleaning pass before tokenizer training):
     // drop stoplist tokens per doc with a row-local array filter — no
@@ -487,6 +509,21 @@ object TextOps {
     "text_winnow_pairs" -> ((s, dir) =>
       winnowPairs(documents(s, dir), MinWinnowShared, MaxWinnowFpDf)
         .orderBy("a", "b")),
+
+    // WINNOW OVERLAP CLUSTERS (r11): the pair graph closed into
+    // excerpt-sharing groups — the final MOSS step (pairs tell you WHO
+    // overlaps; the cluster is the contamination/boilerplate GROUP a
+    // curation pipeline acts on). Rides the SHARED hybrid component
+    // solver (driver union-find at fixture scale, loud-convergence
+    // large/small-star above LocalCcMaxEdges), so the same query is
+    // the 100-TB plan; only docs appearing in a qualifying pair
+    // cluster (singletons are implicitly their own cluster).
+    "text_winnow_clusters" -> ((s, dir) =>
+      graft.operators.Dedup.connectedComponents(
+          winnowPairs(documents(s, dir), MinWinnowShared, MaxWinnowFpDf)
+            .select("a", "b"))
+        .select(col("node").as("doc_id"), col("cluster"))
+        .orderBy("doc_id")),
 
     // Language-ID heuristic trained on the corpus itself: each language's
     // profile = its top-30 most-frequent tokens; a doc's predicted lang =
@@ -870,25 +907,20 @@ object TextOps {
     // part of each selected key (position suffix stripped), per-doc
     // distinct, boilerplate cap mirrored, pair join on fp with a < b
     "text_winnow_pairs" ->
-      ("WITH toks AS (SELECT doc_id, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS t FROM documents), " +
-       s"g AS (SELECT doc_id, UNNEST(CASE WHEN LEN(t) >= $WinnowK THEN RANGE(0, LEN(t) - ${WinnowK - 1}) ELSE [0] END) AS pos, " +
-       s"UNNEST(CASE WHEN LEN(t) >= $WinnowK THEN LIST_TRANSFORM(RANGE(0, LEN(t) - ${WinnowK - 1}), " +
-       s"i -> ARRAY_TO_STRING(t[i+1:i+$WinnowK], ' ')) " +
-       "ELSE [ARRAY_TO_STRING(t, ' ')] END) AS gram FROM toks), " +
-       s"k AS (SELECT doc_id, pos, MD5(gram) || LPAD(CAST($WinnowPosMax - pos AS VARCHAR), $WinnowPosPad, '0') AS k FROM g), " +
-       "w AS (SELECT doc_id, pos, k, COUNT(*) OVER (PARTITION BY doc_id) AS n_grams, " +
-       s"MIN(k) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS wmin FROM k), " +
-       s"sel AS (SELECT doc_id, wmin FROM w WHERE pos <= GREATEST(n_grams - $WinnowW, 0)), " +
-       "fpd AS (SELECT DISTINCT doc_id, SUBSTRING(wmin, 1, 32) AS fp FROM sel), " +
-       s"kept AS (SELECT doc_id, fp FROM fpd WHERE fp NOT IN " +
-       s"(SELECT fp FROM fpd GROUP BY fp HAVING COUNT(*) > $MaxWinnowFpDf)), " +
-       "sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp FROM kept GROUP BY doc_id), " +
-       "p AS (SELECT x.doc_id AS a, y.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS shared_fp " +
-       "FROM kept x JOIN kept y ON x.fp = y.fp AND x.doc_id < y.doc_id " +
-       s"GROUP BY 1, 2 HAVING COUNT(*) >= $MinWinnowShared) " +
+      ("WITH " + WinnowPairsCte + " " +
        "SELECT p.a, p.b, p.shared_fp, sa.n_fp AS n_fp_a, sb.n_fp AS n_fp_b " +
        "FROM p JOIN sizes sa ON p.a = sa.doc_id JOIN sizes sb ON p.b = sb.doc_id " +
        "ORDER BY a, b"),
+    // the winnow pair graph closed transitively (the dedup_cluster
+    // recursion): cluster id = min reachable doc — an independent
+    // derivation of the engine's union-find / star contraction
+    "text_winnow_clusters" ->
+      ("WITH RECURSIVE " + WinnowPairsCte + ", " +
+       "edges AS MATERIALIZED (SELECT a, b FROM p UNION SELECT b, a FROM p), " +
+       "reach(src, dst) AS (SELECT a, b FROM edges " +
+       "UNION SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a) " +
+       "SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster " +
+       "FROM reach GROUP BY src ORDER BY doc_id"),
     "text_langid" ->
       ("WITH tok AS (SELECT doc_id, lang, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS token FROM documents), " +
        "profiles AS (SELECT lang AS profile_lang, token FROM " +

@@ -109,4 +109,28 @@ class WinnowingSpec extends SparkSpec {
       .where(col("n_fp") > col("n_win"))
     assert(d.count() == 0, "more fingerprints than windows")
   }
+
+  test("winnow clusters close transitively: A~B and B~C land one cluster without an A~C pair") {
+    // doc 1 shares paragraph P with doc 2; doc 2 shares a DIFFERENT
+    // paragraph Q with doc 4; docs 1 and 4 share nothing directly —
+    // the cluster must still unite {1, 2, 4} (min id 1), with the
+    // disjoint-vocabulary doc 9 absent entirely
+    val pp = "alpha beta gamma delta epsilon zeta"
+    val qq = "omicron sigma tau upsilon phi chi"
+    val docs = Seq(
+      1L -> s"one two $pp three four five",
+      2L -> s"red orange $pp yellow $qq green blue",
+      4L -> s"six seven eight $qq nine ten",
+      9L -> "lorem ipsum dolor sit amet consectetur adipiscing elit sed")
+      .toDF("doc_id", "text")
+    val pairEdges = TextOps.winnowPairs(docs, 1, TextOps.MaxWinnowFpDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairEdges.contains((1L, 4L)),
+      s"planted paragraphs must NOT pair 1-4 directly: $pairEdges")
+    val clusters = graft.operators.Dedup.connectedComponents(
+        TextOps.winnowPairs(docs, 1, TextOps.MaxWinnowFpDf).select("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 4L -> 1L),
+      s"expected one {1,2,4} cluster rooted at 1, got $clusters")
+  }
 }
