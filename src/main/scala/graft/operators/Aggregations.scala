@@ -36,6 +36,32 @@ object Aggregations {
   }
 
   val queries: Map[String, Q] = Map(
+    // BEHAVIORAL DIVERSITY per user: Shannon entropy and Herfindahl
+    // concentration of the user's event-type distribution — the
+    // "specialist vs generalist" segmentation feature (and the same
+    // shape as class-balance monitoring over a 100-TB label column).
+    // Determinism discipline = text_entropy's: p = cnt/tot is one
+    // division on exact longs; each p·ln(p) / p·p term is cast to
+    // DECIMAL(24,6) BEFORE summing (dsum6 — absorbs last-ulp libm
+    // log() differences per term and makes the cross-category sum
+    // exact in any order). Scale shape: two hash-aggs and a same-key
+    // join — counts and totals are both partitioned by user_id, so
+    // the join adds no exchange; nothing is broadcast (totals are
+    // corpus-cardinality, unlike text_entropy's per-lang table).
+    "agg_group_entropy" -> ((s, dir) => {
+      val counts = events(s, dir).groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("cnt"))
+      val totals = counts.groupBy("user_id")
+        .agg(sum(col("cnt")).as("tot"), big(count(lit(1))).as("n_types"))
+      counts.join(totals, Seq("user_id"))
+        .withColumn("p", col("cnt").cast("double") / col("tot").cast("double"))
+        .groupBy("user_id")
+        .agg(first(col("n_types")).as("n_types"),
+             fround(-dsum6(col("p") * log(col("p"))), 4).as("entropy_nats"),
+             fround(dsum6(col("p") * col("p")), 6).as("hhi"))
+        .orderBy("user_id")
+    }),
+
     // Exact distribution-shape profile (mean/variance/skew/kurtosis)
     // from one pass of mergeable decimal power sums — see momentsSql.
     "agg_moments" -> ((s, dir) => {
@@ -345,6 +371,18 @@ object Aggregations {
   }
 
   val oracle: Map[String, String] = Map(
+    "agg_group_entropy" ->
+      ("WITH c AS (SELECT user_id, event_type, COUNT(*) AS cnt " +
+       "FROM events GROUP BY 1, 2), " +
+       "t AS (SELECT user_id, SUM(cnt) AS tot, " +
+       "CAST(COUNT(*) AS BIGINT) AS n_types FROM c GROUP BY 1), " +
+       "p AS (SELECT c.user_id, t.n_types, " +
+       "CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE) AS p " +
+       "FROM c JOIN t ON t.user_id = c.user_id) " +
+       "SELECT user_id, FIRST(n_types) AS n_types, " +
+       froundSql("-" + dsum6Sql("p * LN(p)"), 4) + " AS entropy_nats, " +
+       froundSql(dsum6Sql("p * p"), 6) + " AS hhi " +
+       "FROM p GROUP BY user_id ORDER BY user_id"),
     "agg_moments" -> momentsSql("events"),
     "agg_bitmap_distinct" ->
       ("WITH words AS (SELECT event_type, user_id // 62 AS bucket, " +

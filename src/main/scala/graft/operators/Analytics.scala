@@ -274,6 +274,36 @@ object Analytics {
       .orderBy("a", "b")
   }
 
+  /** Per-NODE local clustering coefficient over an undirected
+    * canonical (a, b) edge list: coeff(n) = 2·tri(n) / (deg(n)·
+    * (deg(n)−1)) — the fraction of a node's neighbor pairs that are
+    * themselves connected (Watts–Strogatz '98), the standard
+    * local-density score that separates hub-of-a-clique from
+    * hub-of-a-star. Triangle counts come from the degree-ORIENTED
+    * enumeration ([[trianglesOf]] — each id-sorted triple credits its
+    * three corners once), inheriting the O(√m) wedge bound; degree-1
+    * nodes have no neighbor pair and define coeff = 0 on both
+    * engines. The division is one IEEE double op on exact longs,
+    * fround6-pinned — no accumulation-order sensitivity exists. */
+  def clusteringCoeff(edges: DataFrame): DataFrame = {
+    val bidir = edges.select(col("a").as("n"))
+      .unionByName(edges.select(col("b").as("n")))
+    val deg = bidir.groupBy("n").agg(big(count(lit(1))).as("deg"))
+    val tri = trianglesOf(edges)
+    val triPerNode = tri.select(col("a").as("n"))
+      .unionByName(tri.select(col("b").as("n")))
+      .unionByName(tri.select(col("c").as("n")))
+      .groupBy("n").agg(big(count(lit(1))).as("n_tri"))
+    deg.join(triPerNode, Seq("n"), "left")
+      .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)))
+      .select(col("n").as("node"), col("deg"), col("n_tri"),
+        when(col("deg") < 2, lit(0.0))
+          .otherwise(fround(col("n_tri").cast("double") * 2 /
+                            (col("deg") * (col("deg") - 1)), 6))
+          .as("coeff"))
+      .orderBy("node")
+  }
+
   /** Attribution lookback: 7 days in micros, INCLUSIVE at the boundary
     * (a touch exactly 7 days before the purchase attributes — both
     * engines test `purchase_t - touch_t <= tol`; AttributionSpec pins
@@ -765,7 +795,18 @@ object Analytics {
     // joined back on the endpoints. Shares the memoized edge subtree
     // with triangles/kcore/LPA.
     "graph_neighbor_jaccard" -> ((s, dir) =>
-      neighborJaccard(cooccurEdgesCached(s, dir)))
+      neighborJaccard(cooccurEdgesCached(s, dir))),
+
+    // LOCAL CLUSTERING COEFFICIENT per node (r11): 2·tri/(deg·(deg−1))
+    // — the neighborhood-density score (is this hub a clique center
+    // or a star center?). Node-keyed sibling of the edge-keyed
+    // neighbor Jaccard: same memoized edge subtree, same
+    // degree-oriented triangle enumeration (O(√m) wedge bound — the
+    // naive per-node neighbor-pair join is exactly the hub blowup the
+    // orientation prevents), one extra hash-agg to fold triangle
+    // corners per node.
+    "graph_clustering_coeff" -> ((s, dir) =>
+      clusteringCoeff(cooccurEdgesCached(s, dir)))
   )
 
   /** Linear multi-touch resolution over an events frame: every
@@ -1172,6 +1213,28 @@ object Analytics {
        "SELECT a, b, CAST(common AS BIGINT) AS common, " +
        "CASE WHEN denom = 0 THEN 0.0 ELSE " +
        froundSql("CAST(common AS DOUBLE) / denom", 4) + " END AS jaccard " +
-       "FROM j ORDER BY a, b")
+       "FROM j ORDER BY a, b"),
+
+    // independent naive formulation: triangles from the canonical
+    // 3-way edge join (no orientation — the fixture-scale check of
+    // the oriented enumeration), corners exploded per node, degrees
+    // from the bidirected list
+    "graph_clustering_coeff" ->
+      ("WITH " + CoocCte + ", " +
+       "e0 AS MATERIALIZED (SELECT a AS u, b AS v FROM edges " +
+       "UNION ALL SELECT b AS u, a AS v FROM edges), " +
+       "deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM e0 GROUP BY 1), " +
+       "tri AS (SELECT e1.a, e1.b, e2.b AS c FROM edges e1 " +
+       "JOIN edges e2 ON e1.b = e2.a " +
+       "JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b), " +
+       "tn AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (" +
+       "SELECT a AS n FROM tri UNION ALL SELECT b FROM tri " +
+       "UNION ALL SELECT c FROM tri) GROUP BY 1) " +
+       "SELECT deg.u AS node, deg.d AS deg, " +
+       "COALESCE(tn.n_tri, 0) AS n_tri, " +
+       "CASE WHEN deg.d < 2 THEN 0.0 ELSE " +
+       froundSql("CAST(COALESCE(tn.n_tri, 0) AS DOUBLE) * 2 / (deg.d * (deg.d - 1))", 6) +
+       " END AS coeff " +
+       "FROM deg LEFT JOIN tn ON tn.n = deg.u ORDER BY node")
   )
 }

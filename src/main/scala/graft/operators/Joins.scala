@@ -332,6 +332,36 @@ object Joins {
     // across stages (e.g. before a checkpoint) where the optimizer
     // rewrite can't reach. The build is one treeAggregate over the
     // filtered dim; the filter ships to executors as a broadcast.
+    // FUZZY STRING SELF-JOIN (entity resolution): near-identical part
+    // names by Levenshtein distance ≤ 4, the typo/variant-spelling
+    // matcher. The 100-TB discipline is THREE-layer: (1) collapse the
+    // corpus to its name VOCABULARY first (one hash-agg — distance
+    // computations scale with distinct names, never rows); (2) BLOCK
+    // candidates on the noun token (pairs must share it — the declared
+    // contract, mirrored by the oracle, exactly like the dedup
+    // family's MaxShingleDf cap being part of the operator); (3) a
+    // length-band prefilter |len(a)−len(b)| ≤ 4 that is semantics-free
+    // (edit distance ≥ length gap, so it drops only rows Levenshtein
+    // would drop — the oracle omits it and must agree) but prunes
+    // before the O(len²) DP runs. The vocab table is broadcast-sized
+    // by construction, so the block join is exchange-free on the
+    // corpus side.
+    "join_fuzzy_string" -> ((s, dir) => {
+      val vocab = part(s, dir).groupBy(col("p_name").as("name"))
+        .agg(big(count(lit(1))).as("n"))
+        .withColumn("blk", element_at(split(col("name"), " "), -1))
+      val a = vocab.select(col("blk"), col("name").as("name_a"), col("n").as("n_a"))
+      val b = vocab.select(col("blk"), col("name").as("name_b"), col("n").as("n_b"))
+      a.join(b, Seq("blk"))
+        .where(col("name_a") < col("name_b") &&
+               abs(length(col("name_a")) - length(col("name_b"))) <= 4 &&
+               levenshtein(col("name_a"), col("name_b")) <= 4)
+        .select(col("name_a"), col("name_b"),
+                big(levenshtein(col("name_a"), col("name_b"))).as("dist"),
+                col("n_a"), col("n_b"))
+        .orderBy("name_a", "name_b")
+    }),
+
     "join_bloom_prefilter" -> ((s, dir) => {
       val urgent = orders(s, dir)
         .where(col("o_orderpriority") === "1-URGENT")
@@ -449,6 +479,17 @@ object Joins {
        "(SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_items, " +
        dsumSql("l_quantity") + " AS qty FROM lineitem GROUP BY l_returnflag) " +
        "ORDER BY r_name, l_returnflag"),
+    // same vocab + noun-token blocking contract; the length-band
+    // prefilter is deliberately absent (it must be semantics-free)
+    "join_fuzzy_string" ->
+      ("WITH vocab AS (SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n, " +
+       "split_part(p_name, ' ', -1) AS blk FROM part GROUP BY 1) " +
+       "SELECT a.name AS name_a, b.name AS name_b, " +
+       "CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist, " +
+       "a.n AS n_a, b.n AS n_b " +
+       "FROM vocab a JOIN vocab b ON a.blk = b.blk AND a.name < b.name " +
+       "WHERE levenshtein(a.name, b.name) <= 4 " +
+       "ORDER BY name_a, name_b"),
     "join_bloom_prefilter" ->
       ("SELECT CAST(MONTH(o_orderdate) AS BIGINT) AS order_month, " +
        "CAST(COUNT(*) AS BIGINT) AS n_items, " +

@@ -298,6 +298,69 @@ object Relational {
     // delta is normally days-scale vs a years-scale base: broadcast
     // the delta side and the merge touches the base exactly once, or
     // bucket both by entity key and it is exchange-free.
+    // COLUMN PROFILING REPORT — the data-quality first-look every
+    // ingestion pipeline runs before trusting 100 TB: per column,
+    // row/non-null/distinct counts and min/max (stringified to one
+    // uniform report schema). ONE scan: all per-column aggregates sit
+    // in a single Aggregate node (the exact multi-DISTINCT compiles
+    // to Spark's Expand — row-multiplied by #distinct-columns but
+    // still one pass, map-side partial per branch; at production
+    // scale swap countDistinct for approx_count_distinct and the
+    // Expand disappears entirely, same report schema), then the
+    // 1-row result pivots to report rows DRIVER-SIDE-FREE via a
+    // row-local explode. The oracle is a per-column UNION ALL — a
+    // genuinely independent formulation.
+    "profile_columns" -> ((s, dir) => {
+      val cols = Seq("l_orderkey", "l_linenumber", "l_quantity",
+                     "l_extendedprice", "l_returnflag", "l_shipdate")
+      val li = lineitem(s, dir)
+      val aggs = big(count(lit(1))).as("n_rows") +:
+        cols.flatMap(c => Seq(
+          big(count(col(c))).as(s"nn_$c"),
+          big(countDistinct(col(c))).as(s"nd_$c"),
+          min(col(c)).cast("string").as(s"mn_$c"),
+          max(col(c)).cast("string").as(s"mx_$c")))
+      li.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(cols.map(c => struct(
+            lit(c).as("col_name"), col("n_rows"),
+            col(s"nn_$c").as("n_nonnull"), col(s"nd_$c").as("n_distinct"),
+            col(s"mn_$c").as("min_val"), col(s"mx_$c").as("max_val"))): _*))
+          .as("p"))
+        .select(col("p.*"))
+        .orderBy("col_name")
+    }),
+
+    // INCREMENTAL AGGREGATE-VIEW MAINTENANCE: keep a per-customer
+    // stats view current by MERGING the stored snapshot state with the
+    // delta's partial state — never rescanning history. Works because
+    // every component is a commutative monoid (count/sum add, max
+    // joins): merge(partial(old), partial(new)) ≡ full(old ∪ new) —
+    // the algebra behind every streaming materialized view and the
+    // only shape that survives when "recompute the view" means
+    // rescanning 100 TB. The oracle IS the full recompute over all
+    // rows, so CORRECTNESS checks the monoid law end-to-end, not a
+    // mirrored implementation. Money stays exact floor-cents. Scale
+    // shape: the delta agg touches only delta rows; the merge is a
+    // union + re-agg on the view key (in storage terms: the snapshot
+    // re-reads ONLY to merge — bucketed by custkey it is
+    // exchange-free, and the union'd re-agg is map-side combinable).
+    "agg_incremental_maintain" -> ((s, dir) => {
+      val o = orders(s, dir)
+        .withColumn("cents", floor(col("o_totalprice") * 100).cast("long"))
+      def state(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("o_custkey").agg(
+          count(lit(1)).as("n"), sum(col("cents")).as("c"),
+          max(col("o_orderdate")).as("d"))
+      val snapshot = state(o.where(col("o_orderdate") < MergeCutoff))
+      val delta    = state(o.where(col("o_orderdate") >= MergeCutoff))
+      snapshot.unionByName(delta)
+        .groupBy("o_custkey")
+        .agg(big(sum(col("n"))).as("n_orders"),
+             big(sum(col("c"))).as("total_cents"),
+             max(col("d")).as("last_order_d"))
+        .orderBy("o_custkey")
+    }),
+
     "merge_upsert" -> ((s, dir) => {
       val base  = latestPerCustomer(orders(s, dir).where(col("o_orderdate") < MergeCutoff), "b")
       val delta = latestPerCustomer(orders(s, dir).where(col("o_orderdate") >= MergeCutoff), "d")
@@ -500,6 +563,28 @@ object Relational {
        "CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1) / 4294967296.0) " +
        "/ n_chars", 8) + " AS wkey FROM documents) " +
        "SELECT doc_id, lang, n_chars, wkey FROM b ORDER BY wkey, doc_id LIMIT 100"),
+    // independent per-column UNION ALL formulation of the one-pass
+    // profiling aggregate
+    "profile_columns" -> {
+      val cols = Seq("l_orderkey", "l_linenumber", "l_quantity",
+                     "l_extendedprice", "l_returnflag", "l_shipdate")
+      cols.map(c =>
+        s"SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        s"CAST(COUNT($c) AS BIGINT) AS n_nonnull, " +
+        s"CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct, " +
+        s"CAST(MIN($c) AS VARCHAR) AS min_val, " +
+        s"CAST(MAX($c) AS VARCHAR) AS max_val FROM lineitem"
+      ).mkString("", " UNION ALL ", " ORDER BY col_name")
+    },
+
+    // the oracle is the FULL recompute — the monoid law
+    // merge(partial(snapshot), partial(delta)) == full(all rows) is
+    // what the comparison proves
+    "agg_incremental_maintain" ->
+      ("SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders, " +
+       "CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents, " +
+       "MAX(o_orderdate) AS last_order_d " +
+       "FROM orders GROUP BY 1 ORDER BY 1"),
     "merge_upsert" ->
       ("WITH base AS (SELECT * FROM (SELECT o_custkey, o_orderkey, o_totalprice, o_orderpriority, " +
        "ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn " +

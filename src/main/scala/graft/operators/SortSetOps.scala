@@ -65,6 +65,26 @@ object SortSetOps {
         .orderBy(col("total").desc, col("o_orderkey"))
         .offset(100).limit(20)),
 
+    // PARETO FRONTIER (2-D skyline) per brand: the parts no other
+    // same-brand part beats on BOTH price (lower better) and size
+    // (higher better) — the multi-objective shortlist primitive
+    // (cheapest-per-capability curve). Never the quadratic dominance
+    // join: collapsing to per-(brand, price) maxima first makes
+    // prices unique within a brand, so the frontier is exactly the
+    // strictly-increasing-size prefix — one running-max window over
+    // the strictly-preceding frame decides survival. Scale shape:
+    // the window runs over the AGGREGATED (brand × distinct-price)
+    // domain — bounded by the price grid, not the corpus — after one
+    // hash-agg pass; the oracle is the independent NOT-EXISTS
+    // dominance formulation over the same candidate set.
+    "topk_pareto_frontier" -> ((s, dir) =>
+      paretoFrontier(part(s, dir).select(
+          col("p_brand").as("grp"), col("p_retailprice").as("price"),
+          col("p_size").cast("long").as("sz")))
+        .select(col("grp").as("brand"), r2(col("price")).as("price"),
+                col("max_size"))
+        .orderBy("brand", "price")),
+
     // UNION ALL of two time slices, re-aggregated — the i3cols
     // combine-runs analog: union is plan-level only, no shuffle of its own.
     "set_union_all" -> ((s, dir) => {
@@ -100,6 +120,21 @@ object SortSetOps {
     })
   )
 
+  /** 2-D skyline over (grp, price↓-better, sz↑-better) points —
+    * exposed for ParetoSpec's planted dominance cases. Collapsing to
+    * per-(grp, price) maxima makes prices unique within a group, so
+    * the frontier is exactly the rows whose size strictly exceeds the
+    * running max over all strictly-cheaper candidates: one hash-agg +
+    * one bounded window, never the quadratic dominance join. */
+  def paretoFrontier(points: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cand = points.groupBy("grp", "price").agg(big(max(col("sz"))).as("max_size"))
+    val w = Window.partitionBy("grp").orderBy("price")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cand.withColumn("m", max(col("max_size")).over(w))
+      .where(col("m").isNull || col("m") < col("max_size"))
+      .drop("m")
+  }
+
   val oracle: Map[String, String] = Map(
     "sort_multi_nulls" ->
       ("SELECT o_orderkey, NULLIF(o_orderpriority, '5-LOW') AS pri, ROUND(o_totalprice, 2) AS total " +
@@ -119,6 +154,17 @@ object SortSetOps {
     "sort_paginate" ->
       ("SELECT o_orderkey, ROUND(o_totalprice, 2) AS total FROM orders " +
        "ORDER BY total DESC, o_orderkey LIMIT 20 OFFSET 100"),
+    // independent dominance formulation: NOT EXISTS over the same
+    // per-(brand, price) candidate maxima
+    "topk_pareto_frontier" ->
+      ("WITH cand AS (SELECT p_brand, p_retailprice AS price, " +
+       "CAST(MAX(p_size) AS BIGINT) AS max_size FROM part GROUP BY 1, 2) " +
+       "SELECT p_brand AS brand, ROUND(price, 2) AS price, max_size " +
+       "FROM cand c WHERE NOT EXISTS (" +
+       "SELECT 1 FROM cand o WHERE o.p_brand = c.p_brand " +
+       "AND o.price <= c.price AND o.max_size >= c.max_size " +
+       "AND (o.price < c.price OR o.max_size > c.max_size)) " +
+       "ORDER BY brand, price"),
     "set_union_all" ->
       ("SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS val_sum FROM (" +
        "SELECT * FROM events WHERE EXTRACT(day FROM ts) BETWEEN 1 AND 10 " +

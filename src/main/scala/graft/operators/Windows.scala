@@ -132,6 +132,37 @@ object Windows {
         .orderBy("event_id")
     }),
 
+    // EXPONENTIALLY-WEIGHTED MOVING AVERAGE per user — the trend
+    // smoother that weights recent observations geometrically
+    // (feature-engineering's "recent behavior" signal). Engine-exact
+    // BY CONSTRUCTION, not by rounding tolerance: decay 1/2 over
+    // integer CENTS with a 20-row bounded frame means every term
+    // cents·2⁻ʲ is an exact double (≤16 integer bits + ≤19 shifted
+    // bits < 53-bit mantissa), so numerator and denominator are exact
+    // in ANY accumulation order and the single final division is one
+    // deterministic IEEE op — the DuckDB oracle's join-based
+    // formulation lands on the identical bits. The bounded frame is
+    // also the scale property: per-row state is O(20) on year-long
+    // user timelines, and the HOF fold is row-local after the one
+    // user_id shuffle (same discipline as win_rolling_median).
+    "win_ewma" -> ((s, dir) => ewmaHalving(events(s, dir))),
+
+    // LINEAR GAP INTERPOLATION of a per-user daily series — the
+    // time-series repair step beyond win_fill_forward's step function:
+    // missing days get the straight line between the surrounding
+    // observations. The day spine is GENERATED per user from its own
+    // (min, max) span (sequence + explode — row-local after the
+    // per-user agg; never a cross join against a global calendar),
+    // observations attach by (user, day) equi-join, and prev/next
+    // anchors resolve with last/first(ignoreNulls) windows over ONE
+    // user_id partitioning. Determinism: anchors are exact longs
+    // (floor-cents and day offsets), so `pv + (nv−pv)·Δd / span` is
+    // exact-integer arithmetic until a single IEEE division — both
+    // engines land on identical bits before the fround4 pin.
+    // Boundaries never dangle: the spine starts and ends ON observed
+    // days, so every gap is interior.
+    "win_interpolate" -> ((s, dir) => interpolateDaily(events(s, dir))),
+
     // Running DISTINCT count per user (distinct event types seen so
     // far): exact cumulative distinct is not a frame-able aggregate, so
     // it decomposes into two windows — a first-occurrence flag
@@ -153,6 +184,56 @@ object Windows {
         .orderBy("event_id")
     })
   )
+
+  /** The win_ewma body over any (event_id, user_id, ts, value) frame —
+    * exposed so TimeSeriesSpec can pin the decay algebra on planted
+    * sequences. See the win_ewma entry for the exactness argument. */
+  def ewmaHalving(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-19, Window.currentRow)
+    ev.withColumn("cents", floor(col("value") * 100).cast("long"))
+      .withColumn("lst", collect_list(col("cents")).over(w))
+      .select(col("event_id"), col("user_id"),
+        fround(
+          expr("aggregate(transform(lst, (v, i) -> v * pow(0.5, size(lst) - 1 - i)), " +
+               "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)") /
+          expr("aggregate(transform(lst, (v, i) -> pow(0.5, size(lst) - 1 - i)), " +
+               "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)") / 100.0, 6)
+          .as("ewma"))
+      .orderBy("event_id")
+  }
+
+  /** The win_interpolate body over any (user_id, ts, value) frame —
+    * exposed so TimeSeriesSpec can pin the gap geometry on planted
+    * series. See the win_interpolate entry for the spine/anchor and
+    * exactness discipline. */
+  def interpolateDaily(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val daily = ev
+      .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
+    val spine = daily.groupBy("user_id")
+      .agg(min("d").as("d0"), max("d").as("d1"))
+      .select(col("user_id"),
+              explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+    val wPrev = Window.partitionBy("user_id").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy("user_id").orderBy("d")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    spine.join(daily, Seq("user_id", "d"), "left")
+      .withColumn("od", when(col("cents").isNotNull, col("d")))
+      .withColumn("pd", last(col("od"), ignoreNulls = true).over(wPrev))
+      .withColumn("pv", last(col("cents"), ignoreNulls = true).over(wPrev))
+      .withColumn("nd", first(col("od"), ignoreNulls = true).over(wNext))
+      .withColumn("nv", first(col("cents"), ignoreNulls = true).over(wNext))
+      .select(col("user_id"), col("d"),
+        when(col("cents").isNotNull, lit(1L)).otherwise(lit(0L)).as("is_obs"),
+        fround(
+          when(col("cents").isNotNull, col("cents").cast("double"))
+            .otherwise(col("pv") +
+              (col("nv") - col("pv")) * datediff(col("d"), col("pd")) /
+              datediff(col("nd"), col("pd"))) / 100.0, 4).as("filled"))
+      .orderBy("user_id", "d")
+  }
 
   val oracle: Map[String, String] = Map(
     "win_rolling_median" ->
@@ -207,6 +288,51 @@ object Windows {
        "WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) " +
        "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) " +
        "ORDER BY event_id"),
+    // same spine/anchor construction; DuckDB's generate_series is
+    // date-inclusive like Spark's sequence, DATE − DATE yields integer
+    // days, and the interpolation expression repeats the engine's
+    // exact-longs-then-one-division order token for token
+    "win_interpolate" ->
+      ("WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS d, " +
+       "SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS cents " +
+       "FROM events GROUP BY 1, 2), " +
+       "spine AS (SELECT user_id, " +
+       "UNNEST(generate_series(MIN(d), MAX(d), INTERVAL 1 DAY))::DATE AS d " +
+       "FROM daily GROUP BY user_id), " +
+       "j AS (SELECT s.user_id, s.d, daily.cents, " +
+       "CASE WHEN daily.cents IS NOT NULL THEN s.d END AS od " +
+       "FROM spine s LEFT JOIN daily ON daily.user_id = s.user_id AND daily.d = s.d), " +
+       "a AS (SELECT user_id, d, cents, " +
+       "LAST_VALUE(od IGNORE NULLS) OVER wp AS pd, " +
+       "LAST_VALUE(cents IGNORE NULLS) OVER wp AS pv, " +
+       "FIRST_VALUE(od IGNORE NULLS) OVER wn AS nd, " +
+       "FIRST_VALUE(cents IGNORE NULLS) OVER wn AS nv " +
+       "FROM j WINDOW " +
+       "wp AS (PARTITION BY user_id ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), " +
+       "wn AS (PARTITION BY user_id ORDER BY d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) " +
+       "SELECT user_id, d, " +
+       "CASE WHEN cents IS NOT NULL THEN 1 ELSE 0 END::BIGINT AS is_obs, " +
+       froundSql("(CASE WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE) " +
+         "ELSE pv + (nv - pv) * (d - pd) / (nd - pd) END) / 100.0", 4) +
+       " AS filled FROM a ORDER BY user_id, d"),
+
+    // independent join-based formulation of the same 20-row decay-1/2
+    // EWMA: every (row, frame-row) pair materializes with weight
+    // 0.5^(rn1-rn2); exactness of cents·2⁻ʲ terms makes SUM order
+    // irrelevant, so the window fold and this join agree bit-for-bit
+    "win_ewma" ->
+      ("WITH r AS (SELECT event_id, user_id, " +
+       "CAST(FLOOR(value * 100) AS BIGINT) AS cents, " +
+       "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn " +
+       "FROM events), " +
+       "p AS (SELECT r1.event_id, r1.user_id, " +
+       "SUM(r2.cents * POWER(0.5, r1.rn - r2.rn)) AS num, " +
+       "SUM(POWER(0.5, r1.rn - r2.rn)) AS den " +
+       "FROM r r1 JOIN r r2 ON r2.user_id = r1.user_id " +
+       "AND r1.rn - r2.rn BETWEEN 0 AND 19 GROUP BY 1, 2) " +
+       "SELECT event_id, user_id, " +
+       froundSql("num / den / 100.0", 6) + " AS ewma " +
+       "FROM p ORDER BY event_id"),
     "win_running_distinct" ->
       ("WITH f AS (SELECT event_id, user_id, ts, " +
        "CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type " +

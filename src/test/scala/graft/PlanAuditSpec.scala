@@ -493,6 +493,71 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
+  test("win_ewma and win_interpolate shuffle the corpus once on user_id") {
+    // both ops stack their windows over a single user_id hash
+    // partitioning (interpolate's spine join shares the composite key
+    // exchange); neither may fall into a SinglePartition window
+    for (q <- Seq("win_ewma", "win_interpolate")) {
+      val p = plan(q)
+      assert(!p.contains("SinglePartition"), s"$q:\n" + p.take(3000))
+      assert(p.contains("hashpartitioning(user_id"), s"$q:\n" + p.take(3000))
+    }
+    // ewma specifically: ONE corpus window exchange (the trailing
+    // range exchange is the ordered output)
+    val pe = plan("win_ewma")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(pe).size == 1, pe.take(3000))
+  }
+
+  test("topk_pareto_frontier is window-over-aggregated-domain: no join anywhere") {
+    // the skyline must come from the running-max window over the
+    // per-(brand, price) candidate aggregate — a dominance self-join
+    // (the oracle's quadratic NOT EXISTS) in the engine plan would be
+    // the 100 TB bug
+    val p = plan("topk_pareto_frontier")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("Window"), p.take(3000))
+  }
+
+  test("join_fuzzy_string: vocab-sized broadcast equi-join, never a corpus product") {
+    val p = plan("join_fuzzy_string")
+    // the distance join runs on the aggregated name vocabulary,
+    // blocked on the noun token: an equi-join (broadcast at this
+    // size), with the O(len²) levenshtein behind the block + length
+    // band — a cartesian/BNLJ means blocking leaked out
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("profile_columns reads the table ONCE (single scan under the Expand)") {
+    val p = plan("profile_columns")
+    // all per-column aggregates (incl. the exact multi-DISTINCT's
+    // Expand) must sit over one FileScan — a per-column scan would
+    // read the corpus six times
+    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(3000))
+    assert(p.contains("Expand"), p.take(3000))
+  }
+
+  test("agg_incremental_maintain merges partial states map-side (partial+final aggs)") {
+    val p = plan("agg_incremental_maintain")
+    // snapshot and delta partials union then re-aggregate: the merge
+    // agg must itself split partial/final (map-side combinable), and
+    // no join appears — state merge is union + agg, never a join
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
+  test("agg_group_entropy joins counts to totals without a third exchange") {
+    val p = plan("agg_group_entropy")
+    // counts (user, type) and totals (user) both hash-partition by
+    // user_id-prefixed keys; the join and final agg must reuse those
+    // partitionings rather than add exchanges: at most the two
+    // aggregation exchanges appear (plus the trailing ordered output)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3, p.take(3000))
+  }
+
   test("whole-stage codegen covers the hot paths of the flagship aggregate") {
     // AQE finalizes stages only at execution; run the query, then check
     // the final adaptive plan for codegen stage markers (`*(n)`)
