@@ -62,6 +62,18 @@ object Aggregations {
         .orderBy("user_id")
     }),
 
+    // ROBUST SCALE per group: median + median-absolute-deviation —
+    // the outlier-immune (mean, std) replacement that anomaly
+    // thresholds actually want (one bot-grade user shifts a std,
+    // not a MAD). Exact MAD is irreducibly two-pass (the second
+    // median depends on the first); both passes are plain hash-aggs
+    // and the per-group medians broadcast back (group cardinality =
+    // event types, metadata-scale). At 100 TB swap percentile for
+    // approx_percentile — identical shape, one line. Interpolated
+    // medians of 2-dec money terminate at 3 decimals (the
+    // win_rolling_median argument), so fround4 is midpoint-free.
+    "agg_mad" -> ((s, dir) => madOf(events(s, dir))),
+
     // Exact distribution-shape profile (mean/variance/skew/kurtosis)
     // from one pass of mergeable decimal power sums — see momentsSql.
     "agg_moments" -> ((s, dir) => {
@@ -370,7 +382,31 @@ object Aggregations {
       .orderBy(group)
   }
 
+  /** The agg_mad body over any (event_type, value) frame — exposed so
+    * TimeSeriesSpec can pin the outlier-immunity on a planted spike.
+    * See the agg_mad query comment for the two-pass/broadcast shape. */
+  def madOf(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val med = ev.groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    ev.join(broadcast(med), Seq("event_type"))
+      .withColumn("adev", abs(col("value") - col("med")))
+      .groupBy("event_type")
+      .agg(big(count(lit(1))).as("n"),
+           fround(max(col("med")), 4).as("median_value"),
+           fround(expr("percentile(adev, 0.5)"), 4).as("mad"))
+      .orderBy("event_type")
+  }
+
   val oracle: Map[String, String] = Map(
+    "agg_mad" ->
+      ("WITH m AS (SELECT event_type, QUANTILE_CONT(value, 0.5) AS med " +
+       "FROM events GROUP BY 1), " +
+       "a AS (SELECT e.event_type, m.med, ABS(e.value - m.med) AS adev " +
+       "FROM events e JOIN m USING (event_type)) " +
+       "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
+       froundSql("MAX(med)", 4) + " AS median_value, " +
+       froundSql("QUANTILE_CONT(adev, 0.5)", 4) + " AS mad " +
+       "FROM a GROUP BY 1 ORDER BY 1"),
     "agg_group_entropy" ->
       ("WITH c AS (SELECT user_id, event_type, COUNT(*) AS cnt " +
        "FROM events GROUP BY 1, 2), " +

@@ -274,6 +274,30 @@ object Analytics {
       .orderBy("a", "b")
   }
 
+  /** Degree assortativity over an undirected canonical (a, b) edge
+    * list — see the graph_assortativity query comment for the exact-
+    * longs / double-cast discipline. Exposed so TimeSeriesSpec can pin
+    * the planted-star r = −1 extreme. Degenerate graphs (all degrees
+    * equal → zero variance) return null, matching SQL 0/0. */
+  def assortativityOf(edges: DataFrame): DataFrame = {
+    val bidir = edges.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
+    val deg = bidir.groupBy("u").agg(count(lit(1)).as("d"))
+    bidir
+      .join(deg.select(col("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("u").as("v"), col("d").as("dv")), Seq("v"))
+      .agg(big(count(lit(1))).as("n"),
+           sum("du").as("sx"), sum("dv").as("sy"),
+           sum(col("du") * col("du")).as("sxx"),
+           sum(col("dv") * col("dv")).as("syy"),
+           sum(col("du") * col("dv")).as("sxy"))
+      .select(col("n").as("n_dir_edges"),
+        fround((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+               (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6)
+          .as("assortativity"))
+  }
+
   /** Per-NODE local clustering coefficient over an undirected
     * canonical (a, b) edge list: coeff(n) = 2·tri(n) / (deg(n)·
     * (deg(n)−1)) — the fraction of a node's neighbor pairs that are
@@ -797,6 +821,21 @@ object Analytics {
     "graph_neighbor_jaccard" -> ((s, dir) =>
       neighborJaccard(cooccurEdgesCached(s, dir))),
 
+    // DEGREE ASSORTATIVITY of the co-occurrence graph (Newman '02):
+    // Pearson correlation of endpoint degrees over the directed edge
+    // list — the one-number answer to "do hubs link to hubs?"
+    // (positive: social-like core; negative: hub-and-spoke), which
+    // decides whether the degree-oriented wedge bound has teeth on
+    // THIS graph. Sufficient statistics (n, Σdu, Σdv, Σdu², Σdv²,
+    // Σdu·dv) are EXACT LONGS in one mergeable hash-agg (degrees are
+    // ints — the OLS discipline with no decimals needed); the closed
+    // form casts the two variance factors to double BEFORE their
+    // product (each is < 2⁵³ so the conversion is exact; the long
+    // product would overflow), then one multiply/sqrt/divide chain
+    // the oracle repeats token for token ahead of the fround6 pin.
+    "graph_assortativity" -> ((s, dir) =>
+      assortativityOf(cooccurEdgesCached(s, dir))),
+
     // LOCAL CLUSTERING COEFFICIENT per node (r11): 2·tri/(deg·(deg−1))
     // — the neighborhood-density score (is this hub a clique center
     // or a star center?). Node-keyed sibling of the edge-keyed
@@ -1214,6 +1253,22 @@ object Analytics {
        "CASE WHEN denom = 0 THEN 0.0 ELSE " +
        froundSql("CAST(common AS DOUBLE) / denom", 4) + " END AS jaccard " +
        "FROM j ORDER BY a, b"),
+
+    // same sufficient statistics over the bidirected list; DuckDB's
+    // HUGEINT sums re-cast to double at the same two points
+    "graph_assortativity" ->
+      ("WITH " + CoocCte + ", " +
+       "e0 AS MATERIALIZED (SELECT a AS u, b AS v FROM edges " +
+       "UNION ALL SELECT b AS u, a AS v FROM edges), " +
+       "deg AS (SELECT u, COUNT(*) AS d FROM e0 GROUP BY 1), " +
+       "p AS (SELECT da.d AS du, db.d AS dv FROM e0 " +
+       "JOIN deg da ON da.u = e0.u JOIN deg db ON db.u = e0.v), " +
+       "s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(du) AS sx, SUM(dv) AS sy, " +
+       "SUM(du * du) AS sxx, SUM(dv * dv) AS syy, SUM(du * dv) AS sxy FROM p) " +
+       "SELECT n AS n_dir_edges, " +
+       froundSql("CAST(n * sxy - sx * sy AS DOUBLE) / " +
+         "SQRT(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))", 6) +
+       " AS assortativity FROM s ORDER BY n_dir_edges"),
 
     // independent naive formulation: triangles from the canonical
     // 3-way edge join (no orientation — the fixture-scale check of

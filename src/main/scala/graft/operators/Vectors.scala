@@ -92,6 +92,37 @@ object Vectors {
             .as("qsum"))
         .orderBy("vec_id")),
 
+    // PER-DIMENSION STANDARDIZATION (z-score feature scaling) — the
+    // preprocessing step distance-based methods assume: each dimension
+    // recentered/rescaled by corpus-wide mean/std. Classic TWO-PASS
+    // broadcast shape: pass 1 is one hash-agg of decimal-exact power
+    // sums per dimension (the dimension table is d rows — broadcast
+    // back regardless of corpus size); pass 2 standardizes row-locally
+    // and re-aggregates per vector. Determinism: mean/std derive from
+    // dsum6 sums (order-free), each z is a fixed chain of IEEE ops,
+    // z² terms re-pin through dsum6 before the final sqrt/fround. At
+    // 100 TB both passes are single-scan, and the explode never
+    // shuffles: stats come from map-side partials, z stays row-local
+    // until the per-vector agg.
+    "vec_standardize" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+        .select(col("vec_id"),
+                posexplode(Similarity.asDouble(col("embedding"))))
+        .toDF("vec_id", "pos", "v")
+      val stats = e.groupBy("pos").agg(
+        dsum6(col("v")).as("s1"), dsum6(col("v") * col("v")).as("s2"),
+        big(count(lit(1))).as("n"))
+      e.join(broadcast(stats), Seq("pos"))
+        .withColumn("z",
+          (col("v") - col("s1") / col("n")) /
+          sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)))
+        .groupBy("vec_id")
+        .agg(big(count(lit(1))).as("n_dims"),
+             fround(sqrt(dsum6(col("z") * col("z"))), 4).as("z_norm"),
+             fround(max(abs(col("z"))), 4).as("max_abs_z"))
+        .orderBy("vec_id")
+    }),
+
     // IVF ANN with TRAINED coarse centroids (VERDICT r5 #6): seeded
     // init (the nlist=8 lowest vec_ids) refined by IvfLloydIters
     // deterministic Lloyd rounds — assignment is max-cosine (ties to
@@ -526,6 +557,22 @@ object Vectors {
        froundSql("127.0 / amax", 6) + " AS scale, " +
        "CAST(LIST_SUM(LIST_TRANSFORM(v, e -> CAST(FLOOR(e * 127.0 / amax + 0.5) AS BIGINT))) AS BIGINT) AS qsum " +
        "FROM a ORDER BY vec_id"),
+    // same two-pass standardization; subscripts are 1-based here vs
+    // posexplode's 0-based — irrelevant, the key only links a value to
+    // its own dimension's stats within one engine
+    "vec_standardize" ->
+      ("WITH pe AS (SELECT vec_id, GENERATE_SUBSCRIPTS(embedding, 1) AS pos, " +
+       "UNNEST(CAST(embedding AS DOUBLE[])) AS v FROM embeddings), " +
+       "st AS (SELECT pos, " + dsum6Sql("v") + " AS s1, " +
+       dsum6Sql("v * v") + " AS s2, CAST(COUNT(*) AS BIGINT) AS n " +
+       "FROM pe GROUP BY pos), " +
+       "z AS (SELECT pe.vec_id, " +
+       "(pe.v - st.s1 / st.n) / SQRT((st.s2 - st.s1 * st.s1 / st.n) / (st.n - 1)) AS z " +
+       "FROM pe JOIN st USING (pos)) " +
+       "SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_dims, " +
+       froundSql("SQRT(" + dsum6Sql("z * z") + ")", 4) + " AS z_norm, " +
+       froundSql("MAX(ABS(z))", 4) + " AS max_abs_z " +
+       "FROM z GROUP BY vec_id ORDER BY vec_id"),
     "sim_ann_ivf" -> oracleIvfBase,
     "sim_ann_pq" -> oraclePqBase,
     "sim_ann_ivfpq" -> oracleIvfPqBase,

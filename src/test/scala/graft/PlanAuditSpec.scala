@@ -558,6 +558,30 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3, p.take(3000))
   }
 
+  test("vec_standardize broadcasts the dimension stats (no corpus-side stats join shuffle)") {
+    val p = plan("vec_standardize")
+    // the per-dimension stats table is d rows; joining it back must be
+    // a broadcast — hash-partitioning the exploded corpus on `pos`
+    // (64 keys!) to meet a shuffle join would be both a skew and a
+    // scale bug
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SinglePartition"), p.take(3000))
+  }
+
+  test("agg_mad broadcasts the per-group medians, no window anywhere") {
+    val p = plan("agg_mad")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
+  test("graph_assortativity: equi-joins only, single mergeable stats aggregate") {
+    val p = plan("graph_assortativity")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+    // the six sufficient statistics must land in one partial+final agg
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(3000))
+  }
+
   test("whole-stage codegen covers the hot paths of the flagship aggregate") {
     // AQE finalizes stages only at execution; run the query, then check
     // the final adaptive plan for codegen stage markers (`*(n)`)

@@ -73,6 +73,26 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got == Seq(("A", 1.0, 5L), ("A", 2.0, 10L), ("B", 3.0, 7L)), s"got $got")
   }
 
+  test("agg_mad: a planted spike moves the mean but not the median/MAD") {
+    // group g: [1, 2, 3, 4, 100] → median 3; |x−3| = [2,1,0,1,97] →
+    // MAD 1 (the spike lands in the tail of BOTH medians)
+    val ev = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 4.0), ("g", 100.0))
+      .toDF("event_type", "value")
+    val got = operators.Aggregations.madOf(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(got == Seq(("g", 5L, 3.0, 1.0)), s"got $got")
+  }
+
+  test("graph_assortativity: a planted star is perfectly disassortative (r = −1)") {
+    // star 1—{2,3,4}: every directed edge pairs degree 3 with degree 1
+    // in one orientation or the other — endpoint degrees are perfectly
+    // anti-correlated
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val got = Analytics.assortativityOf(star).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == Seq((6L, -1.0)), s"got $got")
+  }
+
   test("graph_clustering_coeff: clique corners score 1, star centers and leaves score 0") {
     // K3 on {1,2,3} plus a star 10—{11,12,13}: triangle nodes have
     // deg 2, tri 1 → coeff 1.0; the star hub has deg 3, tri 0 → 0.0;
