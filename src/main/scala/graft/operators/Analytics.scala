@@ -298,6 +298,39 @@ object Analytics {
           .as("assortativity"))
   }
 
+  /** HyperBall-style r-hop neighborhood size estimation (Boldi &
+    * Vigna '13): per node, an HLL sketch of its r-ball, grown by r
+    * rounds of "union my sketch with my neighbors' sketches". THE
+    * scalable answer to "how many nodes can I reach in ≤ r hops" —
+    * the exact 2-hop set is a hub-quadratic join blowup (a degree-d
+    * hub materializes d² pairs), while sketches make each round one
+    * fixed-size-payload equi-join + mergeable hash-agg, the same
+    * shape at any scale. No oracle (DataSketches HLL encoding is
+    * engine-specific); NonOracleOpsSpec checks every estimate within
+    * 5% of the exact fixture-scale ball and pins the monotone
+    * lattice |ball(1)| ≤ |ball(2)|. Per-round localCheckpoint
+    * truncates lineage (the k-core/LPA loop discipline). */
+  def hyperBall(edges: DataFrame, rounds: Int): DataFrame = {
+    val bidir = edges.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint()
+    // round 0: each node's ball is {itself}
+    var ball = bidir.select(col("u")).distinct()
+      .groupBy("u").agg(hll_sketch_agg(col("u")).as("sk"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val fromNbrs = bidir
+        .join(ball.select(col("u").as("v"), col("sk")), Seq("v"))
+        .select(col("u"), col("sk"))
+      ball = ball.unionByName(fromNbrs)
+        .groupBy("u").agg(hll_union_agg(col("sk")).as("sk"))
+        .localCheckpoint()
+    }
+    ball.select(col("u").as("node"),
+        round(hll_sketch_estimate(col("sk"))).cast("long").as("ball_est"))
+      .orderBy("node")
+  }
+
   /** Per-NODE local clustering coefficient over an undirected
     * canonical (a, b) edge list: coeff(n) = 2·tri(n) / (deg(n)·
     * (deg(n)−1)) — the fraction of a node's neighbor pairs that are
@@ -835,6 +868,15 @@ object Analytics {
     // the oracle repeats token for token ahead of the fround6 pin.
     "graph_assortativity" -> ((s, dir) =>
       assortativityOf(cooccurEdgesCached(s, dir))),
+
+    // 2-HOP NEIGHBORHOOD SIZE per node via HyperBall sketch rounds —
+    // the reach/influence metric computed the only way that survives
+    // hubs (see [[hyperBall]]). Deliberately no oracle (sketch
+    // encoding is engine-specific, like agg_hll_merge); accuracy and
+    // monotonicity are property-tested against the exact
+    // fixture-scale ball.
+    "graph_2hop_hll" -> ((s, dir) =>
+      hyperBall(cooccurEdgesCached(s, dir), 2)),
 
     // LOCAL CLUSTERING COEFFICIENT per node (r11): 2·tri/(deg·(deg−1))
     // — the neighborhood-density score (is this hub a clique center

@@ -888,4 +888,33 @@ class NonOracleOpsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), 0L))
     assert(got.toSeq == exact.toSeq)
   }
+
+  test("graph_2hop_hll: every estimate within 5% of the exact 2-ball; rounds are monotone") {
+    import graft.operators.Analytics
+    val edges = Analytics.cooccurEdgesCached(spark, sf001)
+    val est = Analytics.hyperBall(edges, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // exact 2-hop ball (fixture-scale only: this join IS the hub
+    // blowup the sketches exist to avoid)
+    val bidir = edges.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
+    val hop2 = bidir.select(col("u"), col("v").as("w"))
+      .unionByName(
+        bidir.join(bidir.select(col("u").as("v"), col("v").as("w")), Seq("v"))
+          .select("u", "w"))
+      .unionByName(bidir.select(col("u"), col("u").as("w")))
+      .distinct()
+    val exact = hop2.groupBy("u").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    est.foreach { case (n, a) =>
+      val e = exact(n)
+      assert(math.abs(a - e).toDouble / e <= 0.05, s"node $n: est=$a exact=$e")
+    }
+    // monotone lattice: |ball(1)| <= |ball(2)| per node (same sketches,
+    // one fewer union round)
+    val est1 = Analytics.hyperBall(edges, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    est.foreach { case (n, a) => assert(est1(n) <= a, s"node $n: ${est1(n)} > $a") }
+  }
 }
