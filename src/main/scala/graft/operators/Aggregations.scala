@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Aggregation operators (reference analog: i3cols per-event/ per-category
@@ -60,6 +61,34 @@ object Aggregations {
              fround(-dsum6(col("p") * log(col("p"))), 4).as("entropy_nats"),
              fround(dsum6(col("p") * col("p")), 6).as("hhi"))
         .orderBy("user_id")
+    }),
+
+    // WEIGHTED MEDIAN per group — "the price at which half the
+    // QUANTITY sits below" (inventory/market-microstructure cousin of
+    // the row median; also exactly the sample-tokens-not-documents
+    // correction of sample_weighted, applied to a statistic). Fully
+    // EXACT, no interpolation: the lower weighted median is the first
+    // value in (price, tiebreak) order whose running weight w
+    // satisfies 2·w ≥ W — all integer arithmetic (cents, integral
+    // quantities), so no float enters until never. Both window specs
+    // (running and full-partition weight) stack on one group
+    // partitioning; the qualifying set is a suffix of the sort, so
+    // MIN over it IS the answer — no per-group sort-and-pick loop.
+    "agg_weighted_median" -> ((s, dir) => {
+      val ord = Seq(col("p"), col("l_orderkey"), col("l_linenumber"))
+      val wCum = Window.partitionBy("l_returnflag").orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("l_returnflag")
+      lineitem(s, dir)
+        .withColumn("p", floor(col("l_extendedprice") * 100).cast("long"))
+        .withColumn("q", col("l_quantity").cast("long"))
+        .withColumn("cw", sum(col("q")).over(wCum))
+        .withColumn("tw", sum(col("q")).over(wAll))
+        .where(col("cw") * 2 >= col("tw"))
+        .groupBy("l_returnflag")
+        .agg(big(min(col("p"))).as("wmedian_cents"),
+             big(max(col("tw"))).as("total_weight"))
+        .orderBy("l_returnflag")
     }),
 
     // ROBUST SCALE per group: median + median-absolute-deviation —
@@ -398,6 +427,17 @@ object Aggregations {
   }
 
   val oracle: Map[String, String] = Map(
+    "agg_weighted_median" ->
+      ("WITH x AS (SELECT l_returnflag, " +
+       "CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS p, " +
+       "CAST(l_quantity AS BIGINT) AS q, l_orderkey, l_linenumber FROM lineitem), " +
+       "y AS (SELECT l_returnflag, p, " +
+       "SUM(q) OVER (PARTITION BY l_returnflag ORDER BY p, l_orderkey, l_linenumber " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw, " +
+       "SUM(q) OVER (PARTITION BY l_returnflag) AS tw FROM x) " +
+       "SELECT l_returnflag, CAST(MIN(p) AS BIGINT) AS wmedian_cents, " +
+       "CAST(MAX(tw) AS BIGINT) AS total_weight " +
+       "FROM y WHERE cw * 2 >= tw GROUP BY 1 ORDER BY 1"),
     "agg_mad" ->
       ("WITH m AS (SELECT event_type, QUANTILE_CONT(value, 0.5) AS med " +
        "FROM events GROUP BY 1), " +

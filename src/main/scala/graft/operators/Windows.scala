@@ -163,6 +163,18 @@ object Windows {
     // days, so every gap is interior.
     "win_interpolate" -> ((s, dir) => interpolateDaily(events(s, dir))),
 
+    // CUMULATIVE SUM WITH RESET — "spend since the last purchase" per
+    // user: a running total that restarts after every reset event.
+    // The naive shape re-partitions by (user, segment) for the inner
+    // cumsum — a SECOND corpus shuffle whose key depends on the first
+    // window's output. Instead the reset is pure algebra on ONE
+    // user_id partitioning: run = running_total − running_total AT
+    // the last preceding reset (last(ignoreNulls) over the strict
+    // prefix), so all three windows stack on a single exchange
+    // (plan-pinned). Exact integer cents end to end; `seg` (count of
+    // preceding resets) ships for auditability.
+    "win_cumsum_reset" -> ((s, dir) => cumsumReset(events(s, dir))),
+
     // Running DISTINCT count per user (distinct event types seen so
     // far): exact cumulative distinct is not a frame-able aggregate, so
     // it decomposes into two windows — a first-occurrence flag
@@ -184,6 +196,26 @@ object Windows {
         .orderBy("event_id")
     })
   )
+
+  /** The win_cumsum_reset body — exposed so TimeSeriesSpec can pin the
+    * reset algebra on a planted sequence. See the query comment for
+    * the one-shuffle design. */
+  def cumsumReset(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ord = Seq(col("ts"), col("event_id"))
+    val wRun = Window.partitionBy("user_id").orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = Window.partitionBy("user_id").orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.withColumn("cents", floor(col("value") * 100).cast("long"))
+      .withColumn("is_p", when(col("event_type") === "purchase", 1L).otherwise(0L))
+      .withColumn("tot", sum(col("cents")).over(wRun))
+      .withColumn("seg", coalesce(sum(col("is_p")).over(wPrev), lit(0L)))
+      .withColumn("base",
+        last(when(col("is_p") === 1, col("tot")), ignoreNulls = true).over(wPrev))
+      .select(col("event_id"), col("user_id"), big(col("seg")).as("seg"),
+              big(col("tot") - coalesce(col("base"), lit(0L))).as("run_cents"))
+      .orderBy("event_id")
+  }
 
   /** The win_ewma body over any (event_id, user_id, ts, value) frame —
     * exposed so TimeSeriesSpec can pin the decay algebra on planted
@@ -288,6 +320,25 @@ object Windows {
        "WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) " +
        "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) " +
        "ORDER BY event_id"),
+    // identical three-window algebra over one user_id partitioning
+    "win_cumsum_reset" ->
+      ("WITH x AS (SELECT event_id, user_id, ts, " +
+       "CAST(FLOOR(value * 100) AS BIGINT) AS cents, " +
+       "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p FROM events), " +
+       "y AS (SELECT event_id, user_id, ts, is_p, " +
+       "SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tot " +
+       "FROM x), " +
+       "z AS (SELECT event_id, user_id, tot, " +
+       "COALESCE(SUM(is_p) OVER wp, 0) AS seg, " +
+       "LAST_VALUE(CASE WHEN is_p = 1 THEN tot END IGNORE NULLS) OVER wp AS base " +
+       "FROM y WINDOW " +
+       "wp AS (PARTITION BY user_id ORDER BY ts, event_id " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) " +
+       "SELECT event_id, user_id, CAST(seg AS BIGINT) AS seg, " +
+       "CAST(tot - COALESCE(base, 0) AS BIGINT) AS run_cents " +
+       "FROM z ORDER BY event_id"),
+
     // same spine/anchor construction; DuckDB's generate_series is
     // date-inclusive like Spark's sequence, DATE − DATE yields integer
     // days, and the interpolation expression repeats the engine's

@@ -582,6 +582,22 @@ class PlanAuditSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(3000))
   }
 
+  test("win_cumsum_reset stacks all three windows on ONE user_id exchange") {
+    // the reset is algebra on the running total (tot − tot@last-reset),
+    // precisely so the inner cumsum never re-partitions by
+    // (user, segment) — a second corpus exchange would be the naive
+    // shape's cost
+    val p = plan("win_cumsum_reset")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1, p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
+  test("agg_weighted_median: both weight windows share the group partitioning") {
+    val p = plan("agg_weighted_median")
+    assert("Exchange hashpartitioning\\(l_returnflag".r.findAllIn(p).size == 1, p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
   test("whole-stage codegen covers the hot paths of the flagship aggregate") {
     // AQE finalizes stages only at execution; run the query, then check
     // the final adaptive plan for codegen stage markers (`*(n)`)

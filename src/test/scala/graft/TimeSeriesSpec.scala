@@ -73,6 +73,23 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got == Seq(("A", 1.0, 5L), ("A", 2.0, 10L), ("B", 3.0, 7L)), s"got $got")
   }
 
+  test("win_cumsum_reset: the running total restarts after each purchase") {
+    // values 1, 2(P), 3, 1(P), 5 → tot 1,3,6,7,12 cents·100;
+    // seg 0,0,1,1,2; run = spend since last purchase (inclusive of the
+    // closing purchase in ITS OWN segment): 1, 3, 3, 4, 5
+    val ev = Seq(
+      (1L, 7L, ts("2024-01-01 00:00:00"), "click",    1.00),
+      (2L, 7L, ts("2024-01-01 00:01:00"), "purchase", 2.00),
+      (3L, 7L, ts("2024-01-01 00:02:00"), "click",    3.00),
+      (4L, 7L, ts("2024-01-01 00:03:00"), "purchase", 1.00),
+      (5L, 7L, ts("2024-01-01 00:04:00"), "view",     5.00)
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = Windows.cumsumReset(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq((1L, 0L, 100L), (2L, 0L, 300L), (3L, 1L, 300L),
+                      (4L, 1L, 400L), (5L, 2L, 500L)), s"got $got")
+  }
+
   test("agg_mad: a planted spike moves the mean but not the median/MAD") {
     // group g: [1, 2, 3, 4, 100] → median 3; |x−3| = [2,1,0,1,97] →
     // MAD 1 (the spike lands in the tail of BOTH medians)
