@@ -222,6 +222,40 @@ object Scans {
     // key-ranges are tight and disjoint; NonOracleOpsSpec asserts the
     // probe reads a strict subset of files, the oracle proves the
     // answer is exactly the plain filter's.
+    // BLOOM-SIDECAR FILE PRUNING — point lookups on a column the
+    // LAYOUT does not cluster: the files are partitioned by l_partkey,
+    // so every file spans the full l_orderkey range and footer min/max
+    // pruning keeps ALL of them (NonOracleOpsSpec proves it via
+    // manifestPrune); a per-file Bloom filter of the scattered column
+    // prunes to just the files that truly contain the probe keys —
+    // never a false negative, so correctness is layout-independent.
+    // The sidecar builds in ONE distributed pass (file → bloom via
+    // groupByKey over (file, key) pairs — the shuffle carries 8-byte
+    // keys, each group folds its filter executor-side), and probing is
+    // metadata-scale: #files sidecar rows, deserialized driver-side
+    // like any manifest. This is the Parquet-bloom/Iceberg-sidecar
+    // pattern re-expressed on the engine's own sketch library.
+    "scan_bloom_sidecar" -> ((s, dir) => {
+      val out = scratch(dir, "bloom_src")
+      val idx = scratch(dir, "bloom_idx")
+      layoutMemo.getOrElseUpdate(
+        s"$out|${graft.Tables.fsSig(s, s"$dir/lineitem.parquet")}", {
+          lineitem(s, dir)
+            .repartition(16, col("l_partkey"))
+            .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+            .write.mode("overwrite").parquet(out)
+          bloomSidecarBuild(s, out, idx)
+        })
+      val keys = BloomProbeKeys
+      val files = bloomPrunedFiles(s, idx, keys)
+      val base = if (files.isEmpty) s.read.parquet(out).where(lit(false))
+                 else s.read.parquet(files: _*)
+      base.where(col("l_orderkey").isin(keys: _*))
+        .groupBy("l_orderkey")
+        .agg(big(count(lit(1))).as("n_lines"), r2(sum("l_quantity")).as("sum_qty"))
+        .orderBy("l_orderkey")
+    }),
+
     "scan_manifest_pruned" -> ((s, dir) => {
       val out = scratch(dir, "manifest_src")
       // the range-clustered layout is the table, not the query: write
@@ -1418,6 +1452,45 @@ object Scans {
   /** Files whose [min, max] for `keyCol` overlaps [lo, hi], per the
     * cached footer manifest. The overlap test is a driver-side filter
     * over O(#files) manifest rows — metadata, not data. */
+  /** Probe keys for scan_bloom_sidecar — present at every SF (orderkeys
+    * are dense from 0) and mirrored literally in the oracle SQL. */
+  val BloomProbeKeys: Seq[Long] = Seq(7L, 107L, 1007L)
+
+  /** Build the per-file Bloom sidecar for `l_orderkey` over a parquet
+    * layout: one distributed pass — (file, key) pairs shuffle on the
+    * file name, each group folds its own filter executor-side. The
+    * 100k/1% sizing keeps each filter ~117 KB; at larger per-file row
+    * counts the fpp degrades gracefully and false NEGATIVES remain
+    * impossible, so pruning is always sound. */
+  def bloomSidecarBuild(s: org.apache.spark.sql.SparkSession,
+                        layoutPath: String, idxPath: String): Unit = {
+    import s.implicits._
+    s.read.parquet(layoutPath)
+      .select(input_file_name().as("f"), col("l_orderkey").as("k"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (f, it) =>
+        val bf = org.apache.spark.util.sketch.BloomFilter.create(100000L, 0.01)
+        it.foreach(t => bf.putLong(t._2))
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        (f, bos.toByteArray)
+      }
+      .toDF("file", "bloom")
+      .write.mode("overwrite").parquet(idxPath)
+  }
+
+  /** Files whose sidecar bloom may contain ANY of the probe keys —
+    * metadata-scale (#files rows, read + deserialized driver-side,
+    * the same cost class as a footer manifest). */
+  def bloomPrunedFiles(s: org.apache.spark.sql.SparkSession,
+                       idxPath: String, keys: Seq[Long]): Seq[String] =
+    s.read.parquet(idxPath).collect().toSeq
+      .map(r => (r.getString(0),
+        org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))))
+      .collect { case (f, bf) if keys.exists(bf.mightContainLong) => f }
+
   def manifestPrune(s: org.apache.spark.sql.SparkSession, path: String,
                     keyCol: String, lo: Long, hi: Long): Seq[String] =
     footerManifest(s, path, keyCol)
@@ -1656,6 +1729,13 @@ object Scans {
        "UNION ALL SELECT 'o_orderpriority', 'avg_len', avg_len_prio FROM p " +
        "UNION ALL SELECT '_table', 'rows', CAST(n_rows AS DOUBLE) FROM p " +
        "ORDER BY \"column\", stat"),
+    // the bloom prune must be invisible in the result: point lookup
+    // over the full table (keys mirrored from BloomProbeKeys)
+    "scan_bloom_sidecar" ->
+      (s"SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines, " +
+       "ROUND(SUM(l_quantity), 2) AS sum_qty FROM lineitem " +
+       s"WHERE l_orderkey IN (${BloomProbeKeys.mkString(", ")}) " +
+       "GROUP BY 1 ORDER BY 1"),
     "scan_manifest_pruned" ->
       ("SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, " +
        "ROUND(SUM(l_quantity), 2) AS sum_qty " +

@@ -889,6 +889,35 @@ class NonOracleOpsSpec extends SparkSpec {
     assert(got.toSeq == exact.toSeq)
   }
 
+  test("bloom sidecar prunes files min/max cannot, and loses no rows") {
+    import graft.operators.Scans
+    // run the query once — builds the scattered layout + sidecar
+    val res = SparkEntry.queries("scan_bloom_sidecar")(spark, sf001).collect()
+    assert(res.nonEmpty)
+    val out = Tables.scratch(sf001, "bloom_src")
+    val idx = Tables.scratch(sf001, "bloom_idx")
+    val allFiles = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    // footer min/max is nearly blind on this layout (orderkeys are
+    // scattered by the partkey partitioning, so most files span the
+    // probe keys) — union of the min/max-kept sets across probes
+    val byMinMax = Scans.BloomProbeKeys
+      .flatMap(k => Scans.manifestPrune(spark, out, "l_orderkey", k, k))
+      .map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
+    // the bloom prune must open strictly fewer files than min/max AND
+    // strictly fewer than the layout holds
+    val pruned = Scans.bloomPrunedFiles(spark, idx, Scans.BloomProbeKeys)
+    assert(pruned.size < byMinMax.size,
+      s"bloom ${pruned.size} vs minmax ${byMinMax.size}")
+    assert(pruned.size < allFiles.size, s"bloom kept ${pruned.size}/${allFiles.size}")
+    // ...and the pruned read must equal the full-scan read exactly
+    val full = spark.read.parquet(out)
+      .where(col("l_orderkey").isin(Scans.BloomProbeKeys: _*))
+    val prunedRead = spark.read.parquet(pruned: _*)
+      .where(col("l_orderkey").isin(Scans.BloomProbeKeys: _*))
+    assertSameRows(prunedRead, full, "bloom-pruned vs full scan")
+  }
+
   test("graph_2hop_hll: every estimate within 5% of the exact 2-ball; rounds are monotone") {
     import graft.operators.Analytics
     val edges = Analytics.cooccurEdgesCached(spark, sf001)
