@@ -75,13 +75,20 @@ object Aggregations {
     // partitioning; the qualifying set is a suffix of the sort, so
     // MIN over it IS the answer — no per-group sort-and-pick loop.
     "agg_weighted_median" -> ((s, dir) => {
-      val ord = Seq(col("p"), col("l_orderkey"), col("l_linenumber"))
-      val wCum = Window.partitionBy("l_returnflag").orderBy(ord: _*)
+      // collapse to the (group, price) grid FIRST: the weighted median
+      // is invariant under summing weights at equal values, so the
+      // windows sort the distinct-price domain (value-cardinality
+      // bounded), never the corpus — the hash-agg does the heavy pass
+      // map-side combinably, and no row-level tiebreak is needed
+      // because prices are unique per group after the collapse
+      val pts = lineitem(s, dir)
+        .groupBy(col("l_returnflag"),
+                 floor(col("l_extendedprice") * 100).cast("long").as("p"))
+        .agg(sum(col("l_quantity").cast("long")).as("q"))
+      val wCum = Window.partitionBy("l_returnflag").orderBy("p")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wAll = Window.partitionBy("l_returnflag")
-      lineitem(s, dir)
-        .withColumn("p", floor(col("l_extendedprice") * 100).cast("long"))
-        .withColumn("q", col("l_quantity").cast("long"))
+      pts
         .withColumn("cw", sum(col("q")).over(wCum))
         .withColumn("tw", sum(col("q")).over(wAll))
         .where(col("cw") * 2 >= col("tw"))
@@ -430,9 +437,9 @@ object Aggregations {
     "agg_weighted_median" ->
       ("WITH x AS (SELECT l_returnflag, " +
        "CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS p, " +
-       "CAST(l_quantity AS BIGINT) AS q, l_orderkey, l_linenumber FROM lineitem), " +
+       "SUM(CAST(l_quantity AS BIGINT)) AS q FROM lineitem GROUP BY 1, 2), " +
        "y AS (SELECT l_returnflag, p, " +
-       "SUM(q) OVER (PARTITION BY l_returnflag ORDER BY p, l_orderkey, l_linenumber " +
+       "SUM(q) OVER (PARTITION BY l_returnflag ORDER BY p " +
        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw, " +
        "SUM(q) OVER (PARTITION BY l_returnflag) AS tw FROM x) " +
        "SELECT l_returnflag, CAST(MIN(p) AS BIGINT) AS wmedian_cents, " +

@@ -592,10 +592,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), p.take(3000))
   }
 
-  test("agg_weighted_median: both weight windows share the group partitioning") {
+  test("agg_weighted_median: windows sort the price GRID, not the corpus") {
     val p = plan("agg_weighted_median")
-    assert("Exchange hashpartitioning\\(l_returnflag".r.findAllIn(p).size == 1, p.take(3000))
+    // the corpus is collapsed to (group, price) by a map-side-combined
+    // hash-agg BEFORE any window: the only corpus-wide exchange is the
+    // grid aggregate's, the window's group exchange carries the
+    // value-cardinality-bounded grid, and both window specs share it
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p.take(3000))
     assert(!p.contains("Join"), p.take(3000))
+    // one exchange is the grid aggregate's composite key, the other is
+    // the window's bare group key — proving the sort never sees raw
+    // rows (it consumes the grid aggregate's output)
+    assert("hashpartitioning\\(l_returnflag#\\d+, [^,)]+#\\d+L?, \\d+\\)".r
+      .findAllIn(p).nonEmpty, p.take(3000))
+    assert("hashpartitioning\\(l_returnflag#\\d+, \\d+\\)".r.findAllIn(p).nonEmpty, p.take(3000))
   }
 
   test("whole-stage codegen covers the hot paths of the flagship aggregate") {
