@@ -36,7 +36,65 @@ object Aggregations {
     "FROM c ORDER BY event_type"
   }
 
+  /** Poisson(1) CDF thresholds for the bootstrap weight ladder —
+    * SHARED literal strings so the Spark expression and the oracle SQL
+    * compare u against bit-identical constants (P(X ≤ k) for k=0..5;
+    * u past the last threshold draws weight 6, P ≈ 6e-4). */
+  val PoisCdf: Seq[String] = Seq(
+    "0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
+    "0.9810118431238462", "0.9963401531726563", "0.9994058151824183")
+
+  /** Bootstrap replicate count (order statistics 2 and R−1 of the
+    * replicate means form the ~90% interval). */
+  val BootstrapReps = 20
+
   val queries: Map[String, Q] = Map(
+    // SEEDED POISSON BOOTSTRAP confidence interval for mean per-user
+    // spend — THE scalable bootstrap (Chamandy et al. / Google's
+    // Poisson bootstrap): instead of resampling rows (a shuffle per
+    // replicate), every entity draws a Poisson(1) weight per
+    // replicate from a SEEDED hash, so all R replicates compute in
+    // one pass over the per-entity metric table with zero data
+    // movement — and the same hash makes the "randomness"
+    // reproducible on any engine, any partitioning (the
+    // sample_weighted discipline). Replicate means are EXACT until
+    // one division (long Σw·cents / long Σw); the CI is order
+    // statistics 2 / R−1 of the 20 means — the rank window runs over
+    // R rows BY CONSTRUCTION (metadata-scale SinglePartition, like
+    // the watermark batch-summary table). Bootstrapping the
+    // entity-level table (not raw events) is itself the scale story:
+    // the replicate explosion is R × #users, never R × corpus.
+    "agg_bootstrap_ci" -> ((s, dir) => {
+      val pu = events(s, dir).groupBy("user_id")
+        .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
+      val rep = pu.select(col("user_id"), col("cents"),
+        explode(expr(s"sequence(0, ${BootstrapReps - 1})")).as("r"))
+      val u = (conv(substring(md5(concat(lit("boot:"),
+                col("user_id").cast("string"), lit(":"),
+                col("r").cast("string"))), 1, 8), 16, 10)
+                .cast("long") + 1).cast("double") / lit(4294967296.0)
+      val w = PoisCdf.zipWithIndex.tail
+        .foldLeft(when(u < PoisCdf.head.toDouble, 0L)) {
+          case (acc, (c, k)) => acc.when(u < c.toDouble, k.toLong)
+        }.otherwise(PoisCdf.size.toLong)
+      val means = rep.withColumn("w", w)
+        .groupBy("r")
+        .agg(sum(col("w") * col("cents")).as("num"), sum(col("w")).as("den"))
+        .withColumn("m", col("num").cast("double") / col("den") / 100.0)
+      val ranked = means.withColumn("rn",
+        row_number().over(Window.orderBy(col("m"), col("r"))))
+      val lo = ranked.where(col("rn") === 2).select(col("m").as("lo"))
+      val hi = ranked.where(col("rn") === BootstrapReps - 1)
+        .select(col("m").as("hi"))
+      pu.agg(big(count(lit(1))).as("n_users"),
+             (sum(col("cents")).cast("double") / count(lit(1)) / 100.0)
+               .as("mean_full"))
+        .crossJoin(lo).crossJoin(hi)
+        .select(col("n_users"), fround(col("mean_full"), 4).as("mean_spend"),
+                fround(col("lo"), 4).as("ci_lo"), fround(col("hi"), 4).as("ci_hi"))
+        .orderBy("n_users")
+    }),
+
     // BEHAVIORAL DIVERSITY per user: Shannon entropy and Herfindahl
     // concentration of the user's event-type distribution — the
     // "specialist vs generalist" segmentation feature (and the same
@@ -62,6 +120,23 @@ object Aggregations {
              fround(dsum6(col("p") * col("p")), 6).as("hhi"))
         .orderBy("user_id")
     }),
+
+    // A/B EXPERIMENT READOUT — Welch's unequal-variance t statistic
+    // between two user cohorts (the experimentation-platform core
+    // loop). Assignment is a deterministic hash split (user_id
+    // parity — in production the salted assignment hash), metrics are
+    // per-user spend. All inputs to the closed form are exact
+    // (decimal sums of cents, long counts); the t / df expressions
+    // are then a FIXED chain of IEEE ops both engines repeat token
+    // for token before fround6 (the OLS/assortativity discipline).
+    // One corpus pass (per-user agg) + one 2-row agg: nothing here
+    // grows with scale except the first hash-agg, which is map-side
+    // combinable.
+    "events_ab_test" -> ((s, dir) =>
+      welchOf(events(s, dir).groupBy("user_id")
+        .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
+        .withColumn("grp", (col("user_id") % 2).cast("int"))
+        .withColumn("x", col("cents").cast("double") / 100.0))),
 
     // WEIGHTED MEDIAN per group — "the price at which half the
     // QUANTITY sits below" (inventory/market-microstructure cousin of
@@ -418,6 +493,34 @@ object Aggregations {
       .orderBy(group)
   }
 
+  /** Welch's unequal-variance t over any (grp ∈ {0,1}, x) frame —
+    * exposed so TimeSeriesSpec can pin the closed form on planted
+    * cohorts. See the events_ab_test query comment. */
+  def welchOf(perUser: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val stats = perUser.groupBy("grp").agg(
+      big(count(lit(1))).as("n"),
+      dsum6(col("x")).as("s1"),
+      dsum6(col("x") * col("x")).as("s2"))
+      .withColumn("mean", col("s1") / col("n"))
+      .withColumn("v", (col("s2") - col("s1") * col("s1") / col("n")) /
+                       (col("n") - 1))
+      .withColumn("se2", col("v") / col("n"))
+    val a = stats.where(col("grp") === 0)
+      .select(col("n").as("n_a"), col("mean").as("m_a"), col("se2").as("sa"))
+    val b = stats.where(col("grp") === 1)
+      .select(col("n").as("n_b"), col("mean").as("m_b"), col("se2").as("sb"))
+    a.crossJoin(b)
+      .select(col("n_a"), col("n_b"),
+        fround(col("m_a"), 4).as("mean_a"),
+        fround(col("m_b"), 4).as("mean_b"),
+        fround((col("m_a") - col("m_b")) / sqrt(col("sa") + col("sb")), 6)
+          .as("t_stat"),
+        fround((col("sa") + col("sb")) * (col("sa") + col("sb")) /
+               (col("sa") * col("sa") / (col("n_a") - 1) +
+                col("sb") * col("sb") / (col("n_b") - 1)), 4).as("welch_df"))
+      .orderBy("n_a")
+  }
+
   /** The agg_mad body over any (event_type, value) frame — exposed so
     * TimeSeriesSpec can pin the outlier-immunity on a planted spike.
     * See the agg_mad query comment for the two-pass/broadcast shape. */
@@ -434,6 +537,42 @@ object Aggregations {
   }
 
   val oracle: Map[String, String] = Map(
+    "agg_bootstrap_ci" -> {
+      val ladder = PoisCdf.zipWithIndex
+        .map { case (c, k) => s"WHEN u < $c THEN $k" }.mkString(" ")
+      ("WITH pu AS (SELECT user_id, " +
+       "SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS cents FROM events GROUP BY 1), " +
+       s"rep AS (SELECT user_id, cents, UNNEST(generate_series(0, ${BootstrapReps - 1})) AS r FROM pu), " +
+       "wts AS (SELECT r, cents, " +
+       "(CAST(CONCAT('0x', SUBSTRING(MD5('boot:' || CAST(user_id AS VARCHAR) || ':' || " +
+       "CAST(r AS VARCHAR)), 1, 8)) AS BIGINT) + 1) / 4294967296.0 AS u FROM rep), " +
+       s"ww AS (SELECT r, cents, CASE $ladder ELSE ${PoisCdf.size} END AS w FROM wts), " +
+       "mm AS (SELECT r, CAST(SUM(w * cents) AS DOUBLE) / SUM(w) / 100.0 AS m " +
+       "FROM ww GROUP BY 1), " +
+       "rk AS (SELECT m, ROW_NUMBER() OVER (ORDER BY m, r) AS rn FROM mm), " +
+       "f AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users, " +
+       "CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100.0 AS mean_full FROM pu) " +
+       "SELECT n_users, " + froundSql("mean_full", 4) + " AS mean_spend, " +
+       froundSql("lo.m", 4) + " AS ci_lo, " + froundSql("hi.m", 4) + " AS ci_hi " +
+       "FROM f, (SELECT m FROM rk WHERE rn = 2) lo, " +
+       s"(SELECT m FROM rk WHERE rn = ${BootstrapReps - 1}) hi ORDER BY n_users")
+    },
+    "events_ab_test" ->
+      ("WITH pu AS (SELECT user_id, " +
+       "SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS cents FROM events GROUP BY 1), " +
+       "x AS (SELECT user_id % 2 AS grp, CAST(cents AS DOUBLE) / 100.0 AS x FROM pu), " +
+       "st AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n, " +
+       dsum6Sql("x") + " AS s1, " + dsum6Sql("x * x") + " AS s2 FROM x GROUP BY 1), " +
+       "y AS (SELECT grp, n, s1 / n AS mean, " +
+       "((s2 - s1 * s1 / n) / (n - 1)) / n AS se2 FROM st), " +
+       "a AS (SELECT n AS n_a, mean AS m_a, se2 AS sa FROM y WHERE grp = 0), " +
+       "b AS (SELECT n AS n_b, mean AS m_b, se2 AS sb FROM y WHERE grp = 1) " +
+       "SELECT n_a, n_b, " +
+       froundSql("m_a", 4) + " AS mean_a, " + froundSql("m_b", 4) + " AS mean_b, " +
+       froundSql("(m_a - m_b) / SQRT(sa + sb)", 6) + " AS t_stat, " +
+       froundSql("(sa + sb) * (sa + sb) / " +
+         "(sa * sa / (n_a - 1) + sb * sb / (n_b - 1))", 4) + " AS welch_df " +
+       "FROM a, b ORDER BY n_a"),
     "agg_weighted_median" ->
       ("WITH x AS (SELECT l_returnflag, " +
        "CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS p, " +

@@ -100,6 +100,35 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got == Seq(("g", 5L, 3.0, 1.0)), s"got $got")
   }
 
+  test("events_ab_test: planted cohorts land the hand-derived Welch closed form") {
+    // A = [1,2,3]: mean 2, var 1, se² 1/3; B = [2,4,6,8]: mean 5,
+    // var 20/3, se² 5/3 → t = −3/√2, df = 4/((1/18)+(25/27)).
+    // Expected values computed with the SAME double chain the
+    // operator declares (this pins the plumbing; float identity with
+    // the oracle is CORRECTNESS's job).
+    val df = Seq((0, 1.0), (0, 2.0), (0, 3.0),
+                 (1, 2.0), (1, 4.0), (1, 6.0), (1, 8.0)).toDF("grp", "x")
+    val got = operators.Aggregations.welchOf(df).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+       r.getDouble(4), r.getDouble(5))).toSeq
+    val sa = 1.0 / 3; val sb = (20.0 / 3) / 4
+    def fr(x: Double, n: Int) = { val f = math.pow(10, n); math.floor(x * f + 0.5) / f }
+    val t = fr((2.0 - 5.0) / math.sqrt(sa + sb), 6)
+    val dfw = fr((sa + sb) * (sa + sb) / (sa * sa / 2 + sb * sb / 3), 4)
+    assert(got == Seq((3L, 4L, 2.0, 5.0, t, dfw)), s"got $got expected t=$t df=$dfw")
+  }
+
+  test("agg_bootstrap_ci: interval is ordered, straddles the point estimate, and is seed-stable") {
+    val q = SparkEntry.queries("agg_bootstrap_ci")
+    val r1 = q(spark, sf001).collect()(0)
+    val (mean, lo, hi) = (r1.getDouble(1), r1.getDouble(2), r1.getDouble(3))
+    assert(lo <= hi, s"lo $lo > hi $hi")
+    assert(lo <= mean && mean <= hi, s"CI [$lo, $hi] misses mean $mean")
+    // seeded hash ⇒ bit-identical on a second evaluation
+    val r2 = q(spark, sf001).collect()(0)
+    assert(r1 == r2, s"$r1 != $r2")
+  }
+
   test("graph_assortativity: a planted star is perfectly disassortative (r = −1)") {
     // star 1—{2,3,4}: every directed edge pairs degree 3 with degree 1
     // in one orientation or the other — endpoint degrees are perfectly
