@@ -869,6 +869,31 @@ object Analytics {
     "graph_assortativity" -> ((s, dir) =>
       assortativityOf(cooccurEdgesCached(s, dir))),
 
+    // SEASONAL-NAIVE FORECAST BACKTEST: forecast(day) = actual(day−7)
+    // per event type, scored as MAE + signed bias over every day with
+    // a week-old twin — the baseline every real forecasting system
+    // must beat, and the backtest loop that proves it. Calendar-exact:
+    // the forecast joins on the DATE d−7 (an equi-join of two
+    // derivatives of ONE daily aggregate, co-partitioned on the same
+    // key), never "7 rows back" (gaps would silently shift a
+    // row-offset lag). Errors are exact integer cents; one division
+    // per metric before the fround4 pin.
+    "events_forecast_naive" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
+      val fc = daily.select(col("event_type"), date_add(col("d"), 7).as("d"),
+                            col("cents").as("fc"))
+      daily.join(fc, Seq("event_type", "d"))
+        .groupBy("event_type")
+        .agg(big(count(lit(1))).as("n_days"),
+             fround(sum(abs(col("cents") - col("fc"))).cast("double") /
+                    count(lit(1)) / 100.0, 4).as("mae"),
+             fround(sum(col("cents") - col("fc")).cast("double") /
+                    count(lit(1)) / 100.0, 4).as("bias"))
+        .orderBy("event_type")
+    }),
+
     // 2-HOP NEIGHBORHOOD SIZE per node via HyperBall sketch rounds —
     // the reach/influence metric computed the only way that survives
     // hubs (see [[hyperBall]]). Deliberately no oracle (sketch
@@ -1295,6 +1320,17 @@ object Analytics {
        "CASE WHEN denom = 0 THEN 0.0 ELSE " +
        froundSql("CAST(common AS DOUBLE) / denom", 4) + " END AS jaccard " +
        "FROM j ORDER BY a, b"),
+
+    "events_forecast_naive" ->
+      ("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, " +
+       "SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS cents FROM events GROUP BY 1, 2) " +
+       "SELECT a.event_type, CAST(COUNT(*) AS BIGINT) AS n_days, " +
+       froundSql("CAST(SUM(ABS(a.cents - f.cents)) AS DOUBLE) / COUNT(*) / 100.0", 4) +
+       " AS mae, " +
+       froundSql("CAST(SUM(a.cents - f.cents) AS DOUBLE) / COUNT(*) / 100.0", 4) +
+       " AS bias " +
+       "FROM daily a JOIN daily f ON f.event_type = a.event_type " +
+       "AND f.d = a.d - 7 GROUP BY 1 ORDER BY 1"),
 
     // same sufficient statistics over the bidirected list; DuckDB's
     // HUGEINT sums re-cast to double at the same two points

@@ -518,6 +518,68 @@ object TextOps {
     // large/small-star above LocalCcMaxEdges), so the same query is
     // the 100-TB plan; only docs appearing in a qualifying pair
     // cluster (singletons are implicitly their own cluster).
+    // COLLOCATIONS per language: top-10 adjacent-token bigrams by
+    // pointwise mutual information — the phrase detector ("new york"
+    // vs "of the") every tokenizer/vocab pipeline runs. Bigram and
+    // marginal counts are exact integers off ONE exploded pass
+    // (adjacent pairs are row-local HOF work; nothing shuffles until
+    // the count hash-aggs); PMI = ln(n_ab·N / (n_a·n_b)) is one ln of
+    // an exact rational. RANKING on a raw libm double would let a
+    // 1-ulp engine difference flip the top-10 cut, so the sort key is
+    // the fround6-pinned PMI with a lexical tie-break — sub-1e-6
+    // differences tie deterministically on both engines. The rank
+    // cutoff compiles to WindowGroupLimit over the bigram VOCABULARY
+    // (value-bounded), and the per-lang totals broadcast.
+    "text_collocations" -> ((s, dir) => {
+      val bi = documents(s, dir)
+        .select(col("lang"), split(lower(trim(col("text"))), " ").as("t"))
+        .where(size(col("t")) >= 2)
+        .select(col("lang"), explode(expr(
+          "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS a, t[i + 1] AS b))"))
+          .as("p"))
+        .select(col("lang"), col("p.a").as("a"), col("p.b").as("b"))
+      val cab  = bi.groupBy("lang", "a", "b").agg(count(lit(1)).as("nab"))
+      val ca   = bi.groupBy("lang", "a").agg(count(lit(1)).as("na"))
+      val cb   = bi.groupBy("lang", "b").agg(count(lit(1)).as("nb"))
+      val nTot = bi.groupBy("lang").agg(count(lit(1)).as("nn"))
+      val scored = cab.join(ca, Seq("lang", "a")).join(cb, Seq("lang", "b"))
+        .join(broadcast(nTot), Seq("lang"))
+        .where(col("nab") >= 5)
+        .withColumn("pmi",
+          fround(log(col("nab").cast("double") * col("nn") /
+                     (col("na") * col("nb"))), 6))
+      val w = Window.partitionBy("lang")
+        .orderBy(col("pmi").desc, col("a"), col("b"))
+      scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= 10)
+        .select(col("lang"), concat_ws(" ", col("a"), col("b")).as("bigram"),
+                big(col("nab")).as("n"), col("pmi"), big(col("rnk")).as("rnk"))
+        .orderBy("lang", "rnk")
+    }),
+
+    // ZIPF SLOPE per language — fit ln(freq) ~ ln(rank) over the top
+    // 100 vocabulary terms: the one-number "does this look like
+    // natural language" corpus diagnostic (natural text ≈ −1; a
+    // synthetic or template-heavy corpus bends away). Pure
+    // composition of shipped machinery: vocabulary hash-agg → ranked
+    // window with the rank ≤ 100 cutoff compiling to WindowGroupLimit
+    // (the vocabulary never fully sorts) → the ONE-PASS sufficient-
+    // statistics OLS (`groupOls` — decimal-pinned sums, closed form).
+    // ln() enters per-term and is decimal-pinned inside groupOls, the
+    // text_entropy libm discipline.
+    "text_zipf_slope" -> ((s, dir) => {
+      val counts = documents(s, dir)
+        .select(col("lang"),
+                explode(split(lower(trim(col("text"))), " ")).as("token"))
+        .groupBy("lang", "token").agg(count(lit(1)).as("freq"))
+      val w = Window.partitionBy("lang").orderBy(col("freq").desc, col("token"))
+      val top = counts.withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 100)
+        .select(col("lang"),
+                log(col("rnk").cast("double")).as("lx"),
+                log(col("freq").cast("double")).as("ly"))
+      Aggregations.groupOls(top, "lang", "lx", "ly")
+    }),
+
     "text_winnow_clusters" -> ((s, dir) =>
       graft.operators.Dedup.connectedComponents(
           winnowPairs(documents(s, dir), MinWinnowShared, MaxWinnowFpDf)
@@ -953,6 +1015,47 @@ object TextOps {
        "CAST(COUNT(*) AS BIGINT) AS shared_shingles " +
        "FROM ss a JOIN ss b ON a.g = b.g AND a.source < b.source " +
        "GROUP BY 1, 2 ORDER BY shared_shingles DESC, src_a, src_b LIMIT 10"),
+    "text_collocations" ->
+      ("WITH d AS (SELECT lang, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS t FROM documents), " +
+       "b0 AS (SELECT lang, UNNEST(LIST_TRANSFORM(generate_series(1, LEN(t) - 1), " +
+       "i -> struct_pack(a := t[i], b := t[i + 1]))) AS p FROM d WHERE LEN(t) >= 2), " +
+       "bi AS (SELECT lang, p.a AS a, p.b AS b FROM b0), " +
+       "cab AS (SELECT lang, a, b, COUNT(*) AS nab FROM bi GROUP BY 1, 2, 3), " +
+       "ca AS (SELECT lang, a, COUNT(*) AS na FROM bi GROUP BY 1, 2), " +
+       "cb AS (SELECT lang, b, COUNT(*) AS nb FROM bi GROUP BY 1, 2), " +
+       "nt AS (SELECT lang, COUNT(*) AS nn FROM bi GROUP BY 1), " +
+       "sc AS (SELECT cab.lang, cab.a, cab.b, nab, " +
+       froundSql("LN(CAST(nab AS DOUBLE) * nn / (na * nb))", 6) + " AS pmi " +
+       "FROM cab JOIN ca USING (lang, a) JOIN cb USING (lang, b) " +
+       "JOIN nt USING (lang) WHERE nab >= 5), " +
+       "rk AS (SELECT lang, a, b, nab, pmi, ROW_NUMBER() OVER (" +
+       "PARTITION BY lang ORDER BY pmi DESC, a, b) AS rnk FROM sc) " +
+       "SELECT lang, a || ' ' || b AS bigram, CAST(nab AS BIGINT) AS n, " +
+       "pmi, CAST(rnk AS BIGINT) AS rnk FROM rk WHERE rnk <= 10 " +
+       "ORDER BY lang, rnk"),
+    "text_zipf_slope" -> {
+      val num = "CAST(n AS DOUBLE) * sxy - sx * sy"
+      val den = "CAST(n AS DOUBLE) * sxx - sx * sx"
+      val den2 = "CAST(n AS DOUBLE) * syy - sy * sy"
+      "WITH tok AS (SELECT lang, UNNEST(STRING_SPLIT(LOWER(TRIM(text)), ' ')) AS token FROM documents), " +
+      "c AS (SELECT lang, token, COUNT(*) AS freq FROM tok GROUP BY 1, 2), " +
+      "r AS (SELECT lang, freq, ROW_NUMBER() OVER (PARTITION BY lang " +
+      "ORDER BY freq DESC, token) AS rnk FROM c), " +
+      "p AS (SELECT lang, LN(CAST(rnk AS DOUBLE)) AS lx, " +
+      "LN(CAST(freq AS DOUBLE)) AS ly FROM r WHERE rnk <= 100), " +
+      "g AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n, " +
+      "CAST(SUM(CAST(lx AS DECIMAL(18,2))) AS DOUBLE) AS sx, " +
+      "CAST(SUM(CAST(ly AS DECIMAL(18,2))) AS DOUBLE) AS sy, " +
+      "CAST(SUM(CAST(lx * lx AS DECIMAL(24,6))) AS DOUBLE) AS sxx, " +
+      "CAST(SUM(CAST(lx * ly AS DECIMAL(24,6))) AS DOUBLE) AS sxy, " +
+      "CAST(SUM(CAST(ly * ly AS DECIMAL(24,6))) AS DOUBLE) AS syy " +
+      "FROM p GROUP BY 1) " +
+      "SELECT lang, n, " +
+      froundSql(s"($num) / ($den)", 6) + " AS slope, " +
+      froundSql(s"(sy - (($num) / ($den)) * sx) / CAST(n AS DOUBLE)", 6) + " AS intercept, " +
+      froundSql(s"(($num) * ($num)) / (($den) * ($den2))", 6) + " AS r2 " +
+      "FROM g ORDER BY lang"
+    },
     "text_entropy" ->
       ("WITH tok AS (SELECT lang, UNNEST(STRING_SPLIT(LOWER(TRIM(text)), ' ')) AS token FROM documents), " +
        "counts AS (SELECT lang, token, COUNT(*) AS cnt FROM tok GROUP BY 1, 2), " +

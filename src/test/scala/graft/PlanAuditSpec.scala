@@ -608,6 +608,27 @@ class PlanAuditSpec extends SparkSpec {
     assert("hashpartitioning\\(l_returnflag#\\d+, \\d+\\)".r.findAllIn(p).nonEmpty, p.take(3000))
   }
 
+  test("text_zipf_slope and text_collocations cut ranks with WindowGroupLimit") {
+    // both rank filters must compile to the per-partition running-rank
+    // cutoff: the (vocabulary-sized) window input never fully sorts
+    for (q <- Seq("text_zipf_slope", "text_collocations")) {
+      val p = plan(q)
+      assert(p.contains("WindowGroupLimit"), s"$q:\n" + p.take(3000))
+      assert(!p.contains("CartesianProduct"), s"$q:\n" + p.take(3000))
+    }
+  }
+
+  test("events_forecast_naive joins two derivatives of ONE daily aggregate") {
+    val p = plan("events_forecast_naive")
+    // the self-join on (event_type, d−7) must be an equi-join over the
+    // aggregated daily domain; the corpus is touched by exactly one
+    // aggregate subtree (Spark may re-exchange the shifted side, but
+    // never re-scan or product)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+    assert("Scan parquet".r.findAllIn(p).size <= 2, p.take(3000))
+  }
+
   test("whole-stage codegen covers the hot paths of the flagship aggregate") {
     // AQE finalizes stages only at execution; run the query, then check
     // the final adaptive plan for codegen stage markers (`*(n)`)
