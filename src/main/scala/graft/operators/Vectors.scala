@@ -92,6 +92,21 @@ object Vectors {
             .as("qsum"))
         .orderBy("vec_id")),
 
+    // TOP PRINCIPAL COMPONENT via POWER ITERATION — distributed PCA
+    // the way it actually runs at scale: ONE corpus pass builds the
+    // d×d covariance (the exploded per-vector (i, j) self-join is
+    // row-local fan-out d² per vector, then a mergeable hash-agg of
+    // decimal-pinned cross-products), after which EVERYTHING is
+    // metadata-scale — 8 fixed matrix-vector rounds over the 4096-row
+    // cov table (a d-row join + hash-agg per round), no driver math
+    // at all. Fixed rounds + per-term DECIMAL(24,6) pinning of every
+    // accumulation (the PageRank/Lloyd/k-core oracle discipline)
+    // make the whole iteration, including the start vector 𝟙 and the
+    // final Rayleigh quotient, bit-reproducible — the oracle unrolls
+    // the identical 8 rounds as CTEs. Output: the loading vector +
+    // eigenvalue, fround6.
+    "vec_pca_power" -> ((s, dir) => pcaPower(embeddings(s, dir))),
+
     // PER-DIMENSION STANDARDIZATION (z-score feature scaling) — the
     // preprocessing step distance-based methods assume: each dimension
     // recentered/rescaled by corpus-wide mean/std. Classic TWO-PASS
@@ -296,6 +311,54 @@ object Vectors {
   /** Fixed Lloyd round count — small and FIXED so the oracle can
     * unroll the same rounds as plain SQL CTEs. */
   val IvfLloydIters = 2
+
+  /** Power-iteration rounds for vec_pca_power — fixed BY CONTRACT
+    * (both engines run exactly these rounds; the oracle unrolls them
+    * as CTEs, the Lloyd/PageRank discipline). 8 rounds from the 𝟙
+    * start vector is ample spectral-gap headroom on the fixture. */
+  val PcaIters = 8
+
+  /** vec_pca_power's whole computation on any (vec_id, embedding)
+    * frame — factored out so PcaSpec can plant a rank-1 corpus with a
+    * hand-derivable eigenpair. Covariance is sample (n−1); the
+    * iteration runs exactly [[PcaIters]] rounds from the 𝟙 start
+    * vector with every accumulation dsum6-pinned. */
+  def pcaPower(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val pe = emb
+      .select(col("vec_id"),
+              posexplode(Similarity.asDouble(col("embedding"))))
+      .toDF("vec_id", "i", "x")
+    val mean = pe.groupBy("i").agg(
+      dsum6(col("x")).as("s"), big(count(lit(1))).as("cnt"))
+      .select(col("i"), (col("s") / col("cnt")).as("m"), col("cnt"))
+    val cx = pe.join(broadcast(mean), Seq("i"))
+      .select(col("vec_id"), col("i"), (col("x") - col("m")).as("xc"),
+              col("cnt"))
+    val cov = cx.join(
+        cx.select(col("vec_id"), col("i").as("j"), col("xc").as("yc")),
+        Seq("vec_id"))
+      .groupBy("i", "j")
+      .agg(dsum6(col("xc") * col("yc")).as("sc"), max(col("cnt")).as("cnt"))
+      .select(col("i"), col("j"), (col("sc") / (col("cnt") - 1)).as("c"))
+      .localCheckpoint()
+    var v = cov.select(col("i")).distinct()
+      .select(col("i"), lit(1.0).as("v"))
+    for (_ <- 1 to PcaIters) {
+      val w = cov.join(v.select(col("i").as("j"), col("v")), Seq("j"))
+        .groupBy("i").agg(dsum6(col("c") * col("v")).as("w"))
+      val nrm = w.agg(sqrt(dsum6(col("w") * col("w"))).as("nm"))
+      v = w.crossJoin(broadcast(nrm))
+        .select(col("i"), (col("w") / col("nm")).as("v"))
+    }
+    val cv = cov.join(v.select(col("i").as("j"), col("v")), Seq("j"))
+      .groupBy("i").agg(dsum6(col("c") * col("v")).as("w"))
+    val lam = cv.join(v, Seq("i"))
+      .agg(dsum6(col("v") * col("w")).as("lam"))
+    v.crossJoin(broadcast(lam))
+      .select(col("i").cast("long").as("dim"), fround(col("v"), 6).as("loading"),
+              fround(col("lam"), 6).as("eigenvalue"))
+      .orderBy("dim")
+  }
 
   /** PQ geometry: 64-dim vectors → 4 subspaces × 16 dims, 8 codewords
     * per subspace (3 bits), 1 training round — all FIXED so the
@@ -557,6 +620,38 @@ object Vectors {
        froundSql("127.0 / amax", 6) + " AS scale, " +
        "CAST(LIST_SUM(LIST_TRANSFORM(v, e -> CAST(FLOOR(e * 127.0 / amax + 0.5) AS BIGINT))) AS BIGINT) AS qsum " +
        "FROM a ORDER BY vec_id"),
+    // the identical fixed power-iteration rounds, unrolled — every
+    // accumulation decimal-pinned at the same points as the engine
+    "vec_pca_power" -> {
+      val rounds = (1 to PcaIters).map { k =>
+        // MATERIALIZED is load-bearing: v_k references w_k twice, so
+        // inlined CTEs would expand the 8-round chain 2^8-fold at
+        // PLAN time (observed: DuckDB hangs >3 min in the optimizer)
+        s"w$k AS MATERIALIZED (SELECT c.i, " + dsum6Sql(s"c.c * v.v") + " AS w " +
+        s"FROM cov c JOIN v${k - 1} v ON v.i = c.j GROUP BY 1), " +
+        s"n$k AS MATERIALIZED (SELECT SQRT(" + dsum6Sql("w * w") + s") AS nm FROM w$k), " +
+        s"v$k AS MATERIALIZED (SELECT i, w / (SELECT nm FROM n$k) AS v FROM w$k)"
+      }.mkString(", ")
+      "WITH pe AS (SELECT vec_id, GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS i, " +
+      "UNNEST(CAST(embedding AS DOUBLE[])) AS x FROM embeddings), " +
+      "mean AS (SELECT i, " + dsum6Sql("x") + " / CAST(COUNT(*) AS BIGINT) AS m, " +
+      "CAST(COUNT(*) AS BIGINT) AS cnt FROM pe GROUP BY 1), " +
+      "cx AS (SELECT pe.vec_id, pe.i, pe.x - mean.m AS xc, mean.cnt " +
+      "FROM pe JOIN mean USING (i)), " +
+      "cov AS MATERIALIZED (SELECT a.i, b.i AS j, " +
+      dsum6Sql("a.xc * b.xc") + " / (MAX(a.cnt) - 1) AS c " +
+      "FROM cx a JOIN cx b ON b.vec_id = a.vec_id GROUP BY 1, 2), " +
+      "v0 AS (SELECT DISTINCT i, 1.0 AS v FROM cov), " +
+      rounds + ", " +
+      s"cv AS (SELECT c.i, " + dsum6Sql("c.c * v.v") + " AS w " +
+      s"FROM cov c JOIN v$PcaIters v ON v.i = c.j GROUP BY 1), " +
+      s"lam AS (SELECT " + dsum6Sql("v.v * cv.w") +
+      s" AS lam FROM cv JOIN v$PcaIters v USING (i)) " +
+      "SELECT v.i AS dim, " + froundSql("v.v", 6) + " AS loading, " +
+      froundSql("(SELECT lam FROM lam)", 6) + " AS eigenvalue " +
+      s"FROM v$PcaIters v ORDER BY dim"
+    },
+
     // same two-pass standardization; subscripts are 1-based here vs
     // posexplode's 0-based — irrelevant, the key only links a value to
     // its own dimension's stats within one engine
