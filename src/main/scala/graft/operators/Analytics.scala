@@ -894,6 +894,29 @@ object Analytics {
         .orderBy("event_type")
     }),
 
+    // TIME-DECAYED SPEND per user — the recency-weighted feature the
+    // feature store refreshes nightly: Σ cents · 2^(−weeks_ago), a
+    // one-week half-life anchored at the corpus max date (broadcast as
+    // a 1-row aggregate — never a driver collect). The decay exponent
+    // is the INTEGER week offset, so every weight is an exact dyadic
+    // (2^−k) and every term cents·2^−k is exact in a double with
+    // k+⌈log₂cents⌉ ≤ 40 bits — the win_ewma dyadic-exactness
+    // discipline: the plain double sum is bit-identical under ANY
+    // partitioning/order on ANY engine, no decimal pinning needed
+    // until the single final fround. One map-side-combinable hash-agg
+    // pass over the corpus.
+    "events_decay_sum" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("user_id"), to_date(col("ts")).as("d"),
+          floor(col("value") * 100).cast("long").as("cents"))
+      val mx = ev.agg(max(col("d")).as("maxd"))
+      ev.crossJoin(broadcast(mx))
+        .withColumn("wk", floor(datediff(col("maxd"), col("d")) / 7.0).cast("int"))
+        .groupBy("user_id")
+        .agg(fround(sum(col("cents").cast("double") * pow(lit(0.5), col("wk"))) /
+                    100.0, 4).as("decayed_usd"))
+        .orderBy("user_id")
+    }),
+
     // 2-HOP NEIGHBORHOOD SIZE per node via HyperBall sketch rounds —
     // the reach/influence metric computed the only way that survives
     // hubs (see [[hyperBall]]). Deliberately no oracle (sketch
@@ -1331,6 +1354,17 @@ object Analytics {
        " AS bias " +
        "FROM daily a JOIN daily f ON f.event_type = a.event_type " +
        "AND f.d = a.d - 7 GROUP BY 1 ORDER BY 1"),
+
+    // same integer-week dyadic weights: the double sum is exact, so no
+    // decimal pinning appears before the one final fround
+    "events_decay_sum" ->
+      ("WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d, " +
+       "CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events), " +
+       "mx AS (SELECT MAX(d) AS maxd FROM ev) " +
+       "SELECT user_id, " +
+       froundSql("SUM(CAST(cents AS DOUBLE) * " +
+                 "POWER(0.5, CAST(FLOOR(DATEDIFF('day', d, maxd) / 7.0) AS INT))) / 100.0", 4) +
+       " AS decayed_usd FROM ev, mx GROUP BY user_id ORDER BY user_id"),
 
     // same sufficient statistics over the bidirected list; DuckDB's
     // HUGEINT sums re-cast to double at the same two points

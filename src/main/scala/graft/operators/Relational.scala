@@ -287,6 +287,32 @@ object Relational {
         .limit(100)
     }),
 
+    // CLASS-BALANCED SAMPLE — every language contributes exactly
+    // min-class-size docs, chosen by seeded md5 order (key-stable:
+    // any engine, any partitioning, any day recomputes the same
+    // sample) — the "don't let English drown the mixture" primitive,
+    // the fixed-PROPORTION complement of text_mixture_budget's token
+    // capping. The per-class cutoff is data-dependent (min over class
+    // counts), so it broadcasts as a 1-row aggregate into the rank
+    // filter — one lang-partitioned window over the corpus, one
+    // broadcast, no self-join; with a LITERAL per-class budget the
+    // same rank filter compiles to WindowGroupLimit (the
+    // events_user_paths plan). Output is the per-class audit summary.
+    "sample_balanced" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = documents(s, dir)
+        .withColumn("rk", md5(concat(lit("bal:"), col("doc_id").cast("string"))))
+      val minN = d.groupBy("lang").agg(count(lit(1)).as("cnt"))
+        .agg(min(col("cnt")).as("min_n"))
+      val w = Window.partitionBy("lang").orderBy(col("rk"), col("doc_id"))
+      d.withColumn("rn", row_number().over(w))
+        .crossJoin(broadcast(minN))
+        .where(col("rn") <= col("min_n"))
+        .groupBy("lang")
+        .agg(big(count(lit(1))).as("n_docs"), big(sum(col("n_chars"))).as("sum_chars"))
+        .orderBy("lang")
+    }),
+
     // CDC MERGE (upsert, latest-wins): the nightly "apply the change
     // feed onto the snapshot" operator every warehouse pipeline runs.
     // Base = latest pre-cutoff order per customer, delta = latest
@@ -563,6 +589,16 @@ object Relational {
        "CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1) / 4294967296.0) " +
        "/ n_chars", 8) + " AS wkey FROM documents) " +
        "SELECT doc_id, lang, n_chars, wkey FROM b ORDER BY wkey, doc_id LIMIT 100"),
+    // same seeded order, same data-dependent min-class cutoff
+    "sample_balanced" ->
+      ("WITH d AS (SELECT doc_id, lang, n_chars, " +
+       "MD5('bal:' || CAST(doc_id AS VARCHAR)) AS rk FROM documents), " +
+       "m AS (SELECT MIN(cnt) AS min_n FROM " +
+       "(SELECT COUNT(*) AS cnt FROM d GROUP BY lang)), " +
+       "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY rk, doc_id) AS rn FROM d) " +
+       "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+       "CAST(SUM(n_chars) AS BIGINT) AS sum_chars " +
+       "FROM r, m WHERE rn <= min_n GROUP BY lang ORDER BY lang"),
     // independent per-column UNION ALL formulation of the one-pass
     // profiling aggregate
     "profile_columns" -> {

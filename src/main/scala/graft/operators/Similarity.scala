@@ -127,8 +127,45 @@ object Similarity {
     // ANN path: LSH-bucketed approximate neighbors (no oracle — bucket
     // membership is hash-construction-specific; property tests assert
     // recall against the brute-force baseline).
-    "sim_ann_lsh" -> ((s, dir) => annTopK(embeddings(s, dir), 0L, 10))
+    "sim_ann_lsh" -> ((s, dir) => annTopK(embeddings(s, dir), 0L, 10)),
+
+    // kNN LABEL CLASSIFICATION — leave-one-out 5-NN majority vote over
+    // the labeled corpus, reported as a confusion summary (label,
+    // predicted, n). The scale shape is classify-against-a-LABELED-SET:
+    // the reference side is hand-labeled and therefore small by
+    // construction, so it BROADCASTS (a BroadcastNestedLoopJoin the
+    // corpus streams through — the sim_range_search shape, never an
+    // all-pairs shuffle); here the eval is leave-one-out so both sides
+    // are the same table. Ranking cuts on the fround4 cosine with
+    // nbr_id tie-break (engine-stable), the vote is one max(struct(
+    // votes, −label)) hash-agg — majority with min-label ties, the LPA
+    // trick, never a per-vector sort.
+    "sim_knn_classify" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = embeddings(s, dir)
+      val b = e.select(col("vec_id").as("nbr_id"), col("embedding").as("vb"),
+                       col("label").as("nbr_label"))
+      val pairs = e.crossJoin(broadcast(b))
+        .where(col("vec_id") =!= col("nbr_id"))
+        .select(col("vec_id"), col("label"), col("nbr_id"), col("nbr_label"),
+                fround(cosine(col("embedding"), col("vb")), 4).as("cos"))
+      val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nbr_id"))
+      val votes = pairs.withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= KnnClassifyK)
+        .groupBy("vec_id", "label", "nbr_label")
+        .agg(count(lit(1)).as("votes"))
+      votes.groupBy("vec_id", "label")
+        .agg(max(struct(col("votes"), (-col("nbr_label")).as("neg"))).as("m"))
+        .select(col("vec_id"), col("label"), (-col("m.neg")).as("predicted"))
+        .groupBy("label", "predicted")
+        .agg(big(count(lit(1))).as("n"))
+        .orderBy("label", "predicted")
+    })
   )
+
+  /** Neighbors per vote in sim_knn_classify — odd so binary votes
+    * cannot tie (multi-class ties still resolve min-label). */
+  val KnnClassifyK = 5
 
   val oracle: Map[String, String] = Map(
     // CAST to DOUBLE[] so DuckDB's kernel does the same double-precision
@@ -162,6 +199,24 @@ object Similarity {
        froundSql("LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))", 4) +
        " DESC, b.vec_id) AS BIGINT) AS rnk " +
        "FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id) " +
-       "WHERE rnk <= 3 ORDER BY vec_id, rnk")
+       "WHERE rnk <= 3 ORDER BY vec_id, rnk"),
+
+    // same rank cut / vote / min-label tie chain; the majority pick is
+    // a rank-1 window here vs max(struct) there — identical semantics
+    "sim_knn_classify" ->
+      ("WITH pairs AS MATERIALIZED (SELECT a.vec_id, a.label, b.vec_id AS nbr_id, " +
+       "b.label AS nbr_label, " +
+       froundSql("LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))", 4) +
+       " AS cos FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id), " +
+       "top5 AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id " +
+       "ORDER BY cos DESC, nbr_id) AS rnk FROM pairs) " +
+       s"WHERE rnk <= $KnnClassifyK), " +
+       "votes AS (SELECT vec_id, label, nbr_label, COUNT(*) AS votes " +
+       "FROM top5 GROUP BY 1, 2, 3), " +
+       "pred AS (SELECT vec_id, label, nbr_label AS predicted, " +
+       "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY votes DESC, nbr_label) AS pr " +
+       "FROM votes) " +
+       "SELECT label, predicted, CAST(COUNT(*) AS BIGINT) AS n " +
+       "FROM pred WHERE pr = 1 GROUP BY 1, 2 ORDER BY 1, 2")
   )
 }

@@ -629,6 +629,32 @@ class PlanAuditSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(p).size <= 2, p.take(3000))
   }
 
+  test("sim_knn_classify: labeled set broadcasts, rank cut is WindowGroupLimit") {
+    val p = plan("sim_knn_classify")
+    // the reference side must BROADCAST (labeled data is small by
+    // construction — the corpus streams through a BNLJ, never an
+    // all-pairs shuffle), and the constant k cut must bound each
+    // vec_id partition before any sort
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+  }
+
+  test("sample_balanced: one lang window, min-class cutoff broadcast back") {
+    val p = plan("sample_balanced")
+    // the data-dependent cutoff is a 1-row aggregate joined by
+    // broadcast — the corpus must never shuffle a second time for it
+    assert("Exchange hashpartitioning\\(lang".r.findAllIn(p).size <= 2, p.take(3000))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("events_decay_sum: single mergeable agg pass, anchor broadcast, no window") {
+    val p = plan("events_decay_sum")
+    assert(!p.contains("Window"), p.take(3000))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000)) // 1-row maxd
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(3000)) // partial+final
+  }
+
   test("whole-stage codegen covers the hot paths of the flagship aggregate") {
     // AQE finalizes stages only at execution; run the query, then check
     // the final adaptive plan for codegen stage markers (`*(n)`)
