@@ -107,6 +107,41 @@ object Vectors {
     // eigenvalue, fround6.
     "vec_pca_power" -> ((s, dir) => pcaPower(embeddings(s, dir))),
 
+    // PCA SCORES — project every vector onto the PUBLISHED (fround6)
+    // top loading: the fit-small / transform-big shape. The fit
+    // (pcaPower) reduces to a 64-row loading table that BROADCASTS
+    // into one row-local corpus pass (explode → centered dot →
+    // per-vector hash-agg); at 100 TB the fit runs on a sample once
+    // and the transform is embarrassingly parallel. Determinism is
+    // inherited: loading and mean are the pinned published values,
+    // the dot re-pins per term through dsum6.
+    "vec_pca_project" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val loading = pcaPower(e).select(col("dim").cast("int").as("i"), col("loading"))
+      val pe = e.select(col("vec_id"),
+                        posexplode(Similarity.asDouble(col("embedding"))))
+        .toDF("vec_id", "i", "x")
+      val mean = pe.groupBy("i").agg(
+        dsum6(col("x")).as("s"), big(count(lit(1))).as("cnt"))
+        .select(col("i"), (col("s") / col("cnt")).as("m"))
+      pe.join(broadcast(mean), Seq("i"))
+        .join(broadcast(loading), Seq("i"))
+        .groupBy("vec_id")
+        .agg(fround(dsum6((col("x") - col("m")) * col("loading")), 4).as("pc1"))
+        .orderBy("vec_id")
+    }),
+
+    // EMBEDDING OUTLIERS — vectors farther than μ+2σ from their
+    // label's centroid: the "mislabeled / corrupted row" detector an
+    // embedding pipeline runs before training. Per-label centroid =
+    // the decimal-exact per-dimension mean (the vec_centroid kernel);
+    // per-vector distance pins fround6 BEFORE the per-label moment
+    // stats, so the cutoff comparison is between two identically
+    // pinned quantities on both engines — no boundary drift. Shapes:
+    // centroid broadcasts back (label×dim rows), stats broadcast back
+    // (label rows); the corpus shuffles once on (label, vec_id).
+    "vec_outliers" -> ((s, dir) => outliers(embeddings(s, dir))),
+
     // PER-DIMENSION STANDARDIZATION (z-score feature scaling) — the
     // preprocessing step distance-based methods assume: each dimension
     // recentered/rescaled by corpus-wide mean/std. Classic TWO-PASS
@@ -317,6 +352,65 @@ object Vectors {
     * as CTEs, the Lloyd/PageRank discipline). 8 rounds from the 𝟙
     * start vector is ample spectral-gap headroom on the fixture. */
   val PcaIters = 8
+
+  /** Shared oracle prelude: explode → per-dim mean → centered rows
+    * (`cx`) → covariance (`cov`) → the [[PcaIters]] unrolled power
+    * rounds ending at `v{PcaIters}`. vec_pca_power appends the
+    * Rayleigh quotient, vec_pca_project the loading join — ONE
+    * definition so the two oracles cannot drift. */
+  lazy val PcaCte: String = {
+    val rounds = (1 to PcaIters).map { k =>
+      // MATERIALIZED is load-bearing: v_k references w_k twice, so
+      // inlined CTEs would expand the 8-round chain 2^8-fold at
+      // PLAN time (observed: DuckDB hangs >3 min in the optimizer)
+      s"w$k AS MATERIALIZED (SELECT c.i, " + dsum6Sql(s"c.c * v.v") + " AS w " +
+      s"FROM cov c JOIN v${k - 1} v ON v.i = c.j GROUP BY 1), " +
+      s"n$k AS MATERIALIZED (SELECT SQRT(" + dsum6Sql("w * w") + s") AS nm FROM w$k), " +
+      s"v$k AS MATERIALIZED (SELECT i, w / (SELECT nm FROM n$k) AS v FROM w$k)"
+    }.mkString(", ")
+    "pe AS (SELECT vec_id, GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS i, " +
+    "UNNEST(CAST(embedding AS DOUBLE[])) AS x FROM embeddings), " +
+    "mean AS (SELECT i, " + dsum6Sql("x") + " / CAST(COUNT(*) AS BIGINT) AS m, " +
+    "CAST(COUNT(*) AS BIGINT) AS cnt FROM pe GROUP BY 1), " +
+    "cx AS MATERIALIZED (SELECT pe.vec_id, pe.i, pe.x - mean.m AS xc, mean.cnt " +
+    "FROM pe JOIN mean USING (i)), " +
+    "cov AS MATERIALIZED (SELECT a.i, b.i AS j, " +
+    dsum6Sql("a.xc * b.xc") + " / (MAX(a.cnt) - 1) AS c " +
+    "FROM cx a JOIN cx b ON b.vec_id = a.vec_id GROUP BY 1, 2), " +
+    "v0 AS (SELECT DISTINCT i, 1.0 AS v FROM cov), " +
+    rounds
+  }
+
+  /** vec_outliers' whole computation on any (label, vec_id, embedding)
+    * frame — factored out so PcaSpec can plant a cluster with a
+    * hand-derivable cutoff. dist pins fround6 BEFORE the per-label
+    * moment stats, so the cutoff comparison is between two identically
+    * pinned quantities on both engines. */
+  def outliers(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val pe = emb
+      .select(col("label"), col("vec_id"),
+              posexplode(Similarity.asDouble(col("embedding"))))
+      .toDF("label", "vec_id", "i", "x")
+    val cent = pe.groupBy("label", "i").agg(
+      dsum6(col("x")).as("s"), big(count(lit(1))).as("cnt"))
+      .select(col("label"), col("i"), (col("s") / col("cnt")).as("c"))
+    val dist = pe.join(broadcast(cent), Seq("label", "i"))
+      .groupBy("label", "vec_id")
+      .agg(fround(sqrt(dsum6((col("x") - col("c")) * (col("x") - col("c")))),
+                  6).as("dist"))
+    val cut = dist.groupBy("label")
+      .agg(dsum6(col("dist")).cast("double").as("s1"),
+           dsum6(col("dist") * col("dist")).cast("double").as("s2"),
+           big(count(lit(1))).as("n"))
+      .select(col("label"),
+              fround(col("s1") / col("n") +
+                     lit(2.0) * sqrt((col("s2") - col("s1") * col("s1") / col("n")) /
+                                     (col("n") - 1)), 6).as("cutoff"))
+    dist.join(broadcast(cut), Seq("label"))
+      .where(col("dist") > col("cutoff"))
+      .select(col("label"), col("vec_id"), col("dist"), col("cutoff"))
+      .orderBy("label", "vec_id")
+  }
 
   /** vec_pca_power's whole computation on any (vec_id, embedding)
     * frame — factored out so PcaSpec can plant a rank-1 corpus with a
@@ -622,35 +716,43 @@ object Vectors {
        "FROM a ORDER BY vec_id"),
     // the identical fixed power-iteration rounds, unrolled — every
     // accumulation decimal-pinned at the same points as the engine
-    "vec_pca_power" -> {
-      val rounds = (1 to PcaIters).map { k =>
-        // MATERIALIZED is load-bearing: v_k references w_k twice, so
-        // inlined CTEs would expand the 8-round chain 2^8-fold at
-        // PLAN time (observed: DuckDB hangs >3 min in the optimizer)
-        s"w$k AS MATERIALIZED (SELECT c.i, " + dsum6Sql(s"c.c * v.v") + " AS w " +
-        s"FROM cov c JOIN v${k - 1} v ON v.i = c.j GROUP BY 1), " +
-        s"n$k AS MATERIALIZED (SELECT SQRT(" + dsum6Sql("w * w") + s") AS nm FROM w$k), " +
-        s"v$k AS MATERIALIZED (SELECT i, w / (SELECT nm FROM n$k) AS v FROM w$k)"
-      }.mkString(", ")
-      "WITH pe AS (SELECT vec_id, GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS i, " +
-      "UNNEST(CAST(embedding AS DOUBLE[])) AS x FROM embeddings), " +
-      "mean AS (SELECT i, " + dsum6Sql("x") + " / CAST(COUNT(*) AS BIGINT) AS m, " +
-      "CAST(COUNT(*) AS BIGINT) AS cnt FROM pe GROUP BY 1), " +
-      "cx AS (SELECT pe.vec_id, pe.i, pe.x - mean.m AS xc, mean.cnt " +
-      "FROM pe JOIN mean USING (i)), " +
-      "cov AS MATERIALIZED (SELECT a.i, b.i AS j, " +
-      dsum6Sql("a.xc * b.xc") + " / (MAX(a.cnt) - 1) AS c " +
-      "FROM cx a JOIN cx b ON b.vec_id = a.vec_id GROUP BY 1, 2), " +
-      "v0 AS (SELECT DISTINCT i, 1.0 AS v FROM cov), " +
-      rounds + ", " +
-      s"cv AS (SELECT c.i, " + dsum6Sql("c.c * v.v") + " AS w " +
-      s"FROM cov c JOIN v$PcaIters v ON v.i = c.j GROUP BY 1), " +
-      s"lam AS (SELECT " + dsum6Sql("v.v * cv.w") +
-      s" AS lam FROM cv JOIN v$PcaIters v USING (i)) " +
-      "SELECT v.i AS dim, " + froundSql("v.v", 6) + " AS loading, " +
-      froundSql("(SELECT lam FROM lam)", 6) + " AS eigenvalue " +
-      s"FROM v$PcaIters v ORDER BY dim"
-    },
+    "vec_pca_power" ->
+      (s"WITH $PcaCte, " +
+       s"cv AS (SELECT c.i, " + dsum6Sql("c.c * v.v") + " AS w " +
+       s"FROM cov c JOIN v$PcaIters v ON v.i = c.j GROUP BY 1), " +
+       s"lam AS (SELECT " + dsum6Sql("v.v * cv.w") +
+       s" AS lam FROM cv JOIN v$PcaIters v USING (i)) " +
+       "SELECT v.i AS dim, " + froundSql("v.v", 6) + " AS loading, " +
+       froundSql("(SELECT lam FROM lam)", 6) + " AS eigenvalue " +
+       s"FROM v$PcaIters v ORDER BY dim"),
+
+    // same prelude; the projection multiplies the PUBLISHED (fround6)
+    // loading against the already-centered cx rows
+    "vec_pca_project" ->
+      (s"WITH $PcaCte, " +
+       s"loading AS (SELECT i, " + froundSql("v", 6) + s" AS lv FROM v$PcaIters) " +
+       "SELECT cx.vec_id, " + froundSql(dsum6Sql("cx.xc * loading.lv"), 4) +
+       " AS pc1 FROM cx JOIN loading USING (i) GROUP BY 1 ORDER BY 1"),
+
+    // the same fround6-before-stats pinning: dist and cutoff are both
+    // pinned quantities, so the > comparison cannot drift
+    "vec_outliers" ->
+      ("WITH pe AS (SELECT label, vec_id, GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS i, " +
+       "UNNEST(CAST(embedding AS DOUBLE[])) AS x FROM embeddings), " +
+       "cent AS (SELECT label, i, " + dsum6Sql("x") +
+       " / CAST(COUNT(*) AS BIGINT) AS c FROM pe GROUP BY 1, 2), " +
+       "dist AS MATERIALIZED (SELECT pe.label, pe.vec_id, " +
+       froundSql("SQRT(" + dsum6Sql("(x - c) * (x - c)") + ")", 6) +
+       " AS dist FROM pe JOIN cent USING (label, i) GROUP BY 1, 2), " +
+       "cut AS (SELECT label, " +
+       froundSql("s1 / n + 2.0 * SQRT((s2 - s1 * s1 / n) / (n - 1))", 6) +
+       " AS cutoff FROM (SELECT label, " +
+       "CAST(" + dsum6Sql("dist") + " AS DOUBLE) AS s1, " +
+       "CAST(" + dsum6Sql("dist * dist") + " AS DOUBLE) AS s2, " +
+       "CAST(COUNT(*) AS BIGINT) AS n FROM dist GROUP BY 1)) " +
+       "SELECT d.label, d.vec_id, d.dist, cutoff " +
+       "FROM dist d JOIN cut USING (label) WHERE d.dist > cutoff " +
+       "ORDER BY 1, 2"),
 
     // same two-pass standardization; subscripts are 1-based here vs
     // posexplode's 0-based — irrelevant, the key only links a value to

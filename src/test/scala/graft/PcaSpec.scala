@@ -30,6 +30,48 @@ class PcaSpec extends SparkSpec {
     assert(got.forall(r => math.abs(r._3 - 5.0) < 1e-5), got.mkString(","))
   }
 
+  test("planted projections land the hand-computed PCA scores") {
+    // same rank-1 corpus: centered points are ±(2,1) and 0, so scores
+    // onto (2,1)/√5 are ∓√5 and 0 (sign follows the 𝟙-start iteration,
+    // which lands the +(2,1)/√5 direction)
+    val emb = Seq(
+      (1L, Array(-2.0f, -1.0f)),
+      (2L, Array(0.0f, 0.0f)),
+      (3L, Array(2.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    // mirror the query's composition on the planted frame
+    val loading = Vectors.pcaPower(emb)
+      .select(col("dim").cast("int").as("i"), col("loading"))
+    val pe = emb.select(col("vec_id"),
+        posexplode(graft.operators.Similarity.asDouble(col("embedding"))))
+      .toDF("vec_id", "i", "x")
+    val mean = pe.groupBy("i").agg(avg(col("x")).as("m"))
+    val got = pe.join(mean, Seq("i")).join(loading, Seq("i"))
+      .groupBy("vec_id")
+      .agg(round(sum((col("x") - col("m")) * col("loading")), 4).as("pc1"))
+      .orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == Seq((1L, -2.2361), (2L, 0.0), (3L, 2.2361)),
+      got.mkString(","))
+  }
+
+  test("planted cluster with one far point flags exactly that point") {
+    // 20 inliers (5 copies each of the 4 unit points) pull the
+    // centroid to (1,0) once the (21,0) outlier joins; inlier
+    // distances top out at 2 while μ+2σ ≈ 10.43 — only vec_id 99
+    // crosses the cutoff
+    val pts = (0 until 5).flatMap(k => Seq(
+      (100L + k, Array(1.0f, 0.0f)), (200L + k, Array(-1.0f, 0.0f)),
+      (300L + k, Array(0.0f, 1.0f)), (400L + k, Array(0.0f, -1.0f)))) :+
+      ((99L, Array(21.0f, 0.0f)))
+    val emb = pts.toDF("vec_id", "embedding").withColumn("label", lit(0))
+    val out = Vectors.outliers(emb).collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(99L),
+      out.map(_.toString).mkString(","))
+    val (d, cut) = (out.head.getDouble(2), out.head.getDouble(3))
+    assert(d == 20.0 && math.abs(cut - 10.4354) < 1e-3, s"dist=$d cutoff=$cut")
+  }
+
   test("fixture loading is unit-norm and eigenvalue sits in the Rayleigh band") {
     val out = Vectors.pcaPower(Tables.embeddings(spark, sf001))
     val rows = out.collect().map(r => (r.getDouble(1), r.getDouble(2)))

@@ -655,6 +655,21 @@ class PlanAuditSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(3000)) // partial+final
   }
 
+  test("vec_pca_project: fit output and dimension means broadcast into one corpus pass") {
+    val p = plan("vec_pca_project")
+    // the 64-row loading and mean tables must broadcast — shuffling
+    // the exploded corpus on the 64-key dimension id to meet them
+    // would be the vec_standardize skew/scale bug
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("vec_outliers: centroids and cutoffs broadcast back, no window") {
+    val p = plan("vec_outliers")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("whole-stage codegen covers the hot paths of the flagship aggregate") {
     // AQE finalizes stages only at execution; run the query, then check
     // the final adaptive plan for codegen stage markers (`*(n)`)
