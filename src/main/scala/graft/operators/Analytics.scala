@@ -894,6 +894,44 @@ object Analytics {
         .orderBy("event_type")
     }),
 
+    // SEASONAL DECOMPOSITION of the daily revenue series per event
+    // type — classical additive decompose (the STL-shaped triage every
+    // metrics platform runs before calling a dip an incident): trend =
+    // centered 7-day moving average (full frames only), seasonal =
+    // per-day-of-week mean of the detrended series, residual = the
+    // rest. Exact integer cents until the ONE trend division (/7.0,
+    // fround6-pinned); the seasonal mean re-pins through dsum6 of
+    // pinned terms. Shapes: the corpus collapses to the (type, day)
+    // grid FIRST (one hash-agg), both windows stack on one event_type
+    // partitioning of grid rows (value-cardinality-bounded, never raw
+    // events — the agg_weighted_median discipline), and the per-dow
+    // seasonal means broadcast back. Gaps: the trend frame is
+    // row-based over OBSERVED days; feed the win_interpolate spine
+    // upstream when the calendar must be dense.
+    "events_seasonal_decompose" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
+      val w = Window.partitionBy("event_type").orderBy("d").rowsBetween(-3, 3)
+      val trended = daily
+        .withColumn("trend",
+          when(count(lit(1)).over(w) === 7,
+               fround(sum(col("cents")).over(w) / 7.0, 6)))
+        .withColumn("dow", dayofweek(col("d")))
+      val seasonal = trended.where(col("trend").isNotNull)
+        .groupBy("event_type", "dow")
+        .agg((dsum6(col("cents") - col("trend")) /
+              big(count(lit(1)))).cast("double").as("seas"))
+      trended.join(broadcast(seasonal), Seq("event_type", "dow"))
+        .where(col("trend").isNotNull)
+        .select(col("event_type"), col("d"), col("cents"), col("trend"),
+                fround(col("seas"), 6).as("seasonal"),
+                fround(col("cents") - col("trend") - fround(col("seas"), 6), 4)
+                  .as("residual"))
+        .orderBy("event_type", "d")
+    }),
+
     // TIME-DECAYED SPEND per user — the recency-weighted feature the
     // feature store refreshes nightly: Σ cents · 2^(−weeks_ago), a
     // one-week half-life anchored at the corpus max date (broadcast as
@@ -1354,6 +1392,27 @@ object Analytics {
        " AS bias " +
        "FROM daily a JOIN daily f ON f.event_type = a.event_type " +
        "AND f.d = a.d - 7 GROUP BY 1 ORDER BY 1"),
+
+    // identical grid windows; dow numbering differs across engines
+    // (Spark 1..7 vs DuckDB 0..6) but is only an internal grouping
+    // key — the weekday PARTITION of days is the same partition
+    "events_seasonal_decompose" ->
+      ("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, " +
+       "SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS cents FROM events GROUP BY 1, 2), " +
+       "t AS (SELECT event_type, d, cents, " +
+       "CASE WHEN COUNT(*) OVER w = 7 THEN " +
+       froundSql("SUM(cents) OVER w / 7.0", 6) + " END AS trend, " +
+       "DAYOFWEEK(d) AS dow FROM daily " +
+       "WINDOW w AS (PARTITION BY event_type ORDER BY d " +
+       "ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)), " +
+       "seas AS (SELECT event_type, dow, " +
+       dsum6Sql("cents - trend") + " / COUNT(*) AS s " +
+       "FROM t WHERE trend IS NOT NULL GROUP BY 1, 2) " +
+       "SELECT t.event_type, t.d, CAST(t.cents AS BIGINT) AS cents, t.trend, " +
+       froundSql("s", 6) + " AS seasonal, " +
+       froundSql("t.cents - t.trend - " + froundSql("s", 6), 4) + " AS residual " +
+       "FROM t JOIN seas ON seas.event_type = t.event_type AND seas.dow = t.dow " +
+       "WHERE t.trend IS NOT NULL ORDER BY 1, 2"),
 
     // same integer-week dyadic weights: the double sum is exact, so no
     // decimal pinning appears before the one final fround

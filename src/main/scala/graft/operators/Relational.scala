@@ -387,6 +387,38 @@ object Relational {
         .orderBy("o_custkey")
     }),
 
+    // INCREMENTAL JOIN-VIEW MAINTENANCE: keep a materialized JOIN
+    // current from insert deltas without rejoining history — the
+    // bilinear delta rule (A∪ΔA)⋈(B∪ΔB) = A⋈B ∪ ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB,
+    // the join sibling of agg_incremental_maintain's monoid law. The
+    // oracle IS the one-shot full join over all rows, so CORRECTNESS
+    // proves the decomposition end-to-end, never a mirrored
+    // implementation. Scale shape: the stored view (here recomputed as
+    // the old⋈old arm only because the fixture carries no persisted
+    // state) is READ, not rejoined; the two cross arms each pair a
+    // day-sized delta against history — broadcast the delta side and
+    // history streams through once — and ΔA⋈ΔB is delta×delta. Every
+    // arm is an equi-join on the view key; the final per-customer
+    // rollup is map-side combinable.
+    "join_incremental_maintain" -> ((s, dir) => {
+      val o = orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+                                    col("o_orderdate"))
+      val l = lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate"),
+          floor(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val oOld = o.where(col("o_orderdate") < MergeCutoff)
+      val oNew = o.where(col("o_orderdate") >= MergeCutoff)
+      val lOld = l.where(col("l_shipdate") < MergeCutoff)
+      val lNew = l.where(col("l_shipdate") >= MergeCutoff)
+      def arm(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+        a.join(b, col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey"), col("cents"))
+      arm(oOld, lOld).unionByName(arm(oNew, lOld))
+        .unionByName(arm(oOld, lNew)).unionByName(arm(oNew, lNew))
+        .groupBy("o_custkey")
+        .agg(big(count(lit(1))).as("n_items"), big(sum(col("cents"))).as("item_cents"))
+        .orderBy("o_custkey")
+    }),
+
     "merge_upsert" -> ((s, dir) => {
       val base  = latestPerCustomer(orders(s, dir).where(col("o_orderdate") < MergeCutoff), "b")
       val delta = latestPerCustomer(orders(s, dir).where(col("o_orderdate") >= MergeCutoff), "d")
@@ -621,6 +653,15 @@ object Relational {
        "CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents, " +
        "MAX(o_orderdate) AS last_order_d " +
        "FROM orders GROUP BY 1 ORDER BY 1"),
+
+    // the oracle is the ONE-SHOT full join — comparing it against the
+    // engine's four-arm union proves the bilinear delta rule itself
+    "join_incremental_maintain" ->
+      ("SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_items, " +
+       "CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS item_cents " +
+       "FROM orders JOIN lineitem ON l_orderkey = o_orderkey " +
+       "GROUP BY 1 ORDER BY 1"),
+
     "merge_upsert" ->
       ("WITH base AS (SELECT * FROM (SELECT o_custkey, o_orderkey, o_totalprice, o_orderpriority, " +
        "ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn " +

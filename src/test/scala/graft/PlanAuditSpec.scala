@@ -670,6 +670,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window") && !p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("join_incremental_maintain: four equi-join arms, never a product") {
+    val p = plan("join_incremental_maintain")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(3000))
+  }
+
+  test("events_seasonal_decompose windows the daily GRID, seasonal means broadcast back") {
+    val p = plan("events_seasonal_decompose")
+    // the corpus must collapse to (type, day) rows before any window,
+    // and the type×7 seasonal table must come back by broadcast
+    assert(p.contains("Window"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("whole-stage codegen covers the hot paths of the flagship aggregate") {
     // AQE finalizes stages only at execution; run the query, then check
     // the final adaptive plan for codegen stage markers (`*(n)`)
