@@ -105,7 +105,7 @@ object Vectors {
     // final Rayleigh quotient, bit-reproducible — the oracle unrolls
     // the identical 8 rounds as CTEs. Output: the loading vector +
     // eigenvalue, fround6.
-    "vec_pca_power" -> ((s, dir) => pcaPower(embeddings(s, dir))),
+    "vec_pca_power" -> ((s, dir) => pcaFitCached(s, dir)),
 
     // PCA SCORES — project every vector onto the PUBLISHED (fround6)
     // top loading: the fit-small / transform-big shape. The fit
@@ -117,7 +117,8 @@ object Vectors {
     // the dot re-pins per term through dsum6.
     "vec_pca_project" -> ((s, dir) => {
       val e = embeddings(s, dir)
-      val loading = pcaPower(e).select(col("dim").cast("int").as("i"), col("loading"))
+      val loading = pcaFitCached(s, dir)
+        .select(col("dim").cast("int").as("i"), col("loading"))
       val pe = e.select(col("vec_id"),
                         posexplode(Similarity.asDouble(col("embedding"))))
         .toDF("vec_id", "i", "x")
@@ -374,11 +375,37 @@ object Vectors {
     "CAST(COUNT(*) AS BIGINT) AS cnt FROM pe GROUP BY 1), " +
     "cx AS MATERIALIZED (SELECT pe.vec_id, pe.i, pe.x - mean.m AS xc, mean.cnt " +
     "FROM pe JOIN mean USING (i)), " +
-    "cov AS MATERIALIZED (SELECT a.i, b.i AS j, " +
-    dsum6Sql("a.xc * b.xc") + " / (MAX(a.cnt) - 1) AS c " +
-    "FROM cx a JOIN cx b ON b.vec_id = a.vec_id GROUP BY 1, 2), " +
+    // raw upper-triangle second moments + the (S − n·m_i·m_j)/(n−1)
+    // assembly — the engine's row-local fan-out formulation, same
+    // dsum6 pinning, same IEEE chain token for token
+    "up AS MATERIALIZED (SELECT a.i, b.i AS j, " + dsum6Sql("a.x * b.x") +
+    " AS sd FROM pe a JOIN pe b ON b.vec_id = a.vec_id AND b.i >= a.i " +
+    "GROUP BY 1, 2), " +
+    "covu AS (SELECT up.i, up.j, " +
+    "(sd - m1.cnt * m1.m * m2.m) / (m1.cnt - 1) AS c " +
+    "FROM up JOIN mean m1 ON m1.i = up.i JOIN mean m2 ON m2.i = up.j), " +
+    "cov AS MATERIALIZED (SELECT i, j, c FROM covu " +
+    "UNION ALL SELECT j AS i, i AS j, c FROM covu WHERE i <> j), " +
     "v0 AS (SELECT DISTINCT i, 1.0 AS v FROM cov), " +
     rounds
+  }
+
+  private val pcaMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String), org.apache.spark.sql.DataFrame]
+
+  /** The PCA fit memoized per (application, fixture) — the
+    * cooccurEdgesCached discipline: vec_pca_power IS the fit and
+    * vec_pca_project consumes it, so the corpus covariance pass and
+    * the 8-round iteration run once per session, whichever query
+    * lands first (family-sum attribution applies in BENCH). Keyed by
+    * applicationId (never reused, lifetime = the block manager's, so
+    * the localCheckpoint blocks it guards cannot outlive it) and the
+    * fixture's fsSig (driver regeneration self-invalidates). */
+  def pcaFitCached(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val sig = graft.Tables.fsSig(s, s"$dir/embeddings.parquet")
+    pcaMemo.getOrElseUpdate(
+      (s.sparkContext.applicationId, s"$dir|$sig"),
+      pcaPower(embeddings(s, dir)).localCheckpoint())
   }
 
   /** vec_outliers' whole computation on any (label, vec_id, embedding)
@@ -425,15 +452,34 @@ object Vectors {
     val mean = pe.groupBy("i").agg(
       dsum6(col("x")).as("s"), big(count(lit(1))).as("cnt"))
       .select(col("i"), (col("s") / col("cnt")).as("m"), col("cnt"))
-    val cx = pe.join(broadcast(mean), Seq("i"))
-      .select(col("vec_id"), col("i"), (col("x") - col("m")).as("xc"),
-              col("cnt"))
-    val cov = cx.join(
-        cx.select(col("vec_id"), col("i").as("j"), col("xc").as("yc")),
-        Seq("vec_id"))
-      .groupBy("i", "j")
-      .agg(dsum6(col("xc") * col("yc")).as("sc"), max(col("cnt")).as("cnt"))
-      .select(col("i"), col("j"), (col("sc") / (col("cnt") - 1)).as("c"))
+    // raw second moments S_ij = Σ x_i·x_j, UPPER TRIANGLE only, via a
+    // row-local nested fan-out of each vector against its own tail —
+    // never the vec_id self-join (which shuffles the exploded corpus
+    // twice to rebuild pairs every row already contains; measured 15 s
+    // of the old 18 s cov build). The d²/2 pair stream feeds a
+    // map-side partial dsum6 in the SAME stage, so the only corpus
+    // shuffle this pass is |dims²/2| partial sums; cov then assembles
+    // from S, the broadcast means and n by the textbook identity
+    // cov = (S − n·m_i·m_j)/(n−1), and mirrors across the diagonal.
+    val upper = emb
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("e"))
+      .select(col("e"), posexplode(col("e")).as(Seq("i", "xi")))
+      .select(col("i"), col("xi"),
+              posexplode(slice(col("e"), col("i") + 1, size(col("e"))))
+                .as(Seq("jo", "xj")))
+      .groupBy(col("i"), (col("i") + col("jo")).as("j"))
+      .agg(dsum6(col("xi") * col("xj")).as("sd"))
+    val covU = upper
+      .join(broadcast(mean.select(col("i"), col("m").as("mi"), col("cnt"))),
+            Seq("i"))
+      .join(broadcast(mean.select(col("i").as("j"), col("m").as("mj"))),
+            Seq("j"))
+      .select(col("i"), col("j"),
+              ((col("sd") - col("cnt") * col("mi") * col("mj")) /
+               (col("cnt") - 1)).as("c"))
+    val cov = covU.unionByName(
+        covU.where(col("i") =!= col("j"))
+            .select(col("j").as("i"), col("i").as("j"), col("c")))
       .localCheckpoint()
     var v = cov.select(col("i")).distinct()
       .select(col("i"), lit(1.0).as("v"))
@@ -441,8 +487,16 @@ object Vectors {
       val w = cov.join(v.select(col("i").as("j"), col("v")), Seq("j"))
         .groupBy("i").agg(dsum6(col("c") * col("v")).as("w"))
       val nrm = w.agg(sqrt(dsum6(col("w") * col("w"))).as("nm"))
+      // per-round lineage truncation (the k-core/LPA/PageRank loop
+      // discipline) is LOAD-BEARING here, not hygiene: v_k's plan
+      // contains w_k twice (join side + the broadcast normalizer), so
+      // without the checkpoint the round-k plan holds 2^k copies of
+      // the base subtree — measured 105 s of pure re-execution at 8
+      // rounds (the engine-side twin of the oracle's MATERIALIZED
+      // CTE requirement)
       v = w.crossJoin(broadcast(nrm))
         .select(col("i"), (col("w") / col("nm")).as("v"))
+        .localCheckpoint()
     }
     val cv = cov.join(v.select(col("i").as("j"), col("v")), Seq("j"))
       .groupBy("i").agg(dsum6(col("c") * col("v")).as("w"))
