@@ -355,6 +355,30 @@ object Aggregations {
              r4(expr("percentile(o_totalprice, 0.9)")).as("p90"))
         .orderBy("o_orderstatus")),
 
+    // WINSORIZED MEAN per group — the robust average every metrics
+    // pipeline swaps in when a fat tail owns the plain mean: values
+    // clip to the group's [p05, p95] before averaging. Two passes by
+    // definition (the cut depends on the distribution): pass 1 is the
+    // exact interpolated percentile per group (the agg_percentile
+    // kernel, fround4-pinned — at 100 TB swap approx_percentile, same
+    // plan minus the exact sort), cuts BROADCAST back (the agg_mad
+    // discipline — group-count rows, never a second corpus shuffle),
+    // pass 2 clips row-locally and re-aggregates map-side. Clipped
+    // values are exact 2-to-4-decimal quantities, so dsum6 is exact
+    // and the one final division lands before the fround pin.
+    "agg_winsorized_mean" -> ((s, dir) => {
+      val o = orders(s, dir)
+      val cuts = o.groupBy("o_orderstatus")
+        .agg(fround(expr("percentile(o_totalprice, 0.05)"), 4).as("lo"),
+             fround(expr("percentile(o_totalprice, 0.95)"), 4).as("hi"))
+      o.join(broadcast(cuts), Seq("o_orderstatus"))
+        .withColumn("w", least(greatest(col("o_totalprice"), col("lo")), col("hi")))
+        .groupBy("o_orderstatus")
+        .agg(big(count(lit(1))).as("n"),
+             fround(dsum6(col("w")) / count(lit(1)), 4).as("wmean"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Fixed-width histogram: bucket = floor(x/step) is a row-local
     // projection, so the histogram is ONE hash aggregate whose shuffle
     // is ~|buckets| — the constant-memory distribution profile that
@@ -667,6 +691,17 @@ object Aggregations {
        "ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p50, " +
        "ROUND(PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p90 " +
        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    // same fround4-pinned cuts, same LEAST/GREATEST clip, same
+    // dsum6-exact second pass
+    "agg_winsorized_mean" ->
+      ("WITH cuts AS (SELECT o_orderstatus, " +
+       froundSql("PERCENTILE_CONT(0.05) WITHIN GROUP (ORDER BY o_totalprice)", 4) + " AS lo, " +
+       froundSql("PERCENTILE_CONT(0.95) WITHIN GROUP (ORDER BY o_totalprice)", 4) + " AS hi " +
+       "FROM orders GROUP BY 1) " +
+       "SELECT o.o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n, " +
+       froundSql(dsum6Sql("LEAST(GREATEST(o_totalprice, lo), hi)") + " / COUNT(*)", 4) +
+       " AS wmean FROM orders o JOIN cuts USING (o_orderstatus) " +
+       "GROUP BY 1 ORDER BY 1"),
     "agg_collect_sorted" ->
       ("SELECT l_orderkey, STRING_AGG(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber) AS linenumbers " +
        "FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey"),
