@@ -40,6 +40,22 @@ class EntryContractSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracle entries without queries: $missing")
   }
 
+  test("SURVEY.md's shipping count matches the code (the r10 drift gate, executable)") {
+    // "Round-N total shipping: **Q queries, M oracle-checked**" must
+    // track SparkEntry exactly — the count drifted twice before this
+    // test existed (VERDICT r10 #7)
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    val ms = """total shipping: \*\*(\d+) queries, (\d+) oracle-checked\*\*""".r
+      .findAllMatchIn(survey).toSeq
+    assert(ms.nonEmpty, "SURVEY.md shipping-count line not found")
+    val m = ms.last // earlier rounds' lines stay as history; the last is current
+    assert(m.group(1).toInt == SparkEntry.queries.size,
+      s"SURVEY says ${m.group(1)} queries, code ships ${SparkEntry.queries.size}")
+    assert(m.group(2).toInt == SparkEntry.oracleSql.size,
+      s"SURVEY says ${m.group(2)} oracle-checked, code ships ${SparkEntry.oracleSql.size}")
+  }
+
   test("every oracle statement ends in a total ORDER BY (determinism rule §2.6)") {
     val bad = SparkEntry.oracleSql.filterNot { case (_, sql) =>
       sql.toUpperCase.contains("ORDER BY")
