@@ -130,6 +130,40 @@ object Dedup {
       .distinct()
   }
 
+  /** MINHASH BANDING RECALL REPORT — the dedup family's tuning
+    * surface measured, the sibling of sim_ann_recall: at each Jaccard
+    * threshold, what fraction of the EXACT near-dup pairs (the
+    * posting-index ground truth the oracle-checked family ships, i.e.
+    * stop-filtered Jaccard) does the (NumBands × RowsPerBand) banding
+    * surface as candidates, and how many candidates were generated in
+    * total. At 100 TB this is the knob sheet: recall follows the
+    * S-curve 1−(1−j^r)^b (b=8, r=4 → ~0.40 at j=0.5, ~0.89 at 0.7),
+    * candidate volume is the verification bill. No oracle (banding
+    * bucket membership is hash-construction-specific, like
+    * sim_ann_lsh); NonOracleOpsSpec pins the recall lattice
+    * (recall@0.7 ≥ recall@0.5), hit-count bounds and the ratio
+    * arithmetic. */
+  def minhashRecallReport(docs: DataFrame): DataFrame = {
+    val d = withHashedShingles(docs, "lang", "source").localCheckpoint()
+    val truth = shinglePairStats(d).withColumn("j", jaccardFromStats)
+    val cand = minhashCandidates(docs)
+      .select(col("a"), col("b"), lit(1L).as("hit"))
+    val nc = cand.agg(big(count(lit(1))).as("n_cand"))
+    def at(tau: Double) =
+      truth.where(col("j") >= tau)
+        .join(cand, Seq("a", "b"), "left")
+        .agg(big(count(lit(1))).as("n_truth"),
+             big(sum(coalesce(col("hit"), lit(0L)))).as("n_hit"))
+        .select(lit(tau).as("tau"), col("n_truth"), col("n_hit"))
+    at(0.5).unionByName(at(0.7))
+      .crossJoin(broadcast(nc))
+      .select(col("tau"), col("n_truth"), col("n_hit"), col("n_cand"),
+              when(col("n_truth") > 0,
+                   fround(col("n_hit").cast("double") / col("n_truth"), 4))
+                .as("recall"))
+      .orderBy("tau")
+  }
+
   /** Candidate pairs verified with exact Jaccard over shingle sets. */
   def minhashPairs(docs: DataFrame, jaccardMin: Double): DataFrame =
     minhashCandidates(docs)
@@ -644,6 +678,9 @@ object Dedup {
     // MinHash-LSH near-dup summary: per-doc candidate count (rows = all
     // docs, so the driver's rows>0 check is meaningful even when the
     // corpus has no near-dups). Property tests plant real dups.
+    "dedup_minhash_recall" -> ((s, dir) =>
+      minhashRecallReport(documents(s, dir))),
+
     "dedup_minhash" -> ((s, dir) => {
       val docs = documents(s, dir)
       val pairs = minhashPairs(docs, 0.5)

@@ -681,6 +681,28 @@ class NonOracleOpsSpec extends SparkSpec {
     }
   }
 
+  test("dedup_minhash_recall: recall lattice r@0.7 >= r@0.5, counts bounded and consistent") {
+    // banding catch probability 1-(1-j^r)^b is monotone in j, so the
+    // >=0.7 truth subset cannot recall worse than the >=0.5 superset;
+    // hits are bounded by both truth and candidate counts, and the
+    // reported recall must be exactly the fround4 hit ratio
+    for (sf <- Seq(sf001, sf01)) {
+      val rows = SparkEntry.queries("dedup_minhash_recall")(spark, sf)
+        .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+                             r.getLong(3), if (r.isNullAt(4)) -1.0 else r.getDouble(4)))
+      assert(rows.map(_._1).toSeq == Seq(0.5, 0.7), s"$sf: ${rows.toSeq}")
+      rows.foreach { case (tau, nTruth, nHit, nCand, rec) =>
+        assert(nHit <= nTruth && nHit <= nCand, s"$sf tau=$tau: $nHit/$nTruth/$nCand")
+        if (nTruth > 0)
+          assert(rec == math.floor(nHit.toDouble / nTruth * 1e4 + 0.5) / 1e4,
+            s"$sf tau=$tau: recall $rec != $nHit/$nTruth")
+      }
+      val byTau = rows.map(r => r._1 -> r._5).toMap
+      if (byTau(0.5) >= 0 && byTau(0.7) >= 0)
+        assert(byTau(0.7) >= byTau(0.5), s"$sf: lattice violated $byTau")
+    }
+  }
+
   test("sim_ann_lsh returns true-cosine-scored candidates from the corpus") {
     val ann = SparkEntry.queries("sim_ann_lsh")(spark, sf01).collect()
     assert(ann.nonEmpty)
