@@ -107,6 +107,39 @@ object Vectors {
     // eigenvalue, fround6.
     "vec_pca_power" -> ((s, dir) => pcaFitCached(s, dir)),
 
+    // MATRYOSHKA TRUNCATION RECALL — the embedding-dimension selection
+    // sheet: top-10 retrieval for the query vector using only the
+    // first 16 / 32 / 64 dimensions, scored as overlap with the
+    // full-dimension top-10. The modern "can we store a prefix"
+    // question (MRL-style truncation) answered as a measured quantity:
+    // shorter prefixes cut the byte budget 4× / 2× / 1× and this
+    // report prices the recall loss. Every arm is the sim_topk shape
+    // (broadcast query slice, scan-local cosine, TakeOrderedAndProject
+    // on the fround4+vec_id total order), so the whole report is three
+    // corpus passes with zero shuffles; the oracle mirrors each arm
+    // with list slicing and the identical cut discipline.
+    "vec_matryoshka_recall" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      def topkIds(d: Int) = {
+        val q = e.where(col("vec_id") === 0L)
+          .select(slice(col("embedding"), 1, d).as("qv"))
+        e.where(col("vec_id") =!= 0L)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"),
+                  fround(Similarity.cosine(slice(col("embedding"), 1, d),
+                                           col("qv")), 4).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id"))
+          .limit(10)
+          .select("vec_id")
+      }
+      val full = topkIds(64).withColumn("hit", lit(1L))
+      Seq(16, 32, 64).map { d =>
+        topkIds(d).join(full, Seq("vec_id"), "left")
+          .agg(big(sum(coalesce(col("hit"), lit(0L)))).as("n_hits"))
+          .select(lit(d).as("dims"), col("n_hits"))
+      }.reduce(_ unionByName _).orderBy("dims")
+    }),
+
     // PCA SCORES — project every vector onto the PUBLISHED (fround6)
     // top loading: the fit-small / transform-big shape. The fit
     // (pcaPower) reduces to a 64-row loading table that BROADCASTS
@@ -779,6 +812,23 @@ object Vectors {
        "SELECT v.i AS dim, " + froundSql("v.v", 6) + " AS loading, " +
        froundSql("(SELECT lam FROM lam)", 6) + " AS eigenvalue " +
        s"FROM v$PcaIters v ORDER BY dim"),
+
+    // each truncation arm mirrors the sim_topk cut with list slicing
+    "vec_matryoshka_recall" -> {
+      def arm(name: String, d: Int) =
+        s"$name AS MATERIALIZED (SELECT e.vec_id FROM embeddings e, " +
+        s"(SELECT embedding[1:$d] AS qv FROM embeddings WHERE vec_id = 0) q " +
+        "WHERE e.vec_id <> 0 ORDER BY " +
+        froundSql(s"LIST_COSINE_SIMILARITY(CAST(e.embedding[1:$d] AS DOUBLE[]), " +
+                  "CAST(q.qv AS DOUBLE[]))", 4) +
+        " DESC, e.vec_id LIMIT 10)"
+      "WITH " + arm("t16", 16) + ", " + arm("t32", 32) + ", " +
+      arm("t64", 64) + " " +
+      Seq(16, 32, 64).map { d =>
+        s"SELECT $d AS dims, (SELECT CAST(COUNT(*) AS BIGINT) " +
+        s"FROM t$d a JOIN t64 f ON f.vec_id = a.vec_id) AS n_hits"
+      }.mkString("", " UNION ALL ", " ORDER BY dims")
+    },
 
     // same prelude; the projection multiplies the PUBLISHED (fround6)
     // loading against the already-centered cx rows

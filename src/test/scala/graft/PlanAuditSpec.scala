@@ -692,6 +692,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window") && !p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("vec_matryoshka_recall: every arm is a broadcast-query TakeOrderedAndProject") {
+    val p = plan("vec_matryoshka_recall")
+    // three corpus passes, each the sim_topk shape: query slice
+    // broadcasts, per-partition heaps merge once — no global sort, no
+    // corpus shuffle anywhere in the report
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!"Exchange hashpartitioning".r.findFirstIn(p).isDefined ||
+           "Exchange hashpartitioning".r.findAllIn(p).size <= 3, p.take(3000))
+  }
+
   test("whole-stage codegen covers the hot paths of the flagship aggregate") {
     // AQE finalizes stages only at execution; run the query, then check
     // the final adaptive plan for codegen stage markers (`*(n)`)
