@@ -89,6 +89,112 @@ object Streams {
       .agg(big(count(lit(1))).as("n_events"))
       .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
 
+  /** Session gap: a user's session breaks after 30 quiet minutes —
+    * shared by the batch declaration, the stateful stream and the
+    * oracle's INTERVAL literal. */
+  val SessionGapUs: Long = 30L * 60 * 1000000
+
+  /** ABANDONED-SESSION batch declaration: per gap-session, the summary
+    * plus whether the session ended WITHOUT a purchase — the cart-
+    * abandonment detector, the canonical event-time-timeout workload.
+    * Gaps-and-islands on ONE user_id shuffle (the sessionsBatch
+    * pipeline); the last event resolves with a max(struct) over the
+    * (ts, event_id) total order — no second window pass. */
+  def abandonedSessionsBatch(ev: DataFrame): DataFrame = {
+    val wOrd = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("cents", floor(col("value") * 100).cast("long"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(wOrd))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+             unix_micros(col("ts")) - unix_micros(col("prev_ts")) > SessionGapUs, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(wRun))
+      .groupBy("user_id", "session_id")
+      .agg(min(col("ts")).as("session_start"),
+           max(col("ts")).as("session_end"),
+           big(count(lit(1))).as("n_events"),
+           big(sum(col("cents"))).as("cents"),
+           max(struct(col("ts"), col("event_id"), col("event_type"))).as("last"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+              col("n_events"), col("cents"),
+              col("last.event_type").as("last_type"),
+              (col("last.event_type") =!= "purchase").as("abandoned"))
+      .orderBy("user_id", "session_start")
+  }
+
+  /** The REAL stateful sessionizer: flatMapGroupsWithState with
+    * EVENT-TIME TIMEOUT — the state-API mechanism none of the other
+    * stateful jobs needed and the one that keeps a 100 TB/day state
+    * store bounded: a session closes either when a successor event
+    * arrives past the gap (emitted inline) or when the WATERMARK
+    * passes last_event + gap with no successor (the timeout callback —
+    * how the final session of every user ever closes). State per key
+    * is O(1) — five scalars — regardless of session length. Within a
+    * batch, group rows sort by (ts, event_id) (iterator order is not
+    * contractual); cross-batch arrival respects event order (the
+    * log-compacted-topic contract, staged by the spec via
+    * mtime-ordered chunks). Emission CONTENT is batch-invariant: a
+    * gap-closed and a timeout-closed session carry identical rows, so
+    * the stream equals [[abandonedSessionsBatch]] row-for-row no
+    * matter where micro-batch boundaries fall. */
+  def abandonedSessionsStream(ev: DataFrame): DataFrame = {
+    import ev.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    type St = (Long, Long, Long, Long, String)          // startUs, lastUs, n, cents, lastType
+    type Out = (Long, Long, Long, Long, Long, String)   // uid, startUs, lastUs, n, cents, lastType
+    def emit(uid: Long, s: St): Out = (uid, s._1, s._2, s._3, s._4, s._5)
+    ev.withWatermark("ts", "1 second")
+      // ts stays in the tuple: the watermark is carried by the event-
+      // time COLUMN, and EventTimeTimeout requires it to survive into
+      // the stateful operator (projecting it away is an
+      // AnalysisException); the pre-computed micros ride alongside
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("us"),
+              col("event_id"), col("event_type"),
+              floor(col("value") * 100).cast("long").as("cents"))
+      .as[(Long, java.sql.Timestamp, Long, Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long, Long, String),
+                              (Long, Long, Long, Long, Long, String)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long,
+         rows0: Iterator[(Long, java.sql.Timestamp, Long, Long, String, Long)],
+         state: GroupState[St]) =>
+          val rows = rows0.map(r => (r._1, r._3, r._4, r._5, r._6))
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(emit(uid, s))
+          } else {
+            val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+            val out = scala.collection.mutable.Buffer[Out]()
+            var st: Option[St] = state.getOption
+            for (r <- sorted) {
+              st = st match {
+                case Some(s) if r._2 - s._2 > SessionGapUs =>
+                  out += emit(uid, s)
+                  Some((r._2, r._2, 1L, r._5, r._4))
+                case Some(s) =>
+                  Some((s._1, r._2, s._3 + 1, s._4 + r._5, r._4))
+                case None =>
+                  Some((r._2, r._2, 1L, r._5, r._4))
+              }
+            }
+            st.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s._2 / 1000 + SessionGapUs / 1000)
+            }
+            out.iterator
+          }
+      }
+      .toDF("user_id", "start_us", "end_us", "n_events", "cents", "last_type")
+      .select(col("user_id"),
+              timestamp_micros(col("start_us")).as("session_start"),
+              timestamp_micros(col("end_us")).as("session_end"),
+              col("n_events"), col("cents"), col("last_type"),
+              (col("last_type") =!= "purchase").as("abandoned"))
+  }
+
   /** First event per (user, type) in (ts, event_id) order. */
   def dedupBatch(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id", "event_type").orderBy(col("ts"), col("event_id"))
@@ -440,6 +546,11 @@ object Streams {
       sliding(events(s, dir)).orderBy("wstart")),
     "stream_session" -> ((s, dir) =>
       sessionsBatch(events(s, dir)).orderBy("user_id", "session_start")),
+    // Abandoned-session detection, batch-declared; the REAL
+    // EventTimeTimeout flatMapGroupsWithState job is driven to
+    // row-equality with this by StreamSessionTimeoutSpec.
+    "stream_session_timeout" -> ((s, dir) =>
+      abandonedSessionsBatch(events(s, dir))),
     "stream_dedup" -> ((s, dir) =>
       dedupBatch(events(s, dir)).orderBy("user_id", "event_type")),
     "stream_stateful_count" -> ((s, dir) =>
@@ -676,6 +787,24 @@ object Streams {
        "SELECT user_id, MIN(ts) AS session_start, CAST(COUNT(*) AS BIGINT) AS n_events, " +
        "epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us " +
        "FROM ids GROUP BY user_id, session_id ORDER BY user_id, session_start"),
+    // same gaps-and-islands partition; the last event resolves by a
+    // rank-1 window over the (ts, event_id) total order
+    "stream_session_timeout" ->
+      ("WITH flags AS (SELECT user_id, event_id, ts, event_type, " +
+       "CAST(FLOOR(value * 100) AS BIGINT) AS cents, " +
+       "CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) <= INTERVAL 30 MINUTE " +
+       "THEN 0 ELSE 1 END AS new_session FROM events), " +
+       "ids AS (SELECT *, " +
+       "SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid " +
+       "FROM flags), " +
+       "lastt AS (SELECT user_id, sid, event_type AS last_type FROM " +
+       "(SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, sid ORDER BY ts DESC, event_id DESC) AS rn FROM ids) " +
+       "WHERE rn = 1) " +
+       "SELECT i.user_id, MIN(i.ts) AS session_start, MAX(i.ts) AS session_end, " +
+       "CAST(COUNT(*) AS BIGINT) AS n_events, CAST(SUM(i.cents) AS BIGINT) AS cents, " +
+       "MAX(l.last_type) AS last_type, MAX(l.last_type) <> 'purchase' AS abandoned " +
+       "FROM ids i JOIN lastt l ON l.user_id = i.user_id AND l.sid = i.sid " +
+       "GROUP BY i.user_id, i.sid ORDER BY 1, 2"),
     "stream_stateful_count" ->
       ("SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events FROM events " +
        "GROUP BY user_id ORDER BY user_id"),
