@@ -195,6 +195,41 @@ object Streams {
               (col("last_type") =!= "purchase").as("abandoned"))
   }
 
+  /** Per-user TOP-3 SPEND EVENTS, batch-declared: rank by (cents DESC,
+    * ts ASC, event_id ASC) — the deterministic total order the
+    * streaming processor maintains incrementally. */
+  def twsTopkBatch(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("cents").desc, col("ts"), col("event_id"))
+    ev.withColumn("cents", floor(col("value") * 100).cast("long"))
+      .withColumn("rnk", big(row_number().over(w)))
+      .where(col("rnk") <= 3)
+      .select("user_id", "rnk", "event_id", "cents")
+      .orderBy("user_id", "rnk")
+  }
+
+  /** The same view as a REAL Spark 4 `transformWithState` job — the
+    * arbitrary-state API v2 (StatefulProcessor + typed ListState,
+    * RocksDB-backed): state per user is the current top-3 triple list,
+    * merged against each batch's arrivals and re-emitted tagged with
+    * the batch's as-of event, so the LAST emission per user is the
+    * final view (the stream_ewma comparison discipline). O(k) state
+    * per key, mergeable in one pass — the bounded-state property that
+    * distinguishes a live feature view from "re-rank the history".
+    * Requires the RocksDB state store provider (the v2 API contract);
+    * the spec sets it for the query. */
+  def twsTopkStream(ev: DataFrame): DataFrame = {
+    import ev.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    ev.select(col("user_id"), unix_micros(col("ts")).as("us"),
+              col("event_id"), floor(col("value") * 100).cast("long").as("cents"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new TopSpendProcessor,
+        TimeMode.None(), OutputMode.Append())
+      .toDF("user_id", "asof_us", "asof_event_id", "rnk", "event_id", "cents")
+  }
+
   /** First event per (user, type) in (ts, event_id) order. */
   def dedupBatch(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id", "event_type").orderBy(col("ts"), col("event_id"))
@@ -551,6 +586,10 @@ object Streams {
     // row-equality with this by StreamSessionTimeoutSpec.
     "stream_session_timeout" -> ((s, dir) =>
       abandonedSessionsBatch(events(s, dir))),
+    // Per-user top-3 spend live view, batch-declared; the REAL Spark 4
+    // transformWithState (StatefulProcessor + ListState, RocksDB) job
+    // is driven to equality by StreamTwsTopkSpec.
+    "stream_tws_topk" -> ((s, dir) => twsTopkBatch(events(s, dir))),
     "stream_dedup" -> ((s, dir) =>
       dedupBatch(events(s, dir)).orderBy("user_id", "event_type")),
     "stream_stateful_count" -> ((s, dir) =>
@@ -805,6 +844,13 @@ object Streams {
        "MAX(l.last_type) AS last_type, MAX(l.last_type) <> 'purchase' AS abandoned " +
        "FROM ids i JOIN lastt l ON l.user_id = i.user_id AND l.sid = i.sid " +
        "GROUP BY i.user_id, i.sid ORDER BY 1, 2"),
+    // the identical (cents DESC, ts, event_id) total order
+    "stream_tws_topk" ->
+      ("SELECT user_id, rnk, event_id, cents FROM " +
+       "(SELECT user_id, event_id, CAST(FLOOR(value * 100) AS BIGINT) AS cents, " +
+       "CAST(ROW_NUMBER() OVER (PARTITION BY user_id " +
+       "ORDER BY CAST(FLOOR(value * 100) AS BIGINT) DESC, ts, event_id) AS BIGINT) AS rnk " +
+       "FROM events) WHERE rnk <= 3 ORDER BY user_id, rnk"),
     "stream_stateful_count" ->
       ("SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events FROM events " +
        "GROUP BY user_id ORDER BY user_id"),
