@@ -355,6 +355,33 @@ object Aggregations {
              r4(expr("percentile(o_totalprice, 0.9)")).as("p90"))
         .orderBy("o_orderstatus")),
 
+    // GINI COEFFICIENT of customer spend — the inequality metric a
+    // marketplace health dashboard tracks: G = 2·Σ(rank·x)/(n·Σx) −
+    // (n+1)/n over ascending-sorted per-customer totals. The corpus
+    // collapses to per-customer exact cents FIRST (one hash-agg), so
+    // the rank window sorts |customers| aggregated rows, never orders
+    // — and every sum in the closed form is exact integer (rank·cents
+    // products summed as longs; magnitudes: rank ≤ n, cents ≤ ~1e9 →
+    // n·max_cents·n ≪ 2^63 at fixture scale; at 100 TB-scale user
+    // counts swap the exact rank for a binned Lorenz curve — same
+    // formula over quantile bins). ONE division chain at the end
+    // before the fround6 pin; ties rank deterministically by
+    // (cents, custkey).
+    "agg_gini" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val per = orders(s, dir)
+        .groupBy("o_custkey")
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val w = Window.orderBy(col("cents"), col("o_custkey"))
+      per.withColumn("rnk", row_number().over(w).cast("long"))
+        .agg(big(count(lit(1))).as("n"),
+             big(sum(col("cents"))).as("total_cents"),
+             big(sum(col("rnk") * col("cents"))).as("rc"))
+        .select(col("n"), col("total_cents"),
+                fround(lit(2.0) * col("rc") / (col("n") * col("total_cents")) -
+                       (col("n") + 1).cast("double") / col("n"), 6).as("gini"))
+    }),
+
     // WINSORIZED MEAN per group — the robust average every metrics
     // pipeline swaps in when a fat tail owns the plain mean: values
     // clip to the group's [p05, p95] before averaging. Two passes by
@@ -691,6 +718,19 @@ object Aggregations {
        "ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p50, " +
        "ROUND(PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p90 " +
        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    // identical exact-integer sums and the identical one-division chain
+    "agg_gini" ->
+      ("WITH per AS (SELECT o_custkey, " +
+       "SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS cents " +
+       "FROM orders GROUP BY 1), " +
+       "r AS (SELECT cents, CAST(ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS BIGINT) AS rnk FROM per) " +
+       "SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
+       "CAST(SUM(cents) AS BIGINT) AS total_cents, " +
+       froundSql("2.0 * CAST(SUM(rnk * cents) AS BIGINT) / " +
+                 "(CAST(COUNT(*) AS BIGINT) * CAST(SUM(cents) AS BIGINT)) - " +
+                 "CAST(CAST(COUNT(*) AS BIGINT) + 1 AS DOUBLE) / CAST(COUNT(*) AS BIGINT)", 6) +
+       " AS gini FROM r ORDER BY 1"),
+
     // same fround4-pinned cuts, same LEAST/GREATEST clip, same
     // dsum6-exact second pass
     "agg_winsorized_mean" ->

@@ -298,6 +298,45 @@ object Analytics {
           .as("assortativity"))
   }
 
+  /** The Kaplan-Meier estimator over a (off, censored) cohort frame —
+    * factored out so KmSpec can plant the textbook mixed cohort. All
+    * windows run on the OFFSET GRID (≤ observation-span rows, never
+    * subjects): at-risk from one reverse-cumulative window, the
+    * product as exp∘Σ∘ln with each ln term fround6-pinned (the
+    * text_entropy libm discipline), and the everyone-dies arm
+    * (at_risk == deaths → S = 0) carried by an explicit flag so no
+    * ±Inf ever enters a window. Grid windows are single-partition BY
+    * DESIGN — they sort offsets, not subjects. */
+  def kmCurve(users: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = users.groupBy("off").agg(count(lit(1)).as("n_off"))
+    val total = users.agg(big(count(lit(1))).as("n"))
+    val wPrev = Window.orderBy("off")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val grid = counts.crossJoin(broadcast(total))
+      .withColumn("at_risk",
+        col("n") - coalesce(sum(col("n_off")).over(wPrev), lit(0L)))
+      .select("off", "at_risk")
+    val deaths = users.where(!col("censored"))
+      .groupBy("off").agg(count(lit(1)).as("deaths"))
+    val w = Window.orderBy("off")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deaths.join(grid, Seq("off"))
+      .withColumn("lnterm",
+        when(col("at_risk") - col("deaths") > 0,
+             fround(log((col("at_risk") - col("deaths")).cast("double") /
+                        col("at_risk")), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("z", when(col("at_risk") === col("deaths"), 1).otherwise(0))
+      .select(col("off").cast("long").as("offset"),
+              big(col("deaths")).as("deaths"),
+              big(col("at_risk")).as("at_risk"),
+              when(max(col("z")).over(w) === 1, lit(0.0))
+                .otherwise(fround(exp(sum(col("lnterm")).over(w)), 4))
+                .as("surv"))
+      .orderBy("offset")
+  }
+
   /** HyperBall-style r-hop neighborhood size estimation (Boldi &
     * Vigna '13): per node, an HLL sketch of its r-ball, grown by r
     * rounds of "union my sketch with my neighbors' sketches". THE
@@ -932,6 +971,31 @@ object Analytics {
         .orderBy("event_type", "d")
     }),
 
+    // KAPLAN-MEIER SURVIVAL CURVE for time-to-first-purchase — S(t) =
+    // Π(1 − dᵢ/nᵢ) over conversion offsets, WITH right-censoring (a
+    // user who never purchased isn't a non-converter — observation
+    // just ended; ignoring censoring biases conversion-time low,
+    // which is the whole reason KM exists). Per-user (first event,
+    // first purchase) collapses the corpus in one hash-agg; the whole
+    // estimator then runs in [[kmCurve]] on the OFFSET GRID. The
+    // fixture's hyperactive users all convert (the censored arm is
+    // structurally empty here); KmSpec plants a mixed cohort — the
+    // textbook 2-death/1-censor case plus the everyone-dies zero
+    // arm — and pins the hand-computed S values.
+    "events_survival" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val per = ev.groupBy("user_id")
+        .agg(to_date(min(col("ts"))).as("f"),
+             to_date(min(when(col("event_type") === "purchase", col("ts"))))
+               .as("fp"))
+      val mx = ev.agg(max(to_date(col("ts"))).as("maxd"))
+      kmCurve(per.crossJoin(broadcast(mx))
+        .select(
+          when(col("fp").isNotNull, datediff(col("fp"), col("f")))
+            .otherwise(datediff(col("maxd"), col("f"))).as("off"),
+          col("fp").isNull.as("censored")))
+    }),
+
     // TIME-DECAYED SPEND per user — the recency-weighted feature the
     // feature store refreshes nightly: Σ cents · 2^(−weeks_ago), a
     // one-week half-life anchored at the corpus max date (broadcast as
@@ -1392,6 +1456,37 @@ object Analytics {
        " AS bias " +
        "FROM daily a JOIN daily f ON f.event_type = a.event_type " +
        "AND f.d = a.d - 7 GROUP BY 1 ORDER BY 1"),
+
+    // identical offset-grid windows, identical pinned ln terms and the
+    // identical zero-survival flag
+    "events_survival" ->
+      ("WITH per AS (SELECT user_id, CAST(MIN(ts) AS DATE) AS f, " +
+       "CAST(MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS DATE) AS fp " +
+       "FROM events GROUP BY 1), " +
+       "mx AS (SELECT MAX(CAST(ts AS DATE)) AS maxd FROM events), " +
+       "users AS (SELECT user_id, " +
+       "CASE WHEN fp IS NOT NULL THEN DATEDIFF('day', f, fp) " +
+       "ELSE DATEDIFF('day', f, maxd) END AS off, " +
+       "fp IS NULL AS censored FROM per, mx), " +
+       "counts AS (SELECT off, COUNT(*) AS n_off FROM users GROUP BY 1), " +
+       "total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM users), " +
+       "grid AS (SELECT off, n - COALESCE(SUM(n_off) OVER " +
+       "(ORDER BY off ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS at_risk " +
+       "FROM counts, total), " +
+       "deaths AS (SELECT off, COUNT(*) AS deaths FROM users " +
+       "WHERE NOT censored GROUP BY 1), " +
+       "km AS (SELECT d.off, d.deaths, g.at_risk, " +
+       "CASE WHEN g.at_risk - d.deaths > 0 THEN " +
+       froundSql("LN(CAST(g.at_risk - d.deaths AS DOUBLE) / g.at_risk)", 6) +
+       " ELSE 0.0 END AS lnterm, " +
+       "CASE WHEN g.at_risk = d.deaths THEN 1 ELSE 0 END AS z " +
+       "FROM deaths d JOIN grid g USING (off)) " +
+       "SELECT CAST(off AS BIGINT) AS offset, CAST(deaths AS BIGINT) AS deaths, " +
+       "CAST(at_risk AS BIGINT) AS at_risk, " +
+       "CASE WHEN MAX(z) OVER w = 1 THEN 0.0 ELSE " +
+       froundSql("EXP(SUM(lnterm) OVER w)", 4) + " END AS surv " +
+       "FROM km WINDOW w AS (ORDER BY off ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+       "ORDER BY 1"),
 
     // identical grid windows; dow numbering differs across engines
     // (Spark 1..7 vs DuckDB 0..6) but is only an internal grouping

@@ -703,6 +703,24 @@ class PlanAuditSpec extends SparkSpec {
            "Exchange hashpartitioning".r.findAllIn(p).size <= 3, p.take(3000))
   }
 
+  test("agg_gini ranks per-customer AGGREGATES, never raw orders") {
+    val p = plan("agg_gini")
+    // the corpus must collapse on o_custkey before the (metadata-
+    // scale, deliberately single-partition) rank window sees a row
+    assert(p.contains("Window"), p.take(3000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("events_survival windows the offset GRID only") {
+    val p = plan("events_survival")
+    // subjects collapse per user first; every window runs over ≤
+    // span-days grid rows (single-partition by design at that scale)
+    assert(p.contains("Window"), p.take(3000))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000)) // 1-row maxd/total
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("whole-stage codegen covers the hot paths of the flagship aggregate") {
     // AQE finalizes stages only at execution; run the query, then check
     // the final adaptive plan for codegen stage markers (`*(n)`)
