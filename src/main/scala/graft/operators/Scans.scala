@@ -256,6 +256,32 @@ object Scans {
         .orderBy("l_orderkey")
     }),
 
+    // TIME TRAVEL via VERSIONED MANIFESTS — the lakehouse snapshot
+    // primitive (the Iceberg/Delta core idea, minimally): every commit
+    // writes IMMUTABLE data files into one shared directory and a new
+    // manifest listing exactly the files visible at that version.
+    // Readers pin a manifest, never list the directory — so commit 2's
+    // files are physically PRESENT next to commit 1's and a v1 read
+    // still returns the exact pre-append table (a plain directory scan
+    // could not make that guarantee; that is the point). Appends are
+    // O(new files) + one manifest write; old versions stay readable
+    // forever at zero storage cost beyond the manifest. The query
+    // reads BOTH snapshots and aggregates each — the oracle derives
+    // the same two states from the cutoff predicate, so CORRECTNESS
+    // proves snapshot isolation end-to-end. TimeTravelSpec pins the
+    // physical claims (both commits' files share the directory; v2's
+    // manifest is a superset; v1 files untouched by the append).
+    "scan_time_travel" -> ((s, dir) => {
+      val root = timeTravelFixture(s, dir)
+      Seq(1, 2).map { v =>
+        snapshotRead(s, root, v)
+          .agg(big(count(lit(1))).as("n_rows"),
+               big(sum(floor(col("o_totalprice") * 100).cast("long")))
+                 .as("total_cents"))
+          .select(lit(v).as("version"), col("n_rows"), col("total_cents"))
+      }.reduce(_ unionByName _).orderBy("version")
+    }),
+
     "scan_manifest_pruned" -> ((s, dir) => {
       val out = scratch(dir, "manifest_src")
       // the range-clustered layout is the table, not the query: write
@@ -780,6 +806,55 @@ object Scans {
     * feeding `source_framed_extract`. */
   private val framedMemo =
     scala.collection.concurrent.TrieMap.empty[String, Unit]
+
+  private val ttMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Unit]
+
+  /** The two-commit versioned table feeding scan_time_travel: commit 1
+    * = pre-cutoff orders, commit 2 appends the rest into the SAME data
+    * directory; `_manifests/v{1,2}.txt` list each version's exact
+    * files. Built once per (JVM, fixture state). */
+  def timeTravelFixture(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val root = scratch(dir, "time_travel")
+    ttMemo.getOrElseUpdate(s"$root|${graft.Tables.fsSig(s, s"$dir/orders.parquet")}", {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val cutoff = lit("1999-01-01").cast("timestamp")
+      val o = orders(s, dir).select("o_orderkey", "o_orderdate", "o_totalprice")
+      val dataDir = Paths.get(root, "data")
+      val manDir = Paths.get(root, "_manifests")
+      org.apache.commons.io.FileUtils.deleteQuietly(Paths.get(root).toFile)
+      Files.createDirectories(dataDir)
+      Files.createDirectories(manDir)
+      def commit(df: org.apache.spark.sql.DataFrame, tag: String): Seq[String] = {
+        val tmp = Paths.get(root, s"stage_$tag")
+        df.write.mode("overwrite").parquet(tmp.toString)
+        val parts = tmp.toFile.listFiles()
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        parts.zipWithIndex.map { case (f, i) =>
+          val dst = dataDir.resolve(f"${tag}_$i%03d.parquet")
+          Files.copy(f.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
+          dst.toString
+        }.toSeq
+      }
+      val f1 = commit(o.where(col("o_orderdate") < cutoff), "c1")
+      val f2 = commit(o.where(col("o_orderdate") >= cutoff), "c2")
+      Files.write(manDir.resolve("v1.txt"),
+        f1.mkString("\n").getBytes("UTF-8"))
+      Files.write(manDir.resolve("v2.txt"),
+        (f1 ++ f2).mkString("\n").getBytes("UTF-8"))
+    })
+    root
+  }
+
+  /** Read one snapshot: the manifest's exact file list (metadata-scale
+    * driver read — the reader never lists the data directory). */
+  def snapshotRead(s: org.apache.spark.sql.SparkSession, root: String,
+                   version: Int): org.apache.spark.sql.DataFrame = {
+    val files = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "_manifests", s"v$version.txt")), "UTF-8")
+      .split("\n").toSeq.filter(_.nonEmpty)
+    s.read.parquet(files: _*)
+  }
 
   /** The fixture writer's shuffle-partition count — `source_framed_runs`'
     * oracle derives its expected run count from THIS constant (not a
@@ -1736,6 +1811,17 @@ object Scans {
        "ROUND(SUM(l_quantity), 2) AS sum_qty FROM lineitem " +
        s"WHERE l_orderkey IN (${BloomProbeKeys.mkString(", ")}) " +
        "GROUP BY 1 ORDER BY 1"),
+    // the two snapshot states derived from the cutoff predicate — the
+    // engine must reproduce them through manifests alone
+    "scan_time_travel" ->
+      ("SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+       "CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents " +
+       "FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01' " +
+       "UNION ALL " +
+       "SELECT 2 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+       "CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents " +
+       "FROM orders ORDER BY version"),
+
     "scan_manifest_pruned" ->
       ("SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, " +
        "ROUND(SUM(l_quantity), 2) AS sum_qty " +

@@ -703,6 +703,30 @@ class NonOracleOpsSpec extends SparkSpec {
     }
   }
 
+  test("scan_time_travel: snapshots isolate through manifests, not directory state") {
+    import graft.operators.Scans
+    val root = Scans.timeTravelFixture(spark, sf001)
+    val dataFiles = new java.io.File(s"$root/data").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet"))
+    // both commits' files physically share the directory — a plain
+    // directory scan could NOT return the v1 table
+    assert(dataFiles.exists(_.startsWith("c1_")) &&
+           dataFiles.exists(_.startsWith("c2_")), dataFiles.mkString(","))
+    def manifest(v: Int) = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "_manifests", s"v$v.txt")), "UTF-8")
+      .split("\n").toSet
+    // append-only: v2 is a strict superset; v1's files are untouched
+    assert(manifest(1).subsetOf(manifest(2)))
+    assert(manifest(2).size > manifest(1).size)
+    // v1 read == the pre-cutoff predicate despite c2 files being present
+    val cutoff = lit("1999-01-01").cast("timestamp")
+    val expect = Tables.orders(spark, sf001)
+      .where(col("o_orderdate") < cutoff).count()
+    assert(Scans.snapshotRead(spark, root, 1).count() == expect)
+    val all = Tables.orders(spark, sf001).count()
+    assert(Scans.snapshotRead(spark, root, 2).count() == all)
+  }
+
   test("sim_ann_lsh returns true-cosine-scored candidates from the corpus") {
     val ann = SparkEntry.queries("sim_ann_lsh")(spark, sf01).collect()
     assert(ann.nonEmpty)
