@@ -48,6 +48,11 @@ object Aggregations {
     * replicate means form the ~90% interval). */
   val BootstrapReps = 20
 
+  /** Fixed Lorenz-curve grid size for agg_gini — a constant, so the
+    * binned table is metadata-scale at any corpus size and the engine
+    * and oracle share one literal (interpolated into both). */
+  val GiniBins = 256
+
   val queries: Map[String, Q] = Map(
     // SEEDED POISSON BOOTSTRAP confidence interval for mean per-user
     // spend — THE scalable bootstrap (Chamandy et al. / Google's
@@ -356,30 +361,48 @@ object Aggregations {
         .orderBy("o_orderstatus")),
 
     // GINI COEFFICIENT of customer spend — the inequality metric a
-    // marketplace health dashboard tracks: G = 2·Σ(rank·x)/(n·Σx) −
-    // (n+1)/n over ascending-sorted per-customer totals. The corpus
-    // collapses to per-customer exact cents FIRST (one hash-agg), so
-    // the rank window sorts |customers| aggregated rows, never orders
-    // — and every sum in the closed form is exact integer (rank·cents
-    // products summed as longs; magnitudes: rank ≤ n, cents ≤ ~1e9 →
-    // n·max_cents·n ≪ 2^63 at fixture scale; at 100 TB-scale user
-    // counts swap the exact rank for a binned Lorenz curve — same
-    // formula over quantile bins). ONE division chain at the end
-    // before the fround6 pin; ties rank deterministically by
-    // (cents, custkey).
+    // marketplace health dashboard tracks, via the BINNED LORENZ
+    // CURVE (trapezoid rule over a fixed grid): customers grow with
+    // the corpus, so a global rank window (one partition sorting
+    // |customers| rows) is the exact trap events_rfm was built to
+    // avoid. Instead: (1) the corpus collapses to per-customer exact
+    // cents (one hash-agg); (2) a 1-row min/max aggregate BROADCASTS
+    // back and bin = ((cents−min)·B) div (max−min+1) assigns each
+    // customer a grid cell ROW-LOCALLY (integer div — engine-exact);
+    // (3) a second hash-agg collapses to ≤ GiniBins rows; (4) the
+    // trapezoid sum T = Σ_b n_b·(2·cumS_{b−1}+s_b) folds over the
+    // sorted bin array in ONE row-local HOF — decimal(38,0) exact,
+    // order-independent, NO window anywhere in the plan (G = 1 −
+    // T/(n·Σx), one double division before the fround6 pin). Every
+    // stage is partial-aggregable; nothing ever sorts the customer
+    // domain through one partition.
     "agg_gini" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
+      val dec0 = "decimal(38,0)"
       val per = orders(s, dir)
         .groupBy("o_custkey")
         .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
-      val w = Window.orderBy(col("cents"), col("o_custkey"))
-      per.withColumn("rnk", row_number().over(w).cast("long"))
-        .agg(big(count(lit(1))).as("n"),
-             big(sum(col("cents"))).as("total_cents"),
-             big(sum(col("rnk") * col("cents"))).as("rc"))
-        .select(col("n"), col("total_cents"),
-                fround(lit(2.0) * col("rc") / (col("n") * col("total_cents")) -
-                       (col("n") + 1).cast("double") / col("n"), 6).as("gini"))
+      val bounds = per.agg(min(col("cents")).as("min_c"), max(col("cents")).as("max_c"))
+      val bins = per.crossJoin(broadcast(bounds))
+        .withColumn("bin", expr(s"((cents - min_c) * $GiniBins) div (max_c - min_c + 1)"))
+        .groupBy("bin")
+        .agg(count(lit(1)).cast(dec0).as("n_b"),
+             sum(col("cents").cast(dec0)).cast(dec0).as("s_b"))
+      bins
+        .agg(sum(col("n_b")).cast(dec0).as("n_d"),
+             sum(col("s_b")).cast(dec0).as("total_d"),
+             sort_array(collect_list(struct(col("bin"), col("n_b"), col("s_b")))).as("arr"))
+        .select(
+          big(col("n_d")).as("n"),
+          big(col("total_d")).as("total_cents"),
+          fround(lit(1.0) -
+            aggregate(col("arr"),
+              struct(lit(0).cast(dec0).as("cum"), lit(0).cast(dec0).as("t")),
+              (acc, e) => struct(
+                (acc.getField("cum") + e.getField("s_b")).cast(dec0).as("cum"),
+                (acc.getField("t") + e.getField("n_b") *
+                  (acc.getField("cum") * lit(2) + e.getField("s_b"))).cast(dec0).as("t")),
+              acc => acc.getField("t").cast("double")) /
+            (col("n_d").cast("double") * col("total_d").cast("double")), 6).as("gini"))
     }),
 
     // WINSORIZED MEAN per group — the robust average every metrics
@@ -718,18 +741,24 @@ object Aggregations {
        "ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p50, " +
        "ROUND(PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p90 " +
        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
-    // identical exact-integer sums and the identical one-division chain
+    // identical fixed grid, bin rule, and exact-integer trapezoid sum
+    // (HUGEINT there, decimal(38,0) fold here — both exact; 2·cumS_b −
+    // s_b ≡ 2·cumS_{b−1} + s_b), identical one-division chain
     "agg_gini" ->
       ("WITH per AS (SELECT o_custkey, " +
        "SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS cents " +
        "FROM orders GROUP BY 1), " +
-       "r AS (SELECT cents, CAST(ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS BIGINT) AS rnk FROM per) " +
-       "SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
-       "CAST(SUM(cents) AS BIGINT) AS total_cents, " +
-       froundSql("2.0 * CAST(SUM(rnk * cents) AS BIGINT) / " +
-                 "(CAST(COUNT(*) AS BIGINT) * CAST(SUM(cents) AS BIGINT)) - " +
-                 "CAST(CAST(COUNT(*) AS BIGINT) + 1 AS DOUBLE) / CAST(COUNT(*) AS BIGINT)", 6) +
-       " AS gini FROM r ORDER BY 1"),
+       "b AS (SELECT MIN(cents) AS min_c, MAX(cents) AS max_c FROM per), " +
+       s"binned AS (SELECT ((cents - min_c) * $GiniBins) // (max_c - min_c + 1) AS bin, cents " +
+       "FROM per, b), " +
+       "bins AS (SELECT bin, CAST(COUNT(*) AS HUGEINT) AS n_b, " +
+       "CAST(SUM(cents) AS HUGEINT) AS s_b FROM binned GROUP BY 1), " +
+       "cum AS (SELECT bin, n_b, s_b, SUM(s_b) OVER (ORDER BY bin) AS cum_s FROM bins) " +
+       "SELECT CAST(SUM(n_b) AS BIGINT) AS n, " +
+       "CAST(SUM(s_b) AS BIGINT) AS total_cents, " +
+       froundSql("1.0 - CAST(SUM(n_b * (2 * cum_s - s_b)) AS DOUBLE) / " +
+                 "(CAST(SUM(n_b) AS DOUBLE) * CAST(SUM(s_b) AS DOUBLE))", 6) +
+       " AS gini FROM cum ORDER BY 1"),
 
     // same fround4-pinned cuts, same LEAST/GREATEST clip, same
     // dsum6-exact second pass

@@ -129,22 +129,31 @@ object Similarity {
     // recall against the brute-force baseline).
     "sim_ann_lsh" -> ((s, dir) => annTopK(embeddings(s, dir), 0L, 10)),
 
-    // kNN LABEL CLASSIFICATION — leave-one-out 5-NN majority vote over
-    // the labeled corpus, reported as a confusion summary (label,
+    // kNN LABEL CLASSIFICATION — 5-NN majority vote against a BOUNDED
+    // labeled reference set, reported as a confusion summary (label,
     // predicted, n). The scale shape is classify-against-a-LABELED-SET:
     // the reference side is hand-labeled and therefore small by
-    // construction, so it BROADCASTS (a BroadcastNestedLoopJoin the
-    // corpus streams through — the sim_range_search shape, never an
-    // all-pairs shuffle); here the eval is leave-one-out so both sides
-    // are the same table. Ranking cuts on the fround4 cosine with
-    // nbr_id tie-break (engine-stable), the vote is one max(struct(
-    // votes, −label)) hash-agg — majority with min-label ties, the LPA
-    // trick, never a per-vector sort.
+    // construction — here it is the deterministic seeded bottom-k
+    // sample (the sample_reservoir_k machinery: k smallest
+    // md5("knn:"+vec_id) keys, engine/partitioning/day-stable), a
+    // LITERAL KnnRefSetSize rows, so it BROADCASTS (a
+    // BroadcastNestedLoopJoin the corpus streams through — the
+    // sim_range_search shape, never an all-pairs shuffle) and the
+    // cosine work is |corpus|·KnnRefSetSize, linear in the corpus —
+    // never corpus×corpus. Self-matches are excluded (leave-one-out
+    // for the rows that landed in the reference set). Ranking cuts on
+    // the fround4 cosine with nbr_id tie-break (engine-stable), the
+    // vote is one max(struct(votes, −label)) hash-agg — majority with
+    // min-label ties, the LPA trick, never a per-vector sort.
     "sim_knn_classify" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val e = embeddings(s, dir)
-      val b = e.select(col("vec_id").as("nbr_id"), col("embedding").as("vb"),
-                       col("label").as("nbr_label"))
+      val b = e
+        .withColumn("rk", md5(concat(lit("knn:"), col("vec_id").cast("string"))))
+        .orderBy(col("rk"), col("vec_id"))
+        .limit(KnnRefSetSize)
+        .select(col("vec_id").as("nbr_id"), col("embedding").as("vb"),
+                col("label").as("nbr_label"))
       val pairs = e.crossJoin(broadcast(b))
         .where(col("vec_id") =!= col("nbr_id"))
         .select(col("vec_id"), col("label"), col("nbr_id"), col("nbr_label"),
@@ -166,6 +175,11 @@ object Similarity {
   /** Neighbors per vote in sim_knn_classify — odd so binary votes
     * cannot tie (multi-class ties still resolve min-label). */
   val KnnClassifyK = 5
+
+  /** Labeled-reference-set budget for sim_knn_classify — a LITERAL
+    * bound, so the broadcast side is provably ≤ this many rows (the
+    * plan's TakeOrderedAndProject) no matter how the corpus grows. */
+  val KnnRefSetSize = 200
 
   val oracle: Map[String, String] = Map(
     // CAST to DOUBLE[] so DuckDB's kernel does the same double-precision
@@ -201,13 +215,16 @@ object Similarity {
        "FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id) " +
        "WHERE rnk <= 3 ORDER BY vec_id, rnk"),
 
-    // same rank cut / vote / min-label tie chain; the majority pick is
-    // a rank-1 window here vs max(struct) there — identical semantics
+    // same seeded bottom-k reference set, same rank cut / vote /
+    // min-label tie chain; the majority pick is a rank-1 window here
+    // vs max(struct) there — identical semantics
     "sim_knn_classify" ->
-      ("WITH pairs AS MATERIALIZED (SELECT a.vec_id, a.label, b.vec_id AS nbr_id, " +
+      (s"WITH ref AS MATERIALIZED (SELECT vec_id, embedding, label FROM embeddings " +
+       s"ORDER BY MD5('knn:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT $KnnRefSetSize), " +
+       "pairs AS MATERIALIZED (SELECT a.vec_id, a.label, b.vec_id AS nbr_id, " +
        "b.label AS nbr_label, " +
        froundSql("LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))", 4) +
-       " AS cos FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id), " +
+       " AS cos FROM embeddings a JOIN ref b ON a.vec_id <> b.vec_id), " +
        "top5 AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id " +
        "ORDER BY cos DESC, nbr_id) AS rnk FROM pairs) " +
        s"WHERE rnk <= $KnnClassifyK), " +

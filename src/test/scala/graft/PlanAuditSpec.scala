@@ -629,7 +629,7 @@ class PlanAuditSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(p).size <= 2, p.take(3000))
   }
 
-  test("sim_knn_classify: labeled set broadcasts, rank cut is WindowGroupLimit") {
+  test("sim_knn_classify: BOUNDED labeled set broadcasts, rank cut is WindowGroupLimit") {
     val p = plan("sim_knn_classify")
     // the reference side must BROADCAST (labeled data is small by
     // construction — the corpus streams through a BNLJ, never an
@@ -637,6 +637,11 @@ class PlanAuditSpec extends SparkSpec {
     // vec_id partition before any sort
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
     assert(p.contains("WindowGroupLimit"), p.take(3000))
+    // the broadcast side is PROVABLY bounded: the seeded bottom-k
+    // selection compiles to TakeOrderedAndProject with the literal
+    // KnnRefSetSize — never the corpus broadcast against itself
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(p.contains(graft.operators.Similarity.KnnRefSetSize.toString), p.take(3000))
   }
 
   test("sample_balanced: one lang window, min-class cutoff broadcast back") {
@@ -703,12 +708,15 @@ class PlanAuditSpec extends SparkSpec {
            "Exchange hashpartitioning".r.findAllIn(p).size <= 3, p.take(3000))
   }
 
-  test("agg_gini ranks per-customer AGGREGATES, never raw orders") {
+  test("agg_gini: binned Lorenz — hash-aggs + broadcast bounds, NO window anywhere") {
     val p = plan("agg_gini")
-    // the corpus must collapse on o_custkey before the (metadata-
-    // scale, deliberately single-partition) rank window sees a row
-    assert(p.contains("Window"), p.take(3000))
-    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(3000))
+    // the customer domain must never sort through one partition: the
+    // binned formulation has NO window at all — per-customer hash-agg,
+    // broadcast 1-row bounds, row-local bin, per-bin hash-agg, and a
+    // row-local HOF fold over the ≤ GiniBins sorted array
+    assert(!p.contains("Window"), p.take(3000))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000)) // 1-row bounds
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
