@@ -719,12 +719,54 @@ class NonOracleOpsSpec extends SparkSpec {
     assert(manifest(1).subsetOf(manifest(2)))
     assert(manifest(2).size > manifest(1).size)
     // v1 read == the pre-cutoff predicate despite c2 files being present
-    val cutoff = lit("1999-01-01").cast("timestamp")
+    val cutoff = lit(Scans.TimeTravelCutoff).cast("timestamp")
     val expect = Tables.orders(spark, sf001)
       .where(col("o_orderdate") < cutoff).count()
     assert(Scans.snapshotRead(spark, root, 1).count() == expect)
     val all = Tables.orders(spark, sf001).count()
     assert(Scans.snapshotRead(spark, root, 2).count() == all)
+  }
+
+  test("retention: vacuum deletes ONLY exclusive files, survivors byte-identical, expired reads loud") {
+    import graft.operators.Scans
+    val root = java.nio.file.Files.createTempDirectory("graft_ret_spec")
+      .toString + "/tbl"
+    Scans.retentionBuild(spark, sf001, root)
+    def dataFiles() = new java.io.File(s"$root/data").listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    def md5(f: java.io.File): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      java.util.Base64.getEncoder.encodeToString(
+        d.digest(java.nio.file.Files.readAllBytes(f.toPath)))
+    }
+    val before = dataFiles().filter(_.getName.startsWith("c3_"))
+      .map(f => f.getName -> md5(f)).toMap
+    assert(before.nonEmpty)
+    assert(dataFiles().exists(_.getName.startsWith("c1_")))
+    val allRows = Tables.orders(spark, sf001).count()
+    Scans.expireVersions(root, Seq(1, 2))
+    // (a) exclusive c1/c2 files are physically gone; c3 files remain
+    val after = dataFiles()
+    assert(!after.exists(f => f.getName.startsWith("c1_") ||
+                              f.getName.startsWith("c2_")),
+      after.map(_.getName).mkString(","))
+    // (b) the surviving snapshot's files are byte-for-byte untouched
+    assert(after.map(f => f.getName -> md5(f)).toMap == before)
+    // (c) the surviving snapshot still reads the complete table
+    assert(Scans.snapshotRead(spark, root, 3).count() == allRows)
+    // (d) a read of an expired version fails loudly NAMING the version
+    //     (never a directory fallback or a partial read)
+    val e = intercept[IllegalArgumentException] {
+      Scans.snapshotRead(spark, root, 1)
+    }
+    assert(e.getMessage.contains("version 1") &&
+           e.getMessage.contains("available versions: 3"), e.getMessage)
+    // (e) expiring an unknown version is refused, not silently ignored
+    intercept[IllegalArgumentException] {
+      Scans.expireVersions(root, Seq(7))
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(root).getParentFile)
   }
 
   test("sim_ann_lsh returns true-cosine-scored candidates from the corpus") {
