@@ -556,8 +556,17 @@ class FramedSource extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
   override def shortName(): String = "graft-framed"
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    FramedSource.infer(FramedSource.pathOf(options))
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val inferred = FramedSource.infer(FramedSource.pathOf(options))
+    // evolved-schema read mode: a key may be absent from older files,
+    // so every top-level column the reader might null-fill must be
+    // DECLARED nullable (a null in a non-nullable slot is undefined
+    // behavior under codegen). Opt-in only; the default schema keeps
+    // the non-nullable contract the loud reader enforces.
+    if (options.getBoolean("allowMissingKeys", false))
+      StructType(inferred.fields.map(_.copy(nullable = true)))
+    else inferred
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table =
@@ -860,7 +869,8 @@ class FramedScanBuilder(full: StructType, path: String,
     }
     FramedScan(full, required, path, pushed.toSeq,
       new SerializableHadoopConf(FramedSource.sessionHadoopConf()),
-      maxFilesPerTrigger, targetPartitionBytes, targetSplitBytes)
+      maxFilesPerTrigger, targetPartitionBytes, targetSplitBytes,
+      options.getBoolean("allowMissingKeys", false))
   }
 }
 
@@ -1065,7 +1075,8 @@ case class FramedScan(full: StructType, required: StructType, path: String,
                       conf: SerializableHadoopConf,
                       maxFilesPerTrigger: Int = Int.MaxValue,
                       targetPartitionBytes: Long = 0L,
-                      targetSplitBytes: Long = FramedScan.DefaultTargetSplitBytes)
+                      targetSplitBytes: Long = FramedScan.DefaultTargetSplitBytes,
+                      allowMissingKeys: Boolean = false)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -1159,10 +1170,11 @@ case class FramedScan(full: StructType, required: StructType, path: String,
     }
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    FramedReaderFactory(full, required, pushed, conf)
+    FramedReaderFactory(full, required, pushed, conf, allowMissingKeys)
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new FramedMicroBatchStream(full, required, pushed, path, conf, maxFilesPerTrigger)
+    new FramedMicroBatchStream(full, required, pushed, path, conf, maxFilesPerTrigger,
+      allowMissingKeys)
 }
 
 /** Streaming extraction — "tail the DAQ output directory": frame files
@@ -1199,7 +1211,8 @@ class FramedMicroBatchStream(full: StructType, required: StructType,
                              pushed: Seq[org.apache.spark.sql.sources.Filter],
                              path: String,
                              conf: SerializableHadoopConf,
-                             maxFilesPerTrigger: Int = Int.MaxValue)
+                             maxFilesPerTrigger: Int = Int.MaxValue,
+                             allowMissingKeys: Boolean = false)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -1297,7 +1310,7 @@ class FramedMicroBatchStream(full: StructType, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    FramedReaderFactory(full, required, pushed, conf)
+    FramedReaderFactory(full, required, pushed, conf, allowMissingKeys)
 }
 
 /** One unit of reader work: a byte range of one frame file. `start`
@@ -1314,11 +1327,12 @@ case class FramedPartition(splits: Seq[FramedSplit]) extends InputPartition
 
 case class FramedReaderFactory(full: StructType, required: StructType,
                                pushed: Seq[org.apache.spark.sql.sources.Filter],
-                               conf: SerializableHadoopConf)
+                               conf: SerializableHadoopConf,
+                               allowMissingKeys: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new FramedReader(partition.asInstanceOf[FramedPartition].splits, required, pushed,
-      conf.value)
+      conf.value, allowMissingKeys)
 }
 
 object FramedReader {
@@ -1386,7 +1400,8 @@ object FramedReader {
   * twice. */
 class FramedReader(splits: Seq[FramedSplit], required: StructType,
                    pushed: Seq[org.apache.spark.sql.sources.Filter],
-                   hadoopConf: Configuration = FramedSource.sessionHadoopConf())
+                   hadoopConf: Configuration = FramedSource.sessionHadoopConf(),
+                   allowMissingKeys: Boolean = false)
     extends PartitionReader[InternalRow] {
   def this(file: String, required: StructType,
            pushed: Seq[org.apache.spark.sql.sources.Filter]) =
@@ -1628,18 +1643,25 @@ class FramedReader(splits: Seq[FramedSplit], required: StructType,
         }
         i += 1
       }
-      // a frame missing a REQUIRED key must fail loudly (a foreign or
-      // schema-evolved file): the schema declares every key
+      // a frame missing a REQUIRED key must fail loudly BY DEFAULT (a
+      // foreign or schema-evolved file): the schema declares every key
       // non-nullable, so a silently-null slot would be data corruption
       // one aggregate away from a wrong answer — the same contract the
       // struct decoders already enforce for their fields (`lacks
-      // required field`). `_file` is metadata, filled below.
+      // required field`). The opt-in `allowMissingKeys` read mode is
+      // the season-scale evolved-schema story (combining years of
+      // changing DAQ key sets): an absent TOP-LEVEL key null-fills its
+      // (then nullable — the scan builder flips the schema) column
+      // instead; struct FIELDS inside a present key still fail loudly,
+      // evolution happens at key granularity. `_file` is metadata,
+      // filled below.
       var ro = 0
       while (ro < values.length) {
-        if (values(ro) == null && ro != fileOrd)
+        if (values(ro) == null && ro != fileOrd && !allowMissingKeys)
           throw new IllegalStateException(
             s"frame lacks required key ${required.fields(ro).name} in $file " +
-            "(foreign or schema-evolved file; extract the key sets separately)")
+            "(foreign or schema-evolved file; extract the key sets separately, " +
+            "or opt into null-fill with .option(\"allowMissingKeys\", \"true\"))")
         ro += 1
       }
       if (pushed.forall(FramedFilters.eval(_, fvals))) {

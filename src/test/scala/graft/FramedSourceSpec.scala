@@ -923,6 +923,49 @@ class FramedSourceSpec extends SparkSpec {
       e2.toString)
   }
 
+  test("allowMissingKeys null-fills evolved-away top-level keys; default stays loud") {
+    import graft.sources.FramedFormat._
+    val dir = java.nio.file.Files.createTempDirectory("graft_framed_evolve").toString
+    // season 1 predates key `b`; season 2 carries the evolved key set
+    val d1 = new java.io.DataOutputStream(new java.io.FileOutputStream(s"$dir/s1.frames"))
+    try (0 until 3).foreach { i =>
+      writeFrame(d1, Seq(("a", TagLong, i.toLong)))
+    } finally d1.close()
+    val d2 = new java.io.DataOutputStream(new java.io.FileOutputStream(s"$dir/s2.frames"))
+    try (0 until 2).foreach { i =>
+      writeFrame(d2, Seq(("a", TagLong, 10L + i), ("b", TagDouble, i + 0.5)))
+    } finally d2.close()
+    val evolved = StructType(Seq(
+      StructField("a", LongType, nullable = false),
+      StructField("b", DoubleType, nullable = true)))
+    // default: the same evolved schema over the mixed dir stays LOUD
+    val e = intercept[Exception] {
+      spark.read.format("graft.sources.FramedSource").schema(evolved)
+        .load(dir).collect()
+    }
+    assert(e.toString.contains("lacks required key") ||
+           Option(e.getCause).exists(_.toString.contains("lacks required key")),
+      e.toString)
+    // opt-in: season-1 rows null-fill b, season-2 rows keep their value
+    val rows = spark.read.format("graft.sources.FramedSource").schema(evolved)
+      .option("allowMissingKeys", "true").load(dir)
+    assert(rows.count() == 5)
+    assert(rows.where(col("b").isNull).count() == 3)
+    assert(rows.where(col("b").isNotNull).count() == 2)
+    // a pushed filter on the evolved key must not drop missing-key rows
+    // at the PARSER (conservative keep) — Spark's residual null
+    // semantics then exclude them from the comparison correctly
+    assert(rows.where(col("b") > 0.0).count() == 2)
+    assert(rows.where(col("b").isNull).agg(sum(col("a"))).head.getLong(0) == 3L)
+    // aggregates skip the filled nulls like any SQL null
+    assert(rows.agg(sum(col("b"))).head.getDouble(0) == 2.0)
+    // inference under the option declares every top-level key nullable
+    val inferred = spark.read.format("graft.sources.FramedSource")
+      .option("allowMissingKeys", "true").load(dir).schema
+    assert(inferred.fields.forall(_.nullable), inferred.simpleString)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("tag-5 scalar struct key (event header) roundtrips through write and read, schema included") {
     val dir = s"${java.nio.file.Files.createTempDirectory("graft_framed_t5")}/table"
     val df = spark.range(0, 200).select(
