@@ -195,6 +195,30 @@ class NonOracleOpsSpec extends SparkSpec {
     }
   }
 
+  test("agg_mad_approx tracks the exact agg_mad twin within tolerance at two SFs") {
+    // the documented "at 100 TB swap percentile → approx_percentile"
+    // executed end-to-end: same rows, exact n, median/MAD within a
+    // 2%-relative (or small absolute) band of the exact twin
+    for (sf <- Seq(sf001, sf01)) {
+      def slurp(name: String) =
+        SparkEntry.queries(name)(spark, sf).collect()
+          .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+          .toMap
+      val exact = slurp("agg_mad")
+      val approx = slurp("agg_mad_approx")
+      assert(approx.keySet == exact.keySet)
+      approx.foreach { case (k, (nA, medA, madA)) =>
+        val (nE, medE, madE) = exact(k)
+        assert(nA == nE, s"$sf/$k: n approx=$nA exact=$nE")
+        def close(a: Double, e: Double, what: String): Unit =
+          assert(math.abs(a - e) <= math.max(0.02 * math.abs(e), 0.05),
+            s"$sf/$k $what: approx=$a exact=$e")
+        close(medA, medE, "median")
+        close(madA, madE, "mad")
+      }
+    }
+  }
+
   test("agg_approx_quantile is within 2% of the exact interpolated percentile") {
     val approx = SparkEntry.queries("agg_approx_quantile")(spark, sf01)
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
@@ -617,6 +641,38 @@ class NonOracleOpsSpec extends SparkSpec {
     assert(out(1L) == ((2L, 3L, 2L, gap / 2 / 1e6)), out(1L).toString)
     assert(out(2L) == ((2L, 3L, 2L, 0.0)), out(2L).toString)
     assert(out(3L) == ((1L, 1L, 1L, 0.0)), out(3L).toString)
+    // the pre-split hatch reproduces the same synthetic boundaries —
+    // including the cross-day merge the day split must not break
+    val day = 86400L * 1000000L
+    val rows2 = rows ++ Seq(
+      // user 4: 23:59:50 then +20 s across midnight → ONE session
+      (4L, base / day * day + day - 10000000L),
+      (4L, base / day * day + day + 10000000L))
+    val ev2 = rows2.toDF("user_id", "us")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"))
+    val plain = Analytics.sessionizeOf(ev2).collect().toSeq
+    val split = Analytics.sessionizeSkewOf(ev2).collect().toSeq
+    assert(plain == split, s"plain=$plain split=$split")
+    val u4 = split.find(_.getLong(0) == 4L).get
+    assert(u4.getLong(1) == 1L && u4.getLong(2) == 2L, u4.toString)
+  }
+
+  test("forced skew: pre-split sessionize hatch equals the plain plan on a 50%-owner key") {
+    import graft.operators.Analytics
+    // plant the degenerate key the hatch exists for: one bot user owns
+    // every even event_id — half the corpus through one collect_list
+    // in the plain plan, but ≤ span-days bounded state in the hatch
+    val skewed = Tables.events(spark, sf001)
+      .withColumn("user_id",
+        when(col("event_id") % 2 === 0, lit(424242L)).otherwise(col("user_id")))
+    val plain = Analytics.sessionizeOf(skewed).collect().toSeq
+    val split = Analytics.sessionizeSkewOf(skewed).collect().toSeq
+    assert(plain.nonEmpty && plain == split,
+      s"plain=${plain.take(3)}... split=${split.take(3)}...")
+    // the planted key really is degenerate AND survives intact
+    val bot = split.find(_.getLong(0) == 424242L).get
+    val total = split.map(_.getLong(2)).sum
+    assert(bot.getLong(2) >= total / 2 - 1, s"bot=$bot total=$total")
   }
 
   test("dedup_minhash finds planted near-duplicates") {
