@@ -134,6 +134,13 @@ object Tables {
     val f = math.pow(10, n)
     floor(c * f + 0.5) / f
   }
+
+  /** JVM-scalar twin of [[fround]] at n=6 — ONE definition of the
+    * 6-decimal pin shared by batch Column expressions and streaming
+    * JVM-side folds (ADVICE r11: a hand-inlined copy in a stream's
+    * emission could drift from the batch declaration silently). Same
+    * NaN caveat as [[fround]]. */
+  def round6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
   def froundSql(expr: String, n: Int): String =
     s"FLOOR(($expr) * 1e$n + 0.5) / 1e$n"
 

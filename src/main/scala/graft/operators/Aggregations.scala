@@ -581,6 +581,12 @@ object Aggregations {
     * exposed so TimeSeriesSpec can pin the closed form on planted
     * cohorts. See the events_ab_test query comment. */
   def welchOf(perUser: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // PRECONDITION (ADVICE r11): each arm needs n ≥ 2 and non-zero
+    // variance — a degenerate cohort makes t/df divide by zero, where
+    // Spark's non-ANSI Divide (NULL) and DuckDB's IEEE doubles (±Inf)
+    // disagree. The event-parity split guarantees both at every
+    // fixture SF; a caller feeding arbitrary cohorts must pre-filter
+    // (the vec_standardize guard shape).
     val stats = perUser.groupBy("grp").agg(
       big(count(lit(1))).as("n"),
       dsum6(col("x")).as("s1"),

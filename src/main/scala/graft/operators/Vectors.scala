@@ -196,7 +196,15 @@ object Vectors {
       val stats = e.groupBy("pos").agg(
         dsum6(col("v")).as("s1"), dsum6(col("v") * col("v")).as("s2"),
         big(count(lit(1))).as("n"))
+      // a CONSTANT dimension has zero variance: its z is undefined and
+      // the raw division diverges across engines (Spark's non-ANSI
+      // Divide → NULL, DuckDB's IEEE double → ±Inf/NaN, and fround is
+      // NaN-unsafe) — such dimensions carry no information, so they
+      // are EXCLUDED on both sides (the guard ADVICE r11 asked for;
+      // n_dims counts informative dimensions). n > 1 guards the
+      // single-vector corpus the same way (n−1 = 0).
       e.join(broadcast(stats), Seq("pos"))
+        .where(col("n") > 1 && col("s2") - col("s1") * col("s1") / col("n") > 0)
         .withColumn("z",
           (col("v") - col("s1") / col("n")) /
           sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)))
@@ -869,7 +877,8 @@ object Vectors {
        "FROM pe GROUP BY pos), " +
        "z AS (SELECT pe.vec_id, " +
        "(pe.v - st.s1 / st.n) / SQRT((st.s2 - st.s1 * st.s1 / st.n) / (st.n - 1)) AS z " +
-       "FROM pe JOIN st USING (pos)) " +
+       "FROM pe JOIN st USING (pos) " +
+       "WHERE st.n > 1 AND st.s2 - st.s1 * st.s1 / st.n > 0) " +
        "SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_dims, " +
        froundSql("SQRT(" + dsum6Sql("z * z") + ")", 4) + " AS z_norm, " +
        froundSql("MAX(ABS(z))", 4) + " AS max_abs_z " +

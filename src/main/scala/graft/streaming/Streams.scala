@@ -456,7 +456,7 @@ object Streams {
                 .map { case ((_, _, c), i) => c * math.pow(0.5, n - 1 - i) }.sum
               val den = hist.iterator.zipWithIndex
                 .map { case (_, i) => math.pow(0.5, n - 1 - i) }.sum
-              (eid, uid, math.floor(num / den / 100.0 * 1e6 + 0.5) / 1e6)
+              (eid, uid, graft.Tables.round6(num / den / 100.0))
           }
           state.update(hist.takeRight(19))
           out.iterator
