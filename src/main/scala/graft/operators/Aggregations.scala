@@ -378,7 +378,17 @@ object Aggregations {
     // avoid. Instead: (1) the corpus collapses to per-customer exact
     // cents (one hash-agg); (2) a 1-row min/max aggregate BROADCASTS
     // back and bin = ((cents−min)·B) div (max−min+1) assigns each
-    // customer a grid cell ROW-LOCALLY (integer div — engine-exact);
+    // customer a grid cell ROW-LOCALLY (integer div — engine-exact).
+    // The grid is EQUAL-WIDTH over [min,max] cents, deliberately NOT
+    // quantile bins: width-binning is a pure integer closed form both
+    // engines compute bit-identically, while approx-quantile edges
+    // are sketch- and engine-specific (no DuckDB hash parity). The
+    // cost is known and accepted: under heavy-tailed spend most
+    // customers collapse into a few low bins, so the reported value
+    // is a GROUPED Gini — a deterministic lower bound on the exact
+    // coefficient (within-bin inequality is invisible to the Lorenz
+    // trapezoids), with resolution governed by GiniBins, not by the
+    // data's quantile structure (ADVICE r12);
     // (3) a second hash-agg collapses to ≤ GiniBins rows; (4) the
     // trapezoid sum T = Σ_b n_b·(2·cumS_{b−1}+s_b) folds over the
     // sorted bin array in ONE row-local HOF — decimal(38,0) exact,

@@ -996,8 +996,14 @@ object Scans {
       .flatten.toSet
     val dead = all.collect { case (v, f) if doomed(v) => filesOf(f) }
       .flatten.toSet -- surviving
-    dead.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    // Metadata-first (the Iceberg expire order, ADVICE r12): remove the
+    // doomed manifests BEFORE their exclusive data files. A crash
+    // between the two steps then only leaks orphan data files (safe —
+    // no manifest names them), never an expired manifest pointing at
+    // deleted files, which would pass snapshotRead's loud existence
+    // check and fail mid-scan with FileNotFound.
     doomed.foreach(v => Files.delete(all(v).toPath))
+    dead.foreach(p => Files.deleteIfExists(Paths.get(p)))
   }
 
   private val retMemo =
@@ -1804,10 +1810,14 @@ object Scans {
        "CAST(SUM(np * base + (np * (np - 1)) // 2) AS BIGINT) AS pulse_sum " +
        "FROM e GROUP BY event_type ORDER BY event_type"),
     // the parity split between seasons gives the evolved read a closed
-    // form: only odd event_ids (season 2) carry the value key
+    // form: only odd event_ids (season 2) carry the value key. Count
+    // NON-NULL values explicitly (COUNT(value), not COUNT(*)) — the
+    // engine side counts non-null after null-fill, and equating the
+    // two via COUNT(*) would silently depend on the fixture having no
+    // null `value` rows (ADVICE r12).
     "source_framed_evolved" ->
       ("SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
-       "CAST(COUNT(*) FILTER (WHERE event_id % 2 = 1) AS BIGINT) AS n_with_value, " +
+       "CAST(COUNT(value) FILTER (WHERE event_id % 2 = 1) AS BIGINT) AS n_with_value, " +
        "CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_id % 2 = 1) " +
        "AS DOUBLE) AS val_sum " +
        "FROM events GROUP BY 1 ORDER BY 1"),

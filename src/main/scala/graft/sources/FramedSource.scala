@@ -569,8 +569,21 @@ class FramedSource extends TableProvider
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: java.util.Map[String, String]): Table =
-    FramedTable(schema, properties.get("path"))
+                        properties: java.util.Map[String, String]): Table = {
+    // A USER-SUPPLIED schema (supportsExternalMetadata) bypasses
+    // inferSchema's nullability flip, so the allowMissingKeys widening
+    // must happen HERE too: null-filling a slot the table schema
+    // declares non-nullable is undefined behavior under codegen
+    // (ADVICE r12). Widening nullability is always sound — it only
+    // relaxes a promise. Key lookup covers both spellings because
+    // Spark lower-cases option keys into this properties map.
+    val allowMissing = Seq("allowMissingKeys", "allowmissingkeys")
+      .exists(k => java.lang.Boolean.parseBoolean(properties.get(k)))
+    val s2 =
+      if (allowMissing) StructType(schema.fields.map(_.copy(nullable = true)))
+      else schema
+    FramedTable(s2, properties.get("path"))
+  }
 
   override def supportsExternalMetadata(): Boolean = true
 }
@@ -867,10 +880,25 @@ class FramedScanBuilder(full: StructType, path: String,
         n
       }
     }
+    val allowMissing = options.getBoolean("allowMissingKeys", false)
+    // inferSchema already flips nullability when allowMissingKeys is
+    // set, but a USER-SUPPLIED schema (supportsExternalMetadata) can
+    // reach this builder with non-nullable fields — null-filling a
+    // non-nullable slot is undefined behavior under codegen, so the
+    // unsafe combination is rejected loudly here rather than silently
+    // widened (the caller declared that contract; we don't override it).
+    if (allowMissing) {
+      val nonNullable = full.fields.filterNot(_.nullable).map(_.name)
+      require(nonNullable.isEmpty,
+        "graft-framed: allowMissingKeys=true null-fills absent keys, but " +
+        s"the supplied schema declares non-nullable field(s) " +
+        s"${nonNullable.mkString(", ")} — declare them nullable (or drop " +
+        "allowMissingKeys) to read this directory")
+    }
     FramedScan(full, required, path, pushed.toSeq,
       new SerializableHadoopConf(FramedSource.sessionHadoopConf()),
       maxFilesPerTrigger, targetPartitionBytes, targetSplitBytes,
-      options.getBoolean("allowMissingKeys", false))
+      allowMissing)
   }
 }
 

@@ -963,6 +963,19 @@ class FramedSourceSpec extends SparkSpec {
     val inferred = spark.read.format("graft.sources.FramedSource")
       .option("allowMissingKeys", "true").load(dir).schema
     assert(inferred.fields.forall(_.nullable), inferred.simpleString)
+    // a USER-SUPPLIED schema with non-nullable fields is WIDENED to
+    // all-nullable at getTable under the option (ADVICE r12): the
+    // table-level schema must never promise non-null on a slot the
+    // reader may null-fill (undefined behavior under codegen)
+    assert(rows.schema.fields.forall(_.nullable), rows.schema.simpleString)
+    // and a hand-built scan builder (the public-surface backdoor that
+    // skips getTable) rejects the unsafe combination LOUDLY
+    val eb = intercept[IllegalArgumentException] {
+      new graft.sources.FramedScanBuilder(evolved, dir,
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          java.util.Map.of("allowMissingKeys", "true"))).build()
+    }
+    assert(eb.getMessage.contains("non-nullable"), eb.getMessage)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 

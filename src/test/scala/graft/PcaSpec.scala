@@ -92,4 +92,42 @@ class PcaSpec extends SparkSpec {
     assert(lam >= diag.max - 1e-6, s"λ=$lam < max diag ${diag.max}")
     assert(lam <= diag.sum + 1e-6, s"λ=$lam > trace ${diag.sum}")
   }
+
+  test("sampled fit recovers the full fit's direction on spiked corpora (|cos| >= 0.99, two sizes)") {
+    // the VERDICT r12 #1 acceptance pin, run where it is statistically
+    // MEANINGFUL: the real embeddings fixture is isotropic noise
+    // (measured λ₁/λ₂ = 1.07 at sf0.001, 1.01 at sf0.01 — no principal
+    // direction exists, so NO estimator, sampled or full, recovers a
+    // stable top eigenvector there; the real fixture is instead
+    // hash-checked exactly by the vec_pca_fit_sampled DuckDB oracle,
+    // which replays the identical sampled fit). Here: two planted
+    // SPIKED corpora (rank-1 signal ≫ seeded noise, λ₁/λ₂ ≈ 3600) at
+    // 500 and 2000 rows — the PcaSampleK=200 seeded bottom-k sample
+    // must land the same direction as the full fit. |cos| (not cos):
+    // power iteration's sign follows the 𝟙 start's overlap, which a
+    // sample may legitimately flip.
+    val d = 16
+    val u = (0 until d).map(i => math.cos(i * 0.7)).toArray
+    val un = { val n = math.sqrt(u.map(x => x * x).sum); u.map(_ / n) }
+    def corpus(n: Int) = {
+      val rnd = new scala.util.Random(42)
+      (0 until n).map { id =>
+        val s = rnd.nextGaussian() * 3.0
+        val row = (0 until d).map(i =>
+          (s * un(i) + rnd.nextGaussian() * 0.05).toFloat).toArray
+        (id.toLong, row)
+      }.toDF("vec_id", "embedding")
+    }
+    for (n <- Seq(500, 2000)) {
+      val emb = corpus(n)
+      val full = Vectors.pcaPower(emb).orderBy("dim").collect().map(_.getDouble(1))
+      val samp = Vectors.pcaPower(Vectors.pcaSampleOf(emb))
+        .orderBy("dim").collect().map(_.getDouble(1))
+      assert(full.length == samp.length, s"n=$n: dim mismatch")
+      val dot = full.zip(samp).map { case (a, b) => a * b }.sum
+      val cos = dot / (math.sqrt(full.map(x => x * x).sum) *
+                       math.sqrt(samp.map(x => x * x).sum))
+      assert(math.abs(cos) >= 0.99, s"n=$n: |cos(sampled, full)| = $cos")
+    }
+  }
 }
