@@ -568,6 +568,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), p.take(3000))
   }
 
+  test("agg_weighted_median's two-level fold has no window anywhere (VERDICT r12 #2)") {
+    // the de-weakened plan: the old formulation sorted each group's
+    // whole distinct-price grid through one task via a 3-value window
+    // partition; the binned fold must never reintroduce one
+    val p = plan("agg_weighted_median")
+    assert(!p.contains("Window"), p.take(3000))
+    // the bounds and winning-bin tables ride broadcast joins, never a
+    // grid-sized shuffle join
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
   test("agg_mad broadcasts the per-group medians, no window anywhere") {
     val p = plan("agg_mad")
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
@@ -592,20 +604,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), p.take(3000))
   }
 
-  test("agg_weighted_median: windows sort the price GRID, not the corpus") {
+  test("agg_weighted_median: the corpus collapses to the price grid before any fold") {
+    // the r12 de-weak replaced the windowed formulation; what remains
+    // load-bearing is that the ONLY corpus-wide work is the grid
+    // hash-agg (map-side combined) — every later stage aggregates or
+    // broadcast-joins grid- or group-scale rows
     val p = plan("agg_weighted_median")
-    // the corpus is collapsed to (group, price) by a map-side-combined
-    // hash-agg BEFORE any window: the only corpus-wide exchange is the
-    // grid aggregate's, the window's group exchange carries the
-    // value-cardinality-bounded grid, and both window specs share it
-    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p.take(3000))
-    assert(!p.contains("Join"), p.take(3000))
-    // one exchange is the grid aggregate's composite key, the other is
-    // the window's bare group key — proving the sort never sees raw
-    // rows (it consumes the grid aggregate's output)
-    assert("hashpartitioning\\(l_returnflag#\\d+, [^,)]+#\\d+L?, \\d+\\)".r
-      .findAllIn(p).nonEmpty, p.take(3000))
-    assert("hashpartitioning\\(l_returnflag#\\d+, \\d+\\)".r.findAllIn(p).nonEmpty, p.take(3000))
+    assert(p.contains("HashAggregate"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
   test("text_zipf_slope and text_collocations cut ranks with WindowGroupLimit") {
