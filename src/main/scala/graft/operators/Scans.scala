@@ -419,6 +419,36 @@ object Scans {
         .orderBy("event_type")
     }),
 
+    // TYPE-WIDENED season combine (VERDICT r12 #4) — the OTHER half of
+    // real schema evolution: the key set is constant but `value`'s
+    // physical type widened across seasons (int64 early, double
+    // later). The declared schema is the evolved (double) one; the
+    // opt-in `allowWidenedKeys` read mode accepts the int64 files by
+    // widening each value at decode (exact — every int64 the early
+    // season wrote is a floor'd double-representable integer), while
+    // the DEFAULT read of the same directory stays loud at the
+    // mismatched key (FramedSourceSpec pins it). Narrowing has no
+    // opt-in. The oracle's closed form re-derives the season split
+    // from event_id parity: even rows contribute FLOOR(value), odd
+    // rows the full double.
+    "source_framed_widened" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val out = framedWidenedFixture(s, dir)
+      val widened = StructType(Seq(
+        StructField("event_id", LongType, nullable = false),
+        StructField("user_id", LongType, nullable = false),
+        StructField("event_type", StringType, nullable = false),
+        StructField("value", DoubleType, nullable = false),
+        StructField("ts_us", LongType, nullable = false)))
+      s.read.format("graft.sources.FramedSource").schema(widened)
+        .option("allowWidenedKeys", "true").load(out)
+        .groupBy("event_type")
+        .agg(big(count(lit(1))).as("n"),
+             dsum(col("value")).as("val_sum"),
+             big(sum(col("ts_us") % 1000000L)).as("ts_mod_sum"))
+        .orderBy("event_type")
+    }),
+
     // SPLIT read of one LARGE indexed frame file (VERDICT r5 #1 — the
     // last 100-TB gap in the extract story): the DSv2 writer records
     // frame-start offsets every indexBlockBytes and publishes a
@@ -889,6 +919,45 @@ object Scans {
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
       }
       stage(e.where(col("event_id") % 2 === 0).drop("value"), "s1")
+      stage(e.where(col("event_id") % 2 === 1), "s2")
+    })
+    out
+  }
+
+  private val widenedMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Unit]
+
+  /** The mixed-WIDTH directory feeding `source_framed_widened`: the
+    * other half of real schema evolution (VERDICT r12 #4) — the key
+    * SET is constant but a key's physical type widened across
+    * seasons. "Season 1" = even event_ids with `value` written as
+    * int64 (floor'd — the early DAQ stored an integer), "season 2" =
+    * odd event_ids with `value` as double. Staged exactly like the
+    * evolved fixture (the DSv2 writer per season, files moved into
+    * one directory under season-prefixed names). Built once per
+    * (JVM, fixture state). */
+  def framedWidenedFixture(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val out = scratch(dir, "framed_widened")
+    widenedMemo.getOrElseUpdate(s"$out|${graft.Tables.fsSig(s, s"$dir/events.parquet")}", {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      org.apache.commons.io.FileUtils.deleteQuietly(Paths.get(out).toFile)
+      Files.createDirectories(Paths.get(out))
+      val e = events(s, dir).select(col("event_id"), col("user_id"),
+        col("event_type"), col("value"), unix_micros(col("ts")).as("ts_us"))
+      def stage(df: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+        val tmp = s"${out}_stage_$tag"
+        df.repartition(2, col("event_id"))
+          .write.format("graft.sources.FramedSource").mode("overwrite").save(tmp)
+        val files = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".frames")).sortBy(_.getName)
+        files.zipWithIndex.foreach { case (f, i) =>
+          Files.move(f.toPath, Paths.get(out, f"${tag}_$i%03d.frames"),
+            StandardCopyOption.REPLACE_EXISTING)
+        }
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      }
+      stage(e.where(col("event_id") % 2 === 0)
+             .withColumn("value", floor(col("value"))), "s1")
       stage(e.where(col("event_id") % 2 === 1), "s2")
     })
     out
@@ -1820,6 +1889,16 @@ object Scans {
        "CAST(COUNT(value) FILTER (WHERE event_id % 2 = 1) AS BIGINT) AS n_with_value, " +
        "CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_id % 2 = 1) " +
        "AS DOUBLE) AS val_sum " +
+       "FROM events GROUP BY 1 ORDER BY 1"),
+    // the widened read's closed form: even event_ids (season 1) were
+    // written floor'd as int64 and decode widened, odd rows carry the
+    // full double — the ts checksum proves the non-widened keys of
+    // BOTH seasons decode intact alongside
+    "source_framed_widened" ->
+      ("SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
+       dsumSql("CASE WHEN event_id % 2 = 0 THEN FLOOR(value) ELSE value END") +
+       " AS val_sum, " +
+       "CAST(SUM(epoch_us(ts) % 1000000) AS BIGINT) AS ts_mod_sum " +
        "FROM events GROUP BY 1 ORDER BY 1"),
     // splitting must be invisible to results: identical oracle to the
     // per-file extract (the fixture is the same extract, one indexed

@@ -898,7 +898,8 @@ class FramedScanBuilder(full: StructType, path: String,
     FramedScan(full, required, path, pushed.toSeq,
       new SerializableHadoopConf(FramedSource.sessionHadoopConf()),
       maxFilesPerTrigger, targetPartitionBytes, targetSplitBytes,
-      allowMissing)
+      allowMissing,
+      options.getBoolean("allowWidenedKeys", false))
   }
 }
 
@@ -1104,7 +1105,8 @@ case class FramedScan(full: StructType, required: StructType, path: String,
                       maxFilesPerTrigger: Int = Int.MaxValue,
                       targetPartitionBytes: Long = 0L,
                       targetSplitBytes: Long = FramedScan.DefaultTargetSplitBytes,
-                      allowMissingKeys: Boolean = false)
+                      allowMissingKeys: Boolean = false,
+                      allowWidenedKeys: Boolean = false)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -1198,11 +1200,12 @@ case class FramedScan(full: StructType, required: StructType, path: String,
     }
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    FramedReaderFactory(full, required, pushed, conf, allowMissingKeys)
+    FramedReaderFactory(full, required, pushed, conf, allowMissingKeys,
+      allowWidenedKeys)
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new FramedMicroBatchStream(full, required, pushed, path, conf, maxFilesPerTrigger,
-      allowMissingKeys)
+      allowMissingKeys, allowWidenedKeys)
 }
 
 /** Streaming extraction — "tail the DAQ output directory": frame files
@@ -1240,7 +1243,8 @@ class FramedMicroBatchStream(full: StructType, required: StructType,
                              path: String,
                              conf: SerializableHadoopConf,
                              maxFilesPerTrigger: Int = Int.MaxValue,
-                             allowMissingKeys: Boolean = false)
+                             allowMissingKeys: Boolean = false,
+                             allowWidenedKeys: Boolean = false)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -1338,7 +1342,8 @@ class FramedMicroBatchStream(full: StructType, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    FramedReaderFactory(full, required, pushed, conf, allowMissingKeys)
+    FramedReaderFactory(full, required, pushed, conf, allowMissingKeys,
+      allowWidenedKeys)
 }
 
 /** One unit of reader work: a byte range of one frame file. `start`
@@ -1356,11 +1361,12 @@ case class FramedPartition(splits: Seq[FramedSplit]) extends InputPartition
 case class FramedReaderFactory(full: StructType, required: StructType,
                                pushed: Seq[org.apache.spark.sql.sources.Filter],
                                conf: SerializableHadoopConf,
-                               allowMissingKeys: Boolean = false)
+                               allowMissingKeys: Boolean = false,
+                               allowWidenedKeys: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new FramedReader(partition.asInstanceOf[FramedPartition].splits, required, pushed,
-      conf.value, allowMissingKeys)
+      conf.value, allowMissingKeys, allowWidenedKeys)
 }
 
 object FramedReader {
@@ -1429,7 +1435,8 @@ object FramedReader {
 class FramedReader(splits: Seq[FramedSplit], required: StructType,
                    pushed: Seq[org.apache.spark.sql.sources.Filter],
                    hadoopConf: Configuration = FramedSource.sessionHadoopConf(),
-                   allowMissingKeys: Boolean = false)
+                   allowMissingKeys: Boolean = false,
+                   allowWidenedKeys: Boolean = false)
     extends PartitionReader[InternalRow] {
   def this(file: String, required: StructType,
            pushed: Seq[org.apache.spark.sql.sources.Filter]) =
@@ -1437,6 +1444,27 @@ class FramedReader(splits: Seq[FramedSplit], required: StructType,
 
   private val ordinals: Map[String, Int] =
     required.fieldNames.zipWithIndex.toMap
+  // declared output type per ordinal, resolved ONCE: the scalar decode
+  // verifies the wire tag against it, so a file whose physical type
+  // disagrees with the declared schema fails LOUDLY at the mismatched
+  // key — never a ClassCastException three operators downstream, and
+  // never a silently reinterpreted value. The one sanctioned mismatch
+  // is WIDENING (wire int64 under a declared double) behind the
+  // opt-in `allowWidenedKeys` — the season-scale physical-evolution
+  // story; narrowing (wire double under a declared long) is lossy and
+  // has no opt-in.
+  private val declaredTypes: Array[DataType] = required.fields.map(_.dataType)
+
+  private def badType(name: String, wire: String, want: DataType,
+                      file: String): Nothing =
+    throw new IllegalStateException(
+      s"key $name is $wire on the wire but declared ${want.simpleString} " +
+      s"in $file" + (
+        if (wire == "int64" && want == DoubleType)
+          " (a WIDENED key: opt into int64->double widening with " +
+          ".option(\"allowWidenedKeys\", \"true\"))"
+        else
+          " -- the declared schema does not match this file's physical types"))
   // `_file` metadata column: constant per FILE, filled post-parse
   private val fileOrd: Int = ordinals.getOrElse("_file", -1)
   private val filterAttrs: Set[String] = pushed.flatMap(_.references).toSet
@@ -1529,12 +1557,22 @@ class FramedReader(splits: Seq[FramedSplit], required: StructType,
           case FramedFormat.TagLong =>
             if (ord >= 0 || wantF) {
               val v = in.readLong()
-              if (ord >= 0) values(ord) = v
-              if (wantF) fvals += name -> v
+              // widened reads convert BOTH the output slot and the
+              // filter copy, so pushed-filter evaluation compares the
+              // same double the query sees
+              val widen = ord >= 0 && (declaredTypes(ord) match {
+                case LongType => false
+                case DoubleType if allowWidenedKeys => true
+                case other => badType(name, "int64", other, file)
+              })
+              if (ord >= 0) values(ord) = if (widen) v.toDouble else v
+              if (wantF) fvals += name -> (if (widen) v.toDouble else v)
             } else FramedReader.skipFully(in, 8L, file)
           case FramedFormat.TagDouble =>
             if (ord >= 0 || wantF) {
               val v = in.readDouble()
+              if (ord >= 0 && declaredTypes(ord) != DoubleType)
+                badType(name, "double", declaredTypes(ord), file)
               if (ord >= 0) values(ord) = v
               if (wantF) fvals += name -> v
             } else FramedReader.skipFully(in, 8L, file)
@@ -1542,6 +1580,8 @@ class FramedReader(splits: Seq[FramedSplit], required: StructType,
             val len = in.readInt()
             checkLen(len.toLong, "string", bodyLen)
             if (ord >= 0 || wantF) {
+              if (ord >= 0 && declaredTypes(ord) != StringType)
+                badType(name, "string", declaredTypes(ord), file)
               val sb = new Array[Byte](len); in.readFully(sb)
               if (ord >= 0) values(ord) = UTF8String.fromBytes(sb)
               if (wantF) fvals += name -> new String(sb, "UTF-8")

@@ -979,6 +979,69 @@ class FramedSourceSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("allowWidenedKeys accepts int64->double widening; default and narrowing stay loud") {
+    import graft.sources.FramedFormat._
+    val dir = java.nio.file.Files.createTempDirectory("graft_framed_widen").toString
+    // season 1 stored v as int64; season 2 widened it to double
+    val d1 = new java.io.DataOutputStream(new java.io.FileOutputStream(s"$dir/s1.frames"))
+    try (1 to 3).foreach { i =>
+      writeFrame(d1, Seq(("k", TagLong, i.toLong), ("v", TagLong, i * 10L)))
+    } finally d1.close()
+    val d2 = new java.io.DataOutputStream(new java.io.FileOutputStream(s"$dir/s2.frames"))
+    try (4 to 5).foreach { i =>
+      writeFrame(d2, Seq(("k", TagLong, i.toLong), ("v", TagDouble, i + 0.5)))
+    } finally d2.close()
+    val widened = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("v", DoubleType, nullable = false)))
+    // DEFAULT: the declared-double read of the mixed-width directory
+    // fails loudly at the mismatched key, naming the opt-in
+    val e = intercept[Exception] {
+      spark.read.format("graft.sources.FramedSource").schema(widened)
+        .load(dir).collect()
+    }
+    assert(e.toString.contains("allowWidenedKeys") ||
+           Option(e.getCause).exists(_.toString.contains("allowWidenedKeys")),
+      e.toString)
+    // OPT-IN: int64 values decode widened, doubles pass through
+    val rows = spark.read.format("graft.sources.FramedSource").schema(widened)
+      .option("allowWidenedKeys", "true").load(dir)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.toSeq == Seq((1L, 10.0), (2L, 20.0), (3L, 30.0),
+                             (4L, 4.5), (5L, 5.5)))
+    // a pushed filter on the widened key compares the SAME widened
+    // double the query sees (spans both seasons' physical types)
+    val flt = spark.read.format("graft.sources.FramedSource").schema(widened)
+      .option("allowWidenedKeys", "true").load(dir)
+      .where(col("v") > 5.0).orderBy("k")
+      .collect().map(_.getLong(0))
+    assert(flt.toSeq == Seq(1L, 2L, 3L, 5L))
+    // NARROWING (declared long over the double season) has no opt-in
+    val narrow = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("v", LongType, nullable = false)))
+    val e2 = intercept[Exception] {
+      spark.read.format("graft.sources.FramedSource").schema(narrow)
+        .option("allowWidenedKeys", "true").load(dir).collect()
+    }
+    assert(e2.toString.contains("double on the wire but declared bigint") ||
+           Option(e2.getCause).exists(_.toString.contains(
+             "double on the wire but declared bigint")), e2.toString)
+    // an unrelated physical mismatch (string declared over a long
+    // wire key) is loud too — never a downstream ClassCastException
+    val wrong = StructType(Seq(
+      StructField("k", StringType, nullable = false),
+      StructField("v", DoubleType, nullable = false)))
+    val e3 = intercept[Exception] {
+      spark.read.format("graft.sources.FramedSource").schema(wrong)
+        .option("allowWidenedKeys", "true").load(dir).collect()
+    }
+    assert(e3.toString.contains("int64 on the wire but declared string") ||
+           Option(e3.getCause).exists(_.toString.contains(
+             "int64 on the wire but declared string")), e3.toString)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("tag-5 scalar struct key (event header) roundtrips through write and read, schema included") {
     val dir = s"${java.nio.file.Files.createTempDirectory("graft_framed_t5")}/table"
     val df = spark.range(0, 200).select(
