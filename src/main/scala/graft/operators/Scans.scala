@@ -303,6 +303,28 @@ object Scans {
              big(count(when(col("o_orderdate") < cutoff, 1))).as("n_pre_cutoff"))
     }),
 
+    // SNAPSHOT SCHEMA EVOLUTION (VERDICT r12 #5) — the versioned
+    // table's v3 commit ADDS a column (`o_flag`), so the v3 snapshot
+    // spans two file schemas; [[snapshotRead]]'s mergeSchema union
+    // reads it as one relation with the pre-evolution rows null-filled
+    // — Delta/Iceberg "add column" read semantics over plain
+    // manifests. The aggregate proves both halves: n_rows/total_cents
+    // cover ALL files of both schemas, n_flagged counts exactly the
+    // post-evolution rows (null-fill kept the old rows' slot empty,
+    // never zero-filled), and flag_sum checks the added column's
+    // VALUES survived. NonOracleOpsSpec pins the other direction:
+    // pre-evolution versions read byte-identically after the v3
+    // commit, whose files never touch v1/v2's.
+    "scan_snapshot_evolution" -> ((s, dir) => {
+      val root = evolutionFixture(s, dir)
+      snapshotRead(s, root, 3)
+        .agg(big(count(lit(1))).as("n_rows"),
+             big(sum(floor(col("o_totalprice") * 100).cast("long")))
+               .as("total_cents"),
+             big(count(col("o_flag"))).as("n_flagged"),
+             big(sum(col("o_flag"))).as("flag_sum"))
+    }),
+
     "scan_manifest_pruned" -> ((s, dir) => {
       val out = scratch(dir, "manifest_src")
       // the range-clustered layout is the table, not the query: write
@@ -1001,6 +1023,65 @@ object Scans {
     Files.createDirectories(Paths.get(root, "_manifests"))
   }
 
+  /** Build (NOT memoized — specs drive it at explicit roots) the
+    * three-version SCHEMA-EVOLUTION fixture: v1/v2 as in the
+    * time-travel table, then v3 appends the o_orderkey%10==0 slice
+    * written WITH an added `o_flag` column (o_orderkey%3 — a closed
+    * form the oracle re-derives). v3's manifest spans the commit
+    * boundary: two schemas in one snapshot, the exact shape
+    * [[snapshotRead]]'s mergeSchema union exists for. The evolution
+    * commit writes ONLY new files — v1/v2 files are untouched bytes
+    * (spec-pinned), which is what makes old versions readable
+    * forever. */
+  def evolutionBuild(s: org.apache.spark.sql.SparkSession, dir: String,
+                     root: String): Unit = {
+    evolutionBase(s, dir, root)
+    evolutionCommitV3(s, dir, root)
+  }
+
+  /** Stage 1 of the evolution fixture: the plain two-version table
+    * (identical shape to timeTravelFixture). Split out so the spec
+    * can observe v1/v2 state BEFORE the schema-evolved commit. */
+  def evolutionBase(s: org.apache.spark.sql.SparkSession, dir: String,
+                    root: String): Unit = {
+    val cutoff = lit(TimeTravelCutoff).cast("timestamp")
+    val o = orders(s, dir).select("o_orderkey", "o_orderdate", "o_totalprice")
+    ttInitDirs(root)
+    val f1 = ttCommit(o.where(col("o_orderdate") < cutoff), root, "c1")
+    val f2 = ttCommit(o.where(col("o_orderdate") >= cutoff), root, "c2")
+    ttWriteManifest(root, 1, f1)
+    ttWriteManifest(root, 2, f1 ++ f2)
+  }
+
+  /** Stage 2: the SCHEMA-EVOLVED append. Like any real commit it
+    * builds on the current snapshot — the new manifest is v2's exact
+    * file list plus the freshly-written files; nothing pre-existing
+    * is rewritten or touched. */
+  def evolutionCommitV3(s: org.apache.spark.sql.SparkSession, dir: String,
+                        root: String): Unit = {
+    val o = orders(s, dir).select("o_orderkey", "o_orderdate", "o_totalprice")
+    val v2files = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "_manifests", "v2.txt")), "UTF-8")
+      .split("\n").toSeq.filter(_.nonEmpty)
+    val f3 = ttCommit(
+      o.where(col("o_orderkey") % 10 === 0)
+        .withColumn("o_flag", col("o_orderkey") % 3), root, "c3")
+    ttWriteManifest(root, 3, v2files ++ f3)
+  }
+
+  private val evoMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Unit]
+
+  /** The schema-evolution table feeding scan_snapshot_evolution.
+    * Built once per (JVM, fixture state). */
+  def evolutionFixture(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val root = scratch(dir, "time_travel_evo")
+    evoMemo.getOrElseUpdate(s"$root|${graft.Tables.fsSig(s, s"$dir/orders.parquet")}", {
+      evolutionBuild(s, dir, root)
+    })
+    root
+  }
+
   /** The two-commit versioned table feeding scan_time_travel: commit 1
     * = pre-cutoff orders, commit 2 appends the rest into the SAME data
     * directory; `_manifests/v{1,2}.txt` list each version's exact
@@ -1109,7 +1190,15 @@ object Scans {
     }
     val files = new String(java.nio.file.Files.readAllBytes(man), "UTF-8")
       .split("\n").toSeq.filter(_.nonEmpty)
-    s.read.parquet(files: _*)
+    // mergeSchema: a snapshot may span a SCHEMA-EVOLVED commit
+    // boundary (VERDICT r12 #5) — files committed before a column was
+    // added lack it, so the read schema is the UNION of the
+    // manifest's file schemas and pre-evolution rows null-fill the
+    // added columns (exactly Delta/Iceberg read semantics). For a
+    // uniform-schema manifest the merge is the identity, so
+    // pre-evolution versions read byte-identically (spec-pinned);
+    // the cost is one footer read per manifest file — metadata-scale.
+    s.read.option("mergeSchema", "true").parquet(files: _*)
   }
 
   /** The fixture writer's shuffle-partition count — `source_framed_runs`'
@@ -2108,6 +2197,19 @@ object Scans {
        "CAST(COUNT(*) FILTER (WHERE o_orderdate < " +
        s"TIMESTAMP '$TimeTravelCutoff') AS BIGINT) AS n_pre_cutoff " +
        "FROM orders ORDER BY 1"),
+
+    // v3 = every order (v2) plus the %10 slice re-appended WITH the
+    // added column; only the slice's rows carry non-null o_flag
+    "scan_snapshot_evolution" ->
+      ("WITH a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1, " +
+       "CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c1 " +
+       "FROM orders), " +
+       "b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n2, " +
+       "CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c2, " +
+       "CAST(SUM(o_orderkey % 3) AS BIGINT) AS fs " +
+       "FROM orders WHERE o_orderkey % 10 = 0) " +
+       "SELECT n1 + n2 AS n_rows, c1 + c2 AS total_cents, " +
+       "n2 AS n_flagged, fs AS flag_sum FROM a, b ORDER BY n_rows"),
 
     "scan_manifest_pruned" ->
       ("SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, " +

@@ -825,6 +825,51 @@ class NonOracleOpsSpec extends SparkSpec {
       new java.io.File(root).getParentFile)
   }
 
+  test("snapshot schema evolution: v3 adds a column; older versions byte-identical, null-fill exact") {
+    import graft.operators.Scans
+    val root = java.nio.file.Files.createTempDirectory("graft_evo_spec")
+      .toString + "/tbl"
+    Scans.evolutionBase(spark, sf001, root)
+    def dataFiles() = new java.io.File(s"$root/data").listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    def md5(f: java.io.File): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      java.util.Base64.getEncoder.encodeToString(
+        d.digest(java.nio.file.Files.readAllBytes(f.toPath)))
+    }
+    val before = dataFiles().map(f => f.getName -> md5(f)).toMap
+    val v2Before = Scans.snapshotRead(spark, root, 2)
+      .orderBy("o_orderkey").collect()
+    Scans.evolutionCommitV3(spark, sf001, root)
+    // (a) the evolution commit wrote ONLY new c3 files; every
+    //     pre-existing file is byte-for-byte untouched
+    val after = dataFiles().map(f => f.getName -> md5(f)).toMap
+    assert(before.forall { case (n, h) => after.get(n).contains(h) },
+      "pre-existing files changed")
+    assert(after.keySet.diff(before.keySet).forall(_.startsWith("c3_")),
+      after.keySet.diff(before.keySet).mkString(","))
+    // (b) v2 reads byte-identically after the evolved commit: same
+    //     schema (no o_flag — mergeSchema over uniform files is the
+    //     identity) and same rows in the same order
+    val v2After = Scans.snapshotRead(spark, root, 2)
+      .orderBy("o_orderkey").collect()
+    assert(!Scans.snapshotRead(spark, root, 2).schema
+      .fieldNames.contains("o_flag"))
+    assert(v2Before.sameElements(v2After))
+    // (c) v3 unions both schemas: o_flag present, null on EXACTLY the
+    //     pre-evolution rows (counted, not zero-filled), values intact
+    val v3 = Scans.snapshotRead(spark, root, 3)
+    assert(v3.schema.fieldNames.contains("o_flag"))
+    val all = Tables.orders(spark, sf001).count()
+    val slice = Tables.orders(spark, sf001)
+      .where(col("o_orderkey") % 10 === 0).count()
+    assert(v3.count() == all + slice)
+    assert(v3.where(col("o_flag").isNotNull).count() == slice)
+    assert(v3.where(col("o_flag").isNull).count() == all)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(root).getParentFile)
+  }
+
   test("sim_ann_lsh returns true-cosine-scored candidates from the corpus") {
     val ann = SparkEntry.queries("sim_ann_lsh")(spark, sf01).collect()
     assert(ann.nonEmpty)
