@@ -303,6 +303,26 @@ object Scans {
              big(count(when(col("o_orderdate") < cutoff, 1))).as("n_pre_cutoff"))
     }),
 
+    // SNAPSHOT ROLLBACK — the RESTORE half of the lifecycle (Delta
+    // RESTORE / Iceberg rollback): undoing a bad commit is a NEW
+    // manifest that re-publishes an old version's exact file list —
+    // zero data movement, O(1 manifest write), and history stays
+    // intact (the rolled-past version remains readable; an audit can
+    // still see what was undone). The query reads v2 (the full table)
+    // and v3 (the rollback to v1) side by side: proving the restore
+    // took effect AND did not disturb the version it rolled past —
+    // the oracle derives both states from the cutoff predicate.
+    "scan_snapshot_rollback" -> ((s, dir) => {
+      val root = rollbackFixture(s, dir)
+      Seq(2, 3).map { v =>
+        snapshotRead(s, root, v)
+          .agg(big(count(lit(1))).as("n_rows"),
+               big(sum(floor(col("o_totalprice") * 100).cast("long")))
+                 .as("total_cents"))
+          .select(lit(v).as("version"), col("n_rows"), col("total_cents"))
+      }.reduce(_ unionByName _).orderBy("version")
+    }),
+
     // SNAPSHOT SCHEMA EVOLUTION (VERDICT r12 #5) — the versioned
     // table's v3 commit ADDS a column (`o_flag`), so the v3 snapshot
     // spans two file schemas; [[snapshotRead]]'s mergeSchema union
@@ -1067,6 +1087,27 @@ object Scans {
       o.where(col("o_orderkey") % 10 === 0)
         .withColumn("o_flag", col("o_orderkey") % 3), root, "c3")
     ttWriteManifest(root, 3, v2files ++ f3)
+  }
+
+  private val rbMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Unit]
+
+  /** The rollback table feeding scan_snapshot_rollback: v1/v2 as in
+    * the time-travel table, then v3 RESTORES v1 — its manifest is
+    * v1's byte-identical file list republished under the new version
+    * number. No data file is written, moved, or deleted; v2 stays
+    * readable (rollback is an append to HISTORY, not a rewrite).
+    * Built once per (JVM, fixture state). */
+  def rollbackFixture(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val root = scratch(dir, "time_travel_rb")
+    rbMemo.getOrElseUpdate(s"$root|${graft.Tables.fsSig(s, s"$dir/orders.parquet")}", {
+      evolutionBase(s, dir, root)
+      val v1files = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(root, "_manifests", "v1.txt")), "UTF-8")
+        .split("\n").toSeq.filter(_.nonEmpty)
+      ttWriteManifest(root, 3, v1files)
+    })
+    root
   }
 
   private val evoMemo =
@@ -2197,6 +2238,18 @@ object Scans {
        "CAST(COUNT(*) FILTER (WHERE o_orderdate < " +
        s"TIMESTAMP '$TimeTravelCutoff') AS BIGINT) AS n_pre_cutoff " +
        "FROM orders ORDER BY 1"),
+
+    // v2 = the full table, v3 = the restore of v1 (pre-cutoff) — both
+    // states derive from the cutoff predicate
+    "scan_snapshot_rollback" ->
+      ("SELECT 2 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+       "CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents " +
+       "FROM orders " +
+       "UNION ALL " +
+       "SELECT 3 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+       "CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents " +
+       s"FROM orders WHERE o_orderdate < TIMESTAMP '$TimeTravelCutoff' " +
+       "ORDER BY version"),
 
     // v3 = every order (v2) plus the %10 slice re-appended WITH the
     // added column; only the slice's rows carry non-null o_flag

@@ -182,6 +182,42 @@ object TextOps {
   def bpeEncode(word: Column): Column =
     BpeMerges.foldLeft(word) { case (c, (p, r)) => replace(c, lit(p), lit(r)) }
 
+  /** Learned merge rounds for text_bpe_train — fixed BY CONTRACT so
+    * the oracle unrolls the identical rounds as CTEs (the
+    * PCA/Lloyd/PageRank discipline), and the fresh single-char symbol
+    * each round mints (uppercase — impossible in the lowercased
+    * corpus, and disjoint per round so later rounds cannot collide
+    * with earlier mints). */
+  val BpeTrainRounds = 3
+  val BpeTrainMints: Seq[String] = Seq("X", "Y", "Z")
+
+  /** text_bpe_train's whole computation on any frame with a `text`
+    * column — factored out so BpeSpec can plant a corpus whose
+    * learned merges are hand-derivable (including a round-2 winner
+    * that only EXISTS after round 1 merged). */
+  def bpeTrainOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    def pairsOf(wc: org.apache.spark.sql.DataFrame) =
+      wc.where(length(col("w")) >= 2)
+        .select(col("cnt"),
+          explode(transform(sequence(lit(1), length(col("w")) - 1),
+            i => col("w").substr(i, lit(2)))).as("pair"))
+        .groupBy("pair").agg(sum(col("cnt")).as("freq"))
+    var wc = docs
+      .select(explode(split(lower(trim(col("text"))), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val rounds = (1 to BpeTrainRounds).map { r =>
+      val top1 = pairsOf(wc).orderBy(col("freq").desc, col("pair")).limit(1)
+      wc = wc.crossJoin(broadcast(top1))
+        .select(replace(col("w"), col("pair"),
+                        lit(BpeTrainMints(r - 1))).as("w"), col("cnt"))
+        .groupBy("w").agg(sum(col("cnt")).as("cnt"))
+        .localCheckpoint()
+      top1.select(lit(r).as("round"), col("pair"), big(col("freq")).as("freq"))
+    }
+    rounds.reduce(_ unionByName _).orderBy("round")
+  }
+
   val queries: Map[String, Q] = Map(
     // Stopword scrubbing (the cleaning pass before tokenizer training):
     // drop stoplist tokens per doc with a row-local array filter — no
@@ -715,6 +751,25 @@ object TextOps {
         .orderBy("lang")
     }),
 
+    // BPE TRAIN — the learning loop itself (Sennrich et al. 2016),
+    // closing the family: text_bpe_pairs counts round-0 candidates,
+    // text_bpe_encode applies a trained table, this LEARNS one — the
+    // [[BpeTrainRounds]] highest-frequency merges, each round
+    // recounting pairs over the corpus with all earlier merges
+    // applied (the part a one-shot pair count cannot see: round 2's
+    // winner may be a pair that only exists AFTER round 1 merged).
+    // Everything stays on the collapsed vocabulary: per round, one
+    // vocab-bounded pair explode + hash-agg, a 1-row top-1
+    // (freq DESC, pair — engine-stable tie), and the winning pair
+    // broadcast back into a single-char-mint REPLACE (the
+    // text_bpe_encode alphabet trick, so greedy stays canonical).
+    // NO collect: the learned pair flows as a broadcast 1-row join,
+    // and per-round localCheckpoints truncate the doubled lineage
+    // (wc feeds both the count and the rewrite — the PCA loop
+    // discipline). Re-grouping after each rewrite keeps the
+    // vocabulary a true multiset fold whatever the merge did.
+    "text_bpe_train" -> ((s, dir) => bpeTrainOf(documents(s, dir))),
+
     // Cross-SOURCE contamination matrix: for every source pair, how
     // many distinct 3-shingles they share — the train/test-leakage
     // detector across data providers (text_shingle_df finds
@@ -1054,6 +1109,36 @@ object TextOps {
        "(SELECT cnt, UNNEST(LIST_TRANSFORM(RANGE(1, LEN(w)), i -> SUBSTR(w, CAST(i AS INT), 2))) AS pair " +
        "FROM wc WHERE LEN(w) >= 2) " +
        "GROUP BY pair ORDER BY freq DESC, pair LIMIT 10"),
+    // the identical learn loop unrolled: per round, the same pair
+    // explode over the current vocabulary, the same (freq DESC, pair)
+    // top-1, and the winner folded back by REPLACE with the same
+    // round mint — MATERIALIZED per round (the PCA-CTE rule: the
+    // rewrite references the round's vocabulary twice)
+    "text_bpe_train" -> {
+      def pairsOf(src: String) =
+        s"SELECT pair, SUM(cnt) AS freq FROM (SELECT cnt, " +
+        "UNNEST(LIST_TRANSFORM(RANGE(1, LEN(w)), i -> SUBSTR(w, CAST(i AS INT), 2))) AS pair " +
+        s"FROM $src WHERE LEN(w) >= 2) GROUP BY pair"
+      val base = "WITH wc0 AS MATERIALIZED (SELECT w, COUNT(*) AS cnt FROM " +
+        "(SELECT UNNEST(STRING_SPLIT(LOWER(TRIM(text)), ' ')) AS w FROM documents) " +
+        "GROUP BY w)"
+      val rounds = (1 to BpeTrainRounds).map { r =>
+        val t = s", t$r AS MATERIALIZED (SELECT pair, freq FROM " +
+          s"(${pairsOf(s"wc${r - 1}")}) ORDER BY freq DESC, pair LIMIT 1)"
+        val w =
+          if (r < BpeTrainRounds)
+            s", wc$r AS MATERIALIZED (SELECT w, SUM(cnt) AS cnt FROM " +
+            s"(SELECT REPLACE(w, (SELECT pair FROM t$r), " +
+            s"'${BpeTrainMints(r - 1)}') AS w, cnt FROM wc${r - 1}) GROUP BY w)"
+          else ""
+        t + w
+      }.mkString
+      val sel = (1 to BpeTrainRounds).map { r =>
+        s"SELECT $r AS round, pair, CAST(freq AS BIGINT) AS freq FROM t$r"
+      }.mkString(" UNION ALL ")
+      s"$base$rounds $sel ORDER BY round"
+    },
+
     // the identical merge table unrolled as nested REPLACEs over the
     // same per-(lang, word) vocabulary collapse — both engines apply
     // the same literal list in the same order

@@ -39,6 +39,20 @@ class BpeSpec extends SparkSpec {
     assert(enc("zq", "xyz", "") == Seq("zq", "xyz", ""))
   }
 
+  test("train learns hand-derivable merges, including one that only exists post-merge") {
+    // corpus: "aab"×5, "cd"×2.
+    // round 1: pairs aa=5, ab=5 — tie breaks lexicographic → "aa"
+    //   wins, mint X rewrites aab→Xb
+    // round 2: winner "Xb"(5) — a pair that did NOT EXIST before
+    //   round 1 merged (the compound-learning property a one-shot
+    //   pair count cannot produce)
+    // round 3: only "cd"(2) remains
+    val docs = Seq("aab aab aab aab aab cd cd").toDF("text")
+    val got = TextOps.bpeTrainOf(docs).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((1, "aa", 5L), (2, "Xb", 5L), (3, "cd", 2L)), got)
+  }
+
   test("corpus totals: merges fire and compression is the sums' quotient") {
     val rows = SparkEntry.queries("text_bpe_encode")(spark, sf001).collect()
     assert(rows.nonEmpty)
