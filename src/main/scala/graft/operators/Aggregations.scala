@@ -179,10 +179,15 @@ object Aggregations {
     // collected arrays are bounded by B and by range/B respectively,
     // never by the corpus.
     "agg_weighted_median" -> ((s, dir) => {
+      // the grid is consumed TWICE (bin aggregate + winning-bin
+      // filter); the checkpoint pins it so the corpus hash-agg runs
+      // ONCE — the grid itself is value-cardinality-bounded, so the
+      // materialization is small at any corpus size
       val pts = lineitem(s, dir)
         .groupBy(col("l_returnflag"),
                  floor(col("l_extendedprice") * 100).cast("long").as("p"))
         .agg(sum(col("l_quantity").cast("long")).as("q"))
+        .localCheckpoint()
       val bounds = pts.groupBy("l_returnflag")
         .agg(min(col("p")).as("min_p"), max(col("p")).as("max_p"),
              sum(col("q")).as("tw"))
