@@ -313,6 +313,35 @@ object Relational {
         .orderBy("lang")
     }),
 
+    // TEMPERATURE-SCALED LANGUAGE MIXTURE — the multilingual-training
+    // sampling law (the mT5/XLM-R α-trick): low-resource languages
+    // are upsampled by replacing the raw token-mass shares p_l = n_l/N
+    // with p_l ∝ (n_l/N)^α. α is FIXED at 0.5 so the power is
+    // SQRT — correctly rounded IEEE in both engines, unlike a general
+    // pow whose last ulp is libm-specific — and each sqrt term
+    // re-pins through dsum6 before normalizing, so the denominator is
+    // bit-identical cross-engine. Shape: one per-lang hash-agg
+    // (map-side combinable; the corpus-scale stage), a 1-row total
+    // broadcast back, everything after is language-cardinality rows.
+    // boost = p_temp/p_raw is the report column a data-mixture sheet
+    // actually reads: how much each language is over/under-sampled.
+    "sample_temperature" -> ((s, dir) => {
+      val t = documents(s, dir)
+        .select(col("lang"),
+                size(split(lower(col("text")), " ")).cast("long").as("toks"))
+        .groupBy("lang").agg(sum(col("toks")).as("n_tokens"))
+      val tot = t.agg(sum(col("n_tokens")).as("total"),
+                      dsum6(sqrt(col("n_tokens"))).as("ssqrt"))
+      t.crossJoin(broadcast(tot))
+        .withColumn("p_raw",
+          fround(col("n_tokens").cast("double") / col("total").cast("double"), 6))
+        .withColumn("p_temp", fround(sqrt(col("n_tokens")) / col("ssqrt"), 6))
+        .select(col("lang"), big(col("n_tokens")).as("n_tokens"),
+                col("p_raw"), col("p_temp"),
+                fround(col("p_temp") / col("p_raw"), 4).as("boost"))
+        .orderBy("lang")
+    }),
+
     // CDC MERGE (upsert, latest-wins): the nightly "apply the change
     // feed onto the snapshot" operator every warehouse pipeline runs.
     // Base = latest pre-cutoff order per customer, delta = latest
@@ -631,6 +660,22 @@ object Relational {
        "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
        "CAST(SUM(n_chars) AS BIGINT) AS sum_chars " +
        "FROM r, m WHERE rn <= min_n GROUP BY lang ORDER BY lang"),
+    // same α=0.5 chain: sqrt is correctly-rounded IEEE on both
+    // engines, the denominator re-pins each term through dsum6, and
+    // boost divides the two already-pinned shares
+    "sample_temperature" ->
+      ("WITH t AS (SELECT lang, " +
+       "CAST(SUM(LEN(STRING_SPLIT(LOWER(text), ' '))) AS BIGINT) AS n_tokens " +
+       "FROM documents GROUP BY 1), " +
+       "tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total, " +
+       dsum6Sql("SQRT(n_tokens)") + " AS ssqrt FROM t), " +
+       "p AS (SELECT lang, n_tokens, " +
+       froundSql("CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE)", 6) + " AS p_raw, " +
+       froundSql("SQRT(n_tokens) / ssqrt", 6) + " AS p_temp FROM t, tot) " +
+       "SELECT lang, n_tokens, p_raw, p_temp, " +
+       froundSql("p_temp / p_raw", 4) + " AS boost " +
+       "FROM p ORDER BY lang"),
+
     // independent per-column UNION ALL formulation of the one-pass
     // profiling aggregate
     "profile_columns" -> {

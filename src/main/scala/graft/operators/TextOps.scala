@@ -191,6 +191,10 @@ object TextOps {
   val BpeTrainRounds = 3
   val BpeTrainMints: Seq[String] = Seq("X", "Y", "Z")
 
+  /** Jelinek-Mercer interpolation weight for text_bigram_lm — FIXED
+    * so the oracle interpolates the identical literal. */
+  val BigramLmLambda = 0.7
+
   /** text_bpe_train's whole computation on any frame with a `text`
     * column — factored out so BpeSpec can plant a corpus whose
     * learned merges are hand-derivable (including a round-2 winner
@@ -279,6 +283,50 @@ object TextOps {
     // sums run in decimal so the score is order-independent and
     // oracle-exact.
     "text_lm_score" -> ((s, dir) => lmScores(documents(s, dir)).orderBy("doc_id")),
+
+    // INTERPOLATED BIGRAM LM SCORE — the next rung above
+    // text_lm_score's unigram model (the CCNet/quality-filter
+    // family): per doc, the mean log of
+    // λ·c(w1w2)/c(w1) + (1−λ)·c(w2)/N with FIXED λ (the Jelinek-
+    // Mercer interpolation; the unigram backoff keeps unseen-bigram
+    // probability nonzero, and since the model is corpus-trained
+    // every document bigram has c2 ≥ 1 anyway). Shapes: unigram
+    // counts are vocabulary-scale and BROADCAST (joined twice, for
+    // w1 and w2); bigram counts are distinct-bigram-scale — the one
+    // equi-join that shuffles, keyed (w1, w2), bounded by corpus
+    // token count not its square. Each log term is one fixed IEEE
+    // chain (explicit parenthesization shared with the oracle) and
+    // the per-doc sum re-pins through dsum6 — the text_lm_score
+    // determinism argument verbatim.
+    "text_bigram_lm" -> ((s, dir) => {
+      val toks = documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+                split(lower(col("text")), " ").as("t"))
+      val bi = toks.where(size(col("t")) >= 2)
+        .select(col("doc_id"), col("lang"),
+          explode(expr("transform(sequence(1, size(t) - 1), " +
+            "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"))
+            .as("bg"))
+        .select(col("doc_id"), col("lang"),
+                col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val c1 = toks.select(explode(col("t")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c1"))
+      val n = c1.agg(big(sum(col("c1"))).as("n_total"))
+      val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      bi.join(c2, Seq("w1", "w2"))
+        .join(broadcast(c1.select(col("w").as("w1"), col("c1").as("cw1"))),
+              Seq("w1"))
+        .join(broadcast(c1.select(col("w").as("w2"), col("c1").as("cw2"))),
+              Seq("w2"))
+        .crossJoin(broadcast(n))
+        .withColumn("lp",
+          log(lit(BigramLmLambda) * col("c2") / col("cw1") +
+              lit(1.0 - BigramLmLambda) * col("cw2") / col("n_total")))
+        .groupBy("doc_id", "lang")
+        .agg(big(count(lit(1))).as("n_bigrams"),
+             fround(dsum6(col("lp")) / count(lit(1)), 4).as("avg_logprob"))
+        .orderBy("doc_id")
+    }),
 
     // CCNet-style QUALITY BUCKETS (Wenzek et al., public recipe:
     // head/middle/tail by LM score): per language, cut the per-doc
@@ -927,6 +975,30 @@ object TextOps {
     "text_lm_score" ->
       ("WITH " + LmCte + " " +
        "SELECT doc_id, lang, n_tokens, avg_logprob FROM lm ORDER BY doc_id"),
+    // the identical interpolation chain; BOTH weight literals are
+    // interpolated from the Scala doubles (1−λ in double arithmetic
+    // is 0.30000000000000004, NOT the SQL literal 0.3 — writing the
+    // computed value keeps the IEEE chain token-identical)
+    "text_bigram_lm" -> {
+      val lam = BigramLmLambda
+      val oml = 1.0 - BigramLmLambda
+      "WITH toks AS (SELECT doc_id, lang, STRING_SPLIT(LOWER(text), ' ') AS t " +
+      "FROM documents), " +
+      "c1 AS MATERIALIZED (SELECT w, COUNT(*) AS c1 FROM " +
+      "(SELECT UNNEST(t) AS w FROM toks) GROUP BY w), " +
+      "n AS (SELECT CAST(SUM(c1) AS BIGINT) AS n_total FROM c1), " +
+      "bi AS MATERIALIZED (SELECT doc_id, lang, t[i] AS w1, t[i + 1] AS w2 " +
+      "FROM (SELECT doc_id, lang, t, UNNEST(RANGE(1, LEN(t))) AS i " +
+      "FROM toks WHERE LEN(t) >= 2)), " +
+      "c2 AS MATERIALIZED (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY 1, 2), " +
+      s"sc AS (SELECT bi.doc_id, bi.lang, LN($lam * c2.c2 / a.c1 + " +
+      s"$oml * b.c1 / n_total) AS lp " +
+      "FROM bi JOIN c2 USING (w1, w2) JOIN c1 a ON a.w = bi.w1 " +
+      "JOIN c1 b ON b.w = bi.w2, n) " +
+      "SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_bigrams, " +
+      froundSql(dsum6Sql("lp") + " / COUNT(*)", 4) + " AS avg_logprob " +
+      "FROM sc GROUP BY 1, 2 ORDER BY doc_id"
+    },
     // the same per-lang 30/70 cuts, derived with PERCENTILE_CONT and
     // fround6-pinned before the bucket compare
     "text_quality_buckets" ->
