@@ -13,6 +13,10 @@ import org.apache.spark.sql.functions._
   */
 object Joins {
 
+  /** join_asof_tolerance's staleness bound — ONE literal shared with
+    * the oracle (interpolated into both), so the two cannot drift. */
+  val AsofToleranceDays = 30
+
   val queries: Map[String, Q] = Map(
     // Large-ish equi-join, aggregated. Shuffle on the join key; AQE picks
     // broadcast automatically when one side is small at runtime.
@@ -121,6 +125,35 @@ object Joins {
           max(when(col("is_order") === 0, col("ts"))).over(w))
         .where(col("is_order") === 1)
         .select(col("o_orderkey"), col("uid").as("o_custkey"), col("last_ev_ts"))
+        .orderBy("o_orderkey")
+    }),
+
+    // BACKWARD as-of with a TOLERANCE bound (pandas merge_asof
+    // tolerance semantics): the match is the latest prior event, but
+    // only if it lies within the window — a stale match older than
+    // the bound reports NO match (null), which is what a
+    // feature-freshness join actually wants ("the last reading, if
+    // it isn't too old to trust"). Identical plan to join_asof (ONE
+    // shuffle on the user key, union-tag + running window); the
+    // bound is a row-local null-out AFTER the window, so tolerance
+    // costs nothing at any scale.
+    "join_asof_tolerance" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, dir)
+        .select(col("user_id").as("uid"), col("ts"),
+                lit(0).as("is_order"), lit(null).cast("long").as("o_orderkey"))
+      val od = orders(s, dir)
+        .select(col("o_custkey").as("uid"), col("o_orderdate").as("ts"),
+                lit(1).as("is_order"), col("o_orderkey"))
+      val w = Window.partitionBy("uid").orderBy(col("ts"), col("is_order"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.unionByName(od)
+        .withColumn("last_ev_ts",
+          max(when(col("is_order") === 0, col("ts"))).over(w))
+        .where(col("is_order") === 1)
+        .select(col("o_orderkey"), col("uid").as("o_custkey"),
+          when(col("last_ev_ts") >= col("ts") - expr(s"INTERVAL $AsofToleranceDays DAYS"),
+               col("last_ev_ts")).as("last_ev_ts"))
         .orderBy("o_orderkey")
     }),
 
@@ -438,6 +471,14 @@ object Joins {
     "join_asof_forward" ->
       ("SELECT o_orderkey, o_custkey, " +
        "(SELECT MIN(e.ts) FROM events e WHERE e.user_id = o.o_custkey AND e.ts >= o.o_orderdate) AS next_ev_ts " +
+       "FROM orders o ORDER BY o_orderkey"),
+    // the same latest-prior subquery with the staleness bound folded
+    // into the predicate — a match outside the window is no match
+    "join_asof_tolerance" ->
+      ("SELECT o_orderkey, o_custkey, " +
+       "(SELECT MAX(e.ts) FROM events e WHERE e.user_id = o.o_custkey " +
+       "AND e.ts <= o.o_orderdate " +
+       s"AND e.ts >= o.o_orderdate - INTERVAL $AsofToleranceDays DAY) AS last_ev_ts " +
        "FROM orders o ORDER BY o_orderkey"),
     // independent correlated-subquery derivation of the window
     // formulation; equal-micros views land in BOTH tprev and tnext

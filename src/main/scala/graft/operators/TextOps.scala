@@ -753,6 +753,34 @@ object TextOps {
         .orderBy("lang")
     }),
 
+    // DUPLICATED-N-GRAM FRACTION (the Gopher repetition filters'
+    // core signal, next to text_gopher_quality's length/stopword
+    // rules): per document, the fraction of 3-gram occurrences whose
+    // gram repeats WITHIN the document — the "same sentence pasted
+    // fifty times" detector that length stats cannot see. Short docs
+    // (< 3 tokens) degrade to one whole-text gram (the winnow
+    // convention), scoring 0. Shape: explode → (doc, gram) hash-agg
+    // (map-side combinable, keyed by high-cardinality doc×gram — no
+    // skew) → per-doc ratio; the shuffle is proportional to corpus
+    // tokens, all arithmetic integer until the final pinned ratio.
+    "text_repetition" -> ((s, dir) => {
+      val toks = documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+                split(lower(trim(col("text"))), " ").as("t"))
+      val grams = toks.select(col("doc_id"), col("lang"),
+        explode(when(size(col("t")) >= 3,
+          expr("transform(sequence(0, size(t) - 3), " +
+               "i -> concat_ws(' ', slice(t, i + 1, 3)))"))
+          .otherwise(array(concat_ws(" ", col("t"))))).as("g"))
+      grams.groupBy("doc_id", "lang", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id", "lang")
+        .agg(big(sum(col("c"))).as("n_grams"),
+             big(sum(when(col("c") > 1, col("c")).otherwise(0L))).as("n_dup_grams"),
+             fround(sum(when(col("c") > 1, col("c")).otherwise(0L)).cast("double") /
+                    sum(col("c")), 4).as("rep_ratio"))
+        .orderBy("doc_id")
+    }),
+
     // BPE tokenizer training, merge-candidate step: adjacent character
     // pairs weighted by word frequency — the argmax IS the first BPE
     // merge (Sennrich et al. 2016). The corpus collapses to its
@@ -1181,6 +1209,21 @@ object TextOps {
        "(SELECT cnt, UNNEST(LIST_TRANSFORM(RANGE(1, LEN(w)), i -> SUBSTR(w, CAST(i AS INT), 2))) AS pair " +
        "FROM wc WHERE LEN(w) >= 2) " +
        "GROUP BY pair ORDER BY freq DESC, pair LIMIT 10"),
+    // the identical gram builder (the winnow CTE's slice convention)
+    // through the same two-level count
+    "text_repetition" ->
+      ("WITH toks AS (SELECT doc_id, lang, " +
+       "STRING_SPLIT(LOWER(TRIM(text)), ' ') AS t FROM documents), " +
+       "g AS (SELECT doc_id, lang, UNNEST(CASE WHEN LEN(t) >= 3 THEN " +
+       "LIST_TRANSFORM(RANGE(0, LEN(t) - 2), " +
+       "i -> ARRAY_TO_STRING(t[i+1:i+3], ' ')) " +
+       "ELSE [ARRAY_TO_STRING(t, ' ')] END) AS g FROM toks), " +
+       "c AS (SELECT doc_id, lang, g, COUNT(*) AS c FROM g GROUP BY 1, 2, 3) " +
+       "SELECT doc_id, lang, CAST(SUM(c) AS BIGINT) AS n_grams, " +
+       "CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_grams, " +
+       froundSql("CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / SUM(c)", 4) +
+       " AS rep_ratio FROM c GROUP BY 1, 2 ORDER BY doc_id"),
+
     // the identical learn loop unrolled: per round, the same pair
     // explode over the current vocabulary, the same (freq DESC, pair)
     // top-1, and the winner folded back by REPLACE with the same
