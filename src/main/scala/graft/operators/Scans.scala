@@ -303,6 +303,26 @@ object Scans {
              big(count(when(col("o_orderdate") < cutoff, 1))).as("n_pre_cutoff"))
     }),
 
+    // MERGE-ON-READ DELETE (equality-delete sidecar — Iceberg v2 /
+    // Delta deletion-vector semantics): v3 deletes the o_orderkey%7
+    // slice by committing ONLY a key-list sidecar; no data file is
+    // rewritten, the read applies the anti-join. The query reads v2
+    // (pre-delete, must still see every row through the SAME files)
+    // and v3 side by side — the oracle derives both states from the
+    // key predicate, so CORRECTNESS proves the delete bit both ways:
+    // applied at v3, invisible at v2. NonOracleOpsSpec pins the
+    // physical claim (the delete commit writes zero data files).
+    "scan_delete_vectors" -> ((s, dir) => {
+      val root = deleteVectorFixture(s, dir)
+      Seq(2, 3).map { v =>
+        snapshotRead(s, root, v)
+          .agg(big(count(lit(1))).as("n_rows"),
+               big(sum(floor(col("o_totalprice") * 100).cast("long")))
+                 .as("total_cents"))
+          .select(lit(v).as("version"), col("n_rows"), col("total_cents"))
+      }.reduce(_ unionByName _).orderBy("version")
+    }),
+
     // SNAPSHOT ROLLBACK — the RESTORE half of the lifecycle (Delta
     // RESTORE / Iceberg rollback): undoing a bad commit is a NEW
     // manifest that re-publishes an old version's exact file list —
@@ -1089,6 +1109,34 @@ object Scans {
     ttWriteManifest(root, 3, v2files ++ f3)
   }
 
+  private val dvMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Unit]
+
+  /** The merge-on-read DELETE table feeding scan_delete_vectors:
+    * v1/v2 the usual two commits, then v3 deletes the o_orderkey%7
+    * slice WITHOUT touching a data file — the commit writes (a) a
+    * manifest re-listing v2's exact files and (b) an EQUALITY-DELETE
+    * sidecar under `_deletes/v3/` (a parquet table of deleted keys,
+    * written DISTRIBUTED — at scale a delete list is data, not driver
+    * metadata). [[snapshotRead]] applies the sidecar as an anti-join
+    * at read time — Iceberg v2 equality-delete / Delta DV semantics:
+    * deletes are O(delete list) to commit, paid at read until a
+    * compaction rewrites. Built once per (JVM, fixture state). */
+  def deleteVectorFixture(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val root = scratch(dir, "time_travel_dv")
+    dvMemo.getOrElseUpdate(s"$root|${graft.Tables.fsSig(s, s"$dir/orders.parquet")}", {
+      evolutionBase(s, dir, root)
+      val v2files = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(root, "_manifests", "v2.txt")), "UTF-8")
+        .split("\n").toSeq.filter(_.nonEmpty)
+      ttWriteManifest(root, 3, v2files)
+      orders(s, dir).where(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"))
+        .write.mode("overwrite").parquet(s"$root/_deletes/v3")
+    })
+    root
+  }
+
   private val rbMemo =
     scala.collection.concurrent.TrieMap.empty[String, Unit]
 
@@ -1239,7 +1287,21 @@ object Scans {
     // uniform-schema manifest the merge is the identity, so
     // pre-evolution versions read byte-identically (spec-pinned);
     // the cost is one footer read per manifest file — metadata-scale.
-    s.read.option("mergeSchema", "true").parquet(files: _*)
+    val base = s.read.option("mergeSchema", "true").parquet(files: _*)
+    // MERGE-ON-READ equality deletes: a version may carry a delete
+    // sidecar (`_deletes/v<N>/`, a parquet table whose columns name
+    // the equality key) — applied here as an anti-join, so a DELETE
+    // commit never rewrites data files and older versions see the
+    // undeleted rows. The delete side is typically a small fraction
+    // of the table; AQE picks broadcast when it is runtime-small and
+    // a shuffled anti-join when it is not — both correct, neither
+    // hand-forced, because at 100 TB a delete list CAN be large.
+    val dv = java.nio.file.Paths.get(root, "_deletes", s"v$version")
+    if (java.nio.file.Files.isDirectory(dv)) {
+      val del = s.read.parquet(dv.toString)
+      base.join(del, del.columns.map(c => base(c) === del(c)).reduce(_ && _),
+                "left_anti")
+    } else base
   }
 
   /** The fixture writer's shuffle-partition count — `source_framed_runs`'
@@ -2238,6 +2300,18 @@ object Scans {
        "CAST(COUNT(*) FILTER (WHERE o_orderdate < " +
        s"TIMESTAMP '$TimeTravelCutoff') AS BIGINT) AS n_pre_cutoff " +
        "FROM orders ORDER BY 1"),
+
+    // v2 = every order, v3 = every order whose key survives the
+    // equality-delete predicate
+    "scan_delete_vectors" ->
+      ("SELECT 2 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+       "CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents " +
+       "FROM orders " +
+       "UNION ALL " +
+       "SELECT 3 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+       "CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents " +
+       "FROM orders WHERE o_orderkey % 7 <> 0 " +
+       "ORDER BY version"),
 
     // v2 = the full table, v3 = the restore of v1 (pre-cutoff) — both
     // states derive from the cutoff predicate

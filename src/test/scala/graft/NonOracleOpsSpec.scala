@@ -870,6 +870,30 @@ class NonOracleOpsSpec extends SparkSpec {
       new java.io.File(root).getParentFile)
   }
 
+  test("merge-on-read delete: the commit writes zero data files, older versions see every row") {
+    import graft.operators.Scans
+    val root = Scans.deleteVectorFixture(spark, sf001)
+    // (a) the data directory holds ONLY the v1/v2 commit files — the
+    //     delete commit added no data file and rewrote none
+    val dataFiles = new java.io.File(s"$root/data").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet"))
+    assert(dataFiles.forall(n => n.startsWith("c1_") || n.startsWith("c2_")),
+      dataFiles.mkString(","))
+    // (b) v3's manifest is v2's byte-identical file list — merge-on-
+    //     read shares the physical files
+    def manifest(v: Int) = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "_manifests", s"v$v.txt")), "UTF-8")
+    assert(manifest(3) == manifest(2))
+    // (c) the sidecar exists and drives the v2/v3 row-count split
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(root, "_deletes", "v3")))
+    val all = Tables.orders(spark, sf001).count()
+    val kept = Tables.orders(spark, sf001)
+      .where(col("o_orderkey") % 7 =!= 0).count()
+    assert(Scans.snapshotRead(spark, root, 2).count() == all)
+    assert(Scans.snapshotRead(spark, root, 3).count() == kept)
+  }
+
   test("sim_ann_lsh returns true-cosine-scored candidates from the corpus") {
     val ann = SparkEntry.queries("sim_ann_lsh")(spark, sf01).collect()
     assert(ann.nonEmpty)
