@@ -1243,6 +1243,15 @@ object Scans {
     // check and fail mid-scan with FileNotFound.
     doomed.foreach(v => Files.delete(all(v).toPath))
     dead.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    // an expired version's merge-on-read delete sidecar is exclusive
+    // to it BY CONSTRUCTION (sidecars are keyed by version), so it is
+    // vacuumed with the version — after the manifest, same crash
+    // reasoning: a leaked sidecar with no manifest is unreachable
+    doomed.foreach { v =>
+      val dv = Paths.get(root, "_deletes", s"v$v").toFile
+      if (dv.isDirectory)
+        org.apache.commons.io.FileUtils.deleteQuietly(dv)
+    }
   }
 
   private val retMemo =

@@ -892,6 +892,19 @@ class NonOracleOpsSpec extends SparkSpec {
       .where(col("o_orderkey") % 7 =!= 0).count()
     assert(Scans.snapshotRead(spark, root, 2).count() == all)
     assert(Scans.snapshotRead(spark, root, 3).count() == kept)
+    // (d) expiring the DV version vacuums its sidecar too (no orphan
+    //     _deletes dir), and the surviving plain versions still read —
+    //     run on a COPY so the memoized fixture stays intact
+    val root2 = java.nio.file.Files.createTempDirectory("graft_dv_exp")
+      .toString + "/tbl"
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(root), new java.io.File(root2))
+    Scans.expireVersions(root2, Seq(3))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root2, "_deletes", "v3")))
+    assert(Scans.snapshotRead(spark, root2, 2).count() == all)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(root2).getParentFile)
   }
 
   test("sim_ann_lsh returns true-cosine-scored candidates from the corpus") {
