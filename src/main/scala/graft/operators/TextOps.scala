@@ -198,18 +198,24 @@ object TextOps {
   /** text_bpe_train's whole computation on any frame with a `text`
     * column — factored out so BpeSpec can plant a corpus whose
     * learned merges are hand-derivable (including a round-2 winner
-    * that only EXISTS after round 1 merged). */
-  def bpeTrainOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    * that only EXISTS after round 1 merged). Returns the per-round
+    * winners plus the initial and final vocabulary states (the
+    * pipeline query aggregates those; the train query keeps only the
+    * winners). */
+  def bpeTrainStates(docs: org.apache.spark.sql.DataFrame):
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+       org.apache.spark.sql.DataFrame) = {
     def pairsOf(wc: org.apache.spark.sql.DataFrame) =
       wc.where(length(col("w")) >= 2)
         .select(col("cnt"),
           explode(transform(sequence(lit(1), length(col("w")) - 1),
             i => col("w").substr(i, lit(2)))).as("pair"))
         .groupBy("pair").agg(sum(col("cnt")).as("freq"))
-    var wc = docs
+    val wc0 = docs
       .select(explode(split(lower(trim(col("text"))), " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .localCheckpoint()
+    var wc = wc0
     val rounds = (1 to BpeTrainRounds).map { r =>
       val top1 = pairsOf(wc).orderBy(col("freq").desc, col("pair")).limit(1)
       wc = wc.crossJoin(broadcast(top1))
@@ -219,8 +225,11 @@ object TextOps {
         .localCheckpoint()
       top1.select(lit(r).as("round"), col("pair"), big(col("freq")).as("freq"))
     }
-    rounds.reduce(_ unionByName _).orderBy("round")
+    (rounds.reduce(_ unionByName _).orderBy("round"), wc0, wc)
   }
+
+  def bpeTrainOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    bpeTrainStates(docs)._1
 
   val queries: Map[String, Q] = Map(
     // Stopword scrubbing (the cleaning pass before tokenizer training):
@@ -846,6 +855,27 @@ object TextOps {
     // vocabulary a true multiset fold whatever the merge did.
     "text_bpe_train" -> ((s, dir) => bpeTrainOf(documents(s, dir))),
 
+    // TRAIN → APPLY, composed — the loop a tokenizer pipeline
+    // actually runs: learn the merges on the corpus (the
+    // text_bpe_train rounds, same single definition) and measure the
+    // LEARNED table's effect on that corpus. Because the training
+    // rewrite already carries the vocabulary through every learned
+    // merge, "apply the trained table" is exactly the final
+    // vocabulary state — no second pass exists to drift from the
+    // training one. Output: corpus symbol totals before/after the
+    // learned merges and the compression they bought (the metric
+    // that says whether BpeTrainRounds was worth it).
+    "text_bpe_pipeline" -> ((s, dir) => {
+      val (_, wc0, wcN) = bpeTrainStates(documents(s, dir))
+      def tot(wc: org.apache.spark.sql.DataFrame, name: String) =
+        wc.agg(big(sum(col("cnt") * length(col("w")))).as(name))
+      tot(wc0, "symbols_pre").crossJoin(tot(wcN, "symbols_post"))
+        .select(col("symbols_pre"), col("symbols_post"),
+          fround(col("symbols_pre").cast("double") / col("symbols_post"), 4)
+            .as("compression"))
+        .orderBy("symbols_pre")
+    }),
+
     // Cross-SOURCE contamination matrix: for every source pair, how
     // many distinct 3-shingles they share — the train/test-leakage
     // detector across data providers (text_shingle_df finds
@@ -1252,6 +1282,32 @@ object TextOps {
         s"SELECT $r AS round, pair, CAST(freq AS BIGINT) AS freq FROM t$r"
       }.mkString(" UNION ALL ")
       s"$base$rounds $sel ORDER BY round"
+    },
+
+    // the full train chain INCLUDING the final round's rewrite, then
+    // symbol totals over the initial and final vocabulary states
+    "text_bpe_pipeline" -> {
+      def pairsOf(src: String) =
+        s"SELECT pair, SUM(cnt) AS freq FROM (SELECT cnt, " +
+        "UNNEST(LIST_TRANSFORM(RANGE(1, LEN(w)), i -> SUBSTR(w, CAST(i AS INT), 2))) AS pair " +
+        s"FROM $src WHERE LEN(w) >= 2) GROUP BY pair"
+      val base = "WITH wc0 AS MATERIALIZED (SELECT w, COUNT(*) AS cnt FROM " +
+        "(SELECT UNNEST(STRING_SPLIT(LOWER(TRIM(text)), ' ')) AS w FROM documents) " +
+        "GROUP BY w)"
+      val rounds = (1 to BpeTrainRounds).map { r =>
+        s", t$r AS MATERIALIZED (SELECT pair, freq FROM " +
+        s"(${pairsOf(s"wc${r - 1}")}) ORDER BY freq DESC, pair LIMIT 1)" +
+        s", wc$r AS MATERIALIZED (SELECT w, SUM(cnt) AS cnt FROM " +
+        s"(SELECT REPLACE(w, (SELECT pair FROM t$r), " +
+        s"'${BpeTrainMints(r - 1)}') AS w, cnt FROM wc${r - 1}) GROUP BY w)"
+      }.mkString
+      s"$base$rounds " +
+      "SELECT a.symbols_pre, b.symbols_post, " +
+      froundSql("CAST(a.symbols_pre AS DOUBLE) / b.symbols_post", 4) +
+      " AS compression FROM " +
+      "(SELECT CAST(SUM(cnt * LEN(w)) AS BIGINT) AS symbols_pre FROM wc0) a, " +
+      s"(SELECT CAST(SUM(cnt * LEN(w)) AS BIGINT) AS symbols_post FROM wc$BpeTrainRounds) b " +
+      "ORDER BY symbols_pre"
     },
 
     // the identical merge table unrolled as nested REPLACEs over the
