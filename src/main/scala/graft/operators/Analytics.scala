@@ -655,6 +655,52 @@ object Analytics {
     // bounded aggregates + a broadcast join; the corpus shuffles once.
     // (At 100 TB key volumes the power sums move to decimal as in
     // agg_moments; longs hold comfortably at fixture scale.)
+    // CUSUM CHANGE-POINT SCAN — the sequential drift detector next to
+    // events_anomaly's pointwise z-scores: a run of slightly-elevated
+    // days that no single day flags still accumulates in the one-sided
+    // CUSUM S_d = max(0, S_{d-1} + (x_d − μ)); its peak location is
+    // the classic change-point estimate. Inputs are PINNED before the
+    // recursion (daily means and μ fround6), so the fold is a fixed
+    // IEEE add/max chain both engines replay identically — no
+    // per-step rounding needed, the OLS/Welch fixed-chain argument.
+    // Shape: per-type daily hash-agg (the corpus-scale stage), a
+    // type-cardinality broadcast of μ, then ONE row-local fold over
+    // each type's day-sorted array (days-bounded — the series length
+    // is calendar time, not corpus size). Peak ties break to the
+    // EARLIEST day (strict > in the fold), mirrored in the oracle's
+    // recursion. Output: per type, the peak CUSUM, its day, and the
+    // final statistic.
+    "events_cusum" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(fround(dsum6(col("value")) / count(lit(1)), 6).as("x"))
+      val mu = daily.groupBy("event_type")
+        .agg(fround(dsum6(col("x")) / count(lit(1)), 6).as("mu"),
+             big(count(lit(1))).as("n_days"))
+      daily.join(broadcast(mu), Seq("event_type"))
+        .groupBy(col("event_type"), col("mu"), col("n_days"))
+        .agg(sort_array(collect_list(struct(col("d"), col("x")))).as("arr"))
+        .select(col("event_type"), col("n_days"),
+          aggregate(col("arr"),
+            struct(lit(0.0).as("s"), lit(null).cast("double").as("smax"),
+                   lit(null).cast("date").as("dmax")),
+            (acc, e) => {
+              val s2 = greatest(lit(0.0),
+                acc.getField("s") + (e.getField("x") - col("mu")))
+              val better = acc.getField("smax").isNull ||
+                s2 > acc.getField("smax")
+              struct(s2.as("s"),
+                when(better, s2).otherwise(acc.getField("smax")).as("smax"),
+                when(better, e.getField("d")).otherwise(acc.getField("dmax"))
+                  .as("dmax"))
+            }).as("c"))
+        .select(col("event_type"), col("n_days"),
+                fround(col("c.smax"), 4).as("cusum_max"),
+                date_format(col("c.dmax"), "yyyy-MM-dd").as("peak_day"),
+                fround(col("c.s"), 4).as("cusum_final"))
+        .orderBy("event_type")
+    }),
+
     "events_anomaly" -> ((s, dir) => {
       val daily = events(s, dir)
         .groupBy(col("event_type"), to_date(col("ts")).as("d"))
@@ -1366,6 +1412,36 @@ object Analytics {
        froundSql("PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY gap_us) / 1e6", 4) + " AS p90_s, " +
        froundSql("CAST(MAX(gap_us) AS DOUBLE) / 1e6", 4) + " AS max_s " +
        "FROM g WHERE gap_us IS NOT NULL GROUP BY event_type ORDER BY event_type"),
+    // the identical pinned inputs driven through a per-type recursive
+    // CTE — the same add/max chain, the same strict-> earliest-day
+    // tie rule carried in the recursion
+    "events_cusum" ->
+      ("WITH RECURSIVE daily AS (SELECT event_type, CAST(ts AS DATE) AS d, " +
+       froundSql(dsum6Sql("value") + " / COUNT(*)", 6) + " AS x " +
+       "FROM events GROUP BY 1, 2), " +
+       "mu AS (SELECT event_type, " +
+       froundSql(dsum6Sql("x") + " / COUNT(*)", 6) + " AS mu, " +
+       "CAST(COUNT(*) AS BIGINT) AS n_days FROM daily GROUP BY 1), " +
+       "i AS MATERIALIZED (SELECT daily.event_type, d, x, mu, n_days, " +
+       "ROW_NUMBER() OVER (PARTITION BY daily.event_type ORDER BY d) AS rn " +
+       "FROM daily JOIN mu USING (event_type)), " +
+       "r AS (SELECT event_type, rn, n_days, " +
+       "GREATEST(CAST(0 AS DOUBLE), x - mu) AS s, " +
+       "GREATEST(CAST(0 AS DOUBLE), x - mu) AS smax, d AS dmax " +
+       "FROM i WHERE rn = 1 " +
+       "UNION ALL SELECT i.event_type, i.rn, i.n_days, " +
+       "GREATEST(CAST(0 AS DOUBLE), r.s + (i.x - i.mu)) AS s, " +
+       "CASE WHEN GREATEST(CAST(0 AS DOUBLE), r.s + (i.x - i.mu)) > r.smax " +
+       "THEN GREATEST(CAST(0 AS DOUBLE), r.s + (i.x - i.mu)) ELSE r.smax END AS smax, " +
+       "CASE WHEN GREATEST(CAST(0 AS DOUBLE), r.s + (i.x - i.mu)) > r.smax " +
+       "THEN i.d ELSE r.dmax END AS dmax " +
+       "FROM r JOIN i ON i.event_type = r.event_type AND i.rn = r.rn + 1) " +
+       "SELECT event_type, n_days, " +
+       froundSql("smax", 4) + " AS cusum_max, " +
+       "STRFTIME(dmax, '%Y-%m-%d') AS peak_day, " +
+       froundSql("s", 4) + " AS cusum_final " +
+       "FROM r WHERE rn = n_days ORDER BY event_type"),
+
     "events_anomaly" ->
       ("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, " +
        "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), " +
