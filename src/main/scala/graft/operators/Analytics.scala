@@ -483,6 +483,14 @@ object Analytics {
              count(col("f.tp")) / 1e6, 2).as("avg_s_to_purchase"))
   }
 
+  /** Holt double-exponential-smoothing constants — FIXED so both
+    * engines run the identical recursion (the weights are
+    * interpolated from THESE doubles into the oracle SQL; forecast
+    * horizon in days). */
+  val HoltAlpha = 0.5
+  val HoltBeta = 0.3
+  val HoltHorizon = 7
+
   val queries: Map[String, Q] = Map(
     // Conversion funnel view → click → purchase: per user, the first
     // view, the first click strictly after it, the first purchase
@@ -655,6 +663,47 @@ object Analytics {
     // bounded aggregates + a broadcast join; the corpus shuffles once.
     // (At 100 TB key volumes the power sums move to decimal as in
     // agg_moments; longs hold comfortably at fixture scale.)
+    // HOLT'S LINEAR FORECAST (double exponential smoothing) — the
+    // trend-aware step above events_forecast_naive: level and trend
+    // update recursively (l_d = α·x_d + (1−α)(l+b); b_d = β(l_d−l) +
+    // (1−β)b, init l₁=x₁, b₁=0 — a stated convention both engines
+    // share), and the h-step forecast is l_N + h·b_N. Same recursion
+    // discipline as events_cusum: daily means pinned fround6 BEFORE
+    // the fold, smoothing weights interpolated from the SAME Scala
+    // doubles into both engines (1−β in double arithmetic is not the
+    // literal 0.7 — the text_bigram_lm lesson), so the whole chain is
+    // a fixed IEEE replay. One corpus-scale hash-agg; the fold runs
+    // over each type's calendar-bounded day array row-locally.
+    "events_holt_forecast" -> ((s, dir) => {
+      val a = HoltAlpha; val oma = 1.0 - HoltAlpha
+      val b = HoltBeta;  val omb = 1.0 - HoltBeta
+      val daily = events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(fround(dsum6(col("value")) / count(lit(1)), 6).as("x"))
+      daily
+        .groupBy(col("event_type"))
+        .agg(big(count(lit(1))).as("n_days"),
+             sort_array(collect_list(struct(col("d"), col("x")))).as("arr"))
+        .select(col("event_type"), col("n_days"),
+          aggregate(col("arr"),
+            struct(lit(null).cast("double").as("l"), lit(0.0).as("b")),
+            (acc, e) => {
+              val l2 = when(acc.getField("l").isNull, e.getField("x"))
+                .otherwise(lit(a) * e.getField("x") +
+                           lit(oma) * (acc.getField("l") + acc.getField("b")))
+              val b2 = when(acc.getField("l").isNull, lit(0.0))
+                .otherwise(lit(b) * (l2 - acc.getField("l")) +
+                           lit(omb) * acc.getField("b"))
+              struct(l2.as("l"), b2.as("b"))
+            }).as("h"))
+        .select(col("event_type"), col("n_days"),
+                fround(col("h.l"), 4).as("level"),
+                fround(col("h.b"), 4).as("trend"),
+                fround(col("h.l") + lit(HoltHorizon) * col("h.b"), 4)
+                  .as("forecast"))
+        .orderBy("event_type")
+    }),
+
     // CUSUM CHANGE-POINT SCAN — the sequential drift detector next to
     // events_anomaly's pointwise z-scores: a run of slightly-elevated
     // days that no single day flags still accumulates in the one-sided
@@ -1412,6 +1461,32 @@ object Analytics {
        froundSql("PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY gap_us) / 1e6", 4) + " AS p90_s, " +
        froundSql("CAST(MAX(gap_us) AS DOUBLE) / 1e6", 4) + " AS max_s " +
        "FROM g WHERE gap_us IS NOT NULL GROUP BY event_type ORDER BY event_type"),
+    // the identical pinned daily series through the same recursion;
+    // level re-derived inline in the trend update exactly as the
+    // engine's fold computes it, weights from the same Scala doubles
+    "events_holt_forecast" -> {
+      val a = HoltAlpha; val oma = 1.0 - HoltAlpha
+      val b = HoltBeta;  val omb = 1.0 - HoltBeta
+      "WITH RECURSIVE daily AS (SELECT event_type, CAST(ts AS DATE) AS d, " +
+      froundSql(dsum6Sql("value") + " / COUNT(*)", 6) + " AS x " +
+      "FROM events GROUP BY 1, 2), " +
+      "i AS MATERIALIZED (SELECT event_type, d, x, " +
+      "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn, " +
+      "CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days " +
+      "FROM daily), " +
+      "r AS (SELECT event_type, rn, n_days, x AS l, CAST(0 AS DOUBLE) AS b " +
+      "FROM i WHERE rn = 1 " +
+      "UNION ALL SELECT i.event_type, i.rn, i.n_days, " +
+      s"$a * i.x + $oma * (r.l + r.b) AS l, " +
+      s"$b * (($a * i.x + $oma * (r.l + r.b)) - r.l) + $omb * r.b AS b " +
+      "FROM r JOIN i ON i.event_type = r.event_type AND i.rn = r.rn + 1) " +
+      "SELECT event_type, n_days, " +
+      froundSql("l", 4) + " AS level, " +
+      froundSql("b", 4) + " AS trend, " +
+      froundSql(s"l + $HoltHorizon * b", 4) + " AS forecast " +
+      "FROM r WHERE rn = n_days ORDER BY event_type"
+    },
+
     // the identical pinned inputs driven through a per-type recursive
     // CTE — the same add/max chain, the same strict-> earliest-day
     // tie rule carried in the recursion
