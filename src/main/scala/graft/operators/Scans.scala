@@ -963,27 +963,43 @@ object Scans {
   def framedEvolvedFixture(s: org.apache.spark.sql.SparkSession, dir: String): String = {
     val out = scratch(dir, "framed_evolved")
     evolvedMemo.getOrElseUpdate(s"$out|${graft.Tables.fsSig(s, s"$dir/events.parquet")}", {
-      import java.nio.file.{Files, Paths, StandardCopyOption}
-      org.apache.commons.io.FileUtils.deleteQuietly(Paths.get(out).toFile)
-      Files.createDirectories(Paths.get(out))
-      val e = events(s, dir).select(col("event_id"), col("user_id"),
-        col("event_type"), col("value"), unix_micros(col("ts")).as("ts_us"))
-      def stage(df: org.apache.spark.sql.DataFrame, tag: String): Unit = {
-        val tmp = s"${out}_stage_$tag"
-        df.repartition(2, col("event_id"))
-          .write.format("graft.sources.FramedSource").mode("overwrite").save(tmp)
-        val files = new java.io.File(tmp).listFiles()
-          .filter(_.getName.endsWith(".frames")).sortBy(_.getName)
-        files.zipWithIndex.foreach { case (f, i) =>
-          Files.move(f.toPath, Paths.get(out, f"${tag}_$i%03d.frames"),
-            StandardCopyOption.REPLACE_EXISTING)
-        }
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
-      }
-      stage(e.where(col("event_id") % 2 === 0).drop("value"), "s1")
-      stage(e.where(col("event_id") % 2 === 1), "s2")
+      val e = framedSeasonEvents(s, dir)
+      stageSeasons(out, Seq(
+        e.where(col("event_id") % 2 === 0).drop("value") -> "s1",
+        e.where(col("event_id") % 2 === 1) -> "s2"))
     })
     out
+  }
+
+  /** The events projection every season-staged framed fixture writes. */
+  private def framedSeasonEvents(s: org.apache.spark.sql.SparkSession,
+                                 dir: String): org.apache.spark.sql.DataFrame =
+    events(s, dir).select(col("event_id"), col("user_id"),
+      col("event_type"), col("value"), unix_micros(col("ts")).as("ts_us"))
+
+  /** Stage each season through the DSv2 writer (whose append path
+    * checks schemas — exactly what a mixed directory must bypass,
+    * because it models files accumulated across a format change),
+    * then move the `.frames` files into the shared directory under
+    * deterministic season-prefixed names. Shared by the evolved
+    * (mixed key set) and widened (mixed physical type) fixtures. */
+  private def stageSeasons(out: String,
+      seasons: Seq[(org.apache.spark.sql.DataFrame, String)]): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    org.apache.commons.io.FileUtils.deleteQuietly(Paths.get(out).toFile)
+    Files.createDirectories(Paths.get(out))
+    seasons.foreach { case (df, tag) =>
+      val tmp = s"${out}_stage_$tag"
+      df.repartition(2, col("event_id"))
+        .write.format("graft.sources.FramedSource").mode("overwrite").save(tmp)
+      val files = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".frames")).sortBy(_.getName)
+      files.zipWithIndex.foreach { case (f, i) =>
+        Files.move(f.toPath, Paths.get(out, f"${tag}_$i%03d.frames"),
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
   }
 
   private val widenedMemo =
@@ -1001,26 +1017,11 @@ object Scans {
   def framedWidenedFixture(s: org.apache.spark.sql.SparkSession, dir: String): String = {
     val out = scratch(dir, "framed_widened")
     widenedMemo.getOrElseUpdate(s"$out|${graft.Tables.fsSig(s, s"$dir/events.parquet")}", {
-      import java.nio.file.{Files, Paths, StandardCopyOption}
-      org.apache.commons.io.FileUtils.deleteQuietly(Paths.get(out).toFile)
-      Files.createDirectories(Paths.get(out))
-      val e = events(s, dir).select(col("event_id"), col("user_id"),
-        col("event_type"), col("value"), unix_micros(col("ts")).as("ts_us"))
-      def stage(df: org.apache.spark.sql.DataFrame, tag: String): Unit = {
-        val tmp = s"${out}_stage_$tag"
-        df.repartition(2, col("event_id"))
-          .write.format("graft.sources.FramedSource").mode("overwrite").save(tmp)
-        val files = new java.io.File(tmp).listFiles()
-          .filter(_.getName.endsWith(".frames")).sortBy(_.getName)
-        files.zipWithIndex.foreach { case (f, i) =>
-          Files.move(f.toPath, Paths.get(out, f"${tag}_$i%03d.frames"),
-            StandardCopyOption.REPLACE_EXISTING)
-        }
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
-      }
-      stage(e.where(col("event_id") % 2 === 0)
-             .withColumn("value", floor(col("value"))), "s1")
-      stage(e.where(col("event_id") % 2 === 1), "s2")
+      val e = framedSeasonEvents(s, dir)
+      stageSeasons(out, Seq(
+        e.where(col("event_id") % 2 === 0)
+          .withColumn("value", floor(col("value"))) -> "s1",
+        e.where(col("event_id") % 2 === 1) -> "s2"))
     })
     out
   }
@@ -1055,6 +1056,15 @@ object Scans {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(root, "_manifests", s"v$v.txt"),
       files.mkString("\n").getBytes("UTF-8"))
+
+  /** Read one version's manifest — the exact file list, one path per
+    * line. The ONE place the manifest format is parsed (writer:
+    * [[ttWriteManifest]]); every reader (snapshotRead, expiry, the
+    * commit builders) goes through here so the format cannot fork. */
+  private def readManifest(root: String, v: Int): Seq[String] =
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "_manifests", s"v$v.txt")), "UTF-8")
+      .split("\n").toSeq.filter(_.nonEmpty)
 
   private def ttInitDirs(root: String): Unit = {
     import java.nio.file.{Files, Paths}
@@ -1100,9 +1110,7 @@ object Scans {
   def evolutionCommitV3(s: org.apache.spark.sql.SparkSession, dir: String,
                         root: String): Unit = {
     val o = orders(s, dir).select("o_orderkey", "o_orderdate", "o_totalprice")
-    val v2files = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(root, "_manifests", "v2.txt")), "UTF-8")
-      .split("\n").toSeq.filter(_.nonEmpty)
+    val v2files = readManifest(root, 2)
     val f3 = ttCommit(
       o.where(col("o_orderkey") % 10 === 0)
         .withColumn("o_flag", col("o_orderkey") % 3), root, "c3")
@@ -1126,10 +1134,7 @@ object Scans {
     val root = scratch(dir, "time_travel_dv")
     dvMemo.getOrElseUpdate(s"$root|${graft.Tables.fsSig(s, s"$dir/orders.parquet")}", {
       evolutionBase(s, dir, root)
-      val v2files = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(root, "_manifests", "v2.txt")), "UTF-8")
-        .split("\n").toSeq.filter(_.nonEmpty)
-      ttWriteManifest(root, 3, v2files)
+      ttWriteManifest(root, 3, readManifest(root, 2))
       orders(s, dir).where(col("o_orderkey") % 7 === 0)
         .select(col("o_orderkey"))
         .write.mode("overwrite").parquet(s"$root/_deletes/v3")
@@ -1150,10 +1155,7 @@ object Scans {
     val root = scratch(dir, "time_travel_rb")
     rbMemo.getOrElseUpdate(s"$root|${graft.Tables.fsSig(s, s"$dir/orders.parquet")}", {
       evolutionBase(s, dir, root)
-      val v1files = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(root, "_manifests", "v1.txt")), "UTF-8")
-        .split("\n").toSeq.filter(_.nonEmpty)
-      ttWriteManifest(root, 3, v1files)
+      ttWriteManifest(root, 3, readManifest(root, 1))
     })
     root
   }
@@ -1228,13 +1230,10 @@ object Scans {
     require(doomed.subsetOf(all.keySet),
       s"cannot expire ${versions.mkString(",")}: available versions are " +
       all.keys.toSeq.sorted.mkString(","))
-    def filesOf(f: java.io.File): Set[String] =
-      new String(Files.readAllBytes(f.toPath), "UTF-8")
-        .split("\n").filter(_.nonEmpty).toSet
-    val surviving = all.collect { case (v, f) if !doomed(v) => filesOf(f) }
-      .flatten.toSet
-    val dead = all.collect { case (v, f) if doomed(v) => filesOf(f) }
-      .flatten.toSet -- surviving
+    val surviving = all.keys.filterNot(doomed)
+      .flatMap(v => readManifest(root, v)).toSet
+    val dead = all.keys.filter(doomed)
+      .flatMap(v => readManifest(root, v)).toSet -- surviving
     // Metadata-first (the Iceberg expire order, ADVICE r12): remove the
     // doomed manifests BEFORE their exclusive data files. A crash
     // between the two steps then only leaks orphan data files (safe —
@@ -1286,8 +1285,7 @@ object Scans {
         s"snapshot version $version does not exist at $root " +
         s"(expired or never committed); available versions: $avail")
     }
-    val files = new String(java.nio.file.Files.readAllBytes(man), "UTF-8")
-      .split("\n").toSeq.filter(_.nonEmpty)
+    val files = readManifest(root, version)
     // mergeSchema: a snapshot may span a SCHEMA-EVOLVED commit
     // boundary (VERDICT r12 #5) — files committed before a column was
     // added lack it, so the read schema is the UNION of the

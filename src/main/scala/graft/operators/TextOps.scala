@@ -1049,8 +1049,14 @@ object TextOps {
       "FROM (SELECT doc_id, lang, t, UNNEST(RANGE(1, LEN(t))) AS i " +
       "FROM toks WHERE LEN(t) >= 2)), " +
       "c2 AS MATERIALIZED (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY 1, 2), " +
-      s"sc AS (SELECT bi.doc_id, bi.lang, LN($lam * c2.c2 / a.c1 + " +
-      s"$oml * b.c1 / n_total) AS lp " +
+      // CAST the weights to DOUBLE explicitly: their co-operands here
+      // are BIGINT counts, and DuckDB would otherwise multiply the
+      // DECIMAL literal exactly (0.7·3 = 2.1 exact) where Spark
+      // computes double(0.7)·3 — a last-ulp divergence the Holt/CUSUM
+      // oracles don't have (their co-operands are already DOUBLE)
+      s"sc AS (SELECT bi.doc_id, bi.lang, " +
+      s"LN(CAST($lam AS DOUBLE) * c2.c2 / a.c1 + " +
+      s"CAST($oml AS DOUBLE) * b.c1 / n_total) AS lp " +
       "FROM bi JOIN c2 USING (w1, w2) JOIN c1 a ON a.w = bi.w1 " +
       "JOIN c1 b ON b.w = bi.w2, n) " +
       "SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_bigrams, " +

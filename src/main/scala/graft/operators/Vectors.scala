@@ -184,7 +184,10 @@ object Vectors {
     // not property-waved.
     "vec_pca_fit_sampled" -> ((s, dir) => {
       val e = embeddings(s, dir)
-      val samp = pcaSample(s, dir)
+      // the sample is consumed THREE times (pcaPower's explode, its
+      // pair fan-out, and the sample-mean pass); the checkpoint pins
+      // the PcaSampleK rows so the corpus-wide bottom-k runs ONCE
+      val samp = pcaSample(s, dir).localCheckpoint()
       val fit = pcaPower(samp)
       val spe = samp
         .select(col("vec_id"), posexplode(Similarity.asDouble(col("embedding"))))
