@@ -753,6 +753,37 @@ object Dedup {
       connectedComponents(blockedJaccardPairsCached(documents(s, dir), dir, 0.02))
         .select(col("node").as("doc_id"), col("cluster")).orderBy("doc_id")),
 
+    // CLUSTER-AWARE TRAIN/VAL/TEST SPLIT — the contamination guard a
+    // doc-level split cannot give: sample_split buckets DOCUMENTS, so
+    // two near-duplicates can land in train and test and leak; here
+    // the md5 split key is the near-dup CLUSTER id (dedup_cluster's
+    // components; singletons are their own cluster), so every cluster
+    // travels to exactly one split BY CONSTRUCTION — the practice
+    // contamination studies prescribe. Scale shape: the cluster map
+    // is graph-nodes-tiny (left-joined onto the corpus), the bucket
+    // is row-local, and the only corpus-scale work is the final
+    // hash-agg; n_clusters per cell audits the guarantee.
+    "sample_split_cluster" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val clusters = connectedComponents(blockedJaccardPairsCached(docs, dir, 0.02))
+        .select(col("node").as("doc_id"), col("cluster"))
+      docs.select("doc_id", "lang", "n_chars")
+        .join(clusters, Seq("doc_id"), "left")
+        .withColumn("cl", coalesce(col("cluster"), col("doc_id")))
+        .withColumn("bucket",
+          conv(substring(md5(concat(lit("clsplit:"), col("cl").cast("string"))),
+                         1, 8), 16, 10).cast("long") % 100)
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test"))
+        .groupBy("lang", "split")
+        .agg(big(count(lit(1))).as("n_docs"),
+             big(sum(col("n_chars"))).as("n_chars"),
+             big(countDistinct(col("cl"))).as("n_clusters"))
+        .orderBy("lang", "split")
+    }),
+
     // Canonical-survivor selection — the step that makes dedup a
     // PIPELINE rather than a report: every near-dup cluster keeps
     // exactly one representative (most content = max n_chars, ties to
@@ -997,6 +1028,27 @@ object Dedup {
        "UNION SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a) " +
        "SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster " +
        "FROM reach GROUP BY src ORDER BY doc_id"),
+    // same recursive cluster derivation, then the identical
+    // cluster-keyed md5 bucket and the sample_split cut points
+    "sample_split_cluster" ->
+      ("WITH RECURSIVE " + shCte + ", " +
+       pairsCte + ", " +
+       "edges AS MATERIALIZED (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs), " +
+       "reach(src, dst) AS (SELECT a, b FROM edges " +
+       "UNION SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a), " +
+       "cl AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster " +
+       "FROM reach GROUP BY src), " +
+       "m AS (SELECT d.doc_id, d.lang, d.n_chars, " +
+       "COALESCE(cl.cluster, d.doc_id) AS c FROM documents d LEFT JOIN cl USING (doc_id)), " +
+       "b AS (SELECT lang, n_chars, c, " +
+       "CAST(CONCAT('0x', SUBSTRING(MD5('clsplit:' || CAST(c AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket FROM m), " +
+       "s AS (SELECT lang, c, n_chars, " +
+       "CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split FROM b) " +
+       "SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+       "CAST(SUM(n_chars) AS BIGINT) AS n_chars, " +
+       "CAST(COUNT(DISTINCT c) AS BIGINT) AS n_clusters " +
+       "FROM s GROUP BY 1, 2 ORDER BY 1, 2"),
+
     // same recursive cluster derivation as dedup_cluster, then the
     // canonical pick (max n_chars, min doc_id) via a window — an
     // independent formulation of the query's struct-max aggregate
