@@ -589,6 +589,9 @@ class FramedSource extends TableProvider
 }
 
 object FramedSource {
+  private[sources] val log =
+    org.slf4j.LoggerFactory.getLogger(classOf[FramedSource])
+
   /** The session's Hadoop conf when a session is active (driver side),
     * else a plain default — the fallback only exists for bare unit
     * tests constructing readers outside any session. */
@@ -881,21 +884,27 @@ class FramedScanBuilder(full: StructType, path: String,
       }
     }
     val allowMissing = options.getBoolean("allowMissingKeys", false)
-    // inferSchema already flips nullability when allowMissingKeys is
-    // set, but a USER-SUPPLIED schema (supportsExternalMetadata) can
-    // reach this builder with non-nullable fields — null-filling a
-    // non-nullable slot is undefined behavior under codegen, so the
-    // unsafe combination is rejected loudly here rather than silently
-    // widened (the caller declared that contract; we don't override it).
-    if (allowMissing) {
-      val nonNullable = full.fields.filterNot(_.nullable).map(_.name)
-      require(nonNullable.isEmpty,
-        "graft-framed: allowMissingKeys=true null-fills absent keys, but " +
-        s"the supplied schema declares non-nullable field(s) " +
-        s"${nonNullable.mkString(", ")} — declare them nullable (or drop " +
-        "allowMissingKeys) to read this directory")
-    }
-    FramedScan(full, required, path, pushed.toSeq,
+    // SINGLE nullability policy under allowMissingKeys (ADVICE r13 —
+    // previously getTable widened while this builder rejected, two
+    // contradictory contracts of which the reject was dead code on
+    // every DSv2 path): allowMissingKeys=true WIDENS nullability
+    // wherever a schema enters — inferSchema, getTable, and here for
+    // hand-built builders — because null-filling a non-nullable slot
+    // is undefined behavior under codegen, and widening only relaxes a
+    // promise. The caller's non-nullable declaration cannot coexist
+    // with null-fill, so the relaxation is LOGGED, never silent.
+    val (effFull, effRequired) =
+      if (allowMissing) {
+        val nonNullable = full.fields.filterNot(_.nullable).map(_.name)
+        if (nonNullable.nonEmpty)
+          FramedSource.log.warn(
+            "graft-framed: allowMissingKeys=true widens non-nullable " +
+            s"field(s) ${nonNullable.mkString(", ")} to nullable — absent " +
+            "keys null-fill, so the non-nullable declaration cannot be honored")
+        (StructType(full.fields.map(_.copy(nullable = true))),
+         StructType(required.fields.map(_.copy(nullable = true))))
+      } else (full, required)
+    FramedScan(effFull, effRequired, path, pushed.toSeq,
       new SerializableHadoopConf(FramedSource.sessionHadoopConf()),
       maxFilesPerTrigger, targetPartitionBytes, targetSplitBytes,
       allowMissing,
@@ -1468,6 +1477,21 @@ class FramedReader(splits: Seq[FramedSplit], required: StructType,
   // `_file` metadata column: constant per FILE, filled post-parse
   private val fileOrd: Int = ordinals.getOrElse("_file", -1)
   private val filterAttrs: Set[String] = pushed.flatMap(_.references).toSet
+  // The scalar decode resolves declared types by required-schema
+  // ordinal, so a filter-only key (pushed but absent from `required`)
+  // would evaluate its predicate against a raw wire value with no
+  // declared-type verification and no widening (ADVICE r13). Catalyst
+  // guarantees the subset today — every pushed filter is also
+  // residual, so Spark keeps its columns in the required schema —
+  // but that is a property of pushdown REPORTING, not of this class's
+  // inputs; enforce it here so any future change (or a hand-built
+  // reader) fails loudly at construction instead of comparing
+  // unverified values.
+  require(filterAttrs.subsetOf(ordinals.keySet),
+    s"graft-framed: pushed filter(s) reference key(s) " +
+    s"${(filterAttrs -- ordinals.keySet).toSeq.sorted.mkString(", ")} not in the " +
+    "required schema — filter columns must be decoded (declared-type-" +
+    "checked) to be compared; include them in the required schema")
   private var splitIdx = -1
   private var file: String = _
   private var fileUtf8: UTF8String = _

@@ -968,14 +968,16 @@ class FramedSourceSpec extends SparkSpec {
     // table-level schema must never promise non-null on a slot the
     // reader may null-fill (undefined behavior under codegen)
     assert(rows.schema.fields.forall(_.nullable), rows.schema.simpleString)
-    // and a hand-built scan builder (the public-surface backdoor that
-    // skips getTable) rejects the unsafe combination LOUDLY
-    val eb = intercept[IllegalArgumentException] {
-      new graft.sources.FramedScanBuilder(evolved, dir,
-        new org.apache.spark.sql.util.CaseInsensitiveStringMap(
-          java.util.Map.of("allowMissingKeys", "true"))).build()
-    }
-    assert(eb.getMessage.contains("non-nullable"), eb.getMessage)
+    // SINGLE policy (ADVICE r13): the hand-built scan builder — the
+    // public-surface backdoor that skips getTable — applies the SAME
+    // widening (logged, not silent), so the two entry points cannot
+    // disagree about what allowMissingKeys means
+    val scan = new graft.sources.FramedScanBuilder(evolved, dir,
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("allowMissingKeys", "true"))).build()
+      .asInstanceOf[graft.sources.FramedScan]
+    assert(scan.readSchema().fields.forall(_.nullable),
+      scan.readSchema().simpleString)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
