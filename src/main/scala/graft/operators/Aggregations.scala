@@ -53,6 +53,18 @@ object Aggregations {
     * and oracle share one literal (interpolated into both). */
   val GiniBins = 256
 
+  /** Fixed drift grids for agg_psi / agg_ks_drift — constants shared
+    * by the Spark plan and the oracle SQL (interpolated into both).
+    * PSI uses the industry-standard ~20 equal-width bins (here over
+    * the fixture's known [0, 500k) dollar domain in integer cents —
+    * a FIXED grid, deliberately not data-driven, because drift
+    * monitoring must bin current data on the BASELINE's grid);
+    * the KS grid is data-driven min..max like agg_gini's, at the same
+    * 256-cell resolution. Both keep the shuffled state ≤ bins rows. */
+  val PsiBins = 20L
+  val PsiBinCents = 2500000L
+  val KsBins = 256
+
   /** Fixed coarse-grid size for agg_weighted_median's two-level
     * binned fold — bounds BOTH per-group array folds: the bin table
     * is ≤ this many cells, and the winning bin holds at most
@@ -482,6 +494,81 @@ object Aggregations {
             (col("n_d").cast("double") * col("total_d").cast("double")), 6).as("gini"))
     }),
 
+    // POPULATION STABILITY INDEX — the standard drift gate a
+    // production training pipeline runs before retraining: Σ_b
+    // (p_b − q_b)·ln(p_b/q_b) between the baseline (pre-cutoff) and
+    // current (post-cutoff) order-value distributions, over the FIXED
+    // PsiBins cents grid (fixed on purpose: drift monitoring bins
+    // current data on the BASELINE's grid, never re-fits it). One
+    // hash-agg to ≤ PsiBins rows (conditional counts partial-combine
+    // map-side), totals broadcast back, the PSI fold is row-local
+    // over the tiny bin table — no window, no second corpus pass;
+    // empty bins clamp to the conventional 1e-6 floor, identically in
+    // the oracle. Terms go through dsum6 so the ≤ 20-term double sum
+    // is accumulation-order-independent before the fround pin.
+    "agg_psi" -> ((s, dir) => {
+      val cutoff = lit(Scans.TimeTravelCutoff).cast("timestamp")
+      val eps = 1e-6
+      val per = orders(s, dir)
+        .withColumn("cents", floor(col("o_totalprice") * 100).cast("long"))
+        .withColumn("bin", least(expr(s"cents div $PsiBinCents"), lit(PsiBins - 1L)))
+        .groupBy("bin")
+        .agg(count(when(col("o_orderdate") < cutoff, 1)).as("n_a"),
+             count(when(col("o_orderdate") >= cutoff, 1)).as("n_b"))
+      val tot = per.agg(sum(col("n_a")).as("na_t"), sum(col("n_b")).as("nb_t"))
+      per.crossJoin(broadcast(tot))
+        .withColumn("p",
+          greatest(col("n_a").cast("double") / col("na_t").cast("double"), lit(eps)))
+        .withColumn("q",
+          greatest(col("n_b").cast("double") / col("nb_t").cast("double"), lit(eps)))
+        .agg(
+          big(min(col("na_t"))).as("n_base"),
+          big(min(col("nb_t"))).as("n_curr"),
+          fround(dsum6((col("p") - col("q")) * log(col("p") / col("q"))), 6).as("psi"))
+    }),
+
+    // TWO-SAMPLE KOLMOGOROV–SMIRNOV DRIFT — D = max_x |F_base(x) −
+    // F_curr(x)| between the same two populations, evaluated on the
+    // KsBins data-driven grid (the agg_gini bounds pattern): the
+    // supremum over bin edges is the exact KS statistic of the binned
+    // distributions and a deterministic lower bound on the raw-value
+    // D (within-bin crossings are invisible — resolution is governed
+    // by KsBins, not the value domain; same accepted trade as
+    // agg_gini). Shape: one hash-agg to ≤ KsBins rows, then the ECDF
+    // scan is ONE row-local HOF fold over the sorted bin array —
+    // cumulative counts stay exact longs, each |Δ| is the identical
+    // two-division IEEE chain the oracle's window computes, and the
+    // running max is order-fixed. NO window over data anywhere.
+    "agg_ks_drift" -> ((s, dir) => {
+      val cutoff = lit(Scans.TimeTravelCutoff).cast("timestamp")
+      val per = orders(s, dir)
+        .withColumn("cents", floor(col("o_totalprice") * 100).cast("long"))
+      val bounds = per.agg(min(col("cents")).as("min_c"), max(col("cents")).as("max_c"))
+      val bins = per.crossJoin(broadcast(bounds))
+        .withColumn("bin", expr(s"((cents - min_c) * $KsBins) div (max_c - min_c + 1)"))
+        .groupBy("bin")
+        .agg(count(when(col("o_orderdate") < cutoff, 1)).as("n_a"),
+             count(when(col("o_orderdate") >= cutoff, 1)).as("n_b"))
+      bins
+        .agg(sum(col("n_a")).as("na_t"), sum(col("n_b")).as("nb_t"),
+             sort_array(collect_list(struct(col("bin"), col("n_a"), col("n_b")))).as("arr"))
+        .select(
+          big(col("na_t")).as("n_base"),
+          big(col("nb_t")).as("n_curr"),
+          fround(
+            aggregate(col("arr"),
+              struct(lit(0L).as("ca"), lit(0L).as("cb"), lit(0.0).as("d")),
+              (acc, e) => {
+                val ca = acc.getField("ca") + e.getField("n_a")
+                val cb = acc.getField("cb") + e.getField("n_b")
+                struct(ca.as("ca"), cb.as("cb"),
+                  greatest(acc.getField("d"),
+                    abs(ca.cast("double") / col("na_t").cast("double") -
+                        cb.cast("double") / col("nb_t").cast("double"))).as("d"))
+              },
+              acc => acc.getField("d")), 6).as("ks"))
+    }),
+
     // WINSORIZED MEAN per group — the robust average every metrics
     // pipeline swaps in when a fat tail owns the plain mean: values
     // clip to the group's [p05, p95] before averaging. Two passes by
@@ -861,6 +948,37 @@ object Aggregations {
        froundSql("1.0 - CAST(SUM(n_b * (2 * cum_s - s_b)) AS DOUBLE) / " +
                  "(CAST(SUM(n_b) AS DOUBLE) * CAST(SUM(s_b) AS DOUBLE))", 6) +
        " AS gini FROM cum ORDER BY 1"),
+
+    // identical fixed cents grid, identical 1e-6 clamp, LN (natural
+    // log — DuckDB LOG is base-10), identical dsum6 term discipline
+    "agg_psi" ->
+      (s"WITH per AS (SELECT LEAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT) // $PsiBinCents, ${PsiBins - 1L}) AS bin, " +
+       s"COUNT(CASE WHEN o_orderdate < TIMESTAMP '${Scans.TimeTravelCutoff}' THEN 1 END) AS n_a, " +
+       s"COUNT(CASE WHEN o_orderdate >= TIMESTAMP '${Scans.TimeTravelCutoff}' THEN 1 END) AS n_b " +
+       "FROM orders GROUP BY 1), " +
+       "t AS (SELECT SUM(n_a) AS na_t, SUM(n_b) AS nb_t FROM per), " +
+       "e AS (SELECT GREATEST(CAST(n_a AS DOUBLE) / na_t, 0.000001) AS p, " +
+       "GREATEST(CAST(n_b AS DOUBLE) / nb_t, 0.000001) AS q, na_t, nb_t FROM per, t) " +
+       "SELECT CAST(MIN(na_t) AS BIGINT) AS n_base, CAST(MIN(nb_t) AS BIGINT) AS n_curr, " +
+       froundSql(dsum6Sql("(p - q) * LN(p / q)"), 6) + " AS psi FROM e ORDER BY 1"),
+
+    // identical data-driven grid and bin rule (agg_gini's), cumulative
+    // counts exact integers, the same two-division |Δ| chain under the
+    // window that the Spark fold runs sequentially — same value set,
+    // same max
+    "agg_ks_drift" ->
+      ("WITH per AS (SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents, o_orderdate FROM orders), " +
+       "b AS (SELECT MIN(cents) AS min_c, MAX(cents) AS max_c FROM per), " +
+       s"bins AS (SELECT ((cents - min_c) * $KsBins) // (max_c - min_c + 1) AS bin, " +
+       s"COUNT(CASE WHEN o_orderdate < TIMESTAMP '${Scans.TimeTravelCutoff}' THEN 1 END) AS n_a, " +
+       s"COUNT(CASE WHEN o_orderdate >= TIMESTAMP '${Scans.TimeTravelCutoff}' THEN 1 END) AS n_b " +
+       "FROM per, b GROUP BY 1), " +
+       "t AS (SELECT SUM(n_a) AS na_t, SUM(n_b) AS nb_t FROM bins), " +
+       "c AS (SELECT SUM(n_a) OVER (ORDER BY bin) AS ca, " +
+       "SUM(n_b) OVER (ORDER BY bin) AS cb FROM bins) " +
+       "SELECT CAST(MIN(na_t) AS BIGINT) AS n_base, CAST(MIN(nb_t) AS BIGINT) AS n_curr, " +
+       froundSql("MAX(ABS(CAST(ca AS DOUBLE) / na_t - CAST(cb AS DOUBLE) / nb_t))", 6) +
+       " AS ks FROM c, t ORDER BY 1"),
 
     // same fround4-pinned cuts, same LEAST/GREATEST clip, same
     // dsum6-exact second pass

@@ -600,6 +600,28 @@ object Analytics {
         .orderBy("day")
     }),
 
+    // WEEK-OVER-WEEK GROWTH — the period-over-period trend readout on
+    // every volume dashboard: weekly event counts per type and the
+    // WoW growth ratio. The week index is integer day arithmetic from
+    // the fixture epoch (engine-agnostic — ISO date_trunc('week')
+    // agrees here, but the integer form can't): one shuffle collapses
+    // the corpus to the (type, week) grid; the lag window then runs
+    // on that value-cardinality-bounded grid, never on event rows.
+    // First week's growth is NULL by definition (no prior period),
+    // which both engines propagate through the rounding pin.
+    "events_growth_wow" -> ((s, dir) =>
+      events(s, dir)
+        .withColumn("week",
+          expr("datediff(to_date(ts), DATE '2024-01-01') div 7").cast("long"))
+        .groupBy("event_type", "week")
+        .agg(big(count(lit(1))).as("n"))
+        .withColumn("prev",
+          lag(col("n"), 1).over(Window.partitionBy("event_type").orderBy("week")))
+        .select(col("event_type"), col("week"), col("n"),
+                fround((col("n") - col("prev")).cast("double") /
+                       col("prev").cast("double"), 4).as("wow_growth"))
+        .orderBy("event_type", "week")),
+
     // Inter-arrival gap distribution per event type — the burstiness /
     // rate-profile view (Poisson-ness check before capacity modeling).
     // One lag window per type; gaps are exact µs longs, so the
@@ -1452,6 +1474,18 @@ object Analytics {
        "SELECT STRFTIME(d, '%Y-%m-%d') AS day, dau, wau, " +
        froundSql("CAST(dau AS DOUBLE) / wau", 4) + " AS stickiness " +
        "FROM dau JOIN wau ON d = sd ORDER BY day"),
+    // identical integer week index (// floors like div on the
+    // non-negative fixture dates), identical NULL-first-week rule
+    "events_growth_wow" ->
+      ("WITH w AS (SELECT event_type, " +
+       "CAST(DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS BIGINT) AS week, " +
+       "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), " +
+       "g AS (SELECT event_type, week, n, " +
+       "LAG(n, 1) OVER (PARTITION BY event_type ORDER BY week) AS prev FROM w) " +
+       "SELECT event_type, week, n, " +
+       froundSql("CAST(n - prev AS DOUBLE) / prev", 4) + " AS wow_growth " +
+       "FROM g ORDER BY event_type, week"),
+
     "events_inter_arrival" ->
       ("WITH g AS (SELECT event_type, " +
        "epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS gap_us " +

@@ -115,6 +115,34 @@ object Multimodal {
         .orderBy("doc_id")
     }),
 
+    // CONTENT-HASH ASSET DEDUP — the media half of exact dedup:
+    // payloads with identical BYTES (sha-256) collapse regardless of
+    // id, with the storage accounting a 100-TB asset store actually
+    // wants per media type: unique assets, total copies, dup groups,
+    // and the bytes reclaimed by keeping one canonical copy per
+    // digest. Two hash-aggs (digest groups → media-type rollup), both
+    // partial-aggregable; the payload itself never shuffles — the
+    // projection reduces it to a 32-byte digest BEFORE the exchange,
+    // which is the whole point at scale (dedup_exact is the text
+    // twin; this one carries the asset-store metrics and the binary
+    // column semantics).
+    "multimodal_dedup" -> ((s, dir) =>
+      withPayload(documents(s, dir))
+        .select(col("meta.media_type").as("media_type"),
+                sha2(col("payload"), 256).as("sha"),
+                col("doc_id"),
+                length(col("payload")).cast("long").as("sz"))
+        .groupBy("media_type", "sha")
+        .agg(count(lit(1)).as("n_copies"),
+             min(col("doc_id")).as("keep_id"),
+             max(col("sz")).as("sz"))
+        .groupBy("media_type")
+        .agg(big(count(lit(1))).as("n_unique"),
+             big(sum(col("n_copies"))).as("n_assets"),
+             big(count(when(col("n_copies") > 1, 1))).as("n_dup_groups"),
+             big(sum((col("n_copies") - lit(1)) * col("sz"))).as("bytes_reclaimed"))
+        .orderBy("media_type")),
+
     // Decode pipeline end-to-end: the decode kernel is the native
     // [[graft.functions.ByteMean]] expression (codegen'd, stands in
     // for a codec call), frame count is container-metadata arithmetic.
@@ -187,6 +215,19 @@ object Multimodal {
        "ROUND(AVG(SQRT(LIST_DOT_PRODUCT(embedding, embedding))), 4) AS avg_norm " +
        "FROM documents JOIN embeddings ON doc_id = vec_id " +
        "GROUP BY label ORDER BY label"),
+    // SHA256 over the UTF-8 text IS the payload digest (pure-ASCII
+    // fixture: byte-identical); same two-level rollup
+    "multimodal_dedup" ->
+      ("WITH g AS (SELECT CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' " +
+       "ELSE 'video' END AS media_type, SHA256(text) AS sha, " +
+       "COUNT(*) AS n_copies, MIN(doc_id) AS keep_id, " +
+       "MAX(CAST(LENGTH(text) AS BIGINT)) AS sz FROM documents GROUP BY 1, 2) " +
+       "SELECT media_type, CAST(COUNT(*) AS BIGINT) AS n_unique, " +
+       "CAST(SUM(n_copies) AS BIGINT) AS n_assets, " +
+       "CAST(COUNT(CASE WHEN n_copies > 1 THEN 1 END) AS BIGINT) AS n_dup_groups, " +
+       "CAST(SUM((n_copies - 1) * sz) AS BIGINT) AS bytes_reclaimed " +
+       "FROM g GROUP BY 1 ORDER BY 1"),
+
     "multimodal_chunks" ->
       ("SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' " +
        "ELSE 'video' END AS media_type, " +

@@ -365,6 +365,55 @@ object Scans {
              big(sum(col("o_flag"))).as("flag_sum"))
     }),
 
+    // SNAPSHOT COMPACTION — the "stop paying at read" half of
+    // merge-on-read (r13 left the debt documented at
+    // scan_delete_vectors: "deletes are paid at read until a
+    // compaction rewrites"; this is that rewrite as runnable code).
+    // v4 materializes v3's merge-on-read state — the anti-join of
+    // data against the equality-delete sidecar — into fresh files and
+    // commits a manifest referencing ONLY them, with NO sidecar: the
+    // Iceberg rewrite-data-files / Delta OPTIMIZE semantics. The query
+    // reads v3 (sidecar applied at read) and v4 (plain scan) side by
+    // side — identical aggregates prove the compaction preserved
+    // exactly the surviving rows, and the oracle derives both from
+    // the delete predicate. CompactionSpec pins the physical claims:
+    // v4's manifest lists only c4_* files, no _deletes/v4 exists,
+    // and v1–v3 remain readable bit-identically (compaction is an
+    // append to history, never a rewrite of it).
+    "scan_snapshot_compact" -> ((s, dir) => {
+      val root = compactionFixture(s, dir)
+      Seq(3, 4).map { v =>
+        snapshotRead(s, root, v)
+          .agg(big(count(lit(1))).as("n_rows"),
+               big(sum(floor(col("o_totalprice") * 100).cast("long")))
+                 .as("total_cents"))
+          .select(lit(v).as("version"), col("n_rows"), col("total_cents"))
+      }.reduce(_ unionByName _).orderBy("version")
+    }),
+
+    // SNAPSHOT DIFF — incremental consumption between two versions
+    // (Delta CDF / Iceberg incremental-scan semantics for append-only
+    // history): the change set v1→v2 is exactly the files in v2's
+    // manifest and not v1's, so a downstream consumer reads O(changed
+    // data), never the table. Cost is two manifest reads (metadata)
+    // plus a scan of only the appended files — the primitive that
+    // makes every derived table incremental at 100 TB. n_pre_cutoff
+    // proves the diff contains ONLY the appended slice (zero rows
+    // from the base commit leak in).
+    "scan_snapshot_diff" -> ((s, dir) => {
+      val root = timeTravelFixture(s, dir)
+      val newFiles =
+        (readManifest(root, 2).toSet -- readManifest(root, 1).toSet).toSeq.sorted
+      val cutoff = lit(TimeTravelCutoff).cast("timestamp")
+      val diff =
+        if (newFiles.isEmpty) snapshotRead(s, root, 2).where(lit(false))
+        else s.read.parquet(newFiles: _*)
+      diff.agg(
+        big(count(lit(1))).as("n_rows"),
+        big(sum(floor(col("o_totalprice") * 100).cast("long"))).as("total_cents"),
+        big(count(when(col("o_orderdate") < cutoff, 1))).as("n_pre_cutoff"))
+    }),
+
     "scan_manifest_pruned" -> ((s, dir) => {
       val out = scratch(dir, "manifest_src")
       // the range-clustered layout is the table, not the query: write
@@ -1138,6 +1187,33 @@ object Scans {
       orders(s, dir).where(col("o_orderkey") % 7 === 0)
         .select(col("o_orderkey"))
         .write.mode("overwrite").parquet(s"$root/_deletes/v3")
+    })
+    root
+  }
+
+  private val cpMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Unit]
+
+  /** The compaction table feeding scan_snapshot_compact: v1/v2 the
+    * usual two commits, v3 the merge-on-read DELETE (equality-delete
+    * sidecar, zero data files — the deleteVectorFixture shape), then
+    * v4 COMPACTS: the v3 read state (anti-join applied) is rewritten
+    * into fresh c4_* files and the new manifest references only
+    * those, with no sidecar — from v4 on, the delete costs nothing at
+    * read. Prior versions' files and sidecar are untouched (history
+    * stays readable); a later retention pass may expire them — that
+    * half is scan_retention_vacuum's. Built once per (JVM, fixture
+    * state). */
+  def compactionFixture(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val root = scratch(dir, "time_travel_cp")
+    cpMemo.getOrElseUpdate(s"$root|${graft.Tables.fsSig(s, s"$dir/orders.parquet")}", {
+      evolutionBase(s, dir, root)
+      ttWriteManifest(root, 3, readManifest(root, 2))
+      orders(s, dir).where(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"))
+        .write.mode("overwrite").parquet(s"$root/_deletes/v3")
+      val f4 = ttCommit(snapshotRead(s, root, 3), root, "c4")
+      ttWriteManifest(root, 4, f4)
     })
     root
   }
@@ -2319,6 +2395,26 @@ object Scans {
        "CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents " +
        "FROM orders WHERE o_orderkey % 7 <> 0 " +
        "ORDER BY version"),
+
+    // v3 (sidecar applied at read) and v4 (the compacted rewrite)
+    // must be the SAME state: the surviving o_orderkey % 7 <> 0 rows
+    "scan_snapshot_compact" ->
+      ("SELECT 3 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+       "CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents " +
+       "FROM orders WHERE o_orderkey % 7 <> 0 " +
+       "UNION ALL " +
+       "SELECT 4 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+       "CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents " +
+       "FROM orders WHERE o_orderkey % 7 <> 0 " +
+       "ORDER BY version"),
+
+    // the v1→v2 change set is exactly the appended post-cutoff slice;
+    // n_pre_cutoff = 0 proves no base-commit row leaks into the diff
+    "scan_snapshot_diff" ->
+      ("SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+       "CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents, " +
+       s"CAST(COUNT(CASE WHEN o_orderdate < TIMESTAMP '$TimeTravelCutoff' THEN 1 END) AS BIGINT) AS n_pre_cutoff " +
+       s"FROM orders WHERE o_orderdate >= TIMESTAMP '$TimeTravelCutoff' ORDER BY 1"),
 
     // v2 = the full table, v3 = the restore of v1 (pre-cutoff) — both
     // states derive from the cutoff predicate

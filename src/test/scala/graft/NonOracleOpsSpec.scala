@@ -907,6 +907,39 @@ class NonOracleOpsSpec extends SparkSpec {
       new java.io.File(root2).getParentFile)
   }
 
+  test("compaction: v4 is fresh files only, sidecar-free, identical to v3's read state") {
+    import graft.operators.Scans
+    val root = Scans.compactionFixture(spark, sf001)
+    // (a) v4's manifest references ONLY the compaction's fresh c4_*
+    //     files — the rewrite shares nothing with the MOR version
+    def manifest(v: Int) = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "_manifests", s"v$v.txt")), "UTF-8")
+      .split("\n").filter(_.nonEmpty)
+    assert(manifest(4).nonEmpty &&
+           manifest(4).forall(_.contains("c4_")), manifest(4).mkString(","))
+    // (b) no delete sidecar at v4 — from v4 on the delete costs
+    //     nothing at read
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "_deletes", "v4")))
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(root, "_deletes", "v3")))
+    // (c) v4 reads EXACTLY v3's merge-on-read state, row for row
+    val v3 = Scans.snapshotRead(spark, root, 3)
+      .select("o_orderkey", "o_orderdate", "o_totalprice")
+    val v4 = Scans.snapshotRead(spark, root, 4)
+      .select("o_orderkey", "o_orderdate", "o_totalprice")
+    assert(v3.exceptAll(v4).isEmpty && v4.exceptAll(v3).isEmpty)
+    // (d) history untouched: v1-v3's files still present, v2 still
+    //     sees every row (compaction appends to history, never
+    //     rewrites it)
+    val dataFiles = new java.io.File(s"$root/data").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet"))
+    assert(dataFiles.exists(_.startsWith("c1_")) &&
+           dataFiles.exists(_.startsWith("c2_")), dataFiles.mkString(","))
+    assert(Scans.snapshotRead(spark, root, 2).count() ==
+           Tables.orders(spark, sf001).count())
+  }
+
   test("sim_ann_lsh returns true-cosine-scored candidates from the corpus") {
     val ann = SparkEntry.queries("sim_ann_lsh")(spark, sf01).collect()
     assert(ann.nonEmpty)

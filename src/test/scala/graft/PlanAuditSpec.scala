@@ -596,6 +596,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), p.take(3000))
   }
 
+  test("agg_psi: fixed-grid hash-agg with broadcast totals, no window") {
+    // drift must stay one corpus pass: conditional counts collapse to
+    // the <= PsiBins grid map-side, totals ride a broadcast, the PSI
+    // fold is row-local over the tiny bin table
+    val p = plan("agg_psi")
+    assert(!p.contains("Window"), p.take(3000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("agg_ks_drift: ECDF is a row-local fold over the sorted bin array, no window") {
+    // the supremum scan must never sort data through a window — the
+    // cumulative counts live in ONE collected <= KsBins array
+    val p = plan("agg_ks_drift")
+    assert(!p.contains("Window"), p.take(3000))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(3000)) // the 1-row bounds ride a broadcast
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
   test("graph_assortativity: equi-joins only, single mergeable stats aggregate") {
     val p = plan("graph_assortativity")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
