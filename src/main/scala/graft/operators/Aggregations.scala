@@ -569,6 +569,42 @@ object Aggregations {
               acc => acc.getField("d")), 6).as("ks"))
     }),
 
+    // CHI-SQUARED INDEPENDENCE + CRAMÉR'S V between order priority
+    // and status — the categorical-association gate (feature
+    // selection, label-leak checks, categorical drift). One hash-agg
+    // collapses the corpus to the nr×nc contingency cells; margins,
+    // totals and the FULL grid (absent cells contribute their
+    // expectation) are then metadata-scale broadcast arithmetic.
+    // Expected counts and terms are a fixed IEEE chain from exact
+    // integer margins; terms ride dsum6 so the ≤ nr·nc-term sum is
+    // order-independent; Cramér's V derives from the UNROUNDED chi²
+    // in both engines before its own pin.
+    "agg_chi2" -> ((s, dir) => {
+      val cells = orders(s, dir)
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("n"))
+      val rt = cells.groupBy("o_orderpriority").agg(sum(col("n")).as("rt"))
+      val ct = cells.groupBy("o_orderstatus").agg(sum(col("n")).as("ct"))
+      val tot = cells.agg(sum(col("n")).as("n_t"),
+        countDistinct(col("o_orderpriority")).as("nr"),
+        countDistinct(col("o_orderstatus")).as("nc"))
+      rt.crossJoin(broadcast(ct)).crossJoin(broadcast(tot))
+        .join(cells, Seq("o_orderpriority", "o_orderstatus"), "left")
+        .withColumn("obs", coalesce(col("n"), lit(0L)).cast("double"))
+        .withColumn("e",
+          col("rt").cast("double") * col("ct").cast("double") / col("n_t").cast("double"))
+        .agg(min(col("n_t")).as("n_t"), min(col("nr")).as("nr"), min(col("nc")).as("nc"),
+             dsum6((col("obs") - col("e")) * (col("obs") - col("e")) / col("e"))
+               .as("chi2raw"))
+        .select(
+          big(col("n_t")).as("n"),
+          big((col("nr") - 1) * (col("nc") - 1)).as("dof"),
+          fround(col("chi2raw"), 6).as("chi2"),
+          fround(sqrt(col("chi2raw") /
+            (col("n_t").cast("double") *
+             least(col("nr") - 1, col("nc") - 1).cast("double"))), 6).as("cramers_v"))
+    }),
+
     // WINSORIZED MEAN per group — the robust average every metrics
     // pipeline swaps in when a fat tail owns the plain mean: values
     // clip to the group's [p05, p95] before averaging. Two passes by
@@ -979,6 +1015,29 @@ object Aggregations {
        "SELECT CAST(MIN(na_t) AS BIGINT) AS n_base, CAST(MIN(nb_t) AS BIGINT) AS n_curr, " +
        froundSql("MAX(ABS(CAST(ca AS DOUBLE) / na_t - CAST(cb AS DOUBLE) / nb_t))", 6) +
        " AS ks FROM c, t ORDER BY 1"),
+
+    // identical contingency grid (absent cells contribute their
+    // expectation), identical margin-derived IEEE chain, V from the
+    // unrounded chi² in both engines
+    "agg_chi2" ->
+      ("WITH cells AS (SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n " +
+       "FROM orders GROUP BY 1, 2), " +
+       "rt AS (SELECT o_orderpriority, SUM(n) AS rt FROM cells GROUP BY 1), " +
+       "ct AS (SELECT o_orderstatus, SUM(n) AS ct FROM cells GROUP BY 1), " +
+       "tot AS (SELECT SUM(n) AS n_t, COUNT(DISTINCT o_orderpriority) AS nr, " +
+       "COUNT(DISTINCT o_orderstatus) AS nc FROM cells), " +
+       "g AS (SELECT tot.n_t, tot.nr, tot.nc, " +
+       "CAST(COALESCE(cells.n, 0) AS DOUBLE) AS obs, " +
+       "CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE) / CAST(tot.n_t AS DOUBLE) AS e " +
+       "FROM rt CROSS JOIN ct CROSS JOIN tot " +
+       "LEFT JOIN cells ON cells.o_orderpriority = rt.o_orderpriority " +
+       "AND cells.o_orderstatus = ct.o_orderstatus), " +
+       "s AS (SELECT MIN(n_t) AS n_t, MIN(nr) AS nr, MIN(nc) AS nc, " +
+       dsum6Sql("(obs - e) * (obs - e) / e") + " AS chi2raw FROM g) " +
+       "SELECT CAST(n_t AS BIGINT) AS n, CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof, " +
+       froundSql("chi2raw", 6) + " AS chi2, " +
+       froundSql("SQRT(chi2raw / (CAST(n_t AS DOUBLE) * CAST(LEAST(nr - 1, nc - 1) AS DOUBLE)))", 6) +
+       " AS cramers_v FROM s ORDER BY 1"),
 
     // same fround4-pinned cuts, same LEAST/GREATEST clip, same
     // dsum6-exact second pass

@@ -470,6 +470,35 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // VOCABULARY DRIFT / OOV-RATE GATE — the token-level drift check a
+    // pipeline runs on each new crawl snapshot before mixing it in:
+    // the baseline half (doc_id % 2 = 0) defines the per-language
+    // vocabulary; the current half is scored per language by
+    // out-of-vocabulary occurrences and unseen types. Scale shape:
+    // the vocabulary is (lang, token) DISTINCT — type-sized, not
+    // corpus-sized — and current tokens pre-aggregate to (lang,
+    // token, n) BEFORE the one hash left-join probes membership, so
+    // the exchange carries type counts, never token instances. A
+    // rising oov_rate is the retrain/re-tokenize alarm.
+    "text_vocab_drift" -> ((s, dir) => {
+      val toks = documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+                explode(split(col("text"), " ")).as("tok"))
+      val vocab = toks.where(col("doc_id") % 2 === 0)
+        .select("lang", "tok").distinct().withColumn("known", lit(1))
+      val cur = toks.where(col("doc_id") % 2 =!= 0)
+        .groupBy("lang", "tok").agg(count(lit(1)).as("n"))
+      cur.join(vocab, Seq("lang", "tok"), "left")
+        .groupBy("lang")
+        .agg(
+          big(sum(col("n"))).as("n_tokens"),
+          big(sum(when(col("known").isNull, col("n")).otherwise(lit(0L)))).as("n_oov"),
+          big(count(when(col("known").isNull, 1))).as("n_new_types"),
+          fround(sum(when(col("known").isNull, col("n")).otherwise(lit(0L))).cast("double") /
+                 sum(col("n")).cast("double"), 6).as("oov_rate"))
+        .orderBy("lang")
+    }),
+
     // Token-budgeted MIXTURE selection — the step that turns a scored
     // corpus into a training MIX: per language, documents are taken
     // greedily in a deterministic preference order (n_chars DESC,
@@ -1144,6 +1173,23 @@ object TextOps {
        "CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+|[0-9]+|[^a-z0-9 ]+')) AS BIGINT) AS n_bpe_tokens, " +
        froundSql("CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+|[0-9]+|[^a-z0-9 ]+')) AS DOUBLE) / LEN(STRING_SPLIT(LOWER(text), ' '))", 4) +
        " AS bpe_ratio FROM documents ORDER BY doc_id"),
+    // identical split-on-space types, identical halves, ratio from the
+    // same exact integer counts
+    "text_vocab_drift" ->
+      ("WITH toks AS (SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS tok " +
+       "FROM documents), " +
+       "vocab AS (SELECT DISTINCT lang, tok FROM toks WHERE doc_id % 2 = 0), " +
+       "cur AS (SELECT lang, tok, COUNT(*) AS n FROM toks WHERE doc_id % 2 <> 0 " +
+       "GROUP BY 1, 2), " +
+       "f AS (SELECT cur.lang, cur.n, " +
+       "CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov " +
+       "FROM cur LEFT JOIN vocab v ON v.lang = cur.lang AND v.tok = cur.tok) " +
+       "SELECT lang, CAST(SUM(n) AS BIGINT) AS n_tokens, " +
+       "CAST(SUM(CASE WHEN oov = 1 THEN n ELSE 0 END) AS BIGINT) AS n_oov, " +
+       "CAST(COUNT(CASE WHEN oov = 1 THEN 1 END) AS BIGINT) AS n_new_types, " +
+       froundSql("CAST(SUM(CASE WHEN oov = 1 THEN n ELSE 0 END) AS DOUBLE) / SUM(n)", 6) +
+       " AS oov_rate FROM f GROUP BY 1 ORDER BY 1"),
+
     "text_mixture_budget" ->
       ("WITH t AS (SELECT doc_id, lang, n_chars, " +
        "CAST(LEN(STRING_SPLIT(LOWER(text), ' ')) AS BIGINT) AS toks FROM documents), " +

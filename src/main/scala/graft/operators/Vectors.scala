@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables._
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -57,6 +58,46 @@ object Vectors {
              r4(max(col("cos"))).as("max_cos"))
         .orderBy("label")
     }),
+
+    // EMBEDDING DRIFT — centroid shift per label between the baseline
+    // (vec_id % 2 = 0) and current halves: the embedding-space member
+    // of the drift suite (agg_psi/agg_ks_drift watch values, agg_chi2
+    // categories, text_vocab_drift tokens — this one watches the
+    // representation itself; a dropping centroid cosine means the
+    // upstream encoder or corpus moved). Everything reduces in ONE
+    // pass over the posexploded components to (label, half, pos)
+    // centroid cells — 2·64·labels rows — and the cosine/L2 chains
+    // then run on exact decimal(38,18) sums of those cells, so no
+    // accumulation order can leak into the pinned output. The corpus
+    // never materializes a pairwise anything.
+    "vec_drift_centroid" -> ((s, dir) => {
+      def d18(c: Column) = sum(c.cast("decimal(38,18)")).cast("double")
+      val e = embeddings(s, dir)
+        .withColumn("half", when(col("vec_id") % 2 === 0, "base").otherwise("cur"))
+      val cent = e
+        .select(col("label"), col("half"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("label", "half", "pos")
+        .agg((dsum6(col("v")) / count(lit(1))).as("c"))
+      val cb = cent.where(col("half") === "base")
+        .select(col("label"), col("pos"), col("c").as("ca"))
+      val cc = cent.where(col("half") === "cur")
+        .select(col("label"), col("pos"), col("c").as("cb"))
+      val m = cb.join(cc, Seq("label", "pos"))
+        .groupBy("label")
+        .agg(d18(col("ca") * col("cb")).as("dot"),
+             d18(col("ca") * col("ca")).as("aa"),
+             d18(col("cb") * col("cb")).as("bb"),
+             d18((col("ca") - col("cb")) * (col("ca") - col("cb"))).as("l2sq"))
+      val n = e.groupBy("label")
+        .agg(big(count(when(col("half") === "base", 1))).as("n_base"),
+             big(count(when(col("half") === "cur", 1))).as("n_curr"))
+      n.join(m, Seq("label"))
+        .select(col("label"), col("n_base"), col("n_curr"),
+                fround(col("dot") / (sqrt(col("aa")) * sqrt(col("bb"))), 6).as("centroid_cos"),
+                fround(sqrt(col("l2sq")), 6).as("centroid_l2"))
+        .orderBy("label")
+    }),
+
     // L2 normalization surface: norm, first unit component, sum of unit
     // components. Row-local (no shuffle); the HOF pipeline evaluates
     // per element but stays a single projection pass.
@@ -864,6 +905,34 @@ object Vectors {
        froundSql(dsum6Sql("cos") + " / COUNT(*)", 4) + " AS avg_cos, " +
        "ROUND(MIN(cos), 4) AS min_cos, ROUND(MAX(cos), 4) AS max_cos " +
        "FROM cos GROUP BY label ORDER BY label"),
+    // identical (label, half, pos) centroid cells (dsum6/COUNT — the
+    // vec_centroid discipline), then identical decimal(38,18)-exact
+    // dot/norm/L2 sums and the same scalar IEEE chains before the pins
+    "vec_drift_centroid" ->
+      ("WITH pe AS (SELECT label, " +
+       "CASE WHEN vec_id % 2 = 0 THEN 'base' ELSE 'cur' END AS half, " +
+       "GENERATE_SUBSCRIPTS(embedding, 1) AS pos, " +
+       "UNNEST(CAST(embedding AS DOUBLE[])) AS v FROM embeddings), " +
+       "cent AS (SELECT label, half, pos, " + dsum6Sql("v") + " / COUNT(*) AS c " +
+       "FROM pe GROUP BY 1, 2, 3), " +
+       "j AS (SELECT b.label, b.c AS ca, k.c AS cb FROM cent b " +
+       "JOIN cent k ON b.label = k.label AND b.pos = k.pos " +
+       "AND b.half = 'base' AND k.half = 'cur'), " +
+       "m AS (SELECT label, " +
+       "CAST(SUM(CAST(ca * cb AS DECIMAL(38,18))) AS DOUBLE) AS dot, " +
+       "CAST(SUM(CAST(ca * ca AS DECIMAL(38,18))) AS DOUBLE) AS aa, " +
+       "CAST(SUM(CAST(cb * cb AS DECIMAL(38,18))) AS DOUBLE) AS bb, " +
+       "CAST(SUM(CAST((ca - cb) * (ca - cb) AS DECIMAL(38,18))) AS DOUBLE) AS l2sq " +
+       "FROM j GROUP BY 1), " +
+       "n AS (SELECT label, " +
+       "CAST(COUNT(CASE WHEN vec_id % 2 = 0 THEN 1 END) AS BIGINT) AS n_base, " +
+       "CAST(COUNT(CASE WHEN vec_id % 2 <> 0 THEN 1 END) AS BIGINT) AS n_curr " +
+       "FROM embeddings GROUP BY 1) " +
+       "SELECT n.label, n_base, n_curr, " +
+       froundSql("dot / (SQRT(aa) * SQRT(bb))", 6) + " AS centroid_cos, " +
+       froundSql("SQRT(l2sq)", 6) + " AS centroid_l2 " +
+       "FROM n JOIN m USING (label) ORDER BY label"),
+
     "vec_normalize" ->
       ("WITH x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
        "n AS (SELECT vec_id, v, SQRT(LIST_SUM(LIST_TRANSFORM(v, e -> e * e))) AS l2raw FROM x) " +

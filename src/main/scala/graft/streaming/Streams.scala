@@ -27,6 +27,65 @@ object Streams {
       .agg(big(count(lit(1))).as("n"), r2(sum(col("value"))).as("val_sum"))
       .select(col("w.start").as("wstart"), col("event_type"), col("n"), col("val_sum"))
 
+  /** Fixed cents grid for the streaming PSI monitor — one literal
+    * shared by the stream stage, the batch finalization and the
+    * oracle SQL. 20 × $25 bins cover the fixture's value domain;
+    * the clamp bin absorbs the tail (same shape as
+    * [[graft.operators.Aggregations.PsiBins]], scaled to events). */
+  val StreamPsiBinCents = 2500L
+  val StreamPsiBaselineDays = 7
+
+  /** Streaming-drift stage 1: per-day per-value-bin counts — the
+    * streaming-native mergeable aggregate (state is the (day, bin)
+    * grid: ≤ 20 rows per day in the store, never per-event). Shared
+    * verbatim by the batch declaration and the StreamBatchSpec job. */
+  def psiDayBinCounts(ev: DataFrame): DataFrame =
+    ev.groupBy(
+        window(col("ts"), "1 day").as("w"),
+        least(expr(s"cast(floor(value * 100) as bigint) div $StreamPsiBinCents"),
+              lit(graft.operators.Aggregations.PsiBins - 1L)).as("bin"))
+      .agg(big(count(lit(1))).as("n"))
+      .select(col("w.start").as("wstart"), col("bin"), col("n"))
+
+  /** Streaming-drift stage 2 (foreachBatch-side in a live job — rank-
+    * style finalization over the landed grid, metadata-scale): the
+    * first [[StreamPsiBaselineDays]] days freeze the baseline
+    * distribution; each later day's PSI is computed on the UNION of
+    * observed bins (a day missing a baseline bin still pays the
+    * baseline mass against the 1e-6 clamp, and a day's novel bin
+    * pays its own mass — the agg_psi semantics, per day). All joins
+    * are grids × grids. */
+  def psiDrift(ev: DataFrame): DataFrame = psiFromCounts(psiDayBinCounts(ev))
+
+  /** The finalization alone, over an already-landed (wstart, bin, n)
+    * grid — exactly what a live job's foreachBatch sees; split out so
+    * StreamBatchSpec can drive it from the STREAMED landing. */
+  def psiFromCounts(counts: DataFrame): DataFrame = {
+    val c = counts
+      .withColumn("day",
+        datediff(to_date(col("wstart")), lit("2024-01-01").cast("date")).cast("long"))
+    val allBins = c.select("bin").distinct()
+    val base = c.where(col("day") < StreamPsiBaselineDays)
+      .groupBy("bin").agg(sum(col("n")).as("n_a"))
+    val baseTot = base.agg(sum(col("n_a")).as("na_t"))
+    val days = c.where(col("day") >= StreamPsiBaselineDays)
+      .groupBy("day").agg(sum(col("n")).as("nb_t"))
+    val grid = days.crossJoin(broadcast(allBins))
+      .join(broadcast(base), Seq("bin"), "left")
+      .join(c.select(col("day"), col("bin"), col("n")), Seq("day", "bin"), "left")
+      .crossJoin(broadcast(baseTot))
+      .withColumn("p",
+        greatest(coalesce(col("n_a"), lit(0L)).cast("double") /
+                 col("na_t").cast("double"), lit(1e-6)))
+      .withColumn("q",
+        greatest(coalesce(col("n"), lit(0L)).cast("double") /
+                 col("nb_t").cast("double"), lit(1e-6)))
+    grid.groupBy("day")
+      .agg(big(min(col("nb_t"))).as("n_events"),
+           fround(dsum6((col("p") - col("q")) * log(col("p") / col("q"))), 6).as("psi"))
+      .orderBy("day")
+  }
+
   /** Windowed-top-k stage 1: per-hour per-type counts — the part that
     * runs streaming-native (mergeable window aggregate). */
   def topkCounts(ev: DataFrame): DataFrame =
@@ -565,6 +624,11 @@ object Streams {
         .orderBy("user_id")),
     "stream_tumbling" -> ((s, dir) =>
       tumbling(events(s, dir)).orderBy("wstart", "event_type")),
+    // In-stream drift monitor: day-bin counts run streaming-native
+    // (see [[psiDayBinCounts]], driven stream≡batch by
+    // StreamBatchSpec); the per-day PSI finalization is the
+    // foreachBatch-side grid arithmetic of [[psiDrift]].
+    "stream_drift_psi" -> ((s, dir) => psiDrift(events(s, dir))),
     // Windowed top-k: top-3 event types per tumbling hour (see
     // [[topkCounts]]/[[rankTop3]] for the streaming split).
     "stream_topk_windowed" -> ((s, dir) =>
@@ -794,6 +858,26 @@ object Streams {
       ("SELECT DATE_TRUNC('hour', ts) AS wstart, event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
        "ROUND(SUM(value), 2) AS val_sum FROM events " +
        "GROUP BY wstart, event_type ORDER BY wstart, event_type"),
+    // identical fixed grid, baseline freeze, union-of-bins semantics
+    // and 1e-6 clamp; LN natural, dsum6 term discipline
+    "stream_drift_psi" ->
+      ("WITH c AS (SELECT DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day, " +
+       s"LEAST(CAST(FLOOR(value * 100) AS BIGINT) // $StreamPsiBinCents, " +
+       s"${graft.operators.Aggregations.PsiBins - 1L}) AS bin, COUNT(*) AS n " +
+       "FROM events GROUP BY 1, 2), " +
+       "allb AS (SELECT DISTINCT bin FROM c), " +
+       s"base AS (SELECT bin, SUM(n) AS n_a FROM c WHERE day < $StreamPsiBaselineDays GROUP BY 1), " +
+       "bt AS (SELECT SUM(n_a) AS na_t FROM base), " +
+       s"days AS (SELECT day, SUM(n) AS nb_t FROM c WHERE day >= $StreamPsiBaselineDays GROUP BY 1), " +
+       "g AS (SELECT d.day, d.nb_t, b.bin FROM days d CROSS JOIN allb b), " +
+       "j AS (SELECT g.day, g.nb_t, " +
+       "GREATEST(CAST(COALESCE(base.n_a, 0) AS DOUBLE) / bt.na_t, 0.000001) AS p, " +
+       "GREATEST(CAST(COALESCE(cur.n, 0) AS DOUBLE) / g.nb_t, 0.000001) AS q " +
+       "FROM g CROSS JOIN bt LEFT JOIN base ON base.bin = g.bin " +
+       "LEFT JOIN c cur ON cur.day = g.day AND cur.bin = g.bin) " +
+       "SELECT CAST(day AS BIGINT) AS day, CAST(MIN(nb_t) AS BIGINT) AS n_events, " +
+       froundSql(dsum6Sql("(p - q) * LN(p / q)"), 6) + " AS psi " +
+       "FROM j GROUP BY day ORDER BY day"),
     "stream_topk_windowed" ->
       ("WITH counts AS (SELECT DATE_TRUNC('hour', ts) AS wstart, event_type, " +
        "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY wstart, event_type) " +

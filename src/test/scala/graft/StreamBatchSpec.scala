@@ -45,6 +45,24 @@ class StreamBatchSpec extends SparkSpec {
     assertSameRows(out, Streams.sliding(stagedEvents._2), "sliding")
   }
 
+  test("stream_drift_psi: streamed day-bin counts equal batch; PSI finalization agrees") {
+    // stage 1 (the streaming-native mergeable aggregate) must land the
+    // identical (day, bin) grid a batch pass produces…
+    val out = streamed("t_psi_counts", Streams.psiDayBinCounts, "complete")
+    assertSameRows(out, Streams.psiDayBinCounts(stagedEvents._2), "psi_counts")
+    // …and the grid-side finalization (foreachBatch in a live job)
+    // computed over the STREAMED landing equals the batch declaration.
+    // The landing is re-materialized first (fresh attribute ids) —
+    // the multi-branch grid plan self-joins the counts, which a
+    // memory-sink View's shared references cannot express; a live
+    // foreachBatch hands over a materialized micro-batch the same way.
+    val landed = spark.table("t_psi_counts")
+    val viaStream = Streams.psiFromCounts(
+      spark.createDataFrame(landed.rdd, landed.schema))
+    assert(viaStream.where(col("psi") < 0).isEmpty) // PSI is nonnegative
+    assertSameRows(viaStream, Streams.psiDrift(stagedEvents._2), "psi_final")
+  }
+
   test("stream_session: session_window stream equals gaps-and-islands batch") {
     val out = streamed("t_session", Streams.sessionsStream, "complete")
     val batch = Streams.sessionsBatch(stagedEvents._2)
