@@ -605,6 +605,37 @@ object Aggregations {
              least(col("nr") - 1, col("nc") - 1).cast("double"))), 6).as("cramers_v"))
     }),
 
+    // MUTUAL INFORMATION between the same two categoricals — the
+    // information-theoretic sibling of agg_chi2 (feature selection
+    // ranks by MI; chi² tests significance): I = Σ_ij p_ij ·
+    // ln(p_ij / (p_i · p_j)) over OBSERVED cells (empty cells
+    // contribute exactly 0, so no grid completion and no clamp is
+    // needed — unlike PSI). Same one-hash-agg contingency shape;
+    // every probability is an exact-integer ratio, terms ride dsum6.
+    // Also reports H(row) so the normalized MI is one division away.
+    "agg_mutual_info" -> ((s, dir) => {
+      val cells = orders(s, dir)
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("n"))
+      val rt = cells.groupBy("o_orderpriority").agg(sum(col("n")).as("rt"))
+      val ct = cells.groupBy("o_orderstatus").agg(sum(col("n")).as("ct"))
+      val tot = cells.agg(sum(col("n")).as("n_t"))
+      val j = cells
+        .join(broadcast(rt), Seq("o_orderpriority"))
+        .join(broadcast(ct), Seq("o_orderstatus"))
+        .crossJoin(broadcast(tot))
+        .withColumn("pij", col("n").cast("double") / col("n_t").cast("double"))
+        .withColumn("pi", col("rt").cast("double") / col("n_t").cast("double"))
+        .withColumn("pj", col("ct").cast("double") / col("n_t").cast("double"))
+      val hRow = rt.crossJoin(broadcast(tot))
+        .withColumn("p", col("rt").cast("double") / col("n_t").cast("double"))
+        .agg((-dsum6(col("p") * log(col("p")))).as("h_row"))
+      j.agg(big(min(col("n_t"))).as("n"),
+            fround(dsum6(col("pij") * log(col("pij") / (col("pi") * col("pj")))), 6)
+              .as("mi_nats"))
+        .crossJoin(broadcast(hRow.select(fround(col("h_row"), 6).as("h_row"))))
+    }),
+
     // WINSORIZED MEAN per group — the robust average every metrics
     // pipeline swaps in when a fat tail owns the plain mean: values
     // clip to the group's [p05, p95] before averaging. Two passes by
@@ -1038,6 +1069,24 @@ object Aggregations {
        froundSql("chi2raw", 6) + " AS chi2, " +
        froundSql("SQRT(chi2raw / (CAST(n_t AS DOUBLE) * CAST(LEAST(nr - 1, nc - 1) AS DOUBLE)))", 6) +
        " AS cramers_v FROM s ORDER BY 1"),
+
+    // identical observed-cells-only sum (empty cells are exact zeros),
+    // identical exact-integer probability ratios and LN chains
+    "agg_mutual_info" ->
+      ("WITH cells AS (SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n " +
+       "FROM orders GROUP BY 1, 2), " +
+       "rt AS (SELECT o_orderpriority, SUM(n) AS rt FROM cells GROUP BY 1), " +
+       "ct AS (SELECT o_orderstatus, SUM(n) AS ct FROM cells GROUP BY 1), " +
+       "tot AS (SELECT SUM(n) AS n_t FROM cells), " +
+       "j AS (SELECT CAST(n AS DOUBLE) / n_t AS pij, " +
+       "CAST(rt AS DOUBLE) / n_t AS pi, CAST(ct AS DOUBLE) / n_t AS pj, n_t " +
+       "FROM cells JOIN rt USING (o_orderpriority) JOIN ct USING (o_orderstatus) " +
+       "CROSS JOIN tot), " +
+       "h AS (SELECT " + froundSql("-" + dsum6Sql("(CAST(rt AS DOUBLE) / n_t) * LN(CAST(rt AS DOUBLE) / n_t)"), 6) +
+       " AS h_row FROM rt CROSS JOIN tot) " +
+       "SELECT CAST(MIN(n_t) AS BIGINT) AS n, " +
+       froundSql(dsum6Sql("pij * LN(pij / (pi * pj))"), 6) + " AS mi_nats, " +
+       "(SELECT h_row FROM h) AS h_row FROM j ORDER BY 1"),
 
     // same fround4-pinned cuts, same LEAST/GREATEST clip, same
     // dsum6-exact second pass

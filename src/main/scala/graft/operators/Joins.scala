@@ -17,6 +17,16 @@ object Joins {
     * the oracle (interpolated into both), so the two cannot drift. */
   val AsofToleranceDays = 30
 
+  /** join_dpp_partitioned's bucket fan-out — BOUNDED on purpose: the
+    * fact lays out by `key % DppBuckets`, not by the raw key, so the
+    * directory count stays 50 at any corpus size (partitioning by an
+    * unbounded key is the classic small-file/metadata explosion).
+    * Shared with the oracle SQL. */
+  val DppBuckets = 50
+
+  private val dppMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Unit]
+
   val queries: Map[String, Q] = Map(
     // Large-ish equi-join, aggregated. Shuffle on the join key; AQE picks
     // broadcast automatically when one side is small at runtime.
@@ -103,6 +113,40 @@ object Joins {
         .groupBy("p_partkey")
         .agg(big(count(lit(1))).as("n_close"))
         .orderBy("p_partkey")
+    }),
+
+    // DYNAMIC PARTITION PRUNING — the star-schema scale feature that
+    // makes a selective dim filter skip FACT partitions at runtime:
+    // the fact is laid out by the bounded join bucket (`l_suppkey %
+    // DppBuckets` — 50 dirs at any SF, never the raw-key explosion),
+    // the dim filter (`s_suppkey % 10 = 0`) is only known at plan
+    // time on the DIM side, and Catalyst injects a
+    // dynamicpruningexpression into the fact scan's PartitionFilters
+    // (reusing the broadcast) so only the dim's surviving buckets are
+    // ever read — at 100 TB that is the difference between scanning
+    // the table and scanning 1/5th of it. PlanAuditSpec pins the
+    // dynamicpruning subquery in the executed scan.
+    "join_dpp_partitioned" -> ((s, dir) => {
+      val out = scratch(dir, "dpp_fact")
+      dppMemo.getOrElseUpdate(
+        s"$out|${graft.Tables.fsSig(s, s"$dir/lineitem.parquet")}", {
+          lineitem(s, dir)
+            .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity"))
+            .withColumn("sbkt", pmod(col("l_suppkey"), lit(DppBuckets)))
+            // co-locate each bucket before the write — one file per
+            // dir, not (tasks × dirs) small files
+            .repartition(col("sbkt"))
+            .write.mode("overwrite").partitionBy("sbkt").parquet(out)
+        })
+      val fact = s.read.parquet(out)
+      val dim = supplier(s, dir)
+        .where(col("s_suppkey") % 10 === 0)
+        .withColumn("dbkt", pmod(col("s_suppkey"), lit(DppBuckets)))
+      fact.join(broadcast(dim),
+          fact("sbkt") === dim("dbkt") && fact("l_suppkey") === dim("s_suppkey"))
+        .groupBy("s_suppkey")
+        .agg(big(count(lit(1))).as("n"), r2(sum(col("l_quantity"))).as("sum_qty"))
+        .orderBy("s_suppkey")
     }),
 
     // As-of join (latest event at or before each order date, per user):
@@ -464,6 +508,16 @@ object Joins {
        "AND p2.p_retailprice >= p1.p_retailprice - 1.0 " +
        "AND p2.p_retailprice <= p1.p_retailprice + 1.0 " +
        "GROUP BY p1.p_partkey ORDER BY p1.p_partkey"),
+    // the bucket conjunct is implied by the key equality — same rows;
+    // the partition layout is a Spark physical concern the oracle
+    // needn't see
+    "join_dpp_partitioned" ->
+      ("SELECT s_suppkey, CAST(COUNT(*) AS BIGINT) AS n, " +
+       "ROUND(SUM(l_quantity), 2) AS sum_qty " +
+       "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+       "WHERE s_suppkey % 10 = 0 " +
+       "GROUP BY 1 ORDER BY 1"),
+
     "join_asof" ->
       ("SELECT o_orderkey, o_custkey, " +
        "(SELECT MAX(e.ts) FROM events e WHERE e.user_id = o.o_custkey AND e.ts <= o.o_orderdate) AS last_ev_ts " +

@@ -596,6 +596,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), p.take(3000))
   }
 
+  test("join_dpp_partitioned: the fact scan carries a dynamicpruning partition filter") {
+    // the dim filter must reach the FACT side at runtime: Catalyst
+    // injects dynamicpruningexpression(...) into the partitioned
+    // scan's PartitionFilters, so only the dim's surviving buckets
+    // are read — the star-schema skip that matters at 100 TB
+    val p = plan("join_dpp_partitioned")
+    assert(p.toLowerCase.contains("dynamicpruning"), p.take(4000))
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+  }
+
   test("agg_psi: fixed-grid hash-agg with broadcast totals, no window") {
     // drift must stay one corpus pass: conditional counts collapse to
     // the <= PsiBins grid map-side, totals ride a broadcast, the PSI
