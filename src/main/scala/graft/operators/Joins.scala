@@ -464,6 +464,31 @@ object Joins {
         .agg(big(count(lit(1))).as("n_items"),
              dsum6(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
         .orderBy("order_month")
+    }),
+
+    // DEEP star schema — one fact pass, every dimension broadcast. The
+    // supplier→nation→region snowflake arm collapses BROADCAST-SIDE
+    // (three tiny tables join among themselves before any of them
+    // touches the fact), then the fact stream-probes two broadcast
+    // hash maps back to back inside one whole-stage-codegen span. The
+    // fact is never shuffled — the only exchange in the plan is the
+    // final ≤ |region|×|brand| aggregation. This is the plan shape
+    // that survives 100 TB: dims are MBs at any corpus scale, so
+    // scaling the fact 1000× adds zero shuffle bytes.
+    "join_star_schema" -> ((s, dir) => {
+      val geo = supplier(s, dir)
+        .join(broadcast(nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("r_name"))
+      val pdim = part(s, dir).where(col("p_size") <= 20)
+        .select(col("p_partkey"), col("p_brand"))
+      lineitem(s, dir)
+        .join(broadcast(pdim), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(geo), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("r_name", "p_brand")
+        .agg(big(count(lit(1))).as("n_items"),
+             dsum6(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy("r_name", "p_brand")
     })
   )
 
@@ -591,6 +616,14 @@ object Joins {
        dsum6Sql("l_extendedprice * (1 - l_discount)") + " AS revenue " +
        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
        "WHERE o_orderpriority = '1-URGENT' " +
-       "GROUP BY 1 ORDER BY 1")
+       "GROUP BY 1 ORDER BY 1"),
+    "join_star_schema" ->
+      ("SELECT r_name, p_brand, CAST(COUNT(*) AS BIGINT) AS n_items, " +
+       s"${dsum6Sql("l_extendedprice * (1 - l_discount)")} AS revenue " +
+       "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+       "JOIN supplier ON l_suppkey = s_suppkey " +
+       "JOIN nation ON s_nationkey = n_nationkey " +
+       "JOIN region ON n_regionkey = r_regionkey " +
+       "WHERE p_size <= 20 GROUP BY 1, 2 ORDER BY 1, 2")
   )
 }

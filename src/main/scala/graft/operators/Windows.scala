@@ -12,6 +12,30 @@ import org.apache.spark.sql.functions._
 object Windows {
 
   val queries: Map[String, Q] = Map(
+    // MAX DRAWDOWN per user — peak-to-trough of the running net
+    // balance (inflow = purchase/signup, outflow = everything else),
+    // the portfolio-risk statistic applied to user spend. All-integer
+    // cents keep every running value exact in any engine. BOTH running
+    // aggregates (cumulative sum, running peak) share one window spec,
+    // so Catalyst stacks the two Window nodes over a SINGLE Exchange
+    // on user_id; the final per-user collapse is a map-side-combinable
+    // hash-agg. One shuffle total at any corpus size.
+    "win_drawdown" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir)
+        .withColumn("flow",
+          when(col("event_type").isin("purchase", "signup"),
+               floor(col("value") * 100).cast("long"))
+            .otherwise(-floor(col("value") * 100).cast("long")))
+        .withColumn("cum", sum(col("flow")).over(w))
+        .withColumn("peak", max(col("cum")).over(w))
+        .groupBy("user_id")
+        .agg(big(max(col("peak") - col("cum"))).as("max_drawdown_cents"),
+             big(max(col("peak"))).as("peak_cents"))
+        .orderBy("user_id")
+    }),
+
     // Forward-fill (gap fill): carry the last non-null observation
     // forward per user in event-time order — the time-series repair op
     // (sensor dropouts, sparse attribute streams). last(ignoreNulls)
@@ -268,6 +292,20 @@ object Windows {
   }
 
   val oracle: Map[String, String] = Map(
+    "win_drawdown" ->
+      ("WITH f AS (SELECT user_id, ts, event_id, " +
+       "CASE WHEN event_type IN ('purchase', 'signup') " +
+       "THEN CAST(FLOOR(value * 100) AS BIGINT) " +
+       "ELSE -CAST(FLOOR(value * 100) AS BIGINT) END AS flow FROM events), " +
+       "cu AS (SELECT user_id, ts, event_id, " +
+       "SUM(flow) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+       "ROWS UNBOUNDED PRECEDING) AS cum FROM f), " +
+       "pk AS (SELECT user_id, cum, " +
+       "MAX(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+       "ROWS UNBOUNDED PRECEDING) AS peak FROM cu) " +
+       "SELECT user_id, CAST(MAX(peak - cum) AS BIGINT) AS max_drawdown_cents, " +
+       "CAST(MAX(peak) AS BIGINT) AS peak_cents " +
+       "FROM pk GROUP BY 1 ORDER BY 1"),
     "win_rolling_median" ->
       ("SELECT o_orderkey, o_orderstatus, " +
        froundSql("QUANTILE_CONT(o_totalprice, 0.5) OVER (PARTITION BY o_orderstatus " +

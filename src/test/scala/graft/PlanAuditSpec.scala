@@ -776,6 +776,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("join_star_schema: every dim broadcasts, the fact never shuffles pre-agg") {
+    // the snowflake arm (supplier→nation→region) must collapse
+    // broadcast-side and the fact must probe two broadcast hash maps —
+    // the only Exchange allowed is the final tiny aggregation
+    val p = plan("join_star_schema")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p.take(4000))
+    assert(!p.contains("SortMergeJoin"), p.take(4000))
+    assert(!p.contains("ShuffledHashJoin"), p.take(4000))
+  }
+
+  test("win_drawdown: both running aggregates share ONE user_id exchange") {
+    val p = plan("win_drawdown")
+    assert(p.contains("Window"), p.take(3000))
+    // one shuffle for the window pair + one for the final hash-agg
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p.take(3000))
+  }
+
   test("whole-stage codegen covers the hot paths of the flagship aggregate") {
     // AQE finalizes stages only at execution; run the query, then check
     // the final adaptive plan for codegen stage markers (`*(n)`)
