@@ -660,6 +660,31 @@ object Aggregations {
         .orderBy("o_orderstatus")
     }),
 
+    // BENFORD first-digit audit — the classic anomaly/fraud gate on a
+    // money column: observed leading-significant-digit frequencies vs
+    // the log10(1+1/d) law. The digit comes from the DECIMAL(18,2)
+    // STRING head (decimal rendering is engine-identical where double
+    // rendering is not, and no log10-of-value can flip a floor at a
+    // power-of-10 boundary). One corpus pass collapses to the 9-row
+    // digit grid; the total rides a broadcast (the agg_psi shape);
+    // expectation and deviation are fixed row-local IEEE chains.
+    "agg_benford" -> ((s, dir) => {
+      val digits = orders(s, dir)
+        .where(col("o_totalprice") >= 1)
+        .withColumn("d", substring(
+          col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1).cast("int"))
+        .groupBy("d").agg(big(count(lit(1))).as("n"))
+      val total = digits.agg(sum(col("n")).as("total"))
+      digits.crossJoin(broadcast(total))
+        .withColumn("e", log10(lit(1.0) + lit(1.0) / col("d")))
+        .select(col("d"), col("n"),
+          fround(col("n").cast("double") / col("total").cast("double"), 6).as("obs_p"),
+          fround(col("e"), 6).as("exp_p"),
+          fround(abs(col("n").cast("double") / col("total").cast("double") - col("e")), 6)
+            .as("abs_dev"))
+        .orderBy("d")
+    }),
+
     // Fixed-width histogram: bucket = floor(x/step) is a row-local
     // projection, so the histogram is ONE hash aggregate whose shuffle
     // is ~|buckets| — the constant-memory distribution profile that
@@ -1121,6 +1146,17 @@ object Aggregations {
       froundSql(s"(($num) * ($num)) / (($den) * ($den2))", 6) + " AS r2 " +
       "FROM g ORDER BY l_returnflag"
     },
+    "agg_benford" ->
+      ("WITH g AS (SELECT CAST(SUBSTRING(CAST(CAST(o_totalprice AS DECIMAL(18,2)) " +
+       "AS VARCHAR), 1, 1) AS INT) AS d, COUNT(*) AS n FROM orders " +
+       "WHERE o_totalprice >= 1 GROUP BY 1), " +
+       "t AS (SELECT SUM(n) AS total FROM g) " +
+       "SELECT d, CAST(n AS BIGINT) AS n, " +
+       froundSql("CAST(n AS DOUBLE) / total", 6) + " AS obs_p, " +
+       froundSql("LOG10(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / d)", 6) + " AS exp_p, " +
+       froundSql("ABS(CAST(n AS DOUBLE) / total - " +
+         "LOG10(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / d))", 6) + " AS abs_dev " +
+       "FROM g, t ORDER BY d"),
     "agg_histogram" ->
       ("SELECT CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS bucket, " +
        "CAST(COUNT(*) AS BIGINT) AS n, " +

@@ -464,8 +464,53 @@ object Vectors {
         .agg(big(count(col("hit"))).as("n_hits"))
         .withColumn("recall", fround(col("n_hits") / 10.0, 4))
         .orderBy("method")
+    }),
+
+    // BINARY-QUANTIZED Hamming search — the modern embedding-retrieval
+    // scale path (32× smaller than float vectors, distance is two XOR
+    // + popcount instructions): each vector collapses to its sign-bit
+    // signature packed into 32-bit WORDS (two BIGINT words cover the
+    // 64-dim fixture; shifts stay ≤ 31 so no engine's checked shift
+    // can overflow — a single 64-bit word would need the unshiftable
+    // bit 63). The 8-query set broadcasts; the rank cut is the
+    // WindowGroupLimit map-side top-K, so the q_id exchange carries
+    // only candidates, never the corpus. At 100 TB signatures are a
+    // ~250× smaller table than the embeddings they index, built in
+    // one corpus pass.
+    "vec_hamming_topk" -> ((s, dir) => {
+      val sig = embeddings(s, dir)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        // loud guard, not silent wrap: Java shifts are mod-64, so a
+        // regenerated fixture with dim > 64 would fold bits silently
+        .withColumn("x", when(col("pos") >= 64, expr(
+            "CAST(raise_error('embedding dim > 64 — add words to the " +
+            "vec_hamming_topk layout') AS FLOAT)")).otherwise(col("x")))
+        .groupBy("vec_id")
+        .agg(
+          sum(when(col("pos") < 32 && col("x") >= 0,
+              expr("shiftleft(CAST(1 AS BIGINT), pos)")).otherwise(lit(0L))).as("sig_lo"),
+          sum(when(col("pos") >= 32 && col("x") >= 0,
+              expr("shiftleft(CAST(1 AS BIGINT), pos - 32)")).otherwise(lit(0L))).as("sig_hi"))
+      val q = sig.where(col("vec_id") < HammingQueryIds)
+        .select(col("vec_id").as("q_id"), col("sig_lo").as("q_lo"),
+                col("sig_hi").as("q_hi"))
+      sig.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .withColumn("dist", expr(
+          "CAST(bit_count(sig_lo ^ q_lo) + bit_count(sig_hi ^ q_hi) AS INT)"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("dist"), col("vec_id"))))
+        .where(col("rnk") <= HammingTopK)
+        .select(col("q_id"), big(col("rnk")).as("rnk"), col("vec_id"), col("dist"))
+        .orderBy("q_id", "rnk")
     })
   )
+
+  /** vec_hamming_topk's query-set bound and cut — LITERALS shared with
+    * the oracle SQL (the KnnRefSetSize discipline): `vec_id <
+    * HammingQueryIds` keeps the probe set a constant 8 vectors at any
+    * corpus scale. */
+  val HammingQueryIds = 8
+  val HammingTopK = 5
 
   /** Fixed Lloyd round count — small and FIXED so the oracle can
     * unroll the same rounds as plain SQL CTEs. */
@@ -1041,7 +1086,24 @@ object Vectors {
     "sim_ann_pq" -> oraclePqBase,
     "sim_ann_ivfpq" -> oracleIvfPqBase,
     "sim_ann_ivfpq_rerank" -> oracleIvfPqRerank,
-    "sim_ann_recall" -> oracleAnnRecall
+    "sim_ann_recall" -> oracleAnnRecall,
+    "vec_hamming_topk" ->
+      ("WITH u AS (SELECT vec_id, UNNEST(embedding) AS x, " +
+       "GENERATE_SUBSCRIPTS(embedding, 1) AS i FROM embeddings), " +
+       "sig AS (SELECT vec_id, " +
+       "CAST(SUM(CASE WHEN i <= 32 AND x >= 0 THEN (CAST(1 AS BIGINT) << (i - 1)) " +
+       "ELSE 0 END) AS BIGINT) AS sig_lo, " +
+       "CAST(SUM(CASE WHEN i > 32 AND x >= 0 THEN (CAST(1 AS BIGINT) << (i - 33)) " +
+       "ELSE 0 END) AS BIGINT) AS sig_hi FROM u GROUP BY 1), " +
+       s"q AS (SELECT vec_id AS q_id, sig_lo AS q_lo, sig_hi AS q_hi " +
+       s"FROM sig WHERE vec_id < $HammingQueryIds), " +
+       "d AS (SELECT q_id, vec_id, " +
+       "CAST(bit_count(xor(sig_lo, q_lo)) + bit_count(xor(sig_hi, q_hi)) AS INT) AS dist " +
+       "FROM sig, q WHERE vec_id <> q_id), " +
+       "r AS (SELECT q_id, vec_id, dist, " +
+       "ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS rnk FROM d) " +
+       "SELECT q_id, CAST(rnk AS BIGINT) AS rnk, vec_id, dist FROM r " +
+       s"WHERE rnk <= $HammingTopK ORDER BY q_id, rnk")
   ) ++ {
     // the layout variant must return exactly the scan-side IVF's rows —
     // same trained centroids, same probe set, different access path

@@ -793,6 +793,16 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p.take(3000))
   }
 
+  test("vec_hamming_topk: query signatures broadcast, rank cut is WindowGroupLimit") {
+    val p = plan("vec_hamming_topk")
+    // the 8-signature probe set must ride a broadcast (non-equi join →
+    // BroadcastNestedLoopJoin), and the top-K cut must prune map-side
+    // before the tiny q_id exchange
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+    assert(p.contains("WindowGroupLimit"), p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+  }
+
   test("whole-stage codegen covers the hot paths of the flagship aggregate") {
     // AQE finalizes stages only at execution; run the query, then check
     // the final adaptive plan for codegen stage markers (`*(n)`)
