@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables._
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -163,6 +164,79 @@ object Aggregations {
         .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
         .withColumn("grp", (col("user_id") % 2).cast("int"))
         .withColumn("x", col("cents").cast("double") / 100.0))),
+
+    // DIFFERENCE-IN-DIFFERENCES — the quasi-experimental readout when
+    // assignment isn't randomized per event: (treatment post − pre)
+    // minus (control post − pre) of mean spend. Treatment is the
+    // events_ab_test hash split; the pre/post cutoff is the corpus
+    // time MIDPOINT in exact integer microseconds ((min+max) DIV 2 —
+    // scale-free, no fixture-date literal to go stale), computed in
+    // one 1-row agg that rides a broadcast. The 2×2 cells collapse in
+    // a single conditional-aggregate pass (exact counts + cent sums);
+    // the four means and the DiD are one fixed row-local IEEE chain
+    // both engines repeat token for token before the fround pins.
+    "events_did" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .withColumn("cents", floor(col("value") * 100).cast("long"))
+      val mid = ev.agg(
+        expr("(MIN(unix_micros(ts)) + MAX(unix_micros(ts))) DIV 2").as("mid"))
+      def nOf(g: Int, p: Int) =
+        sum(when(col("g") === g && col("p") === p, 1L).otherwise(0L))
+      def cOf(g: Int, p: Int) =
+        sum(when(col("g") === g && col("p") === p, col("cents")).otherwise(0L))
+      def mean(c: Column, n: Column) = c.cast("double") / n / 100.0
+      val a = ev.crossJoin(broadcast(mid))
+        .withColumn("g", (col("user_id") % 2).cast("int"))
+        .withColumn("p", (unix_micros(col("ts")) >= col("mid")).cast("int"))
+        .agg(big(nOf(0, 0)).as("n_c_pre"), big(nOf(0, 1)).as("n_c_post"),
+             big(nOf(1, 0)).as("n_t_pre"), big(nOf(1, 1)).as("n_t_post"),
+             cOf(0, 0).as("cc0"), cOf(0, 1).as("cc1"),
+             cOf(1, 0).as("ct0"), cOf(1, 1).as("ct1"))
+      a.select(col("n_c_pre"), col("n_c_post"), col("n_t_pre"), col("n_t_post"),
+        fround(mean(col("cc0"), col("n_c_pre")), 4).as("mean_c_pre"),
+        fround(mean(col("cc1"), col("n_c_post")), 4).as("mean_c_post"),
+        fround(mean(col("ct0"), col("n_t_pre")), 4).as("mean_t_pre"),
+        fround(mean(col("ct1"), col("n_t_post")), 4).as("mean_t_post"),
+        fround((mean(col("ct1"), col("n_t_post")) - mean(col("ct0"), col("n_t_pre"))) -
+               (mean(col("cc1"), col("n_c_post")) - mean(col("cc0"), col("n_c_pre"))), 6)
+          .as("did"))
+    }),
+
+    // ITERATIVE PROPORTIONAL FITTING (raking) — the training-mixture
+    // reweighter: per-cell weights that pull the priority×status
+    // contingency toward UNIFORM row and column marginals in
+    // [[IpfRounds]] fixed alternating scalings (fixed BY CONTRACT so
+    // the oracle unrolls the identical rounds — the Lloyd/PageRank
+    // discipline). The corpus collapses to the ≤ |pri|×|status| grid
+    // in ONE map-side-combinable pass; every round's row/column sum
+    // is a window over the GRID, summed as DECIMAL(30,12) so no
+    // accumulation order in either engine can leak into the quotient
+    // (a double window-sum without ORDER BY accumulates in partition
+    // order — nondeterministic under shuffle).
+    "agg_ipf_reweight" -> ((s, dir) => {
+      val wr = Window.partitionBy("r")
+      val wc = Window.partitionBy("c")
+      def psum(w: Column, win: org.apache.spark.sql.expressions.WindowSpec) =
+        sum(w.cast("decimal(30,12)")).over(win).cast("double")
+      val grid = orders(s, dir)
+        .groupBy(col("o_orderpriority").as("r"), col("o_orderstatus").as("c"))
+        .agg(count(lit(1)).as("n"))
+      val tot = grid.agg(sum(col("n")).cast("double").as("total"),
+        countDistinct(col("r")).cast("double").as("nr"),
+        countDistinct(col("c")).cast("double").as("nc"))
+      var df = grid.crossJoin(broadcast(tot))
+        .withColumn("tr", col("total") / col("nr"))
+        .withColumn("tc", col("total") / col("nc"))
+        .withColumn("w", col("n").cast("double"))
+      for (_ <- 1 to IpfRounds) {
+        df = df.withColumn("w", col("w") * col("tr") / psum(col("w"), wr))
+        df = df.withColumn("w", col("w") * col("tc") / psum(col("w"), wc))
+      }
+      df.select(col("r"), col("c"), big(col("n")).as("n"),
+          fround(col("w"), 6).as("weight"),
+          fround(col("w") / col("n"), 6).as("factor"))
+        .orderBy("r", "c")
+    }),
 
     // WEIGHTED MEDIAN per group — "the price at which half the
     // QUANTITY sits below" (inventory/market-microstructure cousin of
@@ -872,6 +946,12 @@ object Aggregations {
       .orderBy("event_type")
   }
 
+  /** agg_ipf_reweight's alternating-scaling round count — small and
+    * FIXED so the oracle unrolls the identical rounds as plain SQL
+    * CTEs (the Lloyd/PageRank discipline). Three rounds converge the
+    * 5×3 fixture grid to ~1e-6 marginal error. */
+  val IpfRounds = 3
+
   /** approx_percentile accuracy knob shared by the query and the spec:
     * 1/accuracy bounds the RANK error, so at fixture scale the
     * estimate sits within a hair of exact. */
@@ -1145,6 +1225,54 @@ object Aggregations {
       froundSql(s"(sy - (($num) / ($den)) * sx) / CAST(n AS DOUBLE)", 6) + " AS intercept, " +
       froundSql(s"(($num) * ($num)) / (($den) * ($den2))", 6) + " AS r2 " +
       "FROM g ORDER BY l_returnflag"
+    },
+    "events_did" ->
+      ("WITH m AS (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid " +
+       "FROM events), " +
+       "e AS (SELECT CAST(user_id % 2 AS INT) AS g, " +
+       "CASE WHEN epoch_us(ts) >= m.mid THEN 1 ELSE 0 END AS p, " +
+       "CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events, m), " +
+       "a AS (SELECT " +
+       "CAST(SUM(CASE WHEN g = 0 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c_pre, " +
+       "CAST(SUM(CASE WHEN g = 0 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_c_post, " +
+       "CAST(SUM(CASE WHEN g = 1 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_t_pre, " +
+       "CAST(SUM(CASE WHEN g = 1 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t_post, " +
+       "CAST(SUM(CASE WHEN g = 0 AND p = 0 THEN cents ELSE 0 END) AS BIGINT) AS cc0, " +
+       "CAST(SUM(CASE WHEN g = 0 AND p = 1 THEN cents ELSE 0 END) AS BIGINT) AS cc1, " +
+       "CAST(SUM(CASE WHEN g = 1 AND p = 0 THEN cents ELSE 0 END) AS BIGINT) AS ct0, " +
+       "CAST(SUM(CASE WHEN g = 1 AND p = 1 THEN cents ELSE 0 END) AS BIGINT) AS ct1 " +
+       "FROM e) " +
+       "SELECT n_c_pre, n_c_post, n_t_pre, n_t_post, " +
+       froundSql("CAST(cc0 AS DOUBLE) / n_c_pre / 100.0", 4) + " AS mean_c_pre, " +
+       froundSql("CAST(cc1 AS DOUBLE) / n_c_post / 100.0", 4) + " AS mean_c_post, " +
+       froundSql("CAST(ct0 AS DOUBLE) / n_t_pre / 100.0", 4) + " AS mean_t_pre, " +
+       froundSql("CAST(ct1 AS DOUBLE) / n_t_post / 100.0", 4) + " AS mean_t_post, " +
+       froundSql("(CAST(ct1 AS DOUBLE) / n_t_post / 100.0 - " +
+         "CAST(ct0 AS DOUBLE) / n_t_pre / 100.0) - " +
+         "(CAST(cc1 AS DOUBLE) / n_c_post / 100.0 - " +
+         "CAST(cc0 AS DOUBLE) / n_c_pre / 100.0)", 6) + " AS did " +
+       "FROM a ORDER BY n_c_pre"),
+    "agg_ipf_reweight" -> {
+      val rounds = (1 to IpfRounds).map { k =>
+        s"a$k AS (SELECT r, c, n, tr, tc, " +
+        "w * tr / CAST(SUM(CAST(w AS DECIMAL(30,12))) OVER (PARTITION BY r) AS DOUBLE) AS w " +
+        s"FROM ${if (k == 1) "w0" else s"b${k - 1}"}), " +
+        s"b$k AS (SELECT r, c, n, tr, tc, " +
+        "w * tc / CAST(SUM(CAST(w AS DECIMAL(30,12))) OVER (PARTITION BY c) AS DOUBLE) AS w " +
+        s"FROM a$k), "
+      }.mkString
+      "WITH grid AS (SELECT o_orderpriority AS r, o_orderstatus AS c, COUNT(*) AS n " +
+      "FROM orders GROUP BY 1, 2), " +
+      "t AS (SELECT CAST(SUM(n) AS DOUBLE) AS total, " +
+      "CAST(COUNT(DISTINCT r) AS DOUBLE) AS nr, " +
+      "CAST(COUNT(DISTINCT c) AS DOUBLE) AS nc FROM grid), " +
+      "w0 AS (SELECT r, c, n, total / nr AS tr, total / nc AS tc, " +
+      "CAST(n AS DOUBLE) AS w FROM grid, t), " +
+      rounds +
+      s"fin AS (SELECT r, c, n, w FROM b$IpfRounds) " +
+      "SELECT r, c, CAST(n AS BIGINT) AS n, " +
+      froundSql("w", 6) + " AS weight, " + froundSql("w / n", 6) + " AS factor " +
+      "FROM fin ORDER BY r, c"
     },
     "agg_benford" ->
       ("WITH g AS (SELECT CAST(SUBSTRING(CAST(CAST(o_totalprice AS DECIMAL(18,2)) " +
