@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Join operators. The reference has no relational joins (implicit
@@ -26,6 +27,47 @@ object Joins {
 
   private val dppMemo =
     scala.collection.concurrent.TrieMap.empty[String, Unit]
+
+  private val runtimeBloomMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Unit]
+
+  /** join_runtime_bloom's session knobs, saved and restored around the
+    * one materialization so no OTHER query's plan is affected: the
+    * injection rule needs the probe-side scan to clear the
+    * application-side threshold (0 here because the fixture is MBs —
+    * the production default of 10 GB is exactly the right bar at
+    * 100 TB, where this filter skips shuffle-writing the ~99% of fact
+    * rows that cannot match) and the join must stay a SHUFFLE join
+    * (a broadcast join already probes a hash map — Catalyst rightly
+    * refuses to add a redundant bloom). */
+  private[graft] def withRuntimeBloomConfs[T](s: SparkSession)(body: => T): T = {
+    val want = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = want.map { case (k, _) => k -> s.conf.getOption(k) }
+    want.foreach { case (k, v) => s.conf.set(k, v) }
+    try body finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
+  /** The join join_runtime_bloom materializes — exposed so
+    * PlanAuditSpec can pin the injected `bloom_filter_agg` /
+    * `might_contain` pair on the pre-materialization plan. */
+  private[graft] def runtimeBloomJoin(s: SparkSession, dir: String): DataFrame = {
+    val dim = orders(s, dir)
+      .where(col("o_orderpriority") === "3-MEDIUM" && col("o_totalprice") > 400000)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(big(count(lit(1))).as("n_items"),
+           dsum6(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+  }
 
   val queries: Map[String, Q] = Map(
     // Large-ish equi-join, aggregated. Shuffle on the join key; AQE picks
@@ -466,6 +508,25 @@ object Joins {
         .orderBy("order_month")
     }),
 
+    // RUNTIME-INJECTED bloom filter — the AUTOMATIC cousin of
+    // join_bloom_prefilter: no hand-built sketch, Catalyst's
+    // InjectRuntimeFilter plants a bloom_filter_agg subquery on the
+    // selective dim side and a might_contain probe on the fact side,
+    // so the fact drops ~99% of its rows BEFORE the join shuffle
+    // writes them. The result materializes once under the scoped
+    // confs (memoized by fixture fingerprint) and reads back ordered;
+    // PlanAuditSpec pins the injected pair on the live plan.
+    "join_runtime_bloom" -> ((s, dir) => {
+      val out = scratch(dir, "runtime_bloom")
+      runtimeBloomMemo.getOrElseUpdate(
+        s"$out|${graft.Tables.fsSig(s, s"$dir/lineitem.parquet")}", {
+          withRuntimeBloomConfs(s) {
+            runtimeBloomJoin(s, dir).write.mode("overwrite").parquet(out)
+          }
+        })
+      s.read.parquet(out).orderBy("o_orderstatus")
+    }),
+
     // DEEP star schema — one fact pass, every dimension broadcast. The
     // supplier→nation→region snowflake arm collapses BROADCAST-SIDE
     // (three tiny tables join among themselves before any of them
@@ -624,6 +685,12 @@ object Joins {
        "JOIN supplier ON l_suppkey = s_suppkey " +
        "JOIN nation ON s_nationkey = n_nationkey " +
        "JOIN region ON n_regionkey = r_regionkey " +
-       "WHERE p_size <= 20 GROUP BY 1, 2 ORDER BY 1, 2")
+       "WHERE p_size <= 20 GROUP BY 1, 2 ORDER BY 1, 2"),
+    "join_runtime_bloom" ->
+      ("SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_items, " +
+       s"${dsum6Sql("l_extendedprice * (1 - l_discount)")} AS revenue " +
+       "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+       "WHERE o_orderpriority = '3-MEDIUM' AND o_totalprice > 400000 " +
+       "GROUP BY 1 ORDER BY 1")
   )
 }

@@ -793,6 +793,18 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p.take(3000))
   }
 
+  test("join_runtime_bloom: Catalyst injects the bloom probe into the fact side") {
+    // under the scoped confs the optimizer must plant a
+    // bloom_filter_agg subquery on the selective dim and a
+    // might_contain probe on the fact scan — rows drop BEFORE the
+    // join shuffle writes them
+    val p = graft.operators.Joins.withRuntimeBloomConfs(spark) {
+      graft.operators.Joins.runtimeBloomJoin(spark, sf001)
+        .queryExecution.optimizedPlan.toString
+    }
+    assert(p.toLowerCase.contains("bloom"), p.take(4000))
+  }
+
   test("vec_hamming_topk: query signatures broadcast, rank cut is WindowGroupLimit") {
     val p = plan("vec_hamming_topk")
     // the 8-signature probe set must ride a broadcast (non-equi join →
