@@ -165,6 +165,94 @@ object Aggregations {
         .withColumn("grp", (col("user_id") % 2).cast("int"))
         .withColumn("x", col("cents").cast("double") / 100.0))),
 
+    // MANN-WHITNEY U — the NONPARAMETRIC two-sample test (rank-sum:
+    // robust where Welch's t is not, e.g. heavy-tailed spend). No
+    // global rank over the corpus: the data collapses to the exact
+    // cents VALUE GRID per group in one map-side-combinable pass
+    // (value-cardinality-bounded — ≤ 49k cells for this fixture's
+    // range at ANY corpus size), and the single ordered window runs
+    // over that grid only (the agg_gini/events_survival discipline).
+    // U in half-units (×2) stays exact integer through the tie terms
+    // (average ranks of ties contribute n0·n1/2 per tied cell); the
+    // tie-corrected normal approximation is one fixed row-local IEEE
+    // chain. Sums ride DECIMAL(38,0) so U is exact even where n²
+    // outgrows a long.
+    "agg_mann_whitney" -> ((s, dir) => {
+      val grid = events(s, dir)
+        .withColumn("cents", floor(col("value") * 100).cast("long"))
+        .withColumn("g", (col("user_id") % 2).cast("int"))
+        .groupBy("cents")
+        .agg(sum(when(col("g") === 0, 1L).otherwise(0L)).as("n0"),
+             sum(when(col("g") === 1, 1L).otherwise(0L)).as("n1"))
+      val wv = Window.orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val terms = grid
+        .withColumn("cum0", coalesce(sum(col("n0")).over(wv), lit(0L)))
+        .agg(
+          sum(col("n0")).as("n0t"), sum(col("n1")).as("n1t"),
+          // decimal BEFORE the multiply: n1·(2·cum0+n0) outgrows a
+          // long once cum0 reaches corpus scale; the tie cube t³
+          // outgrows it even sooner
+          sum(col("n1").cast("decimal(18,0)") *
+              (lit(2) * col("cum0") + col("n0")).cast("decimal(18,0)")).as("u2x"),
+          sum((col("n0") + col("n1")).cast("decimal(12,0)") *
+              (col("n0") + col("n1")).cast("decimal(12,0)") *
+              (col("n0") + col("n1")).cast("decimal(12,0)") -
+              (col("n0") + col("n1")).cast("decimal(12,0)")).as("ties3"))
+      terms.select(
+          big(col("n0t")).as("n0"), big(col("n1t")).as("n1"),
+          (col("u2x").cast("double") / 2.0).as("u"),
+          fround(
+            (col("u2x").cast("double") / 2.0 -
+             col("n0t").cast("double") * col("n1t").cast("double") / 2.0) /
+            sqrt(col("n0t").cast("double") * col("n1t").cast("double") / 12.0 *
+              ((col("n0t").cast("double") + col("n1t").cast("double") + 1.0) -
+               col("ties3").cast("double") /
+                 ((col("n0t").cast("double") + col("n1t").cast("double")) *
+                  (col("n0t").cast("double") + col("n1t").cast("double") - 1.0)))),
+            6).as("z"))
+    }),
+
+    // CUPED variance reduction — the experimentation-platform
+    // workhorse (Deng et al. 2013): adjust each user's post-period
+    // metric by θ·(pre-period metric − mean), θ = cov(x,y)/var(x),
+    // cutting metric variance by exactly r² without biasing the
+    // treatment delta. Pre/post is the events_did corpus-midpoint
+    // split; per-user x/y collapse in ONE conditional pass, then the
+    // five moment sums ride DECIMAL(38,0) (per-user cents totals are
+    // bounded by user activity, not corpus size, so the long products
+    // hold; the decimal sum is what scales with user count). θ, the
+    // variance numerators, and the r² reduction are one fixed
+    // row-local IEEE chain — no second pass over the data.
+    "events_cuped" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .withColumn("cents", floor(col("value") * 100).cast("long"))
+      val mid = ev.agg(
+        expr("(MIN(unix_micros(ts)) + MAX(unix_micros(ts))) DIV 2").as("mid"))
+      val pu = ev.crossJoin(broadcast(mid))
+        .withColumn("p", (unix_micros(col("ts")) >= col("mid")).cast("int"))
+        .groupBy("user_id")
+        .agg(sum(when(col("p") === 0, col("cents")).otherwise(0L)).as("x"),
+             sum(when(col("p") === 1, col("cents")).otherwise(0L)).as("y"))
+      val m = pu.agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"))
+      def d(c: Column) = c.cast("double")
+      val covn = d(col("sxy")) - d(col("sx")) * d(col("sy")) / d(col("n"))
+      val varxn = d(col("sxx")) - d(col("sx")) * d(col("sx")) / d(col("n"))
+      val varyn = d(col("syy")) - d(col("sy")) * d(col("sy")) / d(col("n"))
+      m.select(
+        big(col("n")).as("n_users"),
+        fround(covn / varxn, 6).as("theta"),
+        fround(d(col("sx")) / d(col("n")) / 100.0, 4).as("mean_x"),
+        fround(d(col("sy")) / d(col("n")) / 100.0, 4).as("mean_y"),
+        fround(covn * covn / varxn / varyn, 6).as("var_reduction"))
+    }),
+
     // DIFFERENCE-IN-DIFFERENCES — the quasi-experimental readout when
     // assignment isn't randomized per event: (treatment post − pre)
     // minus (control post − pre) of mean spend. Treatment is the
@@ -1225,6 +1313,50 @@ object Aggregations {
       froundSql(s"(sy - (($num) / ($den)) * sx) / CAST(n AS DOUBLE)", 6) + " AS intercept, " +
       froundSql(s"(($num) * ($num)) / (($den) * ($den2))", 6) + " AS r2 " +
       "FROM g ORDER BY l_returnflag"
+    },
+    "agg_mann_whitney" -> {
+      val nd = "(CAST(n0t AS DOUBLE) + CAST(n1t AS DOUBLE))"
+      ("WITH grid AS (SELECT CAST(FLOOR(value * 100) AS BIGINT) AS cents, " +
+       "SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n0, " +
+       "SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n1 " +
+       "FROM events GROUP BY 1), " +
+       "w AS (SELECT cents, n0, n1, COALESCE(SUM(n0) OVER (ORDER BY cents " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum0 FROM grid), " +
+       "t AS (SELECT CAST(SUM(n0) AS BIGINT) AS n0t, CAST(SUM(n1) AS BIGINT) AS n1t, " +
+       "SUM(CAST(n1 AS DECIMAL(18,0)) * CAST(2 * cum0 + n0 AS DECIMAL(18,0))) AS u2x, " +
+       "SUM(CAST(n0 + n1 AS DECIMAL(12,0)) * CAST(n0 + n1 AS DECIMAL(12,0)) * " +
+       "CAST(n0 + n1 AS DECIMAL(12,0)) - CAST(n0 + n1 AS DECIMAL(12,0))) AS ties3 " +
+       "FROM w) " +
+       "SELECT n0t AS n0, n1t AS n1, CAST(u2x AS DOUBLE) / 2.0 AS u, " +
+       froundSql("(CAST(u2x AS DOUBLE) / 2.0 - " +
+         "CAST(n0t AS DOUBLE) * CAST(n1t AS DOUBLE) / 2.0) / " +
+         "SQRT(CAST(n0t AS DOUBLE) * CAST(n1t AS DOUBLE) / 12.0 * " +
+         s"(($nd + 1.0) - CAST(ties3 AS DOUBLE) / ($nd * ($nd - 1.0))))", 6) +
+       " AS z FROM t ORDER BY n0")
+    },
+    "events_cuped" -> {
+      val covn = "(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))"
+      val varxn = "(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+      val varyn = "(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))"
+      ("WITH m AS (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid " +
+       "FROM events), " +
+       "pu AS (SELECT user_id, " +
+       "CAST(SUM(CASE WHEN epoch_us(ts) < m.mid " +
+       "THEN CAST(FLOOR(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x, " +
+       "CAST(SUM(CASE WHEN epoch_us(ts) >= m.mid " +
+       "THEN CAST(FLOOR(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y " +
+       "FROM events, m GROUP BY 1), " +
+       "mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
+       "SUM(CAST(x AS DECIMAL(38,0))) AS sx, SUM(CAST(y AS DECIMAL(38,0))) AS sy, " +
+       "SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx, " +
+       "SUM(CAST(y * y AS DECIMAL(38,0))) AS syy, " +
+       "SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy FROM pu) " +
+       "SELECT n AS n_users, " +
+       froundSql(s"$covn / $varxn", 6) + " AS theta, " +
+       froundSql("CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0", 4) + " AS mean_x, " +
+       froundSql("CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 100.0", 4) + " AS mean_y, " +
+       froundSql(s"$covn * $covn / $varxn / $varyn", 6) + " AS var_reduction " +
+       "FROM mm ORDER BY n_users")
     },
     "events_did" ->
       ("WITH m AS (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid " +

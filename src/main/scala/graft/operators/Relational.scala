@@ -224,6 +224,44 @@ object Relational {
         .agg(big(count(lit(1))).as("n"), dsum(col("l_extendedprice")).as("total"))
         .orderBy("l_returnflag")),
 
+    // NEGATIVE SAMPLING for contrastive/recommender training — per
+    // customer, [[NegPerKey]] part ids they never ordered, drawn by a
+    // deterministic integer LCG over the part-id span (recomputable
+    // forever, engine-portable — no engine RNG in sight). Each key
+    // mints [[NegCandidates]] candidates row-locally, the observed
+    // interaction pairs (customer×part via orders⋈lineitem — the
+    // standard interaction-matrix derivation) drop out via one LEFT
+    // ANTI join on the (key, item) pair, and the j-ordered rank keeps
+    // the first NegPerKey survivors (a candidate colliding with a
+    // positive falls through to the next j — deterministically in
+    // both engines). Per-key candidate work is a CONSTANT 8 rows at
+    // any corpus size; the data-sized costs are the interaction
+    // distinct and the anti-join shuffle on the pair key.
+    "sample_negative_pairs" -> ((s, dir) => {
+      val bounds = part(s, dir).agg(
+        min(col("p_partkey")).as("minp"),
+        (max(col("p_partkey")) - min(col("p_partkey")) + 1).as("span"))
+      val pos = lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+        .join(orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+              col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("pk"), col("l_partkey")).distinct()
+      val cand = customer(s, dir).select(col("c_custkey"))
+        .crossJoin(broadcast(bounds))
+        .withColumn("j", explode(sequence(lit(0), lit(NegCandidates - 1))))
+        .withColumn("cand",
+          (col("c_custkey") * lit(2654435761L) + col("j") * lit(40503L)) %
+            col("span") + col("minp"))
+      cand.join(pos,
+          cand("c_custkey") === pos("pk") && cand("cand") === pos("l_partkey"),
+          "left_anti")
+        .withColumn("rnk",
+          row_number().over(Window.partitionBy("c_custkey").orderBy("j")))
+        .where(col("rnk") <= NegPerKey)
+        .select(col("c_custkey"), big(col("rnk")).as("rnk"),
+                col("cand").as("neg_partkey"))
+        .orderBy("c_custkey", "rnk")
+    }),
+
     // Deterministic train/val/test split — the assignment every
     // training-data pipeline makes exactly once and must be able to
     // recompute forever: bucket = first 8 hex digits of md5(doc_id)
@@ -571,7 +609,28 @@ object Relational {
     s"CAST(LEAD(${ymdSql("o_orderdate")}) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS valid_to " +
     "FROM chg)"
 
+  /** sample_negative_pairs' knobs — LITERALS shared with the oracle
+    * (the KnnRefSetSize discipline): 8 candidates minted per key, the
+    * first 5 non-positive survivors kept. */
+  val NegCandidates = 8
+  val NegPerKey = 5
+
   val oracle: Map[String, String] = Map(
+    "sample_negative_pairs" ->
+      ("WITH bounds AS (SELECT MIN(p_partkey) AS minp, " +
+       "MAX(p_partkey) - MIN(p_partkey) + 1 AS span FROM part), " +
+       "pos AS (SELECT DISTINCT o_custkey AS pk, l_partkey FROM lineitem " +
+       "JOIN orders ON l_orderkey = o_orderkey), " +
+       "cand AS (SELECT c_custkey, j, " +
+       "(c_custkey * 2654435761 + j * 40503) % span + minp AS cand " +
+       "FROM customer, bounds, " +
+       s"(SELECT UNNEST(generate_series(0, ${NegCandidates - 1})) AS j)), " +
+       "neg AS (SELECT * FROM cand c WHERE NOT EXISTS (SELECT 1 FROM pos p " +
+       "WHERE p.pk = c.c_custkey AND p.l_partkey = c.cand)), " +
+       "r AS (SELECT c_custkey, cand, " +
+       "ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY j) AS rnk FROM neg) " +
+       "SELECT c_custkey, CAST(rnk AS BIGINT) AS rnk, cand AS neg_partkey " +
+       s"FROM r WHERE rnk <= $NegPerKey ORDER BY c_custkey, rnk"),
     "pivot_wide" ->
       ("SELECT n_name, " +
        Segments.map(seg =>
