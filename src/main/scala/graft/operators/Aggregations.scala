@@ -253,6 +253,44 @@ object Aggregations {
         fround(covn * covn / varxn / varyn, 6).as("var_reduction"))
     }),
 
+    // DELTA-METHOD ratio metric — the correct CI for CTR-shaped
+    // metrics (Σpurchases / Σviews), where the naive per-event
+    // binomial SE is wrong because users, not events, are the
+    // independent unit. Per-user numerator/denominator counts
+    // collapse in ONE conditional pass; the six moment sums ride
+    // DECIMAL(38,0); r = Σx/Σy and the first-order Taylor variance
+    // (Sxx − 2rSxy + r²Syy) / ȳ² / n derive in one fixed row-local
+    // IEEE chain, 1.96 literal for the 95% band. No second data pass.
+    "events_ratio_delta" -> ((s, dir) => {
+      val pu = events(s, dir)
+        .groupBy("user_id")
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("x"),
+             sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("y"))
+      val m = pu.agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"))
+      def d(c: Column) = c.cast("double")
+      val nd = d(col("n"))
+      val r = d(col("sx")) / d(col("sy"))
+      val ybar = d(col("sy")) / nd
+      val sxxS = (d(col("sxx")) - d(col("sx")) * d(col("sx")) / nd) / (nd - 1.0)
+      val syyS = (d(col("syy")) - d(col("sy")) * d(col("sy")) / nd) / (nd - 1.0)
+      val sxyS = (d(col("sxy")) - d(col("sx")) * d(col("sy")) / nd) / (nd - 1.0)
+      val se = sqrt((sxxS - lit(2.0) * r * sxyS + r * r * syyS) / (ybar * ybar) / nd)
+      m.select(
+        big(col("n")).as("n_users"),
+        big(col("sx").cast("long")).as("n_purchases"),
+        big(col("sy").cast("long")).as("n_views"),
+        fround(r, 6).as("ratio"),
+        fround(se, 6).as("se"),
+        fround(r - lit(1.96) * se, 6).as("ci_lo"),
+        fround(r + lit(1.96) * se, 6).as("ci_hi"))
+    }),
+
     // DIFFERENCE-IN-DIFFERENCES — the quasi-experimental readout when
     // assignment isn't randomized per event: (treatment post − pre)
     // minus (control post − pre) of mean spend. Treatment is the
@@ -1356,6 +1394,31 @@ object Aggregations {
        froundSql("CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0", 4) + " AS mean_x, " +
        froundSql("CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 100.0", 4) + " AS mean_y, " +
        froundSql(s"$covn * $covn / $varxn / $varyn", 6) + " AS var_reduction " +
+       "FROM mm ORDER BY n_users")
+    },
+    "events_ratio_delta" -> {
+      val nd = "CAST(n AS DOUBLE)"
+      val r = "(CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))"
+      val ybar = "(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))"
+      val sxxS = s"((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / $nd) / ($nd - 1.0))"
+      val syyS = s"((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / $nd) / ($nd - 1.0))"
+      val sxyS = s"((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / $nd) / ($nd - 1.0))"
+      val se = s"SQRT(($sxxS - 2.0 * $r * $sxyS + $r * $r * $syyS) / ($ybar * $ybar) / $nd)"
+      ("WITH pu AS (SELECT user_id, " +
+       "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS x, " +
+       "CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS y " +
+       "FROM events GROUP BY 1), " +
+       "mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
+       "SUM(CAST(x AS DECIMAL(38,0))) AS sx, SUM(CAST(y AS DECIMAL(38,0))) AS sy, " +
+       "SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx, " +
+       "SUM(CAST(y * y AS DECIMAL(38,0))) AS syy, " +
+       "SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy FROM pu) " +
+       "SELECT n AS n_users, CAST(sx AS BIGINT) AS n_purchases, " +
+       "CAST(sy AS BIGINT) AS n_views, " +
+       froundSql(r, 6) + " AS ratio, " +
+       froundSql(se, 6) + " AS se, " +
+       froundSql(s"$r - 1.96 * $se", 6) + " AS ci_lo, " +
+       froundSql(s"$r + 1.96 * $se", 6) + " AS ci_hi " +
        "FROM mm ORDER BY n_users")
     },
     "events_did" ->
