@@ -414,6 +414,35 @@ object Scans {
         big(count(when(col("o_orderdate") < cutoff, 1))).as("n_pre_cutoff"))
     }),
 
+    // NAMED TAGS — the human-addressable half of time travel (Iceberg
+    // tag / Delta named-commit semantics): a tag is ONE tiny metadata
+    // file binding a stable name to a committed version, so "the
+    // audited snapshot" keeps a durable address and a promotion is an
+    // O(1) metadata write — no data file is ever touched, at any
+    // table size. The fixture pins "audit" at v1; "prod" is first
+    // bound to v1 and then RETARGETED to v2 (the promote-after-
+    // validation loop), so the read also proves retarget semantics:
+    // last write wins, history untouched. Reads resolve tag → version
+    // → the SAME [[snapshotRead]] path as every other lifecycle op
+    // (one manifest parser, one reader — the readManifest rule).
+    // NonOracleOpsSpec pins the metadata claims: unknown tags fail
+    // loudly naming the available set, tagging an uncommitted version
+    // is refused, and the retarget rewrites one file under _tags/
+    // while the data directory's fingerprint stays byte-identical.
+    "scan_snapshot_tag" -> ((s, dir) => {
+      val root = timeTravelFixture(s, dir)
+      writeTag(root, "audit", 1)
+      writeTag(root, "prod", 1)
+      writeTag(root, "prod", 2) // retarget: promote v2 to prod
+      Seq("audit", "prod").map { t =>
+        snapshotRead(s, root, resolveTag(root, t))
+          .agg(big(count(lit(1))).as("n_rows"),
+               big(sum(floor(col("o_totalprice") * 100).cast("long")))
+                 .as("total_cents"))
+          .select(lit(t).as("tag"), col("n_rows"), col("total_cents"))
+      }.reduce(_ unionByName _).orderBy("tag")
+    }),
+
     "scan_manifest_pruned" -> ((s, dir) => {
       val out = scratch(dir, "manifest_src")
       // the range-clustered layout is the table, not the query: write
@@ -1114,6 +1143,39 @@ object Scans {
     new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(root, "_manifests", s"v$v.txt")), "UTF-8")
       .split("\n").toSeq.filter(_.nonEmpty)
+
+  /** Write (or RETARGET — last write wins) a named tag: one metadata
+    * file under `_tags/` binding `name` to a committed version.
+    * Refuses to tag a version that was never committed (or has been
+    * expired), so a tag can never dangle at creation time. Data files
+    * are never touched — tagging is O(1) metadata at any table size. */
+  def writeTag(root: String, name: String, v: Int): Unit = {
+    require(name.matches("[A-Za-z0-9_-]+"), s"illegal tag name: '$name'")
+    require(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "_manifests", s"v$v.txt")),
+      s"cannot tag version $v at $root: no such committed version")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(root, "_tags"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "_tags", s"$name.txt"),
+      v.toString.getBytes("UTF-8"))
+  }
+
+  /** Resolve a tag to its version, loudly listing the available tags
+    * on a miss (the [[snapshotRead]] unknown-version discipline). */
+  def resolveTag(root: String, name: String): Int = {
+    val p = java.nio.file.Paths.get(root, "_tags", s"$name.txt")
+    if (!java.nio.file.Files.exists(p)) {
+      val d = new java.io.File(s"$root/_tags")
+      val avail =
+        if (!d.isDirectory) "none"
+        else d.listFiles().map(_.getName.stripSuffix(".txt"))
+               .sorted.mkString(", ")
+      throw new IllegalArgumentException(
+        s"tag '$name' does not exist at $root; available tags: $avail")
+    }
+    new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim.toInt
+  }
 
   private def ttInitDirs(root: String): Unit = {
     import java.nio.file.{Files, Paths}
