@@ -430,10 +430,7 @@ object Scans {
     // is refused, and the retarget rewrites one file under _tags/
     // while the data directory's fingerprint stays byte-identical.
     "scan_snapshot_tag" -> ((s, dir) => {
-      val root = timeTravelFixture(s, dir)
-      writeTag(root, "audit", 1)
-      writeTag(root, "prod", 1)
-      writeTag(root, "prod", 2) // retarget: promote v2 to prod
+      val root = tagFixture(s, dir)
       Seq("audit", "prod").map { t =>
         snapshotRead(s, root, resolveTag(root, t))
           .agg(big(count(lit(1))).as("n_rows"),
@@ -1150,15 +1147,37 @@ object Scans {
     * expired), so a tag can never dangle at creation time. Data files
     * are never touched — tagging is O(1) metadata at any table size. */
   def writeTag(root: String, name: String, v: Int): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption => C}
     require(name.matches("[A-Za-z0-9_-]+"), s"illegal tag name: '$name'")
-    require(java.nio.file.Files.exists(
-      java.nio.file.Paths.get(root, "_manifests", s"v$v.txt")),
+    require(Files.exists(Paths.get(root, "_manifests", s"v$v.txt")),
       s"cannot tag version $v at $root: no such committed version")
-    java.nio.file.Files.createDirectories(
-      java.nio.file.Paths.get(root, "_tags"))
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(root, "_tags", s"$name.txt"),
-      v.toString.getBytes("UTF-8"))
+    Files.createDirectories(Paths.get(root, "_tags"))
+    // temp-file + atomic rename: a concurrent resolveTag sees either
+    // the old binding or the new one, never a torn/empty file
+    // (ADVICE r14 — the non-atomic write could expose partial state)
+    val tmp = Files.createTempFile(Paths.get(root, "_tags"), s".$name", ".tmp")
+    Files.write(tmp, v.toString.getBytes("UTF-8"))
+    Files.move(tmp, Paths.get(root, "_tags", s"$name.txt"),
+      C.ATOMIC_MOVE, C.REPLACE_EXISTING)
+  }
+
+  private val tagMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Unit]
+
+  /** The tagged table feeding scan_snapshot_tag: the time-travel
+    * fixture plus three tag writes — "audit" pinned at v1, "prod"
+    * bound to v1 then RETARGETED to v2 (the promote-after-validation
+    * loop). Tag state is written ONCE per (JVM, fixture state) like
+    * every other lifecycle fixture (ADVICE r14: re-tagging on every
+    * query execution raced concurrent readers of `_tags/prod.txt`). */
+  def tagFixture(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val root = timeTravelFixture(s, dir)
+    tagMemo.getOrElseUpdate(s"$root|${graft.Tables.fsSig(s, s"$dir/orders.parquet")}", {
+      writeTag(root, "audit", 1)
+      writeTag(root, "prod", 1)
+      writeTag(root, "prod", 2) // retarget: promote v2 to prod
+    })
+    root
   }
 
   /** Resolve a tag to its version, loudly listing the available tags
@@ -2489,6 +2508,18 @@ object Scans {
        "CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents " +
        s"FROM orders WHERE o_orderdate < TIMESTAMP '$TimeTravelCutoff' " +
        "ORDER BY version"),
+
+    // audit is pinned at v1 (pre-cutoff slice); prod, after the
+    // retarget, resolves to v2 (the full table) — last write wins
+    "scan_snapshot_tag" ->
+      ("SELECT 'audit' AS tag, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+       "CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents " +
+       s"FROM orders WHERE o_orderdate < TIMESTAMP '$TimeTravelCutoff' " +
+       "UNION ALL " +
+       "SELECT 'prod' AS tag, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+       "CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents " +
+       "FROM orders " +
+       "ORDER BY tag"),
 
     // v3 = every order (v2) plus the %10 slice re-appended WITH the
     // added column; only the slice's rows carry non-null o_flag

@@ -783,6 +783,52 @@ class NonOracleOpsSpec extends SparkSpec {
     assert(Scans.snapshotRead(spark, root, 2).count() == all)
   }
 
+  test("snapshot tags: unknown tag loud, uncommitted version refused, retarget is one-file metadata") {
+    import graft.operators.Scans
+    val root = Scans.tagFixture(spark, sf001)
+    // resolution: audit pinned at v1, prod retargeted to v2 (last write wins)
+    assert(Scans.resolveTag(root, "audit") == 1)
+    assert(Scans.resolveTag(root, "prod") == 2)
+    // (a) unknown tag fails loudly NAMING the available set
+    val e1 = intercept[IllegalArgumentException] {
+      Scans.resolveTag(root, "nope")
+    }
+    assert(e1.getMessage.contains("'nope'") &&
+           e1.getMessage.contains("audit") && e1.getMessage.contains("prod"),
+      e1.getMessage)
+    // (b) tagging a version that was never committed is refused
+    val e2 = intercept[IllegalArgumentException] {
+      Scans.writeTag(root, "future", 99)
+    }
+    assert(e2.getMessage.contains("no such committed version"), e2.getMessage)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "_tags", "future.txt")))
+    // (c) a retarget rewrites exactly ONE file under _tags/ and the
+    // data directory stays byte-identical — tagging is O(1) metadata
+    def md5(f: java.io.File): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      java.util.Base64.getEncoder.encodeToString(
+        d.digest(java.nio.file.Files.readAllBytes(f.toPath)))
+    }
+    def dataFp() = new java.io.File(s"$root/data").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> md5(f)).toMap
+    def tagsState() = new java.io.File(s"$root/_tags").listFiles()
+      .filter(_.getName.endsWith(".txt"))
+      .map(f => f.getName -> new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim).toMap
+    val (dataBefore, tagsBefore) = (dataFp(), tagsState())
+    Scans.writeTag(root, "prod", 1) // demote
+    val (dataAfter, tagsAfter) = (dataFp(), tagsState())
+    assert(dataAfter == dataBefore, "retarget touched a data file")
+    assert(tagsAfter - "prod.txt" == tagsBefore - "prod.txt",
+      "retarget touched a sibling tag")
+    assert(tagsBefore("prod.txt") == "2" && tagsAfter("prod.txt") == "1")
+    assert(Scans.resolveTag(root, "prod") == 1)
+    Scans.writeTag(root, "prod", 2) // restore the fixture's memoized state
+    assert(Scans.resolveTag(root, "prod") == 2)
+  }
+
   test("retention: vacuum deletes ONLY exclusive files, survivors byte-identical, expired reads loud") {
     import graft.operators.Scans
     val root = java.nio.file.Files.createTempDirectory("graft_ret_spec")
