@@ -284,9 +284,12 @@ object Aggregations {
         count(lit(1)).as("n"),
         sum(col("x").cast("decimal(38,0)")).as("sx"),
         sum(col("y").cast("decimal(38,0)")).as("sy"),
-        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
-        sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"),
-        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"))
+        // decimal BEFORE the multiply (ADVICE r14): x·x in LONG wraps
+        // silently past ~$30M of period cents while DuckDB raises —
+        // the agg_mann_whitney discipline, applied here too
+        sum(col("x").cast("decimal(19,0)") * col("x").cast("decimal(19,0)")).as("sxx"),
+        sum(col("y").cast("decimal(19,0)") * col("y").cast("decimal(19,0)")).as("syy"),
+        sum(col("x").cast("decimal(19,0)") * col("y").cast("decimal(19,0)")).as("sxy"))
       def d(c: Column) = c.cast("double")
       val covn = d(col("sxy")) - d(col("sx")) * d(col("sy")) / d(col("n"))
       val varxn = d(col("sxx")) - d(col("sx")) * d(col("sx")) / d(col("n"))
@@ -316,9 +319,11 @@ object Aggregations {
         count(lit(1)).as("n"),
         sum(col("x").cast("decimal(38,0)")).as("sx"),
         sum(col("y").cast("decimal(38,0)")).as("sy"),
-        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
-        sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"),
-        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"))
+        // decimal BEFORE the multiply (ADVICE r14) — per-user counts
+        // are activity-bounded but the long product is the hazard
+        sum(col("x").cast("decimal(19,0)") * col("x").cast("decimal(19,0)")).as("sxx"),
+        sum(col("y").cast("decimal(19,0)") * col("y").cast("decimal(19,0)")).as("syy"),
+        sum(col("x").cast("decimal(19,0)") * col("y").cast("decimal(19,0)")).as("sxy"))
       def d(c: Column) = c.cast("double")
       val nd = d(col("n"))
       val r = d(col("sx")) / d(col("sy"))
@@ -1432,9 +1437,9 @@ object Aggregations {
        "FROM events, m GROUP BY 1), " +
        "mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
        "SUM(CAST(x AS DECIMAL(38,0))) AS sx, SUM(CAST(y AS DECIMAL(38,0))) AS sy, " +
-       "SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx, " +
-       "SUM(CAST(y * y AS DECIMAL(38,0))) AS syy, " +
-       "SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy FROM pu) " +
+       "SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx, " +
+       "SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS syy, " +
+       "SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS sxy FROM pu) " +
        "SELECT n AS n_users, " +
        froundSql(s"$covn / $varxn", 6) + " AS theta, " +
        froundSql("CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0", 4) + " AS mean_x, " +
@@ -1456,9 +1461,9 @@ object Aggregations {
        "FROM events GROUP BY 1), " +
        "mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
        "SUM(CAST(x AS DECIMAL(38,0))) AS sx, SUM(CAST(y AS DECIMAL(38,0))) AS sy, " +
-       "SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx, " +
-       "SUM(CAST(y * y AS DECIMAL(38,0))) AS syy, " +
-       "SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy FROM pu) " +
+       "SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx, " +
+       "SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS syy, " +
+       "SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS sxy FROM pu) " +
        "SELECT n AS n_users, CAST(sx AS BIGINT) AS n_purchases, " +
        "CAST(sy AS BIGINT) AS n_views, " +
        froundSql(r, 6) + " AS ratio, " +

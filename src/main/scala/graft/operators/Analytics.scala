@@ -607,20 +607,27 @@ object Analytics {
     // agrees here, but the integer form can't): one shuffle collapses
     // the corpus to the (type, week) grid; the lag window then runs
     // on that value-cardinality-bounded grid, never on event rows.
-    // First week's growth is NULL by definition (no prior period),
-    // which both engines propagate through the rounding pin.
-    "events_growth_wow" -> ((s, dir) =>
+    // "WoW" means the CALENDAR-previous week (ADVICE r14: a plain lag
+    // over observed weeks would silently compare non-adjacent weeks
+    // across a zero-event gap): the lagged count only counts as the
+    // prior period when its week index is exactly week−1, otherwise
+    // growth is NULL — the first week's NULL rule generalized to
+    // every gap. Both engines apply the identical guard.
+    "events_growth_wow" -> ((s, dir) => {
+      val wv = Window.partitionBy("event_type").orderBy("week")
       events(s, dir)
         .withColumn("week",
           expr("datediff(to_date(ts), DATE '2024-01-01') div 7").cast("long"))
         .groupBy("event_type", "week")
         .agg(big(count(lit(1))).as("n"))
         .withColumn("prev",
-          lag(col("n"), 1).over(Window.partitionBy("event_type").orderBy("week")))
+          when(lag(col("week"), 1).over(wv) === col("week") - 1,
+               lag(col("n"), 1).over(wv)))
         .select(col("event_type"), col("week"), col("n"),
                 fround((col("n") - col("prev")).cast("double") /
                        col("prev").cast("double"), 4).as("wow_growth"))
-        .orderBy("event_type", "week")),
+        .orderBy("event_type", "week")
+    }),
 
     // Inter-arrival gap distribution per event type — the burstiness /
     // rate-profile view (Poisson-ness check before capacity modeling).
@@ -1475,13 +1482,15 @@ object Analytics {
        froundSql("CAST(dau AS DOUBLE) / wau", 4) + " AS stickiness " +
        "FROM dau JOIN wau ON d = sd ORDER BY day"),
     // identical integer week index (// floors like div on the
-    // non-negative fixture dates), identical NULL-first-week rule
+    // non-negative fixture dates), identical calendar-adjacency
+    // guard: prev only counts when the lagged week is exactly week−1
     "events_growth_wow" ->
       ("WITH w AS (SELECT event_type, " +
        "CAST(DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS BIGINT) AS week, " +
        "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), " +
        "g AS (SELECT event_type, week, n, " +
-       "LAG(n, 1) OVER (PARTITION BY event_type ORDER BY week) AS prev FROM w) " +
+       "CASE WHEN LAG(week, 1) OVER (PARTITION BY event_type ORDER BY week) = week - 1 " +
+       "THEN LAG(n, 1) OVER (PARTITION BY event_type ORDER BY week) END AS prev FROM w) " +
        "SELECT event_type, week, n, " +
        froundSql("CAST(n - prev AS DOUBLE) / prev", 4) + " AS wow_growth " +
        "FROM g ORDER BY event_type, week"),

@@ -520,8 +520,13 @@ object Joins {
       val out = scratch(dir, "runtime_bloom")
       runtimeBloomMemo.getOrElseUpdate(
         s"$out|${graft.Tables.fsSig(s, s"$dir/lineitem.parquet")}", {
-          withRuntimeBloomConfs(s) {
-            runtimeBloomJoin(s, dir).write.mode("overwrite").parquet(out)
+          // the conf flips ride a DEDICATED newSession (own SQLConf,
+          // shared SparkContext), so a query planned concurrently in
+          // the parent session can never see the disabled-broadcast /
+          // zeroed-threshold window (ADVICE r14)
+          val ns = s.newSession()
+          withRuntimeBloomConfs(ns) {
+            runtimeBloomJoin(ns, dir).write.mode("overwrite").parquet(out)
           }
         })
       s.read.parquet(out).orderBy("o_orderstatus")
