@@ -829,6 +829,68 @@ class NonOracleOpsSpec extends SparkSpec {
     assert(Scans.resolveTag(root, "prod") == 2)
   }
 
+  test("branch WAP: staged commits invisible to main; publish = one atomic pointer file") {
+    import graft.operators.Scans
+    val root = java.nio.file.Files.createTempDirectory("graft_wap_spec")
+      .toString + "/tbl"
+    Scans.evolutionBase(spark, sf001, root)
+    val all = Tables.orders(spark, sf001).count()
+    val sliceN = Tables.orders(spark, sf001)
+      .where(col("o_orderkey") % 10 === 0).count()
+    // branch creation refuses an uncommitted version, resolves loudly
+    val e0 = intercept[IllegalArgumentException] {
+      Scans.createBranch(root, "main", 42)
+    }
+    assert(e0.getMessage.contains("no such committed version"), e0.getMessage)
+    Scans.createBranch(root, "main", 2)
+    Scans.createBranch(root, "audit", 2)
+    val e1 = intercept[IllegalArgumentException] {
+      Scans.resolveBranch(root, "nope")
+    }
+    assert(e1.getMessage.contains("'nope'") && e1.getMessage.contains("audit") &&
+           e1.getMessage.contains("main"), e1.getMessage)
+    // stage on audit: ONLY audit advances; the staged files are
+    // physically in data/ but main's manifest doesn't reference them
+    val slice = Tables.orders(spark, sf001)
+      .select("o_orderkey", "o_orderdate", "o_totalprice")
+      .where(col("o_orderkey") % 10 === 0)
+    val v3 = Scans.commitOnBranch(spark, root, "audit", slice, "a3")
+    assert(v3 == 3)
+    assert(Scans.resolveBranch(root, "audit") == 3)
+    assert(Scans.resolveBranch(root, "main") == 2)
+    val staged = new java.io.File(s"$root/data").listFiles()
+      .map(_.getName).filter(_.startsWith("a3_"))
+    assert(staged.nonEmpty, "staged commit wrote no a3_* files")
+    assert(Scans.snapshotRead(spark, root, Scans.resolveBranch(root, "main"))
+      .count() == all, "main saw the staged commit before publish")
+    assert(Scans.snapshotRead(spark, root, Scans.resolveBranch(root, "audit"))
+      .count() == all + sliceN)
+    // publish: exactly ONE _branches/ file rewritten, data dir
+    // byte-identical, main fast-forwards to the audited state
+    def md5(f: java.io.File): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      java.util.Base64.getEncoder.encodeToString(
+        d.digest(java.nio.file.Files.readAllBytes(f.toPath)))
+    }
+    def dataFp() = new java.io.File(s"$root/data").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> md5(f)).toMap
+    def branchState() = new java.io.File(s"$root/_branches").listFiles()
+      .filter(_.getName.endsWith(".txt"))
+      .map(f => f.getName -> new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim).toMap
+    val (dBefore, bBefore) = (dataFp(), branchState())
+    val pv = Scans.publishBranch(root, "audit", "main")
+    val (dAfter, bAfter) = (dataFp(), branchState())
+    assert(pv == 3)
+    assert(dAfter == dBefore, "publish touched a data file")
+    assert(bAfter - "main.txt" == bBefore - "main.txt",
+      "publish touched a sibling branch")
+    assert(bBefore("main.txt") == "2" && bAfter("main.txt") == "3")
+    assert(Scans.snapshotRead(spark, root, Scans.resolveBranch(root, "main"))
+      .count() == all + sliceN)
+  }
+
   test("retention: vacuum deletes ONLY exclusive files, survivors byte-identical, expired reads loud") {
     import graft.operators.Scans
     val root = java.nio.file.Files.createTempDirectory("graft_ret_spec")
