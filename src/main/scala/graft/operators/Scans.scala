@@ -835,16 +835,23 @@ object Scans {
     // copy of the fixture, decompressed inside the reader via Hadoop's
     // CompressionCodecFactory (extension-resolved). Identical oracle to
     // source_framed_extract — compression must be invisible to results.
-    "source_framed_extract_gz" -> ((s, dir) => {
-      val out = framedFixtureGz(s, dir)
-      s.read.format("graft.sources.FramedSource").load(out)
-        .groupBy("event_type")
-        .agg(big(count(lit(1))).as("n"),
-             dsum(col("value")).as("val_sum"),
-             big(sum(size(col("pulses")))).as("n_pulses"),
-             big(sum(aggregate(col("pulses"), lit(0L), (a, x) => a + x))).as("pulse_sum"))
-        .orderBy("event_type")
-    }),
+    "source_framed_extract_gz" -> ((s, dir) =>
+      framedCompressedExtract(s, framedFixtureGz(s, dir))),
+
+    // `.zst` twin (VERDICT r14 missing #3 — the last R-surface codec
+    // gap): externally zstd-compressed archive read through the same
+    // extension-resolved codec path, decoding via the pure-JVM
+    // [[graft.sources.ZstdCodec]] (zstd-jni) because Hadoop's own
+    // ZStandardCodec needs a native libhadoop this runtime lacks.
+    // Identical oracle — compression must be invisible to results.
+    "source_framed_extract_zst" -> ((s, dir) =>
+      framedCompressedExtract(s, framedFixtureZst(s, dir))),
+
+    // `.bz2` twin: Hadoop's BZip2Codec is pure-JVM, so only the
+    // fixture (commons-compress writer) and the oracle proof were
+    // missing. Identical oracle.
+    "source_framed_extract_bz2" -> ((s, dir) =>
+      framedCompressedExtract(s, framedFixtureBz2(s, dir))),
 
     // Run discovery via the `_file` METADATA column (i3cols parses run
     // ids out of `.i3` file names; Spark-native, provenance lives
@@ -1913,15 +1920,22 @@ object Scans {
   private val framedGzMemo =
     scala.collection.concurrent.TrieMap.empty[String, Unit]
 
-  /** Gzipped per-file copy of [[framedFixture]] (the `.i3.gz` analog): same
-    * frames, whole-file compressed, read back through the identical
-    * connector path — the codec is resolved from the file extension by
-    * Hadoop's CompressionCodecFactory inside the reader. Driver-side
-    * streaming copy: the fixture is small; a production archive is
-    * written compressed at the source. */
-  def framedFixtureGz(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+  /** Compressed per-file copy of [[framedFixture]] (the `.i3.gz/.bz2/
+    * .zst` analog): same frames, whole-file compressed with an
+    * EXTERNAL library stream (java.util.zip / commons-compress /
+    * zstd-jni — deliberately NOT the reader's Hadoop codec wrapper,
+    * so the read proves format interop, not a round-trip through one
+    * implementation), read back through the identical connector
+    * path — the codec is resolved from the file extension by Hadoop's
+    * CompressionCodecFactory inside the reader (`.zst` via the
+    * pure-JVM [[graft.sources.ZstdCodec]]). Driver-side streaming
+    * copy: the fixture is small; a production archive is written
+    * compressed at the source. */
+  private def framedFixtureCompressed(
+      s: org.apache.spark.sql.SparkSession, dir: String, ext: String,
+      wrap: java.io.OutputStream => java.io.OutputStream): String = {
     val src = framedFixture(s, dir)
-    val out = scratch(dir, "framed_src_gz")
+    val out = scratch(dir, s"framed_src_$ext")
     framedGzMemo.getOrElseUpdate(
       s"$out|${graft.Tables.fsSig(s, s"$dir/events.parquet")}", {
         val conf = s.sparkContext.hadoopConfiguration
@@ -1931,9 +1945,9 @@ object Scans {
         fs.mkdirs(outP)
         graft.sources.FramedSource.frameFiles(src, conf).foreach { f =>
           val srcP = new org.apache.hadoop.fs.Path(f)
-          val dstP = new org.apache.hadoop.fs.Path(out, srcP.getName + ".gz")
+          val dstP = new org.apache.hadoop.fs.Path(out, srcP.getName + s".$ext")
           val in = fs.open(srcP)
-          val o = new java.util.zip.GZIPOutputStream(fs.create(dstP, true))
+          val o = wrap(fs.create(dstP, true))
           try {
             val buf = new Array[Byte](1 << 16)
             var n = in.read(buf)
@@ -1943,6 +1957,34 @@ object Scans {
       })
     out
   }
+
+  /** The one extraction all three compressed-archive queries share —
+    * per-type counts, value sums, and pulse-series aggregates over
+    * the connector read; byte-identical results across codecs is the
+    * point. */
+  private def framedCompressedExtract(
+      s: org.apache.spark.sql.SparkSession,
+      out: String): org.apache.spark.sql.DataFrame =
+    s.read.format("graft.sources.FramedSource").load(out)
+      .groupBy("event_type")
+      .agg(big(count(lit(1))).as("n"),
+           dsum(col("value")).as("val_sum"),
+           big(sum(size(col("pulses")))).as("n_pulses"),
+           big(sum(aggregate(col("pulses"), lit(0L), (a, x) => a + x))).as("pulse_sum"))
+      .orderBy("event_type")
+
+  def framedFixtureGz(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    framedFixtureCompressed(s, dir, "gz",
+      o => new java.util.zip.GZIPOutputStream(o))
+
+  def framedFixtureZst(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    framedFixtureCompressed(s, dir, "zst",
+      o => new com.github.luben.zstd.ZstdOutputStream(o))
+
+  def framedFixtureBz2(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    framedFixtureCompressed(s, dir, "bz2",
+      o => new org.apache.commons.compress.compressors.bzip2
+        .BZip2CompressorOutputStream(o))
 
   /** Once-per-(JVM, source-state) guard for the category layout +
     * persisted index feeding `scan_categ_index_persisted` and
@@ -2308,6 +2350,18 @@ object Scans {
       shiftleft(shiftright(by, i).bitwiseAND(1L), 2 * i + 1)
     }.reduce(_ + _)
 
+  /** Shared by the three compressed-archive extraction queries: the
+    * codec must be invisible to results, so all three check against
+    * the one uncompressed-twin derivation. */
+  private lazy val framedCompressedOracle: String =
+    ("WITH e AS (SELECT event_type, value, event_id % 5 AS np, " +
+     "epoch_us(ts) % 1000000 AS base FROM events) " +
+     "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
+     s"${dsumSql("value")} AS val_sum, " +
+     "CAST(SUM(np) AS BIGINT) AS n_pulses, " +
+     "CAST(SUM(np * base + (np * (np - 1)) // 2) AS BIGINT) AS pulse_sum " +
+     "FROM e GROUP BY event_type ORDER BY event_type")
+
   val oracle: Map[String, String] = Map(
     // lossless-extract check: aggregates over the framed-format
     // roundtrip must equal the same aggregates over the source events;
@@ -2458,14 +2512,10 @@ object Scans {
        "FROM e GROUP BY event_type ORDER BY event_type"),
     // compression must be invisible: identical oracle to the
     // uncompressed extract
-    "source_framed_extract_gz" ->
-      ("WITH e AS (SELECT event_type, value, event_id % 5 AS np, " +
-       "epoch_us(ts) % 1000000 AS base FROM events) " +
-       "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
-       s"${dsumSql("value")} AS val_sum, " +
-       "CAST(SUM(np) AS BIGINT) AS n_pulses, " +
-       "CAST(SUM(np * base + (np * (np - 1)) // 2) AS BIGINT) AS pulse_sum " +
-       "FROM e GROUP BY event_type ORDER BY event_type"),
+    "source_framed_extract_gz" -> framedCompressedOracle,
+    // byte-identical extraction vs the uncompressed twin, per codec
+    "source_framed_extract_zst" -> framedCompressedOracle,
+    "source_framed_extract_bz2" -> framedCompressedOracle,
     "source_framed_filtered" ->
       ("SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n, " +
        s"${dsumSql("value")} AS val_sum FROM events " +

@@ -595,10 +595,38 @@ object FramedSource {
   /** The session's Hadoop conf when a session is active (driver side),
     * else a plain default — the fallback only exists for bare unit
     * tests constructing readers outside any session. */
-  def sessionHadoopConf(): Configuration =
-    SparkSession.getActiveSession
+  def sessionHadoopConf(): Configuration = {
+    val c = SparkSession.getActiveSession
       .map(_.sessionState.newHadoopConf())
       .getOrElse(new Configuration())
+    registerGraftCodecs(c)
+    c
+  }
+
+  /** Pin the codec list so `.zst` resolves to the pure-JVM
+    * [[ZstdCodec]] (zstd-jni) instead of Hadoop's native-only
+    * `ZStandardCodec`: with `io.compression.codecs` unset the factory
+    * ServiceLoader-discovers the native one, whose streams throw in
+    * runtimes without a libzstd-enabled libhadoop (this one). The
+    * explicit list keeps every stock pure-JVM-capable codec and swaps
+    * only the zstd binding; a user-set list is left untouched beyond
+    * appending ours if absent. Idempotent. */
+  def registerGraftCodecs(c: Configuration): Unit = {
+    val ours = classOf[ZstdCodec].getName
+    val cur = c.getTrimmedStrings("io.compression.codecs")
+    if (cur == null || cur.isEmpty) {
+      c.set("io.compression.codecs", Seq(
+        "org.apache.hadoop.io.compress.DefaultCodec",
+        "org.apache.hadoop.io.compress.GzipCodec",
+        "org.apache.hadoop.io.compress.BZip2Codec",
+        "org.apache.hadoop.io.compress.DeflateCodec",
+        "org.apache.hadoop.io.compress.Lz4Codec",
+        "org.apache.hadoop.io.compress.SnappyCodec",
+        ours).mkString(","))
+    } else if (!cur.contains(ours)) {
+      c.set("io.compression.codecs", (cur.toSeq :+ ours).mkString(","))
+    }
+  }
 
   def pathOf(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")
@@ -2021,6 +2049,16 @@ case class FramedWriterFactory(schema: StructType, path: String, queryId: String
 }
 
 object FramedDataWriter {
+  /** `CodecPool.getCompressor` for codecs that pool one, null for
+    * stream-only codecs ([[ZstdCodec]] returns null compressor
+    * types, which `CodecPool` does not uniformly tolerate) — the
+    * writer already handles a null compressor by taking the plain
+    * `createOutputStream(out)` path. */
+  def pooledCompressor(c: org.apache.hadoop.io.compress.CompressionCodec):
+      org.apache.hadoop.io.compress.Compressor =
+    if (c.getCompressorType == null) null
+    else org.apache.hadoop.io.compress.CodecPool.getCompressor(c)
+
   /** Counts bytes written through to the underlying file stream, and
     * turns `close()` into a flush: each block-compressed codec MEMBER
     * is written through its own [[CompressionCodec]] stream whose
@@ -2178,10 +2216,10 @@ class FramedDataWriter(schema: StructType, path: String, queryId: String,
             new java.io.BufferedOutputStream(fs.create(tmp, true)))
           blockBuf = new java.io.ByteArrayOutputStream()
           out = new DataOutputStream(blockBuf)
-          compressor = org.apache.hadoop.io.compress.CodecPool.getCompressor(c)
+          compressor = FramedDataWriter.pooledCompressor(c)
         case Some(c) =>
           // concat-unsafe codec: one whole-file stream, never split
-          compressor = org.apache.hadoop.io.compress.CodecPool.getCompressor(c)
+          compressor = FramedDataWriter.pooledCompressor(c)
           val base = new java.io.BufferedOutputStream(fs.create(tmp, true))
           val cs =
             if (compressor != null) c.createOutputStream(base, compressor)

@@ -1201,32 +1201,28 @@ class FramedSourceSpec extends SparkSpec {
         .option("compression", "nosuchcodec").mode("append").save(dir)
     }
     assert(e1.getMessage.contains("compression codec"), e1.getMessage)
-    // zstd: available only with native hadoop+libzstd — absent here it
-    // must fail AT BUILD with the honest runtime message, not 10^4
-    // tasks into the job; present, it must roundtrip like gzip
-    val zstdUsable =
-      try {
-        new org.apache.hadoop.io.compress.CompressionCodecFactory(
-          spark.sparkContext.hadoopConfiguration).getCodecByName("zstd")
-          .createOutputStream(new java.io.ByteArrayOutputStream()).close()
-        true
-      } catch { case _: Throwable => false }
-    if (zstdUsable) {
-      df.write.format("graft.sources.FramedSource")
-        .option("compression", "zstd").mode("overwrite").save(dir)
-      assertSameRows(
-        spark.read.format("graft.sources.FramedSource").load(dir), df, "zstd roundtrip")
-    } else {
-      val e2 = intercept[Exception] {
-        df.write.format("graft.sources.FramedSource")
-          .option("compression", "zstd").mode("append").save(dir)
-      }
-      // either honest build-time refusal: not registered in this
-      // Hadoop build ("unknown"), or registered but native lib absent
-      // ("not usable in this runtime")
-      assert(e2.getMessage.contains("compression codec 'zstd'") ||
-             e2.getMessage.contains("not usable in this runtime"), e2.getMessage)
-    }
+    // zstd: pure-JVM via graft.sources.ZstdCodec (zstd-jni, which
+    // Spark ships) — registered by sessionHadoopConf, so the codec is
+    // ALWAYS usable and must hit full gzip parity: block-compressed
+    // write (zstd frames concatenate, so the concatMemberSafe probe
+    // admits blocks), v2 split index, whole-file and ranged reads
+    val zdir = s"${java.nio.file.Files.createTempDirectory("graft_framed_wzst")}/table"
+    df.coalesce(1).write.format("graft.sources.FramedSource")
+      .option("compression", "zstd")
+      .option("indexBlockBytes", "1024")
+      .mode("overwrite").save(zdir)
+    val zfiles = graft.sources.FramedSource.frameFiles(zdir)
+    assert(zfiles.size == 1 && zfiles.head.endsWith(".frames.zst"),
+      s"expected one .frames.zst, got $zfiles")
+    assert(new java.io.File(zdir).listFiles().map(_.getName).exists(_.endsWith(".idx")),
+      "zstd is concat-member-safe, so block-compressed output must publish its v2 index")
+    assertSameRows(
+      spark.read.format("graft.sources.FramedSource").load(zdir), df, "zstd roundtrip")
+    val zsplit = spark.read.format("graft.sources.FramedSource")
+      .option("targetSplitBytes", "2048").load(zdir)
+    assert(zsplit.rdd.getNumPartitions > 1,
+      "block-compressed indexed .frames.zst still read as one partition")
+    assertSameRows(zsplit, df, "zstd block-compressed ranged read")
   }
 
   test("legacy v1 sidecars still split; concat-unsafe codecs degrade to one unsplit stream") {
