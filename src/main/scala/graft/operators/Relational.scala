@@ -423,6 +423,94 @@ object Relational {
         .orderBy("col_name")
     }),
 
+    // DATA-QUALITY EXPECTATION GATE — the Great-Expectations-shaped
+    // contract check an ingestion pipeline runs BEFORE any transform
+    // trusts a landing: a DECLARED suite of expectations (key
+    // uniqueness, value range, accepted set, referential integrity,
+    // null rate, non-emptiness), one pass/fail row each. The drift
+    // gate watches distributions MOVE; this gate watches the data
+    // CONTRACT hold. Scale shape: all of a table's row-local checks
+    // collapse into ONE aggregate pass (the profile_columns explode
+    // move — no per-expectation rescans); the sole cross-table check
+    // (lineitem→orders FK) is one LEFT ANTI join on the key, the
+    // join class that rides a runtime bloom / bucket co-location at
+    // 100 TB. n_failed counts, not samples: a gate needs the exact
+    // violation count, the violating ROWS are a filter away.
+    "dq_expectations" -> ((s, dir) => {
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select(explode(col("arr")).as("e")).select(col("e.*"))
+      def exp3(name: String, checked: org.apache.spark.sql.Column,
+               failed: org.apache.spark.sql.Column) =
+        struct(lit(name).as("expectation"), big(checked).as("n_checked"),
+               big(failed).as("n_failed"))
+      val o = orders(s, dir).agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("o_orderkey")).as("nd"),
+          count(when(col("o_totalprice").isNull ||
+                     col("o_totalprice") <= 0 ||
+                     col("o_totalprice") > 1e6, 1)).as("bad_range"),
+          count(when(col("o_orderstatus").isNull ||
+                     !col("o_orderstatus").isin("O", "F", "P"), 1)).as("bad_set"))
+        .select(array(
+          exp3("orders.o_orderkey unique", col("n"), col("n") - col("nd")),
+          exp3("orders.o_totalprice in (0,1e6]", col("n"), col("bad_range")),
+          exp3("orders.o_orderstatus in {O,F,P}", col("n"), col("bad_set"))).as("arr"))
+      val li = lineitem(s, dir).agg(
+          count(lit(1)).as("n"),
+          count(when(col("l_discount").isNull ||
+                     col("l_discount") < 0 || col("l_discount") > 1, 1)).as("bad_disc"),
+          count(when(col("l_quantity").isNull || col("l_quantity") <= 0, 1)).as("bad_qty"))
+        .select(array(
+          exp3("lineitem.l_discount in [0,1]", col("n"), col("bad_disc")),
+          exp3("lineitem.l_quantity > 0", col("n"), col("bad_qty"))).as("arr"))
+      val fk = lineitem(s, dir).select(col("l_orderkey"))
+        .join(orders(s, dir).select(col("o_orderkey")),
+              col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("orphans"))
+        .crossJoin(broadcast(lineitem(s, dir).agg(count(lit(1)).as("n"))))
+        .select(array(
+          exp3("lineitem.l_orderkey references orders", col("n"), col("orphans"))).as("arr"))
+      val ev = events(s, dir).agg(
+          count(lit(1)).as("n"),
+          count(when(col("value").isNull, 1)).as("bad_null"))
+        .select(array(
+          exp3("events.value not null", col("n"), col("bad_null"))).as("arr"))
+      val doc = documents(s, dir).agg(
+          count(lit(1)).as("n"),
+          count(when(col("text").isNull || length(col("text")) === 0, 1)).as("bad_empty"))
+        .select(array(
+          exp3("documents.text non-empty", col("n"), col("bad_empty"))).as("arr"))
+      Seq(o, li, fk, ev, doc).map(rows).reduce(_ unionByName _)
+        .withColumn("passed", col("n_failed") === 0L)
+        .orderBy("expectation")
+    }),
+
+    // JOIN-KEY SKEW PROFILER — the "should this join be salted?"
+    // advisor, run on a key BEFORE committing a 100-TB shuffle to it:
+    // the corpus collapses to the per-key frequency grid in one
+    // map-side-combinable hash-agg (key-cardinality-bounded), and the
+    // report derives entirely from that grid — row/key counts, the
+    // heaviest key and its share of all rows, exact p50/p99 of the
+    // frequency distribution, and max/p50 as the skew ratio (the
+    // number that says how unbalanced the heaviest shuffle partition
+    // will be vs the median). The salting decision reads ONE row.
+    "profile_key_skew" -> ((s, dir) => {
+      val freq = lineitem(s, dir)
+        .groupBy("l_suppkey").agg(count(lit(1)).as("f"))
+      freq.agg(
+          big(sum(col("f"))).as("n_rows"),
+          big(count(lit(1))).as("n_keys"),
+          big(max(col("f"))).as("max_freq"),
+          fround(expr("percentile(f, 0.5)"), 4).as("p50_freq"),
+          fround(expr("percentile(f, 0.99)"), 4).as("p99_freq"))
+        .select(col("n_rows"), col("n_keys"), col("max_freq"),
+                col("p50_freq"), col("p99_freq"),
+                fround(col("max_freq").cast("double") / col("n_rows").cast("double"), 6)
+                  .as("top_share"),
+                fround(col("max_freq").cast("double") / col("p50_freq"), 4)
+                  .as("skew_ratio"))
+    }),
+
     // INCREMENTAL AGGREGATE-VIEW MAINTENANCE: keep a per-customer
     // stats view current by MERGING the stored snapshot state with the
     // delta's partial state — never rescanning history. Works because
@@ -748,6 +836,47 @@ object Relational {
         s"CAST(MAX($c) AS VARCHAR) AS max_val FROM lineitem"
       ).mkString("", " UNION ALL ", " ORDER BY col_name")
     },
+
+    // one independent SELECT per expectation — the n_failed counts
+    // re-derive from scratch, never from the engine's single-pass
+    // aggregate shape
+    "dq_expectations" -> {
+      def e(name: String, from: String, failed: String) =
+        s"SELECT '$name' AS expectation, CAST(COUNT(*) AS BIGINT) AS n_checked, " +
+        s"CAST($failed AS BIGINT) AS n_failed, ($failed) = 0 AS passed FROM $from"
+      Seq(
+        e("documents.text non-empty", "documents",
+          "COUNT(CASE WHEN text IS NULL OR LENGTH(text) = 0 THEN 1 END)"),
+        e("events.value not null", "events",
+          "COUNT(CASE WHEN value IS NULL THEN 1 END)"),
+        e("lineitem.l_discount in [0,1]", "lineitem",
+          "COUNT(CASE WHEN l_discount IS NULL OR l_discount < 0 OR l_discount > 1 THEN 1 END)"),
+        e("lineitem.l_orderkey references orders", "lineitem",
+          "COUNT(CASE WHEN l_orderkey NOT IN (SELECT o_orderkey FROM orders) THEN 1 END)"),
+        e("lineitem.l_quantity > 0", "lineitem",
+          "COUNT(CASE WHEN l_quantity IS NULL OR l_quantity <= 0 THEN 1 END)"),
+        e("orders.o_orderkey unique", "orders",
+          "COUNT(*) - COUNT(DISTINCT o_orderkey)"),
+        e("orders.o_orderstatus in {O,F,P}", "orders",
+          "COUNT(CASE WHEN o_orderstatus IS NULL OR o_orderstatus NOT IN ('O','F','P') THEN 1 END)"),
+        e("orders.o_totalprice in (0,1e6]", "orders",
+          "COUNT(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0 OR o_totalprice > 1e6 THEN 1 END)")
+      ).mkString("", " UNION ALL ", " ORDER BY expectation")
+    },
+
+    // independent derivation over the same per-key frequency CTE
+    "profile_key_skew" ->
+      ("WITH f AS (SELECT l_suppkey, COUNT(*) AS f FROM lineitem GROUP BY 1), " +
+       "s AS (SELECT CAST(SUM(f) AS BIGINT) AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_keys, " +
+       "CAST(MAX(f) AS BIGINT) AS max_freq, " +
+       "PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY f) AS p50r, " +
+       "PERCENTILE_CONT(0.99) WITHIN GROUP (ORDER BY f) AS p99r FROM f) " +
+       "SELECT n_rows, n_keys, max_freq, " +
+       froundSql("p50r", 4) + " AS p50_freq, " +
+       froundSql("p99r", 4) + " AS p99_freq, " +
+       froundSql("CAST(max_freq AS DOUBLE) / CAST(n_rows AS DOUBLE)", 6) + " AS top_share, " +
+       froundSql("CAST(max_freq AS DOUBLE) / (" + froundSql("p50r", 4) + ")", 4) + " AS skew_ratio " +
+       "FROM s ORDER BY n_rows"),
 
     // the oracle is the FULL recompute — the monoid law
     // merge(partial(snapshot), partial(delta)) == full(all rows) is
