@@ -115,6 +115,38 @@ object Multimodal {
         .orderBy("doc_id")
     }),
 
+    // EXPORT SHARD PACKING — the step that turns a scored multimodal
+    // corpus into the fixed-size training shards (WebDataset/TFRecord
+    // posture) a loader actually reads: per media type, assets pack
+    // greedily in deterministic doc_id order and a new shard opens
+    // when the RUNNING byte total crosses the budget — shard =
+    // bytes-before div budget, so every shard holds the budget plus
+    // at most one overflowing asset (the streaming-writer semantics;
+    // true bin packing is order-dependent and unshardable). ONE
+    // shuffle on media_type serves the single cumsum window (payload
+    // reduces to its byte LENGTH before the exchange — the
+    // multimodal_dedup rule); the per-shard rollup is map-side
+    // combinable. At 100 TB the per-type sort is the honest cost —
+    // packing is order-sensitive by definition — and a skewed type
+    // pre-splits by a salt prefix, trading one boundary shard per
+    // salt for bounded partitions.
+    "multimodal_pack_shards" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("media_type").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      withPayload(documents(s, dir))
+        .select(col("doc_id"), col("meta.media_type").as("media_type"),
+                length(col("payload")).cast("long").as("b"))
+        .withColumn("before", coalesce(sum(col("b")).over(w), lit(0L)))
+        .withColumn("shard", expr(s"before div $ShardBudgetBytes"))
+        .groupBy("media_type", "shard")
+        .agg(big(count(lit(1))).as("n_assets"),
+             big(sum(col("b"))).as("shard_bytes"),
+             big(min(col("doc_id"))).as("first_doc"),
+             big(max(col("doc_id"))).as("last_doc"))
+        .orderBy("media_type", "shard")
+    }),
+
     // CONTENT-HASH ASSET DEDUP — the media half of exact dedup:
     // payloads with identical BYTES (sha-256) collapse regardless of
     // id, with the storage accounting a 100-TB asset store actually
@@ -186,7 +218,25 @@ object Multimodal {
     })
   )
 
+  /** Export shard byte budget — a new shard opens when the running
+    * per-type byte total crosses this (shared with the oracle). Tiny
+    * on purpose: the fixture's payloads are hundreds of bytes; a
+    * production corpus sets ~1 GiB. */
+  val ShardBudgetBytes = 8192L
+
   val oracle: Map[String, String] = Map(
+    // identical running-total shard rule over the ASCII byte lengths
+    "multimodal_pack_shards" ->
+      ("WITH p AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image' " +
+       "WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type, " +
+       "CAST(LENGTH(text) AS BIGINT) AS b FROM documents), " +
+       "c AS (SELECT doc_id, media_type, b, COALESCE(SUM(b) OVER " +
+       "(PARTITION BY media_type ORDER BY doc_id " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before FROM p) " +
+       s"SELECT media_type, CAST(before // $ShardBudgetBytes AS BIGINT) AS shard, " +
+       "CAST(COUNT(*) AS BIGINT) AS n_assets, CAST(SUM(b) AS BIGINT) AS shard_bytes, " +
+       "CAST(MIN(doc_id) AS BIGINT) AS first_doc, CAST(MAX(doc_id) AS BIGINT) AS last_doc " +
+       "FROM c GROUP BY 1, 2 ORDER BY media_type, shard"),
     // text is pure ASCII at every SF (verified: LENGTH = OCTET_LENGTH
     // for all rows), so per-character UNICODE codes ARE the payload
     // bytes; the sum of ≤2^53 integer byte values in a double is exact,
