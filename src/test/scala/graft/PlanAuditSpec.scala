@@ -590,6 +590,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
 
+  test("dq_expectations: one aggregate pass per table, FK via anti join, no window") {
+    // the gate must not rescan a table per expectation: each table's
+    // row-local checks collapse into one Aggregate (profile_columns
+    // explode move); the only join is the FK anti probe
+    val p = plan("dq_expectations")
+    assert(!p.contains("Window"), p.take(3000))
+    assert(p.contains("LeftAnti"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("profile_key_skew: frequency grid hash-agg only — no join, no window") {
+    val p = plan("profile_key_skew")
+    assert(!p.contains("Window"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+    // the grid collapse must partial-aggregate map-side
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(3000))
+  }
+
+  test("multimodal_pack_shards: ONE media_type exchange, payload reduced before it") {
+    // the cumsum window and the shard rollup must share the single
+    // per-type partitioning, and the binary payload must shrink to
+    // its length BEFORE the exchange (project below the shuffle)
+    val p = plan("multimodal_pack_shards")
+    assert("Exchange hashpartitioning\\(media_type".r.findAllIn(p).size == 1,
+      p.take(3000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(3000))
+    assert(!p.contains("payload"), p.take(3000)) // never crosses the wire
+  }
+
   test("agg_mann_whitney's binned prefix has no window anywhere (VERDICT r14 #3)") {
     // the de-weakened plan: the old formulation ran Window.orderBy
     // over the whole distinct-cents grid in ONE task; the two-level
