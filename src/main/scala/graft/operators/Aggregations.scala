@@ -66,6 +66,14 @@ object Aggregations {
   val PsiBinCents = 2500000L
   val KsBins = 256
 
+  /** events_power_mde design constants — DECLARED z quantiles
+    * (two-sided α=0.05, power 0.80) and the relative MDE; literals
+    * shared with the oracle so neither engine ever computes a normal
+    * quantile. */
+  val PowerZAlpha = 1.96
+  val PowerZBeta = 0.8416
+  val PowerMdeRel = 0.05
+
   /** Fixed coarse-grid size for agg_weighted_median's two-level
     * binned fold — bounds BOTH per-group array folds: the bin table
     * is ≤ this many cells, and the winning bin holds at most
@@ -340,6 +348,38 @@ object Aggregations {
         fround(se, 6).as("se"),
         fround(r - lit(1.96) * se, 6).as("ci_lo"),
         fround(r + lit(1.96) * se, 6).as("ci_hi"))
+    }),
+
+    // POWER / MDE CALCULATOR — the question every experiment ASKS
+    // BEFORE it runs: how many users per arm to detect a 5% lift in
+    // mean spend at α=0.05, power 80%? n = 2σ²(z_α/2+z_β)²/δ² with
+    // σ² the observed per-user variance and δ the relative MDE of
+    // the observed mean — so the whole calculator is the same
+    // one-conditional-pass + DECIMAL(38,0) moment sums as the CUPED
+    // family (decimal-before-multiply for the square), then a fixed
+    // row-local IEEE chain both engines repeat token for token; the
+    // z constants are declared literals, never engine quantiles.
+    "events_power_mde" -> ((s, dir) => {
+      val pu = events(s, dir).groupBy("user_id")
+        .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
+      val m = pu.agg(
+        count(lit(1)).as("n"),
+        sum(col("cents").cast("decimal(38,0)")).as("sx"),
+        sum(col("cents").cast("decimal(19,0)") *
+            col("cents").cast("decimal(19,0)")).as("sxx"))
+      def d(c: Column) = c.cast("double")
+      val meanC = d(col("sx")) / d(col("n"))
+      val varC = (d(col("sxx")) - d(col("sx")) * d(col("sx")) / d(col("n"))) /
+                 (d(col("n")) - 1.0)
+      val deltaC = meanC * PowerMdeRel
+      val zsum2 = (PowerZAlpha + PowerZBeta) * (PowerZAlpha + PowerZBeta)
+      m.select(
+        big(col("n")).as("n_users"),
+        fround(meanC / 100.0, 4).as("mean_spend"),
+        fround(sqrt(varC) / 100.0, 4).as("sd_spend"),
+        fround(deltaC / 100.0, 4).as("mde_abs"),
+        big(ceil(lit(2.0) * varC * lit(zsum2) / (deltaC * deltaC))
+          .cast("long")).as("n_per_arm"))
     }),
 
     // DIFFERENCE-IN-DIFFERENCES — the quasi-experimental readout when
@@ -1423,6 +1463,26 @@ object Aggregations {
          s"(($nd + 1.0) - CAST(ties3 AS DOUBLE) / ($nd * ($nd - 1.0))))", 6) +
        " AS z FROM t ORDER BY n0")
     },
+    "events_power_mde" -> {
+      val meanC = "(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+      val varC = "((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))"
+      val deltaC = s"($meanC * CAST($PowerMdeRel AS DOUBLE))"
+      val zsum = s"(CAST($PowerZAlpha AS DOUBLE) + CAST($PowerZBeta AS DOUBLE))"
+      ("WITH pu AS (SELECT user_id, " +
+       "CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents " +
+       "FROM events GROUP BY 1), " +
+       "mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
+       "SUM(CAST(cents AS DECIMAL(38,0))) AS sx, " +
+       "SUM(CAST(cents AS DECIMAL(19,0)) * CAST(cents AS DECIMAL(19,0))) AS sxx " +
+       "FROM pu) " +
+       "SELECT n AS n_users, " +
+       froundSql(s"$meanC / 100.0", 4) + " AS mean_spend, " +
+       froundSql(s"SQRT($varC) / 100.0", 4) + " AS sd_spend, " +
+       froundSql(s"$deltaC / 100.0", 4) + " AS mde_abs, " +
+       s"CAST(CEIL(2.0 * $varC * ($zsum * $zsum) / ($deltaC * $deltaC)) AS BIGINT) AS n_per_arm " +
+       "FROM mm ORDER BY n_users")
+    },
+
     "events_cuped" -> {
       val covn = "(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))"
       val varxn = "(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"

@@ -440,6 +440,29 @@ object Scans {
       }.reduce(_ unionByName _).orderBy("tag")
     }),
 
+    // THE AUDIT READ — write-audit-publish's middle step as its own
+    // operator: what exactly is staged on `audit` that `main` (frozen
+    // under the prepublish tag) does not have? The manifest SET
+    // DIFFERENCE names the staged files directly (the
+    // scan_snapshot_diff move applied to branch pointers), so the
+    // validation read scans ONLY the increment — auditing a 1-file
+    // commit on a 100 TB table reads one file. Key-cardinality and
+    // cents totals are the checks a human signs off before publish.
+    "scan_branch_audit_diff" -> ((s, dir) => {
+      val root = wapFixture(s, dir)
+      val staged =
+        (readManifest(root, resolveBranch(root, "audit")).toSet --
+         readManifest(root, resolveTag(root, "prepublish")).toSet).toSeq.sorted
+      val diff =
+        if (staged.isEmpty)
+          snapshotRead(s, root, resolveBranch(root, "audit")).where(lit(false))
+        else s.read.parquet(staged: _*)
+      diff.agg(
+        big(count(lit(1))).as("n_rows"),
+        big(countDistinct(col("o_orderkey"))).as("n_keys"),
+        big(sum(floor(col("o_totalprice") * 100).cast("long"))).as("total_cents"))
+    }),
+
     // WRITE-AUDIT-PUBLISH — branches complete the pointer family
     // (VERDICT r14 missing #2): a TAG is a frozen name, a BRANCH is
     // the writable pointer the staging loop needs. New data lands as
@@ -2683,6 +2706,14 @@ object Scans {
        "CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents " +
        "FROM orders " +
        "ORDER BY tag"),
+
+    // the staged increment is exactly the %10 slice — nothing from
+    // the base commits leaks into the audit read
+    "scan_branch_audit_diff" ->
+      ("SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+       "CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys, " +
+       "CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents " +
+       "FROM orders WHERE o_orderkey % 10 = 0 ORDER BY 1"),
 
     // audit staged the %10 slice on top of the full table; publish
     // fast-forwarded main to that state; the prepublish tag still
