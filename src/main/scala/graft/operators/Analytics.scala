@@ -676,6 +676,50 @@ object Analytics {
         .orderBy("event_type", "week")
     }),
 
+    // METRIC TREE DECOMPOSITION — the "why did revenue move" readout:
+    // revenue factors as users × events/user × cents/event, so the
+    // period-over-period change splits EXACTLY into per-driver
+    // log contributions (ln(R1/R0) = Σ ln(driver ratio) — the
+    // identity the revenue row's log_contrib equals by construction,
+    // making the decomposition self-auditing). Pre/post is the
+    // events_did corpus-midpoint split; ALL six sufficient statistics
+    // (per-period distinct users, event counts, exact cents sums)
+    // land in ONE conditional-aggregate pass, and the driver rows are
+    // a row-local explode of the 1-row result — no second corpus
+    // pass, no window. Ratios and logs are a fixed IEEE chain both
+    // engines repeat token for token before the fround pins.
+    "events_metric_tree" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .withColumn("cents", floor(col("value") * 100).cast("long"))
+      val mid = ev.agg(
+        expr("(MIN(unix_micros(ts)) + MAX(unix_micros(ts))) DIV 2").as("mid"))
+      val m = ev.crossJoin(broadcast(mid))
+        .withColumn("p", (unix_micros(col("ts")) >= col("mid")).cast("int"))
+        .agg(
+          countDistinct(when(col("p") === 0, col("user_id"))).as("u0"),
+          countDistinct(when(col("p") === 1, col("user_id"))).as("u1"),
+          count(when(col("p") === 0, 1)).as("e0"),
+          count(when(col("p") === 1, 1)).as("e1"),
+          sum(when(col("p") === 0, col("cents")).otherwise(0L)).as("c0"),
+          sum(when(col("p") === 1, col("cents")).otherwise(0L)).as("c1"))
+      def d(c: Column) = c.cast("double")
+      def driver(name: String, pre: Column, post: Column) =
+        struct(lit(name).as("driver"),
+               fround(pre, 4).as("pre_val"), fround(post, 4).as("post_val"),
+               fround(post / pre, 6).as("ratio"),
+               fround(log(post / pre), 6).as("log_contrib"))
+      m.select(explode(array(
+          driver("1_revenue", d(col("c0")) / 100.0, d(col("c1")) / 100.0),
+          driver("2_users", d(col("u0")), d(col("u1"))),
+          driver("3_events_per_user",
+                 d(col("e0")) / d(col("u0")), d(col("e1")) / d(col("u1"))),
+          driver("4_cents_per_event",
+                 d(col("c0")) / d(col("e0")), d(col("c1")) / d(col("e1")))))
+          .as("t"))
+        .select(col("t.*"))
+        .orderBy("driver")
+    }),
+
     // Inter-arrival gap distribution per event type — the burstiness /
     // rate-profile view (Poisson-ness check before capacity modeling).
     // One lag window per type; gaps are exact µs longs, so the
@@ -1477,6 +1521,36 @@ object Analytics {
        s"CAST($GatePsiMax AS DOUBLE), psi <= $GatePsiMax " +
        s"FROM ${sub(Aggregations.oracle("agg_psi"))} " +
        "ORDER BY modality")
+    },
+
+    // identical six-statistic conditional pass and token-identical
+    // ratio/LN chains per driver row
+    "events_metric_tree" -> {
+      def drv(name: String, pre: String, post: String) =
+        s"SELECT '$name' AS driver, " + froundSql(pre, 4) + " AS pre_val, " +
+        froundSql(post, 4) + " AS post_val, " +
+        froundSql(s"($post) / ($pre)", 6) + " AS ratio, " +
+        froundSql(s"LN(($post) / ($pre))", 6) + " AS log_contrib FROM s"
+      ("WITH m AS (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid " +
+       "FROM events), " +
+       "s AS (SELECT " +
+       "CAST(COUNT(DISTINCT CASE WHEN epoch_us(ts) < m.mid THEN user_id END) AS BIGINT) AS u0, " +
+       "CAST(COUNT(DISTINCT CASE WHEN epoch_us(ts) >= m.mid THEN user_id END) AS BIGINT) AS u1, " +
+       "CAST(COUNT(CASE WHEN epoch_us(ts) < m.mid THEN 1 END) AS BIGINT) AS e0, " +
+       "CAST(COUNT(CASE WHEN epoch_us(ts) >= m.mid THEN 1 END) AS BIGINT) AS e1, " +
+       "CAST(SUM(CASE WHEN epoch_us(ts) < m.mid THEN CAST(FLOOR(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS c0, " +
+       "CAST(SUM(CASE WHEN epoch_us(ts) >= m.mid THEN CAST(FLOOR(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS c1 " +
+       "FROM events, m) " +
+       Seq(
+         drv("1_revenue", "CAST(c0 AS DOUBLE) / 100.0", "CAST(c1 AS DOUBLE) / 100.0"),
+         drv("2_users", "CAST(u0 AS DOUBLE)", "CAST(u1 AS DOUBLE)"),
+         drv("3_events_per_user",
+             "CAST(e0 AS DOUBLE) / CAST(u0 AS DOUBLE)",
+             "CAST(e1 AS DOUBLE) / CAST(u1 AS DOUBLE)"),
+         drv("4_cents_per_event",
+             "CAST(c0 AS DOUBLE) / CAST(e0 AS DOUBLE)",
+             "CAST(c1 AS DOUBLE) / CAST(e1 AS DOUBLE)")
+       ).mkString("", " UNION ALL ", " ORDER BY driver"))
     },
 
     "events_interval_coalesce" ->

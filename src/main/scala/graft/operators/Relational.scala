@@ -17,6 +17,9 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
+  /** sample_group_kfold fold count (shared with the oracle). */
+  val KFolds = 5
+
   private val Segments =
     Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
 
@@ -282,6 +285,27 @@ object Relational {
              big(sum(col("n_chars"))).as("n_chars"),
              min(col("doc_id")).as("first_doc"))
         .orderBy("lang", "split")),
+
+    // LEAKAGE-SAFE GROUP K-FOLD — cross-validation assignment keyed
+    // by the GROUP (user), not the row: fold = md5-bucket(user) mod
+    // K, so every event of a user lands in ONE fold and the
+    // train/eval boundary can never split a user's history (the
+    // sample_split_cluster leakage rule, generalized to K folds).
+    // The fold is a pure row-local function of the on-row group key —
+    // no join, no state, recomputable forever on any engine; the
+    // only shuffle is the per-fold rollup. At 100 TB the fold column
+    // is computed at ingest and partitioned on.
+    "sample_group_kfold" -> ((s, dir) =>
+      events(s, dir)
+        .withColumn("fold",
+          pmod(conv(substring(md5(concat(lit("fold:"),
+                 col("user_id").cast("string"))), 1, 8), 16, 10).cast("long"),
+               lit(KFolds)))
+        .groupBy("fold")
+        .agg(big(countDistinct(col("user_id"))).as("n_users"),
+             big(count(lit(1))).as("n_events"),
+             big(sum(floor(col("value") * 100).cast("long"))).as("total_cents"))
+        .orderBy("fold")),
 
     // Fixed-SIZE deterministic sample (the reservoir-sampling analog):
     // the k docs with the smallest seeded md5 keys ARE a uniform
@@ -789,6 +813,15 @@ object Relational {
       ("SELECT doc_id, lang, n_chars, " +
        "MD5('res:' || CAST(doc_id AS VARCHAR)) AS rk FROM documents " +
        "ORDER BY rk, doc_id LIMIT 100"),
+    // same md5-prefix bucket, keyed by the GROUP (user), seeded
+    "sample_group_kfold" ->
+      ("WITH f AS (SELECT CAST(CONCAT('0x', SUBSTRING(MD5('fold:' || " +
+       s"CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % $KFolds AS fold, " +
+       "user_id, CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events) " +
+       "SELECT fold, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users, " +
+       "CAST(COUNT(*) AS BIGINT) AS n_events, " +
+       "CAST(SUM(cents) AS BIGINT) AS total_cents " +
+       "FROM f GROUP BY fold ORDER BY fold"),
     // same A-ES key: u from the md5 prefix via the hex-literal CAST,
     // -LN(u)/n_chars fround8-pinned before the bottom-k
     "sample_weighted" ->
