@@ -1289,6 +1289,15 @@ object Scans {
     v
   }
 
+  /** Initialize an EMPTY versioned table: fresh data/_manifests dirs
+    * and an empty v1 manifest — the bootstrap a streaming branch-
+    * commit job hangs its first branch off (batch fixtures commit
+    * data immediately; a stream starts from nothing). */
+  def initVersionedTable(root: String): Unit = {
+    ttInitDirs(root)
+    ttWriteManifest(root, 1, Seq.empty)
+  }
+
   private val wapMemo =
     scala.collection.concurrent.TrieMap.empty[String, Unit]
 

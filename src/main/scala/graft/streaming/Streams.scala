@@ -760,6 +760,63 @@ object Streams {
              dsum(col("value")).as("val_sum"),
              big(sum(size(col("pulses")))).as("n_pulses"))
         .orderBy("event_type")
+    }),
+
+    // STREAMING COMMITS ON A BRANCH + PUBLISH — the lakehouse
+    // streaming-ingest pattern, joining this round's branch API to
+    // Structured Streaming: every micro-batch lands as ONE atomic
+    // versioned commit on branch `staging` (foreachBatch →
+    // commitOnBranch: the batch's files + a manifest + an O(1)
+    // pointer advance — readers of `main` never see a half-landed
+    // batch, which is the isolation exactly-once landing needs),
+    // then the backlog drains under AvailableNow and one PUBLISH
+    // fast-forwards main. The oracle proves the streamed,
+    // batch-at-a-time committed table equals the batch table —
+    // stream ≡ batch through the whole commit protocol, not just
+    // through an aggregation. Runs once per (JVM, source state);
+    // 4-file staging dir + maxFilesPerTrigger=1 forces a REAL
+    // multi-batch drain.
+    "stream_branch_publish" -> ((s, dir) => {
+      import graft.operators.Scans
+      val sig = java.security.MessageDigest.getInstance("MD5")
+        .digest(graft.Tables.fsSig(s, s"$dir/orders.parquet").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      val stage = graft.Tables.scratch(dir, s"wap_stream_src_$sig")
+      val root = graft.Tables.scratch(dir, s"wap_stream_tbl_$sig")
+      val ckpt = graft.Tables.scratch(dir, s"wap_stream_ckpt_$sig")
+      branchStreamMemo.getOrElseUpdate(root, {
+        orders(s, dir)
+          .select("o_orderkey", "o_orderdate", "o_totalprice", "o_orderstatus")
+          .repartition(4).write.mode("overwrite").parquet(stage)
+        Scans.initVersionedTable(root)
+        Scans.createBranch(root, "main", 1)
+        Scans.createBranch(root, "staging", 1)
+        val sch = s.read.parquet(stage).schema
+        val q = s.readStream.schema(sch)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .writeStream
+          .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                           id: Long) =>
+            Scans.commitOnBranch(s, root, "staging", df.toDF(), f"sb$id%03d"); ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        if (!q.awaitTermination(120000)) {
+          q.stop()
+          throw new IllegalStateException(
+            "stream_branch_publish: AvailableNow drain did not finish in 120s")
+        }
+        Scans.writeTag(root, "prepublish", Scans.resolveBranch(root, "main"))
+        Scans.publishBranch(root, "staging", "main")
+        true
+      })
+      Scans.snapshotRead(s, root, Scans.resolveBranch(root, "main"))
+        .groupBy("o_orderstatus")
+        .agg(big(count(lit(1))).as("n_orders"),
+             big(sum(floor(col("o_totalprice") * 100).cast("long")))
+               .as("total_cents"))
+        .orderBy("o_orderstatus")
     })
   )
 
@@ -768,7 +825,18 @@ object Streams {
   private val framedStreamMemo =
     scala.collection.concurrent.TrieMap.empty[String, Boolean]
 
+  /** Once-per-(JVM, source-state) guard for the streaming
+    * branch-commit + publish job. */
+  private val branchStreamMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
   val oracle: Map[String, String] = Map(
+    // the streamed, commit-at-a-time table must equal the batch table
+    "stream_branch_publish" ->
+      ("SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders, " +
+       "CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents " +
+       "FROM orders GROUP BY 1 ORDER BY o_orderstatus"),
+
     // win_ewma's pair-join formulation restricted to each user's last
     // event — the stream's final state per user
     "stream_ewma" ->
