@@ -74,6 +74,14 @@ object Aggregations {
   val PowerZBeta = 0.8416
   val PowerMdeRel = 0.05
 
+  /** events_srm / events_msprt design constants — the χ² critical
+    * value at df=1, α=0.001 (the SRM alarm convention: assignment
+    * bugs, not borderline noise) and the mSPRT mixture scale τ in
+    * cents, both DECLARED literals shared with the oracle so neither
+    * engine ever computes a quantile or tunes a prior at runtime. */
+  val SrmChi2Crit = 10.828
+  val MsprtTauCents = 5000.0
+
   /** Fixed coarse-grid size for agg_weighted_median's two-level
     * binned fold — bounds BOTH per-group array folds: the bin table
     * is ≤ this many cells, and the winning bin holds at most
@@ -380,6 +388,85 @@ object Aggregations {
         fround(deltaC / 100.0, 4).as("mde_abs"),
         big(ceil(lit(2.0) * varC * lit(zsum2) / (deltaC * deltaC))
           .cast("long")).as("n_per_arm"))
+    }),
+
+    // SAMPLE-RATIO-MISMATCH gate — the experiment-validity check every
+    // platform runs BEFORE reading any metric: if the realized
+    // arm-assignment counts are implausible under the designed 50/50
+    // split, the experiment is corrupted (biased bucketing, logging
+    // loss) and all downstream readouts are void. Units are USERS, not
+    // events (an active user must count once however many events it
+    // emits), so the op is one distinct-user pass — the same map-side
+    // partial-distinct hash-agg class as agg_distinct — then a 2-cell
+    // χ² that is a fixed row-local IEEE chain. The critical value is
+    // the DECLARED df=1 α=0.001 literal (the SRM convention: this
+    // gate hunts assignment BUGS, so it alarms only on overwhelming
+    // evidence). Nothing grows with corpus size except the one
+    // distinct pass.
+    "events_srm" -> ((s, dir) => {
+      val u = events(s, dir).select("user_id").distinct()
+        .withColumn("g", (col("user_id") % 2).cast("int"))
+      val a = u.agg(
+        sum(when(col("g") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("g") === 1, 1L).otherwise(0L)).as("n1"))
+      def d(c: Column) = c.cast("double")
+      val expc = (d(col("n0")) + d(col("n1"))) / 2.0
+      val chi2 = (d(col("n0")) - expc) * (d(col("n0")) - expc) / expc +
+                 (d(col("n1")) - expc) * (d(col("n1")) - expc) / expc
+      a.select(
+        big(col("n0")).as("n0"), big(col("n1")).as("n1"),
+        fround(chi2, 6).as("chi2"),
+        lit(SrmChi2Crit).as("crit"),
+        (fround(chi2, 6) > SrmChi2Crit).as("srm_flag"))
+    }),
+
+    // ALWAYS-VALID SEQUENTIAL TEST (mSPRT, Johari et al. 2017
+    // "Peeking at A/B Tests") — the fix for the peeking problem: a
+    // p-value that stays valid under CONTINUOUS monitoring, so the
+    // experimenter may stop the moment it crosses α instead of
+    // waiting for events_power_mde's fixed horizon. The normal-mixture
+    // likelihood ratio for the two-sample mean difference needs only
+    // the per-arm moment sums this family already computes: with
+    // δ̂ = mean₁−mean₀, Vₙ = s²(1/n₀+1/n₁) its sampling variance, and
+    // the DECLARED mixture scale τ,
+    //   ln Λₙ = ½·ln(Vₙ/(Vₙ+τ²)) + δ̂²τ²/(2Vₙ(Vₙ+τ²)),
+    //   p = min(1, e^{−ln Λₙ})   (monotone cap; never re-inflates).
+    // One conditional per-user pass + one 1-row moment agg — the
+    // CUPED shape exactly, DECIMAL(38,0) sums, decimal-before-multiply
+    // squares — then a fixed row-local IEEE chain (exp/ln parity has
+    // suite precedent: agg_group_entropy, events_decay_sum). Working
+    // in ln Λ keeps the chain finite where Λ itself would overflow at
+    // large n; e^{−lnΛ} underflows to the same 0.0 on both engines.
+    "events_msprt" -> ((s, dir) => {
+      val pu = events(s, dir).groupBy("user_id")
+        .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
+        .withColumn("g", (col("user_id") % 2).cast("int"))
+      def cg(g: Int) = when(col("g") === g, col("cents")).otherwise(0L)
+      val m = pu.agg(
+        sum(when(col("g") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("g") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(cg(0).cast("decimal(38,0)")).as("s0"),
+        sum(cg(1).cast("decimal(38,0)")).as("s1"),
+        // decimal BEFORE the multiply (ADVICE r14 discipline)
+        sum(cg(0).cast("decimal(19,0)") * cg(0).cast("decimal(19,0)")).as("ss0"),
+        sum(cg(1).cast("decimal(19,0)") * cg(1).cast("decimal(19,0)")).as("ss1"))
+      def d(c: Column) = c.cast("double")
+      val (n0, n1) = (d(col("n0")), d(col("n1")))
+      val delta = d(col("s1")) / n1 - d(col("s0")) / n0
+      val s2 = (d(col("ss0")) - d(col("s0")) * d(col("s0")) / n0 +
+                d(col("ss1")) - d(col("s1")) * d(col("s1")) / n1) /
+               (n0 + n1 - 2.0)
+      val vn = s2 * (lit(1.0) / n0 + lit(1.0) / n1)
+      val tau2 = MsprtTauCents * MsprtTauCents
+      val lnLambda = lit(0.5) * log(vn / (vn + tau2)) +
+        delta * delta * tau2 / (lit(2.0) * vn * (vn + tau2))
+      val p = least(lit(1.0), exp(-lnLambda))
+      m.select(
+        big(col("n0")).as("n0"), big(col("n1")).as("n1"),
+        fround(delta / 100.0, 4).as("delta_spend"),
+        fround(lnLambda, 6).as("ln_lambda"),
+        fround(p, 6).as("p_always_valid"),
+        (fround(p, 6) < 0.05).as("significant"))
     }),
 
     // DIFFERENCE-IN-DIFFERENCES — the quasi-experimental readout when
@@ -1481,6 +1568,49 @@ object Aggregations {
        froundSql(s"$deltaC / 100.0", 4) + " AS mde_abs, " +
        s"CAST(CEIL(2.0 * $varC * ($zsum * $zsum) / ($deltaC * $deltaC)) AS BIGINT) AS n_per_arm " +
        "FROM mm ORDER BY n_users")
+    },
+    "events_srm" -> {
+      val expc = "((CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)) / 2.0)"
+      val chi2 = s"((CAST(n0 AS DOUBLE) - $expc) * (CAST(n0 AS DOUBLE) - $expc) / $expc + " +
+        s"(CAST(n1 AS DOUBLE) - $expc) * (CAST(n1 AS DOUBLE) - $expc) / $expc)"
+      ("WITH u AS (SELECT DISTINCT user_id FROM events), " +
+       "a AS (SELECT " +
+       "CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0, " +
+       "CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1 FROM u) " +
+       "SELECT n0, n1, " +
+       froundSql(chi2, 6) + " AS chi2, " +
+       s"CAST($SrmChi2Crit AS DOUBLE) AS crit, " +
+       froundSql(chi2, 6) + s" > CAST($SrmChi2Crit AS DOUBLE) AS srm_flag " +
+       "FROM a ORDER BY n0")
+    },
+    "events_msprt" -> {
+      val delta = "(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))"
+      val s2 = "((CAST(ss0 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) + " +
+        "CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / " +
+        "(CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE) - 2.0))"
+      val vn = s"($s2 * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))"
+      val tau2 = s"(CAST($MsprtTauCents AS DOUBLE) * CAST($MsprtTauCents AS DOUBLE))"
+      val lnL = s"(0.5 * LN($vn / ($vn + $tau2)) + " +
+        s"$delta * $delta * $tau2 / (2.0 * $vn * ($vn + $tau2)))"
+      val p = s"LEAST(CAST(1.0 AS DOUBLE), EXP(-$lnL))"
+      ("WITH pu AS (SELECT user_id, " +
+       "CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents, " +
+       "CAST(user_id % 2 AS INT) AS g FROM events GROUP BY 1, 3), " +
+       "mm AS (SELECT " +
+       "CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0, " +
+       "CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1, " +
+       "SUM(CAST(CASE WHEN g = 0 THEN cents ELSE 0 END AS DECIMAL(38,0))) AS s0, " +
+       "SUM(CAST(CASE WHEN g = 1 THEN cents ELSE 0 END AS DECIMAL(38,0))) AS s1, " +
+       "SUM(CAST(CASE WHEN g = 0 THEN cents ELSE 0 END AS DECIMAL(19,0)) * " +
+       "CAST(CASE WHEN g = 0 THEN cents ELSE 0 END AS DECIMAL(19,0))) AS ss0, " +
+       "SUM(CAST(CASE WHEN g = 1 THEN cents ELSE 0 END AS DECIMAL(19,0)) * " +
+       "CAST(CASE WHEN g = 1 THEN cents ELSE 0 END AS DECIMAL(19,0))) AS ss1 FROM pu) " +
+       "SELECT n0, n1, " +
+       froundSql(s"$delta / 100.0", 4) + " AS delta_spend, " +
+       froundSql(lnL, 6) + " AS ln_lambda, " +
+       froundSql(p, 6) + " AS p_always_valid, " +
+       froundSql(p, 6) + " < 0.05 AS significant " +
+       "FROM mm ORDER BY n0")
     },
 
     "events_cuped" -> {
