@@ -713,6 +713,54 @@ object Dedup {
           big(count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("fp"))))
         .orderBy("doc_id")),
 
+    // CROSS-DOCUMENT SUB-DOCUMENT (paragraph) DEDUP — the Dolma/CCNet
+    // recipe: the dedup UNIT is the paragraph, not the document, so a
+    // boilerplate block shared by a million pages is dropped from
+    // every page but its first occurrence while each page's unique
+    // prose survives; each document is then REASSEMBLED from its kept
+    // paragraphs in original order. (text_dedup_chunks tallies
+    // repetition WITHIN a doc; this dedups ACROSS the corpus.) The
+    // fixture's paragraph analogue is the 5-word chunk, row-local via
+    // the same transform/sequence/slice chunker. First-occurrence =
+    // rank 1 per chunk digest ordered by (doc_id, idx) — ONE exchange
+    // keyed on the 16-byte md5 digest whose per-key groups are
+    // duplicate-count-sized (never corpus-sized), i.e. the exact-dedup
+    // shuffle class, not all-pairs. Reassembly is one groupBy(doc) —
+    // chunk text must cross that exchange because rebuilding needs it
+    // (inherent to the operator) — and the rebuilt text pins itself
+    // through the md5-prefix signature so a wrong kept-set or a wrong
+    // order can never hash-match. Per-lang rollup map-side combines.
+    "dedup_paragraph" -> ((s, dir) => {
+      val cw = 5
+      val toks = tokens(col("text"))
+      val chunks = documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          posexplode(transform(
+            sequence(lit(0), floor((size(toks) + lit(cw - 1)) / lit(cw)).cast("int") - 1),
+            i => concat_ws(" ", slice(toks, i * cw + 1, lit(cw)))))
+            .as(Seq("idx", "chunk")))
+      val keep = chunks.withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(md5(col("chunk").cast("binary")))
+          .orderBy(col("doc_id"), col("idx"))))
+      val perDoc = keep.groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("nc"),
+             sum(when(col("rn") === 1, 1L).otherwise(0L)).as("nk"),
+             concat_ws(" ", transform(
+               array_sort(collect_list(
+                 when(col("rn") === 1, struct(col("idx"), col("chunk"))))),
+               x => x.getField("chunk"))).as("rebuilt"))
+      perDoc.groupBy("lang")
+        .agg(big(count(lit(1))).as("n_docs"),
+             big(sum(col("nc"))).as("n_chunks"),
+             big(sum(col("nk"))).as("n_chunks_kept"),
+             big(sum(when(col("nk") < col("nc"), 1L).otherwise(0L)))
+               .as("n_docs_trimmed"),
+             big(sum(conv(substring(md5(col("rebuilt").cast("binary")), 1, 8),
+               16, 10).cast("long"))).as("rebuilt_sig"))
+        .orderBy("lang")
+    }),
+
     // Embedding-cosine near-dup: candidate pairs from multi-table LSH
     // buckets (shuffle ~L·n/2^bits, never all-pairs), exact cosine ≥ τ
     // on candidates only. Approximate in the candidate set, exact in
@@ -1020,6 +1068,26 @@ object Dedup {
        "SELECT doc_id, fp, n_same FROM fp JOIN " +
        "(SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_same FROM fp GROUP BY fp) USING (fp) " +
        "ORDER BY doc_id"),
+    // same 5-word chunker as text_dedup_chunks' oracle; first
+    // occurrence = ROW_NUMBER over (doc_id, idx) per chunk digest;
+    // rebuilt text re-pinned through the md5-prefix signature
+    "dedup_paragraph" ->
+      ("WITH t AS (SELECT doc_id, lang, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS toks FROM documents), " +
+       "c AS (SELECT doc_id, lang, " +
+       "UNNEST(LIST_TRANSFORM(RANGE(CAST(CEIL(LEN(toks) / 5.0) AS BIGINT)), " +
+       "i -> {'idx': i, 'chunk': ARRAY_TO_STRING(toks[i*5+1:i*5+5], ' ')})) AS u FROM t), " +
+       "e AS (SELECT doc_id, lang, u.idx AS idx, u.chunk AS chunk FROM c), " +
+       "k AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY MD5(chunk) ORDER BY doc_id, idx) AS rn FROM e), " +
+       "d AS (SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS nc, " +
+       "CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nk, " +
+       "ARRAY_TO_STRING(LIST(chunk ORDER BY idx) FILTER (WHERE rn = 1), ' ') AS rebuilt " +
+       "FROM k GROUP BY 1, 2) " +
+       "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+       "CAST(SUM(nc) AS BIGINT) AS n_chunks, " +
+       "CAST(SUM(nk) AS BIGINT) AS n_chunks_kept, " +
+       "CAST(SUM(CASE WHEN nk < nc THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_trimmed, " +
+       "CAST(SUM(CAST(CONCAT('0x', SUBSTRING(MD5(COALESCE(rebuilt, '')), 1, 8)) AS BIGINT)) AS BIGINT) AS rebuilt_sig " +
+       "FROM d GROUP BY lang ORDER BY lang"),
     "dedup_cluster" ->
       ("WITH RECURSIVE " + shCte + ", " +
        pairsCte + ", " +
