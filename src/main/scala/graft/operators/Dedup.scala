@@ -57,6 +57,36 @@ object Dedup {
   /** Word tokens of the normalized text. */
   def tokens(c: Column): Column = split(lower(trim(c)), " ")
 
+  /** dedup_paragraph chunk width: the fixture's paragraph analogue. */
+  val ParagraphChunkWords = 5
+
+  /** Per-document reassembly after cross-corpus chunk dedup — the
+    * dedup_paragraph kernel, exposed so ParagraphDedupSpec can drive
+    * planted fixtures through the exact shipped path. Returns one row
+    * per doc: chunk counts and the document REBUILT from its kept
+    * (first-global-occurrence) chunks in original order. */
+  def paragraphDedupDocs(docs: DataFrame): DataFrame = {
+    val cw = ParagraphChunkWords
+    val toks = tokens(col("text"))
+    val chunks = docs
+      .select(col("doc_id"), col("lang"),
+        posexplode(transform(
+          sequence(lit(0), floor((size(toks) + lit(cw - 1)) / lit(cw)).cast("int") - 1),
+          i => concat_ws(" ", slice(toks, i * cw + 1, lit(cw)))))
+          .as(Seq("idx", "chunk")))
+    val keep = chunks.withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("chunk").cast("binary")))
+        .orderBy(col("doc_id"), col("idx"))))
+    keep.groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("nc"),
+           sum(when(col("rn") === 1, 1L).otherwise(0L)).as("nk"),
+           concat_ws(" ", transform(
+             array_sort(collect_list(
+               when(col("rn") === 1, struct(col("idx"), col("chunk"))))),
+             x => x.getField("chunk"))).as("rebuilt"))
+  }
+
   /** Distinct word 3-shingles over an already-materialized token-array
     * column. The tokens MUST be a bound column, not an inline
     * `split(...)` expression: HOF lambdas re-evaluate their children
@@ -730,27 +760,8 @@ object Dedup {
     // (inherent to the operator) — and the rebuilt text pins itself
     // through the md5-prefix signature so a wrong kept-set or a wrong
     // order can never hash-match. Per-lang rollup map-side combines.
-    "dedup_paragraph" -> ((s, dir) => {
-      val cw = 5
-      val toks = tokens(col("text"))
-      val chunks = documents(s, dir)
-        .select(col("doc_id"), col("lang"),
-          posexplode(transform(
-            sequence(lit(0), floor((size(toks) + lit(cw - 1)) / lit(cw)).cast("int") - 1),
-            i => concat_ws(" ", slice(toks, i * cw + 1, lit(cw)))))
-            .as(Seq("idx", "chunk")))
-      val keep = chunks.withColumn("rn",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy(md5(col("chunk").cast("binary")))
-          .orderBy(col("doc_id"), col("idx"))))
-      val perDoc = keep.groupBy("doc_id", "lang")
-        .agg(count(lit(1)).as("nc"),
-             sum(when(col("rn") === 1, 1L).otherwise(0L)).as("nk"),
-             concat_ws(" ", transform(
-               array_sort(collect_list(
-                 when(col("rn") === 1, struct(col("idx"), col("chunk"))))),
-               x => x.getField("chunk"))).as("rebuilt"))
-      perDoc.groupBy("lang")
+    "dedup_paragraph" -> ((s, dir) =>
+      paragraphDedupDocs(documents(s, dir)).groupBy("lang")
         .agg(big(count(lit(1))).as("n_docs"),
              big(sum(col("nc"))).as("n_chunks"),
              big(sum(col("nk"))).as("n_chunks_kept"),
@@ -758,8 +769,7 @@ object Dedup {
                .as("n_docs_trimmed"),
              big(sum(conv(substring(md5(col("rebuilt").cast("binary")), 1, 8),
                16, 10).cast("long"))).as("rebuilt_sig"))
-        .orderBy("lang")
-    }),
+        .orderBy("lang")),
 
     // Embedding-cosine near-dup: candidate pairs from multi-table LSH
     // buckets (shuffle ~L·n/2^bits, never all-pairs), exact cosine ≥ τ

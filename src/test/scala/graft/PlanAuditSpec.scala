@@ -590,6 +590,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
 
+  test("dedup_paragraph: first-occurrence rank is digest-partitioned, never global") {
+    // the exact-dedup shuffle class: the row_number window must hash
+    // on the chunk digest (duplicate-count-sized groups) — a global
+    // window would sort the whole exploded corpus through ONE task
+    val p = plan("dedup_paragraph")
+    assert(p.contains("Window"), p.take(3000))
+    assert(p.contains("hashpartitioning(_w"), p.take(3000))
+    assert(!p.contains("SinglePartition"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("dq_expectations: one aggregate pass per table, FK via anti join, no window") {
     // the gate must not rescan a table per expectation: each table's
     // row-local checks collapse into one Aggregate (profile_columns
