@@ -82,6 +82,22 @@ object Aggregations {
   val SrmChi2Crit = 10.828
   val MsprtTauCents = 5000.0
 
+  /** SRM χ² readout over a 1-row (n0, n1) arm-count table — ONE
+    * definition of the statistic shared by batch `events_srm` and the
+    * streaming gate's finalization (`stream_srm`), so the two arms
+    * can never drift (the round6/incrementalFp discipline). */
+  def srmReadout(a: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val expc = (d(col("n0")) + d(col("n1"))) / 2.0
+    val chi2 = (d(col("n0")) - expc) * (d(col("n0")) - expc) / expc +
+               (d(col("n1")) - expc) * (d(col("n1")) - expc) / expc
+    a.select(
+      big(col("n0")).as("n0"), big(col("n1")).as("n1"),
+      fround(chi2, 6).as("chi2"),
+      lit(SrmChi2Crit).as("crit"),
+      (fround(chi2, 6) > SrmChi2Crit).as("srm_flag"))
+  }
+
   /** Fixed coarse-grid size for agg_weighted_median's two-level
     * binned fold — bounds BOTH per-group array folds: the bin table
     * is ≤ this many cells, and the winning bin holds at most
@@ -406,18 +422,9 @@ object Aggregations {
     "events_srm" -> ((s, dir) => {
       val u = events(s, dir).select("user_id").distinct()
         .withColumn("g", (col("user_id") % 2).cast("int"))
-      val a = u.agg(
+      srmReadout(u.agg(
         sum(when(col("g") === 0, 1L).otherwise(0L)).as("n0"),
-        sum(when(col("g") === 1, 1L).otherwise(0L)).as("n1"))
-      def d(c: Column) = c.cast("double")
-      val expc = (d(col("n0")) + d(col("n1"))) / 2.0
-      val chi2 = (d(col("n0")) - expc) * (d(col("n0")) - expc) / expc +
-                 (d(col("n1")) - expc) * (d(col("n1")) - expc) / expc
-      a.select(
-        big(col("n0")).as("n0"), big(col("n1")).as("n1"),
-        fround(chi2, 6).as("chi2"),
-        lit(SrmChi2Crit).as("crit"),
-        (fround(chi2, 6) > SrmChi2Crit).as("srm_flag"))
+        sum(when(col("g") === 1, 1L).otherwise(0L)).as("n1")))
     }),
 
     // ALWAYS-VALID SEQUENTIAL TEST (mSPRT, Johari et al. 2017

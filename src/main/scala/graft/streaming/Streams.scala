@@ -47,6 +47,26 @@ object Streams {
       .agg(big(count(lit(1))).as("n"))
       .select(col("w.start").as("wstart"), col("bin"), col("n"))
 
+  /** Streaming-SRM stage 1: distinct-user arm counts as a streaming-
+    * native chain — dropDuplicates(user_id) (state = one key per
+    * user, user-cardinality-bounded, the stream_dedup class) feeding
+    * a 2-cell mergeable aggregate. Chained stateful ops (dedup →
+    * agg) are a supported Spark 4 shape; shared verbatim by the
+    * batch declaration and StreamBatchSpec's live drive. */
+  def srmArmCounts(ev: DataFrame): DataFrame =
+    ev.select(col("user_id")).dropDuplicates("user_id")
+      .groupBy((col("user_id") % 2).cast("int").as("g"))
+      .agg(big(count(lit(1))).as("n"))
+
+  /** Streaming-SRM stage 2 (foreachBatch-side over the landed 2-cell
+    * grid): pivot the arm cells and apply THE shared χ² readout
+    * ([[graft.operators.Aggregations.srmReadout]]) — the statistic
+    * has exactly one definition across batch and stream. */
+  def srmFromCounts(counts: DataFrame): DataFrame =
+    graft.operators.Aggregations.srmReadout(counts.agg(
+      sum(when(col("g") === 0, col("n")).otherwise(0L)).as("n0"),
+      sum(when(col("g") === 1, col("n")).otherwise(0L)).as("n1")))
+
   /** Streaming-drift stage 2 (foreachBatch-side in a live job — rank-
     * style finalization over the landed grid, metadata-scale): the
     * first [[StreamPsiBaselineDays]] days freeze the baseline
@@ -629,6 +649,12 @@ object Streams {
     // StreamBatchSpec); the per-day PSI finalization is the
     // foreachBatch-side grid arithmetic of [[psiDrift]].
     "stream_drift_psi" -> ((s, dir) => psiDrift(events(s, dir))),
+    // In-stream SRM gate: the experiment-validity monitor running
+    // CONTINUOUSLY (an assignment bug should page before the readout,
+    // not at it) — distinct-user arm counts stream-native (see
+    // [[srmArmCounts]], driven stream≡batch by StreamBatchSpec), the
+    // χ² readout is the SAME srmReadout as batch events_srm.
+    "stream_srm" -> ((s, dir) => srmFromCounts(srmArmCounts(events(s, dir)))),
     // Windowed top-k: top-3 event types per tumbling hour (see
     // [[topkCounts]]/[[rankTop3]] for the streaming split).
     "stream_topk_windowed" -> ((s, dir) =>
@@ -926,6 +952,9 @@ object Streams {
       ("SELECT DATE_TRUNC('hour', ts) AS wstart, event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
        "ROUND(SUM(value), 2) AS val_sum FROM events " +
        "GROUP BY wstart, event_type ORDER BY wstart, event_type"),
+    // the statistic has ONE definition (srmReadout) and therefore ONE
+    // oracle derivation — batch events_srm's, referenced verbatim
+    "stream_srm" -> graft.operators.Aggregations.oracle("events_srm"),
     // identical fixed grid, baseline freeze, union-of-bins semantics
     // and 1e-6 clamp; LN natural, dsum6 term discipline
     "stream_drift_psi" ->

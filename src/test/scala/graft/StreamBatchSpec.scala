@@ -63,6 +63,20 @@ class StreamBatchSpec extends SparkSpec {
     assertSameRows(viaStream, Streams.psiDrift(stagedEvents._2), "psi_final")
   }
 
+  test("stream_srm: streamed distinct-user arm counts equal batch; χ² readout agrees") {
+    // stage 1 — the chained stateful shape (dropDuplicates → agg) must
+    // land the identical 2-cell arm grid a batch pass produces…
+    val out = streamed("t_srm_counts", Streams.srmArmCounts, "complete")
+    assertSameRows(out, Streams.srmArmCounts(stagedEvents._2), "srm_counts")
+    // …and the shared χ² readout over the STREAMED landing equals the
+    // batch events_srm gate exactly (one statistic definition)
+    val landed = spark.table("t_srm_counts")
+    val viaStream = Streams.srmFromCounts(
+      spark.createDataFrame(landed.rdd, landed.schema))
+    assertSameRows(viaStream,
+      operators.Aggregations.queries("events_srm")(spark, sf001), "srm_final")
+  }
+
   test("stream_session: session_window stream equals gaps-and-islands batch") {
     val out = streamed("t_session", Streams.sessionsStream, "complete")
     val batch = Streams.sessionsBatch(stagedEvents._2)
