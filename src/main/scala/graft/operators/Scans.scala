@@ -493,6 +493,32 @@ object Scans {
         .reduce(_ unionByName _).orderBy("ref")
     }),
 
+    // BRANCH-AWARE VACUUM — retention for a branched/tagged table:
+    // only versions REFERENCED by a branch head or tag survive;
+    // everything else's manifests drop and the exclusive-file set
+    // algebra reclaims their storage. The fixture strands the staged
+    // v3 by compacting `audit` onto fresh files, so the vacuum
+    // reclaims exactly the superseded staging commit while release
+    // (tag@v1), main (@v2) and audit (@v4) all still resolve — the
+    // query reads all three THROUGH the vacuumed table and the
+    // oracle derives each state from the source predicates. The
+    // physical claims (v3 manifest + a3 files gone, survivors
+    // byte-identical, dangling-pointer refusal, idempotence) are
+    // NonOracleOpsSpec pins.
+    "scan_branch_vacuum" -> ((s, dir) => {
+      val root = branchVacuumFixture(s, dir)
+      def aggOf(v: Int, ref: String) =
+        snapshotRead(s, root, v)
+          .agg(big(count(lit(1))).as("n_rows"),
+               big(sum(floor(col("o_totalprice") * 100).cast("long")))
+                 .as("total_cents"))
+          .select(lit(ref).as("ref"), col("n_rows"), col("total_cents"))
+      Seq(aggOf(resolveBranch(root, "audit"), "audit-head"),
+          aggOf(resolveBranch(root, "main"), "main-head"),
+          aggOf(resolveTag(root, "release"), "release-tag"))
+        .reduce(_ unionByName _).orderBy("ref")
+    }),
+
     "scan_manifest_pruned" -> ((s, dir) => {
       val out = scratch(dir, "manifest_src")
       // the range-clustered layout is the table, not the query: write
@@ -1298,6 +1324,45 @@ object Scans {
     ttWriteManifest(root, 1, Seq.empty)
   }
 
+  /** Every named pointer of one kind (branches or tags) → its target
+    * version; empty if the kind's dir was never created. */
+  private def listPointers(root: String, kindDir: String): Map[String, Int] = {
+    val d = new java.io.File(s"$root/$kindDir")
+    if (!d.isDirectory) Map.empty
+    else d.listFiles().filter(_.getName.endsWith(".txt")).map { f =>
+      f.getName.stripSuffix(".txt") -> new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.toInt
+    }.toMap
+  }
+
+  /** BRANCH-AWARE RETENTION — expireSnapshots for a branched/tagged
+    * table: every version REFERENCED by a branch head or a tag
+    * survives with all its files; every unreferenced version's
+    * manifest is dropped and [[expireVersions]]' set algebra then
+    * reclaims exactly the files exclusive to the doomed set. A head's
+    * ANCESTORS are safely expirable because manifests are
+    * SELF-CONTAINED file lists (no manifest chains through its
+    * parent), so a head never needs its history to resolve. A
+    * dangling pointer refuses the vacuum loudly — reclaiming files
+    * under a pointer that still names the version would turn a
+    * metadata bug into data loss. Metadata-scale (pointers +
+    * manifests only; never lists the data dir) and IDEMPOTENT: a
+    * second pass finds nothing unreferenced. Returns the expired
+    * versions, ascending. */
+  def branchVacuum(root: String): Seq[Int] = {
+    val refs = (listPointers(root, "_branches") ++
+                listPointers(root, "_tags")).values.toSet
+    val vre = "v(\\d+)\\.txt".r
+    val all = new java.io.File(s"$root/_manifests").listFiles()
+      .map(_.getName).collect { case vre(v) => v.toInt }.toSet
+    require(refs.subsetOf(all),
+      s"refusing to vacuum $root: dangling pointer(s) reference expired/" +
+      s"uncommitted version(s) ${(refs -- all).toSeq.sorted.mkString(",")}")
+    val doomed = (all -- refs).toSeq.sorted
+    if (doomed.nonEmpty) expireVersions(root, doomed)
+    doomed
+  }
+
   private val wapMemo =
     scala.collection.concurrent.TrieMap.empty[String, Unit]
 
@@ -1320,6 +1385,37 @@ object Scans {
       commitOnBranch(s, root, "audit", slice, "a3")
       writeTag(root, "prepublish", resolveBranch(root, "main"))
       publishBranch(root, "audit", "main")
+    })
+    root
+  }
+
+  private val bvMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Unit]
+
+  /** The vacuumed branched table feeding scan_branch_vacuum: v1/v2
+    * with tag `release`→v1 and `main`→v2; `audit` stages the %10
+    * slice (v3), then COMPACTS its own state into fresh a4 files
+    * (v4 — a manifest of ONLY the rewrite, the retentionBuild shape)
+    * and advances to it, stranding v3; [[branchVacuum]] then expires
+    * exactly v3 and reclaims its exclusive a3 files while every
+    * pointer's state — release@v1, main@v2, audit@v4 — survives
+    * byte-identical. Built once per (JVM, fixture state). */
+  def branchVacuumFixture(s: org.apache.spark.sql.SparkSession,
+                          dir: String): String = {
+    val root = scratch(dir, "branch_vac")
+    bvMemo.getOrElseUpdate(s"$root|${graft.Tables.fsSig(s, s"$dir/orders.parquet")}", {
+      evolutionBase(s, dir, root)
+      createBranch(root, "main", 2)
+      writeTag(root, "release", 1)
+      createBranch(root, "audit", 2)
+      val slice = orders(s, dir)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .where(col("o_orderkey") % 10 === 0)
+      commitOnBranch(s, root, "audit", slice, "a3")
+      val f4 = ttCommit(snapshotRead(s, root, 3).coalesce(2), root, "a4")
+      ttWriteManifest(root, 4, f4)
+      createBranch(root, "audit", 4)
+      branchVacuum(root)
     })
     root
   }
@@ -2738,6 +2834,25 @@ object Scans {
        "f.c + sl.c AS total_cents FROM f, sl " +
        "UNION ALL SELECT 'main-head' AS ref, f.n + sl.n, f.c + sl.c FROM f, sl " +
        "UNION ALL SELECT 'main-prepublish' AS ref, f.n, f.c FROM f " +
+       "ORDER BY ref"),
+
+    // post-vacuum states: audit compacted (all orders + the %10
+    // slice), main untouched (all orders), release tag frozen at the
+    // pre-cutoff v1 — each derived straight from the source predicates
+    "scan_branch_vacuum" ->
+      ("WITH f AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
+       "CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c " +
+       "FROM orders), " +
+       "sl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
+       "CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c " +
+       "FROM orders WHERE o_orderkey % 10 = 0), " +
+       "p AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
+       "CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c " +
+       s"FROM orders WHERE o_orderdate < TIMESTAMP '$TimeTravelCutoff') " +
+       "SELECT 'audit-head' AS ref, f.n + sl.n AS n_rows, " +
+       "f.c + sl.c AS total_cents FROM f, sl " +
+       "UNION ALL SELECT 'main-head' AS ref, f.n, f.c FROM f " +
+       "UNION ALL SELECT 'release-tag' AS ref, p.n, p.c FROM p " +
        "ORDER BY ref"),
 
     // v3 = every order (v2) plus the %10 slice re-appended WITH the

@@ -891,6 +891,58 @@ class NonOracleOpsSpec extends SparkSpec {
       .count() == all + sliceN)
   }
 
+  test("branch vacuum: abandoned staging reclaimed, heads byte-identical, dangling refused, idempotent") {
+    import graft.operators.Scans
+    val root = java.nio.file.Files.createTempDirectory("graft_bvac_spec")
+      .toString + "/tbl"
+    Scans.evolutionBase(spark, sf001, root)
+    Scans.createBranch(root, "main", 2)
+    Scans.writeTag(root, "release", 1)
+    Scans.createBranch(root, "audit", 2)
+    val slice = Tables.orders(spark, sf001)
+      .select("o_orderkey", "o_orderdate", "o_totalprice")
+      .where(col("o_orderkey") % 10 === 0)
+    // stage on audit (v3, exclusive a3 files), then ABANDON the
+    // staging by resetting the branch — the WAP loop's reject path
+    assert(Scans.commitOnBranch(spark, root, "audit", slice, "a3") == 3)
+    Scans.createBranch(root, "audit", 2)
+    def dataFiles() = new java.io.File(s"$root/data").listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    def md5(f: java.io.File): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      java.util.Base64.getEncoder.encodeToString(
+        d.digest(java.nio.file.Files.readAllBytes(f.toPath)))
+    }
+    val keepBefore = dataFiles().filterNot(_.getName.startsWith("a3_"))
+      .map(f => f.getName -> md5(f)).toMap
+    assert(dataFiles().exists(_.getName.startsWith("a3_")))
+    // (a) the vacuum expires exactly the unreferenced staging version
+    assert(Scans.branchVacuum(root) == Seq(3))
+    // (b) its exclusive files are physically gone; every referenced
+    //     version's files are byte-for-byte untouched
+    assert(!dataFiles().exists(_.getName.startsWith("a3_")))
+    assert(dataFiles().map(f => f.getName -> md5(f)).toMap == keepBefore)
+    // (c) every pointer still resolves to its exact state
+    val allRows = Tables.orders(spark, sf001).count()
+    assert(Scans.snapshotRead(spark, root,
+      Scans.resolveBranch(root, "main")).count() == allRows)
+    assert(Scans.snapshotRead(spark, root,
+      Scans.resolveTag(root, "release")).count() < allRows)
+    // (d) the expired staging version fails loudly when read
+    intercept[IllegalArgumentException] {
+      Scans.snapshotRead(spark, root, 3)
+    }
+    // (e) idempotent: a second pass finds nothing unreferenced
+    assert(Scans.branchVacuum(root).isEmpty)
+    // (f) a dangling pointer REFUSES the vacuum instead of reclaiming
+    //     under a name that still resolves (metadata bug ≠ data loss)
+    Scans.expireVersions(root, Seq(1)) // release tag now dangles
+    val e = intercept[IllegalArgumentException] { Scans.branchVacuum(root) }
+    assert(e.getMessage.contains("dangling"), e.getMessage)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(root).getParentFile)
+  }
+
   test("retention: vacuum deletes ONLY exclusive files, survivors byte-identical, expired reads loud") {
     import graft.operators.Scans
     val root = java.nio.file.Files.createTempDirectory("graft_ret_spec")
