@@ -476,6 +476,53 @@ object Aggregations {
         (fround(p, 6) < 0.05).as("significant"))
     }),
 
+    // POST-STRATIFICATION — the third member of the adjustment family
+    // (CUPED uses a pre-period covariate, the delta method fixes the
+    // unit of analysis; post-stratification removes imbalance on a
+    // DISCRETE covariate): the treatment delta is re-estimated as the
+    // stratum-share-weighted sum of within-stratum arm deltas,
+    // Σ w_s(ȳ_s1−ȳ_s0), w_s = n_s/N, with the classic variance
+    // Σ w_s²(v_s1/n_s1 + v_s0/n_s0). Stratum = the user's activity
+    // tier — an INTEGER bucket (n_events div 8, clamped), never a
+    // float log whose floor could straddle an ulp between engines.
+    // Only estimable strata (both arms ≥ 2 users) enter, with shares
+    // renormalized over them — the same declared filter on both
+    // engines. Shape: one per-user pass, then per-(stratum, arm)
+    // moment cells (a ≤ 6×2 grid of DECIMAL(38,0) sums — map-side
+    // combinable, size fixed by the bucket clamp at ANY corpus), a
+    // 1-row broadcast of the renormalizer, and dsum6-pinned term
+    // sums so the ≤ 6-term reductions are order-free on both engines.
+    "events_poststrat" -> ((s, dir) => {
+      val pu = events(s, dir).groupBy("user_id")
+        .agg(sum(floor(col("value") * 100).cast("long")).as("cents"),
+             count(lit(1)).as("n_ev"))
+        .withColumn("g", (col("user_id") % 2).cast("int"))
+        .withColumn("stratum", least(expr("n_ev div 8"), lit(5L)))
+      def cc(g: Int) = when(col("g") === g, col("cents")).otherwise(0L)
+      val cells = pu.groupBy("stratum").agg(
+        sum(when(col("g") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("g") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(cc(0).cast("decimal(38,0)")).as("s0"),
+        sum(cc(1).cast("decimal(38,0)")).as("s1"),
+        sum(cc(0).cast("decimal(19,0)") * cc(0).cast("decimal(19,0)")).as("ss0"),
+        sum(cc(1).cast("decimal(19,0)") * cc(1).cast("decimal(19,0)")).as("ss1"))
+        .where(col("n0") > 1 && col("n1") > 1)
+      val tot = cells.agg(sum(col("n0") + col("n1")).as("nt"))
+      def d(c: Column) = c.cast("double")
+      val w = (d(col("n0")) + d(col("n1"))) / d(col("nt"))
+      val deltaS = d(col("s1")) / d(col("n1")) - d(col("s0")) / d(col("n0"))
+      val v0 = (d(col("ss0")) - d(col("s0")) * d(col("s0")) / d(col("n0"))) /
+               (d(col("n0")) - 1.0)
+      val v1 = (d(col("ss1")) - d(col("s1")) * d(col("s1")) / d(col("n1"))) /
+               (d(col("n1")) - 1.0)
+      cells.crossJoin(broadcast(tot)).agg(
+        big(count(lit(1))).as("n_strata"),
+        big(sum(col("n0") + col("n1"))).as("n_users"),
+        fround(dsum6(w * deltaS) / 100.0, 4).as("delta_spend_ps"),
+        fround(sqrt(dsum6(w * w * (v1 / d(col("n1")) + v0 / d(col("n0"))))) /
+          100.0, 4).as("se_ps"))
+    }),
+
     // DIFFERENCE-IN-DIFFERENCES — the quasi-experimental readout when
     // assignment isn't randomized per event: (treatment post − pre)
     // minus (control post − pre) of mean spend. Treatment is the
@@ -1618,6 +1665,36 @@ object Aggregations {
        froundSql(p, 6) + " AS p_always_valid, " +
        froundSql(p, 6) + " < 0.05 AS significant " +
        "FROM mm ORDER BY n0")
+    },
+    "events_poststrat" -> {
+      val w = "((CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)) / CAST(nt AS DOUBLE))"
+      val deltaS = "(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))"
+      val v0 = "((CAST(ss0 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)) / (CAST(n0 AS DOUBLE) - 1.0))"
+      val v1 = "((CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0))"
+      ("WITH pu AS (SELECT user_id, " +
+       "CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents, " +
+       "CAST(COUNT(*) AS BIGINT) AS n_ev FROM events GROUP BY 1), " +
+       "b AS (SELECT cents, CAST(user_id % 2 AS INT) AS g, " +
+       "LEAST(n_ev // 8, 5) AS stratum FROM pu), " +
+       "cells AS (SELECT stratum, " +
+       "CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0, " +
+       "CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1, " +
+       "SUM(CAST(CASE WHEN g = 0 THEN cents ELSE 0 END AS DECIMAL(38,0))) AS s0, " +
+       "SUM(CAST(CASE WHEN g = 1 THEN cents ELSE 0 END AS DECIMAL(38,0))) AS s1, " +
+       "SUM(CAST(CASE WHEN g = 0 THEN cents ELSE 0 END AS DECIMAL(19,0)) * " +
+       "CAST(CASE WHEN g = 0 THEN cents ELSE 0 END AS DECIMAL(19,0))) AS ss0, " +
+       "SUM(CAST(CASE WHEN g = 1 THEN cents ELSE 0 END AS DECIMAL(19,0)) * " +
+       "CAST(CASE WHEN g = 1 THEN cents ELSE 0 END AS DECIMAL(19,0))) AS ss1 " +
+       "FROM b GROUP BY 1), " +
+       "f AS (SELECT * FROM cells WHERE n0 > 1 AND n1 > 1), " +
+       "t AS (SELECT CAST(SUM(n0 + n1) AS BIGINT) AS nt FROM f) " +
+       "SELECT CAST(COUNT(*) AS BIGINT) AS n_strata, " +
+       "CAST(SUM(n0 + n1) AS BIGINT) AS n_users, " +
+       froundSql(dsum6Sql(s"$w * $deltaS") + " / 100.0", 4) + " AS delta_spend_ps, " +
+       froundSql("SQRT(" + dsum6Sql(
+         s"$w * $w * ($v1 / CAST(n1 AS DOUBLE) + $v0 / CAST(n0 AS DOUBLE))") +
+         ") / 100.0", 4) + " AS se_ps " +
+       "FROM f, t ORDER BY n_strata")
     },
 
     "events_cuped" -> {
