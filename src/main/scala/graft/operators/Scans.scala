@@ -519,6 +519,32 @@ object Scans {
         .reduce(_ unionByName _).orderBy("ref")
     }),
 
+    // CHERRY-PICK — the non-fast-forward publish: audit staged the
+    // %10==0 slice at fork point v2 while a CONCURRENT commit landed
+    // the %10==1 slice directly on main; a fast-forward publish
+    // would drop the concurrent commit, so [[cherryPick]] replays
+    // ONLY audit's staged increment (head − fork, the audit-diff set
+    // algebra) onto main's moved head in one manifest write + one
+    // atomic pointer move — data files immutable throughout, at any
+    // table size. The read proves all three states through live
+    // pointer resolution: main-head carries BOTH increments,
+    // audit-head only its own, fork still the unstaged table.
+    // NonOracleOpsSpec pins the concurrent-commit survival, the
+    // double-pick refusal, and metadata-only physics.
+    "scan_branch_cherrypick" -> ((s, dir) => {
+      val root = cherrypickFixture(s, dir)
+      def aggOf(v: Int, ref: String) =
+        snapshotRead(s, root, v)
+          .agg(big(count(lit(1))).as("n_rows"),
+               big(sum(floor(col("o_totalprice") * 100).cast("long")))
+                 .as("total_cents"))
+          .select(lit(ref).as("ref"), col("n_rows"), col("total_cents"))
+      Seq(aggOf(resolveBranch(root, "main"), "main-head"),
+          aggOf(resolveBranch(root, "audit"), "audit-head"),
+          aggOf(resolveTag(root, "fork"), "fork-tag"))
+        .reduce(_ unionByName _).orderBy("ref")
+    }),
+
     "scan_manifest_pruned" -> ((s, dir) => {
       val out = scratch(dir, "manifest_src")
       // the range-clustered layout is the table, not the query: write
@@ -1315,6 +1341,35 @@ object Scans {
     v
   }
 
+  /** CHERRY-PICK — the NON-fast-forward publish: when `to` (main) has
+    * advanced past `from`'s fork point, a fast-forward publish would
+    * silently DROP main's concurrent commits. Cherry-pick instead
+    * replays only `from`'s staged INCREMENT (its head manifest minus
+    * the `fork` tag's manifest — the scan_branch_audit_diff set
+    * algebra) onto `to`'s current head as a new version. Data files
+    * are immutable and never touched; the cost is one manifest write
+    * + one atomic pointer move, at any table size. The pick REFUSES
+    * loudly when any increment file is already referenced by `to`'s
+    * head (already picked, or a conflicting rewrite) — the Iceberg
+    * cherry-pick validation. Returns the new version on `to`. */
+  def cherryPick(root: String, from: String, to: String,
+                 fork: String): Int = {
+    val inc = (readManifest(root, resolveBranch(root, from)).toSet --
+               readManifest(root, resolveTag(root, fork)).toSet)
+    val target = readManifest(root, resolveBranch(root, to))
+    val clash = inc.intersect(target.toSet)
+    require(clash.isEmpty,
+      s"refusing cherry-pick $from->$to: ${clash.size} staged file(s) " +
+      s"already referenced by $to's head (already picked or conflicting " +
+      s"rewrite): ${clash.toSeq.sorted.take(3).mkString(",")}")
+    val vre = "v(\\d+)\\.txt".r
+    val next = 1 + new java.io.File(s"$root/_manifests").listFiles()
+      .map(_.getName).collect { case vre(v) => v.toInt }.max
+    ttWriteManifest(root, next, target ++ inc.toSeq.sorted)
+    createBranch(root, to, next)
+    next
+  }
+
   /** Initialize an EMPTY versioned table: fresh data/_manifests dirs
     * and an empty v1 manifest — the bootstrap a streaming branch-
     * commit job hangs its first branch off (batch fixtures commit
@@ -1385,6 +1440,35 @@ object Scans {
       commitOnBranch(s, root, "audit", slice, "a3")
       writeTag(root, "prepublish", resolveBranch(root, "main"))
       publishBranch(root, "audit", "main")
+    })
+    root
+  }
+
+  private val pickMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Unit]
+
+  /** The diverged-branches table feeding scan_branch_cherrypick:
+    * main and audit both fork at v2 (frozen under the `fork` tag);
+    * audit stages the %10==0 slice (v3) while a CONCURRENT commit
+    * lands the %10==1 slice directly on main (v4) — main has moved
+    * past audit's fork point, so fast-forward publish would drop the
+    * concurrent commit. [[cherryPick]] replays audit's increment
+    * onto main's head as v5 = v4's manifest + (v3 − fork). Built
+    * once per (JVM, fixture state). */
+  def cherrypickFixture(s: org.apache.spark.sql.SparkSession,
+                        dir: String): String = {
+    val root = scratch(dir, "branch_cp")
+    pickMemo.getOrElseUpdate(s"$root|${graft.Tables.fsSig(s, s"$dir/orders.parquet")}", {
+      evolutionBase(s, dir, root)
+      createBranch(root, "main", 2)
+      createBranch(root, "audit", 2)
+      writeTag(root, "fork", 2)
+      def slice(m: Int) = orders(s, dir)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .where(col("o_orderkey") % 10 === m)
+      commitOnBranch(s, root, "audit", slice(0), "a3")
+      commitOnBranch(s, root, "main", slice(1), "m4")
+      cherryPick(root, "audit", "main", "fork")
     })
     root
   }
@@ -2853,6 +2937,26 @@ object Scans {
        "f.c + sl.c AS total_cents FROM f, sl " +
        "UNION ALL SELECT 'main-head' AS ref, f.n, f.c FROM f " +
        "UNION ALL SELECT 'release-tag' AS ref, p.n, p.c FROM p " +
+       "ORDER BY ref"),
+
+    // main after the pick = full table + BOTH %10 slices (the
+    // concurrent commit survived); audit only its own staged slice;
+    // the fork tag still the unstaged table
+    "scan_branch_cherrypick" ->
+      ("WITH f AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
+       "CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c " +
+       "FROM orders), " +
+       "s0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
+       "CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c " +
+       "FROM orders WHERE o_orderkey % 10 = 0), " +
+       "s1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
+       "CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c " +
+       "FROM orders WHERE o_orderkey % 10 = 1) " +
+       "SELECT 'audit-head' AS ref, f.n + s0.n AS n_rows, " +
+       "f.c + s0.c AS total_cents FROM f, s0 " +
+       "UNION ALL SELECT 'fork-tag' AS ref, f.n, f.c FROM f " +
+       "UNION ALL SELECT 'main-head' AS ref, f.n + s0.n + s1.n, " +
+       "f.c + s0.c + s1.c FROM f, s0, s1 " +
        "ORDER BY ref"),
 
     // v3 = every order (v2) plus the %10 slice re-appended WITH the

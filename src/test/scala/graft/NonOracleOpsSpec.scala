@@ -943,6 +943,55 @@ class NonOracleOpsSpec extends SparkSpec {
       new java.io.File(root).getParentFile)
   }
 
+  test("cherry-pick: concurrent commit survives, double-pick refused, metadata-only") {
+    import graft.operators.Scans
+    val root = java.nio.file.Files.createTempDirectory("graft_cp_spec")
+      .toString + "/tbl"
+    Scans.evolutionBase(spark, sf001, root)
+    Scans.createBranch(root, "main", 2)
+    Scans.createBranch(root, "audit", 2)
+    Scans.writeTag(root, "fork", 2)
+    val all = Tables.orders(spark, sf001).count()
+    def slice(m: Int) = Tables.orders(spark, sf001)
+      .select("o_orderkey", "o_orderdate", "o_totalprice")
+      .where(col("o_orderkey") % 10 === m)
+    val (n0, n1) = (slice(0).count(), slice(1).count())
+    assert(Scans.commitOnBranch(spark, root, "audit", slice(0), "a3") == 3)
+    assert(Scans.commitOnBranch(spark, root, "main", slice(1), "m4") == 4)
+    // main moved past the fork: fast-forward would drop m4's files
+    def md5(f: java.io.File): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      java.util.Base64.getEncoder.encodeToString(
+        d.digest(java.nio.file.Files.readAllBytes(f.toPath)))
+    }
+    def dataFp() = new java.io.File(s"$root/data").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> md5(f)).toMap
+    def manifests() = new java.io.File(s"$root/_manifests").listFiles()
+      .map(_.getName).toSet
+    val (dBefore, mBefore) = (dataFp(), manifests())
+    val v5 = Scans.cherryPick(root, "audit", "main", "fork")
+    assert(v5 == 5)
+    // (a) metadata-only: no data file written or touched; exactly one
+    //     new manifest; audit's pointer untouched
+    assert(dataFp() == dBefore, "cherry-pick touched a data file")
+    assert(manifests() -- mBefore == Set("v5.txt"))
+    assert(Scans.resolveBranch(root, "audit") == 3)
+    assert(Scans.resolveBranch(root, "main") == 5)
+    // (b) the concurrent commit SURVIVED: main-head carries BOTH
+    //     increments; audit still only its own
+    assert(Scans.snapshotRead(spark, root, 5).count() == all + n0 + n1)
+    assert(Scans.snapshotRead(spark, root, 3).count() == all + n0)
+    // (c) double-pick refuses loudly: the increment's files are
+    //     already referenced by main's head
+    val e = intercept[IllegalArgumentException] {
+      Scans.cherryPick(root, "audit", "main", "fork")
+    }
+    assert(e.getMessage.contains("already referenced"), e.getMessage)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(root).getParentFile)
+  }
+
   test("retention: vacuum deletes ONLY exclusive files, survivors byte-identical, expired reads loud") {
     import graft.operators.Scans
     val root = java.nio.file.Files.createTempDirectory("graft_ret_spec")
