@@ -523,6 +523,83 @@ object Aggregations {
           100.0, 4).as("se_ps"))
     }),
 
+    // QUANTILE TREATMENT EFFECT — the DISTRIBUTIONAL readout the mean
+    // delta hides: heavy-tail experiments routinely move p75 while
+    // the median sits still (or vice versa), so platforms report the
+    // per-quantile shift q_treat − q_control at the quartiles. EXACT
+    // order statistics with NO window and NO global sort: per-user
+    // cents collapse to the per-arm value GRID in one pass
+    // (value-cardinality-bounded), each (arm, quartile) then resolves
+    // through the agg_weighted_median two-level fold — broadcast
+    // bounds → row-local [[WmedianBins]] bin → one fold over the
+    // sorted ≤ B bin-subtotal array finds the winning bin and its
+    // below-weight → the exact crossing resolves inside that bin
+    // only (≤ ⌈range/B⌉ cells by construction). The quartile grid is
+    // a 3-element explode of the BOUNDED grid, never of the corpus.
+    // Selection convention: smallest p with cum·4 ≥ k·tw (k=1,2,3) —
+    // the agg_weighted_median lower-median rule, which the oracle
+    // replays verbatim, so every output is an exact integer cent.
+    "events_quantile_te" -> ((s, dir) => {
+      // grid feeds bounds + bin subtotals + the per-bin fold:
+      // checkpoint so the corpus hash-agg runs once
+      val pts = events(s, dir).groupBy("user_id")
+        .agg(sum(floor(col("value") * 100).cast("long")).as("p"))
+        .select((col("user_id") % 2).cast("int").as("g"), col("p"))
+        .groupBy("g", "p").agg(count(lit(1)).as("q"))
+        .localCheckpoint()
+      val bounds = pts.groupBy("g")
+        .agg(min(col("p")).as("min_p"), max(col("p")).as("max_p"),
+             sum(col("q")).as("tw"))
+      val quart = pts.join(broadcast(bounds), Seq("g"))
+        .withColumn("bin",
+          expr(s"((p - min_p) * $WmedianBins) div (max_p - min_p + 1)"))
+        .withColumn("k", explode(array(lit(1L), lit(2L), lit(3L))))
+        .select("g", "k", "p", "q", "bin", "tw")
+      val win = quart
+        .groupBy(col("g"), col("k"), col("tw"), col("bin"))
+        .agg(sum(col("q")).as("bq"))
+        .groupBy("g", "k", "tw")
+        .agg(sort_array(collect_list(struct(col("bin"), col("bq")))).as("arr"))
+        .select(col("g"), col("k"),
+          aggregate(col("arr"),
+            struct(lit(0L).as("cum"), lit(null).cast("long").as("wbin"),
+                   lit(null).cast("long").as("wlo")),
+            (acc, e) => {
+              val cum2 = acc.getField("cum") + e.getField("bq")
+              struct(
+                cum2.as("cum"),
+                coalesce(acc.getField("wbin"),
+                  when(cum2 * 4 >= col("k") * col("tw"), e.getField("bin"))).as("wbin"),
+                coalesce(acc.getField("wlo"),
+                  when(cum2 * 4 >= col("k") * col("tw"), acc.getField("cum"))).as("wlo"))
+            }).as("w"))
+        .select(col("g"), col("k"),
+                col("w.wbin").as("wbin"), col("w.wlo").as("wlo"))
+      val qv = quart.join(broadcast(win), Seq("g", "k"))
+        .where(col("bin") === col("wbin"))
+        .groupBy(col("g"), col("k"), col("tw"), col("wlo"))
+        .agg(sort_array(collect_list(struct(col("p"), col("q")))).as("arr"))
+        .select(col("g"), col("k"),
+          aggregate(col("arr"),
+            struct(col("wlo").as("cum"), lit(null).cast("long").as("ans")),
+            (acc, e) => {
+              val cum2 = acc.getField("cum") + e.getField("q")
+              struct(cum2.as("cum"),
+                coalesce(acc.getField("ans"),
+                  when(cum2 * 4 >= col("k") * col("tw"), e.getField("p"))).as("ans"))
+            },
+            acc => acc.getField("ans")).as("qc"))
+      qv.groupBy("k")
+        .agg(max(when(col("g") === 0, col("qc"))).as("qc0"),
+             max(when(col("g") === 1, col("qc"))).as("qc1"))
+        .select(
+          concat(lit("p"), (col("k") * 25).cast("string")).as("quantile"),
+          big(col("qc0")).as("q_control"),
+          big(col("qc1")).as("q_treat"),
+          big(col("qc1") - col("qc0")).as("te"))
+        .orderBy("quantile")
+    }),
+
     // DIFFERENCE-IN-DIFFERENCES — the quasi-experimental readout when
     // assignment isn't randomized per event: (treatment post − pre)
     // minus (control post − pre) of mean spend. Treatment is the
@@ -1696,6 +1773,29 @@ object Aggregations {
          ") / 100.0", 4) + " AS se_ps " +
        "FROM f, t ORDER BY n_strata")
     },
+
+    // exact per-arm quartiles off the per-user cents grid; selection
+    // is the agg_weighted_median lower rule (smallest p with
+    // cum*4 >= k*tw), replayed here with the same cumulative window
+    "events_quantile_te" ->
+      ("WITH pu AS (SELECT user_id, " +
+       "CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS p " +
+       "FROM events GROUP BY 1), " +
+       "x AS (SELECT CAST(user_id % 2 AS INT) AS g, p, " +
+       "CAST(COUNT(*) AS BIGINT) AS q FROM pu GROUP BY 1, 2), " +
+       "y AS (SELECT g, p, " +
+       "SUM(q) OVER (PARTITION BY g ORDER BY p " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw, " +
+       "SUM(q) OVER (PARTITION BY g) AS tw FROM x), " +
+       "ks AS (SELECT * FROM (VALUES (1), (2), (3)) t(k)), " +
+       "qq AS (SELECT ks.k, y.g, MIN(p) AS qc FROM y, ks " +
+       "WHERE cw * 4 >= ks.k * tw GROUP BY 1, 2) " +
+       "SELECT 'p' || CAST(k * 25 AS VARCHAR) AS quantile, " +
+       "CAST(MAX(CASE WHEN g = 0 THEN qc END) AS BIGINT) AS q_control, " +
+       "CAST(MAX(CASE WHEN g = 1 THEN qc END) AS BIGINT) AS q_treat, " +
+       "CAST(MAX(CASE WHEN g = 1 THEN qc END) - " +
+       "MAX(CASE WHEN g = 0 THEN qc END) AS BIGINT) AS te " +
+       "FROM qq GROUP BY 1 ORDER BY 1"),
 
     "events_cuped" -> {
       val covn = "(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))"

@@ -644,6 +644,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("events_quantile_te rides the binned fold: no window, broadcasts only") {
+    // exact per-arm quartiles must inherit the de-weakened
+    // agg_mann_whitney/agg_weighted_median plan class: the only
+    // corpus-scale exchange is the per-user hash-agg; bounds and
+    // winning-bin tables ride broadcasts; no window, no grid-sized
+    // shuffle join, no global sort before the final 3-row ORDER BY
+    val p = plan("events_quantile_te")
+    assert(!p.contains("Window"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("agg_mad broadcasts the per-group medians, no window anywhere") {
     val p = plan("agg_mad")
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
