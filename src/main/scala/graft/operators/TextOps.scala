@@ -761,6 +761,63 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // SUPERVISED NAIVE BAYES — the classic fastText-class quality/
+    // domain classifier recipe at corpus scale: TRAIN multinomial NB
+    // with add-one smoothing on the 80% md5-bucket split (the
+    // sample_split rule, so a document can never straddle
+    // train/score), then SCORE the held-out 20% and report the
+    // confusion matrix. Train = one (lang, token) hash-agg, vocab-
+    // bounded; the fitted model (counts + per-lang denominators +
+    // priors) BROADCASTS — the deployment pattern: the corpus streams
+    // row-locally past a small model (cap the vocab by df, the
+    // MaxShingleDf discipline, when 100-TB vocabularies outgrow the
+    // broadcast). Cross-engine determinism: every log term truncates
+    // to DECIMAL(24,6) (the dsum6 pin) so per-(doc, lang) scores are
+    // EXACT decimals; argmax = max score then MIN(lang) at exact
+    // equality — no float comparison ever decides a tie.
+    "text_naive_bayes" -> ((s, dir) => {
+      val docs = documents(s, dir).withColumn("bucket",
+        pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long"), lit(100)))
+      val train = docs.where(col("bucket") < 80)
+      val test = docs.where(col("bucket") >= 80)
+      val ttok = train.select(col("lang"),
+        explode(split(lower(col("text")), " ")).as("token"))
+      val cnts = ttok.groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
+      val voc = cnts.select("token").distinct().agg(count(lit(1)).as("v"))
+      val ndt = train.agg(count(lit(1)).as("ndt"))
+      // per-lang denominators + decimal-pinned log prior
+      val langInfo = cnts.groupBy("lang").agg(sum(col("cnt")).as("tot"))
+        .join(train.groupBy("lang").agg(count(lit(1)).as("nd")), Seq("lang"))
+        .crossJoin(voc).crossJoin(ndt)
+        .select(col("lang"), col("tot"), col("v"),
+          log(col("nd").cast("double") / col("ndt").cast("double"))
+            .cast("decimal(24,6)").as("lpri"))
+      val dtok = test.select(col("doc_id"), col("lang").as("lang_true"),
+        explode(split(lower(col("text")), " ")).as("token"))
+      // candidate grid = test tokens × the bounded lang set; unseen
+      // (lang, token) pairs take the smoothed zero-count term
+      val terms = dtok
+        .crossJoin(broadcast(langInfo.select("lang", "tot", "v")))
+        .join(broadcast(cnts), Seq("lang", "token"), "left")
+        .select(col("doc_id"), col("lang_true"), col("lang"),
+          log((coalesce(col("cnt"), lit(0L)) + 1L).cast("double") /
+              (col("tot") + col("v")).cast("double"))
+            .cast("decimal(24,6)").as("lt"))
+      val scores = terms.groupBy("doc_id", "lang_true", "lang")
+        .agg(sum(col("lt")).as("ssum"))
+        .join(broadcast(langInfo.select("lang", "lpri")), Seq("lang"))
+        .select(col("doc_id"), col("lang_true"), col("lang"),
+                (col("ssum") + col("lpri")).as("score"))
+      val best = scores.groupBy("doc_id").agg(max(col("score")).as("bs"))
+      scores.join(best, Seq("doc_id"))
+        .where(col("score") === col("bs"))
+        .groupBy("doc_id", "lang_true").agg(min(col("lang")).as("lang_pred"))
+        .groupBy("lang_true", "lang_pred")
+        .agg(big(count(lit(1))).as("n_docs"))
+        .orderBy("lang_true", "lang_pred")
+    }),
+
     // Gopher-style composite quality rules (Rae et al. 2021,
     // arXiv:2112.11446 §A1.1 — the public rule family behind most LLM
     // corpus filters): token-count bounds, mean-token-length bounds,
@@ -1284,6 +1341,38 @@ object TextOps {
        "SELECT b.doc_id, b.profile_lang AS predicted, d.lang AS actual, b.hits, " +
        "b.profile_lang = d.lang AS correct " +
        "FROM best b JOIN documents d USING (doc_id) WHERE b.rn = 1 ORDER BY b.doc_id"),
+    // the identical train/score split, smoothing and DECIMAL(24,6)
+    // term pin; argmax = max exact-decimal score, MIN(lang) on ties
+    "text_naive_bayes" ->
+      ("WITH b AS (SELECT doc_id, lang, text, " +
+       "CAST(CONCAT('0x', SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket " +
+       "FROM documents), " +
+       "tr AS (SELECT * FROM b WHERE bucket < 80), " +
+       "te AS (SELECT * FROM b WHERE bucket >= 80), " +
+       "ttok AS (SELECT lang, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS token FROM tr), " +
+       "cnts AS MATERIALIZED (SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS cnt " +
+       "FROM ttok GROUP BY 1, 2), " +
+       "voc AS (SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS v FROM cnts), " +
+       "ndt AS (SELECT CAST(COUNT(*) AS BIGINT) AS ndt FROM tr), " +
+       "li AS (SELECT t.lang, t.tot, voc.v, " +
+       "CAST(LN(CAST(p.nd AS DOUBLE) / CAST(ndt.ndt AS DOUBLE)) AS DECIMAL(24,6)) AS lpri " +
+       "FROM (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS tot FROM cnts GROUP BY 1) t " +
+       "JOIN (SELECT lang, CAST(COUNT(*) AS BIGINT) AS nd FROM tr GROUP BY 1) p USING (lang), voc, ndt), " +
+       "dtok AS (SELECT doc_id, lang AS lang_true, " +
+       "UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS token FROM te), " +
+       "terms AS (SELECT d.doc_id, d.lang_true, li.lang, " +
+       "CAST(LN(CAST(COALESCE(c.cnt, 0) + 1 AS DOUBLE) / CAST(li.tot + li.v AS DOUBLE)) " +
+       "AS DECIMAL(24,6)) AS lt " +
+       "FROM dtok d CROSS JOIN li " +
+       "LEFT JOIN cnts c ON c.lang = li.lang AND c.token = d.token), " +
+       "sc AS (SELECT t.doc_id, t.lang_true, t.lang, SUM(t.lt) + MIN(li.lpri) AS score " +
+       "FROM terms t JOIN li USING (lang) GROUP BY 1, 2, 3), " +
+       "best AS (SELECT doc_id, MAX(score) AS bs FROM sc GROUP BY 1), " +
+       "pred AS (SELECT s.doc_id, s.lang_true, MIN(s.lang) AS lang_pred " +
+       "FROM sc s JOIN best bb ON s.doc_id = bb.doc_id AND s.score = bb.bs " +
+       "GROUP BY 1, 2) " +
+       "SELECT lang_true, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs " +
+       "FROM pred GROUP BY 1, 2 ORDER BY 1, 2"),
     "text_bpe_pairs" ->
       ("WITH wc AS (SELECT w, COUNT(*) AS cnt FROM " +
        "(SELECT UNNEST(STRING_SPLIT(LOWER(TRIM(text)), ' ')) AS w FROM documents) GROUP BY w) " +
