@@ -600,6 +600,85 @@ object Aggregations {
         .orderBy("quantile")
     }),
 
+    // WINSORIZED TREATMENT EFFECT — the robust mean delta every spend
+    // metric ships next to the raw one: a single whale user dominates
+    // Var(mean), so platforms cap the metric at a pooled p99 before
+    // differencing (winsorization keeps the row, unlike trimming, so
+    // n stays the design n). The cap is an exact INTEGER cent from
+    // the pooled per-user value grid by the lower rule (smallest p
+    // with cum·100 ≥ 99·tw) — the events_quantile_te selection
+    // convention, grid-bounded and window-free — broadcast back, then
+    // per-arm winsorized moment sums ride DECIMAL(38,0) with the
+    // decimal-before-multiply square. One corpus exchange (the
+    // per-user hash-agg); everything after is grid- or 1-row-scale.
+    "events_winsorized_delta" -> ((s, dir) => {
+      val pu = events(s, dir).groupBy("user_id")
+        .agg(sum(floor(col("value") * 100).cast("long")).as("p"))
+        .select((col("user_id") % 2).cast("int").as("g"), col("p"))
+        .localCheckpoint()
+      val pts = pu.groupBy("p").agg(count(lit(1)).as("q"))
+      val bounds = pts.agg(min(col("p")).as("min_p"), max(col("p")).as("max_p"),
+                           sum(col("q")).as("tw"))
+      val binned = pts.crossJoin(broadcast(bounds))
+        .withColumn("bin",
+          expr(s"((p - min_p) * $WmedianBins) div (max_p - min_p + 1)"))
+        .select("p", "q", "bin", "tw")
+      val win = binned.groupBy(col("tw"), col("bin"))
+        .agg(sum(col("q")).as("bq"))
+        .groupBy("tw")
+        .agg(sort_array(collect_list(struct(col("bin"), col("bq")))).as("arr"))
+        .select(
+          aggregate(col("arr"),
+            struct(lit(0L).as("cum"), lit(null).cast("long").as("wbin"),
+                   lit(null).cast("long").as("wlo")),
+            (acc, e) => {
+              val cum2 = acc.getField("cum") + e.getField("bq")
+              struct(
+                cum2.as("cum"),
+                coalesce(acc.getField("wbin"),
+                  when(cum2 * 100 >= lit(99) * col("tw"), e.getField("bin"))).as("wbin"),
+                coalesce(acc.getField("wlo"),
+                  when(cum2 * 100 >= lit(99) * col("tw"), acc.getField("cum"))).as("wlo"))
+            }).as("w"))
+        .select(col("w.wbin").as("wbin"), col("w.wlo").as("wlo"))
+      val cap = binned.crossJoin(broadcast(win))
+        .where(col("bin") === col("wbin"))
+        .groupBy(col("tw"), col("wlo"))
+        .agg(sort_array(collect_list(struct(col("p"), col("q")))).as("arr"))
+        .select(
+          aggregate(col("arr"),
+            struct(col("wlo").as("cum"), lit(null).cast("long").as("ans")),
+            (acc, e) => {
+              val cum2 = acc.getField("cum") + e.getField("q")
+              struct(cum2.as("cum"),
+                coalesce(acc.getField("ans"),
+                  when(cum2 * 100 >= lit(99) * col("tw"), e.getField("p"))).as("ans"))
+            },
+            acc => acc.getField("ans")).as("cap"))
+      val w9 = pu.crossJoin(broadcast(cap))
+        .withColumn("w", least(col("p"), col("cap")))
+      def wg(g: Int) = when(col("g") === g, col("w")).otherwise(0L)
+      val m = w9.agg(
+        max(col("cap")).as("capc"),
+        sum(when(col("g") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("g") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(wg(0).cast("decimal(38,0)")).as("s0"),
+        sum(wg(1).cast("decimal(38,0)")).as("s1"),
+        sum(wg(0).cast("decimal(19,0)") * wg(0).cast("decimal(19,0)")).as("ss0"),
+        sum(wg(1).cast("decimal(19,0)") * wg(1).cast("decimal(19,0)")).as("ss1"))
+      def d(c: Column) = c.cast("double")
+      val (n0, n1) = (d(col("n0")), d(col("n1")))
+      val v0 = (d(col("ss0")) - d(col("s0")) * d(col("s0")) / n0) / (n0 - 1.0)
+      val v1 = (d(col("ss1")) - d(col("s1")) * d(col("s1")) / n1) / (n1 - 1.0)
+      m.select(
+        big(col("n0")).as("n0"), big(col("n1")).as("n1"),
+        big(col("capc")).as("cap_cents"),
+        fround(d(col("s0")) / n0 / 100.0, 4).as("wmean_control"),
+        fround(d(col("s1")) / n1 / 100.0, 4).as("wmean_treat"),
+        fround((d(col("s1")) / n1 - d(col("s0")) / n0) / 100.0, 4).as("wdelta"),
+        fround(sqrt(v0 / n0 + v1 / n1) / 100.0, 6).as("se"))
+    }),
+
     // DIFFERENCE-IN-DIFFERENCES — the quasi-experimental readout when
     // assignment isn't randomized per event: (treatment post − pre)
     // minus (control post − pre) of mean spend. Treatment is the
@@ -1796,6 +1875,39 @@ object Aggregations {
        "CAST(MAX(CASE WHEN g = 1 THEN qc END) - " +
        "MAX(CASE WHEN g = 0 THEN qc END) AS BIGINT) AS te " +
        "FROM qq GROUP BY 1 ORDER BY 1"),
+
+    // pooled p99 cap by the same lower rule, then per-arm winsorized
+    // moment sums with the identical decimal pins
+    "events_winsorized_delta" -> {
+      val v0 = "((CAST(ss0 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)) / (CAST(n0 AS DOUBLE) - 1.0))"
+      val v1 = "((CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0))"
+      ("WITH pu AS (SELECT user_id, CAST(user_id % 2 AS INT) AS g, " +
+       "CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS p " +
+       "FROM events GROUP BY 1), " +
+       "x AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS q FROM pu GROUP BY 1), " +
+       "y AS (SELECT p, SUM(q) OVER (ORDER BY p " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw, " +
+       "SUM(q) OVER () AS tw FROM x), " +
+       "cap AS (SELECT MIN(p) AS cap FROM y WHERE cw * 100 >= 99 * tw), " +
+       "w AS (SELECT g, LEAST(p, cap.cap) AS w, cap.cap FROM pu, cap), " +
+       "m AS (SELECT MAX(cap) AS capc, " +
+       "CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0, " +
+       "CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1, " +
+       "SUM(CAST(CASE WHEN g = 0 THEN w ELSE 0 END AS DECIMAL(38,0))) AS s0, " +
+       "SUM(CAST(CASE WHEN g = 1 THEN w ELSE 0 END AS DECIMAL(38,0))) AS s1, " +
+       "SUM(CAST(CASE WHEN g = 0 THEN w ELSE 0 END AS DECIMAL(19,0)) * " +
+       "CAST(CASE WHEN g = 0 THEN w ELSE 0 END AS DECIMAL(19,0))) AS ss0, " +
+       "SUM(CAST(CASE WHEN g = 1 THEN w ELSE 0 END AS DECIMAL(19,0)) * " +
+       "CAST(CASE WHEN g = 1 THEN w ELSE 0 END AS DECIMAL(19,0))) AS ss1 " +
+       "FROM w) " +
+       "SELECT n0, n1, CAST(capc AS BIGINT) AS cap_cents, " +
+       froundSql("CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) / 100.0", 4) + " AS wmean_control, " +
+       froundSql("CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 100.0", 4) + " AS wmean_treat, " +
+       froundSql("(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) - " +
+         "CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)) / 100.0", 4) + " AS wdelta, " +
+       froundSql(s"SQRT($v0 / CAST(n0 AS DOUBLE) + $v1 / CAST(n1 AS DOUBLE)) / 100.0", 6) +
+       " AS se FROM m ORDER BY n0")
+    },
 
     "events_cuped" -> {
       val covn = "(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))"
