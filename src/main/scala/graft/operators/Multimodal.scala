@@ -215,8 +215,62 @@ object Multimodal {
                       i => (i * stride).cast("string")), ",").as("sample_offsets"),
           md5(substring(col("payload"), 1, stride)).as("frame0_md5"))
         .orderBy("doc_id")
+    }),
+
+    // PERCEPTUAL-HASH NEAR-DUP over binary assets — the media analog
+    // of dedup_simhash: a 60-bit average-hash signature per payload
+    // (60 evenly-strided sample bytes; bit i set iff 60*sample_i >=
+    // the sample SUM — all-integer arithmetic, so both engines agree
+    // bit-for-bit), then near-dup pairs via Hamming LSH: 10 disjoint
+    // 6-bit bands, candidates = pairs sharing any band, verified by
+    // an exact bit_count(xor) <= 7 gate. Pigeonhole makes the banding
+    // LOSSLESS up to d <= 9 (10 bands; d <= 9 cannot change all 10):
+    // the oracle brute-forces ALL pairs, so the hash match PROVES the
+    // banded plan's 100% recall. The corpus reduces to (doc_id,
+    // 8-byte sig) BEFORE any exchange (the multimodal_dedup
+    // discipline) and is checkpointed so the payload scan happens
+    // once; the self-join is band-bucketed, never all-pairs. Band
+    // width scales with corpus size in production (128-bit sigs /
+    // 16-bit bands at web scale); 6-bit keys fit this fixture. A real
+    // deployment computes the signature from decoded pixels inside
+    // the decodeFeatures stage; the deterministic fake derives it
+    // from payload bytes, exactly like multimodal_decode.
+    "multimodal_phash" -> ((s, dir) => {
+      val sigs = withPayload(documents(s, dir))
+        .select(col("doc_id"), col("payload").cast("string").as("txt"))
+        .withColumn("s", array((0 until PhashBits).map(i =>
+          expr(s"ascii(substring(txt, 1 + (($i * length(txt)) div $PhashBits), 1))")): _*))
+        .withColumn("stot", expr("aggregate(s, 0, (acc, x) -> acc + x)"))
+        .select(col("doc_id"),
+          expr(s"aggregate(sequence(0, ${PhashBits - 1}), CAST(0 AS BIGINT), " +
+               s"(acc, i) -> acc + CASE WHEN $PhashBits * element_at(s, i + 1) >= stot " +
+               "THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END)").as("sig"))
+        .localCheckpoint()
+      val banded = sigs
+        .select(col("doc_id"), col("sig"),
+                explode(sequence(lit(0), lit(PhashBands - 1))).as("band"))
+        .withColumn("key",
+          expr(s"shiftright(sig, band * $PhashBandBits) & ${(1 << PhashBandBits) - 1}"))
+      banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+                col("a.sig").as("sa"), col("b.sig").as("sb"))
+        .withColumn("hamming_d", big(expr("bit_count(sa ^ sb)")))
+        .where(col("hamming_d") <= PhashMaxDist)
+        .select("doc_a", "doc_b", "hamming_d")
+        .distinct()
+        .orderBy("doc_a", "doc_b")
     })
   )
+
+  /** Average-hash geometry (shared with the oracle): 60 sampled bytes
+    * → 60-bit signature → 10 disjoint 6-bit LSH bands; the exact gate
+    * keeps pairs at Hamming distance <= 7 (banding lossless to 9). */
+  val PhashBits = 60
+  val PhashBandBits = 6
+  val PhashBands: Int = PhashBits / PhashBandBits
+  val PhashMaxDist = 7L
 
   /** Export shard byte budget — a new shard opens when the running
     * per-type byte total crosses this (shared with the oracle). Tiny
@@ -294,6 +348,24 @@ object Multimodal {
        "ARRAY_TO_STRING(LIST_TRANSFORM(RANGE(0, CAST(LEAST(n_frames - 1, 4) AS BIGINT) + 1), " +
        "i -> CAST(i * 240 AS VARCHAR)), ',') AS sample_offsets, " +
        "MD5(SUBSTRING(text, 1, 240)) AS frame0_md5 " +
-       "FROM v ORDER BY doc_id")
+       "FROM v ORDER BY doc_id"),
+    // brute-force all pairs (the banded Spark plan must find every one
+    // of them — 10 bands over 60 bits are pigeonhole-lossless to d=9);
+    // ASCII fixture => character codes ARE the payload bytes
+    "multimodal_phash" -> {
+      val stot = (0 until PhashBits).map(i =>
+        s"ascii(substring(text, 1 + (($i * length(text)) // $PhashBits), 1))")
+        .mkString(" + ")
+      val sig = (0 until PhashBits).map(i =>
+        s"(CASE WHEN $PhashBits * ascii(substring(text, 1 + (($i * length(text)) // $PhashBits), 1)) >= stot " +
+        s"THEN (1::BIGINT << $i) ELSE 0::BIGINT END)").mkString(" + ")
+      s"WITH t AS (SELECT doc_id, text, ($stot) AS stot FROM documents), " +
+      s"sg AS (SELECT doc_id, ($sig) AS sig FROM t) " +
+      "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+      "CAST(BIT_COUNT(XOR(a.sig, b.sig)) AS BIGINT) AS hamming_d " +
+      "FROM sg a JOIN sg b ON a.doc_id < b.doc_id " +
+      s"WHERE BIT_COUNT(XOR(a.sig, b.sig)) <= $PhashMaxDist " +
+      "ORDER BY doc_a, doc_b"
+    }
   )
 }

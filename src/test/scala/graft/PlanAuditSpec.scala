@@ -882,6 +882,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(4000))
   }
 
+  test("multimodal_phash: candidate pairs come from a band-key equi-join, never all-pairs") {
+    // the near-dup self-join must bucket on the (band, key) LSH pair —
+    // a CartesianProduct or BNLJ means the brute-force oracle shape
+    // leaked into the Spark plan; the exact Hamming gate is a filter
+    // AFTER the equi-join, not a join condition that defeats bucketing
+    val p = plan("multimodal_phash")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(4000))
+    assert(p.contains("hashpartitioning"), p.take(4000))
+  }
+
   test("whole-stage codegen covers the hot paths of the flagship aggregate") {
     // AQE finalizes stages only at execution; run the query, then check
     // the final adaptive plan for codegen stage markers (`*(n)`)
