@@ -169,8 +169,63 @@ object Similarity {
         .groupBy("label", "predicted")
         .agg(big(count(lit(1))).as("n"))
         .orderBy("label", "predicted")
+    }),
+
+    // HYBRID RETRIEVAL via Reciprocal-Rank Fusion — the RAG-stack
+    // recipe (Cormack et al. RRF; what OpenSearch/Vespa "hybrid" mode
+    // computes): a LEXICAL arm (probe doc 0's distinct tokens,
+    // broadcast — bounded by one document's vocabulary no matter the
+    // corpus — equi-joined against the corpus posting set, overlap
+    // count per doc) and a VECTOR arm (broadcast probe embedding,
+    // scan-local cosine — the sim_topk shape), each heap-cut to its
+    // top-20 (TakeOrderedAndProject, never a global sort of the
+    // corpus), ranked WITHIN the 20-row cut (the window's input is
+    // arm-K-sized, not corpus-sized), then fused full-outer on doc
+    // with rrf = Σ 1/(60+rank), a missing arm contributing 0. Every
+    // rank cuts on integer overlap / fround4 cosine with doc_id
+    // tie-break, and 1/(60+r) is one IEEE divide of exact small ints
+    // — engine-identical, so the fused ORDER is hash-stable. Neither
+    // arm ever shuffles the corpus: one broadcast join + one
+    // count-agg (lexical), one broadcast + scan (vector).
+    "sim_hybrid_rrf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = documents(s, dir)
+      val e = embeddings(s, dir)
+      val qv = e.where(col("vec_id") === 0L).select(col("embedding").as("qv"))
+      val vecTop = e.where(col("vec_id") =!= 0L)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id").as("doc_id"),
+                fround(cosine(col("embedding"), col("qv")), 4).as("cos"))
+        .orderBy(col("cos").desc, col("doc_id"))
+        .limit(RrfArmK)
+        .withColumn("vec_rank",
+          big(row_number().over(Window.orderBy(col("cos").desc, col("doc_id")))))
+        .select("doc_id", "vec_rank")
+      val qt = docs.where(col("doc_id") === 0L)
+        .select(explode(array_distinct(split(lower(col("text")), " "))).as("tok"))
+      val dt = docs.where(col("doc_id") =!= 0L)
+        .select(col("doc_id"),
+                explode(array_distinct(split(lower(col("text")), " "))).as("tok"))
+      val lexTop = dt.join(broadcast(qt), Seq("tok"))
+        .groupBy("doc_id").agg(count(lit(1)).as("ov"))
+        .orderBy(col("ov").desc, col("doc_id"))
+        .limit(RrfArmK)
+        .withColumn("lex_rank",
+          big(row_number().over(Window.orderBy(col("ov").desc, col("doc_id")))))
+        .select("doc_id", "lex_rank")
+      lexTop.join(vecTop, Seq("doc_id"), "full")
+        .withColumn("rrf", fround(
+          coalesce(lit(1.0) / (lit(RrfRankK) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfRankK) + col("vec_rank")), lit(0.0)), 6))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(10)
     })
   )
+
+  /** RRF geometry (shared with the oracle): each arm contributes its
+    * top-20; the fusion constant 60 is the Cormack et al. default. */
+  val RrfArmK = 20
+  val RrfRankK = 60
 
   /** Neighbors per vote in sim_knn_classify — odd so binary votes
     * cannot tie (multi-class ties still resolve min-label). */
@@ -234,6 +289,27 @@ object Similarity {
        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY votes DESC, nbr_label) AS pr " +
        "FROM votes) " +
        "SELECT label, predicted, CAST(COUNT(*) AS BIGINT) AS n " +
-       "FROM pred WHERE pr = 1 GROUP BY 1, 2 ORDER BY 1, 2")
+       "FROM pred WHERE pr = 1 GROUP BY 1, 2 ORDER BY 1, 2"),
+
+    // same two arms (distinct-token overlap / fround4 cosine), same
+    // top-20 cuts and tie-breaks, same 1/(60+rank) fusion
+    "sim_hybrid_rrf" ->
+      ("WITH qt AS (SELECT DISTINCT tok FROM (SELECT UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tok " +
+       "FROM documents WHERE doc_id = 0)), " +
+       "dt AS (SELECT DISTINCT doc_id, tok FROM (SELECT doc_id, " +
+       "UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tok FROM documents WHERE doc_id <> 0)), " +
+       "lex AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY ov DESC, doc_id) AS BIGINT) AS lex_rank " +
+       "FROM (SELECT doc_id, COUNT(*) AS ov FROM dt JOIN qt USING(tok) GROUP BY doc_id " +
+       s"ORDER BY ov DESC, doc_id LIMIT $RrfArmK)), " +
+       "vec AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS BIGINT) AS vec_rank " +
+       "FROM (SELECT e.vec_id AS doc_id, " +
+       froundSql("LIST_COSINE_SIMILARITY(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))", 4) +
+       " AS cos FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q " +
+       s"WHERE e.vec_id <> 0 ORDER BY cos DESC, doc_id LIMIT $RrfArmK)) " +
+       "SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id, lex_rank, vec_rank, " +
+       froundSql(s"COALESCE(CAST(1 AS DOUBLE) / ($RrfRankK + lex_rank), 0) + " +
+                 s"COALESCE(CAST(1 AS DOUBLE) / ($RrfRankK + vec_rank), 0)", 6) + " AS rrf " +
+       "FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id " +
+       "ORDER BY rrf DESC, doc_id LIMIT 10")
   )
 }

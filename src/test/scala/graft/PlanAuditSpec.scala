@@ -893,6 +893,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("hashpartitioning"), p.take(4000))
   }
 
+  test("sim_hybrid_rrf: both arms broadcast the probe, corpus never shuffles pre-cut") {
+    // lexical arm = BroadcastHashJoin on the probe's token set, vector
+    // arm = broadcast 1-row probe (BNLJ); both top-20 cuts must be
+    // heap-based TakeOrderedAndProject, and nothing may fall back to a
+    // CartesianProduct (all-pairs) — corpus-side work is scan-local
+    val p = plan("sim_hybrid_rrf")
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+  }
+
   test("whole-stage codegen covers the hot paths of the flagship aggregate") {
     // AQE finalizes stages only at execution; run the query, then check
     // the final adaptive plan for codegen stage markers (`*(n)`)
