@@ -1080,6 +1080,61 @@ object TextOps {
                 expr(s"(cum - 1) DIV $budget").as("seq_last"))
         .withColumn("straddles", col("seq_last") > col("seq_first"))
         .orderBy("doc_id")
+    }),
+
+    // END-TO-END CURATION FUNNEL — the Dolma/CCNet/Gopher pipeline as
+    // ONE operator with the report users actually review before a
+    // training run: per-stage docs in/kept and surviving bytes.
+    // Stages: (1) length gate (20..90 tokens), (2) quality gate (TTR
+    // and avg-token-length as INTEGER cross-multiplications — 100·
+    // distinct ≥ 35·ntok, 10·sumlen ≤ 48·ntok — no float thresholds
+    // to disagree on), (3) exact dedup among survivors (min doc_id
+    // per md5, the dedup_exact rule, via one digest-partitioned
+    // window whose per-key groups are duplicate-count-sized). All
+    // signals compute in ONE row-local pass; the funnel aggregates
+    // once (every count/sum partial-aggregable) and emits 4 rows by
+    // exploding a literal struct array — at 100 TB this is one corpus
+    // scan + one digest exchange, nothing else.
+    "text_curation_funnel" -> ((s, dir) => {
+      val t = split(lower(trim(col("text"))), " ")
+      val base = documents(s, dir).select(
+        col("doc_id"), col("n_chars"),
+        size(t).as("ntok"),
+        size(array_distinct(t)).as("ndis"),
+        aggregate(t, lit(0L), (a, x) => a + length(x)).as("sumlen"),
+        md5(col("text").cast("binary")).as("dg"))
+      val flagged = base
+        .withColumn("s1", col("ntok").between(20, 90))
+        .withColumn("s2", col("s1") &&
+          col("ndis") * 100 >= col("ntok") * 35 &&
+          col("sumlen") * 10 <= col("ntok") * 48)
+        .withColumn("first_id",
+          min(when(col("s2"), col("doc_id")))
+            .over(Window.partitionBy("dg")))
+        .withColumn("s3", col("s2") && col("doc_id") === col("first_id"))
+      val a = flagged.agg(
+        big(count(lit(1))).as("n0"), big(sum(col("n_chars"))).as("b0"),
+        big(count(when(col("s1"), 1))).as("n1"),
+        big(coalesce(sum(when(col("s1"), col("n_chars"))), lit(0L))).as("b1"),
+        big(count(when(col("s2"), 1))).as("n2"),
+        big(coalesce(sum(when(col("s2"), col("n_chars"))), lit(0L))).as("b2"),
+        big(count(when(col("s3"), 1))).as("n3"),
+        big(coalesce(sum(when(col("s3"), col("n_chars"))), lit(0L))).as("b3"))
+      a.select(explode(array(
+          struct(lit(0L).as("stage"), lit("ingest").as("gate"),
+                 col("n0").as("docs_in"), col("n0").as("docs_kept"),
+                 col("b0").as("kept_bytes")),
+          struct(lit(1L).as("stage"), lit("length").as("gate"),
+                 col("n0").as("docs_in"), col("n1").as("docs_kept"),
+                 col("b1").as("kept_bytes")),
+          struct(lit(2L).as("stage"), lit("quality").as("gate"),
+                 col("n1").as("docs_in"), col("n2").as("docs_kept"),
+                 col("b2").as("kept_bytes")),
+          struct(lit(3L).as("stage"), lit("exact_dedup").as("gate"),
+                 col("n2").as("docs_in"), col("n3").as("docs_kept"),
+                 col("b3").as("kept_bytes")))).as("r"))
+        .select(col("r.*"))
+        .orderBy("stage")
     })
   )
 
@@ -1102,6 +1157,29 @@ object TextOps {
     // the oracle rebuilds the same synthetic contact line, then must
     // agree on match counts and the scrubbed character volume;
     // DuckDB string literals keep backslashes raw, and its
+    // same one-pass signals, integer-cross-multiplied gates, digest
+    // window dedup; funnel rows stacked by UNION ALL
+    "text_curation_funnel" ->
+      ("WITH b AS (SELECT doc_id, n_chars, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS t, " +
+       "MD5(text) AS dg FROM documents), " +
+       "s AS (SELECT doc_id, n_chars, dg, LEN(t) AS ntok, LEN(LIST_DISTINCT(t)) AS ndis, " +
+       "LIST_SUM(LIST_TRANSFORM(t, x -> LENGTH(x))) AS sumlen FROM b), " +
+       "f AS (SELECT doc_id, n_chars, dg, (ntok BETWEEN 20 AND 90) AS s1, " +
+       "((ntok BETWEEN 20 AND 90) AND ndis * 100 >= ntok * 35 AND sumlen * 10 <= ntok * 48) AS s2 FROM s), " +
+       "g AS (SELECT *, (s2 AND doc_id = MIN(CASE WHEN s2 THEN doc_id END) " +
+       "OVER (PARTITION BY dg)) AS s3 FROM f), " +
+       "a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0, CAST(SUM(n_chars) AS BIGINT) AS b0, " +
+       "CAST(COUNT(CASE WHEN s1 THEN 1 END) AS BIGINT) AS n1, " +
+       "CAST(COALESCE(SUM(CASE WHEN s1 THEN n_chars END), 0) AS BIGINT) AS b1, " +
+       "CAST(COUNT(CASE WHEN s2 THEN 1 END) AS BIGINT) AS n2, " +
+       "CAST(COALESCE(SUM(CASE WHEN s2 THEN n_chars END), 0) AS BIGINT) AS b2, " +
+       "CAST(COUNT(CASE WHEN s3 THEN 1 END) AS BIGINT) AS n3, " +
+       "CAST(COALESCE(SUM(CASE WHEN s3 THEN n_chars END), 0) AS BIGINT) AS b3 FROM g) " +
+       "SELECT CAST(0 AS BIGINT) AS stage, 'ingest' AS gate, n0 AS docs_in, n0 AS docs_kept, b0 AS kept_bytes FROM a " +
+       "UNION ALL SELECT CAST(1 AS BIGINT), 'length', n0, n1, b1 FROM a " +
+       "UNION ALL SELECT CAST(2 AS BIGINT), 'quality', n1, n2, b2 FROM a " +
+       "UNION ALL SELECT CAST(3 AS BIGINT), 'exact_dedup', n2, n3, b3 FROM a " +
+       "ORDER BY stage"),
     // regexp_replace is single-match unless given 'g'
     "text_pii_scrub" ->
       ("WITH p AS (SELECT lang, text || ' contact user' || CAST(doc_id AS VARCHAR) || " +

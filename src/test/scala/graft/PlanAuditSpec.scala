@@ -904,6 +904,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(4000))
   }
 
+  test("text_curation_funnel: one corpus scan, one digest exchange, no joins") {
+    // all gate signals compute row-locally in the same pass; the only
+    // hash exchange is the dedup window's digest partitioning, the
+    // funnel tallies ride map-side partial aggregates, and no stage
+    // re-reads or joins the corpus
+    val p = plan("text_curation_funnel")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+    assert(p.contains("partial_count"), p.take(3000))
+  }
+
   test("whole-stage codegen covers the hot paths of the flagship aggregate") {
     // AQE finalizes stages only at execution; run the query, then check
     // the final adaptive plan for codegen stage markers (`*(n)`)
