@@ -238,8 +238,12 @@ object Multimodal {
     "multimodal_phash" -> ((s, dir) => {
       val sigs = withPayload(documents(s, dir))
         .select(col("doc_id"), col("payload").cast("string").as("txt"))
-        .withColumn("s", array((0 until PhashBits).map(i =>
-          expr(s"ascii(substring(txt, 1 + (($i * length(txt)) div $PhashBits), 1))")): _*))
+        // loop-form HOF, not 60 unrolled terms: the unrolled array
+        // compiled to a ~60× larger codegen method (measured ~3.5 s of
+        // Janino time on first run); the transform loop is compact
+        .withColumn("s", expr(
+          s"transform(sequence(0, ${PhashBits - 1}), " +
+          s"i -> ascii(substring(txt, 1 + ((i * length(txt)) div $PhashBits), 1)))"))
         .withColumn("stot", expr("aggregate(s, 0, (acc, x) -> acc + x)"))
         .select(col("doc_id"),
           expr(s"aggregate(sequence(0, ${PhashBits - 1}), CAST(0 AS BIGINT), " +
