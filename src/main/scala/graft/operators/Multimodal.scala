@@ -237,13 +237,16 @@ object Multimodal {
     // from payload bytes, exactly like multimodal_decode.
     "multimodal_phash" -> ((s, dir) => {
       val sigs = withPayload(documents(s, dir))
-        .select(col("doc_id"), col("payload").cast("string").as("txt"))
-        // loop-form HOF, not 60 unrolled terms: the unrolled array
-        // compiled to a ~60× larger codegen method (measured ~3.5 s of
-        // Janino time on first run); the transform loop is compact
+        .select(col("doc_id"), col("payload"))
+        // sample the BINARY payload, not a string view of it: substring
+        // on a string is O(position) per call (UTF-8 boundary scan), so
+        // 60 strided samples of a KB-scale doc cost O(60·len) per row —
+        // measured 2.1 s of the query's 4.4 at sf0.1. Binary substring
+        // is one positional arraycopy; the ascii(cast(...)) of a single
+        // ASCII byte is exact (same codes the oracle reads via chars).
         .withColumn("s", expr(
           s"transform(sequence(0, ${PhashBits - 1}), " +
-          s"i -> ascii(substring(txt, 1 + ((i * length(txt)) div $PhashBits), 1)))"))
+          s"i -> ascii(cast(substring(payload, 1 + ((i * length(payload)) div $PhashBits), 1) as string)))"))
         .withColumn("stot", expr("aggregate(s, 0, (acc, x) -> acc + x)"))
         .select(col("doc_id"),
           expr(s"aggregate(sequence(0, ${PhashBits - 1}), CAST(0 AS BIGINT), " +
