@@ -555,10 +555,68 @@ object Joins {
         .agg(big(count(lit(1))).as("n_items"),
              dsum6(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
         .orderBy("r_name", "p_brand")
+    }),
+
+    // SPATIAL DISTANCE JOIN via grid bucketing — the ST_DWithin /
+    // closest-pairs pattern: points land in cells of side = radius,
+    // one side probes its 3×3 cell neighborhood (a point within r of
+    // another MUST be in an adjacent cell — the grid is lossless by
+    // construction), candidates come from an EQUI-join on the cell
+    // key, the exact integer gate (dx²+dy² ≤ r², no floats anywhere)
+    // runs after. Each qualifying pair matches exactly once: the probe
+    // side fans out, the build side sits in its single home cell, and
+    // a < b kills the mirror — no distinct needed. The k closest pairs
+    // cut is a TakeOrderedAndProject heap, never a global sort. The
+    // oracle brute-forces all O(n²) pairs, so the hash match PROVES
+    // the grid join's completeness. Coordinates are the house
+    // md5-prefix hash of the key (engine-portable, recomputable
+    // forever); a real deployment reads lat/lon and scales by r.
+    "join_spatial_grid" -> ((s, dir) => {
+      val r = SpatialRadius
+      def coord(salt: String) = pmod(
+        conv(substring(md5(concat(lit(salt), col("c_custkey").cast("string"))), 1, 8),
+             16, 10).cast("long"), lit(10000L))
+      val pts = customer(s, dir).select(
+        col("c_custkey").as("id"), coord("sx:").as("x"), coord("sy:").as("y"))
+      val probe = pts.select(col("id").as("a"), col("x").as("xa"), col("y").as("ya"),
+        explode(expr(s"flatten(transform(sequence(-1, 1), dx -> " +
+          s"transform(sequence(-1, 1), dy -> " +
+          s"struct((x div $r) + dx AS cx, (y div $r) + dy AS cy))))")).as("c"))
+        .select(col("a"), col("xa"), col("ya"),
+                col("c.cx").as("cx"), col("c.cy").as("cy"))
+      val build = pts.select(col("id").as("b"), col("x").as("xb"), col("y").as("yb"),
+        expr(s"x div $r").as("cx"), expr(s"y div $r").as("cy"))
+      probe.join(build, Seq("cx", "cy"))
+        .where(col("a") < col("b"))
+        .withColumn("dist2",
+          (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+          (col("ya") - col("yb")) * (col("ya") - col("yb")))
+        .where(col("dist2") <= r * r)
+        .select(col("a"), col("b"), big(col("dist2")).as("dist2"))
+        .orderBy(col("dist2"), col("a"), col("b"))
+        .limit(SpatialTopK)
     })
   )
 
+  /** Spatial-join geometry (shared with the oracle): cell side =
+    * radius 100 on the 10000×10000 hashed-coordinate plane; the
+    * report keeps the 500 closest qualifying pairs. */
+  val SpatialRadius = 100
+  val SpatialTopK = 500
+
   val oracle: Map[String, String] = Map(
+    // brute-force all pairs — the grid plan must find every one of
+    // them (cell side = radius makes the 3×3 probe lossless)
+    "join_spatial_grid" ->
+      ("WITH p AS (SELECT c_custkey AS id, " +
+       "CAST(CONCAT('0x', SUBSTRING(MD5('sx:' || CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS x, " +
+       "CAST(CONCAT('0x', SUBSTRING(MD5('sy:' || CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS y " +
+       "FROM customer) " +
+       "SELECT a.id AS a, b.id AS b, " +
+       "CAST((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist2 " +
+       "FROM p a JOIN p b ON a.id < b.id " +
+       s"WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= ${SpatialRadius * SpatialRadius} " +
+       s"ORDER BY dist2, a, b LIMIT $SpatialTopK"),
     "join_inner_hash" ->
       ("SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders, " +
        s"${dsumSql("o_totalprice")} AS revenue " +

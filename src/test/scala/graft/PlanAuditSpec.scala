@@ -915,6 +915,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_count"), p.take(3000))
   }
 
+  test("join_spatial_grid: candidates from a cell-key equi-join, top-k is a heap") {
+    // the distance join must bucket on the (cx, cy) grid key — a
+    // CartesianProduct/BNLJ means the brute-force oracle shape leaked
+    // in — and the 500-closest cut must be heap-based, not a global
+    // sort of the qualifying pairs
+    val p = plan("join_spatial_grid")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(4000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(4000))
+  }
+
   test("whole-stage codegen covers the hot paths of the flagship aggregate") {
     // AQE finalizes stages only at execution; run the query, then check
     // the final adaptive plan for codegen stage markers (`*(n)`)
