@@ -1031,6 +1031,52 @@ object Dedup {
         .where(col("jaccard") >= 0.5)
         .select(col("a"), col("b"), r4(col("jaccard")).as("jaccard"))
         .orderBy("a", "b")
+    }),
+
+    // URL-CANONICALIZATION DEDUP — the CommonCrawl/web-corpus step
+    // BEFORE content dedup: the same page arrives under many raw URLs
+    // (tracking params, param order, host casing, www., fragments);
+    // canonicalize then group. Steps, each row-local string algebra:
+    // strip #fragment, lowercase scheme+host (the fixture's paths are
+    // already lowercase, so lower() of the pre-query part is the
+    // host-lowering), drop www., drop utm_* params, SORT the
+    // surviving params (binary ASC — both engines' default for
+    // ASCII), reassemble. Distinct raw variants of one page MERGE —
+    // that is the operator's point, and the per-host report counts
+    // exactly how many. The fixture mints the raw URLs from doc
+    // attributes (the text_pii_scrub precedent: no URL column in the
+    // corpus, so the generator is part of the declared fixture). One
+    // hash-agg on the canonical string per host — the dedup_exact
+    // shuffle class; at 100 TB the canonical URL is computed at
+    // ingest and the grouping key is its digest.
+    "dedup_url_canonical" -> ((s, dir) => {
+      val raw = documents(s, dir).select(col("doc_id"), concat(
+        lit("HTTPS://WWW.Example"), (col("doc_id") % 5).cast("string"), lit(".COM"),
+        lit("/"), col("lang"), lit("/page"), (col("doc_id") % 40).cast("string"),
+        when(col("doc_id") % 4 === 1,
+             concat(lit("?utm_source=feed&id="), (col("doc_id") % 7).cast("string")))
+          .when(col("doc_id") % 4 === 2,
+                concat(lit("?id="), (col("doc_id") % 7).cast("string"), lit("&utm_campaign=x")))
+          .when(col("doc_id") % 4 === 3, lit("?b=2&a=1"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 3 === 0, lit("#frag")).otherwise(lit(""))).as("url"))
+      val parts = split(regexp_replace(col("url"), "#.*", ""), "\\?")
+      val base = regexp_replace(lower(element_at(parts, 1)), "://www\\.", "://")
+      val q = when(size(parts) > 1, element_at(parts, 2)).otherwise(lit(""))
+      val keptQ = array_join(array_sort(filter(split(q, "&"),
+        x => substring(x, 1, 4) =!= "utm_" && x =!= "")), "&")
+      raw
+        .withColumn("canonical",
+          concat(base, when(length(keptQ) > 0, concat(lit("?"), keptQ)).otherwise(lit(""))))
+        .withColumn("host", regexp_extract(col("canonical"), "://([^/]*)/", 1))
+        .groupBy("host", "canonical")
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
+        .groupBy("host")
+        .agg(big(count(lit(1))).as("n_canonical"),
+             big(sum(col("n_copies"))).as("n_raw"),
+             big(count(when(col("n_copies") > 1, 1))).as("n_dup_groups"),
+             big(min(col("keep_id"))).as("first_doc"))
+        .orderBy("host")
     })
   )
 
@@ -1056,6 +1102,29 @@ object Dedup {
     "WHERE LEN(LIST_INTERSECT(a.sh, b.sh)) * 1.0 / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) >= 0.02)"
 
   val oracle: Map[String, String] = Map(
+    // same mint → canonicalize → group chain; list ops are DuckDB's
+    // LIST_* twins of the Spark HOFs, regexes in the shared RE2/Java
+    // subset (char classes + literals only)
+    "dedup_url_canonical" ->
+      ("WITH raw AS (SELECT doc_id, 'HTTPS://WWW.Example' || CAST(doc_id % 5 AS VARCHAR) || '.COM' || " +
+       "'/' || lang || '/page' || CAST(doc_id % 40 AS VARCHAR) || " +
+       "CASE WHEN doc_id % 4 = 1 THEN '?utm_source=feed&id=' || CAST(doc_id % 7 AS VARCHAR) " +
+       "WHEN doc_id % 4 = 2 THEN '?id=' || CAST(doc_id % 7 AS VARCHAR) || '&utm_campaign=x' " +
+       "WHEN doc_id % 4 = 3 THEN '?b=2&a=1' ELSE '' END || " +
+       "CASE WHEN doc_id % 3 = 0 THEN '#frag' ELSE '' END AS url FROM documents), " +
+       "sp AS (SELECT doc_id, STRING_SPLIT(REGEXP_REPLACE(url, '#.*', ''), '?') AS parts FROM raw), " +
+       "c AS (SELECT doc_id, " +
+       "REGEXP_REPLACE(LOWER(parts[1]), '://www\\.', '://') AS base, " +
+       "CASE WHEN LEN(parts) > 1 THEN parts[2] ELSE '' END AS q FROM sp), " +
+       "k AS (SELECT doc_id, base, ARRAY_TO_STRING(LIST_SORT(LIST_FILTER(STRING_SPLIT(q, '&'), " +
+       "x -> SUBSTRING(x, 1, 4) <> 'utm_' AND x <> '')), '&') AS kq FROM c), " +
+       "canon AS (SELECT doc_id, base || CASE WHEN LENGTH(kq) > 0 THEN '?' || kq ELSE '' END AS canonical FROM k), " +
+       "g AS (SELECT REGEXP_EXTRACT(canonical, '://([^/]*)/', 1) AS host, canonical, " +
+       "COUNT(*) AS n_copies, MIN(doc_id) AS keep_id FROM canon GROUP BY 1, 2) " +
+       "SELECT host, CAST(COUNT(*) AS BIGINT) AS n_canonical, CAST(SUM(n_copies) AS BIGINT) AS n_raw, " +
+       "CAST(COUNT(CASE WHEN n_copies > 1 THEN 1 END) AS BIGINT) AS n_dup_groups, " +
+       "CAST(MIN(keep_id) AS BIGINT) AS first_doc " +
+       "FROM g GROUP BY host ORDER BY host"),
     "dedup_exact" ->
       ("SELECT MD5(text) AS h, MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_dups " +
        "FROM documents GROUP BY MD5(text) ORDER BY keep_id"),

@@ -926,6 +926,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(4000))
   }
 
+  test("dedup_url_canonical: canonicalization is row-local — no join, two hash-aggs") {
+    val p = plan("dedup_url_canonical")
+    assert(!p.contains("Join"), p.take(3000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p.take(3000))
+  }
+
   test("whole-stage codegen covers the hot paths of the flagship aggregate") {
     // AQE finalizes stages only at execution; run the query, then check
     // the final adaptive plan for codegen stage markers (`*(n)`)
