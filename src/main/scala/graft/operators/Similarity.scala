@@ -219,6 +219,56 @@ object Similarity {
           coalesce(lit(1.0) / (lit(RrfRankK) + col("vec_rank")), lit(0.0)), 6))
         .orderBy(col("rrf").desc, col("doc_id"))
         .limit(10)
+    }),
+
+    // MMR DIVERSITY RERANK (Carbonell & Goldstein) — the RAG rerank
+    // staple: from the top-20 retrieval, greedily pick 5 results
+    // maximizing λ·relevance − (1−λ)·max-similarity-to-already-picked,
+    // so the answer set covers the query's facets instead of
+    // repeating its nearest cluster. The DISTRIBUTED work is the
+    // candidate cut (broadcast probe, heap top-20 — the sim_topk
+    // shape) and the 20×20 pairwise cosines; the greedy loop runs on
+    // the driver over those ≤ 20+190 rounded scores — BOUNDED by the
+    // candidate constant, never by the corpus (the documented
+    // metadata-scale driver-algebra class: PQ codebooks, union-find).
+    // Every score is fround4 before any comparison and λ/1−λ are the
+    // same literals both engines parse (0.7/0.3, never 1−0.7 — that
+    // IEEE-differs from the 0.3 literal), so the greedy argmax chain
+    // (ties → min vec_id) is engine-identical; the oracle replays it
+    // as 5 chained CTE stages.
+    "sim_mmr_rerank" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val qv = e.where(col("vec_id") === 0L).select(col("embedding").as("qv"))
+      val cand = e.where(col("vec_id") =!= 0L)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"), col("embedding"),
+                fround(cosine(col("embedding"), col("qv")), 4).as("rel"))
+        .orderBy(col("rel").desc, col("vec_id"))
+        .limit(MmrCandidates)
+        .localCheckpoint()
+      val rel = cand.select("vec_id", "rel").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val sims = cand.as("a").join(cand.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+                fround(cosine(col("a.embedding"), col("b.embedding")), 4).as("s"))
+        .collect()
+        .flatMap { r =>
+          val (i, j, v) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+          Seq((i, j) -> v, (j, i) -> v)
+        }.toMap
+      var selected = Vector.empty[Long]
+      val picks = Seq.newBuilder[(Long, Long, Double, Double)]
+      for (rank <- 1 to MmrK) {
+        val (bid, bsc) = rel.keys.filterNot(selected.contains).map { id =>
+          val pen = if (selected.isEmpty) 0.0
+                    else selected.map(sj => sims((id, sj))).max
+          (id, MmrLambda * rel(id) - MmrLambdaComp * pen)
+        }.minBy { case (id, sc) => (-sc, id) }
+        selected :+= bid
+        picks += ((rank.toLong, bid, rel(bid), round6(bsc)))
+      }
+      import s.implicits._
+      picks.result().toDF("sel_rank", "vec_id", "rel", "mmr")
     })
   )
 
@@ -226,6 +276,14 @@ object Similarity {
     * top-20; the fusion constant 60 is the Cormack et al. default. */
   val RrfArmK = 20
   val RrfRankK = 60
+
+  /** MMR geometry (shared with the oracle). λ and 1−λ are BOTH
+    * declared as literals: computing 1−0.7 in doubles yields
+    * 0.30000000000000004, which is NOT the 0.3 the oracle SQL parses. */
+  val MmrCandidates = 20
+  val MmrK = 5
+  val MmrLambda = 0.7
+  val MmrLambdaComp = 0.3
 
   /** Neighbors per vote in sim_knn_classify — odd so binary votes
     * cannot tie (multi-class ties still resolve min-label). */
@@ -310,6 +368,39 @@ object Similarity {
        froundSql(s"COALESCE(CAST(1 AS DOUBLE) / ($RrfRankK + lex_rank), 0) + " +
                  s"COALESCE(CAST(1 AS DOUBLE) / ($RrfRankK + vec_rank), 0)", 6) + " AS rrf " +
        "FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id " +
-       "ORDER BY rrf DESC, doc_id LIMIT 10")
+       "ORDER BY rrf DESC, doc_id LIMIT 10"),
+
+    // the greedy chain replayed as MmrK chained CTE stages: pick_n =
+    // argmax of λ·rel − (1−λ)·max-sim-to-sel_{n-1} (ties → min vec_id)
+    "sim_mmr_rerank" -> {
+      val relExpr = froundSql(
+        "LIST_COSINE_SIMILARITY(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))", 4)
+      val simExpr = froundSql(
+        "LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))", 4)
+      val base =
+        s"WITH cand AS (SELECT e.vec_id, e.embedding, $relExpr AS rel " +
+        "FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q " +
+        s"WHERE e.vec_id <> 0 ORDER BY rel DESC, e.vec_id LIMIT $MmrCandidates), " +
+        s"sim AS (SELECT a.vec_id AS i, b.vec_id AS j, $simExpr AS s " +
+        "FROM cand a JOIN cand b ON a.vec_id <> b.vec_id), "
+      val stages = (1 to MmrK).map { n =>
+        if (n == 1)
+          s"pick1 AS (SELECT vec_id, rel, $MmrLambda * rel AS score FROM cand " +
+          "ORDER BY score DESC, vec_id LIMIT 1), " +
+          "sel1 AS (SELECT vec_id FROM pick1)"
+        else
+          s"pick$n AS (SELECT c.vec_id, c.rel, $MmrLambda * c.rel - $MmrLambdaComp * " +
+          s"(SELECT MAX(s.s) FROM sim s JOIN sel${n - 1} t ON s.j = t.vec_id " +
+          "WHERE s.i = c.vec_id) AS score " +
+          s"FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${n - 1}) " +
+          "ORDER BY score DESC, c.vec_id LIMIT 1), " +
+          s"sel$n AS (SELECT vec_id FROM sel${n - 1} UNION ALL SELECT vec_id FROM pick$n)"
+      }.mkString(", ")
+      val unions = (1 to MmrK).map { n =>
+        s"SELECT CAST($n AS BIGINT) AS sel_rank, vec_id, rel, " +
+        froundSql("score", 6) + s" AS mmr FROM pick$n"
+      }.mkString(" UNION ALL ")
+      base + stages + " " + unions + " ORDER BY sel_rank"
+    }
   )
 }
