@@ -1257,8 +1257,53 @@ object Analytics {
     // orientation prevents), one extra hash-agg to fold triangle
     // corners per node.
     "graph_clustering_coeff" -> ((s, dir) =>
-      clusteringCoeff(cooccurEdgesCached(s, dir)))
+      clusteringCoeff(cooccurEdgesCached(s, dir))),
+
+    // SPATIAL HOTSPOT GRID — the heatmap/kernel-density readout over
+    // point data: the corpus aggregates ONCE into a bounded density
+    // grid (20×20 cells of side [[HotspotCell]] on the hashed
+    // 10000×10000 plane — the join_spatial_grid coordinates on
+    // orders), then the 3×3 box-kernel smoothing joins GRID against
+    // GRID (≤ 400 rows a side — each cell explodes its 9 neighbor
+    // offsets and equi-joins the density table; never a range join,
+    // never the corpus), and the top-10 smoothed cells cut on a heap.
+    // The two-phase shape is the point: at 100 TB the only
+    // corpus-sized work is the first partial-aggregable groupBy; the
+    // smoothing cost is fixed by the grid constant forever. All
+    // counts integer-exact.
+    "agg_grid_hotspots" -> ((s, dir) => {
+      val c = HotspotCell
+      def coord(salt: String) = pmod(
+        conv(substring(md5(concat(lit(salt), col("o_orderkey").cast("string"))), 1, 8),
+             16, 10).cast("long"), lit(10000L))
+      // coords are in [0, 10000) so the truncating cast IS floor-div
+      val cells = orders(s, dir)
+        .select((coord("hx:") / c).cast("long").as("cx"),
+                (coord("hy:") / c).cast("long").as("cy"))
+        .groupBy("cx", "cy").agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val probe = cells
+        .select(col("cx").as("px"), col("cy").as("py"), col("n").as("n_self"))
+        .select(col("px"), col("py"), col("n_self"),
+          explode(expr("flatten(transform(sequence(-1, 1), dx -> " +
+            "transform(sequence(-1, 1), dy -> " +
+            "struct(px + dx AS cx, py + dy AS cy))))")).as("nb"))
+        .select(col("px"), col("py"), col("n_self"),
+                col("nb.cx").as("cx"), col("nb.cy").as("cy"))
+      probe
+        .join(cells.select(col("cx"), col("cy"), col("n").as("n_nb")), Seq("cx", "cy"))
+        .groupBy("px", "py")
+        .agg(big(max(col("n_self"))).as("n_self"), big(sum(col("n_nb"))).as("n_smooth"))
+        .select(col("px").as("cx"), col("py").as("cy"), col("n_self"), col("n_smooth"))
+        .orderBy(col("n_smooth").desc, col("cx"), col("cy"))
+        .limit(10)
+    })
   )
+
+  /** Hotspot-grid cell side on the 10000×10000 hashed plane → a 20×20
+    * density grid; the 3×3 smoothing join is grid×grid, ≤ 400 rows a
+    * side at ANY corpus size (shared with the oracle). */
+  val HotspotCell = 500
 
   /** Linear multi-touch resolution over an events frame: every
     * purchase splits its pool (floor-cents × 1000) equally across all
@@ -1496,6 +1541,21 @@ object Analytics {
   }
 
   val oracle: Map[String, String] = Map(
+    // same density grid; the smoothing neighborhood is a BETWEEN range
+    // join here (fine on a 400-row grid) vs the exploded equi-join in
+    // the engine — identical cell algebra
+    "agg_grid_hotspots" ->
+      ("WITH pts AS (SELECT " +
+       "(CAST(CONCAT('0x', SUBSTRING(MD5('hx:' || CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 10000) " +
+       s"// $HotspotCell AS cx, " +
+       "(CAST(CONCAT('0x', SUBSTRING(MD5('hy:' || CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 10000) " +
+       s"// $HotspotCell AS cy FROM orders), " +
+       "cells AS (SELECT cx, cy, COUNT(*) AS n FROM pts GROUP BY 1, 2), " +
+       "sm AS (SELECT p.cx, p.cy, MAX(p.n) AS n_self, SUM(q.n) AS n_smooth " +
+       "FROM cells p JOIN cells q ON q.cx BETWEEN p.cx - 1 AND p.cx + 1 " +
+       "AND q.cy BETWEEN p.cy - 1 AND p.cy + 1 GROUP BY p.cx, p.cy) " +
+       "SELECT cx, cy, CAST(n_self AS BIGINT) AS n_self, CAST(n_smooth AS BIGINT) AS n_smooth " +
+       "FROM sm ORDER BY n_smooth DESC, cx, cy LIMIT 10"),
     // the gate's oracle IS the union of the five members' oracles
     // (one derivation per statistic — they cannot fork from the
     // standalone queries), each reduced to its gate scalar and

@@ -932,6 +932,18 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p.take(3000))
   }
 
+  test("agg_grid_hotspots: corpus aggregates once, smoothing is grid-vs-grid, top-10 a heap") {
+    // the corpus groupBy sits behind the grid's localCheckpoint (not
+    // visible in this plan); what must hold downstream: the 3×3
+    // smoothing is a cell-key BROADCAST equi-join of the ≤400-row grid
+    // (never a range/cartesian product) and the hotspot cut is a heap
+    val p = plan("agg_grid_hotspots")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(4000))
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(4000))
+  }
+
   test("whole-stage codegen covers the hot paths of the flagship aggregate") {
     // AQE finalizes stages only at execution; run the query, then check
     // the final adaptive plan for codegen stage markers (`*(n)`)
