@@ -221,20 +221,17 @@ object Multimodal {
     // of dedup_simhash: a 60-bit average-hash signature per payload
     // (60 evenly-strided sample bytes; bit i set iff 60*sample_i >=
     // the sample SUM — all-integer arithmetic, so both engines agree
-    // bit-for-bit), then near-dup pairs via Hamming LSH: 10 disjoint
-    // 6-bit bands, candidates = pairs sharing any band, verified by
-    // an exact bit_count(xor) <= 7 gate. Pigeonhole makes the banding
-    // LOSSLESS up to d <= 9 (10 bands; d <= 9 cannot change all 10):
-    // the oracle brute-forces ALL pairs, so the hash match PROVES the
-    // banded plan's 100% recall. The corpus reduces to (doc_id,
-    // 8-byte sig) BEFORE any exchange (the multimodal_dedup
-    // discipline) and is checkpointed so the payload scan happens
-    // once; the self-join is band-bucketed, never all-pairs. Band
-    // width scales with corpus size in production (128-bit sigs /
-    // 16-bit bands at web scale); 6-bit keys fit this fixture. A real
-    // deployment computes the signature from decoded pixels inside
-    // the decodeFeatures stage; the deterministic fake derives it
-    // from payload bytes, exactly like multimodal_decode.
+    // bit-for-bit), then near-dup pairs via Hamming LSH with a
+    // HOT-BAND GUARD (`phashCandidates` below — the MaxShingleDf
+    // discipline applied to Hamming bands), verified by an exact
+    // bit_count(xor) <= 7 gate. The oracle brute-forces ALL pairs, so
+    // the hash match PROVES the guarded plan's 100% recall. The corpus
+    // reduces to (doc_id, 8-byte sig) BEFORE any exchange (the
+    // multimodal_dedup discipline) and is checkpointed so the payload
+    // scan happens once. A real deployment computes the signature from
+    // decoded pixels inside the decodeFeatures stage; the
+    // deterministic fake derives it from payload bytes, exactly like
+    // multimodal_decode.
     "multimodal_phash" -> ((s, dir) => {
       val sigs = withPayload(documents(s, dir))
         .select(col("doc_id"), col("payload"))
@@ -253,16 +250,7 @@ object Multimodal {
                s"(acc, i) -> acc + CASE WHEN $PhashBits * element_at(s, i + 1) >= stot " +
                "THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END)").as("sig"))
         .localCheckpoint()
-      val banded = sigs
-        .select(col("doc_id"), col("sig"),
-                explode(sequence(lit(0), lit(PhashBands - 1))).as("band"))
-        .withColumn("key",
-          expr(s"shiftright(sig, band * $PhashBandBits) & ${(1 << PhashBandBits) - 1}"))
-      banded.as("a").join(banded.as("b"),
-          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-                col("a.sig").as("sa"), col("b.sig").as("sb"))
+      phashCandidates(sigs)
         .withColumn("hamming_d", big(expr("bit_count(sa ^ sb)")))
         .where(col("hamming_d") <= PhashMaxDist)
         .select("doc_a", "doc_b", "hamming_d")
@@ -273,11 +261,91 @@ object Multimodal {
 
   /** Average-hash geometry (shared with the oracle): 60 sampled bytes
     * → 60-bit signature → 10 disjoint 6-bit LSH bands; the exact gate
-    * keeps pairs at Hamming distance <= 7 (banding lossless to 9). */
+    * keeps pairs at Hamming distance <= 7 (banding lossless to 9:
+    * d <= 9 cannot change all 10 bands). */
   val PhashBits = 60
   val PhashBandBits = 6
   val PhashBands: Int = PhashBits / PhashBandBits
   val PhashMaxDist = 7L
+
+  /** Hot-band cap: a (band, key) bucket with more members than this is
+    * excluded from the single-band candidate join and its members are
+    * re-routed through wider 3-band keys instead. Average-hash bits
+    * are biased on real corpora (mean-thresholded text/pixel bytes run
+    * ~80% ones), so single 6-bit band keys collapse into a few hot
+    * buckets whose candidate contribution is C(n,2) — measured 10.5M
+    * of 12.5M possible pairs on the sf0.1 fixture pre-guard, 0.8M
+    * post-guard, for the same 408 true pairs. Production scales this
+    * with the per-bucket pair budget it can afford (cap² pairs/bucket). */
+  val PhashMaxBandDf = 50
+
+  /** Candidate pair generation with the hot-band guard. Input: one row
+    * per doc `(doc_id, sig)`; output: candidate rows `(doc_a, doc_b,
+    * sa, sb)` with doc_a < doc_b, possibly duplicated across routes
+    * (callers gate + distinct). Two paths, together LOSSLESS for every
+    * pair at Hamming distance <= PhashMaxDist:
+    *
+    *   - COLD: bands whose (band, key) bucket has <= PhashMaxBandDf
+    *     members self-join on the 6-bit (band, key) — the classic LSH
+    *     plan, quadratic blowup capped at C(cap, 2) per bucket.
+    *   - HOT: members of over-cap buckets emit (b1 < b2 < b3, k1, k2,
+    *     k3) band-TRIPLES anchored at the hot band b1, and self-join on
+    *     the 18-bit triple key — 3x the key width exactly where the
+    *     6-bit key lost its entropy.
+    *
+    * Losslessness (the pigeonhole argument the oracle's brute force
+    * certifies): d <= 7 over 10 bands leaves >= 3 bands fully matching.
+    * If ANY matching band's bucket is cold, the cold path finds the
+    * pair. Otherwise every matching band is hot; take the three
+    * smallest matching bands x < y < z — x is a hot anchor for both
+    * docs, both emit (x, y, z, kx, ky, kz), and the hot path finds the
+    * pair. An 18-bit bucket can in principle still exceed the cap (the
+    * signature simply has < 18 bits of entropy there); that residual
+    * quadratic is the price of EXACT recall — production either pays
+    * it or drops to approximate recall with a stop-band, exactly the
+    * MaxShingleDf trade in Dedup. The hot-bucket stats aggregate is
+    * bounded by bands * 2^bandBits rows and rides a broadcast. */
+  def phashCandidates(sigs: DataFrame): DataFrame = {
+    val mask = (1 << PhashBandBits) - 1
+    val banded = sigs
+      .select(col("doc_id"), col("sig"),
+              explode(sequence(lit(0), lit(PhashBands - 1))).as("band"))
+      .withColumn("key",
+        expr(s"shiftright(sig, band * $PhashBandBits) & $mask"))
+    val hotKeys = banded.groupBy("band", "key").count()
+      .where(col("count") > PhashMaxBandDf)
+      .select(col("band"), col("key"), lit(true).as("hot"))
+    val flagged = banded
+      .join(broadcast(hotKeys), Seq("band", "key"), "left")
+      .withColumn("hot", coalesce(col("hot"), lit(false)))
+    val cold = flagged.where(!col("hot")).select("doc_id", "sig", "band", "key")
+    val candCold = cold.as("a").join(cold.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+              col("a.sig").as("sa"), col("b.sig").as("sb"))
+    // all (b2 < b3) band pairs as a literal array; each hot anchor b1
+    // keeps only the combos strictly above it (b1 < b2 < b3)
+    val combos = (for {
+      b2 <- 0 until PhashBands; b3 <- b2 + 1 until PhashBands
+    } yield s"struct($b2 as b2, $b3 as b3)").mkString("array(", ", ", ")")
+    val tripled = flagged.where(col("hot"))
+      .select(col("doc_id"), col("sig"),
+              col("band").as("b1"), col("key").as("k1"))
+      .withColumn("bc", explode(expr(s"filter($combos, x -> x.b2 > b1)")))
+      .select(col("doc_id"), col("sig"), col("b1"), col("k1"),
+              col("bc.b2").as("b2"), col("bc.b3").as("b3"))
+      .withColumn("k2", expr(s"shiftright(sig, b2 * $PhashBandBits) & $mask"))
+      .withColumn("k3", expr(s"shiftright(sig, b3 * $PhashBandBits) & $mask"))
+    val candHot = tripled.as("a").join(tripled.as("b"),
+        col("a.b1") === col("b.b1") && col("a.b2") === col("b.b2") &&
+        col("a.b3") === col("b.b3") && col("a.k1") === col("b.k1") &&
+        col("a.k2") === col("b.k2") && col("a.k3") === col("b.k3") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+              col("a.sig").as("sa"), col("b.sig").as("sb"))
+    candCold.union(candHot)
+  }
 
   /** Export shard byte budget — a new shard opens when the running
     * per-type byte total crosses this (shared with the oracle). Tiny

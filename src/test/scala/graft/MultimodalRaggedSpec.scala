@@ -51,6 +51,51 @@ class MultimodalRaggedSpec extends SparkSpec {
     assert(back.count() == 0)
   }
 
+  test("phashCandidates: hot-band guard keeps a biased corpus far from all-pairs, losslessly") {
+    // planted bias with the fixture's generative profile: word-like
+    // text (spaces drag the byte mean below most letters, so ~78% of
+    // average-hash bits come out set and single 6-bit band keys
+    // collapse — the measured UNGUARDED single-band join emits ~75% of
+    // all-pairs on this corpus). The guard must stay far below that
+    // while the exact gate still finds EVERY true pair (planted
+    // near-dup clones included).
+    val rnd = new scala.util.Random(7)
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    def word(): String = Seq.fill(2 + rnd.nextInt(8))(alpha(rnd.nextInt(26))).mkString
+    val texts = scala.collection.mutable.ArrayBuffer[String]()
+    for (_ <- 0 until 1000) texts += Seq.fill(40 + rnd.nextInt(81))(word()).mkString(" ")
+    for (i <- 0 until 15) { // near-dup clones: a few character edits
+      val t = texts(i).toCharArray
+      for (_ <- 0 until (1 + rnd.nextInt(4))) t(rnd.nextInt(t.length)) = alpha(rnd.nextInt(26))
+      texts += new String(t)
+    }
+    def sigOf(t: String): Long = {
+      val bs = t.getBytes("UTF-8"); val L = bs.length
+      val samples = (0 until Multimodal.PhashBits).map(i =>
+        bs((i * L) / Multimodal.PhashBits) & 0xff)
+      val tot = samples.sum
+      samples.zipWithIndex.foldLeft(0L) { case (acc, (x, i)) =>
+        if (Multimodal.PhashBits * x >= tot) acc | (1L << i) else acc }
+    }
+    val sigs = texts.map(sigOf).toIndexedSeq
+    val n = sigs.length
+    val truth = (for {
+      i <- 0 until n; j <- i + 1 until n
+      if java.lang.Long.bitCount(sigs(i) ^ sigs(j)) <= Multimodal.PhashMaxDist
+    } yield (i.toLong, j.toLong)).toSet
+    assert(truth.nonEmpty, "planted corpus must contain true near-dup pairs")
+    val df = sigs.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "sig")
+    val cand = Multimodal.phashCandidates(df).cache()
+    val nCand = cand.count()
+    val allPairs = n.toLong * (n - 1) / 2
+    assert(nCand < allPairs / 5, s"hot-band guard failed: $nCand candidates of $allPairs pairs")
+    val got = cand.where(expr(s"bit_count(sa ^ sb) <= ${Multimodal.PhashMaxDist}"))
+      .select("doc_a", "doc_b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    cand.unpersist()
+    assert(got == truth, "guarded banding must be exactly lossless at d <= PhashMaxDist")
+  }
+
   test("ragged pack then explode reproduces lineitem exactly") {
     val li = Tables.lineitem(spark, sf001)
       .select("l_orderkey", "l_linenumber", "l_quantity")
