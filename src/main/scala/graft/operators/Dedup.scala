@@ -67,12 +67,16 @@ object Dedup {
     * (first-global-occurrence) chunks in original order. */
   def paragraphDedupDocs(docs: DataFrame): DataFrame = {
     val cw = ParagraphChunkWords
-    val toks = tokens(col("text"))
+    // tokens materialized FIRST (the shinglesOf discipline): HOF
+    // lambdas re-evaluate child expressions per element, so an inline
+    // split would re-tokenize the document once per chunk
     val chunks = docs
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("lang"),
         posexplode(transform(
-          sequence(lit(0), floor((size(toks) + lit(cw - 1)) / lit(cw)).cast("int") - 1),
-          i => concat_ws(" ", slice(toks, i * cw + 1, lit(cw)))))
+          sequence(lit(0),
+            floor((size(col("toks")) + lit(cw - 1)) / lit(cw)).cast("int") - 1),
+          i => concat_ws(" ", slice(col("toks"), i * cw + 1, lit(cw)))))
           .as(Seq("idx", "chunk")))
     val keep = chunks.withColumn("rn",
       row_number().over(org.apache.spark.sql.expressions.Window
@@ -1147,14 +1151,16 @@ object Dedup {
        "SELECT doc_id, fp, n_same FROM fp JOIN " +
        "(SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_same FROM fp GROUP BY fp) USING (fp) " +
        "ORDER BY doc_id"),
-    // same 5-word chunker as text_dedup_chunks' oracle; first
-    // occurrence = ROW_NUMBER over (doc_id, idx) per chunk digest;
-    // rebuilt text re-pinned through the md5-prefix signature
+    // same chunker shape as text_dedup_chunks' oracle at the
+    // ParagraphChunkWords width (interpolated — the engine and oracle
+    // can only drift together); first occurrence = ROW_NUMBER over
+    // (doc_id, idx) per chunk digest; rebuilt text re-pinned through
+    // the md5-prefix signature
     "dedup_paragraph" ->
       ("WITH t AS (SELECT doc_id, lang, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS toks FROM documents), " +
        "c AS (SELECT doc_id, lang, " +
-       "UNNEST(LIST_TRANSFORM(RANGE(CAST(CEIL(LEN(toks) / 5.0) AS BIGINT)), " +
-       "i -> {'idx': i, 'chunk': ARRAY_TO_STRING(toks[i*5+1:i*5+5], ' ')})) AS u FROM t), " +
+       s"UNNEST(LIST_TRANSFORM(RANGE(CAST(CEIL(LEN(toks) / $ParagraphChunkWords.0) AS BIGINT)), " +
+       s"i -> {'idx': i, 'chunk': ARRAY_TO_STRING(toks[i*$ParagraphChunkWords+1:i*$ParagraphChunkWords+$ParagraphChunkWords], ' ')})) AS u FROM t), " +
        "e AS (SELECT doc_id, lang, u.idx AS idx, u.chunk AS chunk FROM c), " +
        "k AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY MD5(chunk) ORDER BY doc_id, idx) AS rn FROM e), " +
        "d AS (SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS nc, " +

@@ -1014,11 +1014,15 @@ object TextOps {
     // point at 100 TB: intra-doc structure never needs a join.
     "text_dedup_chunks" -> ((s, dir) => {
       val cw = 2
-      val toks = split(lower(trim(col("text"))), " ")
+      // tokens materialized first — an inline split inside the HOF
+      // lambda would re-tokenize the doc once per chunk
       documents(s, dir)
+        .withColumn("toks", split(lower(trim(col("text"))), " "))
         .withColumn("chunks",
-          transform(sequence(lit(0), floor((size(toks) + lit(cw - 1)) / lit(cw)).cast("int") - 1),
-            i => concat_ws(" ", slice(toks, i * cw + 1, lit(cw)))))
+          transform(
+            sequence(lit(0),
+              floor((size(col("toks")) + lit(cw - 1)) / lit(cw)).cast("int") - 1),
+            i => concat_ws(" ", slice(col("toks"), i * cw + 1, lit(cw)))))
         .withColumn("n_chunks", big(size(col("chunks"))))
         .withColumn("n_uniq", big(size(array_distinct(col("chunks")))))
         .groupBy("lang")

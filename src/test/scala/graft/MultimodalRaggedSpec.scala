@@ -51,6 +51,20 @@ class MultimodalRaggedSpec extends SparkSpec {
     assert(back.count() == 0)
   }
 
+  test("fixture invariant: documents.text is pure single-byte ASCII (phash premise)") {
+    // multimodal_phash's engine samples payload BYTES (ascii of a
+    // 1-byte binary substring, byte length) while its oracle reads
+    // CHARACTER codes and character length — they agree only while
+    // every document is pure ASCII. A multibyte doc would diverge
+    // silently; pin the premise loudly instead of assuming it.
+    for (dir <- Seq(sf001, sf01)) {
+      val bad = Tables.documents(spark, dir).where(
+        expr("octet_length(text) != char_length(text)") ||
+        col("text") =!= col("text").cast("binary").cast("string"))
+      assert(bad.count() == 0, s"non-ASCII documents.text in $dir")
+    }
+  }
+
   test("phashCandidates: hot-band guard keeps a biased corpus far from all-pairs, losslessly") {
     // planted bias with the fixture's generative profile: word-like
     // text (spaces drag the byte mean below most letters, so ~78% of
