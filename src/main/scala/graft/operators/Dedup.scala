@@ -91,6 +91,65 @@ object Dedup {
              x => x.getField("chunk"))).as("rebuilt"))
   }
 
+  /** dedup_substring sliding-window width (tokens). */
+  val SubstringWindowTokens = 8
+
+  /** Substring-level exact dedup — the Lee et al. 2022 ("Deduplicating
+    * Training Data Makes Language Models Better") recipe at the
+    * repo's token granularity, closing the gap `paragraphDedupDocs`
+    * leaves: a duplicated span that straddles FIXED chunk boundaries
+    * survives chunk dedup, but every k-token sliding window inside it
+    * repeats verbatim and is caught here. Windows at EVERY token
+    * position (stride 1) are md5-digested; the globally FIRST
+    * occurrence (by (doc_id, idx)) of each digest is kept, every
+    * later instance marks its k token positions as duplicated;
+    * adjacent surviving positions merge into kept spans.
+    *
+    * Scale shape: the only data-sized exchanges are the digest
+    * partitioning (window row_number, same class as
+    * paragraphDedupDocs) and the doc_id join that brings the bounded
+    * per-doc dup-start list back to the token array; coverage, span
+    * merge and kept-text reassembly are row-local HOF algebra. The
+    * per-doc coverage test is O(n_tok * n_dup_windows) — a two-pointer
+    * fold over the SORTED dup starts makes it O(n_tok + n_dup) when
+    * per-doc dup density warrants it. Returns one row per doc. */
+  def substringDedupDocs(docs: DataFrame): DataFrame = {
+    val k = SubstringWindowTokens
+    val base = docs.select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+    val wins = base
+      .where(size(col("toks")) >= k)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), size(col("toks")) - k),
+          i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(k))).cast("binary"))))
+          .as(Seq("idx", "dg")))
+    val dups = wins
+      .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("dg")).orderBy(col("doc_id"), col("idx"))))
+      .where(col("rn") > 1)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("idx"))).as("dup_starts"))
+    base.join(dups, Seq("doc_id"), "left")
+      .withColumn("dup_starts",
+        coalesce(col("dup_starts"), array().cast("array<int>")))
+      .withColumn("n_toks", size(col("toks")))
+      .withColumn("n_windows", greatest(col("n_toks") - lit(k - 1), lit(0)).cast("long"))
+      .withColumn("n_dup_windows", size(col("dup_starts")).cast("long"))
+      // cov[p] (0-based []): position p lies inside some duplicated
+      // window [s, s+k-1]
+      .withColumn("cov", expr(
+        s"transform(sequence(0, n_toks - 1), p -> exists(dup_starts, s -> s <= p and p <= s + ${k - 1}))"))
+      .withColumn("n_covered", expr("cast(size(filter(cov, x -> x)) as long)"))
+      // a kept span opens at every uncovered position with no
+      // uncovered predecessor — counting openings IS the merge
+      .withColumn("n_spans", expr(
+        "cast(size(filter(sequence(0, n_toks - 1), p -> not cov[p] and (p = 0 or cov[p - 1]))) as long)"))
+      .withColumn("kept", expr(
+        "concat_ws(' ', transform(filter(sequence(0, n_toks - 1), p -> not cov[p]), p -> toks[p]))"))
+      .select("doc_id", "lang", "n_toks", "n_windows", "n_dup_windows",
+              "n_covered", "n_spans", "kept")
+  }
+
   /** Distinct word 3-shingles over an already-materialized token-array
     * column. The tokens MUST be a bound column, not an inline
     * `split(...)` expression: HOF lambdas re-evaluate their children
@@ -764,6 +823,26 @@ object Dedup {
     // (inherent to the operator) — and the rebuilt text pins itself
     // through the md5-prefix signature so a wrong kept-set or a wrong
     // order can never hash-match. Per-lang rollup map-side combines.
+    // Substring-level exact dedup (Lee et al. 2022): sliding k-token
+    // window digests, global first-occurrence-wins, adjacent kept
+    // spans merged — catches the chunk-boundary-straddling duplicated
+    // span dedup_paragraph structurally misses (see
+    // substringDedupDocs). Per-lang rollup; the kept-text md5-prefix
+    // sum pins reassembly and span merging exactly.
+    "dedup_substring" -> ((s, dir) =>
+      substringDedupDocs(documents(s, dir)).groupBy("lang")
+        .agg(big(count(lit(1))).as("n_docs"),
+             big(sum(col("n_windows"))).as("n_windows"),
+             big(sum(col("n_dup_windows"))).as("n_dup_windows"),
+             big(sum(col("n_toks"))).as("n_tokens"),
+             big(sum(col("n_covered"))).as("n_tokens_dropped"),
+             big(sum(col("n_spans"))).as("n_kept_spans"),
+             big(sum(when(col("n_covered") > 0, 1L).otherwise(0L)))
+               .as("n_docs_trimmed"),
+             big(sum(conv(substring(md5(col("kept").cast("binary")), 1, 8),
+               16, 10).cast("long"))).as("kept_sig"))
+        .orderBy("lang")),
+
     "dedup_paragraph" -> ((s, dir) =>
       paragraphDedupDocs(documents(s, dir)).groupBy("lang")
         .agg(big(count(lit(1))).as("n_docs"),
@@ -1151,6 +1230,39 @@ object Dedup {
        "SELECT doc_id, fp, n_same FROM fp JOIN " +
        "(SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_same FROM fp GROUP BY fp) USING (fp) " +
        "ORDER BY doc_id"),
+    // the same window/first-occurrence/coverage/span algebra as
+    // substringDedupDocs, replayed in DuckDB list functions; both
+    // engines interpolate SubstringWindowTokens so they drift together
+    "dedup_substring" -> {
+      val k = SubstringWindowTokens
+      "WITH t AS (SELECT doc_id, lang, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS toks FROM documents), " +
+      "w AS (SELECT doc_id, u.idx AS idx, u.dg AS dg FROM t, " +
+      s"UNNEST(LIST_TRANSFORM(RANGE(GREATEST(LEN(toks) - $k + 1, 0)), " +
+      s"i -> {'idx': i, 'dg': MD5(ARRAY_TO_STRING(toks[i+1:i+$k], ' '))})) AS s(u)), " +
+      "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY dg ORDER BY doc_id, idx) AS rn FROM w), " +
+      "d AS (SELECT doc_id, LIST(idx ORDER BY idx) FILTER (WHERE rn > 1) AS dups " +
+      "FROM r GROUP BY doc_id), " +
+      "j AS (SELECT t.doc_id, t.lang, t.toks, LEN(t.toks) AS n, " +
+      "COALESCE(d.dups, []) AS dups FROM t LEFT JOIN d USING (doc_id)), " +
+      "c AS (SELECT *, LIST_TRANSFORM(RANGE(n), " +
+      s"p -> LEN(LIST_FILTER(dups, s -> s <= p AND p <= s + $k - 1)) > 0) AS cov FROM j), " +
+      s"m AS (SELECT doc_id, lang, n, GREATEST(n - $k + 1, 0) AS nwin, LEN(dups) AS ndup, " +
+      "LEN(LIST_FILTER(cov, x -> x)) AS ncov, " +
+      "LEN(LIST_FILTER(RANGE(n), p -> NOT cov[p+1] AND (p = 0 OR cov[p]))) AS nspans, " +
+      "ARRAY_TO_STRING(LIST_TRANSFORM(LIST_FILTER(RANGE(n), p -> NOT cov[p+1]), p -> toks[p+1]), ' ') AS kept " +
+      "FROM c) " +
+      "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+      "CAST(SUM(nwin) AS BIGINT) AS n_windows, " +
+      "CAST(SUM(ndup) AS BIGINT) AS n_dup_windows, " +
+      "CAST(SUM(n) AS BIGINT) AS n_tokens, " +
+      "CAST(SUM(ncov) AS BIGINT) AS n_tokens_dropped, " +
+      "CAST(SUM(nspans) AS BIGINT) AS n_kept_spans, " +
+      "CAST(SUM(CASE WHEN ncov > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_trimmed, " +
+      // fully-covered docs: ARRAY_TO_STRING([]) is NULL in DuckDB but
+      // concat_ws gives '' in Spark — coalesce to match
+      "CAST(SUM(CAST(CONCAT('0x', SUBSTRING(MD5(COALESCE(kept, '')), 1, 8)) AS BIGINT)) AS BIGINT) AS kept_sig " +
+      "FROM m GROUP BY lang ORDER BY lang"
+    },
     // same chunker shape as text_dedup_chunks' oracle at the
     // ParagraphChunkWords width (interpolated — the engine and oracle
     // can only drift together); first occurrence = ROW_NUMBER over

@@ -66,4 +66,57 @@ class ParagraphDedupSpec extends SparkSpec {
     assert(m(9L).getAs[String]("rebuilt") == "f g h i j")
     assert(m(8L).getAs[String]("rebuilt") == "a b c d e zz")
   }
+
+  private def bySub(rows: (Long, String)*): Map[Long, Row] =
+    operators.Dedup.substringDedupDocs(docs(rows: _*))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+  test("substring dedup catches a chunk-boundary-straddling duplicated span") {
+    // doc 11 repeats doc 10's tokens c..j — an 8-token span that sits
+    // at positions 3..10, straddling every 5-word chunk boundary, so
+    // paragraphDedupDocs keeps ALL of doc 11's chunks (no 5-word chunk
+    // repeats verbatim) while the sliding window must drop the span
+    val ten = "a b c d e f g h i j k l m n o"
+    val eleven = "x y z c d e f g h i j w q r s"
+    val para = byDoc(10L -> ten, 11L -> eleven)
+    assert(para(11L).getAs[Long]("nk") == para(11L).getAs[Long]("nc"),
+      "chunk dedup is expected to MISS the straddling span")
+    val sub = bySub(10L -> ten, 11L -> eleven)
+    assert(sub(10L).getAs[Long]("n_covered") == 0)
+    assert(sub(11L).getAs[Long]("n_dup_windows") == 1)
+    assert(sub(11L).getAs[Long]("n_covered") == 8)
+    // kept = the two flanks, merged spans on each side of the drop
+    assert(sub(11L).getAs[String]("kept") == "x y z w q r s")
+    assert(sub(11L).getAs[Long]("n_spans") == 2)
+  }
+
+  test("substring dedup merges adjacent kept runs and counts spans per gap") {
+    // doc 13 duplicates TWO separate spans of doc 12: kept tokens form
+    // three islands (head, middle, tail) — span counting must see the
+    // merge, and overlapping dup windows must union their coverage
+    val twelve = "a b c d e f g h i j k l m n o p q r s t"
+    val thirteen = "h1 h2 a b c d e f g h i m1 m2 m3 k l m n o p q r t1 t2"
+    val sub = bySub(12L -> twelve, 13L -> thirteen)
+    // dup windows: "a..h" and "b..i" (starts 2, 3 — coverage union
+    // 2..10) plus "k..r" (start 14, coverage 14..21)
+    assert(sub(13L).getAs[Long]("n_dup_windows") == 3)
+    assert(sub(13L).getAs[String]("kept") == "h1 h2 m1 m2 m3 t1 t2")
+    assert(sub(13L).getAs[Long]("n_spans") == 3)
+    assert(sub(13L).getAs[Long]("n_covered") == 17)
+  }
+
+  test("substring dedup: an exact duplicate doc is fully covered, zero spans") {
+    val sub = bySub(
+      14L -> "a b c d e f g h i j",
+      15L -> "a b c d e f g h i j")
+    assert(sub(14L).getAs[Long]("n_covered") == 0)
+    assert(sub(15L).getAs[Long]("n_covered") == 10)
+    assert(sub(15L).getAs[String]("kept") == "")
+    assert(sub(15L).getAs[Long]("n_spans") == 0)
+    // docs shorter than the window have no windows and keep everything
+    val short = bySub(16L -> "a b c", 17L -> "a b c")
+    assert(short(17L).getAs[Long]("n_windows") == 0)
+    assert(short(17L).getAs[Long]("n_covered") == 0)
+    assert(short(17L).getAs[String]("kept") == "a b c")
+  }
 }
