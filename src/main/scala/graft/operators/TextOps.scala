@@ -22,6 +22,13 @@ object TextOps {
   val WinnowK = 3
   val WinnowW = 4
 
+  /** text_decontaminate: n-gram width of the benchmark-overlap gate
+    * (8 here — production decontamination runs 13-gram per GPT-3/PaLM;
+    * the fixture's duplicated spans are 8-11 tokens), and the doc_id
+    * modulus carving the stand-in eval set out of documents. */
+  val DecontamNgramTokens = 8
+  val BenchmarkDocMod = 97
+
   /** Inverted-position tie-break constant for the winnowing sort key:
     * the key suffix is `lpad(WinnowPosMax - pos, WinnowPosPad, '0')`,
     * so ascending key order = descending position = the SIGMOD'03
@@ -983,6 +990,47 @@ object TextOps {
         .limit(10)
     }),
 
+    // Benchmark DECONTAMINATION gate — the pipeline-critical op every
+    // pretraining run ships (text_contamination measures cross-source
+    // overlap INSIDE the corpus; this gates the corpus against an
+    // EXTERNAL eval set): every distinct 8-gram of the benchmark
+    // table is collected and BROADCAST, corpus docs count their
+    // distinct-8-gram collisions against it, and any hit drops the
+    // doc (the GPT-3/PaLM any-collision rule). The benchmark here is
+    // the doc_id % BenchmarkDocMod slice of documents standing in for
+    // the external table — production swaps in the real eval-set
+    // DataFrame, nothing else changes. Scale shape: the benchmark
+    // n-gram set is eval-set-sized (tiny) and rides a broadcast hash
+    // join — the corpus never shuffles its n-grams anywhere; the only
+    // corpus-sized exchanges are the per-doc hit count's doc_id
+    // aggregate and the report join. Integer-exact output (counts +
+    // status), no float rounding surface.
+    "text_decontaminate" -> ((s, dir) => {
+      val k = DecontamNgramTokens
+      val grams = documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+                split(lower(trim(col("text"))), " ").as("toks"))
+        .withColumn("grams", when(size(col("toks")) >= k,
+            array_distinct(transform(sequence(lit(0), size(col("toks")) - k),
+              i => concat_ws(" ", slice(col("toks"), i + 1, lit(k))))))
+          .otherwise(array().cast("array<string>")))
+        .select(col("doc_id"), col("lang"), col("grams"))
+      val bench = grams.where(col("doc_id") % BenchmarkDocMod === 0)
+        .select(explode(col("grams")).as("g")).distinct()
+      val corpus = grams.where(col("doc_id") % BenchmarkDocMod =!= 0)
+      val hits = corpus.select(col("doc_id"), explode(col("grams")).as("g"))
+        .join(broadcast(bench), Seq("g"))
+        .groupBy("doc_id").agg(count(lit(1)).as("nh"))
+      corpus
+        .select(col("doc_id"), col("lang"), big(size(col("grams"))).as("n_ngrams"))
+        .join(hits, Seq("doc_id"), "left")
+        .withColumn("n_hits", big(coalesce(col("nh"), lit(0L))))
+        .withColumn("status",
+          when(col("n_hits") > 0, "dropped").otherwise("kept"))
+        .select("doc_id", "lang", "n_ngrams", "n_hits", "status")
+        .orderBy("doc_id")
+    }),
+
     // Per-language token entropy (vocabulary-diversity signal — the
     // corpus-health metric next to type-token ratio): H = -Σ p·ln p
     // over the language's token distribution, perplexity = e^H. Two
@@ -1561,6 +1609,22 @@ object TextOps {
        "CAST(COUNT(*) AS BIGINT) AS shared_shingles " +
        "FROM ss a JOIN ss b ON a.g = b.g AND a.source < b.source " +
        "GROUP BY 1, 2 ORDER BY shared_shingles DESC, src_a, src_b LIMIT 10"),
+    // identical 8-gram build / benchmark slice / any-collision rule
+    "text_decontaminate" -> {
+      val k = DecontamNgramTokens
+      "WITH t AS (SELECT doc_id, lang, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS toks FROM documents), " +
+      s"g AS (SELECT doc_id, lang, CASE WHEN LEN(toks) >= $k THEN " +
+      s"LIST_DISTINCT(LIST_TRANSFORM(RANGE(LEN(toks) - $k + 1), " +
+      s"i -> ARRAY_TO_STRING(toks[i+1:i+$k], ' '))) ELSE [] END AS grams FROM t), " +
+      s"b AS (SELECT DISTINCT UNNEST(grams) AS gr FROM g WHERE doc_id % $BenchmarkDocMod = 0), " +
+      s"c AS (SELECT doc_id, lang, LEN(grams) AS ng, grams FROM g WHERE doc_id % $BenchmarkDocMod <> 0), " +
+      "h AS (SELECT doc_id, COUNT(*) AS nh FROM " +
+      "(SELECT doc_id, UNNEST(grams) AS gr FROM c) x JOIN b USING (gr) GROUP BY doc_id) " +
+      "SELECT c.doc_id, c.lang, CAST(c.ng AS BIGINT) AS n_ngrams, " +
+      "CAST(COALESCE(h.nh, 0) AS BIGINT) AS n_hits, " +
+      "CASE WHEN COALESCE(h.nh, 0) > 0 THEN 'dropped' ELSE 'kept' END AS status " +
+      "FROM c LEFT JOIN h USING (doc_id) ORDER BY doc_id"
+    },
     "text_collocations" ->
       ("WITH d AS (SELECT lang, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS t FROM documents), " +
        "b0 AS (SELECT lang, UNNEST(LIST_TRANSFORM(generate_series(1, LEN(t) - 1), " +

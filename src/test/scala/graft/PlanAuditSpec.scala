@@ -893,6 +893,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("hashpartitioning"), p.take(4000))
   }
 
+  test("text_decontaminate: benchmark n-grams ride a broadcast, corpus grams never shuffle") {
+    // the eval-set n-gram table is tiny by construction — the gram
+    // probe must be a BroadcastHashJoin against its distinct
+    // aggregate, never a SortMergeJoin (which would shuffle the full
+    // corpus's exploded n-grams) and never a CartesianProduct
+    val p = plan("text_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    assert(!p.contains("SortMergeJoin"), p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+  }
+
   test("sim_hybrid_rrf: both arms broadcast the probe, corpus never shuffles pre-cut") {
     // lexical arm = BroadcastHashJoin on the probe's token set, vector
     // arm = broadcast 1-row probe (BNLJ); both top-20 cuts must be
