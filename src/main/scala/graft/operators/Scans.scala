@@ -157,6 +157,48 @@ object Scans {
              fround(sum(col("p.k")).cast("double") / count(col("p.k")), 4).as("avg_k"))
         .orderBy("event_type")),
 
+    // Dirty-ingest QUARANTINE lane (dead-letter routing) — the
+    // PERMISSIVE path the loud-failing framed source deliberately
+    // refuses: at 100 TB of web data some fraction of every JSONL
+    // batch is malformed, and dropping the batch (FAILFAST) or
+    // silently nulling rows are both wrong. The fixture plants
+    // deterministic corruption (every o_orderkey % 13 == 0 line is
+    // truncated mid-record) in a JSONL scratch write, then ingests via
+    // quarantineJsonRead: one text scan, from_json in PERMISSIVE mode
+    // with columnNameOfCorruptRecord, malformed rows routed — RAW
+    // LINE INTACT, so the dead letters are replayable after a parser
+    // fix — to a quarantine text sink. The report re-reads the SINK
+    // (accounting covers what actually landed, not what the plan
+    // promised) next to the clean lane's per-status rollup. Row-local
+    // parse + two lane writes; the only shuffle is the clean lane's
+    // status aggregate — scales like any scan.
+    "source_quarantine" -> ((s, dir) => {
+      val src = scratch(dir, "quarantine_src")
+      val qsink = scratch(dir, "quarantine_sink")
+      val o = orders(s, dir).where(col("o_orderkey") % 7 === 0)
+      val line = when(col("o_orderkey") % 13 === 0,
+          concat(lit("{\"o_orderkey\": "), col("o_orderkey").cast("string"),
+                 lit(", \"o_totalprice\": ")))
+        .otherwise(to_json(struct(col("o_orderkey"), col("o_orderstatus"),
+                                  col("o_totalprice"))))
+      o.select(line.as("value")).write.mode("overwrite").text(src)
+      val parsed = quarantineJsonRead(s, src,
+        "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
+      parsed.where(col("_bad").isNotNull).select("value")
+        .write.mode("overwrite").text(qsink)
+      val cleanAgg = parsed.where(col("_bad").isNull)
+        .groupBy("o_orderstatus")
+        .agg(big(count(lit(1))).as("n"), dsum(col("o_totalprice")).as("total"))
+        .withColumn("lane", lit("clean"))
+      val qAgg = s.read.text(qsink)
+        .agg(big(count(lit(1))).as("n"), dsum(lit(0.0)).as("total"))
+        .withColumn("o_orderstatus", lit("-"))
+        .withColumn("lane", lit("quarantine"))
+      cleanAgg.unionByName(qAgg)
+        .select("lane", "o_orderstatus", "n", "total")
+        .orderBy("lane", "o_orderstatus")
+    }),
+
     // i3cols R6/R7 analog: category-index build = partitionBy on write;
     // index application = partition-pruned read of one category dir.
     "scan_partitioned_write" -> ((s, dir) => {
@@ -1147,6 +1189,24 @@ object Scans {
     * `.frames` files move into the shared directory under
     * deterministic season-prefixed names. Built once per (JVM,
     * fixture state). */
+  /** PERMISSIVE JSONL ingest with dead-letter routing (the
+    * source_quarantine kernel, exposed for specs): one text scan,
+    * from_json with columnNameOfCorruptRecord appended to the declared
+    * schema. Returns the raw line alongside the parsed fields: `value`
+    * (original payload — what a quarantine sink must store for
+    * replay), the schema's columns, and `_bad` (null for clean rows,
+    * the raw record for malformed ones). Reading through text +
+    * from_json rather than spark.read.json keeps the raw line
+    * available AND sidesteps the raw-file restriction on querying
+    * only the corrupt column. Row-local; no shuffle. */
+  def quarantineJsonRead(s: org.apache.spark.sql.SparkSession,
+                         src: String, ddl: String): org.apache.spark.sql.DataFrame =
+    s.read.text(src)
+      .withColumn("p", from_json(col("value"),
+        org.apache.spark.sql.types.StructType.fromDDL(ddl + ", _bad STRING"),
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_bad")))
+      .select(col("value"), col("p.*"))
+
   def framedEvolvedFixture(s: org.apache.spark.sql.SparkSession, dir: String): String = {
     val out = scratch(dir, "framed_evolved")
     evolvedMemo.getOrElseUpdate(s"$out|${graft.Tables.fsSig(s, s"$dir/events.parquet")}", {
@@ -2792,6 +2852,21 @@ object Scans {
        "CAST(COUNT(*) AS BIGINT) AS n, " +
        s"${dsumSql("o_totalprice")} AS total " +
        "FROM orders GROUP BY 1 ORDER BY o_orderstatus NULLS FIRST"),
+    // the planted corruption rule is pure key arithmetic, so DuckDB
+    // derives both lanes straight from orders: clean = parsable lines,
+    // quarantine = the truncated ones (count only — their payload
+    // never parses, which is the point)
+    "source_quarantine" ->
+      ("WITH src AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders " +
+       "WHERE o_orderkey % 7 = 0) " +
+       "SELECT 'clean' AS lane, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n, " +
+       s"${dsumSql("o_totalprice")} AS total " +
+       "FROM src WHERE o_orderkey % 13 <> 0 GROUP BY o_orderstatus " +
+       "UNION ALL " +
+       "SELECT 'quarantine' AS lane, '-' AS o_orderstatus, " +
+       "CAST(COUNT(*) AS BIGINT) AS n, CAST(0 AS DOUBLE) AS total " +
+       "FROM src WHERE o_orderkey % 13 = 0 " +
+       "ORDER BY lane, o_orderstatus"),
     "source_json_schema" ->
       ("SELECT event_type, CAST(COUNT(k) AS BIGINT) AS n_k, CAST(SUM(k) AS BIGINT) AS sum_k, " +
        froundSql("CAST(SUM(k) AS DOUBLE) / COUNT(k)", 4) + " AS avg_k FROM " +

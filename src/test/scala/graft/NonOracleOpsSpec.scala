@@ -1414,4 +1414,37 @@ class NonOracleOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     est.foreach { case (n, a) => assert(est1(n) <= a, s"node $n: ${est1(n)} > $a") }
   }
+
+  test("quarantineJsonRead routes exactly the planted malformed lines, raw payload intact") {
+    // the oracle chain proves the LANE TOTALS; only a planted fixture
+    // pins MEMBERSHIP — which specific lines land in the dead-letter
+    // lane, and that their raw payloads survive byte-for-byte for
+    // replay. Four quarantine shapes: truncated record, bare garbage,
+    // wrong-structure JSON (valid JSON, non-object), and a TYPE
+    // mismatch on a declared column (PERMISSIVE treats unconvertible
+    // values as malformed — the row quarantines WITH its payload, it
+    // is not silently nulled). A MISSING field, by contrast, is legal
+    // sparse JSON: the row stays clean with the field null.
+    val dir = java.nio.file.Files.createTempDirectory("quarantine_spec").toString
+    val good1 = """{"k": 1, "v": "a"}"""
+    val bad1 = """{"k": 2, "v": """
+    val bad2 = """not json at all"""
+    val bad3 = """[1, 2, 3]"""
+    val badType = """{"k": "not-a-number", "v": "d"}"""
+    val sparse = """{"v": "e"}"""
+    val good2 = """{"k": 5, "v": "f"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "part-0.json"),
+      String.join("\n", good1, bad1, bad2, bad3, badType, sparse, good2).getBytes)
+    val parsed = operators.Scans.quarantineJsonRead(spark, dir, "k BIGINT, v STRING")
+    val quarantined = parsed.where(col("_bad").isNotNull)
+      .select("value").as[String].collect().toSet
+    assert(quarantined == Set(bad1, bad2, bad3, badType))
+    val clean = parsed.where(col("_bad").isNull)
+      .select("value").as[String].collect().toSet
+    assert(clean == Set(good1, sparse, good2))
+    // the sparse row survives with the absent field nulled
+    val sparseRow = parsed.where(col("value") === sparse).collect().head
+    assert(sparseRow.isNullAt(sparseRow.fieldIndex("k")))
+    assert(sparseRow.getAs[String]("v") == "e")
+  }
 }
