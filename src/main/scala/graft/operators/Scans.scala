@@ -324,6 +324,26 @@ object Scans {
       }.reduce(_ unionByName _).orderBy("version")
     }),
 
+    // TIMESTAMP time travel — "the table AS OF <ts>" resolved over the
+    // commit chain's timestamps (resolveAsOf): the mid probe falls
+    // between the two commits and must land on v1, the late probe
+    // after both and must land on v2. The oracle derives the same two
+    // states from the cutoff predicate — the engine must reproduce
+    // them through `_commits/` + manifests alone. Version resolution
+    // is O(1) metadata; the reads are the snapshot scans.
+    "scan_time_travel_ts" -> ((s, dir) => {
+      val root = timeTravelFixture(s, dir)
+      Seq(AsOfMid, AsOfLate).map { ts =>
+        val v = resolveAsOf(root, ts)
+        snapshotRead(s, root, v)
+          .agg(big(count(lit(1))).as("n_rows"),
+               big(sum(floor(col("o_totalprice") * 100).cast("long")))
+                 .as("total_cents"))
+          .select(lit(ts).as("as_of"), lit(v).as("version"),
+                  col("n_rows"), col("total_cents"))
+      }.reduce(_ unionByName _).orderBy("as_of")
+    }),
+
     // RETENTION / VACUUM — the snapshot-lifecycle half of time travel
     // (VERDICT r11 missing #1): the fixture commits v1 (pre-cutoff),
     // v2 (append), then v3 COMPACTS v2 into fresh files, and
@@ -1281,6 +1301,70 @@ object Scans {
     * so the three sites cannot drift (ADVICE r11). */
   val TimeTravelCutoff = "1999-01-01"
 
+  /** Deterministic commit timestamps for the time-travel fixture
+    * (production stamps wall-clock at commit; the fixture pins these
+    * so the oracle replays) and the two as-of probes scan_time_travel_ts
+    * resolves between them. */
+  val TimeTravelCommitTs: Map[Int, String] = Map(
+    1 -> "1998-06-01T00:00:00Z", 2 -> "1998-09-01T00:00:00Z")
+  val AsOfMid = "1998-07-01T00:00:00Z"
+  val AsOfLate = "1999-06-01T00:00:00Z"
+
+  /** Stamp a committed version's commit timestamp — one metadata file
+    * under `_commits/`, temp-file + atomic move like every pointer
+    * write. Refuses to stamp a version with no manifest: a commit ts
+    * for an uncommitted version would let resolveAsOf resolve to
+    * nothing. O(1) metadata at any table size. */
+  def writeCommitTs(root: String, v: Int, isoTs: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    require(Files.exists(Paths.get(root, "_manifests", s"v$v.txt")),
+      s"cannot stamp commit ts for uncommitted version $v at $root")
+    val d = Paths.get(root, "_commits")
+    Files.createDirectories(d)
+    val tmp = d.resolve(s".v$v.txt.tmp")
+    Files.write(tmp, isoTs.getBytes("UTF-8"))
+    Files.move(tmp, d.resolve(s"v$v.txt"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** TIMESTAMP time travel — "the table as of <ts>" (the Delta/Iceberg
+    * user entry point; scan_time_travel resolves by VERSION, tags and
+    * branches name versions, this closes the chain's last resolver):
+    * the latest version whose commit timestamp is <= ts, optionally
+    * capped at a branch head (`head`) so `asOf` composes with
+    * branches — resolve the branch first, then the timestamp WITHIN
+    * its lineage. Only versions whose manifest still exists count
+    * (an expired version cannot resolve, matching snapshotRead's
+    * loud-failure contract). Loud on a ts before the first surviving
+    * commit — silently returning the oldest state would misreport
+    * history. Metadata-scale: reads only `_commits/` + manifest
+    * existence, never data. */
+  def resolveAsOf(root: String, ts: String, head: Option[Int] = None): Int = {
+    import java.nio.file.{Files, Paths}
+    val cutoff = java.time.Instant.parse(ts)
+    val d = new java.io.File(s"$root/_commits")
+    val commits: Map[Int, java.time.Instant] =
+      if (!d.isDirectory) Map.empty
+      else d.listFiles().filter(_.getName.matches("v\\d+\\.txt")).map { f =>
+        f.getName.stripPrefix("v").stripSuffix(".txt").toInt ->
+          java.time.Instant.parse(new String(
+            Files.readAllBytes(f.toPath), "UTF-8").trim)
+      }.toMap
+    val live = commits.filter { case (v, _) =>
+      Files.exists(Paths.get(root, "_manifests", s"v$v.txt")) }
+    val inScope = head.fold(live) { h => live.filter(_._1 <= h) }
+    val eligible = inScope.collect { case (v, t) if !t.isAfter(cutoff) => v }
+    if (eligible.isEmpty) {
+      val earliest = inScope.toSeq.sortBy(_._1).headOption
+        .map { case (v, t) => s"earliest surviving commit is v$v at $t" }
+        .getOrElse("no commits are stamped")
+      throw new IllegalArgumentException(
+        s"as-of $ts predates the first commit at $root" +
+        head.fold("")(h => s" (branch head v$h)") + s"; $earliest")
+    }
+    eligible.max
+  }
+
   /** Stage `df` through a normal parquet write, then copy the part
     * files into `root/data` as immutable `tag_NNN.parquet` files —
     * one "commit" of the minimal versioned table. Returns the
@@ -1736,6 +1820,7 @@ object Scans {
       val f2 = ttCommit(o.where(col("o_orderdate") >= cutoff), root, "c2")
       ttWriteManifest(root, 1, f1)
       ttWriteManifest(root, 2, f1 ++ f2)
+      TimeTravelCommitTs.foreach { case (v, ts) => writeCommitTs(root, v, ts) }
     })
     root
   }
@@ -2905,6 +2990,18 @@ object Scans {
        "SELECT 2 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
        "CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents " +
        "FROM orders ORDER BY version"),
+
+    // mid probe → the pre-cutoff v1 state, late probe → all orders —
+    // both derived from the cutoff predicate, with the as-of labels
+    // and resolved versions pinned as literals
+    "scan_time_travel_ts" ->
+      (s"SELECT '$AsOfMid' AS as_of, 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+       "CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents " +
+       s"FROM orders WHERE o_orderdate < TIMESTAMP '$TimeTravelCutoff' " +
+       "UNION ALL " +
+       s"SELECT '$AsOfLate' AS as_of, 2 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+       "CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents " +
+       "FROM orders ORDER BY as_of"),
 
     // the surviving compacted snapshot must still be the COMPLETE
     // table after v1/v2 and their exclusive files were vacuumed

@@ -1415,6 +1415,27 @@ class NonOracleOpsSpec extends SparkSpec {
     est.foreach { case (n, a) => assert(est1(n) <= a, s"node $n: ${est1(n)} > $a") }
   }
 
+  test("resolveAsOf: inclusive boundary, latest-at-ts, loud pre-history, branch cap") {
+    import graft.operators.Scans
+    val root = Scans.timeTravelFixture(spark, sf001)
+    // commit ts boundary is INCLUSIVE (<= ts)
+    assert(Scans.resolveAsOf(root, Scans.TimeTravelCommitTs(1)) == 1)
+    // between the two commits → the earlier one; after both → latest
+    assert(Scans.resolveAsOf(root, Scans.AsOfMid) == 1)
+    assert(Scans.resolveAsOf(root, Scans.AsOfLate) == 2)
+    // before the first commit: loud, names the earliest commit
+    val ex = intercept[IllegalArgumentException] {
+      Scans.resolveAsOf(root, "1990-01-01T00:00:00Z")
+    }
+    assert(ex.getMessage.contains("predates"), ex.getMessage)
+    assert(ex.getMessage.contains("v1"), ex.getMessage)
+    // composes with branches: a head capped at v1 hides v2 even when
+    // the as-of timestamp covers it
+    Scans.createBranch(root, "asof_spec_b", 1)
+    val head = Scans.resolveBranch(root, "asof_spec_b")
+    assert(Scans.resolveAsOf(root, Scans.AsOfLate, Some(head)) == 1)
+  }
+
   test("quarantineJsonRead routes exactly the planted malformed lines, raw payload intact") {
     // the oracle chain proves the LANE TOTALS; only a planted fixture
     // pins MEMBERSHIP — which specific lines land in the dead-letter
