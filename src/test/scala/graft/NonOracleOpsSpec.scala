@@ -1415,6 +1415,32 @@ class NonOracleOpsSpec extends SparkSpec {
     est.foreach { case (n, a) => assert(est1(n) <= a, s"node $n: ${est1(n)} > $a") }
   }
 
+  test("sim_ann_ivf_append is assign-only: centroids byte-identical to base training") {
+    import graft.operators.Vectors
+    // manual ground truth: Lloyd on the PRE-append slice only
+    val base = Tables.embeddings(spark, sf001)
+      .where(col("vec_id") % Vectors.IvfAppendBatchMod
+               =!= Vectors.IvfAppendBatchMod - 1)
+    val init = base.where(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    val manual = (1 to Vectors.IvfLloydIters)
+      .foldLeft(init)((c, _) => Vectors.lloydStep(base, c))
+    // the centroids the append lane serves BEFORE the probe runs...
+    val (pre, _, _) = Vectors.ivfAppendPrelude(spark, sf001)
+    assert(pre.length == manual.length)
+    pre.zip(manual).foreach { case ((ci, cv), (mi, mv)) =>
+      assert(ci == mi)
+      assert(cv.sameElements(mv), s"centroid $ci drifted from base-only training")
+    }
+    // ...and AFTER probing old ∪ new they are the SAME OBJECT — the
+    // append never triggered a retrain
+    SparkEntry.queries("sim_ann_ivf_append")(spark, sf001).collect()
+    val (post, _, _) = Vectors.ivfAppendPrelude(spark, sf001)
+    assert(post eq pre, "append retrained the centroids")
+  }
+
   test("resolveAsOf: inclusive boundary, latest-at-ts, loud pre-history, branch cap") {
     import graft.operators.Scans
     val root = Scans.timeTravelFixture(spark, sf001)
