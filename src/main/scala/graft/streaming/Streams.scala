@@ -487,6 +487,35 @@ object Streams {
     } finally classified.unpersist()
   }
 
+  /** STREAMING dead-letter routing — the per-micro-batch half of
+    * source_quarantine (see Scans.quarantineJsonRead): parse the
+    * batch's raw JSONL lines PERMISSIVE, land malformed rows in the
+    * quarantine sink with the raw payload intact and clean rows in
+    * the clean sink. Both writes are batch_id-partitioned dynamic
+    * overwrites, so a replayed batch (crash between write and
+    * checkpoint commit) is byte-for-byte idempotent — the
+    * incrementalDedupStep exactly-once discipline, without the state:
+    * routing is stateless, so no ordering or index is involved. */
+  def quarantineStep(s: SparkSession, ddl: String,
+                     cleanSink: String, qSink: String)
+                    (batch: DataFrame, batchId: Long): Unit = {
+    val parsed = batch.withColumn("p", from_json(col("value"),
+        org.apache.spark.sql.types.StructType.fromDDL(ddl + ", _bad STRING"),
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_bad")))
+      .select(col("value"), col("p.*"))
+      .persist()
+    try {
+      parsed.where(col("_bad").isNotNull).select("value")
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(qSink)
+      parsed.where(col("_bad").isNull).drop("_bad")
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(cleanSink)
+    } finally parsed.unpersist()
+  }
+
   /** Bucket count for the streaming-CDC snapshot layout. Fixture-scale
     * 8; at 100 TB this is the table's real bucket count (thousands) —
     * the step's cost is proportional to the AFFECTED buckets only,
@@ -680,6 +709,37 @@ object Streams {
     // transformWithState (StatefulProcessor + ListState, RocksDB) job
     // is driven to equality by StreamTwsTopkSpec.
     "stream_tws_topk" -> ((s, dir) => twsTopkBatch(events(s, dir))),
+    // STREAMING dead-letter lane, batch-declared: the same planted
+    // dirty JSONL as source_quarantine, with per-MICRO-BATCH
+    // accounting (bid = key % 3 models the arrival chunking; the key
+    // is regex-recovered from the RAW line so dead letters attribute
+    // to their batch too). Routing is stateless/row-local, so any
+    // chunking composes to the global rule trivially — the batch
+    // declaration is exact; StreamQuarantineSpec drives the REAL
+    // file-source foreachBatch job ([[quarantineStep]]) through
+    // 3 micro-batches plus a replayed batch to the same totals.
+    "stream_quarantine" -> ((s, dir) => {
+      val src = scratch(dir, "stream_quarantine_src")
+      val o = orders(s, dir).where(col("o_orderkey") % 7 === 0)
+      val line = when(col("o_orderkey") % 13 === 0,
+          concat(lit("{\"o_orderkey\": "), col("o_orderkey").cast("string"),
+                 lit(", \"o_totalprice\": ")))
+        .otherwise(to_json(struct(col("o_orderkey"), col("o_orderstatus"),
+                                  col("o_totalprice"))))
+      o.select(line.as("value")).write.mode("overwrite").text(src)
+      val parsed = graft.operators.Scans.quarantineJsonRead(s, src,
+        "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
+      parsed
+        .withColumn("k",
+          regexp_extract(col("value"), "\"o_orderkey\":\\s*(\\d+)", 1).cast("long"))
+        .withColumn("bid", big(col("k") % 3))
+        .withColumn("lane",
+          when(col("_bad").isNotNull, "quarantine").otherwise("clean"))
+        .groupBy("bid", "lane")
+        .agg(big(count(lit(1))).as("n"), big(sum(col("k"))).as("key_sig"))
+        .orderBy("bid", "lane")
+    }),
+
     "stream_dedup" -> ((s, dir) =>
       dedupBatch(events(s, dir)).orderBy("user_id", "event_type")),
     "stream_stateful_count" -> ((s, dir) =>
@@ -1039,6 +1099,14 @@ object Streams {
       ("SELECT user_id, event_type, event_id, ts FROM " +
        "(SELECT user_id, event_type, event_id, ts, " +
        "ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn FROM events) " +
-       "WHERE rn = 1 ORDER BY user_id, event_type")
+       "WHERE rn = 1 ORDER BY user_id, event_type"),
+    // both lanes and the batch attribution are pure key arithmetic
+    // over the planted corruption rule
+    "stream_quarantine" ->
+      ("WITH src AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 7 = 0) " +
+       "SELECT CAST(k % 3 AS BIGINT) AS bid, " +
+       "CASE WHEN k % 13 = 0 THEN 'quarantine' ELSE 'clean' END AS lane, " +
+       "CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(k) AS BIGINT) AS key_sig " +
+       "FROM src GROUP BY 1, 2 ORDER BY bid, lane")
   )
 }
