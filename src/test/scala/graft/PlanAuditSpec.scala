@@ -893,6 +893,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("hashpartitioning"), p.take(4000))
   }
 
+  test("dedup_substring: window numbering is digest-partitioned, never a global window") {
+    // first-occurrence-wins must partition by the window digest — an
+    // unpartitioned row_number would serialize the corpus through one
+    // task; and nothing in the chain may degrade to all-pairs
+    val p = plan("dedup_substring")
+    assert(p.contains("windowspecdefinition(dg"), p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+  }
+
+  test("dedup_semdedup: the pair search is a cid equi-join, never all-pairs") {
+    // within-cluster comparison must bucket on the cluster id (the
+    // cosine gate is a post-join filter, not a join condition that
+    // defeats bucketing); at production k the same plan shuffles on
+    // thousands of cids — parallelism scales with k
+    val p = plan("dedup_semdedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(4000))
+  }
+
   test("text_decontaminate: benchmark n-grams ride a broadcast, corpus grams never shuffle") {
     // the eval-set n-gram table is tiny by construction — the gram
     // probe must be a BroadcastHashJoin against its distinct
