@@ -29,6 +29,12 @@ object TextOps {
   val DecontamNgramTokens = 8
   val BenchmarkDocMod = 97
 
+  /** sample_temperature: the mixing exponent (0.7 — the multilingual
+    * pretraining default) and the integer token budget the
+    * largest-remainder allocation distributes exactly. */
+  val MixtureTau = 0.7
+  val MixtureSampleBudget = 10000L
+
   /** Inverted-position tie-break constant for the winnowing sort key:
     * the key suffix is `lpad(WinnowPosMax - pos, WinnowPosPad, '0')`,
     * so ascending key order = descending position = the SIGMOD'03
@@ -522,6 +528,42 @@ object TextOps {
     // order-sensitive by definition; a skewed language salts by
     // quality-band first, trading exactness of the boundary doc for
     // bounded partitions.
+    // TEMPERATURE-SCALED language mixing (the multilingual-LM sampling
+    // rule — mBERT/XLM-R exponentiated-share recipe): per-language
+    // token mass reweighted by share^τ (τ=0.7 upsamples the tail,
+    // downsamples the head), then an integer token budget allocated by
+    // largest-remainder rounding so the allocations sum EXACTLY to the
+    // budget. One corpus aggregate (per-lang token sums — map-side
+    // combined, vocabulary-free); everything after operates on the
+    // #langs-row table, where the unpartitioned windows are bounded by
+    // construction (the RRF precedent). Fractional ranks compare at 6
+    // decimals so the engine/oracle tie order is identical even if
+    // POWER differs in the last ulp.
+    "sample_temperature" -> ((s, dir) => {
+      val counts = documents(s, dir)
+        .select(col("lang"),
+                size(split(lower(trim(col("text"))), " ")).cast("long").as("toks"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(col("toks")).as("tok"))
+      val all = Window.partitionBy(lit(1))
+      counts
+        .withColumn("tot", sum(col("tok")).over(all))
+        .withColumn("w", pow(col("tok").cast("double") / col("tot"), MixtureTau))
+        .withColumn("temp_share", col("w") / sum(col("w")).over(all))
+        .withColumn("ea", col("temp_share") * MixtureSampleBudget)
+        .withColumn("base", floor(col("ea")).cast("long"))
+        .withColumn("frac", fround(col("ea") - col("base"), 6))
+        .withColumn("rem", (lit(MixtureSampleBudget) - sum(col("base")).over(all)))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("frac").desc, col("lang"))))
+        .select(col("lang"), big(col("n")).as("n_docs"), big(col("tok")).as("n_tokens"),
+                fround(col("tok").cast("double") / col("tot"), 6).as("raw_share"),
+                fround(col("temp_share"), 6).as("temp_share"),
+                big(col("base") + when(col("rk") <= col("rem"), 1L).otherwise(0L))
+                  .as("alloc_tokens"))
+        .orderBy("lang")
+    }),
+
     "text_mixture_budget" -> ((s, dir) => {
       val toks = big(size(split(lower(col("text")), " ")))
       val ord = Window.partitionBy("lang")
@@ -1609,6 +1651,25 @@ object TextOps {
        "CAST(COUNT(*) AS BIGINT) AS shared_shingles " +
        "FROM ss a JOIN ss b ON a.g = b.g AND a.source < b.source " +
        "GROUP BY 1, 2 ORDER BY shared_shingles DESC, src_a, src_b LIMIT 10"),
+    // same share^tau reweighting and largest-remainder integer split
+    "sample_temperature" ->
+      ("WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n, " +
+       "CAST(SUM(LEN(STRING_SPLIT(LOWER(TRIM(text)), ' '))) AS BIGINT) AS tok " +
+       "FROM documents GROUP BY lang), " +
+       "t AS (SELECT *, SUM(tok) OVER () AS tot FROM c), " +
+       s"w AS (SELECT *, POWER(CAST(tok AS DOUBLE) / tot, $MixtureTau) AS w FROM t), " +
+       "sh AS (SELECT *, w / SUM(w) OVER () AS temp_share FROM w), " +
+       s"e AS (SELECT *, temp_share * $MixtureSampleBudget AS ea FROM sh), " +
+       "f AS (SELECT *, CAST(FLOOR(ea) AS BIGINT) AS base, " +
+       froundSql("ea - FLOOR(ea)", 6) + " AS frac FROM e), " +
+       s"r AS (SELECT *, CAST($MixtureSampleBudget - SUM(base) OVER () AS BIGINT) AS rem, " +
+       "ROW_NUMBER() OVER (ORDER BY frac DESC, lang) AS rk FROM f) " +
+       "SELECT lang, n AS n_docs, tok AS n_tokens, " +
+       froundSql("CAST(tok AS DOUBLE) / tot", 6) + " AS raw_share, " +
+       froundSql("temp_share", 6) + " AS temp_share, " +
+       "CAST(base + CASE WHEN rk <= rem THEN 1 ELSE 0 END AS BIGINT) AS alloc_tokens " +
+       "FROM r ORDER BY lang"),
+
     // identical 8-gram build / benchmark slice / any-collision rule
     "text_decontaminate" -> {
       val k = DecontamNgramTokens

@@ -385,6 +385,54 @@ object Vectors {
         .orderBy("cid")
     }),
 
+    // SCALAR QUANTIZATION (SQ8 — the FAISS/ScaNN 4x memory cut that
+    // precedes PQ in every index menu): per-dimension corpus min/max
+    // train the affine code (the 64x2 matrix is the ONLY collected
+    // artifact — metadata-scale, the centroid discipline), each
+    // vector quantizes row-locally to 64 uint8 codes, and the op
+    // reports the fidelity a deployment signs off on: per-label mean
+    // squared reconstruction error and mean cosine(original,
+    // dequantized). Per-vector arithmetic is ORDERED sequential folds
+    // (both engines sum dims 1..64 left-to-right, then 6-decimal pin
+    // before the decimal label mean — the repo's float discipline).
+    // One corpus scan for training stats, one for coding; no joins.
+    "vec_quantize_int8" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val mm = e.select(posexplode(Similarity.asDouble(col("embedding")))
+                          .as(Seq("pos", "v")))
+        .groupBy("pos").agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+        .orderBy("pos").collect()
+      val mins = mm.map(_.getDouble(1))
+      val maxs = mm.map(_.getDouble(2))
+      val dim = mins.length
+      val minC = typedLit(mins)
+      val maxC = typedLit(maxs)
+      val idx = sequence(lit(0), lit(dim - 1))
+      def mn(i: org.apache.spark.sql.Column) = element_at(minC, i + 1)
+      def mx(i: org.apache.spark.sql.Column) = element_at(maxC, i + 1)
+      def ev(i: org.apache.spark.sql.Column) = element_at(col("ev"), i + 1)
+      def dq(i: org.apache.spark.sql.Column) = {
+        val q = when(mx(i) > mn(i),
+          floor((ev(i) - mn(i)) / (mx(i) - mn(i)) * Sq8Levels + 0.5))
+          .otherwise(lit(0.0))
+        mn(i) + q * (mx(i) - mn(i)) / Sq8Levels
+      }
+      e.withColumn("ev", Similarity.asDouble(col("embedding")))
+        .withColumn("err", fround(
+          aggregate(idx, lit(0.0), (acc, i) => acc + (ev(i) - dq(i)) * (ev(i) - dq(i))), 6))
+        .withColumn("dot", aggregate(idx, lit(0.0), (acc, i) => acc + ev(i) * dq(i)))
+        .withColumn("na", aggregate(idx, lit(0.0), (acc, i) => acc + ev(i) * ev(i)))
+        .withColumn("nb", aggregate(idx, lit(0.0), (acc, i) => acc + dq(i) * dq(i)))
+        .withColumn("cosf", fround(col("dot") / sqrt(col("na") * col("nb")), 6))
+        .groupBy("label")
+        .agg(big(count(lit(1))).as("n_vecs"),
+             fround(dsum6(col("err")) / count(lit(1)), 6).as("mean_err"),
+             fround(dsum6(col("cosf")) / count(lit(1)), 6).as("mean_cos"),
+             big(count(lit(1)) * dim * 4).as("bytes_fp32"),
+             big(count(lit(1)) * dim).as("bytes_int8"))
+        .orderBy("label")
+    }),
+
     // PRODUCT-QUANTIZED ANN (the IVF companion at 100 TB — memory
     // compression, where IVF is candidate pruning): the 64-dim corpus
     // splits into PqSubspaces=4 16-dim subspaces, each with a
@@ -591,6 +639,9 @@ object Vectors {
     * so drops are real near-dups, not the bulk. */
   val SemDedupK = 32
   val SemDedupTau = 0.35
+
+  /** vec_quantize_int8 quantization levels (SQ8: 0..255). */
+  val Sq8Levels = 255
 
   /** Power-iteration rounds for vec_pca_power — fixed BY CONTRACT
     * (both engines run exactly these rounds; the oracle unrolls them
@@ -1195,6 +1246,32 @@ object Vectors {
        froundSql("MAX(ABS(z))", 4) + " AS max_abs_z " +
        "FROM z GROUP BY vec_id ORDER BY vec_id"),
     "sim_ann_ivf" -> oracleIvfBase,
+    // same per-dim min/max code, same ordered per-vector folds, same
+    // 6-decimal pin before the decimal label mean
+    "vec_quantize_int8" -> {
+      val L = Sq8Levels
+      "WITH pe AS (SELECT vec_id, GENERATE_SUBSCRIPTS(embedding, 1) AS pos, " +
+      "UNNEST(CAST(embedding AS DOUBLE[])) AS v FROM embeddings), " +
+      "mm AS (SELECT pos, MIN(v) AS mn, MAX(v) AS mx FROM pe GROUP BY pos), " +
+      "ml AS (SELECT LIST(mn ORDER BY pos) AS mins, LIST(mx ORDER BY pos) AS maxs FROM mm), " +
+      "ve AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings), " +
+      "c AS (SELECT vec_id, label, ev, mins, maxs, LEN(ev) AS dim FROM ve, ml), " +
+      "d AS (SELECT *, LIST_TRANSFORM(RANGE(dim), i -> mins[i+1] + " +
+      s"(CASE WHEN maxs[i+1] > mins[i+1] THEN FLOOR((ev[i+1] - mins[i+1]) / (maxs[i+1] - mins[i+1]) * $L + 0.5) " +
+      s"ELSE 0 END) * (maxs[i+1] - mins[i+1]) / $L) AS dv FROM c), " +
+      "m AS (SELECT label, dim, " +
+      froundSql("LIST_SUM(LIST_TRANSFORM(RANGE(dim), i -> (ev[i+1] - dv[i+1]) * (ev[i+1] - dv[i+1])))", 6) + " AS err, " +
+      froundSql("LIST_SUM(LIST_TRANSFORM(RANGE(dim), i -> ev[i+1] * dv[i+1])) / " +
+        "SQRT(LIST_SUM(LIST_TRANSFORM(RANGE(dim), i -> ev[i+1] * ev[i+1])) * " +
+        "LIST_SUM(LIST_TRANSFORM(RANGE(dim), i -> dv[i+1] * dv[i+1])))", 6) + " AS cosf " +
+      "FROM d) " +
+      "SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs, " +
+      froundSql(dsum6Sql("err") + " / COUNT(*)", 6) + " AS mean_err, " +
+      froundSql(dsum6Sql("cosf") + " / COUNT(*)", 6) + " AS mean_cos, " +
+      "CAST(COUNT(*) * MIN(dim) * 4 AS BIGINT) AS bytes_fp32, " +
+      "CAST(COUNT(*) * MIN(dim) AS BIGINT) AS bytes_int8 " +
+      "FROM m GROUP BY label ORDER BY label"
+    },
     // same trained k-means (32-seed init), same within-cluster
     // lower-id-neighbor drop rule, per-cluster rollup
     "dedup_semdedup" ->
