@@ -539,7 +539,7 @@ object TextOps {
     // construction (the RRF precedent). Fractional ranks compare at 6
     // decimals so the engine/oracle tie order is identical even if
     // POWER differs in the last ulp.
-    "sample_temperature" -> ((s, dir) => {
+    "sample_temperature_alloc" -> ((s, dir) => {
       val counts = documents(s, dir)
         .select(col("lang"),
                 size(split(lower(trim(col("text"))), " ")).cast("long").as("toks"))
@@ -1652,7 +1652,7 @@ object TextOps {
        "FROM ss a JOIN ss b ON a.g = b.g AND a.source < b.source " +
        "GROUP BY 1, 2 ORDER BY shared_shingles DESC, src_a, src_b LIMIT 10"),
     // same share^tau reweighting and largest-remainder integer split
-    "sample_temperature" ->
+    "sample_temperature_alloc" ->
       ("WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n, " +
        "CAST(SUM(LEN(STRING_SPLIT(LOWER(TRIM(text)), ' '))) AS BIGINT) AS tok " +
        "FROM documents GROUP BY lang), " +
