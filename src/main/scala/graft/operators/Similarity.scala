@@ -269,6 +269,33 @@ object Similarity {
       }
       import s.implicits._
       picks.result().toDF("sel_rank", "vec_id", "rel", "mmr")
+    }),
+
+    // HARD-NEGATIVE MINING for contrastive training (the
+    // sentence-transformers / DPR curation step; sample_negative_pairs
+    // is the RANDOM-negative twin): for each anchor in a bounded probe
+    // set, the HardNegK most-similar vectors with a DIFFERENT label —
+    // maximally confusing non-matches. Plan = the vec_hamming_topk
+    // shape: the anchor set broadcasts (bounded by HardNegAnchors at
+    // any corpus size), similarity + label exclusion are scan-local,
+    // the per-anchor cut is a ranked window over anchor-partitioned
+    // rows (WindowGroupLimit prunes map-side). At 100 TB the
+    // brute-force arm swaps for the IVF bucket scan per anchor,
+    // fusion tail unchanged.
+    "sim_hard_negatives" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val anchors = e.where(col("vec_id") < HardNegAnchors)
+        .select(col("vec_id").as("anchor"), col("label").as("alabel"),
+                col("embedding").as("av"))
+      e.join(broadcast(anchors), col("label") =!= col("alabel"))
+        .select(col("anchor"), col("vec_id"),
+                fround(cosine(col("embedding"), col("av")), 4).as("cos"))
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("anchor")
+            .orderBy(col("cos").desc, col("vec_id"))))
+        .where(col("rnk") <= HardNegK)
+        .select(col("anchor"), big(col("rnk")).as("rnk"), col("vec_id"), col("cos"))
+        .orderBy("anchor", "rnk")
     })
   )
 
@@ -276,6 +303,13 @@ object Similarity {
     * top-20; the fusion constant 60 is the Cormack et al. default. */
   val RrfArmK = 20
   val RrfRankK = 60
+
+  /** sim_hard_negatives geometry: anchors = the HardNegAnchors lowest
+    * vec_ids (a broadcast-bounded probe set at any corpus size — the
+    * vec_hamming_topk discipline), HardNegK negatives mined per
+    * anchor. */
+  val HardNegAnchors = 8
+  val HardNegK = 5
 
   /** MMR geometry (shared with the oracle). λ and 1−λ are BOTH
     * declared as literals: computing 1−0.7 in doubles yields
@@ -303,6 +337,17 @@ object Similarity {
        " AS cos " +
        "FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q " +
        "WHERE e.vec_id <> 0 ORDER BY cos DESC, e.vec_id LIMIT 10"),
+    // same anchor set, same cross-label exclusion, same ranked cut
+    "sim_hard_negatives" ->
+      ("WITH a AS (SELECT vec_id AS anchor, label AS alabel, embedding AS av " +
+       s"FROM embeddings WHERE vec_id < $HardNegAnchors), " +
+       "sc AS (SELECT a.anchor, e.vec_id, " +
+       froundSql("LIST_COSINE_SIMILARITY(CAST(e.embedding AS DOUBLE[]), CAST(a.av AS DOUBLE[]))", 4) +
+       " AS cos FROM embeddings e JOIN a ON e.label <> a.alabel), " +
+       "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor " +
+       "ORDER BY cos DESC, vec_id) AS rnk FROM sc) " +
+       "SELECT anchor, CAST(rnk AS BIGINT) AS rnk, vec_id, cos FROM r " +
+       s"WHERE rnk <= $HardNegK ORDER BY anchor, rnk"),
     "sim_range_search" ->
       ("SELECT e.vec_id, " +
        froundSql("LIST_COSINE_SIMILARITY(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))", 4) +
