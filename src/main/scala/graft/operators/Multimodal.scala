@@ -312,36 +312,41 @@ object Multimodal {
               explode(sequence(lit(0), lit(PhashBands - 1))).as("band"))
       .withColumn("key",
         expr(s"shiftright(sig, band * $PhashBandBits) & $mask"))
-    val hotKeys = banded.groupBy("band", "key").count()
+    // the hot set is bounded by bands * 2^bandBits entries (640 here;
+    // 1M at production 16-bit bands) — an index artifact, collected
+    // like a centroid matrix, so hotness is a row-local literal-set
+    // test instead of a broadcast join
+    val hotSet: Array[Long] = banded.groupBy("band", "key").count()
       .where(col("count") > PhashMaxBandDf)
-      .select(col("band"), col("key"), lit(true).as("hot"))
-    val flagged = banded
-      .join(broadcast(hotKeys), Seq("band", "key"), "left")
-      .withColumn("hot", coalesce(col("hot"), lit(false)))
-    val cold = flagged.where(!col("hot")).select("doc_id", "sig", "band", "key")
+      .select((col("band") * (mask + 1L) + col("key")).as("bk"))
+      .collect().map(_.getLong(0))
+    val bk = col("band") * (mask + 1L) + col("key")
+    val cold = (if (hotSet.isEmpty) banded else banded.where(!bk.isin(hotSet: _*)))
+      .select("doc_id", "sig", "band", "key")
     val candCold = cold.as("a").join(cold.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
               col("a.sig").as("sa"), col("b.sig").as("sb"))
+    if (hotSet.isEmpty) return candCold
     // all (b2 < b3) band pairs as a literal array; each hot anchor b1
-    // keeps only the combos strictly above it (b1 < b2 < b3)
+    // keeps only the combos strictly above it (b1 < b2 < b3); the
+    // whole (b1,b2,b3,k1,k2,k3) triple key packs into ONE long (4+4+4
+    // band bits + 3 x bandBits) so the self-join hashes a single column
     val combos = (for {
       b2 <- 0 until PhashBands; b3 <- b2 + 1 until PhashBands
     } yield s"struct($b2 as b2, $b3 as b3)").mkString("array(", ", ", ")")
-    val tripled = flagged.where(col("hot"))
+    val tripled = banded.where(bk.isin(hotSet: _*))
       .select(col("doc_id"), col("sig"),
               col("band").as("b1"), col("key").as("k1"))
       .withColumn("bc", explode(expr(s"filter($combos, x -> x.b2 > b1)")))
-      .select(col("doc_id"), col("sig"), col("b1"), col("k1"),
-              col("bc.b2").as("b2"), col("bc.b3").as("b3"))
-      .withColumn("k2", expr(s"shiftright(sig, b2 * $PhashBandBits) & $mask"))
-      .withColumn("k3", expr(s"shiftright(sig, b3 * $PhashBandBits) & $mask"))
+      .withColumn("hk", expr(
+        s"((((b1 * 16 + bc.b2) * 16 + bc.b3) * ${mask + 1} + k1) * ${mask + 1} + " +
+        s"(shiftright(sig, bc.b2 * $PhashBandBits) & $mask)) * ${mask + 1} + " +
+        s"(shiftright(sig, bc.b3 * $PhashBandBits) & $mask)"))
+      .select(col("doc_id"), col("sig"), col("hk"))
     val candHot = tripled.as("a").join(tripled.as("b"),
-        col("a.b1") === col("b.b1") && col("a.b2") === col("b.b2") &&
-        col("a.b3") === col("b.b3") && col("a.k1") === col("b.k1") &&
-        col("a.k2") === col("b.k2") && col("a.k3") === col("b.k3") &&
-        col("a.doc_id") < col("b.doc_id"))
+        col("a.hk") === col("b.hk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
               col("a.sig").as("sa"), col("b.sig").as("sb"))
     candCold.union(candHot)
