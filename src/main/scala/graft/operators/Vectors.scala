@@ -417,12 +417,17 @@ object Vectors {
           .otherwise(lit(0.0))
         mn(i) + q * (mx(i) - mn(i)) / Sq8Levels
       }
+      def dv(i: org.apache.spark.sql.Column) = element_at(col("dv"), i + 1)
       e.withColumn("ev", Similarity.asDouble(col("embedding")))
+        // dequantized vector materialized ONCE per row — the folds
+        // below would otherwise re-run quantize∘dequantize per term
+        // (the shinglesOf inline-recompute anti-pattern)
+        .withColumn("dv", transform(idx, i => dq(i)))
         .withColumn("err", fround(
-          aggregate(idx, lit(0.0), (acc, i) => acc + (ev(i) - dq(i)) * (ev(i) - dq(i))), 6))
-        .withColumn("dot", aggregate(idx, lit(0.0), (acc, i) => acc + ev(i) * dq(i)))
+          aggregate(idx, lit(0.0), (acc, i) => acc + (ev(i) - dv(i)) * (ev(i) - dv(i))), 6))
+        .withColumn("dot", aggregate(idx, lit(0.0), (acc, i) => acc + ev(i) * dv(i)))
         .withColumn("na", aggregate(idx, lit(0.0), (acc, i) => acc + ev(i) * ev(i)))
-        .withColumn("nb", aggregate(idx, lit(0.0), (acc, i) => acc + dq(i) * dq(i)))
+        .withColumn("nb", aggregate(idx, lit(0.0), (acc, i) => acc + dv(i) * dv(i)))
         .withColumn("cosf", fround(col("dot") / sqrt(col("na") * col("nb")), 6))
         .groupBy("label")
         .agg(big(count(lit(1))).as("n_vecs"),

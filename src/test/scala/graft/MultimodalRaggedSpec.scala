@@ -110,6 +110,28 @@ class MultimodalRaggedSpec extends SparkSpec {
     assert(got == truth, "guarded banding must be exactly lossless at d <= PhashMaxDist")
   }
 
+  test("phashCandidates: an unbiased corpus takes the pure cold path, still lossless") {
+    // iid ~50% bits spread 200 docs over 64 keys per band (~3 per
+    // bucket, far under the cap) — the hot set is EMPTY and the guard
+    // must degrade to exactly the classic single-band LSH join,
+    // including the planted near-dup pair
+    val rnd = new scala.util.Random(11)
+    val base = IndexedSeq.fill(200)(rnd.nextLong() & ((1L << 60) - 1))
+    val sigs = base :+ (base.head ^ ((1L << 3) | (1L << 40))) // d=2 clone
+    val n = sigs.length
+    val truth = (for {
+      i <- 0 until n; j <- i + 1 until n
+      if java.lang.Long.bitCount(sigs(i) ^ sigs(j)) <= Multimodal.PhashMaxDist
+    } yield (i.toLong, j.toLong)).toSet
+    assert(truth.contains((0L, 200L)))
+    val df = sigs.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "sig")
+    val got = Multimodal.phashCandidates(df)
+      .where(expr(s"bit_count(sa ^ sb) <= ${Multimodal.PhashMaxDist}"))
+      .select("doc_a", "doc_b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == truth)
+  }
+
   test("ragged pack then explode reproduces lineitem exactly") {
     val li = Tables.lineitem(spark, sf001)
       .select("l_orderkey", "l_linenumber", "l_quantity")
