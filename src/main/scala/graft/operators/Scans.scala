@@ -88,6 +88,56 @@ object Scans {
         .orderBy("n_name")
     }),
 
+    // XML sink/source roundtrip — Spark 4's NATIVE xml source (the
+    // spark-xml connector folded into core): write with a rowTag,
+    // re-read with a DECLARED schema (the no-inference rule). XML is
+    // the config/interchange-scale format of the family — the point
+    // is fidelity, not volume; at scale the same split machinery as
+    // JSON applies per rowTag element.
+    "sink_xml_roundtrip" -> ((s, dir) => {
+      val out = scratch(dir, "xml_roundtrip")
+      nation(s, dir).select("n_nationkey", "n_name", "n_regionkey")
+        .write.mode("overwrite").option("rowTag", "nation").format("xml").save(out)
+      s.read.option("rowTag", "nation")
+        .schema("n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT")
+        .format("xml").load(out)
+        .groupBy("n_regionkey")
+        .agg(big(count(lit(1))).as("n"), big(sum("n_nationkey")).as("key_sig"),
+             min("n_name").as("first_name"))
+        .orderBy("n_regionkey")
+    }),
+
+    // RAW-BYTES ingestion via the binaryFile source — the front door
+    // for media corpora (the multimodal family's withPayload simulates
+    // payloads FROM parquet; this reads real files as (path, length,
+    // content) rows, which is how images/audio actually arrive). The
+    // fixture stages one deterministic blob per language (docs
+    // concatenated in doc_id order), so DuckDB reproduces each file's
+    // length and sha from the documents table. Scale: binaryFile
+    // assigns whole files to tasks (content is opaque) — the listing
+    // scales like any file scan, payload bytes never shuffle here
+    // (digest + length reduce per file before the tiny sort).
+    "source_binaryfile" -> ((s, dir) => {
+      val stage = scratch(dir, "binaryfile_stage")
+      val blobs = documents(s, dir).select(col("lang"), col("doc_id"), col("text"))
+        .groupBy("lang")
+        .agg(concat_ws("", transform(
+          array_sort(collect_list(struct(col("doc_id"), col("text")))),
+          x => x.getField("text"))).as("blob"))
+        .collect()
+      val d = java.nio.file.Paths.get(stage)
+      java.nio.file.Files.createDirectories(d)
+      blobs.foreach { r =>
+        java.nio.file.Files.write(d.resolve(s"${r.getString(0)}.bin"),
+          r.getString(1).getBytes("UTF-8"))
+      }
+      s.read.format("binaryFile").load(stage)
+        .select(regexp_extract(col("path"), "([a-z]+)\\.bin$", 1).as("lang"),
+                big(col("length")).as("n_bytes"),
+                sha2(col("content"), 256).as("sha"))
+        .orderBy("lang")
+    }),
+
     // ORC sink/source roundtrip — the second columnar format (same lazy,
     // pruned, predicate-pushed scan machinery as parquet).
     "sink_orc_roundtrip" -> ((s, dir) => {
@@ -2929,6 +2979,17 @@ object Scans {
       ("SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n, " +
        s"${dsumSql("o_totalprice")} AS total " +
        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "sink_xml_roundtrip" ->
+      ("SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, CAST(COUNT(*) AS BIGINT) AS n, " +
+       "CAST(SUM(n_nationkey) AS BIGINT) AS key_sig, " +
+       "MIN(n_name) AS first_name " +
+       "FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"),
+    // per-lang blob = docs concatenated in doc_id order (the staging
+    // rule), so file length and sha derive straight from documents
+    "source_binaryfile" ->
+      ("SELECT lang, CAST(SUM(LENGTH(text)) AS BIGINT) AS n_bytes, " +
+       "SHA256(STRING_AGG(text, '' ORDER BY doc_id)) AS sha " +
+       "FROM documents GROUP BY lang ORDER BY lang"),
     "sink_compact" ->
       ("SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty " +
        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
