@@ -89,6 +89,62 @@ final case class Corpus(df: DataFrame) {
     Corpus(df.withColumn("text",
       concat_ws(" ", filter(toks, t => !t.isInCollection(stop)))))
 
+  /** Per-doc substring-dedup report (sliding k-token windows, global
+    * first-occurrence-wins, kept spans merged — the dedup_substring
+    * kernel): doc_id, lang, window/coverage/span counts and the
+    * rebuilt kept text. Requires a `lang` column. */
+  def substringDedupReport(): DataFrame =
+    graft.operators.Dedup.substringDedupDocs(df)
+
+  /** Drop every document whose kept text shrank under substring dedup,
+    * REWRITING survivors' text to the deduplicated form — the
+    * apply-side of [[substringDedupReport]]. */
+  def dedupSubstrings(): Corpus = {
+    val rep = substringDedupReport().select(col("doc_id"),
+      col("kept"), col("n_covered"))
+    Corpus(df.join(rep, Seq("doc_id"))
+      .withColumn("text", col("kept"))
+      .where(length(col("text")) > 0)
+      .drop("kept", "n_covered"))
+  }
+
+  /** Decontamination gate against an EXTERNAL benchmark table (any
+    * DataFrame with doc_id + text — the eval set): per-doc n-gram
+    * collision report, any hit marked dropped. The benchmark n-gram
+    * set broadcasts; corpus n-grams never shuffle. */
+  def decontaminationReport(benchmark: DataFrame, carry: String*): DataFrame =
+    graft.operators.TextOps.decontaminate(df, benchmark, carry = carry)
+
+  /** Keep only documents with zero benchmark n-gram collisions. */
+  def decontaminate(benchmark: DataFrame): Corpus = {
+    val keep = decontaminationReport(benchmark)
+      .where(col("status") === "kept").select("doc_id")
+    Corpus(df.join(keep, Seq("doc_id"), "left_semi"))
+  }
+
+  /** Temperature-resampled integer token allocation per value of
+    * `groupCol` (share^tau + largest-remainder exact split — the
+    * sample_temperature_alloc recipe). */
+  def temperatureAllocation(groupCol: String, budget: Long,
+                            tau: Double = graft.operators.TextOps.MixtureTau): DataFrame = {
+    val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    df.select(col(groupCol), size(toks).cast("long").as("__t"))
+      .groupBy(groupCol).agg(sum(col("__t")).as("tok"))
+      .withColumn("tot", sum(col("tok")).over(all))
+      .withColumn("w", pow(col("tok").cast("double") / col("tot"), tau))
+      .withColumn("share", col("w") / sum(col("w")).over(all))
+      .withColumn("ea", col("share") * budget)
+      .withColumn("base", floor(col("ea")).cast("long"))
+      .withColumn("frac", fround(col("ea") - col("base"), 6))
+      .withColumn("rem", lit(budget) - sum(col("base")).over(all))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("frac").desc, col(groupCol))))
+      .select(col(groupCol), big(col("tok")).as("n_tokens"),
+        big(col("base") + when(col("rk") <= col("rem"), 1L).otherwise(0L))
+          .as("alloc_tokens"))
+  }
+
   /** Balanced per-stratum downsample: deterministic first-`perStratum`
     * docs (by doc_id) of every distinct value of `stratumCol`. */
   def sampleStratified(stratumCol: String, perStratum: Int): Corpus = {
@@ -189,6 +245,22 @@ final case class VectorCorpus(df: DataFrame) {
       .where(col("vec_id") =!= col("nbr_id"))
       .select(col(blockCol), col("vec_id"), col("nbr_id"),
               fround(Similarity.cosine(col("va"), col("vb")), 4).as("cos"))
+      .withColumn("rnk", big(row_number().over(w)))
+      .where(col("rnk") <= k)
+  }
+
+  /** Per-anchor top-`k` CROSS-label neighbors — hard negatives for
+    * contrastive training (sim_hard_negatives' shape: anchors
+    * broadcast, ranked-window cut). Requires a `label` column. */
+  def hardNegatives(anchorIds: Seq[Long], k: Int): DataFrame = {
+    val anchors = df.where(col("vec_id").isin(anchorIds: _*))
+      .select(col("vec_id").as("anchor"), col("label").as("alabel"),
+              col("embedding").as("av"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("anchor").orderBy(col("cos").desc, col("vec_id"))
+    df.join(broadcast(anchors), col("label") =!= col("alabel"))
+      .select(col("anchor"), col("vec_id"),
+              fround(Similarity.cosine(col("embedding"), col("av")), 4).as("cos"))
       .withColumn("rnk", big(row_number().over(w)))
       .where(col("rnk") <= k)
   }

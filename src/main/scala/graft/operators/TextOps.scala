@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables._
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -34,6 +34,40 @@ object TextOps {
     * largest-remainder allocation distributes exactly. */
   val MixtureTau = 0.7
   val MixtureSampleBudget = 10000L
+
+  /** Decontamination KERNEL (text_decontaminate's engine and the
+    * Corpus facade's entry): per-corpus-doc distinct-k-gram collision
+    * counts against the benchmark table's distinct k-gram set, which
+    * is eval-set-sized and BROADCASTS — corpus n-grams never shuffle.
+    * Any hit drops the doc (the GPT-3/PaLM rule). `carry` names extra
+    * corpus columns to keep in the report. Both inputs need (doc_id,
+    * text). */
+  def decontaminate(corpus: DataFrame, bench: DataFrame,
+                    k: Int = DecontamNgramTokens,
+                    carry: Seq[String] = Nil): DataFrame = {
+    def grams(df: DataFrame, extra: Seq[String]): DataFrame = df
+      .select((Seq(col("doc_id")) ++ extra.map(col) :+
+               split(lower(trim(col("text"))), " ").as("toks")): _*)
+      .withColumn("grams", when(size(col("toks")) >= k,
+          array_distinct(transform(sequence(lit(0), size(col("toks")) - k),
+            i => concat_ws(" ", slice(col("toks"), i + 1, lit(k))))))
+        .otherwise(array().cast("array<string>")))
+      .drop("toks")
+    val benchSet = grams(bench, Nil)
+      .select(explode(col("grams")).as("g")).distinct()
+    val cg = grams(corpus, carry)
+    val hits = cg.select(col("doc_id"), explode(col("grams")).as("g"))
+      .join(broadcast(benchSet), Seq("g"))
+      .groupBy("doc_id").agg(count(lit(1)).as("nh"))
+    cg.select((Seq(col("doc_id")) ++ carry.map(col) :+
+               big(size(col("grams"))).as("n_ngrams")): _*)
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_hits", big(coalesce(col("nh"), lit(0L))))
+      .withColumn("status",
+        when(col("n_hits") > 0, "dropped").otherwise("kept"))
+      .select((Seq("doc_id") ++ carry ++ Seq("n_ngrams", "n_hits", "status"))
+        .map(col): _*)
+  }
 
   /** Inverted-position tie-break constant for the winnowing sort key:
     * the key suffix is `lpad(WinnowPosMax - pos, WinnowPosPad, '0')`,
@@ -1047,31 +1081,12 @@ object TextOps {
     // corpus-sized exchanges are the per-doc hit count's doc_id
     // aggregate and the report join. Integer-exact output (counts +
     // status), no float rounding surface.
-    "text_decontaminate" -> ((s, dir) => {
-      val k = DecontamNgramTokens
-      val grams = documents(s, dir)
-        .select(col("doc_id"), col("lang"),
-                split(lower(trim(col("text"))), " ").as("toks"))
-        .withColumn("grams", when(size(col("toks")) >= k,
-            array_distinct(transform(sequence(lit(0), size(col("toks")) - k),
-              i => concat_ws(" ", slice(col("toks"), i + 1, lit(k))))))
-          .otherwise(array().cast("array<string>")))
-        .select(col("doc_id"), col("lang"), col("grams"))
-      val bench = grams.where(col("doc_id") % BenchmarkDocMod === 0)
-        .select(explode(col("grams")).as("g")).distinct()
-      val corpus = grams.where(col("doc_id") % BenchmarkDocMod =!= 0)
-      val hits = corpus.select(col("doc_id"), explode(col("grams")).as("g"))
-        .join(broadcast(bench), Seq("g"))
-        .groupBy("doc_id").agg(count(lit(1)).as("nh"))
-      corpus
-        .select(col("doc_id"), col("lang"), big(size(col("grams"))).as("n_ngrams"))
-        .join(hits, Seq("doc_id"), "left")
-        .withColumn("n_hits", big(coalesce(col("nh"), lit(0L))))
-        .withColumn("status",
-          when(col("n_hits") > 0, "dropped").otherwise("kept"))
-        .select("doc_id", "lang", "n_ngrams", "n_hits", "status")
-        .orderBy("doc_id")
-    }),
+    "text_decontaminate" -> ((s, dir) =>
+      decontaminate(
+        documents(s, dir).where(col("doc_id") % BenchmarkDocMod =!= 0),
+        documents(s, dir).where(col("doc_id") % BenchmarkDocMod === 0),
+        carry = Seq("lang"))
+        .orderBy("doc_id")),
 
     // Per-language token entropy (vocabulary-diversity signal — the
     // corpus-health metric next to type-token ratio): H = -Σ p·ln p

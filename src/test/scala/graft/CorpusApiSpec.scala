@@ -118,6 +118,71 @@ class CorpusApiSpec extends SparkSpec {
     assert(got.map(t => t._1 -> t._2).toMap == exact)
   }
 
+  test("substringDedupReport rolls up to the dedup_substring query; dedupSubstrings rewrites kept text") {
+    val rep = Corpus(docs).substringDedupReport()
+    val viaApi = rep.groupBy("lang")
+      .agg(count(lit(1)).cast("decimal(20,0)").as("n_docs"),
+           sum(col("n_windows")).cast("decimal(20,0)").as("n_windows"),
+           sum(col("n_dup_windows")).cast("decimal(20,0)").as("n_dup_windows"),
+           sum(col("n_toks")).cast("decimal(20,0)").as("n_tokens"),
+           sum(col("n_covered")).cast("decimal(20,0)").as("n_tokens_dropped"),
+           sum(col("n_spans")).cast("decimal(20,0)").as("n_kept_spans"),
+           sum(when(col("n_covered") > 0, 1L).otherwise(0L))
+             .cast("decimal(20,0)").as("n_docs_trimmed"),
+           sum(conv(substring(md5(col("kept").cast("binary")), 1, 8), 16, 10)
+             .cast("long")).cast("decimal(20,0)").as("kept_sig"))
+      .orderBy("lang")
+    assertSameRows(viaApi, SparkEntry.queries("dedup_substring")(spark, sf001),
+      "substring rollup")
+    val applied = Corpus(docs).dedupSubstrings().df
+    val nonEmptyKept = rep.where(length(col("kept")) > 0).count()
+    assert(applied.count() == nonEmptyKept)
+    // survivors carry the DEDUPLICATED text, not the original
+    val mismatch = applied.join(rep.select(col("doc_id"), col("kept")), Seq("doc_id"))
+      .where(col("text") =!= col("kept")).count()
+    assert(mismatch == 0, "apply-side text must equal the report's kept text")
+  }
+
+  test("decontaminationReport equals the text_decontaminate query; decontaminate drops every hit") {
+    val bench = docs.where(col("doc_id") % operators.TextOps.BenchmarkDocMod === 0)
+    val corpus = docs.where(col("doc_id") % operators.TextOps.BenchmarkDocMod =!= 0)
+    val viaApi = Corpus(corpus).decontaminationReport(bench, "lang")
+    assertSameRows(viaApi.orderBy("doc_id"),
+      SparkEntry.queries("text_decontaminate")(spark, sf001), "decontam report")
+    val kept = Corpus(corpus).decontaminate(bench).df
+    val expectKept = viaApi.where(col("status") === "kept").count()
+    assert(kept.count() == expectKept)
+    assert(kept.join(viaApi.where(col("status") === "dropped"), Seq("doc_id"),
+      "left_semi").count() == 0, "no dropped doc may survive the gate")
+  }
+
+  test("temperatureAllocation matches sample_temperature_alloc and sums exactly to the budget") {
+    val viaApi = Corpus(docs)
+      .temperatureAllocation("lang", operators.TextOps.MixtureSampleBudget)
+    val viaQuery = SparkEntry.queries("sample_temperature_alloc")(spark, sf001)
+      .select("lang", "n_tokens", "alloc_tokens")
+    assertSameRows(viaApi, viaQuery, "temperature allocation")
+    val total = viaApi.agg(sum(col("alloc_tokens"))).collect()(0).get(0).toString.toLong
+    assert(total == operators.TextOps.MixtureSampleBudget)
+  }
+
+  test("VectorCorpus.hardNegatives equals the sim_hard_negatives query") {
+    val emb = Tables.embeddings(spark, sf001)
+    val anchors = (0L until operators.Similarity.HardNegAnchors).toSeq
+    val viaApi = VectorCorpus(emb)
+      .hardNegatives(anchors, operators.Similarity.HardNegK)
+      .select("anchor", "rnk", "vec_id", "cos")
+    assertSameRows(viaApi, SparkEntry.queries("sim_hard_negatives")(spark, sf001),
+      "hard negatives")
+    // every mined negative carries a label different from its anchor's
+    val lbl = emb.select(col("vec_id"), col("label"))
+    val sameLabel = viaApi
+      .join(lbl.withColumnRenamed("label", "nl"), Seq("vec_id"))
+      .join(lbl.select(col("vec_id").as("anchor"), col("label").as("al")), Seq("anchor"))
+      .where(col("nl") === col("al")).count()
+    assert(sameLabel == 0, "hard negatives must be cross-label")
+  }
+
   test("VectorCorpus.knnJoin equals the sim_knn_join query") {
     val emb = Tables.embeddings(spark, sf001)
     val viaApi = VectorCorpus(emb).knnJoin(3)
