@@ -37,6 +37,12 @@ object Relational {
   /** Snapshot/delta cutoff shared by the CDC merge family. */
   private val MergeCutoff = lit("1999-01-01").cast("timestamp")
 
+  /** agg_incremental_retract: deterministic tombstone rule carving the
+    * delete batch out of the pre-cutoff snapshot (the fixture carries
+    * no real change feed) — finished orders with key ≡ 0 (mod 7).
+    * Shared verbatim with the oracle SQL. */
+  val RetractMod = 7
+
   /** Latest order per customer (the change-feed "condense to one row
     * per key" step shared by merge_upsert and merge_cdc_delete): one
     * ranked window — ONE shuffle on the entity key — columns prefixed
@@ -566,6 +572,65 @@ object Relational {
         .orderBy("o_custkey")
     }),
 
+    // INCREMENTAL AGGREGATE MAINTENANCE WITH RETRACTIONS: the delta
+    // batch carries DELETES, not just inserts — the general IVM case
+    // every streaming materialized view with a changelog input hits.
+    // count/sum are abelian groups, so deletes apply as SIGNED partial
+    // state (+1/cents for inserts, -1/-cents for retractions) merged
+    // into the stored snapshot exactly like agg_incremental_maintain's
+    // monoid merge. max is NOT retractable — deleting the max row
+    // invalidates the stored bound — so the engine uses the standard
+    // dirty-key repair: ONLY keys touched by a delete re-derive max
+    // from their surviving rows (tombstone keys are a semi-join
+    // filter; the delete-key anti-join broadcasts the delete-batch-
+    // sized key list); untouched keys keep the monoid max merge. Keys
+    // whose signed count reaches zero leave the view. The oracle IS
+    // the full recompute over (base ∖ deletes) ∪ inserts, so the
+    // comparison proves group-merge + dirty-key repair ≡ recompute
+    // end-to-end. Scale shape: signed agg touches delta rows only;
+    // the repair rescans only delete-affected keys (delete-sized, not
+    // corpus-sized); the final merge is one key-partitioned re-agg —
+    // at 100 TB the snapshot re-reads only to merge, never to rescan.
+    "agg_incremental_retract" -> ((s, dir) => {
+      val o = orders(s, dir)
+        .withColumn("cents", floor(col("o_totalprice") * 100).cast("long"))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+                col("o_orderdate"), col("cents"))
+      val base    = o.where(col("o_orderdate") < MergeCutoff)
+      val inserts = o.where(col("o_orderdate") >= MergeCutoff)
+      val deletes = base.where(col("o_orderstatus") === "F" &&
+                               col("o_orderkey") % RetractMod === 0)
+      // stored snapshot state (production reads this; the fixture
+      // recomputes it because no state persists between queries)
+      val snapshot = base.groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"),
+             max(col("o_orderdate")).as("d"))
+      // signed delta state: one pass over delta rows only
+      val signed = inserts.select(col("o_custkey"), lit(1L).as("sgn"),
+                                  col("cents"), col("o_orderdate"))
+        .unionByName(deletes.select(col("o_custkey"), lit(-1L).as("sgn"),
+                                    col("cents"), col("o_orderdate")))
+        .groupBy("o_custkey")
+        .agg(sum(col("sgn")).as("n"), sum(col("sgn") * col("cents")).as("c"),
+             max(when(col("sgn") === 1, col("o_orderdate"))).as("d"))
+      val merged = snapshot.unionByName(signed).groupBy("o_custkey")
+        .agg(sum(col("n")).as("n_orders"), sum(col("c")).as("total_cents"),
+             max(col("d")).as("monoid_d"))
+      // dirty-key max repair: surviving rows of delete-touched keys
+      val repaired = base
+        .join(broadcast(deletes.select(col("o_orderkey").as("__delk"))),
+              col("o_orderkey") === col("__delk"), "left_anti")
+        .unionByName(inserts)
+        .join(deletes.select("o_custkey").distinct(), Seq("o_custkey"), "left_semi")
+        .groupBy("o_custkey").agg(max(col("o_orderdate")).as("repaired_d"))
+      merged.join(repaired, Seq("o_custkey"), "left")
+        .where(col("n_orders") > 0)
+        .select(col("o_custkey"), big(col("n_orders")).as("n_orders"),
+                big(col("total_cents")).as("total_cents"),
+                coalesce(col("repaired_d"), col("monoid_d")).as("last_order_d"))
+        .orderBy("o_custkey")
+    }),
+
     // INCREMENTAL JOIN-VIEW MAINTENANCE: keep a materialized JOIN
     // current from insert deltas without rejoining history — the
     // bilinear delta rule (A∪ΔA)⋈(B∪ΔB) = A⋈B ∪ ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB,
@@ -919,6 +984,24 @@ object Relational {
        "CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents, " +
        "MAX(o_orderdate) AS last_order_d " +
        "FROM orders GROUP BY 1 ORDER BY 1"),
+
+    // the oracle is the full recompute over (base MINUS deletes) UNION
+    // inserts — comparing it against the engine's signed-group merge +
+    // dirty-key max repair proves the retraction algebra end-to-end
+    "agg_incremental_retract" ->
+      ("WITH base AS (SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate, " +
+       "CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents " +
+       "FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01'), " +
+       "final AS (" +
+       "SELECT o_custkey, o_orderdate, cents FROM base " +
+       s"WHERE NOT (o_orderstatus = 'F' AND o_orderkey % $RetractMod = 0) " +
+       "UNION ALL " +
+       "SELECT o_custkey, o_orderdate, CAST(FLOOR(o_totalprice * 100) AS BIGINT) " +
+       "FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01') " +
+       "SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders, " +
+       "CAST(SUM(cents) AS BIGINT) AS total_cents, " +
+       "MAX(o_orderdate) AS last_order_d " +
+       "FROM final GROUP BY 1 ORDER BY 1"),
 
     // the oracle is the ONE-SHOT full join — comparing it against the
     // engine's four-arm union proves the bilinear delta rule itself

@@ -1494,4 +1494,33 @@ class NonOracleOpsSpec extends SparkSpec {
     assert(sparseRow.isNullAt(sparseRow.fieldIndex("k")))
     assert(sparseRow.getAs[String]("v") == "e")
   }
+
+  test("agg_incremental_retract: deletes fire and the dirty-key max repair is load-bearing") {
+    import org.apache.spark.sql.functions._
+    // sf0.01: the sf0.001 fixture has no key whose pre-cutoff max row
+    // is ALSO tombstoned, so the repair path needs the bigger batch
+    val o = Tables.orders(spark, sf01)
+    val cut = lit("1999-01-01").cast("timestamp")
+    val deletes = o.where(col("o_orderdate") < cut &&
+      col("o_orderstatus") === "F" &&
+      col("o_orderkey") % operators.Relational.RetractMod === 0)
+    assert(deletes.count() > 0, "the tombstone rule must select a non-empty delete batch")
+    val out = SparkEntry.queries("agg_incremental_retract")(spark, sf01)
+    // a key whose view max sits BELOW its max over ALL orders proves a
+    // delete removed that key's latest order and the repair re-derived
+    // the bound from surviving rows (the monoid merge alone cannot
+    // lower a max)
+    val naive = o.groupBy("o_custkey").agg(max(col("o_orderdate")).as("nd"))
+    val repairedDown = out.join(naive, Seq("o_custkey"))
+      .where(col("last_order_d") < col("nd")).count()
+    assert(repairedDown > 0, "no key exercised the max-repair path on this fixture")
+    // every view count matches the surviving multiplicity of its key
+    val surviving = o.join(deletes.select(col("o_orderkey").as("dk")),
+        col("o_orderkey") === col("dk"), "left_anti")
+      .groupBy("o_custkey").agg(count(lit(1)).as("sn"))
+    val bad = out.join(surviving, Seq("o_custkey"))
+      .where(col("n_orders") =!= col("sn")).count()
+    assert(bad == 0)
+    assert(out.count() == surviving.count(), "zero-count keys must leave the view")
+  }
 }

@@ -547,6 +547,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), p.take(3000))
   }
 
+  test("agg_incremental_retract: broadcast anti/semi repair joins, no product") {
+    val p = plan("agg_incremental_retract")
+    // the delete-key anti-join and the dirty-key semi filter are both
+    // delete-batch-sized: they must broadcast, never shuffle the
+    // corpus side, and nothing may degenerate to a product
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p.take(3000))
+    assert(p.contains("LeftSemi"), p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+    // signed + snapshot partial states stay map-side combinable
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p.take(3000))
+  }
+
   test("agg_group_entropy joins counts to totals without a third exchange") {
     val p = plan("agg_group_entropy")
     // counts (user, type) and totals (user) both hash-partition by
