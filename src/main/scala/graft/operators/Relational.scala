@@ -37,6 +37,10 @@ object Relational {
   /** Snapshot/delta cutoff shared by the CDC merge family. */
   private val MergeCutoff = lit("1999-01-01").cast("timestamp")
 
+  /** dq_k_anonymity: the minimum equivalence-class size (Sweeney's k).
+    * Shared verbatim with the oracle SQL. */
+  val KAnonymity = 5
+
   /** agg_incremental_retract: deterministic tombstone rule carving the
     * delete batch out of the pre-cutoff snapshot (the fixture carries
     * no real change feed) — finished orders with key ≡ 0 (mod 7).
@@ -515,6 +519,36 @@ object Relational {
         .orderBy("expectation")
     }),
 
+    // K-ANONYMITY AUDIT with a generalization ladder — the privacy
+    // gate a dataset release runs over its quasi-identifiers (the
+    // Sweeney k-anonymity model): every equivalence class of
+    // (nation, market-segment) must hold ≥ k individuals or its rows
+    // are re-identifiable. Classes below k climb the generalization
+    // ladder: level 1 coarsens the segment away (nation only; the
+    // class joins the pooled sub-k mass of its nation), and if even
+    // that pool is below k the class is level 2 — suppress-only.
+    // Scale shape: ONE hash aggregate at quasi-id granularity (the
+    // only corpus-sized pass, map-side combinable); the ladder then
+    // operates entirely on the class-count-sized table — the level-1
+    // pool is a re-agg of that tiny table and the back-join
+    // broadcasts. At 100 TB with high-cardinality quasi-ids the
+    // class table is still bounded by the id-combination count,
+    // never the row count.
+    "dq_k_anonymity" -> ((s, dir) => {
+      val classes = customer(s, dir)
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("n"))
+      val pooled = classes.where(col("n") < KAnonymity)
+        .groupBy("c_nationkey").agg(sum(col("n")).as("n1"))
+      classes.join(broadcast(pooled), Seq("c_nationkey"), "left")
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          big(col("n")).as("n_rows"),
+          big(when(col("n") >= KAnonymity, 0L)
+            .when(col("n1") >= KAnonymity, 1L)
+            .otherwise(2L)).as("gen_level"))
+        .orderBy("c_nationkey", "c_mktsegment")
+    }),
+
     // JOIN-KEY SKEW PROFILER — the "should this join be salted?"
     // advisor, run on a key BEFORE committing a 100-TB shuffle to it:
     // the corpus collapses to the per-key frequency grid in one
@@ -961,6 +995,17 @@ object Relational {
           "COUNT(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0 OR o_totalprice > 1e6 THEN 1 END)")
       ).mkString("", " UNION ALL ", " ORDER BY expectation")
     },
+
+    // independent CTE derivation of the class grid + pooled sub-k mass
+    "dq_k_anonymity" ->
+      (s"WITH c0 AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS n " +
+       "FROM customer GROUP BY 1, 2), " +
+       s"c1 AS (SELECT c_nationkey, SUM(n) AS n1 FROM c0 WHERE n < $KAnonymity GROUP BY 1) " +
+       "SELECT c0.c_nationkey, c_mktsegment, CAST(n AS BIGINT) AS n_rows, " +
+       s"CAST(CASE WHEN n >= $KAnonymity THEN 0 " +
+       s"WHEN n1 >= $KAnonymity THEN 1 ELSE 2 END AS BIGINT) AS gen_level " +
+       "FROM c0 LEFT JOIN c1 ON c0.c_nationkey = c1.c_nationkey " +
+       "ORDER BY 1, 2"),
 
     // independent derivation over the same per-key frequency CTE
     "profile_key_skew" ->

@@ -1523,4 +1523,24 @@ class NonOracleOpsSpec extends SparkSpec {
     assert(bad == 0)
     assert(out.count() == surviving.count(), "zero-count keys must leave the view")
   }
+
+  test("dq_k_anonymity: the generalization ladder fires at all three levels") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("dq_k_anonymity")(spark, sf001).cache()
+    val k = operators.Relational.KAnonymity
+    val levels = out.select("gen_level").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(levels == Set(0L, 1L, 2L), s"fixture must exercise the full ladder: $levels")
+    // level 0 iff the class itself is anonymous
+    assert(out.where(col("gen_level") === 0 && col("n_rows") < k).count() == 0)
+    assert(out.where(col("gen_level") > 0 && col("n_rows") >= k).count() == 0)
+    // a level-1 class's nation pools >= k sub-k rows; a level-2 class's < k
+    val pooled = out.where(col("n_rows") < k)
+      .groupBy("c_nationkey").agg(sum(col("n_rows")).as("p"))
+    val bad = out.where(col("gen_level") > 0).join(pooled, Seq("c_nationkey"))
+      .where((col("gen_level") === 1 && col("p") < k) ||
+             (col("gen_level") === 2 && col("p") >= k)).count()
+    assert(bad == 0)
+    out.unpersist()
+  }
 }
