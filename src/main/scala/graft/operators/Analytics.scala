@@ -491,6 +491,12 @@ object Analytics {
   val HoltBeta = 0.3
   val HoltHorizon = 7
 
+  /** events_date_spine: user-bucket modulus of the spine key — coarse
+    * enough that each (type, bucket) series is a real daily series,
+    * fine enough that the sf0.001 fixture has calendar gaps to fill.
+    * Shared verbatim with the oracle SQL. */
+  val SpineUserBuckets = 25
+
   /** drift_gate thresholds — DECLARED, not derived: a gate compares
     * each statistic against a fixed operating bar (PSI 0.2 and KS 0.1
     * are the conventional retrain alarms; Cramér's V 0.1 the
@@ -674,6 +680,39 @@ object Analytics {
                 fround((col("n") - col("prev")).cast("double") /
                        col("prev").cast("double"), 4).as("wow_growth"))
         .orderBy("event_type", "week")
+    }),
+
+    // DATE-SPINE DENSIFICATION (calendar gap fill) — the warehouse
+    // staple every time-series consumer needs BEFORE charting,
+    // forecasting, or window math: observed daily aggregates are
+    // sparse (a day with no events simply has no row), so each key's
+    // calendar is rebuilt from its own [min, max] day range and the
+    // missing days materialize as explicit zero rows with a gap flag
+    // (win_fill_forward/win_interpolate repair VALUES on an existing
+    // grid; this op repairs the GRID itself). Key = (event_type,
+    // user-bucket) so the fixture actually has gaps to fill. Scale
+    // shape: ONE map-side-combinable aggregate collapses the corpus
+    // to the (key, day) grid; the spine explode and left join then
+    // run on grid-sized inputs bounded by keys × calendar span, never
+    // by event rows — at 100 TB the spine side broadcasts.
+    "events_date_spine" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("event_type"),
+                 (col("user_id") % SpineUserBuckets).as("user_bucket"),
+                 to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"),
+             sum(floor(col("value") * 100).cast("long")).as("cents"))
+      val spine = daily.groupBy("event_type", "user_bucket")
+        .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+        .select(col("event_type"), col("user_bucket"),
+                explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+      spine.join(daily, Seq("event_type", "user_bucket", "d"), "left")
+        .select(col("event_type"), big(col("user_bucket")).as("user_bucket"),
+                date_format(col("d"), "yyyy-MM-dd").as("day"),
+                big(coalesce(col("n"), lit(0L))).as("n_events"),
+                big(coalesce(col("cents"), lit(0L))).as("value_cents"),
+                col("n").isNull.as("is_gap"))
+        .orderBy("event_type", "user_bucket", "day")
     }),
 
     // METRIC TREE DECOMPOSITION — the "why did revenue move" readout:
@@ -1702,6 +1741,25 @@ object Analytics {
        "SELECT event_type, week, n, " +
        froundSql("CAST(n - prev AS DOUBLE) / prev", 4) + " AS wow_growth " +
        "FROM g ORDER BY event_type, week"),
+
+    // same grid + per-key generate_series spine, derived independently
+    "events_date_spine" ->
+      (s"WITH daily AS (SELECT event_type, user_id % $SpineUserBuckets AS user_bucket, " +
+       "CAST(ts AS DATE) AS d, COUNT(*) AS n, " +
+       "SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS cents FROM events GROUP BY 1, 2, 3), " +
+       "spine AS (SELECT event_type, user_bucket, CAST(gs AS DATE) AS d FROM " +
+       "(SELECT event_type, user_bucket, MIN(d) AS d0, MAX(d) AS d1 " +
+       "FROM daily GROUP BY 1, 2) b, " +
+       "LATERAL UNNEST(generate_series(CAST(b.d0 AS TIMESTAMP), " +
+       "CAST(b.d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS t(gs)) " +
+       "SELECT s.event_type, CAST(s.user_bucket AS BIGINT) AS user_bucket, " +
+       "STRFTIME(s.d, '%Y-%m-%d') AS day, " +
+       "CAST(COALESCE(dd.n, 0) AS BIGINT) AS n_events, " +
+       "CAST(COALESCE(dd.cents, 0) AS BIGINT) AS value_cents, " +
+       "dd.n IS NULL AS is_gap " +
+       "FROM spine s LEFT JOIN daily dd ON s.event_type = dd.event_type " +
+       "AND s.user_bucket = dd.user_bucket AND s.d = dd.d " +
+       "ORDER BY 1, 2, 3"),
 
     "events_inter_arrival" ->
       ("WITH g AS (SELECT event_type, " +

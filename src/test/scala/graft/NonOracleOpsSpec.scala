@@ -1543,4 +1543,20 @@ class NonOracleOpsSpec extends SparkSpec {
     assert(bad == 0)
     out.unpersist()
   }
+
+  test("events_date_spine: gaps materialize as zero rows and spines are contiguous") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("events_date_spine")(spark, sf001).cache()
+    assert(out.where(col("is_gap")).count() > 0,
+      "the sf0.001 fixture must have calendar gaps to fill")
+    assert(out.where(col("is_gap") &&
+      (col("n_events") =!= 0 || col("value_cents") =!= 0)).count() == 0)
+    // every key's spine row-count equals its calendar span (contiguity)
+    val bad = out.groupBy("event_type", "user_bucket")
+      .agg(count(lit(1)).as("n"),
+           datediff(max(to_date(col("day"))), min(to_date(col("day")))).as("span"))
+      .where(col("n") =!= col("span") + 1).count()
+    assert(bad == 0, "spine must cover every day of [min, max] exactly once")
+    out.unpersist()
+  }
 }
