@@ -122,6 +122,13 @@ final case class Corpus(df: DataFrame) {
     Corpus(df.join(keep, Seq("doc_id"), "left_semi"))
   }
 
+  /** Overlapping fixed-width passage chunks for retrieval ingestion
+    * (the text_rag_chunks kernel): one row per (doc, chunk) with token
+    * offset, length, and rebuilt text. Requires a `lang` column. */
+  def ragChunks(windowTokens: Int = graft.operators.TextOps.RagChunkTokens,
+                stride: Int = graft.operators.TextOps.RagChunkStride): DataFrame =
+    graft.operators.TextOps.ragChunks(df, windowTokens, stride)
+
   /** Temperature-resampled integer token allocation per value of
     * `groupCol` (share^tau + largest-remainder exact split — the
     * sample_temperature_alloc recipe). */

@@ -35,6 +35,37 @@ object TextOps {
   val MixtureTau = 0.7
   val MixtureSampleBudget = 10000L
 
+  /** text_rag_chunks geometry: window tokens and stride (overlap =
+    * window − stride = 4 tokens of retrieval-context glue). Sized so
+    * the 10–99-token fixture docs produce 1–8 chunks each. Shared
+    * verbatim with the oracle SQL. */
+  val RagChunkTokens = 16
+  val RagChunkStride = 12
+
+  /** RAG passage-chunking KERNEL (text_rag_chunks' engine and the
+    * Corpus facade's entry): fixed `w`-token windows advanced by
+    * stride `st` < w so consecutive chunks overlap by w − st context
+    * tokens; every token covered, last chunk may run short, a
+    * sub-window doc is one chunk. Tokens bind ONCE per doc; chunking
+    * is a row-local sequence-explode — zero shuffles. Input needs
+    * (doc_id, lang, text). */
+  def ragChunks(docs: DataFrame, w: Int = RagChunkTokens,
+                st: Int = RagChunkStride): DataFrame =
+    docs
+      .select(col("doc_id"), col("lang"),
+              split(lower(trim(col("text"))), " ").as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("nc", greatest(lit(1L),
+        ceil((col("n") - w).cast("double") / st).cast("long") + 1))
+      .select(col("doc_id"), col("lang"), col("toks"),
+              explode(sequence(lit(0L), col("nc") - 1)).as("ci"))
+      .withColumn("chunk",
+        slice(col("toks"), (col("ci") * st + 1).cast("int"), lit(w)))
+      .select(col("doc_id"), col("lang"), big(col("ci")).as("chunk_idx"),
+              big(col("ci") * st).as("start_tok"),
+              big(size(col("chunk"))).as("n_chunk_toks"),
+              concat_ws(" ", col("chunk")).as("chunk_text"))
+
   /** Decontamination KERNEL (text_decontaminate's engine and the
     * Corpus facade's entry): per-corpus-doc distinct-k-gram collision
     * counts against the benchmark table's distinct k-gram set, which
@@ -1166,6 +1197,22 @@ object TextOps {
         .orderBy("shard")
     }),
 
+    // RAG PASSAGE CHUNKING — the retrieval-ingestion splitter: each
+    // doc slices into fixed-width token windows advanced by a stride
+    // smaller than the window, so consecutive chunks share
+    // window−stride tokens of context glue (the overlap that keeps a
+    // retrieved passage's boundary sentences intact). Chunk count per
+    // doc = max(1, ceil((n−W)/S)+1): every token is covered, the last
+    // chunk may run short, a sub-window doc is its own single chunk.
+    // Each chunk row carries its token offset + rebuilt text — the
+    // unit an embedding stage consumes. Scale shape: tokens bind
+    // ONCE per doc (the shinglesOf discipline), chunking is a
+    // row-local sequence-explode with zero shuffles before the
+    // ordered output — embarrassingly parallel at any corpus size,
+    // output bounded by n/S chunks per doc.
+    "text_rag_chunks" -> ((s, dir) =>
+      ragChunks(documents(s, dir)).orderBy("doc_id", "chunk_idx")),
+
     // Sequence packing (concatenate-and-slice): lay the corpus out as
     // one token stream per language and slice it into fixed 256-token
     // training windows — each doc's manifest row records its stream
@@ -1786,6 +1833,24 @@ object TextOps {
        "MIN(shkey) AS first_key, MAX(shkey) AS last_key, " +
        "CAST(SUM(rn * doc_id) AS BIGINT) AS order_sig " +
        "FROM r GROUP BY shard ORDER BY shard"),
+    // same window/stride geometry via generate_series + list slicing
+    // (DuckDB list slices clamp at the list end exactly like Spark's
+    // slice(), so the short last chunk agrees)
+    "text_rag_chunks" ->
+      ("WITH t AS (SELECT doc_id, lang, " +
+       "STRING_SPLIT(LOWER(TRIM(text)), ' ') AS toks FROM documents), " +
+       "b AS (SELECT doc_id, lang, toks, CAST(LEN(toks) AS BIGINT) AS n, " +
+       s"GREATEST(1, CAST(CEIL((LEN(toks) - $RagChunkTokens) / " +
+       s"CAST($RagChunkStride AS DOUBLE)) AS BIGINT) + 1) AS nc FROM t) " +
+       "SELECT doc_id, lang, CAST(ci AS BIGINT) AS chunk_idx, " +
+       s"CAST(ci * $RagChunkStride AS BIGINT) AS start_tok, " +
+       s"CAST(LEN(toks[ci * $RagChunkStride + 1 : ci * $RagChunkStride + $RagChunkTokens]) " +
+       "AS BIGINT) AS n_chunk_toks, " +
+       s"ARRAY_TO_STRING(toks[ci * $RagChunkStride + 1 : ci * $RagChunkStride + $RagChunkTokens], ' ') " +
+       "AS chunk_text " +
+       "FROM b, LATERAL UNNEST(GENERATE_SERIES(0, nc - 1)) AS u(ci) " +
+       "ORDER BY doc_id, chunk_idx"),
+
     // integer division (//) floors on the non-negative offsets here,
     // matching Spark's DIV on longs
     "text_pack_sequences" ->

@@ -1559,4 +1559,37 @@ class NonOracleOpsSpec extends SparkSpec {
     assert(bad == 0, "spine must cover every day of [min, max] exactly once")
     out.unpersist()
   }
+
+  test("text_rag_chunks: full coverage, stride spacing, short-doc single chunk") {
+    import org.apache.spark.sql.functions._
+    val w = operators.TextOps.RagChunkTokens
+    val st = operators.TextOps.RagChunkStride
+    val out = SparkEntry.queries("text_rag_chunks")(spark, sf001).cache()
+    assert(out.where(col("n_chunk_toks") <= 0).count() == 0)
+    val docs = Tables.documents(spark, sf001)
+      .select(col("doc_id"), size(split(lower(trim(col("text"))), " ")).cast("long").as("n"))
+    val per = out.groupBy("doc_id")
+      .agg(min(col("start_tok")).as("s0"),
+           max(col("start_tok") + col("n_chunk_toks")).as("hi"),
+           count(lit(1)).as("nc"))
+      .join(docs, Seq("doc_id"))
+    // chunks start at 0, end exactly at the doc length, count matches the formula
+    assert(per.where(col("s0") =!= 0).count() == 0)
+    assert(per.where(col("hi") =!= col("n")).count() == 0)
+    val badNc = per.where(col("nc") =!= greatest(lit(1L),
+      ceil((col("n") - w).cast("double") / st).cast("long") + 1)).count()
+    assert(badNc == 0)
+    // sub-window docs produce exactly one chunk carrying the whole doc
+    assert(per.where(col("n") <= w && col("nc") =!= 1).count() == 0)
+    // consecutive chunks advance by exactly the stride (so adjacent
+    // chunks overlap by window - stride whenever the previous is full)
+    val wdw = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("chunk_idx")
+    val badStep = out
+      .withColumn("pstart", lag(col("start_tok"), 1).over(wdw))
+      .where(col("pstart").isNotNull && col("start_tok") - col("pstart") =!= st)
+      .count()
+    assert(badStep == 0)
+    out.unpersist()
+  }
 }
