@@ -42,6 +42,11 @@ object TextOps {
   val RagChunkTokens = 16
   val RagChunkStride = 12
 
+  /** text_logreg_quality: fixed Newton-Raphson iteration count (3 is
+    * the conventional IRLS budget for a 2-feature fit; the declared
+    * constant keeps engine and oracle unrolls in lockstep). */
+  val LogregIters = 3
+
   /** RAG passage-chunking KERNEL (text_rag_chunks' engine and the
     * Corpus facade's entry): fixed `w`-token windows advanced by
     * stride `st` < w so consecutive chunks overlap by w − st context
@@ -889,6 +894,82 @@ object TextOps {
     // to DECIMAL(24,6) (the dsum6 pin) so per-(doc, lang) scores are
     // EXACT decimals; argmax = max score then MIN(lang) at exact
     // equality — no float comparison ever decides a tie.
+    // LOGISTIC-REGRESSION QUALITY CLASSIFIER trained IN-ENGINE by
+    // distributed Newton-Raphson (IRLS) — the "distill the expensive
+    // gate into a cheap scorer" pattern (fastText-style quality
+    // filters in the GPT-3/LLaMA pipelines): the target is the gopher
+    // gate's length+stopword arms, the student sees only two cheap
+    // row-local features (mean token length, type-token ratio — TTR
+    // carries real signal: short fixture docs run ~0.75, long ones
+    // ~0.46), so the fit is imperfect-but-learnable, never separable.
+    // Each Newton step collapses the corpus to NINE sufficient
+    // statistics (the 3×3 Hessian's unique entries + the gradient) in
+    // ONE map-side-combinable aggregate; the driver solves the 3×3 by
+    // Cramer adjugate and broadcasts the next beta — O(iters) passes,
+    // O(1) driver state, the textbook distributed-GLM shape at any
+    // corpus size. Cross-engine determinism: p rounds to 9 decimals
+    // (absorbing libm exp/ln ulp drift), every addend sums as
+    // DECIMAL(38,15) (order-independent), betas round to 10 decimals
+    // per step, and the oracle unrolls the SAME iterations as chained
+    // CTEs with the SAME cofactor formulas — so the comparison proves
+    // the distributed Newton loop reproduces the serial fit exactly.
+    "text_logreg_quality" -> ((s, dir) => {
+      val stop = Seq("a", "the", "and", "of", "to")
+      val t = trim(col("text"))
+      val toksC = split(lower(t), " ")
+      val feats = documents(s, dir).select(
+        when(size(toksC).between(20, 5000) &&
+             size(filter(toksC, x => x.isInCollection(stop))) >= 1, 1.0)
+          .otherwise(0.0).as("y"),
+        ((length(t) - size(toksC) + 1).cast("double") / size(toksC)).as("x1"),
+        (size(array_distinct(toksC)).cast("double") / size(toksC)).as("x2"))
+      def ds(c: Column) = sum(c.cast("decimal(38,15)")).cast("double")
+      def pCol(b: Array[Double]) = {
+        val z = lit(b(0)) + lit(b(1)) * col("x1") + lit(b(2)) * col("x2")
+        least(greatest(fround(lit(1.0) / (lit(1.0) + exp(-z)), 9), lit(1e-12)),
+              lit(1.0 - 1e-12))
+      }
+      def r10(x: Double) = math.floor(x * 1e10 + 0.5) / 1e10
+      var b = Array(0.0, 0.0, 0.0)
+      for (_ <- 1 to LogregIters) {
+        val w = feats.withColumn("p", pCol(b))
+          .withColumn("w", col("p") * (lit(1.0) - col("p")))
+        val r = w.agg(
+          ds(col("w")).as("s11"), ds(col("w") * col("x1")).as("s12"),
+          ds(col("w") * col("x2")).as("s13"),
+          ds(col("w") * col("x1") * col("x1")).as("s22"),
+          ds(col("w") * col("x1") * col("x2")).as("s23"),
+          ds(col("w") * col("x2") * col("x2")).as("s33"),
+          ds(col("y") - col("p")).as("g1"),
+          ds((col("y") - col("p")) * col("x1")).as("g2"),
+          ds((col("y") - col("p")) * col("x2")).as("g3")).collect()(0)
+        val Seq(s11, s12, s13, s22, s23, s33, g1, g2, g3) =
+          (0 until 9).map(r.getDouble)
+        // Cramer adjugate solve — formula text mirrored VERBATIM in
+        // the oracle SQL so the IEEE operation order is identical
+        val det = s11 * (s22 * s33 - s23 * s23) - s12 * (s12 * s33 - s23 * s13) +
+                  s13 * (s12 * s23 - s22 * s13)
+        val d0 = (g1 * (s22 * s33 - s23 * s23) - s12 * (g2 * s33 - s23 * g3) +
+                  s13 * (g2 * s23 - s22 * g3)) / det
+        val d1 = (s11 * (g2 * s33 - g3 * s23) - g1 * (s12 * s33 - s23 * s13) +
+                  s13 * (s12 * g3 - g2 * s13)) / det
+        val d2 = (s11 * (s22 * g3 - s23 * g2) - s12 * (s12 * g3 - g2 * s13) +
+                  g1 * (s12 * s23 - s22 * s13)) / det
+        b = Array(r10(b(0) + d0), r10(b(1) + d1), r10(b(2) + d2))
+      }
+      def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+      feats.withColumn("p", pCol(b))
+        .agg(big(count(lit(1))).as("n_train"), big(sum(col("y"))).as("n_pos"),
+          fround((ds(fround(col("y") * log(col("p")) +
+              (lit(1.0) - col("y")) * log(lit(1.0) - col("p")), 9)) * lit(-1.0)) /
+            count(lit(1)), 6).as("log_loss"),
+          big(sum(when((col("p") >= 0.5) === (col("y") === 1.0), 1).otherwise(0)))
+            .as("n_correct"))
+        .select(col("n_train"), col("n_pos"), lit(r6(b(0))).as("b0"),
+                lit(r6(b(1))).as("b1"), lit(r6(b(2))).as("b2"),
+                col("log_loss"), col("n_correct"))
+    }),
+
     "text_naive_bayes" -> ((s, dir) => {
       val docs = documents(s, dir).withColumn("bucket",
         pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
@@ -1575,6 +1656,61 @@ object TextOps {
        "SELECT b.doc_id, b.profile_lang AS predicted, d.lang AS actual, b.hits, " +
        "b.profile_lang = d.lang AS correct " +
        "FROM best b JOIN documents d USING (doc_id) WHERE b.rn = 1 ORDER BY b.doc_id"),
+    // the SAME Newton iterations unrolled as chained CTEs: identical
+    // feature algebra, identical 9-dp p rounding, DECIMAL(38,15)
+    // sufficient-statistic sums, identical Cramer cofactor text, and
+    // 10-dp beta rounding per step — proving the engine's distributed
+    // IRLS loop reproduces the serial fit bit-for-bit
+    "text_logreg_quality" -> {
+      def r(e: String, n: Int) = s"FLOOR(($e) * 1e$n + 0.5) / 1e$n"
+      val pSql = "LEAST(GREATEST(" +
+        r("1.0 / (1.0 + EXP(-(pb0 + pb1 * x1 + pb2 * x2)))", 9) +
+        ", 1e-12), 1.0 - 1e-12)"
+      def ds(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(38,15))) AS DOUBLE)"
+      val det = "s11 * (s22 * s33 - s23 * s23) - s12 * (s12 * s33 - s23 * s13) + " +
+        "s13 * (s12 * s23 - s22 * s13)"
+      val d0 = "(g1 * (s22 * s33 - s23 * s23) - s12 * (g2 * s33 - s23 * g3) + " +
+        "s13 * (g2 * s23 - s22 * g3)) / det"
+      val d1 = "(s11 * (g2 * s33 - g3 * s23) - g1 * (s12 * s33 - s23 * s13) + " +
+        "s13 * (s12 * g3 - g2 * s13)) / det"
+      val d2 = "(s11 * (s22 * g3 - s23 * g2) - s12 * (s12 * g3 - g2 * s13) + " +
+        "g1 * (s12 * s23 - s22 * s13)) / det"
+      val iters = (1 to LogregIters).map { i =>
+        val prev = if (i == 1) "bz" else s"b${i - 1}"
+        val pb = s"(SELECT b0 AS pb0, b1 AS pb1, b2 AS pb2 FROM $prev)"
+        s"p$i AS (SELECT y, x1, x2, $pSql AS p FROM f, $pb), " +
+        s"w$i AS (SELECT y, x1, x2, p, p * (1.0 - p) AS w FROM p$i), " +
+        s"s$i AS (SELECT ${ds("w")} AS s11, ${ds("w * x1")} AS s12, " +
+        s"${ds("w * x2")} AS s13, ${ds("w * x1 * x1")} AS s22, " +
+        s"${ds("w * x1 * x2")} AS s23, ${ds("w * x2 * x2")} AS s33, " +
+        s"${ds("y - p")} AS g1, ${ds("(y - p) * x1")} AS g2, " +
+        s"${ds("(y - p) * x2")} AS g3 FROM w$i), " +
+        s"b$i AS (SELECT ${r(s"pb0 + ($d0)", 10)} AS b0, " +
+        s"${r(s"pb1 + ($d1)", 10)} AS b1, ${r(s"pb2 + ($d2)", 10)} AS b2 " +
+        s"FROM (SELECT s$i.*, pb0, pb1, pb2, $det AS det FROM s$i, $pb))"
+      }.mkString(", ")
+      "WITH f AS (SELECT CASE WHEN n BETWEEN 20 AND 5000 AND sh >= 1 " +
+      "THEN 1.0 ELSE 0.0 END AS y, " +
+      "CAST(L - n + 1 AS DOUBLE) / n AS x1, CAST(nd AS DOUBLE) / n AS x2 FROM " +
+      "(SELECT LENGTH(TRIM(text)) AS L, " +
+      "LEN(STRING_SPLIT(LOWER(TRIM(text)), ' ')) AS n, " +
+      "LEN(LIST_DISTINCT(STRING_SPLIT(LOWER(TRIM(text)), ' '))) AS nd, " +
+      "LEN(LIST_FILTER(STRING_SPLIT(LOWER(TRIM(text)), ' '), " +
+      "t -> t IN ('a', 'the', 'and', 'of', 'to'))) AS sh FROM documents)), " +
+      "bz AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2), " + iters + ", " +
+      s"pf AS (SELECT y, x1, x2, $pSql AS p FROM f, " +
+      s"(SELECT b0 AS pb0, b1 AS pb1, b2 AS pb2 FROM b$LogregIters)), " +
+      "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_train, " +
+      "CAST(SUM(y) AS BIGINT) AS n_pos, " +
+      froundSql("(" + ds(r("y * LN(p) + (1.0 - y) * LN(1.0 - p)", 9)) +
+        " * -1.0) / COUNT(*)", 6) + " AS log_loss, " +
+      "CAST(SUM(CASE WHEN (p >= 0.5) = (y = 1.0) THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_correct FROM pf) " +
+      s"SELECT n_train, n_pos, ${froundSql("b0", 6)} AS b0, " +
+      s"${froundSql("b1", 6)} AS b1, ${froundSql("b2", 6)} AS b2, " +
+      s"log_loss, n_correct FROM m, b$LogregIters"
+    },
+
     // the identical train/score split, smoothing and DECIMAL(24,6)
     // term pin; argmax = max exact-decimal score, MIN(lang) on ties
     "text_naive_bayes" ->

@@ -1592,4 +1592,19 @@ class NonOracleOpsSpec extends SparkSpec {
     assert(badStep == 0)
     out.unpersist()
   }
+
+  test("text_logreg_quality: the fit beats the majority-class baseline") {
+    val r = SparkEntry.queries("text_logreg_quality")(spark, sf001).collect()(0)
+    val n = r.getAs[Long]("n_train"); val pos = r.getAs[Long]("n_pos")
+    val correct = r.getAs[Long]("n_correct"); val ll = r.getAs[Double]("log_loss")
+    val baseAcc = math.max(pos, n - pos).toDouble / n
+    assert(correct.toDouble / n > baseAcc,
+      s"accuracy ${correct.toDouble / n} must beat majority baseline $baseAcc")
+    // better than the best constant predictor's log-loss
+    val q = pos.toDouble / n
+    val constLl = -(q * math.log(q) + (1 - q) * math.log(1 - q))
+    assert(ll < constLl, s"log-loss $ll must beat the constant predictor $constLl")
+    // TTR separates short from long docs: its weight must be negative
+    assert(r.getAs[Double]("b2") < 0)
+  }
 }
