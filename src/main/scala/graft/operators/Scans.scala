@@ -193,6 +193,52 @@ object Scans {
         .orderBy(col("o_orderstatus").asc_nulls_first)
     }),
 
+    // PARTITION-SPEC EVOLUTION (the Iceberg partition-evolution
+    // story next to scan_schema_evolution's column story): an old
+    // generation was laid out by MONTH, the table later evolved to
+    // DAY partitioning — and historical data is NEVER rewritten (at
+    // 100 TB a re-layout is the one cost you refuse). A consumer
+    // query must read BOTH layouts and still prune: the date
+    // predicate is translated into each generation's own partition
+    // key grammar (months overlapping the range for gen A, exact day
+    // bounds for gen B) alongside the row-level timestamp filter
+    // that trims the coarse generation's boundary months. Both scans
+    // show live PartitionFilters (pinned in PlanAuditSpec); the
+    // union re-aggregates map-side. The oracle reads the logical
+    // table directly, proving the two-spec physical layout is
+    // invisible to results.
+    "scan_partition_evolution" -> ((s, dir) => {
+      val genA = scratch(dir, "pspec_month")
+      val genB = scratch(dir, "pspec_day")
+      val od = orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      val cut = lit("1999-01-01").cast("timestamp")
+      od.where(col("o_orderdate") < cut)
+        .withColumn("ym",
+          (year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).cast("int"))
+        .write.mode("overwrite").partitionBy("ym").parquet(genA)
+      od.where(col("o_orderdate") >= cut)
+        .withColumn("ymd", (year(col("o_orderdate")) * 10000 +
+          month(col("o_orderdate")) * 100 + dayofmonth(col("o_orderdate"))).cast("int"))
+        .write.mode("overwrite").partitionBy("ymd").parquet(genB)
+      val lo = lit("1998-10-15").cast("timestamp")
+      val hiX = lit("1999-03-11").cast("timestamp") // exclusive
+      val a = s.read.parquet(genA)
+        .where(col("ym") >= 199810 && col("ym") <= 199903 &&
+               col("o_orderdate") >= lo && col("o_orderdate") < hiX)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+      val b = s.read.parquet(genB)
+        .where(col("ymd") >= 19981015 && col("ymd") <= 19990310 &&
+               col("o_orderdate") >= lo && col("o_orderdate") < hiX)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+      a.unionByName(b)
+        .groupBy((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .cast("long").as("ym"))
+        .agg(big(count(lit(1))).as("n_orders"),
+             big(sum(floor(col("o_totalprice") * 100).cast("long"))).as("total_cents"))
+        .orderBy("ym")
+    }),
+
     // JSON schema-on-read: parse the props JSON column against a declared
     // schema (from_json), then aggregate the typed field — the i3cols R3
     // frame-object → declared-dtype encoding analog.
@@ -2998,6 +3044,17 @@ object Scans {
        "CAST(COUNT(*) AS BIGINT) AS n, " +
        s"${dsumSql("o_totalprice")} AS total " +
        "FROM orders GROUP BY 1 ORDER BY o_orderstatus NULLS FIRST"),
+    // the oracle reads the LOGICAL table with the plain date range —
+    // the two physical partition specs must be invisible to results
+    "scan_partition_evolution" ->
+      ("SELECT CAST(EXTRACT(YEAR FROM o_orderdate) * 100 + " +
+       "EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS ym, " +
+       "CAST(COUNT(*) AS BIGINT) AS n_orders, " +
+       "CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents " +
+       "FROM orders WHERE o_orderdate >= TIMESTAMP '1998-10-15' " +
+       "AND o_orderdate < TIMESTAMP '1999-03-11' " +
+       "GROUP BY 1 ORDER BY 1"),
+
     // the planted corruption rule is pure key arithmetic, so DuckDB
     // derives both lanes straight from orders: clean = parsable lines,
     // quarantine = the truncated ones (count only — their payload

@@ -547,6 +547,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), p.take(3000))
   }
 
+  test("scan_partition_evolution: BOTH generation scans prune on their own spec") {
+    val p = plan("scan_partition_evolution")
+    // the month generation prunes on ym, the day generation on ymd —
+    // partition filters must be live in each FileScan, and the
+    // row-level date filter must still push to the data
+    assert(p.contains("PartitionFilters: [isnotnull(ym"), p.take(4000))
+    assert(p.contains("PartitionFilters: [isnotnull(ymd"), p.take(4000))
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)"), p.take(4000))
+  }
+
   test("agg_incremental_retract: broadcast anti/semi repair joins, no product") {
     val p = plan("agg_incremental_retract")
     // the delete-key anti-join and the dirty-key semi filter are both
