@@ -66,6 +66,11 @@ object Aggregations {
   val PsiBinCents = 2500000L
   val KsBins = 256
 
+  /** agg_dp_release privacy budget: Laplace scale b = Δf/ε with
+    * sensitivity 1 (disjoint counting queries). Shared verbatim with
+    * the oracle SQL. */
+  val DpEpsilon = 1.0
+
   /** events_power_mde design constants — DECLARED z quantiles
     * (two-sided α=0.05, power 0.80) and the relative MDE; literals
     * shared with the oracle so neither engine ever computes a normal
@@ -1082,6 +1087,35 @@ object Aggregations {
             (col("n_d").cast("double") * col("total_d").cast("double")), 6).as("gini"))
     }),
 
+    // DIFFERENTIALLY-PRIVATE HISTOGRAM RELEASE — the census-style
+    // publication gate: the (lang, source) document histogram leaves
+    // the enclave only with Laplace(Δf/ε) noise added to every cell
+    // (Δf = 1 for disjoint counting queries; ε = DpEpsilon). The
+    // "randomness" is a SEEDED inverse-CDF draw — u = 52 md5 bits of
+    // the cell key mapped to [0,1), noise = −b·sign(u−½)·ln(1−2|u−½|)
+    // — so the release is reproducible and the oracle replays it
+    // bit-for-bit (a production release keys u on a private salt; the
+    // mechanism is identical). Scale: one map-side-combinable count
+    // to the cell grid; noise is row-local algebra on the grid —
+    // corpus size only changes the counts, never the noise machinery.
+    // Released counts clamp at 0 (negative published counts are the
+    // standard post-processing trim, still DP by closure).
+    "agg_dp_release" -> ((s, dir) => {
+      val u = conv(substring(md5(concat_ws(":", col("lang"), col("source"),
+          lit("dp1"))), 1, 13), 16, 10).cast("double") / lit(4503599627370496.0)
+      documents(s, dir)
+        .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+        .withColumn("u", u)
+        .withColumn("noise", fround(
+          log(lit(1.0) - lit(2.0) * abs(col("u") - 0.5)) *
+            signum(col("u") - 0.5) * lit(-1.0) * (lit(1.0) / DpEpsilon), 6))
+        .select(col("lang"), col("source"), big(col("n")).as("n_true"),
+                col("noise"),
+                big(greatest(fround(col("n") + col("noise"), 0), lit(0.0)))
+                  .as("n_released"))
+        .orderBy("lang", "source")
+    }),
+
     // POPULATION STABILITY INDEX — the standard drift gate a
     // production training pipeline runs before retraining: Σ_b
     // (p_b − q_b)·ln(p_b/q_b) between the baseline (pre-cutoff) and
@@ -1486,6 +1520,20 @@ object Aggregations {
   }
 
   val oracle: Map[String, String] = Map(
+    // identical seeded inverse-CDF draw: 52 md5 bits of the cell key,
+    // the same Laplace algebra text, the same 6-dp noise pin and
+    // non-negativity trim
+    "agg_dp_release" ->
+      ("WITH g AS (SELECT lang, source, COUNT(*) AS n, " +
+       "CAST(CONCAT('0x', SUBSTRING(MD5(lang || ':' || source || ':dp1'), 1, 13)) AS BIGINT) " +
+       "/ 4503599627370496.0 AS u FROM documents GROUP BY 1, 2), " +
+       "g2 AS (SELECT lang, source, n, " +
+       froundSql(s"LN(1.0 - 2.0 * ABS(u - 0.5)) * SIGN(u - 0.5) * -1.0 * (1.0 / $DpEpsilon)", 6) +
+       " AS noise FROM g) " +
+       "SELECT lang, source, CAST(n AS BIGINT) AS n_true, noise, " +
+       "CAST(GREATEST(" + froundSql("n + noise", 0) + ", 0.0) AS BIGINT) AS n_released " +
+       "FROM g2 ORDER BY lang, source"),
+
     "agg_bootstrap_ci" -> {
       val ladder = PoisCdf.zipWithIndex
         .map { case (c, k) => s"WHEN u < $c THEN $k" }.mkString(" ")

@@ -296,6 +296,44 @@ object Similarity {
         .where(col("rnk") <= HardNegK)
         .select(col("anchor"), big(col("rnk")).as("rnk"), col("vec_id"), col("cos"))
         .orderBy("anchor", "rnk")
+    }),
+
+    // RETRIEVAL-QUALITY EVALUATION — the metrics harness every
+    // embedding/ANN deployment ships next to the index itself: for a
+    // bounded query panel, rank the corpus by cosine, cut at k, and
+    // score against the label ground truth (same label = relevant).
+    // Per query: hits@k, the rank of the FIRST relevant result inside
+    // the cutoff, and the reciprocal rank (MRR@k's addend — 0 when no
+    // relevant result lands in the top k, the standard convention).
+    // Plan = the vec_hamming_topk discipline: the query panel
+    // broadcasts (bounded by EvalQueries at any corpus size), scoring
+    // is scan-local, the per-query cut is a ranked window
+    // (WindowGroupLimit prunes map-side), and every downstream metric
+    // operates on panel×k rows. Swapping the brute-force arm for the
+    // IVF bucket probe turns this into the index's recall harness —
+    // sim_ann_recall is exactly that twin.
+    "sim_eval_mrr" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val q = e.where(col("vec_id") < EvalQueries)
+        .select(col("vec_id").as("query"), col("label").as("qlabel"),
+                col("embedding").as("qv"))
+      e.join(broadcast(q), col("vec_id") =!= col("query"))
+        .select(col("query"), col("qlabel"), col("vec_id"), col("label"),
+                fround(cosine(col("embedding"), col("qv")), 4).as("cos"))
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("query")
+            .orderBy(col("cos").desc, col("vec_id"))))
+        .where(col("rnk") <= EvalK)
+        .groupBy("query", "qlabel")
+        .agg(big(sum(when(col("label") === col("qlabel"), 1L).otherwise(0L)))
+               .as("hits_at_k"),
+             big(min(when(col("label") === col("qlabel"), col("rnk"))))
+               .as("first_rel_rank"))
+        .withColumn("rr", fround(coalesce(
+          lit(1.0) / col("first_rel_rank").cast("double"), lit(0.0)), 6))
+        .select(big(col("query")).as("query"), col("qlabel"),
+                col("hits_at_k"), col("first_rel_rank"), col("rr"))
+        .orderBy("query")
     })
   )
 
@@ -323,6 +361,12 @@ object Similarity {
     * cannot tie (multi-class ties still resolve min-label). */
   val KnnClassifyK = 5
 
+  /** sim_eval_mrr panel geometry: the EvalQueries lowest vec_ids form
+    * the query panel (broadcast-bounded at any corpus size), metrics
+    * cut at rank EvalK. Shared verbatim with the oracle SQL. */
+  val EvalQueries = 16
+  val EvalK = 10
+
   /** Labeled-reference-set budget for sim_knn_classify — a LITERAL
     * bound, so the broadcast side is provably ≤ this many rows (the
     * plan's TakeOrderedAndProject) no matter how the corpus grows. */
@@ -348,6 +392,23 @@ object Similarity {
        "ORDER BY cos DESC, vec_id) AS rnk FROM sc) " +
        "SELECT anchor, CAST(rnk AS BIGINT) AS rnk, vec_id, cos FROM r " +
        s"WHERE rnk <= $HardNegK ORDER BY anchor, rnk"),
+    // same panel, same ranked cut, same relevance rule and rr coalesce
+    "sim_eval_mrr" ->
+      (s"WITH q AS (SELECT vec_id AS query, label AS qlabel, embedding AS qv " +
+       s"FROM embeddings WHERE vec_id < $EvalQueries), " +
+       "sc AS (SELECT q.query, q.qlabel, e.vec_id, e.label, " +
+       froundSql("LIST_COSINE_SIMILARITY(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))", 4) +
+       " AS cos FROM embeddings e JOIN q ON e.vec_id <> q.query), " +
+       "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query " +
+       "ORDER BY cos DESC, vec_id) AS rnk FROM sc), " +
+       s"g AS (SELECT query, qlabel, " +
+       "CAST(SUM(CASE WHEN label = qlabel THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_k, " +
+       "CAST(MIN(CASE WHEN label = qlabel THEN rnk END) AS BIGINT) AS first_rel_rank " +
+       s"FROM r WHERE rnk <= $EvalK GROUP BY 1, 2) " +
+       "SELECT CAST(query AS BIGINT) AS query, qlabel, hits_at_k, first_rel_rank, " +
+       froundSql("COALESCE(1.0 / CAST(first_rel_rank AS DOUBLE), 0.0)", 6) + " AS rr " +
+       "FROM g ORDER BY query"),
+
     "sim_range_search" ->
       ("SELECT e.vec_id, " +
        froundSql("LIST_COSINE_SIMILARITY(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))", 4) +

@@ -1607,4 +1607,31 @@ class NonOracleOpsSpec extends SparkSpec {
     // TTR separates short from long docs: its weight must be negative
     assert(r.getAs[Double]("b2") < 0)
   }
+
+  test("sim_eval_mrr: panel size, cutoff bounds, and the rr convention hold") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("sim_eval_mrr")(spark, sf001).cache()
+    assert(out.count() == operators.Similarity.EvalQueries)
+    assert(out.where(col("hits_at_k") > operators.Similarity.EvalK).count() == 0)
+    assert(out.where(col("first_rel_rank").isNotNull &&
+      col("rr") =!= round(lit(1.0) / col("first_rel_rank") * 1e6) / 1e6).count() == 0)
+    assert(out.where(col("first_rel_rank").isNull && col("rr") =!= 0.0).count() == 0)
+    // the label ground truth is non-degenerate on this fixture: at
+    // least one query finds a relevant neighbor, at least one misses
+    assert(out.where(col("hits_at_k") > 0).count() > 0)
+    out.unpersist()
+  }
+
+  test("agg_dp_release: noise is two-sided Laplace at the declared scale, release clamps at 0") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("agg_dp_release")(spark, sf01).cache()
+    assert(out.where(col("n_released") < 0).count() == 0)
+    assert(out.where(col("noise") > 0).count() > 0)
+    assert(out.where(col("noise") < 0).count() > 0)
+    // E|Laplace(b)| = b = 1/epsilon; ~100 cells => loose 3x band
+    val meanAbs = out.agg(avg(abs(col("noise")))).collect()(0).getDouble(0)
+    val b = 1.0 / operators.Aggregations.DpEpsilon
+    assert(meanAbs > b / 3 && meanAbs < b * 3, s"mean |noise| $meanAbs vs scale $b")
+    out.unpersist()
+  }
 }
