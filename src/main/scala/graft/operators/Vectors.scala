@@ -591,33 +591,72 @@ object Vectors {
     // only candidates, never the corpus. At 100 TB signatures are a
     // ~250× smaller table than the embeddings they index, built in
     // one corpus pass.
-    "vec_hamming_topk" -> ((s, dir) => {
-      val sig = embeddings(s, dir)
-        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
-        // loud guard, not silent wrap: Java shifts are mod-64, so a
-        // regenerated fixture with dim > 64 would fold bits silently
-        .withColumn("x", when(col("pos") >= 64, expr(
-            "CAST(raise_error('embedding dim > 64 — add words to the " +
-            "vec_hamming_topk layout') AS FLOAT)")).otherwise(col("x")))
-        .groupBy("vec_id")
-        .agg(
-          sum(when(col("pos") < 32 && col("x") >= 0,
-              expr("shiftleft(CAST(1 AS BIGINT), pos)")).otherwise(lit(0L))).as("sig_lo"),
-          sum(when(col("pos") >= 32 && col("x") >= 0,
-              expr("shiftleft(CAST(1 AS BIGINT), pos - 32)")).otherwise(lit(0L))).as("sig_hi"))
-      val q = sig.where(col("vec_id") < HammingQueryIds)
-        .select(col("vec_id").as("q_id"), col("sig_lo").as("q_lo"),
-                col("sig_hi").as("q_hi"))
-      sig.join(broadcast(q), col("vec_id") =!= col("q_id"))
-        .withColumn("dist", expr(
-          "CAST(bit_count(sig_lo ^ q_lo) + bit_count(sig_hi ^ q_hi) AS INT)"))
-        .withColumn("rnk", row_number().over(
-          Window.partitionBy("q_id").orderBy(col("dist"), col("vec_id"))))
-        .where(col("rnk") <= HammingTopK)
+    "vec_hamming_topk" -> ((s, dir) =>
+      hammingShortlist(embeddings(s, dir), HammingTopK)
         .select(col("q_id"), big(col("rnk")).as("rnk"), col("vec_id"), col("dist"))
+        .orderBy("q_id", "rnk")),
+
+    // TWO-STAGE BINARY RETRIEVAL (Hamming shortlist → float rerank) —
+    // the asymmetric pattern that makes vector search affordable at
+    // 100 TB: the 16-byte sign-bit signatures (≈16× smaller than the
+    // float vectors) do ALL the corpus-wide scanning, and full-
+    // precision embeddings are touched only for the shortlist —
+    // queries × HammingRerankShort rows, a constant — where exact cosine
+    // re-orders the candidates and cuts to the final top-K. The
+    // shortlist side broadcasts into the embedding fetch, so the
+    // corpus never shuffles; recall lost by 1-bit quantization
+    // returns wherever the true neighbor survives the shortlist (the
+    // spec measures exactly that on the fixture).
+    "vec_binary_rerank" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val short = hammingShortlist(e, HammingRerankShort)
+      val qv = e.where(col("vec_id") < HammingQueryIds)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      short
+        .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+        .join(broadcast(qv), Seq("q_id"))
+        .withColumn("cos", fround(Similarity.cosine(col("embedding"), col("qv")), 4))
+        .withColumn("rrnk", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))))
+        .where(col("rrnk") <= HammingTopK)
+        .select(col("q_id"), big(col("rrnk")).as("rnk"), col("vec_id"),
+                col("dist"), col("cos"))
         .orderBy("q_id", "rnk")
     })
   )
+
+  /** Sign-bit signature build + broadcast-probe Hamming cut shared by
+    * vec_hamming_topk (cut = the final top-K) and vec_binary_rerank
+    * (cut = the rerank shortlist): signatures pack into two 32-bit
+    * words, the HammingQueryIds probe set broadcasts, the per-query
+    * cut is a ranked window (WindowGroupLimit prunes map-side).
+    * Returns (q_id, vec_id, dist, rnk). */
+  private def hammingShortlist(e: org.apache.spark.sql.DataFrame,
+                               cut: Int): org.apache.spark.sql.DataFrame = {
+    val sig = e
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      // loud guard, not silent wrap: Java shifts are mod-64, so a
+      // regenerated fixture with dim > 64 would fold bits silently
+      .withColumn("x", when(col("pos") >= 64, expr(
+          "CAST(raise_error('embedding dim > 64 — add words to the " +
+          "vec_hamming_topk layout') AS FLOAT)")).otherwise(col("x")))
+      .groupBy("vec_id")
+      .agg(
+        sum(when(col("pos") < 32 && col("x") >= 0,
+            expr("shiftleft(CAST(1 AS BIGINT), pos)")).otherwise(lit(0L))).as("sig_lo"),
+        sum(when(col("pos") >= 32 && col("x") >= 0,
+            expr("shiftleft(CAST(1 AS BIGINT), pos - 32)")).otherwise(lit(0L))).as("sig_hi"))
+    val q = sig.where(col("vec_id") < HammingQueryIds)
+      .select(col("vec_id").as("q_id"), col("sig_lo").as("q_lo"),
+              col("sig_hi").as("q_hi"))
+    sig.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("dist", expr(
+        "CAST(bit_count(sig_lo ^ q_lo) + bit_count(sig_hi ^ q_hi) AS INT)"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("dist"), col("vec_id"))))
+      .where(col("rnk") <= cut)
+      .select(col("q_id"), col("vec_id"), col("dist"), col("rnk"))
+  }
 
   /** vec_hamming_topk's query-set bound and cut — LITERALS shared with
     * the oracle SQL (the KnnRefSetSize discipline): `vec_id <
@@ -625,6 +664,11 @@ object Vectors {
     * corpus scale. */
   val HammingQueryIds = 8
   val HammingTopK = 5
+
+  /** vec_binary_rerank shortlist width: the Hamming stage passes 4×
+    * the final cut to the exact-cosine rerank (the conventional
+    * shortlist multiple). A LITERAL shared with the oracle SQL. */
+  val HammingRerankShort = 20
 
   /** Fixed Lloyd round count — small and FIXED so the oracle can
     * unroll the same rounds as plain SQL CTEs. */
@@ -1323,7 +1367,35 @@ object Vectors {
        "r AS (SELECT q_id, vec_id, dist, " +
        "ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS rnk FROM d) " +
        "SELECT q_id, CAST(rnk AS BIGINT) AS rnk, vec_id, dist FROM r " +
-       s"WHERE rnk <= $HammingTopK ORDER BY q_id, rnk")
+       s"WHERE rnk <= $HammingTopK ORDER BY q_id, rnk"),
+
+    // same signature CTEs, shortlist at HammingRerankShort, then the
+    // exact-cosine rerank over shortlist rows only
+    "vec_binary_rerank" ->
+      ("WITH u AS (SELECT vec_id, UNNEST(embedding) AS x, " +
+       "GENERATE_SUBSCRIPTS(embedding, 1) AS i FROM embeddings), " +
+       "sig AS (SELECT vec_id, " +
+       "CAST(SUM(CASE WHEN i <= 32 AND x >= 0 THEN (CAST(1 AS BIGINT) << (i - 1)) " +
+       "ELSE 0 END) AS BIGINT) AS sig_lo, " +
+       "CAST(SUM(CASE WHEN i > 32 AND x >= 0 THEN (CAST(1 AS BIGINT) << (i - 33)) " +
+       "ELSE 0 END) AS BIGINT) AS sig_hi FROM u GROUP BY 1), " +
+       s"q AS (SELECT vec_id AS q_id, sig_lo AS q_lo, sig_hi AS q_hi " +
+       s"FROM sig WHERE vec_id < $HammingQueryIds), " +
+       "d AS (SELECT q_id, vec_id, " +
+       "CAST(bit_count(xor(sig_lo, q_lo)) + bit_count(xor(sig_hi, q_hi)) AS INT) AS dist " +
+       "FROM sig, q WHERE vec_id <> q_id), " +
+       "shortl AS (SELECT q_id, vec_id, dist FROM (SELECT q_id, vec_id, dist, " +
+       "ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS rnk FROM d) " +
+       s"WHERE rnk <= $HammingRerankShort), " +
+       "rr AS (SELECT s.q_id, s.vec_id, s.dist, " +
+       froundSql("LIST_COSINE_SIMILARITY(CAST(e.embedding AS DOUBLE[]), CAST(qe.embedding AS DOUBLE[]))", 4) +
+       " AS cos FROM shortl s " +
+       "JOIN embeddings e ON e.vec_id = s.vec_id " +
+       "JOIN embeddings qe ON qe.vec_id = s.q_id), " +
+       "f AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id " +
+       "ORDER BY cos DESC, vec_id) AS rrnk FROM rr) " +
+       "SELECT q_id, CAST(rrnk AS BIGINT) AS rnk, vec_id, dist, cos FROM f " +
+       s"WHERE rrnk <= $HammingTopK ORDER BY q_id, rnk")
   ) ++ {
     // the layout variant must return exactly the scan-side IVF's rows —
     // same trained centroids, same probe set, different access path

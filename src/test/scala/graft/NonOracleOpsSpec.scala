@@ -1634,4 +1634,33 @@ class NonOracleOpsSpec extends SparkSpec {
     assert(meanAbs > b / 3 && meanAbs < b * 3, s"mean |noise| $meanAbs vs scale $b")
     out.unpersist()
   }
+
+  test("vec_binary_rerank: the float rerank lifts recall over raw Hamming") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sf001)
+    val q = e.where(col("vec_id") < operators.Vectors.HammingQueryIds)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val exact = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        operators.Similarity.cosine(col("embedding"), col("qv")).as("cos"))
+      .withColumn("rk", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))))
+      .where(col("rk") <= operators.Vectors.HammingTopK)
+      .select("q_id", "vec_id")
+    def recall(name: String): Long =
+      SparkEntry.queries(name)(spark, sf001).select("q_id", "vec_id")
+        .join(exact, Seq("q_id", "vec_id"), "left_semi").count()
+    val raw = recall("vec_hamming_topk")
+    val rr  = recall("vec_binary_rerank")
+    val total = exact.count()
+    assert(rr > raw, s"rerank recall $rr/$total must beat raw Hamming $raw/$total")
+    assert(rr * 10 >= total * 3, s"rerank recall $rr/$total must clear 30%")
+    // within each query the rerank output is ordered by exact cosine
+    val out = SparkEntry.queries("vec_binary_rerank")(spark, sf001)
+    val disorder = out.withColumn("pcos",
+        lag(col("cos"), 1).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy("rnk")))
+      .where(col("pcos").isNotNull && col("pcos") < col("cos")).count()
+    assert(disorder == 0)
+  }
 }
