@@ -968,6 +968,7 @@ object TextOps {
         .select(col("n_train"), col("n_pos"), lit(r6(b(0))).as("b0"),
                 lit(r6(b(1))).as("b1"), lit(r6(b(2))).as("b2"),
                 col("log_loss"), col("n_correct"))
+        .orderBy("n_train") // single row; §2.6 total-order rule
     }),
 
     "text_naive_bayes" -> ((s, dir) => {
@@ -1708,7 +1709,7 @@ object TextOps {
       "AS n_correct FROM pf) " +
       s"SELECT n_train, n_pos, ${froundSql("b0", 6)} AS b0, " +
       s"${froundSql("b1", 6)} AS b1, ${froundSql("b2", 6)} AS b2, " +
-      s"log_loss, n_correct FROM m, b$LogregIters"
+      s"log_loss, n_correct FROM m, b$LogregIters ORDER BY n_train"
     },
 
     // the identical train/score split, smoothing and DECIMAL(24,6)
