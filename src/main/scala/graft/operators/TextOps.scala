@@ -278,6 +278,14 @@ object TextOps {
     * so the oracle interpolates the identical literal. */
   val BigramLmLambda = 0.7
 
+  /** text_wordpiece geometry: candidate pieces are character n-grams
+    * of length 2..WpMaxPiece, the trained vocabulary keeps the
+    * WpVocabNgrams highest-frequency ones (ties break on the gram),
+    * single characters are the implicit fallback alphabet. Shared
+    * verbatim with the oracle SQL. */
+  val WpMaxPiece = 4
+  val WpVocabNgrams = 40
+
   /** text_bpe_train's whole computation on any frame with a `text`
     * column — factored out so BpeSpec can plant a corpus whose
     * learned merges are hand-derivable (including a round-2 winner
@@ -1137,6 +1145,68 @@ object TextOps {
     // vocabulary a true multiset fold whatever the merge did.
     "text_bpe_train" -> ((s, dir) => bpeTrainOf(documents(s, dir))),
 
+    // WORDPIECE-STYLE TOKENIZER (greedy MaxMatch) — the other half of
+    // the tokenizer family next to BPE's merge-rule apply: a
+    // vocabulary of the WpVocabNgrams highest-frequency character
+    // n-grams (2..WpMaxPiece, occurrence-weighted) is trained in ONE
+    // corpus aggregate, then every DISTINCT word segments by the
+    // WordPiece inference rule — at each position take the LONGEST
+    // vocabulary piece, falling back to the single-character alphabet
+    // (so segmentation always terminates and covers every word).
+    // Scale shape: the vocab collect is bounded by the declared
+    // constant (the broadcast-model pattern); segmentation runs on
+    // the distinct-word table (segment the vocabulary once, never the
+    // corpus) as a row-local HOF fold — embarrassingly parallel; the
+    // per-lang rollup joins segments back on the word key. The
+    // md5-prefix seg signature pins EXACT segmentations through the
+    // hash compare, not just piece counts.
+    "text_wordpiece" -> ((s, dir) => {
+      val wcl = documents(s, dir)
+        .select(col("lang"), explode(split(lower(trim(col("text"))), " ")).as("w"))
+        .groupBy("lang", "w").agg(count(lit(1)).as("cnt"))
+      val wc = wcl.groupBy("w").agg(sum(col("cnt")).as("cnt"))
+      def gramsK(k: Int) = wc.where(length(col("w")) >= k)
+        .select(col("cnt"), explode(transform(
+          sequence(lit(1), length(col("w")) - (k - 1)),
+          i => col("w").substr(i, lit(k)))).as("g"))
+      val vocab = (2 to WpMaxPiece).map(gramsK).reduce(_ unionByName _)
+        .groupBy("g").agg(sum(col("cnt")).as("freq"))
+        .orderBy(col("freq").desc, col("g")).limit(WpVocabNgrams)
+        .select("g").collect().map(_.getString(0)).toSeq
+      val byLen = (2 to WpMaxPiece)
+        .map(k => k -> vocab.filter(_.length == k)).toMap
+      val st0 = struct(lit(1).as("pos"), lit(0).as("np"), lit("").as("seg"))
+      val segState = aggregate(
+        sequence(lit(1), length(col("w"))), st0,
+        (st, i) => {
+          def sub(k: Int) = col("w").substr(st.getField("pos"), lit(k))
+          def adv(k: Int) = struct(
+            (st.getField("pos") + k).as("pos"),
+            (st.getField("np") + 1).as("np"),
+            concat(st.getField("seg"), lit("|"), sub(k)).as("seg"))
+          (WpMaxPiece to 2 by -1).foldLeft(
+              when(i =!= st.getField("pos"), st)) { (acc, k) =>
+            acc.when(array_contains(typedlit(byLen(k)), sub(k)), adv(k))
+          }.otherwise(adv(1))
+        })
+      val seg = wc.select(col("w"), segState.as("st"))
+        .select(col("w"), col("st").getField("np").as("np"),
+                col("st").getField("seg").as("seg"))
+      wcl.join(seg, Seq("w"))
+        .groupBy("lang")
+        .agg(big(sum(col("cnt"))).as("n_words"),
+             big(sum(col("cnt") * col("np"))).as("n_pieces"),
+             big(sum(col("cnt") * length(col("w")))).as("n_chars"),
+             fround(sum(col("cnt") * col("np")).cast("double") /
+                    sum(col("cnt")), 4).as("pieces_per_word"),
+             fround(sum(col("cnt") * length(col("w"))).cast("double") /
+                    sum(col("cnt") * col("np")), 4).as("chars_per_piece"),
+             big(sum(col("cnt") *
+               conv(substring(md5(col("seg").cast("binary")), 1, 8), 16, 10)
+                 .cast("long"))).as("seg_sig"))
+        .orderBy("lang")
+    }),
+
     // TRAIN → APPLY, composed — the loop a tokenizer pipeline
     // actually runs: learn the merges on the corpus (the
     // text_bpe_train rounds, same single definition) and measure the
@@ -1820,6 +1890,49 @@ object TextOps {
       "(SELECT CAST(SUM(cnt * LEN(w)) AS BIGINT) AS symbols_pre FROM wc0) a, " +
       s"(SELECT CAST(SUM(cnt * LEN(w)) AS BIGINT) AS symbols_post FROM wc$BpeTrainRounds) b " +
       "ORDER BY symbols_pre"
+    },
+
+    // the same one-aggregate vocab training (freq DESC, gram ASC,
+    // LIMIT), then the greedy MaxMatch unrolled as a recursive CTE:
+    // each step consumes the longest vocab piece at the cursor via a
+    // COALESCE ladder of scalar lookups, single-char fallback — and
+    // the seg-string signature pins byte-exact segmentations
+    "text_wordpiece" -> {
+      def gramsK(k: Int) =
+        s"SELECT cnt, UNNEST(LIST_TRANSFORM(RANGE(1, LEN(w) - ${k - 2}), " +
+        s"i -> SUBSTR(w, CAST(i AS INT), $k))) AS g FROM wc"
+      val gramArms = (2 to WpMaxPiece).map(gramsK).mkString(" UNION ALL ")
+      val lookups = (WpMaxPiece to 2 by -1).map(k =>
+        s"(SELECT g FROM vocab WHERE g = SUBSTR(w, pos, $k))").mkString(", ")
+      "WITH RECURSIVE wcl AS MATERIALIZED (SELECT lang, w, COUNT(*) AS cnt FROM " +
+      "(SELECT lang, UNNEST(STRING_SPLIT(LOWER(TRIM(text)), ' ')) AS w " +
+      "FROM documents) GROUP BY 1, 2), " +
+      "wc AS MATERIALIZED (SELECT w, SUM(cnt) AS cnt FROM wcl GROUP BY 1), " +
+      s"grams AS (SELECT g, SUM(cnt) AS freq FROM ($gramArms) GROUP BY g), " +
+      // vocab must NOT carry AS MATERIALIZED: DuckDB's materialized-CTE
+      // path silently returns NULL for the correlated scalar lookups in
+      // the FIRST recursive iteration (observed on this host: every
+      // pos=1 match failed, degrading 'scan' to |s|can) — a wrong-
+      // result quirk, not a perf choice
+      "vocab AS (SELECT g FROM grams " +
+      s"ORDER BY freq DESC, g LIMIT $WpVocabNgrams), " +
+      "r AS (SELECT w, 1 AS pos, 0 AS np, '' AS seg FROM wc " +
+      "UNION ALL " +
+      "SELECT w, pos + LEN(piece) AS pos, np + 1 AS np, " +
+      "seg || '|' || piece AS seg FROM " +
+      s"(SELECT w, pos, np, seg, COALESCE($lookups, SUBSTR(w, pos, 1)) AS piece " +
+      "FROM r WHERE pos <= LEN(w))), " +
+      "seg AS MATERIALIZED (SELECT w, np, seg FROM r WHERE pos = LEN(w) + 1) " +
+      "SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n_words, " +
+      "CAST(SUM(cnt * np) AS BIGINT) AS n_pieces, " +
+      "CAST(SUM(cnt * LEN(w)) AS BIGINT) AS n_chars, " +
+      froundSql("CAST(SUM(cnt * np) AS DOUBLE) / SUM(cnt)", 4) +
+      " AS pieces_per_word, " +
+      froundSql("CAST(SUM(cnt * LEN(w)) AS DOUBLE) / SUM(cnt * np)", 4) +
+      " AS chars_per_piece, " +
+      "CAST(SUM(cnt * CAST(CONCAT('0x', SUBSTRING(MD5(seg), 1, 8)) AS BIGINT)) " +
+      "AS BIGINT) AS seg_sig " +
+      "FROM wcl JOIN seg USING (w) GROUP BY 1 ORDER BY 1"
     },
 
     // the identical merge table unrolled as nested REPLACEs over the

@@ -1663,4 +1663,36 @@ class NonOracleOpsSpec extends SparkSpec {
       .where(col("pcos").isNotNull && col("pcos") < col("cos")).count()
     assert(disorder == 0)
   }
+
+  test("text_wordpiece: a driver-side MaxMatch re-derivation agrees with the engine rollup") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf001)
+    val wcl = docs.select(col("lang"), explode(split(lower(trim(col("text"))), " ")).as("w"))
+      .groupBy("lang", "w").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val wc = wcl.groupBy(_._2).map { case (w, rs) => w -> rs.map(_._3).sum }
+    val grams = scala.collection.mutable.Map.empty[String, Long]
+    for ((w, c) <- wc; k <- 2 to operators.TextOps.WpMaxPiece;
+         i <- 0 to w.length - k)
+      grams(w.substring(i, i + k)) = grams.getOrElse(w.substring(i, i + k), 0L) + c
+    val vocab = grams.toSeq.sortBy { case (g, f) => (-f, g) }
+      .take(operators.TextOps.WpVocabNgrams).map(_._1).toSet
+    def segment(w: String): Int = {
+      var pos = 0; var np = 0
+      while (pos < w.length) {
+        val k = (operators.TextOps.WpMaxPiece to 2 by -1)
+          .find(k => pos + k <= w.length + operators.TextOps.WpMaxPiece &&
+                     vocab.contains(w.substring(pos, math.min(pos + k, w.length))))
+          .getOrElse(1)
+        pos += math.min(k, w.length - pos); np += 1
+      }
+      np
+    }
+    val expected = wcl.groupBy(_._1).map { case (lang, rs) =>
+      lang -> rs.map { case (_, w, c) => c * segment(w) }.sum }
+    val got = SparkEntry.queries("text_wordpiece")(spark, sf001)
+      .select("lang", "n_pieces")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected, s"got=$got expected=$expected")
+  }
 }
