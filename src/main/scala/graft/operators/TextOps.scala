@@ -278,6 +278,16 @@ object TextOps {
     * so the oracle interpolates the identical literal. */
   val BigramLmLambda = 0.7
 
+  /** text_dsir: hashed-feature space size (buckets for word uni+bigrams
+    * — production DSIR uses 10k; 64 keeps the broadcast model
+    * fixture-readable while exercising real collisions), the doc_id
+    * modulus carving the stand-in TARGET domain out of documents (the
+    * high-quality corpus importance weights steer toward), and the
+    * per-lang keep quantile (keep the top 20% by importance weight). */
+  val DsirBuckets = 64
+  val DsirTargetMod = 7
+  val DsirKeepQuantile = 0.8
+
   /** text_wordpiece geometry: candidate pieces are character n-grams
     * of length 2..WpMaxPiece, the trained vocabulary keeps the
     * WpVocabNgrams highest-frequency ones (ties break on the gram),
@@ -321,6 +331,50 @@ object TextOps {
 
   def bpeTrainOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     bpeTrainStates(docs)._1
+
+  /** text_dsir's whole pipeline on any (doc_id, lang, text) frame —
+    * factored out so DsirSpec can plant a corpus with a separable
+    * target vocabulary. Hashed uni+bigram features → Laplace-smoothed
+    * target/raw log-ratio model (DsirBuckets rows, broadcast) →
+    * per-doc importance weight → per-lang keep-quantile cut. */
+  def dsirSelect(docs: DataFrame): DataFrame = {
+    val m = DsirBuckets
+    val toks = docs
+      .select(col("doc_id"), col("lang"), split(lower(col("text")), " ").as("t"))
+    val feats = toks.select(col("doc_id"), col("lang"),
+        explode(concat(col("t"),
+          expr("CASE WHEN size(t) >= 2 THEN transform(sequence(1, size(t) - 1), " +
+               "i -> concat(element_at(t, i), ' ', element_at(t, i + 1))) " +
+               "ELSE array() END"))).as("g"))
+      .withColumn("f", pmod(
+        conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long"), lit(m)))
+    val perDoc = feats.groupBy("doc_id", "lang", "f")
+      .agg(count(lit(1)).as("n_df"))
+    val rawC = feats.groupBy("f").agg(count(lit(1)).as("cq"))
+    val tgtC = feats.where(col("doc_id") % DsirTargetMod === 0)
+      .groupBy("f").agg(count(lit(1)).as("cp"))
+    val tot = rawC.agg(sum(col("cq")).as("nq"))
+      .crossJoin(tgtC.agg(sum(col("cp")).as("np")))
+    // Laplace-smoothed per-bucket log ratio; one fixed IEEE chain
+    // shared verbatim with the oracle (the text_bigram_lm argument)
+    val model = rawC
+      .join(tgtC, Seq("f"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("lr",
+        log((coalesce(col("cp"), lit(0L)) + lit(1.0)) / (col("np") + lit(m.toDouble))) -
+        log((col("cq") + lit(1.0)) / (col("nq") + lit(m.toDouble))))
+      .select("f", "lr")
+    val scores = perDoc.join(broadcast(model), Seq("f"))
+      .groupBy("doc_id", "lang")
+      .agg(big(sum(col("n_df"))).as("n_grams"),
+           fround(dsum6(col("n_df") * col("lr")), 4).as("logw"))
+    val cuts = scores.groupBy("lang").agg(
+      fround(expr(s"percentile(logw, $DsirKeepQuantile)"), 6).as("cut"))
+    scores.join(broadcast(cuts), Seq("lang"))
+      .withColumn("kept", big(when(col("logw") > col("cut"), 1).otherwise(0)))
+      .select("doc_id", "lang", "n_grams", "logw", "kept")
+      .orderBy("doc_id")
+  }
 
   val queries: Map[String, Q] = Map(
     // Stopword scrubbing (the cleaning pass before tokenizer training):
@@ -454,6 +508,21 @@ object TextOps {
              fround(dsum6(col("avg_logprob")) / count(lit(1)), 4).as("avg_score"))
         .orderBy("lang", "bucket")
     }),
+
+    // DSIR — Data Selection via Importance Resampling (Xie et al.
+    // 2023, the public data-selection recipe behind domain-targeted
+    // pretraining mixes): featurize every document as hashed word
+    // uni+bigram counts, fit two bag-of-hashed-ngrams models — the
+    // TARGET domain (a doc_id-mod slice standing in for the external
+    // high-quality corpus, the text_decontaminate convention) and the
+    // RAW corpus — and weight each document by its target/raw
+    // log-likelihood ratio; the top quantile per language is the
+    // selected training set. Shapes at 100 TB: the feature explode is
+    // row-local; both models collapse to DsirBuckets-row aggregates
+    // (map-side combinable) that BROADCAST back; the per-doc weight is
+    // one hash-agg over (doc, bucket) counts. Nothing but
+    // vocabulary-free bounded aggregates ever shuffles.
+    "text_dsir" -> ((s, dir) => dsirSelect(documents(s, dir))),
 
     // Top-20 terms per language by frequency.
     "text_tokens" -> ((s, dir) => {
@@ -1505,6 +1574,41 @@ object TextOps {
     "text_lm_score" ->
       ("WITH " + LmCte + " " +
        "SELECT doc_id, lang, n_tokens, avg_logprob FROM lm ORDER BY doc_id"),
+    // the identical hashed-feature DSIR pipeline: same md5-prefix
+    // bucket (the sample_split hex-literal CAST), same Laplace ratio
+    // chain with the bucket count interpolated as a DOUBLE literal,
+    // same dsum6/fround pins before the per-lang percentile cut
+    "text_dsir" -> {
+      val m = DsirBuckets
+      "WITH toks AS (SELECT doc_id, lang, STRING_SPLIT(LOWER(text), ' ') AS t " +
+      "FROM documents), " +
+      "g AS MATERIALIZED (SELECT doc_id, lang, UNNEST(t) AS g FROM toks " +
+      "UNION ALL SELECT doc_id, lang, t[i] || ' ' || t[i + 1] AS g " +
+      "FROM (SELECT doc_id, lang, t, UNNEST(RANGE(1, LEN(t))) AS i " +
+      "FROM toks WHERE LEN(t) >= 2)), " +
+      s"h AS MATERIALIZED (SELECT doc_id, lang, " +
+      s"CAST(CONCAT('0x', SUBSTRING(MD5(g), 1, 8)) AS BIGINT) % $m AS f FROM g), " +
+      "pd AS MATERIALIZED (SELECT doc_id, lang, f, COUNT(*) AS n_df " +
+      "FROM h GROUP BY 1, 2, 3), " +
+      "cq AS (SELECT f, COUNT(*) AS cq FROM h GROUP BY f), " +
+      s"cp AS (SELECT f, COUNT(*) AS cp FROM h WHERE doc_id % $DsirTargetMod = 0 " +
+      "GROUP BY f), " +
+      "nn AS (SELECT (SELECT SUM(cq) FROM cq) AS nq, " +
+      "(SELECT SUM(cp) FROM cp) AS np), " +
+      s"model AS (SELECT cq.f, " +
+      s"LN((COALESCE(cp, 0) + 1.0) / (np + $m.0)) - " +
+      s"LN((cq + 1.0) / (nq + $m.0)) AS lr " +
+      "FROM cq LEFT JOIN cp USING (f), nn), " +
+      "sc AS (SELECT doc_id, lang, CAST(SUM(n_df) AS BIGINT) AS n_grams, " +
+      froundSql(dsum6Sql("n_df * lr"), 4) + " AS logw " +
+      "FROM pd JOIN model USING (f) GROUP BY 1, 2), " +
+      "cuts AS (SELECT lang, " +
+      froundSql(s"PERCENTILE_CONT($DsirKeepQuantile) WITHIN GROUP (ORDER BY logw)", 6) +
+      " AS cut FROM sc GROUP BY lang) " +
+      "SELECT doc_id, sc.lang, n_grams, logw, " +
+      "CAST(CASE WHEN logw > cut THEN 1 ELSE 0 END AS BIGINT) AS kept " +
+      "FROM sc JOIN cuts ON sc.lang = cuts.lang ORDER BY doc_id"
+    },
     // the identical interpolation chain; BOTH weight literals are
     // interpolated from the Scala doubles (1−λ in double arithmetic
     // is 0.30000000000000004, NOT the SQL literal 0.3 — writing the
