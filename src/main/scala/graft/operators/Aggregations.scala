@@ -49,6 +49,12 @@ object Aggregations {
     * replicate means form the ~90% interval). */
   val BootstrapReps = 20
 
+  /** KMV sketch size for agg_kmv_intersection — k smallest uniform
+    * hashes per audience; estimate stderr ~ 1/sqrt(k). 32 keeps the
+    * sketches fixture-readable while saturating at every SF; shared
+    * verbatim with the oracle SQL. */
+  val KmvK = 32
+
   /** Fixed Lorenz-curve grid size for agg_gini — a constant, so the
     * binned table is metadata-scale at any corpus size and the engine
     * and oracle share one literal (interpolated into both). */
@@ -111,6 +117,53 @@ object Aggregations {
     * NOT an approximation: level 2 resolves the exact crossing price,
     * so results are bit-identical to the windowed formulation. */
   val WmedianBins = 256
+
+  /** agg_kmv_intersection's whole pipeline on any (event_type, user_id)
+    * frame — factored out so KmvSpec can plant audiences with known
+    * overlaps and drive both the saturated-sketch estimate branch and
+    * the exact small-set branch. */
+  def kmvIntersections(rows: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val k = KmvK
+    val du = rows.select("event_type", "user_id").distinct()
+      .withColumn("h",
+        (conv(substring(md5(concat(lit("kmv:"), col("user_id").cast("string"))),
+                        1, 8), 16, 10).cast("long") + lit(1L)).cast("double") /
+        lit(4294967296.0))
+    val w = Window.partitionBy("event_type").orderBy("h", "user_id")
+    val sk = du.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .select(col("event_type"), col("h"))
+    val tys = du.select("event_type").distinct()
+    val pairs = tys.select(col("event_type").as("ta"))
+      .crossJoin(tys.select(col("event_type").as("tb")))
+      .where(col("ta") < col("tb"))
+    val pairRows =
+      pairs.join(broadcast(sk), col("event_type") === col("ta"))
+        .select(col("ta"), col("tb"), col("h"), lit(1).as("ia"), lit(0).as("ib"))
+      .unionByName(
+        pairs.join(broadcast(sk), col("event_type") === col("tb"))
+          .select(col("ta"), col("tb"), col("h"), lit(0).as("ia"), lit(1).as("ib")))
+      .groupBy("ta", "tb", "h")
+      .agg(max(col("ia")).as("ia"), max(col("ib")).as("ib"))
+    val wu = Window.partitionBy("ta", "tb").orderBy("h")
+    val un = pairRows.withColumn("rn", row_number().over(wu)).where(col("rn") <= k)
+      .groupBy("ta", "tb")
+      .agg(count(lit(1)).as("n_u"), max(col("h")).as("hk"),
+           sum(col("ia") * col("ib")).as("n_both"))
+    val exact = du.select(col("event_type").as("ta"), col("user_id"))
+      .join(du.select(col("event_type").as("tb"), col("user_id")), Seq("user_id"))
+      .where(col("ta") < col("tb"))
+      .groupBy("ta", "tb").agg(count(lit(1)).as("exact_inter"))
+    val raw = (lit(k.toDouble) - lit(1.0)) / col("hk")
+    un.join(exact, Seq("ta", "tb"), "left")
+      .select(col("ta"), col("tb"), big(col("n_both")).as("n_both"),
+        when(col("n_u") < k, col("n_u").cast("double"))
+          .otherwise(fround(raw, 4)).as("est_union"),
+        when(col("n_u") < k, col("n_both").cast("double"))
+          .otherwise(fround(col("n_both").cast("double") * raw / lit(k.toDouble), 4))
+          .as("est_inter"),
+        big(coalesce(col("exact_inter"), lit(0L))).as("exact_inter"))
+      .orderBy("ta", "tb")
+  }
 
   val queries: Map[String, Q] = Map(
     // SEEDED POISSON BOOTSTRAP confidence interval for mean per-user
@@ -876,6 +929,26 @@ object Aggregations {
     // (per-source → per-lang → corpus) without touching rows again.
     // No oracle (sketch encoding is engine-specific); property-tested
     // within 5% of exact per level.
+    // KMV (k-minimum-values / theta-sketch style) DISTINCT-SET
+    // INTERSECTION estimation between audiences — the sketch-family
+    // operation HLL cannot do (HLL unions; intersections via
+    // inclusion-exclusion explode the error). Per event_type the
+    // sketch is the KmvK smallest md5-derived uniform hashes of the
+    // distinct user set (Beyer et al. 2007, SIGMOD — mergeable:
+    // bottom-k of a union IS bottom-k of the sketches' union). Per
+    // type pair: the union sketch's k-th min estimates |A∪B| as
+    // (k−1)/h_k, the fraction of union-sketch members present in both
+    // sides estimates Jaccard, their product estimates |A∩B|. The
+    // md5 hash makes every estimate DETERMINISTIC — the oracle
+    // replays it bit-for-bit — and the exact intersection rides along
+    // as the error certificate. Shapes at 100 TB: one distinct
+    // (type,user) exchange, per-type bottom-k windows over 5
+    // partitions, then everything is sketch-sized (5·k rows,
+    // broadcast); the exact certificate is the only corpus-scale
+    // join and is droppable in production.
+    "agg_kmv_intersection" -> ((s, dir) =>
+      kmvIntersections(events(s, dir).select("event_type", "user_id"))),
+
     "agg_hll_merge" -> ((s, dir) => {
       val tok = documents(s, dir)
         .select(col("lang"), explode(split(lower(col("text")), " ")).as("token"))
@@ -1520,6 +1593,40 @@ object Aggregations {
   }
 
   val oracle: Map[String, String] = Map(
+    // identical seeded-md5 uniform hash, identical bottom-k and union
+    // algebra; the (k−1)/h_k chain is textually mirrored so the
+    // estimates compare bit-for-bit after the 4-dp pin
+    "agg_kmv_intersection" -> {
+      val k = KmvK
+      "WITH du AS MATERIALIZED (SELECT DISTINCT event_type, user_id FROM events), " +
+      "hh AS MATERIALIZED (SELECT event_type, user_id, " +
+      "(CAST(CONCAT('0x', SUBSTRING(MD5('kmv:' || CAST(user_id AS VARCHAR)), 1, 8)) " +
+      "AS BIGINT) + 1) / 4294967296.0 AS h FROM du), " +
+      "sk AS MATERIALIZED (SELECT event_type, h FROM " +
+      "(SELECT event_type, h, ROW_NUMBER() OVER (PARTITION BY event_type " +
+      s"ORDER BY h, user_id) AS rn FROM hh) WHERE rn <= $k), " +
+      "tys AS (SELECT DISTINCT event_type FROM du), " +
+      "pairs AS (SELECT a.event_type AS ta, b.event_type AS tb FROM tys a, tys b " +
+      "WHERE a.event_type < b.event_type), " +
+      "pr AS (SELECT ta, tb, h, MAX(ia) AS ia, MAX(ib) AS ib FROM " +
+      "(SELECT ta, tb, h, 1 AS ia, 0 AS ib FROM pairs JOIN sk ON sk.event_type = pairs.ta " +
+      "UNION ALL " +
+      "SELECT ta, tb, h, 0 AS ia, 1 AS ib FROM pairs JOIN sk ON sk.event_type = pairs.tb) " +
+      "GROUP BY 1, 2, 3), " +
+      "un AS (SELECT ta, tb, COUNT(*) AS n_u, MAX(h) AS hk, SUM(ia * ib) AS n_both FROM " +
+      "(SELECT ta, tb, h, ia, ib, ROW_NUMBER() OVER (PARTITION BY ta, tb ORDER BY h) AS rn " +
+      s"FROM pr) WHERE rn <= $k GROUP BY 1, 2), " +
+      "ex AS (SELECT a.event_type AS ta, b.event_type AS tb, COUNT(*) AS exact_inter " +
+      "FROM du a JOIN du b USING (user_id) WHERE a.event_type < b.event_type GROUP BY 1, 2) " +
+      "SELECT un.ta, un.tb, CAST(n_both AS BIGINT) AS n_both, " +
+      s"CASE WHEN n_u < $k THEN CAST(n_u AS DOUBLE) ELSE " +
+      froundSql(s"(CAST($k AS DOUBLE) - 1.0) / hk", 4) + " END AS est_union, " +
+      s"CASE WHEN n_u < $k THEN CAST(n_both AS DOUBLE) ELSE " +
+      froundSql(s"CAST(n_both AS DOUBLE) * ((CAST($k AS DOUBLE) - 1.0) / hk) / CAST($k AS DOUBLE)", 4) +
+      " END AS est_inter, " +
+      "CAST(COALESCE(exact_inter, 0) AS BIGINT) AS exact_inter " +
+      "FROM un LEFT JOIN ex ON un.ta = ex.ta AND un.tb = ex.tb ORDER BY un.ta, un.tb"
+    },
     // identical seeded inverse-CDF draw: 52 md5 bits of the cell key,
     // the same Laplace algebra text, the same 6-dp noise pin and
     // non-negativity trim
