@@ -278,6 +278,11 @@ object TextOps {
     * so the oracle interpolates the identical literal. */
   val BigramLmLambda = 0.7
 
+  /** Absolute-discounting constant for text_kneser_ney (the Chen &
+    * Goodman 1999 fixed-D variant) — shared verbatim with the oracle
+    * so the discount chain is bit-identical. */
+  val KnDiscount = 0.75
+
   /** text_dsir: hashed-feature space size (buckets for word uni+bigrams
     * — production DSIR uses 10k; 64 keeps the broadcast model
     * fixture-readable while exercising real collisions), the doc_id
@@ -331,6 +336,39 @@ object TextOps {
 
   def bpeTrainOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     bpeTrainStates(docs)._1
+
+  /** text_kneser_ney's whole pipeline on any (doc_id, lang, text)
+    * frame — factored out so KneserNeySpec can plant a hand-computable
+    * corpus and drive the continuation-count signature property. */
+  def knScores(docs: DataFrame): DataFrame = {
+    val d = lit(KnDiscount)
+    val toks = docs
+      .select(col("doc_id"), col("lang"),
+              split(lower(col("text")), " ").as("t"))
+    val bi = toks.where(size(col("t")) >= 2)
+      .select(col("doc_id"), col("lang"),
+        explode(expr("transform(sequence(1, size(t) - 1), " +
+          "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"))
+          .as("bg"))
+      .select(col("doc_id"), col("lang"),
+              col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val hist = c2.groupBy("w1")
+      .agg(sum(col("c2")).as("ch"), count(lit(1)).as("nfo"))
+    val cont = c2.groupBy("w2").agg(count(lit(1)).as("npre"))
+    val btot = c2.agg(count(lit(1)).as("nbb"))
+    bi.join(c2, Seq("w1", "w2"))
+      .join(broadcast(hist), Seq("w1"))
+      .join(broadcast(cont), Seq("w2"))
+      .crossJoin(broadcast(btot))
+      .withColumn("lp", log(
+        (greatest(col("c2") - d, lit(0.0)) / col("ch")) +
+        (d * col("nfo") / col("ch")) * (col("npre") / col("nbb"))))
+      .groupBy("doc_id", "lang")
+      .agg(big(count(lit(1))).as("n_bigrams"),
+           fround(dsum6(col("lp")) / count(lit(1)), 4).as("avg_logprob"))
+      .orderBy("doc_id")
+  }
 
   /** text_dsir's whole pipeline on any (doc_id, lang, text) frame —
     * factored out so DsirSpec can plant a corpus with a separable
@@ -481,6 +519,21 @@ object TextOps {
              fround(dsum6(col("lp")) / count(lit(1)), 4).as("avg_logprob"))
         .orderBy("doc_id")
     }),
+
+    // INTERPOLATED KNESER-NEY bigram LM (Chen & Goodman 1999; the
+    // smoothing every production n-gram LM — KenLM included — ships):
+    // P(w2|w1) = max(c(w1w2)−D, 0)/c(w1·) + D·N1+(w1·)/c(w1·) ·
+    // N1+(·w2)/N1+(··). Unlike text_bigram_lm's unigram backoff, the
+    // lower-order model is the CONTINUATION count — how many distinct
+    // histories a word follows — which is what makes KN the accepted
+    // answer for "San Francisco"-type boilerplate (frequent but
+    // single-history words back off to near zero). Shapes: everything
+    // derives from the distinct-bigram count table — history totals
+    // and distinct-follower counts group by w1, continuation counts
+    // by w2, N1+(··) is one scalar; all are vocabulary-scale and
+    // BROADCAST onto the per-doc bigram stream. One corpus-bounded
+    // bigram exchange, the text_bigram_lm scale argument verbatim.
+    "text_kneser_ney" -> ((s, dir) => knScores(documents(s, dir))),
 
     // CCNet-style QUALITY BUCKETS (Wenzek et al., public recipe:
     // head/middle/tail by LM score): per language, cut the per-doc
@@ -1639,6 +1692,30 @@ object TextOps {
       froundSql(dsum6Sql("lp") + " / COUNT(*)", 4) + " AS avg_logprob " +
       "FROM sc GROUP BY 1, 2 ORDER BY doc_id"
     },
+    // the identical discount/continuation chain; D interpolated from
+    // the Scala double, counts divide as BIGINT/BIGINT → DOUBLE on
+    // both engines, same parenthesization throughout
+    "text_kneser_ney" -> {
+      val d = KnDiscount
+      "WITH toks AS (SELECT doc_id, lang, STRING_SPLIT(LOWER(text), ' ') AS t " +
+      "FROM documents), " +
+      "bi AS MATERIALIZED (SELECT doc_id, lang, t[i] AS w1, t[i + 1] AS w2 " +
+      "FROM (SELECT doc_id, lang, t, UNNEST(RANGE(1, LEN(t))) AS i " +
+      "FROM toks WHERE LEN(t) >= 2)), " +
+      "c2 AS MATERIALIZED (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY 1, 2), " +
+      "hist AS (SELECT w1, SUM(c2) AS ch, COUNT(*) AS nfo FROM c2 GROUP BY w1), " +
+      "cont AS (SELECT w2, COUNT(*) AS npre FROM c2 GROUP BY w2), " +
+      "btot AS (SELECT COUNT(*) AS nbb FROM c2), " +
+      "sc AS (SELECT bi.doc_id, bi.lang, " +
+      s"LN((GREATEST(c2.c2 - CAST($d AS DOUBLE), 0.0) / ch) + " +
+      s"(CAST($d AS DOUBLE) * nfo / ch) * (npre / nbb)) AS lp " +
+      "FROM bi JOIN c2 USING (w1, w2) JOIN hist USING (w1) " +
+      "JOIN cont USING (w2), btot) " +
+      "SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_bigrams, " +
+      froundSql(dsum6Sql("lp") + " / COUNT(*)", 4) + " AS avg_logprob " +
+      "FROM sc GROUP BY 1, 2 ORDER BY doc_id"
+    },
+
     // the same per-lang 30/70 cuts, derived with PERCENTILE_CONT and
     // fround6-pinned before the bucket compare
     "text_quality_buckets" ->
