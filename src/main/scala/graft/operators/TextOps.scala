@@ -278,6 +278,12 @@ object TextOps {
     * so the oracle interpolates the identical literal. */
   val BigramLmLambda = 0.7
 
+  /** sample_curriculum: number of training stages; competence at stage
+    * s is sqrt(s/S) (the Platanios et al. 2019 root pacing — early
+    * stages admit only the easiest slice, late stages the full
+    * distribution). Shared verbatim with the oracle. */
+  val CurriculumStages = 5
+
   /** Absolute-discounting constant for text_kneser_ney (the Chen &
     * Goodman 1999 fixed-D variant) — shared verbatim with the oracle
     * so the discount chain is bit-identical. */
@@ -534,6 +540,34 @@ object TextOps {
     // BROADCAST onto the per-doc bigram stream. One corpus-bounded
     // bigram exchange, the text_bigram_lm scale argument verbatim.
     "text_kneser_ney" -> ((s, dir) => knScores(documents(s, dir))),
+
+    // COMPETENCE-BASED CURRICULUM staging (Platanios et al. 2019): the
+    // data-ordering step between scoring and training — rank documents
+    // by difficulty (negated corpus-LM score: improbable token streams
+    // are hard) and admit them in stages under the root pacing
+    // c(s) = sqrt(s/S); a document joins the FIRST stage whose
+    // competence covers its per-lang difficulty percentile, i.e.
+    // stage = max(1, ceil(S·pr²)). Output is the per-(lang, stage)
+    // cohort manifest a trainer consumes. Shapes: difficulty reuses
+    // the broadcast unigram LM; the percentile is one per-lang window
+    // (NOT a global sort — lang partitions bound each sort at 100 TB,
+    // and the heavy per-doc scoring stays window-free); the manifest
+    // is a stages×langs aggregate.
+    "sample_curriculum" -> ((s, dir) => {
+      val S = CurriculumStages
+      val sc = lmScores(documents(s, dir))
+        .withColumn("diff", -col("avg_logprob"))
+      val w = Window.partitionBy("lang").orderBy(col("diff"), col("doc_id"))
+      sc.withColumn("pr", percent_rank().over(w))
+        .withColumn("stage",
+          big(greatest(lit(1L), ceil(lit(S.toDouble) * col("pr") * col("pr")))))
+        .groupBy("lang", "stage")
+        .agg(big(count(lit(1))).as("n_docs"),
+             min(col("diff")).as("min_diff"),
+             max(col("diff")).as("max_diff"),
+             fround(dsum6(col("diff")) / count(lit(1)), 4).as("avg_diff"))
+        .orderBy("lang", "stage")
+    }),
 
     // CCNet-style QUALITY BUCKETS (Wenzek et al., public recipe:
     // head/middle/tail by LM score): per language, cut the per-doc
@@ -1692,6 +1726,23 @@ object TextOps {
       froundSql(dsum6Sql("lp") + " / COUNT(*)", 4) + " AS avg_logprob " +
       "FROM sc GROUP BY 1, 2 ORDER BY doc_id"
     },
+    // same negated-LM difficulty, same PERCENT_RANK (identical
+    // (rank−1)/(n−1) definition in both engines, doc_id tiebreak) and
+    // the same left-associated S·pr·pr ceiling chain
+    "sample_curriculum" -> {
+      val S = CurriculumStages
+      "WITH " + LmCte + ", " +
+      "d AS (SELECT doc_id, lang, -avg_logprob AS diff FROM lm), " +
+      "p AS (SELECT lang, doc_id, diff, PERCENT_RANK() OVER " +
+      "(PARTITION BY lang ORDER BY diff, doc_id) AS pr FROM d), " +
+      s"st AS (SELECT lang, diff, CAST(GREATEST(1, CEIL(CAST($S AS DOUBLE) * pr * pr)) " +
+      "AS BIGINT) AS stage FROM p) " +
+      "SELECT lang, stage, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+      "MIN(diff) AS min_diff, MAX(diff) AS max_diff, " +
+      froundSql(dsum6Sql("diff") + " / COUNT(*)", 4) + " AS avg_diff " +
+      "FROM st GROUP BY 1, 2 ORDER BY 1, 2"
+    },
+
     // the identical discount/continuation chain; D interpolated from
     // the Scala double, counts divide as BIGINT/BIGINT → DOUBLE on
     // both engines, same parenthesization throughout
