@@ -278,6 +278,11 @@ object TextOps {
     * so the oracle interpolates the identical literal. */
   val BigramLmLambda = 0.7
 
+  /** text_novelty: n-gram width of the first-occurrence novelty
+    * metric (8, matching the decontamination/substring-dedup gate
+    * family). Shared verbatim with the oracle. */
+  val NoveltyNgramTokens = 8
+
   /** sample_curriculum: number of training stages; competence at stage
     * s is sqrt(s/S) (the Platanios et al. 2019 root pacing — early
     * stages admit only the easiest slice, late stages the full
@@ -540,6 +545,35 @@ object TextOps {
     // BROADCAST onto the per-doc bigram stream. One corpus-bounded
     // bigram exchange, the text_bigram_lm scale argument verbatim.
     "text_kneser_ney" -> ((s, dir) => knScores(documents(s, dir))),
+
+    // FIRST-OCCURRENCE N-GRAM NOVELTY — the memorization-risk /
+    // curation metric: what fraction of a document's 8-grams appear
+    // here for the FIRST time in corpus order (min doc_id wins)? A
+    // low-novelty document is mostly restatement of earlier data —
+    // the per-doc readout of the same evidence dedup_substring acts
+    // on, kept as a score instead of a rewrite. Shapes: per-doc
+    // DISTINCT window digests (row-local explode), one digest-keyed
+    // min-aggregate, and the join back is co-partitioned on the same
+    // digest key — two exchanges total, both bounded by the distinct
+    // n-gram volume, no all-pairs anything.
+    "text_novelty" -> ((s, dir) => {
+      val k = NoveltyNgramTokens
+      val wins = documents(s, dir)
+        .select(col("doc_id"), col("lang"), split(lower(trim(col("text"))), " ").as("t"))
+        .where(size(col("t")) >= k)
+        .select(col("doc_id"), col("lang"),
+          explode(array_distinct(transform(
+            sequence(lit(0), size(col("t")) - k),
+            i => md5(concat_ws(" ", slice(col("t"), i + 1, lit(k))).cast("binary")))))
+            .as("dg"))
+      val first = wins.groupBy("dg").agg(min(col("doc_id")).as("first_doc"))
+      wins.join(first, Seq("dg"))
+        .groupBy("doc_id", "lang")
+        .agg(big(count(lit(1))).as("n_grams"),
+             big(sum(when(col("first_doc") === col("doc_id"), 1).otherwise(0))).as("n_novel"))
+        .withColumn("novelty", fround(col("n_novel").cast("double") / col("n_grams"), 4))
+        .orderBy("doc_id")
+    }),
 
     // COMPETENCE-BASED CURRICULUM staging (Platanios et al. 2019): the
     // data-ordering step between scoring and training — rank documents
@@ -1726,6 +1760,26 @@ object TextOps {
       froundSql(dsum6Sql("lp") + " / COUNT(*)", 4) + " AS avg_logprob " +
       "FROM sc GROUP BY 1, 2 ORDER BY doc_id"
     },
+    // grouping by the RAW gram text is digest-grouping without the
+    // digest (md5 is injective up to collisions; only group identity
+    // matters here), so the oracle skips hash-parity entirely
+    "text_novelty" -> {
+      val k = NoveltyNgramTokens
+      "WITH t AS (SELECT doc_id, lang, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS t " +
+      "FROM documents), " +
+      "w AS MATERIALIZED (SELECT DISTINCT doc_id, lang, " +
+      s"ARRAY_TO_STRING(t[i + 1:i + $k], ' ') AS g " +
+      s"FROM (SELECT doc_id, lang, t, UNNEST(RANGE(0, LEN(t) - $k + 1)) AS i " +
+      s"FROM t WHERE LEN(t) >= $k)), " +
+      "f AS (SELECT g, MIN(doc_id) AS first_doc FROM w GROUP BY g), " +
+      "a AS (SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_grams, " +
+      "CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel " +
+      "FROM w JOIN f USING (g) GROUP BY 1, 2) " +
+      "SELECT doc_id, lang, n_grams, n_novel, " +
+      froundSql("CAST(n_novel AS DOUBLE) / n_grams", 4) + " AS novelty " +
+      "FROM a ORDER BY doc_id"
+    },
+
     // same negated-LM difficulty, same PERCENT_RANK (identical
     // (rank−1)/(n−1) definition in both engines, doc_id tiebreak) and
     // the same left-associated S·pr·pr ceiling chain
