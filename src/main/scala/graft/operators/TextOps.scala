@@ -1397,6 +1397,89 @@ object TextOps {
         .orderBy("lang")
     }),
 
+    // UNIGRAM-LM TOKENIZER (Kudo 2018 / SentencePiece-unigram) — the
+    // third member of the tokenizer trio next to text_bpe_* (merge
+    // learning) and text_wordpiece (greedy MaxMatch): segment every
+    // word by VITERBI — the max-total-log-probability split under a
+    // unigram piece model — rather than greedily. The vocabulary is
+    // the same budget as wordpiece (top WpVocabNgrams char n-grams of
+    // length 2..WpMaxPiece plus the full single-char alphabet) so the
+    // Viterbi-vs-greedy comparison is apples-to-apples; piece scores
+    // are corpus-frequency log-probs pinned to 6 decimals (the full
+    // EM re-estimation is deliberately skipped — scores stay
+    // closed-form and oracle-replayable). The DP carries only the
+    // last 4 positions' (score, piece-count) — state is O(1) per
+    // word — and ties prefer the LONGEST piece via a fixed CASE
+    // order shared verbatim with the oracle's recursive-CTE DP.
+    // Shapes at 100 TB: train is the wordpiece explode/agg; the
+    // vocab (≤ ~100 entries) collects and rides into the row-local
+    // codegen'd segmentation as a map literal; encode memoizes per
+    // DISTINCT word and joins back counts — nothing per-token ever
+    // shuffles.
+    "text_unigram" -> ((s, dir) => {
+      val wcl = documents(s, dir)
+        .select(col("lang"), explode(split(lower(trim(col("text"))), " ")).as("w"))
+        .groupBy("lang", "w").agg(count(lit(1)).as("cnt"))
+      val wc = wcl.groupBy("w").agg(sum(col("cnt")).as("cnt"))
+      def gramsK(k: Int) = wc.where(length(col("w")) >= k)
+        .select(col("cnt"), explode(transform(
+          sequence(lit(1), length(col("w")) - (k - 1)),
+          i => col("w").substr(i, lit(k)))).as("g"))
+      val top = (2 to WpMaxPiece).map(gramsK).reduce(_ unionByName _)
+        .groupBy("g").agg(sum(col("cnt")).as("freq"))
+        .orderBy(col("freq").desc, col("g")).limit(WpVocabNgrams)
+      val alpha = gramsK(1).groupBy("g").agg(sum(col("cnt")).as("freq"))
+      val entries = top.unionByName(alpha).collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+      val total = entries.map(_._2).sum.toDouble
+      val vmap = typedlit(entries.map { case (g, f) =>
+        g -> graft.Tables.round6(math.log(f.toDouble / total)) }.toMap)
+      val neg = lit(-1e18)
+      val st0 = struct(
+        lit(0.0).as("d0"), neg.as("d1"), neg.as("d2"), neg.as("d3"),
+        lit(0).as("n0"), lit(0).as("n1"), lit(0).as("n2"), lit(0).as("n3"))
+      val segState = aggregate(
+        sequence(lit(1), length(col("w"))), st0,
+        (st, p) => {
+          // candidate j ends at p with piece w[p-j+1 .. p]; dp prev is
+          // the carried d(j-1); -1e18 absorbs infeasible branches
+          def cand(j: Int): Column = {
+            val piece = col("w").substr(p - lit(j - 1), lit(j))
+            val prev = st.getField(s"d${j - 1}")
+            if (j == 1) prev + element_at(vmap, piece)
+            else when(p >= j,
+              coalesce(prev + element_at(vmap, piece), neg)).otherwise(neg)
+          }
+          val (c1, c2, c3, c4) = (cand(1), cand(2), cand(3), cand(4))
+          def pick(j: Int, c: Column) =
+            struct(c.as("s"), (st.getField(s"n${j - 1}") + 1).as("n"))
+          val best =
+            when(c4 >= c3 && c4 >= c2 && c4 >= c1, pick(4, c4))
+              .when(c3 >= c2 && c3 >= c1, pick(3, c3))
+              .when(c2 >= c1, pick(2, c2))
+              .otherwise(pick(1, c1))
+          struct(
+            best.getField("s").as("d0"), st.getField("d0").as("d1"),
+            st.getField("d1").as("d2"), st.getField("d2").as("d3"),
+            best.getField("n").as("n0"), st.getField("n0").as("n1"),
+            st.getField("n1").as("n2"), st.getField("n2").as("n3"))
+        })
+      val seg = wc.select(col("w"), col("cnt"), segState.as("st"))
+        .select(col("w"), col("st").getField("d0").as("dp"),
+                col("st").getField("n0").as("np"))
+      wcl.join(seg, Seq("w"))
+        .groupBy("lang")
+        .agg(big(sum(col("cnt"))).as("n_words"),
+             big(sum(col("cnt") * col("np"))).as("n_pieces"),
+             fround(sum(col("cnt") * col("np")).cast("double") /
+                    sum(col("cnt")), 4).as("pieces_per_word"),
+             fround(sum(col("cnt") * length(col("w"))).cast("double") /
+                    sum(col("cnt") * col("np")), 4).as("chars_per_piece"),
+             fround(dsum6(col("cnt") * col("dp")) /
+                    sum(col("cnt")), 4).as("avg_word_logprob"))
+        .orderBy("lang")
+    }),
+
     // TRAIN → APPLY, composed — the loop a tokenizer pipeline
     // actually runs: learn the merges on the corpus (the
     // text_bpe_train rounds, same single definition) and measure the
@@ -1760,6 +1843,64 @@ object TextOps {
       froundSql(dsum6Sql("lp") + " / COUNT(*)", 4) + " AS avg_logprob " +
       "FROM sc GROUP BY 1, 2 ORDER BY doc_id"
     },
+    // the identical Viterbi: same vocab/score CTEs (6-dp LN pin), and
+    // a recursive CTE carrying the same 4-deep (dp, npieces) state
+    // with the same longest-piece-first CASE order — engine and
+    // oracle run token-identical comparison chains, so the argmax
+    // path (and thus every count) matches exactly
+    "text_unigram" -> {
+      val grams = (2 to WpMaxPiece).map { k =>
+        s"SELECT SUBSTRING(w, i, $k) AS g, cnt FROM (SELECT w, cnt, " +
+        s"UNNEST(RANGE(1, LEN(w) - $k + 2)) AS i FROM wc WHERE LEN(w) >= $k)"
+      }.mkString(" UNION ALL ")
+      "WITH RECURSIVE " +
+      "wcl AS (SELECT lang, w, COUNT(*) AS cnt FROM (SELECT lang, " +
+      "UNNEST(STRING_SPLIT(LOWER(TRIM(text)), ' ')) AS w FROM documents) GROUP BY 1, 2), " +
+      "wc AS MATERIALIZED (SELECT w, SUM(cnt) AS cnt FROM wcl GROUP BY w), " +
+      s"gr AS ($grams), " +
+      "topv AS (SELECT g, SUM(cnt) AS freq FROM gr GROUP BY g " +
+      s"ORDER BY freq DESC, g LIMIT $WpVocabNgrams), " +
+      "alpha AS (SELECT g, SUM(cnt) AS freq FROM (SELECT SUBSTRING(w, i, 1) AS g, cnt " +
+      "FROM (SELECT w, cnt, UNNEST(RANGE(1, LEN(w) + 1)) AS i FROM wc)) GROUP BY g), " +
+      "voc AS (SELECT * FROM topv UNION ALL SELECT * FROM alpha), " +
+      "tot AS (SELECT SUM(freq) AS total FROM voc), " +
+      "vs AS MATERIALIZED (SELECT g, " +
+      froundSql("LN(CAST(freq AS DOUBLE) / CAST(total AS DOUBLE))", 6) +
+      " AS s FROM voc, tot), " +
+      "dw AS (SELECT DISTINCT w FROM wc), " +
+      "r AS (SELECT w, 0 AS i, CAST(0.0 AS DOUBLE) AS d0, " +
+      "-1e18 AS d1, -1e18 AS d2, -1e18 AS d3, " +
+      "0 AS n0, 0 AS n1, 0 AS n2, 0 AS n3 FROM dw " +
+      "UNION ALL " +
+      "SELECT w, i, " +
+      "CASE WHEN c4 >= c3 AND c4 >= c2 AND c4 >= c1 THEN c4 " +
+      "WHEN c3 >= c2 AND c3 >= c1 THEN c3 WHEN c2 >= c1 THEN c2 ELSE c1 END AS d0, " +
+      "pd0 AS d1, pd1 AS d2, pd2 AS d3, " +
+      "CASE WHEN c4 >= c3 AND c4 >= c2 AND c4 >= c1 THEN pn3 + 1 " +
+      "WHEN c3 >= c2 AND c3 >= c1 THEN pn2 + 1 WHEN c2 >= c1 THEN pn1 + 1 " +
+      "ELSE pn0 + 1 END AS n0, " +
+      "pn0 AS n1, pn1 AS n2, pn2 AS n3 FROM " +
+      "(SELECT r.w, r.i + 1 AS i, r.d0 AS pd0, r.d1 AS pd1, r.d2 AS pd2, " +
+      "r.n0 AS pn0, r.n1 AS pn1, r.n2 AS pn2, r.n3 AS pn3, " +
+      "(r.d0 + v1.s) AS c1, " +
+      "CASE WHEN r.i + 1 >= 2 THEN COALESCE(r.d1 + v2.s, -1e18) ELSE -1e18 END AS c2, " +
+      "CASE WHEN r.i + 1 >= 3 THEN COALESCE(r.d2 + v3.s, -1e18) ELSE -1e18 END AS c3, " +
+      "CASE WHEN r.i + 1 >= 4 THEN COALESCE(r.d3 + v4.s, -1e18) ELSE -1e18 END AS c4 " +
+      "FROM r " +
+      "LEFT JOIN vs v1 ON v1.g = SUBSTRING(r.w, r.i + 1, 1) " +
+      "LEFT JOIN vs v2 ON v2.g = SUBSTRING(r.w, r.i, 2) " +
+      "LEFT JOIN vs v3 ON v3.g = SUBSTRING(r.w, r.i - 1, 3) " +
+      "LEFT JOIN vs v4 ON v4.g = SUBSTRING(r.w, r.i - 2, 4) " +
+      "WHERE r.i < LEN(r.w))), " +
+      "fin AS (SELECT w, d0 AS dp, n0 AS np FROM r WHERE i = LEN(w)) " +
+      "SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n_words, " +
+      "CAST(SUM(cnt * np) AS BIGINT) AS n_pieces, " +
+      froundSql("CAST(SUM(cnt * np) AS DOUBLE) / SUM(cnt)", 4) + " AS pieces_per_word, " +
+      froundSql("CAST(SUM(cnt * LEN(w)) AS DOUBLE) / SUM(cnt * np)", 4) + " AS chars_per_piece, " +
+      froundSql(dsum6Sql("cnt * dp") + " / SUM(cnt)", 4) + " AS avg_word_logprob " +
+      "FROM wcl JOIN fin USING (w) GROUP BY lang ORDER BY lang"
+    },
+
     // grouping by the RAW gram text is digest-grouping without the
     // digest (md5 is injective up to collisions; only group identity
     // matters here), so the oracle skips hash-parity entirely
