@@ -122,6 +122,29 @@ final case class Corpus(df: DataFrame) {
     Corpus(df.join(keep, Seq("doc_id"), "left_semi"))
   }
 
+  /** DSIR importance-resampling report (the text_dsir kernel): per-doc
+    * hashed-n-gram target/raw log-likelihood-ratio weight and the
+    * per-lang top-quantile keep flag. Requires doc_id/lang/text. */
+  def dsirReport(): DataFrame =
+    graft.operators.TextOps.dsirSelect(df)
+
+  /** Keep only the documents DSIR selects (kept == 1). */
+  def dsirSelect(): Corpus = {
+    val keep = dsirReport().where(col("kept") === 1L).select("doc_id")
+    Corpus(df.join(keep, Seq("doc_id"), "left_semi"))
+  }
+
+  /** Interpolated Kneser-Ney bigram LM scores per document (the
+    * text_kneser_ney kernel). */
+  def knScores(): DataFrame =
+    graft.operators.TextOps.knScores(df)
+
+  /** First-occurrence n-gram novelty per document (the text_novelty
+    * kernel): fraction of this doc's n-grams first seen here in
+    * corpus (doc_id) order. */
+  def noveltyScores(): DataFrame =
+    graft.operators.TextOps.noveltyScores(df)
+
   /** Overlapping fixed-width passage chunks for retrieval ingestion
     * (the text_rag_chunks kernel): one row per (doc, chunk) with token
     * offset, length, and rebuilt text. Requires a `lang` column. */

@@ -381,6 +381,27 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** text_novelty's whole pipeline on any (doc_id, lang, text) frame —
+    * factored out for the Corpus facade and NoveltySpec. */
+  def noveltyScores(docs: DataFrame): DataFrame = {
+    val k = NoveltyNgramTokens
+    val wins = docs
+      .select(col("doc_id"), col("lang"), split(lower(trim(col("text"))), " ").as("t"))
+      .where(size(col("t")) >= k)
+      .select(col("doc_id"), col("lang"),
+        explode(array_distinct(transform(
+          sequence(lit(0), size(col("t")) - k),
+          i => md5(concat_ws(" ", slice(col("t"), i + 1, lit(k))).cast("binary")))))
+          .as("dg"))
+    val first = wins.groupBy("dg").agg(min(col("doc_id")).as("first_doc"))
+    wins.join(first, Seq("dg"))
+      .groupBy("doc_id", "lang")
+      .agg(big(count(lit(1))).as("n_grams"),
+           big(sum(when(col("first_doc") === col("doc_id"), 1).otherwise(0))).as("n_novel"))
+      .withColumn("novelty", fround(col("n_novel").cast("double") / col("n_grams"), 4))
+      .orderBy("doc_id")
+  }
+
   /** text_dsir's whole pipeline on any (doc_id, lang, text) frame —
     * factored out so DsirSpec can plant a corpus with a separable
     * target vocabulary. Hashed uni+bigram features → Laplace-smoothed
@@ -556,24 +577,7 @@ object TextOps {
     // min-aggregate, and the join back is co-partitioned on the same
     // digest key — two exchanges total, both bounded by the distinct
     // n-gram volume, no all-pairs anything.
-    "text_novelty" -> ((s, dir) => {
-      val k = NoveltyNgramTokens
-      val wins = documents(s, dir)
-        .select(col("doc_id"), col("lang"), split(lower(trim(col("text"))), " ").as("t"))
-        .where(size(col("t")) >= k)
-        .select(col("doc_id"), col("lang"),
-          explode(array_distinct(transform(
-            sequence(lit(0), size(col("t")) - k),
-            i => md5(concat_ws(" ", slice(col("t"), i + 1, lit(k))).cast("binary")))))
-            .as("dg"))
-      val first = wins.groupBy("dg").agg(min(col("doc_id")).as("first_doc"))
-      wins.join(first, Seq("dg"))
-        .groupBy("doc_id", "lang")
-        .agg(big(count(lit(1))).as("n_grams"),
-             big(sum(when(col("first_doc") === col("doc_id"), 1).otherwise(0))).as("n_novel"))
-        .withColumn("novelty", fround(col("n_novel").cast("double") / col("n_grams"), 4))
-        .orderBy("doc_id")
-    }),
+    "text_novelty" -> ((s, dir) => noveltyScores(documents(s, dir))),
 
     // COMPETENCE-BASED CURRICULUM staging (Platanios et al. 2019): the
     // data-ordering step between scoring and training — rank documents

@@ -189,4 +189,19 @@ class CorpusApiSpec extends SparkSpec {
       .select("label", "vec_id", "nbr_id", "cos", "rnk")
     assertSameRows(viaApi, SparkEntry.queries("sim_knn_join")(spark, sf001), "knn")
   }
+
+  test("dsirReport equals the text_dsir query; dsirSelect keeps exactly the flagged docs") {
+    val viaApi = Corpus(docs).dsirReport()
+    assertSameRows(viaApi, SparkEntry.queries("text_dsir")(spark, sf001), "dsir")
+    val kept = Corpus(docs).dsirSelect().df
+    val flagged = viaApi.where(col("kept") === 1L).count()
+    assert(kept.count() == flagged && flagged > 0)
+  }
+
+  test("knScores and noveltyScores equal their query formulations") {
+    assertSameRows(Corpus(docs).knScores(),
+      SparkEntry.queries("text_kneser_ney")(spark, sf001), "kn")
+    assertSameRows(Corpus(docs).noveltyScores(),
+      SparkEntry.queries("text_novelty")(spark, sf001), "novelty")
+  }
 }

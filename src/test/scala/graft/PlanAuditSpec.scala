@@ -997,6 +997,43 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(4000))
   }
 
+  test("text_dsir: model and cuts broadcast onto the corpus, no product joins") {
+    val p = plan("text_dsir")
+    // the 64-row bucket model and the per-lang cuts must broadcast;
+    // the only nested-loop joins are the 1-row totals cross
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("text_novelty: digest-co-partitioned join, no product, no single-partition window") {
+    val p = plan("text_novelty")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+    assert(!p.contains("SinglePartition"), p.take(3000))
+  }
+
+  test("agg_kmv_intersection: sketches broadcast; only the 5-type pair cross nests") {
+    val p = plan("agg_kmv_intersection")
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+  }
+
+  test("sample_curriculum: the percentile window partitions by lang") {
+    // (a SinglePartition exchange exists legitimately — the unigram
+    // LM's 1-row corpus total; the WINDOW must not be global)
+    val p = plan("sample_curriculum")
+    assert(p.contains("windowspecdefinition(lang"), p.take(3000))
+    assert(p.contains("percent_rank"), p.take(3000))
+  }
+
+  test("text_unigram and text_kneser_ney stay product-free") {
+    for (q <- Seq("text_unigram", "text_kneser_ney")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n" + p.take(3000))
+    }
+  }
+
   test("whole-stage codegen covers the hot paths of the flagship aggregate") {
     // AQE finalizes stages only at execution; run the query, then check
     // the final adaptive plan for codegen stage markers (`*(n)`)
