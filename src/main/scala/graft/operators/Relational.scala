@@ -534,6 +534,44 @@ object Relational {
     // broadcasts. At 100 TB with high-cardinality quasi-ids the
     // class table is still bounded by the id-combination count,
     // never the row count.
+    // REFERENTIAL-INTEGRITY AUDIT across the FK graph — the dq gate
+    // that runs after every ingest batch: per FK edge, how many child
+    // rows point at a missing parent, and how many distinct missing
+    // keys there are (the re-ingest worklist size). One edge carries
+    // PLANTED corruption (every o_orderkey % 13 order's custkey
+    // shifted out of domain — the source_quarantine arithmetic-plant
+    // convention, so the audit provably FINDS what's broken rather
+    // than reporting zeros on clean fixtures); two lineitem edges
+    // audit clean. Shapes at 100 TB: each check is one LEFT ANTI join
+    // of child FKs against distinct parent keys — dimension-sized
+    // parents BROADCAST (pinned); a fact-sized parent would fall back
+    // to the same anti join shuffled on the key, still one exchange
+    // per edge. Orphan tallies are one hash-agg per edge.
+    "dq_referential" -> ((s, dir) => {
+      def edge(name: String, child: org.apache.spark.sql.DataFrame, fk: String,
+               parent: org.apache.spark.sql.DataFrame, pk: String) = {
+        val orphans = child.join(broadcast(parent.select(col(pk)).distinct()),
+            child(fk) === col(pk), "left_anti")
+        orphans.agg(big(count(lit(1))).as("n_orphans"),
+            big(countDistinct(col(fk))).as("n_missing_keys"))
+          .crossJoin(broadcast(child.agg(big(count(lit(1))).as("n_child"))))
+          .select(lit(name).as("edge"), col("n_child"), col("n_orphans"),
+                  col("n_missing_keys"),
+                  (col("n_orphans") === 0L).as("ok"))
+      }
+      val dirtyOrders = orders(s, dir).select(
+        when(col("o_orderkey") % 13 === 0, col("o_custkey") + 10000000L)
+          .otherwise(col("o_custkey")).as("o_custkey"))
+      Seq(
+        edge("orders.o_custkey->customer", dirtyOrders, "o_custkey",
+             customer(s, dir), "c_custkey"),
+        edge("lineitem.l_partkey->part", lineitem(s, dir), "l_partkey",
+             part(s, dir), "p_partkey"),
+        edge("lineitem.l_suppkey->supplier", lineitem(s, dir), "l_suppkey",
+             supplier(s, dir), "s_suppkey")
+      ).reduce(_ unionByName _).orderBy("edge")
+    }),
+
     "dq_k_anonymity" -> ((s, dir) => {
       val classes = customer(s, dir)
         .groupBy("c_nationkey", "c_mktsegment")
@@ -997,6 +1035,31 @@ object Relational {
     },
 
     // independent CTE derivation of the class grid + pooled sub-k mass
+    // same planted-arithmetic corruption, same anti-join semantics via
+    // NOT IN over the parent key set (NULL-free keys, so NOT IN is the
+    // exact anti join)
+    "dq_referential" ->
+      ("WITH d AS (SELECT CASE WHEN o_orderkey % 13 = 0 THEN o_custkey + 10000000 " +
+       "ELSE o_custkey END AS fk FROM orders), " +
+       "e1 AS (SELECT 'orders.o_custkey->customer' AS edge, " +
+       "CAST((SELECT COUNT(*) FROM d) AS BIGINT) AS n_child, " +
+       "CAST(COUNT(*) AS BIGINT) AS n_orphans, " +
+       "CAST(COUNT(DISTINCT fk) AS BIGINT) AS n_missing_keys " +
+       "FROM d WHERE fk NOT IN (SELECT c_custkey FROM customer)), " +
+       "e2 AS (SELECT 'lineitem.l_partkey->part' AS edge, " +
+       "CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_child, " +
+       "CAST(COUNT(*) AS BIGINT) AS n_orphans, " +
+       "CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_missing_keys " +
+       "FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)), " +
+       "e3 AS (SELECT 'lineitem.l_suppkey->supplier' AS edge, " +
+       "CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_child, " +
+       "CAST(COUNT(*) AS BIGINT) AS n_orphans, " +
+       "CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_missing_keys " +
+       "FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)) " +
+       "SELECT edge, n_child, n_orphans, n_missing_keys, n_orphans = 0 AS ok " +
+       "FROM (SELECT * FROM e1 UNION ALL SELECT * FROM e2 UNION ALL SELECT * FROM e3) " +
+       "ORDER BY edge"),
+
     "dq_k_anonymity" ->
       (s"WITH c0 AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS n " +
        "FROM customer GROUP BY 1, 2), " +
