@@ -239,6 +239,64 @@ object Analytics {
       .orderBy("community")
   }
 
+  /** One SYNCHRONOUS Louvain round from singletons + contraction
+    * (Blondel et al. 2008, the phase-1/phase-2 step): every node
+    * evaluates the modularity gain of joining each neighbor's
+    * singleton community — for an unweighted graph ΔQ(u→{v}) ∝
+    * 1/m − k_u·k_v/(2m²), positive iff k_u·k_v < 2m — and moves to
+    * the best target (max gain = MIN degree neighbor, ties by id;
+    * stays put when no gain is positive). Communities then CONTRACT:
+    * the report carries the supernode-graph edge count next to exact
+    * before/after modularity, computed in INTEGER algebra
+    * (Q = (4m·E_in − Σd_c²)/(4m²) — one final double division, no
+    * float accumulation; the long products are exact below ~1.5e9
+    * edges, past which promote to decimal). Sequential Louvain is
+    * order-dependent and unreproducible distributed; the synchronous
+    * variant is the standard deterministic parallelization. Shapes:
+    * degree join + per-node argmin window on the bidirectional list,
+    * label joins back on edge endpoints — all key-partitioned; every
+    * report term is a scalar aggregate. */
+  def louvainRound(edges: DataFrame): DataFrame = {
+    val bidir = edges.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
+    val deg = bidir.groupBy("u").agg(count(lit(1)).as("d"))
+    val mDf = edges.agg(count(lit(1)).as("m"))
+    val cand = bidir
+      .join(deg.select(col("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("u").as("v"), col("d").as("dv")), Seq("v"))
+      .crossJoin(broadcast(mDf))
+      .where(col("du") * col("dv") < lit(2L) * col("m"))
+    val w = Window.partitionBy("u").orderBy(col("dv"), col("v"))
+    val moves = cand.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("u").as("node"), col("v").as("c"))
+    val lab = deg.select(col("u").as("node"))
+      .join(moves, Seq("node"), "left")
+      .select(col("node"), coalesce(col("c"), col("node")).as("c"))
+    val lb = edges
+      .join(lab.select(col("node").as("a"), col("c").as("ca")), Seq("a"))
+      .join(lab.select(col("node").as("b"), col("c").as("cb")), Seq("b"))
+    val einAgg = lb.where(col("ca") === col("cb")).agg(count(lit(1)).as("e_in"))
+    val supAgg = lb.where(col("ca") =!= col("cb"))
+      .agg(countDistinct(least(col("ca"), col("cb")),
+                         greatest(col("ca"), col("cb"))).as("n_super_edges"))
+    val sdc2 = deg.join(lab, deg("u") === lab("node"))
+      .groupBy("c").agg(sum(col("d")).as("dsum"))
+      .agg(sum(col("dsum") * col("dsum")).as("sdc2"))
+    val sk2 = deg.agg(sum(col("d") * col("d")).as("sk2"))
+    val nn = deg.agg(count(lit(1)).as("n_nodes"))
+    val nc = lab.agg(countDistinct(col("c")).as("n_communities"))
+    val den = (lit(4L) * col("m") * col("m")).cast("double")
+    nn.crossJoin(broadcast(mDf)).crossJoin(broadcast(nc))
+      .crossJoin(broadcast(supAgg)).crossJoin(broadcast(einAgg))
+      .crossJoin(broadcast(sdc2)).crossJoin(broadcast(sk2))
+      .select(big(col("n_nodes")).as("n_nodes"), big(col("m")).as("n_edges"),
+        big(col("n_communities")).as("n_communities"),
+        big(col("n_super_edges")).as("n_super_edges"),
+        fround((lit(0L) - col("sk2")).cast("double") / den, 6).as("q_singleton"),
+        fround((lit(4L) * col("m") * col("e_in") - col("sdc2")).cast("double") / den, 6)
+          .as("q_after"))
+  }
+
   /** Per-EDGE neighborhood Jaccard over an undirected canonical (a, b)
     * edge list — the link-strength / tie-strength primitive (Jaccard
     * of N(a)\{b} and N(b)\{a}; common neighbors = triangles through
@@ -1143,6 +1201,11 @@ object Analytics {
     "graph_modularity" -> ((s, dir) =>
       modularityOf(cooccurEdgesCached(s, dir), LpaRounds)),
 
+    // One synchronous Louvain phase-1+2 round over the co-occurrence
+    // graph (see louvainRound): modularity-gain moves from
+    // singletons, then contraction; exact-integer before/after Q.
+    "graph_louvain" -> ((s, dir) => louvainRound(cooccurEdgesCached(s, dir))),
+
     // NEIGHBORHOOD JACCARD per co-occurrence edge (r11): tie
     // strength / link prediction over the same graph — common
     // neighbors derived from the degree-ORIENTED triangle
@@ -1980,6 +2043,39 @@ object Analytics {
        " AS q_contrib " +
        "FROM ds LEFT JOIN ein ON ds.community = ein.community, m " +
        "ORDER BY ds.community"),
+    // identical gain rule (du·dv < 2m), identical (dv, v) argmin and
+    // the same integer modularity algebra — only one final double
+    // division per Q term
+    "graph_louvain" ->
+      ("WITH " + CoocCte + ", " +
+       "e0 AS MATERIALIZED (SELECT a AS u, b AS v FROM edges " +
+       "UNION ALL SELECT b AS u, a AS v FROM edges), " +
+       "deg AS MATERIALIZED (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM e0 GROUP BY 1), " +
+       "mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges), " +
+       "cand AS (SELECT e0.u, e0.v, dv.d AS dv FROM e0 " +
+       "JOIN deg du ON du.u = e0.u JOIN deg dv ON dv.u = e0.v, mm " +
+       "WHERE du.d * dv.d < 2 * mm.m), " +
+       "mv AS (SELECT u, v FROM (SELECT u, v, ROW_NUMBER() OVER " +
+       "(PARTITION BY u ORDER BY dv, v) AS rn FROM cand) WHERE rn = 1), " +
+       "lv AS MATERIALIZED (SELECT deg.u AS node, COALESCE(mv.v, deg.u) AS c " +
+       "FROM deg LEFT JOIN mv ON mv.u = deg.u), " +
+       "lb AS MATERIALIZED (SELECT la.c AS ca, lc.c AS cb FROM edges e " +
+       "JOIN lv la ON e.a = la.node JOIN lv lc ON e.b = lc.node), " +
+       "ein AS (SELECT CAST(COUNT(*) AS BIGINT) AS e_in FROM lb WHERE ca = cb), " +
+       "sup AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_super_edges FROM " +
+       "(SELECT DISTINCT LEAST(ca, cb) AS x, GREATEST(ca, cb) AS y FROM lb WHERE ca <> cb)), " +
+       "ds AS (SELECT lv.c, SUM(d) AS dsum FROM deg JOIN lv ON lv.node = deg.u GROUP BY 1), " +
+       "sdc AS (SELECT SUM(dsum * dsum) AS sdc2 FROM ds), " +
+       "sk AS (SELECT SUM(d * d) AS sk2 FROM deg), " +
+       "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg), " +
+       "nc AS (SELECT CAST(COUNT(DISTINCT c) AS BIGINT) AS n_communities FROM lv) " +
+       "SELECT n_nodes, m AS n_edges, n_communities, n_super_edges, " +
+       froundSql("CAST(0 - sk2 AS DOUBLE) / CAST(4 * m * m AS DOUBLE)", 6) +
+       " AS q_singleton, " +
+       froundSql("CAST(4 * m * e_in - sdc2 AS DOUBLE) / CAST(4 * m * m AS DOUBLE)", 6) +
+       " AS q_after " +
+       "FROM nn, mm, nc, sup, ein, sdc, sk"),
+
     // independent naive-wedge formulation of the engine's triangle-
     // derived common-neighbor counts (fixture-scale only — the engine
     // side deliberately avoids this hub-unbounded self-join)
