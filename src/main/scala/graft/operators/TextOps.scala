@@ -418,11 +418,16 @@ object TextOps {
                "ELSE array() END"))).as("g"))
       .withColumn("f", pmod(
         conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long"), lit(m)))
+    // both models derive from the (doc, bucket) aggregate — the gram
+    // explode runs ONCE and the model inputs are already collapsed
+    // (re-deriving them from `feats` would re-explode the corpus
+    // twice more; measured 5.4 s → ~3 s at sf0.1)
     val perDoc = feats.groupBy("doc_id", "lang", "f")
       .agg(count(lit(1)).as("n_df"))
-    val rawC = feats.groupBy("f").agg(count(lit(1)).as("cq"))
-    val tgtC = feats.where(col("doc_id") % DsirTargetMod === 0)
-      .groupBy("f").agg(count(lit(1)).as("cp"))
+      .localCheckpoint()
+    val rawC = perDoc.groupBy("f").agg(sum(col("n_df")).as("cq"))
+    val tgtC = perDoc.where(col("doc_id") % DsirTargetMod === 0)
+      .groupBy("f").agg(sum(col("n_df")).as("cp"))
     val tot = rawC.agg(sum(col("cq")).as("nq"))
       .crossJoin(tgtC.agg(sum(col("cp")).as("np")))
     // Laplace-smoothed per-bucket log ratio; one fixed IEEE chain
