@@ -118,6 +118,38 @@ object Aggregations {
     * so results are bit-identical to the windowed formulation. */
   val WmedianBins = 256
 
+  /** events_ips_eval's whole pipeline on any (user_id, event_type,
+    * value) frame — factored out so IpsSpec can plant logged-bandit
+    * rows with hand-computable estimates. */
+  def ipsEval(e0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val idx = typedlit(Map("click" -> 0, "error" -> 1, "purchase" -> 2,
+                           "signup" -> 3, "view" -> 4))
+    val e = e0
+      .withColumn("ai", element_at(idx, col("event_type")))
+      .withColumn("cents", floor(col("value") * 100).cast("long"))
+      .withColumn("pnum", lit(1) + pmod(col("user_id") + col("ai"), lit(5)))
+      .withColumn("hit", (pmod(col("user_id"), lit(5)) === col("ai")).cast("int"))
+      // w = 1/p = 15/pnum as an exact rational: pnum ∈ {1..5} all
+      // divide 60, so cents·15·(60 DIV pnum) is INTEGRAL — the sums
+      // are exact longs, order-independent, and the only doubles are
+      // the two final divisions
+      .withColumn("wr60", expr("hit * cents * 15 * (60 DIV pnum)"))
+      .withColumn("w60", expr("hit * 15 * (60 DIV pnum)"))
+    e.agg(
+        big(count(lit(1))).as("n"),
+        big(sum(col("hit"))).as("n_matched"),
+        sum(col("cents")).as("logged_cents"),
+        sum(col("wr60")).as("swr"),
+        sum(col("w60")).as("sw"))
+      .select(col("n"), col("n_matched"),
+        fround(col("logged_cents").cast("double") / col("n") / 100.0, 4)
+          .as("logged_value"),
+        fround(col("swr").cast("double") / (col("n") * lit(60L)).cast("double") / 100.0, 4)
+          .as("ips_value"),
+        fround(col("swr").cast("double") / col("sw").cast("double") / 100.0, 4)
+          .as("snips_value"))
+  }
+
   /** agg_kmv_intersection's whole pipeline on any (event_type, user_id)
     * frame — factored out so KmvSpec can plant audiences with known
     * overlaps and drive both the saturated-sketch estimate branch and
@@ -249,6 +281,22 @@ object Aggregations {
     // One corpus pass (per-user agg) + one 2-row agg: nothing here
     // grows with scale except the first hash-agg, which is map-side
     // combinable.
+    // OFF-POLICY EVALUATION of a target decision policy from logged
+    // bandit feedback (Li et al. 2011; the counterfactual "what would
+    // the new ranking/recommendation policy have earned" — run before
+    // any online test). The fixture derives a well-specified logging
+    // policy from key arithmetic: per (user, action-index) propensity
+    // (1 + ((user + idx) % 5))/15 — a proper 5-action distribution
+    // (the inner values are {1..5} permuted, summing 15) under which
+    // the logged event_type was chosen; the TARGET policy is the
+    // deterministic π(u) = action u % 5. Estimators: IPS (unbiased,
+    // high variance) and SNIPS (self-normalized — the production
+    // default) over reward = value cents. Everything is row-local
+    // arithmetic into ONE global aggregate; weights are exact
+    // rationals (w = 15/(1+((u+i)%5)), a 5-value grid), so sums run in
+    // decimal and the only doubles are the two final divisions.
+    "events_ips_eval" -> ((s, dir) => ipsEval(events(s, dir))),
+
     "events_ab_test" -> ((s, dir) =>
       welchOf(events(s, dir).groupBy("user_id")
         .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
@@ -1593,6 +1641,25 @@ object Aggregations {
   }
 
   val oracle: Map[String, String] = Map(
+    // identical key-derived propensities and integral 60-scaled
+    // weight sums; `//` is DuckDB's integer division matching DIV
+    "events_ips_eval" ->
+      ("WITH e AS (SELECT user_id, " +
+       "CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1 " +
+       "WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END AS ai, " +
+       "CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events), " +
+       "x AS (SELECT cents, 1 + ((user_id + ai) % 5) AS pnum, " +
+       "CASE WHEN user_id % 5 = ai THEN 1 ELSE 0 END AS hit FROM e), " +
+       "a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
+       "CAST(SUM(hit) AS BIGINT) AS n_matched, SUM(cents) AS logged_cents, " +
+       "SUM(hit * cents * 15 * (60 // pnum)) AS swr, " +
+       "SUM(hit * 15 * (60 // pnum)) AS sw FROM x) " +
+       "SELECT n, n_matched, " +
+       froundSql("CAST(logged_cents AS DOUBLE) / n / 100.0", 4) + " AS logged_value, " +
+       froundSql("CAST(swr AS DOUBLE) / CAST(n * 60 AS DOUBLE) / 100.0", 4) + " AS ips_value, " +
+       froundSql("CAST(swr AS DOUBLE) / CAST(sw AS DOUBLE) / 100.0", 4) + " AS snips_value " +
+       "FROM a ORDER BY n"),
+
     // identical seeded-md5 uniform hash, identical bottom-k and union
     // algebra; the (k−1)/h_k chain is textually mirrored so the
     // estimates compare bit-for-bit after the 4-dp pin
