@@ -297,6 +297,53 @@ object Aggregations {
     // decimal and the only doubles are the two final divisions.
     "events_ips_eval" -> ((s, dir) => ipsEval(events(s, dir))),
 
+    // SPLIT-CONFORMAL PREDICTION INTERVAL per event_type (Vovk et al.;
+    // Lei et al. 2018 — the distribution-free "how wrong is my model"
+    // wrapper every ML-ops stack ships): a seeded md5 split carves
+    // calibration/eval halves; the point model is the calibration
+    // mean; the interval half-width is the k-th smallest calibration
+    // nonconformity |y − ŷ| with the FINITE-SAMPLE rank
+    // k = ⌈(n+1)(1−α)⌉ (integer algebra: (9(n+1)+9) DIV 10 at
+    // α = 0.1 — no float rank), and the eval half reports achieved
+    // coverage (≈ 90% by the conformal guarantee, exactly
+    // distribution-free). Shapes: one 5-row model broadcast, one
+    // per-type rank window over calibration scores (type-bounded; at
+    // open scale the two-level binned fold from events_quantile_te
+    // replaces the sort), one eval aggregate.
+    "agg_conformal_interval" -> ((s, dir) => {
+      val e = events(s, dir)
+        .withColumn("cents", floor(col("value") * 100).cast("long"))
+        .withColumn("cal",
+          pmod(conv(substring(md5(concat(lit("conf:"),
+            col("event_id").cast("string"))), 1, 8), 16, 10).cast("long"), lit(2)))
+      val model = e.where(col("cal") === 0).groupBy("event_type")
+        .agg(count(lit(1)).as("n_cal"), sum(col("cents")).as("sc"))
+        .withColumn("m", col("sc").cast("double") / col("n_cal"))
+        .withColumn("k", expr("(9 * (n_cal + 1) + 9) DIV 10"))
+        .select("event_type", "n_cal", "m", "k")
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("score"), col("event_id"))
+      val q = e.where(col("cal") === 0)
+        .join(broadcast(model), Seq("event_type"))
+        .withColumn("score", abs(col("cents") - col("m")))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === col("k"))
+        .select(col("event_type"), col("score").as("q"))
+      val cov = e.where(col("cal") === 1)
+        .join(broadcast(model), Seq("event_type"))
+        .join(broadcast(q), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(big(count(lit(1))).as("n_eval"),
+             big(sum(when(abs(col("cents") - col("m")) <= col("q"), 1)
+               .otherwise(0))).as("n_covered"))
+      model.join(q, Seq("event_type")).join(cov, Seq("event_type"))
+        .select(col("event_type"), big(col("n_cal")).as("n_cal"), col("n_eval"),
+          fround(col("m") / 100.0, 4).as("model_mean"),
+          fround(col("q") / 100.0, 4).as("half_width"),
+          fround(col("n_covered").cast("double") / col("n_eval"), 4).as("coverage"))
+        .orderBy("event_type")
+    }),
+
     "events_ab_test" -> ((s, dir) =>
       welchOf(events(s, dir).groupBy("user_id")
         .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
@@ -1641,6 +1688,33 @@ object Aggregations {
   }
 
   val oracle: Map[String, String] = Map(
+    // identical seeded split, identical single-division model mean
+    // (so scores and the rank-k half-width match bit-for-bit), and
+    // the same integer finite-sample rank
+    "agg_conformal_interval" ->
+      ("WITH e AS (SELECT event_id, event_type, " +
+       "CAST(FLOOR(value * 100) AS BIGINT) AS cents, " +
+       "CAST(CONCAT('0x', SUBSTRING(MD5('conf:' || CAST(event_id AS VARCHAR)), 1, 8)) " +
+       "AS BIGINT) % 2 AS cal FROM events), " +
+       "model AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_cal, " +
+       "CAST(SUM(cents) AS DOUBLE) / COUNT(*) AS m, " +
+       "(9 * (COUNT(*) + 1) + 9) // 10 AS k FROM e WHERE cal = 0 GROUP BY 1), " +
+       "qq AS (SELECT event_type, score AS q FROM " +
+       "(SELECT e.event_type, ABS(cents - m) AS score, " +
+       "ROW_NUMBER() OVER (PARTITION BY e.event_type " +
+       "ORDER BY ABS(cents - m), event_id) AS rn, k " +
+       "FROM e JOIN model USING (event_type) WHERE cal = 0) WHERE rn = k), " +
+       "cov AS (SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n_eval, " +
+       "CAST(SUM(CASE WHEN ABS(cents - m) <= q THEN 1 ELSE 0 END) AS BIGINT) AS n_covered " +
+       "FROM e JOIN model USING (event_type) JOIN qq USING (event_type) " +
+       "WHERE cal = 1 GROUP BY 1) " +
+       "SELECT event_type, n_cal, n_eval, " +
+       froundSql("m / 100.0", 4) + " AS model_mean, " +
+       froundSql("q / 100.0", 4) + " AS half_width, " +
+       froundSql("CAST(n_covered AS DOUBLE) / n_eval", 4) + " AS coverage " +
+       "FROM model JOIN qq USING (event_type) JOIN cov USING (event_type) " +
+       "ORDER BY event_type"),
+
     // identical key-derived propensities and integral 60-scaled
     // weight sums; `//` is DuckDB's integer division matching DIV
     "events_ips_eval" ->
