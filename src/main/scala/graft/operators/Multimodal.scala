@@ -200,6 +200,50 @@ object Multimodal {
     // metadata, offset plan, per-frame digest/decode) with the codec
     // stubbed by byte arithmetic. Row-local; the only shuffle is the
     // final ORDER BY.
+    // ENERGY-BASED ACTIVITY SEGMENTATION over the audio/video lanes —
+    // the VAD (voice-activity detection) shape every speech pipeline
+    // runs before transcription: frame the payload into fixed 8-byte
+    // windows, threshold per-frame energy, and merge consecutive
+    // active frames into segments. The ENERGY STUB derives from
+    // payload bytes (the decodeFeatures convention — a real deploy
+    // swaps in PCM RMS), but the segmentation algebra is the real
+    // thing and runs ENTIRELY ROW-LOCAL: frames, flags, rising-edge
+    // segment count and longest-run all fold inside one higher-order
+    // aggregate per row — zero shuffles before the final ORDER BY.
+    // Byte access is positional BINARY substring (the phash lesson:
+    // STRING substring is an O(position) UTF-8 scan), cast to STRING
+    // only per 8-byte frame under the pinned-ASCII fixture invariant.
+    // The oracle derives the same segments INDEPENDENTLY via
+    // gaps-and-islands window SQL — two formulations, one answer.
+    "multimodal_vad" -> ((s, dir) => {
+      val fb = VadFrameBytes
+      val emin = VadEnergyMin
+      withPayload(documents(s, dir))
+        .where(col("doc_id") % 3 =!= 0) // audio + video lanes only
+        .where(length(col("payload")) >= fb)
+        .withColumn("flags", expr(
+          s"transform(sequence(0, CAST(length(payload) DIV $fb AS INT) - 1), " +
+          s"i -> CASE WHEN aggregate(transform(sequence(1, $fb), " +
+          s"j -> ascii(substring(CAST(substring(payload, i * $fb + 1, $fb) AS STRING), j, 1))), " +
+          s"0, (acc, x) -> acc + x) >= $emin THEN 1 ELSE 0 END)"))
+        .withColumn("st", expr(
+          "aggregate(flags, " +
+          "struct(0 AS act, 0 AS segs, 0 AS cur, 0 AS best, 0 AS prev), " +
+          "(st, f) -> struct(" +
+          "st.act + f AS act, " +
+          "st.segs + (CASE WHEN f = 1 AND st.prev = 0 THEN 1 ELSE 0 END) AS segs, " +
+          "CASE WHEN f = 1 THEN st.cur + 1 ELSE 0 END AS cur, " +
+          "GREATEST(st.best, CASE WHEN f = 1 THEN st.cur + 1 ELSE 0 END) AS best, " +
+          "f AS prev))"))
+        .select(col("doc_id"), col("meta.media_type").as("media_type"),
+          big(size(col("flags"))).as("n_frames"),
+          big(col("st.act")).as("n_active"),
+          big(col("st.segs")).as("n_segments"),
+          big(col("st.best")).as("longest"),
+          fround(col("st.act").cast("double") / size(col("flags")), 4).as("activity"))
+        .orderBy("doc_id")
+    }),
+
     "multimodal_framesample" -> ((s, dir) => {
       val stride = 240
       withPayload(documents(s, dir))
@@ -258,6 +302,13 @@ object Multimodal {
         .orderBy("doc_a", "doc_b")
     })
   )
+
+  /** multimodal_vad frame geometry: 8-byte frames, active when the
+    * frame's byte-energy sum reaches 800 (mean byte ≥ 100 — the
+    * word-soup fixture straddles this: letter-dense frames sit above,
+    * space-bearing frames below). Shared verbatim with the oracle. */
+  val VadFrameBytes = 8
+  val VadEnergyMin = 800
 
   /** Average-hash geometry (shared with the oracle): 60 sampled bytes
     * → 60-bit signature → 10 disjoint 6-bit LSH bands; the exact gate
@@ -359,6 +410,32 @@ object Multimodal {
   val ShardBudgetBytes = 8192L
 
   val oracle: Map[String, String] = Map(
+    // INDEPENDENT formulation: the engine folds flags row-locally; the
+    // oracle unnests frames and rebuilds segments with gaps-and-islands
+    // windows (i − rownum grouping) — same constants, same ord()
+    // energies under the pinned-ASCII invariant
+    "multimodal_vad" -> {
+      val fb = VadFrameBytes
+      "WITH p AS (SELECT doc_id, text, " +
+      "CASE WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type " +
+      s"FROM documents WHERE doc_id % 3 <> 0 AND LENGTH(text) >= $fb), " +
+      s"fr AS MATERIALIZED (SELECT doc_id, i, CASE WHEN list_sum(list_transform(" +
+      s"range(1, ${fb + 1}), j -> ord(SUBSTRING(text, CAST(i * $fb + j AS INT), 1)))) " +
+      s">= $VadEnergyMin THEN 1 ELSE 0 END AS a " +
+      s"FROM (SELECT doc_id, text, UNNEST(RANGE(0, LEN(text) // $fb)) AS i FROM p)), " +
+      "runs AS (SELECT doc_id, i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS g " +
+      "FROM fr WHERE a = 1), " +
+      "rl AS (SELECT doc_id, COUNT(*) AS len FROM runs GROUP BY doc_id, g), " +
+      "seg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments, " +
+      "CAST(MAX(len) AS BIGINT) AS longest FROM rl GROUP BY doc_id), " +
+      "base AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames, " +
+      "CAST(SUM(a) AS BIGINT) AS n_active FROM fr GROUP BY doc_id) " +
+      "SELECT p.doc_id, media_type, n_frames, n_active, " +
+      "COALESCE(n_segments, 0) AS n_segments, COALESCE(longest, 0) AS longest, " +
+      froundSql("CAST(n_active AS DOUBLE) / n_frames", 4) + " AS activity " +
+      "FROM p JOIN base ON p.doc_id = base.doc_id " +
+      "LEFT JOIN seg ON p.doc_id = seg.doc_id ORDER BY p.doc_id"
+    },
     // identical running-total shard rule over the ASCII byte lengths
     "multimodal_pack_shards" ->
       ("WITH p AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image' " +

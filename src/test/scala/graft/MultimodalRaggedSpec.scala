@@ -144,4 +144,21 @@ class MultimodalRaggedSpec extends SparkSpec {
               col("it.l_quantity").as("l_quantity"))
     assertSameRows(exploded, li, "pack∘explode")
   }
+
+  test("multimodal_vad: planted frame pattern segments exactly") {
+    // 8-byte frames: 'z'*8 = 976 (active), ' '*8 = 256 (inactive);
+    // pattern active, inactive, active, active (+3 tail bytes dropped)
+    val text = "z" * 8 + " " * 8 + "z" * 16 + "zzz"
+    val docs = Seq((1L, text, "en", "src0", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = Tables.scratch(sf001, "vad_spec")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("multimodal_vad")(spark, dir).collect()(0)
+    assert(r.getString(1) == "audio")                    // doc_id % 3 == 1
+    assert(r.getLong(2) == 4L, s"n_frames ${r.getLong(2)}")
+    assert(r.getLong(3) == 3L, s"n_active ${r.getLong(3)}")
+    assert(r.getLong(4) == 2L, s"n_segments ${r.getLong(4)}")
+    assert(r.getLong(5) == 2L, s"longest ${r.getLong(5)}")
+    assert(r.getDouble(6) == 0.75)
+  }
 }
