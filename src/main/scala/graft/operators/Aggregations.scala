@@ -842,6 +842,69 @@ object Aggregations {
     // a single conditional-aggregate pass (exact counts + cent sums);
     // the four means and the DiD are one fixed row-local IEEE chain
     // both engines repeat token for token before the fround pins.
+    // SYNTHETIC CONTROL (Abadie et al.; the causal-inference tool for
+    // ONE treated unit with no randomized counterpart — "what would
+    // purchase revenue have done without the change"): donors are the
+    // other event lanes; weights are the deterministic inverse-MSE
+    // simplification (full SCM solves a constrained QP — out of scope
+    // for a closed-form oracle; inverse-distance weighting is the
+    // standard poor-man's variant), fit on the pre-period (first 60%
+    // of the observed day span), and the synthetic series is the
+    // FIXED-ORDER weighted sum of donor lanes (a pivoted wide daily
+    // table, so no donor-sum accumulation order exists to diverge).
+    // Gap ≈ 0 pre-period is the placebo check; the post-period gap is
+    // the effect estimate. Shapes: one (day × lane) grid aggregate
+    // (map-side combinable), a 1-row fit broadcast back, one 2-row
+    // period aggregate — day-span-bounded everything.
+    "events_synthetic_control" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .withColumn("d", to_date(col("ts")))
+        .withColumn("cents", floor(col("value") * 100).cast("long"))
+      val bounds = ev.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+        .select(expr("date_add(d0, CAST(FLOOR(0.6 * datediff(d1, d0)) AS INT))").as("cut"))
+      def lane(t: String, name: String) =
+        sum(when(col("event_type") === t, col("cents")).otherwise(0L)).as(name)
+      val daily = ev.groupBy("d")
+        .agg(lane("purchase", "yp"), lane("click", "yc"), lane("error", "ye"),
+             lane("signup", "ys"), lane("view", "yv"))
+        .crossJoin(broadcast(bounds))
+        .withColumn("pre", (col("d") < col("cut")).cast("int"))
+      def sse(c: String) = sum(when(col("pre") === 1,
+        (col("yp") - col(c)) * (col("yp") - col(c))).otherwise(0L)).as(s"sse$c")
+      val fit = daily
+        .agg(sum(col("pre")).as("n_pre"), sse("yc"), sse("ye"), sse("ys"), sse("yv"))
+      def wraw(c: String) =
+        lit(1.0) / (lit(1.0) + col(s"sse$c").cast("double") / col("n_pre"))
+      val wsum = wraw("yc") + wraw("ye") + wraw("ys") + wraw("yv")
+      val weights = fit.select(
+        (wraw("yc") / wsum).as("wc"), (wraw("ye") / wsum).as("we"),
+        (wraw("ys") / wsum).as("ws"), (wraw("yv") / wsum).as("wv"))
+      val synth = col("wc") * col("yc") + col("we") * col("ye") +
+                  col("ws") * col("ys") + col("wv") * col("yv")
+      val periods = daily.crossJoin(broadcast(weights))
+        .withColumn("synth", synth)
+        .withColumn("gap", col("yp").cast("double") - col("synth"))
+        .groupBy("pre")
+        .agg(count(lit(1)).as("n_days"), sum(col("yp")).as("syp"),
+             dsum6(col("synth")).as("ssy"), dsum6(col("gap")).as("sg"))
+        .withColumn("key", when(col("pre") === 1, "pre").otherwise("post"))
+      val periodRows = periods.select(explode(array(
+          struct(lit("avg_treated").as("kind"), col("key"),
+            fround(col("syp").cast("double") / col("n_days") / 100.0, 4).as("value")),
+          struct(lit("avg_synth").as("kind"), col("key"),
+            fround(col("ssy") / col("n_days") / 100.0, 4).as("value")),
+          struct(lit("avg_gap").as("kind"), col("key"),
+            fround(col("sg") / col("n_days") / 100.0, 4).as("value")))).as("r"))
+        .select(col("r.kind").as("kind"), col("r.key").as("key"), col("r.value").as("value"))
+      val weightRows = weights.select(explode(array(
+          struct(lit("weight").as("kind"), lit("click").as("key"), fround(col("wc"), 6).as("value")),
+          struct(lit("weight").as("kind"), lit("error").as("key"), fround(col("we"), 6).as("value")),
+          struct(lit("weight").as("kind"), lit("signup").as("key"), fround(col("ws"), 6).as("value")),
+          struct(lit("weight").as("kind"), lit("view").as("key"), fround(col("wv"), 6).as("value")))).as("r"))
+        .select(col("r.kind").as("kind"), col("r.key").as("key"), col("r.value").as("value"))
+      periodRows.unionByName(weightRows).orderBy("kind", "key")
+    }),
+
     "events_did" -> ((s, dir) => {
       val ev = events(s, dir)
         .withColumn("cents", floor(col("value") * 100).cast("long"))
@@ -2254,6 +2317,52 @@ object Aggregations {
        froundSql(s"$r + 1.96 * $se", 6) + " AS ci_hi " +
        "FROM mm ORDER BY n_users")
     },
+    // identical 60%-span cutoff, lane pivot, inverse-MSE weight chain
+    // and fixed-order synthetic sum; decimal pins on the double sums
+    "events_synthetic_control" -> {
+      def wrawSql(x: String) = s"(1.0 / (1.0 + CAST($x AS DOUBLE) / n_pre))"
+      val wsumSql = Seq("sseyc", "sseye", "sseys", "sseyv").map(wrawSql).mkString(" + ")
+      def laneSql(t: String, n: String) =
+        s"SUM(CASE WHEN event_type = '$t' THEN cents ELSE 0 END) AS $n"
+      val synthSql = "wc * yc + we * ye + ws * ys + wv * yv"
+      "WITH ev AS (SELECT CAST(ts AS DATE) AS d, event_type, " +
+      "CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events), " +
+      "daily AS MATERIALIZED (SELECT d, " +
+      laneSql("purchase", "yp") + ", " + laneSql("click", "yc") + ", " +
+      laneSql("error", "ye") + ", " + laneSql("signup", "ys") + ", " +
+      laneSql("view", "yv") + " FROM ev GROUP BY d), " +
+      "bounds AS (SELECT MIN(d) + CAST(FLOOR(0.6 * DATEDIFF('day', MIN(d), MAX(d))) " +
+      "AS INT) AS cut FROM ev), " +
+      "dd AS (SELECT daily.*, CASE WHEN d < cut THEN 1 ELSE 0 END AS pre " +
+      "FROM daily, bounds), " +
+      "fit AS (SELECT SUM(pre) AS n_pre, " +
+      Seq("yc", "ye", "ys", "yv").map(c =>
+        s"SUM(CASE WHEN pre = 1 THEN (yp - $c) * (yp - $c) ELSE 0 END) AS sse$c")
+        .mkString(", ") + " FROM dd), " +
+      "w AS (SELECT " +
+      s"${wrawSql("sseyc")} / ($wsumSql) AS wc, " +
+      s"${wrawSql("sseye")} / ($wsumSql) AS we, " +
+      s"${wrawSql("sseys")} / ($wsumSql) AS ws, " +
+      s"${wrawSql("sseyv")} / ($wsumSql) AS wv FROM fit), " +
+      "per AS (SELECT pre, COUNT(*) AS n_days, SUM(yp) AS syp, " +
+      dsum6Sql(synthSql) + " AS ssy, " +
+      dsum6Sql(s"CAST(yp AS DOUBLE) - ($synthSql)") + " AS sg " +
+      "FROM dd, w GROUP BY pre), " +
+      "pr AS (SELECT CASE WHEN pre = 1 THEN 'pre' ELSE 'post' END AS key, " +
+      "n_days, syp, ssy, sg FROM per) " +
+      "SELECT 'avg_treated' AS kind, key, " +
+      froundSql("CAST(syp AS DOUBLE) / n_days / 100.0", 4) + " AS value FROM pr " +
+      "UNION ALL SELECT 'avg_synth', key, " +
+      froundSql("ssy / n_days / 100.0", 4) + " FROM pr " +
+      "UNION ALL SELECT 'avg_gap', key, " +
+      froundSql("sg / n_days / 100.0", 4) + " FROM pr " +
+      "UNION ALL SELECT 'weight', 'click', " + froundSql("wc", 6) + " FROM w " +
+      "UNION ALL SELECT 'weight', 'error', " + froundSql("we", 6) + " FROM w " +
+      "UNION ALL SELECT 'weight', 'signup', " + froundSql("ws", 6) + " FROM w " +
+      "UNION ALL SELECT 'weight', 'view', " + froundSql("wv", 6) + " FROM w " +
+      "ORDER BY kind, key"
+    },
+
     "events_did" ->
       ("WITH m AS (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid " +
        "FROM events), " +
