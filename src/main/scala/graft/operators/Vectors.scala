@@ -455,6 +455,30 @@ object Vectors {
     // a TRAINED PQ index reproduced bit-exactly by a second engine.
     // NonOracleOpsSpec adds the k-means property (quantization MSE
     // non-increasing under training).
+    // OPQ-LITE: variance-balanced dimension permutation before PQ
+    // (the structured stand-in for OPQ's learned rotation, Ge et al.
+    // 2013) — rank dims by corpus variance, deal them round-robin
+    // across subspaces, retrain the codebooks on the permuted layout,
+    // and report reconstruction MSE against plain PQ. On axis-skewed
+    // data the balanced layout spends each subspace's 8 codes where
+    // the variance is (OpqSpec plants the skew and pins the win);
+    // permutation is row-local, training reuses the fused one-pass
+    // Lloyd, and only codebook-scale artifacts collect.
+    "vec_opq" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val (plainBooks, _) = pqPrelude(s, dir)
+      val (perm, opqBooks) = opqPrelude(s, dir)
+      def mseOf(f: org.apache.spark.sql.DataFrame,
+                books: Array[Array[(Long, Array[Double])]], name: String) =
+        f.select(pqReconErr(books).as("err"))
+          .agg(big(count(lit(1))).as("n"),
+               fround(dsum6(col("err")) / count(lit(1)), 4).as("mse"))
+          .select(lit(name).as("variant"), col("n"), col("mse"))
+      mseOf(e, plainBooks, "pq_plain")
+        .unionByName(mseOf(opqPermuted(e, perm), opqBooks, "pq_opq"))
+        .orderBy("variant")
+    }),
+
     "sim_ann_pq" -> ((s, dir) => {
       val (books, qsubs) = pqPrelude(s, dir)
       embeddings(s, dir)
@@ -1016,6 +1040,72 @@ object Vectors {
       (books, qsubs)
     })
 
+  /** OPQ-lite dimension permutation + codebooks (vec_opq): rank the 64
+    * dimensions by corpus variance and DEAL them round-robin across
+    * the PqSubspaces — the cheap structured stand-in for OPQ's learned
+    * rotation (Ge et al. 2013 §structured; balancing per-subspace
+    * variance is the rotation's main win on axis-skewed data). Returns
+    * the 1-based source index per output slot plus codebooks trained
+    * on the permuted vectors with the standard seeded-init Lloyd. */
+  private val opqMemo = scala.collection.concurrent.TrieMap
+    .empty[String, (Array[Int], Array[Array[(Long, Array[Double])]])]
+
+  /** The permuted view of the corpus: `embedding` re-ordered by the
+    * variance-balanced layout (already double-typed). */
+  def opqPermuted(e: org.apache.spark.sql.DataFrame, perm: Array[Int])
+      : org.apache.spark.sql.DataFrame = {
+    val permLit = typedLit(perm)
+    e.select(col("vec_id"), Similarity.asDouble(col("embedding")).as("ev"))
+      .select(col("vec_id"),
+        transform(sequence(lit(1), lit(perm.length)),
+          i => element_at(col("ev"), element_at(permLit, i))).as("embedding"))
+  }
+
+  def opqPrelude(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (Array[Int], Array[Array[(Long, Array[Double])]]) =
+    opqMemo.getOrElseUpdate(graft.Tables.fsSig(s, s"$dir/embeddings.parquet"), {
+      val e = embeddings(s, dir)
+      // per-dimension variance numerator (n·var — ranking-equivalent),
+      // fround6-pinned so both engines rank identically
+      val ranked = e
+        .select(posexplode(Similarity.asDouble(col("embedding"))).as(Seq("pos", "v")))
+        .groupBy("pos")
+        .agg(fround(dsum6(col("v") * col("v")) -
+                    dsum6(col("v")) * dsum6(col("v")) / count(lit(1)), 6).as("vn"))
+        .orderBy(col("vn").desc, col("pos"))
+        .collect().map(_.getInt(0))
+      val perm = Array.ofDim[Int](ranked.length)
+      ranked.zipWithIndex.foreach { case (srcPos, r) =>
+        val out = (r % PqSubspaces) * PqSubDim + r / PqSubspaces
+        perm(out) = srcPos + 1 // 1-based for element_at
+      }
+      val pe = opqPermuted(e, perm)
+      val initRows = pe.where(col("vec_id") < PqCodes)
+        .select(col("vec_id"), col("embedding"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+      val initBooks: Array[Array[(Long, Array[Double])]] =
+        (0 until PqSubspaces).map { j =>
+          initRows.map { case (id, ev) =>
+            (id, ev.slice(j * PqSubDim, (j + 1) * PqSubDim))
+          }
+        }.toArray
+      val books = (1 to PqIters).foldLeft(initBooks)((b, _) => pqLloydStepAll(pe, b))
+      (perm, books)
+    })
+
+  /** Per-row PQ reconstruction error Σ_j (min codeword distance)² —
+    * the sqrt-then-square convention of [[pqAdist]] so the doubles
+    * match the oracle's LIST_DISTANCE chain bit-for-bit. */
+  def pqReconErr(books: Array[Array[(Long, Array[Double])]]): org.apache.spark.sql.Column =
+    (0 until PqSubspaces).map { j =>
+      val d = array_min(array(books(j).map { case (code, cv) =>
+        struct(sqrt(l2sq(pqSub(j), typedLit(cv))).as("d"), lit(code).as("c"))
+      }: _*)).getField("d")
+      d * d
+    }.reduce(_ + _)
+
   /** Per-(JVM, source-state) memo of the trained centroids: training
     * is an index-build (offline in production), so the two IVF queries
     * share one trained artifact instead of re-running Lloyd. */
@@ -1348,6 +1438,37 @@ object Vectors {
        "WHERE assign.cid IN (SELECT cid FROM probes) AND v.vec_id <> 0 " +
        "ORDER BY cos DESC, v.vec_id LIMIT 10"),
     "sim_ann_pq" -> oraclePqBase,
+    // plain and permuted PQ trainings unrolled side by side (the "o"
+    // prefix trains on the permuted view `w`); per-vec error uses the
+    // same CASE-pivoted fixed-order addition as the ADC chain
+    "vec_opq" -> {
+      def errChain(p: String) = (0 until PqSubspaces)
+        .map(j => s"MAX(CASE WHEN s.j = $j THEN " +
+          "LIST_DISTANCE(s.sv, c.cv) * LIST_DISTANCE(s.sv, c.cv) END)")
+        .mkString(" + ")
+      def mseSel(p: String, name: String) =
+        s"SELECT '$name' AS variant, CAST(COUNT(*) AS BIGINT) AS n, " +
+        froundSql(dsum6Sql("err") + " / COUNT(*)", 4) + " AS mse FROM " +
+        s"(SELECT s.vec_id, ${errChain(p)} AS err " +
+        s"FROM ${p}sub s JOIN ${p}enc e ON s.vec_id = e.vec_id AND s.j = e.j " +
+        s"JOIN ${p}c$PqIters c ON c.j = e.j AND c.code = e.code " +
+        "GROUP BY s.vec_id)"
+      "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings), " +
+      "pe0 AS MATERIALIZED (SELECT vec_id, GENERATE_SUBSCRIPTS(ev, 1) - 1 AS pos, " +
+      "UNNEST(ev) AS x FROM v), " +
+      "st AS (SELECT pos, " +
+      froundSql(dsum6Sql("x * x") + " - " + dsum6Sql("x") + " * " +
+                dsum6Sql("x") + " / COUNT(*)", 6) + " AS vn " +
+      "FROM pe0 GROUP BY pos), " +
+      "rk AS (SELECT pos, ROW_NUMBER() OVER (ORDER BY vn DESC, pos) - 1 AS r FROM st), " +
+      s"pm AS (SELECT ((r % $PqSubspaces) * $PqSubDim + r // $PqSubspaces) AS outp, pos FROM rk), " +
+      "w AS MATERIALIZED (SELECT vec_id, LIST(x ORDER BY outp) AS ev FROM " +
+      "(SELECT pe0.vec_id, pm.outp, pe0.x FROM pe0 JOIN pm ON pe0.pos = pm.pos) " +
+      "GROUP BY vec_id), " +
+      pqCtes("") + ", " + pqCtes("o", "w") + " " +
+      mseSel("", "pq_plain") + " UNION ALL " + mseSel("o", "pq_opq") +
+      " ORDER BY variant"
+    },
     "sim_ann_ivfpq" -> oracleIvfPqBase,
     "sim_ann_ivfpq_rerank" -> oracleIvfPqRerank,
     "sim_ann_recall" -> oracleAnnRecall,
@@ -1417,7 +1538,7 @@ object Vectors {
     * means), ending in `{p}enc` (per-vector codes) and `{p}dt` (the
     * squared LIST_DISTANCE ADC table). References `v`, which the
     * caller's WITH must define first. */
-  private def pqCtes(p: String): String = {
+  private def pqCtes(p: String, src: String = "v"): String = {
     val rounds = (1 to PqIters).map { k =>
       val prev = s"${p}c${k - 1}"
       s"${p}a$k AS (SELECT vec_id, j, code FROM (" +
@@ -1436,7 +1557,7 @@ object Vectors {
     val jList = (0 until PqSubspaces).mkString("[", ",", "]")
     s"${p}jj AS (SELECT UNNEST($jList) AS j), " +
     s"${p}sub AS MATERIALIZED (SELECT vec_id, j, " +
-    s"ev[(j * $PqSubDim + 1):(j * $PqSubDim + $PqSubDim)] AS sv FROM v, ${p}jj), " +
+    s"ev[(j * $PqSubDim + 1):(j * $PqSubDim + $PqSubDim)] AS sv FROM $src, ${p}jj), " +
     s"${p}pe AS MATERIALIZED (SELECT vec_id, j, GENERATE_SUBSCRIPTS(sv, 1) AS pos, " +
     s"UNNEST(sv) AS x FROM ${p}sub), " +
     s"${p}c0 AS (SELECT j, vec_id AS code, sv AS cv FROM ${p}sub WHERE vec_id < $PqCodes), " +

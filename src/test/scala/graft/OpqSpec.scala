@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.Vectors
+import org.apache.spark.sql.functions._
+
+/** OPQ-lite variance-balanced permutation (vec_opq): the oracle replays
+  * both trainings; this plants AXIS SKEW — all the variance in the
+  * first plain subspace — and pins that the balanced layout
+  * reconstructs strictly better with the same code budget. */
+class OpqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def trainBooks(f: org.apache.spark.sql.DataFrame) = {
+    val initRows = f.where(col("vec_id") < Vectors.PqCodes)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val init = (0 until Vectors.PqSubspaces).map { j =>
+      initRows.map { case (id, ev) =>
+        (id, ev.slice(j * Vectors.PqSubDim, (j + 1) * Vectors.PqSubDim))
+      }
+    }.toArray
+    (1 to Vectors.PqIters).foldLeft(init)((b, _) => Vectors.pqLloydStepAll(f, b))
+  }
+
+  private def mse(f: org.apache.spark.sql.DataFrame,
+                  books: Array[Array[(Long, Array[Double])]]): Double =
+    f.select(Vectors.pqReconErr(books).as("err"))
+      .agg(avg(col("err"))).collect()(0).getDouble(0)
+
+  test("axis-skewed corpus: the balanced layout beats plain PQ at equal code budget") {
+    // dims 0..15 carry all the variance (they land ENTIRELY in plain
+    // subspace 0); dims 16..63 are near-constant
+    val rows = (0L until 500L).map { id =>
+      val v = Array.tabulate(64) { d =>
+        if (d < 16) (((id * 31 + d * 7) % 17) - 8).toDouble
+        else ((id + d) % 2) * 0.01
+      }
+      (id, v.toSeq)
+    }
+    val f = rows.toDF("vec_id", "embedding")
+    // balanced permutation: variance rank r (here: dims 0..15 first)
+    // dealt round-robin — out slot (r%4)*16 + r/4 takes src dim r
+    val perm = Array.ofDim[Int](64)
+    (0 until 64).foreach { r =>
+      perm((r % Vectors.PqSubspaces) * Vectors.PqSubDim + r / Vectors.PqSubspaces) = r + 1
+    }
+    val fp = Vectors.opqPermuted(f, perm)
+    val msePlain = mse(f, trainBooks(f))
+    val mseOpq = mse(fp, trainBooks(fp))
+    assert(mseOpq < msePlain * 0.9,
+      s"balanced layout should win clearly: opq=$mseOpq plain=$msePlain")
+  }
+
+  test("fixture query: both variants report positive MSE over all vectors") {
+    val out = SparkEntry.queries("vec_opq")(spark, sf001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.keySet == Set("pq_plain", "pq_opq"))
+    out.values.foreach { case (n, m) => assert(n == 500L && m > 0.0) }
+  }
+}
