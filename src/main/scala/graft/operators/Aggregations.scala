@@ -150,6 +150,58 @@ object Aggregations {
           .as("snips_value"))
   }
 
+  /** events_uplift_qini's whole pipeline on any (user_id, event_type,
+    * value, ts) frame — factored out so UpliftSpec can plant cohorts
+    * with a hand-computable per-band uplift and Qini chain. */
+  def upliftQini(ev0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ev = ev0.withColumn("cents", floor(col("value") * 100).cast("long"))
+    val mid = ev.agg(
+      expr("(MIN(unix_micros(ts)) + MAX(unix_micros(ts))) DIV 2").as("mid"))
+    val pu = ev.crossJoin(broadcast(mid))
+      .withColumn("p", (unix_micros(col("ts")) >= col("mid")).cast("int"))
+      .groupBy("user_id")
+      .agg(sum(when(col("p") === 0, 1L).otherwise(0L)).as("pre_n"),
+           sum(when(col("p") === 1 && col("event_type") === "purchase",
+                    col("cents")).otherwise(0L)).as("y"))
+      .withColumn("g", pmod(col("user_id"), lit(2)).cast("int"))
+      .withColumn("band", least(expr("pre_n DIV 8"), lit(6L)))
+    val pb = pu.groupBy("band").agg(
+      big(sum(col("g"))).as("nt"),
+      big(sum(lit(1) - col("g"))).as("nc"),
+      sum(when(col("g") === 1, col("y")).otherwise(0L)
+        .cast("decimal(38,0)")).as("syt"),
+      sum(when(col("g") === 0, col("y")).otherwise(0L)
+        .cast("decimal(38,0)")).as("syc"))
+    // the cumulative walk runs over the BAND GRID (≤ 8 rows by the
+    // DIV-8 cap), not the corpus — the bounded-window class the RRF
+    // rank cuts established
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("band").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    def d(c: Column) = c.cast("double")
+    pb.withColumn("cnt", sum(col("nt")).over(w))
+      .withColumn("cnc", sum(col("nc")).over(w))
+      .withColumn("csyt", sum(col("syt")).over(w))
+      .withColumn("csyc", sum(col("syc")).over(w))
+      .select(
+        col("band"), col("nt").as("n_treat"), col("nc").as("n_ctrl"),
+        when(col("nt") === 0, lit(null).cast("double"))
+          .otherwise(fround(d(col("syt")) / d(col("nt")) / 100.0, 4))
+          .as("mean_treat"),
+        when(col("nc") === 0, lit(null).cast("double"))
+          .otherwise(fround(d(col("syc")) / d(col("nc")) / 100.0, 4))
+          .as("mean_ctrl"),
+        when(col("nt") === 0 || col("nc") === 0, lit(null).cast("double"))
+          .otherwise(fround(d(col("syt")) / d(col("nt")) / 100.0 -
+                            d(col("syc")) / d(col("nc")) / 100.0, 4))
+          .as("uplift"),
+        when(col("cnc") === 0, lit(null).cast("double"))
+          .otherwise(fround((d(col("csyt")) -
+            d(col("csyc")) * d(col("cnt")) / d(col("cnc"))) / 100.0, 4))
+          .as("qini_cum"))
+      .orderBy(col("band").desc)
+  }
+
   /** agg_kmv_intersection's whole pipeline on any (event_type, user_id)
     * frame — factored out so KmvSpec can plant audiences with known
     * overlaps and drive both the saturated-sketch estimate branch and
@@ -296,6 +348,24 @@ object Aggregations {
     // rationals (w = 15/(1+((u+i)%5)), a 5-value grid), so sums run in
     // decimal and the only doubles are the two final divisions.
     "events_ips_eval" -> ((s, dir) => ipsEval(events(s, dir))),
+
+    // UPLIFT DECILES + QINI — the evaluation every targeting model
+    // ships with (Radcliffe 2007): rank units by a model score, then
+    // ask "how much incremental response do the top-scored units
+    // carry" by comparing treated vs control WITHIN each score band
+    // and walking the cumulative Qini value Q(k) = Yt(k) − Yc(k)·
+    // Nt(k)/Nc(k) down the ranking. The fixture's score is the
+    // pre-period activity count (the CUPED covariate — a real
+    // pre-experiment signal), banded onto a BOUNDED grid (DIV 8,
+    // capped at 6) rather than exact per-user deciles: discrete score
+    // bands are how production uplift curves are actually evaluated,
+    // and the grid keeps every window bounded — per-user ranking
+    // would put a corpus-sized unpartitioned window in the plan. One
+    // conditional per-user pass, one band-grid aggregate, DECIMAL
+    // response sums; arms can be empty at tiny SFs, so every ratio is
+    // NULL-guarded identically in both engines (the welchOf
+    // degenerate-cohort lesson).
+    "events_uplift_qini" -> ((s, dir) => upliftQini(events(s, dir))),
 
     // SPLIT-CONFORMAL PREDICTION INTERVAL per event_type (Vovk et al.;
     // Lei et al. 2018 — the distribution-free "how wrong is my model"
@@ -1777,6 +1847,44 @@ object Aggregations {
        froundSql("CAST(n_covered AS DOUBLE) / n_eval", 4) + " AS coverage " +
        "FROM model JOIN qq USING (event_type) JOIN cov USING (event_type) " +
        "ORDER BY event_type"),
+
+    // identical corpus-midpoint split, band grid, decimal sums and
+    // NULL guards; the qini chain's double ops mirror textually
+    "events_uplift_qini" ->
+      ("WITH m AS (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid " +
+       "FROM events), " +
+       "pu AS (SELECT user_id, " +
+       "CAST(SUM(CASE WHEN epoch_us(ts) < m.mid THEN 1 ELSE 0 END) AS BIGINT) AS pre_n, " +
+       "CAST(SUM(CASE WHEN epoch_us(ts) >= m.mid AND event_type = 'purchase' " +
+       "THEN CAST(FLOOR(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y " +
+       "FROM events, m GROUP BY user_id), " +
+       "pb AS (SELECT CAST(LEAST(pre_n // 8, 6) AS BIGINT) AS band, " +
+       "CAST(SUM(user_id % 2) AS BIGINT) AS nt, " +
+       "CAST(SUM(1 - user_id % 2) AS BIGINT) AS nc, " +
+       "SUM(CASE WHEN user_id % 2 = 1 THEN y ELSE 0 END) AS syt, " +
+       "SUM(CASE WHEN user_id % 2 = 0 THEN y ELSE 0 END) AS syc " +
+       "FROM pu GROUP BY 1), " +
+       "c AS (SELECT *, SUM(nt) OVER (ORDER BY band DESC ROWS UNBOUNDED " +
+       "PRECEDING) AS cnt, SUM(nc) OVER (ORDER BY band DESC ROWS UNBOUNDED " +
+       "PRECEDING) AS cnc, SUM(syt) OVER (ORDER BY band DESC ROWS UNBOUNDED " +
+       "PRECEDING) AS csyt, SUM(syc) OVER (ORDER BY band DESC ROWS UNBOUNDED " +
+       "PRECEDING) AS csyc FROM pb) " +
+       "SELECT band, nt AS n_treat, nc AS n_ctrl, " +
+       "CASE WHEN nt = 0 THEN NULL ELSE " +
+       froundSql("CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE) / 100.0", 4) +
+       " END AS mean_treat, " +
+       "CASE WHEN nc = 0 THEN NULL ELSE " +
+       froundSql("CAST(syc AS DOUBLE) / CAST(nc AS DOUBLE) / 100.0", 4) +
+       " END AS mean_ctrl, " +
+       "CASE WHEN nt = 0 OR nc = 0 THEN NULL ELSE " +
+       froundSql("CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE) / 100.0 - " +
+                 "CAST(syc AS DOUBLE) / CAST(nc AS DOUBLE) / 100.0", 4) +
+       " END AS uplift, " +
+       "CASE WHEN cnc = 0 THEN NULL ELSE " +
+       froundSql("(CAST(csyt AS DOUBLE) - CAST(csyc AS DOUBLE) * " +
+                 "CAST(cnt AS DOUBLE) / CAST(cnc AS DOUBLE)) / 100.0", 4) +
+       " END AS qini_cum " +
+       "FROM c ORDER BY band DESC"),
 
     // identical key-derived propensities and integral 60-scaled
     // weight sums; `//` is DuckDB's integer division matching DIV
