@@ -29,6 +29,43 @@ object TextOps {
   val DecontamNgramTokens = 8
   val BenchmarkDocMod = 97
 
+  /** text_lexicon_filter categories: (name, wordlist, max percent of
+    * tokens). The mechanism is the production toxicity/NSFW blocklist
+    * gate (a C4/RefinedWeb curation stage); the fixture's 31-word
+    * vocabulary stands in for the blocklists, with thresholds set so
+    * every SF yields a mixed keep/drop population. Shared verbatim
+    * with the oracle; gates compare by integer cross-multiplication
+    * (hits·100 > pct·n_tok) so no ratio double ever decides a row. */
+  val LexCategories: Seq[(String, Seq[String], Int)] = Seq(
+    ("latency", Seq("slow"), 4),
+    ("size", Seq("big", "small"), 8),
+    ("infra", Seq("spark", "stream"), 7))
+
+  /** text_lexicon_filter's whole pipeline on any (doc_id, lang, text)
+    * frame — factored out so LexiconSpec can plant docs with known
+    * category loads. Row-local: one materialized token array, one
+    * bounded filter per category, verdict = first breached gate. */
+  def lexiconFilter(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("doc_id"), col("lang"),
+      split(lower(trim(col("text"))), " ").as("tk"))
+    val withHits = LexCategories.foldLeft(
+      t.withColumn("n_tok", size(col("tk")))) { case (df, (name, ws, _)) =>
+        df.withColumn(s"hits_$name",
+          size(filter(col("tk"), x => x.isInCollection(ws))))
+    }
+    val verdict = LexCategories.reverse.foldLeft(lit("ok")) {
+      case (elseCol, (name, _, pct)) =>
+        when(col(s"hits_$name") * 100 > col("n_tok") * pct, lit(name))
+          .otherwise(elseCol)
+    }
+    withHits.select(
+      Seq(col("doc_id"), col("lang"), big(col("n_tok")).as("n_tok")) ++
+      LexCategories.map { case (name, _, _) =>
+        big(col(s"hits_$name")).as(s"hits_$name") } ++
+      Seq(verdict.as("verdict")): _*)
+      .orderBy("doc_id")
+  }
+
   /** sample_temperature: the mixing exponent (0.7 — the multilingual
     * pretraining default) and the integer token budget the
     * largest-remainder allocation distributes exactly. */
@@ -1229,6 +1266,18 @@ object TextOps {
     // rule-failure tallies do (bounded by #langs). Thresholds are
     // tuned to this fixture so both outcomes occur and the aggregate
     // actually discriminates.
+    // LEXICON BLOCKLIST GATE — the C4/RefinedWeb curation stage the
+    // Gopher rules don't cover: per-category wordlist hit counts and
+    // a per-document verdict (first breached gate wins, in declared
+    // category order). Everything is row-local over ONE materialized
+    // token array (the shinglesOf discipline — no per-element
+    // re-tokenization); the blocklists broadcast as literals; the only
+    // exchange is the final ORDER BY. Gates decide by integer
+    // cross-multiplication, never a ratio double. At 100 TB real
+    // blocklists run thousands of terms — the literal `isInCollection`
+    // becomes a broadcast map lookup, same plan shape.
+    "text_lexicon_filter" -> ((s, dir) => lexiconFilter(documents(s, dir))),
+
     "text_gopher_quality" -> ((s, dir) => {
       val stop = Seq("a", "the", "and", "of", "to")
       val toks = split(lower(trim(col("text"))), " ")
@@ -1748,6 +1797,25 @@ object TextOps {
     // agree on match counts and the scrubbed character volume;
     // DuckDB string literals keep backslashes raw, and its
     // same one-pass signals, integer-cross-multiplied gates, digest
+    // identical tokenization, wordlists interpolated from
+    // LexCategories, identical cross-multiplied gates and CASE order
+    "text_lexicon_filter" -> {
+      def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ", ", ")")
+      val hitCols = LexCategories.map { case (name, ws, _) =>
+        s"CAST(LEN(LIST_FILTER(tk, x -> x IN ${inList(ws)})) AS BIGINT) AS hits_$name"
+      }.mkString(", ")
+      val verdict = "CASE " + LexCategories.map { case (name, _, pct) =>
+        s"WHEN hits_$name * 100 > n_tok * $pct THEN '$name' "
+      }.mkString + "ELSE 'ok' END AS verdict"
+      "WITH t AS (SELECT doc_id, lang, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS tk " +
+      "FROM documents), " +
+      "h AS (SELECT doc_id, lang, CAST(LEN(tk) AS BIGINT) AS n_tok, " + hitCols +
+      " FROM t) " +
+      "SELECT doc_id, lang, n_tok, " +
+      LexCategories.map { case (name, _, _) => s"hits_$name" }.mkString(", ") +
+      ", " + verdict + " FROM h ORDER BY doc_id"
+    },
+
     // window dedup; funnel rows stacked by UNION ALL
     "text_curation_funnel" ->
       ("WITH b AS (SELECT doc_id, n_chars, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS t, " +
