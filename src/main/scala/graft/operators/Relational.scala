@@ -41,6 +41,37 @@ object Relational {
     * Shared verbatim with the oracle SQL. */
   val KAnonymity = 5
 
+  /** dq_freshness: a lane is fresh while its newest event is within
+    * this many minutes of the corpus head. Shared with the oracle. */
+  val FreshnessSlaMinutes = 60
+
+  /** dq_freshness's whole pipeline on any (event_type, ts) frame —
+    * factored out so DqFreshnessSpec can plant a stale lane. ONE
+    * conditional pass: corpus bounds broadcast from a 1-row
+    * aggregate, then a single per-type hash aggregate; every gate
+    * decides on integer microseconds. */
+  def freshnessOf(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val bounds = ev.agg(max(unix_micros(col("ts"))).as("gmax"),
+                        min(unix_micros(col("ts"))).as("gmin"))
+    ev.crossJoin(broadcast(bounds))
+      .groupBy("event_type")
+      .agg(big(count(lit(1))).as("n"),
+           max(col("ts")).as("last_seen"),
+           max(unix_micros(col("ts"))).as("tmax"),
+           big(sum(when(unix_micros(col("ts")) > col("gmax") - 3600000000L, 1L)
+             .otherwise(0L))).as("n_last_hour"),
+           max(col("gmax")).as("gmax"), max(col("gmin")).as("gmin"))
+      .select(col("event_type"), col("n"), col("last_seen"),
+        big(expr("(gmax - tmax) DIV 60000000")).as("minutes_behind"),
+        (expr("(gmax - tmax) DIV 60000000") <= FreshnessSlaMinutes)
+          .as("is_fresh"),
+        col("n_last_hour"),
+        fround(col("n").cast("double") /
+          expr("(gmax - gmin) DIV 3600000000 + 1").cast("double"), 2)
+          .as("hourly_avg"))
+      .orderBy("event_type")
+  }
+
   /** agg_incremental_retract: deterministic tombstone rule carving the
     * delete batch out of the pre-cutoff snapshot (the fixture carries
     * no real change feed) — finished orders with key ≡ 0 (mod 7).
@@ -470,6 +501,16 @@ object Relational {
     // join class that rides a runtime bloom / bucket co-location at
     // 100 TB. n_failed counts, not samples: a gate needs the exact
     // violation count, the violating ROWS are a filter away.
+    // FRESHNESS / VOLUME SLA MONITOR — the daily-use companion of
+    // dq_expectations: per event lane, when did data last arrive
+    // (minutes behind the corpus head, exact integer µs DIV), is the
+    // lane within its SLA, and is the last hour's volume consistent
+    // with the lane's historical hourly rate (the silent-upstream-
+    // death detector — a lane can be "fresh" on one straggler event
+    // while 95% of its volume is missing). See [[freshnessOf]]. At
+    // 100 TB this runs per partition-date slice with the same plan.
+    "dq_freshness" -> ((s, dir) => freshnessOf(events(s, dir))),
+
     "dq_expectations" -> ((s, dir) => {
       def rows(df: org.apache.spark.sql.DataFrame) =
         df.select(explode(col("arr")).as("e")).select(col("e.*"))
@@ -1010,6 +1051,23 @@ object Relational {
     // one independent SELECT per expectation — the n_failed counts
     // re-derive from scratch, never from the engine's single-pass
     // aggregate shape
+    // identical corpus bounds, integer-µs lag division, SLA constant
+    // interpolated, and the same floor-rounded hourly rate
+    "dq_freshness" ->
+      ("WITH g AS (SELECT MAX(epoch_us(ts)) AS gmax, MIN(epoch_us(ts)) AS gmin " +
+       "FROM events), " +
+       "t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
+       "MAX(ts) AS last_seen, MAX(epoch_us(ts)) AS tmax, " +
+       "CAST(SUM(CASE WHEN epoch_us(ts) > g.gmax - 3600000000 THEN 1 ELSE 0 END) " +
+       "AS BIGINT) AS n_last_hour, MAX(g.gmax) AS gmax, MAX(g.gmin) AS gmin " +
+       "FROM events, g GROUP BY event_type) " +
+       "SELECT event_type, n, last_seen, " +
+       "CAST((gmax - tmax) // 60000000 AS BIGINT) AS minutes_behind, " +
+       s"((gmax - tmax) // 60000000) <= $FreshnessSlaMinutes AS is_fresh, " +
+       "n_last_hour, " +
+       froundSql("CAST(n AS DOUBLE) / CAST((gmax - gmin) // 3600000000 + 1 AS DOUBLE)", 2) +
+       " AS hourly_avg FROM t ORDER BY event_type"),
+
     "dq_expectations" -> {
       def e(name: String, from: String, failed: String) =
         s"SELECT '$name' AS expectation, CAST(COUNT(*) AS BIGINT) AS n_checked, " +
