@@ -479,6 +479,51 @@ object Vectors {
         .orderBy("variant")
     }),
 
+    // JOHNSON-LINDENSTRAUSS RANDOM PROJECTION with a distortion
+    // certificate — the cheap-trained cousin of PCA/OPQ for 100 TB
+    // dimensionality cuts: a seeded ±1 sign matrix (md5 hex parity —
+    // NO training pass, both engines derive it independently) maps
+    // 64 → RpDim dims at 1/√RpDim scale, preserving pair distances in
+    // expectation (the JL lemma). The certificate pairs every vector
+    // with its id-successor (a deterministic corpus-wide pair sample)
+    // and reports the per-label distance-ratio spread. Projection is
+    // one row-local ordered fold per output dim; the ONLY exchange is
+    // the successor equi-join + the 10-row label aggregate. At 100 TB
+    // the projection runs in the ingest pass and the certificate on
+    // any id-window sample — same plan.
+    "vec_random_projection" -> ((s, dir) => {
+      val dim = 64
+      val idx = sequence(lit(0), lit(dim - 1))
+      val signs = (0 until RpDim).map { k =>
+        typedLit((0 until dim).map(j => rpSign(j, k)).toArray)
+      }
+      def ev(c: String)(i: org.apache.spark.sql.Column) =
+        element_at(col(c), i + 1)
+      val p = embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+                Similarity.asDouble(col("embedding")).as("ev"))
+        .withColumn("pv", array((0 until RpDim).map { k =>
+          aggregate(idx, lit(0.0),
+            (acc, j) => acc + ev("ev")(j) * element_at(signs(k), j + 1))
+        }: _*))
+      val a = p.select(col("vec_id").as("ida"), col("label"),
+                       col("ev").as("eva"), col("pv").as("pva"))
+      val b = p.select((col("vec_id") - 1).as("ida"),
+                       col("ev").as("evb"), col("pv").as("pvb"))
+      a.join(b, "ida")
+        .withColumn("dorig", sqrt(l2sq(col("eva"), col("evb"))))
+        .withColumn("dproj",
+          sqrt(l2sq(col("pva"), col("pvb"))) / sqrt(lit(RpDim.toDouble)))
+        .where(col("dorig") > 0)
+        .withColumn("ratio", fround(col("dproj") / col("dorig"), 6))
+        .groupBy("label")
+        .agg(big(count(lit(1))).as("n_pairs"),
+             fround(dsum6(col("ratio")) / count(lit(1)), 6).as("mean_ratio"),
+             min(col("ratio")).as("min_ratio"),
+             max(col("ratio")).as("max_ratio"))
+        .orderBy("label")
+    }),
+
     "sim_ann_pq" -> ((s, dir) => {
       val (books, qsubs) = pqPrelude(s, dir)
       embeddings(s, dir)
@@ -928,6 +973,22 @@ object Vectors {
       .select(col("i").cast("long").as("dim"), fround(col("v"), 6).as("loading"),
               fround(col("lam"), 6).as("eigenvalue"))
       .orderBy("dim")
+  }
+
+  /** Johnson-Lindenstrauss geometry (vec_random_projection): 64 dims
+    * → RpDim via a ±1 sign matrix seeded from md5("rp:j:k") hex-digit
+    * parity — a derivation BOTH engines can replay (the agg_dp_release
+    * seeded-draw convention), scaled by 1/√RpDim so expected pair
+    * distances are preserved. */
+  val RpDim = 16
+
+  /** Sign (j, k) of the seeded JL matrix: +1 iff the first hex digit
+    * of md5("rp:j:k") is even — the JVM twin of the oracle's
+    * SUBSTRING(MD5(...), 1, 1) parity. */
+  def rpSign(j: Int, k: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"rp:$j:$k".getBytes("UTF-8"))
+    if ((((d(0) >> 4) & 0xf) % 2) == 0) 1.0 else -1.0
   }
 
   /** PQ geometry: 64-dim vectors → 4 subspaces × 16 dims, 8 codewords
@@ -1463,6 +1524,30 @@ object Vectors {
        "WHERE assign.cid IN (SELECT cid FROM probes) AND v.vec_id <> 0 " +
        "ORDER BY cos DESC, v.vec_id LIMIT 10"),
     "sim_ann_pq" -> oraclePqBase,
+    // the seeded sign matrix re-derived from the same md5 parity, the
+    // same ordered folds (LIST_SUM ≡ the engine's aggregate), the
+    // same LIST_DISTANCE pair algebra and 6-dp pins
+    "vec_random_projection" ->
+      ("WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ev " +
+       "FROM embeddings), " +
+       "sg AS (SELECT k, LIST(CASE WHEN CAST(CONCAT('0x', " +
+       "SUBSTRING(MD5('rp:' || j || ':' || k), 1, 1)) AS BIGINT) % 2 = 0 " +
+       "THEN 1.0 ELSE -1.0 END ORDER BY j) AS sl " +
+       s"FROM RANGE(64) t1(j), RANGE($RpDim) t2(k) GROUP BY k), " +
+       "pk AS (SELECT v.vec_id, sg.k, " +
+       "LIST_SUM(LIST_TRANSFORM(RANGE(64), j -> v.ev[j+1] * sg.sl[j+1])) AS yk " +
+       "FROM v, sg), " +
+       "pv AS (SELECT vec_id, LIST(yk ORDER BY k) AS pv FROM pk GROUP BY vec_id), " +
+       "w AS (SELECT v.vec_id, v.label, v.ev, pv.pv FROM v JOIN pv USING (vec_id)), " +
+       "pr AS (SELECT a.label, LIST_DISTANCE(a.ev, b.ev) AS dorig, " +
+       s"LIST_DISTANCE(a.pv, b.pv) / SQRT(CAST($RpDim AS DOUBLE)) AS dproj " +
+       "FROM w a JOIN w b ON b.vec_id = a.vec_id + 1), " +
+       "r AS (SELECT label, " + froundSql("dproj / dorig", 6) + " AS ratio " +
+       "FROM pr WHERE dorig > 0) " +
+       "SELECT label, CAST(COUNT(*) AS BIGINT) AS n_pairs, " +
+       froundSql(dsum6Sql("ratio") + " / COUNT(*)", 6) + " AS mean_ratio, " +
+       "MIN(ratio) AS min_ratio, MAX(ratio) AS max_ratio " +
+       "FROM r GROUP BY label ORDER BY label"),
     // plain and permuted PQ trainings unrolled side by side (the "o"
     // prefix trains on the permuted view `w`); per-vec error uses the
     // same CASE-pivoted fixed-order addition as the ADC chain
