@@ -202,6 +202,24 @@ object Aggregations {
       .orderBy(col("band").desc)
   }
 
+  /** agg_hhi's share/concentration stage on any (n_name, member key,
+    * rev) frame — factored out so HhiSpec can plant monopoly and
+    * uniform markets. Group totals re-broadcast onto the member grid;
+    * share terms 6-dp pinned before the order-independent decimal sum. */
+  def hhiOf(supRev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val tot = supRev.groupBy("n_name")
+      .agg(sum(col("rev").cast("decimal(24,6)")).cast("double").as("tot"))
+    supRev.join(broadcast(tot), "n_name")
+      .withColumn("sharepct", col("rev") / col("tot") * 100.0)
+      .withColumn("term", fround(col("sharepct") * col("sharepct"), 6))
+      .groupBy("n_name")
+      .agg(big(count(lit(1))).as("n_suppliers"),
+           fround(max(col("tot")), 2).as("total_rev"),
+           fround(dsum6(col("term")), 4).as("hhi"),
+           fround(max(col("sharepct")), 4).as("top_share_pct"))
+      .orderBy("n_name")
+  }
+
   /** agg_kmv_intersection's whole pipeline on any (event_type, user_id)
     * frame — factored out so KmvSpec can plant audiences with known
     * overlaps and drive both the saturated-sketch estimate branch and
@@ -1359,6 +1377,28 @@ object Aggregations {
     // T/(n·Σx), one double division before the fround6 pin). Every
     // stage is partial-aggregable; nothing ever sorts the customer
     // domain through one partition.
+    // HERFINDAHL-HIRSCHMAN CONCENTRATION INDEX — the antitrust/market
+    // metric next to agg_gini's inequality curve: per nation, supplier
+    // revenue shares squared and summed on the 0–10000 percent² scale
+    // (10000 = monopoly). Two stacked hash aggregates (lineitem →
+    // (nation, supplier) → nation) with the geo dim broadcast; nation
+    // totals re-broadcast onto the supplier grid (25 rows), share
+    // terms 6-dp pinned before the order-independent decimal sum. The
+    // supplier-level partials are map-side combinable — at 100 TB the
+    // only corpus-sized exchange is the first groupBy.
+    "agg_hhi" -> ((s, dir) => {
+      val geo = supplier(s, dir)
+        .join(broadcast(nation(s, dir)),
+              col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      val supRev = lineitem(s, dir)
+        .join(broadcast(geo), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("n_name", "s_suppkey")
+        .agg(dsum6(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("rev"))
+      hhiOf(supRev)
+    }),
+
     "agg_gini" -> ((s, dir) => {
       val dec0 = "decimal(38,0)"
       val per = orders(s, dir)
@@ -2083,6 +2123,25 @@ object Aggregations {
        "ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p50, " +
        "ROUND(PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p90 " +
        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    // identical two-level decimal revenue rollup, share chain text,
+    // and 6-dp term pin before the decimal sum
+    "agg_hhi" ->
+      ("WITH geo AS (SELECT s_suppkey, n_name FROM supplier " +
+       "JOIN nation ON s_nationkey = n_nationkey), " +
+       "sr AS (SELECT n_name, l_suppkey, " +
+       dsum6Sql("l_extendedprice * (1 - l_discount)") + " AS rev " +
+       "FROM lineitem JOIN geo ON l_suppkey = s_suppkey GROUP BY 1, 2), " +
+       "t AS (SELECT n_name, CAST(SUM(CAST(rev AS DECIMAL(24,6))) AS DOUBLE) " +
+       "AS tot FROM sr GROUP BY 1), " +
+       "x AS (SELECT sr.n_name, tot, rev / tot * 100.0 AS sharepct, " +
+       froundSql("(rev / tot * 100.0) * (rev / tot * 100.0)", 6) + " AS term " +
+       "FROM sr JOIN t USING (n_name)) " +
+       "SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers, " +
+       froundSql("MAX(tot)", 2) + " AS total_rev, " +
+       froundSql(dsum6Sql("term"), 4) + " AS hhi, " +
+       froundSql("MAX(sharepct)", 4) + " AS top_share_pct " +
+       "FROM x GROUP BY n_name ORDER BY n_name"),
+
     // identical fixed grid, bin rule, and exact-integer trapezoid sum
     // (HUGEINT there, decimal(38,0) fold here — both exact; 2·cumS_b −
     // s_b ≡ 2·cumS_{b−1} + s_b), identical one-division chain
