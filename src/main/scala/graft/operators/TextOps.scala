@@ -29,6 +29,53 @@ object TextOps {
   val DecontamNgramTokens = 8
   val BenchmarkDocMod = 97
 
+  /** BM25 parameters (text_bm25) — the Lucene/Robertson defaults.
+    * DERIVED literals are declared, never computed (k1+1 as 2.2, 1−b
+    * as 0.25): 1.2 + 1 and 1 − 0.75 are exact in doubles today, but
+    * the declared-literal rule is what keeps every cross-engine chain
+    * safe by inspection. Shared verbatim with the oracle. */
+  val Bm25K1 = "1.2"
+  val Bm25K1Plus1 = "2.2"
+  val Bm25B = "0.75"
+  val Bm25OneMinusB = "0.25"
+
+  /** text_bm25's whole pipeline on any (doc_id, text) frame — the
+    * query is doc 0's distinct terms, the corpus is everything else.
+    * Factored out so Bm25Spec can plant docs with hand-analyzable
+    * saturation and length-normalization behavior. */
+  def bm25Of(docs: DataFrame): DataFrame = {
+    val toks = docs.where(col("doc_id") =!= 0L)
+      .select(col("doc_id"), split(lower(trim(col("text"))), " ").as("tk"))
+    val lens = toks.select(col("doc_id"), size(col("tk")).as("len"))
+    val tf = toks
+      .select(col("doc_id"), explode(col("tk")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val qt = docs.where(col("doc_id") === 0L)
+      .select(explode(array_distinct(split(lower(trim(col("text"))), " ")))
+        .as("term"))
+    val qtf = tf.join(broadcast(qt), Seq("term"))
+    val df = qtf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = lens.agg(big(count(lit(1))).as("n_docs"),
+                         sum(col("len")).cast("double").as("sumlen"))
+    val term = qtf
+      .join(broadcast(df), Seq("term"))
+      .join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("avglen", col("sumlen") / col("n_docs").cast("double"))
+      .withColumn("tscore", fround(
+        log((col("n_docs").cast("double") - col("df") + 0.5) /
+            (col("df") + 0.5) + 1.0) *
+        (col("tf") * expr(Bm25K1Plus1)) /
+        (col("tf") + expr(Bm25K1) *
+          (expr(Bm25OneMinusB) + expr(Bm25B) * col("len") / col("avglen"))),
+        6))
+    term.groupBy("doc_id")
+      .agg(big(count(lit(1))).as("n_terms"),
+           fround(dsum6(col("tscore")), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(10)
+  }
+
   /** text_lexicon_filter categories: (name, wordlist, max percent of
     * tokens). The mechanism is the production toxicity/NSFW blocklist
     * gate (a C4/RefinedWeb curation stage); the fixture's 31-word
@@ -708,6 +755,20 @@ object TextOps {
     // explode twice and shuffled tf a second time for the term join;
     // this one explodes once and touches each tf row in exactly three
     // key-partitioned passes (doc term-count, term df, doc top-k).
+    // BM25 RETRIEVAL SCORING (Robertson/Lucene) — the lexical-search
+    // standard tf-idf only approximates: idf = ln((N−df+0.5)/(df+0.5)
+    // + 1) with tf saturation k1 and length normalization b, query =
+    // doc 0's distinct terms (the sim_hybrid_rrf probe convention; at
+    // 100 TB the probe is any broadcast term list). Shapes: one
+    // (doc, term) tf hash-agg (map-side combinable — the corpus-sized
+    // exchange), df is a vocabulary-scale aggregate restricted to
+    // QUERY terms (query-size-bounded, broadcasts), corpus scalars
+    // ride a 1-row broadcast, the final cut is a top-10 heap. Per-term
+    // scores are 6-dp pinned before the order-independent decimal sum
+    // — a plain double SUM over matched terms would be
+    // addition-order-dependent.
+    "text_bm25" -> ((s, dir) => bm25Of(documents(s, dir))),
+
     "text_tfidf" -> ((s, dir) => {
       val docs = documents(s, dir)
       val tf = docs
@@ -1797,6 +1858,30 @@ object TextOps {
     // agree on match counts and the scrubbed character volume;
     // DuckDB string literals keep backslashes raw, and its
     // same one-pass signals, integer-cross-multiplied gates, digest
+    // identical probe terms, tf/df/len tables, the same declared BM25
+    // literals and ln/saturation chain text, 6-dp term pin before the
+    // decimal sum
+    "text_bm25" ->
+      ("WITH d AS (SELECT doc_id, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS tk " +
+       "FROM documents WHERE doc_id <> 0), " +
+       "lens AS (SELECT doc_id, LEN(tk) AS len FROM d), " +
+       "tf AS (SELECT doc_id, UNNEST(tk) AS term FROM d), " +
+       "tfc AS (SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY 1, 2), " +
+       "qt AS (SELECT DISTINCT UNNEST(STRING_SPLIT(LOWER(TRIM(text)), ' ')) AS term " +
+       "FROM documents WHERE doc_id = 0), " +
+       "qtf AS (SELECT tfc.* FROM tfc JOIN qt USING (term)), " +
+       "df AS (SELECT term, COUNT(*) AS df FROM qtf GROUP BY 1), " +
+       "st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+       "CAST(SUM(len) AS DOUBLE) AS sumlen FROM lens), " +
+       "t AS (SELECT qtf.doc_id, " +
+       froundSql("LN((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0) * " +
+         s"(tf * $Bm25K1Plus1) / (tf + $Bm25K1 * " +
+         s"($Bm25OneMinusB + $Bm25B * len / (sumlen / CAST(n_docs AS DOUBLE))))", 6) +
+       " AS tscore FROM qtf JOIN df USING (term) JOIN lens USING (doc_id), st) " +
+       "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms, " +
+       froundSql(dsum6Sql("tscore"), 4) + " AS bm25 " +
+       "FROM t GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10"),
+
     // identical tokenization, wordlists interpolated from
     // LexCategories, identical cross-multiplied gates and CASE order
     "text_lexicon_filter" -> {
