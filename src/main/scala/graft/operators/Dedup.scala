@@ -150,6 +150,62 @@ object Dedup {
               "n_covered", "n_spans", "kept")
   }
 
+  /** dedup_cdc_chunks: a chunk boundary falls AFTER every token whose
+    * md5-derived 52-bit value ≡ 0 (mod CdcMod) — expected chunk length
+    * CdcMod tokens. Content-defined boundaries depend only on LOCAL
+    * token content, so an insertion re-aligns at the next boundary
+    * instead of shifting every later chunk (the FastCDC/rsync
+    * property fixed-width `dedup_paragraph` lacks; production adds
+    * min/max cut bounds to tame chunk-size variance). */
+  val CdcMod = 8
+
+  /** JVM twin of the boundary rule (spec fixture construction). */
+  def cdcIsBoundary(tok: String): Boolean = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(tok.getBytes("UTF-8")).take(7).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(13), 16) % CdcMod == 0
+  }
+
+  /** Content-defined chunk dedup over any (doc_id, lang, text) frame —
+    * the [[paragraphDedupDocs]] report (chunk counts + the document
+    * rebuilt from first-global-occurrence chunks) with CDC boundaries
+    * instead of a fixed width. Chunking is ROW-LOCAL positional
+    * algebra (boundary positions → slices — O(n_tok) per doc); the
+    * only data-sized exchange is the digest-partitioned first-
+    * occurrence window, whose groups are duplicate-count-sized. The
+    * oracle re-derives the same chunks INDEPENDENTLY via per-token
+    * explode + gaps-and-islands window SQL — two formulations, one
+    * answer (the multimodal_vad convention). */
+  def cdcDedupDocs(docs: DataFrame): DataFrame = {
+    val m = CdcMod
+    val chunks = docs
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+      // boundary positions (1-based), then chunk k spans
+      // [bpos[k-1]+1 .. bpos[k]] with the unterminated tail span last
+      .withColumn("bpos", expr(
+        s"filter(sequence(1, size(toks)), i -> " +
+        s"cast(conv(substring(md5(toks[i - 1]), 1, 13), 16, 10) as bigint) % $m = 0)"))
+      .withColumn("chunks", expr(
+        "filter(transform(sequence(0, size(bpos)), k -> " +
+        "concat_ws(' ', slice(toks, " +
+        "if(k = 0, 1, bpos[k - 1] + 1), " +
+        "if(k = size(bpos), size(toks), bpos[k]) - if(k = 0, 1, bpos[k - 1] + 1) + 1))), " +
+        "c -> c <> '')"))
+      .select(col("doc_id"), col("lang"),
+        posexplode(col("chunks")).as(Seq("idx", "chunk")))
+    val keep = chunks.withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("chunk").cast("binary")))
+        .orderBy(col("doc_id"), col("idx"))))
+    keep.groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("nc"),
+           sum(when(col("rn") === 1, 1L).otherwise(0L)).as("nk"),
+           concat_ws(" ", transform(
+             array_sort(collect_list(
+               when(col("rn") === 1, struct(col("idx"), col("chunk"))))),
+             x => x.getField("chunk"))).as("rebuilt"))
+  }
+
   /** Distinct word 3-shingles over an already-materialized token-array
     * column. The tokens MUST be a bound column, not an inline
     * `split(...)` expression: HOF lambdas re-evaluate their children
@@ -843,6 +899,23 @@ object Dedup {
                16, 10).cast("long"))).as("kept_sig"))
         .orderBy("lang")),
 
+    // CONTENT-DEFINED CHUNK DEDUP — dedup_paragraph's report with
+    // FastCDC-style boundaries: a chunk ends after every token whose
+    // md5 value ≡ 0 (mod CdcMod), so boundaries depend only on local
+    // content and an INSERTION re-aligns at the next boundary instead
+    // of shifting every later chunk (CdcSpec plants exactly that
+    // failure of the fixed-width chunker). See [[cdcDedupDocs]].
+    "dedup_cdc_chunks" -> ((s, dir) =>
+      cdcDedupDocs(documents(s, dir)).groupBy("lang")
+        .agg(big(count(lit(1))).as("n_docs"),
+             big(sum(col("nc"))).as("n_chunks"),
+             big(sum(col("nk"))).as("n_chunks_kept"),
+             big(sum(when(col("nk") < col("nc"), 1L).otherwise(0L)))
+               .as("n_docs_trimmed"),
+             big(sum(conv(substring(md5(col("rebuilt").cast("binary")), 1, 8),
+               16, 10).cast("long"))).as("rebuilt_sig"))
+        .orderBy("lang")),
+
     "dedup_paragraph" -> ((s, dir) =>
       paragraphDedupDocs(documents(s, dir)).groupBy("lang")
         .agg(big(count(lit(1))).as("n_docs"),
@@ -1268,6 +1341,32 @@ object Dedup {
     // can only drift together); first occurrence = ROW_NUMBER over
     // (doc_id, idx) per chunk digest; rebuilt text re-pinned through
     // the md5-prefix signature
+    // INDEPENDENT formulation: per-token explode + gaps-and-islands
+    // cid window instead of the engine's row-local positional slices —
+    // same md5 boundary rule, same first-occurrence window, one answer
+    "dedup_cdc_chunks" ->
+      ("WITH t AS (SELECT doc_id, lang, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS toks FROM documents), " +
+       "p AS (SELECT doc_id, lang, UNNEST(toks) AS tok, " +
+       "GENERATE_SUBSCRIPTS(toks, 1) AS pos FROM t), " +
+       "f AS (SELECT *, CASE WHEN CAST(CONCAT('0x', SUBSTRING(MD5(tok), 1, 13)) " +
+       s"AS BIGINT) % $CdcMod = 0 THEN 1 ELSE 0 END AS bd FROM p), " +
+       "c AS (SELECT doc_id, lang, tok, pos, " +
+       "COALESCE(SUM(bd) OVER (PARTITION BY doc_id ORDER BY pos " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid FROM f), " +
+       "e AS (SELECT doc_id, lang, cid AS idx, " +
+       "STRING_AGG(tok, ' ' ORDER BY pos) AS chunk FROM c GROUP BY 1, 2, 3), " +
+       "k AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY MD5(chunk) ORDER BY doc_id, idx) AS rn FROM e), " +
+       "d AS (SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS nc, " +
+       "CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nk, " +
+       "ARRAY_TO_STRING(LIST(chunk ORDER BY idx) FILTER (WHERE rn = 1), ' ') AS rebuilt " +
+       "FROM k GROUP BY 1, 2) " +
+       "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+       "CAST(SUM(nc) AS BIGINT) AS n_chunks, " +
+       "CAST(SUM(nk) AS BIGINT) AS n_chunks_kept, " +
+       "CAST(SUM(CASE WHEN nk < nc THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_trimmed, " +
+       "CAST(SUM(CAST(CONCAT('0x', SUBSTRING(MD5(COALESCE(rebuilt, '')), 1, 8)) AS BIGINT)) AS BIGINT) AS rebuilt_sig " +
+       "FROM d GROUP BY lang ORDER BY lang"),
+
     "dedup_paragraph" ->
       ("WITH t AS (SELECT doc_id, lang, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS toks FROM documents), " +
        "c AS (SELECT doc_id, lang, " +
