@@ -85,6 +85,14 @@ object Aggregations {
   val PowerZBeta = 0.8416
   val PowerMdeRel = 0.05
 
+  /** agg_benjamini_hochberg — the BH step-up rule at FDR q = 0.10
+    * over m = 5 per-lane tests, expressed as DECLARED |z| critical
+    * values (two-sided p ≤ i·q/m ⇔ |z| ≥ Φ⁻¹(1 − i·q/(2m)); the
+    * PowerZAlpha convention: neither engine ever computes a normal
+    * quantile). Index i is the 1-based rank by |z| descending. */
+  val BhZCrit: Seq[String] =
+    Seq("2.3263", "2.0537", "1.8808", "1.7507", "1.6449")
+
   /** events_srm / events_msprt design constants — the χ² critical
     * value at df=1, α=0.001 (the SRM alarm convention: assignment
     * bugs, not borderline noise) and the mSPRT mixture scale τ in
@@ -148,6 +156,54 @@ object Aggregations {
           .as("ips_value"),
         fround(col("swr").cast("double") / col("sw").cast("double") / 100.0, 4)
           .as("snips_value"))
+  }
+
+  /** agg_benjamini_hochberg's whole pipeline on any (user_id,
+    * event_type, value) frame — factored out so BhSpec can plant an
+    * effect in one lane and a null in the rest. Expects ≤
+    * BhZCrit.size test lanes (the fixture contract: 5 event types at
+    * every SF). NULL-guards degenerate arms like [[welchOf]] notes. */
+  def benjaminiHochberg(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val pu = ev.groupBy("event_type", "user_id")
+      .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
+      .withColumn("g", pmod(col("user_id"), lit(2)).cast("int"))
+      .withColumn("x", col("cents").cast("double") / 100.0)
+    val st = pu.groupBy("event_type").agg(
+      big(sum(when(col("g") === 0, 1L).otherwise(0L))).as("n0"),
+      big(sum(when(col("g") === 1, 1L).otherwise(0L))).as("n1"),
+      dsum6(when(col("g") === 0, col("x")).otherwise(0.0)).as("s10"),
+      dsum6(when(col("g") === 0, col("x") * col("x")).otherwise(0.0)).as("s20"),
+      dsum6(when(col("g") === 1, col("x")).otherwise(0.0)).as("s11"),
+      dsum6(when(col("g") === 1, col("x") * col("x")).otherwise(0.0)).as("s21"))
+    val z = st.withColumn("z",
+      when(col("n0") < 2 || col("n1") < 2, lit(null).cast("double"))
+        .otherwise(fround(
+          (col("s11") / col("n1") - col("s10") / col("n0")) /
+          sqrt(((col("s21") - col("s11") * col("s11") / col("n1")) /
+                 (col("n1") - 1)) / col("n1") +
+               ((col("s20") - col("s10") * col("s10") / col("n0")) /
+                 (col("n0") - 1)) / col("n0")), 6)))
+    // the BH walk runs on the TEST-FAMILY grid (m = #lanes ≤ 5 by the
+    // fixture contract) — bounded windows by construction
+    val w5 = org.apache.spark.sql.expressions.Window
+      .orderBy(abs(col("z")).desc_nulls_last, col("event_type"))
+    // CAST each rung: bare decimal literals would type the array (and
+    // the projected z_crit) DECIMAL(5,4), not DOUBLE
+    val ladder = expr(
+      s"array(${BhZCrit.map(v => s"CAST($v AS DOUBLE)").mkString(", ")})")
+    val ranked = z
+      .withColumn("rnk", big(row_number().over(w5)))
+      .withColumn("z_crit", element_at(ladder, col("rnk").cast("int")))
+      .withColumn("pass", abs(col("z")) >= col("z_crit"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                   org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    ranked
+      .withColumn("kstar", max(when(col("pass"), col("rnk"))).over(wAll))
+      .select(col("event_type"), col("n0").as("n_ctrl"), col("n1").as("n_treat"),
+              col("z"), col("rnk"), col("z_crit"),
+              coalesce(col("rnk") <= col("kstar"), lit(false)).as("rejected"))
+      .orderBy("rnk")
   }
 
   /** events_uplift_qini's whole pipeline on any (user_id, event_type,
@@ -366,6 +422,17 @@ object Aggregations {
     // rationals (w = 15/(1+((u+i)%5)), a 5-value grid), so sums run in
     // decimal and the only doubles are the two final divisions.
     "events_ips_eval" -> ((s, dir) => ipsEval(events(s, dir))),
+
+    // BENJAMINI-HOCHBERG FDR CONTROL — the multiple-testing gate an
+    // experimentation platform applies when one experiment ships MANY
+    // metrics (here: the per-event-lane Welch z family): rank |z|
+    // descending, find the largest rank whose statistic clears its
+    // step-up critical value (declared literals — see BhZCrit), and
+    // reject every test at or above it. Without this, 5 lanes at
+    // α=0.05 each false-alarm ~23% of the time per experiment. One
+    // per-(lane, user) conditional pass, one lane-grid moment
+    // aggregate; the BH walk is two bounded 5-row windows.
+    "agg_benjamini_hochberg" -> ((s, dir) => benjaminiHochberg(events(s, dir))),
 
     // UPLIFT DECILES + QINI — the evaluation every targeting model
     // ships with (Radcliffe 2007): rank units by a model score, then
@@ -1887,6 +1954,37 @@ object Aggregations {
        froundSql("CAST(n_covered AS DOUBLE) / n_eval", 4) + " AS coverage " +
        "FROM model JOIN qq USING (event_type) JOIN cov USING (event_type) " +
        "ORDER BY event_type"),
+
+    // identical conditional moment sums, Welch chain text, the same
+    // declared critical-value ladder and step-up walk
+    "agg_benjamini_hochberg" -> {
+      val ladder = "CASE rnk " + BhZCrit.zipWithIndex.map { case (v, i) =>
+        s"WHEN ${i + 1} THEN CAST($v AS DOUBLE) " }.mkString + "END"
+      ("WITH pu AS (SELECT event_type, user_id, " +
+       "SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS cents FROM events GROUP BY 1, 2), " +
+       "x AS (SELECT event_type, user_id % 2 AS g, " +
+       "CAST(cents AS DOUBLE) / 100.0 AS x FROM pu), " +
+       "st AS (SELECT event_type, " +
+       "CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0, " +
+       "CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1, " +
+       dsum6Sql("CASE WHEN g = 0 THEN x ELSE 0 END") + " AS s10, " +
+       dsum6Sql("CASE WHEN g = 0 THEN x * x ELSE 0 END") + " AS s20, " +
+       dsum6Sql("CASE WHEN g = 1 THEN x ELSE 0 END") + " AS s11, " +
+       dsum6Sql("CASE WHEN g = 1 THEN x * x ELSE 0 END") + " AS s21 " +
+       "FROM x GROUP BY 1), " +
+       "z AS (SELECT event_type, n0, n1, " +
+       "CASE WHEN n0 < 2 OR n1 < 2 THEN NULL ELSE " +
+       froundSql("(s11 / n1 - s10 / n0) / " +
+         "SQRT(((s21 - s11 * s11 / n1) / (n1 - 1)) / n1 + " +
+         "((s20 - s10 * s10 / n0) / (n0 - 1)) / n0)", 6) +
+       " END AS z FROM st), " +
+       "r AS (SELECT *, CAST(ROW_NUMBER() OVER " +
+       "(ORDER BY ABS(z) DESC NULLS LAST, event_type) AS BIGINT) AS rnk FROM z), " +
+       "c AS (SELECT *, " + ladder + " AS z_crit FROM r), " +
+       "k AS (SELECT *, MAX(CASE WHEN ABS(z) >= z_crit THEN rnk END) OVER () AS kstar FROM c) " +
+       "SELECT event_type, n0 AS n_ctrl, n1 AS n_treat, z, rnk, z_crit, " +
+       "COALESCE(rnk <= kstar, FALSE) AS rejected FROM k ORDER BY rnk")
+    },
 
     // identical corpus-midpoint split, band grid, decimal sums and
     // NULL guards; the qini chain's double ops mirror textually
