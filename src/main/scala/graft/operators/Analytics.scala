@@ -65,6 +65,44 @@ object Analytics {
       cooccurEdges(lineitem(s, dir)).localCheckpoint())
   }
 
+  /** graph_hits round count — small and FIXED so the oracle unrolls
+    * the identical rounds as CTEs (the Lloyd/PageRank discipline). */
+  val HitsIters = 2
+
+  /** HITS mutual reinforcement over a directed (src, dst) edge list:
+    * hub/authority scores start at 1, each round sets a ← Σ h(in),
+    * h ← Σ a(out), both max-normalized and 6-dp pinned. Exposed so
+    * HitsSpec can plant a graph with a hand-rankable star. Returns
+    * the two top-10s stacked: (side, rnk, node, score). */
+  def hitsRounds(e0: DataFrame, iters: Int): DataFrame = {
+    val e = e0.localCheckpoint()
+    var h = e.select(col("src").as("node")).distinct()
+      .withColumn("s", lit(1.0))
+    var a = e.select(col("dst").as("node")).distinct()
+      .withColumn("s", lit(1.0))
+    def normalized(raw: DataFrame): DataFrame = {
+      val mx = raw.agg(max(col("raw")).as("mx"))
+      raw.crossJoin(broadcast(mx))
+        .select(col("node"), fround(col("raw") / col("mx"), 6).as("s"))
+    }
+    (1 to iters).foreach { _ =>
+      a = normalized(e
+        .join(h.select(col("node").as("src"), col("s")), Seq("src"))
+        .groupBy(col("dst").as("node")).agg(dsum6(col("s")).as("raw")))
+      h = normalized(e
+        .join(a.select(col("node").as("dst"), col("s")), Seq("dst"))
+        .groupBy(col("src").as("node")).agg(dsum6(col("s")).as("raw")))
+    }
+    def top(df: DataFrame, side: String) = df
+      .orderBy(col("s").desc, col("node")).limit(10)
+      .withColumn("rnk", big(row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("s").desc, col("node")))))
+      .select(lit(side).as("side"), col("rnk"), big(col("node")).as("node"),
+              col("s").as("score"))
+    top(h, "hub").unionByName(top(a, "auth")).orderBy("side", "rnk")
+  }
+
   /** Degree-ordered orientation of an undirected (a, b) edge list —
     * the standard skew bound for distributed triangle enumeration
     * (each edge points from its LOWER-degree endpoint to the higher,
@@ -1206,6 +1244,24 @@ object Analytics {
     // singletons, then contraction; exact-integer before/after Q.
     "graph_louvain" -> ((s, dir) => louvainRound(cooccurEdgesCached(s, dir))),
 
+    // HITS (Kleinberg) over the DIRECTED part → supplier bipartite
+    // graph — the hubs/authorities complement of PageRank's single
+    // centrality: a part is a good hub when it links to good
+    // suppliers, a supplier a good authority when good parts link to
+    // it. HitsIters fixed mutual-reinforcement rounds, each
+    // max-normalized and 6-dp pinned (the Lloyd/PageRank discipline —
+    // the oracle unrolls the identical rounds as CTEs). Shapes: the
+    // distinct-edge projection is one exchange; each round is two
+    // edge-keyed join+aggs (map-side combinable) plus a 1-row max
+    // broadcast; output is two top-10 heaps. At 100 TB deep runs
+    // would checkpoint per round like pageRankRounds' lineage hatch.
+    "graph_hits" -> ((s, dir) => {
+      val e = lineitem(s, dir)
+        .select(col("l_partkey").as("src"), col("l_suppkey").as("dst"))
+        .distinct()
+      hitsRounds(e, HitsIters)
+    }),
+
     // NEIGHBORHOOD JACCARD per co-occurrence edge (r11): tie
     // strength / link prediction over the same graph — common
     // neighbors derived from the degree-ORIENTED triangle
@@ -2043,6 +2099,32 @@ object Analytics {
        " AS q_contrib " +
        "FROM ds LEFT JOIN ein ON ds.community = ein.community, m " +
        "ORDER BY ds.community"),
+    // the identical HitsIters rounds unrolled as CTEs: same distinct
+    // edge projection, decimal sums, max normalization and 6-dp pins
+    "graph_hits" -> {
+      val rounds = (1 to HitsIters).map { k =>
+        val hp = if (k == 1) "h0" else s"h${k - 1}"
+        s"ar$k AS (SELECT dst AS node, " + dsum6Sql("h.s") + " AS raw " +
+        s"FROM e JOIN $hp h ON e.src = h.node GROUP BY dst), " +
+        s"a$k AS (SELECT node, " +
+        froundSql(s"raw / (SELECT MAX(raw) FROM ar$k)", 6) + s" AS s FROM ar$k), " +
+        s"hr$k AS (SELECT src AS node, " + dsum6Sql("a.s") + " AS raw " +
+        s"FROM e JOIN a$k a ON e.dst = a.node GROUP BY src), " +
+        s"h$k AS (SELECT node, " +
+        froundSql(s"raw / (SELECT MAX(raw) FROM hr$k)", 6) + s" AS s FROM hr$k)"
+      }.mkString(", ")
+      ("WITH e AS (SELECT DISTINCT l_partkey AS src, l_suppkey AS dst FROM lineitem), " +
+       "h0 AS (SELECT DISTINCT src AS node, 1.0 AS s FROM e), " +
+       rounds + " " +
+       "SELECT side, rnk, node, score FROM (" +
+       "SELECT 'hub' AS side, CAST(ROW_NUMBER() OVER (ORDER BY s DESC, node) AS BIGINT) AS rnk, " +
+       s"CAST(node AS BIGINT) AS node, s AS score FROM h$HitsIters " +
+       "UNION ALL " +
+       "SELECT 'auth' AS side, CAST(ROW_NUMBER() OVER (ORDER BY s DESC, node) AS BIGINT) AS rnk, " +
+       s"CAST(node AS BIGINT) AS node, s AS score FROM a$HitsIters) " +
+       "WHERE rnk <= 10 ORDER BY side, rnk")
+    },
+
     // identical gain rule (du·dv < 2m), identical (dv, v) argmin and
     // the same integer modularity algebra — only one final double
     // division per Q term

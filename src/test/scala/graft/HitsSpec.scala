@@ -1,0 +1,39 @@
+package graft
+
+import graft.operators.Analytics
+
+/** HITS hubs/authorities (graph_hits): the oracle unrolls the rounds;
+  * these plant a star whose ranking is hand-derivable. */
+class HitsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("a super-hub and a super-authority top their sides") {
+    // hub 100 links to ALL of 5 authorities; hubs 1..3 link only to
+    // authority 200; authority 200 is also linked by the super-hub.
+    val edges = (201L to 204L).map(d => (100L, d)) ++
+      Seq((100L, 200L), (1L, 200L), (2L, 200L), (3L, 200L))
+    val out = Analytics.hitsRounds(
+      edges.toDF("src", "dst"), Analytics.HitsIters).collect()
+    val hubs = out.filter(_.getString(0) == "hub")
+    val auths = out.filter(_.getString(0) == "auth")
+    assert(hubs.head.getLong(2) == 100L, "the all-links hub must rank first")
+    assert(hubs.head.getDouble(3) == 1.0) // max-normalized
+    assert(auths.head.getLong(2) == 200L, "the in-degree-4 authority must rank first")
+    assert(auths.head.getDouble(3) == 1.0)
+    // the three one-link hubs tie below the super-hub, id order
+    assert(hubs.map(_.getLong(2)).toSeq == Seq(100L, 1L, 2L, 3L))
+  }
+
+  test("fixture query: both sides present, scores in (0, 1], non-increasing") {
+    val out = SparkEntry.queries("graph_hits")(spark, sf001).collect()
+    val sides = out.map(_.getString(0)).distinct.toSet
+    assert(sides == Set("hub", "auth"))
+    Seq("hub", "auth").foreach { s =>
+      val sc = out.filter(_.getString(0) == s).sortBy(_.getLong(1))
+        .map(_.getDouble(3))
+      assert(sc.head == 1.0)
+      assert(sc.forall(x => x > 0.0 && x <= 1.0))
+      assert(sc.zip(sc.tail).forall { case (x, y) => x >= y })
+    }
+  }
+}
