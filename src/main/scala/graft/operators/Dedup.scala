@@ -191,8 +191,17 @@ object Dedup {
         "if(k = 0, 1, bpos[k - 1] + 1), " +
         "if(k = size(bpos), size(toks), bpos[k]) - if(k = 0, 1, bpos[k - 1] + 1) + 1))), " +
         "c -> c <> '')"))
+      // posexplode_OUTER, then drop the (never-occurring) null row:
+      // a plain posexplode makes InferFiltersFromGenerate add a
+      // size(chunks) > 0 filter that predicate-pushdown then inlines
+      // BELOW the projections with the whole md5-per-token chunking
+      // expression substituted in — re-evaluating it per input row
+      // (measured 87 s of the query's 95 at sf0.1; 2.6 s without).
+      // The rule skips outer generators, so the chunk expression
+      // stays materialized exactly once.
       .select(col("doc_id"), col("lang"),
-        posexplode(col("chunks")).as(Seq("idx", "chunk")))
+        posexplode_outer(col("chunks")).as(Seq("idx", "chunk")))
+      .where(col("chunk").isNotNull)
     val keep = chunks.withColumn("rn",
       row_number().over(org.apache.spark.sql.expressions.Window
         .partitionBy(md5(col("chunk").cast("binary")))
