@@ -47,6 +47,48 @@ object Streams {
       .agg(big(count(lit(1))).as("n"))
       .select(col("w.start").as("wstart"), col("bin"), col("n"))
 
+  /** Streaming-freshness stage 1 (the streaming-native mergeable
+    * grid): per (event_type, hour window) arrival count + newest
+    * event µs — exactly the state a live freshness monitor keeps
+    * (lanes × hours, never per-event). Shared verbatim by the batch
+    * declaration and StreamBatchSpec's live drive. */
+  def freshnessCells(ev: DataFrame): DataFrame =
+    ev.groupBy(col("event_type"), window(col("ts"), "1 hour").as("w"))
+      .agg(big(count(lit(1))).as("n"), max(unix_micros(col("ts"))).as("tmax"))
+      .select(col("event_type"), col("w.start").as("wstart"),
+              col("n"), col("tmax"))
+
+  /** Streaming-freshness stage 2 (foreachBatch-side readout over the
+    * landed grid): the dq_freshness verdicts at ALIGNED-HOUR
+    * resolution — head-hour volume and the aligned hour span are what
+    * the cell grid can answer exactly (the batch op's sliding
+    * last-3600s count is not a function of hour cells, so the
+    * streaming variant DECLARES the aligned semantics and its oracle
+    * replays them; the dq_freshness SLA verdict itself is identical). */
+  def freshnessFromCells(cells: DataFrame): DataFrame = {
+    val g = cells.agg(max(col("tmax")).as("gmax"),
+                      min(unix_micros(col("wstart"))).as("wmin"))
+    cells.crossJoin(broadcast(g))
+      .groupBy("event_type")
+      .agg(big(sum(col("n"))).as("n"),
+           max(col("tmax")).as("tmax"),
+           big(sum(when(
+             expr("unix_micros(wstart) DIV 3600000000") ===
+             expr("gmax DIV 3600000000"), col("n")).otherwise(0L)))
+             .as("n_head_hour"),
+           max(col("gmax")).as("gmax"), max(col("wmin")).as("wmin"))
+      .select(col("event_type"), col("n"),
+        timestamp_micros(col("tmax")).as("last_seen"),
+        big(expr("(gmax - tmax) DIV 60000000")).as("minutes_behind"),
+        (expr("(gmax - tmax) DIV 60000000") <=
+          graft.operators.Relational.FreshnessSlaMinutes).as("is_fresh"),
+        col("n_head_hour"),
+        fround(col("n").cast("double") /
+          expr("(gmax DIV 3600000000) - (wmin DIV 3600000000) + 1")
+            .cast("double"), 2).as("hourly_avg"))
+      .orderBy("event_type")
+  }
+
   /** Streaming-SRM stage 1: distinct-user arm counts as a streaming-
     * native chain — dropDuplicates(user_id) (state = one key per
     * user, user-cardinality-bounded, the stream_dedup class) feeding
@@ -684,6 +726,13 @@ object Streams {
     // [[srmArmCounts]], driven stream≡batch by StreamBatchSpec), the
     // χ² readout is the SAME srmReadout as batch events_srm.
     "stream_srm" -> ((s, dir) => srmFromCounts(srmArmCounts(events(s, dir)))),
+    // IN-STREAM FRESHNESS/VOLUME MONITOR — dq_freshness as a live job:
+    // stage 1 lands the (lane, hour) cell grid (mergeable, bounded by
+    // lanes × hours), stage 2 reads verdicts off the grid per
+    // micro-batch. See [[freshnessCells]]/[[freshnessFromCells]];
+    // StreamBatchSpec drives the real file-source job to equality.
+    "stream_freshness" -> ((s, dir) =>
+      freshnessFromCells(freshnessCells(events(s, dir)))),
     // Windowed top-k: top-3 event types per tumbling hour (see
     // [[topkCounts]]/[[rankTop3]] for the streaming split).
     "stream_topk_windowed" -> ((s, dir) =>
@@ -1015,6 +1064,24 @@ object Streams {
     // the statistic has ONE definition (srmReadout) and therefore ONE
     // oracle derivation — batch events_srm's, referenced verbatim
     "stream_srm" -> graft.operators.Aggregations.oracle("events_srm"),
+    // the ALIGNED-HOUR semantics replayed from raw events: head-hour
+    // bucket equality, aligned span, the shared SLA constant
+    "stream_freshness" ->
+      ("WITH g AS (SELECT MAX(epoch_us(ts)) AS gmax, MIN(epoch_us(ts)) AS gmin " +
+       "FROM events), " +
+       "t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
+       "MAX(ts) AS last_seen, MAX(epoch_us(ts)) AS tmax, " +
+       "CAST(SUM(CASE WHEN epoch_us(ts) // 3600000000 = g.gmax // 3600000000 " +
+       "THEN 1 ELSE 0 END) AS BIGINT) AS n_head_hour, " +
+       "MAX(g.gmax) AS gmax, MAX(g.gmin) AS gmin " +
+       "FROM events, g GROUP BY event_type) " +
+       "SELECT event_type, n, last_seen, " +
+       "CAST((gmax - tmax) // 60000000 AS BIGINT) AS minutes_behind, " +
+       s"((gmax - tmax) // 60000000) <= ${graft.operators.Relational.FreshnessSlaMinutes} AS is_fresh, " +
+       "n_head_hour, " +
+       graft.Tables.froundSql(
+         "CAST(n AS DOUBLE) / CAST((gmax // 3600000000) - (gmin // 3600000000) + 1 AS DOUBLE)", 2) +
+       " AS hourly_avg FROM t ORDER BY event_type"),
     // identical fixed grid, baseline freeze, union-of-bins semantics
     // and 1e-6 clamp; LN natural, dsum6 term discipline
     "stream_drift_psi" ->

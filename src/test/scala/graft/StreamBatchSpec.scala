@@ -63,6 +63,18 @@ class StreamBatchSpec extends SparkSpec {
     assertSameRows(viaStream, Streams.psiDrift(stagedEvents._2), "psi_final")
   }
 
+  test("stream_freshness: streamed lane-hour cells equal batch; verdict readout agrees") {
+    val out = streamed("t_fresh_cells", Streams.freshnessCells, "complete")
+    assertSameRows(out, Streams.freshnessCells(stagedEvents._2), "fresh_cells")
+    val landed = spark.table("t_fresh_cells")
+    val viaStream = Streams.freshnessFromCells(
+      spark.createDataFrame(landed.rdd, landed.schema))
+    assertSameRows(viaStream,
+      SparkEntry.queries("stream_freshness")(spark, sf001), "fresh_final")
+    // some lane IS the head: zero lag, flagged fresh
+    assert(viaStream.where(col("minutes_behind") === 0 && col("is_fresh")).count() >= 1)
+  }
+
   test("stream_srm: streamed distinct-user arm counts equal batch; χ² readout agrees") {
     // stage 1 — the chained stateful shape (dropDuplicates → agg) must
     // land the identical 2-cell arm grid a batch pass produces…
