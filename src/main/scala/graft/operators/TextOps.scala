@@ -76,6 +76,33 @@ object TextOps {
       .limit(10)
   }
 
+  /** text_compression_ratio: a document whose DEFLATE ratio sits
+    * below this is flagged repetitive/boilerplate (the fixture's
+    * word-soup sits ~0.38–1.0, mean ~0.52). */
+  val CompressionFlagRatio = 0.45
+
+  /** text_compression_ratio's whole pipeline on any (doc_id, lang,
+    * text) frame — the gzip-compressibility quality heuristic
+    * (CCNet/RedPajama-class curation): highly compressible text is
+    * repetition/boilerplate that n-gram stats under-detect. The
+    * kernel is the native codegen'd [[graft.functions.DeflateLen]]
+    * expression; everything is row-local into one per-lang aggregate.
+    * PROPERTY-TESTED, not oracle-replayed — the second engine carries
+    * no DEFLATE (CompressionSpec pins determinism, the repetitive ≪
+    * diverse ordering, and the flag gate). */
+  def compressionRatio(docs: DataFrame): DataFrame =
+    docs.select(col("lang"), col("text").cast("binary").as("b"))
+      .withColumn("rlen", length(col("b")).cast("long"))
+      .withColumn("dlen", graft.functions.DeflateLen(col("b")))
+      .withColumn("ratio", col("dlen").cast("double") / col("rlen"))
+      .groupBy("lang")
+      .agg(big(count(lit(1))).as("n_docs"),
+           fround(dsum6(col("ratio")) / count(lit(1)), 4).as("mean_ratio"),
+           fround(min(col("ratio")), 4).as("min_ratio"),
+           big(sum(when(col("ratio") < CompressionFlagRatio, 1L)
+             .otherwise(0L))).as("n_flagged"))
+      .orderBy("lang")
+
   /** text_lexicon_filter categories: (name, wordlist, max percent of
     * tokens). The mechanism is the production toxicity/NSFW blocklist
     * gate (a C4/RefinedWeb curation stage); the fixture's 31-word
@@ -1327,6 +1354,12 @@ object TextOps {
     // rule-failure tallies do (bounded by #langs). Thresholds are
     // tuned to this fixture so both outcomes occur and the aggregate
     // actually discriminates.
+    // COMPRESSION-RATIO QUALITY SIGNAL — see [[compressionRatio]];
+    // deliberately NO oracle (DuckDB has no DEFLATE): the declared-✗
+    // lane, covered by CompressionSpec's planted properties.
+    "text_compression_ratio" -> ((s, dir) =>
+      compressionRatio(documents(s, dir))),
+
     // LEXICON BLOCKLIST GATE — the C4/RefinedWeb curation stage the
     // Gopher rules don't cover: per-category wordlist hit counts and
     // a per-document verdict (first breached gate wins, in declared
