@@ -69,6 +69,32 @@ object Analytics {
     * the identical rounds as CTEs (the Lloyd/PageRank discipline). */
   val HitsIters = 2
 
+  /** agg_market_basket's whole pipeline on any (ok, item) frame —
+    * factored out so MarketBasketSpec can plant baskets with
+    * hand-computable support/confidence/lift. */
+  def marketBasket(rows: DataFrame): DataFrame = {
+    val li = rows.distinct()
+    val nOrders = li.select(col("ok")).distinct().count()
+    val item = li.groupBy(col("item").as("p")).agg(count(lit(1)).as("np"))
+    val pairs = li.select(col("ok"), col("item").as("a"))
+      .join(li.select(col("ok"), col("item").as("b")), Seq("ok"))
+      .where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("nab"))
+      .where(col("nab") >= 2)
+    pairs
+      .join(item.select(col("p").as("a"), col("np").as("na")), Seq("a"))
+      .join(item.select(col("p").as("b"), col("np").as("nb")), Seq("b"))
+      .select(col("a"), col("b"),
+        big(col("nab")).as("n_both"),
+        fround(col("nab").cast("double") / nOrders, 6).as("support"),
+        fround(col("nab").cast("double") / col("na"), 6).as("confidence"),
+        fround(col("nab").cast("double") * nOrders /
+               (col("na").cast("double") * col("nb").cast("double")), 6)
+          .as("lift"))
+      .orderBy(col("lift").desc, col("a"), col("b"))
+      .limit(15)
+  }
+
   /** HITS mutual reinforcement over a directed (src, dst) edge list:
     * hub/authority scores start at 1, each round sets a ← Σ h(in),
     * h ← Σ a(out), both max-normalized and 6-dp pinned. Exposed so
@@ -1244,6 +1270,22 @@ object Analytics {
     // singletons, then contraction; exact-integer before/after Q.
     "graph_louvain" -> ((s, dir) => louvainRound(cooccurEdgesCached(s, dir))),
 
+    // MARKET-BASKET ASSOCIATION RULES — the retail staple the
+    // co-occurrence graph family stops short of: for each part pair
+    // sharing an order, support = P(a,b), confidence = P(b|a), and
+    // lift = P(a,b)/(P(a)P(b)), reported for the top-15 rules by
+    // lift. All counting is integer (distinct basket-item pairs →
+    // one bounded-fanout basket self-join, the cooccurEdges shape;
+    // item totals join back — at 100 TB the item-count table
+    // broadcast-or-shuffles on the part key, one exchange); the
+    // three ratios are the only doubles, 6-dp pinned, and the cut is
+    // a top-k heap. Rules with a < b only — the a→b direction is
+    // reported once with both conditionals derivable (conf_ab and
+    // lift are symmetric in the stats carried).
+    "agg_market_basket" -> ((s, dir) =>
+      marketBasket(lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("item")))),
+
     // HITS (Kleinberg) over the DIRECTED part → supplier bipartite
     // graph — the hubs/authorities complement of PageRank's single
     // centrality: a part is a good hub when it links to good
@@ -2099,6 +2141,25 @@ object Analytics {
        " AS q_contrib " +
        "FROM ds LEFT JOIN ein ON ds.community = ein.community, m " +
        "ORDER BY ds.community"),
+    // identical distinct basket projection, support-2 pair counting,
+    // and the same three ratio chains 6-dp pinned
+    "agg_market_basket" ->
+      ("WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey FROM lineitem), " +
+       "no AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM li), " +
+       "item AS (SELECT l_partkey AS p, CAST(COUNT(*) AS BIGINT) AS np FROM li GROUP BY 1), " +
+       "pairs AS (SELECT a.l_partkey AS a, b.l_partkey AS b, " +
+       "CAST(COUNT(*) AS BIGINT) AS nab " +
+       "FROM li a JOIN li b ON a.ok = b.ok AND a.l_partkey < b.l_partkey " +
+       "GROUP BY 1, 2 HAVING COUNT(*) >= 2) " +
+       "SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, nab AS n_both, " +
+       froundSql("CAST(nab AS DOUBLE) / n_orders", 6) + " AS support, " +
+       froundSql("CAST(nab AS DOUBLE) / ia.np", 6) + " AS confidence, " +
+       froundSql("CAST(nab AS DOUBLE) * n_orders / " +
+                 "(CAST(ia.np AS DOUBLE) * CAST(ib.np AS DOUBLE))", 6) + " AS lift " +
+       "FROM pairs JOIN item ia ON pairs.a = ia.p " +
+       "JOIN item ib ON pairs.b = ib.p, no " +
+       "ORDER BY lift DESC, a, b LIMIT 15"),
+
     // the identical HitsIters rounds unrolled as CTEs: same distinct
     // edge projection, decimal sums, max normalization and 6-dp pins
     "graph_hits" -> {

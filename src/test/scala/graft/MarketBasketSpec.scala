@@ -1,0 +1,36 @@
+package graft
+
+import graft.operators.Analytics
+
+/** Association rules (agg_market_basket): the oracle replays the
+  * fixture; these pin the support/confidence/lift algebra. */
+class MarketBasketSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand-computed support, confidence, and lift on planted baskets") {
+    // 4 baskets: {a,b} {a,b} {a,c} {d} → (a,b): nab=2, na=3, nb=2
+    val rows = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"),
+                   (3L, "a"), (3L, "c"), (4L, "d"))
+      .toDF("ok", "item")
+    val out = Analytics.marketBasket(rows).collect()
+    assert(out.length == 1) // only (a,b) clears support >= 2
+    val r = out(0)
+    assert(r.getString(0) == "a" && r.getString(1) == "b")
+    assert(r.getLong(2) == 2L)
+    assert(r.getDouble(3) == 0.5)                 // 2/4
+    assert(r.getDouble(4) == 0.666667)            // 2/3, 6-dp pin
+    assert(r.getDouble(5) == 1.333333)            // 2·4/(3·2)
+  }
+
+  test("fixture query: 15 rules, lift non-increasing, ratios in range") {
+    val out = SparkEntry.queries("agg_market_basket")(spark, sf001).collect()
+    assert(out.length == 15)
+    val lifts = out.map(_.getDouble(5))
+    assert(lifts.zip(lifts.tail).forall { case (x, y) => x >= y })
+    out.foreach { r =>
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0)
+      assert(r.getDouble(5) > 0.0)
+    }
+  }
+}
