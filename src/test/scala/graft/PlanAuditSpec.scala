@@ -323,6 +323,50 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("HashAggregate") && !p.contains("Window"), p.take(2000))
   }
 
+  test("text_bm25 broadcasts the query-bounded df side and cuts with a heap") {
+    val p = plan("text_bm25")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("text_lexicon_filter is row-local: no joins, no aggregates, no window") {
+    val p = plan("text_lexicon_filter")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("HashAggregate") && !p.contains("Window"), p.take(2000))
+  }
+
+  test("events_uplift_qini's only window runs on the post-aggregate band grid") {
+    val p = plan("events_uplift_qini")
+    // per-user conditional pass + band-grid aggregate; the cumulative
+    // Qini window must sit ABOVE the aggregates (≤ 8 input rows), and
+    // no per-user ranking window may exist anywhere
+    assert("Window".r.findAllIn(p).size == 1, p.take(2000))
+    val winIdx = p.indexOf("Window")
+    assert(p.indexOf("HashAggregate", winIdx) > 0,
+      "the window must consume an aggregate, not the corpus\n" + p.take(2000))
+  }
+
+  test("agg_benjamini_hochberg: one lane-grid aggregate, two bounded family windows") {
+    val p = plan("agg_benjamini_hochberg")
+    assert("Window".r.findAllIn(p).size == 2, p.take(2000))
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("graph_hits and agg_market_basket cut with heaps, never a cartesian product") {
+    Seq("graph_hits", "agg_market_basket").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q\n${p.take(2000)}")
+      assert(!p.contains("CartesianProduct"), s"$q\n${p.take(2000)}")
+    }
+  }
+
+  test("vec_random_projection pairs by equi-join; projection stays in the scan-side project") {
+    val p = plan("vec_random_projection")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("Join"), p.take(2000)) // the successor equi-join
+  }
+
   test("sim_ann_opq keeps the permuted ADC scan shuffle-free: no joins, no aggregates, no window") {
     val p = plan("sim_ann_opq")
     // the trained permutation is a row-local element_at gather and the
