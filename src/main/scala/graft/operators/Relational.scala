@@ -501,6 +501,28 @@ object Relational {
     // join class that rides a runtime bloom / bucket co-location at
     // 100 TB. n_failed counts, not samples: a gate needs the exact
     // violation count, the violating ROWS are a filter away.
+    // ROLE-BASED COLUMN MASKING — the governance view policy every
+    // lakehouse catalog ships (masking policies / dynamic views):
+    // the SAME rows served twice, 'admin' raw and 'analyst' through
+    // two standard mask classes — deterministic PSEUDONYMIZATION
+    // (md5-token name: joinable, irreversible) and GENERALIZATION
+    // (balance banded to 500s — the dq_k_anonymity ladder's middle
+    // rung as a serving-time policy). Row-local projections + one
+    // tiny ordered union; at 100 TB a policy view costs exactly its
+    // projection, nothing else. DqMaskingSpec pins determinism,
+    // distinctness, and band membership.
+    "dq_column_masking" -> ((s, dir) => {
+      val c = customer(s, dir).where(col("c_custkey") < 10)
+      val admin = c.select(lit("admin").as("role"), col("c_custkey"),
+        col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+      val analyst = c.select(lit("analyst").as("role"), col("c_custkey"),
+        concat(lit("anon-"), substring(md5(col("c_name").cast("binary")), 1, 8))
+          .as("c_name"),
+        (floor(col("c_acctbal") / 500) * 500).cast("double").as("c_acctbal"),
+        col("c_mktsegment"))
+      admin.unionByName(analyst).orderBy("role", "c_custkey")
+    }),
+
     // FRESHNESS / VOLUME SLA MONITOR — the daily-use companion of
     // dq_expectations: per event lane, when did data last arrive
     // (minutes behind the corpus head, exact integer µs DIV), is the
@@ -1051,6 +1073,18 @@ object Relational {
     // one independent SELECT per expectation — the n_failed counts
     // re-derive from scratch, never from the engine's single-pass
     // aggregate shape
+    // identical md5 pseudonym, 500-band generalization, and union
+    "dq_column_masking" ->
+      ("WITH c AS (SELECT * FROM customer WHERE c_custkey < 10) " +
+       "SELECT * FROM (" +
+       "SELECT 'admin' AS role, c_custkey, c_name, c_acctbal, c_mktsegment FROM c " +
+       "UNION ALL " +
+       "SELECT 'analyst' AS role, c_custkey, " +
+       "'anon-' || SUBSTRING(MD5(c_name), 1, 8) AS c_name, " +
+       "CAST(FLOOR(c_acctbal / 500) * 500 AS DOUBLE) AS c_acctbal, " +
+       "c_mktsegment FROM c) " +
+       "ORDER BY role, c_custkey"),
+
     // identical corpus bounds, integer-µs lag division, SLA constant
     // interpolated, and the same floor-rounded hourly rate
     "dq_freshness" ->
