@@ -37,7 +37,12 @@ object Bench {
         operators.Dedup.blockedJaccardPairs(
           spark.read.parquet(s"$warmDir/documents.parquet"), 0.02).count()
     } catch { case _: Throwable => }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // DETERMINISTIC execution order (sorted keys): Map iteration order
+    // reshuffles whenever keys are added, silently moving JIT-warmup
+    // and memo-attribution costs between queries and confounding every
+    // cross-round per-query diff (VERDICT r16). Sorted order pins memo
+    // costs to the first-alphabetical member of each memoized family.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
@@ -46,7 +51,7 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       name -> dt
     }
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     def js(rs: Iterable[(String, Double)]): String =
       rs.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     // Full per-query detail goes to BENCH_LOCAL.json (committed to the

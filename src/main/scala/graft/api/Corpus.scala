@@ -96,9 +96,10 @@ final case class Corpus(df: DataFrame) {
   def substringDedupReport(): DataFrame =
     graft.operators.Dedup.substringDedupDocs(df)
 
-  /** Drop every document whose kept text shrank under substring dedup,
-    * REWRITING survivors' text to the deduplicated form — the
-    * apply-side of [[substringDedupReport]]. */
+  /** Rewrite every document's text to its substring-deduplicated form
+    * and drop only documents whose kept text is empty (fully covered
+    * by duplicated windows) — the apply-side of
+    * [[substringDedupReport]]. */
   def dedupSubstrings(): Corpus = {
     val rep = substringDedupReport().select(col("doc_id"),
       col("kept"), col("n_covered"))

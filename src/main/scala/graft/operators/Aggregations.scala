@@ -1024,8 +1024,15 @@ object Aggregations {
              lane("signup", "ys"), lane("view", "yv"))
         .crossJoin(broadcast(bounds))
         .withColumn("pre", (col("d") < col("cut")).cast("int"))
+      // squared daily-cent gaps promote to decimal(38,0) BEFORE summing
+      // (the upliftQini syt/syc convention): a LongType product sum
+      // would silently wrap past ~3e9 daily lane cents under non-ANSI
+      // eval and diverge from the oracle's HUGEINT accumulation
       def sse(c: String) = sum(when(col("pre") === 1,
-        (col("yp") - col(c)) * (col("yp") - col(c))).otherwise(0L)).as(s"sse$c")
+        (col("yp") - col(c)).cast("decimal(19,0)") *
+        (col("yp") - col(c)).cast("decimal(19,0)"))
+        .otherwise(lit(0).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")).as(s"sse$c")
       val fit = daily
         .agg(sum(col("pre")).as("n_pre"), sse("yc"), sse("ye"), sse("ys"), sse("yv"))
       def wraw(c: String) =
@@ -2602,7 +2609,7 @@ object Aggregations {
       "FROM daily, bounds), " +
       "fit AS (SELECT SUM(pre) AS n_pre, " +
       Seq("yc", "ye", "ys", "yv").map(c =>
-        s"SUM(CASE WHEN pre = 1 THEN (yp - $c) * (yp - $c) ELSE 0 END) AS sse$c")
+        s"SUM(CASE WHEN pre = 1 THEN CAST(yp - $c AS HUGEINT) * CAST(yp - $c AS HUGEINT) ELSE 0 END) AS sse$c")
         .mkString(", ") + " FROM dd), " +
       "w AS (SELECT " +
       s"${wrawSql("sseyc")} / ($wsumSql) AS wc, " +

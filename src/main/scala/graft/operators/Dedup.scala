@@ -116,13 +116,19 @@ object Dedup {
   def substringDedupDocs(docs: DataFrame): DataFrame = {
     val k = SubstringWindowTokens
     val base = docs.select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+    // size guard inside the window CASE + posexplode_OUTER with a null
+    // filter: a plain .where(size(toks) >= k) is pushed below the
+    // projection with the tokenize expression substituted in (the
+    // ba29383 pushdown class, swept round 17); the rule also skips
+    // outer generators so no inferred size-guard reappears.
     val wins = base
-      .where(size(col("toks")) >= k)
       .select(col("doc_id"),
-        posexplode(transform(
+        posexplode_outer(when(size(col("toks")) >= k, transform(
           sequence(lit(0), size(col("toks")) - k),
           i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(k))).cast("binary"))))
+          .otherwise(array().cast("array<string>")))
           .as(Seq("idx", "dg")))
+      .where(col("dg").isNotNull)
     val dups = wins
       .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
         .partitionBy(col("dg")).orderBy(col("doc_id"), col("idx"))))

@@ -301,8 +301,12 @@ object Scans {
         .groupBy("o_orderstatus")
         .agg(big(count(lit(1))).as("n"), dsum(col("o_totalprice")).as("total"))
         .withColumn("lane", lit("clean"))
+      // coalesce: dsum over an EMPTY sink (a fixture/SF with no bad
+      // rows) yields NULL while the oracle emits 0.0 — the lane's
+      // total is 0 by construction either way (ADVICE r16)
       val qAgg = s.read.text(qsink)
-        .agg(big(count(lit(1))).as("n"), dsum(lit(0.0)).as("total"))
+        .agg(big(count(lit(1))).as("n"),
+             coalesce(dsum(lit(0.0)), lit(0.0)).as("total"))
         .withColumn("o_orderstatus", lit("-"))
         .withColumn("lane", lit("quarantine"))
       cleanAgg.unionByName(qAgg)

@@ -47,12 +47,18 @@ object TextOps {
     val toks = docs.where(col("doc_id") =!= 0L)
       .select(col("doc_id"), split(lower(trim(col("text"))), " ").as("tk"))
     val lens = toks.select(col("doc_id"), size(col("tk")).as("len"))
+    // explode_OUTER + null filter (ba29383 class): plain explode lets
+    // InferFiltersFromGenerate push a size(tk) > 0 guard below the
+    // projection with split() inlined, re-tokenizing every doc in the
+    // filter; split tokens are non-null so the filter ≡ explode.
     val tf = toks
-      .select(col("doc_id"), explode(col("tk")).as("term"))
+      .select(col("doc_id"), explode_outer(col("tk")).as("term"))
+      .where(col("term").isNotNull)
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val qt = docs.where(col("doc_id") === 0L)
-      .select(explode(array_distinct(split(lower(trim(col("text"))), " ")))
+      .select(explode_outer(array_distinct(split(lower(trim(col("text"))), " ")))
         .as("term"))
+      .where(col("term").isNotNull)
     val qtf = tf.join(broadcast(qt), Seq("term"))
     val df = qtf.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = lens.agg(big(count(lit(1))).as("n_docs"),
@@ -200,10 +206,19 @@ object TextOps {
             i => concat_ws(" ", slice(col("toks"), i + 1, lit(k))))))
         .otherwise(array().cast("array<string>")))
       .drop("toks")
+    // explode_OUTER + null filter, not explode: InferFiltersFromGenerate
+    // skips outer generators, so the optimizer cannot push a
+    // size(grams) > 0 guard below the projection with the whole
+    // tokenize→k-gram kernel inlined (the ba29383 class — swept round
+    // 17, this site carried the kernel in TWO filter branches). gram
+    // elements are concat_ws (never null), so isNotNull drops exactly
+    // the empty-array rows plain explode would drop.
     val benchSet = grams(bench, Nil)
-      .select(explode(col("grams")).as("g")).distinct()
+      .select(explode_outer(col("grams")).as("g"))
+      .where(col("g").isNotNull).distinct()
     val cg = grams(corpus, carry)
-    val hits = cg.select(col("doc_id"), explode(col("grams")).as("g"))
+    val hits = cg.select(col("doc_id"), explode_outer(col("grams")).as("g"))
+      .where(col("g").isNotNull)
       .join(broadcast(benchSet), Seq("g"))
       .groupBy("doc_id").agg(count(lit(1)).as("nh"))
     cg.select((Seq(col("doc_id")) ++ carry.map(col) :+
@@ -467,11 +482,20 @@ object TextOps {
     val toks = docs
       .select(col("doc_id"), col("lang"),
               split(lower(col("text")), " ").as("t"))
-    val bi = toks.where(size(col("t")) >= 2)
+    // the size(t) >= 2 guard lives INSIDE the bigram expression (CASE →
+    // empty array) and the explode is OUTER + null-filtered: a plain
+    // .where(size(t) >= 2) gets pushed below the projection with
+    // split() substituted in, re-tokenizing every doc once per plan
+    // branch (the ba29383 InferFiltersFromGenerate/pushdown class,
+    // swept round 17 — this site carried 5 duplicated split filters)
+    val bi = toks
       .select(col("doc_id"), col("lang"),
-        explode(expr("transform(sequence(1, size(t) - 1), " +
-          "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"))
+        explode_outer(expr("CASE WHEN size(t) >= 2 THEN " +
+          "transform(sequence(1, size(t) - 1), " +
+          "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2)) " +
+          "ELSE CAST(array() AS array<struct<w1:string,w2:string>>) END"))
           .as("bg"))
+      .where(col("bg").isNotNull)
       .select(col("doc_id"), col("lang"),
               col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
@@ -496,14 +520,20 @@ object TextOps {
     * factored out for the Corpus facade and NoveltySpec. */
   def noveltyScores(docs: DataFrame): DataFrame = {
     val k = NoveltyNgramTokens
+    // size guard folded into the window expression + OUTER explode with
+    // a null filter, so neither the guard nor an inferred generator
+    // filter can be pushed below the projection with split() inlined
+    // (the ba29383 class, swept round 17 — 2 duplicated split filters)
     val wins = docs
       .select(col("doc_id"), col("lang"), split(lower(trim(col("text"))), " ").as("t"))
-      .where(size(col("t")) >= k)
       .select(col("doc_id"), col("lang"),
-        explode(array_distinct(transform(
-          sequence(lit(0), size(col("t")) - k),
-          i => md5(concat_ws(" ", slice(col("t"), i + 1, lit(k))).cast("binary")))))
+        explode_outer(when(size(col("t")) >= k,
+          array_distinct(transform(
+            sequence(lit(0), size(col("t")) - k),
+            i => md5(concat_ws(" ", slice(col("t"), i + 1, lit(k))).cast("binary")))))
+          .otherwise(array().cast("array<string>")))
           .as("dg"))
+      .where(col("dg").isNotNull)
     val first = wins.groupBy("dg").agg(min(col("doc_id")).as("first_doc"))
     wins.join(first, Seq("dg"))
       .groupBy("doc_id", "lang")
@@ -585,10 +615,18 @@ object TextOps {
     // documents of a language is boilerplate or duplicated passage.
     // Shingle sets are per-doc distinct, so count(*) per shingle IS
     // document frequency; explode → hash-agg keeps the shuffle
-    // proportional to the shingle vocabulary.
+    // proportional to the shingle vocabulary. explode_OUTER (not
+    // explode) + explicit null filter: InferFiltersFromGenerate skips
+    // outer generators, so the optimizer cannot synthesize a
+    // size(sh) > 0 guard that predicate pushdown then inlines below
+    // the projection with the whole tokenize→shingle kernel
+    // substituted in — the dedup_cdc_chunks 108× class (ba29383);
+    // shinglesOf never yields null elements (concat_ws is non-null),
+    // so the filter only drops the rows plain explode would drop.
     "text_shingle_df" -> ((s, dir) => {
       val d = Dedup.withShingles(documents(s, dir), "lang")
-      val dfreq = d.select(col("lang"), explode(col("sh")).as("shingle"))
+      val dfreq = d.select(col("lang"), explode_outer(col("sh")).as("shingle"))
+        .where(col("shingle").isNotNull)
         .groupBy("lang", "shingle").agg(big(count(lit(1))).as("df"))
       val w = Window.partitionBy("lang").orderBy(col("df").desc, col("shingle"))
       dfreq.withColumn("rn", big(row_number().over(w)))
@@ -642,14 +680,22 @@ object TextOps {
       val toks = documents(s, dir)
         .select(col("doc_id"), col("lang"),
                 split(lower(col("text")), " ").as("t"))
-      val bi = toks.where(size(col("t")) >= 2)
+      // size guard inside the bigram CASE + OUTER explodes with null
+      // filters: keeps split() out of pushed-down/inferred generator
+      // filters (the ba29383 class, swept round 17 — this plan carried
+      // 5 duplicated split filters across its branches)
+      val bi = toks
         .select(col("doc_id"), col("lang"),
-          explode(expr("transform(sequence(1, size(t) - 1), " +
-            "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"))
+          explode_outer(expr("CASE WHEN size(t) >= 2 THEN " +
+            "transform(sequence(1, size(t) - 1), " +
+            "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2)) " +
+            "ELSE CAST(array() AS array<struct<w1:string,w2:string>>) END"))
             .as("bg"))
+        .where(col("bg").isNotNull)
         .select(col("doc_id"), col("lang"),
                 col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      val c1 = toks.select(explode(col("t")).as("w"))
+      val c1 = toks.select(explode_outer(col("t")).as("w"))
+        .where(col("w").isNotNull)
         .groupBy("w").agg(count(lit(1)).as("c1"))
       val n = c1.agg(big(sum(col("c1"))).as("n_total"))
       val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
@@ -1001,17 +1047,24 @@ object TextOps {
         .agg(min(col("doc_id")).as("doc_id"))
         .select("doc_id")
       val toks = col("toks")
+      // the quality gate runs as CONDITIONAL AGGREGATION (when(gate)
+      // inside every aggregate + a post-agg n_docs > 0 cut), not a
+      // .where(): a pushed-down filter re-tokenizes every doc a second
+      // time below the projection (the ba29383 pushdown class, swept
+      // round 17); a group with zero passing docs aggregates to 0 and
+      // is cut, which is exactly what the filtered form emits.
+      val gate = col("n_tokens") >= 20 && col("ttr") >= 0.5
       docs.join(keep, Seq("doc_id"), "left_semi")
         .select(col("lang"), split(lower(col("text")), " ").as("toks"))
         .select(col("lang"),
                 size(toks).as("n_tokens"),
                 (size(array_distinct(toks)).cast("double") / size(toks)).as("ttr"))
-        .where(col("n_tokens") >= 20 && col("ttr") >= 0.5)
         .groupBy("lang")
-        .agg(big(count(lit(1))).as("n_docs"),
-             big(sum(col("n_tokens"))).as("total_tokens"),
-             fround(min(col("ttr")), 4).as("min_ttr"),
-             fround(max(col("ttr")), 4).as("max_ttr"))
+        .agg(big(sum(when(gate, 1L).otherwise(0L))).as("n_docs"),
+             big(sum(when(gate, col("n_tokens")))).as("total_tokens"),
+             fround(min(when(gate, col("ttr"))), 4).as("min_ttr"),
+             fround(max(when(gate, col("ttr"))), 4).as("max_ttr"))
+        .where(col("n_docs") > 0)
         .orderBy("lang")
     }),
 
@@ -1035,12 +1088,16 @@ object TextOps {
         .agg(min(col("doc_id")).as("doc_id"))
         .select("doc_id")
       val toks = col("toks")
+      // conditional-aggregation quality gate (see pipeline_e2e): keeps
+      // the tokenize expression out of a pushed-down filter, and an
+      // all-failing (lang, split) group aggregates to 0 and is cut —
+      // identical output to the filtered form.
+      val gate = col("n_tokens") >= 20 && col("ttr") >= 0.5
       docs.join(keep, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), col("lang"), split(lower(col("text")), " ").as("toks"))
         .select(col("doc_id"), col("lang"),
                 size(toks).as("n_tokens"),
                 (size(array_distinct(toks)).cast("double") / size(toks)).as("ttr"))
-        .where(col("n_tokens") >= 20 && col("ttr") >= 0.5)
         .withColumn("bucket",
           pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"),
                lit(100)))
@@ -1049,8 +1106,9 @@ object TextOps {
             .when(col("bucket") < 90, "val")
             .otherwise("test"))
         .groupBy("lang", "split")
-        .agg(big(count(lit(1))).as("n_docs"),
-             big(sum(col("n_tokens"))).as("total_tokens"))
+        .agg(big(sum(when(gate, 1L).otherwise(0L))).as("n_docs"),
+             big(sum(when(gate, col("n_tokens")))).as("total_tokens"))
+        .where(col("n_docs") > 0)
         .orderBy("lang", "split")
     }),
 
@@ -1128,12 +1186,18 @@ object TextOps {
     // cutoff compiles to WindowGroupLimit over the bigram VOCABULARY
     // (value-bounded), and the per-lang totals broadcast.
     "text_collocations" -> ((s, dir) => {
+      // size guard inside the pair CASE + OUTER explode with a null
+      // filter: keeps split() out of pushed-down/inferred generator
+      // filters (the ba29383 class, swept round 17 — 4 duplicated
+      // split filters across this plan's four aggregate branches)
       val bi = documents(s, dir)
         .select(col("lang"), split(lower(trim(col("text"))), " ").as("t"))
-        .where(size(col("t")) >= 2)
-        .select(col("lang"), explode(expr(
-          "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS a, t[i + 1] AS b))"))
+        .select(col("lang"), explode_outer(expr(
+          "CASE WHEN size(t) >= 2 THEN " +
+          "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS a, t[i + 1] AS b)) " +
+          "ELSE CAST(array() AS array<struct<a:string,b:string>>) END"))
           .as("p"))
+        .where(col("p").isNotNull)
         .select(col("lang"), col("p.a").as("a"), col("p.b").as("b"))
       val cab  = bi.groupBy("lang", "a", "b").agg(count(lit(1)).as("nab"))
       val ca   = bi.groupBy("lang", "a").agg(count(lit(1)).as("na"))
@@ -1662,9 +1726,13 @@ object TextOps {
     // the join shuffles compact 64-bit hashes, vocabulary-bounded. At
     // open scale, drop the top-df shingles first (they dominate the
     // pair blowup and carry no leakage signal).
+    // (explode_OUTER + null filter: keeps the hashed-shingle kernel
+    // out of an InferFiltersFromGenerate guard — ba29383 class; hash
+    // elements are non-null bigints so the filter ≡ plain explode.)
     "text_contamination" -> ((s, dir) => {
       val ss = Dedup.withHashedShingles(documents(s, dir), "source")
-        .select(col("source"), explode(col("sh")).as("h")).distinct()
+        .select(col("source"), explode_outer(col("sh")).as("h"))
+        .where(col("h").isNotNull).distinct()
       val a = ss.select(col("source").as("src_a"), col("h"))
       val b = ss.select(col("source").as("src_b"), col("h"))
       a.join(b, Seq("h")).where(col("src_a") < col("src_b"))

@@ -370,9 +370,12 @@ object Vectors {
                               col("embedding").as("va"))
       val b = assigned.select(col("cid"), col("vec_id").as("b"),
                               col("embedding").as("vb"))
+      // the drop gate compares the fround4-PINNED cosine (the sim_*
+      // convention, ADVICE r16): an unpinned double at the τ boundary
+      // could flip engines independently of accumulation order
       val dropped = a.join(b, Seq("cid"))
         .where(col("a") < col("b") &&
-               Similarity.cosine(col("va"), col("vb")) >= SemDedupTau)
+               fround(Similarity.cosine(col("va"), col("vb")), 4) >= SemDedupTau)
         .select(col("b").as("vec_id")).distinct()
         .withColumn("dr", lit(true))
       assigned.join(dropped, Seq("vec_id"), "left")
@@ -1505,7 +1508,7 @@ object Vectors {
        "JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id " +
        "JOIN v va ON va.vec_id = a.vec_id " +
        "JOIN v vb ON vb.vec_id = b.vec_id " +
-       s"WHERE LIST_COSINE_SIMILARITY(va.ev, vb.ev) >= $SemDedupTau) " +
+       s"WHERE ${froundSql("LIST_COSINE_SIMILARITY(va.ev, vb.ev)", 4)} >= $SemDedupTau) " +
        "SELECT assign.cid, CAST(COUNT(*) AS BIGINT) AS n_vecs, " +
        "CAST(COUNT(drops.vec_id) AS BIGINT) AS n_dropped, " +
        "CAST(MIN(v.vec_id) AS BIGINT) AS min_vec, " +

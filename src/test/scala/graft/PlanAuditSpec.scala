@@ -1089,6 +1089,33 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("no shipped plan carries a generator-feed kernel in a pushed-down filter") {
+    // The ba29383 class (dedup_cdc_chunks 108×, text_shingle_df 13×):
+    // InferFiltersFromGenerate synthesizes size(x) > 0 over an explode
+    // child, predicate pushdown substitutes the projection in, and the
+    // whole tokenize/shingle/hash kernel re-evaluates per input row
+    // below the Generate. GenFilterSweep.offendingFilters detects both
+    // signatures (a HOF lambda inside a Filter condition, or
+    // size(<non-attribute>)); this walk keeps the entire query surface
+    // clean. dq_expectations is allowlisted: its hit is size() over an
+    // inline struct array built from already-aggregated scalars — a
+    // one-row frame, not a corpus-scale kernel.
+    val allow = Set("dq_expectations")
+    val bad = SparkEntry.queries.keys.toSeq.sorted.filterNot(allow).flatMap { n =>
+      GenFilterSweep.offendingFilters(
+        SparkEntry.queries(n)(spark, sf001).queryExecution.optimizedPlan)
+        .map { case (kind, cond) => s"$n [$kind] $cond" }
+    }
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
+
+  test("text_shingle_df evaluates the shingle kernel exactly once") {
+    val p = plan("text_shingle_df")
+    // the kernel lives in ONE Project; no Filter may carry transform()
+    assert("transform\\(sequence".r.findAllIn(p).size == 1, p.take(6000))
+    assert(p.contains("Generate explode"), p.take(3000))
+  }
+
   test("whole-stage codegen covers the hot paths of the flagship aggregate") {
     // AQE finalizes stages only at execution; run the query, then check
     // the final adaptive plan for codegen stage markers (`*(n)`)
