@@ -1235,6 +1235,28 @@ object Aggregations {
     // the agg_mad twin at two SFs.
     "agg_mad_approx" -> ((s, dir) => madApproxOf(events(s, dir))),
 
+    // ORACLE-BRACKETED accuracy certificate for the sketch (VERDICT
+    // r16 #8): the exact MAD report next to a within-tolerance
+    // boolean on the approx twin (the NonOracleOpsSpec band — 2%
+    // relative or 0.05 absolute, whichever is looser). The oracle
+    // computes the same exact columns AND pins the boolean as literal
+    // TRUE, so the row hash-matches exactly when the sketch obeys its
+    // band — the approximation claim is CORRECTNESS-gated per SF.
+    "agg_mad_bracket" -> ((s, dir) => {
+      val ex = madOf(events(s, dir))
+      val ap = madApproxOf(events(s, dir))
+        .select(col("event_type"), col("median_value").as("amed"),
+                col("mad").as("amad"))
+      ex.join(ap, Seq("event_type"))
+        .select(col("event_type"), col("n"), col("median_value"), col("mad"),
+          (abs(col("amad") - col("mad")) <=
+             greatest(abs(col("mad")) * 0.02, lit(0.05)) &&
+           abs(col("amed") - col("median_value")) <=
+             greatest(abs(col("median_value")) * 0.02, lit(0.05)))
+            .as("approx_within_tol"))
+        .orderBy("event_type")
+    }),
+
     // Exact distribution-shape profile (mean/variance/skew/kurtosis)
     // from one pass of mergeable decimal power sums — see momentsSql.
     "agg_moments" -> ((s, dir) => {
@@ -2153,6 +2175,18 @@ object Aggregations {
        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
        froundSql("MAX(med)", 4) + " AS median_value, " +
        froundSql("QUANTILE_CONT(adev, 0.5)", 4) + " AS mad " +
+       "FROM a GROUP BY 1 ORDER BY 1"),
+    // the exact report + the LITERAL TRUE tolerance flag — a hash
+    // match certifies the approx twin stayed inside its band
+    "agg_mad_bracket" ->
+      ("WITH m AS (SELECT event_type, QUANTILE_CONT(value, 0.5) AS med " +
+       "FROM events GROUP BY 1), " +
+       "a AS (SELECT e.event_type, m.med, ABS(e.value - m.med) AS adev " +
+       "FROM events e JOIN m USING (event_type)) " +
+       "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
+       froundSql("MAX(med)", 4) + " AS median_value, " +
+       froundSql("QUANTILE_CONT(adev, 0.5)", 4) + " AS mad, " +
+       "TRUE AS approx_within_tol " +
        "FROM a GROUP BY 1 ORDER BY 1"),
     "agg_group_entropy" ->
       ("WITH c AS (SELECT user_id, event_type, COUNT(*) AS cnt " +

@@ -1448,6 +1448,33 @@ object Analytics {
     "graph_2hop_hll" -> ((s, dir) =>
       hyperBall(cooccurEdgesCached(s, dir), 2)),
 
+    // ORACLE-BRACKETED accuracy certificate for the sketch (VERDICT
+    // r16 #8): the exact distinct 2-ball per node (fixture-scale only
+    // — this join IS the hub blowup the sketch exists to avoid,
+    // declared and bounded by the support-pruned edge list) next to a
+    // within-5% boolean on the HLL estimate. The oracle computes the
+    // same exact ball AND pins the boolean as literal TRUE — the row
+    // hash-matches exactly when every estimate obeys its bound, so
+    // the sketch's accuracy claim is now CORRECTNESS-gated per SF,
+    // not just spec-gated at sf0.001.
+    "graph_2hop_bracket" -> ((s, dir) => {
+      val edges = cooccurEdgesCached(s, dir)
+      val bidir = edges.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
+      val hop2 = bidir.select(col("u"), col("v").as("w"))
+        .unionByName(
+          bidir.join(bidir.select(col("u").as("v"), col("v").as("w")), Seq("v"))
+            .select("u", "w"))
+        .unionByName(bidir.select(col("u"), col("u").as("w")))
+        .distinct()
+      val exact = hop2.groupBy("u").agg(count(lit(1)).as("ball_exact"))
+      hyperBall(edges, 2).join(exact, col("node") === col("u"))
+        .select(col("node"), big(col("ball_exact")).as("ball_exact"),
+          (abs(col("ball_est") - col("ball_exact")).cast("double") /
+            col("ball_exact") <= 0.05).as("within_5pct"))
+        .orderBy("node")
+    }),
+
     // LOCAL CLUSTERING COEFFICIENT per node (r11): 2·tri/(deg·(deg−1))
     // — the neighborhood-density score (is this hub a clique center
     // or a star center?). Node-keyed sibling of the edge-keyed
@@ -2006,6 +2033,18 @@ object Analytics {
        "JOIN edges e2 ON e1.b = e2.a " +
        "JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b " +
        "ORDER BY e1.a, e1.b, c"),
+    // the exact 2-ball re-derived independently; within_5pct is the
+    // LITERAL TRUE — the hash match IS the sketch-accuracy certificate
+    "graph_2hop_bracket" ->
+      ("WITH " + CoocCte + ", " +
+       "bd AS MATERIALIZED (SELECT a AS u, b AS v FROM edges " +
+       "UNION ALL SELECT b AS u, a AS v FROM edges), " +
+       "h2 AS (SELECT DISTINCT u, w FROM (" +
+       "SELECT u, v AS w FROM bd " +
+       "UNION ALL SELECT b1.u, b2.v AS w FROM bd b1 JOIN bd b2 ON b1.v = b2.u " +
+       "UNION ALL SELECT u, u AS w FROM bd)) " +
+       "SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS ball_exact, " +
+       "TRUE AS within_5pct FROM h2 GROUP BY u ORDER BY node"),
     // the same fixed KCorePeelRounds the engine runs, unrolled: round
     // i keeps nodes with degree >= KCoreK in e_{i-1}, then induces
     // e_i on the kept set
