@@ -1116,6 +1116,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Generate explode"), p.take(3000))
   }
 
+  test("multimodal_image_decode is row-local: encode+decode kernels inline, scan prunes to doc_id") {
+    val p = plan("multimodal_image_decode")
+    // the PNG round-trip is pure projection work — the only exchange
+    // is the final ORDER BY's range partitioning
+    assert(!p.contains("hashpartitioning"), p.take(3000))
+    assert(p.contains("graft_image_meta") && p.contains("graft_png_encode_gray"),
+      p.take(3000))
+    // planted params derive from doc_id alone — nothing else is read
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"), p.take(3000))
+  }
+
+  test("multimodal_wav_vad decodes real PCM row-locally (no hash exchange)") {
+    val p = plan("multimodal_wav_vad")
+    assert(!p.contains("hashpartitioning"), p.take(3000))
+    assert(p.contains("graft_wav_frame_energies") &&
+           p.contains("graft_wav_encode_pcm16"), p.take(3000))
+  }
+
+  test("dedup_substring_spans: one digest shuffle, broadcast join-back, row-local merge") {
+    val p = plan("dedup_substring_spans")
+    assert("Exchange hashpartitioning\\(dg".r.findAllIn(p).size == 1, p.take(5000))
+    assert(p.contains("BroadcastHashJoin"), p.take(5000))
+    assert(!p.contains("SortMergeJoin"), p.take(5000))
+  }
+
   test("whole-stage codegen covers the hot paths of the flagship aggregate") {
     // AQE finalizes stages only at execution; run the query, then check
     // the final adaptive plan for codegen stage markers (`*(n)`)
