@@ -79,6 +79,84 @@ object MediaCodecsImpl {
     } catch { case _: Exception => null }
   }
 
+  /** Encode a REAL PNG with a deterministic GRADIENT fill:
+    * pixel(x, y) = (a·x + b·y + c) mod 256 — non-constant content so
+    * pixel-order-sensitive features (phash, resize) carry signal,
+    * while every pixel stays a closed-form doc_id function the oracle
+    * can replicate. */
+  def encodePngGradient(w: Int, h: Int, a: Int, b: Int, c: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, java.lang.Math.floorMod(a * x + b * y + c, 256))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** 60-bit average-hash over REAL decoded pixels (the pixel-space
+    * twin of multimodal_phash's byte-space signature, same bit rule):
+    * 60 raster samples at evenly strided row-major positions
+    * idx_i = ⌊i·w·h/60⌋; bit i set iff 60·sample_i ≥ Σ samples —
+    * all-integer arithmetic, so the oracle reproduces it bit-for-bit
+    * from the planted gradient formula. Null if undecodable. */
+  def imagePhash60(bytes: Array[Byte]): Any = {
+    val m = decodeImageForPixels(bytes)
+    if (m == null) return null
+    val (raster, w, h) = m
+    val n = w * h
+    val samples = Array.tabulate(60) { i =>
+      val idx = (i.toLong * n / 60).toInt
+      raster.getSample(idx % w, idx / w, 0)
+    }
+    val tot = samples.sum
+    var sig = 0L
+    var i = 0
+    while (i < 60) {
+      if (60L * samples(i) >= tot) sig |= (1L << i)
+      i += 1
+    }
+    sig
+  }
+
+  /** Nearest-neighbor resize statistics over REAL decoded pixels:
+    * target pixel (x2, y2) samples source (⌊x2·w/w2⌋, ⌊y2·h/h2⌋);
+    * returns (px_sum, px_mean) of the resized grid — the decode +
+    * downsample stage of an image-embedding pipeline, with the
+    * resample rule simple enough to replay in closed form. */
+  def imageResizeStats(bytes: Array[Byte], w2: Int, h2: Int): InternalRow = {
+    val m = decodeImageForPixels(bytes)
+    if (m == null) return null
+    val (raster, w, h) = m
+    var sum = 0L
+    var y2 = 0
+    while (y2 < h2) {
+      var x2 = 0
+      while (x2 < w2) {
+        sum += raster.getSample(x2 * w / w2, y2 * h / h2, 0)
+        x2 += 1
+      }
+      y2 += 1
+    }
+    new GenericInternalRow(Array[Any](
+      sum, sum.toDouble / (w2.toLong * h2)))
+  }
+
+  private def decodeImageForPixels(bytes: Array[Byte])
+      : (java.awt.image.Raster, Int, Int) =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) null else (img.getRaster, img.getWidth, img.getHeight)
+    } catch { case _: Exception => null }
+
   /** Encode a REAL canonical 44-byte-header RIFF/WAVE file: 16-bit
     * PCM mono at `sampleRate`, samples from `amps` (one Int per
     * sample, clamped to short range), little-endian. */
@@ -366,4 +444,102 @@ case class WavFrameEnergies(child: Expression, frameSamples: Int)
 object WavFrameEnergies {
   def apply(c: Column, frameSamples: Int): Column =
     shims.column(WavFrameEnergies(shims.expression(c), frameSamples))
+}
+
+/** Gradient-fill PNG encoder: (w, h, a, b, c) → real PNG bytes with
+  * pixel(x,y) = (a·x + b·y + c) mod 256. */
+case class PngEncodeGradient(children: Seq[Expression]) extends Expression {
+  require(children.size == 5, s"$prettyName takes (w, h, a, b, c)")
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_png_encode_gradient"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(_.dataType == IntegerType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires five ints")
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else {
+      val Seq(w, h, a, b, c) = vs.map(_.asInstanceOf[Int])
+      MediaCodecsImpl.encodePngGradient(w, h, a, b, c)
+    }
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val gs = children.map(_.genCode(ctx))
+    val anyNull = gs.map(_.isNull).mkString(" || ")
+    val argv = gs.map(_.value).mkString(", ")
+    val code =
+      code"""
+        ${gs.map(_.code).reduce(_ + _)}
+        boolean ${ev.isNull} = $anyNull;
+        byte[] ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.functions.MediaCodecsImpl.encodePngGradient($argv);
+        }
+      """
+    ev.copy(code = code)
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): PngEncodeGradient =
+    copy(children = newChildren)
+}
+
+object PngEncodeGradient {
+  def apply(w: Column, h: Column, a: Column, b: Column, c: Column): Column =
+    shims.column(PngEncodeGradient(
+      Seq(w, h, a, b, c).map(shims.expression)))
+}
+
+/** Pixel-space 60-bit average-hash over real decoded image bytes. */
+case class ImagePhash60(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.sql}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_image_phash60"
+  override def nullSafeEval(input: Any): Any =
+    MediaCodecsImpl.imagePhash60(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      Object r = graft.functions.MediaCodecsImpl.imagePhash60($c);
+      ${ev.isNull} = r == null;
+      ${ev.value} = ${ev.isNull} ? -1L : ((Long) r).longValue();
+    """)
+  override protected def withNewChildInternal(newChild: Expression): ImagePhash60 =
+    copy(child = newChild)
+}
+
+object ImagePhash60 {
+  def apply(c: Column): Column = shims.column(ImagePhash60(shims.expression(c)))
+}
+
+/** Nearest-neighbor resize stats (px_sum, px_mean) over real pixels. */
+case class ImageResizeStats(child: Expression, w2: Int, h2: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.sql}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("px_sum", LongType), StructField("px_mean", DoubleType)))
+  override def prettyName: String = "graft_image_resize_stats"
+  override def nullSafeEval(input: Any): Any =
+    MediaCodecsImpl.imageResizeStats(input.asInstanceOf[Array[Byte]], w2, h2)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.MediaCodecsImpl.imageResizeStats($c, $w2, $h2);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildInternal(newChild: Expression): ImageResizeStats =
+    copy(child = newChild)
+}
+
+object ImageResizeStats {
+  def apply(c: Column, w2: Int, h2: Int): Column =
+    shims.column(ImageResizeStats(shims.expression(c), w2, h2))
 }

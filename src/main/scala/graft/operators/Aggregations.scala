@@ -1302,6 +1302,31 @@ object Aggregations {
         .orderBy("lang")
     }),
 
+    // ORACLE-BRACKETED accuracy certificate for the DataSketches HLL
+    // merge: exact distinct-token counts per lang AND for the merged
+    // ALL row (oracle-replayed) + a within-5% boolean on the sketch
+    // estimates (lgK=12 → rsd ≈ 1.6%; 5% ≈ 3σ) — the merge path
+    // itself is inside the certificate, so a union that double-counts
+    // or drops registers fails the hash at any SF.
+    "agg_hll_merge_bracket" -> ((s, dir) => {
+      val tok = documents(s, dir)
+        .select(col("lang"), explode(split(lower(col("text")), " ")).as("token"))
+      val perLang = tok.groupBy("lang")
+        .agg(countDistinct(col("token")).as("n_distinct"),
+             hll_sketch_agg(col("token")).as("sk"))
+      val corpus = tok.agg(countDistinct(col("token")).as("n_distinct"))
+        .crossJoin(perLang.agg(
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("est")))
+        .select(lit("ALL").as("lang"), col("n_distinct"), col("est"))
+      perLang.select(col("lang"), col("n_distinct"),
+                     hll_sketch_estimate(col("sk")).as("est"))
+        .unionByName(corpus)
+        .select(col("lang"), big(col("n_distinct")).as("n_distinct"),
+          (abs(col("est") - col("n_distinct")).cast("double") /
+            col("n_distinct") <= 0.05).as("within_5pct"))
+        .orderBy("lang")
+    }),
+
     // EXACT distributed distinct counting via bitmap words (the
     // bitmap-index pattern): pack user presence into 62-bit words
     // keyed by (group, id-bucket) — BIT_OR is associative/commutative,
@@ -1384,6 +1409,42 @@ object Aggregations {
         .groupBy("event_type")
         .agg(big(approx_count_distinct(col("user_id"))).as("approx_users"))
         .orderBy("event_type")),
+
+    // ORACLE-BRACKETED accuracy certificate for the HLL++ distinct
+    // (the agg_mad_bracket pattern): exact distinct users per group
+    // (oracle-replayed) + a within-band boolean on the sketch, pinned
+    // TRUE by the oracle. The bracket's arm runs at rsd 0.02 with a
+    // 6% (3σ) band — the DEFAULT-rsd arm (agg_approx_distinct)
+    // measured >5% off at sf0.1, which is exactly the knowledge this
+    // certificate exists to encode: the default sketch is NOT
+    // accurate enough for a 5%-SLA distinct count; rsd 0.02 is.
+    "agg_approx_distinct_bracket" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy("event_type")
+        .agg(big(countDistinct(col("user_id"))).as("n_users"),
+             approx_count_distinct(col("user_id"), 0.02).as("est"))
+        .select(col("event_type"), col("n_users"),
+          (abs(col("est") - col("n_users")).cast("double") /
+            col("n_users") <= 0.06).as("within_3sd"))
+        .orderBy("event_type")),
+
+    // same certificate for the mergeable quantile sketch: exact
+    // interpolated percentiles next to a within-band boolean on the
+    // approx twin (rank error ≤ n/accuracy — far inside 2%-or-0.05)
+    "agg_approx_quantile_bracket" -> ((s, dir) =>
+      orders(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(big(count(lit(1))).as("n"),
+             fround(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+             fround(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+             expr("approx_percentile(o_totalprice, 0.5, 10000)").as("a50"),
+             expr("approx_percentile(o_totalprice, 0.9, 10000)").as("a90"))
+        .select(col("o_orderstatus"), col("n"), col("p50"), col("p90"),
+          (abs(col("a50") - col("p50")) <=
+             greatest(abs(col("p50")) * 0.02, lit(0.05)) &&
+           abs(col("a90") - col("p90")) <=
+             greatest(abs(col("p90")) * 0.02, lit(0.05))).as("within_tol"))
+        .orderBy("o_orderstatus")),
 
     // ROLLUP over a broadcast-joined dim hierarchy. Built on a
     // pre-projected input: rollup's Expand duplicates the join output
@@ -2176,6 +2237,24 @@ object Aggregations {
        froundSql("MAX(med)", 4) + " AS median_value, " +
        froundSql("QUANTILE_CONT(adev, 0.5)", 4) + " AS mad " +
        "FROM a GROUP BY 1 ORDER BY 1"),
+    // exact distinct + LITERAL TRUE — certifies the HLL++ estimate
+    "agg_approx_distinct_bracket" ->
+      ("SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users, " +
+       "TRUE AS within_3sd FROM events GROUP BY 1 ORDER BY 1"),
+    // exact interpolated percentiles + LITERAL TRUE tolerance flag
+    "agg_approx_quantile_bracket" ->
+      ("SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n, " +
+       froundSql("QUANTILE_CONT(o_totalprice, 0.5)", 4) + " AS p50, " +
+       froundSql("QUANTILE_CONT(o_totalprice, 0.9)", 4) + " AS p90, " +
+       "TRUE AS within_tol FROM orders GROUP BY 1 ORDER BY 1"),
+    // exact distinct per lang + merged ALL row + LITERAL TRUE
+    "agg_hll_merge_bracket" ->
+      ("WITH t AS (SELECT lang, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS token " +
+       "FROM documents) " +
+       "SELECT lang, CAST(COUNT(DISTINCT token) AS BIGINT) AS n_distinct, " +
+       "TRUE AS within_5pct FROM t GROUP BY 1 " +
+       "UNION ALL SELECT 'ALL', CAST(COUNT(DISTINCT token) AS BIGINT), TRUE FROM t " +
+       "ORDER BY lang"),
     // the exact report + the LITERAL TRUE tolerance flag — a hash
     // match certifies the approx twin stayed inside its band
     "agg_mad_bracket" ->

@@ -353,6 +353,47 @@ object Multimodal {
         .orderBy("doc_id")
     }),
 
+    // PIXEL-SPACE PERCEPTUAL HASH over REAL decoded images: gradient-
+    // fill PNGs (pixel = (a·x + b·y + c) mod 256, params doc_id
+    // functions) round-trip through ImageIO and the 60-bit average-
+    // hash samples the actual RASTER — the real-decode twin of
+    // multimodal_phash's byte-space signature, same bit rule. The
+    // oracle recomputes every sampled pixel from the planted formula,
+    // so a hash match proves decode + sampling + bit algebra together.
+    // Row-local; one ORDER BY exchange.
+    "multimodal_image_phash_px" -> ((s, dir) =>
+      documents(s, dir).where(col("doc_id") % 3 === 0)
+        .select(col("doc_id"),
+          graft.functions.PngEncodeGradient(
+            (lit(8) + pmod(col("doc_id"), lit(24))).cast("int"),
+            (lit(8) + pmod(col("doc_id"), lit(16))).cast("int"),
+            (lit(1) + pmod(col("doc_id"), lit(5))).cast("int"),
+            (lit(1) + pmod(col("doc_id"), lit(7))).cast("int"),
+            pmod(col("doc_id"), lit(251)).cast("int")).as("payload"))
+        .select(col("doc_id"),
+                graft.functions.ImagePhash60(col("payload")).as("sig"))
+        .orderBy("doc_id")),
+
+    // NEAREST-NEIGHBOR RESIZE over REAL decoded pixels — the decode +
+    // downsample stage every image-embedding pipeline runs before the
+    // model: resize the gradient PNG to a fixed 8×8 grid and report
+    // the resized pixel sum/mean. The resample rule (source pixel
+    // ⌊x2·w/w2⌋, ⌊y2·h/h2⌋) is closed-form, so the oracle predicts
+    // the stats of the RESIZED image exactly. Row-local.
+    "multimodal_image_resize" -> ((s, dir) =>
+      documents(s, dir).where(col("doc_id") % 3 === 0)
+        .select(col("doc_id"),
+          graft.functions.PngEncodeGradient(
+            (lit(8) + pmod(col("doc_id"), lit(24))).cast("int"),
+            (lit(8) + pmod(col("doc_id"), lit(16))).cast("int"),
+            (lit(1) + pmod(col("doc_id"), lit(5))).cast("int"),
+            (lit(1) + pmod(col("doc_id"), lit(7))).cast("int"),
+            pmod(col("doc_id"), lit(251)).cast("int")).as("payload"))
+        .withColumn("r", graft.functions.ImageResizeStats(col("payload"), 8, 8))
+        .select(col("doc_id"), big(col("r.px_sum")).as("px_sum"),
+                fround(col("r.px_mean"), 4).as("px_mean"))
+        .orderBy("doc_id")),
+
     // REAL WAV PARSE (the audio half of Missing #1): the audio lane
     // plants a REAL RIFF/WAVE 16-bit PCM mono file per doc (canonical
     // 44-byte header + little-endian samples; a ±A square wave keeps
@@ -668,6 +709,33 @@ object Multimodal {
        "CAST(8 + doc_id % 16 AS INT) AS height, 'png' AS format, " +
        froundSql("CAST(doc_id % 251 AS DOUBLE)", 4) + " AS px_mean " +
        "FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id"),
+    // every sampled pixel recomputed from the planted gradient
+    // formula, same strided index and bit rule — integer-exact
+    "multimodal_image_phash_px" ->
+      ("WITH d AS (SELECT doc_id, CAST(8 + doc_id % 24 AS BIGINT) AS w, " +
+       "CAST(8 + doc_id % 16 AS BIGINT) AS h, 1 + doc_id % 5 AS a, " +
+       "1 + doc_id % 7 AS b, doc_id % 251 AS c " +
+       "FROM documents WHERE doc_id % 3 = 0), " +
+       "s AS (SELECT doc_id, LIST_TRANSFORM(RANGE(60), i -> " +
+       "(a * ((i * w * h // 60) % w) + b * ((i * w * h // 60) // w) + c) % 256) AS sm " +
+       "FROM d), " +
+       "t AS (SELECT doc_id, sm, LIST_SUM(sm) AS tot FROM s) " +
+       "SELECT doc_id, CAST(LIST_SUM(LIST_TRANSFORM(RANGE(60), i -> " +
+       "CASE WHEN 60 * sm[i + 1] >= tot THEN (1::BIGINT << i) ELSE 0::BIGINT END)) " +
+       "AS BIGINT) AS sig FROM t ORDER BY doc_id"),
+    // the resized 8x8 grid's pixels in closed form: source pixel
+    // (x2*w//8, y2*h//8) through the gradient formula
+    "multimodal_image_resize" ->
+      ("WITH d AS (SELECT doc_id, CAST(8 + doc_id % 24 AS BIGINT) AS w, " +
+       "CAST(8 + doc_id % 16 AS BIGINT) AS h, 1 + doc_id % 5 AS a, " +
+       "1 + doc_id % 7 AS b, doc_id % 251 AS c " +
+       "FROM documents WHERE doc_id % 3 = 0), " +
+       "s AS (SELECT doc_id, LIST_SUM(LIST_TRANSFORM(RANGE(64), i -> " +
+       "(a * (((i % 8) * w) // 8) + b * (((i // 8) * h) // 8) + c) % 256)) AS ps " +
+       "FROM d) " +
+       "SELECT doc_id, CAST(ps AS BIGINT) AS px_sum, " +
+       froundSql("CAST(ps AS DOUBLE) / 64.0", 4) + " AS px_mean " +
+       "FROM s ORDER BY doc_id"),
     // RIFF fields and the square-wave RMS (= A exactly) from doc_id
     "multimodal_wav_meta" ->
       ("SELECT doc_id, CAST(8000 + (doc_id % 8) * 1000 AS INT) AS sample_rate, " +

@@ -80,6 +80,29 @@ class MediaCodecsSpec extends SparkSpec {
     assert(en.getDouble(2) == 20.0)
   }
 
+  test("gradient PNG round-trips pixel-exact: phash and resize match the formula") {
+    val (w, h, a, b, c) = (20, 12, 3, 5, 77)
+    val bytes = MediaCodecsImpl.encodePngGradient(w, h, a, b, c)
+    def px(x: Int, y: Int) = math.floorMod(a * x + b * y + c, 256)
+    // phash: strided raster samples, bit i iff 60*s_i >= sum
+    val samples = Array.tabulate(60) { i =>
+      val idx = (i.toLong * w * h / 60).toInt; px(idx % w, idx / w)
+    }
+    val tot = samples.sum
+    val want = samples.zipWithIndex
+      .collect { case (s, i) if 60L * s >= tot => 1L << i }.sum
+    assert(MediaCodecsImpl.imagePhash60(bytes) == want)
+    // 8x8 nearest-neighbor resize sum
+    val rs = MediaCodecsImpl.imageResizeStats(bytes, 8, 8)
+    val wantSum = (for (y2 <- 0 until 8; x2 <- 0 until 8)
+      yield px(x2 * w / 8, y2 * h / 8).toLong).sum
+    assert(rs.getLong(0) == wantSum)
+    assert(rs.getDouble(1) == wantSum.toDouble / 64)
+    // undecodable → null, not a throw
+    assert(MediaCodecsImpl.imagePhash60("junk".getBytes) == null)
+    assert(MediaCodecsImpl.imageResizeStats("junk".getBytes, 8, 8) == null)
+  }
+
   test("multimodal_image_decode / source_image_files / wav queries run and agree") {
     val img = SparkEntry.queries("multimodal_image_decode")(spark, sf001).collect()
     assert(img.nonEmpty)
