@@ -96,6 +96,13 @@ final case class Corpus(df: DataFrame) {
   def substringDedupReport(): DataFrame =
     graft.operators.Dedup.substringDedupDocs(df)
 
+  /** The maximal duplicated SPANS themselves (one row per span:
+    * doc_id, span_idx, start_tok, span_len, span_md5) at exact token
+    * granularity — the inspection surface behind [[dedupSubstrings]]:
+    * what would be cut, where, and its content digest. */
+  def duplicatedSpans(): DataFrame =
+    graft.operators.Dedup.substringDupSpans(df)
+
   /** Rewrite every document's text to its substring-deduplicated form
     * and drop only documents whose kept text is empty (fully covered
     * by duplicated windows) — the apply-side of
@@ -237,6 +244,13 @@ final case class VectorCorpus(df: DataFrame) {
   /** LSH-approximate top-k (multi-table hyperplane buckets). */
   def annTopK(queryVecId: Long, k: Int): DataFrame =
     Similarity.annTopK(df, queryVecId, k)
+
+  /** Graph-ANN top-k: beam search over the two-blocking kNN graph
+    * (built once from this corpus; the high-recall regime — fully
+    * deterministic, constant probe budget per query). Requires a
+    * `label` column for the blocking/entry points. */
+  def graphAnnTopK(k: Int): DataFrame =
+    Similarity.graphBeamSearch(df, Similarity.knnGraph(df).localCheckpoint(), k)
 
   /** Add an L2-norm column. */
   def withNorm(colName: String = "l2"): VectorCorpus =

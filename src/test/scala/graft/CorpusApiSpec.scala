@@ -204,4 +204,15 @@ class CorpusApiSpec extends SparkSpec {
     assertSameRows(Corpus(docs).noveltyScores(),
       SparkEntry.queries("text_novelty")(spark, sf001), "novelty")
   }
+
+  test("duplicatedSpans equals the dedup_substring_spans query") {
+    assertSameRows(Corpus(docs).duplicatedSpans(),
+      SparkEntry.queries("dedup_substring_spans")(spark, sf001), "spans")
+  }
+
+  test("graphAnnTopK equals the sim_ann_graph query") {
+    val viaApi = VectorCorpus(Tables.embeddings(spark, sf001)).graphAnnTopK(10)
+    assertSameRows(viaApi,
+      SparkEntry.queries("sim_ann_graph")(spark, sf001), "graph-ann")
+  }
 }
