@@ -171,10 +171,65 @@ object Similarity {
       .orderBy("rnk")
   }
 
+  /** sim_ann_graph_batch: how many query vectors ride one batched
+    * beam-search plan (vec_id < GraphBatchQueries — the
+    * vec_hamming_topk query-set convention). */
+  val GraphBatchQueries = 8
+
+  /** BATCHED beam search — the production shape (queries arrive in
+    * batches, not one at a time): every query's beam advances in THE
+    * SAME dataframe program, keyed by q_id — frontier expansion is one
+    * equi-join of all beams against the edge list, scoring one join
+    * against the query-vector broadcast, pruning one per-q_id rank
+    * window (WindowGroupLimit bounds each partition map-side). Per
+    * round the plan touches ≤ queries·beam·degree rows regardless of
+    * corpus size; adding queries widens the constant, never the scan.
+    * Move-for-move deterministic like the single-query form, so the
+    * oracle replays all lanes at once with q_id-partitioned windows. */
+  def graphBeamBatch(e: DataFrame, graph: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qs = e.where(col("vec_id") < GraphBatchQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    def scored(ids: DataFrame): DataFrame =
+      ids.join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+        .join(broadcast(qs), Seq("q_id"))
+        .select(col("q_id"), col("vec_id"),
+                fround(cosine(col("embedding"), col("qv")), 4).as("cos"))
+    val entries = e.groupBy("label").agg(min(col("vec_id")).as("vec_id"))
+      .select("vec_id")
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    def prune(sc: DataFrame): DataFrame = sc
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= GraphBeam).drop("rn")
+    var beam = prune(scored(qs.select("q_id").crossJoin(entries)))
+      .localCheckpoint()
+    for (_ <- 1 to GraphRounds) {
+      val frontier = beam.select("q_id", "vec_id")
+        .join(graph, Seq("vec_id"))
+        .select(col("q_id"), col("nbr_id").as("vec_id")).distinct()
+      beam = prune(
+        scored(frontier).unionByName(beam)
+          .groupBy("q_id", "vec_id").agg(max(col("cos")).as("cos")))
+        .localCheckpoint()
+    }
+    beam.where(col("vec_id") =!= col("q_id"))
+      .withColumn("rnk", big(row_number().over(w)))
+      .where(col("rnk") <= k)
+      .select("q_id", "rnk", "vec_id", "cos")
+      .orderBy("q_id", "rnk")
+  }
+
   val queries: Map[String, Q] = Map(
     // Brute-force cosine top-10 of query vec_id=0 — the exactness
     // baseline every ANN variant is judged against.
     "sim_topk" -> ((s, dir) => topK(embeddings(s, dir), 0L, 10)),
+
+    // The batched production form of the graph arm: 8 query lanes in
+    // one plan (see graphBeamBatch). Oracle replays all lanes with
+    // q_id-partitioned windows; GraphAnnSpec pins lane 0 ≡ the
+    // single-query sim_ann_graph.
+    "sim_ann_graph_batch" -> ((s, dir) =>
+      graphBeamBatch(embeddings(s, dir), knnGraphCached(s, dir), 10)),
 
     // Graph-refined ANN: beam search over the two-blocking kNN graph
     // (see graphBeamTopK) — deterministic move-for-move, so the whole
@@ -535,7 +590,46 @@ object Similarity {
     rounds
   }
 
+  /** DuckDB replay of the BATCHED beam search: identical moves to the
+    * single-query form with every window PARTITION BY q_id. */
+  private def graphBeamBatchSql: String = {
+    val cosQ = froundSql("LIST_COSINE_SIMILARITY(v.ev, q.qv)", 4)
+    def edges(blkOn: String) =
+      "SELECT a.vec_id, b.vec_id AS nbr_id, ROW_NUMBER() OVER (PARTITION BY a.vec_id " +
+      "ORDER BY " + froundSql("LIST_COSINE_SIMILARITY(a.ev, b.ev)", 4) +
+      s" DESC, b.vec_id) AS rnk FROM gv a JOIN gv b ON $blkOn AND a.vec_id <> b.vec_id"
+    val rounds = (1 to GraphRounds).map { t =>
+      val prev = s"qb${t - 1}"
+      s"qc$t AS (SELECT DISTINCT $prev.q_id, g.nbr_id AS vec_id " +
+      s"FROM g JOIN $prev ON g.vec_id = $prev.vec_id), " +
+      s"qs$t AS (SELECT q_id, vec_id, MAX(cos) AS cos FROM (" +
+      s"SELECT c.q_id, v.vec_id, $cosQ AS cos FROM v " +
+      s"JOIN qc$t c USING (vec_id) JOIN q ON q.q_id = c.q_id " +
+      s"UNION ALL SELECT q_id, vec_id, cos FROM $prev) GROUP BY q_id, vec_id), " +
+      s"qb$t AS (SELECT q_id, vec_id, cos FROM (SELECT q_id, vec_id, cos, " +
+      "ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn " +
+      s"FROM qs$t) WHERE rn <= $GraphBeam)"
+    }.mkString(", ")
+    "WITH v AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings), " +
+    s"q AS (SELECT vec_id AS q_id, ev AS qv FROM v WHERE vec_id < $GraphBatchQueries), " +
+    "gv AS MATERIALIZED (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings), " +
+    "g AS MATERIALIZED (SELECT DISTINCT vec_id, nbr_id FROM (" +
+    s"SELECT vec_id, nbr_id FROM (${edges("a.label = b.label")}) WHERE rnk <= $GraphM " +
+    "UNION ALL SELECT vec_id, nbr_id FROM " +
+    s"(${edges(s"a.vec_id % $GraphBlocks = b.vec_id % $GraphBlocks")}) WHERE rnk <= $GraphM)), " +
+    "e0 AS (SELECT MIN(vec_id) AS vec_id FROM gv GROUP BY label), " +
+    "qb0 AS (SELECT q_id, vec_id, cos FROM (SELECT q_id, vec_id, cos, " +
+    "ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn FROM (" +
+    s"SELECT q.q_id, v.vec_id, $cosQ AS cos FROM v JOIN e0 USING (vec_id), q)) " +
+    s"WHERE rn <= $GraphBeam), " + rounds + " " +
+    "SELECT q_id, CAST(rn AS BIGINT) AS rnk, vec_id, cos FROM (" +
+    "SELECT q_id, vec_id, cos, ROW_NUMBER() OVER (PARTITION BY q_id " +
+    s"ORDER BY cos DESC, vec_id) AS rn FROM qb$GraphRounds WHERE vec_id <> q_id) " +
+    "WHERE rn <= 10 ORDER BY q_id, rnk"
+  }
+
   val oracle: Map[String, String] = Map(
+    "sim_ann_graph_batch" -> graphBeamBatchSql,
     // the beam search replayed move for move (graph build, entry
     // beam, three expand-score-prune rounds) — the graph ANN arm is
     // fully hash-checked, unlike the hash-construction-specific LSH

@@ -54,6 +54,19 @@ class GraphAnnSpec extends SparkSpec {
       s"graph recall ${rows("graph")}/10 must be >= ivf ${rows("ivf")}/10")
   }
 
+  test("batched beam search lane 0 equals the single-query search") {
+    val single = SparkEntry.queries("sim_ann_graph")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val lane0 = SparkEntry.queries("sim_ann_graph_batch")(spark, sf001)
+      .where(col("q_id") === 0L)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(lane0 == single, s"lane0=$lane0\nsingle=$single")
+    // and every lane returns a full top-10 with no self-hit
+    val all = SparkEntry.queries("sim_ann_graph_batch")(spark, sf001).collect()
+    assert(all.length == Similarity.GraphBatchQueries * 10)
+    assert(!all.exists(r => r.getLong(0) == r.getLong(2)))
+  }
+
   test("the graph bounds out-degree at 2*GraphM and excludes self-loops") {
     val g = Similarity.knnGraphCached(spark, sf001)
     val maxDeg = g.groupBy("vec_id").count().agg(max("count")).as[Long].head()
