@@ -153,7 +153,16 @@ object Similarity {
     var beam = scored(entries)
       .orderBy(col("cos").desc, col("vec_id")).limit(GraphBeam)
       .localCheckpoint()
-    for (_ <- 1 to GraphRounds) {
+    // FIXPOINT EARLY-EXIT: once a round leaves the beam's id set
+    // unchanged, every further round is the identity (the frontier and
+    // scores are pure functions of the beam) — stopping early returns
+    // EXACTLY what the oracle's fixed GraphRounds unroll returns, for
+    // fewer jobs. The membership probe collects ≤ GraphBeam ids.
+    var prevIds: Set[Long] =
+      beam.select("vec_id").collect().map(_.getLong(0)).toSet
+    var round = 0
+    var converged = false
+    while (round < GraphRounds && !converged) {
       val frontier = graph
         .join(broadcast(beam.select("vec_id")), Seq("vec_id"))
         .select(col("nbr_id").as("vec_id")).distinct()
@@ -161,6 +170,10 @@ object Similarity {
         .groupBy("vec_id").agg(max(col("cos")).as("cos"))
         .orderBy(col("cos").desc, col("vec_id")).limit(GraphBeam)
         .localCheckpoint()
+      val ids = beam.select("vec_id").collect().map(_.getLong(0)).toSet
+      converged = ids == prevIds
+      prevIds = ids
+      round += 1
     }
     // the final rank window runs over ≤ GraphBeam rows — bounded
     beam.where(col("vec_id") =!= 0L)
@@ -203,7 +216,13 @@ object Similarity {
       .where(col("rn") <= GraphBeam).drop("rn")
     var beam = prune(scored(qs.select("q_id").crossJoin(entries)))
       .localCheckpoint()
-    for (_ <- 1 to GraphRounds) {
+    // fixpoint early-exit across ALL lanes (see graphBeamSearch): the
+    // probe collects ≤ queries·beam (q_id, vec_id) pairs
+    var prevIds: Set[(Long, Long)] = beam.select("q_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    var round = 0
+    var converged = false
+    while (round < GraphRounds && !converged) {
       val frontier = beam.select("q_id", "vec_id")
         .join(graph, Seq("vec_id"))
         .select(col("q_id"), col("nbr_id").as("vec_id")).distinct()
@@ -211,6 +230,11 @@ object Similarity {
         scored(frontier).unionByName(beam)
           .groupBy("q_id", "vec_id").agg(max(col("cos")).as("cos")))
         .localCheckpoint()
+      val ids = beam.select("q_id", "vec_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      converged = ids == prevIds
+      prevIds = ids
+      round += 1
     }
     beam.where(col("vec_id") =!= col("q_id"))
       .withColumn("rnk", big(row_number().over(w)))

