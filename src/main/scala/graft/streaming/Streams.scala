@@ -52,6 +52,25 @@ object Streams {
     * event µs — exactly the state a live freshness monitor keeps
     * (lanes × hours, never per-event). Shared verbatim by the batch
     * declaration and StreamBatchSpec's live drive. */
+  /** Streaming media-decode stage (the live half of the multimodal
+    * lane): per incoming document, encode→decode a REAL PNG (the
+    * planted-parameter round-trip of multimodal_image_decode) and fold
+    * a mergeable per-lang grid — image count, dimension sums, decimal-
+    * pinned mean gray. Every aggregate is map-side-combinable, so the
+    * same declaration runs batch and streaming unchanged. */
+  def mediaDecodeGrid(docs: DataFrame): DataFrame =
+    docs.where(col("doc_id") % 3 === 0)
+      .select(col("lang"),
+        graft.functions.ImageMeta(graft.functions.PngEncodeGray(
+          (lit(8) + pmod(col("doc_id"), lit(24))).cast("int"),
+          (lit(8) + pmod(col("doc_id"), lit(16))).cast("int"),
+          pmod(col("doc_id"), lit(251)).cast("int"))).as("m"))
+      .groupBy("lang")
+      .agg(big(count(lit(1))).as("n_images"),
+           big(sum(col("m.width"))).as("sum_width"),
+           big(sum(col("m.height"))).as("sum_height"),
+           fround(dsum6(col("m.px_mean")) / count(lit(1)), 4).as("avg_gray"))
+
   def freshnessCells(ev: DataFrame): DataFrame =
     ev.groupBy(col("event_type"), window(col("ts"), "1 hour").as("w"))
       .agg(big(count(lit(1))).as("n"), max(unix_micros(col("ts"))).as("tmax"))
@@ -733,6 +752,15 @@ object Streams {
     // StreamBatchSpec drives the real file-source job to equality.
     "stream_freshness" -> ((s, dir) =>
       freshnessFromCells(freshnessCells(events(s, dir)))),
+    // LIVE MULTIMODAL INGEST: the media lane's real-PNG decode running
+    // as a streaming stage — per micro-batch, ImageIO decodes actual
+    // container bytes and the per-lang grid merges (count/dim sums/
+    // mean gray are all mergeable aggregates; complete-mode or a
+    // foreachBatch upsert in production). StreamBatchSpec drives the
+    // REAL file-source job to equality with this batch declaration;
+    // the oracle predicts the grid from the planted doc_id params.
+    "stream_media_decode" -> ((s, dir) =>
+      mediaDecodeGrid(documents(s, dir)).orderBy("lang")),
     // Windowed top-k: top-3 event types per tumbling hour (see
     // [[topkCounts]]/[[rankTop3]] for the streaming split).
     "stream_topk_windowed" -> ((s, dir) =>
@@ -1082,6 +1110,15 @@ object Streams {
        graft.Tables.froundSql(
          "CAST(n AS DOUBLE) / CAST((gmax // 3600000000) - (gmin // 3600000000) + 1 AS DOUBLE)", 2) +
        " AS hourly_avg FROM t ORDER BY event_type"),
+    // the streamed grid predicted from the planted PNG parameters —
+    // the engine must round-trip real containers to match
+    "stream_media_decode" ->
+      ("SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_images, " +
+       "CAST(SUM(8 + doc_id % 24) AS BIGINT) AS sum_width, " +
+       "CAST(SUM(8 + doc_id % 16) AS BIGINT) AS sum_height, " +
+       froundSql(dsum6Sql("CAST(doc_id % 251 AS DOUBLE)") + " / COUNT(*)", 4) +
+       " AS avg_gray " +
+       "FROM documents WHERE doc_id % 3 = 0 GROUP BY lang ORDER BY lang"),
     // identical fixed grid, baseline freeze, union-of-bins semantics
     // and 1e-6 clamp; LN natural, dsum6 term discipline
     "stream_drift_psi" ->

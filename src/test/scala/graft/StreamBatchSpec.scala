@@ -35,6 +35,23 @@ class StreamBatchSpec extends SparkSpec {
     spark.table(name)
   }
 
+  test("stream_media_decode: REAL PNG decode streams to the batch grid") {
+    // documents staged as the file source: the decode kernel runs per
+    // micro-batch on actual container bytes, and the mergeable grid
+    // must land exactly the batch declaration's rows
+    val dir = Files.createTempDirectory("graft_stream_docs").toString
+    val docs = Tables.documents(spark, sf001).orderBy("doc_id")
+    docs.coalesce(1).write.mode("overwrite").parquet(dir)
+    val batchView = spark.read.parquet(dir)
+    val q = Streams.mediaDecodeGrid(
+        spark.readStream.schema(batchView.schema).parquet(dir))
+      .writeStream.format("memory").queryName("t_media_grid")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assertSameRows(spark.table("t_media_grid"),
+      Streams.mediaDecodeGrid(batchView), "media grid")
+  }
+
   test("stream_tumbling: streaming result equals batch result") {
     val out = streamed("t_tumbling", Streams.tumbling, "complete")
     assertSameRows(out, Streams.tumbling(stagedEvents._2), "tumbling")
