@@ -84,7 +84,16 @@ object MediaCodecsImpl {
     * pixel-order-sensitive features (phash, resize) carry signal,
     * while every pixel stays a closed-form doc_id function the oracle
     * can replicate. */
-  def encodePngGradient(w: Int, h: Int, a: Int, b: Int, c: Int): Array[Byte] = {
+  def encodePngGradient(w: Int, h: Int, a: Int, b: Int, c: Int): Array[Byte] =
+    encodeImageGradient(w, h, a, b, c, "png")
+
+  /** The same gradient through ANY lossless ImageIO container (png /
+    * bmp / gif — all three round-trip 8-bit gray pixel-exact, probed:
+    * the gif writer emits an identity-ordered gray palette, so raster
+    * band 0 returns the original values for all three). JPEG is lossy
+    * and deliberately unsupported here. */
+  def encodeImageGradient(w: Int, h: Int, a: Int, b: Int, c: Int,
+                          fmt: String): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     val raster = img.getRaster
@@ -98,7 +107,7 @@ object MediaCodecsImpl {
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    require(javax.imageio.ImageIO.write(img, fmt, bos), s"no ImageIO writer for $fmt")
     bos.toByteArray
   }
 
@@ -446,9 +455,10 @@ object WavFrameEnergies {
     shims.column(WavFrameEnergies(shims.expression(c), frameSamples))
 }
 
-/** Gradient-fill PNG encoder: (w, h, a, b, c) → real PNG bytes with
-  * pixel(x,y) = (a·x + b·y + c) mod 256. */
-case class PngEncodeGradient(children: Seq[Expression]) extends Expression {
+/** Gradient-fill image encoder: (w, h, a, b, c) → real container bytes
+  * (`fmt` ∈ png/bmp/gif) with pixel(x,y) = (a·x + b·y + c) mod 256. */
+case class PngEncodeGradient(children: Seq[Expression], fmt: String = "png")
+    extends Expression {
   require(children.size == 5, s"$prettyName takes (w, h, a, b, c)")
   override def nullable: Boolean = children.exists(_.nullable)
   override def dataType: DataType = BinaryType
@@ -461,7 +471,7 @@ case class PngEncodeGradient(children: Seq[Expression]) extends Expression {
     if (vs.contains(null)) null
     else {
       val Seq(w, h, a, b, c) = vs.map(_.asInstanceOf[Int])
-      MediaCodecsImpl.encodePngGradient(w, h, a, b, c)
+      MediaCodecsImpl.encodeImageGradient(w, h, a, b, c, fmt)
     }
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -474,7 +484,7 @@ case class PngEncodeGradient(children: Seq[Expression]) extends Expression {
         boolean ${ev.isNull} = $anyNull;
         byte[] ${ev.value} = null;
         if (!${ev.isNull}) {
-          ${ev.value} = graft.functions.MediaCodecsImpl.encodePngGradient($argv);
+          ${ev.value} = graft.functions.MediaCodecsImpl.encodeImageGradient($argv, "$fmt");
         }
       """
     ev.copy(code = code)
@@ -486,8 +496,11 @@ case class PngEncodeGradient(children: Seq[Expression]) extends Expression {
 
 object PngEncodeGradient {
   def apply(w: Column, h: Column, a: Column, b: Column, c: Column): Column =
+    apply(w, h, a, b, c, "png")
+  def apply(w: Column, h: Column, a: Column, b: Column, c: Column,
+            fmt: String): Column =
     shims.column(PngEncodeGradient(
-      Seq(w, h, a, b, c).map(shims.expression)))
+      Seq(w, h, a, b, c).map(shims.expression), fmt))
 }
 
 /** Pixel-space 60-bit average-hash over real decoded image bytes. */

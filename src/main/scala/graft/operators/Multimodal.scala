@@ -394,6 +394,35 @@ object Multimodal {
                 fround(col("r.px_mean"), 4).as("px_mean"))
         .orderBy("doc_id")),
 
+    // CONTAINER-INDEPENDENCE CERTIFICATE: the SAME gradient image
+    // through three different REAL containers (png / bmp / gif — all
+    // lossless for 8-bit gray; the gif lane additionally proves the
+    // palette path decodes identity-exact). Per format the decode
+    // must sniff the right reader from the byte signature AND return
+    // identical pixel statistics — three rows whose numbers differ
+    // ONLY in the format column, every value predicted by the oracle
+    // from the planted formula. Row-local; one grid aggregate.
+    "multimodal_image_formats" -> ((s, dir) => {
+      val base = documents(s, dir).where(col("doc_id") % 3 === 0)
+        .select(col("doc_id"),
+          (lit(8) + pmod(col("doc_id"), lit(24))).cast("int").as("w"),
+          (lit(8) + pmod(col("doc_id"), lit(16))).cast("int").as("h"),
+          (lit(1) + pmod(col("doc_id"), lit(5))).cast("int").as("ga"),
+          (lit(1) + pmod(col("doc_id"), lit(7))).cast("int").as("gb"),
+          pmod(col("doc_id"), lit(251)).cast("int").as("gc"))
+      Seq("png", "bmp", "gif").map { fmt =>
+        base
+          .withColumn("m", graft.functions.ImageMeta(
+            graft.functions.PngEncodeGradient(
+              col("w"), col("h"), col("ga"), col("gb"), col("gc"), fmt)))
+          .groupBy(col("m.format").as("format"))
+          .agg(big(count(lit(1))).as("n_images"),
+               big(sum(col("m.width"))).as("sum_width"),
+               big(sum(col("m.height"))).as("sum_height"),
+               fround(dsum6(col("m.px_mean")) / count(lit(1)), 4).as("mean_gray"))
+      }.reduce(_ unionByName _).orderBy("format")
+    }),
+
     // REAL WAV PARSE (the audio half of Missing #1): the audio lane
     // plants a REAL RIFF/WAVE 16-bit PCM mono file per doc (canonical
     // 44-byte header + little-endian samples; a ±A square wave keeps
@@ -736,6 +765,25 @@ object Multimodal {
        "SELECT doc_id, CAST(ps AS BIGINT) AS px_sum, " +
        froundSql("CAST(ps AS DOUBLE) / 64.0", 4) + " AS px_mean " +
        "FROM s ORDER BY doc_id"),
+    // the per-image pixel sum replayed from the gradient formula; the
+    // three format rows carry IDENTICAL numbers by construction —
+    // pixel sums are exact integers and the single mean division is
+    // the same IEEE op in both engines
+    "multimodal_image_formats" ->
+      ("WITH d AS (SELECT doc_id, CAST(8 + doc_id % 24 AS BIGINT) AS w, " +
+       "CAST(8 + doc_id % 16 AS BIGINT) AS h, 1 + doc_id % 5 AS a, " +
+       "1 + doc_id % 7 AS b, doc_id % 251 AS c " +
+       "FROM documents WHERE doc_id % 3 = 0), " +
+       "m AS (SELECT doc_id, w, h, LIST_SUM(LIST_TRANSFORM(RANGE(w * h), " +
+       "i -> (a * (i % w) + b * (i // w) + c) % 256)) AS ps FROM d), " +
+       "x AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_images, " +
+       "CAST(SUM(w) AS BIGINT) AS sum_width, CAST(SUM(h) AS BIGINT) AS sum_height, " +
+       froundSql(dsum6Sql("CAST(ps AS DOUBLE) / (w * h)") + " / COUNT(*)", 4) +
+       " AS mean_gray FROM m) " +
+       "SELECT 'bmp' AS format, n_images, sum_width, sum_height, mean_gray FROM x " +
+       "UNION ALL SELECT 'gif', n_images, sum_width, sum_height, mean_gray FROM x " +
+       "UNION ALL SELECT 'png', n_images, sum_width, sum_height, mean_gray FROM x " +
+       "ORDER BY format"),
     // RIFF fields and the square-wave RMS (= A exactly) from doc_id
     "multimodal_wav_meta" ->
       ("SELECT doc_id, CAST(8000 + (doc_id % 8) * 1000 AS INT) AS sample_rate, " +
