@@ -245,12 +245,14 @@ final case class VectorCorpus(df: DataFrame) {
   def annTopK(queryVecId: Long, k: Int): DataFrame =
     Similarity.annTopK(df, queryVecId, k)
 
-  /** Graph-ANN top-k: beam search over the two-blocking kNN graph
-    * (built once from this corpus; the high-recall regime — fully
-    * deterministic, constant probe budget per query). Requires a
-    * `label` column for the blocking/entry points. */
-  def graphAnnTopK(k: Int): DataFrame =
-    Similarity.graphBeamSearch(df, Similarity.knnGraph(df).localCheckpoint(), k)
+  /** Graph-ANN top-k neighbors of `queryVecId`: beam search over the
+    * two-blocking kNN graph (built once from this corpus; the
+    * high-recall regime — fully deterministic, constant probe budget
+    * per query). Requires a `label` column for the blocking/entry
+    * points. */
+  def graphAnnTopK(queryVecId: Long, k: Int): DataFrame =
+    Similarity.graphBeamSearch(df, Similarity.knnGraph(df).localCheckpoint(),
+      k, queryVecId)
 
   /** Add an L2-norm column. */
   def withNorm(colName: String = "l2"): VectorCorpus =

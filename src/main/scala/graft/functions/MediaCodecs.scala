@@ -54,9 +54,14 @@ object MediaCodecsImpl {
     * quarantine posture — bad assets surface as nulls, not task
     * failures). */
   def decodeImageMeta(bytes: Array[Byte]): InternalRow = {
+    // memory-backed input stream: the default file-cache variant holds
+    // an open handle on a /tmp temp file per decode until finalization
+    // — tens of thousands of decodes per query would exhaust the fd
+    // ulimit (round-17 self-review); close in finally regardless
+    val iis = try javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes)) catch { case _: Exception => null }
+    if (iis == null) return null
     try {
-      val iis = javax.imageio.ImageIO.createImageInputStream(
-        new java.io.ByteArrayInputStream(bytes))
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
       if (!readers.hasNext) return null
       val reader = readers.next()
@@ -77,6 +82,7 @@ object MediaCodecsImpl {
         w, h, UTF8String.fromString(fmt),
         sum.toDouble / (w.toLong * h)))
     } catch { case _: Exception => null }
+    finally { try iis.close() catch { case _: Exception => } }
   }
 
   /** Encode a REAL PNG with a deterministic GRADIENT fill:
@@ -254,6 +260,10 @@ object MediaCodecsImpl {
     try {
       val meta = decodeWavMeta(bytes)
       if (meta == null) return null
+      // MONO ONLY (round-17 self-review): framing interleaved stereo
+      // samples as mono would silently double the frame count and mix
+      // channels — refuse multi-channel like any undecodable payload
+      if (meta.getInt(1) != 1) return null
       // re-locate the data chunk (decodeWavMeta validated the layout)
       val buf = java.nio.ByteBuffer.wrap(bytes)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -516,11 +526,16 @@ case class ImagePhash60(child: Expression) extends UnaryExpression {
   override def nullSafeEval(input: Any): Any =
     MediaCodecsImpl.imagePhash60(input.asInstanceOf[Array[Byte]])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => s"""
-      Object r = graft.functions.MediaCodecsImpl.imagePhash60($c);
-      ${ev.isNull} = r == null;
-      ${ev.value} = ${ev.isNull} ? -1L : ((Long) r).longValue();
-    """)
+    nullSafeCodeGen(ctx, ev, c => {
+      // fresh local: a fixed name would collide when two ImagePhash60
+      // calls land in one codegen scope (round-17 self-review)
+      val r = ctx.freshName("phashRes")
+      s"""
+      Object $r = graft.functions.MediaCodecsImpl.imagePhash60($c);
+      ${ev.isNull} = $r == null;
+      ${ev.value} = ${ev.isNull} ? -1L : ((Long) $r).longValue();
+    """
+    })
   override protected def withNewChildInternal(newChild: Expression): ImagePhash60 =
     copy(child = newChild)
 }

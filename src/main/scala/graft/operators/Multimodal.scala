@@ -329,7 +329,19 @@ object Multimodal {
     // only the object store.
     "source_image_files" -> ((s, dir) => {
       val out = scratch(dir, "image_files")
-      new java.io.File(out).mkdirs()
+      // idempotent re-stage: clear stale .png files first — a re-run
+      // against a re-staged (smaller) fixture would otherwise leave
+      // orphans matching the glob and add phantom rows (round-17
+      // self-review). The executors write through the Hadoop
+      // FileSystem API, so on a real cluster the SAME code lands files
+      // in the shared store the driver then reads — java.io.File would
+      // scatter them across executor-local disks.
+      locally {
+        val d = new java.io.File(out)
+        d.mkdirs()
+        Option(d.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.endsWith(".png")).foreach(_.delete())
+      }
       documents(s, dir).where(col("doc_id") % 3 === 0)
         .select(col("doc_id"),
           graft.functions.PngEncodeGray(
@@ -337,10 +349,13 @@ object Multimodal {
             (lit(8) + pmod(col("doc_id"), lit(16))).cast("int"),
             pmod(col("doc_id"), lit(251)).cast("int")).as("png"))
         .foreachPartition { (rows: Iterator[Row]) =>
+          val conf = new org.apache.hadoop.conf.Configuration()
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            new java.net.URI(s"file://$out"), conf)
           rows.foreach { r =>
-            val f = new java.io.File(s"$out/img_${r.getLong(0)}.png")
-            val fos = new java.io.FileOutputStream(f)
-            try fos.write(r.getAs[Array[Byte]](1)) finally fos.close()
+            val p = new org.apache.hadoop.fs.Path(s"$out/img_${r.getLong(0)}.png")
+            val os = fs.create(p, true)
+            try os.write(r.getAs[Array[Byte]](1)) finally os.close()
           }
         }
       s.read.format("binaryFile").option("pathGlobFilter", "*.png").load(out)

@@ -1499,9 +1499,16 @@ object Scans {
     require(versions.nonEmpty, s"no stamped committed versions at $root")
     val outDir = Paths.get(root, "_iceberg")
     Files.createDirectories(outDir)
-    val snaps = versions.map { v =>
-      val ts = java.time.Instant.parse(new String(Files.readAllBytes(
+    // parent = the PREVIOUS EXPORTED snapshot (not v−1: with sparse
+    // commit stamps v−1 may be absent from the export and an Iceberg
+    // reader walking the parent chain would dangle — round-17
+    // self-review); timestamps parsed once and reused for
+    // last-updated-ms below
+    val stamped: Seq[(Int, Long)] = versions.map { v =>
+      v -> java.time.Instant.parse(new String(Files.readAllBytes(
         Paths.get(root, "_commits", s"v$v.txt")), "UTF-8").trim).toEpochMilli
+    }
+    val snaps = stamped.zipWithIndex.map { case ((v, ts), i) =>
       val files = readManifest(root, v)
       val listPath = outDir.resolve(s"snap-$v.json")
       val tmp = Files.createTempFile(outDir, s".snap-$v", ".tmp")
@@ -1509,8 +1516,8 @@ object Scans {
         s"""{"file_path": ${js(f)}, "file_format": "PARQUET"}""")
         .mkString("[", ", ", "]").getBytes("UTF-8"))
       Files.move(tmp, listPath, C.ATOMIC_MOVE, C.REPLACE_EXISTING)
-      val parent = if (v == versions.min) ""
-                   else s""""parent-snapshot-id": ${v - 1}, """
+      val parent = if (i == 0) ""
+                   else s""""parent-snapshot-id": ${stamped(i - 1)._1}, """
       s"""{"snapshot-id": $v, $parent"sequence-number": $v, """ +
       s""""timestamp-ms": $ts, "summary": {"operation": "append"}, """ +
       s""""manifest-list": ${js(listPath.toString)}}"""
@@ -1541,10 +1548,7 @@ object Scans {
       s"${d.substring(0, 8)}-${d.substring(8, 12)}-${d.substring(12, 16)}-" +
       s"${d.substring(16, 20)}-${d.substring(20, 32)}"
     }
-    val lastMs = versions.map { v =>
-      java.time.Instant.parse(new String(Files.readAllBytes(
-        Paths.get(root, "_commits", s"v$v.txt")), "UTF-8").trim).toEpochMilli
-    }.max
+    val lastMs = stamped.map(_._2).max
     val doc =
       s"""{"format-version": 2, "table-uuid": ${js(uuid)}, """ +
       s""""location": ${js(root)}, "last-sequence-number": $head, """ +

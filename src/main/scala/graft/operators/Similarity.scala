@@ -140,10 +140,16 @@ object Similarity {
 
   /** The search itself on any (vec_id, embedding, label) frame + edge
     * list — factored out so GraphAnnSpec can plant a navigable corpus
-    * and drive recall properties independent of the fixture. */
-  def graphBeamSearch(e: DataFrame, graph: DataFrame, k: Int): DataFrame = {
+    * and drive recall properties independent of the fixture.
+    * `queryVecId` selects the query vector (the shipped queries use 0,
+    * the sim_topk convention); `earlyExit = false` forces the full
+    * fixed-round unroll (the oracle's shape) so the spec can prove the
+    * fixpoint exit returns the identical result. */
+  def graphBeamSearch(e: DataFrame, graph: DataFrame, k: Int,
+                      queryVecId: Long = 0L,
+                      earlyExit: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val q = e.where(col("vec_id") === 0L).select(col("embedding").as("qv"))
+    val q = e.where(col("vec_id") === queryVecId).select(col("embedding").as("qv"))
     def scored(ids: DataFrame): DataFrame =
       e.join(ids, Seq("vec_id")).crossJoin(broadcast(q))
         .select(col("vec_id"),
@@ -171,12 +177,12 @@ object Similarity {
         .orderBy(col("cos").desc, col("vec_id")).limit(GraphBeam)
         .localCheckpoint()
       val ids = beam.select("vec_id").collect().map(_.getLong(0)).toSet
-      converged = ids == prevIds
+      converged = earlyExit && ids == prevIds
       prevIds = ids
       round += 1
     }
     // the final rank window runs over ≤ GraphBeam rows — bounded
-    beam.where(col("vec_id") =!= 0L)
+    beam.where(col("vec_id") =!= queryVecId)
       .withColumn("rnk",
         big(row_number().over(Window.orderBy(col("cos").desc, col("vec_id")))))
       .where(col("rnk") <= k)

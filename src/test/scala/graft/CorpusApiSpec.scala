@@ -211,7 +211,7 @@ class CorpusApiSpec extends SparkSpec {
   }
 
   test("graphAnnTopK equals the sim_ann_graph query") {
-    val viaApi = VectorCorpus(Tables.embeddings(spark, sf001)).graphAnnTopK(10)
+    val viaApi = VectorCorpus(Tables.embeddings(spark, sf001)).graphAnnTopK(0L, 10)
     assertSameRows(viaApi,
       SparkEntry.queries("sim_ann_graph")(spark, sf001), "graph-ann")
   }

@@ -68,17 +68,26 @@ class GraphAnnSpec extends SparkSpec {
   }
 
   test("fixpoint early-exit returns exactly the fixed-round unroll (chain corpus)") {
-    // on the 120-node chain the beam converges before GraphRounds; the
-    // early-exited engine result must STILL equal the oracle-shaped
-    // fixed unroll — proven transitively by the planted-chain test
-    // (exact top-10) plus determinism; here we pin idempotence: running
-    // the search twice (memoized graph, fresh search) is identical,
-    // and the result is a full k rows.
+    // on the 120-node chain the beam converges before GraphRounds, so
+    // the early exit actually fires — its result must equal the FULL
+    // fixed-round unroll (the oracle's shape) row for row
     val e = chainCorpus(120)
     val graph = Similarity.knnGraph(e).localCheckpoint()
-    val a = Similarity.graphBeamSearch(e, graph, 10).collect().toSeq
-    val b = Similarity.graphBeamSearch(e, graph, 10).collect().toSeq
-    assert(a == b && a.size == 10)
+    val fast = Similarity.graphBeamSearch(e, graph, 10).collect().toSeq
+    val full = Similarity.graphBeamSearch(e, graph, 10, earlyExit = false)
+      .collect().toSeq
+    assert(fast == full && fast.size == 10)
+  }
+
+  test("graphBeamSearch honors a non-zero queryVecId") {
+    val e = chainCorpus(120)
+    val graph = Similarity.knnGraph(e).localCheckpoint()
+    val got = Similarity.graphBeamSearch(e, graph, 10, queryVecId = 119L)
+      .select("vec_id").as[Long].collect().toSet
+    val exact = Similarity.topK(e, 119L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got == exact, s"query 119: got $got want $exact")
+    assert(!got.contains(119L))
   }
 
   test("the graph bounds out-degree at 2*GraphM and excludes self-loops") {
