@@ -45,6 +45,18 @@ object Relational {
     * this many minutes of the corpus head. Shared with the oracle. */
   val FreshnessSlaMinutes = 60
 
+  /** dq_dp_noise: the privacy budget ε of the Laplace release
+    * (sensitivity 1 ⇒ noise scale b = 1/ε). Shared with the oracle. */
+  val DpEpsilon = 0.5
+
+  /** sample_pack_chunks: tokens per packed training sequence. */
+  val PackCtxTokens = 512
+
+  /** sample_pack_chunks: the bound on level-2 prefix-sum buckets —
+    * the global bucket-offset window never sees more rows than this,
+    * whatever the corpus size. */
+  val PackChunkBuckets = 4096
+
   /** dq_freshness's whole pipeline on any (event_type, ts) frame —
     * factored out so DqFreshnessSpec can plant a stale lane. ONE
     * conditional pass: corpus bounds broadcast from a 1-row
@@ -906,6 +918,87 @@ object Relational {
           |FROM m LEFT JOIN graft_rc_orders
           |  ON EXTRACT(MONTH FROM o_orderdate) = mo
           |GROUP BY mo ORDER BY mo""".stripMargin)
+    }),
+
+    // DIFFERENTIALLY-PRIVATE COUNT RELEASE (Dwork et al. 2006's
+    // Laplace mechanism, the governance twin of dq_k_anonymity): each
+    // per-nation customer count is released only after adding
+    // Laplace(Δ/ε) noise (Δ = 1: one customer moves one count). The
+    // noise draw is the repo's seeded-md5 uniform (key-stable — any
+    // engine, any partitioning, any day re-derives the SAME release,
+    // so a re-run never leaks a fresh-noise average) pushed through
+    // the Laplace inverse CDF −b·sign(v)·ln(1−2|v|); the one
+    // transcendental is fround6-pinned before release (the
+    // sample_weighted ln discipline). Scale: one map-side-combinable
+    // hash-agg to the 25-nation grid, then row-local noise — the
+    // release never touches row-level data again. The TRUE counts are
+    // deliberately NOT in the output: the released view is all a
+    // consumer may see.
+    "dq_dp_noise" -> ((s, dir) => {
+      val u = (conv(substring(md5(concat(lit("dp:"),
+                col("c_nationkey").cast("string"))), 1, 8), 16, 10)
+                .cast("long") + 1).cast("double") / lit(4294967296.0)
+      // v ∈ (−0.5, 0.5]; the upper edge (ln 0 = −∞) is clamped one
+      // step inside — a 2^-32 event, but the release must be total
+      val v = least(u - 0.5, lit(0.49999999))
+      customer(s, dir)
+        .groupBy("c_nationkey").agg(count(lit(1)).as("n"))
+        .select(col("c_nationkey"), lit(DpEpsilon).as("epsilon"),
+          fround(col("n") +
+            fround(-lit(1.0 / DpEpsilon) * signum(v) * log(lit(1.0) - lit(2.0) * abs(v)), 6),
+            6).as("noisy_count"))
+        .orderBy("c_nationkey")
+    }),
+
+    // SEQUENCE PACKING FOR TRAINING (the GPT-2/T5 concat-and-chunk
+    // recipe: concatenate every document's tokens in a deterministic
+    // order, slice the stream into fixed PackCtx-token training
+    // sequences): each doc needs its EXCLUSIVE OFFSET in the global
+    // token stream — a corpus-wide prefix sum, which a single ordered
+    // window would serialize onto one partition. The engine computes
+    // it as the classic TWO-LEVEL distributed prefix sum instead:
+    // doc_ids group into ≤ PackChunkBuckets order-preserving range
+    // buckets (the span derives from max(doc_id), a 1-row broadcast),
+    // intra-bucket cumsums run as bucket-partitioned windows (fully
+    // parallel), and only the bucket-TOTAL table — bounded at
+    // PackChunkBuckets rows by construction — crosses a global window
+    // for the bucket offsets (at 100 TB the same trick recurses: a
+    // third level caps level-2 too). The report is what a pretraining
+    // pipeline signs off on: chunk count, docs straddling a chunk
+    // boundary (their loss spans two sequences), the widest doc span,
+    // and the fill factor of the packed stream. The oracle computes
+    // the SAME offsets with one global window — two formulations, one
+    // answer, which is exactly the prefix-sum decomposition law.
+    "sample_pack_chunks" -> ((s, dir) => {
+      val d = documents(s, dir)
+        .select(col("doc_id"), big(size(split(lower(col("text")), " "))).as("n"))
+      val span = d.agg(ceil((max(col("doc_id")) + 1).cast("double") /
+                            PackChunkBuckets).cast("long").as("bspan"))
+      val b = d.crossJoin(broadcast(span))
+        .withColumn("bucket", floor(col("doc_id") / col("bspan")))
+      val wIn = Window.partitionBy("bucket").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val inCum = b.withColumn("cum_in", sum(col("n")).over(wIn))
+      // bucket totals: ≤ PackChunkBuckets rows — the ONLY global window
+      val wOff = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = b.groupBy("bucket").agg(sum(col("n")).as("bt"))
+        .withColumn("boff", coalesce(sum(col("bt")).over(wOff), lit(0L)))
+        .select("bucket", "boff")
+      val C = lit(PackCtxTokens)
+      inCum.join(broadcast(offs), Seq("bucket"))
+        .withColumn("off", col("boff") + col("cum_in") - col("n"))
+        .withColumn("first_c", floor(col("off") / C))
+        .withColumn("last_c", floor((col("off") + col("n") - 1) / C))
+        .agg(big(count(lit(1))).as("n_docs"),
+             big(sum(col("n"))).as("total_tokens"),
+             big(floor((sum(col("n")) + PackCtxTokens - 1) / C)).as("n_chunks"),
+             big(count(when(col("first_c") =!= col("last_c"), 1))).as("n_straddling"),
+             big(max(col("last_c") - col("first_c") + 1)).as("max_doc_span"))
+        .select(col("n_docs"), col("total_tokens"), col("n_chunks"),
+          col("n_straddling"), col("max_doc_span"),
+          fround(col("total_tokens").cast("double") /
+                 (col("n_chunks") * PackCtxTokens).cast("double"), 6).as("fill_factor"))
     })
   )
 
@@ -928,6 +1021,37 @@ object Relational {
   val NegPerKey = 5
 
   val oracle: Map[String, String] = Map(
+    // same seeded-md5 uniform, same clamped Laplace inverse CDF, same
+    // fround6 pin before and after adding the true count
+    "dq_dp_noise" ->
+      ("WITH g AS (SELECT c_nationkey, COUNT(*) AS n, " +
+       "LEAST((CAST(CONCAT('0x', SUBSTRING(MD5('dp:' || CAST(c_nationkey AS VARCHAR)), 1, 8)) " +
+       "AS BIGINT) + 1) / 4294967296.0 - 0.5, 0.49999999) AS v " +
+       "FROM customer GROUP BY c_nationkey) " +
+       s"SELECT c_nationkey, $DpEpsilon AS epsilon, " +
+       froundSql("n + " +
+         froundSql(s"-(1.0 / $DpEpsilon) * SIGN(v) * LN(1.0 - 2.0 * ABS(v))", 6), 6) +
+       " AS noisy_count FROM g ORDER BY c_nationkey"),
+
+    // ONE global ordered window computes the offsets the engine
+    // derived via the two-level decomposition — same answer by the
+    // prefix-sum law; chunk algebra identical
+    "sample_pack_chunks" ->
+      ("WITH d AS (SELECT doc_id, CAST(LEN(STRING_SPLIT(LOWER(text), ' ')) AS BIGINT) AS n " +
+       "FROM documents), " +
+       "o AS (SELECT doc_id, n, SUM(n) OVER (ORDER BY doc_id " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS off FROM d), " +
+       s"c AS (SELECT n, off, CAST(FLOOR(off / $PackCtxTokens) AS BIGINT) AS first_c, " +
+       s"CAST(FLOOR((off + n - 1) / $PackCtxTokens) AS BIGINT) AS last_c FROM o) " +
+       "SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+       "CAST(SUM(n) AS BIGINT) AS total_tokens, " +
+       s"CAST(FLOOR((SUM(n) + $PackCtxTokens - 1) / $PackCtxTokens) AS BIGINT) AS n_chunks, " +
+       "CAST(COUNT(CASE WHEN first_c <> last_c THEN 1 END) AS BIGINT) AS n_straddling, " +
+       "CAST(MAX(last_c - first_c + 1) AS BIGINT) AS max_doc_span, " +
+       froundSql("CAST(SUM(n) AS DOUBLE) / " +
+         s"(FLOOR((SUM(n) + $PackCtxTokens - 1) / $PackCtxTokens) * $PackCtxTokens)", 6) +
+       " AS fill_factor FROM c ORDER BY n_docs"),
+
     "sample_negative_pairs" ->
       ("WITH bounds AS (SELECT MIN(p_partkey) AS minp, " +
        "MAX(p_partkey) - MIN(p_partkey) + 1 AS span FROM part), " +

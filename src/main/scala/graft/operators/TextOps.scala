@@ -1936,8 +1936,65 @@ object TextOps {
                  col("b3").as("kept_bytes")))).as("r"))
         .select(col("r.*"))
         .orderBy("stage")
+    }),
+
+    // HTML BOILERPLATE STRIP — the web-crawl → training-text extractor
+    // (the trafilatura/jusText job, reduced to the regex subset where
+    // Java regex and RE2 agree): drop <script>/<style> blocks first
+    // (tag soup inside them must never leak into text), then all
+    // remaining tags, then collapse whitespace. The fixture WRAPS each
+    // document in a deterministic page frame (head, script, style,
+    // nav) so the op faces real markup while the oracle still knows
+    // the ground truth — n_clean counts docs whose extraction equals
+    // the known payload EXACTLY, so the hash match proves the
+    // extractor end-to-end, not just statistically. markup_ratio is
+    // the crawl-quality signal (how much of the page was chrome).
+    // Scale: pure row-local projection — no shuffle until the final
+    // per-lang grid; at 100 TB this runs at scan speed.
+    "text_html_strip" -> ((s, dir) => {
+      val page = concat(
+        lit("<html><head><title>"), col("lang"),
+        lit("</title><script type=\"text/javascript\">var trk = 1;</script>" +
+            "<style>p { margin: 0 }</style></head><body><h1>"), col("source"),
+        lit("</h1><p>"), col("text"),
+        lit("</p><nav><a href=\"/\">home</a> <a href=\"/about\">about</a>" +
+            "</nav></body></html>"))
+      val clean = htmlStripped(page)
+      val expected = trim(regexp_replace(
+        concat(col("lang"), lit(" "), col("source"), lit(" "), col("text"),
+               lit(" home about")), "[ \\t\\n\\r]+", " "))
+      documents(s, dir)
+        .withColumn("page", page)
+        .withColumn("clean", clean)
+        .groupBy("lang")
+        .agg(big(count(lit(1))).as("n_docs"),
+             big(count(when(col("clean") === expected, 1))).as("n_clean"),
+             big(sum(length(col("clean")))).as("text_chars"),
+             fround(dsum6(lit(1.0) -
+               length(col("clean")).cast("double") /
+               length(col("page")).cast("double")) / count(lit(1)), 6)
+               .as("avg_markup_ratio"))
+        .orderBy("lang")
     })
   )
+
+  /** text_html_strip's extraction chain, factored so HtmlStripSpec can
+    * drive it over planted adversarial markup (script bodies with
+    * embedded tags, multi-line styles, attribute-laden tags): drop
+    * script/style BLOCKS first — non-greedy to the closing tag, so tag
+    * soup inside them never leaks — then every remaining tag, then
+    * collapse whitespace. Character classes + non-greedy quantifiers
+    * only: the subset where Java regex (Spark) and RE2 (DuckDB) agree
+    * exactly (the PiiEmailRe discipline). Known, documented limit of
+    * the regex family: a literal '>' inside a quoted attribute value
+    * truncates that tag's strip — full HTML needs a parser, which is
+    * exactly why production pages get this as the cheap FIRST pass. */
+  def htmlStripped(page: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val noScript = regexp_replace(page, "<script[^>]*>[\\s\\S]*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "<style[^>]*>[\\s\\S]*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
+    trim(regexp_replace(noTags, "[ \\t\\n\\r]+", " "))
+  }
 
   /** PII patterns shared by the query and (verbatim) the oracle:
     * character classes + bounded quantifiers only — the subset where
@@ -2802,6 +2859,32 @@ object TextOps {
        "CAST((cum - n_tokens) // 256 AS BIGINT) AS seq_first, " +
        "CAST((cum - 1) // 256 AS BIGINT) AS seq_last, " +
        "((cum - 1) // 256) > ((cum - n_tokens) // 256) AS straddles " +
-       "FROM c ORDER BY doc_id")
+       "FROM c ORDER BY doc_id"),
+
+    // same page frame, same three-stage strip (RE2's [\s\S]*? and
+    // [^>]* agree with Java regex on this subset; DuckDB needs the
+    // explicit 'g' flag Spark applies by default), same whitespace
+    // collapse and exact-extraction check
+    "text_html_strip" ->
+      ("WITH h AS (SELECT lang, source, text, " +
+       "'<html><head><title>' || lang || " +
+       "'</title><script type=\"text/javascript\">var trk = 1;</script>" +
+       "<style>p { margin: 0 }</style></head><body><h1>' || source || " +
+       "'</h1><p>' || text || " +
+       "'</p><nav><a href=\"/\">home</a> <a href=\"/about\">about</a>" +
+       "</nav></body></html>' AS page FROM documents), " +
+       "c AS (SELECT lang, source, text, page, " +
+       "TRIM(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(page, " +
+       "'<script[^>]*>[\\s\\S]*?</script>', ' ', 'g'), " +
+       "'<style[^>]*>[\\s\\S]*?</style>', ' ', 'g'), " +
+       "'<[^>]*>', ' ', 'g'), '[ \\t\\n\\r]+', ' ', 'g')) AS clean, " +
+       "TRIM(REGEXP_REPLACE(lang || ' ' || source || ' ' || text || ' home about', " +
+       "'[ \\t\\n\\r]+', ' ', 'g')) AS expected FROM h) " +
+       "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+       "CAST(COUNT(CASE WHEN clean = expected THEN 1 END) AS BIGINT) AS n_clean, " +
+       "CAST(SUM(LEN(clean)) AS BIGINT) AS text_chars, " +
+       froundSql(dsum6Sql("1.0 - CAST(LEN(clean) AS DOUBLE) / CAST(LEN(page) AS DOUBLE)") +
+         " / COUNT(*)", 6) + " AS avg_markup_ratio " +
+       "FROM c GROUP BY lang ORDER BY lang")
   )
 }
