@@ -200,6 +200,95 @@ object MediaCodecsImpl {
     buf.array()
   }
 
+  /** Encode a REAL stereo RIFF/WAVE file: 16-bit PCM, TWO interleaved
+    * channels (L first — the RIFF channel order), canonical 44-byte
+    * header with channels=2 / blockAlign=4 / byteRate=rate·4. Frame
+    * count is min(|left|, |right|) — an encoder must never invent
+    * samples for the shorter lane. */
+  def encodeWavPcm16Stereo(sampleRate: Int, left: ArrayData,
+                           right: ArrayData): Array[Byte] = {
+    val n = math.min(left.numElements(), right.numElements())
+    val dataSize = n * 4
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)                       // PCM
+      .putShort(2)                       // stereo
+      .putInt(sampleRate)
+      .putInt(sampleRate * 4)            // byte rate
+      .putShort(4)                       // block align (2 ch × 2 B)
+      .putShort(16)                      // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    def clamp(a: Int): Short = math.max(Short.MinValue.toInt,
+      math.min(Short.MaxValue.toInt, a)).toShort
+    var i = 0
+    while (i < n) {
+      buf.putShort(clamp(left.getInt(i)))
+      buf.putShort(clamp(right.getInt(i)))
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** Stereo decode + DOWNMIX — the multi-channel path
+    * [[wavFrameEnergies]] deliberately refuses (round-17 self-review:
+    * framing interleaved stereo as mono silently doubles frame
+    * counts): walks the RIFF chunk list, de-interleaves the two
+    * 16-bit lanes, and reports per-channel RMS plus the RMS of the
+    * standard (L+R)/2 mono downmix. Null for anything that is not
+    * 16-bit 2-channel PCM — mono payloads belong to [[decodeWavMeta]].
+    * Returns (sample_rate, n_frames, rms_l, rms_r, rms_mix). */
+  def decodeWavStereo(bytes: Array[Byte]): InternalRow = {
+    try {
+      if (bytes.length < 12) return null
+      val buf = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def fourcc(): String = {
+        val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+      }
+      if (fourcc() != "RIFF") return null
+      buf.getInt
+      if (fourcc() != "WAVE") return null
+      var sampleRate = 0; var channels = 0; var bits = 0
+      var dataOff = -1; var dataLen = 0
+      while (buf.remaining() >= 8) {
+        val id = fourcc(); val sz = buf.getInt
+        if (id == "fmt ") {
+          val p = buf.position()
+          buf.getShort
+          channels = buf.getShort.toInt
+          sampleRate = buf.getInt
+          buf.getInt; buf.getShort
+          bits = buf.getShort.toInt
+          buf.position(p)
+        } else if (id == "data") {
+          dataOff = buf.position(); dataLen = sz
+        }
+        buf.position(buf.position() + sz + (sz & 1))
+      }
+      if (dataOff < 0 || bits != 16 || channels != 2) return null
+      val nFrames = dataLen / 4
+      val pcm = java.nio.ByteBuffer.wrap(bytes, dataOff, dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var sqL = 0.0; var sqR = 0.0; var sqM = 0.0
+      var f = 0
+      while (f < nFrames) {
+        val l = pcm.getShort.toDouble
+        val r = pcm.getShort.toDouble
+        val m = (l + r) / 2.0
+        sqL += l * l; sqR += r * r; sqM += m * m
+        f += 1
+      }
+      def rms(sq: Double): Double =
+        if (nFrames == 0) 0.0
+        else math.rint(math.sqrt(sq / nFrames) * 10000) / 10000
+      new GenericInternalRow(Array[Any](
+        sampleRate, nFrames.toLong, rms(sqL), rms(sqR), rms(sqM)))
+    } catch { case _: Exception => null }
+  }
+
   /** Parse REAL WAV bytes by walking the RIFF chunk list (not fixed
     * offsets — real-world files carry LIST/fact chunks before data):
     * format fields from `fmt `, sample count from the data chunk
@@ -406,6 +495,83 @@ case class WavEncodePcm16(rate: Expression, amps: Expression) extends Expression
 object WavEncodePcm16 {
   def apply(rate: Column, amps: Column): Column =
     shims.column(WavEncodePcm16(shims.expression(rate), shims.expression(amps)))
+}
+
+/** Real stereo-WAV encoder expression: (sample_rate, left array<int>,
+  * right array<int>) → RIFF/WAVE 16-bit 2-channel PCM bytes. */
+case class WavEncodeStereo(rate: Expression, left: Expression,
+                           right: Expression) extends Expression {
+  override def children: Seq[Expression] = Seq(rate, left, right)
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_wav_encode_stereo"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (rate.dataType, left.dataType, right.dataType) match {
+      case (IntegerType, ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (int, array<int>, array<int>)")
+    }
+  override def eval(input: InternalRow): Any = {
+    val (r, l, rr) = (rate.eval(input), left.eval(input), right.eval(input))
+    if (r == null || l == null || rr == null) null
+    else MediaCodecsImpl.encodeWavPcm16Stereo(r.asInstanceOf[Int],
+      l.asInstanceOf[ArrayData], rr.asInstanceOf[ArrayData])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val (re, le, rre) = (rate.genCode(ctx), left.genCode(ctx), right.genCode(ctx))
+    val code =
+      code"""
+        ${re.code}
+        ${le.code}
+        ${rre.code}
+        boolean ${ev.isNull} = ${re.isNull} || ${le.isNull} || ${rre.isNull};
+        byte[] ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.functions.MediaCodecsImpl.encodeWavPcm16Stereo(
+            ${re.value}, ${le.value}, ${rre.value});
+        }
+      """
+    ev.copy(code = code)
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): WavEncodeStereo =
+    copy(rate = newChildren(0), left = newChildren(1), right = newChildren(2))
+}
+
+object WavEncodeStereo {
+  def apply(rate: Column, left: Column, right: Column): Column =
+    shims.column(WavEncodeStereo(shims.expression(rate),
+      shims.expression(left), shims.expression(right)))
+}
+
+/** Stereo-WAV decode + downmix: bytes → struct(sample_rate, n_frames,
+  * rms_l, rms_r, rms_mix), null unless 16-bit 2-channel PCM. */
+case class WavStereoMeta(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.sql}")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("sample_rate", IntegerType), StructField("n_frames", LongType),
+    StructField("rms_l", DoubleType), StructField("rms_r", DoubleType),
+    StructField("rms_mix", DoubleType)))
+  override def prettyName: String = "graft_wav_stereo_meta"
+  override def nullSafeEval(input: Any): Any =
+    MediaCodecsImpl.decodeWavStereo(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.MediaCodecsImpl.decodeWavStereo($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildInternal(newChild: Expression): WavStereoMeta =
+    copy(child = newChild)
+}
+
+object WavStereoMeta {
+  def apply(c: Column): Column = shims.column(WavStereoMeta(shims.expression(c)))
 }
 
 /** Real-WAV header/PCM parser: bytes → struct(sample_rate, channels,

@@ -492,6 +492,36 @@ object Multimodal {
           big(col("st.segs")).as("n_segments"),
           big(col("st.best")).as("longest"),
           fround(col("st.act").cast("double") / size(col("flags")), 4).as("activity"))
+        .orderBy("doc_id")),
+
+    // STEREO DECODE + DOWNMIX — the multi-channel path the mono
+    // kernels deliberately refuse (wavFrameEnergies nulls on
+    // channels≠1 so interleaved lanes never masquerade as mono
+    // frames): [[graft.functions.WavEncodeStereo]] plants a REAL
+    // 2-channel RIFF/WAVE per doc (blockAlign=4, interleaved L/R,
+    // byteRate=rate·4) with SIGN-ALIGNED ±aL/±aR square waves, and
+    // [[graft.functions.WavStereoMeta]] de-interleaves the actual PCM
+    // to report per-channel RMS plus the standard (L+R)/2 mono
+    // downmix RMS. Even amplitudes keep the downmix sample integral,
+    // so every output is closed-form from doc_id: rms_l = aL, rms_r =
+    // aR, rms_mix = (aL+aR)/2 — the hash match proves interleave
+    // layout, channel separation, AND the downmix arithmetic.
+    // Row-local encode+decode, one ORDER BY.
+    "multimodal_wav_stereo" -> ((s, dir) =>
+      documents(s, dir).where(col("doc_id") % 3 === 2)
+        .withColumn("al", (lit(200) + pmod(col("doc_id"), lit(400)) * 2).cast("int"))
+        .withColumn("ar", (lit(100) + pmod(col("doc_id"), lit(300)) * 2).cast("int"))
+        .withColumn("ns", (lit(64) + pmod(col("doc_id"), lit(128))).cast("int"))
+        .withColumn("payload", graft.functions.WavEncodeStereo(
+          (lit(8000) + pmod(col("doc_id"), lit(8)).cast("int") * lit(1000)).cast("int"),
+          expr("transform(sequence(0, ns - 1), i -> CASE WHEN i % 2 = 0 THEN al ELSE -al END)"),
+          expr("transform(sequence(0, ns - 1), i -> CASE WHEN i % 2 = 0 THEN ar ELSE -ar END)")))
+        .withColumn("m", graft.functions.WavStereoMeta(col("payload")))
+        .select(col("doc_id"), col("m.sample_rate").as("sample_rate"),
+                col("m.n_frames").as("n_frames"),
+                fround(col("m.rms_l"), 4).as("rms_l"),
+                fround(col("m.rms_r"), 4).as("rms_r"),
+                fround(col("m.rms_mix"), 4).as("rms_mix"))
         .orderBy("doc_id"))
   )
 
@@ -817,6 +847,17 @@ object Multimodal {
        "CAST((nf + 2) // 3 AS BIGINT) AS n_segments, " +
        "CAST(2 AS BIGINT) AS longest, " +
        froundSql("CAST(nf - nf // 3 AS DOUBLE) / CAST(nf AS DOUBLE)", 4) +
-       " AS activity FROM a ORDER BY doc_id")
+       " AS activity FROM a ORDER BY doc_id"),
+    // sign-aligned even square waves in closed form: rms_l = aL,
+    // rms_r = aR, and the (L+R)/2 downmix lands exactly on (aL+aR)/2
+    "multimodal_wav_stereo" ->
+      ("WITH a AS (SELECT doc_id, 200 + (doc_id % 400) * 2 AS al, " +
+       "100 + (doc_id % 300) * 2 AS ar FROM documents WHERE doc_id % 3 = 2) " +
+       "SELECT doc_id, CAST(8000 + (doc_id % 8) * 1000 AS INT) AS sample_rate, " +
+       "CAST(64 + doc_id % 128 AS BIGINT) AS n_frames, " +
+       froundSql("CAST(al AS DOUBLE)", 4) + " AS rms_l, " +
+       froundSql("CAST(ar AS DOUBLE)", 4) + " AS rms_r, " +
+       froundSql("(al + ar) / 2.0", 4) + " AS rms_mix " +
+       "FROM a ORDER BY doc_id")
   )
 }

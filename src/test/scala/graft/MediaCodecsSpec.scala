@@ -80,6 +80,38 @@ class MediaCodecsSpec extends SparkSpec {
     assert(en.getDouble(2) == 20.0)
   }
 
+  test("stereo encode → decode: channel separation, downmix algebra, frame count") {
+    val n = 32
+    def sq(a: Int) = new GenericArrayData(
+      (0 until n).map(i => if (i % 2 == 0) a else -a).toArray[Any])
+    val bytes = MediaCodecsImpl.encodeWavPcm16Stereo(22050, sq(600), sq(200))
+    assert(bytes.length == 44 + n * 4)
+    val m = MediaCodecsImpl.decodeWavStereo(bytes)
+    assert(m != null)
+    assert(m.getInt(0) == 22050 && m.getLong(1) == n)
+    assert(m.getDouble(2) == 600.0, "left RMS")   // channels NOT mixed up
+    assert(m.getDouble(3) == 200.0, "right RMS")
+    assert(m.getDouble(4) == 400.0, "downmix RMS = (600+200)/2")
+    // the generic parser sees the same container as 2-channel
+    val g = MediaCodecsImpl.decodeWavMeta(bytes)
+    assert(g != null && g.getInt(1) == 2 && g.getLong(3) == n)
+  }
+
+  test("stereo encoder truncates to the shorter lane; mono/stereo kernels refuse each other") {
+    val l = new GenericArrayData((0 until 10).map(_ => 100).toArray[Any])
+    val r = new GenericArrayData((0 until 7).map(_ => 100).toArray[Any])
+    val m = MediaCodecsImpl.decodeWavStereo(
+      MediaCodecsImpl.encodeWavPcm16Stereo(8000, l, r))
+    assert(m.getLong(1) == 7, "frame count = min of the two lanes")
+    // a MONO payload is not a stereo decode target...
+    val mono = MediaCodecsImpl.encodeWavPcm16(8000, l)
+    assert(MediaCodecsImpl.decodeWavStereo(mono) == null)
+    // ...and the mono-only frame-energy kernel still refuses stereo
+    val stereo = MediaCodecsImpl.encodeWavPcm16Stereo(8000, l, l)
+    assert(MediaCodecsImpl.wavFrameEnergies(stereo, 4) == null)
+    assert(MediaCodecsImpl.decodeWavStereo("not riff".getBytes) == null)
+  }
+
   test("gradient PNG round-trips pixel-exact: phash and resize match the formula") {
     val (w, h, a, b, c) = (20, 12, 3, 5, 77)
     val bytes = MediaCodecsImpl.encodePngGradient(w, h, a, b, c)
