@@ -487,6 +487,51 @@ object Scans {
         .orderBy("snapshot_id")
     }),
 
+    // CATALOG INTEROP, DELTA SHAPE (the scan_iceberg_export twin):
+    // export the commit chain as a Delta transaction log (_delta_log/
+    // %020d.json NDJSON actions — see exportDeltaLog's scaladoc for
+    // the field mapping), then READ THE LOG BACK through the JSON
+    // source and re-derive per version: commit time, operation, rows
+    // added (from the add-action stats strings), and the LIVE row
+    // count via full state reconstruction (adds minus later removes —
+    // the checkpoint replay every Delta reader performs). The fixture
+    // is the three-commit base/append/compaction shape, so the log
+    // exercises add, append AND remove actions; the oracle predicts
+    // every field from the pinned stamps and the cutoff predicate —
+    // the hash match proves the round-trip INCLUDING the rewrite's
+    // remove accounting. File counts/sizes stay out of the output
+    // (write parallelism owns them); row stats are the invariant.
+    "scan_delta_export" -> ((s, dir) => {
+      val root = deltaFixture(s, dir)
+      val logDir = exportDeltaLog(root)
+      val acts = s.read.json(logDir + "/*.json")
+        .withColumn("version",
+          regexp_extract(col("_metadata.file_path"), "(\\d+)\\.json$", 1)
+            .cast("long"))
+      val commits = acts.where(col("commitInfo").isNotNull)
+        .select(col("version"), col("commitInfo.timestamp").as("committed_at_ms"),
+                col("commitInfo.operation").as("operation"))
+      val adds = acts.where(col("add").isNotNull)
+        .select(col("version").as("addv"), col("add.path").as("path"),
+          get_json_object(col("add.stats"), "$.numRecords").cast("long").as("nrec"))
+      val removes = acts.where(col("remove").isNotNull)
+        .select(col("version").as("rmv"), col("remove.path").as("path"))
+      val files = adds.join(removes, Seq("path"), "left")
+      val added = adds.groupBy(col("addv").as("version"))
+        .agg(sum(col("nrec")).as("rows_added"))
+      // state reconstruction: live at v = added ≤ v and not removed ≤ v
+      val live = commits.select("version")
+        .join(files, col("addv") <= col("version") &&
+                     (col("rmv").isNull || col("rmv") > col("version")))
+        .groupBy("version").agg(sum(col("nrec")).as("rows_live"))
+      commits.join(broadcast(added), Seq("version"))
+        .join(broadcast(live), Seq("version"))
+        .select(col("version"), col("committed_at_ms"), col("operation"),
+                big(col("rows_added")).as("rows_added"),
+                big(col("rows_live")).as("rows_live"))
+        .orderBy("version")
+    }),
+
     // RETENTION / VACUUM — the snapshot-lifecycle half of time travel
     // (VERDICT r11 missing #1): the fixture commits v1 (pre-cutoff),
     // v2 (append), then v3 COMPACTS v2 into fresh files, and
@@ -1560,6 +1605,117 @@ object Scans {
     Files.write(tmp, doc.getBytes("UTF-8"))
     Files.move(tmp, metaPath, C.ATOMIC_MOVE, C.REPLACE_EXISTING)
     metaPath.toString
+  }
+
+  /** scan_delta_export's pinned commit stamps: v1 = the base write,
+    * v2 = the append, v3 = the compaction (retentionBuild's shape).
+    * Shared verbatim with the oracle. */
+  val DeltaCommitTs: Map[Int, String] = Map(
+    1 -> "1998-06-01T00:00:00Z", 2 -> "1998-09-01T00:00:00Z",
+    3 -> "1999-03-01T00:00:00Z")
+
+  /** CATALOG-INTEROP EXPORT, DELTA SHAPE (the `scan_iceberg_export`
+    * twin for the other catalog dialect a real lake migration meets):
+    * serialize the commit chain as a Delta transaction log —
+    * `_delta_log/%020d.json`, one NDJSON ACTION per line (the public
+    * Delta protocol's file layout). Field-by-field mapping:
+    *
+    *   `_manifests/vN.txt` vs vN−1 → `add` actions (files new in N)
+    *                                 and `remove` actions (files N
+    *                                 dropped); Delta versions are the
+    *                                 0-based index over stamped commits
+    *   `_commits/vN.txt` (ISO)     → `commitInfo.timestamp` (epoch ms)
+    *   commit shape                → `commitInfo.operation`: first
+    *                                 commit WRITE, pure adds APPEND,
+    *                                 add+remove OPTIMIZE (the rewrite)
+    *   parquet footer row count    → `add.stats` = {"numRecords": N}
+    *                                 (stats travel as a JSON STRING,
+    *                                 exactly as Delta serializes them)
+    *   version 0 extras            → `protocol` (minReader 1 /
+    *                                 minWriter 2) + `metaData` (table
+    *                                 id, parquet format, schemaString)
+    *
+    * One documented deviation (zero-egress ships no Delta writer to
+    * compare against): `remove` actions carry deletionTimestamp but no
+    * stats, matching the protocol's minimum. Stats come from parquet
+    * FOOTERS (the footerIndexRow discipline) — metadata-scale, no data
+    * reads. The export is rewritten atomically per version file. */
+  def exportDeltaLog(root: String): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption => C}
+    def js(s: String): String =
+      "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
+                         case c if c < ' ' => f"\\u${c.toInt}%04x"
+                         case c => c.toString } + "\""
+    val stamped: Seq[(Int, Long)] = DeltaCommitTs.toSeq.sortBy(_._1)
+      .filter { case (v, _) =>
+        Files.exists(Paths.get(root, "_manifests", s"v$v.txt")) }
+      .map { case (v, ts) =>
+        v -> java.time.Instant.parse(ts).toEpochMilli }
+    require(stamped.nonEmpty, s"no stamped committed versions at $root")
+    val outDir = Paths.get(root, "_delta_log")
+    Files.createDirectories(outDir)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    def numRecords(p: String): Long = {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(p), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }
+    val schemaString =
+      """{"type":"struct","fields":[""" +
+      """{"name":"o_orderkey","type":"long","nullable":true,"metadata":{}},""" +
+      """{"name":"o_orderdate","type":"timestamp","nullable":true,"metadata":{}},""" +
+      """{"name":"o_totalprice","type":"double","nullable":true,"metadata":{}}]}"""
+    val tableId = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"delta:$root".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      s"${d.substring(0, 8)}-${d.substring(8, 12)}-${d.substring(12, 16)}-" +
+      s"${d.substring(16, 20)}-${d.substring(20, 32)}"
+    }
+    stamped.zipWithIndex.foreach { case ((v, ts), d) =>
+      val cur = readManifest(root, v).toSet
+      val prev = if (d == 0) Set.empty[String]
+                 else readManifest(root, stamped(d - 1)._1).toSet
+      val adds = (cur -- prev).toSeq.sorted
+      val removes = (prev -- cur).toSeq.sorted
+      val operation =
+        if (d == 0) "WRITE" else if (removes.isEmpty) "APPEND" else "OPTIMIZE"
+      val head = Seq(
+        s"""{"commitInfo": {"timestamp": $ts, "operation": ${js(operation)}}}""") ++
+        (if (d == 0) Seq(
+          """{"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}""",
+          s"""{"metaData": {"id": ${js(tableId)}, "format": {"provider": "parquet", "options": {}}, """ +
+          s""""schemaString": ${js(schemaString)}, "partitionColumns": [], """ +
+          s""""configuration": {}, "createdTime": $ts}}""")
+         else Seq.empty)
+      val lines = head ++
+        adds.map { p =>
+          s"""{"add": {"path": ${js(p)}, "partitionValues": {}, """ +
+          s""""size": ${new java.io.File(p).length}, "modificationTime": $ts, """ +
+          s""""dataChange": true, "stats": ${js(s"""{"numRecords": ${numRecords(p)}}""")}}}"""
+        } ++
+        removes.map { p =>
+          s"""{"remove": {"path": ${js(p)}, "deletionTimestamp": $ts, "dataChange": true}}"""
+        }
+      val target = outDir.resolve(f"$d%020d.json")
+      val tmp = Files.createTempFile(outDir, s".$d", ".tmp")
+      Files.write(tmp, (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+      Files.move(tmp, target, C.ATOMIC_MOVE, C.REPLACE_EXISTING)
+    }
+    outDir.toString
+  }
+
+  /** scan_delta_export's fixture: retentionBuild's three-commit shape
+    * (v1 base / v2 append / v3 compaction-rewrite — the shape whose
+    * Delta log exercises add, append AND remove actions) WITHOUT the
+    * expiry, plus pinned commit stamps. Memoized per fixture sig. */
+  def deltaFixture(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val root = scratch(dir, "delta_export")
+    ttMemo.getOrElseUpdate(s"$root|${graft.Tables.fsSig(s, s"$dir/orders.parquet")}", {
+      retentionBuild(s, dir, root)
+      DeltaCommitTs.foreach { case (v, ts) => writeCommitTs(root, v, ts) }
+    })
+    root
   }
 
   /** Stamp a committed version's commit timestamp — one metadata file
@@ -3291,6 +3447,32 @@ object Scans {
         s"CAST(epoch_ms(TIMESTAMP '$duckTs') AS BIGINT) AS committed_at_ms, " +
         s"'append' AS operation, ${v == maxV} AS is_current"
       }.mkString(" UNION ALL ") + " ORDER BY snapshot_id"
+    },
+
+    // every exported Delta field predicted from the pinned stamps and
+    // the cutoff predicate: v0 = the pre-cutoff base WRITE, v1 = the
+    // post-cutoff APPEND (live = everything), v2 = the compaction
+    // OPTIMIZE (rewrites all rows, live count unchanged)
+    "scan_delta_export" -> {
+      def ms(v: Int) = {
+        val duckTs = DeltaCommitTs(v).replace("T", " ").stripSuffix("Z")
+        s"CAST(epoch_ms(TIMESTAMP '$duckTs') AS BIGINT)"
+      }
+      val pre = "(SELECT COUNT(*) FROM orders WHERE o_orderdate < " +
+        s"TIMESTAMP '$TimeTravelCutoff')"
+      val post = "(SELECT COUNT(*) FROM orders WHERE o_orderdate >= " +
+        s"TIMESTAMP '$TimeTravelCutoff')"
+      val all = "(SELECT COUNT(*) FROM orders)"
+      s"SELECT CAST(0 AS BIGINT) AS version, ${ms(1)} AS committed_at_ms, " +
+      s"'WRITE' AS operation, CAST($pre AS BIGINT) AS rows_added, " +
+      s"CAST($pre AS BIGINT) AS rows_live " +
+      "UNION ALL " +
+      s"SELECT CAST(1 AS BIGINT), ${ms(2)}, 'APPEND', CAST($post AS BIGINT), " +
+      s"CAST($all AS BIGINT) " +
+      "UNION ALL " +
+      s"SELECT CAST(2 AS BIGINT), ${ms(3)}, 'OPTIMIZE', CAST($all AS BIGINT), " +
+      s"CAST($all AS BIGINT) " +
+      "ORDER BY version"
     },
 
     // the surviving compacted snapshot must still be the COMPLETE

@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** scan_delta_export: the oracle checks the reconstructed history;
+  * these pin the PHYSICAL log claims — protocol/metaData placement,
+  * NDJSON action layout, remove accounting on the rewrite commit,
+  * footer-true stats, and idempotent re-export. */
+class DeltaExportSpec extends SparkSpec {
+
+  private lazy val root = operators.Scans.deltaFixture(spark, sf001)
+  private lazy val logDir = operators.Scans.exportDeltaLog(root)
+  private def lines(d: Int): Seq[String] =
+    Files.readAllLines(Paths.get(logDir, f"$d%020d.json")).asScala.toSeq
+
+  test("version 0 carries protocol + metaData exactly once; later versions never do") {
+    val v0 = lines(0)
+    assert(v0.count(_.contains("\"protocol\"")) == 1)
+    assert(v0.count(_.contains("\"metaData\"")) == 1)
+    assert(v0.head.contains("\"commitInfo\""), "commitInfo leads the file")
+    assert(v0.exists(_.contains("\"schemaString\"")))
+    Seq(1, 2).foreach { d =>
+      assert(!lines(d).exists(l =>
+        l.contains("\"protocol\"") || l.contains("\"metaData\"")), s"v$d")
+    }
+  }
+
+  test("the compaction commit is an OPTIMIZE whose removes are exactly the prior file set") {
+    val v2 = lines(2)
+    assert(v2.exists(_.contains("\"operation\": \"OPTIMIZE\"")))
+    val removed = v2.filter(_.contains("\"remove\""))
+    val addedBefore = (lines(0) ++ lines(1)).count(_.contains("\"add\""))
+    assert(removed.size == addedBefore,
+      s"rewrite must retire every pre-compaction file: $removed vs $addedBefore")
+    assert(v2.exists(_.contains("\"add\"")), "the rewrite adds the compacted files")
+  }
+
+  test("add stats are footer-true: numRecords sums to the actual table count") {
+    val statRe = "\"numRecords\\\\\": (\\d+)".r
+    val v0adds = lines(0).filter(_.contains("\"add\""))
+      .flatMap(l => statRe.findFirstMatchIn(l).map(_.group(1).toLong))
+    assert(v0adds.nonEmpty, "every add carries a stats string")
+    val expected = Tables.orders(spark, sf001)
+      .where(org.apache.spark.sql.functions.col("o_orderdate") <
+        org.apache.spark.sql.functions.lit(operators.Scans.TimeTravelCutoff)
+          .cast("timestamp")).count()
+    assert(v0adds.sum == expected, s"${v0adds.sum} vs $expected")
+  }
+
+  test("re-export is idempotent byte-for-byte (atomic rewrite, no drift)") {
+    val before = (0 to 2).map(lines)
+    operators.Scans.exportDeltaLog(root)
+    assert((0 to 2).map(lines) == before)
+  }
+
+  test("the query reconstructs live rows that never decrease across the history") {
+    val rows = SparkEntry.queries("scan_delta_export")(spark, sf001).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    val live = rows.map(_.getLong(4))
+    assert(live.sliding(2).forall(p => p(0) <= p(1)),
+      "base → append → compaction never loses rows")
+    assert(rows.map(_.getString(2)).toSeq == Seq("WRITE", "APPEND", "OPTIMIZE"))
+  }
+}
