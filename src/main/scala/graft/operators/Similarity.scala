@@ -595,10 +595,6 @@ object Similarity {
     * vec_id, so both engines make identical moves. */
   private def graphBeamCtes: String = {
     val cosQ = froundSql("LIST_COSINE_SIMILARITY(v.ev, q.qv)", 4)
-    def edges(blkOn: String) =
-      "SELECT a.vec_id, b.vec_id AS nbr_id, ROW_NUMBER() OVER (PARTITION BY a.vec_id " +
-      "ORDER BY " + froundSql("LIST_COSINE_SIMILARITY(a.ev, b.ev)", 4) +
-      s" DESC, b.vec_id) AS rnk FROM gv a JOIN gv b ON $blkOn AND a.vec_id <> b.vec_id"
     val rounds = (1 to GraphRounds).map { t =>
       val prev = s"gb${t - 1}"
       s"gc$t AS (SELECT DISTINCT g.nbr_id AS vec_id FROM g JOIN $prev ON g.vec_id = $prev.vec_id), " +
@@ -608,26 +604,35 @@ object Similarity {
       s"gb$t AS (SELECT vec_id, cos FROM (SELECT vec_id, cos, " +
       s"ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS rn FROM gs$t) WHERE rn <= $GraphBeam)"
     }.mkString(", ")
-    "gv AS MATERIALIZED (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings), " +
-    "g AS MATERIALIZED (SELECT DISTINCT vec_id, nbr_id FROM (" +
-    s"SELECT vec_id, nbr_id FROM (${edges("a.label = b.label")}) WHERE rnk <= $GraphM " +
-    "UNION ALL SELECT vec_id, nbr_id FROM " +
-    s"(${edges(s"a.vec_id % $GraphBlocks = b.vec_id % $GraphBlocks")}) WHERE rnk <= $GraphM)), " +
-    "e0 AS (SELECT MIN(vec_id) AS vec_id FROM gv GROUP BY label), " +
+    graphStructureCtes + ", " +
     "gb0 AS (SELECT vec_id, cos FROM (SELECT vec_id, cos, " +
     "ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS rn FROM (" +
     s"SELECT v.vec_id, $cosQ AS cos FROM v JOIN e0 USING (vec_id), q)) WHERE rn <= $GraphBeam), " +
     rounds
   }
 
-  /** DuckDB replay of the BATCHED beam search: identical moves to the
-    * single-query form with every window PARTITION BY q_id. */
-  private def graphBeamBatchSql: String = {
-    val cosQ = froundSql("LIST_COSINE_SIMILARITY(v.ev, q.qv)", 4)
+  /** The SCORE-AGNOSTIC half of the beam-search replay — graph
+    * vertices (gv), the two-blocking edge list (g), and the per-label
+    * entry set (e0) — factored out so sim_ann_graph_pq's oracle can
+    * ride the SAME structure with ADC distances in place of exact
+    * cosine (the DiskANN composition). */
+  private[operators] def graphStructureCtes: String = {
     def edges(blkOn: String) =
       "SELECT a.vec_id, b.vec_id AS nbr_id, ROW_NUMBER() OVER (PARTITION BY a.vec_id " +
       "ORDER BY " + froundSql("LIST_COSINE_SIMILARITY(a.ev, b.ev)", 4) +
       s" DESC, b.vec_id) AS rnk FROM gv a JOIN gv b ON $blkOn AND a.vec_id <> b.vec_id"
+    "gv AS MATERIALIZED (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings), " +
+    "g AS MATERIALIZED (SELECT DISTINCT vec_id, nbr_id FROM (" +
+    s"SELECT vec_id, nbr_id FROM (${edges("a.label = b.label")}) WHERE rnk <= $GraphM " +
+    "UNION ALL SELECT vec_id, nbr_id FROM " +
+    s"(${edges(s"a.vec_id % $GraphBlocks = b.vec_id % $GraphBlocks")}) WHERE rnk <= $GraphM)), " +
+    "e0 AS (SELECT MIN(vec_id) AS vec_id FROM gv GROUP BY label)"
+  }
+
+  /** DuckDB replay of the BATCHED beam search: identical moves to the
+    * single-query form with every window PARTITION BY q_id. */
+  private def graphBeamBatchSql: String = {
+    val cosQ = froundSql("LIST_COSINE_SIMILARITY(v.ev, q.qv)", 4)
     val rounds = (1 to GraphRounds).map { t =>
       val prev = s"qb${t - 1}"
       s"qc$t AS (SELECT DISTINCT $prev.q_id, g.nbr_id AS vec_id " +
@@ -642,12 +647,7 @@ object Similarity {
     }.mkString(", ")
     "WITH v AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings), " +
     s"q AS (SELECT vec_id AS q_id, ev AS qv FROM v WHERE vec_id < $GraphBatchQueries), " +
-    "gv AS MATERIALIZED (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings), " +
-    "g AS MATERIALIZED (SELECT DISTINCT vec_id, nbr_id FROM (" +
-    s"SELECT vec_id, nbr_id FROM (${edges("a.label = b.label")}) WHERE rnk <= $GraphM " +
-    "UNION ALL SELECT vec_id, nbr_id FROM " +
-    s"(${edges(s"a.vec_id % $GraphBlocks = b.vec_id % $GraphBlocks")}) WHERE rnk <= $GraphM)), " +
-    "e0 AS (SELECT MIN(vec_id) AS vec_id FROM gv GROUP BY label), " +
+    graphStructureCtes + ", " +
     "qb0 AS (SELECT q_id, vec_id, cos FROM (SELECT q_id, vec_id, cos, " +
     "ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn FROM (" +
     s"SELECT q.q_id, v.vec_id, $cosQ AS cos FROM v JOIN e0 USING (vec_id), q)) " +

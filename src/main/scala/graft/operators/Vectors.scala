@@ -619,6 +619,70 @@ object Vectors {
         .limit(10)
     }),
 
+    // GRAPH + PQ COMPOSED (the DiskANN recipe, Subramanya et al.
+    // 2019): beam search walks the SAME two-blocking neighbor graph
+    // as sim_ann_graph, but every candidate is scored by the trained
+    // PQ codebooks' ADC distance — 4 map lookups per visit instead of
+    // a 64-dim float kernel — and only the FINAL beam pays exact
+    // cosine (the full-precision rerank DiskANN reads from disk).
+    // That is the memory story at 100 TB: the search touches
+    // codes + graph edges (both RAM-resident at 64× compression),
+    // full vectors only for the ≤ GraphBeam finalists. Deterministic
+    // move for move (fround4 ADC + vec_id tie-breaks; min-merge on
+    // revisits), so the oracle replays the WHOLE composition — graph
+    // build, ADC-scored rounds, exact rerank — as one SQL statement;
+    // the fixpoint early-exit returns exactly the fixed-round unroll
+    // (the sim_ann_graph argument: scores are pure functions of the
+    // beam's id set). Per-round cost ≤ beam·degree code lookups —
+    // constant per query, corpus-size-free.
+    "sim_ann_graph_pq" -> ((s, dir) => {
+      val (books, qsubs) = pqPrelude(s, dir)
+      val e = embeddings(s, dir)
+      val graph = Similarity.knnGraphCached(s, dir)
+      def scored(ids: org.apache.spark.sql.DataFrame) =
+        e.join(ids, Seq("vec_id"))
+          .select(col("vec_id"), fround(pqAdist(books, qsubs), 4).as("adist"))
+      val entries = e.groupBy("label").agg(min(col("vec_id")).as("vec_id"))
+        .select("vec_id")
+      var beam = scored(entries)
+        .orderBy(col("adist").asc, col("vec_id")).limit(GraphPqBeam)
+        .localCheckpoint()
+      // DiskANN reranks the full VISITED list, not the final beam —
+      // ADC is deliberately coarse (4 codes/vector), so the true
+      // nearest neighbors pass THROUGH the walk without necessarily
+      // surviving ADC pruning; the visited set (≤ rounds·beam·degree
+      // ids, constant per query) is where the recall lives.
+      var visited = beam.select("vec_id").localCheckpoint()
+      var prevIds: Set[Long] =
+        beam.select("vec_id").collect().map(_.getLong(0)).toSet
+      var round = 0
+      var converged = false
+      while (round < Similarity.GraphRounds && !converged) {
+        val frontier = graph
+          .join(broadcast(beam.select("vec_id")), Seq("vec_id"))
+          .select(col("nbr_id").as("vec_id")).distinct()
+        visited = visited.unionByName(frontier).distinct().localCheckpoint()
+        beam = scored(frontier).unionByName(beam)
+          .groupBy("vec_id").agg(min(col("adist")).as("adist"))
+          .orderBy(col("adist").asc, col("vec_id")).limit(GraphPqBeam)
+          .localCheckpoint()
+        val ids = beam.select("vec_id").collect().map(_.getLong(0)).toSet
+        converged = ids == prevIds
+        prevIds = ids
+        round += 1
+      }
+      val qv = qsubs.flatten
+      visited.where(col("vec_id") =!= 0)
+        .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+        .select(col("vec_id"),
+          fround(Similarity.cosine(col("embedding"), typedLit(qv)), 4).as("cos"))
+        .withColumn("rnk", big(row_number().over(
+          Window.orderBy(col("cos").desc, col("vec_id")))))
+        .where(col("rnk") <= 10)
+        .select("rnk", "vec_id", "cos")
+        .orderBy("rnk")
+    }),
+
     // IVF as DATA LAYOUT: the index is not a sidecar structure but the
     // partitioning of the table itself — embeddings land in
     // partitionBy(cid) dirs at ingest, and a probe is a
@@ -1005,6 +1069,16 @@ object Vectors {
   /** ADC shortlist depth for the exact re-rank stage — small and
     * FIXED so the oracle replays the identical cut. */
   val RerankShortlist = 30
+
+  /** sim_ann_graph_pq beam width — WIDER than the exact-cosine beam
+    * (GraphBeam=24): ADC guidance at 4 codes/vector is deliberately
+    * coarse, so the DiskANN walk buys recall with exploration (cheap:
+    * each extra beam slot costs 4 map lookups per visit, not a 64-dim
+    * float kernel). Measured recall@10 vs the exact cut: beam 24 →
+    * 1.0 / 0.4(visited-rerank: 0.7) at sf0.001/sf0.1; beam 48 → 1.0 /
+    * 1.0 / 0.9 at the three SFs (= the IVF arm's sf0.1 recall, at a
+    * corpus-size-free probe budget). Shared with the oracle. */
+  val GraphPqBeam = 48
 
   /** Subspace j of the (double view of the) embedding — 1-based slice,
     * matching the oracle's `ev[(j·16+1):(j·16+16)]`. */
@@ -1527,6 +1601,7 @@ object Vectors {
        "WHERE assign.cid IN (SELECT cid FROM probes) AND v.vec_id <> 0 " +
        "ORDER BY cos DESC, v.vec_id LIMIT 10"),
     "sim_ann_pq" -> oraclePqBase,
+    "sim_ann_graph_pq" -> oracleGraphPq,
     // the seeded sign matrix re-derived from the same md5 parity, the
     // same ordered folds (LIST_SUM ≡ the engine's aggregate), the
     // same LIST_DISTANCE pair algebra and 6-dp pins
@@ -1712,6 +1787,44 @@ object Vectors {
     * identical to the engine's. */
   private def pqAdChain: String = (0 until PqSubspaces)
     .map(j => s"MAX(CASE WHEN e.j = $j THEN dt.dsq END)").mkString(" + ")
+
+  /** The composed graph+PQ oracle (sim_ann_graph_pq): the PQ prelude
+    * supplies a corpus-wide rounded ADC table, the score-agnostic
+    * graph CTEs supply structure + entries, the beam rounds prune on
+    * ADC distance (min-merge on revisits), and the finalists pay the
+    * exact cosine — the full DiskANN composition replayed move for
+    * move. */
+  private def oracleGraphPq: String = {
+    import Similarity.GraphRounds
+    val rounds = (1 to GraphRounds).map { t =>
+      val prev = s"pb${t - 1}"
+      s"pc$t AS (SELECT DISTINCT g.nbr_id AS vec_id FROM g JOIN $prev ON g.vec_id = $prev.vec_id), " +
+      s"pv$t AS (SELECT vec_id FROM pv${t - 1} UNION SELECT vec_id FROM pc$t), " +
+      s"ps$t AS (SELECT vec_id, MIN(adist) AS adist FROM (" +
+      s"SELECT a.vec_id, a.adist FROM adr a JOIN pc$t USING (vec_id) " +
+      s"UNION ALL SELECT vec_id, adist FROM $prev) GROUP BY vec_id), " +
+      s"pb$t AS (SELECT vec_id, adist FROM (SELECT vec_id, adist, " +
+      s"ROW_NUMBER() OVER (ORDER BY adist ASC, vec_id) AS rn FROM ps$t) WHERE rn <= $GraphPqBeam)"
+    }.mkString(", ")
+    "WITH v AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings), " +
+    pqCtes("") + ", " +
+    "ad AS (SELECT e.vec_id, " + pqAdChain + " AS adist " +
+    "FROM enc e JOIN dt ON e.j = dt.j AND e.code = dt.code GROUP BY e.vec_id), " +
+    "adr AS MATERIALIZED (SELECT vec_id, " + froundSql("adist", 4) + " AS adist FROM ad), " +
+    Similarity.graphStructureCtes + ", " +
+    "pb0 AS (SELECT vec_id, adist FROM (SELECT a.vec_id, a.adist, " +
+    "ROW_NUMBER() OVER (ORDER BY a.adist ASC, a.vec_id) AS rn " +
+    s"FROM adr a JOIN e0 USING (vec_id)) WHERE rn <= $GraphPqBeam), " +
+    "pv0 AS (SELECT vec_id FROM pb0), " +
+    rounds + ", " +
+    "cq AS (SELECT ev AS qv FROM v WHERE vec_id = 0), " +
+    s"fin AS (SELECT b.vec_id, " +
+    froundSql("LIST_COSINE_SIMILARITY(v.ev, cq.qv)", 4) + " AS cos " +
+    s"FROM pv$GraphRounds b JOIN v USING (vec_id), cq WHERE b.vec_id <> 0) " +
+    "SELECT CAST(rn AS BIGINT) AS rnk, vec_id, cos FROM (" +
+    "SELECT vec_id, cos, ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS rn " +
+    "FROM fin) WHERE rn <= 10 ORDER BY rnk"
+  }
 
   /** The PQ oracle: trained codebooks unrolled as CTEs, then the ADC
     * replay — see [[pqCtes]]. */

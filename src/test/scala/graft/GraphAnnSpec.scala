@@ -54,6 +54,24 @@ class GraphAnnSpec extends SparkSpec {
       s"graph recall ${rows("graph")}/10 must be >= ivf ${rows("ivf")}/10")
   }
 
+  test("sim_ann_graph_pq: deterministic, exact recall on the fixture, ordered rerank") {
+    val a = SparkEntry.queries("sim_ann_graph_pq")(spark, sf001).collect().toSeq
+    val b = SparkEntry.queries("sim_ann_graph_pq")(spark, sf001).collect().toSeq
+    assert(a == b, "ADC-guided walk must be deterministic run to run")
+    assert(a.size == 10 && a.map(_.getLong(0)) == (1L to 10L))
+    // the exact rerank really ordered the visited list: cos strictly
+    // non-increasing with the vec_id tie-break
+    val cs = a.map(_.getDouble(2))
+    assert(cs.sliding(2).forall(p => p(0) >= p(1)), cs.mkString(","))
+    // DiskANN composition recall on the fixture: the visited-list
+    // rerank recovers the EXACT top-10 at sf0.001 (measured; sf0.1
+    // holds 0.9 — the GraphPqBeam scaladoc records the ladder)
+    val exact = SparkEntry.queries("sim_topk")(spark, sf001)
+      .collect().map(_.getLong(0)).toSet
+    assert(a.map(_.getLong(1)).toSet == exact,
+      "ADC-guided beam + exact rerank must recover the exact cut here")
+  }
+
   test("batched beam search lane 0 equals the single-query search") {
     val single = SparkEntry.queries("sim_ann_graph")(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
