@@ -532,6 +532,59 @@ object Scans {
         .orderBy("version")
     }),
 
+    // CATALOG IMPORT, ICEBERG SHAPE — data served through the
+    // exported TableMetadata alone, INCLUDING time travel: each
+    // snapshot's manifest-list (the JSON stand-in carrying the Avro
+    // fields) resolves to its file set, and those files are read
+    // directly — our own `_manifests/` never participates. Both the
+    // first and the current snapshot are served, so the export's
+    // history is proven navigable, not just its head. Manifest-list
+    // reads are metadata-sized; the data scans are plain parquet.
+    "scan_iceberg_import" -> ((s, dir) => {
+      val root = timeTravelFixture(s, dir)
+      val metaPath = exportIcebergMetadata(root)
+      val m = s.read.option("multiLine", true).json(metaPath)
+      val snaps = m.select(explode(col("snapshots")).as("sn"))
+        .select(col("sn.`snapshot-id`").cast("long").as("sid"),
+                col("sn.`manifest-list`").as("mlist"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      snaps.toIndexedSeq.map { case (sid, mlist) =>
+        val files = s.read.option("multiLine", true).json(mlist)
+          .select(col("file_path")).collect().map(_.getString(0)).sorted
+        s.read.parquet(files.toIndexedSeq: _*)
+          .agg(big(count(lit(1))).as("n_rows"),
+               big(sum(floor(col("o_totalprice") * 100).cast("long")))
+                 .as("total_cents"))
+          .select(lit(sid).as("snapshot_id"), col("n_rows"), col("total_cents"))
+      }.reduce(_ unionByName _).orderBy("snapshot_id")
+    }),
+
+    // CATALOG IMPORT, DELTA SHAPE — the other half of interop: not
+    // just describing the export but SERVING DATA through it. The
+    // live file set is reconstructed from the transaction log alone
+    // (adds anti-joined against removes — the Delta reader's state
+    // replay), and those parquet files are read DIRECTLY, bypassing
+    // our own manifests entirely: if the log mapping were wrong in
+    // any way (paths, remove accounting, version order), the table
+    // this query serves would not equal the source-of-truth oracle.
+    // The path collect is manifest-sized metadata (the snapshotRead
+    // convention); the data scan is a plain pruned parquet read.
+    "scan_delta_import" -> ((s, dir) => {
+      val root = deltaFixture(s, dir)
+      val logDir = exportDeltaLog(root)
+      val acts = s.read.json(logDir + "/*.json")
+      val adds = acts.where(col("add").isNotNull)
+        .select(col("add.path").as("path"))
+      val removes = acts.where(col("remove").isNotNull)
+        .select(col("remove.path").as("path"))
+      val live = adds.join(removes, Seq("path"), "left_anti")
+        .collect().map(_.getString(0)).sorted
+      s.read.parquet(live.toIndexedSeq: _*)
+        .agg(big(count(lit(1))).as("n_rows"),
+             big(sum(floor(col("o_totalprice") * 100).cast("long")))
+               .as("total_cents"))
+    }),
+
     // RETENTION / VACUUM — the snapshot-lifecycle half of time travel
     // (VERDICT r11 missing #1): the fixture commits v1 (pre-cutoff),
     // v2 (append), then v3 COMPACTS v2 into fresh files, and
@@ -3474,6 +3527,24 @@ object Scans {
       s"CAST($all AS BIGINT) " +
       "ORDER BY version"
     },
+
+    // data served through the reconstructed live file set must BE the
+    // table — the full orders state after the compaction rewrite
+    "scan_delta_import" ->
+      ("SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+       "CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents " +
+       "FROM orders ORDER BY 1"),
+
+    // both exported snapshots served through their manifest lists:
+    // v1 = the pre-cutoff state, v2 = everything
+    "scan_iceberg_import" ->
+      ("SELECT CAST(1 AS BIGINT) AS snapshot_id, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+       "CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents " +
+       s"FROM orders WHERE o_orderdate < TIMESTAMP '$TimeTravelCutoff' " +
+       "UNION ALL " +
+       "SELECT CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT), " +
+       "CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) " +
+       "FROM orders ORDER BY snapshot_id"),
 
     // the surviving compacted snapshot must still be the COMPLETE
     // table after v1/v2 and their exclusive files were vacuumed

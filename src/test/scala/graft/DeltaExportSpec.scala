@@ -54,6 +54,20 @@ class DeltaExportSpec extends SparkSpec {
     assert((0 to 2).map(lines) == before)
   }
 
+  test("scan_delta_import serves the exact table through the log's live set alone") {
+    val got = SparkEntry.queries("scan_delta_import")(spark, sf001).collect()(0)
+    val want = Tables.orders(spark, sf001).count()
+    assert(got.getLong(0) == want, s"served ${got.getLong(0)} rows, table has $want")
+  }
+
+  test("scan_iceberg_import navigates history: v1 is the strict pre-cutoff subset of v2") {
+    val rows = SparkEntry.queries("scan_iceberg_import")(spark, sf001).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(rows(0).getLong(1) < rows(1).getLong(1),
+      "the first snapshot must be a strict subset")
+    assert(rows(1).getLong(1) == Tables.orders(spark, sf001).count())
+  }
+
   test("the query reconstructs live rows that never decrease across the history") {
     val rows = SparkEntry.queries("scan_delta_export")(spark, sf001).collect()
     assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
