@@ -116,6 +116,22 @@ final case class Corpus(df: DataFrame) {
       .drop("kept", "n_covered"))
   }
 
+  /** Strip HTML markup from `text` in place (script/style blocks,
+    * then tags, then whitespace collapse — the text_html_strip
+    * chain): the web-crawl → training-text first pass. Row-local. */
+  def stripHtml(): Corpus =
+    Corpus(df.withColumn("text",
+      graft.operators.TextOps.htmlStripped(col("text"))))
+
+  /** Concat-and-chunk packing offsets (the sample_pack_chunks
+    * two-level prefix sum): per doc, its exclusive token offset in
+    * the deterministic doc_id-ordered stream and the [first_chunk,
+    * last_chunk] span at `ctxTokens` capacity — what a pretraining
+    * loader needs to slice fixed-length sequences. */
+  def packChunks(ctxTokens: Int =
+      graft.operators.Relational.PackCtxTokens): DataFrame =
+    graft.operators.Relational.packChunkOffsets(df, ctxTokens)
+
   /** Decontamination gate against an EXTERNAL benchmark table (any
     * DataFrame with doc_id + text — the eval set): per-doc n-gram
     * collision report, any hit marked dropped. The benchmark n-gram

@@ -57,6 +57,38 @@ object Relational {
     * whatever the corpus size. */
   val PackChunkBuckets = 4096
 
+  /** The packing kernel behind sample_pack_chunks (and the
+    * Corpus.packChunks facade): per document, its EXCLUSIVE token
+    * offset in the deterministic doc_id-ordered global stream and the
+    * [first_c, last_c] chunk span at `ctx`-token capacity — computed
+    * as a TWO-LEVEL distributed prefix sum (≤ [[PackChunkBuckets]]
+    * order-preserving range buckets; only the bucket-total table
+    * crosses a global window). Requires doc_id + text. */
+  def packChunkOffsets(docs: org.apache.spark.sql.DataFrame,
+                       ctx: Int): org.apache.spark.sql.DataFrame = {
+    val d = docs
+      .select(col("doc_id"), big(size(split(lower(col("text")), " "))).as("n"))
+    val span = d.agg(ceil((max(col("doc_id")) + 1).cast("double") /
+                          PackChunkBuckets).cast("long").as("bspan"))
+    val b = d.crossJoin(broadcast(span))
+      .withColumn("bucket", floor(col("doc_id") / col("bspan")))
+    val wIn = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inCum = b.withColumn("cum_in", sum(col("n")).over(wIn))
+    // bucket totals: ≤ PackChunkBuckets rows — the ONLY global window
+    val wOff = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = b.groupBy("bucket").agg(sum(col("n")).as("bt"))
+      .withColumn("boff", coalesce(sum(col("bt")).over(wOff), lit(0L)))
+      .select("bucket", "boff")
+    val C = lit(ctx)
+    inCum.join(broadcast(offs), Seq("bucket"))
+      .withColumn("off", col("boff") + col("cum_in") - col("n"))
+      .withColumn("first_c", floor(col("off") / C))
+      .withColumn("last_c", floor((col("off") + col("n") - 1) / C))
+      .select("doc_id", "n", "off", "first_c", "last_c")
+  }
+
   /** dq_freshness's whole pipeline on any (event_type, ts) frame —
     * factored out so DqFreshnessSpec can plant a stale lane. ONE
     * conditional pass: corpus bounds broadcast from a 1-row
@@ -970,26 +1002,8 @@ object Relational {
     // the SAME offsets with one global window — two formulations, one
     // answer, which is exactly the prefix-sum decomposition law.
     "sample_pack_chunks" -> ((s, dir) => {
-      val d = documents(s, dir)
-        .select(col("doc_id"), big(size(split(lower(col("text")), " "))).as("n"))
-      val span = d.agg(ceil((max(col("doc_id")) + 1).cast("double") /
-                            PackChunkBuckets).cast("long").as("bspan"))
-      val b = d.crossJoin(broadcast(span))
-        .withColumn("bucket", floor(col("doc_id") / col("bspan")))
-      val wIn = Window.partitionBy("bucket").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val inCum = b.withColumn("cum_in", sum(col("n")).over(wIn))
-      // bucket totals: ≤ PackChunkBuckets rows — the ONLY global window
-      val wOff = Window.orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offs = b.groupBy("bucket").agg(sum(col("n")).as("bt"))
-        .withColumn("boff", coalesce(sum(col("bt")).over(wOff), lit(0L)))
-        .select("bucket", "boff")
       val C = lit(PackCtxTokens)
-      inCum.join(broadcast(offs), Seq("bucket"))
-        .withColumn("off", col("boff") + col("cum_in") - col("n"))
-        .withColumn("first_c", floor(col("off") / C))
-        .withColumn("last_c", floor((col("off") + col("n") - 1) / C))
+      packChunkOffsets(documents(s, dir), PackCtxTokens)
         .agg(big(count(lit(1))).as("n_docs"),
              big(sum(col("n"))).as("total_tokens"),
              big(floor((sum(col("n")) + PackCtxTokens - 1) / C)).as("n_chunks"),

@@ -215,4 +215,25 @@ class CorpusApiSpec extends SparkSpec {
     assertSameRows(viaApi,
       SparkEntry.queries("sim_ann_graph")(spark, sf001), "graph-ann")
   }
+
+  test("stripHtml recovers the payload from a page-framed corpus") {
+    val framed = docs.withColumn("text",
+      concat(lit("<html><body><script>var x = '<b>no</b>';</script><p>"),
+             col("text"), lit("</p></body></html>")))
+    val out = Corpus(framed).stripHtml().df
+      .select(col("doc_id"), col("text").as("got"))
+      .join(docs.select(col("doc_id"), col("text").as("want")), Seq("doc_id"))
+    assert(out.where(col("got") =!= col("want")).count() == 0)
+  }
+
+  test("packChunks offsets are contiguous and chunk spans match the summary query") {
+    val off = Corpus(docs).packChunks().orderBy("doc_id").collect()
+    // exclusive offsets tile the stream exactly: off(i+1) = off(i) + n(i)
+    off.sliding(2).foreach { w =>
+      assert(w(1).getLong(2) == w(0).getLong(2) + w(0).getLong(1)) }
+    assert(off.head.getLong(2) == 0L)
+    val summary = SparkEntry.queries("sample_pack_chunks")(spark, sf001).collect()(0)
+    val straddling = off.count(r => r.getLong(3) != r.getLong(4))
+    assert(summary.getLong(3) == straddling, "straddling count")
+  }
 }
