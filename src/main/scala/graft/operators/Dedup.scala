@@ -842,6 +842,38 @@ object Dedup {
     st
   }
 
+  /** PERSONALIZED PageRank ([[pageRankRounds]] with the teleport mass
+    * pinned to a SEED instead of spread uniformly — the
+    * recommendation/locality variant: scores measure proximity to the
+    * seed's neighborhood, not global centrality): r ← (1−d)·1[seed] +
+    * d·Σ contribs, same fixed rounds / fround6 / decimal-sum
+    * discipline so a second engine unrolls identical rounds. The seed
+    * is the graph's MIN node (the graph_bfs source convention) — a
+    * metadata-scale driver scalar like pageRankRounds' n. Per-round
+    * cost is identical to PageRank: one edge-keyed shuffle. */
+  def pprRounds(edges: DataFrame, iters: Int,
+                checkpointEvery: Int = PageRankCheckpointEvery): DataFrame = {
+    val base = edges.groupBy("u").agg(big(count(lit(1))).as("deg"))
+      .select(col("u").as("node"), col("deg"))
+    val seed = base.agg(min(col("node"))).collect()(0).getLong(0)
+    def seedMass(c: org.apache.spark.sql.Column) =
+      when(c === seed, lit(1.0)).otherwise(lit(0.0))
+    var st = base.withColumn("r", fround(seedMass(col("node")), 6))
+    (1 to iters).foreach { i =>
+      val contribs = edges
+        .join(st.select(col("node").as("u"),
+                        fround(col("r") / col("deg"), 6).as("c")), Seq("u"))
+        .groupBy(col("v").as("node")).agg(dsum6(col("c")).as("sc"))
+      st = base.join(contribs, Seq("node"), "left")
+        .withColumn("r", fround(
+          lit(PageRankBase) * seedMass(col("node")) +
+          lit(PageRankDamping) * coalesce(col("sc"), lit(0.0)), 6))
+        .select("node", "deg", "r")
+      if (checkpointEvery > 0 && i % checkpointEvery == 0) st = st.localCheckpoint()
+    }
+    st
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: digest of normalized text, keep the minimum doc_id
     // per digest; n_dups counts the collapsed rows.
@@ -1121,6 +1153,24 @@ object Dedup {
       val edges = pairs.select(col("a").as("u"), col("b").as("v"))
         .unionByName(pairs.select(col("b").as("u"), col("a").as("v")))
       pageRankRounds(edges, PageRankIters)
+        .select(col("node"), col("deg"), fround(col("r"), 4).as("rank"))
+        .orderBy(col("rank").desc, col("node")).limit(20)
+    }),
+
+    // PERSONALIZED PageRank from the graph's min node — "what is NEAR
+    // this template hub", the locality twin of graph_pagerank's
+    // global centrality (the recommendation primitive: seed = a known
+    // item/user, scores = proximity of everything else). Same trained
+    // fixpoint recipe (fixed rounds, fround6, decimal sums) so the
+    // oracle unrolls identical rounds; the seed is a driver scalar.
+    // Nodes outside the seed's component score 0 and are cut by the
+    // positive filter — PPR mass cannot teleport across components.
+    "graph_ppr" -> ((s, dir) => {
+      val pairs = blockedJaccardPairsCached(documents(s, dir), dir, 0.02)
+      val edges = pairs.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(pairs.select(col("b").as("u"), col("a").as("v")))
+      pprRounds(edges, PageRankIters)
+        .where(col("r") > 0)
         .select(col("node"), col("deg"), fround(col("r"), 4).as("rank"))
         .orderBy(col("rank").desc, col("node")).limit(20)
     }),
@@ -1565,6 +1615,31 @@ object Dedup {
        "(SELECT a AS node FROM pairs UNION ALL SELECT b AS node FROM pairs) GROUP BY node) " +
        "SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg " +
        "GROUP BY degree ORDER BY degree"),
+    // the same unrolled rounds as graph_pagerank with the teleport
+    // mass pinned to the min-node seed; zero-mass nodes filtered
+    "graph_ppr" -> {
+      val rounds = (1 to PageRankIters).map { k =>
+        s"c$k AS (SELECT e.v AS node, " +
+        dsum6Sql(froundSql(s"p.r / p.deg", 6)) + " AS sc " +
+        s"FROM edges e JOIN r${k - 1} p ON e.u = p.node GROUP BY e.v), " +
+        s"r$k AS (SELECT b.node, b.deg, " +
+        froundSql(s"$PageRankBase * (CASE WHEN b.node = sd.s THEN 1.0 ELSE 0.0 END) " +
+          s"+ $PageRankDamping * COALESCE(c.sc, 0.0)", 6) +
+        s" AS r FROM base b LEFT JOIN c$k c USING (node), sd)"
+      }.mkString(", ")
+      "WITH " + shCte + ", " +
+      pairsCte + ", " +
+      "edges AS MATERIALIZED (SELECT a AS u, b AS v FROM pairs " +
+      "UNION ALL SELECT b AS u, a AS v FROM pairs), " +
+      "base AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY u), " +
+      "sd AS (SELECT MIN(node) AS s FROM base), " +
+      "r0 AS (SELECT node, deg, " +
+      froundSql("CASE WHEN base.node = sd.s THEN 1.0 ELSE 0.0 END", 6) +
+      " AS r FROM base, sd), " +
+      rounds + " " +
+      s"SELECT node, deg, " + froundSql(s"r$PageRankIters.r", 4) + " AS rank " +
+      s"FROM r$PageRankIters WHERE r > 0 ORDER BY rank DESC, node LIMIT 20"
+    },
     // `w.dist < 60` mirrors bfsDepths' MaxIters=60: both sides assume
     // diameter < 60 (see the contract comment in bfsDepths) — the
     // Spark side fails loudly past the cap, the CTE would truncate, so

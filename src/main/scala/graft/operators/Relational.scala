@@ -49,6 +49,11 @@ object Relational {
     * (sensitivity 1 ⇒ noise scale b = 1/ε). Shared with the oracle. */
   val DpEpsilon = 0.5
 
+  /** dq_dp_sum: per-unit contribution clamp — the sum's sensitivity
+    * after clamping to [0, DpClampHi], so noise scale = DpClampHi/ε.
+    * Shared with the oracle. */
+  val DpClampHi = 2000.0
+
   /** sample_pack_chunks: tokens per packed training sequence. */
   val PackCtxTokens = 512
 
@@ -982,6 +987,34 @@ object Relational {
         .orderBy("c_nationkey")
     }),
 
+    // DP SUM RELEASE WITH CONTRIBUTION CLAMPING — the mechanism
+    // detail dq_dp_noise's counts don't exercise: a SUM's sensitivity
+    // is unbounded until each unit's contribution is CLAMPED (one
+    // customer's balance moves the total by at most DpClampHi after
+    // clamping to [0, DpClampHi]), and the Laplace scale is
+    // sensitivity/ε — the Δf/ε calibration of Dwork et al. 2006.
+    // Same seeded-md5 draw discipline as dq_dp_noise (distinct seed
+    // prefix: composing two releases must not reuse noise); the
+    // clamped sum itself is decimal-pinned before the noise lands.
+    // One hash-agg to the nation grid, row-local everything else.
+    "dq_dp_sum" -> ((s, dir) => {
+      val u = (conv(substring(md5(concat(lit("dpsum:"),
+                col("c_nationkey").cast("string"))), 1, 8), 16, 10)
+                .cast("long") + 1).cast("double") / lit(4294967296.0)
+      val v = least(u - 0.5, lit(0.49999999))
+      val b = DpClampHi / DpEpsilon
+      customer(s, dir)
+        .withColumn("clamped",
+          least(greatest(col("c_acctbal"), lit(0.0)), lit(DpClampHi)))
+        .groupBy("c_nationkey").agg(dsum(col("clamped")).as("csum"))
+        .select(col("c_nationkey"), lit(DpEpsilon).as("epsilon"),
+          lit(DpClampHi).as("clamp_hi"),
+          fround(col("csum") +
+            fround(-lit(b) * signum(v) * log(lit(1.0) - lit(2.0) * abs(v)), 6),
+            4).as("noisy_sum"))
+        .orderBy("c_nationkey")
+    }),
+
     // SEQUENCE PACKING FOR TRAINING (the GPT-2/T5 concat-and-chunk
     // recipe: concatenate every document's tokens in a deterministic
     // order, slice the stream into fixed PackCtx-token training
@@ -1046,6 +1079,19 @@ object Relational {
        froundSql("n + " +
          froundSql(s"-(1.0 / $DpEpsilon) * SIGN(v) * LN(1.0 - 2.0 * ABS(v))", 6), 6) +
        " AS noisy_count FROM g ORDER BY c_nationkey"),
+
+    // same clamp bounds, same decimal-pinned sum, same seeded draw
+    // with the dpsum: prefix, same Δ/ε = 4000 noise scale
+    "dq_dp_sum" ->
+      ("WITH g AS (SELECT c_nationkey, " +
+       dsumSql(s"LEAST(GREATEST(c_acctbal, 0.0), $DpClampHi)") + " AS csum, " +
+       "LEAST((CAST(CONCAT('0x', SUBSTRING(MD5('dpsum:' || CAST(c_nationkey AS VARCHAR)), 1, 8)) " +
+       "AS BIGINT) + 1) / 4294967296.0 - 0.5, 0.49999999) AS v " +
+       "FROM customer GROUP BY c_nationkey) " +
+       s"SELECT c_nationkey, $DpEpsilon AS epsilon, $DpClampHi AS clamp_hi, " +
+       froundSql("csum + " +
+         froundSql(s"-(${DpClampHi / DpEpsilon}) * SIGN(v) * LN(1.0 - 2.0 * ABS(v))", 6), 4) +
+       " AS noisy_sum FROM g ORDER BY c_nationkey"),
 
     // ONE global ordered window computes the offsets the engine
     // derived via the two-level decomposition — same answer by the

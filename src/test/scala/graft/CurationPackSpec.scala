@@ -41,6 +41,40 @@ class CurationPackSpec extends SparkSpec {
     assert(noises.forall(n => math.abs(n) < 2.0 / operators.Relational.DpEpsilon * 14))
   }
 
+  test("dq_dp_sum: clamping bounds the release's sensitivity; noise is independent of dq_dp_noise") {
+    val rows = SparkEntry.queries("dq_dp_sum")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val clampHi = operators.Relational.DpClampHi
+    val b = clampHi / operators.Relational.DpEpsilon
+    // per-nation clamped sums recomputed independently
+    val truth = Tables.customer(spark, sf001)
+      .groupBy("c_nationkey")
+      .agg(sum(least(greatest(col("c_acctbal"), lit(0.0)), lit(clampHi))
+        .cast("decimal(18,2)")).cast("double").as("s"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      assert(r.getDouble(2) == clampHi)
+      val noise = r.getDouble(3) - truth(r.getInt(0))
+      assert(math.abs(noise) < b * 14, s"tail bound: $noise")
+    }
+    // the two releases draw DIFFERENT noise (distinct seed prefixes) —
+    // composing them must not reuse randomness
+    val counts = SparkEntry.queries("dq_dp_noise")(spark, sf001).collect()
+      .map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    val nTruth = Tables.customer(spark, sf001)
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val reused = rows.count { r =>
+      val k = r.getInt(0)
+      // normalize each noise by its Laplace scale: a reused uniform
+      // draw would make the normalized values coincide
+      val nSum = (r.getDouble(3) - truth(k)) / b
+      val nCnt = (counts(k) - nTruth(k)) * operators.Relational.DpEpsilon
+      math.abs(nSum - nCnt) < 1e-6
+    }
+    assert(reused < rows.length, "noise draws must differ between releases")
+  }
+
   // ---- sample_pack_chunks ----
 
   test("sample_pack_chunks: the two-level prefix sum equals a sequential Scala pack") {

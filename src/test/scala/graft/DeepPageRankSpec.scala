@@ -37,4 +37,22 @@ class DeepPageRankSpec extends SparkSpec {
     assert(top._1 == 0L && top._2 == 10L,
       s"hub must carry the top rank, got $top")
   }
+
+  test("personalized PageRank concentrates mass near the seed; disconnected mass is zero") {
+    // two components: hub-and-ring 0..10 (seed lives here: min node
+    // 0), and a far 3-clique 100..102 the teleport must never reach
+    val near = (1L to 10L).map(i => (i, i % 10 + 1)) ++ (1L to 10L).map(i => (0L, i))
+    val far = Seq((100L, 101L), (101L, 102L), (100L, 102L))
+    val und = near ++ far
+    val edges = (und ++ und.map(_.swap)).toDF("u", "v")
+    val r = Dedup.pprRounds(edges, 10).collect()
+      .map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    // seed's own score dominates (restart mass returns every round)
+    assert(r(0L) == r.values.max, s"seed must top the ranking: $r")
+    // the disconnected clique gets exactly zero — no uniform teleport
+    Seq(100L, 101L, 102L).foreach(n => assert(r(n) == 0.0, s"node $n leaked mass"))
+    // ring nodes (seed's neighbors) all score equal and positive
+    val ring = (1L to 10L).map(r)
+    assert(ring.forall(_ > 0.0) && ring.distinct.size == 1, ring.toString)
+  }
 }
