@@ -1141,6 +1141,56 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(5000))
   }
 
+  test("multimodal_wav_stereo is row-local: encode+downmix inline, scan prunes to doc_id") {
+    val p = plan("multimodal_wav_stereo")
+    assert(!p.contains("hashpartitioning"), p.take(3000))
+    assert(p.contains("graft_wav_encode_stereo") &&
+           p.contains("graft_wav_stereo_meta"), p.take(3000))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"), p.take(3000))
+  }
+
+  test("dq_dp_noise / dq_dp_sum: one partial+final hash-agg each, noise after the grid") {
+    Seq("dq_dp_noise", "dq_dp_sum").foreach { q =>
+      val p = plan(q)
+      assert("HashAggregate".r.findAllIn(p).size >= 2, s"$q:\n${p.take(3000)}")
+      // exactly the grouping exchange — noise is projection work above it
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+        s"$q:\n${p.take(3000)}")
+      assert(!p.contains("Join"), s"$q must not join:\n${p.take(3000)}")
+    }
+  }
+
+  test("text_html_strip: row-local strip chain, no exchange before the lang grid") {
+    val p = plan("text_html_strip")
+    // one grouping exchange (the per-lang grid); the regex chain is
+    // projection work under it
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
+  test("sample_pack_chunks: intra-bucket windows carry a partition key; offsets broadcast back") {
+    val p = plan("sample_pack_chunks")
+    // the per-doc cumsum window partitions by bucket...
+    assert(p.contains("windowspecdefinition(bucket"), p.take(4000))
+    // ...and the bucket-offset table re-enters via broadcast, never a
+    // corpus-side shuffle join
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    assert(!p.contains("SortMergeJoin"), p.take(4000))
+  }
+
+  test("scan_delta_export: metadata-scale joins broadcast; stats parse stays projection") {
+    val p = plan("scan_delta_export")
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    assert(!p.contains("SortMergeJoin"), p.take(4000))
+  }
+
+  test("sim_ann_graph_pq: ADC scoring is inline projection; the beam probe broadcasts") {
+    val p = plan("sim_ann_graph_pq")
+    // the final rerank plan: beam ids join the corpus via broadcast
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    assert(!p.contains("SortMergeJoin"), p.take(4000))
+  }
+
   test("whole-stage codegen covers the hot paths of the flagship aggregate") {
     // AQE finalizes stages only at execution; run the query, then check
     // the final adaptive plan for codegen stage markers (`*(n)`)
