@@ -532,6 +532,37 @@ object Scans {
         .orderBy("version")
     }),
 
+    // CHANGE-DATA FEED through the Delta log (the table_changes()
+    // read): the change set between version 0 and head is the DATA of
+    // every add action whose dataChange bit is TRUE — the compaction
+    // rewrite (dataChange=false) contributes NOTHING even though it
+    // re-adds every row, which is exactly the bit's job: a CDC
+    // consumer (downstream sync, streaming tail) must see each row
+    // once, not once per rewrite. The change files are read directly
+    // (data-serving, like the imports) and aggregated per version; the
+    // oracle predicts both change batches from the cutoff predicate —
+    // a double-count through the OPTIMIZE commit would hash-mismatch.
+    "scan_delta_cdc" -> ((s, dir) => {
+      val root = deltaFixture(s, dir)
+      val logDir = exportDeltaLog(root)
+      val acts = s.read.json(logDir + "/*.json")
+        .withColumn("version",
+          regexp_extract(col("_metadata.file_path"), "(\\d+)\\.json$", 1)
+            .cast("long"))
+      val changeFiles = acts
+        .where(col("add").isNotNull && col("add.dataChange"))
+        .select(col("version"), col("add.path").as("path"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      changeFiles.groupBy(_._1).toSeq.sortBy(_._1).map { case (v, vf) =>
+        s.read.parquet(vf.map(_._2).sorted.toIndexedSeq: _*)
+          .agg(big(count(lit(1))).as("n_rows"),
+               big(sum(floor(col("o_totalprice") * 100).cast("long")))
+                 .as("total_cents"))
+          .select(lit(v).as("version"), lit("insert").as("change_type"),
+                  col("n_rows"), col("total_cents"))
+      }.reduce(_ unionByName _).orderBy("version")
+    }),
+
     // CATALOG IMPORT, ICEBERG SHAPE — data served through the
     // exported TableMetadata alone, INCLUDING time travel: each
     // snapshot's manifest-list (the JSON stand-in carrying the Avro
@@ -1733,6 +1764,12 @@ object Scans {
       val removes = (prev -- cur).toSeq.sorted
       val operation =
         if (d == 0) "WRITE" else if (removes.isEmpty) "APPEND" else "OPTIMIZE"
+      // the protocol's dataChange bit: a compaction REARRANGES rows
+      // without changing table content, so its add/remove actions
+      // carry dataChange=false — exactly what lets a change-data-feed
+      // reader (scan_delta_cdc) and a streaming tail skip rewrites
+      // instead of double-counting every compacted row
+      val dataChange = operation != "OPTIMIZE"
       val head = Seq(
         s"""{"commitInfo": {"timestamp": $ts, "operation": ${js(operation)}}}""") ++
         (if (d == 0) Seq(
@@ -1745,10 +1782,10 @@ object Scans {
         adds.map { p =>
           s"""{"add": {"path": ${js(p)}, "partitionValues": {}, """ +
           s""""size": ${new java.io.File(p).length}, "modificationTime": $ts, """ +
-          s""""dataChange": true, "stats": ${js(s"""{"numRecords": ${numRecords(p)}}""")}}}"""
+          s""""dataChange": $dataChange, "stats": ${js(s"""{"numRecords": ${numRecords(p)}}""")}}}"""
         } ++
         removes.map { p =>
-          s"""{"remove": {"path": ${js(p)}, "deletionTimestamp": $ts, "dataChange": true}}"""
+          s"""{"remove": {"path": ${js(p)}, "deletionTimestamp": $ts, "dataChange": $dataChange}}"""
         }
       val target = outDir.resolve(f"$d%020d.json")
       val tmp = Files.createTempFile(outDir, s".$d", ".tmp")
@@ -3527,6 +3564,19 @@ object Scans {
       s"CAST($all AS BIGINT) " +
       "ORDER BY version"
     },
+
+    // the change feed sees each row exactly once: the base write and
+    // the append, never the rewrite's re-added rows
+    "scan_delta_cdc" ->
+      ("SELECT CAST(0 AS BIGINT) AS version, 'insert' AS change_type, " +
+       "CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+       "CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents " +
+       s"FROM orders WHERE o_orderdate < TIMESTAMP '$TimeTravelCutoff' " +
+       "UNION ALL " +
+       "SELECT CAST(1 AS BIGINT), 'insert', CAST(COUNT(*) AS BIGINT), " +
+       "CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) " +
+       s"FROM orders WHERE o_orderdate >= TIMESTAMP '$TimeTravelCutoff' " +
+       "ORDER BY version"),
 
     // data served through the reconstructed live file set must BE the
     // table — the full orders state after the compaction rewrite

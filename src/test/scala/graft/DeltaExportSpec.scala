@@ -36,6 +36,20 @@ class DeltaExportSpec extends SparkSpec {
     assert(v2.exists(_.contains("\"add\"")), "the rewrite adds the compacted files")
   }
 
+  test("the dataChange bit: rewrites false, real writes true — and CDC honors it") {
+    assert(lines(2).filter(l => l.contains("\"add\"") || l.contains("\"remove\""))
+      .forall(_.contains("\"dataChange\": false")),
+      "OPTIMIZE actions must carry dataChange=false")
+    Seq(0, 1).foreach { d =>
+      assert(lines(d).filter(_.contains("\"add\""))
+        .forall(_.contains("\"dataChange\": true")), s"v$d adds")
+    }
+    // the feed sums to the table exactly once despite the rewrite
+    val cdc = SparkEntry.queries("scan_delta_cdc")(spark, sf001).collect()
+    assert(cdc.map(_.getLong(0)).toSeq == Seq(0L, 1L), "no change batch for OPTIMIZE")
+    assert(cdc.map(_.getLong(2)).sum == Tables.orders(spark, sf001).count())
+  }
+
   test("add stats are footer-true: numRecords sums to the actual table count") {
     val statRe = "\"numRecords\\\\\": (\\d+)".r
     val v0adds = lines(0).filter(_.contains("\"add\""))
