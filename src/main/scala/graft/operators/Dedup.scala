@@ -822,25 +822,11 @@ object Dedup {
     * disables the hatch (test-only escape; production callers keep
     * the default). Returns (node, deg, r) with r fround6'd. */
   def pageRankRounds(edges: DataFrame, iters: Int,
-                     checkpointEvery: Int = PageRankCheckpointEvery): DataFrame = {
-    val base = edges.groupBy("u").agg(big(count(lit(1))).as("deg"))
-      .select(col("u").as("node"), col("deg"))
-    val n = base.count()
-    var st = base.withColumn("r", fround(lit(1.0) / n, 6))
-    (1 to iters).foreach { i =>
-      val contribs = edges
-        .join(st.select(col("node").as("u"),
-                        fround(col("r") / col("deg"), 6).as("c")), Seq("u"))
-        .groupBy(col("v").as("node")).agg(dsum6(col("c")).as("sc"))
-      st = base.join(contribs, Seq("node"), "left")
-        .withColumn("r", fround(
-          lit(PageRankBase) / n +
-          lit(PageRankDamping) * coalesce(col("sc"), lit(0.0)), 6))
-        .select("node", "deg", "r")
-      if (checkpointEvery > 0 && i % checkpointEvery == 0) st = st.localCheckpoint()
+                     checkpointEvery: Int = PageRankCheckpointEvery): DataFrame =
+    rankFixpoint(edges, iters, checkpointEvery) { base =>
+      val n = base.count()
+      (fround(lit(1.0) / n, 6), lit(PageRankBase) / n)
     }
-    st
-  }
 
   /** PERSONALIZED PageRank ([[pageRankRounds]] with the teleport mass
     * pinned to a SEED instead of spread uniformly — the
@@ -850,15 +836,33 @@ object Dedup {
     * discipline so a second engine unrolls identical rounds. The seed
     * is the graph's MIN node (the graph_bfs source convention) — a
     * metadata-scale driver scalar like pageRankRounds' n. Per-round
-    * cost is identical to PageRank: one edge-keyed shuffle. */
+    * cost is identical to PageRank: one edge-keyed shuffle. Expects a
+    * SYMMETRIZED edge list (both directions present, the
+    * graph_pagerank convention) so every node appears on the u side. */
   def pprRounds(edges: DataFrame, iters: Int,
-                checkpointEvery: Int = PageRankCheckpointEvery): DataFrame = {
+                checkpointEvery: Int = PageRankCheckpointEvery): DataFrame =
+    rankFixpoint(edges, iters, checkpointEvery) { base =>
+      val seedRow = base.agg(min(col("node"))).collect()(0)
+      require(!seedRow.isNullAt(0),
+        "pprRounds: empty edge set — no node can seed the restart")
+      val seed = seedRow.getLong(0)
+      val seedMass = when(col("node") === seed, lit(1.0)).otherwise(lit(0.0))
+      (fround(seedMass, 6), lit(PageRankBase) * seedMass)
+    }
+
+  /** The ONE rank-fixpoint driver behind [[pageRankRounds]] and
+    * [[pprRounds]] — the shared per-round discipline (edge-keyed
+    * contribution shuffle, fround6, decimal sums, the checkpoint
+    * hatch) lives once so the twins cannot drift. `shape(base)`
+    * returns (initial r, per-node teleport term); the update is
+    * r ← fround(teleport + d·Σ contribs, 6). */
+  private def rankFixpoint(edges: DataFrame, iters: Int, checkpointEvery: Int)
+      (shape: DataFrame => (org.apache.spark.sql.Column,
+                            org.apache.spark.sql.Column)): DataFrame = {
     val base = edges.groupBy("u").agg(big(count(lit(1))).as("deg"))
       .select(col("u").as("node"), col("deg"))
-    val seed = base.agg(min(col("node"))).collect()(0).getLong(0)
-    def seedMass(c: org.apache.spark.sql.Column) =
-      when(c === seed, lit(1.0)).otherwise(lit(0.0))
-    var st = base.withColumn("r", fround(seedMass(col("node")), 6))
+    val (init, teleport) = shape(base)
+    var st = base.withColumn("r", init)
     (1 to iters).foreach { i =>
       val contribs = edges
         .join(st.select(col("node").as("u"),
@@ -866,8 +870,7 @@ object Dedup {
         .groupBy(col("v").as("node")).agg(dsum6(col("c")).as("sc"))
       st = base.join(contribs, Seq("node"), "left")
         .withColumn("r", fround(
-          lit(PageRankBase) * seedMass(col("node")) +
-          lit(PageRankDamping) * coalesce(col("sc"), lit(0.0)), 6))
+          teleport + lit(PageRankDamping) * coalesce(col("sc"), lit(0.0)), 6))
         .select("node", "deg", "r")
       if (checkpointEvery > 0 && i % checkpointEvery == 0) st = st.localCheckpoint()
     }

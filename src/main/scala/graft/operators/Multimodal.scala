@@ -356,18 +356,24 @@ object Multimodal {
         .repartition(8)
         .foreachPartition { (rows: Iterator[Row]) =>
           val conf = new org.apache.hadoop.conf.Configuration()
-          val fs = org.apache.hadoop.fs.FileSystem.get(
+          // newInstance, NOT FileSystem.get: get returns the JVM-wide
+          // cached LocalFileSystem, and setWriteChecksum on it would
+          // silently disable CRC sidecars for every OTHER Hadoop-FS
+          // write in the process (and strand stale .crc files that
+          // fail later verified reads) — the round-17 review catch
+          val fs = org.apache.hadoop.fs.FileSystem.newInstance(
             new java.net.URI(s"file://$out"), conf)
-          // LocalFileSystem writes a .crc sidecar per file by default
-          // — doubles the file count and the per-create cost for
-          // payloads PNG already CRCs internally; a real object store
-          // checksums server-side the same way
-          fs.setWriteChecksum(false)
-          rows.foreach { r =>
-            val p = new org.apache.hadoop.fs.Path(s"$out/img_${r.getLong(0)}.png")
-            val os = fs.create(p, true)
-            try os.write(r.getAs[Array[Byte]](1)) finally os.close()
-          }
+          try {
+            // no .crc sidecar per asset: doubles file count and
+            // per-create cost for payloads PNG already CRCs
+            // internally; a real object store checksums server-side
+            fs.setWriteChecksum(false)
+            rows.foreach { r =>
+              val p = new org.apache.hadoop.fs.Path(s"$out/img_${r.getLong(0)}.png")
+              val os = fs.create(p, true)
+              try os.write(r.getAs[Array[Byte]](1)) finally os.close()
+            }
+          } finally fs.close()
         }
       s.read.format("binaryFile").option("pathGlobFilter", "*.png").load(out)
         .select(regexp_extract(col("path"), "img_(\\d+)\\.png", 1)

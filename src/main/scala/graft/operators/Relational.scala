@@ -54,6 +54,22 @@ object Relational {
     * Shared with the oracle. */
   val DpClampHi = 2000.0
 
+  /** The DP releases' seeded draw, ONE copy (review catch — the
+    * bit-exactness-critical md5→uniform→clamp chain must not drift
+    * between release sites): v ∈ (−0.5, 0.49999999], key-stable per
+    * (prefix, key); the upper clamp keeps ln(1−2|v|) total. */
+  private def dpDraw(prefix: String, key: org.apache.spark.sql.Column) = {
+    val u = (conv(substring(md5(concat(lit(prefix), key.cast("string"))), 1, 8),
+                  16, 10).cast("long") + 1).cast("double") / lit(4294967296.0)
+    least(u - 0.5, lit(0.49999999))
+  }
+
+  /** Laplace(b) noise from a [[dpDraw]] value via the inverse CDF,
+    * fround6-pinned (the one transcendental — sample_weighted's ln
+    * discipline). */
+  private def dpLaplace(b: Double, v: org.apache.spark.sql.Column) =
+    fround(-lit(b) * signum(v) * log(lit(1.0) - lit(2.0) * abs(v)), 6)
+
   /** sample_pack_chunks: tokens per packed training sequence. */
   val PackCtxTokens = 512
 
@@ -972,18 +988,11 @@ object Relational {
     // deliberately NOT in the output: the released view is all a
     // consumer may see.
     "dq_dp_noise" -> ((s, dir) => {
-      val u = (conv(substring(md5(concat(lit("dp:"),
-                col("c_nationkey").cast("string"))), 1, 8), 16, 10)
-                .cast("long") + 1).cast("double") / lit(4294967296.0)
-      // v ∈ (−0.5, 0.5]; the upper edge (ln 0 = −∞) is clamped one
-      // step inside — a 2^-32 event, but the release must be total
-      val v = least(u - 0.5, lit(0.49999999))
+      val v = dpDraw("dp:", col("c_nationkey"))
       customer(s, dir)
         .groupBy("c_nationkey").agg(count(lit(1)).as("n"))
         .select(col("c_nationkey"), lit(DpEpsilon).as("epsilon"),
-          fround(col("n") +
-            fround(-lit(1.0 / DpEpsilon) * signum(v) * log(lit(1.0) - lit(2.0) * abs(v)), 6),
-            6).as("noisy_count"))
+          fround(col("n") + dpLaplace(1.0 / DpEpsilon, v), 6).as("noisy_count"))
         .orderBy("c_nationkey")
     }),
 
@@ -998,20 +1007,15 @@ object Relational {
     // clamped sum itself is decimal-pinned before the noise lands.
     // One hash-agg to the nation grid, row-local everything else.
     "dq_dp_sum" -> ((s, dir) => {
-      val u = (conv(substring(md5(concat(lit("dpsum:"),
-                col("c_nationkey").cast("string"))), 1, 8), 16, 10)
-                .cast("long") + 1).cast("double") / lit(4294967296.0)
-      val v = least(u - 0.5, lit(0.49999999))
-      val b = DpClampHi / DpEpsilon
+      val v = dpDraw("dpsum:", col("c_nationkey"))
       customer(s, dir)
         .withColumn("clamped",
           least(greatest(col("c_acctbal"), lit(0.0)), lit(DpClampHi)))
         .groupBy("c_nationkey").agg(dsum(col("clamped")).as("csum"))
         .select(col("c_nationkey"), lit(DpEpsilon).as("epsilon"),
           lit(DpClampHi).as("clamp_hi"),
-          fround(col("csum") +
-            fround(-lit(b) * signum(v) * log(lit(1.0) - lit(2.0) * abs(v)), 6),
-            4).as("noisy_sum"))
+          fround(col("csum") + dpLaplace(DpClampHi / DpEpsilon, v), 4)
+            .as("noisy_sum"))
         .orderBy("c_nationkey")
     }),
 

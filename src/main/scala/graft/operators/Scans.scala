@@ -503,7 +503,7 @@ object Scans {
     // (write parallelism owns them); row stats are the invariant.
     "scan_delta_export" -> ((s, dir) => {
       val root = deltaFixture(s, dir)
-      val logDir = exportDeltaLog(root)
+      val logDir = deltaLogDir(root)
       val acts = s.read.json(logDir + "/*.json")
         .withColumn("version",
           regexp_extract(col("_metadata.file_path"), "(\\d+)\\.json$", 1)
@@ -524,11 +524,15 @@ object Scans {
         .join(files, col("addv") <= col("version") &&
                      (col("rmv").isNull || col("rmv") > col("version")))
         .groupBy("version").agg(sum(col("nrec")).as("rows_live"))
-      commits.join(broadcast(added), Seq("version"))
-        .join(broadcast(live), Seq("version"))
+      // LEFT joins (review catch): a remove-only commit (a future
+      // DELETE/retention version) has no add actions and a version can
+      // reach zero live files — an inner join would silently DROP that
+      // version from the reconstructed history instead of reporting 0
+      commits.join(broadcast(added), Seq("version"), "left")
+        .join(broadcast(live), Seq("version"), "left")
         .select(col("version"), col("committed_at_ms"), col("operation"),
-                big(col("rows_added")).as("rows_added"),
-                big(col("rows_live")).as("rows_live"))
+                big(coalesce(col("rows_added"), lit(0L))).as("rows_added"),
+                big(coalesce(col("rows_live"), lit(0L))).as("rows_live"))
         .orderBy("version")
     }),
 
@@ -544,7 +548,7 @@ object Scans {
     // a double-count through the OPTIMIZE commit would hash-mismatch.
     "scan_delta_cdc" -> ((s, dir) => {
       val root = deltaFixture(s, dir)
-      val logDir = exportDeltaLog(root)
+      val logDir = deltaLogDir(root)
       val acts = s.read.json(logDir + "/*.json")
         .withColumn("version",
           regexp_extract(col("_metadata.file_path"), "(\\d+)\\.json$", 1)
@@ -602,7 +606,7 @@ object Scans {
     // convention); the data scan is a plain pruned parquet read.
     "scan_delta_import" -> ((s, dir) => {
       val root = deltaFixture(s, dir)
-      val logDir = exportDeltaLog(root)
+      val logDir = deltaLogDir(root)
       val acts = s.read.json(logDir + "/*.json")
       val adds = acts.where(col("add").isNotNull)
         .select(col("add.path").as("path"))
@@ -1804,9 +1808,19 @@ object Scans {
     ttMemo.getOrElseUpdate(s"$root|${graft.Tables.fsSig(s, s"$dir/orders.parquet")}", {
       retentionBuild(s, dir, root)
       DeltaCommitTs.foreach { case (v, ts) => writeCommitTs(root, v, ts) }
+      // export ONCE under the fixture memo (review catch): the three
+      // scan_delta_* queries each re-ran every parquet footer read +
+      // the atomic log rewrite inside their measured path otherwise;
+      // DeltaExportSpec still drives exportDeltaLog directly for the
+      // idempotency claim
+      exportDeltaLog(root)
     })
     root
   }
+
+  /** The exported log's location under a [[deltaFixture]] root —
+    * [[exportDeltaLog]] already ran under the fixture memo. */
+  def deltaLogDir(root: String): String = s"$root/_delta_log"
 
   /** Stamp a committed version's commit timestamp — one metadata file
     * under `_commits/`, temp-file + atomic move like every pointer

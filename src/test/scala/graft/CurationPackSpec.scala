@@ -107,7 +107,6 @@ class CurationPackSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     // exactly one unpartitioned window (the ≤ PackChunkBuckets offset
     // table); the per-doc cumsum windows all carry a partition key
-    val unpart = "Window .*\\[bucket".r.findAllIn(p).size
     assert(p.contains("bucket"), p.take(2000))
     val globalWindows = "windowspecdefinition\\(([a-z_#0-9]+ ASC)".r
       .findAllIn(p).size
