@@ -71,6 +71,40 @@ object Streams {
            big(sum(col("m.height"))).as("sum_height"),
            fround(dsum6(col("m.px_mean")) / count(lit(1)), 4).as("avg_gray"))
 
+  /** stream_delta_tail's explicit action schema — the streaming JSON
+    * file source cannot infer, and sharing ONE schema keeps the batch
+    * declaration and the spec's real streaming job reading the exact
+    * same projection of the log. */
+  val DeltaActionSchema: String =
+    "add STRUCT<path: STRING, dataChange: BOOLEAN, stats: STRING>"
+
+  /** stream_delta_tail's mergeable stage: Delta-log actions (+ the
+    * source file path as `log_file`) → per-version ingested-row grid.
+    * dataChange=false rewrites contribute nothing (the CDC rule), so
+    * a compaction arriving mid-stream never double-counts; counts are
+    * plain sums — mergeable across micro-batches in complete mode. */
+  def deltaTailGrid(actions: DataFrame): DataFrame =
+    actions
+      .where(col("add").isNotNull && col("add.dataChange"))
+      .withColumn("version",
+        regexp_extract(col("log_file"), "(\\d+)\\.json$", 1).cast("long"))
+      .groupBy("version")
+      .agg(big(sum(get_json_object(col("add.stats"), "$.numRecords")
+        .cast("long"))).as("rows_ingested"))
+
+  /** stream_delta_tail finalization over the landed grid: the tail
+    * position — cumulative rows as of each version (a window over
+    * ≤ #versions rows, bounded). */
+  def deltaTailFinalize(grid: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    grid.withColumn("rows_total", big(sum(col("rows_ingested")).over(
+        Window.orderBy("version")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+      .select(col("version"), big(col("rows_ingested")).as("rows_ingested"),
+              col("rows_total"))
+      .orderBy("version")
+  }
+
   def freshnessCells(ev: DataFrame): DataFrame =
     ev.groupBy(col("event_type"), window(col("ts"), "1 hour").as("w"))
       .agg(big(count(lit(1))).as("n"), max(unix_micros(col("ts"))).as("tmax"))
@@ -761,6 +795,23 @@ object Streams {
     // the oracle predicts the grid from the planted doc_id params.
     "stream_media_decode" -> ((s, dir) =>
       mediaDecodeGrid(documents(s, dir)).orderBy("lang")),
+
+    // STREAMING CDC CONSUMER over the exported Delta log — the tail
+    // job a downstream sync runs against the lake: new _delta_log
+    // files arrive as a file-source stream, dataChange=true adds
+    // merge into the per-version ingested grid (the rewrite commit
+    // contributes nothing — exactly-once per row), and the readout is
+    // the tail position. Batch-declared here (the grid is plain
+    // mergeable sums, so any micro-batch chunking composes);
+    // StreamBatchSpec drives the REAL json file-source job
+    // (AvailableNow → memory sink) to row equality.
+    "stream_delta_tail" -> ((s, dir) => {
+      val root = graft.operators.Scans.deltaFixture(s, dir)
+      val logDir = graft.operators.Scans.deltaLogDir(root)
+      val acts = s.read.schema(DeltaActionSchema).json(logDir + "/*.json")
+        .select(col("add"), col("_metadata.file_path").as("log_file"))
+      deltaTailFinalize(deltaTailGrid(acts))
+    }),
     // Windowed top-k: top-3 event types per tumbling hour (see
     // [[topkCounts]]/[[rankTop3]] for the streaming split).
     "stream_topk_windowed" -> ((s, dir) =>
@@ -1119,6 +1170,21 @@ object Streams {
        froundSql(dsum6Sql("CAST(doc_id % 251 AS DOUBLE)") + " / COUNT(*)", 4) +
        " AS avg_gray " +
        "FROM documents WHERE doc_id % 3 = 0 GROUP BY lang ORDER BY lang"),
+    // the tail sees the base write and the append exactly once each;
+    // the OPTIMIZE rewrite contributes nothing (dataChange=false)
+    "stream_delta_tail" -> {
+      val cutoff = graft.operators.Scans.TimeTravelCutoff
+      val pre = "(SELECT COUNT(*) FROM orders WHERE o_orderdate < " +
+        s"TIMESTAMP '$cutoff')"
+      val post = "(SELECT COUNT(*) FROM orders WHERE o_orderdate >= " +
+        s"TIMESTAMP '$cutoff')"
+      s"SELECT CAST(0 AS BIGINT) AS version, CAST($pre AS BIGINT) AS rows_ingested, " +
+      s"CAST($pre AS BIGINT) AS rows_total " +
+      "UNION ALL " +
+      s"SELECT CAST(1 AS BIGINT), CAST($post AS BIGINT), " +
+      s"CAST($pre + $post AS BIGINT) " +
+      "ORDER BY version"
+    },
     // identical fixed grid, baseline freeze, union-of-bins semantics
     // and 1e-6 clamp; LN natural, dsum6 term discipline
     "stream_drift_psi" ->

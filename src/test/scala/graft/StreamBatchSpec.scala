@@ -52,6 +52,29 @@ class StreamBatchSpec extends SparkSpec {
       Streams.mediaDecodeGrid(batchView), "media grid")
   }
 
+  test("stream_delta_tail: the REAL json file-source tail equals the batch declaration") {
+    // the exported Delta log IS the staged source — new log versions
+    // are exactly what a production tail job watches for
+    val root = operators.Scans.deltaFixture(spark, sf001)
+    val logDir = operators.Scans.deltaLogDir(root)
+    val q = Streams.deltaTailGrid(
+        spark.readStream.schema(Streams.DeltaActionSchema).json(logDir)
+          .select(col("add"), col("_metadata.file_path").as("log_file")))
+      .writeStream.format("memory").queryName("t_delta_tail")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val batchActs = spark.read.schema(Streams.DeltaActionSchema)
+      .json(logDir + "/*.json")
+      .select(col("add"), col("_metadata.file_path").as("log_file"))
+    assertSameRows(
+      Streams.deltaTailFinalize(spark.table("t_delta_tail")),
+      Streams.deltaTailFinalize(Streams.deltaTailGrid(batchActs)),
+      "delta tail")
+    // the rewrite version must be ABSENT, not zero: its actions all
+    // carry dataChange=false
+    assert(!spark.table("t_delta_tail").collect().map(_.getLong(0)).contains(2L))
+  }
+
   test("stream_tumbling: streaming result equals batch result") {
     val out = streamed("t_tumbling", Streams.tumbling, "complete")
     assertSameRows(out, Streams.tumbling(stagedEvents._2), "tumbling")
