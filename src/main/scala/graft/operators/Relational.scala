@@ -54,6 +54,14 @@ object Relational {
     * Shared with the oracle. */
   val DpClampHi = 2000.0
 
+  /** dq_dp_quantile's fixed candidate grid: band midpoints spanning
+    * the acctbal domain [−1000, 10000) at width 500 — the exponential
+    * mechanism selects among FIXED candidates, never data-derived
+    * ones (data-derived candidates would leak). Shared verbatim with
+    * the oracle. */
+  val DpQuantileGrid: Array[Double] =
+    (0 until 22).map(i => -750.0 + 500.0 * i).toArray
+
   /** The DP releases' seeded draw, ONE copy (review catch — the
     * bit-exactness-critical md5→uniform→clamp chain must not drift
     * between release sites): v ∈ (−0.5, 0.49999999], key-stable per
@@ -1019,6 +1027,43 @@ object Relational {
         .orderBy("c_nationkey")
     }),
 
+    // DP MEDIAN via the EXPONENTIAL MECHANISM (McSherry–Talwar 2007 —
+    // the third mechanism class: selection among candidates by
+    // utility, where Laplace releases perturb numbers): candidates
+    // are the fixed DpQuantileGrid band midpoints, a candidate's
+    // utility is −|#{values ≤ c} − n/2| (how close to the true
+    // median; sensitivity 1 — one unit moves any rank by one), and
+    // the released candidate maximizes ε·u/2 + Gumbel noise — the
+    // Gumbel-max trick IS exponential-mechanism sampling, and the
+    // repo's seeded-md5 draw makes the selection key-stable (a re-run
+    // releases the same median; the oracle replays the argmax). Rank
+    // counts are one conditional pass over the grid×nation cells
+    // (grid-bounded, map-side combinable); selection is a bounded
+    // per-nation argmax.
+    "dq_dp_quantile" -> ((s, dir) => {
+      val cands = typedLit(DpQuantileGrid)
+      val expanded = customer(s, dir)
+        .select(col("c_nationkey"), col("c_acctbal"),
+                explode(cands).as("cand"))
+      val ranked = expanded.groupBy("c_nationkey", "cand")
+        .agg(count(lit(1)).as("n"),
+             count(when(col("c_acctbal") <= col("cand"), 1)).as("rk"))
+      val v = dpDraw("dpq:", concat(col("c_nationkey").cast("string"),
+                                    lit("|"), col("cand").cast("string")))
+      // Gumbel from the uniform in (0,1): g = −ln(−ln(u)); reuse the
+      // clamped v ∈ (−0.5, 0.49999999] as u = v + 0.5 ∈ (0, 1)
+      val gumbel = -log(-log(v + 0.5))
+      val key = fround(lit(DpEpsilon / 2.0) *
+                  (-abs(col("rk").cast("double") - col("n") / lit(2.0))) +
+                  gumbel, 6)
+      ranked.withColumn("k", key)
+        .groupBy("c_nationkey")
+        .agg(max(struct(col("k"), col("cand"))).as("best"))
+        .select(col("c_nationkey"), lit(DpEpsilon).as("epsilon"),
+                col("best.cand").as("released_median"))
+        .orderBy("c_nationkey")
+    }),
+
     // SEQUENCE PACKING FOR TRAINING (the GPT-2/T5 concat-and-chunk
     // recipe: concatenate every document's tokens in a deterministic
     // order, slice the stream into fixed PackCtx-token training
@@ -1083,6 +1128,26 @@ object Relational {
        froundSql("n + " +
          froundSql(s"-(1.0 / $DpEpsilon) * SIGN(v) * LN(1.0 - 2.0 * ABS(v))", 6), 6) +
        " AS noisy_count FROM g ORDER BY c_nationkey"),
+
+    // same fixed candidate grid, same rank utilities, same seeded
+    // Gumbel-max selection — the argmax replayed with a ranked window
+    "dq_dp_quantile" -> {
+      val grid = DpQuantileGrid.mkString("[", ", ", "]")
+      ("WITH cand AS (SELECT UNNEST(CAST(" + grid + " AS DOUBLE[])) AS cand), " +
+       "rk AS (SELECT c_nationkey, cand, COUNT(*) AS n, " +
+       "COUNT(CASE WHEN c_acctbal <= cand THEN 1 END) AS rk " +
+       "FROM customer, cand GROUP BY 1, 2), " +
+       "scored AS (SELECT c_nationkey, cand, " +
+       froundSql(s"($DpEpsilon / 2.0) * (-ABS(rk - n / 2.0)) + " +
+         "(-LN(-LN(LEAST((CAST(CONCAT('0x', SUBSTRING(MD5('dpq:' || " +
+         "CAST(c_nationkey AS VARCHAR) || '|' || CAST(cand AS VARCHAR)), 1, 8)) " +
+         "AS BIGINT) + 1) / 4294967296.0 - 0.5, 0.49999999) + 0.5)))", 6) +
+       " AS k FROM rk) " +
+       s"SELECT c_nationkey, $DpEpsilon AS epsilon, cand AS released_median " +
+       "FROM (SELECT c_nationkey, cand, " +
+       "ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY k DESC, cand DESC) AS rn " +
+       "FROM scored) WHERE rn = 1 ORDER BY c_nationkey")
+    },
 
     // same clamp bounds, same decimal-pinned sum, same seeded draw
     // with the dpsum: prefix, same Δ/ε = 4000 noise scale

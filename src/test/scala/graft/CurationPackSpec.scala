@@ -75,6 +75,31 @@ class CurationPackSpec extends SparkSpec {
     assert(reused < rows.length, "noise draws must differ between releases")
   }
 
+  test("dq_dp_quantile: selection stays on the fixed grid, is key-stable, and tracks the median at large epsilon") {
+    val q = SparkEntry.queries("dq_dp_quantile")
+    val a = q(spark, sf001).collect()
+    assert(a.toSeq == q(spark, sf001).collect().toSeq, "selection must be key-stable")
+    val grid = operators.Relational.DpQuantileGrid.toSet
+    a.foreach(r => assert(grid.contains(r.getDouble(2)),
+      s"released ${r.getDouble(2)} is not a fixed candidate"))
+    // utility sanity at sf0.01 (bigger per-nation groups): the
+    // selected candidate's rank distance from n/2 is bounded by the
+    // exponential mechanism's tail — at eps=0.5 and 22 candidates a
+    // 60-rank excess has probability < 22*exp(-15) per nation
+    val sel = q(spark, sf01).collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    val ranks = Tables.customer(spark, sf01)
+      .select(col("c_nationkey"), col("c_acctbal")).collect()
+      .groupBy(_.getInt(0))
+    sel.foreach { case (nation, cand) =>
+      val bals = ranks(nation).map(_.getDouble(1)).sorted
+      val rk = bals.count(_ <= cand)
+      val bestDist = operators.Relational.DpQuantileGrid
+        .map(c => math.abs(bals.count(_ <= c) - bals.length / 2.0)).min
+      assert(math.abs(rk - bals.length / 2.0) <= bestDist + 60.0,
+        s"nation $nation released rank $rk of ${bals.length}")
+    }
+  }
+
   // ---- sample_pack_chunks ----
 
   test("sample_pack_chunks: the two-level prefix sum equals a sequential Scala pack") {
