@@ -536,6 +536,37 @@ object Scans {
         .orderBy("version")
     }),
 
+    // INCREMENTAL READ through the Iceberg export (the incremental-
+    // scan API: "rows appended between snapshot A and snapshot B") —
+    // the Iceberg twin of scan_delta_cdc: each consecutive snapshot
+    // pair's change set is the DATA of the files in B's manifest list
+    // but not A's, read directly through the exported metadata. The
+    // oracle predicts the one append window (v1→v2 = the post-cutoff
+    // slice) from the fixture predicate — a file misattributed to the
+    // wrong snapshot, or a re-listed base file, would hash-mismatch.
+    "scan_iceberg_cdc" -> ((s, dir) => {
+      val root = timeTravelFixture(s, dir)
+      val metaPath = exportIcebergMetadata(root)
+      val m = s.read.option("multiLine", true).json(metaPath)
+      val snaps = m.select(explode(col("snapshots")).as("sn"))
+        .select(col("sn.`snapshot-id`").cast("long").as("sid"),
+                col("sn.`manifest-list`").as("mlist"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      val fileSets = snaps.toIndexedSeq.map { case (sid, ml) =>
+        sid -> s.read.option("multiLine", true).json(ml)
+          .select(col("file_path")).collect().map(_.getString(0)).toSet
+      }
+      fileSets.sliding(2).map { case Seq((a, fa), (b, fb)) =>
+        val appended = (fb -- fa).toSeq.sorted
+        s.read.parquet(appended.toIndexedSeq: _*)
+          .agg(big(count(lit(1))).as("n_rows"),
+               big(sum(floor(col("o_totalprice") * 100).cast("long")))
+                 .as("total_cents"))
+          .select(lit(a).as("from_snapshot"), lit(b).as("to_snapshot"),
+                  col("n_rows"), col("total_cents"))
+      }.reduce(_ unionByName _).orderBy("to_snapshot")
+    }),
+
     // CHANGE-DATA FEED through the Delta log (the table_changes()
     // read): the change set between version 0 and head is the DATA of
     // every add action whose dataChange bit is TRUE — the compaction
@@ -3578,6 +3609,14 @@ object Scans {
       s"CAST($all AS BIGINT) " +
       "ORDER BY version"
     },
+
+    // the one append window is exactly the post-cutoff slice
+    "scan_iceberg_cdc" ->
+      ("SELECT CAST(1 AS BIGINT) AS from_snapshot, CAST(2 AS BIGINT) AS to_snapshot, " +
+       "CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+       "CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents " +
+       s"FROM orders WHERE o_orderdate >= TIMESTAMP '$TimeTravelCutoff' " +
+       "ORDER BY to_snapshot"),
 
     // the change feed sees each row exactly once: the base write and
     // the append, never the rewrite's re-added rows
