@@ -251,13 +251,13 @@ object MediaCodecsImpl {
       if (fourcc() != "RIFF") return null
       buf.getInt
       if (fourcc() != "WAVE") return null
-      var sampleRate = 0; var channels = 0; var bits = 0
+      var sampleRate = 0; var channels = 0; var bits = 0; var fmtTag = 0
       var dataOff = -1; var dataLen = 0
       while (buf.remaining() >= 8) {
         val id = fourcc(); val sz = buf.getInt
         if (id == "fmt ") {
           val p = buf.position()
-          buf.getShort
+          fmtTag = buf.getShort.toInt
           channels = buf.getShort.toInt
           sampleRate = buf.getInt
           buf.getInt; buf.getShort
@@ -268,7 +268,13 @@ object MediaCodecsImpl {
         }
         buf.position(buf.position() + sz + (sz & 1))
       }
-      if (dataOff < 0 || bits != 16 || channels != 2) return null
+      // fmtTag == 1 is WAVE_FORMAT_PCM — anything else (float 0x3,
+      // EXTENSIBLE 0xFFFE, the common real-world multi-channel
+      // container) is NOT raw 16-bit PCM even when bits/channels
+      // read 16/2, and decoding it as such yields garbage RMS;
+      // honor the scaladoc contract and refuse (r17 ADVICE)
+      if (dataOff < 0 || fmtTag != 1 || bits != 16 || channels != 2)
+        return null
       val nFrames = dataLen / 4
       val pcm = java.nio.ByteBuffer.wrap(bytes, dataOff, dataLen)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -305,13 +311,13 @@ object MediaCodecsImpl {
       if (fourcc() != "RIFF") return null
       buf.getInt // riff size
       if (fourcc() != "WAVE") return null
-      var sampleRate = 0; var channels = 0; var bits = 0
+      var sampleRate = 0; var channels = 0; var bits = 0; var fmtTag = 0
       var dataOff = -1; var dataLen = 0
       while (buf.remaining() >= 8) {
         val id = fourcc(); val sz = buf.getInt
         if (id == "fmt ") {
           val p = buf.position()
-          buf.getShort // format tag
+          fmtTag = buf.getShort.toInt
           channels = buf.getShort.toInt
           sampleRate = buf.getInt
           buf.getInt; buf.getShort
@@ -322,7 +328,11 @@ object MediaCodecsImpl {
         }
         buf.position(buf.position() + sz + (sz & 1)) // word-aligned
       }
-      if (dataOff < 0 || bits != 16 || channels < 1) return null
+      // PCM only (tag 1) — the RMS loop below reads raw 16-bit
+      // samples, so a float/EXTENSIBLE payload must be refused, not
+      // decoded as garbage (same gate as decodeWavStereo, r17 ADVICE)
+      if (dataOff < 0 || fmtTag != 1 || bits != 16 || channels < 1)
+        return null
       val nSamples = dataLen / 2 / channels
       var sumSq = 0.0
       var i = 0

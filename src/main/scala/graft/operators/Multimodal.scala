@@ -336,12 +336,21 @@ object Multimodal {
       // FileSystem API, so on a real cluster the SAME code lands files
       // in the shared store the driver then reads — java.io.File would
       // scatter them across executor-local disks.
+      // …and the cleanup goes through the SAME Hadoop FileSystem the
+      // writes use (r17 ADVICE): a driver-local java.io.File sweep
+      // would be a no-op against the shared store on that cluster,
+      // leaving exactly the orphan .png/.crc files this block exists
+      // to prevent. globStatus + delete target whatever store the
+      // configured scheme resolves to.
       locally {
-        val d = new java.io.File(out)
-        d.mkdirs()
-        Option(d.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.getName.endsWith(".png") || f.getName.endsWith(".crc"))
-          .foreach(_.delete())
+        val outPath = new org.apache.hadoop.fs.Path(out)
+        val fs = outPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.mkdirs(outPath)
+        Seq("*.png", "*.crc", ".*.crc").foreach { pat =>
+          Option(fs.globStatus(new org.apache.hadoop.fs.Path(outPath, pat)))
+            .getOrElse(Array.empty)
+            .foreach(st => fs.delete(st.getPath, false))
+        }
       }
       documents(s, dir).where(col("doc_id") % 3 === 0)
         .select(col("doc_id"),

@@ -1051,8 +1051,18 @@ object Relational {
       val v = dpDraw("dpq:", concat(col("c_nationkey").cast("string"),
                                     lit("|"), col("cand").cast("string")))
       // Gumbel from the uniform in (0,1): g = −ln(−ln(u)); reuse the
-      // clamped v ∈ (−0.5, 0.49999999] as u = v + 0.5 ∈ (0, 1)
-      val gumbel = -log(-log(v + 0.5))
+      // clamped v ∈ (−0.5, 0.49999999] as u = v + 0.5 ∈ (0, 1).
+      // TWO-STAGE pin (r17 ADVICE): the inner −ln(u) is fround6-pinned
+      // BEFORE the outer −ln so each engine feeds the second
+      // transcendental the identical 6-decimal double — nesting two
+      // unpinned lns could let a last-ulp Math.log↔LN divergence
+      // cross a .5e-6 boundary and flip a per-nation argmax. u is
+      // additionally capped at 0.999999 so the pinned inner value
+      // stays ≥ 1e-6 (fround6 of −ln(0.99999999) ≈ 1e-8 would round
+      // to 0 and blow the outer ln to −∞). The oracle mirrors both
+      // stages verbatim.
+      val u = least(v + lit(0.5), lit(0.999999))
+      val gumbel = -log(fround(-log(u), 6))
       val key = fround(lit(DpEpsilon / 2.0) *
                   (-abs(col("rk").cast("double") - col("n") / lit(2.0))) +
                   gumbel, 6)
@@ -1137,11 +1147,15 @@ object Relational {
        "rk AS (SELECT c_nationkey, cand, COUNT(*) AS n, " +
        "COUNT(CASE WHEN c_acctbal <= cand THEN 1 END) AS rk " +
        "FROM customer, cand GROUP BY 1, 2), " +
+       // two-stage pin mirrored from the engine: inner -LN fround6'd
+       // before the outer -LN, u capped at 0.999999
        "scored AS (SELECT c_nationkey, cand, " +
        froundSql(s"($DpEpsilon / 2.0) * (-ABS(rk - n / 2.0)) + " +
-         "(-LN(-LN(LEAST((CAST(CONCAT('0x', SUBSTRING(MD5('dpq:' || " +
-         "CAST(c_nationkey AS VARCHAR) || '|' || CAST(cand AS VARCHAR)), 1, 8)) " +
-         "AS BIGINT) + 1) / 4294967296.0 - 0.5, 0.49999999) + 0.5)))", 6) +
+         "(-LN(" +
+         froundSql("-LN(LEAST(LEAST((CAST(CONCAT('0x', SUBSTRING(MD5('dpq:' || " +
+           "CAST(c_nationkey AS VARCHAR) || '|' || CAST(cand AS VARCHAR)), 1, 8)) " +
+           "AS BIGINT) + 1) / 4294967296.0 - 0.5, 0.49999999) + 0.5, 0.999999))", 6) +
+         "))", 6) +
        " AS k FROM rk) " +
        s"SELECT c_nationkey, $DpEpsilon AS epsilon, cand AS released_median " +
        "FROM (SELECT c_nationkey, cand, " +

@@ -556,7 +556,15 @@ object Scans {
         sid -> s.read.option("multiLine", true).json(ml)
           .select(col("file_path")).collect().map(_.getString(0)).toSet
       }
-      fileSets.sliding(2).map { case Seq((a, fa), (b, fb)) =>
+      // a change feed needs a window to diff: a single-snapshot export
+      // has no (A, B) pair, and letting sliding(2) emit its 1-element
+      // tail window would MatchError (and reduce-on-empty throw) with
+      // no hint at the cause — fail loudly naming the degenerate shape
+      // instead (r17 ADVICE)
+      require(fileSets.size >= 2,
+        s"scan_iceberg_cdc needs >=2 exported snapshots to diff, " +
+        s"got ${fileSets.size} at $metaPath")
+      fileSets.sliding(2).collect { case Seq((a, fa), (b, fb)) =>
         val appended = (fb -- fa).toSeq.sorted
         s.read.parquet(appended.toIndexedSeq: _*)
           .agg(big(count(lit(1))).as("n_rows"),
@@ -1797,13 +1805,30 @@ object Scans {
                  else readManifest(root, stamped(d - 1)._1).toSet
       val adds = (cur -- prev).toSeq.sorted
       val removes = (prev -- cur).toSeq.sorted
-      val operation =
-        if (d == 0) "WRITE" else if (removes.isEmpty) "APPEND" else "OPTIMIZE"
       // the protocol's dataChange bit: a compaction REARRANGES rows
       // without changing table content, so its add/remove actions
       // carry dataChange=false — exactly what lets a change-data-feed
       // reader (scan_delta_cdc) and a streaming tail skip rewrites
-      // instead of double-counting every compacted row
+      // instead of double-counting every compacted row. The
+      // classification is GATED on the [[markCompaction]] declaration
+      // stamped by the rewriter itself, never inferred from commit
+      // shape: an add+remove commit that actually changes data
+      // (DELETE/MERGE) must NOT export dataChange=false — its rows
+      // would silently vanish from every CDC consumer — so an
+      // unmarked add+remove commit fails loudly here until its writer
+      // declares what it is (r17 ADVICE).
+      val operation =
+        if (d == 0) "WRITE"
+        else if (removes.isEmpty) "APPEND"
+        else {
+          require(isCompaction(root, v),
+            s"commit v$v at $root adds AND removes files but carries no " +
+            "_compactions marker: refusing to classify it OPTIMIZE/" +
+            "dataChange=false (a data-changing rewrite exported that way " +
+            "would vanish from the change feed); mark it with " +
+            "markCompaction or export it as an explicit DELETE/MERGE")
+          "OPTIMIZE"
+        }
       val dataChange = operation != "OPTIMIZE"
       val head = Seq(
         s"""{"commitInfo": {"timestamp": $ts, "operation": ${js(operation)}}}""") ++
@@ -1869,6 +1894,34 @@ object Scans {
     Files.move(tmp, d.resolve(s"v$v.txt"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
+
+  /** Stamp a committed version as a COMPACTION REWRITE — one marker
+    * file under `_compactions/`, same temp-file + atomic-move
+    * discipline as [[writeCommitTs]]. The marker is written by the
+    * code that PERFORMS the rewrite (the only place that knows the
+    * commit rearranges rows without changing content), so
+    * [[exportDeltaLog]] can gate its dataChange=false classification
+    * on an explicit declaration instead of inferring it from commit
+    * shape — an add+remove commit that actually changes data
+    * (DELETE/MERGE) would otherwise be exported with dataChange=false
+    * and silently vanish from every CDC consumer (r17 ADVICE). */
+  def markCompaction(root: String, v: Int): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    require(Files.exists(Paths.get(root, "_manifests", s"v$v.txt")),
+      s"cannot mark uncommitted version $v as compaction at $root")
+    val d = Paths.get(root, "_compactions")
+    Files.createDirectories(d)
+    val tmp = d.resolve(s".v$v.txt.tmp")
+    Files.write(tmp, "compaction\n".getBytes("UTF-8"))
+    Files.move(tmp, d.resolve(s"v$v.txt"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Is version `v` declared a compaction rewrite? (see
+    * [[markCompaction]]) */
+  def isCompaction(root: String, v: Int): Boolean =
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "_compactions", s"v$v.txt"))
 
   /** TIMESTAMP time travel — "the table as of <ts>" (the Delta/Iceberg
     * user entry point; scan_time_travel resolves by VERSION, tags and
@@ -2387,6 +2440,10 @@ object Scans {
     // compaction commit: read THROUGH the v2 snapshot, rewrite compact
     val f3 = ttCommit(snapshotRead(s, root, 2).coalesce(2), root, "c3")
     ttWriteManifest(root, 3, f3)
+    // declare WHAT v3 is at the only site that knows (this rewrite
+    // preserves content) — exportDeltaLog's dataChange=false gate
+    // reads this marker instead of inferring from commit shape
+    markCompaction(root, 3)
   }
 
   /** EXPIRE SNAPSHOTS + VACUUM, minimally (the Iceberg

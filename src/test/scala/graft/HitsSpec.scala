@@ -24,6 +24,30 @@ class HitsSpec extends SparkSpec {
     assert(hubs.map(_.getLong(2)).toSeq == Seq(100L, 1L, 2L, 3L))
   }
 
+  test("each round's aggregate is evaluated once: the final plan sees only " +
+       "checkpoint scans, not the unrolled per-round join DAG") {
+    // without the per-round localCheckpoint, the optimized plan of the
+    // output carried every round's join+agg twice (max scalar +
+    // crossJoin), compounding ~4x per round — the r17 #2 query at
+    // minima. With it, the ONLY aggregates left are the two final
+    // max-normalizations (one per side), each over a LogicalRDD
+    // checkpoint scan, and the only joins are their broadcast
+    // crossJoins.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val plan = Analytics.hitsRounds(edges, Analytics.HitsIters)
+      .queryExecution.optimizedPlan
+    val aggs = plan.collect { case a: Aggregate => a }
+    val joins = plan.collect { case j: Join => j }
+    val rdds = plan.collect {
+      case r if r.getClass.getSimpleName == "LogicalRDD" => r }
+    assert(aggs.size == 2,
+      s"expected exactly the 2 final max aggregates, got ${aggs.size}")
+    assert(joins.size == 2,
+      s"expected exactly the 2 broadcast crossJoins, got ${joins.size}")
+    assert(rdds.nonEmpty, "per-round state must be checkpoint-scanned")
+  }
+
   test("fixture query: both sides present, scores in (0, 1], non-increasing") {
     val out = SparkEntry.queries("graph_hits")(spark, sf001).collect()
     val sides = out.map(_.getString(0)).distinct.toSet

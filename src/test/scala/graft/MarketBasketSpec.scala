@@ -22,6 +22,39 @@ class MarketBasketSpec extends SparkSpec {
     assert(r.getDouble(5) == 1.333333)            // 2·4/(3·2)
   }
 
+  test("the min-support item prefilter is lossless and n_orders counts " +
+       "ALL baskets (including ones holding only filtered items)") {
+    // items y/z/w appear in exactly one basket each — the prefilter
+    // drops them before pair generation, but no output pair can lose:
+    // nab <= min(na, nb), so an np<2 item can never reach nab >= 2.
+    // Basket 5 holds ONLY singleton items, yet must still count in
+    // n_orders (support divides by all baskets, not surviving ones).
+    val rows = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"),
+                   (3L, "a"), (3L, "y"), (4L, "z"), (5L, "w"))
+      .toDF("ok", "item")
+    val withRare = Analytics.marketBasket(rows).collect()
+    assert(withRare.length == 1)
+    val r = withRare(0)
+    assert(r.getString(0) == "a" && r.getString(1) == "b")
+    assert(r.getLong(2) == 2L)
+    assert(r.getDouble(3) == 0.4)      // 2/5 — basket 5 still counted
+    assert(r.getDouble(4) == 0.666667) // 2/3
+    assert(r.getDouble(5) == 1.666667) // 2·5/(3·2)
+  }
+
+  test("query construction launches no Spark job (n_orders rides a " +
+       "broadcast crossJoin, not a driver-side count)") {
+    val tracker = spark.sparkContext.statusTracker
+    val rows = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"))
+      .toDF("ok", "item")
+    val before = tracker.getJobIdsForGroup(null).length
+    val df = Analytics.marketBasket(rows) // plan build only — no action
+    val after = tracker.getJobIdsForGroup(null).length
+    assert(after == before,
+      s"marketBasket construction ran ${after - before} Spark job(s)")
+    assert(df.count() == 1L) // and the plan still executes correctly
+  }
+
   test("fixture query: 15 rules, lift non-increasing, ratios in range") {
     val out = SparkEntry.queries("agg_market_basket")(spark, sf001).collect()
     assert(out.length == 15)
