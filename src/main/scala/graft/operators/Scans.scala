@@ -504,7 +504,7 @@ object Scans {
     "scan_delta_export" -> ((s, dir) => {
       val root = deltaFixture(s, dir)
       val logDir = deltaLogDir(root)
-      val acts = s.read.json(logDir + "/*.json")
+      val acts = s.read.option("pathGlobFilter", "*.json").json(logDir)
         .withColumn("version",
           regexp_extract(col("_metadata.file_path"), "(\\d+)\\.json$", 1)
             .cast("long"))
@@ -588,7 +588,7 @@ object Scans {
     "scan_delta_cdc" -> ((s, dir) => {
       val root = deltaFixture(s, dir)
       val logDir = deltaLogDir(root)
-      val acts = s.read.json(logDir + "/*.json")
+      val acts = s.read.option("pathGlobFilter", "*.json").json(logDir)
         .withColumn("version",
           regexp_extract(col("_metadata.file_path"), "(\\d+)\\.json$", 1)
             .cast("long"))
@@ -646,7 +646,7 @@ object Scans {
     "scan_delta_import" -> ((s, dir) => {
       val root = deltaFixture(s, dir)
       val logDir = deltaLogDir(root)
-      val acts = s.read.json(logDir + "/*.json")
+      val acts = s.read.option("pathGlobFilter", "*.json").json(logDir)
       val adds = acts.where(col("add").isNotNull)
         .select(col("add.path").as("path"))
       val removes = acts.where(col("remove").isNotNull)

@@ -808,7 +808,12 @@ object Streams {
     "stream_delta_tail" -> ((s, dir) => {
       val root = graft.operators.Scans.deltaFixture(s, dir)
       val logDir = graft.operators.Scans.deltaLogDir(root)
-      val acts = s.read.schema(DeltaActionSchema).json(logDir + "/*.json")
+      val acts = s.read.schema(DeltaActionSchema)
+        // pathGlobFilter on the DIRECTORY, never a glob in the path:
+        // DataSource's FileStreamSink.hasMetadata probe getFileStatus-es
+        // the literal path string, and a glob there logs a WARN + full
+        // FileNotFoundException stack into the bench tail (r17 Wrong #3)
+        .option("pathGlobFilter", "*.json").json(logDir)
         .select(col("add"), col("_metadata.file_path").as("log_file"))
       deltaTailFinalize(deltaTailGrid(acts))
     }),
