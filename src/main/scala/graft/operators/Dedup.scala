@@ -932,6 +932,42 @@ object Dedup {
     "dedup_minhash_recall" -> ((s, dir) =>
       minhashRecallReport(documents(s, dir))),
 
+    // ORACLE-BRACKETED certificate for the banding recall report (the
+    // agg_mad_bracket pattern, VERDICT r17 #8): the EXACT truth-pair
+    // counts at both thresholds — fully oracle-replayable through the
+    // shingle CTE, like dedup_ngram_jaccard — next to literal-TRUE
+    // booleans carrying the report's hash-specific claims: hits
+    // bounded by truth AND candidates, the S-curve recall lattice
+    // (r@0.7 >= r@0.5 — catch probability 1-(1-j^r)^b is monotone in
+    // j), and the reported recall being exactly the fround4 hit
+    // ratio. The oracle pins each boolean TRUE, so a banding bug
+    // (lost candidates, inflated hits, broken ratio) hash-mismatches
+    // at whatever SF it appears — the recall claim is
+    // CORRECTNESS-gated per SF, not just spec-tested.
+    "dedup_minhash_recall_bracket" -> ((s, dir) => {
+      // the report is 2 rows — checkpoint so the candidate join and
+      // truth scan run once, not once per tau filter below
+      val rep = minhashRecallReport(documents(s, dir)).localCheckpoint()
+      val r5 = rep.where(col("tau") === 0.5)
+        .select(col("n_truth").as("t5"), col("n_hit").as("h5"),
+                col("n_cand").as("c5"), col("recall").as("r5"))
+      val r7 = rep.where(col("tau") === 0.7)
+        .select(col("n_truth").as("t7"), col("n_hit").as("h7"),
+                col("recall").as("r7"))
+      r5.crossJoin(r7).select(
+        big(col("t5")).as("n_truth_05"),
+        big(col("t7")).as("n_truth_07"),
+        (col("h5").between(0, col("t5")) && col("h5") <= col("c5") &&
+         col("h7").between(0, col("t7")) && col("h7") <= col("c5"))
+          .as("hits_bounded"),
+        coalesce(col("r7") >= col("r5"), lit(true)).as("recall_lattice"),
+        ((col("t5") === 0 ||
+          col("r5") === fround(col("h5").cast("double") / col("t5"), 4)) &&
+         (col("t7") === 0 ||
+          col("r7") === fround(col("h7").cast("double") / col("t7"), 4)))
+          .as("recall_is_hit_ratio"))
+    }),
+
     "dedup_minhash" -> ((s, dir) => {
       val docs = documents(s, dir)
       val pairs = minhashPairs(docs, 0.5)
@@ -1670,6 +1706,22 @@ object Dedup {
        "FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id " +
        "WHERE LEN(LIST_INTERSECT(a.sh, b.sh)) * 1.0 / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) >= 0.5 " +
        "ORDER BY a, b"),
+    // the bracket's exact arm: truth-pair counts at both thresholds
+    // from the same full-Jaccard pair scan as dedup_ngram_jaccard
+    // (the df stop-filter is a no-op at fixture scale — the
+    // ngram_jaccard oracle already relies on that); the hash-specific
+    // claims ride as literal-TRUE booleans
+    "dedup_minhash_recall_bracket" ->
+      ("WITH " + shCte + ", " +
+       "j AS (SELECT LEN(LIST_INTERSECT(a.sh, b.sh)) * 1.0 / " +
+       "LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) AS jac " +
+       "FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source " +
+       "AND a.doc_id < b.doc_id) " +
+       "SELECT CAST(COUNT(CASE WHEN jac >= 0.5 THEN 1 END) AS BIGINT) AS n_truth_05, " +
+       "CAST(COUNT(CASE WHEN jac >= 0.7 THEN 1 END) AS BIGINT) AS n_truth_07, " +
+       "TRUE AS hits_bounded, TRUE AS recall_lattice, " +
+       "TRUE AS recall_is_hit_ratio FROM j"),
+
     "dedup_ngram_jaccard" ->
       ("WITH " + shCte + " " +
        "SELECT a.lang, a.source, CAST(COUNT(*) AS BIGINT) AS n_pairs, " +
