@@ -39,6 +39,48 @@ class GraphAnnSpec extends SparkSpec {
       s"beam must walk the chain to the true neighborhood: got $got want $exact")
   }
 
+  test("NN-descent build: recall parity with the blocked build on the " +
+       "planted chain at HALF the edge budget") {
+    // equal-or-less budget: the NN-descent graph keeps <= GraphM
+    // out-edges per vertex where the two-blocking build keeps <= 2M —
+    // parity here means the descent rounds recovered the navigable
+    // structure random seeding cannot see
+    val e = chainCorpus(120)
+    val exact = Similarity.topK(e, 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    def recall(g: org.apache.spark.sql.DataFrame): Int =
+      Similarity.graphBeamSearch(e, g.localCheckpoint(), 10)
+        .select("vec_id").as[Long].collect().toSet.intersect(exact).size
+    val rBlocked = recall(Similarity.knnGraph(e))
+    val nnd = Similarity.knnGraphNnDescent(e).localCheckpoint()
+    val rNnd = recall(nnd)
+    assert(rNnd >= rBlocked,
+      s"NN-descent recall $rNnd/10 must match the blocked build's $rBlocked/10")
+    val maxDeg = nnd.groupBy("vec_id").count()
+      .agg(max("count")).first().getLong(0)
+    assert(maxDeg <= Similarity.GraphM,
+      s"out-degree $maxDeg exceeds the M=${Similarity.GraphM} budget")
+    // fully deterministic: a rebuild yields the identical edge set
+    val again = Similarity.knnGraphNnDescent(e)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == nnd.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
+  test("the exact build refuses a block above the gate; NN-descent " +
+       "builds the same corpus with bounded fan-out") {
+    // one label spanning the whole corpus — the quadratic per-block
+    // join the gate exists to refuse (the r17 named 100-TB gap)
+    val e = chainCorpus(Similarity.KnnBuildGate + 26).withColumn("label", lit(0))
+    val ex = intercept[IllegalArgumentException] { Similarity.knnGraph(e) }
+    assert(ex.getMessage.contains("knnGraphNnDescent"),
+      s"the refusal must name the production build: ${ex.getMessage}")
+    // the production build takes the oversized block in stride: its
+    // candidate volume is capped per vertex, never per block
+    val g = Similarity.knnGraphNnDescent(e, rounds = 1)
+    val deg = g.groupBy("vec_id").count().agg(max("count")).first().getLong(0)
+    assert(deg <= Similarity.GraphM)
+  }
+
   test("beam search is deterministic: two runs return identical rows") {
     val a = SparkEntry.queries("sim_ann_graph")(spark, sf001).collect().toSeq
     val b = SparkEntry.queries("sim_ann_graph")(spark, sf001).collect().toSeq

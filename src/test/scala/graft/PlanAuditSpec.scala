@@ -1191,6 +1191,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(4000))
   }
 
+  test("sim_ann_graph_nnd: the final plan is a bounded rank over the " +
+       "checkpointed beam — no build joins, no corpus exchange") {
+    val p = plan("sim_ann_graph_nnd")
+    // the NN-descent build and every beam round materialize behind
+    // localCheckpoints — the returned plan must be ONLY the ≤ beam-row
+    // rank window over the last checkpoint scan; any join or hash
+    // exchange here would mean build or search state leaked into the
+    // measured plan
+    assert(p.contains("Scan ExistingRDD"), p.take(4000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(4000))
+    assert(!p.contains("Join"), p.take(4000))
+    assert(!p.contains("hashpartitioning"), p.take(4000))
+  }
+
   test("whole-stage codegen covers the hot paths of the flagship aggregate") {
     // AQE finalizes stages only at execution; run the query, then check
     // the final adaptive plan for codegen stage markers (`*(n)`)
