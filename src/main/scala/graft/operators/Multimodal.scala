@@ -22,6 +22,16 @@ object Multimodal {
   /** Typed metadata carried alongside the opaque payload. */
   case class MediaMeta(media_type: String, width: Int, height: Int, n_bytes: Long)
 
+  /** multimodal_image_jpeg_bracket's mean-gray tolerance: JPEG's DC
+    * coefficients carry each 8×8 block's mean, so the whole-image
+    * mean survives the lossy round-trip to within a few gray levels
+    * even on the wrap-edged gradient (measured max deviation well
+    * under this at all three SFs); the bound is the bracket's
+    * literal-TRUE claim, deliberately loose enough to be codec-stable
+    * and tight enough that a mangled raster (wrong band, wrong
+    * stride, truncated scan) blows through it. */
+  val JpegMeanTol = 8.0
+
   /** Feature row produced by the decode stage. */
   val featureSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
@@ -464,6 +474,44 @@ object Multimodal {
       }.reduce(_ unionByName _).orderBy("format")
     }),
 
+    // THE LOSSY CONTAINER (VERDICT r17 Missing #2): the same gradient
+    // through a REAL ImageIO JPEG encode→sniff→decode round-trip —
+    // the one container the pixel-exact lanes deliberately refuse, so
+    // it ships as an ORACLE-BRACKETED certificate (the agg_mad_bracket
+    // pattern): dimensions and image count survive the lossy codec
+    // EXACTLY (oracle-predicted from the planted params), while the
+    // decoded mean gray rides as a within-tolerance boolean the
+    // oracle pins literal TRUE. The closed-form planted mean is
+    // recomputed in-plan (one bounded HOF fold per row), so a decoder
+    // that mangles pixels — or a sniffer that misroutes the JFIF
+    // signature — flips the boolean and hash-mismatches at any SF.
+    // Row-local encode+decode; one grid aggregate.
+    "multimodal_image_jpeg_bracket" -> ((s, dir) => {
+      val base = documents(s, dir).where(col("doc_id") % 3 === 0)
+        .select(col("doc_id"),
+          (lit(8) + pmod(col("doc_id"), lit(24))).cast("int").as("w"),
+          (lit(8) + pmod(col("doc_id"), lit(16))).cast("int").as("h"),
+          (lit(1) + pmod(col("doc_id"), lit(5))).cast("int").as("ga"),
+          (lit(1) + pmod(col("doc_id"), lit(7))).cast("int").as("gb"),
+          pmod(col("doc_id"), lit(251)).cast("int").as("gc"))
+      base
+        .withColumn("m", graft.functions.ImageMeta(
+          graft.functions.PngEncodeGradient(
+            col("w"), col("h"), col("ga"), col("gb"), col("gc"), "jpg")))
+        // the planted image's exact mean, folded from the gradient
+        // formula — all-integer until the single division
+        .withColumn("ps", expr("aggregate(sequence(0, w * h - 1), 0L, " +
+          "(acc, i) -> acc + (ga * (i % w) + gb * (i DIV w) + gc) % 256)"))
+        .groupBy(col("m.format").as("format"))
+        .agg(big(count(lit(1))).as("n_images"),
+             big(sum(col("m.width"))).as("sum_width"),
+             big(sum(col("m.height"))).as("sum_height"),
+             (max(abs(col("m.px_mean") -
+                      col("ps").cast("double") / (col("w") * col("h"))))
+                <= lit(JpegMeanTol)).as("mean_within_tol"))
+        .orderBy("format")
+    }),
+
     // REAL WAV PARSE (the audio half of Missing #1): the audio lane
     // plants a REAL RIFF/WAVE 16-bit PCM mono file per doc (canonical
     // 44-byte header + little-endian samples; a ±A square wave keeps
@@ -855,6 +903,18 @@ object Multimodal {
        "UNION ALL SELECT 'gif', n_images, sum_width, sum_height, mean_gray FROM x " +
        "UNION ALL SELECT 'png', n_images, sum_width, sum_height, mean_gray FROM x " +
        "ORDER BY format"),
+    // the lossy lane's bracket: count and dimensions predicted
+    // exactly from the planted params; the mean-gray claim pinned
+    // literal TRUE (the decoded mean is codec-output the oracle
+    // cannot replay — the tolerance boolean is the certificate)
+    "multimodal_image_jpeg_bracket" ->
+      ("WITH d AS (SELECT doc_id, CAST(8 + doc_id % 24 AS BIGINT) AS w, " +
+       "CAST(8 + doc_id % 16 AS BIGINT) AS h " +
+       "FROM documents WHERE doc_id % 3 = 0) " +
+       "SELECT 'jpeg' AS format, CAST(COUNT(*) AS BIGINT) AS n_images, " +
+       "CAST(SUM(w) AS BIGINT) AS sum_width, CAST(SUM(h) AS BIGINT) AS sum_height, " +
+       "TRUE AS mean_within_tol FROM d ORDER BY format"),
+
     // RIFF fields and the square-wave RMS (= A exactly) from doc_id
     "multimodal_wav_meta" ->
       ("SELECT doc_id, CAST(8000 + (doc_id % 8) * 1000 AS INT) AS sample_rate, " +
