@@ -247,6 +247,39 @@ object Vectors {
         .orderBy("vec_id")
     }),
 
+    // MULTI-COMPONENT PCA (VERDICT r17 Missing #4): the top
+    // [[PcaComponents]] eigenpairs via Hotelling deflation — each
+    // stage runs the IDENTICAL [[PcaIters]]-round power iteration,
+    // then subtracts λ·v·vᵀ and iterates again; component signs are
+    // canonically pinned (max-|loading| dim positive). Everything
+    // after the one memoized covariance pass is metadata-scale: the
+    // deflations and iterations touch only the d² cov table. The
+    // oracle unrolls all three stages as CTEs.
+    "vec_pca_topk" -> ((s, dir) => pcaTopKCached(s, dir)),
+
+    // PROJECTION ONTO THE MULTI-COMPONENT BASIS — vec_pca_project's
+    // production shape generalized to k components: the published
+    // (fround6, sign-pinned) basis is a 3·d-row broadcast into ONE
+    // row-local corpus pass; per (vector, component) score by the
+    // same centered dsum6 dot. Long-form output so the hash covers
+    // every score without array columns.
+    "vec_pca_project_basis" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val basis = pcaTopKCached(s, dir)
+        .select(col("component"), col("dim").cast("int").as("i"), col("loading"))
+      val pe = e.select(col("vec_id"),
+                        posexplode(Similarity.asDouble(col("embedding"))))
+        .toDF("vec_id", "i", "x")
+      val mean = pe.groupBy("i").agg(
+        dsum6(col("x")).as("s"), big(count(lit(1))).as("cnt"))
+        .select(col("i"), (col("s") / col("cnt")).as("m"))
+      pe.join(broadcast(mean), Seq("i"))
+        .join(broadcast(basis), Seq("i"))
+        .groupBy("vec_id", "component")
+        .agg(fround(dsum6((col("x") - col("m")) * col("loading")), 4).as("score"))
+        .orderBy("vec_id", "component")
+    }),
+
     // EMBEDDING OUTLIERS — vectors farther than μ+2σ from their
     // label's centroid: the "mislabeled / corrupted row" detector an
     // embedding pipeline runs before training. Per-label centroid =
@@ -906,6 +939,40 @@ object Vectors {
 
   lazy val PcaCte: String = pcaCteFor("embeddings")
 
+  /** The multi-component replay: [[pcaCteFor]]'s cov + component-1
+    * rounds, then per component a sign-pin (flip/vp), Rayleigh
+    * (cw/lam) and rank-1 deflation (covN), with the SAME unrolled
+    * rounds re-run on each deflated covariance. MATERIALIZED
+    * throughout — every stage CTE is multiply referenced. */
+  def pcaTopKCteFor(src: String): String = {
+    def rounds(c: Int, covName: String): String =
+      s"v${c}x0 AS (SELECT DISTINCT i, 1.0 AS v FROM $covName), " +
+      (1 to PcaIters).map { k =>
+        s"w${c}x$k AS MATERIALIZED (SELECT c.i, " + dsum6Sql("c.c * v.v") +
+        s" AS w FROM $covName c JOIN v${c}x${k - 1} v ON v.i = c.j GROUP BY 1), " +
+        s"n${c}x$k AS MATERIALIZED (SELECT SQRT(" + dsum6Sql("w * w") +
+        s") AS nm FROM w${c}x$k), " +
+        s"v${c}x$k AS MATERIALIZED (SELECT i, w / (SELECT nm FROM n${c}x$k) AS v FROM w${c}x$k)"
+      }.mkString(", ")
+    def tail(c: Int, covName: String, vName: String): String =
+      s"flip$c AS (SELECT CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END AS fl " +
+      s"FROM $vName ORDER BY " + froundSql("ABS(v)", 6) + " DESC, i LIMIT 1), " +
+      s"vp$c AS MATERIALIZED (SELECT i, v * (SELECT fl FROM flip$c) AS v FROM $vName), " +
+      s"cw$c AS MATERIALIZED (SELECT c.i, " + dsum6Sql("c.c * v.v") +
+      s" AS w FROM $covName c JOIN vp$c v ON v.i = c.j GROUP BY 1), " +
+      s"lam$c AS MATERIALIZED (SELECT " + dsum6Sql("v.v * w.w") +
+      s" AS lam FROM cw$c w JOIN vp$c v ON v.i = w.i)"
+    def deflate(c: Int, covName: String): String =
+      s"cov$c AS MATERIALIZED (SELECT c.i, c.j, " +
+      s"c.c - (SELECT lam FROM lam$c) * vi.v * vj.v AS c " +
+      s"FROM $covName c JOIN vp$c vi ON vi.i = c.i JOIN vp$c vj ON vj.i = c.j)"
+    pcaCteFor(src) + ", " +
+    tail(1, "cov", s"v$PcaIters") + ", " + deflate(1, "cov") + ", " +
+    rounds(2, "cov1") + ", " + tail(2, "cov1", s"v2x$PcaIters") + ", " +
+    deflate(2, "cov1") + ", " +
+    rounds(3, "cov2") + ", " + tail(3, "cov2", s"v3x$PcaIters")
+  }
+
   /** vec_pca_fit_sampled's fit corpus: the [[PcaSampleK]] vectors with
     * the smallest seeded md5 keys — a uniform without-replacement
     * sample whose selection is key-stable across engines, partitionings
@@ -973,12 +1040,10 @@ object Vectors {
       .orderBy("label", "vec_id")
   }
 
-  /** vec_pca_power's whole computation on any (vec_id, embedding)
-    * frame — factored out so PcaSpec can plant a rank-1 corpus with a
-    * hand-derivable eigenpair. Covariance is sample (n−1); the
-    * iteration runs exactly [[PcaIters]] rounds from the 𝟙 start
-    * vector with every accumulation dsum6-pinned. */
-  def pcaPower(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  /** The d×d sample covariance of any (vec_id, embedding) frame —
+    * the ONE corpus pass both fits (top-1 power and top-k deflation)
+    * share. NOT checkpointed here; callers checkpoint (or memo). */
+  def pcaCovOf(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val pe = emb
       .select(col("vec_id"),
               posexplode(Similarity.asDouble(col("embedding"))))
@@ -1011,10 +1076,17 @@ object Vectors {
       .select(col("i"), col("j"),
               ((col("sd") - col("cnt") * col("mi") * col("mj")) /
                (col("cnt") - 1)).as("c"))
-    val cov = covU.unionByName(
-        covU.where(col("i") =!= col("j"))
-            .select(col("j").as("i"), col("i").as("j"), col("c")))
-      .localCheckpoint()
+    covU.unionByName(
+      covU.where(col("i") =!= col("j"))
+          .select(col("j").as("i"), col("i").as("j"), col("c")))
+  }
+
+  /** The [[PcaIters]] power rounds on a (checkpointed) covariance —
+    * returns the UNNORMALIZED-sign unit vector (i, v). Factored so
+    * the top-1 fit and each deflation stage run the IDENTICAL
+    * iteration. */
+  private def pcaRoundsOnCov(cov: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     var v = cov.select(col("i")).distinct()
       .select(col("i"), lit(1.0).as("v"))
     for (_ <- 1 to PcaIters) {
@@ -1032,14 +1104,103 @@ object Vectors {
         .select(col("i"), (col("w") / col("nm")).as("v"))
         .localCheckpoint()
     }
+    v
+  }
+
+  /** Rayleigh quotient λ = vᵀ·cov·v of a unit vector, dsum6-pinned. */
+  private def pcaRayleigh(cov: org.apache.spark.sql.DataFrame,
+                          v: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val cv = cov.join(v.select(col("i").as("j"), col("v")), Seq("j"))
       .groupBy("i").agg(dsum6(col("c") * col("v")).as("w"))
-    val lam = cv.join(v, Seq("i"))
+    cv.join(v, Seq("i"))
       .agg(dsum6(col("v") * col("w")).as("lam"))
+  }
+
+  /** vec_pca_power's whole computation on any (vec_id, embedding)
+    * frame — factored out so PcaSpec can plant a rank-1 corpus with a
+    * hand-derivable eigenpair. Covariance is sample (n−1); the
+    * iteration runs exactly [[PcaIters]] rounds from the 𝟙 start
+    * vector with every accumulation dsum6-pinned. */
+  def pcaPower(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cov = pcaCovOf(emb).localCheckpoint()
+    val v = pcaRoundsOnCov(cov)
+    val lam = pcaRayleigh(cov, v)
     v.crossJoin(broadcast(lam))
       .select(col("i").cast("long").as("dim"), fround(col("v"), 6).as("loading"),
               fround(col("lam"), 6).as("eigenvalue"))
       .orderBy("dim")
+  }
+
+  /** Components for the multi-component fit (VERDICT r17 Missing #4)
+    * — a fixed contract like [[PcaIters]]; the oracle unrolls one
+    * deflation stage per component. */
+  val PcaComponents = 3
+
+  /** MULTI-COMPONENT PCA via HOTELLING DEFLATION: after each
+    * component's [[PcaIters]]-round power fit, the covariance is
+    * deflated (cov ← cov − λ·v·vᵀ — the rank-1 subtraction that
+    * removes the found eigenspace) and the IDENTICAL iteration runs
+    * again, so the next dominant direction surfaces. Every
+    * component's SIGN is canonically pinned — flipped so the
+    * max-|loading| dimension (fround6 magnitude, ties to the lowest
+    * dim) is positive — making the published basis orientation-stable
+    * no matter how the iteration lands. All arithmetic follows the
+    * vec_pca_power discipline (dsum6 at every accumulation,
+    * broadcast-scalar normalizers, per-stage localCheckpoints), so
+    * the oracle replays component after component move for move.
+    * Returns (component, dim, loading, eigenvalue), components
+    * eigenvalue-descending by construction. */
+  def pcaTopK(emb: org.apache.spark.sql.DataFrame,
+              k: Int = PcaComponents): org.apache.spark.sql.DataFrame =
+    pcaTopKOnCov(pcaCovOf(emb).localCheckpoint(), k)
+
+  def pcaTopKOnCov(cov0: org.apache.spark.sql.DataFrame,
+                   k: Int): org.apache.spark.sql.DataFrame = {
+    var covC = cov0
+    val comps = (1 to k).map { c =>
+      val vRaw = pcaRoundsOnCov(covC)
+      // canonical sign: the component is defined up to ±1 — pin it so
+      // the largest-magnitude loading is positive (fround6 magnitudes
+      // so the argmax selection is engine-stable, dim ties downward)
+      val flip = vRaw.orderBy(fround(abs(col("v")), 6).desc, col("i")).limit(1)
+        .select(when(col("v") < 0, lit(-1.0)).otherwise(lit(1.0)).as("fl"))
+      val v = vRaw.crossJoin(broadcast(flip))
+        .select(col("i"), (col("v") * col("fl")).as("v"))
+        .localCheckpoint()
+      val lam = pcaRayleigh(covC, v).localCheckpoint()
+      // deflate for the next stage: plain IEEE c − λ·vᵢ·vⱼ (identical
+      // operand values on both engines, so no extra pin — the covu
+      // assembly convention); checkpoint bounds the stage chain
+      covC = covC
+        .join(broadcast(v.select(col("i"), col("v").as("vi"))), Seq("i"))
+        .join(broadcast(v.select(col("i").as("j"), col("v").as("vj"))), Seq("j"))
+        .crossJoin(broadcast(lam))
+        .select(col("i"), col("j"),
+                (col("c") - col("lam") * col("vi") * col("vj")).as("c"))
+        .localCheckpoint()
+      v.crossJoin(broadcast(lam))
+        .select(big(lit(c)).as("component"), col("i"), col("v"), col("lam"))
+    }
+    comps.reduce(_ unionByName _)
+      .select(col("component"), big(col("i")).as("dim"),
+              fround(col("v"), 6).as("loading"),
+              fround(col("lam"), 6).as("eigenvalue"))
+      .orderBy("component", "dim")
+  }
+
+  private val pcaTopKMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String), org.apache.spark.sql.DataFrame]
+
+  /** The multi-component fit memoized per (application, fixture) —
+    * the pcaFitCached discipline; vec_pca_topk IS the fit,
+    * vec_pca_project_basis consumes it. */
+  def pcaTopKCached(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val sig = graft.Tables.fsSig(s, s"$dir/embeddings.parquet")
+    pcaTopKMemo.getOrElseUpdate(
+      (s.sparkContext.applicationId, s"$dir|$sig"),
+      pcaTopK(embeddings(s, dir)).localCheckpoint())
   }
 
   /** Johnson-Lindenstrauss geometry (vec_random_projection): 64 dims
@@ -1469,6 +1630,30 @@ object Vectors {
        "SELECT v.i AS dim, " + froundSql("v.v", 6) + " AS loading, " +
        froundSql("(SELECT lam FROM lam)", 6) + " AS eigenvalue " +
        s"FROM v$PcaIters v ORDER BY dim"),
+
+    // all three deflation stages replayed; per component the
+    // sign-pinned loadings + the stage's Rayleigh eigenvalue
+    "vec_pca_topk" ->
+      ("WITH " + pcaTopKCteFor("embeddings") + " " +
+       (1 to PcaComponents).map { c =>
+         s"SELECT CAST($c AS BIGINT) AS component, CAST(i AS BIGINT) AS dim, " +
+         froundSql("v", 6) + " AS loading, " +
+         froundSql(s"(SELECT lam FROM lam$c)", 6) + s" AS eigenvalue FROM vp$c"
+       }.mkString("", " UNION ALL ", " ORDER BY component, dim")),
+
+    // the 3·d-row published basis joined back onto the exploded
+    // corpus — same centered dsum6 dot as vec_pca_project, per lane
+    "vec_pca_project_basis" ->
+      ("WITH " + pcaTopKCteFor("embeddings") + ", " +
+       "basis AS (" +
+       (1 to PcaComponents).map { c =>
+         s"SELECT CAST($c AS BIGINT) AS component, i, " +
+         froundSql("v", 6) + s" AS l FROM vp$c"
+       }.mkString(" UNION ALL ") + ") " +
+       "SELECT pe.vec_id, b.component, " +
+       froundSql(dsum6Sql("(pe.x - mean.m) * b.l"), 4) + " AS score " +
+       "FROM pe JOIN mean USING (i) JOIN basis b USING (i) " +
+       "GROUP BY 1, 2 ORDER BY 1, 2"),
 
     // each truncation arm mirrors the sim_topk cut with list slicing
     "vec_matryoshka_recall" -> {

@@ -55,6 +55,46 @@ class PcaSpec extends SparkSpec {
       got.mkString(","))
   }
 
+  test("planted rank-2 corpus: deflation recovers both hand-computed " +
+       "eigenpairs in order") {
+    // axis-aligned rank-2: cov = diag(18/3, 2/3) → components (1,0)
+    // λ=6 then, after the rank-1 deflation, (0,1) λ=2/3. (Axis-aligned
+    // so 𝟙 keeps a component on BOTH directions — the 𝟙 start is
+    // orthogonal to the second eigenvector of any corpus whose
+    // components sum symmetrically.)
+    val emb = Seq(
+      (1L, Array(3.0f, 0.0f)), (2L, Array(-3.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.0f, -1.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Vectors.pcaTopK(emb, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.length == 4)
+    val c1 = got.filter(_._1 == 1L).sortBy(_._2)
+    val c2 = got.filter(_._1 == 2L).sortBy(_._2)
+    assert(math.abs(c1(0)._3 - 1.0) < 1e-4 && math.abs(c1(1)._3) < 1e-4,
+      c1.mkString(","))
+    assert(c1.forall(r => math.abs(r._4 - 6.0) < 1e-3), c1.mkString(","))
+    assert(math.abs(c2(0)._3) < 1e-4 && math.abs(c2(1)._3 - 1.0) < 1e-4,
+      c2.mkString(","))
+    assert(c2.forall(r => math.abs(r._4 - 2.0 / 3) < 1e-3), c2.mkString(","))
+  }
+
+  test("component sign is canonically pinned: max-|loading| dim positive") {
+    // ±(−3,2,2) corpus: the 𝟙-start iteration lands (−3,2,2)/√17 —
+    // max-|loading| dim 0 NEGATIVE — so the pin must flip the whole
+    // component to (3,−2,−2)/√17; λ = 2·17 = 34
+    val emb = Seq(
+      (1L, Array(-3.0f, 2.0f, 2.0f)), (2L, Array(3.0f, -2.0f, -2.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Vectors.pcaTopK(emb, 1).collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3))).sortBy(_._1)
+    val s = 1.0 / math.sqrt(17)
+    assert(math.abs(got(0)._2 - 3 * s) < 1e-4, got.mkString(","))
+    assert(math.abs(got(1)._2 + 2 * s) < 1e-4, got.mkString(","))
+    assert(math.abs(got(2)._2 + 2 * s) < 1e-4, got.mkString(","))
+    assert(got.forall(r => math.abs(r._3 - 34.0) < 1e-3), got.mkString(","))
+  }
+
   test("planted cluster with one far point flags exactly that point") {
     // 20 inliers (5 copies each of the 4 unit points) pull the
     // centroid to (1,0) once the (21,0) outlier joins; inlier
