@@ -465,8 +465,8 @@ object Scans {
     // parent-snapshot-id / sequence-number / timestamp-ms / summary.
     // operation / manifest-list, plus refs for branch+tag pointers
     // and current-snapshot-id — see exportIcebergMetadata's scaladoc
-    // for the field-by-field mapping and the one documented deviation:
-    // manifest lists are JSON stand-ins, not Avro). The query then
+    // for the field-by-field mapping; manifest lists are REAL
+    // hand-encoded Avro containers, AvroManifest). The query then
     // READS THE EXPORT BACK through the JSON source and re-derives the
     // snapshot history from nothing but the exported document; the
     // oracle predicts every field from the fixture's declared commit
@@ -553,8 +553,9 @@ object Scans {
                 col("sn.`manifest-list`").as("mlist"))
         .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
       val fileSets = snaps.toIndexedSeq.map { case (sid, ml) =>
-        sid -> s.read.option("multiLine", true).json(ml)
-          .select(col("file_path")).collect().map(_.getString(0)).toSet
+        // the Avro manifest list, decoded by the OFFICIAL Avro reader
+        // (metadata-sized; see AvroManifest's conformance argument)
+        sid -> graft.sources.AvroManifest.readFilePaths(ml).toSet
       }
       // a change feed needs a window to diff: a single-snapshot export
       // has no (A, B) pair, and letting sliding(2) emit its 1-element
@@ -608,8 +609,8 @@ object Scans {
 
     // CATALOG IMPORT, ICEBERG SHAPE — data served through the
     // exported TableMetadata alone, INCLUDING time travel: each
-    // snapshot's manifest-list (the JSON stand-in carrying the Avro
-    // fields) resolves to its file set, and those files are read
+    // snapshot's manifest-list (a real Avro container, decoded by
+    // the official reader) resolves to its file set, and those files are read
     // directly — our own `_manifests/` never participates. Both the
     // first and the current snapshot are served, so the export's
     // history is proven navigable, not just its head. Manifest-list
@@ -623,8 +624,7 @@ object Scans {
                 col("sn.`manifest-list`").as("mlist"))
         .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
       snaps.toIndexedSeq.map { case (sid, mlist) =>
-        val files = s.read.option("multiLine", true).json(mlist)
-          .select(col("file_path")).collect().map(_.getString(0)).sorted
+        val files = graft.sources.AvroManifest.readFilePaths(mlist).sorted
         s.read.parquet(files.toIndexedSeq: _*)
           .agg(big(count(lit(1))).as("n_rows"),
                big(sum(floor(col("o_totalprice") * 100).cast("long")))
@@ -1647,11 +1647,13 @@ object Scans {
     *   chain head               → `current-snapshot-id`,
     *                              `last-sequence-number`
     *
-    * ONE documented deviation: Iceberg manifest lists are Avro files;
-    * zero-egress leaves no Avro writer here, so each snapshot's
-    * `manifest-list` points at a JSON stand-in carrying the same
-    * per-file fields (`file_path`, `file_format`) — a migrator reads
-    * the same information from the same indirection. Only versions
+    * Manifest lists are REAL Avro object container files (the Iceberg
+    * format), hand-encoded from the public Avro spec by
+    * [[graft.sources.AvroManifest]] — magic, schema/codec metadata
+    * map, deterministic sync marker, varint-framed record block —
+    * and every read goes through the official `org.apache.avro`
+    * decoder, so the bytes are independently conformance-checked on
+    * each import (the r17 deviation note is retired). Only versions
     * with BOTH a manifest and a commit stamp export (an Iceberg
     * snapshot always has a timestamp); table-uuid is
     * content-deterministic (md5 of the root path) so repeated exports
@@ -1682,12 +1684,13 @@ object Scans {
     }
     val snaps = stamped.zipWithIndex.map { case ((v, ts), i) =>
       val files = readManifest(root, v)
-      val listPath = outDir.resolve(s"snap-$v.json")
-      val tmp = Files.createTempFile(outDir, s".snap-$v", ".tmp")
-      Files.write(tmp, files.map(f =>
-        s"""{"file_path": ${js(f)}, "file_format": "PARQUET"}""")
-        .mkString("[", ", ", "]").getBytes("UTF-8"))
-      Files.move(tmp, listPath, C.ATOMIC_MOVE, C.REPLACE_EXISTING)
+      // a REAL Avro object container per snapshot (the Iceberg
+      // manifest-list format), hand-encoded from the public spec —
+      // sync seeded per (table, version) so re-exports stay
+      // byte-stable
+      val listPath = outDir.resolve(s"snap-$v.avro")
+      graft.sources.AvroManifest.write(
+        listPath, files.map(f => (f, "PARQUET")), s"$root#snap-$v")
       val parent = if (i == 0) ""
                    else s""""parent-snapshot-id": ${stamped(i - 1)._1}, """
       s"""{"snapshot-id": $v, $parent"sequence-number": $v, """ +

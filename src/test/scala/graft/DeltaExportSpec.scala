@@ -82,6 +82,46 @@ class DeltaExportSpec extends SparkSpec {
     assert(rows(1).getLong(1) == Tables.orders(spark, sf001).count())
   }
 
+  test("manifest lists are REAL Avro containers: hand-encoded bytes " +
+       "round-trip through the official decoder, byte-stable") {
+    import graft.sources.AvroManifest
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro_rt")
+    val entries = Seq(("/data/a.parquet", "PARQUET"), ("/data/b.parquet", "PARQUET"))
+    val p = dir.resolve("m.avro")
+    AvroManifest.write(p, entries, "seed")
+    val bytes = java.nio.file.Files.readAllBytes(p)
+    // the container magic the Avro spec mandates
+    assert(bytes.take(4).sameElements(Array[Byte]('O', 'b', 'j', 1)))
+    // the INDEPENDENT half: org.apache.avro's DataFileReader (not our
+    // writer's mirror image) must accept the bytes and return the
+    // records — a wrong varint, codec or block frame fails here
+    assert(AvroManifest.readEntries(p.toString) == entries)
+    // deterministic export: same inputs + seed → identical bytes
+    val p2 = dir.resolve("m2.avro")
+    AvroManifest.write(p2, entries, "seed")
+    assert(java.util.Arrays.equals(bytes, java.nio.file.Files.readAllBytes(p2)))
+    // a header-only (empty) container is still valid Avro
+    val p0 = dir.resolve("m0.avro")
+    AvroManifest.write(p0, Seq.empty, "seed")
+    assert(AvroManifest.readEntries(p0.toString).isEmpty)
+    // >127-byte payload + >63 records exercise multi-byte zigzag varints
+    val many = (1 to 300).map(i => (s"/data/part-$i.parquet", "PARQUET"))
+    val pm = dir.resolve("many.avro")
+    AvroManifest.write(pm, many, "s2")
+    assert(AvroManifest.readEntries(pm.toString) == many)
+    // and the LIVE export's lists decode through the same official path
+    val root = graft.operators.Scans.timeTravelFixture(spark, sf001)
+    val meta = graft.operators.Scans.exportIcebergMetadata(root)
+    val lists = new java.io.File(s"$root/_iceberg").listFiles()
+      .filter(_.getName.matches("snap-\\d+\\.avro"))
+    assert(lists.nonEmpty)
+    lists.foreach { f =>
+      val es = AvroManifest.readEntries(f.getPath)
+      assert(es.nonEmpty && es.forall(_._2 == "PARQUET"), f.getName)
+    }
+    assert(meta.endsWith(".metadata.json"))
+  }
+
   test("the query reconstructs live rows that never decrease across the history") {
     val rows = SparkEntry.queries("scan_delta_export")(spark, sf001).collect()
     assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
