@@ -1720,7 +1720,7 @@ object Dedup {
        "SELECT CAST(COUNT(CASE WHEN jac >= 0.5 THEN 1 END) AS BIGINT) AS n_truth_05, " +
        "CAST(COUNT(CASE WHEN jac >= 0.7 THEN 1 END) AS BIGINT) AS n_truth_07, " +
        "TRUE AS hits_bounded, TRUE AS recall_lattice, " +
-       "TRUE AS recall_is_hit_ratio FROM j"),
+       "TRUE AS recall_is_hit_ratio FROM j ORDER BY n_truth_05"),
 
     "dedup_ngram_jaccard" ->
       ("WITH " + shCte + " " +

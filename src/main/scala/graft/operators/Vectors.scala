@@ -280,6 +280,29 @@ object Vectors {
         .orderBy("vec_id", "component")
     }),
 
+    // EXPLAINED-VARIANCE REPORT on the multi-component fit — the
+    // "how many components do I keep" sheet every PCA consumer reads:
+    // per component its eigenvalue, the ratio to the TOTAL variance
+    // (trace of the shared covariance — the d diagonal entries,
+    // dsum6-folded), and the running cumulative ratio. Everything
+    // here is d- or k-sized metadata riding the session's one
+    // covariance pass; the 3-row cumulative window is bounded by
+    // construction.
+    "vec_pca_explained" -> ((s, dir) => {
+      val trace = pcaCovCached(s, dir).where(col("i") === col("j"))
+        .agg(dsum6(col("c")).as("tr"))
+      val lams = pcaTopKCached(s, dir)
+        .groupBy("component").agg(max(col("eigenvalue")).as("eigenvalue"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy("component")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      lams.crossJoin(broadcast(trace))
+        .select(col("component"), col("eigenvalue"),
+                fround(col("eigenvalue") / col("tr"), 6).as("explained_ratio"))
+        .withColumn("cum_ratio", fround(sum(col("explained_ratio")).over(w), 6))
+        .orderBy("component")
+    }),
+
     // EMBEDDING OUTLIERS — vectors farther than μ+2σ from their
     // label's centroid: the "mislabeled / corrupted row" detector an
     // embedding pipeline runs before training. Per-label centroid =
@@ -1006,7 +1029,7 @@ object Vectors {
     val sig = graft.Tables.fsSig(s, s"$dir/embeddings.parquet")
     pcaMemo.getOrElseUpdate(
       (s.sparkContext.applicationId, s"$dir|$sig"),
-      pcaPower(embeddings(s, dir)).localCheckpoint())
+      pcaPowerOnCov(pcaCovCached(s, dir)).localCheckpoint())
   }
 
   /** vec_outliers' whole computation on any (label, vec_id, embedding)
@@ -1122,14 +1145,33 @@ object Vectors {
     * hand-derivable eigenpair. Covariance is sample (n−1); the
     * iteration runs exactly [[PcaIters]] rounds from the 𝟙 start
     * vector with every accumulation dsum6-pinned. */
-  def pcaPower(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val cov = pcaCovOf(emb).localCheckpoint()
+  def pcaPower(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    pcaPowerOnCov(pcaCovOf(emb).localCheckpoint())
+
+  /** The top-1 fit on an already-materialized covariance — the entry
+    * the session memo uses so every PCA query shares ONE cov pass. */
+  def pcaPowerOnCov(cov: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val v = pcaRoundsOnCov(cov)
     val lam = pcaRayleigh(cov, v)
     v.crossJoin(broadcast(lam))
       .select(col("i").cast("long").as("dim"), fround(col("v"), 6).as("loading"),
               fround(col("lam"), 6).as("eigenvalue"))
       .orderBy("dim")
+  }
+
+  private val pcaCovMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String), org.apache.spark.sql.DataFrame]
+
+  /** The corpus covariance memoized per (application, fixture) — the
+    * ONE corpus pass every PCA query (top-1 fit, deflation fit,
+    * explained variance) shares; everything downstream is d²-table
+    * metadata work. */
+  def pcaCovCached(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val sig = graft.Tables.fsSig(s, s"$dir/embeddings.parquet")
+    pcaCovMemo.getOrElseUpdate(
+      (s.sparkContext.applicationId, s"$dir|$sig"),
+      pcaCovOf(embeddings(s, dir)).localCheckpoint())
   }
 
   /** Components for the multi-component fit (VERDICT r17 Missing #4)
@@ -1200,7 +1242,7 @@ object Vectors {
     val sig = graft.Tables.fsSig(s, s"$dir/embeddings.parquet")
     pcaTopKMemo.getOrElseUpdate(
       (s.sparkContext.applicationId, s"$dir|$sig"),
-      pcaTopK(embeddings(s, dir)).localCheckpoint())
+      pcaTopKOnCov(pcaCovCached(s, dir), PcaComponents).localCheckpoint())
   }
 
   /** Johnson-Lindenstrauss geometry (vec_random_projection): 64 dims
@@ -1640,6 +1682,24 @@ object Vectors {
          froundSql("v", 6) + " AS loading, " +
          froundSql(s"(SELECT lam FROM lam$c)", 6) + s" AS eigenvalue FROM vp$c"
        }.mkString("", " UNION ALL ", " ORDER BY component, dim")),
+
+    // trace from the cov diagonal, ratios against the published
+    // (fround6) eigenvalues, 3-row running window
+    "vec_pca_explained" ->
+      ("WITH " + pcaTopKCteFor("embeddings") + ", " +
+       "tr AS (SELECT " + dsum6Sql("c") + " AS tr FROM cov WHERE i = j), " +
+       "lams AS (" +
+       (1 to PcaComponents).map { c =>
+         s"SELECT CAST($c AS BIGINT) AS component, " +
+         froundSql(s"(SELECT lam FROM lam$c)", 6) + " AS eigenvalue"
+       }.mkString(" UNION ALL ") + "), " +
+       "r AS (SELECT component, eigenvalue, " +
+       froundSql("eigenvalue / (SELECT tr FROM tr)", 6) + " AS explained_ratio " +
+       "FROM lams) " +
+       "SELECT component, eigenvalue, explained_ratio, " +
+       froundSql("SUM(explained_ratio) OVER (ORDER BY component " +
+         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)", 6) +
+       " AS cum_ratio FROM r ORDER BY component"),
 
     // the 3·d-row published basis joined back onto the exploded
     // corpus — same centered dsum6 dot as vec_pca_project, per lane
