@@ -264,6 +264,59 @@ object Analytics {
     edges
   }
 
+  /** graph_ktruss geometry — fixed BY CONTRACT like the k-core peel:
+    * K = 3 (every surviving edge must sit in ≥ 1 triangle of the
+    * surviving graph — probed: the 4-truss of the co-occurrence
+    * graph is EMPTY at sf0.01/sf0.1 and needs a 6-round tail at
+    * sf0.001, while the 3-truss is non-empty at every SF and reaches
+    * its fixpoint inside the cap), and both engines run exactly
+    * [[TrussPeelRounds]] peel rounds (the oracle unrolls them;
+    * requireConverged turns an under-provisioned cap into a loud
+    * failure, never a partially peeled truss). KTrussSpec plants
+    * k=4 graphs to pin the cascade behavior the fixture's k=3
+    * fixpoint doesn't exercise. */
+  val KTrussK = 3
+  val TrussPeelRounds = 4
+
+  /** K-TRUSS peeling (Cohen 2008): iteratively drop every edge lying
+    * in fewer than K−2 triangles of the SURVIVING graph — the
+    * community core stricter than k-core (degree counts any neighbor;
+    * truss support demands closed wedges, so tree tails AND loose
+    * cycles peel away). Per round: one triangle enumeration of the
+    * surviving canonical (a<b) edge list ([[trianglesOf]] — the
+    * degree-oriented build, so wedge fan-out stays O(√m) per node on
+    * power-law graphs), each triangle credits its three edges, a
+    * hash-agg counts support, and a left-semi join keeps qualifying
+    * edges. localCheckpoint per round (the kcorePeel discipline).
+    * Scale shape: every round is triangle-enumeration-bounded — the
+    * same cost class as graph_triangles, shrinking monotonically as
+    * edges peel. */
+  def ktrussPeel(edges0: DataFrame, k: Int, rounds: Int,
+                 requireConverged: Boolean = false): DataFrame = {
+    def survivors(cur: DataFrame): DataFrame = {
+      val tri = trianglesOf(cur)
+      val credit = tri.select(col("a"), col("b"))
+        .unionByName(tri.select(col("b").as("a"), col("c").as("b")))
+        .unionByName(tri.select(col("a"), col("c").as("b")))
+        .groupBy("a", "b").agg(count(lit(1)).as("sup"))
+        .where(col("sup") >= k - 2)
+        .select("a", "b")
+      cur.join(credit, Seq("a", "b"), "left_semi")
+    }
+    var e = edges0.localCheckpoint()
+    for (_ <- 1 to rounds) e = survivors(e).localCheckpoint()
+    if (requireConverged) {
+      val before = e.count()
+      val after = survivors(e).count()
+      if (after != before) sys.error(
+        s"k-truss peel NOT converged after $rounds fixed rounds " +
+        s"($before edges, one more round keeps $after): raise " +
+        "TrussPeelRounds for this graph — refusing to return a " +
+        "partially peeled graph as the truss")
+    }
+    e
+  }
+
   /** `rounds` synchronous label-propagation iterations over a
     * BIDIRECTIONAL (u, v) edge list — the classic near-linear community
     * detector (Raghavan et al. 2007, synchronous variant). Every node
@@ -1105,6 +1158,19 @@ object Analytics {
     // bound plus result invariance.
     "graph_triangles" -> ((s, dir) =>
       trianglesOf(cooccurEdgesCached(s, dir)).orderBy("a", "b", "c")),
+
+    // K-TRUSS community cores of the co-occurrence graph (see
+    // [[ktrussPeel]]): the per-node truss degree over the surviving
+    // edge set — the readout shape graph_kcore uses, so the two
+    // "dense core" definitions compare row for row. Rides the
+    // memoized edge build; the oracle unrolls the fixed peel rounds.
+    "graph_ktruss" -> ((s, dir) => {
+      val e = ktrussPeel(cooccurEdgesCached(s, dir), KTrussK,
+                         TrussPeelRounds, requireConverged = true)
+      e.select(col("a").as("node")).unionByName(e.select(col("b").as("node")))
+        .groupBy("node").agg(big(count(lit(1))).as("truss_degree"))
+        .orderBy("node")
+    }),
 
     // K-CORE peeling of the co-occurrence graph: iteratively drop
     // nodes of degree < k until only the k-core remains — the dense-
@@ -2062,6 +2128,30 @@ object Analytics {
        "JOIN edges e2 ON e1.b = e2.a " +
        "JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b " +
        "ORDER BY e1.a, e1.b, c"),
+    // the fixed peel rounds unrolled: per round the id-ordered
+    // triangle join over the surviving edges, the 3-way edge credit,
+    // the support cut, the semi-join — same moves as ktrussPeel
+    "graph_ktruss" -> {
+      val rounds = (1 to TrussPeelRounds).map { t =>
+        val prev = s"te${t - 1}"
+        s"tr$t AS MATERIALIZED (SELECT e1.a, e1.b, e2.b AS c FROM $prev e1 " +
+        s"JOIN $prev e2 ON e1.b = e2.a " +
+        s"JOIN $prev e3 ON e3.a = e1.a AND e3.b = e2.b), " +
+        s"sup$t AS MATERIALIZED (SELECT a, b FROM (" +
+        s"SELECT a, b FROM tr$t UNION ALL SELECT b, c FROM tr$t " +
+        s"UNION ALL SELECT a, c FROM tr$t) " +
+        s"GROUP BY a, b HAVING COUNT(*) >= ${KTrussK - 2}), " +
+        s"te$t AS MATERIALIZED (SELECT e.a, e.b FROM $prev e " +
+        s"JOIN sup$t s ON s.a = e.a AND s.b = e.b)"
+      }.mkString(", ")
+      "WITH " + CoocCte + ", " +
+      "te0 AS MATERIALIZED (SELECT a, b FROM edges), " + rounds + " " +
+      "SELECT node, CAST(COUNT(*) AS BIGINT) AS truss_degree FROM (" +
+      s"SELECT a AS node FROM te$TrussPeelRounds " +
+      s"UNION ALL SELECT b FROM te$TrussPeelRounds) " +
+      "GROUP BY node ORDER BY node"
+    },
+
     // the exact 2-ball re-derived independently; within_5pct is the
     // LITERAL TRUE — the hash match IS the sketch-accuracy certificate
     "graph_2hop_bracket" ->
