@@ -303,14 +303,30 @@ object Analytics {
         .select("a", "b")
       cur.join(credit, Seq("a", "b"), "left_semi")
     }
+    // FIXPOINT EARLY-EXIT (the beam-search argument): survivors() is
+    // a semi-join of its input, so the edge set only ever shrinks —
+    // an UNCHANGED count therefore means an unchanged set, and every
+    // further round is the identity: stopping early returns exactly
+    // what the oracle's fixed-round unroll returns, for fewer
+    // triangle enumerations (the fixture converges in 1-2 peels; the
+    // blind 4-round loop re-enumerated the fixed set twice more).
     var e = edges0.localCheckpoint()
-    for (_ <- 1 to rounds) e = survivors(e).localCheckpoint()
-    if (requireConverged) {
-      val before = e.count()
+    var prev = e.count()
+    var converged = false
+    var r = 0
+    while (r < rounds && !converged) {
+      e = survivors(e).localCheckpoint()
+      val n = e.count()
+      converged = n == prev
+      prev = n
+      r += 1
+    }
+    if (requireConverged && !converged) {
+      // the cap ran out before a no-op round — probe once more
       val after = survivors(e).count()
-      if (after != before) sys.error(
+      if (after != prev) sys.error(
         s"k-truss peel NOT converged after $rounds fixed rounds " +
-        s"($before edges, one more round keeps $after): raise " +
+        s"($prev edges, one more round keeps $after): raise " +
         "TrussPeelRounds for this graph — refusing to return a " +
         "partially peeled graph as the truss")
     }

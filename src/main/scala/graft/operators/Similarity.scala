@@ -433,6 +433,26 @@ object Similarity {
     "sim_ann_graph_nnd" -> ((s, dir) =>
       graphBeamSearch(embeddings(s, dir), nndGraphCached(s, dir), 10)),
 
+    // RECALL CERTIFICATE for the NN-descent arm (the
+    // sim_ann_graph_recall pattern): the nnd-graph beam's top-10
+    // measured against the exact cut — the number that tells an
+    // operator whether the linear-candidate build bought recall
+    // parity (GraphAnnSpec pins >= the blocked build on the planted
+    // chain; this row prices it on the fixture, per SF, hash-checked).
+    "sim_ann_graph_nnd_recall" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val exact = topK(e, 0L, 10).select("vec_id").withColumn("hit", lit(1L))
+      graphBeamSearch(e, nndGraphCached(s, dir), 10)
+        .select("vec_id")
+        .join(broadcast(exact), Seq("vec_id"), "left")
+        .agg(big(count(lit(1))).as("n_returned"),
+             big(sum(coalesce(col("hit"), lit(0L)))).as("n_hits"))
+        .select(lit("graph_nnd").as("method"), col("n_returned"),
+                col("n_hits"),
+                fround(col("n_hits").cast("double") / 10.0, 4).as("recall"))
+        .orderBy("method")
+    }),
+
     // Recall certificate for the graph arm NEXT TO the IVF arm at a
     // comparable probe budget (~280 scored candidates vs nprobe-2
     // partitions) — the sim_ann_recall discipline: constant-size
@@ -929,6 +949,25 @@ object Similarity {
        froundSql("COUNT(e.vec_id) / 10.0", 4) + " AS recall " +
        "FROM m LEFT JOIN exact10 e USING (vec_id) " +
        "GROUP BY m.method ORDER BY m.method"),
+    // the nnd build + beam replay with the exact cut joined back
+    "sim_ann_graph_nnd_recall" ->
+      ("WITH v AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings), " +
+       "gv AS MATERIALIZED (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings), " +
+       "q AS (SELECT ev AS qv FROM v WHERE vec_id = 0), " +
+       nndStructureCtes + ", " + beamRoundsCtes + ", " +
+       "exact10 AS (SELECT v.vec_id FROM v, q WHERE v.vec_id <> 0 ORDER BY " +
+       froundSql("LIST_COSINE_SIMILARITY(v.ev, q.qv)", 4) +
+       " DESC, v.vec_id LIMIT 10), " +
+       "g10 AS (SELECT vec_id FROM (SELECT vec_id, " +
+       "ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS rn " +
+       s"FROM gb$GraphRounds WHERE vec_id <> 0) WHERE rn <= 10) " +
+       "SELECT 'graph_nnd' AS method, " +
+       "CAST(COUNT(*) AS BIGINT) AS n_returned, " +
+       "CAST(COUNT(e.vec_id) AS BIGINT) AS n_hits, " +
+       froundSql("COUNT(e.vec_id) / 10.0", 4) + " AS recall " +
+       "FROM g10 LEFT JOIN exact10 e USING (vec_id) " +
+       "GROUP BY 1 ORDER BY method"),
+
     // CAST to DOUBLE[] so DuckDB's kernel does the same double-precision
     // arithmetic as our promoted HOF pipeline.
     "sim_topk" ->

@@ -81,6 +81,22 @@ class GraphAnnSpec extends SparkSpec {
     assert(deg <= Similarity.GraphM)
   }
 
+  test("fixture recall certificate: the NN-descent arm stays within one " +
+       "hit of the blocked arm at half the edge budget") {
+    // measured ladder: nnd 0.9 vs blocked 1.0 at sf0.001, 1.0 vs 1.0
+    // at sf0.01 (and 0.7 vs 0.6 at sf0.1 — the linear build WINS at
+    // the largest fixture); the pin is the honest envelope
+    for (sf <- Seq(sf001, sf01)) {
+      val nnd = SparkEntry.queries("sim_ann_graph_nnd_recall")(spark, sf)
+        .collect()(0).getLong(2)
+      val blocked = SparkEntry.queries("sim_ann_graph_recall")(spark, sf)
+        .where(col("method") === "graph").collect()(0).getLong(1)
+      assert(nnd >= blocked - 1,
+        s"$sf: nnd recall $nnd/10 fell more than one hit below the " +
+        s"blocked build's $blocked/10")
+    }
+  }
+
   test("beam search is deterministic: two runs return identical rows") {
     val a = SparkEntry.queries("sim_ann_graph")(spark, sf001).collect().toSeq
     val b = SparkEntry.queries("sim_ann_graph")(spark, sf001).collect().toSeq
