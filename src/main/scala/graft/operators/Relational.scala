@@ -81,6 +81,45 @@ object Relational {
   /** sample_pack_chunks: tokens per packed training sequence. */
   val PackCtxTokens = 512
 
+  /** sample_neyman_alloc's total draw budget — a LITERAL shared with
+    * the oracle (the largest-remainder rounding makes the per-stratum
+    * allocations sum to exactly this). */
+  val NeymanBudget = 1000
+
+  /** The whole allocation on any (lang, x) frame — factored out so
+    * NeymanSpec can plant strata with hand-computable σ and
+    * allocations. See the sample_neyman_alloc query comment for the
+    * algorithm and pinning discipline. */
+  def neymanAlloc(rows: org.apache.spark.sql.DataFrame, budget: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val st = rows
+      .groupBy("lang")
+      .agg(big(count(lit(1))).as("n_docs"),
+           dsum6(col("x")).as("s1"),
+           dsum6(col("x") * col("x")).as("s2"))
+      .select(col("lang"), col("n_docs"),
+        fround(sqrt(greatest(
+          (col("s2") - col("s1") * col("s1") / col("n_docs")) /
+            (col("n_docs") - 1), lit(0.0))), 6).as("sd"))
+    val tot = st.agg(dsum6(col("n_docs") * col("sd")).as("wtot"))
+    val based = st.crossJoin(broadcast(tot))
+      .withColumn("exact",
+        fround(lit(budget) * col("n_docs") * col("sd") / col("wtot"), 6))
+      .withColumn("base", floor(col("exact")).cast("long"))
+      .withColumn("rem", fround(col("exact") - col("base"), 6))
+    val leftover = based
+      .agg((lit(budget) - sum(col("base"))).cast("long").as("lo"))
+    val w = Window.orderBy(col("rem").desc, col("lang"))
+    based.crossJoin(broadcast(leftover))
+      .withColumn("rnk", row_number().over(w))
+      .select(col("lang"), col("n_docs"), col("sd"),
+              col("exact").as("exact_alloc"),
+              big(col("base") +
+                  when(col("rnk") <= col("lo"), 1L).otherwise(0L)).as("alloc"))
+      .orderBy("lang")
+  }
+
   /** sample_pack_chunks: the bound on level-2 prefix-sum buckets —
     * the global bucket-offset window never sees more rows than this,
     * whatever the corpus size. */
@@ -517,6 +556,22 @@ object Relational {
                 fround(col("p_temp") / col("p_raw"), 4).as("boost"))
         .orderBy("lang")
     }),
+
+    // NEYMAN OPTIMAL ALLOCATION (Neyman 1934) — the stratified-sample
+    // budget sheet a mixture-weighting pipeline reads: stratum h gets
+    // the share n_h·σ_h / Σ n·σ of the NeymanBudget draws (minimum-
+    // variance allocation for a fixed total budget; sample_temperature
+    // reweights probabilities, this allocates exact COUNTS). σ from
+    // the dsum6-pinned moment sums; the fractional allocations round
+    // by LARGEST REMAINDER so they sum to the budget exactly — the
+    // remainder rank runs over ≤ |strata| rows (bounded window), and
+    // every compared quantity is fround6-pinned BEFORE floor/rank so
+    // the rounding replays identically in both engines. One corpus
+    // pass; everything after is strata-sized.
+    "sample_neyman_alloc" -> ((s, dir) =>
+      neymanAlloc(documents(s, dir)
+        .select(col("lang"), col("n_chars").cast("double").as("x")),
+        NeymanBudget)),
 
     // CDC MERGE (upsert, latest-wins): the nightly "apply the change
     // feed onto the snapshot" operator every warehouse pipeline runs.
@@ -1310,6 +1365,29 @@ object Relational {
     // same α=0.5 chain: sqrt is correctly-rounded IEEE on both
     // engines, the denominator re-pins each term through dsum6, and
     // boost divides the two already-pinned shares
+    // same moment sums, same fround6 pins before floor and rank, same
+    // largest-remainder distribution over the 5-row strata table
+    "sample_neyman_alloc" ->
+      ("WITH st AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+       dsum6Sql("CAST(n_chars AS DOUBLE)") + " AS s1, " +
+       dsum6Sql("CAST(n_chars AS DOUBLE) * CAST(n_chars AS DOUBLE)") + " AS s2 " +
+       "FROM documents GROUP BY 1), " +
+       "sd AS (SELECT lang, n_docs, " +
+       froundSql("SQRT(GREATEST((s2 - s1 * s1 / n_docs) / (n_docs - 1), 0.0))", 6) +
+       " AS sd FROM st), " +
+       "tot AS (SELECT " + dsum6Sql("n_docs * sd") + " AS wtot FROM sd), " +
+       "b AS (SELECT lang, n_docs, sd, exact, " +
+       "CAST(FLOOR(exact) AS BIGINT) AS base, " +
+       froundSql("exact - FLOOR(exact)", 6) + " AS rem FROM (" +
+       "SELECT lang, n_docs, sd, " +
+       froundSql(s"$NeymanBudget * n_docs * sd / (SELECT wtot FROM tot)", 6) +
+       " AS exact FROM sd)), " +
+       s"lo AS (SELECT $NeymanBudget - SUM(base) AS lo FROM b), " +
+       "r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rnk FROM b) " +
+       "SELECT lang, n_docs, sd, exact AS exact_alloc, " +
+       "CAST(base + CASE WHEN rnk <= (SELECT lo FROM lo) THEN 1 ELSE 0 END " +
+       "AS BIGINT) AS alloc FROM r ORDER BY lang"),
+
     "sample_temperature" ->
       ("WITH t AS (SELECT lang, " +
        "CAST(SUM(LEN(STRING_SPLIT(LOWER(text), ' '))) AS BIGINT) AS n_tokens " +
