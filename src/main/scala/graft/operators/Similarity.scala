@@ -810,7 +810,7 @@ object Similarity {
     * the ≤ NndBucketCap bucket), then NndRounds unrolled
     * cap-candidates-score-merge-prune rounds. Defines `g` and the
     * per-label `e0` for [[beamRoundsCtes]]. */
-  private def nndStructureCtes: String = {
+  private[operators] def nndStructureCtes: String = {
     val cosAb = froundSql("LIST_COSINE_SIMILARITY(a.ev, b.ev)", 4)
     val cosVv = froundSql("LIST_COSINE_SIMILARITY(va.ev, vb.ev)", 4)
     def bktExpr(salt: String) = s"(CAST(CONCAT('0x', SUBSTRING(MD5('$salt' || " +
@@ -822,23 +822,25 @@ object Similarity {
       // the union), and inlined CTEs re-evaluate per reference —
       // compounding 3^rounds evaluations of the seed (the documented
       // graph-family DuckDB trap)
-      s"u$t AS MATERIALIZED (SELECT vec_id, nbr_id, MAX(cos) AS cos FROM (" +
+      // nn-prefixed names: this block composes under the PQ prelude
+      // in sim_ann_graph_nnd_pq, whose codebook CTEs own c$k / m$k
+      s"nnu$t AS MATERIALIZED (SELECT vec_id, nbr_id, MAX(cos) AS cos FROM (" +
       s"SELECT vec_id, nbr_id, cos FROM $prev " +
       s"UNION ALL SELECT nbr_id, vec_id, cos FROM $prev) GROUP BY vec_id, nbr_id), " +
-      s"c$t AS MATERIALIZED (SELECT hub, nbr_id FROM (SELECT vec_id AS hub, nbr_id, " +
+      s"nnc$t AS MATERIALIZED (SELECT hub, nbr_id FROM (SELECT vec_id AS hub, nbr_id, " +
       "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS rn " +
-      s"FROM u$t) WHERE rn <= $NndUndCap), " +
-      s"p$t AS MATERIALIZED (SELECT DISTINCT x.nbr_id AS a, y.nbr_id AS b " +
-      s"FROM c$t x JOIN c$t y ON x.hub = y.hub AND x.nbr_id < y.nbr_id), " +
-      s"s$t AS MATERIALIZED (SELECT p.a, p.b, $cosVv AS cos FROM p$t p " +
+      s"FROM nnu$t) WHERE rn <= $NndUndCap), " +
+      s"nnp$t AS MATERIALIZED (SELECT DISTINCT x.nbr_id AS a, y.nbr_id AS b " +
+      s"FROM nnc$t x JOIN nnc$t y ON x.hub = y.hub AND x.nbr_id < y.nbr_id), " +
+      s"nns$t AS MATERIALIZED (SELECT p.a, p.b, $cosVv AS cos FROM nnp$t p " +
       "JOIN v va ON va.vec_id = p.a JOIN v vb ON vb.vec_id = p.b), " +
-      s"m$t AS MATERIALIZED (SELECT vec_id, nbr_id, MAX(cos) AS cos FROM (" +
+      s"nnm$t AS MATERIALIZED (SELECT vec_id, nbr_id, MAX(cos) AS cos FROM (" +
       s"SELECT vec_id, nbr_id, cos FROM $prev " +
-      s"UNION ALL SELECT a, b, cos FROM s$t " +
-      s"UNION ALL SELECT b, a, cos FROM s$t) GROUP BY vec_id, nbr_id), " +
+      s"UNION ALL SELECT a, b, cos FROM nns$t " +
+      s"UNION ALL SELECT b, a, cos FROM nns$t) GROUP BY vec_id, nbr_id), " +
       s"ne$t AS MATERIALIZED (SELECT vec_id, nbr_id, cos FROM (SELECT vec_id, nbr_id, cos, " +
       "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS rnk " +
-      s"FROM m$t) WHERE rnk <= $GraphM)"
+      s"FROM nnm$t) WHERE rnk <= $GraphM)"
     }.mkString(", ")
     def memCtes(i: Int, salt: String) =
       s"memb$i AS (SELECT vec_id, ev, bkt, " +

@@ -15,6 +15,62 @@ import org.apache.spark.sql.functions._
   */
 object Vectors {
 
+  /** The ADC-guided beam walk + visited-list exact rerank (the
+    * DiskANN search composition) over ANY neighbor graph — factored
+    * out so the blocked-build arm (sim_ann_graph_pq) and the
+    * NN-descent arm (sim_ann_graph_nnd_pq) run the IDENTICAL walk;
+    * the graph argument is the only difference, exactly as in the
+    * oracle where only the structure CTEs swap. */
+  def graphPqWalk(s: org.apache.spark.sql.SparkSession, dir: String,
+                  graph: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val (books, qsubs) = pqPrelude(s, dir)
+    val e = embeddings(s, dir)
+    def scored(ids: org.apache.spark.sql.DataFrame) =
+      e.join(ids, Seq("vec_id"))
+        .select(col("vec_id"), fround(pqAdist(books, qsubs), 4).as("adist"))
+    val entries = e.groupBy("label").agg(min(col("vec_id")).as("vec_id"))
+      .select("vec_id")
+    var beam = scored(entries)
+      .orderBy(col("adist").asc, col("vec_id")).limit(GraphPqBeam)
+      .localCheckpoint()
+    // DiskANN reranks the full VISITED list, not the final beam —
+    // ADC is deliberately coarse (4 codes/vector), so the true
+    // nearest neighbors pass THROUGH the walk without necessarily
+    // surviving ADC pruning; the visited set (≤ rounds·beam·degree
+    // ids, constant per query) is where the recall lives.
+    var visited = beam.select("vec_id").localCheckpoint()
+    var prevIds: Set[Long] =
+      beam.select("vec_id").collect().map(_.getLong(0)).toSet
+    var round = 0
+    var converged = false
+    while (round < Similarity.GraphRounds && !converged) {
+      val frontier = graph
+        .join(broadcast(beam.select("vec_id")), Seq("vec_id"))
+        .select(col("nbr_id").as("vec_id")).distinct()
+      visited = visited.unionByName(frontier).distinct().localCheckpoint()
+      beam = scored(frontier).unionByName(beam)
+        .groupBy("vec_id").agg(min(col("adist")).as("adist"))
+        .orderBy(col("adist").asc, col("vec_id")).limit(GraphPqBeam)
+        .localCheckpoint()
+      val ids = beam.select("vec_id").collect().map(_.getLong(0)).toSet
+      converged = ids == prevIds
+      prevIds = ids
+      round += 1
+    }
+    val qv = qsubs.flatten
+    visited.where(col("vec_id") =!= 0)
+      .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select(col("vec_id"),
+        fround(Similarity.cosine(col("embedding"), typedLit(qv)), 4).as("cos"))
+      .withColumn("rnk", big(row_number().over(
+        Window.orderBy(col("cos").desc, col("vec_id")))))
+      .where(col("rnk") <= 10)
+      .select("rnk", "vec_id", "cos")
+      .orderBy("rnk")
+  }
+
+
   val queries: Map[String, Q] = Map(
     // Per-label bounding box (elementwise min/max of embeddings) via
     // the native TypedImperativeAggregate kernel: partial-aggregated
@@ -691,53 +747,19 @@ object Vectors {
     // (the sim_ann_graph argument: scores are pure functions of the
     // beam's id set). Per-round cost ≤ beam·degree code lookups —
     // constant per query, corpus-size-free.
-    "sim_ann_graph_pq" -> ((s, dir) => {
-      val (books, qsubs) = pqPrelude(s, dir)
-      val e = embeddings(s, dir)
-      val graph = Similarity.knnGraphCached(s, dir)
-      def scored(ids: org.apache.spark.sql.DataFrame) =
-        e.join(ids, Seq("vec_id"))
-          .select(col("vec_id"), fround(pqAdist(books, qsubs), 4).as("adist"))
-      val entries = e.groupBy("label").agg(min(col("vec_id")).as("vec_id"))
-        .select("vec_id")
-      var beam = scored(entries)
-        .orderBy(col("adist").asc, col("vec_id")).limit(GraphPqBeam)
-        .localCheckpoint()
-      // DiskANN reranks the full VISITED list, not the final beam —
-      // ADC is deliberately coarse (4 codes/vector), so the true
-      // nearest neighbors pass THROUGH the walk without necessarily
-      // surviving ADC pruning; the visited set (≤ rounds·beam·degree
-      // ids, constant per query) is where the recall lives.
-      var visited = beam.select("vec_id").localCheckpoint()
-      var prevIds: Set[Long] =
-        beam.select("vec_id").collect().map(_.getLong(0)).toSet
-      var round = 0
-      var converged = false
-      while (round < Similarity.GraphRounds && !converged) {
-        val frontier = graph
-          .join(broadcast(beam.select("vec_id")), Seq("vec_id"))
-          .select(col("nbr_id").as("vec_id")).distinct()
-        visited = visited.unionByName(frontier).distinct().localCheckpoint()
-        beam = scored(frontier).unionByName(beam)
-          .groupBy("vec_id").agg(min(col("adist")).as("adist"))
-          .orderBy(col("adist").asc, col("vec_id")).limit(GraphPqBeam)
-          .localCheckpoint()
-        val ids = beam.select("vec_id").collect().map(_.getLong(0)).toSet
-        converged = ids == prevIds
-        prevIds = ids
-        round += 1
-      }
-      val qv = qsubs.flatten
-      visited.where(col("vec_id") =!= 0)
-        .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
-        .select(col("vec_id"),
-          fround(Similarity.cosine(col("embedding"), typedLit(qv)), 4).as("cos"))
-        .withColumn("rnk", big(row_number().over(
-          Window.orderBy(col("cos").desc, col("vec_id")))))
-        .where(col("rnk") <= 10)
-        .select("rnk", "vec_id", "cos")
-        .orderBy("rnk")
-    }),
+    "sim_ann_graph_pq" -> ((s, dir) =>
+      graphPqWalk(s, dir, Similarity.knnGraphCached(s, dir))),
+
+    // THE FULL PRODUCTION DiskANN COMPOSITION: the SAME ADC-guided
+    // walk + visited-list exact rerank over the NN-DESCENT graph —
+    // linear-candidate BUILD and memory-bounded SEARCH in one query,
+    // the pairing a 100-TB deployment actually runs (the blocked
+    // build behind sim_ann_graph_pq is the fixture-gated arm). One
+    // walk implementation serves both ([[graphPqWalk]]); the oracle
+    // swaps the structure CTEs and replays everything else verbatim.
+    "sim_ann_graph_nnd_pq" -> ((s, dir) =>
+      graphPqWalk(s, dir, Similarity.nndGraphCached(s, dir))),
+
 
     // IVF as DATA LAYOUT: the index is not a sidecar structure but the
     // partitioning of the table itself — embeddings land in
@@ -1847,6 +1869,7 @@ object Vectors {
        "ORDER BY cos DESC, v.vec_id LIMIT 10"),
     "sim_ann_pq" -> oraclePqBase,
     "sim_ann_graph_pq" -> oracleGraphPq,
+    "sim_ann_graph_nnd_pq" -> oracleGraphPqNnd,
     // the seeded sign matrix re-derived from the same md5 parity, the
     // same ordered folds (LIST_SUM ≡ the engine's aggregate), the
     // same LIST_DISTANCE pair algebra and 6-dp pins
@@ -2039,7 +2062,18 @@ object Vectors {
     * ADC distance (min-merge on revisits), and the finalists pay the
     * exact cosine — the full DiskANN composition replayed move for
     * move. */
-  private def oracleGraphPq: String = {
+  private def oracleGraphPq: String =
+    oracleGraphPqWith(Similarity.graphStructureCtes)
+
+  /** The same composition over the NN-descent structure — only the
+    * g/e0 CTEs swap (nndStructureCtes needs `gv` pre-defined, which
+    * graphStructureCtes defines itself). */
+  private def oracleGraphPqNnd: String =
+    oracleGraphPqWith(
+      "gv AS MATERIALIZED (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings), " +
+      Similarity.nndStructureCtes)
+
+  private def oracleGraphPqWith(structureCtes: String): String = {
     import Similarity.GraphRounds
     val rounds = (1 to GraphRounds).map { t =>
       val prev = s"pb${t - 1}"
@@ -2056,7 +2090,7 @@ object Vectors {
     "ad AS (SELECT e.vec_id, " + pqAdChain + " AS adist " +
     "FROM enc e JOIN dt ON e.j = dt.j AND e.code = dt.code GROUP BY e.vec_id), " +
     "adr AS MATERIALIZED (SELECT vec_id, " + froundSql("adist", 4) + " AS adist FROM ad), " +
-    Similarity.graphStructureCtes + ", " +
+    structureCtes + ", " +
     "pb0 AS (SELECT vec_id, adist FROM (SELECT a.vec_id, a.adist, " +
     "ROW_NUMBER() OVER (ORDER BY a.adist ASC, a.vec_id) AS rn " +
     s"FROM adr a JOIN e0 USING (vec_id)) WHERE rn <= $GraphPqBeam), " +

@@ -130,6 +130,25 @@ class GraphAnnSpec extends SparkSpec {
       "ADC-guided beam + exact rerank must recover the exact cut here")
   }
 
+  test("sim_ann_graph_nnd_pq: deterministic, full top-10, ordered rerank, " +
+       "and the shared walk equals the blocked arm's on the same graph") {
+    val a = SparkEntry.queries("sim_ann_graph_nnd_pq")(spark, sf001).collect().toSeq
+    val b = SparkEntry.queries("sim_ann_graph_nnd_pq")(spark, sf001).collect().toSeq
+    assert(a == b, "the ADC walk over the nnd graph must be deterministic")
+    assert(a.size == 10 && a.map(_.getLong(0)) == (1L to 10L))
+    val cs = a.map(_.getDouble(2))
+    assert(cs.sliding(2).forall(p => p(0) >= p(1)), cs.mkString(","))
+    // one walk implementation: handing graphPqWalk the BLOCKED graph
+    // reproduces sim_ann_graph_pq exactly — the only degree of
+    // freedom between the two shipped queries is the graph
+    val viaHelper = graft.operators.Vectors
+      .graphPqWalk(spark, sf001, Similarity.knnGraphCached(spark, sf001))
+      .collect().toSeq
+    val shipped = SparkEntry.queries("sim_ann_graph_pq")(spark, sf001)
+      .collect().toSeq
+    assert(viaHelper == shipped)
+  }
+
   test("batched beam search lane 0 equals the single-query search") {
     val single = SparkEntry.queries("sim_ann_graph")(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
