@@ -92,9 +92,62 @@ object AvroManifest {
     Files.move(tmp, path, C.ATOMIC_MOVE, C.REPLACE_EXISTING)
   }
 
+  /** Strict container-frame validation BEFORE decoding. Probed: the
+    * official DataFileReader's `hasNext` treats a mid-block EOF as a
+    * normal end-of-stream and silently returns the records read so
+    * far — for a manifest list that means a TORN container serves a
+    * PARTIAL (or empty) file list as if it were whole, and an
+    * importer would quietly scan a half table. This walk enforces the
+    * container grammar end to end — magic, metadata map, sync, then
+    * per block (count, size, size bytes, the SAME sync) landing
+    * exactly on EOF — and throws on any violation. Record DECODE
+    * still goes through the official reader afterwards. */
+  private def validateContainer(bytes: Array[Byte]): Unit = {
+    var pos = 0
+    def fail(msg: String): Nothing =
+      sys.error(s"invalid Avro container ($msg at byte $pos of ${bytes.length})")
+    def take(n: Int): Array[Byte] = {
+      if (pos + n > bytes.length) fail(s"truncated: need $n more bytes")
+      val out = java.util.Arrays.copyOfRange(bytes, pos, pos + n); pos += n; out
+    }
+    def readVlong(): Long = {
+      var shift = 0; var acc = 0L; var b = 0
+      do {
+        if (pos >= bytes.length) fail("truncated varint")
+        b = bytes(pos) & 0xff; pos += 1
+        acc |= (b & 0x7fL) << shift; shift += 7
+        if (shift > 70) fail("varint too long")
+      } while ((b & 0x80) != 0)
+      (acc >>> 1) ^ -(acc & 1) // un-zigzag
+    }
+    if (!take(4).sameElements(Magic)) fail("bad magic")
+    // metadata map: (count, pairs)* until a 0 count
+    var n = readVlong()
+    while (n != 0) {
+      if (n < 0) { readVlong() } // negative count carries a block size
+      (1L to math.abs(n)).foreach { _ =>
+        take(readVlong().toInt); take(readVlong().toInt)
+      }
+      n = readVlong()
+    }
+    val sync = take(16)
+    while (pos < bytes.length) {
+      val cnt = readVlong()
+      if (cnt < 0) fail("negative record count")
+      val size = readVlong()
+      if (size < 0) fail("negative block size")
+      take(size.toInt)
+      if (!take(16).sameElements(sync)) fail("sync marker mismatch")
+    }
+  }
+
   /** Read the entries back through the OFFICIAL Avro decoder — the
-    * independent half of the round-trip (see the object scaladoc). */
+    * independent half of the round-trip (see the object scaladoc) —
+    * after [[validateContainer]] proves the frame is whole (the
+    * official reader alone swallows torn blocks; see its scaladoc). */
   def readEntries(path: String): Seq[(String, String)] = {
+    validateContainer(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)))
     val reader = org.apache.avro.file.DataFileReader.openReader(
       new java.io.File(path),
       new org.apache.avro.generic.GenericDatumReader[

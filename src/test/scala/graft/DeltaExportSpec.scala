@@ -122,6 +122,45 @@ class DeltaExportSpec extends SparkSpec {
     assert(meta.endsWith(".metadata.json"))
   }
 
+  test("a torn Avro container fails loudly in the official decoder; an " +
+       "unmarked add+remove commit refuses dataChange=false") {
+    import graft.sources.AvroManifest
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro_neg")
+    val entries = Seq(("/data/a.parquet", "PARQUET"), ("/data/b.parquet", "PARQUET"))
+    val p = dir.resolve("m.avro")
+    AvroManifest.write(p, entries, "seed")
+    val bytes = java.nio.file.Files.readAllBytes(p)
+    // truncate mid-RECORD (clipping only the trailing sync is
+    // tolerated after the final block): the reader must throw, never
+    // return a silent partial list — a half-read manifest would serve
+    // a half-table as if it were whole
+    val torn = dir.resolve("torn.avro")
+    java.nio.file.Files.write(torn, bytes.take(bytes.length - 30))
+    intercept[Exception] { AvroManifest.readEntries(torn.toString) }
+    // corrupt the magic: rejected before any record parsing
+    val bad = bytes.clone(); bad(0) = 'X'.toByte
+    val badP = dir.resolve("bad.avro")
+    java.nio.file.Files.write(badP, bad)
+    intercept[Exception] { AvroManifest.readEntries(badP.toString) }
+    // and the Delta-side gate (r17 ADVICE): an add+remove commit with
+    // NO compaction marker must refuse the OPTIMIZE/dataChange=false
+    // classification instead of silently dropping rows from the feed
+    val root = graft.operators.Scans.deltaFixture(spark, sf001)
+    val marker = java.nio.file.Paths.get(root, "_compactions", "v3.txt")
+    val keep = java.nio.file.Files.readAllBytes(marker)
+    java.nio.file.Files.delete(marker)
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        graft.operators.Scans.exportDeltaLog(root)
+      }
+      assert(ex.getMessage.contains("_compactions marker"), ex.getMessage)
+    } finally {
+      java.nio.file.Files.write(marker, keep)
+      // restore the exported log to the marked state for later tests
+      graft.operators.Scans.exportDeltaLog(root)
+    }
+  }
+
   test("the query reconstructs live rows that never decrease across the history") {
     val rows = SparkEntry.queries("scan_delta_export")(spark, sf001).collect()
     assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))

@@ -94,6 +94,35 @@ class MediaCodecsSpec extends SparkSpec {
     assert(MediaCodecsImpl.decodeWavMeta(Array[Byte](1, 2, 3)) == null)
   }
 
+  test("non-PCM format tags are refused, not decoded as garbage (r17 ADVICE)") {
+    // take a REAL 16-bit container from our encoders and flip ONLY the
+    // fmt audio-format tag to WAVE_FORMAT_EXTENSIBLE (0xFFFE, the
+    // common real-world multi-channel wrapper): bits/channels still
+    // read 16/2 (or 16/1), but the payload is no longer raw PCM by
+    // contract — both kernels must return null rather than fold it
+    val mono = new GenericArrayData(Array[Any](100, -100, 100, -100))
+    val monoBytes = MediaCodecsImpl.encodeWavPcm16(8000, mono)
+    assert(MediaCodecsImpl.decodeWavMeta(monoBytes) != null) // sanity
+    val monoExt = monoBytes.clone()
+    // fmt tag lives at offset 20 in the canonical 44-byte header
+    monoExt(20) = 0xfe.toByte; monoExt(21) = 0xff.toByte
+    assert(MediaCodecsImpl.decodeWavMeta(monoExt) == null,
+      "EXTENSIBLE mono payload must be refused")
+    assert(MediaCodecsImpl.wavFrameEnergies(monoExt, 2) == null,
+      "frame energies ride decodeWavMeta's gate")
+    val st = new GenericArrayData(Array[Any](300, -300, 300, -300))
+    val stBytes = MediaCodecsImpl.encodeWavPcm16Stereo(8000, st, st)
+    assert(MediaCodecsImpl.decodeWavStereo(stBytes) != null) // sanity
+    val stExt = stBytes.clone()
+    stExt(20) = 0xfe.toByte; stExt(21) = 0xff.toByte
+    assert(MediaCodecsImpl.decodeWavStereo(stExt) == null,
+      "EXTENSIBLE stereo payload must be refused")
+    // IEEE-float tag (0x0003) refused the same way
+    val fl = stBytes.clone()
+    fl(20) = 3; fl(21) = 0
+    assert(MediaCodecsImpl.decodeWavStereo(fl) == null)
+  }
+
   test("frame energies fold the real PCM: loud/quiet blocks → planted means") {
     // 3 frames of 4 samples: |amps| 500, 500, 20
     val amps = new GenericArrayData(Array[Any](
