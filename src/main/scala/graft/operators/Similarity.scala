@@ -89,7 +89,8 @@ object Similarity {
     * this bound and directs the caller to [[knnGraphNnDescent]] — the
     * linear-candidate production build. Fixture blocks max out at 218
     * vectors (sf0.1 label skew), far under the gate; a 100-TB corpus
-    * block lands far over it. PlanAuditSpec pins the refusal. */
+    * block lands far over it. GraphAnnSpec pins the refusal
+    * (PlanAuditSpec pins the sim_ann_graph_nnd plan shape). */
   val KnnBuildGate = 1024
 
   /** kNN neighbor graph under the two blockings (edge list, ≤ 2·M
@@ -102,15 +103,20 @@ object Similarity {
   def knnGraph(emb: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // the gate probe is one tiny aggregate over the build input —
-    // build-is-the-op state, paid once under the graph memo
+    // build-is-the-op state, paid once under the graph memo. The two
+    // blockings are DISTINCT key spaces: prefix-tag them before the
+    // union so a label block and a mod block that happen to share an
+    // integer key are counted separately (summing them would refuse a
+    // corpus whose real largest block is under the bound)
     val oversized = emb
-      .select(col("label").cast("long").as("blk"))
-      .unionByName(emb.select(pmod(col("vec_id"), lit(GraphBlocks)).as("blk")))
+      .select(concat(lit("l:"), col("label").cast("long")).as("blk"))
+      .unionByName(emb.select(
+        concat(lit("m:"), pmod(col("vec_id"), lit(GraphBlocks))).as("blk")))
       .groupBy("blk").agg(count(lit(1)).as("n"))
       .where(col("n") > KnnBuildGate)
       .limit(1).collect()
     require(oversized.isEmpty,
-      s"knnGraph block ${oversized.headOption.map(_.getLong(0)).getOrElse(-1L)} " +
+      s"knnGraph block ${oversized.headOption.map(_.getString(0)).getOrElse("?")} " +
       s"holds > $KnnBuildGate vectors: the per-block all-pairs build is " +
       "quadratic in the block — use knnGraphNnDescent (linear candidate " +
       "generation) above the gate")
@@ -259,10 +265,14 @@ object Similarity {
     * graphMemo convention — the build is index state, queries pay
     * search only). */
   private val nndMemo =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
   def nndGraphCached(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     nndMemo.getOrElseUpdate(
-      "nnd:" + graft.Tables.fsSig(s, s"$dir/embeddings.parquet"),
+      // keyed by (applicationId, sig) like pcaCovCached: a
+      // localCheckpoint's blocks die with the SparkContext, so a
+      // same-JVM later session must not be served the stale handle
+      (s.sparkContext.applicationId,
+       "nnd:" + graft.Tables.fsSig(s, s"$dir/embeddings.parquet")),
       knnGraphNnDescent(embeddings(s, dir)).localCheckpoint())
 
   /** Built graphs memoized per fixture signature (the ivfMemo
@@ -271,10 +281,11 @@ object Similarity {
     * rebuild. localCheckpoint keeps the edge list (≤ 2M per vector —
     * metadata-scale next to the embeddings) off the iterative plan. */
   private val graphMemo =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
   def knnGraphCached(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     graphMemo.getOrElseUpdate(
-      graft.Tables.fsSig(s, s"$dir/embeddings.parquet"),
+      (s.sparkContext.applicationId,
+       graft.Tables.fsSig(s, s"$dir/embeddings.parquet")),
       knnGraph(embeddings(s, dir)).localCheckpoint())
 
   /** HNSW-CLASS BEAM SEARCH over the neighbor graph (VERDICT r16
@@ -427,9 +438,9 @@ object Similarity {
     // NN-descent-built graph (VERDICT r17 Missing #1) — candidate
     // generation linear in the corpus, no block-size exposure. The
     // build is deterministic end to end (seeded-md5 buckets, pinned
-    // cosines, tie-broken ranks), so the oracle replays seed + both
-    // descent rounds + the beam move for move — the scale-path build
-    // is hash-checked, not just spec-tested.
+    // cosines, tie-broken ranks), so the oracle replays seed + all
+    // NndRounds descent rounds + the beam move for move — the
+    // scale-path build is hash-checked, not just spec-tested.
     "sim_ann_graph_nnd" -> ((s, dir) =>
       graphBeamSearch(embeddings(s, dir), nndGraphCached(s, dir), 10)),
 

@@ -81,6 +81,29 @@ class GraphAnnSpec extends SparkSpec {
     assert(deg <= Similarity.GraphM)
   }
 
+  test("the gate counts each blocking separately: aligned label and mod " +
+       "blocks summing past the bound must NOT be refused") {
+    // 600 vectors all carrying label 7 AND vec_id ≡ 7 (mod GraphBlocks):
+    // both blockings put every row in a block keyed 7, each of size 600
+    // — under the 1024 gate. A probe that unioned the two blockings
+    // into ONE key space summed them to 1200 and falsely refused
+    // (r18 ADVICE); the largest REAL block is 600, so the build must run.
+    val n = 600
+    val dim = 64
+    val e = (0 until n).map { i =>
+      val t = i.toDouble / (n - 1)
+      val v = Array.tabulate(dim) { d =>
+        (if (d == 0) math.cos(t * math.Pi / 2)
+         else if (d == 1) math.sin(t * math.Pi / 2)
+         else 0.02 * math.sin(0.7 * d + 0.3 * i)).toFloat
+      }
+      (i.toLong * Similarity.GraphBlocks + 7, v, 7)
+    }.toDF("vec_id", "embedding", "label")
+    val g = Similarity.knnGraph(e) // must not throw
+    val deg = g.groupBy("vec_id").count().agg(max("count")).first().getLong(0)
+    assert(deg <= 2L * Similarity.GraphM)
+  }
+
   test("fixture recall certificate: the NN-descent arm stays within one " +
        "hit of the blocked arm at half the edge budget") {
     // measured ladder: nnd 0.9 vs blocked 1.0 at sf0.001, 1.0 vs 1.0
