@@ -1170,9 +1170,99 @@ object Vectors {
   def pcaPower(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     pcaPowerOnCov(pcaCovOf(emb).localCheckpoint())
 
+  /** DRIVER-SIDE EIGENSOLVE BUDGET (VERDICT r18 Wrong #1): after the
+    * one distributed covariance pass, the fit iterates a d×d matrix —
+    * pure metadata (d = embedding dim, 64 on the fixtures), yet as
+    * distributed rounds it cost ~24 checkpointed no-op-scale Spark
+    * jobs (~11 s of scheduling at committed minima, the #1 bench
+    * query). Under this gate the d² table is collected (the
+    * connectedComponents LocalCcMaxEdges convention: 256² rows × ~56 B
+    * a boxed (int,int,double) entry ≈ 3.7 MB worst-case driver
+    * footprint) and the IDENTICAL fround6/dsum6 algebra runs
+    * driver-side — results are bit-identical by construction
+    * (PcaSpec pins both arms equal on planted corpora). Above the
+    * gate the distributed rounds take over loudly. */
+  val PcaDriverDimGate = 256
+
+  /** Driver-side twin of [[dsum6]]: each IEEE term pinned to
+    * DECIMAL(24,6) exactly as Spark's double→decimal cast does
+    * (shortest decimal repr via Double.toString, then HALF_UP at
+    * scale 6 — java.math.BigDecimal.valueOf + setScale is that exact
+    * sequence), summed exactly in decimal, one final doubleValue —
+    * bit-identical to sum(cast(x as decimal(24,6))).cast("double"). */
+  private def dsum6Local(xs: Iterator[Double]): Double = {
+    var acc = java.math.BigDecimal.ZERO
+    while (xs.hasNext)
+      acc = acc.add(java.math.BigDecimal.valueOf(xs.next())
+        .setScale(6, java.math.RoundingMode.HALF_UP))
+    acc.doubleValue
+  }
+
+  /** The covariance collected as a dense d×d array when d is under
+    * [[PcaDriverDimGate]]; None (with a loud log line) routes the
+    * caller to the distributed rounds. The dimension probe is one
+    * tiny aggregate on the (checkpointed) cov table. */
+  private def pcaCovCollect(cov: org.apache.spark.sql.DataFrame,
+                            gate: Int): Option[Array[Array[Double]]] = {
+    val d = cov.agg(max(col("i"))).first().getInt(0) + 1
+    if (d > gate) {
+      org.apache.log4j.Logger.getLogger(getClass)
+        .warn(s"PCA fit: d=$d exceeds PcaDriverDimGate=$gate — " +
+              "running the distributed power/deflation rounds")
+      None
+    } else {
+      val c = Array.ofDim[Double](d, d)
+      cov.select(col("i"), col("j"), col("c")).collect()
+        .foreach(r => c(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      Some(c)
+    }
+  }
+
+  /** Driver-side twin of [[pcaRoundsOnCov]]: [[PcaIters]] rounds from
+    * the 𝟙 start vector, w = dsum6(C·v), v = w / sqrt(dsum6(w²)) —
+    * the same IEEE ops in the same order, so the result doubles are
+    * bit-identical to the distributed arm's. */
+  private def pcaRoundsLocal(c: Array[Array[Double]]): Array[Double] = {
+    val d = c.length
+    var v = Array.fill(d)(1.0)
+    for (_ <- 1 to PcaIters) {
+      val w = Array.tabulate(d)(i =>
+        dsum6Local((0 until d).iterator.map(j => c(i)(j) * v(j))))
+      val nm = math.sqrt(dsum6Local(w.iterator.map(x => x * x)))
+      v = w.map(_ / nm)
+    }
+    v
+  }
+
+  /** Driver-side twin of [[pcaRayleigh]]. */
+  private def pcaRayleighLocal(c: Array[Array[Double]], v: Array[Double]): Double = {
+    val d = c.length
+    val cv = Array.tabulate(d)(i =>
+      dsum6Local((0 until d).iterator.map(j => c(i)(j) * v(j))))
+    dsum6Local((0 until d).iterator.map(i => v(i) * cv(i)))
+  }
+
   /** The top-1 fit on an already-materialized covariance — the entry
-    * the session memo uses so every PCA query shares ONE cov pass. */
-  def pcaPowerOnCov(cov: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    * the session memo uses so every PCA query shares ONE cov pass.
+    * Driver-side under [[PcaDriverDimGate]] (the gate param is a test
+    * hook: PcaSpec passes gate=0 to force the distributed arm and
+    * pins row-identical output). */
+  def pcaPowerOnCov(cov: org.apache.spark.sql.DataFrame,
+                    gate: Int = PcaDriverDimGate): org.apache.spark.sql.DataFrame =
+    pcaCovCollect(cov, gate) match {
+      case Some(c) =>
+        val v = pcaRoundsLocal(c)
+        val lam = round6(pcaRayleighLocal(c, v))
+        val s = cov.sparkSession
+        import s.implicits._
+        c.indices.map(i => (i.toLong, round6(v(i)), lam))
+          .toDF("dim", "loading", "eigenvalue")
+      case None => pcaPowerOnCovDistributed(cov)
+    }
+
+  /** The distributed power fit — the >[[PcaDriverDimGate]] arm. */
+  private[graft] def pcaPowerOnCovDistributed(
+      cov: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val v = pcaRoundsOnCov(cov)
     val lam = pcaRayleigh(cov, v)
     v.crossJoin(broadcast(lam))
@@ -1220,7 +1310,36 @@ object Vectors {
     pcaTopKOnCov(pcaCovOf(emb).localCheckpoint(), k)
 
   def pcaTopKOnCov(cov0: org.apache.spark.sql.DataFrame,
-                   k: Int): org.apache.spark.sql.DataFrame = {
+                   k: Int,
+                   gate: Int = PcaDriverDimGate): org.apache.spark.sql.DataFrame =
+    pcaCovCollect(cov0, gate) match {
+      case Some(c0) =>
+        // driver-side deflation: the same sign pin (max round6-|v| dim
+        // positive, ties to the lowest dim), the same Rayleigh, the
+        // same left-associated c − (λ·vᵢ)·vⱼ IEEE chain as the
+        // distributed arm below — PcaSpec pins the two arms equal
+        var c = c0
+        val d = c0.length
+        val s = cov0.sparkSession
+        import s.implicits._
+        (1 to k).flatMap { comp =>
+          val vRaw = pcaRoundsLocal(c)
+          val best = (0 until d)
+            .minBy(i => (-round6(math.abs(vRaw(i))), i))
+          val fl = if (vRaw(best) < 0) -1.0 else 1.0
+          val v = vRaw.map(_ * fl)
+          val lam = pcaRayleighLocal(c, v)
+          c = Array.tabulate(d, d)((i, j) => c(i)(j) - lam * v(i) * v(j))
+          (0 until d).map(i =>
+            (comp.toLong, i.toLong, round6(v(i)), round6(lam)))
+        }.toDF("component", "dim", "loading", "eigenvalue")
+      case None => pcaTopKOnCovDistributed(cov0, k)
+    }
+
+  /** The distributed deflation fit — the >[[PcaDriverDimGate]] arm. */
+  private[graft] def pcaTopKOnCovDistributed(
+      cov0: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame = {
     var covC = cov0
     val comps = (1 to k).map { c =>
       val vRaw = pcaRoundsOnCov(covC)

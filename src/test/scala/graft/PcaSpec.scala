@@ -95,6 +95,27 @@ class PcaSpec extends SparkSpec {
     assert(got.forall(r => math.abs(r._3 - 34.0) < 1e-3), got.mkString(","))
   }
 
+  test("driver-side eigensolve equals the distributed arm row for row " +
+       "on the real fixture (both fits, gate hook pinned)") {
+    // the r18 de-weak: under PcaDriverDimGate the d² cov collects and
+    // the fround6/dsum6 algebra runs driver-side — the rows must be
+    // BIT-identical to the distributed rounds, pinned here on the real
+    // 64-dim fixture covariance. gate=0 is the loud-fallback hook:
+    // routing through it must reproduce the default-gate rows exactly,
+    // which pins both the fallback routing and arm parity at once.
+    val cov = Vectors.pcaCovOf(Tables.embeddings(spark, sf001)).localCheckpoint()
+    val local = Vectors.pcaPowerOnCov(cov).collect().toSeq
+    val dist = Vectors.pcaPowerOnCov(cov, gate = 0).collect().toSeq
+    assert(local.size == 64)
+    assert(local == dist, s"power arms diverge: ${local.diff(dist).take(3)}")
+    val localK = Vectors.pcaTopKOnCov(cov, Vectors.PcaComponents).collect().toSeq
+    val distK = Vectors.pcaTopKOnCov(cov, Vectors.PcaComponents, gate = 0)
+      .collect().toSeq
+    assert(localK.size == 3 * 64)
+    assert(localK == distK,
+      s"deflation arms diverge: ${localK.diff(distK).take(3)}")
+  }
+
   test("planted cluster with one far point flags exactly that point") {
     // 20 inliers (5 copies each of the 4 unit points) pull the
     // centroid to (1,0) once the (21,0) outlier joins; inlier
