@@ -141,6 +141,22 @@ object Tables {
     * emission could drift from the batch declaration silently). Same
     * NaN caveat as [[fround]]. */
   def round6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+  /** JVM-scalar twin of [[dsum6]] — ONE definition shared by every
+    * driver-side budget-gated arm (the PCA eigensolve, HITS): each
+    * IEEE term pinned to DECIMAL(24,6) exactly as Spark's
+    * double→decimal cast does (shortest decimal repr via
+    * Double.toString — java.math.BigDecimal.valueOf is that exact
+    * call — then HALF_UP at scale 6), summed exactly in decimal, one
+    * final doubleValue — bit-identical to
+    * sum(cast(x as decimal(24,6))).cast("double"). */
+  def dsum6Local(xs: Iterator[Double]): Double = {
+    var acc = java.math.BigDecimal.ZERO
+    while (xs.hasNext)
+      acc = acc.add(java.math.BigDecimal.valueOf(xs.next())
+        .setScale(6, java.math.RoundingMode.HALF_UP))
+    acc.doubleValue
+  }
   def froundSql(expr: String, n: Int): String =
     s"FLOOR(($expr) * 1e$n + 0.5) / 1e$n"
 

@@ -1184,20 +1184,6 @@ object Vectors {
     * gate the distributed rounds take over loudly. */
   val PcaDriverDimGate = 256
 
-  /** Driver-side twin of [[dsum6]]: each IEEE term pinned to
-    * DECIMAL(24,6) exactly as Spark's double→decimal cast does
-    * (shortest decimal repr via Double.toString, then HALF_UP at
-    * scale 6 — java.math.BigDecimal.valueOf + setScale is that exact
-    * sequence), summed exactly in decimal, one final doubleValue —
-    * bit-identical to sum(cast(x as decimal(24,6))).cast("double"). */
-  private def dsum6Local(xs: Iterator[Double]): Double = {
-    var acc = java.math.BigDecimal.ZERO
-    while (xs.hasNext)
-      acc = acc.add(java.math.BigDecimal.valueOf(xs.next())
-        .setScale(6, java.math.RoundingMode.HALF_UP))
-    acc.doubleValue
-  }
-
   /** The covariance collected as a dense d×d array when d is under
     * [[PcaDriverDimGate]]; None (with a loud log line) routes the
     * caller to the distributed rounds. The dimension probe is one

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Analytics
+import org.apache.spark.sql.functions.col
 
 /** HITS hubs/authorities (graph_hits): the oracle unrolls the rounds;
   * these plant a star whose ranking is hand-derivable. */
@@ -35,7 +36,7 @@ class HitsSpec extends SparkSpec {
     // crossJoins.
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
-    val plan = Analytics.hitsRounds(edges, Analytics.HitsIters)
+    val plan = Analytics.hitsRoundsDistributed(edges, Analytics.HitsIters)
       .queryExecution.optimizedPlan
     val aggs = plan.collect { case a: Aggregate => a }
     val joins = plan.collect { case j: Join => j }
@@ -46,6 +47,25 @@ class HitsSpec extends SparkSpec {
     assert(joins.size == 2,
       s"expected exactly the 2 broadcast crossJoins, got ${joins.size}")
     assert(rdds.nonEmpty, "per-round state must be checkpoint-scanned")
+  }
+
+  test("driver-side arm equals the distributed rounds row for row " +
+       "(planted star and the real fixture graph)") {
+    // the r18 Wrong-#3 shave: under HitsLocalMaxEdges the rounds run
+    // driver-side with the round6/dsum6Local twins — rows must be
+    // BIT-identical to the distributed arm on both a hand graph and
+    // the real part→supplier edges
+    val star = ((201L to 204L).map(d => (100L, d)) ++
+      Seq((100L, 200L), (1L, 200L), (2L, 200L), (3L, 200L)))
+      .toDF("src", "dst")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq
+    assert(rows(Analytics.hitsRounds(star, Analytics.HitsIters)) ==
+           rows(Analytics.hitsRoundsDistributed(star, Analytics.HitsIters)))
+    val e = Tables.lineitem(spark, sf001)
+      .select(col("l_partkey").as("src"), col("l_suppkey").as("dst"))
+      .distinct()
+    assert(rows(Analytics.hitsRounds(e, Analytics.HitsIters)) ==
+           rows(Analytics.hitsRoundsDistributed(e, Analytics.HitsIters)))
   }
 
   test("fixture query: both sides present, scores in (0, 1], non-increasing") {
