@@ -120,6 +120,42 @@ class GraphAnnSpec extends SparkSpec {
     }
   }
 
+  test("DiskANN insert: the patched graph reaches recall parity with a " +
+       "full rebuild on the planted chain, and every appended vector " +
+       "is wired in under the M cap") {
+    // base = the chain minus every 10th vector; append those back via
+    // nndInsertGraph — the patched graph must search as well as
+    // rebuilding from scratch on the full corpus (the r18 Missing #2
+    // contract: maintenance must not degrade the index)
+    val all = chainCorpus(120)
+    val base = all.where(col("vec_id") % Similarity.NndAppendMod =!=
+                         Similarity.NndAppendMod - 1)
+    val newV = all.where(col("vec_id") % Similarity.NndAppendMod ===
+                         Similarity.NndAppendMod - 1)
+    val patched = Similarity.nndInsertGraph(all, base,
+      Similarity.knnGraphNnDescent(base).localCheckpoint(), newV)
+      .localCheckpoint()
+    val rebuilt = Similarity.knnGraphNnDescent(all).localCheckpoint()
+    val exact = Similarity.topK(all, 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    def recall(g: org.apache.spark.sql.DataFrame): Int =
+      Similarity.graphBeamSearch(all, g, 10)
+        .select("vec_id").as[Long].collect().toSet.intersect(exact).size
+    val rPatch = recall(patched)
+    val rRebuild = recall(rebuilt)
+    assert(rPatch >= rRebuild,
+      s"patched recall $rPatch/10 fell below a full rebuild's $rRebuild/10")
+    // every appended vector has out-edges (findable AND navigable)
+    val newIds = newV.select("vec_id").as[Long].collect().toSet
+    val withEdges = patched.select("vec_id").as[Long].collect().toSet
+    assert(newIds.subsetOf(withEdges),
+      s"appended vectors without out-edges: ${newIds -- withEdges}")
+    val maxDeg = patched.groupBy("vec_id").count()
+      .agg(max("count")).first().getLong(0)
+    assert(maxDeg <= Similarity.GraphM,
+      s"out-degree $maxDeg exceeds the M=${Similarity.GraphM} budget")
+  }
+
   test("beam search is deterministic: two runs return identical rows") {
     val a = SparkEntry.queries("sim_ann_graph")(spark, sf001).collect().toSeq
     val b = SparkEntry.queries("sim_ann_graph")(spark, sf001).collect().toSeq
