@@ -29,6 +29,9 @@ object AvroContainer {
 
   sealed trait AvroType { def json: String }
   case object ALong extends AvroType { val json = "\"long\"" }
+  /** Avro int: the same zigzag varint wire format as long, declared
+    * 32-bit in the schema (the Iceberg spec's count/id fields). */
+  case object AInt extends AvroType { val json = "\"int\"" }
   case object ADouble extends AvroType { val json = "\"double\"" }
   case object AString extends AvroType { val json = "\"string\"" }
   case object ABytes extends AvroType { val json = "\"bytes\"" }
@@ -36,6 +39,22 @@ object AvroContainer {
     * so a missing value costs one varint byte. */
   final case class ANullable(inner: AvroType) extends AvroType {
     def json: String = s"""["null",${inner.json}]"""
+  }
+  /** A nested record — encoded as the plain concatenation of its
+    * fields (the Avro spec's record rule); the value side is a
+    * Seq[Any] in field order. An EMPTY field list is legal (Iceberg's
+    * partition struct for an unpartitioned spec) and encodes to zero
+    * bytes. */
+  final case class ARecord(name: String, fields: Seq[Field]) extends AvroType {
+    def json: String =
+      s"""{"type":"record","name":"$name","fields":[""" +
+        fields.map(f => s"""{"name":"${f.name}","type":${f.tpe.json}}""")
+          .mkString(",") + "]}"
+  }
+  /** An Avro array — encoded as blocks of (count, items…) closed by a
+    * 0 count; the value side is a Seq[Any]. */
+  final case class AArray(item: AvroType) extends AvroType {
+    def json: String = s"""{"type":"array","items":${item.json}}"""
   }
   final case class Field(name: String, tpe: AvroType)
 
@@ -73,7 +92,19 @@ object AvroContainer {
     case ANullable(inner) =>
       if (v == null) out.write(vlong(0))
       else { out.write(vlong(1)); encodeValue(inner, v, out) }
-    case ALong => out.write(vlong(v.asInstanceOf[Number].longValue))
+    case ARecord(_, fields) =>
+      val vs = v.asInstanceOf[Seq[Any]]
+      require(vs.length == fields.length,
+        s"record arity ${vs.length} != schema arity ${fields.length}")
+      fields.zip(vs).foreach { case (f, fv) => encodeValue(f.tpe, fv, out) }
+    case AArray(item) =>
+      val vs = v.asInstanceOf[Seq[Any]]
+      if (vs.nonEmpty) {
+        out.write(vlong(vs.length.toLong))
+        vs.foreach(encodeValue(item, _, out))
+      }
+      out.write(vlong(0))
+    case ALong | AInt => out.write(vlong(v.asInstanceOf[Number].longValue))
     case ADouble =>
       val bits = java.lang.Double.doubleToLongBits(
         v.asInstanceOf[Number].doubleValue)
@@ -174,14 +205,20 @@ object AvroContainer {
     try {
       val fieldCount = reader.getSchema.getFields.size
       val buf = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
+      def norm(x: Any): Any = x match {
+        case u: org.apache.avro.util.Utf8 => u.toString
+        case b: java.nio.ByteBuffer =>
+          val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a
+        case r: org.apache.avro.generic.GenericRecord =>
+          Array.tabulate[Any](r.getSchema.getFields.size)(i => norm(r.get(i)))
+        case l: java.util.Collection[_] =>
+          import scala.jdk.CollectionConverters._
+          l.asScala.toSeq.map(norm)
+        case other => other
+      }
       while (reader.hasNext) {
         val rec = reader.next()
-        buf += Array.tabulate[Any](fieldCount)(i => rec.get(i) match {
-          case u: org.apache.avro.util.Utf8 => u.toString
-          case b: java.nio.ByteBuffer =>
-            val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a
-          case other => other
-        })
+        buf += Array.tabulate[Any](fieldCount)(i => norm(rec.get(i)))
       }
       buf.toSeq
     } finally reader.close()

@@ -109,15 +109,53 @@ class DeltaExportSpec extends SparkSpec {
     val pm = dir.resolve("many.avro")
     AvroManifest.write(pm, many, "s2")
     assert(AvroManifest.readEntries(pm.toString) == many)
-    // and the LIVE export's lists decode through the same official path
+    // and the LIVE export's lists decode through the same official
+    // path — now the SPEC-COMPLETE two-level layout (r18 Missing #3):
+    // snap-v.avro carries a full manifest_file record whose length /
+    // counts must be REAL, manifest-v.avro carries manifest_entry
+    // records with footer-true row counts
     val root = graft.operators.Scans.timeTravelFixture(spark, sf001)
     val meta = graft.operators.Scans.exportIcebergMetadata(root)
     val lists = new java.io.File(s"$root/_iceberg").listFiles()
       .filter(_.getName.matches("snap-\\d+\\.avro"))
     assert(lists.nonEmpty)
     lists.foreach { f =>
-      val es = AvroManifest.readEntries(f.getPath)
-      assert(es.nonEmpty && es.forall(_._2 == "PARQUET"), f.getName)
+      val v = f.getName.stripPrefix("snap-").stripSuffix(".avro").toLong
+      val recs = graft.sources.AvroContainer.decodeRows(
+        java.nio.file.Files.readAllBytes(f.toPath))
+      assert(recs.size == 1, s"${f.getName}: one manifest_file record")
+      val mf = recs.head
+      val manifestPath = mf(0).asInstanceOf[String]
+      // manifest_length is the REAL byte size of the pointed file
+      assert(mf(1).asInstanceOf[Long] ==
+             java.nio.file.Files.size(java.nio.file.Paths.get(manifestPath)))
+      assert(mf(3).asInstanceOf[Number].intValue == 0) // content = data
+      assert(mf(4).asInstanceOf[Long] == v)            // sequence_number
+      assert(mf(6).asInstanceOf[Long] == v)            // added_snapshot_id
+      assert(mf(13) == null && mf(14) == null)         // partitions/key null
+      val entries = graft.sources.AvroContainer.decodeRows(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(manifestPath)))
+      assert(entries.nonEmpty)
+      // file/row counts in the manifest_file record match the entries
+      val (added, existing) = entries.partition(_(0).asInstanceOf[Number].intValue == 1)
+      assert(mf(7).asInstanceOf[Number].intValue == added.size)
+      assert(mf(8).asInstanceOf[Number].intValue == existing.size)
+      // data_file layout: (content, file_path, file_format, partition,
+      // record_count, file_size_in_bytes)
+      def rows(es: Seq[Array[Any]]) = es.map(
+        _(4).asInstanceOf[Array[Any]](4).asInstanceOf[Long]).sum
+      assert(mf(10).asInstanceOf[Long] == rows(added))
+      assert(mf(11).asInstanceOf[Long] == rows(existing))
+      entries.foreach { e =>
+        val df = e(4).asInstanceOf[Array[Any]]
+        assert(df(2) == "PARQUET")
+        // data_file sizes are the real on-disk bytes
+        assert(df(5).asInstanceOf[Long] == java.nio.file.Files.size(
+          java.nio.file.Paths.get(df(1).asInstanceOf[String])))
+      }
+      // the reader walk returns exactly the snapshot's live file set
+      assert(AvroManifest.readFilePaths(f.getPath).toSet ==
+             entries.map(_(4).asInstanceOf[Array[Any]](1)).toSet)
     }
     assert(meta.endsWith(".metadata.json"))
   }
