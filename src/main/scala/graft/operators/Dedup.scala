@@ -1083,26 +1083,53 @@ object Dedup {
     // every reported score — no oracle (bucket membership is
     // hash-specific); property tests plant near-copies and assert
     // recall, mirroring sim_ann_lsh.
-    "dedup_embedding" -> ((s, dir) => {
-      val bucketed = embeddings(s, dir).select(
-        col("vec_id"), col("embedding"),
-        posexplode(graft.functions.HyperplaneLsh(col("embedding"), 8, 8))
-          .as(Seq("tbl", "bucket")))
-      val a = bucketed.select(col("tbl"), col("bucket"),
-        col("vec_id").as("a"), col("embedding").as("va"))
-      val b = bucketed.select(col("tbl"), col("bucket"),
-        col("vec_id").as("b"), col("embedding").as("vb"))
-      a.join(b, Seq("tbl", "bucket"))
-        .where(col("a") < col("b"))
+    "dedup_embedding" -> ((s, dir) =>
+      embeddingLshPairs(embeddings(s, dir)).orderBy("a", "b")),
+
+    // ORACLE-BRACKETED certificate for the embedding-LSH dedup (the
+    // dedup_minhash_recall_bracket pattern, VERDICT r18 Missing #4):
+    // one deterministic near-copy per source vector 1..PlantCopies
+    // joins the corpus — 5 planted near-dup PAIRS in the production
+    // regime (cos ≈ 0.97+, exactly what embedding dedup exists to
+    // catch). The EXACT pair truth at τ over the augmented corpus is
+    // fully oracle-replayable (all-pairs at fixture scale — the
+    // certificate is a fixture-side audit, the LSH lane is the scale
+    // path); the hash-specific claims ride as literal-TRUE booleans:
+    // every reported pair is a truth pair (precision 1 by the exact
+    // re-score), hits bounded by truth, and ALL planted pairs found.
+    "dedup_embedding_recall_bracket" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val plants = (1 to Similarity.PlantCopies)
+        .map(k => Similarity.plantCopy(e, k.toLong, k))
+        .reduce(_ unionByName _)
+      val corpus = e.unionByName(plants).localCheckpoint()
+      val lshP = embeddingLshPairs(corpus).localCheckpoint()
+      val v = corpus.select(col("vec_id"), col("embedding"))
+      val truth = v.select(col("vec_id").as("a"), col("embedding").as("va"))
+        .join(v.select(col("vec_id").as("b"), col("embedding").as("vb")),
+              col("a") < col("b"))
         .select(col("a"), col("b"),
-                graft.functions.CosineSim(col("va"), col("vb")).as("cos"))
-        // τ tuned to the synthetic corpus's similarity scale (max
-        // pairwise cos ≈ 0.51); production near-dup dedup runs τ ≈ 0.9+,
-        // where LSH recall is far higher (see the planted-copy test)
-        .where(col("cos") >= 0.35)
-        .groupBy("a", "b") // a pair can collide in several tables
-        .agg(r4(max(col("cos"))).as("cos"))
-        .orderBy("a", "b")
+                fround(Similarity.cosine(col("va"), col("vb")), 4).as("tcos"))
+        .where(col("tcos") >= 0.35)
+        .select("a", "b")
+        .localCheckpoint()
+      val truthAgg = truth.agg(
+        big(count(lit(1))).as("n_truth"),
+        big(sum(when(col("b") >= Similarity.PlantBase &&
+                     col("a") === col("b") - Similarity.PlantBase, 1L)
+          .otherwise(0L))).as("n_planted_truth"))
+      val joined = lshP
+        .join(truth.withColumn("t", lit(1L)), Seq("a", "b"), "left")
+      val boolAgg = joined.agg(
+        big(count(lit(1))).as("nr"), big(count(col("t"))).as("nh"),
+        big(sum(when(col("b") >= Similarity.PlantBase &&
+                     col("a") === col("b") - Similarity.PlantBase, 1L)
+          .otherwise(0L))).as("npf"))
+      truthAgg.crossJoin(boolAgg).select(
+        col("n_truth"), col("n_planted_truth"),
+        (col("nh") === col("nr")).as("reported_subset_of_truth"),
+        (col("nh") <= col("n_truth")).as("hits_bounded"),
+        (col("npf") === col("n_planted_truth")).as("planted_pairs_found"))
     }),
 
     // Near-dup CLUSTERS: connected components of the exact-Jaccard
@@ -1403,6 +1430,33 @@ object Dedup {
         .orderBy("host")
     })
   )
+
+  /** dedup_embedding's whole pipeline on any (vec_id, embedding)
+    * frame — candidate pairs from multi-table hyperplane-LSH buckets
+    * (shuffle ~L·n/2^bits, never all-pairs), exact cosine ≥ τ on
+    * candidates only. Factored so the recall bracket runs the
+    * IDENTICAL lane over the planted corpus. */
+  def embeddingLshPairs(emb: DataFrame): DataFrame = {
+    val bucketed = emb.select(
+      col("vec_id"), col("embedding"),
+      posexplode(graft.functions.HyperplaneLsh(col("embedding"), 8, 8))
+        .as(Seq("tbl", "bucket")))
+    val a = bucketed.select(col("tbl"), col("bucket"),
+      col("vec_id").as("a"), col("embedding").as("va"))
+    val b = bucketed.select(col("tbl"), col("bucket"),
+      col("vec_id").as("b"), col("embedding").as("vb"))
+    a.join(b, Seq("tbl", "bucket"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"),
+              graft.functions.CosineSim(col("va"), col("vb")).as("cos"))
+      // τ tuned to the synthetic corpus's similarity scale (max
+      // pairwise cos ≈ 0.51); production near-dup dedup runs τ ≈ 0.9+,
+      // where LSH recall is far higher (the planted-copy test AND the
+      // recall bracket's planted pairs certify that regime)
+      .where(col("cos") >= 0.35)
+      .groupBy("a", "b") // a pair can collide in several tables
+      .agg(r4(max(col("cos"))).as("cos"))
+  }
 
   /** The shingle CTE every pair-graph oracle shares — the ONE copy of
     * the shingling recipe (review r7: it was pasted verbatim in eight
@@ -1721,6 +1775,23 @@ object Dedup {
        "CAST(COUNT(CASE WHEN jac >= 0.7 THEN 1 END) AS BIGINT) AS n_truth_07, " +
        "TRUE AS hits_bounded, TRUE AS recall_lattice, " +
        "TRUE AS recall_is_hit_ratio FROM j ORDER BY n_truth_05"),
+
+    // the plants replayed closed-form; all-pairs exact truth at τ,
+    // booleans pinned TRUE carry the hash-specific claims
+    "dedup_embedding_recall_bracket" ->
+      ("WITH " + Similarity.plantCtes(
+         s"vec_id BETWEEN 1 AND ${Similarity.PlantCopies}", "pe.vec_id = ks.k") + ", " +
+       "v AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings " +
+       "UNION ALL SELECT vec_id, ev FROM plant), " +
+       "tr AS (SELECT a.vec_id AS a, b.vec_id AS b FROM v a JOIN v b " +
+       "ON a.vec_id < b.vec_id WHERE " +
+       froundSql("LIST_COSINE_SIMILARITY(a.ev, b.ev)", 4) + " >= 0.35) " +
+       "SELECT CAST(COUNT(*) AS BIGINT) AS n_truth, " +
+       s"CAST(SUM(CASE WHEN b >= ${Similarity.PlantBase} AND " +
+       s"a = b - ${Similarity.PlantBase} THEN 1 ELSE 0 END) AS BIGINT) " +
+       "AS n_planted_truth, " +
+       "TRUE AS reported_subset_of_truth, TRUE AS hits_bounded, " +
+       "TRUE AS planted_pairs_found FROM tr"),
 
     "dedup_ngram_jaccard" ->
       ("WITH " + shCte + " " +

@@ -67,6 +67,42 @@ object Similarity {
       .limit(k)
   }
 
+  /** NEAR-COPY PLANTS for the recall-bracket certificates
+    * (sim_ann_lsh_recall_bracket / dedup_embedding_recall_bracket —
+    * VERDICT r18 Missing #4): copy k of source vector s gets vec_id =
+    * PlantBase + k and emb′ᵢ = float(xᵢ · (1 + (0.01·k) ·
+    * (((37·i + k) mod 7) − 3))) — a RATIONAL per-dimension
+    * perturbation (no transcendental, every step plain IEEE, so
+    * DuckDB replays the plant bit-for-bit), ±3k% per dimension →
+    * cosine to the source ≈ 0.97–0.999, far above the fixture's
+    * pairwise cosines. The plants make the hash-specific recall
+    * claims CERTIFIABLE: in the production near-dup regime (cos ≈ 1)
+    * the LSH lanes must catch them. */
+  val PlantBase = 1000000L
+  val PlantCopies = 5
+  def plantCopy(emb: DataFrame, srcId: Long, k: Int): DataFrame =
+    emb.where(col("vec_id") === srcId).select(
+      lit(PlantBase + k).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        (x * (lit(1.0) + lit(0.01) * lit(k) *
+          (pmod(lit(37) * i + lit(k), lit(7)) - lit(3)).cast("double")))
+          .cast("float")).as("embedding"),
+      col("label"))
+
+  /** The planted-copy replay in DuckDB (`plant(vec_id, ev)`), built
+    * on a `pe` explode of the SOURCE rows: `srcSel` filters the
+    * source vectors, `joinCond` binds copy k to its source ("TRUE"
+    * for all-copies-of-one, "pe.vec_id = ks.k" for one-per-source). */
+  private[operators] def plantCtes(srcSel: String, joinCond: String): String =
+    "pe AS (SELECT vec_id, GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS i, " +
+    "UNNEST(CAST(embedding AS DOUBLE[])) AS x FROM embeddings " +
+    s"WHERE $srcSel), " +
+    s"plant AS MATERIALIZED (SELECT $PlantBase + ks.k AS vec_id, " +
+    "LIST(CAST(CAST(x * (1 + CAST(0.01 AS DOUBLE) * ks.k * " +
+    "(((37 * i + ks.k) % 7) - 3)) AS FLOAT) AS DOUBLE) ORDER BY i) AS ev " +
+    s"FROM pe JOIN GENERATE_SERIES(1, $PlantCopies) AS ks(k) ON $joinCond " +
+    "GROUP BY ks.k)"
+
   /** Graph-ANN geometry (sim_ann_graph / sim_ann_graph_recall): each
     * vector keeps its GraphM nearest neighbors under TWO independent
     * blockings (label, and vec_id mod GraphBlocks — the NN-descent
@@ -656,8 +692,45 @@ object Similarity {
 
     // ANN path: LSH-bucketed approximate neighbors (no oracle — bucket
     // membership is hash-construction-specific; property tests assert
-    // recall against the brute-force baseline).
+    // recall against the brute-force baseline, and the _recall_bracket
+    // row below correctness-gates the recall claims per SF).
     "sim_ann_lsh" -> ((s, dir) => annTopK(embeddings(s, dir), 0L, 10)),
+
+    // ORACLE-BRACKETED certificate for the LSH arm (the
+    // dedup_minhash_recall_bracket pattern, VERDICT r18 Missing #4):
+    // PlantCopies deterministic near-copies of the query vector join
+    // the corpus (the production near-dup regime, cos ≈ 0.97–0.999 —
+    // exactly what an LSH index exists to catch), the EXACT top-10
+    // over the augmented corpus is fully oracle-replayable (the
+    // plants are closed-form), and the hash-specific claims ride as
+    // literal-TRUE booleans: the LSH arm recalls every plant the
+    // exact cut contains, and its hit count is sane. A bucketing bug
+    // that loses near-duplicates hash-mismatches at whatever SF it
+    // appears.
+    "sim_ann_lsh_recall_bracket" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val plants = (1 to PlantCopies).map(k => plantCopy(e, 0L, k))
+        .reduce(_ unionByName _)
+      val corpus = e.unionByName(plants).localCheckpoint()
+      val lsh = annTopK(corpus, 0L, 10).localCheckpoint()
+      val exact = topK(corpus, 0L, 10).localCheckpoint()
+      val exactAgg = exact.agg(
+        big(count(lit(1))).as("n_exact"),
+        min(col("cos")).as("exact_cut"),
+        big(sum(when(col("vec_id") >= PlantBase, 1L).otherwise(0L)))
+          .as("n_planted_exact"))
+      val boolAgg = lsh
+        .join(exact.select(col("vec_id"), lit(1L).as("hit")),
+              Seq("vec_id"), "left")
+        .agg(big(count(lit(1))).as("nr"), big(count(col("hit"))).as("nh"),
+             big(sum(when(col("vec_id") >= PlantBase && col("hit").isNotNull,
+                          1L).otherwise(0L))).as("nph"))
+      exactAgg.crossJoin(boolAgg).select(
+        col("n_exact"), col("exact_cut"), col("n_planted_exact"),
+        (col("nh").between(0, 10) && col("nh") <= col("nr") &&
+         col("nr") <= 10).as("hits_bounded"),
+        (col("nph") === col("n_planted_exact")).as("planted_recalled"))
+    }),
 
     // kNN LABEL CLASSIFICATION — 5-NN majority vote against a BOUNDED
     // labeled reference set, reported as a confusion summary (label,
@@ -1155,6 +1228,20 @@ object Similarity {
        "FROM g10 LEFT JOIN exact10 e USING (vec_id) " +
        "GROUP BY 1 ORDER BY method"),
 
+    // the plants replayed closed-form; the exact columns are the full
+    // truth, the booleans pinned TRUE carry the hash-specific claims
+    "sim_ann_lsh_recall_bracket" ->
+      ("WITH " + plantCtes("vec_id = 0", "TRUE") + ", " +
+       "v AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings " +
+       "UNION ALL SELECT vec_id, ev FROM plant), " +
+       "q AS (SELECT ev AS qv FROM v WHERE vec_id = 0), " +
+       "ex AS (SELECT v.vec_id, " +
+       froundSql("LIST_COSINE_SIMILARITY(v.ev, q.qv)", 4) + " AS cos " +
+       "FROM v, q WHERE v.vec_id <> 0 ORDER BY cos DESC, v.vec_id LIMIT 10) " +
+       "SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, MIN(cos) AS exact_cut, " +
+       s"CAST(SUM(CASE WHEN vec_id >= $PlantBase THEN 1 ELSE 0 END) AS BIGINT) " +
+       "AS n_planted_exact, TRUE AS hits_bounded, TRUE AS planted_recalled " +
+       "FROM ex"),
     // CAST to DOUBLE[] so DuckDB's kernel does the same double-precision
     // arithmetic as our promoted HOF pipeline.
     "sim_topk" ->
