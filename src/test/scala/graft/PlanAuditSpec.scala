@@ -354,11 +354,27 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("graph_hits and agg_market_basket cut with heaps, never a cartesian product") {
-    Seq("graph_hits", "agg_market_basket").foreach { q =>
-      val p = plan(q)
-      assert(p.contains("TakeOrderedAndProject"), s"$q\n${p.take(2000)}")
-      assert(!p.contains("CartesianProduct"), s"$q\n${p.take(2000)}")
-    }
+    // graph_hits runs driver-side under HitsLocalMaxEdges (r19): the
+    // measured plan is a local relation — zero distributed work; the
+    // heap pin moves to the distributed arm below
+    val ph = plan("graph_hits")
+    assert(ph.contains("LocalTableScan"), ph.take(2000))
+    assert(!ph.contains("Exchange"), ph.take(2000))
+    val p = plan("agg_market_basket")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("the distributed HITS arm still cuts with heaps, never a cartesian product") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.lineitem(spark, sf001)
+      .select(col("l_partkey").as("src"), col("l_suppkey").as("dst"))
+      .distinct()
+    val p = graft.operators.Analytics
+      .hitsRoundsDistributed(e, graft.operators.Analytics.HitsIters)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
   test("vec_random_projection pairs by equi-join; projection stays in the scan-side project") {
@@ -1203,6 +1219,40 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(4000))
     assert(!p.contains("Join"), p.take(4000))
     assert(!p.contains("hashpartitioning"), p.take(4000))
+  }
+
+  test("sim_ann_graph_nnd_append: the measured plan is the same bounded " +
+       "rank over checkpoint scans — build AND patch stay index state") {
+    val p = plan("sim_ann_graph_nnd_append")
+    assert(p.contains("Scan ExistingRDD"), p.take(4000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(4000))
+    assert(!p.contains("Join"), p.take(4000))
+    assert(!p.contains("hashpartitioning"), p.take(4000))
+  }
+
+  test("vec_pca_topk: the driver-side fit serves a local relation — " +
+       "zero distributed work in the measured plan") {
+    // the r18 de-weak: under PcaDriverDimGate the whole fit collapses
+    // to driver math on the memoized covariance; the query's plan must
+    // carry no exchange, no join, no aggregate — a reappearing
+    // distributed round would show up here before it shows in BENCH
+    val p = plan("vec_pca_topk")
+    assert(!p.contains("Exchange"), p.take(4000))
+    assert(!p.contains("Join"), p.take(4000))
+    assert(!p.contains("HashAggregate"), p.take(4000))
+  }
+
+  test("source_avro / sink_avro_roundtrip: whole-container tasks, " +
+       "partial aggregation before the final grid exchange") {
+    Seq("source_avro", "sink_avro_roundtrip").foreach { q =>
+      val p = plan(q)
+      // binaryFile hands whole containers to tasks; the decode is a
+      // row-local flatMap (SerializeFromObject feeds the agg) and the
+      // count/sum aggregate must split partial/final so container
+      // payloads never cross the exchange
+      assert(p.contains("BinaryFileScan") || p.contains("binaryFile"), s"$q: ${p.take(2000)}")
+      assert("HashAggregate".r.findAllIn(p).size >= 2, s"$q: ${p.take(3000)}")
+    }
   }
 
   test("whole-stage codegen covers the hot paths of the flagship aggregate") {
