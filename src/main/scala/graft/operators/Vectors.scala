@@ -1089,6 +1089,96 @@ object Vectors {
     * the ONE corpus pass both fits (top-1 power and top-k deflation)
     * share. NOT checkpointed here; callers checkpoint (or memo). */
   def pcaCovOf(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // under the driver gate, the corpus pass runs as ONE treeAggregate
+    // fold (the RowMatrix.computeCovariance shape) instead of the
+    // d²/2-per-row explode — same values by exact arithmetic, a
+    // fraction of the cost (measured 6.7 → <1 s at sf0.1: the explode
+    // pushed 4.16M pair rows through a decimal hash-agg for a
+    // 2000-row corpus)
+    val d = emb.select(size(col("embedding"))).first().getInt(0)
+    if (d <= PcaDriverDimGate) pcaCovViaFold(emb, d)
+    else pcaCovDistributed(emb)
+  }
+
+  /** The one-pass covariance fold: each partition accumulates the
+    * d-vector of dsum6 term pins and the upper-triangle d²/2 pair
+    * pins as SCALED LONGS (a DECIMAL(24,6) term is an integer number
+    * of millionths — [[dsum6Local]]'s BigDecimal pin taken at its
+    * unscaled value; addExact keeps any overflow loud), partials
+    * merge associatively, and the d² cov table assembles driver-side
+    * with the IDENTICAL IEEE expression chain the distributed
+    * assembly uses — PcaSpec pins the two arms row-identical. The
+    * corpus sees exactly ONE scan with NO row amplification: at 100
+    * TB this is d²/2 longs of state per task vs the explode arm's
+    * d²/2 shuffle rows per corpus row. */
+  private def pcaCovViaFold(emb: org.apache.spark.sql.DataFrame,
+                            d: Int): org.apache.spark.sql.DataFrame = {
+    val s = emb.sparkSession
+    val nPairs = d * (d + 1) / 2
+    // the term pin, with a guarded fast path: away from a .5-millionth
+    // boundary, rounding the binary value and HALF_UP on the shortest
+    // decimal repr give the same integer (they can only disagree within
+    // float-error of the boundary), so the BigDecimal walk — ~4M
+    // Double.toString allocations per corpus partition — runs only for
+    // the ~0 terms inside the conservative guard band
+    def d6u(x: Double): Long = {
+      val y = x * 1e6
+      val f = Math.floor(y)
+      val frac = y - f
+      if (frac > 0.5 + 1e-4) f.toLong + 1
+      else if (frac < 0.5 - 1e-4) f.toLong
+      else java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValueExact()
+    }
+    val (n, sumU, pairU) = emb
+      .select(Similarity.asDouble(col("embedding")).as("e"))
+      .rdd.map(_.getSeq[Double](0).toArray)
+      .treeAggregate((0L, new Array[Long](d), new Array[Long](nPairs)))(
+        seqOp = { case ((cnt, sums, pairs), e) =>
+          var i = 0; var p = 0
+          while (i < d) {
+            sums(i) = Math.addExact(sums(i), d6u(e(i)))
+            var j = i
+            while (j < d) {
+              pairs(p) = Math.addExact(pairs(p), d6u(e(i) * e(j)))
+              p += 1; j += 1
+            }
+            i += 1
+          }
+          (cnt + 1, sums, pairs)
+        },
+        combOp = { case ((c1, s1, p1), (c2, s2, p2)) =>
+          var i = 0
+          while (i < d) { s1(i) = Math.addExact(s1(i), s2(i)); i += 1 }
+          var p = 0
+          while (p < nPairs) { p1(p) = Math.addExact(p1(p), p2(p)); p += 1 }
+          (c1 + c2, s1, p1)
+        })
+    def toD(u: Long): Double = java.math.BigDecimal.valueOf(u, 6).doubleValue
+    val m = Array.tabulate(d)(i => toD(sumU(i)) / n)
+    val cells = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Double)]
+    var i = 0; var p = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        // the distributed assembly's exact chain: (sd − (n·mi)·mj)/(n−1)
+        val c = (toD(pairU(p)) - n.toDouble * m(i) * m(j)) / (n - 1).toDouble
+        cells += ((i, j, c))
+        if (i != j) cells += ((j, i, c))
+        p += 1; j += 1
+      }
+      i += 1
+    }
+    import s.implicits._
+    cells.toSeq.toDF("i", "j", "c")
+  }
+
+  /** The explode + decimal-hash-agg corpus pass — the
+    * >[[PcaDriverDimGate]] arm (d²-bounded task state no longer
+    * holds), and the spec's parity reference. */
+  private[graft] def pcaCovDistributed(
+      emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val pe = emb
       .select(col("vec_id"),
               posexplode(Similarity.asDouble(col("embedding"))))

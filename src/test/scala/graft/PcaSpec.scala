@@ -103,6 +103,15 @@ class PcaSpec extends SparkSpec {
     // 64-dim fixture covariance. gate=0 is the loud-fallback hook:
     // routing through it must reproduce the default-gate rows exactly,
     // which pins both the fallback routing and arm parity at once.
+    // the covariance fold arm must be cell-identical to the explode +
+    // decimal-hash-agg arm (the r19 corpus-pass de-weak)
+    val emb = Tables.embeddings(spark, sf001)
+    val foldCov = Vectors.pcaCovOf(emb)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSet
+    val distCov = Vectors.pcaCovDistributed(emb)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(foldCov == distCov,
+      s"cov arms diverge: ${(foldCov diff distCov).take(3)}")
     val cov = Vectors.pcaCovOf(Tables.embeddings(spark, sf001)).localCheckpoint()
     val local = Vectors.pcaPowerOnCov(cov).collect().toSeq
     val dist = Vectors.pcaPowerOnCov(cov, gate = 0).collect().toSeq
