@@ -764,6 +764,38 @@ object Scans {
       }.reduce(_ unionByName _).orderBy("snapshot_id")
     }),
 
+    // MANIFEST STATS THROUGH THE SPEC-COMPLETE RECORDS (r19 — the
+    // correctness gate for the new manifest_file fields): each
+    // snapshot's manifest-list record is decoded through the strict
+    // validation + official-decoder lane and its row-accounting
+    // fields surface as a table — added/existing row counts are
+    // footer-true and parallelism-INDEPENDENT (file counts are not,
+    // so only their non-emptiness ships), the sequence-number window
+    // must match the snapshot chain. The oracle predicts every number
+    // from the fixture's cutoff predicate — a manifest writer that
+    // misattributes a file's adding snapshot, or sums footer counts
+    // wrong, hash-mismatches here per SF. O(snapshots) driver-side
+    // metadata decode, like every catalog reader in the family.
+    "scan_iceberg_manifest_stats" -> ((s, dir) => {
+      import s.implicits._
+      val root = timeTravelFixture(s, dir)
+      exportIcebergMetadata(root)
+      new java.io.File(s"$root/_iceberg").listFiles()
+        .filter(_.getName.matches("snap-\\d+\\.avro")).map(_.getPath)
+        .sorted.toSeq
+        .map { lp =>
+          val mf = graft.sources.AvroContainer.decodeRows(
+            java.nio.file.Files.readAllBytes(
+              java.nio.file.Paths.get(lp))).head
+          (mf(4).asInstanceOf[Long], mf(5).asInstanceOf[Long],
+           mf(10).asInstanceOf[Long], mf(11).asInstanceOf[Long],
+           mf(7).asInstanceOf[Number].intValue >= 1)
+        }
+        .toDF("sequence_number", "min_sequence_number", "added_rows",
+              "existing_rows", "has_added_files")
+        .orderBy("sequence_number")
+    }),
+
     // CATALOG IMPORT, DELTA SHAPE — the other half of interop: not
     // just describing the export but SERVING DATA through it. The
     // live file set is reconstructed from the transaction log alone
@@ -3841,6 +3873,23 @@ object Scans {
       s"SELECT CAST(2 AS BIGINT), ${ms(3)}, 'OPTIMIZE', CAST($all AS BIGINT), " +
       s"CAST($all AS BIGINT) " +
       "ORDER BY version"
+    },
+
+    // v1 adds the pre-cutoff rows to an empty table; v2 adds the rest
+    // while the v1 files ride as EXISTING with their sequence window
+    // anchored at 1
+    "scan_iceberg_manifest_stats" -> {
+      val pre = "(SELECT COUNT(*) FROM orders WHERE o_orderdate < " +
+        s"TIMESTAMP '$TimeTravelCutoff')"
+      val post = "(SELECT COUNT(*) FROM orders WHERE o_orderdate >= " +
+        s"TIMESTAMP '$TimeTravelCutoff')"
+      "SELECT CAST(1 AS BIGINT) AS sequence_number, " +
+      "CAST(1 AS BIGINT) AS min_sequence_number, " +
+      s"CAST($pre AS BIGINT) AS added_rows, CAST(0 AS BIGINT) AS existing_rows, " +
+      "TRUE AS has_added_files " +
+      "UNION ALL SELECT CAST(2 AS BIGINT), CAST(1 AS BIGINT), " +
+      s"CAST($post AS BIGINT), CAST($pre AS BIGINT), TRUE " +
+      "ORDER BY sequence_number"
     },
 
     // the one append window is exactly the post-cutoff slice

@@ -302,6 +302,11 @@ object Similarity {
     * NndAppendMod − 1 — the IvfAppendBatchMod convention). */
   val NndAppendMod = 10
 
+  /** sim_ann_graph_nnd_delete: the tombstoned slice (vec_id %
+    * NndDeleteMod == 3 — a residue disjoint from the append batch so
+    * the two maintenance lanes compose). */
+  val NndDeleteMod = 10
+
   /** DISKANN-STYLE INCREMENTAL INSERT into an NN-descent graph
     * (VERDICT r18 Missing #2 — the production build gains index
     * maintenance, mirroring sim_ann_ivf_append): each appended vector
@@ -454,7 +459,8 @@ object Similarity {
     * fixpoint exit returns the identical result. */
   def graphBeamSearch(e: DataFrame, graph: DataFrame, k: Int,
                       queryVecId: Long = 0L,
-                      earlyExit: Boolean = true): DataFrame = {
+                      earlyExit: Boolean = true,
+                      tombstoned: Option[Column] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = e.where(col("vec_id") === queryVecId).select(col("embedding").as("qv"))
     def scored(ids: DataFrame): DataFrame =
@@ -488,8 +494,13 @@ object Similarity {
       prevIds = ids
       round += 1
     }
-    // the final rank window runs over ≤ GraphBeam rows — bounded
-    beam.where(col("vec_id") =!= queryVecId)
+    // the final rank window runs over ≤ GraphBeam rows — bounded.
+    // DiskANN tombstone semantics: deleted vectors stay NAVIGABLE
+    // (the beam routes through them — removing them from the graph
+    // would orphan their neighborhoods until compaction) but are
+    // FILTERED from the served results here, at the bounded cut
+    beam.where(col("vec_id") =!= queryVecId &&
+               !tombstoned.getOrElse(lit(false)))
       .withColumn("rnk",
         big(row_number().over(Window.orderBy(col("cos").desc, col("vec_id")))))
       .where(col("rnk") <= k)
@@ -583,6 +594,19 @@ object Similarity {
     // scale-path build is hash-checked, not just spec-tested.
     "sim_ann_graph_nnd" -> ((s, dir) =>
       graphBeamSearch(embeddings(s, dir), nndGraphCached(s, dir), 10)),
+
+    // THE DELETE HALF of index maintenance (DiskANN lazy-delete
+    // semantics): every vec_id % NndDeleteMod == 3 vector is
+    // tombstoned — it STAYS in the graph (removing it would orphan
+    // its neighborhood until a compaction rebuild, which is exactly
+    // [[knnGraphNnDescent]] re-run) and the beam still routes through
+    // it, but the served top-10 filters it at the bounded final cut.
+    // The memoized full-corpus graph is REUSED untouched — a delete
+    // costs zero index mutation. The oracle replays the identical
+    // beam with the tombstone filter on the last window.
+    "sim_ann_graph_nnd_delete" -> ((s, dir) =>
+      graphBeamSearch(embeddings(s, dir), nndGraphCached(s, dir), 10,
+        tombstoned = Some(col("vec_id") % NndDeleteMod === 3))),
 
     // INDEX MAINTENANCE for the production build (VERDICT r18
     // Missing #2): the NN-descent graph built on the PRE-append
@@ -1189,6 +1213,16 @@ object Similarity {
        "SELECT CAST(rn AS BIGINT) AS rnk, vec_id, cos FROM (" +
        "SELECT vec_id, cos, ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS rn " +
        s"FROM gb$GraphRounds WHERE vec_id <> 0) WHERE rn <= 10 ORDER BY rnk"),
+    // identical build + beam; tombstones filtered at the final cut only
+    "sim_ann_graph_nnd_delete" ->
+      ("WITH v AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings), " +
+       "gv AS MATERIALIZED (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings), " +
+       "q AS (SELECT ev AS qv FROM v WHERE vec_id = 0), " +
+       nndStructureCtes + ", " + beamRoundsCtes + " " +
+       "SELECT CAST(rn AS BIGINT) AS rnk, vec_id, cos FROM (" +
+       "SELECT vec_id, cos, ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS rn " +
+       s"FROM gb$GraphRounds WHERE vec_id <> 0 AND vec_id % $NndDeleteMod <> 3) " +
+       "WHERE rn <= 10 ORDER BY rnk"),
     // graph arm + IVF arm against the same exact cut — the ivfCtes
     // prelude defines v/q/assign/probes, the beam CTEs ride on them
     "sim_ann_graph_recall" ->

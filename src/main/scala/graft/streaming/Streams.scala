@@ -796,6 +796,39 @@ object Streams {
     "stream_media_decode" -> ((s, dir) =>
       mediaDecodeGrid(documents(s, dir)).orderBy("lang")),
 
+    // STREAMING AVRO INGEST (r19 — the Avro lane's streaming half,
+    // the stream_delta_tail posture for event-log containers): Avro
+    // object containers arrive as a file-source stream (binaryFile
+    // assigns whole containers to tasks; decode = strict frame
+    // validation + the official decoder, row-local), and the
+    // per-container accounting grid merges (counts/key sums/decimal
+    // totals are all mergeable — any micro-batch chunking composes).
+    // Batch-declared here over the staged container set;
+    // StreamAvroTailSpec drives the REAL binaryFile file-source job
+    // (maxFilesPerTrigger=1 → AvailableNow → foreachBatch sink) to
+    // the same totals with per-file batch attribution. The oracle
+    // predicts every container's content from the orders table (the
+    // staging rule is a closed-form residue split).
+    "stream_avro_tail" -> ((s, dir) => {
+      import s.implicits._
+      val src = stageAvroTail(s, dir)
+      s.read.format("binaryFile").option("pathGlobFilter", "*.avro")
+        .load(src)
+        .select(col("path"), col("content")).as[(String, Array[Byte])]
+        .flatMap { case (p, bytes) =>
+          val b = "batch-(\\d+)\\.avro$".r.findFirstMatchIn(p)
+            .get.group(1).toLong
+          graft.sources.AvroContainer.decodeRows(bytes).map(a =>
+            (b, a(0).asInstanceOf[Long], a(1).asInstanceOf[Double]))
+        }
+        .toDF("batch", "o_orderkey", "o_totalprice")
+        .groupBy("batch")
+        .agg(big(count(lit(1))).as("n"),
+             big(sum("o_orderkey")).as("key_sig"),
+             dsum(col("o_totalprice")).as("total"))
+        .orderBy("batch")
+    }),
+
     // STREAMING CDC CONSUMER over the exported Delta log — the tail
     // job a downstream sync runs against the lake: new _delta_log
     // files arrive as a file-source stream, dataChange=true adds
@@ -1049,7 +1082,65 @@ object Streams {
   private val branchStreamMemo =
     scala.collection.concurrent.TrieMap.empty[String, Boolean]
 
+  /** stream_avro_tail's container count — each staged container holds
+    * the orders residue class o_orderkey % AvroTailBatches == b, so
+    * the oracle predicts every container's content closed-form. */
+  val AvroTailBatches = 5
+
+  /** Stage the Avro tail's watched directory: one hand-encoded
+    * container per residue class, mtimes strictly increasing so the
+    * file-source's batch order is deterministic. Memoized per (JVM,
+    * fixture state) — the containers are pure functions of orders. */
+  private val avroTailMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Unit]
+  def stageAvroTail(s: SparkSession, dir: String): String = {
+    val src = scratch(dir, "stream_avro_src")
+    avroTailMemo.getOrElseUpdate(
+      s"$src|${graft.Tables.fsSig(s, s"$dir/orders.parquet")}", {
+        val A = graft.sources.AvroContainer
+        val fields = Seq(A.Field("o_orderkey", A.ALong),
+                         A.Field("o_totalprice", A.ADouble))
+        val d = java.nio.file.Paths.get(src)
+        java.nio.file.Files.createDirectories(d)
+        val rows = orders(s, dir)
+          .select(col("o_orderkey"), col("o_totalprice")).collect()
+        (0 until AvroTailBatches).foreach { b =>
+          val recs = rows
+            .filter(_.getLong(0) % AvroTailBatches == b)
+            .sortBy(_.getLong(0)).iterator
+            .map(r => Seq[Any](r.getLong(0), r.getDouble(1)))
+          val f = d.resolve(s"batch-$b.avro")
+          java.nio.file.Files.write(f,
+            A.encode("order_tail", fields, recs, s"avrotail:$b"))
+          f.toFile.setLastModified(1700000000000L + b * 60000L)
+        }
+      })
+    src
+  }
+
+  /** stream_avro_tail's per-batch step, shared with the REAL
+    * streaming job in StreamAvroTailSpec: decode each arriving
+    * container row-locally and append its rows with the batch id. */
+  def avroTailStep(spark: SparkSession, sink: String)(
+      df: DataFrame, batchId: Long): Unit = {
+    import spark.implicits._
+    df.select(col("content")).as[Array[Byte]]
+      .flatMap(bytes => graft.sources.AvroContainer.decodeRows(bytes)
+        .map(a => (a(0).asInstanceOf[Long], a(1).asInstanceOf[Double])))
+      .toDF("o_orderkey", "o_totalprice")
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("append").parquet(sink)
+  }
+
   val oracle: Map[String, String] = Map(
+    // each staged container is a closed-form residue class of orders
+    "stream_avro_tail" ->
+      (s"SELECT CAST(o_orderkey % $AvroTailBatches AS BIGINT) AS batch, " +
+       "CAST(COUNT(*) AS BIGINT) AS n, " +
+       "CAST(SUM(o_orderkey) AS BIGINT) AS key_sig, " +
+       s"${dsumSql("o_totalprice")} AS total " +
+       "FROM orders GROUP BY 1 ORDER BY batch"),
+
     // the streamed, commit-at-a-time table must equal the batch table
     "stream_branch_publish" ->
       ("SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders, " +
