@@ -156,6 +156,35 @@ class GraphAnnSpec extends SparkSpec {
       s"out-degree $maxDeg exceeds the M=${Similarity.GraphM} budget")
   }
 
+  test("lazy delete and compaction agree: tombstone-filtered search over " +
+       "the stale graph matches the rebuilt-without-tombstones index") {
+    // the maintenance triple's closing law: compaction IS the build
+    // re-run on the survivors — it must evict every tombstone from
+    // the structure, and the lazy-delete search (tombstones navigable,
+    // filtered at the cut) must already serve the same results
+    val all = chainCorpus(120)
+    val dead = col("vec_id") % Similarity.NndDeleteMod === 3
+    val stale = Similarity.knnGraphNnDescent(all).localCheckpoint()
+    val lazyTop = Similarity.graphBeamSearch(all, stale, 10,
+        tombstoned = Some(dead))
+      .select("vec_id").as[Long].collect().toSet
+    val survivors = all.where(!dead)
+    val compacted = Similarity.knnGraphNnDescent(survivors).localCheckpoint()
+    // eviction: no tombstoned id on either side of the compacted graph
+    val ids = compacted.select("vec_id")
+      .unionByName(compacted.select(col("nbr_id").as("vec_id")))
+      .where(col("vec_id") % Similarity.NndDeleteMod === 3).count()
+    assert(ids == 0L, s"$ids tombstoned ids survived compaction")
+    val compactTop = Similarity.graphBeamSearch(survivors, compacted, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val exact = Similarity.topK(survivors, 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(lazyTop.intersect(exact).size >= compactTop.intersect(exact).size - 1,
+      s"lazy-delete recall ${lazyTop.intersect(exact).size}/10 fell more " +
+      s"than one hit below compaction's ${compactTop.intersect(exact).size}/10")
+    assert(lazyTop.forall(_ % Similarity.NndDeleteMod != 3))
+  }
+
   test("beam search is deterministic: two runs return identical rows") {
     val a = SparkEntry.queries("sim_ann_graph")(spark, sf001).collect().toSeq
     val b = SparkEntry.queries("sim_ann_graph")(spark, sf001).collect().toSeq
