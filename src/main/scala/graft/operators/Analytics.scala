@@ -113,11 +113,12 @@ object Analytics {
 
   /** HITS edge budget for the driver-side arm — the
     * connectedComponents LocalCcMaxEdges convention, same 64 MB ÷
-    * 160 B/edge bound: the part→supplier bipartite graph is ~80k
-    * distinct edges at sf0.1 (partsupp-shaped: suppliers-per-part is
-    * a CONSTANT, so edges grow linearly with parts), but a 100-TB
-    * corpus lands over the budget and the distributed rounds take
-    * over. */
+    * 160 B/edge bound. NOTE the measured reality (review r19): the
+    * sf0.1 fixture's part→supplier graph is 591k DISTINCT edges (the
+    * synthetic lineitem draws suppliers near-uniformly, not TPC-H
+    * partsupp's constant 4-per-part), so sf0.1 — and any larger
+    * corpus — lands on the DISTRIBUTED arm; the driver arm serves
+    * sf0.001/sf0.01 and planted graphs. */
   val HitsLocalMaxEdges: Long = Dedup.LocalCcMaxEdges
 
   /** HITS mutual reinforcement over a directed (src, dst) edge list:
@@ -151,7 +152,7 @@ object Analytics {
     org.apache.log4j.Logger.getLogger(getClass)
       .warn(s"hitsRounds: > $HitsLocalMaxEdges edges — running the " +
             "distributed rounds")
-    hitsRoundsDistributed(e, iters)
+    hitsRoundsOnCheckpointed(e, iters)
   }
 
   /** Driver-side twin of [[hitsRoundsDistributed]]: the same fixed
@@ -160,6 +161,10 @@ object Analytics {
     * rows are bit-identical to the distributed arm's. */
   private[graft] def hitsLocal(edges: Array[(Long, Long)], iters: Int)
       : Seq[(String, Long, Long, Double)] = {
+    // an empty edge list has no scores on either side — return the
+    // empty report like the distributed arm does (review r19: the
+    // max-normalization would otherwise throw on the empty map)
+    if (edges.isEmpty) return Seq.empty
     val byDst = edges.groupBy(_._2)
     val bySrc = edges.groupBy(_._1)
     var h = bySrc.keysIterator.map(_ -> 1.0).toMap
@@ -181,8 +186,13 @@ object Analytics {
   }
 
   /** The distributed rounds — the >[[HitsLocalMaxEdges]] arm. */
-  private[graft] def hitsRoundsDistributed(e0: DataFrame, iters: Int): DataFrame = {
-    val e = e0.localCheckpoint()
+  private[graft] def hitsRoundsDistributed(e0: DataFrame, iters: Int): DataFrame =
+    hitsRoundsOnCheckpointed(e0.localCheckpoint(), iters)
+
+  /** The round body over an ALREADY-checkpointed edge list —
+    * [[hitsRounds]] enters here directly so the over-budget path never
+    * materializes the checkpoint twice (review r19). */
+  private def hitsRoundsOnCheckpointed(e: DataFrame, iters: Int): DataFrame = {
     var h = e.select(col("src").as("node")).distinct()
       .withColumn("s", lit(1.0))
     var a = e.select(col("dst").as("node")).distinct()

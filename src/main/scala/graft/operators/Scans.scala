@@ -1820,8 +1820,31 @@ object Scans {
     * with BOTH a manifest and a commit stamp export (an Iceberg
     * snapshot always has a timestamp); table-uuid is
     * content-deterministic (md5 of the root path) so repeated exports
-    * are byte-stable. O(metadata) — never reads data files. */
+    * are byte-stable. Metadata-class cost, O(files): manifests,
+    * commit stamps, and (since the spec-complete r19 manifests)
+    * parquet FOOTERS for the row counts — never data pages; memoized
+    * per (JVM, chain state) so repeat calls are free. */
+  /** One export per (JVM, root, source-chain state): four catalog
+    * queries call the export per run, and since r19 each build walks
+    * every data file's parquet FOOTER for the manifest row counts —
+    * still metadata-class (never data pages) but O(files); the memo
+    * keys on the _manifests/_commits listing signature so a fixture
+    * rebuild re-exports and a repeat call is free (review r19). */
+  private val icebergExportMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
   def exportIcebergMetadata(root: String): String = {
+    val chainSig = Seq(s"$root/_manifests", s"$root/_commits",
+                       s"$root/_branches", s"$root/_tags")
+      .flatMap { d =>
+        Option(new java.io.File(d).listFiles()).getOrElse(Array.empty)
+          .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      }.sorted.mkString("|")
+    icebergExportMemo.getOrElseUpdate((root, chainSig),
+      exportIcebergMetadataUncached(root))
+  }
+
+  private def exportIcebergMetadataUncached(root: String): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption => C}
     def js(s: String): String =
       "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
@@ -3728,7 +3751,9 @@ object Scans {
        "CAST(SUM(s_suppkey) AS BIGINT) AS key_sig, " +
        s"${dsumSql("s_acctbal")} AS total_bal, " +
        "CAST(COUNT(CASE WHEN s_suppkey % 4 <> 0 THEN 1 END) AS BIGINT) AS n_opt, " +
-       "CAST(SUM(LENGTH(s_name)) AS BIGINT) AS name_bytes " +
+       // STRLEN = BYTES in DuckDB (LENGTH is characters — the Spark
+       // side sums UTF-8 byte lengths, review r19)
+       "CAST(SUM(STRLEN(s_name)) AS BIGINT) AS name_bytes " +
        "FROM supplier GROUP BY 1 ORDER BY nk"),
     "sink_avro_roundtrip" ->
       ("SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n, " +

@@ -1117,16 +1117,19 @@ object Vectors {
     val nPairs = d * (d + 1) / 2
     // the term pin, with a guarded fast path: away from a .5-millionth
     // boundary, rounding the binary value and HALF_UP on the shortest
-    // decimal repr give the same integer (they can only disagree within
-    // float-error of the boundary), so the BigDecimal walk — ~4M
-    // Double.toString allocations per corpus partition — runs only for
-    // the ~0 terms inside the conservative guard band
+    // decimal repr give the same integer — they can only disagree
+    // within float-error of the boundary, which is RELATIVE, so the
+    // fast path additionally requires ulp(x·1e6) an order of magnitude
+    // inside the band (review r19: an absolute-only band silently
+    // diverges on large-magnitude terms). The BigDecimal walk — ~4M
+    // Double.toString allocations per corpus partition — runs only
+    // inside the band or above the magnitude cut.
     def d6u(x: Double): Long = {
       val y = x * 1e6
       val f = Math.floor(y)
       val frac = y - f
-      if (frac > 0.5 + 1e-4) f.toLong + 1
-      else if (frac < 0.5 - 1e-4) f.toLong
+      if (Math.ulp(y) <= 1e-5 && Math.abs(frac - 0.5) > 1e-4)
+        (if (frac > 0.5) f + 1 else f).toLong
       else java.math.BigDecimal.valueOf(x)
         .setScale(6, java.math.RoundingMode.HALF_UP)
         .unscaledValue().longValueExact()

@@ -32,6 +32,8 @@ object AvroContainer {
   /** Avro int: the same zigzag varint wire format as long, declared
     * 32-bit in the schema (the Iceberg spec's count/id fields). */
   case object AInt extends AvroType { val json = "\"int\"" }
+  /** Avro boolean: one byte, 0 or 1. */
+  case object ABool extends AvroType { val json = "\"boolean\"" }
   case object ADouble extends AvroType { val json = "\"double\"" }
   case object AString extends AvroType { val json = "\"string\"" }
   case object ABytes extends AvroType { val json = "\"bytes\"" }
@@ -44,24 +46,32 @@ object AvroContainer {
     * fields (the Avro spec's record rule); the value side is a
     * Seq[Any] in field order. An EMPTY field list is legal (Iceberg's
     * partition struct for an unpartitioned spec) and encodes to zero
-    * bytes. */
+    * bytes. [[schemaJson]] delegates here — ONE record-schema
+    * serializer (review r19). */
   final case class ARecord(name: String, fields: Seq[Field]) extends AvroType {
     def json: String =
       s"""{"type":"record","name":"$name","fields":[""" +
-        fields.map(f => s"""{"name":"${f.name}","type":${f.tpe.json}}""")
-          .mkString(",") + "]}"
+        fields.map(_.json).mkString(",") + "]}"
   }
   /** An Avro array — encoded as blocks of (count, items…) closed by a
-    * 0 count; the value side is a Seq[Any]. */
-  final case class AArray(item: AvroType) extends AvroType {
-    def json: String = s"""{"type":"array","items":${item.json}}"""
+    * 0 count; the value side is a Seq[Any]. `attrs` lands extra
+    * schema properties (Iceberg's "element-id"). */
+  final case class AArray(item: AvroType, attrs: String = "") extends AvroType {
+    def json: String =
+      s"""{"type":"array","items":${item.json}""" +
+        (if (attrs.isEmpty) "" else s",$attrs") + "}"
   }
-  final case class Field(name: String, tpe: AvroType)
+  /** `attrs` lands extra field properties verbatim in the schema —
+    * Iceberg readers resolve manifest fields by the "field-id"
+    * property, not by name (review r19). */
+  final case class Field(name: String, tpe: AvroType, attrs: String = "") {
+    def json: String =
+      s"""{"name":"$name","type":${tpe.json}""" +
+        (if (attrs.isEmpty) "" else s",$attrs") + "}"
+  }
 
   def schemaJson(recordName: String, fields: Seq[Field]): String =
-    s"""{"type":"record","name":"$recordName","fields":[""" +
-      fields.map(f => s"""{"name":"${f.name}","type":${f.tpe.json}}""")
-        .mkString(",") + "]}"
+    ARecord(recordName, fields).json
 
   private[sources] val Magic =
     Array[Byte]('O'.toByte, 'b'.toByte, 'j'.toByte, 1)
@@ -97,13 +107,15 @@ object AvroContainer {
       require(vs.length == fields.length,
         s"record arity ${vs.length} != schema arity ${fields.length}")
       fields.zip(vs).foreach { case (f, fv) => encodeValue(f.tpe, fv, out) }
-    case AArray(item) =>
+    case AArray(item, _) =>
       val vs = v.asInstanceOf[Seq[Any]]
       if (vs.nonEmpty) {
         out.write(vlong(vs.length.toLong))
         vs.foreach(encodeValue(item, _, out))
       }
       out.write(vlong(0))
+    case ABool =>
+      out.write(if (v.asInstanceOf[Boolean]) 1 else 0)
     case ALong | AInt => out.write(vlong(v.asInstanceOf[Number].longValue))
     case ADouble =>
       val bits = java.lang.Double.doubleToLongBits(

@@ -69,8 +69,10 @@ object AvroManifest {
 
   // ---- spec-complete two-level layout (VERDICT r18 Missing #3) ----
 
-  import AvroContainer.{Field, ALong, AInt, AString, ABytes, ANullable,
+  import AvroContainer.{Field, ALong, AInt, ABool, AString, ABytes, ANullable,
                         ARecord, AArray}
+
+  private def fid(n: Int): String = s""""field-id":$n"""
 
   /** The Iceberg v2 `manifest_file` record — the manifest LIST entry
     * a real reader expects (Iceberg table spec §Manifest Lists):
@@ -78,45 +80,53 @@ object AvroManifest {
     * the adding snapshot, add/existing/delete file and row counts,
     * and the optional partition summaries / key metadata (null here:
     * the export's tables are unpartitioned and unencrypted — the
-    * null union branch is the spec's own representation of that). */
+    * null union branch is the spec's own representation of that).
+    * Every field carries the spec's "field-id" schema property —
+    * Iceberg readers resolve by id, not by name (review r19) — with
+    * the ids from the spec's Manifest Lists table (500–519; 508 is
+    * the partitions array's element-id, 509–511 the field_summary
+    * member ids, contains_null a BOOLEAN per the spec). */
   val ManifestFileFields: Seq[Field] = Seq(
-    Field("manifest_path", AString),
-    Field("manifest_length", ALong),
-    Field("partition_spec_id", AInt),
-    Field("content", AInt),
-    Field("sequence_number", ALong),
-    Field("min_sequence_number", ALong),
-    Field("added_snapshot_id", ALong),
-    Field("added_files_count", AInt),
-    Field("existing_files_count", AInt),
-    Field("deleted_files_count", AInt),
-    Field("added_rows_count", ALong),
-    Field("existing_rows_count", ALong),
-    Field("deleted_rows_count", ALong),
+    Field("manifest_path", AString, fid(500)),
+    Field("manifest_length", ALong, fid(501)),
+    Field("partition_spec_id", AInt, fid(502)),
+    Field("content", AInt, fid(517)),
+    Field("sequence_number", ALong, fid(515)),
+    Field("min_sequence_number", ALong, fid(516)),
+    Field("added_snapshot_id", ALong, fid(503)),
+    Field("added_files_count", AInt, fid(504)),
+    Field("existing_files_count", AInt, fid(505)),
+    Field("deleted_files_count", AInt, fid(506)),
+    Field("added_rows_count", ALong, fid(512)),
+    Field("existing_rows_count", ALong, fid(513)),
+    Field("deleted_rows_count", ALong, fid(514)),
     Field("partitions", ANullable(AArray(ARecord("field_summary", Seq(
-      Field("contains_null", AInt),
-      Field("lower_bound", ANullable(ABytes)),
-      Field("upper_bound", ANullable(ABytes))))))),
-    Field("key_metadata", ANullable(ABytes)))
+      Field("contains_null", ABool, fid(509)),
+      Field("lower_bound", ANullable(ABytes), fid(510)),
+      Field("upper_bound", ANullable(ABytes), fid(511)))),
+      attrs = """"element-id":508""")), fid(507)),
+    Field("key_metadata", ANullable(ABytes), fid(519)))
 
   /** The Iceberg v2 `manifest_entry` record for the per-snapshot
     * manifest FILE: status (0 existing / 1 added / 2 deleted), the
     * inherited snapshot/sequence numbers, and the nested `data_file`
     * struct (its required core: content, path, format, the
     * unpartitioned partition struct, row count, byte size — the
-    * optional column-stats maps are omitted, which the spec allows). */
+    * optional column-stats maps are omitted, which the spec allows).
+    * Field-ids from the spec's Manifests table (entry fields 0–4,
+    * data_file fields 100–104 and 134). */
   val ManifestEntryFields: Seq[Field] = Seq(
-    Field("status", AInt),
-    Field("snapshot_id", ANullable(ALong)),
-    Field("sequence_number", ANullable(ALong)),
-    Field("file_sequence_number", ANullable(ALong)),
+    Field("status", AInt, fid(0)),
+    Field("snapshot_id", ANullable(ALong), fid(1)),
+    Field("sequence_number", ANullable(ALong), fid(3)),
+    Field("file_sequence_number", ANullable(ALong), fid(4)),
     Field("data_file", ARecord("data_file", Seq(
-      Field("content", AInt),
-      Field("file_path", AString),
-      Field("file_format", AString),
-      Field("partition", ARecord("partition", Seq.empty)),
-      Field("record_count", ALong),
-      Field("file_size_in_bytes", ALong)))))
+      Field("content", AInt, fid(134)),
+      Field("file_path", AString, fid(100)),
+      Field("file_format", AString, fid(101)),
+      Field("partition", ARecord("partition", Seq.empty), fid(102)),
+      Field("record_count", ALong, fid(103)),
+      Field("file_size_in_bytes", ALong, fid(104)))), fid(2)))
 
   /** One data file's metadata as the exporter knows it. */
   final case class DataFileMeta(path: String, format: String,
