@@ -213,6 +213,62 @@ object Scans {
         .orderBy("nk")
     }),
 
+    // AVRO LOGICAL TYPES (r19 follow-through): the two event-log
+    // staples — timestamp-micros (a long annotated in the schema;
+    // identical wire format per the spec) and decimal (bytes =
+    // minimal two's-complement big-endian unscaled value) — staged,
+    // read back through the official decoder (which must PARSE the
+    // logical-type schema props — a conformance point in itself), and
+    // reconstructed: micros compared as epochs, decimals via
+    // BigInteger. The oracle predicts both from orders (epoch_us /
+    // the floor-cents convention). Timestamps ride the pinned-UTC
+    // session, so both engines see the same wall-clock epochs.
+    "source_avro_logical" -> ((s, dir) => {
+      import s.implicits._
+      val stage = scratch(dir, "avro_logical_stage")
+      val A = graft.sources.AvroContainer
+      val fields = Seq(
+        A.Field("o_orderkey", A.ALong),
+        A.Field("o_orderdate", A.ATimestampMicros),
+        A.Field("o_totalprice", A.ADecimal(12, 2)))
+      val rows = orders(s, dir)
+        // the fixture's o_orderdate is TIMESTAMP_NTZ; the cast
+        // interprets the wall clock under the pinned UTC session —
+        // exactly DuckDB's epoch_us of the naive value
+        .select(col("o_orderkey"),
+                unix_micros(col("o_orderdate").cast("timestamp")).as("ts"),
+                floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .collect()
+      val d = java.nio.file.Paths.get(stage)
+      java.nio.file.Files.createDirectories(d)
+      (0L until 4L).foreach { b =>
+        val recs = rows.filter(_.getLong(0) % 4 == b)
+          .sortBy(_.getLong(0)).iterator
+          .map(r => Seq[Any](r.getLong(0), r.getLong(1),
+            java.math.BigInteger.valueOf(r.getLong(2)).toByteArray))
+        java.nio.file.Files.write(d.resolve(s"ord_$b.avro"),
+          A.encode("order_logical", fields, recs, s"avro:logical:$b"))
+      }
+      s.read.format("binaryFile").option("pathGlobFilter", "*.avro")
+        .load(stage)
+        .select(col("path"), col("content")).as[(String, Array[Byte])]
+        .flatMap { case (path, bytes) =>
+          val b = "ord_(\\d+)\\.avro$".r.findFirstMatchIn(path)
+            .get.group(1).toLong
+          graft.sources.AvroContainer.decodeRows(bytes).map(a =>
+            (b, a(0).asInstanceOf[Long], a(1).asInstanceOf[Long],
+             new java.math.BigInteger(a(2).asInstanceOf[Array[Byte]])
+               .longValueExact))
+        }
+        .toDF("bucket", "o_orderkey", "ts_us", "cents")
+        .groupBy("bucket")
+        .agg(big(count(lit(1))).as("n"),
+             big(sum("o_orderkey")).as("key_sig"),
+             big(min("ts_us")).as("min_ts"), big(max("ts_us")).as("max_ts"),
+             big(sum("cents")).as("total_cents"))
+        .orderBy("bucket")
+    }),
+
     // GENERAL AVRO SINK + ROUNDTRIP — the write half of the lane at
     // the sink_csv/orc shape but through the hand-rolled container
     // encoder: each of 8 hash partitions writes ONE container through
@@ -3755,6 +3811,16 @@ object Scans {
        // side sums UTF-8 byte lengths, review r19)
        "CAST(SUM(STRLEN(s_name)) AS BIGINT) AS name_bytes " +
        "FROM supplier GROUP BY 1 ORDER BY nk"),
+    // epoch_us mirrors unix_micros under the pinned-UTC session; the
+    // decimal lane is the floor-cents convention
+    "source_avro_logical" ->
+      ("SELECT CAST(o_orderkey % 4 AS BIGINT) AS bucket, " +
+       "CAST(COUNT(*) AS BIGINT) AS n, " +
+       "CAST(SUM(o_orderkey) AS BIGINT) AS key_sig, " +
+       "CAST(MIN(epoch_us(o_orderdate)) AS BIGINT) AS min_ts, " +
+       "CAST(MAX(epoch_us(o_orderdate)) AS BIGINT) AS max_ts, " +
+       "CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents " +
+       "FROM orders GROUP BY 1 ORDER BY bucket"),
     "sink_avro_roundtrip" ->
       ("SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n, " +
        s"${dsumSql("o_totalprice")} AS total, " +

@@ -42,6 +42,24 @@ object AvroContainer {
   final case class ANullable(inner: AvroType) extends AvroType {
     def json: String = s"""["null",${inner.json}]"""
   }
+  /** An Avro LOGICAL TYPE annotation over a base type — same wire
+    * format as the base (the spec's rule: logical types only annotate
+    * the schema), extra props land in the type object. The two
+    * event-log staples: timestampMicros (long) and decimal (bytes =
+    * minimal two's-complement big-endian unscaled value). */
+  final case class ALogical(base: AvroType, props: String) extends AvroType {
+    def json: String = {
+      val b = base.json
+      // "long" → {"type":"long",...props}; a complex base keeps its object
+      if (b.startsWith("\"")) s"""{"type":$b,$props}"""
+      else b.dropRight(1) + s",$props}"
+    }
+  }
+  val ATimestampMicros: ALogical =
+    ALogical(ALong, """"logicalType":"timestamp-micros"""")
+  def ADecimal(precision: Int, scale: Int): ALogical =
+    ALogical(ABytes,
+      s""""logicalType":"decimal","precision":$precision,"scale":$scale""")
   /** A nested record — encoded as the plain concatenation of its
     * fields (the Avro spec's record rule); the value side is a
     * Seq[Any] in field order. An EMPTY field list is legal (Iceberg's
@@ -114,6 +132,7 @@ object AvroContainer {
         vs.foreach(encodeValue(item, _, out))
       }
       out.write(vlong(0))
+    case ALogical(base, _) => encodeValue(base, v, out)
     case ABool =>
       out.write(if (v.asInstanceOf[Boolean]) 1 else 0)
     case ALong | AInt => out.write(vlong(v.asInstanceOf[Number].longValue))

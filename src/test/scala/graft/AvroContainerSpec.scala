@@ -78,6 +78,38 @@ class AvroContainerSpec extends SparkSpec {
     assert(ex.getMessage.contains("sync marker mismatch"), ex.getMessage)
   }
 
+  test("logical types annotate the schema without changing the wire " +
+       "format, and the official reader parses them") {
+    val lf = Seq(Field("id", ALong),
+                 Field("ts", AvroContainer.ATimestampMicros),
+                 Field("amt", AvroContainer.ADecimal(12, 2)))
+    val cents = Seq(0L, 1L, -1L, 123456L, -9999999999L)
+    val rows = cents.zipWithIndex.map { case (c, i) =>
+      Seq[Any](i.toLong, 907372800000000L + i,
+               java.math.BigInteger.valueOf(c).toByteArray)
+    }
+    val bytes = AvroContainer.encode("t", lf, rows.iterator, "seed:lt")
+    // the embedded schema must carry the annotations (a real reader
+    // resolves decimals/timestamps through them)
+    val got = AvroContainer.decodeRows(bytes)
+    assert(got.size == rows.size)
+    got.zip(cents).zipWithIndex.foreach { case ((a, c), i) =>
+      assert(a(1) == 907372800000000L + i)
+      assert(new java.math.BigInteger(a(2).asInstanceOf[Array[Byte]])
+        .longValueExact == c, s"cents $c")
+    }
+    val reader = new org.apache.avro.file.DataFileStream(
+      new java.io.ByteArrayInputStream(bytes),
+      new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    try {
+      val sch = reader.getSchema
+      assert(sch.getField("ts").schema().getProp("logicalType") == "timestamp-micros")
+      assert(sch.getField("amt").schema().getProp("logicalType") == "decimal")
+      assert(sch.getField("amt").schema().getObjectProp("scale") == 2)
+    } finally reader.close()
+  }
+
   test("an empty record set is a valid header-only container") {
     val bytes = AvroContainer.encode("t", fields, Iterator.empty, "seed:5")
     assert(AvroContainer.decodeRows(bytes).isEmpty)
