@@ -216,7 +216,17 @@ object Similarity {
     * replays the build move for move and the beam search on top stays
     * hash-checked. Returns (vec_id, nbr_id), ≤ M out-edges each. */
   def knnGraphNnDescent(emb: DataFrame, m: Int = GraphM,
-                        rounds: Int = NndRounds): DataFrame = {
+                        rounds: Int = NndRounds): DataFrame =
+    knnGraphNnDescentScored(emb, m, rounds).select("vec_id", "nbr_id")
+
+  /** The build WITH its final edge scores (vec_id, nbr_id, cos) — the
+    * append patch consumes these directly instead of re-scoring the
+    * base edges it already paid for (review r19 follow-through; the
+    * values are the same pinned fround4 cosines the oracle's ne-round
+    * CTEs carry). */
+  private[graft] def knnGraphNnDescentScored(
+      emb: DataFrame, m: Int = GraphM,
+      rounds: Int = NndRounds): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val v = emb.select(col("vec_id"), col("embedding"))
     // bucket count from the corpus count — a 1-row broadcast riding
@@ -294,7 +304,7 @@ object Similarity {
           .groupBy("vec_id", "nbr_id").agg(max(col("cos")).as("cos")))
         .localCheckpoint()
     }
-    e.select("vec_id", "nbr_id")
+    e
   }
 
   /** sim_ann_graph_nnd_append: the corpus slice arriving AFTER the
@@ -325,16 +335,12 @@ object Similarity {
     * the patch on the unrolled build CTEs move for move). Returns the
     * patched (vec_id, nbr_id) edge list. */
   def nndInsertGraph(all: DataFrame, base: DataFrame,
-                     baseGraph: DataFrame, newV: DataFrame): DataFrame = {
+                     baseGraphScored: DataFrame, newV: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val vsel = all.select(col("vec_id"), col("embedding"))
-    val gc = baseGraph
-      .join(vsel.select(col("vec_id"), col("embedding").as("va")), Seq("vec_id"))
-      .join(vsel.select(col("vec_id").as("nbr_id"), col("embedding").as("vb")),
-            Seq("nbr_id"))
-      .select(col("vec_id"), col("nbr_id"),
-              fround(cosine(col("va"), col("vb")), 4).as("cos"))
-      .localCheckpoint()
+    // the base edges arrive WITH their build scores (the same pinned
+    // fround4 cosines the oracle's ne-round CTEs carry) — no re-score
+    val gc = baseGraphScored
     val nb = base.agg(greatest(lit(1L),
       floor(count(lit(1)) / lit(NndBucketTarget.toDouble)).cast("long"))
       .as("nb"))
@@ -403,7 +409,8 @@ object Similarity {
         val base = all.where(col("vec_id") % NndAppendMod =!= NndAppendMod - 1)
         val newV = all.where(col("vec_id") % NndAppendMod === NndAppendMod - 1)
         nndInsertGraph(all, base,
-          knnGraphNnDescent(base).localCheckpoint(), newV).localCheckpoint()
+          knnGraphNnDescentScored(base).localCheckpoint(), newV)
+          .localCheckpoint()
       })
 
   /** [[knnGraphNnDescent]] through the per-fixture memo (the

@@ -133,7 +133,7 @@ class GraphAnnSpec extends SparkSpec {
     val newV = all.where(col("vec_id") % Similarity.NndAppendMod ===
                          Similarity.NndAppendMod - 1)
     val patched = Similarity.nndInsertGraph(all, base,
-      Similarity.knnGraphNnDescent(base).localCheckpoint(), newV)
+      Similarity.knnGraphNnDescentScored(base).localCheckpoint(), newV)
       .localCheckpoint()
     val rebuilt = Similarity.knnGraphNnDescent(all).localCheckpoint()
     val exact = Similarity.topK(all, 0L, 10)
