@@ -413,6 +413,54 @@ object Similarity {
           .localCheckpoint()
       })
 
+  /** Tombstone fraction above which [[compactNndGraph]] agrees to
+    * rebuild: below it the lazy-tombstone lane is the right answer
+    * (compaction pays a full build to reclaim almost nothing) and the
+    * op refuses loudly. The fixture's mod-10 tombstones sit at ~10%,
+    * above the gate. */
+  val NndCompactTombstoneGate = 0.05
+
+  /** NND GRAPH COMPACTION (VERDICT r19 Missing #3 — the close of the
+    * index lifecycle: build → insert → lazy delete → COMPACT): when
+    * the tombstone fraction exceeds `gate`, rebuild the graph on the
+    * LIVE set — compaction IS [[knnGraphNnDescent]] on the filtered
+    * corpus, exactly as the delete lane's scaladoc promised; there is
+    * deliberately no incremental edge surgery (removing a navigable
+    * vertex re-wires every neighborhood that routed through it, which
+    * is the build's job). Below the gate the op REFUSES: a rebuild
+    * that reclaims a trickle of tombstones is the wrong trade, and a
+    * silent one would hide that. The threshold probe is one tiny
+    * aggregate; the rebuild is the linear-candidate production build
+    * (quadratic arm still gated by KnnBuildGate inside). GraphAnnSpec
+    * pins the refusal and the agreement law (post-compaction beam ≡
+    * tombstone-filtered beam within one planted hit); the shipped
+    * query makes the agreement an ORACLE-CHECKED row. */
+  def compactNndGraph(emb: DataFrame, tombstoned: Column,
+                      gate: Double = NndCompactTombstoneGate): DataFrame = {
+    val c = emb.agg(
+      count(lit(1)).cast("double").as("n"),
+      count(when(tombstoned, 1)).cast("double").as("nt")).head()
+    val frac = if (c.getDouble(0) == 0) 0.0 else c.getDouble(1) / c.getDouble(0)
+    require(frac > gate,
+      f"nnd compaction refused: tombstone fraction $frac%.4f <= gate $gate " +
+      "— keep serving the lazy-tombstone lane (a full rebuild would " +
+      "reclaim too little to pay for itself)")
+    knnGraphNnDescent(emb.where(!tombstoned))
+  }
+
+  /** The compacted graph through the per-(application, fixture) memo
+    * — like every index build, compaction is paid once; queries pay
+    * search only. */
+  private val nndCompactMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  def nndCompactedGraphCached(s: org.apache.spark.sql.SparkSession,
+                              dir: String): DataFrame =
+    nndCompactMemo.getOrElseUpdate(
+      (s.sparkContext.applicationId,
+       "nndcp:" + graft.Tables.fsSig(s, s"$dir/embeddings.parquet")),
+      compactNndGraph(embeddings(s, dir),
+        col("vec_id") % NndDeleteMod === 3).localCheckpoint())
+
   /** [[knnGraphNnDescent]] through the per-fixture memo (the
     * graphMemo convention — the build is index state, queries pay
     * search only). */
@@ -614,6 +662,34 @@ object Similarity {
     "sim_ann_graph_nnd_delete" -> ((s, dir) =>
       graphBeamSearch(embeddings(s, dir), nndGraphCached(s, dir), 10,
         tombstoned = Some(col("vec_id") % NndDeleteMod === 3))),
+
+    // COMPACTION — the close of the index lifecycle (VERDICT r19
+    // Missing #3): the tombstoned slice exceeds the gate, so the
+    // graph REBUILDS on the live set ([[compactNndGraph]]) and the
+    // beam serves from the compacted index. The agreement law ships
+    // as an ORACLE-CHECKED column: agrees_lazy marks whether each
+    // served row also appears in the lazy-tombstone lane's top-10 —
+    // the oracle unrolls BOTH builds (live-corpus and full-corpus,
+    // prefix-isolated CTEs) and replays both beams, so a compaction
+    // that drifted from the delete semantics hash-mismatches here.
+    // (The lanes search DIFFERENT graphs, so agreement is the one-hit
+    // law — GraphAnnSpec pins >= 9/10 — not pinned-TRUE identity;
+    // the VALUES are exact either way, which is what the hash checks.)
+    "sim_ann_graph_nnd_compact" -> ((s, dir) => {
+      val live = embeddings(s, dir)
+        .where(col("vec_id") % NndDeleteMod =!= 3)
+      val compactTop =
+        graphBeamSearch(live, nndCompactedGraphCached(s, dir), 10)
+      val lazyTop =
+        graphBeamSearch(embeddings(s, dir), nndGraphCached(s, dir), 10,
+          tombstoned = Some(col("vec_id") % NndDeleteMod === 3))
+      compactTop
+        .join(lazyTop.select(col("vec_id"), lit(true).as("in_lazy")),
+              Seq("vec_id"), "left")
+        .select(col("rnk"), col("vec_id"), col("cos"),
+                coalesce(col("in_lazy"), lit(false)).as("agrees_lazy"))
+        .orderBy("rnk")
+    }),
 
     // INDEX MAINTENANCE for the production build (VERDICT r18
     // Missing #2): the NN-descent graph built on the PRE-append
@@ -1018,21 +1094,29 @@ object Similarity {
     * prune CTEs) — assume `v(vec_id, ev)`, `q(qv)`, `g(vec_id,
     * nbr_id)` and `e0(vec_id)` are already defined, so the same
     * replay rides the two-blocking build (sim_ann_graph) and the
-    * NN-descent build (sim_ann_graph_nnd). */
-  private def beamRoundsCtes: String = {
-    val cosQ = froundSql("LIST_COSINE_SIMILARITY(v.ev, q.qv)", 4)
+    * NN-descent build (sim_ann_graph_nnd). The name parameters let
+    * TWO independent beam searches coexist in one oracle query (the
+    * compaction lane replays compact-build AND lazy-delete searches
+    * side by side): `pfx` prefixes every round CTE, the *N params
+    * rename the assumed inputs. */
+  private def beamRoundsCtes: String = beamRoundsCtesOn()
+
+  private def beamRoundsCtesOn(pfx: String = "", vN: String = "v",
+                               qN: String = "q", gN: String = "g",
+                               e0N: String = "e0"): String = {
+    val cosQ = froundSql(s"LIST_COSINE_SIMILARITY($vN.ev, $qN.qv)", 4)
     val rounds = (1 to GraphRounds).map { t =>
-      val prev = s"gb${t - 1}"
-      s"gc$t AS (SELECT DISTINCT g.nbr_id AS vec_id FROM g JOIN $prev ON g.vec_id = $prev.vec_id), " +
-      s"gs$t AS (SELECT vec_id, MAX(cos) AS cos FROM (" +
-      s"SELECT v.vec_id, $cosQ AS cos FROM v JOIN gc$t USING (vec_id), q " +
+      val prev = s"${pfx}gb${t - 1}"
+      s"${pfx}gc$t AS (SELECT DISTINCT $gN.nbr_id AS vec_id FROM $gN JOIN $prev ON $gN.vec_id = $prev.vec_id), " +
+      s"${pfx}gs$t AS (SELECT vec_id, MAX(cos) AS cos FROM (" +
+      s"SELECT $vN.vec_id, $cosQ AS cos FROM $vN JOIN ${pfx}gc$t USING (vec_id), $qN " +
       s"UNION ALL SELECT vec_id, cos FROM $prev) GROUP BY vec_id), " +
-      s"gb$t AS (SELECT vec_id, cos FROM (SELECT vec_id, cos, " +
-      s"ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS rn FROM gs$t) WHERE rn <= $GraphBeam)"
+      s"${pfx}gb$t AS (SELECT vec_id, cos FROM (SELECT vec_id, cos, " +
+      s"ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS rn FROM ${pfx}gs$t) WHERE rn <= $GraphBeam)"
     }.mkString(", ")
-    "gb0 AS (SELECT vec_id, cos FROM (SELECT vec_id, cos, " +
+    s"${pfx}gb0 AS (SELECT vec_id, cos FROM (SELECT vec_id, cos, " +
     "ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS rn FROM (" +
-    s"SELECT v.vec_id, $cosQ AS cos FROM v JOIN e0 USING (vec_id), q)) WHERE rn <= $GraphBeam), " +
+    s"SELECT $vN.vec_id, $cosQ AS cos FROM $vN JOIN $e0N USING (vec_id), $qN)) WHERE rn <= $GraphBeam), " +
     rounds
   }
 
@@ -1047,16 +1131,20 @@ object Similarity {
   /** [[nndStructureCtes]] with the build-corpus CTE, output graph
     * name and entry-set emission parameterized — the append oracle
     * builds on a FILTERED corpus (`vb`), names the base graph
-    * `gbase`, and defines its own `g`/`e0` over the patched graph. */
+    * `gbase`, and defines its own `g`/`e0` over the patched graph.
+    * `pfx` prefixes every INTERNAL CTE name so two independent builds
+    * can coexist in one oracle query (the compaction lane unrolls the
+    * compact build next to the full build). */
   private[operators] def nndStructureCtesOn(vn: String = "v",
                                             graph: String = "g",
-                                            withE0: Boolean = true): String = {
+                                            withE0: Boolean = true,
+                                            pfx: String = ""): String = {
     val cosAb = froundSql("LIST_COSINE_SIMILARITY(a.ev, b.ev)", 4)
     val cosVv = froundSql("LIST_COSINE_SIMILARITY(va.ev, vb.ev)", 4)
     def bktExpr(salt: String) = s"(CAST(CONCAT('0x', SUBSTRING(MD5('$salt' || " +
-      s"CAST($vn.vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % nb.nb)"
+      s"CAST($vn.vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % ${pfx}nb.nb)"
     val rounds = (1 to NndRounds).map { t =>
-      val prev = s"ne${t - 1}"
+      val prev = s"${pfx}ne${t - 1}"
       // AS MATERIALIZED on every per-round CTE: each is referenced
       // 2-3 times by its round (u by c, prev by u AND m, s twice in
       // the union), and inlined CTEs re-evaluate per reference —
@@ -1064,42 +1152,42 @@ object Similarity {
       // graph-family DuckDB trap)
       // nn-prefixed names: this block composes under the PQ prelude
       // in sim_ann_graph_nnd_pq, whose codebook CTEs own c$k / m$k
-      s"nnu$t AS MATERIALIZED (SELECT vec_id, nbr_id, MAX(cos) AS cos FROM (" +
+      s"${pfx}nnu$t AS MATERIALIZED (SELECT vec_id, nbr_id, MAX(cos) AS cos FROM (" +
       s"SELECT vec_id, nbr_id, cos FROM $prev " +
       s"UNION ALL SELECT nbr_id, vec_id, cos FROM $prev) GROUP BY vec_id, nbr_id), " +
-      s"nnc$t AS MATERIALIZED (SELECT hub, nbr_id FROM (SELECT vec_id AS hub, nbr_id, " +
+      s"${pfx}nnc$t AS MATERIALIZED (SELECT hub, nbr_id FROM (SELECT vec_id AS hub, nbr_id, " +
       "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS rn " +
-      s"FROM nnu$t) WHERE rn <= $NndUndCap), " +
-      s"nnp$t AS MATERIALIZED (SELECT DISTINCT x.nbr_id AS a, y.nbr_id AS b " +
-      s"FROM nnc$t x JOIN nnc$t y ON x.hub = y.hub AND x.nbr_id < y.nbr_id), " +
-      s"nns$t AS MATERIALIZED (SELECT p.a, p.b, $cosVv AS cos FROM nnp$t p " +
+      s"FROM ${pfx}nnu$t) WHERE rn <= $NndUndCap), " +
+      s"${pfx}nnp$t AS MATERIALIZED (SELECT DISTINCT x.nbr_id AS a, y.nbr_id AS b " +
+      s"FROM ${pfx}nnc$t x JOIN ${pfx}nnc$t y ON x.hub = y.hub AND x.nbr_id < y.nbr_id), " +
+      s"${pfx}nns$t AS MATERIALIZED (SELECT p.a, p.b, $cosVv AS cos FROM ${pfx}nnp$t p " +
       s"JOIN $vn va ON va.vec_id = p.a JOIN $vn vb ON vb.vec_id = p.b), " +
-      s"nnm$t AS MATERIALIZED (SELECT vec_id, nbr_id, MAX(cos) AS cos FROM (" +
+      s"${pfx}nnm$t AS MATERIALIZED (SELECT vec_id, nbr_id, MAX(cos) AS cos FROM (" +
       s"SELECT vec_id, nbr_id, cos FROM $prev " +
-      s"UNION ALL SELECT a, b, cos FROM nns$t " +
-      s"UNION ALL SELECT b, a, cos FROM nns$t) GROUP BY vec_id, nbr_id), " +
-      s"ne$t AS MATERIALIZED (SELECT vec_id, nbr_id, cos FROM (SELECT vec_id, nbr_id, cos, " +
+      s"UNION ALL SELECT a, b, cos FROM ${pfx}nns$t " +
+      s"UNION ALL SELECT b, a, cos FROM ${pfx}nns$t) GROUP BY vec_id, nbr_id), " +
+      s"${pfx}ne$t AS MATERIALIZED (SELECT vec_id, nbr_id, cos FROM (SELECT vec_id, nbr_id, cos, " +
       "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS rnk " +
-      s"FROM nnm$t) WHERE rnk <= $GraphM)"
+      s"FROM ${pfx}nnm$t) WHERE rnk <= $GraphM)"
     }.mkString(", ")
     def memCtes(i: Int, salt: String) =
-      s"memb$i AS (SELECT vec_id, ev, bkt, " +
+      s"${pfx}memb$i AS (SELECT vec_id, ev, bkt, " +
       "ROW_NUMBER() OVER (PARTITION BY bkt ORDER BY vec_id) AS rn FROM (" +
-      s"SELECT $vn.vec_id, $vn.ev, ${bktExpr(salt)} AS bkt FROM $vn, nb)), " +
-      s"mem$i AS MATERIALIZED (SELECT bkt, vec_id, ev FROM memb$i WHERE rn <= $NndBucketCap)"
+      s"SELECT $vn.vec_id, $vn.ev, ${bktExpr(salt)} AS bkt FROM $vn, ${pfx}nb)), " +
+      s"${pfx}mem$i AS MATERIALIZED (SELECT bkt, vec_id, ev FROM ${pfx}memb$i WHERE rn <= $NndBucketCap)"
     def seedArm(i: Int) =
       s"SELECT a.vec_id, b.vec_id AS nbr_id, $cosAb AS cos " +
-      s"FROM mem$i a JOIN mem$i b ON a.bkt = b.bkt AND a.vec_id <> b.vec_id"
-    s"nb AS (SELECT GREATEST(1, CAST(FLOOR(COUNT(*) / $NndBucketTarget.0) AS BIGINT)) AS nb FROM $vn), " +
+      s"FROM ${pfx}mem$i a JOIN ${pfx}mem$i b ON a.bkt = b.bkt AND a.vec_id <> b.vec_id"
+    s"${pfx}nb AS (SELECT GREATEST(1, CAST(FLOOR(COUNT(*) / $NndBucketTarget.0) AS BIGINT)) AS nb FROM $vn), " +
     memCtes(1, "nnd:") + ", " + memCtes(2, "nnd2:") + ", " +
-    "ne0 AS MATERIALIZED (SELECT vec_id, nbr_id, cos FROM (" +
+    s"${pfx}ne0 AS MATERIALIZED (SELECT vec_id, nbr_id, cos FROM (" +
     "SELECT vec_id, nbr_id, cos, ROW_NUMBER() OVER (PARTITION BY vec_id " +
     "ORDER BY cos DESC, nbr_id) AS rnk FROM (" +
     "SELECT vec_id, nbr_id, MAX(cos) AS cos FROM (" +
     seedArm(1) + " UNION ALL " + seedArm(2) + ") GROUP BY vec_id, nbr_id)) " +
     s"WHERE rnk <= $GraphM), " +
     rounds + ", " +
-    s"$graph AS MATERIALIZED (SELECT vec_id, nbr_id FROM ne$NndRounds)" +
+    s"$graph AS MATERIALIZED (SELECT vec_id, nbr_id FROM ${pfx}ne$NndRounds)" +
     (if (withE0)
        ", e0 AS (SELECT MIN(vec_id) AS vec_id FROM gv GROUP BY label)"
      else "")
@@ -1230,6 +1318,32 @@ object Similarity {
        "SELECT vec_id, cos, ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS rn " +
        s"FROM gb$GraphRounds WHERE vec_id <> 0 AND vec_id % $NndDeleteMod <> 3) " +
        "WHERE rn <= 10 ORDER BY rnk"),
+    // BOTH lanes unrolled in one query: the compact build runs on the
+    // live corpus (v = tombstone-filtered, default CTE names), the
+    // lazy lane's full-corpus build under the lz prefix — the
+    // agreement column joins their top-10s, so compaction semantics
+    // are hash-checked against the delete lane they must replace
+    "sim_ann_graph_nnd_compact" ->
+      ("WITH vfull AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings), " +
+       s"v AS MATERIALIZED (SELECT * FROM vfull WHERE vec_id % $NndDeleteMod <> 3), " +
+       "gv AS MATERIALIZED (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ev " +
+       s"FROM embeddings WHERE vec_id % $NndDeleteMod <> 3), " +
+       "q AS (SELECT ev AS qv FROM vfull WHERE vec_id = 0), " +
+       nndStructureCtesOn("v", "g", withE0 = true) + ", " +
+       beamRoundsCtesOn() + ", " +
+       "lzgv AS MATERIALIZED (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings), " +
+       nndStructureCtesOn("vfull", "lzg", withE0 = false, pfx = "lz") + ", " +
+       "lze0 AS (SELECT MIN(vec_id) AS vec_id FROM lzgv GROUP BY label), " +
+       beamRoundsCtesOn(pfx = "lz", vN = "vfull", gN = "lzg", e0N = "lze0") + ", " +
+       "ctop AS (SELECT vec_id, cos, ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS rn " +
+       s"FROM gb$GraphRounds WHERE vec_id <> 0), " +
+       "ltop AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS rn " +
+       s"FROM lzgb$GraphRounds WHERE vec_id <> 0 AND vec_id % $NndDeleteMod <> 3) " +
+       "SELECT CAST(c.rn AS BIGINT) AS rnk, c.vec_id, c.cos, " +
+       "(l.vec_id IS NOT NULL) AS agrees_lazy " +
+       "FROM (SELECT * FROM ctop WHERE rn <= 10) c " +
+       "LEFT JOIN (SELECT vec_id FROM ltop WHERE rn <= 10) l USING (vec_id) " +
+       "ORDER BY rnk"),
     // graph arm + IVF arm against the same exact cut — the ivfCtes
     // prelude defines v/q/assign/probes, the beam CTEs ride on them
     "sim_ann_graph_recall" ->

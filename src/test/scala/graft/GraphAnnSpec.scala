@@ -185,6 +185,47 @@ class GraphAnnSpec extends SparkSpec {
     assert(lazyTop.forall(_ % Similarity.NndDeleteMod != 3))
   }
 
+  test("compactNndGraph refuses below the tombstone gate and rebuilds " +
+       "tombstone-free above it (the shipped compaction op, r20)") {
+    val all = chainCorpus(120)
+    // ~10% tombstones (mod 10) exceeds the 5% gate — the rebuild runs
+    // and carries no tombstoned id on either edge side
+    val dead = col("vec_id") % Similarity.NndDeleteMod === 3
+    val g = Similarity.compactNndGraph(all, dead).localCheckpoint()
+    val leaked = g.select("vec_id")
+      .unionByName(g.select(col("nbr_id").as("vec_id")))
+      .where(col("vec_id") % Similarity.NndDeleteMod === 3).count()
+    assert(leaked == 0L, s"$leaked tombstoned ids survived compaction")
+    // a trickle of tombstones (1 of 120 < 5%) must refuse loudly —
+    // rebuilding the whole index to reclaim one vector is the wrong
+    // trade and a silent rebuild would hide it
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.compactNndGraph(all, col("vec_id") === 7L)
+    }
+    assert(ex.getMessage.contains("compaction refused"), ex.getMessage)
+    // and an over-gate fraction passed explicitly still builds
+    assert(Similarity.compactNndGraph(all, dead, gate = 0.01)
+      .limit(1).count() == 1L)
+  }
+
+  test("the shipped compact lane agrees with the lazy-delete lane on " +
+       "the fixture within the one-hit law (agrees_lazy >= 9 of 10)") {
+    // the two lanes search DIFFERENT graphs (rebuilt vs stale), so the
+    // law is the maintenance triple's one-hit envelope, not identity —
+    // the agrees_lazy VALUES themselves are hash-checked per SF by the
+    // oracle (both engines replay both builds); the spec keeps a local
+    // pin so a fixture regeneration that breaks the agreement is
+    // caught before the oracle chain runs
+    val rows = SparkEntry.queries("sim_ann_graph_nnd_compact")(spark, sf001)
+      .collect()
+    assert(rows.length == 10)
+    val agreeing = rows.count(_.getBoolean(3))
+    assert(agreeing >= 9,
+      s"compact/lazy agreement $agreeing/10 at sf0.001: ${rows.mkString(", ")}")
+    // and the served set carries no tombstone
+    assert(rows.forall(_.getLong(1) % Similarity.NndDeleteMod != 3))
+  }
+
   test("beam search is deterministic: two runs return identical rows") {
     val a = SparkEntry.queries("sim_ann_graph")(spark, sf001).collect().toSeq
     val b = SparkEntry.queries("sim_ann_graph")(spark, sf001).collect().toSeq
