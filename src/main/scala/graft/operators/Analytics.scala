@@ -136,14 +136,19 @@ object Analytics {
     * HitsSpec pins the two arms row-identical and the distributed
     * plan checkpoint-bounded. */
   def hitsRounds(e0: DataFrame, iters: Int): DataFrame = {
+    // cast src/dst to long ONCE, before the arm split (r20 ADVICE):
+    // both arms then run the same node type end to end — the driver
+    // hatch's collect reads plain getLong, and an Int-typed edge list
+    // cannot produce arm-dependent intermediate schemas.
     // checkpoint FIRST (the edge build runs exactly once), then probe
     // by count — cheap on the checkpoint, and the over-budget path
     // never pays a wasted driver collect (the sf0.1 fixture's 591k
     // part→supplier edges land on the distributed arm)
-    val e = e0.localCheckpoint()
+    val e = e0.select(col("src").cast("long").as("src"),
+                      col("dst").cast("long").as("dst"))
+      .localCheckpoint()
     if (e.count() <= HitsLocalMaxEdges) {
-      val edges = e.collect().map(r =>
-        (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
+      val edges = e.collect().map(r => (r.getLong(0), r.getLong(1)))
       val s = e0.sparkSession
       import s.implicits._
       return hitsLocal(edges, iters)
@@ -189,14 +194,30 @@ object Analytics {
   private[graft] def hitsRoundsDistributed(e0: DataFrame, iters: Int): DataFrame =
     hitsRoundsOnCheckpointed(e0.localCheckpoint(), iters)
 
+  /** Node budget for the distributed arm's per-round broadcast hint:
+    * score frames are (node, double) rows, ~16 B each plus overhead —
+    * 4M nodes keeps the broadcast around the autoBroadcast scale a
+    * healthy executor absorbs. Entity bipartites (parts × suppliers)
+    * sit far under it; a billion-node web graph lands over and pays
+    * the shuffle join instead of failing the broadcast (r20 ADVICE —
+    * the old comment CLAIMED the hint would be dropped; now code
+    * drops it). */
+  val HitsBroadcastMaxNodes: Long = 4L << 20
+
   /** The round body over an ALREADY-checkpointed edge list —
     * [[hitsRounds]] enters here directly so the over-budget path never
     * materializes the checkpoint twice (review r19). */
   private def hitsRoundsOnCheckpointed(e: DataFrame, iters: Int): DataFrame = {
     var h = e.select(col("src").as("node")).distinct()
-      .withColumn("s", lit(1.0))
+      .withColumn("s", lit(1.0)).localCheckpoint()
     var a = e.select(col("dst").as("node")).distinct()
-      .withColumn("s", lit(1.0))
+      .withColumn("s", lit(1.0)).localCheckpoint()
+    // one node-count probe (cheap on the just-checkpointed score
+    // frames) gates EVERY round's broadcast hint — see
+    // [[HitsBroadcastMaxNodes]]
+    val smallNodes = math.max(h.count(), a.count()) <= HitsBroadcastMaxNodes
+    def hinted(df: DataFrame): DataFrame =
+      if (smallNodes) broadcast(df) else df
     def normalized(raw0: DataFrame): DataFrame = {
       // localCheckpoint the round's aggregate ONCE per round (it is
       // node-cardinality small, like PageRank's rank state): without
@@ -223,13 +244,13 @@ object Analytics {
       // 591k edges). The join becomes a map-side lookup and only the
       // partial aggregates cross the exchange. Holds while the node
       // set fits a broadcast (hub/authority analyses on entity
-      // bipartites — parts×suppliers here); a billion-node web graph
-      // drops the hint and pays the shuffle join.
+      // bipartites — parts×suppliers here); above HitsBroadcastMaxNodes
+      // the hint is DROPPED and the round pays the shuffle join.
       a = normalized(e
-        .join(broadcast(h.select(col("node").as("src"), col("s"))), Seq("src"))
+        .join(hinted(h.select(col("node").as("src"), col("s"))), Seq("src"))
         .groupBy(col("dst").as("node")).agg(dsum6(col("s")).as("raw")))
       h = normalized(e
-        .join(broadcast(a.select(col("node").as("dst"), col("s"))), Seq("dst"))
+        .join(hinted(a.select(col("node").as("dst"), col("s"))), Seq("dst"))
         .groupBy(col("src").as("node")).agg(dsum6(col("s")).as("raw")))
     }
     def top(df: DataFrame, side: String) = df
