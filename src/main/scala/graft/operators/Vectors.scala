@@ -1597,7 +1597,7 @@ object Vectors {
   /** Per-(JVM, source-state) memo of the trained PQ codebooks + query
     * subvectors — training is an index build, shared across runs. */
   private val pqMemo = scala.collection.concurrent.TrieMap
-    .empty[String, (Array[Array[(Long, Array[Double])]], Array[Array[Double]])]
+    .empty[(String, String), (Array[Array[(Long, Array[Double])]], Array[Array[Double]])]
 
   /** Trained PQ codebooks (one per subspace; seeded init = the
     * PqCodes lowest vec_ids' subvectors, PqIters k-means rounds) and
@@ -1605,7 +1605,11 @@ object Vectors {
     * ever collected. */
   def pqPrelude(s: org.apache.spark.sql.SparkSession, dir: String)
       : (Array[Array[(Long, Array[Double])]], Array[Array[Double]]) =
-    pqMemo.getOrElseUpdate(graft.Tables.fsSig(s, s"$dir/embeddings.parquet"), {
+    // (applicationId, sig) per the repo-wide memo convention (r19
+    // VERDICT #4); the held values are driver arrays, so this is
+    // consistency, not a checkpoint-liveness fix
+    pqMemo.getOrElseUpdate((s.sparkContext.applicationId,
+        graft.Tables.fsSig(s, s"$dir/embeddings.parquet")), {
       val e = embeddings(s, dir)
       val initRows = e.where(col("vec_id") < PqCodes)
         .select(col("vec_id"), col("embedding"))
@@ -1634,7 +1638,7 @@ object Vectors {
     * the 1-based source index per output slot plus codebooks trained
     * on the permuted vectors with the standard seeded-init Lloyd. */
   private val opqMemo = scala.collection.concurrent.TrieMap
-    .empty[String, (Array[Int], Array[Array[(Long, Array[Double])]])]
+    .empty[(String, String), (Array[Int], Array[Array[(Long, Array[Double])]])]
 
   /** The permuted view of the corpus: `embedding` re-ordered by the
     * variance-balanced layout (already double-typed). */
@@ -1649,7 +1653,8 @@ object Vectors {
 
   def opqPrelude(s: org.apache.spark.sql.SparkSession, dir: String)
       : (Array[Int], Array[Array[(Long, Array[Double])]]) =
-    opqMemo.getOrElseUpdate(graft.Tables.fsSig(s, s"$dir/embeddings.parquet"), {
+    opqMemo.getOrElseUpdate((s.sparkContext.applicationId,
+        graft.Tables.fsSig(s, s"$dir/embeddings.parquet")), {
       val e = embeddings(s, dir)
       // per-dimension variance numerator (n·var — ranking-equivalent),
       // fround6-pinned so both engines rank identically
@@ -1696,7 +1701,7 @@ object Vectors {
     * is an index-build (offline in production), so the two IVF queries
     * share one trained artifact instead of re-running Lloyd. */
   private val ivfMemo = scala.collection.concurrent.TrieMap
-    .empty[String, (Array[(Long, Array[Double])], Array[Float], Array[Long])]
+    .empty[(String, String), (Array[(Long, Array[Double])], Array[Float], Array[Long])]
 
   /** Shared IVF prelude: centroids Lloyd-trained from the seeded init
     * (the 8 lowest vec_ids), the query vector, and the 2 probe cells
@@ -1705,17 +1710,19 @@ object Vectors {
     * corpus; the corpus itself never leaves the executors). */
   private def ivfPrelude(s: org.apache.spark.sql.SparkSession, dir: String)
       : (Array[(Long, Array[Double])], Array[Float], Array[Long]) =
-    ivfMemo.getOrElseUpdate(graft.Tables.fsSig(s, s"$dir/embeddings.parquet"),
+    ivfMemo.getOrElseUpdate((s.sparkContext.applicationId,
+        graft.Tables.fsSig(s, s"$dir/embeddings.parquet")),
       ivfTrainProbe(embeddings(s, dir)))
 
   /** The append-lane memo: centroids trained on the PRE-append corpus
     * only. Public so the spec can pin byte-identity against a manual
     * base-only training run. */
   private val ivfAppendMemo = scala.collection.concurrent.TrieMap
-    .empty[String, (Array[(Long, Array[Double])], Array[Float], Array[Long])]
+    .empty[(String, String), (Array[(Long, Array[Double])], Array[Float], Array[Long])]
   def ivfAppendPrelude(s: org.apache.spark.sql.SparkSession, dir: String)
       : (Array[(Long, Array[Double])], Array[Float], Array[Long]) =
-    ivfAppendMemo.getOrElseUpdate(graft.Tables.fsSig(s, s"$dir/embeddings.parquet"),
+    ivfAppendMemo.getOrElseUpdate((s.sparkContext.applicationId,
+        graft.Tables.fsSig(s, s"$dir/embeddings.parquet")),
       ivfTrainProbe(embeddings(s, dir)
         .where(col("vec_id") % IvfAppendBatchMod =!= IvfAppendBatchMod - 1)))
 
@@ -1725,10 +1732,11 @@ object Vectors {
     * rounds) — the clustering is infrastructure shared with the ANN
     * family, not a second algorithm. */
   private val semMemo = scala.collection.concurrent.TrieMap
-    .empty[String, Array[(Long, Array[Double])]]
+    .empty[(String, String), Array[(Long, Array[Double])]]
   def semCentroids(s: org.apache.spark.sql.SparkSession, dir: String)
       : Array[(Long, Array[Double])] =
-    semMemo.getOrElseUpdate(graft.Tables.fsSig(s, s"$dir/embeddings.parquet"), {
+    semMemo.getOrElseUpdate((s.sparkContext.applicationId,
+        graft.Tables.fsSig(s, s"$dir/embeddings.parquet")), {
       val e = embeddings(s, dir)
       val init: Array[(Long, Array[Double])] = e.where(col("vec_id") < SemDedupK)
         .select(col("vec_id"), col("embedding"))
