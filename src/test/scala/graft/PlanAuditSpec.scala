@@ -1230,6 +1230,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("hashpartitioning"), p.take(4000))
   }
 
+  test("sim_ann_graph_nnd_compact: the measured plan joins two " +
+       "beam-scale checkpoint windows — no corpus scan anywhere") {
+    // both builds (compacted live-set graph, full-corpus lazy graph)
+    // and both beams live behind localCheckpoints; the measured plan
+    // is the agrees_lazy join of two <= 10-row rank windows. The one
+    // thing that must never appear is a parquet scan: embeddings
+    // re-entering here would mean an index build leaked into the
+    // measured query
+    val p = plan("sim_ann_graph_nnd_compact")
+    assert(p.contains("Scan ExistingRDD"), p.take(4000))
+    assert(!p.contains("Scan parquet"), p.take(4000))
+  }
+
   test("vec_pca_topk: the driver-side fit serves a local relation — " +
        "zero distributed work in the measured plan") {
     // the r18 de-weak: under PcaDriverDimGate the whole fit collapses
