@@ -1050,6 +1050,45 @@ object Scans {
       v2.unionByName(v3).orderBy("version")
     }),
 
+    // CHANGE FEED FOR THE DELETE SNAPSHOT (the CDC half of the
+    // positional-delete arm — scan_iceberg_cdc covers appends, this
+    // covers removals): the v2→v3 change batch IS the deleted row
+    // set, served through the export alone — the delete files' (file,
+    // pos) pairs resolve back to FULL ROWS via an inner join against
+    // the data scan's row ordinals, exactly how a CDC consumer
+    // materializes a positional delete as a retraction. The oracle
+    // predicts the batch from the key predicate — a wrong ordinal
+    // surfaces as a wrong retracted row here, not just a wrong count.
+    "scan_iceberg_cdc_deletes" -> ((s, dir) => {
+      import s.implicits._
+      val root = deleteVectorFixture(s, dir)
+      val listPath = exportIcebergDeleteSnapshot(s, root)
+      val byContent =
+        graft.sources.AvroManifest.readContentFilePaths(listPath)
+      val dataPaths = byContent.collect { case (0, p) => p }.sorted
+      val delPaths = byContent.collect { case (1, p) => p }.sorted
+      val data = s.read.parquet(dataPaths: _*)
+        .select(
+          regexp_replace(col("_metadata.file_path"), "^file:(//)?", "")
+            .as("fp"),
+          col("_metadata.row_index").as("pos"),
+          col("o_orderkey"), col("o_totalprice"))
+      val dels = s.read.format("binaryFile")
+        .load(delPaths: _*)
+        .select(col("content")).as[Array[Byte]]
+        .flatMap(graft.sources.AvroManifest.decodePositionalDeletes(_))
+        .toDF("fp", "pos")
+      data.join(dels, Seq("fp", "pos"))
+        .agg(big(count(lit(1))).as("n_rows"),
+             big(sum(floor(col("o_totalprice") * 100).cast("long")))
+               .as("total_cents"),
+             big(sum(col("o_orderkey") % 7)).as("key_residue_sig"))
+        .select(big(lit(2L)).as("from_snapshot"),
+                big(lit(3L)).as("to_snapshot"),
+                lit("delete").as("change_type"),
+                col("n_rows"), col("total_cents"), col("key_residue_sig"))
+    }),
+
     // CATALOG IMPORT, DELTA SHAPE — the other half of interop: not
     // just describing the export but SERVING DATA through it. The
     // live file set is reconstructed from the transaction log alone
@@ -4467,6 +4506,17 @@ object Scans {
        "THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT) END) AS BIGINT), " +
        "CAST(COUNT(CASE WHEN o_orderkey % 7 = 0 THEN 1 END) AS BIGINT) " +
        "FROM orders ORDER BY version"),
+
+    // the retracted batch from the key predicate; key_residue_sig = 0
+    // proves ONLY %7 rows were retracted (any stray ordinal would
+    // contribute a nonzero residue)
+    "scan_iceberg_cdc_deletes" ->
+      ("SELECT CAST(2 AS BIGINT) AS from_snapshot, " +
+       "CAST(3 AS BIGINT) AS to_snapshot, 'delete' AS change_type, " +
+       "CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+       "CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents, " +
+       "CAST(SUM(o_orderkey % 7) AS BIGINT) AS key_residue_sig " +
+       "FROM orders WHERE o_orderkey % 7 = 0"),
 
     // v3 (sidecar applied at read) and v4 (the compacted rewrite)
     // must be the SAME state: the surviving o_orderkey % 7 <> 0 rows

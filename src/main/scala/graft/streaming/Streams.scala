@@ -829,6 +829,34 @@ object Streams {
         .orderBy("batch")
     }),
 
+    // THE DEFLATE-CODED TAIL (r20 — the codec production event-log
+    // streams actually arrive in): the same tail lane over
+    // avro.codec=deflate containers — strict validation now includes
+    // the per-block clean-inflate check, the official decoder's
+    // DeflateCodec independently decompresses each arriving file, and
+    // decode stays row-local so the streaming shape is unchanged.
+    // Identical oracle to the uncompressed tail: the codec must be
+    // invisible to the consumed rows.
+    "stream_avro_tail_deflate" -> ((s, dir) => {
+      import s.implicits._
+      val src = stageAvroTailDeflate(s, dir)
+      s.read.format("binaryFile").option("pathGlobFilter", "*.avro")
+        .load(src)
+        .select(col("path"), col("content")).as[(String, Array[Byte])]
+        .flatMap { case (p, bytes) =>
+          val b = "batch-(\\d+)\\.avro$".r.findFirstMatchIn(p)
+            .get.group(1).toLong
+          graft.sources.AvroContainer.decodeRows(bytes).map(a =>
+            (b, a(0).asInstanceOf[Long], a(1).asInstanceOf[Double]))
+        }
+        .toDF("batch", "o_orderkey", "o_totalprice")
+        .groupBy("batch")
+        .agg(big(count(lit(1))).as("n"),
+             big(sum("o_orderkey")).as("key_sig"),
+             dsum(col("o_totalprice")).as("total"))
+        .orderBy("batch")
+    }),
+
     // STREAMING CDC CONSUMER over the exported Delta log — the tail
     // job a downstream sync runs against the lake: new _delta_log
     // files arrive as a file-source stream, dataChange=true adds
@@ -1118,6 +1146,38 @@ object Streams {
     src
   }
 
+  /** The deflate twin of [[stageAvroTail]] — same residue split and
+    * mtime ladder, containers deflate-coded (distinct sync seeds so
+    * the two stage dirs never share bytes). Memoized per (JVM,
+    * fixture state). */
+  private val avroTailDeflateMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Unit]
+  def stageAvroTailDeflate(s: SparkSession, dir: String): String = {
+    val src = scratch(dir, "stream_avro_deflate_src")
+    avroTailDeflateMemo.getOrElseUpdate(
+      s"$src|${graft.Tables.fsSig(s, s"$dir/orders.parquet")}", {
+        val A = graft.sources.AvroContainer
+        val fields = Seq(A.Field("o_orderkey", A.ALong),
+                         A.Field("o_totalprice", A.ADouble))
+        val d = java.nio.file.Paths.get(src)
+        java.nio.file.Files.createDirectories(d)
+        val rows = orders(s, dir)
+          .select(col("o_orderkey"), col("o_totalprice")).collect()
+        (0 until AvroTailBatches).foreach { b =>
+          val recs = rows
+            .filter(_.getLong(0) % AvroTailBatches == b)
+            .sortBy(_.getLong(0)).iterator
+            .map(r => Seq[Any](r.getLong(0), r.getDouble(1)))
+          val f = d.resolve(s"batch-$b.avro")
+          java.nio.file.Files.write(f,
+            A.encode("order_tail", fields, recs, s"avrotailz:$b",
+                     codec = "deflate"))
+          f.toFile.setLastModified(1700000000000L + b * 60000L)
+        }
+      })
+    src
+  }
+
   /** stream_avro_tail's per-batch step, shared with the REAL
     * streaming job in StreamAvroTailSpec: decode each arriving
     * container row-locally and append its rows with the batch id. */
@@ -1135,6 +1195,14 @@ object Streams {
   val oracle: Map[String, String] = Map(
     // each staged container is a closed-form residue class of orders
     "stream_avro_tail" ->
+      (s"SELECT CAST(o_orderkey % $AvroTailBatches AS BIGINT) AS batch, " +
+       "CAST(COUNT(*) AS BIGINT) AS n, " +
+       "CAST(SUM(o_orderkey) AS BIGINT) AS key_sig, " +
+       s"${dsumSql("o_totalprice")} AS total " +
+       "FROM orders GROUP BY 1 ORDER BY batch"),
+    // the codec must be invisible: identical oracle to the
+    // uncompressed tail
+    "stream_avro_tail_deflate" ->
       (s"SELECT CAST(o_orderkey % $AvroTailBatches AS BIGINT) AS batch, " +
        "CAST(COUNT(*) AS BIGINT) AS n, " +
        "CAST(SUM(o_orderkey) AS BIGINT) AS key_sig, " +
