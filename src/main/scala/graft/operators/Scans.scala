@@ -1050,6 +1050,48 @@ object Scans {
       v2.unionByName(v3).orderBy("version")
     }),
 
+    // EQUALITY-DELETE MANIFESTS (the spec's OTHER delete-file kind —
+    // with the positional arm above, the v2 delete matrix is
+    // complete): the delete state travels as key VALUES under the
+    // table field-id (data_file.content = 2, equality_ids = [1]); the
+    // reader resolves the manifest walk, decodes the key file, and
+    // anti-joins data on the equated column — no row ordinals
+    // involved, so this is the delete form that survives data-file
+    // rewrites. Same oracle shape as the positional lane: both
+    // encodings must reproduce the sidecar's exact effect.
+    "scan_iceberg_delete_equality" -> ((s, dir) => {
+      import s.implicits._
+      val root = deleteVectorFixture(s, dir)
+      val listPath = exportIcebergEqualityDeleteSnapshot(s, root)
+      val byContent =
+        graft.sources.AvroManifest.readContentFilePaths(listPath)
+      val dataPaths = byContent.collect { case (0, p) => p }.sorted
+      val delPaths = byContent.collect { case (1, p) => p }.sorted
+      val data = s.read.parquet(dataPaths: _*)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val keys = s.read.format("binaryFile")
+        .load(delPaths: _*)
+        .select(col("content")).as[Array[Byte]]
+        .flatMap(graft.sources.AvroManifest.decodeEqualityDeletes(_))
+        .toDF("o_orderkey").withColumn("del", lit(1L))
+      val cents = floor(col("o_totalprice") * 100).cast("long")
+      val v2 = data
+        .agg(big(count(lit(1))).as("n_rows"),
+             big(sum(cents)).as("total_cents"))
+        .select(big(lit(2L)).as("version"), col("n_rows"),
+                col("total_cents"), big(lit(0L)).as("n_deleted"))
+      // the key list is compact — broadcast it; the apply is then a
+      // map-side anti-join at any corpus size (a delete list larger
+      // than a broadcast would drop the hint and shuffle on the key)
+      val v3 = data.join(broadcast(keys), Seq("o_orderkey"), "left")
+        .agg(big(count(when(col("del").isNull, 1))).as("n_rows"),
+             big(sum(when(col("del").isNull, cents))).as("total_cents"),
+             big(count(col("del"))).as("n_deleted"))
+        .select(big(lit(3L)).as("version"), col("n_rows"),
+                col("total_cents"), col("n_deleted"))
+      v2.unionByName(v3).orderBy("version")
+    }),
+
     // CHANGE FEED FOR THE DELETE SNAPSHOT (the CDC half of the
     // positional-delete arm — scan_iceberg_cdc covers appends, this
     // covers removals): the v2→v3 change batch IS the deleted row
@@ -2346,6 +2388,66 @@ object Scans {
         graft.sources.AvroManifest.DataFileMeta(p, "AVRO", n, sz, 3L) }
       graft.sources.AvroManifest.writeSnapshotManifestsWithDeletes(
         outDir, 3L, dataMetas, delMetas, s"$root#delsnap-3").toString
+    })
+  }
+
+  private val icebergEqDeleteExportMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  /** The EQUALITY-delete twin of [[exportIcebergDeleteSnapshot]] (the
+    * spec's other delete-file kind, completing the v2 delete matrix):
+    * the sidecar keys travel as ONE compact equality-delete file —
+    * rows carry the o_orderkey VALUES under the exporter's table
+    * field-id 1, data_file.content = 2, equality_ids = [1] in the
+    * manifest entry — written executor-side (single file by design:
+    * equality deletes are a key list, not per-file positions). A
+    * reader deletes every data row whose key matches any value —
+    * exactly the sidecar's semantics, now expressed in the public
+    * format. Returns the manifest-list path. */
+  def exportIcebergEqualityDeleteSnapshot(
+      s: org.apache.spark.sql.SparkSession, root: String): String = {
+    val sig = (readManifest(root, 3).sorted ++
+      Option(new java.io.File(s"$root/_deletes/v3").listFiles())
+        .getOrElse(Array.empty)
+        .map(f => s"${f.getName}:${f.length}:${f.lastModified}").sorted)
+      .mkString("|")
+    icebergEqDeleteExportMemo.getOrElseUpdate((root, sig), {
+      val outDir = java.nio.file.Paths.get(root, "_iceberg_eqdel")
+      java.nio.file.Files.createDirectories(outDir)
+      val out = outDir.toString
+      import s.implicits._
+      val written = s.read.parquet(s"$root/_deletes/v3")
+        .select(col("o_orderkey")).repartition(1).as[Long]
+        .mapPartitions { it =>
+          val keys = it.toSeq
+          if (keys.isEmpty) Iterator.empty
+          else {
+            val conf = new org.apache.hadoop.conf.Configuration()
+            val fs = org.apache.hadoop.fs.FileSystem.newInstance(
+              new java.net.URI(s"file://$out"), conf)
+            try {
+              fs.setWriteChecksum(false)
+              val bytes = graft.sources.AvroManifest
+                .encodeEqualityDeletes("o_orderkey", 1, keys,
+                  "iceberg-eqdel:v3")
+              val p = new org.apache.hadoop.fs.Path(s"$out/delete-keys.avro")
+              val os = fs.create(p, true)
+              try os.write(bytes) finally os.close()
+              Iterator((s"$out/delete-keys.avro", keys.size.toLong,
+                        fs.getFileStatus(p).getLen))
+            } finally fs.close()
+          }
+        }.collect()
+      val dataFiles = readManifest(root, 3).sorted
+      val dataMetas = dataFiles.map(f =>
+        graft.sources.AvroManifest.DataFileMeta(
+          f, "PARQUET", parquetRecordCount(f),
+          java.nio.file.Files.size(java.nio.file.Paths.get(f)), 3L))
+      val delMetas = written.toSeq.map { case (p, n, sz) =>
+        graft.sources.AvroManifest.DataFileMeta(p, "AVRO", n, sz, 3L,
+          equalityIds = Seq(1)) }
+      graft.sources.AvroManifest.writeSnapshotManifestsWithDeletes(
+        outDir, 3L, dataMetas, delMetas, s"$root#eqdelsnap-3").toString
     })
   }
 
@@ -4496,6 +4598,20 @@ object Scans {
     // predicate — the positional form must reproduce the equality
     // sidecar's exact effect
     "scan_iceberg_delete_files" ->
+      ("SELECT CAST(2 AS BIGINT) AS version, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+       "CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents, " +
+       "CAST(0 AS BIGINT) AS n_deleted FROM orders " +
+       "UNION ALL " +
+       "SELECT CAST(3 AS BIGINT), " +
+       "CAST(COUNT(CASE WHEN o_orderkey % 7 <> 0 THEN 1 END) AS BIGINT), " +
+       "CAST(SUM(CASE WHEN o_orderkey % 7 <> 0 " +
+       "THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT) END) AS BIGINT), " +
+       "CAST(COUNT(CASE WHEN o_orderkey % 7 = 0 THEN 1 END) AS BIGINT) " +
+       "FROM orders ORDER BY version"),
+
+    // both delete encodings must reproduce the sidecar's exact effect:
+    // identical oracle to the positional lane
+    "scan_iceberg_delete_equality" ->
       ("SELECT CAST(2 AS BIGINT) AS version, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
        "CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents, " +
        "CAST(0 AS BIGINT) AS n_deleted FROM orders " +

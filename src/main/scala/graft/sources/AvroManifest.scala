@@ -112,9 +112,12 @@ object AvroManifest {
     * inherited snapshot/sequence numbers, and the nested `data_file`
     * struct (its required core: content, path, format, the
     * unpartitioned partition struct, row count, byte size — the
-    * optional column-stats maps are omitted, which the spec allows).
-    * Field-ids from the spec's Manifests table (entry fields 0–4,
-    * data_file fields 100–104 and 134). */
+    * optional column-stats maps are omitted, which the spec allows;
+    * `equality_ids`, field-id 135 / element-id 136, is the spec's
+    * marker for EQUALITY delete files — the table field ids the
+    * file's rows equate on; null for data and positional-delete
+    * files). Field-ids from the spec's Manifests table (entry fields
+    * 0–4, data_file fields 100–104, 134–136). */
   val ManifestEntryFields: Seq[Field] = Seq(
     Field("status", AInt, fid(0)),
     Field("snapshot_id", ANullable(ALong), fid(1)),
@@ -126,12 +129,20 @@ object AvroManifest {
       Field("file_format", AString, fid(101)),
       Field("partition", ARecord("partition", Seq.empty), fid(102)),
       Field("record_count", ALong, fid(103)),
-      Field("file_size_in_bytes", ALong, fid(104)))), fid(2)))
+      Field("file_size_in_bytes", ALong, fid(104)),
+      Field("equality_ids",
+        ANullable(AArray(AInt, attrs = """"element-id":136""")),
+        fid(135)))), fid(2)))
 
-  /** One data file's metadata as the exporter knows it. */
+  /** One data file's metadata as the exporter knows it.
+    * `equalityIds` is non-empty ONLY for equality-delete files (the
+    * table field ids the file's rows equate on — data_file.content
+    * becomes 2 per the spec); positional-delete and data files leave
+    * it empty (the schema's null branch). */
   final case class DataFileMeta(path: String, format: String,
                                 recordCount: Long, fileSize: Long,
-                                addedSnapshotId: Long)
+                                addedSnapshotId: Long,
+                                equalityIds: Seq[Int] = Nil)
 
   /** Write snapshot v's manifest FILE (`manifest-v.avro`, one
     * manifest_entry per live data file — status ADDED for files first
@@ -156,7 +167,7 @@ object AvroManifest {
       Seq[Any](status, f.addedSnapshotId, f.addedSnapshotId,
                f.addedSnapshotId,
                Seq[Any](0, f.path, f.format, Seq.empty[Any],
-                        f.recordCount, f.fileSize))
+                        f.recordCount, f.fileSize, null))
     }
     writeAtomic(manifestPath, AvroContainer.encode(
       "manifest_entry", ManifestEntryFields, entries.iterator,
@@ -231,6 +242,22 @@ object AvroManifest {
     AvroContainer.decodeRows(bytes).map(a =>
       (a(0).asInstanceOf[String], a(1).asInstanceOf[Long]))
 
+  /** EQUALITY-delete file codec (the spec's other delete-file kind):
+    * rows carry the equated column's VALUES under its table field-id
+    * — a reader deletes every data row whose column equals any value.
+    * One long column suffices for the export's key-list semantics. */
+  def equalityDeleteFields(fieldName: String, fieldId: Int): Seq[Field] =
+    Seq(Field(fieldName, ALong, fid(fieldId)))
+
+  def encodeEqualityDeletes(fieldName: String, fieldId: Int,
+                            keys: Seq[Long], syncSeed: String): Array[Byte] =
+    AvroContainer.encode("equality_delete",
+      equalityDeleteFields(fieldName, fieldId),
+      keys.sorted.iterator.map(k => Seq[Any](k)), syncSeed)
+
+  def decodeEqualityDeletes(bytes: Array[Byte]): Seq[Long] =
+    AvroContainer.decodeRows(bytes).map(_(0).asInstanceOf[Long])
+
   /** Write snapshot v's manifests WITH a delete arm: the data
     * manifest + list record exactly as [[writeSnapshotManifests]],
     * PLUS `manifest-del-v.avro` (one manifest_entry per positional-
@@ -253,10 +280,16 @@ object AvroManifest {
     def entryRows(fs: Seq[DataFileMeta], content: Int): Seq[Seq[Any]] =
       fs.map { f =>
         val status = if (f.addedSnapshotId == v) 1 else 0
+        // data_file.content per the spec: 0 data, 1 POSITION deletes,
+        // 2 EQUALITY deletes (marked by a non-empty equality_ids)
+        val dfContent =
+          if (content == 0) 0 else if (f.equalityIds.nonEmpty) 2 else 1
         Seq[Any](status, f.addedSnapshotId, f.addedSnapshotId,
                  f.addedSnapshotId,
-                 Seq[Any](content, f.path, f.format, Seq.empty[Any],
-                          f.recordCount, f.fileSize))
+                 Seq[Any](dfContent, f.path, f.format, Seq.empty[Any],
+                          f.recordCount, f.fileSize,
+                          if (f.equalityIds.isEmpty) null
+                          else f.equalityIds))
       }
     val manifestPath = outDir.resolve(s"manifest-$v.avro")
     writeAtomic(manifestPath, AvroContainer.encode(

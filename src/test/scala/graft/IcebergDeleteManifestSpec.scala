@@ -90,6 +90,48 @@ class IcebergDeleteManifestSpec extends SparkSpec {
     assert(total == want, s"delete rows $total != sidecar keys $want")
   }
 
+  test("the EQUALITY arm marks data_file.content = 2 with equality_ids " +
+       "= [1], and its key file replays the sidecar exactly") {
+    val eqList = Scans.exportIcebergEqualityDeleteSnapshot(spark, root)
+    val delManifestPath = AvroContainer.decodeRows(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(eqList)))
+      .find(_(3).asInstanceOf[Number].intValue == 1).get
+      .head.asInstanceOf[String]
+    val entries = AvroContainer.decodeRows(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(delManifestPath)))
+    assert(entries.size == 1, "one compact key file by design")
+    val df = entries.head(4).asInstanceOf[Array[Any]]
+    assert(df(0).asInstanceOf[Number].intValue == 2,
+      "equality entries must mark data_file.content = 2")
+    assert(df(6).asInstanceOf[Seq[Any]].map(
+             _.asInstanceOf[Number].intValue) == Seq(1),
+      s"equality_ids must name the equated field id: ${df(6)}")
+    val keys = AvroManifest.decodeEqualityDeletes(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(df(1).asInstanceOf[String])))
+    assert(keys == keys.sorted)
+    val want = spark.read.parquet(s"$root/_deletes/v3")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(keys == want, s"equality keys != sidecar: ${keys.size} vs ${want.size}")
+  }
+
+  test("positional entries leave equality_ids null (the spec's marker " +
+       "distinguishes the two delete kinds)") {
+    val delManifestPath = AvroContainer.decodeRows(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(listPath)))
+      .find(_(3).asInstanceOf[Number].intValue == 1).get
+      .head.asInstanceOf[String]
+    val entries = AvroContainer.decodeRows(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(delManifestPath)))
+    entries.foreach { e =>
+      val df = e(4).asInstanceOf[Array[Any]]
+      assert(df(0).asInstanceOf[Number].intValue == 1)
+      assert(df(6) == null, s"positional equality_ids must be null: ${df(6)}")
+    }
+  }
+
   test("a repeated export is memoized and byte-stable") {
     val again = Scans.exportIcebergDeleteSnapshot(spark, root)
     assert(again == listPath)
