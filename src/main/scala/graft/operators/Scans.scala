@@ -1092,6 +1092,52 @@ object Scans {
       v2.unionByName(v3).orderBy("version")
     }),
 
+    // MIXED DELETE APPLY — the full v2 read path: ONE snapshot whose
+    // delete state is split across BOTH kinds (positional for the
+    // %14==0 keys, equality for %14==7), three manifest_file records
+    // in the list. The reader walks the delete manifests, picks the
+    // apply strategy PER FILE from data_file.content (readDeleteFiles),
+    // and serves the UNION — applying either kind alone leaves half
+    // the deletes in and hash-mismatches. The per-kind deleted counts
+    // ship as columns, so the split itself is oracle-checked.
+    "scan_iceberg_delete_mixed" -> ((s, dir) => {
+      import s.implicits._
+      val root = deleteVectorFixture(s, dir)
+      val listPath = exportIcebergMixedDeleteSnapshot(s, root)
+      val dataPaths = graft.sources.AvroManifest
+        .readFilePaths(listPath).sorted
+      val delFiles = graft.sources.AvroManifest.readDeleteFiles(listPath)
+      val posPaths = delFiles.collect { case (1, p) => p }.sorted
+      val eqPaths = delFiles.collect { case (2, p) => p }.sorted
+      val data = s.read.parquet(dataPaths: _*)
+        .select(
+          regexp_replace(col("_metadata.file_path"), "^file:(//)?", "")
+            .as("fp"),
+          col("_metadata.row_index").as("pos"),
+          col("o_orderkey"), col("o_totalprice"))
+      val posDels = s.read.format("binaryFile").load(posPaths: _*)
+        .select(col("content")).as[Array[Byte]]
+        .flatMap(graft.sources.AvroManifest.decodePositionalDeletes(_))
+        .toDF("fp", "pos").withColumn("pdel", lit(1L))
+      val eqKeys = s.read.format("binaryFile").load(eqPaths: _*)
+        .select(col("content")).as[Array[Byte]]
+        .flatMap(graft.sources.AvroManifest.decodeEqualityDeletes(_))
+        .toDF("o_orderkey").withColumn("edel", lit(1L))
+      val cents = floor(col("o_totalprice") * 100).cast("long")
+      data.join(posDels, Seq("fp", "pos"), "left")
+        .join(broadcast(eqKeys), Seq("o_orderkey"), "left")
+        .agg(
+          big(count(when(col("pdel").isNull && col("edel").isNull, 1)))
+            .as("n_rows"),
+          big(sum(when(col("pdel").isNull && col("edel").isNull, cents)))
+            .as("total_cents"),
+          big(count(col("pdel"))).as("n_pos_deleted"),
+          big(count(col("edel"))).as("n_eq_deleted"))
+        .select(big(lit(3L)).as("version"), col("n_rows"),
+                col("total_cents"), col("n_pos_deleted"),
+                col("n_eq_deleted"))
+    }),
+
     // CHANGE FEED FOR THE DELETE SNAPSHOT (the CDC half of the
     // positional-delete arm — scan_iceberg_cdc covers appends, this
     // covers removals): the v2→v3 change batch IS the deleted row
@@ -2448,6 +2494,110 @@ object Scans {
           equalityIds = Seq(1)) }
       graft.sources.AvroManifest.writeSnapshotManifestsWithDeletes(
         outDir, 3L, dataMetas, delMetas, s"$root#eqdelsnap-3").toString
+    })
+  }
+
+  private val icebergMixDeleteExportMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  /** The MIXED delete snapshot — the state a long-lived v2 table
+    * actually reaches (equality deletes from streaming upserts,
+    * positional from row-level MERGEs, in ONE snapshot): the sidecar
+    * splits by key residue — %14 == 0 travels POSITIONALLY (the
+    * distributed ordinal conversion, one spec-sorted file per data
+    * file), %14 == 7 as ONE EQUALITY key file — and the manifest list
+    * carries THREE manifest_file records. A reader must apply the
+    * UNION of both kinds; serving either alone is wrong, which is
+    * exactly what the lane's oracle catches. */
+  def exportIcebergMixedDeleteSnapshot(
+      s: org.apache.spark.sql.SparkSession, root: String): String = {
+    val sig = (readManifest(root, 3).sorted ++
+      Option(new java.io.File(s"$root/_deletes/v3").listFiles())
+        .getOrElse(Array.empty)
+        .map(f => s"${f.getName}:${f.length}:${f.lastModified}").sorted)
+      .mkString("|")
+    icebergMixDeleteExportMemo.getOrElseUpdate((root, sig), {
+      val outDir = java.nio.file.Paths.get(root, "_iceberg_mixdel")
+      java.nio.file.Files.createDirectories(outDir)
+      val out = outDir.toString
+      locally {
+        val outPath = new org.apache.hadoop.fs.Path(out)
+        val fs = outPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        Seq("delete-*.avro", "*.crc", ".*.crc").foreach { pat =>
+          Option(fs.globStatus(new org.apache.hadoop.fs.Path(outPath, pat)))
+            .getOrElse(Array.empty)
+            .foreach(st => fs.delete(st.getPath, false))
+        }
+      }
+      val dataFiles = readManifest(root, 3).sorted
+      val keys = s.read.parquet(s"$root/_deletes/v3")
+      import s.implicits._
+      // positional half: %14 == 0 keys through the ordinal conversion
+      val posDels = s.read.parquet(dataFiles: _*)
+        .select(
+          regexp_replace(col("_metadata.file_path"), "^file:(//)?", "")
+            .as("fp"),
+          col("_metadata.row_index").as("pos"), col("o_orderkey"))
+        .join(broadcast(keys.where(col("o_orderkey") % 14 === 0)),
+              Seq("o_orderkey"))
+        .select("fp", "pos")
+      val writtenPos = posDels.repartition(col("fp"))
+        .as[(String, Long)]
+        .mapPartitions { it =>
+          val conf = new org.apache.hadoop.conf.Configuration()
+          val fs = org.apache.hadoop.fs.FileSystem.newInstance(
+            new java.net.URI(s"file://$out"), conf)
+          try {
+            fs.setWriteChecksum(false)
+            it.toSeq.groupBy(_._1).iterator.map { case (fp, ps) =>
+              val name = "delete-pos-" + java.security.MessageDigest
+                .getInstance("MD5").digest(fp.getBytes("UTF-8"))
+                .take(8).map("%02x".format(_)).mkString + ".avro"
+              val bytes = graft.sources.AvroManifest
+                .encodePositionalDeletes(ps, s"iceberg-mixdel:$fp")
+              val p = new org.apache.hadoop.fs.Path(s"$out/$name")
+              val os = fs.create(p, true)
+              try os.write(bytes) finally os.close()
+              (s"$out/$name", ps.size.toLong, fs.getFileStatus(p).getLen)
+            }.toSeq.iterator
+          } finally fs.close()
+        }.collect().sortBy(_._1)
+      // equality half: %14 == 7 keys as one compact key file
+      val writtenEq = keys.where(col("o_orderkey") % 14 === 7)
+        .select(col("o_orderkey")).repartition(1).as[Long]
+        .mapPartitions { it =>
+          val ks = it.toSeq
+          if (ks.isEmpty) Iterator.empty
+          else {
+            val conf = new org.apache.hadoop.conf.Configuration()
+            val fs = org.apache.hadoop.fs.FileSystem.newInstance(
+              new java.net.URI(s"file://$out"), conf)
+            try {
+              fs.setWriteChecksum(false)
+              val bytes = graft.sources.AvroManifest
+                .encodeEqualityDeletes("o_orderkey", 1, ks,
+                  "iceberg-mixdel-eq:v3")
+              val p = new org.apache.hadoop.fs.Path(
+                s"$out/delete-eq-keys.avro")
+              val os = fs.create(p, true)
+              try os.write(bytes) finally os.close()
+              Iterator((s"$out/delete-eq-keys.avro", ks.size.toLong,
+                        fs.getFileStatus(p).getLen))
+            } finally fs.close()
+          }
+        }.collect()
+      val dataMetas = dataFiles.map(f =>
+        graft.sources.AvroManifest.DataFileMeta(
+          f, "PARQUET", parquetRecordCount(f),
+          java.nio.file.Files.size(java.nio.file.Paths.get(f)), 3L))
+      val posMetas = writtenPos.toSeq.map { case (p, n, sz) =>
+        graft.sources.AvroManifest.DataFileMeta(p, "AVRO", n, sz, 3L) }
+      val eqMetas = writtenEq.toSeq.map { case (p, n, sz) =>
+        graft.sources.AvroManifest.DataFileMeta(p, "AVRO", n, sz, 3L,
+          equalityIds = Seq(1)) }
+      graft.sources.AvroManifest.writeSnapshotManifestsMixed(
+        outDir, 3L, dataMetas, posMetas, eqMetas,
+        s"$root#mixdelsnap-3").toString
     })
   }
 
@@ -4608,6 +4758,18 @@ object Scans {
        "THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT) END) AS BIGINT), " +
        "CAST(COUNT(CASE WHEN o_orderkey % 7 = 0 THEN 1 END) AS BIGINT) " +
        "FROM orders ORDER BY version"),
+
+    // the union of both kinds + the per-kind split, all from the key
+    // residues: survivors are %7<>0, positional half %14=0, equality
+    // half %14=7
+    "scan_iceberg_delete_mixed" ->
+      ("SELECT CAST(3 AS BIGINT) AS version, " +
+       "CAST(COUNT(CASE WHEN o_orderkey % 7 <> 0 THEN 1 END) AS BIGINT) AS n_rows, " +
+       "CAST(SUM(CASE WHEN o_orderkey % 7 <> 0 " +
+       "THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS total_cents, " +
+       "CAST(COUNT(CASE WHEN o_orderkey % 14 = 0 THEN 1 END) AS BIGINT) AS n_pos_deleted, " +
+       "CAST(COUNT(CASE WHEN o_orderkey % 14 = 7 THEN 1 END) AS BIGINT) AS n_eq_deleted " +
+       "FROM orders"),
 
     // both delete encodings must reproduce the sidecar's exact effect:
     // identical oracle to the positional lane

@@ -187,6 +187,27 @@ object AvroManifest {
     listPath
   }
 
+  /** The DELETE files reachable from a manifest list, keyed by their
+    * entry-level kind — (data_file.content, path): 1 = positional,
+    * 2 = equality. A real v2 reader needs this distinction to pick
+    * the apply strategy per file; the manifest-level content only
+    * says "deletes". Live entries only, same strict walk. */
+  def readDeleteFiles(listPath: String): Seq[(Int, String)] = {
+    val lists = AvroContainer.decodeRows(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(listPath)))
+    lists.filter(_(3).asInstanceOf[Number].intValue == 1).flatMap { mf =>
+      val manifestPath = mf(0).asInstanceOf[String]
+      AvroContainer.decodeRows(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(manifestPath)))
+        .filter(_(0).asInstanceOf[Number].intValue != 2)
+        .map { e =>
+          val df = e(4).asInstanceOf[Array[Any]]
+          (df(0).asInstanceOf[Number].intValue,
+           df(1).asInstanceOf[String])
+        }
+    }
+  }
+
   /** The data-file paths reachable from a manifest LIST — the walk a
     * real Iceberg reader performs: list → manifest_file records →
     * each manifest's entries → live (status ≠ 2 DELETED) data_file
@@ -270,6 +291,19 @@ object AvroManifest {
   def writeSnapshotManifestsWithDeletes(
       outDir: java.nio.file.Path, v: Long,
       files: Seq[DataFileMeta], deleteFiles: Seq[DataFileMeta],
+      syncSeed: String): java.nio.file.Path =
+    writeSnapshotManifestsMixed(outDir, v, files, deleteFiles, Nil, syncSeed)
+
+  /** The general form: data + POSITIONAL deletes + EQUALITY deletes in
+    * one snapshot — three manifest_file records when both delete kinds
+    * are present (the mixed state a long-lived v2 table actually
+    * reaches: equality deletes from streaming upserts, positional from
+    * row-level MERGEs). Either delete seq may be empty; its manifest
+    * is then omitted from the list. */
+  def writeSnapshotManifestsMixed(
+      outDir: java.nio.file.Path, v: Long,
+      files: Seq[DataFileMeta], posDeleteFiles: Seq[DataFileMeta],
+      eqDeleteFiles: Seq[DataFileMeta],
       syncSeed: String): java.nio.file.Path = {
     import java.nio.file.{Files, StandardCopyOption => C}
     def writeAtomic(p: java.nio.file.Path, bytes: Array[Byte]): Unit = {
@@ -295,10 +329,16 @@ object AvroManifest {
     writeAtomic(manifestPath, AvroContainer.encode(
       "manifest_entry", ManifestEntryFields,
       entryRows(files, 0).iterator, s"$syncSeed#manifest"))
-    val delManifestPath = outDir.resolve(s"manifest-del-$v.avro")
-    writeAtomic(delManifestPath, AvroContainer.encode(
-      "manifest_entry", ManifestEntryFields,
-      entryRows(deleteFiles, 1).iterator, s"$syncSeed#manifest-del"))
+    val delManifests: Seq[(java.nio.file.Path, Seq[DataFileMeta])] =
+      Seq(("manifest-del", posDeleteFiles),
+          ("manifest-eqdel", eqDeleteFiles)).collect {
+        case (stem, fs) if fs.nonEmpty =>
+          val p = outDir.resolve(s"$stem-$v.avro")
+          writeAtomic(p, AvroContainer.encode(
+            "manifest_entry", ManifestEntryFields,
+            entryRows(fs, 1).iterator, s"$syncSeed#$stem"))
+          (p, fs)
+      }
     def listRec(mp: java.nio.file.Path, content: Int,
                 fs: Seq[DataFileMeta]): Seq[Any] = {
       val added = fs.filter(_.addedSnapshotId == v)
@@ -320,8 +360,9 @@ object AvroManifest {
     val listPath = outDir.resolve(s"snap-$v.avro")
     writeAtomic(listPath, AvroContainer.encode(
       "manifest_file", ManifestFileFields,
-      Iterator(listRec(manifestPath, 0, files),
-               listRec(delManifestPath, 1, deleteFiles)), syncSeed))
+      (Iterator(listRec(manifestPath, 0, files)) ++
+       delManifests.iterator.map { case (p, fs) => listRec(p, 1, fs) }),
+      syncSeed))
     listPath
   }
 }

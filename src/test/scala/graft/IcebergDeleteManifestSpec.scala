@@ -132,6 +132,35 @@ class IcebergDeleteManifestSpec extends SparkSpec {
     }
   }
 
+  test("the MIXED snapshot carries three manifest_file records and " +
+       "readDeleteFiles splits the kinds by entry content") {
+    val mixList = Scans.exportIcebergMixedDeleteSnapshot(spark, root)
+    val recs = AvroContainer.decodeRows(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(mixList)))
+    assert(recs.size == 3, s"expected 3 manifest_file records: ${recs.size}")
+    assert(recs.map(_(3).asInstanceOf[Number].intValue).sorted == Seq(0, 1, 1))
+    val byKind = AvroManifest.readDeleteFiles(mixList).groupBy(_._1)
+    assert(byKind.keySet == Set(1, 2), s"kinds: ${byKind.keySet}")
+    // the positional half names only %14==0 keys, the equality file
+    // only %14==7 — the split rule replayed through both decoders
+    byKind(1).foreach { case (_, p) =>
+      val dels = AvroManifest.decodePositionalDeletes(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)))
+      val fp = dels.head._1
+      val keysAtPos = spark.read.parquet(fp)
+        .select(org.apache.spark.sql.functions.col("_metadata.row_index"),
+                org.apache.spark.sql.functions.col("o_orderkey"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      dels.foreach { case (_, pos) =>
+        assert(keysAtPos(pos) % 14 == 0, s"$fp@$pos: ${keysAtPos(pos)}") }
+    }
+    byKind(2).foreach { case (_, p) =>
+      val ks = AvroManifest.decodeEqualityDeletes(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)))
+      assert(ks.nonEmpty && ks.forall(_ % 14 == 7), s"eq keys: ${ks.take(3)}")
+    }
+  }
+
   test("a repeated export is memoized and byte-stable") {
     val again = Scans.exportIcebergDeleteSnapshot(spark, root)
     assert(again == listPath)
