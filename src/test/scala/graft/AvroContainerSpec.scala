@@ -251,6 +251,35 @@ class AvroContainerSpec extends SparkSpec {
     assert(r0.length == 4 && r1.length == 4)
   }
 
+  test("the full numeric promotion lattice resolves: int->long, " +
+       "int->double, and the written int survives exactly") {
+    val writer = Seq(Field("a", AInt), Field("b", AInt), Field("c", ALong))
+    val reader =
+      """{"type":"record","name":"t","fields":[
+        |{"name":"a","type":"long"},
+        |{"name":"b","type":"double"},
+        |{"name":"c","type":"double"}]}""".stripMargin
+    val bytes = AvroContainer.encode("t", writer,
+      Iterator(Seq[Any](-3, 41, 9000000000L)), "seed:promo")
+    val r = AvroContainer.decodeRowsAs(bytes, reader).head
+    assert(r(0) == -3L, s"int->long: ${r(0)}")
+    assert(r(1) == 41.0, s"int->double: ${r(1)}")
+    assert(r(2) == 9.0e9, s"long->double: ${r(2)}")
+  }
+
+  test("resolution composes with deflate: a compressed old-generation " +
+       "file reads under the new schema") {
+    val gen0 = Seq(Field("id", ALong))
+    val reader =
+      """{"type":"record","name":"t","fields":[
+        |{"name":"id","type":"double"},
+        |{"name":"tag","type":"string","default":"z"}]}""".stripMargin
+    val f0 = AvroContainer.encode("t", gen0,
+      Iterator(Seq[Any](5L)), "seed:zr", codec = "deflate")
+    val r = AvroContainer.decodeRowsAs(f0, reader).head
+    assert(r(0) == 5.0 && r(1) == "z")
+  }
+
   test("resolution without a matching default fails loudly (a reader " +
        "field the writer lacks and no default is unresolvable)") {
     val gen0 = Seq(Field("id", ALong))
