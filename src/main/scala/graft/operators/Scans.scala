@@ -4769,7 +4769,7 @@ object Scans {
        "THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS total_cents, " +
        "CAST(COUNT(CASE WHEN o_orderkey % 14 = 0 THEN 1 END) AS BIGINT) AS n_pos_deleted, " +
        "CAST(COUNT(CASE WHEN o_orderkey % 14 = 7 THEN 1 END) AS BIGINT) AS n_eq_deleted " +
-       "FROM orders"),
+       "FROM orders ORDER BY version"),
 
     // both delete encodings must reproduce the sidecar's exact effect:
     // identical oracle to the positional lane
@@ -4794,7 +4794,7 @@ object Scans {
        "CAST(COUNT(*) AS BIGINT) AS n_rows, " +
        "CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents, " +
        "CAST(SUM(o_orderkey % 7) AS BIGINT) AS key_residue_sig " +
-       "FROM orders WHERE o_orderkey % 7 = 0"),
+       "FROM orders WHERE o_orderkey % 7 = 0 ORDER BY from_snapshot"),
 
     // v3 (sidecar applied at read) and v4 (the compacted rewrite)
     // must be the SAME state: the surviving o_orderkey % 7 <> 0 rows
