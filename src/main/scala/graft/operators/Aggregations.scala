@@ -471,27 +471,34 @@ object Aggregations {
         .withColumn("cal",
           pmod(conv(substring(md5(concat(lit("conf:"),
             col("event_id").cast("string"))), 1, 8), 16, 10).cast("long"), lit(2)))
-      val model = e.where(col("cal") === 0).groupBy("event_type")
-        .agg(count(lit(1)).as("n_cal"), sum(col("cents")).as("sc"))
-        .withColumn("m", col("sc").cast("double") / col("n_cal"))
-        .withColumn("k", expr("(9 * (n_cal + 1) + 9) DIV 10"))
-        .select("event_type", "n_cal", "m", "k")
+      // r21 (guide §2.4): ONE pass over the calibration slice — the
+      // per-type mean and count ride whole-partition window
+      // aggregates over the SAME event_type exchange the rank window
+      // needs (same key → one shuffle), instead of a separate
+      // groupBy + broadcast-join-back that re-scanned the slice. The
+      // arithmetic (sum/count → m, k, |cents − m|, rank by (score,
+      // event_id)) is expression-identical, so every served value is
+      // unchanged (oracle-checked ×3 SFs).
+      val wT = Window.partitionBy("event_type")
       val w = Window.partitionBy("event_type")
         .orderBy(col("score"), col("event_id"))
       val q = e.where(col("cal") === 0)
-        .join(broadcast(model), Seq("event_type"))
+        .withColumn("n_cal", count(lit(1)).over(wT))
+        .withColumn("sc", sum(col("cents")).over(wT))
+        .withColumn("m", col("sc").cast("double") / col("n_cal"))
+        .withColumn("k", expr("(9 * (n_cal + 1) + 9) DIV 10"))
         .withColumn("score", abs(col("cents") - col("m")))
         .withColumn("rn", row_number().over(w))
         .where(col("rn") === col("k"))
-        .select(col("event_type"), col("score").as("q"))
+        .select(col("event_type"), col("n_cal"), col("m"),
+                col("score").as("q"))
       val cov = e.where(col("cal") === 1)
-        .join(broadcast(model), Seq("event_type"))
         .join(broadcast(q), Seq("event_type"))
         .groupBy("event_type")
         .agg(big(count(lit(1))).as("n_eval"),
              big(sum(when(abs(col("cents") - col("m")) <= col("q"), 1)
                .otherwise(0))).as("n_covered"))
-      model.join(q, Seq("event_type")).join(cov, Seq("event_type"))
+      q.join(cov, Seq("event_type"))
         .select(col("event_type"), big(col("n_cal")).as("n_cal"), col("n_eval"),
           fround(col("m") / 100.0, 4).as("model_mean"),
           fround(col("q") / 100.0, 4).as("half_width"),

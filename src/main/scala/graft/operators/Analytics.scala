@@ -73,7 +73,14 @@ object Analytics {
     * factored out so MarketBasketSpec can plant baskets with
     * hand-computable support/confidence/lift. */
   def marketBasket(rows: DataFrame): DataFrame = {
-    val li = rows.distinct()
+    // r21 (guide §5 caching-when-reused): the deduped basket list is
+    // consumed FOUR times below (n_orders scalar, item counts, both
+    // sides of the pair self-join) — one localCheckpoint pays one
+    // distinct pass instead of four full re-evaluations of the
+    // upstream scan+distinct. MEMORY_AND_DISK, so an at-scale list
+    // spills rather than OOMs; recompute-vs-reuse flips in favor of
+    // reuse at exactly 2 consumers.
+    val li = rows.distinct().localCheckpoint()
     // the n_orders SCALAR rides a broadcast crossJoin (the events_rfm
     // convention) instead of a driver-side .count() action at
     // query-construction time — the old extra job serialized plan
@@ -454,13 +461,25 @@ object Analytics {
     * loops (without it round i re-evaluates round i-1 once per
     * consumer and the plan grows 2^rounds). */
   def labelPropagate(bidir: DataFrame, rounds: Int): DataFrame = {
-    val edges = bidir.localCheckpoint()
+    // r21 (guide §2.4): the edge list is LOOP-INVARIANT — partition it
+    // by the per-round join key BEFORE the checkpoint, so every
+    // round's edge side enters the join exchange-free (the checkpoint
+    // preserves the partitioning; only the label table, which changes
+    // each round, pays a shuffle). The old shape re-exchanged the
+    // static edges every round.
+    val edges = bidir.repartition(col("v")).localCheckpoint()
     var labels = edges.select(col("u").as("node")).distinct()
       .withColumn("lab", col("node"))
       .localCheckpoint()
     for (_ <- 1 to rounds) {
+      // one exchange for both aggregates (r21): repartition by u —
+      // hash(u) satisfies the (u, lab) clustering of the first
+      // aggregate (subset rule) and the (u) clustering of the second,
+      // so the vote count and the argmax run back to back without a
+      // second shuffle
       labels = edges
         .join(labels.withColumnRenamed("node", "v"), Seq("v"))
+        .repartition(col("u"))
         .groupBy(col("u"), col("lab"))
         .agg(count(lit(1)).as("cnt"))
         .groupBy(col("u").as("node"))
@@ -469,6 +488,25 @@ object Analytics {
         .localCheckpoint()
     }
     labels
+  }
+
+  /** [[labelPropagate]] at [[LpaRounds]] over the co-occurrence graph
+    * through the per-(application, fixture) memo (r21): the partition
+    * is shared artifact state between graph_label_propagation and
+    * graph_modularity — exactly the pairsMemo convention (one
+    * evaluation per session, attributed to whichever family member
+    * runs first; family-sum accounting applies). */
+  private val lpaMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  def lpaLabelsCached(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val sig = graft.Tables.fsSig(s, s"$dir/lineitem.parquet")
+    lpaMemo.getOrElseUpdate(
+      (s.sparkContext.applicationId, s"lpa:$dir|$sig"), {
+        val edges = cooccurEdgesCached(s, dir)
+        val bidir = edges.select(col("a").as("u"), col("b").as("v"))
+          .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
+        labelPropagate(bidir, LpaRounds)
+      })
   }
 
   /** Modularity report of the [[labelPropagate]] partition over an
@@ -481,10 +519,11 @@ object Analytics {
     * its two endpoints (node-keyed shuffles), everything else is hash
     * aggregation; m arrives as a broadcast one-row aggregate, never a
     * driver-side collect in the query path. */
-  def modularityOf(edges: DataFrame, rounds: Int): DataFrame = {
+  def modularityOf(edges: DataFrame, rounds: Int,
+                   labOpt: Option[DataFrame] = None): DataFrame = {
     val bidir = edges.select(col("a").as("u"), col("b").as("v"))
       .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
-    val lab = labelPropagate(bidir, rounds)
+    val lab = labOpt.getOrElse(labelPropagate(bidir, rounds))
     val mDf = edges.agg(big(count(lit(1))).as("m"))
     val eIn = edges
       .join(lab.select(col("node").as("a"), col("lab").as("ca")), Seq("a"))
@@ -1387,14 +1426,13 @@ object Analytics {
     // detector whose per-round cost is one node-keyed join + two
     // hash-aggs over the edge list only. Fixed-round BY CONTRACT (see
     // [[LpaRounds]]); the oracle unrolls the identical rounds.
-    "graph_label_propagation" -> ((s, dir) => {
-      val pairs = cooccurEdgesCached(s, dir)
-      val bidir = pairs.select(col("a").as("u"), col("b").as("v"))
-        .unionByName(pairs.select(col("b").as("u"), col("a").as("v")))
-      labelPropagate(bidir, LpaRounds)
+    "graph_label_propagation" -> ((s, dir) =>
+      // r21: the propagated partition comes through lpaLabelsCached —
+      // shared artifact state with graph_modularity (pairsMemo
+      // convention), identical rounds and results
+      lpaLabelsCached(s, dir)
         .select(col("node"), col("lab").as("community"))
-        .orderBy("node")
-    }),
+        .orderBy("node")),
 
     // COHORT LTV CURVE (r11): cumulative purchase revenue per
     // first-seen-day cohort across day offsets 0..7 — retention's
@@ -1479,7 +1517,8 @@ object Analytics {
     // detection without a quality score is unfalsifiable at scale;
     // this is the one-number answer to "did LPA find structure".
     "graph_modularity" -> ((s, dir) =>
-      modularityOf(cooccurEdgesCached(s, dir), LpaRounds)),
+      modularityOf(cooccurEdgesCached(s, dir), LpaRounds,
+        labOpt = Some(lpaLabelsCached(s, dir)))),
 
     // One synchronous Louvain phase-1+2 round over the co-occurrence
     // graph (see louvainRound): modularity-gain moves from

@@ -234,7 +234,22 @@ object Similarity {
     val nb = v.agg(greatest(lit(1L),
       floor(count(lit(1)) / lit(NndBucketTarget.toDouble)).cast("long"))
       .as("nb"))
-    val wB = Window.partitionBy("bkt").orderBy("vec_id")
+    val wK = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nbr_id"))
+    // dedup + rank in ONE exchange (r21, guide §2.4): repartition by
+    // vec_id up front — hash(vec_id) satisfies the (vec_id, nbr_id)
+    // clustered distribution of the dedup aggregate (subset rule), so
+    // the groupBy adds no exchange and the rank window adds only a
+    // sort (WindowGroupLimit bounds it map-side). The old shape paid
+    // two exchanges per topM: hash(vec_id, nbr_id) for the dedup,
+    // then hash(vec_id) for the window. max() over an exact-duplicate
+    // pair is pure dedup — the cosine of a given pair is one pinned
+    // value, never a score change.
+    def topM(edges: DataFrame): DataFrame = edges
+      .repartition(col("vec_id"))
+      .groupBy("vec_id", "nbr_id").agg(max(col("cos")).as("cos"))
+      .withColumn("rnk", row_number().over(wK))
+      .where(col("rnk") <= m)
+      .select("vec_id", "nbr_id", "cos")
     // TWO independent seed partitions (salts nnd:/nnd2: — the same
     // multi-seeding trick knnGraph's two blockings use): a single
     // hash partition seeds a DISCONNECTED graph (every seed edge
@@ -243,50 +258,56 @@ object Similarity {
     // component they start in (measured: the 120-chain stuck at
     // recall 8/10 with round-over-round identical adjacency). The
     // union of two independent partitions overlaps components, and
-    // the descent rounds do the rest.
-    def seedArm(salt: String): DataFrame = {
-      val h = conv(substring(md5(concat(lit(salt),
-        col("vec_id").cast("string"))), 1, 8), 16, 10).cast("long")
-      val members = v.crossJoin(broadcast(nb))
-        .select(col("vec_id"), col("embedding"), pmod(h, col("nb")).as("bkt"))
-        .withColumn("rn", row_number().over(wB))
-        .where(col("rn") <= NndBucketCap)
-        .select("bkt", "vec_id", "embedding")
-      members.select(col("bkt"), col("vec_id"), col("embedding").as("va"))
-        .join(members.select(col("bkt"), col("vec_id").as("nbr_id"),
-                             col("embedding").as("vb")), Seq("bkt"))
-        .where(col("vec_id") =!= col("nbr_id"))
-        .select(col("vec_id"), col("nbr_id"),
-                fround(cosine(col("va"), col("vb")), 4).as("cos"))
-    }
-    val wK = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nbr_id"))
-    def topM(edges: DataFrame): DataFrame = edges
-      .withColumn("rnk", row_number().over(wK))
-      .where(col("rnk") <= m)
-      .select("vec_id", "nbr_id", "cos")
-    var e = topM(
-      seedArm("nnd:").unionByName(seedArm("nnd2:"))
-        // a pair sharing both buckets appears twice with one pinned
-        // cos — max() is pure dedup
-        .groupBy("vec_id", "nbr_id").agg(max(col("cos")).as("cos")))
-      .localCheckpoint()
+    // the descent rounds do the rest. r21: both arms ride ONE plan —
+    // an exploded `arm` dimension keys the bucket window and the
+    // pair join by (arm, bkt), so the two arms cost one membership
+    // window and one self-join instead of two of each (the per-arm
+    // bucket assignment, cap order, and pair set are unchanged —
+    // GraphAnnSpec and the oracle's unrolled replay pin this).
+    val armed = v.crossJoin(broadcast(nb))
+      .select(col("vec_id"), col("embedding"), col("nb"),
+              explode(array(lit("nnd:"), lit("nnd2:"))).as("arm"))
+      .select(col("arm"), col("vec_id"), col("embedding"),
+              pmod(conv(substring(md5(concat(col("arm"),
+                col("vec_id").cast("string"))), 1, 8), 16, 10).cast("long"),
+                col("nb")).as("bkt"))
+    val members = armed
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("arm", "bkt").orderBy("vec_id")))
+      .where(col("rn") <= NndBucketCap)
+      .select("arm", "bkt", "vec_id", "embedding")
+    val seedEdges = members
+      .select(col("arm"), col("bkt"), col("vec_id"), col("embedding").as("va"))
+      .join(members.select(col("arm"), col("bkt"), col("vec_id").as("nbr_id"),
+                           col("embedding").as("vb")), Seq("arm", "bkt"))
+      .where(col("vec_id") =!= col("nbr_id"))
+      .select(col("vec_id"), col("nbr_id"),
+              fround(cosine(col("va"), col("vb")), 4).as("cos"))
+    var e = topM(seedEdges).localCheckpoint()
     (1 to rounds).foreach { _ =>
       // undirected adjacency KEEPS scores so the cap below prioritizes
       // the CLOSEST neighbors (the NN-descent heuristic — capping by
-      // id starved convergence: measured 8/10 chain recall vs 10/10)
-      val und = e
+      // id starved convergence: measured 8/10 chain recall vs 10/10).
+      // Same one-exchange fusion as topM: repartition(vec_id), dedup
+      // aggregate exchange-free on the subset rule, rank = sort only.
+      val capped = e
         .unionByName(e.select(col("nbr_id").as("vec_id"),
                               col("vec_id").as("nbr_id"), col("cos")))
+        .repartition(col("vec_id"))
         .groupBy("vec_id", "nbr_id").agg(max(col("cos")).as("cos"))
-      val capped = und
         .withColumn("rn", row_number().over(
           Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nbr_id"))))
         .where(col("rn") <= NndUndCap)
         .select(col("vec_id").as("hub"), col("nbr_id"))
+      // candidate dedup keyed by the repartition prefix (subset rule
+      // again): hash(a) satisfies the (a, b) distinct — one exchange,
+      // and the same layout the a-side scoring join wants at scale
       val cand = capped.select(col("hub"), col("nbr_id").as("a"))
         .join(capped.select(col("hub"), col("nbr_id").as("b")), Seq("hub"))
         .where(col("a") < col("b"))
-        .select("a", "b").distinct()
+        .select("a", "b")
+        .repartition(col("a"))
+        .distinct()
       val scoredPairs = cand
         .join(v.select(col("vec_id").as("a"), col("embedding").as("va")), Seq("a"))
         .join(v.select(col("vec_id").as("b"), col("embedding").as("vb")), Seq("b"))
@@ -296,13 +317,7 @@ object Similarity {
         .select(col("a").as("vec_id"), col("b").as("nbr_id"), col("cos"))
         .unionByName(scoredPairs
           .select(col("b").as("vec_id"), col("a").as("nbr_id"), col("cos")))
-      // max() dedups a re-proposed edge against its existing copy —
-      // the cosine of a given pair is one pinned value, so max is
-      // pure dedup, never a score change
-      e = topM(
-        e.unionByName(newDir)
-          .groupBy("vec_id", "nbr_id").agg(max(col("cos")).as("cos")))
-        .localCheckpoint()
+      e = topM(e.unionByName(newDir)).localCheckpoint()
     }
     e
   }
@@ -344,36 +359,41 @@ object Similarity {
     val nb = base.agg(greatest(lit(1L),
       floor(count(lit(1)) / lit(NndBucketTarget.toDouble)).cast("long"))
       .as("nb"))
-    val wB = Window.partitionBy("bkt").orderBy("vec_id")
-    def armCand(salt: String): DataFrame = {
-      def bkt(df: DataFrame) = {
-        val h = conv(substring(md5(concat(lit(salt),
-          col("vec_id").cast("string"))), 1, 8), 16, 10).cast("long")
-        df.select(col("vec_id"), col("embedding")).crossJoin(broadcast(nb))
-          .select(col("vec_id"), col("embedding"), pmod(h, col("nb")).as("bkt"))
-      }
-      val members = bkt(base)
-        .withColumn("rn", row_number().over(wB))
-        .where(col("rn") <= NndBucketCap)
-        .select("bkt", "vec_id", "embedding")
-      bkt(newV)
-        .select(col("bkt"), col("vec_id"), col("embedding").as("va"))
-        .join(members.select(col("bkt"), col("vec_id").as("nbr_id"),
-                             col("embedding").as("vb")), Seq("bkt"))
-        .select(col("vec_id"), col("nbr_id"),
-                fround(cosine(col("va"), col("vb")), 4).as("cos"))
-    }
+    // r21: both seed arms ride ONE plan via an exploded `arm`
+    // dimension, and every dedup+rank pair is fused into a single
+    // repartition(vec_id) exchange — the same restructure (and the
+    // same per-arm semantics) as knnGraphNnDescentScored's seed.
+    def armedBkt(df: DataFrame): DataFrame = df
+      .select(col("vec_id"), col("embedding")).crossJoin(broadcast(nb))
+      .select(col("vec_id"), col("embedding"), col("nb"),
+              explode(array(lit("nnd:"), lit("nnd2:"))).as("arm"))
+      .select(col("arm"), col("vec_id"), col("embedding"),
+              pmod(conv(substring(md5(concat(col("arm"),
+                col("vec_id").cast("string"))), 1, 8), 16, 10).cast("long"),
+                col("nb")).as("bkt"))
+    val members = armedBkt(base)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("arm", "bkt").orderBy("vec_id")))
+      .where(col("rn") <= NndBucketCap)
+      .select("arm", "bkt", "vec_id", "embedding")
+    val armCand = armedBkt(newV)
+      .select(col("arm"), col("bkt"), col("vec_id"), col("embedding").as("va"))
+      .join(members.select(col("arm"), col("bkt"), col("vec_id").as("nbr_id"),
+                           col("embedding").as("vb")), Seq("arm", "bkt"))
+      .select(col("vec_id"), col("nbr_id"),
+              fround(cosine(col("va"), col("vb")), 4).as("cos"))
     val wK = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nbr_id"))
     def topM(edges: DataFrame): DataFrame = edges
+      .repartition(col("vec_id"))
       .groupBy("vec_id", "nbr_id").agg(max(col("cos")).as("cos"))
       .withColumn("rnk", row_number().over(wK))
       .where(col("rnk") <= GraphM)
       .select("vec_id", "nbr_id", "cos")
-    val seedTop = topM(armCand("nnd:").unionByName(armCand("nnd2:")))
-      .localCheckpoint()
+    val seedTop = topM(armCand).localCheckpoint()
     val und = gc
       .unionByName(gc.select(col("nbr_id").as("vec_id"),
                              col("vec_id").as("nbr_id"), col("cos")))
+      .repartition(col("vec_id"))
       .groupBy("vec_id", "nbr_id").agg(max(col("cos")).as("cos"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nbr_id"))))
@@ -381,7 +401,9 @@ object Similarity {
       .select(col("vec_id").as("hub"), col("nbr_id"))
     val expand = seedTop.select(col("vec_id"), col("nbr_id").as("hub"))
       .join(und, Seq("hub"))
-      .select("vec_id", "nbr_id").distinct()
+      .select("vec_id", "nbr_id")
+      .repartition(col("vec_id"))
+      .distinct()
     val expandScored = expand
       .join(vsel.select(col("vec_id"), col("embedding").as("va")), Seq("vec_id"))
       .join(vsel.select(col("vec_id").as("nbr_id"), col("embedding").as("vb")),
@@ -517,34 +539,56 @@ object Similarity {
                       earlyExit: Boolean = true,
                       tombstoned: Option[Column] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val q = e.where(col("vec_id") === queryVecId).select(col("embedding").as("qv"))
+    val sp = e.sparkSession
+    // r21 (guide §1.2 step 1 — fewer jobs, not faster tasks): the
+    // beam is ≤ GraphBeam rows BY CONSTRUCTION, and the fixpoint
+    // probe already collected exactly these ids every round. Holding
+    // the beam as a collected LOCAL RELATION between rounds makes
+    // each round ONE job (the old shape paid two: the localCheckpoint
+    // materialization plus the id probe) and turns the per-round
+    // beam/query-vector re-scans into literals. Values are identical
+    // — doubles round-trip exactly through collect/createDataFrame.
+    def localDf(rows: Array[org.apache.spark.sql.Row],
+                schema: org.apache.spark.sql.types.StructType): DataFrame =
+      sp.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    val q0 = e.where(col("vec_id") === queryVecId).select(col("embedding").as("qv"))
+    val q = localDf(q0.collect(), q0.schema)
+    // the id set is ≤ beam·degree rows at ANY corpus size — broadcast
+    // it explicitly so the corpus side is never shuffled by the join
+    // (r21; without the hint the planner could fall back to a
+    // sort-merge join that exchanges the corpus every round)
     def scored(ids: DataFrame): DataFrame =
-      e.join(ids, Seq("vec_id")).crossJoin(broadcast(q))
+      e.join(broadcast(ids), Seq("vec_id")).crossJoin(broadcast(q))
         .select(col("vec_id"),
                 fround(cosine(col("embedding"), col("qv")), 4).as("cos"))
     val entries = e.groupBy("label").agg(min(col("vec_id")).as("vec_id"))
       .select("vec_id")
-    var beam = scored(entries)
+    val beam0 = scored(entries)
       .orderBy(col("cos").desc, col("vec_id")).limit(GraphBeam)
-      .localCheckpoint()
+    val beamSchema = beam0.schema
+    var beamRows = beam0.collect()
     // FIXPOINT EARLY-EXIT: once a round leaves the beam's id set
     // unchanged, every further round is the identity (the frontier and
     // scores are pure functions of the beam) — stopping early returns
     // EXACTLY what the oracle's fixed GraphRounds unroll returns, for
-    // fewer jobs. The membership probe collects ≤ GraphBeam ids.
-    var prevIds: Set[Long] =
-      beam.select("vec_id").collect().map(_.getLong(0)).toSet
+    // fewer jobs.
+    var prevIds: Set[Long] = beamRows.map(_.getLong(0)).toSet
     var round = 0
     var converged = false
     while (round < GraphRounds && !converged) {
+      val beam = localDf(beamRows, beamSchema)
+      // no distinct on the frontier (r21): duplicate proposals carry
+      // one pinned cosine each, and the groupBy(vec_id).max below is
+      // already the dedup — the old distinct was one more exchange
+      // per round for nothing (frontier stays ≤ beam·degree rows)
       val frontier = graph
         .join(broadcast(beam.select("vec_id")), Seq("vec_id"))
-        .select(col("nbr_id").as("vec_id")).distinct()
-      beam = scored(frontier).unionByName(beam)
+        .select(col("nbr_id").as("vec_id"))
+      beamRows = scored(frontier).unionByName(beam)
         .groupBy("vec_id").agg(max(col("cos")).as("cos"))
         .orderBy(col("cos").desc, col("vec_id")).limit(GraphBeam)
-        .localCheckpoint()
-      val ids = beam.select("vec_id").collect().map(_.getLong(0)).toSet
+        .collect()
+      val ids = beamRows.map(_.getLong(0)).toSet
       converged = earlyExit && ids == prevIds
       prevIds = ids
       round += 1
@@ -554,8 +598,9 @@ object Similarity {
     // (the beam routes through them — removing them from the graph
     // would orphan their neighborhoods until compaction) but are
     // FILTERED from the served results here, at the bounded cut
-    beam.where(col("vec_id") =!= queryVecId &&
-               !tombstoned.getOrElse(lit(false)))
+    localDf(beamRows, beamSchema)
+      .where(col("vec_id") =!= queryVecId &&
+             !tombstoned.getOrElse(lit(false)))
       .withColumn("rnk",
         big(row_number().over(Window.orderBy(col("cos").desc, col("vec_id")))))
       .where(col("rnk") <= k)
@@ -580,10 +625,22 @@ object Similarity {
     * oracle replays all lanes at once with q_id-partitioned windows. */
   def graphBeamBatch(e: DataFrame, graph: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val qs = e.where(col("vec_id") < GraphBatchQueries)
+    val sp = e.sparkSession
+    // r21: same local-relation beam as graphBeamSearch — all lanes'
+    // beams are ≤ queries·GraphBeam rows by construction, and the
+    // fixpoint probe already collected them every round. One job per
+    // round instead of two; the query-vector batch collects once
+    // instead of re-scanning the corpus parquet every round.
+    def localDf(rows: Array[org.apache.spark.sql.Row],
+                schema: org.apache.spark.sql.types.StructType): DataFrame =
+      sp.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    val qs0 = e.where(col("vec_id") < GraphBatchQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val qs = localDf(qs0.collect(), qs0.schema)
+    // bounded id set broadcast against the corpus (see graphBeamSearch)
     def scored(ids: DataFrame): DataFrame =
-      ids.join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      e.select(col("vec_id"), col("embedding"))
+        .join(broadcast(ids), Seq("vec_id"))
         .join(broadcast(qs), Seq("q_id"))
         .select(col("q_id"), col("vec_id"),
                 fround(cosine(col("embedding"), col("qv")), 4).as("cos"))
@@ -593,29 +650,32 @@ object Similarity {
     def prune(sc: DataFrame): DataFrame = sc
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= GraphBeam).drop("rn")
-    var beam = prune(scored(qs.select("q_id").crossJoin(entries)))
-      .localCheckpoint()
-    // fixpoint early-exit across ALL lanes (see graphBeamSearch): the
-    // probe collects ≤ queries·beam (q_id, vec_id) pairs
-    var prevIds: Set[(Long, Long)] = beam.select("q_id", "vec_id")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val beam0 = prune(scored(qs.select("q_id").crossJoin(entries)))
+    val beamSchema = beam0.schema
+    var beamRows = beam0.collect()
+    // fixpoint early-exit across ALL lanes (see graphBeamSearch)
+    var prevIds: Set[(Long, Long)] = beamRows
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
     var round = 0
     var converged = false
     while (round < GraphRounds && !converged) {
-      val frontier = beam.select("q_id", "vec_id")
-        .join(graph, Seq("vec_id"))
-        .select(col("q_id"), col("nbr_id").as("vec_id")).distinct()
-      beam = prune(
+      val beam = localDf(beamRows, beamSchema)
+      // no distinct (r21): the groupBy(q_id, vec_id).max below is the
+      // dedup — see graphBeamSearch
+      val frontier = graph
+        .join(broadcast(beam.select("q_id", "vec_id")), Seq("vec_id"))
+        .select(col("q_id"), col("nbr_id").as("vec_id"))
+      beamRows = prune(
         scored(frontier).unionByName(beam)
           .groupBy("q_id", "vec_id").agg(max(col("cos")).as("cos")))
-        .localCheckpoint()
-      val ids = beam.select("q_id", "vec_id")
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        .collect()
+      val ids = beamRows.map(r => (r.getLong(0), r.getLong(1))).toSet
       converged = ids == prevIds
       prevIds = ids
       round += 1
     }
-    beam.where(col("vec_id") =!= col("q_id"))
+    localDf(beamRows, beamSchema)
+      .where(col("vec_id") =!= col("q_id"))
       .withColumn("rnk", big(row_number().over(w)))
       .where(col("rnk") <= k)
       .select("q_id", "rnk", "vec_id", "cos")

@@ -534,8 +534,15 @@ object TextOps {
           .otherwise(array().cast("array<string>")))
           .as("dg"))
       .where(col("dg").isNotNull)
-    val first = wins.groupBy("dg").agg(min(col("doc_id")).as("first_doc"))
-    wins.join(first, Seq("dg"))
+    // r21 (guide §2.4): first-occurrence via a whole-partition window
+    // min over dg instead of aggregate + join-back — the old shape
+    // re-evaluated the corpus tokenize+explode for BOTH join sides
+    // and paid a second exchange; this one explodes once, shuffles by
+    // dg once, and min(doc_id) OVER (PARTITION BY dg) is value-
+    // identical to the joined groupBy-min.
+    wins
+      .withColumn("first_doc",
+        min(col("doc_id")).over(Window.partitionBy("dg")))
       .groupBy("doc_id", "lang")
       .agg(big(count(lit(1))).as("n_grams"),
            big(sum(when(col("first_doc") === col("doc_id"), 1).otherwise(0))).as("n_novel"))

@@ -42,16 +42,26 @@ class MarketBasketSpec extends SparkSpec {
     assert(r.getDouble(5) == 1.666667) // 2·5/(3·2)
   }
 
-  test("query construction launches no Spark job (n_orders rides a " +
-       "broadcast crossJoin, not a driver-side count)") {
+  test("query construction runs ONLY the one basket-list " +
+       "materialization (n_orders still rides a broadcast crossJoin, " +
+       "not a driver-side count)") {
+    // r21: marketBasket localCheckpoints the deduped basket list at
+    // construction (it is consumed four times downstream — see the
+    // operator comment), which legitimately runs the ONE distinct
+    // pass as construction-time job(s). The original r17 contract —
+    // no driver-side .count() serializing plan build behind an EXTRA
+    // full scan — still holds: the job budget here is the bounded
+    // AQE stage count of a single distinct+checkpoint, and it does
+    // not grow with the number of downstream consumers.
     val tracker = spark.sparkContext.statusTracker
     val rows = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"))
       .toDF("ok", "item")
     val before = tracker.getJobIdsForGroup(null).length
-    val df = Analytics.marketBasket(rows) // plan build only — no action
+    val df = Analytics.marketBasket(rows) // plan build + ONE checkpoint
     val after = tracker.getJobIdsForGroup(null).length
-    assert(after == before,
-      s"marketBasket construction ran ${after - before} Spark job(s)")
+    assert(after - before <= 3,
+      s"marketBasket construction ran ${after - before} Spark job(s) — " +
+      "more than the single distinct+localCheckpoint materialization")
     assert(df.count() == 1L) // and the plan still executes correctly
   }
 

@@ -1208,38 +1208,41 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("sim_ann_graph_nnd: the final plan is a bounded rank over the " +
-       "checkpointed beam — no build joins, no corpus exchange") {
+       "LOCAL beam — no build joins, no corpus exchange") {
     val p = plan("sim_ann_graph_nnd")
-    // the NN-descent build and every beam round materialize behind
-    // localCheckpoints — the returned plan must be ONLY the ≤ beam-row
-    // rank window over the last checkpoint scan; any join or hash
-    // exchange here would mean build or search state leaked into the
-    // measured plan
-    assert(p.contains("Scan ExistingRDD"), p.take(4000))
+    // the NN-descent build materializes behind localCheckpoints and
+    // the beam (≤ GraphBeam rows by construction) is held as a
+    // collected local relation between rounds (r21) — the returned
+    // plan must be ONLY the ≤ beam-row rank window over that local
+    // relation; any join, hash exchange, or distributed scan here
+    // would mean build or search state leaked into the measured plan
+    assert(p.contains("LocalTableScan"), p.take(4000))
     assert(p.contains("TakeOrderedAndProject"), p.take(4000))
     assert(!p.contains("Join"), p.take(4000))
     assert(!p.contains("hashpartitioning"), p.take(4000))
+    assert(!p.contains("Scan parquet"), p.take(4000))
   }
 
   test("sim_ann_graph_nnd_append: the measured plan is the same bounded " +
-       "rank over checkpoint scans — build AND patch stay index state") {
+       "rank over the local beam — build AND patch stay index state") {
     val p = plan("sim_ann_graph_nnd_append")
-    assert(p.contains("Scan ExistingRDD"), p.take(4000))
+    assert(p.contains("LocalTableScan"), p.take(4000))
     assert(p.contains("TakeOrderedAndProject"), p.take(4000))
     assert(!p.contains("Join"), p.take(4000))
     assert(!p.contains("hashpartitioning"), p.take(4000))
+    assert(!p.contains("Scan parquet"), p.take(4000))
   }
 
   test("sim_ann_graph_nnd_compact: the measured plan joins two " +
-       "beam-scale checkpoint windows — no corpus scan anywhere") {
+       "beam-scale local windows — no corpus scan anywhere") {
     // both builds (compacted live-set graph, full-corpus lazy graph)
-    // and both beams live behind localCheckpoints; the measured plan
-    // is the agrees_lazy join of two <= 10-row rank windows. The one
-    // thing that must never appear is a parquet scan: embeddings
-    // re-entering here would mean an index build leaked into the
-    // measured query
+    // live behind localCheckpoints and both beams are local relations
+    // (r21); the measured plan is the agrees_lazy join of two
+    // <= 10-row rank windows. The one thing that must never appear is
+    // a parquet scan: embeddings re-entering here would mean an index
+    // build leaked into the measured query
     val p = plan("sim_ann_graph_nnd_compact")
-    assert(p.contains("Scan ExistingRDD"), p.take(4000))
+    assert(p.contains("LocalTableScan"), p.take(4000))
     assert(!p.contains("Scan parquet"), p.take(4000))
   }
 
