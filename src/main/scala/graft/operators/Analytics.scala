@@ -80,7 +80,20 @@ object Analytics {
     // upstream scan+distinct. MEMORY_AND_DISK, so an at-scale list
     // spills rather than OOMs; recompute-vs-reuse flips in favor of
     // reuse at exactly 2 consumers.
-    val li = rows.distinct().localCheckpoint()
+    // r21 second wave (guide §2.4): the materialized list is
+    // PARTITIONED BY the basket key before the distinct — hash(ok)
+    // satisfies the (ok, item) distinct's clustering (subset rule),
+    // and it is exactly the layout the pair self-join below wants, so
+    // the basket list is exchanged ONCE for distinct + both join
+    // sides (the old shape paid a (ok, item) distinct exchange plus
+    // two fresh ok exchanges into the self-join). persist, NOT
+    // localCheckpoint: under AQE a checkpoint's LogicalRDD reports
+    // UnknownPartitioning and every consumer re-exchanges (CkptProbe,
+    // r21) — the cached plan keeps its REPARTITION_BY_COL layout.
+    // Bench/TimeQ clearCache() per query, so nothing leaks across
+    // measurements.
+    val li = rows.repartition(col("ok")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the n_orders SCALAR rides a broadcast crossJoin (the events_rfm
     // convention) instead of a driver-side .count() action at
     // query-construction time — the old extra job serialized plan
@@ -94,9 +107,15 @@ object Analytics {
     // dropping it BEFORE the self-join bounds the a⋈b fan-out (a
     // long-tail item set at 100x otherwise rides the join for
     // nothing). MarketBasketSpec pins the losslessness.
+    // The item-count table is ITEM-CATALOG-scale (one row per distinct
+    // item, not per basket line), so the prefilter and both count
+    // join-backs broadcast (r21) — a shuffled join here would
+    // re-exchange the basket list by item and destroy the ok layout.
+    // At catalogs past broadcast scale, drop the hints and these
+    // revert to item-keyed shuffled joins of catalog-sized tables.
     val frequent = item.where(col("np") >= 2)
       .select(col("p").as("item"))
-    val liF = li.join(frequent, Seq("item"))
+    val liF = li.join(broadcast(frequent), Seq("item"))
       .select(col("ok"), col("item"))
     val pairs = liF.select(col("ok"), col("item").as("a"))
       .join(liF.select(col("ok"), col("item").as("b")), Seq("ok"))
@@ -104,8 +123,8 @@ object Analytics {
       .groupBy("a", "b").agg(count(lit(1)).as("nab"))
       .where(col("nab") >= 2)
     pairs
-      .join(item.select(col("p").as("a"), col("np").as("na")), Seq("a"))
-      .join(item.select(col("p").as("b"), col("np").as("nb")), Seq("b"))
+      .join(broadcast(item.select(col("p").as("a"), col("np").as("na"))), Seq("a"))
+      .join(broadcast(item.select(col("p").as("b"), col("np").as("nb"))), Seq("b"))
       .crossJoin(broadcast(nOrd))
       .select(col("a"), col("b"),
         big(col("nab")).as("n_both"),
@@ -462,12 +481,19 @@ object Analytics {
     * consumer and the plan grows 2^rounds). */
   def labelPropagate(bidir: DataFrame, rounds: Int): DataFrame = {
     // r21 (guide §2.4): the edge list is LOOP-INVARIANT — partition it
-    // by the per-round join key BEFORE the checkpoint, so every
-    // round's edge side enters the join exchange-free (the checkpoint
-    // preserves the partitioning; only the label table, which changes
-    // each round, pays a shuffle). The old shape re-exchanged the
-    // static edges every round.
-    val edges = bidir.repartition(col("v")).localCheckpoint()
+    // by the per-round join key BEFORE materializing, so every
+    // round's edge side enters the join exchange-free (only the label
+    // table, which changes each round, pays a shuffle). Second wave:
+    // persist, NOT localCheckpoint — under AQE a checkpoint's
+    // LogicalRDD reports UnknownPartitioning and every round
+    // re-exchanged the static edges anyway (CkptProbe, r21); the
+    // cached plan keeps its REPARTITION_BY_COL layout. The lineage
+    // here is one short co-occurrence plan, so the checkpoint's
+    // lineage truncation isn't needed on the invariant side (the
+    // per-round LABEL checkpoints below stay — they are what stops
+    // the 2^rounds plan growth).
+    val edges = bidir.repartition(col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("u").as("node")).distinct()
       .withColumn("lab", col("node"))
       .localCheckpoint()

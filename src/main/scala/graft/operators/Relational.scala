@@ -397,6 +397,13 @@ object Relational {
       val bounds = part(s, dir).agg(
         min(col("p_partkey")).as("minp"),
         (max(col("p_partkey")) - min(col("p_partkey")) + 1).as("span"))
+      // r21 NOTE (probed, left alone): repartitioning both anti-join
+      // inputs by the customer key alone does NOT remove the two-key
+      // join exchanges — requireAllClusterKeysForCoPartition (default
+      // true) rejects subset-key co-partitioning for joins — and the
+      // original shape is already minimal: the distinct's
+      // (pk, l_partkey) exchange is EXACTLY the join's required
+      // clustering and is reused.
       val pos = lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
         .join(orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
               col("l_orderkey") === col("o_orderkey"))

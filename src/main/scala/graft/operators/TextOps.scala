@@ -284,7 +284,16 @@ object TextOps {
   def winnowOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val toks = docs
       .select(col("doc_id"), split(lower(trim(col("text"))), " ").as("t"))
+    // r21 (guide §2.4): n_grams is a pure function of the token count
+    // (size(t) − k + 1 full grams, or the single degenerate whole-doc
+    // gram) — computing it as an expression at explode time drops the
+    // whole-partition COUNT window pass the old shape paid next to the
+    // ordered MIN window (one WindowExec instead of two over the
+    // exploded corpus; value identical by construction, and the oracle
+    // keeps its COUNT(*) OVER formulation of the same number).
     val grams = toks.select(col("doc_id"),
+      when(size(col("t")) >= WinnowK, (size(col("t")) - (WinnowK - 1)).cast("long"))
+        .otherwise(lit(1L)).as("n_grams"),
       posexplode(when(size(col("t")) >= WinnowK,
         expr(s"transform(sequence(0, size(t) - $WinnowK), " +
              s"i -> concat_ws(' ', slice(t, i + 1, $WinnowK)))"))
@@ -292,11 +301,9 @@ object TextOps {
     val keyed = grams.withColumn("k",
       concat(md5(col("gram").cast("binary")),
              lpad((lit(WinnowPosMax) - col("pos")).cast("string"), WinnowPosPad, "0")))
-    val whole = Window.partitionBy("doc_id")
     val frame = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(Window.currentRow, WinnowW - 1)
     keyed
-      .withColumn("n_grams", count(lit(1)).over(whole))
       .withColumn("wmin", min(col("k")).over(frame))
       // window starts only: every full w-window, or the single
       // degenerate whole-doc window when the doc has < w grams
@@ -331,7 +338,16 @@ object TextOps {
     * quadruple the op (same discipline as blockedJaccardPairs). */
   def winnowPairs(docs: org.apache.spark.sql.DataFrame,
                   minShared: Int, maxDf: Int): org.apache.spark.sql.DataFrame = {
-    val fp = winnowFps(docs).localCheckpoint()
+    // r21 second wave: the materialized fp projection is PARTITIONED
+    // BY the posting key — the df aggregate rides it (all-keys), the
+    // broadcast anti-join preserves it, and the posting self-join
+    // below is then co-partitioned on fp and adds NO exchange (the
+    // old unpartitioned checkpoint paid fp exchanges on both join
+    // sides plus the df aggregate). persist, not localCheckpoint:
+    // only a cached plan keeps its REPARTITION_BY_COL layout under
+    // AQE (CkptProbe, r21).
+    val fp = winnowFps(docs).repartition(col("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val over = fp.groupBy("fp").agg(count(lit(1)).as("df"))
       .where(col("df") > maxDf).select("fp")
     val kept = fp.join(broadcast(over), Seq("fp"), "left_anti")
@@ -344,6 +360,27 @@ object TextOps {
       .join(sizes.select(col("doc_id").as("a"), col("n_fp").as("n_fp_a")), Seq("a"))
       .join(sizes.select(col("doc_id").as("b"), col("n_fp").as("n_fp_b")), Seq("b"))
       .select("a", "b", "shared_fp", "n_fp_a", "n_fp_b")
+  }
+
+  /** [[winnowPairs]] at the declared (MinWinnowShared, MaxWinnowFpDf)
+    * knobs through the per-(application, fixture) memo — r21, the
+    * pairsMemo/lpaLabelsCached convention: text_winnow_pairs and
+    * text_winnow_clusters read the SAME pair list, and a production
+    * pipeline computes it once and clusters the checkpoint (two
+    * queries, one winnow+posting-index pass; family-sum attribution).
+    * The retained frame is the qualifying PAIR list — sparse-graph
+    * scale, a few KB — keyed by applicationId + the documents
+    * fixture's content fingerprint (regenerated fixtures and restarted
+    * contexts rebuild instead of serving stale checkpoints). */
+  private val winnowPairsMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  def winnowPairsCached(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val sig = graft.Tables.fsSig(s, s"$dir/documents.parquet")
+    winnowPairsMemo.getOrElseUpdate(
+      (s.sparkContext.applicationId, s"winnow:$dir|$sig"),
+      winnowPairs(documents(s, dir), MinWinnowShared, MaxWinnowFpDf)
+        .localCheckpoint())
   }
 
   /** Oracle mirror of [[winnowPairs]] — the full winnow-selection +
@@ -569,10 +606,18 @@ object TextOps {
     // both models derive from the (doc, bucket) aggregate — the gram
     // explode runs ONCE and the model inputs are already collapsed
     // (re-deriving them from `feats` would re-explode the corpus
-    // twice more; measured 5.4 s → ~3 s at sf0.1)
-    val perDoc = feats.groupBy("doc_id", "lang", "f")
+    // twice more; measured 5.4 s → ~3 s at sf0.1). r21 (guide §2.4):
+    // the aggregate rides an explicit doc_id repartition — hash(doc_id)
+    // satisfies the (doc_id, lang, f) clustering (subset rule), so the
+    // materialized table comes out doc_id-partitioned and the per-doc
+    // scoring aggregate below adds NO exchange (the model aggregates
+    // exchange their tiny bucket-keyed projections either way).
+    // persist, not localCheckpoint: only a cached plan keeps its
+    // partitioning under AQE (CkptProbe, r21).
+    val perDoc = feats.repartition(col("doc_id"))
+      .groupBy("doc_id", "lang", "f")
       .agg(count(lit(1)).as("n_df"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rawC = perDoc.groupBy("f").agg(sum(col("n_df")).as("cq"))
     val tgtC = perDoc.where(col("doc_id") % DsirTargetMod === 0)
       .groupBy("f").agg(sum(col("n_df")).as("cp"))
@@ -597,6 +642,27 @@ object TextOps {
       .withColumn("kept", big(when(col("logw") > col("cut"), 1).otherwise(0)))
       .select("doc_id", "lang", "n_grams", "logw", "kept")
       .orderBy("doc_id")
+  }
+
+  /** Per-(lang, word) corpus counts — the tokenizer-training artifact
+    * text_wordpiece and text_unigram both start from (a real pipeline
+    * materializes the word-count table once and trains every
+    * tokenizer off it), through the per-(application, fixture) memo —
+    * r21, the pairsMemo convention (one tokenize+aggregate per
+    * session, family-sum attribution). Retained frame: one row per
+    * (lang, word) — VOCABULARY-scale, never corpus-scale. */
+  private val wordCountsMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  def wordCountsByLangCached(s: org.apache.spark.sql.SparkSession,
+                             dir: String): DataFrame = {
+    val sig = graft.Tables.fsSig(s, s"$dir/documents.parquet")
+    wordCountsMemo.getOrElseUpdate(
+      (s.sparkContext.applicationId, s"wcl:$dir|$sig"),
+      documents(s, dir)
+        .select(col("lang"), explode(split(lower(trim(col("text"))), " ")).as("w"))
+        .groupBy("lang", "w").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint())
   }
 
   val queries: Map[String, Q] = Map(
@@ -1169,7 +1235,7 @@ object TextOps {
     // any corpus size; WinnowingSpec proves the k+w-1 shared-run
     // guarantee end-to-end across planted documents.
     "text_winnow_pairs" -> ((s, dir) =>
-      winnowPairs(documents(s, dir), MinWinnowShared, MaxWinnowFpDf)
+      winnowPairsCached(s, dir)
         .orderBy("a", "b")),
 
     // WINNOW OVERLAP CLUSTERS (r11): the pair graph closed into
@@ -1248,9 +1314,12 @@ object TextOps {
       Aggregations.groupOls(top, "lang", "lx", "ly")
     }),
 
+    // r21: the pair graph comes through winnowPairsCached — shared
+    // artifact state with text_winnow_pairs (pairsMemo convention),
+    // identical pair set and results.
     "text_winnow_clusters" -> ((s, dir) =>
       graft.operators.Dedup.connectedComponents(
-          winnowPairs(documents(s, dir), MinWinnowShared, MaxWinnowFpDf)
+          winnowPairsCached(s, dir)
             .select("a", "b"))
         .select(col("node").as("doc_id"), col("cluster"))
         .orderBy("doc_id")),
@@ -1403,13 +1472,22 @@ object TextOps {
           log((coalesce(col("cnt"), lit(0L)) + 1L).cast("double") /
               (col("tot") + col("v")).cast("double"))
             .cast("decimal(24,6)").as("lt"))
-      val scores = terms.groupBy("doc_id", "lang_true", "lang")
+      // r21 (guide §2.4): the whole score→argmax chain rides ONE
+      // explicit doc_id exchange — hash(doc_id) satisfies the
+      // (doc_id, lang_true, lang) score aggregate (subset rule), the
+      // per-doc max becomes a window over the same partitioning
+      // (value-identical to the old groupBy(doc_id)+join-back, which
+      // paid two more exchanges to re-cluster scores and best), and
+      // the argmin-lang aggregate rides too. Only the bounded
+      // confusion-matrix aggregate and the final ORDER BY exchange.
+      val scores = terms.repartition(col("doc_id"))
+        .groupBy("doc_id", "lang_true", "lang")
         .agg(sum(col("lt")).as("ssum"))
         .join(broadcast(langInfo.select("lang", "lpri")), Seq("lang"))
         .select(col("doc_id"), col("lang_true"), col("lang"),
                 (col("ssum") + col("lpri")).as("score"))
-      val best = scores.groupBy("doc_id").agg(max(col("score")).as("bs"))
-      scores.join(best, Seq("doc_id"))
+      scores
+        .withColumn("bs", max(col("score")).over(Window.partitionBy("doc_id")))
         .where(col("score") === col("bs"))
         .groupBy("doc_id", "lang_true").agg(min(col("lang")).as("lang_pred"))
         .groupBy("lang_true", "lang_pred")
@@ -1574,9 +1652,7 @@ object TextOps {
     // md5-prefix seg signature pins EXACT segmentations through the
     // hash compare, not just piece counts.
     "text_wordpiece" -> ((s, dir) => {
-      val wcl = documents(s, dir)
-        .select(col("lang"), explode(split(lower(trim(col("text"))), " ")).as("w"))
-        .groupBy("lang", "w").agg(count(lit(1)).as("cnt"))
+      val wcl = wordCountsByLangCached(s, dir)
       val wc = wcl.groupBy("w").agg(sum(col("cnt")).as("cnt"))
       def gramsK(k: Int) = wc.where(length(col("w")) >= k)
         .select(col("cnt"), explode(transform(
@@ -1640,9 +1716,7 @@ object TextOps {
     // DISTINCT word and joins back counts — nothing per-token ever
     // shuffles.
     "text_unigram" -> ((s, dir) => {
-      val wcl = documents(s, dir)
-        .select(col("lang"), explode(split(lower(trim(col("text"))), " ")).as("w"))
-        .groupBy("lang", "w").agg(count(lit(1)).as("cnt"))
+      val wcl = wordCountsByLangCached(s, dir)
       val wc = wcl.groupBy("w").agg(sum(col("cnt")).as("cnt"))
       def gramsK(k: Int) = wc.where(length(col("w")) >= k)
         .select(col("cnt"), explode(transform(

@@ -438,7 +438,13 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("text_winnow_pairs is posting-indexed: equi-join on fp, over-cap drop broadcast") {
-    val p = plan("text_winnow_pairs")
+    // r21: the query reads the session memo's checkpoint (shared with
+    // text_winnow_clusters), so the pin audits the BUILDER the memo
+    // evaluates once per session — the plan a production run executes
+    val p = operators.TextOps.winnowPairs(
+      graft.Tables.documents(spark, sf001),
+      operators.TextOps.MinWinnowShared, operators.TextOps.MaxWinnowFpDf)
+      .queryExecution.executedPlan.toString
     // the pair join must be an equi-join on the fingerprint (posting
     // buckets, never all-pairs), and the over-cap boilerplate list —
     // small by construction — must drop via a broadcast anti-join
