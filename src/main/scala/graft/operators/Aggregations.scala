@@ -340,8 +340,13 @@ object Aggregations {
     // entity-level table (not raw events) is itself the scale story:
     // the replicate explosion is R × #users, never R × corpus.
     "agg_bootstrap_ci" -> ((s, dir) => {
+      // r21 (guide §5 cache-when-reused): the per-user metric table
+      // feeds BOTH the replicate explode and the full-sample mean —
+      // persist pays the events scan + user aggregate once instead of
+      // twice (entity-scale retention, the bootstrap's own premise)
       val pu = events(s, dir).groupBy("user_id")
         .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val rep = pu.select(col("user_id"), col("cents"),
         explode(expr(s"sequence(0, ${BootstrapReps - 1})")).as("r"))
       val u = (conv(substring(md5(concat(lit("boot:"),

@@ -114,7 +114,13 @@ object Dedup {
     * fold over the SORTED dup starts makes it O(n_tok + n_dup) when
     * per-doc dup density warrants it. Returns one row per doc. */
   def substringDedupDocs(docs: DataFrame): DataFrame =
-    substringCovered(docs)
+    substringDedupFromCovered(substringCovered(docs))
+
+  /** The rollup half of [[substringDedupDocs]] over an already-built
+    * coverage frame (r21 — so the memoized coverage serves both
+    * substring queries). */
+  def substringDedupFromCovered(covered: DataFrame): DataFrame =
+    covered
       .withColumn("n_covered", expr("cast(size(filter(cov, x -> x)) as long)"))
       // a kept span opens at every uncovered position with no
       // uncovered predecessor — counting openings IS the merge
@@ -169,6 +175,26 @@ object Dedup {
         s"transform(sequence(0, n_toks - 1), p -> exists(dup_starts, s -> s <= p and p <= s + ${k - 1}))"))
   }
 
+  /** [[substringCovered]] on the fixture through the per-(application,
+    * fixture) memo — r21, the pairsMemo convention: dedup_substring
+    * (the rollup) and dedup_substring_spans (the span set) derive from
+    * the SAME coverage frame, and a production pipeline materializes
+    * coverage once and emits both reports (two queries, one
+    * tokenize + stride-1 digest-window pass). The retained frame holds
+    * the tokenized docs + coverage bitmap — corpus-row-scale, which is
+    * exactly what the real pipeline persists between the two reports;
+    * MEMORY_AND_DISK via localCheckpoint spills rather than OOMs. */
+  private val substringCoveredMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  def substringCoveredCached(s: org.apache.spark.sql.SparkSession,
+                             dir: String): DataFrame = {
+    val sig = graft.Tables.fsSig(s, s"$dir/documents.parquet")
+    substringCoveredMemo.getOrElseUpdate(
+      (s.sparkContext.applicationId, s"sscov:$dir|$sig"),
+      substringCovered(graft.Tables.documents(s, dir)).localCheckpoint())
+  }
+
   /** VARIABLE-LENGTH duplicated-span EXTRACTION (VERDICT r16 Missing
     * #2's oracle-checked span set): each maximal run of covered token
     * positions becomes one row (doc_id, span_idx, start_tok, span_len,
@@ -181,7 +207,12 @@ object Dedup {
     * the merge is positional algebra, no extra shuffle beyond the
     * digest window the coverage already paid. */
   def substringDupSpans(docs: DataFrame): DataFrame =
-    substringCovered(docs)
+    substringSpansFromCovered(substringCovered(docs))
+
+  /** The span-extraction half of [[substringDupSpans]] over an
+    * already-built coverage frame (r21). */
+  def substringSpansFromCovered(covered: DataFrame): DataFrame =
+    covered
       .withColumn("starts", expr(
         "filter(sequence(0, n_toks - 1), p -> cov[p] and (p = 0 or not cov[p - 1]))"))
       .withColumn("ends", expr(
@@ -299,6 +330,29 @@ object Dedup {
                    graft.functions.HashedShingles(col("toks"), 3).as("sh")) ++
                extra.map(col)): _*)
 
+  /** The (doc_id, lang, source, sh) hashed-shingle projection of the
+    * documents fixture through the per-(application, fixture) memo —
+    * r21, the pairsMemo convention: SIX queries (the pair-family
+    * builder, the minhash recall report, source sketches, containment,
+    * ngram-Jaccard, allpairs-prefix) start from this identical
+    * projection, and a production dedup pipeline materializes the
+    * shingled corpus exactly once and runs the whole family off it
+    * (the localCheckpoint comments inside the builders have said so
+    * since r3 — this makes it true ACROSS the family, not just within
+    * one query). Corpus-row-scale retention (one row per doc, compact
+    * long arrays), MEMORY_AND_DISK. */
+  private val shingledMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  def shingledCorpusCached(s: org.apache.spark.sql.SparkSession,
+                           dir: String): DataFrame = {
+    val sig = graft.Tables.fsSig(s, s"$dir/documents.parquet")
+    shingledMemo.getOrElseUpdate(
+      (s.sparkContext.applicationId, s"shingled:$dir|$sig"),
+      withHashedShingles(graft.Tables.documents(s, dir), "lang", "source")
+        .localCheckpoint())
+  }
+
   /** Exact Jaccard over two SORTED hashed-shingle arrays: one merge
     * scan for |A∩B| ([[graft.functions.SortedIntersectSize]]),
     * |A∪B| = |A|+|B|−|A∩B| (both sides duplicate-free). Same value,
@@ -318,8 +372,14 @@ object Dedup {
     graft.functions.MinHashSig(transform(shingleCol, s => xxhash64(s)), NumPerms)
 
   /** Candidate near-dup pairs via LSH banding over the signatures. */
-  def minhashCandidates(docs: DataFrame): DataFrame = {
-    val sigs = withHashedShingles(docs)
+  def minhashCandidates(docs: DataFrame): DataFrame =
+    minhashCandidatesOf(withHashedShingles(docs))
+
+  /** [[minhashCandidates]] over an already-shingled (doc_id, sh, …)
+    * projection (r21 — so the memoized shingled corpus serves the
+    * banding family too; extra columns are dropped by the select). */
+  def minhashCandidatesOf(d: DataFrame): DataFrame = {
+    val sigs = d
       .withColumn("sig", graft.functions.MinHashSig(col("sh"), NumPerms))
     // band key = hash of the band's signature slice; explode to (band, key)
     val banded = sigs.select(
@@ -349,10 +409,16 @@ object Dedup {
     * sim_ann_lsh); NonOracleOpsSpec pins the recall lattice
     * (recall@0.7 ≥ recall@0.5), hit-count bounds and the ratio
     * arithmetic. */
-  def minhashRecallReport(docs: DataFrame): DataFrame = {
-    val d = withHashedShingles(docs, "lang", "source").localCheckpoint()
+  def minhashRecallReport(docs: DataFrame): DataFrame =
+    minhashRecallReportOf(
+      withHashedShingles(docs, "lang", "source").localCheckpoint())
+
+  /** [[minhashRecallReport]] over an already-shingled projection (r21
+    * — truth pairs AND banding candidates both derive from the ONE
+    * materialized shingled corpus). */
+  def minhashRecallReportOf(d: DataFrame): DataFrame = {
     val truth = shinglePairStats(d).withColumn("j", jaccardFromStats)
-    val cand = minhashCandidates(docs)
+    val cand = minhashCandidatesOf(d)
       .select(col("a"), col("b"), lit(1L).as("hit"))
     val nc = cand.agg(big(count(lit(1))).as("n_cand"))
     def at(tau: Double) =
@@ -385,12 +451,16 @@ object Dedup {
     val sig = graft.Tables.fsSig(s, s"$dir/documents.parquet")
     minhashReportMemo.getOrElseUpdate(
       (s.sparkContext.applicationId, s"mhrecall:$dir|$sig"),
-      minhashRecallReport(graft.Tables.documents(s, dir)).localCheckpoint())
+      minhashRecallReportOf(shingledCorpusCached(s, dir)).localCheckpoint())
   }
 
   /** Candidate pairs verified with exact Jaccard over shingle sets. */
   def minhashPairs(docs: DataFrame, jaccardMin: Double): DataFrame =
-    minhashCandidates(docs)
+    minhashPairsOf(withHashedShingles(docs), jaccardMin)
+
+  /** [[minhashPairs]] over an already-shingled projection (r21). */
+  def minhashPairsOf(d: DataFrame, jaccardMin: Double): DataFrame =
+    minhashCandidatesOf(d)
       .withColumn("jaccard", jaccardSorted(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= jaccardMin)
       .select(col("a"), col("b"), r4(col("jaccard")).as("jaccard"))
@@ -562,28 +632,34 @@ object Dedup {
   private val pairsMemo =
     scala.collection.concurrent.TrieMap.empty[(String, String, Double), DataFrame]
 
-  /** [[blockedJaccardPairs]] through the context-scoped checkpoint memo. */
+  /** [[blockedJaccardPairs]] through the context-scoped checkpoint
+    * memo (r21: built off the memoized shingled corpus, so the
+    * tokenize+shingle pass is shared with the whole dedup family). */
   def blockedJaccardPairsCached(docs: DataFrame, dir: String, minJ: Double): DataFrame = {
     val spark = docs.sparkSession
     val sig = graft.Tables.fsSig(spark, s"$dir/documents.parquet")
     pairsMemo.getOrElseUpdate(
       (spark.sparkContext.applicationId, s"$dir|$sig", minJ),
-      blockedJaccardPairs(docs, minJ).localCheckpoint())
+      blockedJaccardPairsOf(shingledCorpusCached(spark, dir), minJ)
+        .localCheckpoint())
   }
 
   /** Exact near-dup pairs: inverted-index intersections
     * ([[shinglePairStats]]) + exact Jaccard threshold. Same result set
     * as a blocked all-pairs join (recall 1 by the shared-shingle
     * argument), near-linear candidate space. */
-  def blockedJaccardPairs(docs: DataFrame, minJ: Double): DataFrame = {
+  def blockedJaccardPairs(docs: DataFrame, minJ: Double): DataFrame =
     // postings and sizes both read the shingled projection — checkpoint
     // it so tokenize+shingle+hash runs once (at cluster scale:
     // checkpoint the shingled corpus likewise)
-    val d = withHashedShingles(docs, "lang", "source").localCheckpoint()
+    blockedJaccardPairsOf(
+      withHashedShingles(docs, "lang", "source").localCheckpoint(), minJ)
+
+  /** [[blockedJaccardPairs]] over an already-shingled projection. */
+  def blockedJaccardPairsOf(d: DataFrame, minJ: Double): DataFrame =
     shinglePairStats(d)
       .where(jaccardFromStats >= minJ)
       .select(col("a"), col("b"))
-  }
 
   /** Driver-side union-find cutoff, BYTE-BUDGETED (VERDICT r16 Wrong
     * #3): below this many edges the component solve is a local
@@ -990,7 +1066,7 @@ object Dedup {
 
     "dedup_minhash" -> ((s, dir) => {
       val docs = documents(s, dir)
-      val pairs = minhashPairs(docs, 0.5)
+      val pairs = minhashPairsOf(shingledCorpusCached(s, dir), 0.5)
       val counts = pairs.select(col("a").as("doc_id"))
         .unionByName(pairs.select(col("b").as("doc_id")))
         .groupBy("doc_id").agg(big(count(lit(1))).as("n_near_dups"))
@@ -1044,7 +1120,10 @@ object Dedup {
     // substringDedupDocs). Per-lang rollup; the kept-text md5-prefix
     // sum pins reassembly and span merging exactly.
     "dedup_substring" -> ((s, dir) =>
-      substringDedupDocs(documents(s, dir)).groupBy("lang")
+      // r21: coverage arrives through the session memo — shared
+      // artifact state with dedup_substring_spans (one tokenize +
+      // digest-window pass per session)
+      substringDedupFromCovered(substringCoveredCached(s, dir)).groupBy("lang")
         .agg(big(count(lit(1))).as("n_docs"),
              big(sum(col("n_windows"))).as("n_windows"),
              big(sum(col("n_dup_windows"))).as("n_dup_windows"),
@@ -1067,7 +1146,8 @@ object Dedup {
     // Same single digest-window shuffle as dedup_substring; the span
     // merge is row-local edge detection.
     "dedup_substring_spans" -> ((s, dir) =>
-      substringDupSpans(documents(s, dir)).orderBy("doc_id", "span_idx")),
+      substringSpansFromCovered(substringCoveredCached(s, dir))
+        .orderBy("doc_id", "span_idx")),
 
     // CONTENT-DEFINED CHUNK DEDUP — dedup_paragraph's report with
     // FastCDC-style boundaries: a chunk ends after every token whose
@@ -1300,7 +1380,7 @@ object Dedup {
     // twice. No oracle (xxhash64-specific); property-tested against
     // exact union-shingle Jaccard.
     "dedup_source_sketch" -> ((s, dir) => {
-      val sigs = withHashedShingles(documents(s, dir), "lang", "source")
+      val sigs = shingledCorpusCached(s, dir)
         .withColumn("sig", graft.functions.MinHashSig(col("sh"), NumPerms))
       // group sketch = elementwise min of member signatures, expressed
       // as 32 plain MIN aggregates (one per slot): stays a mergeable
@@ -1338,7 +1418,7 @@ object Dedup {
     // inverted-index candidates — emit each candidate both ways and
     // verify exactly. No blocked self-join anywhere (VERDICT r3 #1).
     "dedup_containment" -> ((s, dir) => {
-      val d = withHashedShingles(documents(s, dir), "lang", "source").localCheckpoint()
+      val d = shingledCorpusCached(s, dir)
       // containment is directed but the intersection is symmetric:
       // emit both directions of each undirected stats row with the
       // denominators swapped
@@ -1361,7 +1441,7 @@ object Dedup {
     // doc count. Identical results to the old blocked all-pairs join
     // at Σ C(df,2) candidate cost instead of Σ|block|² (VERDICT r3 #1).
     "dedup_ngram_jaccard" -> ((s, dir) => {
-      val d = withHashedShingles(documents(s, dir), "lang", "source").localCheckpoint()
+      val d = shingledCorpusCached(s, dir)
       val blocks = d.groupBy("lang", "source")
         .agg(count(lit(1)).as("m"))
         .where(col("m") >= 2)
@@ -1393,7 +1473,7 @@ object Dedup {
     // property test. The fixture plants one strong near-dup pair
     // (J ≈ 0.97), so the result is non-trivial at every SF.
     "dedup_allpairs_prefix" -> ((s, dir) => {
-      val d = withHashedShingles(documents(s, dir), "lang", "source").localCheckpoint()
+      val d = shingledCorpusCached(s, dir)
       val arrs = d.select(col("doc_id"), col("sh"))
       shingleCandidatePairs(d, 0.5)
         .join(arrs.select(col("doc_id").as("a"), col("sh").as("sh_a")), Seq("a"))

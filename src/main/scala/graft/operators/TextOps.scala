@@ -535,12 +535,22 @@ object TextOps {
       .where(col("bg").isNotNull)
       .select(col("doc_id"), col("lang"),
               col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    // r21 (guide §2.4, the text_bigram_lm restructure verbatim): one
+    // corpus explode instead of two, the (doc, bigram, k) aggregate
+    // and the c2/model aggregates ride ONE (w1, w2) repartition, and
+    // the scoring join is co-partitioned on exactly (w1, w2). lp is
+    // constant within a (doc, bigram) group, so dsum6 over k
+    // occurrences = k × cast(lp as decimal(24,6)) exactly and
+    // count(*) = Σk — oracle-checked ×3 SFs.
+    val bg = bi.repartition(col("w1"), col("w2"))
+      .groupBy("doc_id", "lang", "w1", "w2")
+      .agg(count(lit(1)).as("k"))
+    val c2 = bg.groupBy("w1", "w2").agg(sum(col("k")).as("c2"))
     val hist = c2.groupBy("w1")
       .agg(sum(col("c2")).as("ch"), count(lit(1)).as("nfo"))
     val cont = c2.groupBy("w2").agg(count(lit(1)).as("npre"))
     val btot = c2.agg(count(lit(1)).as("nbb"))
-    bi.join(c2, Seq("w1", "w2"))
+    bg.join(c2, Seq("w1", "w2"))
       .join(broadcast(hist), Seq("w1"))
       .join(broadcast(cont), Seq("w2"))
       .crossJoin(broadcast(btot))
@@ -548,8 +558,10 @@ object TextOps {
         (greatest(col("c2") - d, lit(0.0)) / col("ch")) +
         (d * col("nfo") / col("ch")) * (col("npre") / col("nbb"))))
       .groupBy("doc_id", "lang")
-      .agg(big(count(lit(1))).as("n_bigrams"),
-           fround(dsum6(col("lp")) / count(lit(1)), 4).as("avg_logprob"))
+      .agg(big(sum(col("k"))).as("n_bigrams"),
+           fround(sum(col("lp").cast("decimal(24,6)") *
+                      col("k").cast("decimal(10,0)")).cast("double") /
+                  sum(col("k")), 4).as("avg_logprob"))
       .orderBy("doc_id")
   }
 
@@ -771,8 +783,24 @@ object TextOps {
         .where(col("w").isNotNull)
         .groupBy("w").agg(count(lit(1)).as("c1"))
       val n = c1.agg(big(sum(col("c1"))).as("n_total"))
-      val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-      bi.join(c2, Seq("w1", "w2"))
+      // r21 (guide §2.4): the bigram stream collapses to PER-DOC TYPE
+      // COUNTS behind one (w1, w2) repartition — the old shape
+      // evaluated the corpus explode TWICE (once under the c2
+      // aggregate, once as the scoring join's left side) and then
+      // exchanged the full occurrence stream into the join. Now: one
+      // explode, the (doc, bigram, k) aggregate rides the repartition
+      // (subset rule), c2 = sum(k) rides it too, and the join is
+      // co-partitioned on exactly (w1, w2) — no further exchange
+      // until the per-doc rollup. VALUE equivalence is exact decimal
+      // algebra: lp is constant within a (doc, bigram) group, so
+      // dsum6 over k occurrences = k × cast(lp as decimal(24,6))
+      // (decimal(24,6) × decimal(10,0) = decimal(35,6), no precision
+      // adjustment), and count(*) = Σk — oracle-checked ×3 SFs.
+      val bg = bi.repartition(col("w1"), col("w2"))
+        .groupBy("doc_id", "lang", "w1", "w2")
+        .agg(count(lit(1)).as("k"))
+      val c2 = bg.groupBy("w1", "w2").agg(sum(col("k")).as("c2"))
+      bg.join(c2, Seq("w1", "w2"))
         .join(broadcast(c1.select(col("w").as("w1"), col("c1").as("cw1"))),
               Seq("w1"))
         .join(broadcast(c1.select(col("w").as("w2"), col("c1").as("cw2"))),
@@ -782,8 +810,10 @@ object TextOps {
           log(lit(BigramLmLambda) * col("c2") / col("cw1") +
               lit(1.0 - BigramLmLambda) * col("cw2") / col("n_total")))
         .groupBy("doc_id", "lang")
-        .agg(big(count(lit(1))).as("n_bigrams"),
-             fround(dsum6(col("lp")) / count(lit(1)), 4).as("avg_logprob"))
+        .agg(big(sum(col("k"))).as("n_bigrams"),
+             fround(sum(col("lp").cast("decimal(24,6)") *
+                        col("k").cast("decimal(10,0)")).cast("double") /
+                    sum(col("k")), 4).as("avg_logprob"))
         .orderBy("doc_id")
     }),
 
@@ -1811,9 +1841,16 @@ object TextOps {
     // out of an InferFiltersFromGenerate guard — ba29383 class; hash
     // elements are non-null bigints so the filter ≡ plain explode.)
     "text_contamination" -> ((s, dir) => {
+      // r21 (guide §2.4): repartition by the SHINGLE HASH before the
+      // distinct — hash(h) satisfies the (source, h) distinct (subset
+      // rule) and is exactly the self-join key, so both join sides
+      // arrive co-partitioned (the second side is a ReusedExchange of
+      // the first): one exchange + one explode where the old shape
+      // paid the (source, h) distinct exchange plus a fresh h
+      // exchange into the join.
       val ss = Dedup.withHashedShingles(documents(s, dir), "source")
         .select(col("source"), explode_outer(col("sh")).as("h"))
-        .where(col("h").isNotNull).distinct()
+        .where(col("h").isNotNull).repartition(col("h")).distinct()
       val a = ss.select(col("source").as("src_a"), col("h"))
       val b = ss.select(col("source").as("src_b"), col("h"))
       a.join(b, Seq("h")).where(col("src_a") < col("src_b"))

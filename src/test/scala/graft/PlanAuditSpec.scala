@@ -996,8 +996,13 @@ class PlanAuditSpec extends SparkSpec {
   test("dedup_substring: window numbering is digest-partitioned, never a global window") {
     // first-occurrence-wins must partition by the window digest — an
     // unpartitioned row_number would serialize the corpus through one
-    // task; and nothing in the chain may degrade to all-pairs
-    val p = plan("dedup_substring")
+    // task; and nothing in the chain may degrade to all-pairs.
+    // r21: the query reads the coverage memo (shared with
+    // dedup_substring_spans), so the pin audits the BUILDER the memo
+    // evaluates once per session
+    val p = operators.Dedup.substringDedupDocs(
+      graft.Tables.documents(spark, sf001))
+      .queryExecution.executedPlan.toString
     assert(p.contains("windowspecdefinition(dg"), p.take(4000))
     assert(!p.contains("CartesianProduct"), p.take(4000))
   }
@@ -1157,7 +1162,11 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("dedup_substring_spans: one digest shuffle, broadcast join-back, row-local merge") {
-    val p = plan("dedup_substring_spans")
+    // r21: audits the builder plan (the query reads the coverage memo
+    // — see the dedup_substring pin)
+    val p = operators.Dedup.substringDupSpans(
+      graft.Tables.documents(spark, sf001))
+      .queryExecution.executedPlan.toString
     assert("Exchange hashpartitioning\\(dg".r.findAllIn(p).size == 1, p.take(5000))
     assert(p.contains("BroadcastHashJoin"), p.take(5000))
     assert(!p.contains("SortMergeJoin"), p.take(5000))
