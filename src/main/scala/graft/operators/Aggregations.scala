@@ -282,11 +282,21 @@ object Aggregations {
     * the exact small-set branch. */
   def kmvIntersections(rows: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val k = KmvK
-    val du = rows.select("event_type", "user_id").distinct()
+    // r21 (guide §2.4/§5): du feeds FOUR consumers (the sketch window,
+    // the type list, both sides of the exact-intersection self-join)
+    // — persist pays the scan + distinct once. Partitioned by user_id
+    // BEFORE the distinct: hash(user_id) satisfies the
+    // (event_type, user_id) distinct (subset rule) and IS the exact
+    // self-join's key, so that join reads both sides co-partitioned;
+    // the sketch/type aggregates exchange their own small keys either
+    // way.
+    val du = rows.select("event_type", "user_id")
+      .repartition(col("user_id")).distinct()
       .withColumn("h",
         (conv(substring(md5(concat(lit("kmv:"), col("user_id").cast("string"))),
                         1, 8), 16, 10).cast("long") + lit(1L)).cast("double") /
         lit(4294967296.0))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val w = Window.partitionBy("event_type").orderBy("h", "user_id")
     val sk = du.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
       .select(col("event_type"), col("h"))

@@ -375,7 +375,18 @@ object Analytics {
     // the degree agg AND both semi-joins — so the base edge build
     // re-runs 2^rounds times and the plan grows unboundedly
     var edges = bidir.localCheckpoint()
-    for (_ <- 1 to rounds) {
+    // FIXPOINT EARLY-EXIT (r21 — the ktrussPeel argument verbatim):
+    // each round is a semi-join of its input, so the edge set only
+    // ever shrinks; an UNCHANGED count therefore means an unchanged
+    // set and every further round is the identity — stopping early
+    // returns exactly what the oracle's fixed-round unroll returns,
+    // for fewer peel rounds (the fixture converges well inside the
+    // cap; the blind loop re-peeled the fixed set). The count probe
+    // is cheap on the per-round checkpoint.
+    var prev = edges.count()
+    var converged = false
+    var r = 0
+    while (r < rounds && !converged) {
       val keep = edges.groupBy("u").agg(count(lit(1)).as("d"))
         .where(col("d") >= k).select("u")
       edges = edges
@@ -383,6 +394,10 @@ object Analytics {
         .join(keep.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
         .select("u", "v")
         .localCheckpoint()
+      val n = edges.count()
+      converged = n == prev
+      prev = n
+      r += 1
     }
     if (requireConverged) {
       val unpeeled = edges.groupBy("u").agg(count(lit(1)).as("d"))

@@ -275,6 +275,25 @@ object TextOps {
            fround(dsum6(col("lp")) / count(lit(1)), 4).as("avg_logprob"))
   }
 
+  /** [[lmScores]] on the fixture through the per-(application,
+    * fixture) memo — r21, the pairsMemo convention: text_lm_score
+    * (the dump), text_quality_buckets (the CCNet triage — which also
+    * reads the table twice, for cuts and bucketing) and
+    * sample_curriculum (difficulty ranking) all consume the SAME
+    * per-doc unigram-LM score table; a production pipeline scores the
+    * corpus once and feeds every consumer off the artifact.
+    * Entity-scale retention (one narrow row per doc). */
+  private val lmScoresMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  def lmScoresCached(s: org.apache.spark.sql.SparkSession,
+                     dir: String): DataFrame = {
+    val sig = graft.Tables.fsSig(s, s"$dir/documents.parquet")
+    lmScoresMemo.getOrElseUpdate(
+      (s.sparkContext.applicationId, s"lmscores:$dir|$sig"),
+      lmScores(documents(s, dir)).localCheckpoint())
+  }
+
   /** Winnowing selection over a (doc_id, text) frame → per doc the
     * sorted distinct selected keys (md5(gram) ‖ zero-padded inverted
     * position — so a window MIN implements "min hash, rightmost
@@ -511,6 +530,25 @@ object TextOps {
   def bpeTrainOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     bpeTrainStates(docs)._1
 
+  /** [[bpeTrainStates]] on the fixture through the per-(application,
+    * fixture) memo — r21: text_bpe_train (the merge table) and
+    * text_bpe_pipeline (the train→apply compression readout) both run
+    * the identical training rounds; one session evaluation serves
+    * both (a production pipeline trains the tokenizer once). All
+    * three frames are vocabulary-scale or smaller. */
+  private val bpeStatesMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, String), (DataFrame, DataFrame, DataFrame)]
+
+  def bpeTrainStatesCached(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val sig = graft.Tables.fsSig(s, s"$dir/documents.parquet")
+    bpeStatesMemo.getOrElseUpdate(
+      (s.sparkContext.applicationId, s"bpe:$dir|$sig"), {
+        val (rounds, wc0, wcN) = bpeTrainStates(documents(s, dir))
+        (rounds.localCheckpoint(), wc0, wcN.localCheckpoint())
+      })
+  }
+
   /** text_kneser_ney's whole pipeline on any (doc_id, lang, text)
     * frame — factored out so KneserNeySpec can plant a hand-computable
     * corpus and drive the continuation-count signature property. */
@@ -745,7 +783,7 @@ object TextOps {
     // text). The LM is vocabulary-sized → broadcast; per-doc log-prob
     // sums run in decimal so the score is order-independent and
     // oracle-exact.
-    "text_lm_score" -> ((s, dir) => lmScores(documents(s, dir)).orderBy("doc_id")),
+    "text_lm_score" -> ((s, dir) => lmScoresCached(s, dir).orderBy("doc_id")),
 
     // INTERPOLATED BIGRAM LM SCORE — the next rung above
     // text_lm_score's unigram model (the CCNet/quality-filter
@@ -858,7 +896,7 @@ object TextOps {
     // is a stages×langs aggregate.
     "sample_curriculum" -> ((s, dir) => {
       val S = CurriculumStages
-      val sc = lmScores(documents(s, dir))
+      val sc = lmScoresCached(s, dir)
         .withColumn("diff", -col("avg_logprob"))
       val w = Window.partitionBy("lang").orderBy(col("diff"), col("doc_id"))
       sc.withColumn("pr", percent_rank().over(w))
@@ -883,7 +921,11 @@ object TextOps {
     // bucket edges never flip between engines. At 100 TB the exact
     // percentile swaps for approx_percentile, same plan.
     "text_quality_buckets" -> ((s, dir) => {
-      val scores = lmScores(documents(s, dir))
+      // r21: the score table arrives through the session memo (shared
+      // with text_lm_score / sample_curriculum) — and the checkpoint
+      // also pays the scoring pass once for this query's own two
+      // consumers (cuts + bucketing join)
+      val scores = lmScoresCached(s, dir)
       val cuts = scores.groupBy("lang").agg(
         fround(expr("percentile(avg_logprob, 0.3)"), 6).as("c30"),
         fround(expr("percentile(avg_logprob, 0.7)"), 6).as("c70"))
@@ -1664,7 +1706,7 @@ object TextOps {
     // (wc feeds both the count and the rewrite — the PCA loop
     // discipline). Re-grouping after each rewrite keeps the
     // vocabulary a true multiset fold whatever the merge did.
-    "text_bpe_train" -> ((s, dir) => bpeTrainOf(documents(s, dir))),
+    "text_bpe_train" -> ((s, dir) => bpeTrainStatesCached(s, dir)._1),
 
     // WORDPIECE-STYLE TOKENIZER (greedy MaxMatch) — the other half of
     // the tokenizer family next to BPE's merge-rule apply: a
@@ -1818,7 +1860,9 @@ object TextOps {
     // learned merges and the compression they bought (the metric
     // that says whether BpeTrainRounds was worth it).
     "text_bpe_pipeline" -> ((s, dir) => {
-      val (_, wc0, wcN) = bpeTrainStates(documents(s, dir))
+      // r21: the trained states arrive through the session memo —
+      // shared with text_bpe_train (one training run per session)
+      val (_, wc0, wcN) = bpeTrainStatesCached(s, dir)
       def tot(wc: org.apache.spark.sql.DataFrame, name: String) =
         wc.agg(big(sum(col("cnt") * length(col("w")))).as(name))
       tot(wc0, "symbols_pre").crossJoin(tot(wcN, "symbols_post"))

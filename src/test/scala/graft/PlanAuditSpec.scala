@@ -123,7 +123,11 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("text_lm_score broadcasts the vocabulary LM; the corpus never hash-shuffles for it") {
-    val p = plan("text_lm_score")
+    // r21: the query reads the session memo (shared with
+    // text_quality_buckets / sample_curriculum), so the pin audits the
+    // BUILDER the memo evaluates once per session
+    val p = operators.TextOps.lmScores(graft.Tables.documents(spark, sf001))
+      .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
     // the token stream shuffles only for the per-doc aggregate, never
     // for the LM join (the LM is vocabulary-sized)
