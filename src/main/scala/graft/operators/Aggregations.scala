@@ -284,19 +284,19 @@ object Aggregations {
     val k = KmvK
     // r21 (guide §2.4/§5): du feeds FOUR consumers (the sketch window,
     // the type list, both sides of the exact-intersection self-join)
-    // — persist pays the scan + distinct once. Partitioned by user_id
-    // BEFORE the distinct: hash(user_id) satisfies the
-    // (event_type, user_id) distinct (subset rule) and IS the exact
-    // self-join's key, so that join reads both sides co-partitioned;
-    // the sketch/type aggregates exchange their own small keys either
-    // way.
+    // — materializing it pays the scan + distinct once instead of
+    // four times. Partitioned by user_id BEFORE the distinct (subset
+    // rule). localCheckpoint over persist: the A/B on this host shows
+    // the InMemoryRelation build costs more than the re-exchanges a
+    // layout-preserving cache would save (see marketBasket's decision
+    // record).
     val du = rows.select("event_type", "user_id")
       .repartition(col("user_id")).distinct()
       .withColumn("h",
         (conv(substring(md5(concat(lit("kmv:"), col("user_id").cast("string"))),
                         1, 8), 16, 10).cast("long") + lit(1L)).cast("double") /
         lit(4294967296.0))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val w = Window.partitionBy("event_type").orderBy("h", "user_id")
     val sk = du.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
       .select(col("event_type"), col("h"))
@@ -352,11 +352,12 @@ object Aggregations {
     "agg_bootstrap_ci" -> ((s, dir) => {
       // r21 (guide §5 cache-when-reused): the per-user metric table
       // feeds BOTH the replicate explode and the full-sample mean —
-      // persist pays the events scan + user aggregate once instead of
-      // twice (entity-scale retention, the bootstrap's own premise)
+      // one materialization pays the events scan + user aggregate
+      // once instead of twice (entity-scale retention, the
+      // bootstrap's own premise)
       val pu = events(s, dir).groupBy("user_id")
         .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       val rep = pu.select(col("user_id"), col("cents"),
         explode(expr(s"sequence(0, ${BootstrapReps - 1})")).as("r"))
       val u = (conv(substring(md5(concat(lit("boot:"),

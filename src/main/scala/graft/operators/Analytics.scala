@@ -80,20 +80,20 @@ object Analytics {
     // upstream scan+distinct. MEMORY_AND_DISK, so an at-scale list
     // spills rather than OOMs; recompute-vs-reuse flips in favor of
     // reuse at exactly 2 consumers.
-    // r21 second wave (guide §2.4): the materialized list is
-    // PARTITIONED BY the basket key before the distinct — hash(ok)
-    // satisfies the (ok, item) distinct's clustering (subset rule),
-    // and it is exactly the layout the pair self-join below wants, so
-    // the basket list is exchanged ONCE for distinct + both join
-    // sides (the old shape paid a (ok, item) distinct exchange plus
-    // two fresh ok exchanges into the self-join). persist, NOT
-    // localCheckpoint: under AQE a checkpoint's LogicalRDD reports
-    // UnknownPartitioning and every consumer re-exchanges (CkptProbe,
-    // r21) — the cached plan keeps its REPARTITION_BY_COL layout.
-    // Bench/TimeQ clearCache() per query, so nothing leaks across
-    // measurements.
-    val li = rows.repartition(col("ok")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // r21 second wave (guide §2.4): the list is PARTITIONED BY the
+    // basket key before the distinct — hash(ok) satisfies the
+    // (ok, item) distinct's clustering (subset rule). MATERIALIZATION
+    // CHOICE, measured both ways (r21 A/B, 3 fresh JVMs each): a
+    // persist() WOULD carry the ok layout into the self-join under
+    // AQE (a checkpoint's LogicalRDD reports UnknownPartitioning —
+    // CkptProbe), but the InMemoryRelation build costs ~3 s cold on
+    // this host (8.0 vs 5.0 s for the whole query) — far more than
+    // the two narrow re-exchanges it saves; localCheckpoint keeps the
+    // materialize-once property at plain block-copy cost. At cluster
+    // scale with real data volumes the trade reverses and the persist
+    // (or a bucketed write) is the right call — the A/B is the
+    // decision record.
+    val li = rows.repartition(col("ok")).distinct().localCheckpoint()
     // the n_orders SCALAR rides a broadcast crossJoin (the events_rfm
     // convention) instead of a driver-side .count() action at
     // query-construction time — the old extra job serialized plan
@@ -495,20 +495,17 @@ object Analytics {
     * loops (without it round i re-evaluates round i-1 once per
     * consumer and the plan grows 2^rounds). */
   def labelPropagate(bidir: DataFrame, rounds: Int): DataFrame = {
-    // r21 (guide §2.4): the edge list is LOOP-INVARIANT — partition it
-    // by the per-round join key BEFORE materializing, so every
-    // round's edge side enters the join exchange-free (only the label
-    // table, which changes each round, pays a shuffle). Second wave:
-    // persist, NOT localCheckpoint — under AQE a checkpoint's
-    // LogicalRDD reports UnknownPartitioning and every round
-    // re-exchanged the static edges anyway (CkptProbe, r21); the
-    // cached plan keeps its REPARTITION_BY_COL layout. The lineage
-    // here is one short co-occurrence plan, so the checkpoint's
-    // lineage truncation isn't needed on the invariant side (the
-    // per-round LABEL checkpoints below stay — they are what stops
-    // the 2^rounds plan growth).
-    val edges = bidir.repartition(col("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // r21 (guide §2.4): the edge list is LOOP-INVARIANT — materialize
+    // it once; only the label table, which changes each round, pays
+    // per-round work. MATERIALIZATION CHOICE, measured both ways
+    // (r21 A/B): a persist() WOULD carry the v layout into every
+    // round's join under AQE (a checkpoint loses it — CkptProbe), but
+    // the InMemoryRelation build costs more cold than the four narrow
+    // edge re-exchanges it saves on this host (7.6-9.4 vs 7.3-8.0 s);
+    // localCheckpoint keeps materialize-once at block-copy cost. At
+    // cluster data volumes the trade reverses (persist or a bucketed
+    // edge table) — the A/B is the decision record.
+    val edges = bidir.repartition(col("v")).localCheckpoint()
     var labels = edges.select(col("u").as("node")).distinct()
       .withColumn("lab", col("node"))
       .localCheckpoint()

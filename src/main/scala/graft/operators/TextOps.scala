@@ -358,15 +358,14 @@ object TextOps {
   def winnowPairs(docs: org.apache.spark.sql.DataFrame,
                   minShared: Int, maxDf: Int): org.apache.spark.sql.DataFrame = {
     // r21 second wave: the materialized fp projection is PARTITIONED
-    // BY the posting key — the df aggregate rides it (all-keys), the
-    // broadcast anti-join preserves it, and the posting self-join
-    // below is then co-partitioned on fp and adds NO exchange (the
-    // old unpartitioned checkpoint paid fp exchanges on both join
-    // sides plus the df aggregate). persist, not localCheckpoint:
-    // only a cached plan keeps its REPARTITION_BY_COL layout under
-    // AQE (CkptProbe, r21).
-    val fp = winnowFps(docs).repartition(col("fp"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // BY the posting key (the df aggregate rides it pre-checkpoint).
+    // localCheckpoint over persist, measured both ways (A/B): a
+    // layout-preserving cache would make the posting self-join
+    // co-partitioned, but its build costs more cold than the fp
+    // exchanges it saves on this host (see marketBasket's decision
+    // record); the checkpoint keeps materialize-once at block-copy
+    // cost.
+    val fp = winnowFps(docs).repartition(col("fp")).localCheckpoint()
     val over = fp.groupBy("fp").agg(count(lit(1)).as("df"))
       .where(col("df") > maxDf).select("fp")
     val kept = fp.join(broadcast(over), Seq("fp"), "left_anti")
@@ -658,16 +657,15 @@ object TextOps {
     // (re-deriving them from `feats` would re-explode the corpus
     // twice more; measured 5.4 s → ~3 s at sf0.1). r21 (guide §2.4):
     // the aggregate rides an explicit doc_id repartition — hash(doc_id)
-    // satisfies the (doc_id, lang, f) clustering (subset rule), so the
-    // materialized table comes out doc_id-partitioned and the per-doc
-    // scoring aggregate below adds NO exchange (the model aggregates
-    // exchange their tiny bucket-keyed projections either way).
-    // persist, not localCheckpoint: only a cached plan keeps its
-    // partitioning under AQE (CkptProbe, r21).
+    // satisfies the (doc_id, lang, f) clustering (subset rule).
+    // localCheckpoint over a layout-preserving persist, measured both
+    // ways (A/B: 5.8-7.1 vs 7.4-9.1 s cold): the cache build costs
+    // more than the one doc_id re-exchange it saves on this host (see
+    // marketBasket's decision record).
     val perDoc = feats.repartition(col("doc_id"))
       .groupBy("doc_id", "lang", "f")
       .agg(count(lit(1)).as("n_df"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val rawC = perDoc.groupBy("f").agg(sum(col("n_df")).as("cq"))
     val tgtC = perDoc.where(col("doc_id") % DsirTargetMod === 0)
       .groupBy("f").agg(sum(col("n_df")).as("cp"))

@@ -1068,14 +1068,14 @@ object Vectors {
       dsum6(col("x")).as("s"), big(count(lit(1))).as("cnt"))
       .select(col("label"), col("i"), (col("s") / col("cnt")).as("c"))
     // r21 (guide §5): the per-vector distance table feeds BOTH the
-    // cutoff aggregate and the final filter join — persist pays the
-    // corpus explode + centroid join once instead of twice
+    // cutoff aggregate and the final filter join — one checkpoint
+    // pays the corpus explode + centroid join once instead of twice
     // (entity-scale retention: one narrow row per vector).
     val dist = pe.join(broadcast(cent), Seq("label", "i"))
       .groupBy("label", "vec_id")
       .agg(fround(sqrt(dsum6((col("x") - col("c")) * (col("x") - col("c")))),
                   6).as("dist"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val cut = dist.groupBy("label")
       .agg(dsum6(col("dist")).cast("double").as("s1"),
            dsum6(col("dist") * col("dist")).cast("double").as("s2"),
