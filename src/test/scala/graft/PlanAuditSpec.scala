@@ -1228,7 +1228,13 @@ class PlanAuditSpec extends SparkSpec {
 
   test("sim_ann_graph_nnd: the final plan is a bounded rank over the " +
        "LOCAL beam — no build joins, no corpus exchange") {
-    val p = plan("sim_ann_graph_nnd")
+    // r21: the query serves the session memo's checkpoint (the walk is
+    // shared with sim_ann_graph_nnd_recall), so the pin audits the
+    // BUILDER walk the memo evaluates once per session
+    val p = operators.Similarity.graphBeamSearch(
+      graft.Tables.embeddings(spark, sf001),
+      operators.Similarity.nndGraphCached(spark, sf001), 10)
+      .queryExecution.executedPlan.toString
     // the NN-descent build materializes behind localCheckpoints and
     // the beam (≤ GraphBeam rows by construction) is held as a
     // collected local relation between rounds (r21) — the returned
