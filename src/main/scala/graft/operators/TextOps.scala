@@ -1400,11 +1400,15 @@ object TextOps {
     "text_langid" -> ((s, dir) => {
       val docs = documents(s, dir)
       // the tokenized corpus feeds BOTH profile-building and scoring;
-      // cache it so the scan+explode runs once (at 100 TB: persist or
-      // checkpoint the tokenized corpus for exactly the same reason)
+      // materialize it so the scan+explode runs once. localCheckpoint
+      // over cache() — A/B-measured ~1 s faster cold on this host
+      // (block copy vs columnar InMemoryRelation build, the
+      // marketBasket decision record); at 100 TB persist a SERIALIZED
+      // level or recompute — checkpointing an exploded token stream
+      // deserialized is the wrong retention there
       val tok = docs.select(col("doc_id"), col("lang"),
                             explode(split(lower(col("text")), " ")).as("token"))
-        .cache()
+        .localCheckpoint()
       val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("token"))
       val profiles = tok.groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
         .withColumn("rn", row_number().over(w)).where(col("rn") <= 30)
