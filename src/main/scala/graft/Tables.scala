@@ -83,6 +83,31 @@ object Tables {
       .mkString(",")
   }
 
+  /** Run `f` with adaptive query execution disabled, restoring the
+    * previous value after (r22, guide §1.2 step 1). For CAP-BOUNDED
+    * iterative operators (NND descent, beam walks, HITS/score loops)
+    * AQE buys nothing — per-round volumes are bounded by construction
+    * (degree caps, beam width, node cardinality), the joins are
+    * explicitly broadcast-hinted or key-bounded, and skew is capped by
+    * the same constants — while its per-stage materialize-and-replan
+    * turns every exchange into its own job: one NND build measured 26
+    * jobs with AQE on vs 9 off, 3.50 s vs 2.40 s median (Opt22Probe).
+    * Disabling it ALSO makes the loop's lazy localCheckpoints truly
+    * lazy (with AQE on, execute() materializes every shuffle stage at
+    * checkpoint-call time), so a whole build collapses into the
+    * consumer's job instead of a driver barrier per round. Scoped to
+    * the operator: fleet queries keep AQE (coalescing/skew handling
+    * matter for unbounded scans and joins at 100 TB). */
+  def withAqeOff[T](spark: SparkSession)(f: => T): T = {
+    val k = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.getOption(k)
+    spark.conf.set(k, "false")
+    try f finally prev match {
+      case Some(v) => spark.conf.set(k, v)
+      case None => spark.conf.unset(k)
+    }
+  }
+
   /** Scratch path for sink/roundtrip operators, scoped by input dir and
     * JVM: two scale factors or a concurrent Bench+Verify pair never
     * collide on the same output location (ADVICE r1). */

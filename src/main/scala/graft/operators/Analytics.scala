@@ -233,7 +233,17 @@ object Analytics {
   /** The round body over an ALREADY-checkpointed edge list —
     * [[hitsRounds]] enters here directly so the over-budget path never
     * materializes the checkpoint twice (review r19). */
-  private def hitsRoundsOnCheckpointed(e: DataFrame, iters: Int): DataFrame = {
+  private def hitsRoundsOnCheckpointed(e: DataFrame, iters: Int): DataFrame =
+    // r22: node-cardinality round loop with explicitly hinted
+    // broadcasts — AQE's per-exchange materialize-and-replan jobs add
+    // scheduling latency (36 jobs for 2 iters at sf0.1, wall 4.2 s vs
+    // 2.7 s of stage time) and can improve nothing the hints and the
+    // count-gated broadcast budget haven't already decided. Off, each
+    // round is its checkpoint + broadcast builds. Partition counts
+    // stay at spark.sql.shuffle.partitions (the production knob).
+    graft.Tables.withAqeOff(e.sparkSession) { hitsRoundsBody(e, iters) }
+
+  private def hitsRoundsBody(e: DataFrame, iters: Int): DataFrame = {
     var h = e.select(col("src").as("node")).distinct()
       .withColumn("s", lit(1.0)).localCheckpoint()
     var a = e.select(col("dst").as("node")).distinct()
@@ -494,7 +504,21 @@ object Analytics {
     * localCheckpoint truncates lineage exactly like the k-core/CC
     * loops (without it round i re-evaluates round i-1 once per
     * consumer and the plan grows 2^rounds). */
-  def labelPropagate(bidir: DataFrame, rounds: Int): DataFrame = {
+  def labelPropagate(bidir: DataFrame, rounds: Int): DataFrame =
+    // r22: AQE off for the loop scope — under AQE a localCheckpoint
+    // comes back as UnknownPartitioning (CkptProbe) and every round
+    // re-exchanges the loop-invariant edge list; with AQE off the
+    // checkpoint KEEPS the v layout below, so each round's edge-side
+    // join input is exchange-free and the round pays ONE exchange
+    // (the repartition(u) the two aggregates share). The loop's
+    // volumes are node/edge-cardinality with bounded fan-in, so
+    // adaptive replanning has nothing to add; partition counts stay
+    // at spark.sql.shuffle.partitions.
+    graft.Tables.withAqeOff(bidir.sparkSession) {
+      labelPropagateBody(bidir, rounds)
+    }
+
+  private def labelPropagateBody(bidir: DataFrame, rounds: Int): DataFrame = {
     // r21 (guide §2.4): the edge list is LOOP-INVARIANT — materialize
     // it once; only the label table, which changes each round, pays
     // per-round work. MATERIALIZATION CHOICE, measured both ways
@@ -502,9 +526,8 @@ object Analytics {
     // round's join under AQE (a checkpoint loses it — CkptProbe), but
     // the InMemoryRelation build costs more cold than the four narrow
     // edge re-exchanges it saves on this host (7.6-9.4 vs 7.3-8.0 s);
-    // localCheckpoint keeps materialize-once at block-copy cost. At
-    // cluster data volumes the trade reverses (persist or a bucketed
-    // edge table) — the A/B is the decision record.
+    // localCheckpoint keeps materialize-once at block-copy cost; with
+    // the r22 AQE-off scope the checkpoint now also KEEPS this layout.
     val edges = bidir.repartition(col("v")).localCheckpoint()
     var labels = edges.select(col("u").as("node")).distinct()
       .withColumn("lab", col("node"))
@@ -1751,6 +1774,15 @@ object Analytics {
     // the sketch's accuracy claim is now CORRECTNESS-gated per SF,
     // not just spec-gated at sf0.001.
     "graph_2hop_bracket" -> ((s, dir) => {
+      // r22 PROBED AND REVERTED: wrapping this query in withAqeOff (to
+      // spread the hub-quadratic self-join past AQE's 3-task byte-based
+      // coalescing) regressed it 4.4 → 5.7 s at 3-run minima AND slowed
+      // every later cooccurEdgesCached consumer (louvain 1.6 → 3.2):
+      // the shared edge memo materialized inside the scope at full
+      // shuffle.partitions instead of coalesced, and hyperBall's
+      // unhinted joins lost AQE's runtime broadcast conversion. The
+      // 8-core-beats-32 scaling inversion here is the price of the
+      // d²-pair certificate at fixture scale, not a plan defect.
       val edges = cooccurEdgesCached(s, dir)
       val bidir = edges.select(col("a").as("u"), col("b").as("v"))
         .unionByName(edges.select(col("b").as("u"), col("a").as("v")))

@@ -279,8 +279,18 @@ object Multimodal {
     // deterministic fake derives it from payload bytes, exactly like
     // multimodal_decode.
     "multimodal_phash" -> ((s, dir) => {
-      val sigs = withPayload(documents(s, dir))
+      // r22: the 60-sample signature transform is the query's single
+      // heaviest stage (875 ms of 2.6 s — JobProf) and runs at SCAN
+      // parallelism: the fixture's one parquet file gives it ONE task
+      // while 31 cores idle (the PERF r21 ratio-0.47 inversion). Spread
+      // the payload ONLY when the scan under-parallelizes; at corpus
+      // scale the scan already fans out past defaultParallelism, the
+      // gate never fires, and no payload shuffle is added (guide §8).
+      val pre = withPayload(documents(s, dir))
         .select(col("doc_id"), col("payload"))
+      val par = s.sparkContext.defaultParallelism
+      val sigs = (if (pre.rdd.getNumPartitions < par) pre.repartition(par)
+                  else pre)
         // sample the BINARY payload, not a string view of it: substring
         // on a string is O(position) per call (UTF-8 boundary scan), so
         // 60 strided samples of a KB-scale doc cost O(60·len) per row —

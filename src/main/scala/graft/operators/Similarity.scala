@@ -226,8 +226,31 @@ object Similarity {
     * CTEs carry). */
   private[graft] def knnGraphNnDescentScored(
       emb: DataFrame, m: Int = GraphM,
-      rounds: Int = NndRounds): DataFrame = {
+      rounds: Int = NndRounds): DataFrame =
+    // r22 (guide §1.2 step 1 — fix the job shape before the tasks):
+    // AQE off for the build scope. Every per-round volume is bounded
+    // by construction (NndUndCap² candidates per vertex, GraphM edges
+    // kept), the scoring joins are broadcast-by-estimate at any SF and
+    // key-capped at scale, so adaptive replanning buys nothing here —
+    // but it charged one job per exchange: 26 jobs / 3.50 s per build
+    // with AQE on vs 9 jobs / 2.40 s off (Opt22Probe, sf0.1 median).
+    // It also defeats the lazy checkpoints below (execute() under AQE
+    // materializes every stage eagerly at checkpoint-call time).
+    graft.Tables.withAqeOff(emb.sparkSession) {
+      knnGraphNnDescentScoredBody(emb, m, rounds)
+    }
+
+  private def knnGraphNnDescentScoredBody(
+      emb: DataFrame, m: Int, rounds: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // NOT checkpointed (r22, measured): a localCheckpoint here returns
+    // a LogicalRDD whose size statistic is defaultSizeInBytes (maximal),
+    // so the per-round scoring joins stop auto-broadcasting v and fall
+    // to sort-merge — measured ~2 s/build SLOWER than re-scanning the
+    // parquet for each broadcast build. The 6-8 re-scans per build are
+    // the cheaper side of the trade at every SF (scan-backed plans keep
+    // honest stats; at corpus scale the joins are SMJ either way and
+    // the scan re-reads are columnar-pruned).
     val v = emb.select(col("vec_id"), col("embedding"))
     // bucket count from the corpus count — a 1-row broadcast riding
     // the plan (the events_rfm scalar convention, no driver action)
@@ -283,6 +306,13 @@ object Similarity {
       .where(col("vec_id") =!= col("nbr_id"))
       .select(col("vec_id"), col("nbr_id"),
               fround(cosine(col("va"), col("vb")), 4).as("cos"))
+    // EAGER checkpoints kept (r22, measured): the lazy form
+    // (eager=false) collapses the build to ~5 jobs but runs ~1.9 s
+    // SLOWER (Opt22Probe 4.26 vs 2.40 s median, AQE off) — the next
+    // round's map stages each reference this round's blocks from
+    // concurrent stages and serialize on the block-compute locks,
+    // where the eager barrier materializes once with full parallelism
+    // and every later reference is a clean block read.
     var e = topM(seedEdges).localCheckpoint()
     (1 to rounds).foreach { _ =>
       // undirected adjacency KEEPS scores so the cap below prioritizes
@@ -350,6 +380,15 @@ object Similarity {
     * the patch on the unrolled build CTEs move for move). Returns the
     * patched (vec_id, nbr_id) edge list. */
   def nndInsertGraph(all: DataFrame, base: DataFrame,
+                     baseGraphScored: DataFrame, newV: DataFrame): DataFrame =
+    // same cap-bounded-loop posture as knnGraphNnDescentScored (r22):
+    // AQE's per-exchange materialize-and-replan jobs buy nothing for
+    // volumes bounded by 2·cap + M·NndUndCap per appended vector
+    graft.Tables.withAqeOff(all.sparkSession) {
+      nndInsertGraphBody(all, base, baseGraphScored, newV)
+    }
+
+  private def nndInsertGraphBody(all: DataFrame, base: DataFrame,
                      baseGraphScored: DataFrame, newV: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val vsel = all.select(col("vec_id"), col("embedding"))
@@ -563,7 +602,20 @@ object Similarity {
   def graphBeamSearch(e: DataFrame, graph: DataFrame, k: Int,
                       queryVecId: Long = 0L,
                       earlyExit: Boolean = true,
-                      tombstoned: Option[Column] = None): DataFrame = {
+                      tombstoned: Option[Column] = None): DataFrame =
+    // r22: the walk is the canonical cap-bounded loop (beam ≤ GraphBeam
+    // rows, frontier ≤ beam·degree, every join broadcast-hinted) — AQE
+    // charged ~5 stage-jobs per round for replanning it can never
+    // improve; off, each round is its collect plus the one frontier
+    // broadcast build (Opt22Probe: build+walk 35 jobs → measured below)
+    graft.Tables.withAqeOff(e.sparkSession) {
+      graphBeamSearchBody(e, graph, k, queryVecId, earlyExit, tombstoned)
+    }
+
+  private def graphBeamSearchBody(e: DataFrame, graph: DataFrame, k: Int,
+                      queryVecId: Long,
+                      earlyExit: Boolean,
+                      tombstoned: Option[Column]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sp = e.sparkSession
     // r21 (guide §1.2 step 1 — fewer jobs, not faster tasks): the
@@ -649,7 +701,11 @@ object Similarity {
     * corpus size; adding queries widens the constant, never the scan.
     * Move-for-move deterministic like the single-query form, so the
     * oracle replays all lanes at once with q_id-partitioned windows. */
-  def graphBeamBatch(e: DataFrame, graph: DataFrame, k: Int): DataFrame = {
+  def graphBeamBatch(e: DataFrame, graph: DataFrame, k: Int): DataFrame =
+    // cap-bounded loop — same AQE-off posture as graphBeamSearch (r22)
+    graft.Tables.withAqeOff(e.sparkSession) { graphBeamBatchBody(e, graph, k) }
+
+  private def graphBeamBatchBody(e: DataFrame, graph: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sp = e.sparkSession
     // r21: same local-relation beam as graphBeamSearch — all lanes'
