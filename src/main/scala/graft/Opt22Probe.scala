@@ -57,6 +57,31 @@ object Opt22Probe {
       val g = operators.Similarity.knnGraphNnDescent(emb).localCheckpoint()
       operators.Similarity.graphBeamSearch(emb, g, 10).count()
     }
+    // --- checkpoint-layout carryover probe (r22 wave 2): CkptProbe
+    // showed a checkpoint loses its partitioning under AQE and keeps
+    // it without; this asks the MIXED question that matters for the
+    // repartition(k).localCheckpoint() materialization sites — if the
+    // checkpoint is CREATED inside an AQE-off scope, does a consumer
+    // planned with AQE back ON see the layout and skip its exchange?
+    locally {
+      import org.apache.spark.sql.functions._
+      val base = spark.range(0, 200000).selectExpr("id % 997 as k", "id as v")
+      def exchanges(df: org.apache.spark.sql.DataFrame): Int = {
+        df.write.format("noop").mode("overwrite").save()
+        df.queryExecution.executedPlan.toString
+          .linesIterator.count(_.contains("Exchange"))
+      }
+      val ckOn = base.repartition(col("k")).localCheckpoint()
+      val ckOff = graft.Tables.withAqeOff(spark) {
+        base.repartition(col("k")).localCheckpoint()
+      }
+      println(s"agg-on-ckpt(created AQE on):  exchanges=${exchanges(ckOn.groupBy("k").count())}")
+      println(s"agg-on-ckpt(created AQE off): exchanges=${exchanges(ckOff.groupBy("k").count())}")
+      val jOn = ckOn.as("a").join(ckOn.as("b"), "k").groupBy("k").count()
+      val jOff = ckOff.as("a").join(ckOff.as("b"), "k").groupBy("k").count()
+      println(s"selfjoin-on-ckpt(on):  exchanges=${exchanges(jOn)}")
+      println(s"selfjoin-on-ckpt(off): exchanges=${exchanges(jOff)}")
+    }
     spark.stop()
   }
 }

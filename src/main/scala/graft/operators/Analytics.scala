@@ -93,6 +93,14 @@ object Analytics {
     // scale with real data volumes the trade reverses and the persist
     // (or a bucketed write) is the right call — the A/B is the
     // decision record.
+    // r22 PROBED AND REVERTED: creating this checkpoint inside an
+    // AQE-off scope makes the LogicalRDD keep hash(ok) (Opt22Probe)
+    // and the pair self-join co-partitioned — but the query measured
+    // 2.8-2.9 s vs 2.5 s stock (2-run filtered A/B): the un-coalesced
+    // 32-partition materialization and the 32-task downstream stages
+    // cost more than the one saved exchange at fixture scale. Same
+    // conclusion as the r21 persist A/B from the other direction; the
+    // production answer stays persist or a bucketed table.
     val li = rows.repartition(col("ok")).distinct().localCheckpoint()
     // the n_orders SCALAR rides a broadcast crossJoin (the events_rfm
     // convention) instead of a driver-side .count() action at
@@ -172,7 +180,7 @@ object Analytics {
     // part→supplier edges land on the distributed arm)
     val e = e0.select(col("src").cast("long").as("src"),
                       col("dst").cast("long").as("dst"))
-      .localCheckpoint()
+      .localCheckpoint(false) // r22: materialized by the budget count
     if (e.count() <= HitsLocalMaxEdges) {
       val edges = e.collect().map(r => (r.getLong(0), r.getLong(1)))
       val s = e0.sparkSession
@@ -384,7 +392,7 @@ object Analytics {
     // without it, round i re-evaluates round i-1 once per consumer —
     // the degree agg AND both semi-joins — so the base edge build
     // re-runs 2^rounds times and the plan grows unboundedly
-    var edges = bidir.localCheckpoint()
+    var edges = bidir.localCheckpoint(false) // materialized by the count below
     // FIXPOINT EARLY-EXIT (r21 — the ktrussPeel argument verbatim):
     // each round is a semi-join of its input, so the edge set only
     // ever shrinks; an UNCHANGED count therefore means an unchanged
@@ -399,11 +407,17 @@ object Analytics {
     while (r < rounds && !converged) {
       val keep = edges.groupBy("u").agg(count(lit(1)).as("d"))
         .where(col("d") >= k).select("u")
+      // r22: LAZY checkpoint materialized by the fixpoint count — one
+      // job per round instead of two (the count is the checkpoint's
+      // single consumer, so the block-lock contention that made lazy
+      // checkpoints slower in the NND build cannot occur here); plan
+      // truncation is identical to the eager form. JobProf measured
+      // the old shape at 58 jobs for graph_kcore's 6 rounds.
       edges = edges
         .join(keep, Seq("u"), "left_semi")
         .join(keep.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
         .select("u", "v")
-        .localCheckpoint()
+        .localCheckpoint(false)
       val n = edges.count()
       converged = n == prev
       prev = n
@@ -471,7 +485,10 @@ object Analytics {
     var converged = false
     var r = 0
     while (r < rounds && !converged) {
-      e = survivors(e).localCheckpoint()
+      // r22: lazy checkpoint materialized by the fixpoint count — one
+      // job per round, not two (kcorePeel's note; the count is the
+      // sole consumer, so no concurrent block-lock contention)
+      e = survivors(e).localCheckpoint(false)
       val n = e.count()
       converged = n == prev
       prev = n

@@ -357,15 +357,19 @@ object TextOps {
     * quadruple the op (same discipline as blockedJaccardPairs). */
   def winnowPairs(docs: org.apache.spark.sql.DataFrame,
                   minShared: Int, maxDf: Int): org.apache.spark.sql.DataFrame = {
-    // r21 second wave: the materialized fp projection is PARTITIONED
-    // BY the posting key (the df aggregate rides it pre-checkpoint).
-    // localCheckpoint over persist, measured both ways (A/B): a
-    // layout-preserving cache would make the posting self-join
-    // co-partitioned, but its build costs more cold than the fp
-    // exchanges it saves on this host (see marketBasket's decision
-    // record); the checkpoint keeps materialize-once at block-copy
-    // cost.
-    val fp = winnowFps(docs).repartition(col("fp")).localCheckpoint()
+    // r22 (ADVICE r21): the r21 repartition(fp) before this checkpoint
+    // was a pure extra exchange — under AQE the checkpoint comes back
+    // UnknownPartitioning, so no consumer ever rode the layout (the
+    // old comment's claim that the df aggregate did was wrong), and
+    // winnowFps already ends in a distinct. Dropped (one less
+    // Exchange; filtered A/B flat within jitter). ALSO PROBED AND
+    // REJECTED: creating the checkpoint inside an AQE-off scope DOES
+    // carry hash(fp) to every consumer (Opt22Probe: agg 1 → 0
+    // exchanges, self-join 2 → 1) but measured flat-to-worse — the
+    // un-coalesced 32-partition materialization eats the saved
+    // exchanges at fixture scale. At cluster scale the
+    // layout-preserving answer is persist or a bucketed posting table.
+    val fp = winnowFps(docs).localCheckpoint()
     val over = fp.groupBy("fp").agg(count(lit(1)).as("df"))
       .where(col("df") > maxDf).select("fp")
     val kept = fp.join(broadcast(over), Seq("fp"), "left_anti")

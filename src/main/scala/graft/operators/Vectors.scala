@@ -23,43 +23,74 @@ object Vectors {
     * oracle where only the structure CTEs swap. */
   def graphPqWalk(s: org.apache.spark.sql.SparkSession, dir: String,
                   graph: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    // cap-bounded loop — the r22 AQE-off posture of the plain beam
+    graft.Tables.withAqeOff(s) { graphPqWalkBody(s, dir, graph) }
+
+  private def graphPqWalkBody(s: org.apache.spark.sql.SparkSession,
+                              dir: String,
+                              graph: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val (books, qsubs) = pqPrelude(s, dir)
     val e = embeddings(s, dir)
+    // r22 (the r21 graphBeamSearch restructure, finally applied to the
+    // ADC walk it was copied from): the beam is ≤ GraphPqBeam=48 rows
+    // and the per-round frontier ≤ beam·GraphM ADC-scored rows BY
+    // CONSTRUCTION, so the walk state lives as collected local
+    // relations instead of three localCheckpoints per round — each
+    // round is ONE job (score the frontier, collect), with the
+    // min-merge + top-beam cut and the visited-set union running
+    // driver-side on those bounded rows. JobProf measured the old
+    // shape at 58-64 jobs per query (sim_ann_graph_pq /_nnd_pq);
+    // values are identical — fround4 adist doubles round-trip exactly
+    // through collect, the driver merge mirrors the old
+    // groupBy(vec_id).min / orderBy(adist, vec_id) / limit algebra
+    // op for op, and deriving visited from the SCORED frontier equals
+    // the old pre-score union because every neighbor id exists in the
+    // corpus (the rerank inner-join dropped absentees anyway).
+    def idsDf(ids: Iterable[Long]): org.apache.spark.sql.DataFrame =
+      s.createDataFrame(
+        java.util.Arrays.asList(
+          ids.toSeq.sorted.map(org.apache.spark.sql.Row(_)): _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(
+            "vec_id", org.apache.spark.sql.types.LongType, false))))
     def scored(ids: org.apache.spark.sql.DataFrame) =
-      e.join(ids, Seq("vec_id"))
+      e.join(broadcast(ids), Seq("vec_id"))
         .select(col("vec_id"), fround(pqAdist(books, qsubs), 4).as("adist"))
     val entries = e.groupBy("label").agg(min(col("vec_id")).as("vec_id"))
       .select("vec_id")
-    var beam = scored(entries)
+    var beam: Seq[(Long, Double)] = scored(entries)
       .orderBy(col("adist").asc, col("vec_id")).limit(GraphPqBeam)
-      .localCheckpoint()
+      .collect().toSeq.map(r => (r.getLong(0), r.getDouble(1)))
     // DiskANN reranks the full VISITED list, not the final beam —
     // ADC is deliberately coarse (4 codes/vector), so the true
     // nearest neighbors pass THROUGH the walk without necessarily
     // surviving ADC pruning; the visited set (≤ rounds·beam·degree
     // ids, constant per query) is where the recall lives.
-    var visited = beam.select("vec_id").localCheckpoint()
-    var prevIds: Set[Long] =
-      beam.select("vec_id").collect().map(_.getLong(0)).toSet
+    var visited: Set[Long] = beam.map(_._1).toSet
+    var prevIds: Set[Long] = visited
     var round = 0
     var converged = false
     while (round < Similarity.GraphRounds && !converged) {
-      val frontier = graph
-        .join(broadcast(beam.select("vec_id")), Seq("vec_id"))
-        .select(col("nbr_id").as("vec_id")).distinct()
-      visited = visited.unionByName(frontier).distinct().localCheckpoint()
-      beam = scored(frontier).unionByName(beam)
-        .groupBy("vec_id").agg(min(col("adist")).as("adist"))
-        .orderBy(col("adist").asc, col("vec_id")).limit(GraphPqBeam)
-        .localCheckpoint()
-      val ids = beam.select("vec_id").collect().map(_.getLong(0)).toSet
+      val frontierScored = scored(
+        graph.join(broadcast(idsDf(beam.map(_._1))), Seq("vec_id"))
+          .select(col("nbr_id").as("vec_id")))
+        .collect().toSeq.map(r => (r.getLong(0), r.getDouble(1)))
+      visited ++= frontierScored.map(_._1)
+      // min-merge revisits, then the (adist asc, vec_id) top-beam cut —
+      // the exact algebra of the old groupBy/orderBy/limit plan
+      beam = (beam ++ frontierScored)
+        .groupBy(_._1).view.mapValues(_.map(_._2).min).toSeq
+        .sortBy { case (id, d) => (d, id) }
+        .take(GraphPqBeam)
+      val ids = beam.map(_._1).toSet
       converged = ids == prevIds
       prevIds = ids
       round += 1
     }
     val qv = qsubs.flatten
-    visited.where(col("vec_id") =!= 0)
+    idsDf(visited).where(col("vec_id") =!= 0)
       .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
       .select(col("vec_id"),
         fround(Similarity.cosine(col("embedding"), typedLit(qv)), 4).as("cos"))
