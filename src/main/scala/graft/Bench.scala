@@ -47,6 +47,18 @@ object Bench {
       // threshold.
       .config("spark.sql.requireAllClusterKeysForCoPartition",
         sys.env.getOrElse("SPARK_GRAFT_REQUIRE_ALL_CLUSTER_KEYS", "true"))
+      // r22 PROBED, DEFAULT KEPT (= stock 1m): AQE coalescing sizes
+      // post-shuffle partitions by bytes, so compute-heavy byte-light
+      // stages collapse to one task (text_naive_bayes ran four ~1.3 s
+      // scoring builds on one core each — JobProf). Lowering the floor
+      // to 64k re-spreads them but the alternating filtered A/B was
+      // FLAT (11.5/13.7 s @1m vs 11.6/12.2 @64k over the 8 worst
+      // single-task-stage queries): those stages are concurrent
+      // broadcast-exchange futures, so their serialism barely reaches
+      // the wall clock. Env knob retained for deployments whose
+      // broadcast sides are larger.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "1m"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     // ERROR, not WARN (r21, VERDICT r20 wrong #3): the recurring

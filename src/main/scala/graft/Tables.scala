@@ -108,6 +108,39 @@ object Tables {
     }
   }
 
+  /** getOrElseUpdate for the per-(applicationId, fixture-signature)
+    * artifact memos that EVICTS superseded entries (ADVICE r21 #2):
+    * when a new signature shows up for the same (applicationId,
+    * prefix) — a fixture dir regenerated within one JVM — the stale
+    * entry's checkpointed blocks are unpersisted and the entry
+    * dropped, bounding retention to one live artifact per memo per
+    * fixture. In the Bench/Verify lifecycle signatures never change
+    * mid-JVM, so this costs nothing there; it exists for long-lived
+    * sessions over mutable fixture dirs. */
+  def memoArtifact[V](
+      memo: scala.collection.concurrent.TrieMap[(String, String), V],
+      appId: String, prefix: String, sig: String)(unpersist: V => Unit)
+      (build: => V): V = {
+    val key = (appId, prefix + sig)
+    memo.get(key).getOrElse {
+      memo.keysIterator
+        .filter(k => k._1 == appId && k._2.startsWith(prefix) && k._2 != key._2)
+        .toList
+        .foreach(k => memo.remove(k).foreach(v =>
+          try unpersist(v) catch { case _: Throwable => () }))
+      memo.getOrElseUpdate(key, build)
+    }
+  }
+
+  /** Unpersist every checkpointed RDD a memoized frame's plan holds —
+    * the eviction callback for [[memoArtifact]]. */
+  def freeCheckpoints(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.logical.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(false); ()
+      case _ => ()
+    }
+
   /** Scratch path for sink/roundtrip operators, scoped by input dir and
     * JVM: two scale factors or a concurrent Bench+Verify pair never
     * collide on the same output location (ADVICE r1). */

@@ -116,14 +116,18 @@ object Analytics {
     // long-tail item set at 100x otherwise rides the join for
     // nothing). MarketBasketSpec pins the losslessness.
     // The item-count table is ITEM-CATALOG-scale (one row per distinct
-    // item, not per basket line), so the prefilter and both count
-    // join-backs broadcast (r21) — a shuffled join here would
-    // re-exchange the basket list by item and destroy the ok layout.
-    // At catalogs past broadcast scale, drop the hints and these
-    // revert to item-keyed shuffled joins of catalog-sized tables.
+    // item, not per basket line). r22 (ADVICE r21 #5): the r21 hints
+    // FORCED these broadcasts, which past broadcast scale ships a
+    // driver OOM instead of degrading; now the planner decides — the
+    // static plan over the checkpointed list sees no stats and picks
+    // a shuffled join, and AQE's runtime sizes convert it to the
+    // broadcast wherever the catalog actually fits (measured: same
+    // BroadcastHashJoins in the executed plan at every fixture SF,
+    // query time unchanged), while an over-broadcast-scale catalog
+    // degrades to the item-keyed shuffled join by itself.
     val frequent = item.where(col("np") >= 2)
       .select(col("p").as("item"))
-    val liF = li.join(broadcast(frequent), Seq("item"))
+    val liF = li.join(frequent, Seq("item"))
       .select(col("ok"), col("item"))
     val pairs = liF.select(col("ok"), col("item").as("a"))
       .join(liF.select(col("ok"), col("item").as("b")), Seq("ok"))
@@ -131,8 +135,8 @@ object Analytics {
       .groupBy("a", "b").agg(count(lit(1)).as("nab"))
       .where(col("nab") >= 2)
     pairs
-      .join(broadcast(item.select(col("p").as("a"), col("np").as("na"))), Seq("a"))
-      .join(broadcast(item.select(col("p").as("b"), col("np").as("nb"))), Seq("b"))
+      .join(item.select(col("p").as("a"), col("np").as("na")), Seq("a"))
+      .join(item.select(col("p").as("b"), col("np").as("nb")), Seq("b"))
       .crossJoin(broadcast(nOrd))
       .select(col("a"), col("b"),
         big(col("nab")).as("n_both"),

@@ -190,8 +190,9 @@ object Dedup {
   def substringCoveredCached(s: org.apache.spark.sql.SparkSession,
                              dir: String): DataFrame = {
     val sig = graft.Tables.fsSig(s, s"$dir/documents.parquet")
-    substringCoveredMemo.getOrElseUpdate(
-      (s.sparkContext.applicationId, s"sscov:$dir|$sig"),
+    graft.Tables.memoArtifact(substringCoveredMemo,
+        s.sparkContext.applicationId, s"sscov:$dir|", sig)(
+        graft.Tables.freeCheckpoints)(
       substringCovered(graft.Tables.documents(s, dir)).localCheckpoint())
   }
 
@@ -347,8 +348,9 @@ object Dedup {
   def shingledCorpusCached(s: org.apache.spark.sql.SparkSession,
                            dir: String): DataFrame = {
     val sig = graft.Tables.fsSig(s, s"$dir/documents.parquet")
-    shingledMemo.getOrElseUpdate(
-      (s.sparkContext.applicationId, s"shingled:$dir|$sig"),
+    graft.Tables.memoArtifact(shingledMemo,
+        s.sparkContext.applicationId, s"shingled:$dir|", sig)(
+        graft.Tables.freeCheckpoints)(
       withHashedShingles(graft.Tables.documents(s, dir), "lang", "source")
         .localCheckpoint())
   }
@@ -449,8 +451,9 @@ object Dedup {
   def minhashRecallReportCached(s: org.apache.spark.sql.SparkSession,
                                 dir: String): DataFrame = {
     val sig = graft.Tables.fsSig(s, s"$dir/documents.parquet")
-    minhashReportMemo.getOrElseUpdate(
-      (s.sparkContext.applicationId, s"mhrecall:$dir|$sig"),
+    graft.Tables.memoArtifact(minhashReportMemo,
+        s.sparkContext.applicationId, s"mhrecall:$dir|", sig)(
+        graft.Tables.freeCheckpoints)(
       minhashRecallReportOf(shingledCorpusCached(s, dir)).localCheckpoint())
   }
 

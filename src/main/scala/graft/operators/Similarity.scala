@@ -136,7 +136,15 @@ object Similarity {
     * instead of running a quadratic join — production swaps in
     * [[knnGraphNnDescent]] (linear candidates per round). The SEARCH
     * side (beam expansion below) is blocking-agnostic. */
-  def knnGraph(emb: DataFrame): DataFrame = {
+  def knnGraph(emb: DataFrame): DataFrame =
+    // r22: same cap-bounded-build posture as the NND arm — per-block
+    // volumes are gated at KnnBuildGate by the probe below, the block
+    // join's build side is corpus-scan-backed (honest stats, broadcast
+    // by estimate at any gated size), so adaptive replanning has
+    // nothing to decide and only adds its per-exchange stage jobs
+    graft.Tables.withAqeOff(emb.sparkSession) { knnGraphBody(emb) }
+
+  private def knnGraphBody(emb: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // the gate probe is one tiny aggregate over the build input —
     // build-is-the-op state, paid once under the graph memo. The two

@@ -289,8 +289,9 @@ object TextOps {
   def lmScoresCached(s: org.apache.spark.sql.SparkSession,
                      dir: String): DataFrame = {
     val sig = graft.Tables.fsSig(s, s"$dir/documents.parquet")
-    lmScoresMemo.getOrElseUpdate(
-      (s.sparkContext.applicationId, s"lmscores:$dir|$sig"),
+    graft.Tables.memoArtifact(lmScoresMemo,
+        s.sparkContext.applicationId, s"lmscores:$dir|", sig)(
+        graft.Tables.freeCheckpoints)(
       lmScores(documents(s, dir)).localCheckpoint())
   }
 
@@ -399,8 +400,9 @@ object TextOps {
 
   def winnowPairsCached(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val sig = graft.Tables.fsSig(s, s"$dir/documents.parquet")
-    winnowPairsMemo.getOrElseUpdate(
-      (s.sparkContext.applicationId, s"winnow:$dir|$sig"),
+    graft.Tables.memoArtifact(winnowPairsMemo,
+        s.sparkContext.applicationId, s"winnow:$dir|", sig)(
+        graft.Tables.freeCheckpoints)(
       winnowPairs(documents(s, dir), MinWinnowShared, MaxWinnowFpDf)
         .localCheckpoint())
   }
@@ -545,11 +547,13 @@ object TextOps {
   def bpeTrainStatesCached(s: org.apache.spark.sql.SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
     val sig = graft.Tables.fsSig(s, s"$dir/documents.parquet")
-    bpeStatesMemo.getOrElseUpdate(
-      (s.sparkContext.applicationId, s"bpe:$dir|$sig"), {
+    graft.Tables.memoArtifact(bpeStatesMemo,
+        s.sparkContext.applicationId, s"bpe:$dir|", sig)(
+        t => { graft.Tables.freeCheckpoints(t._1)
+               graft.Tables.freeCheckpoints(t._3) }) {
         val (rounds, wc0, wcN) = bpeTrainStates(documents(s, dir))
         (rounds.localCheckpoint(), wc0, wcN.localCheckpoint())
-      })
+      }
   }
 
   /** text_kneser_ney's whole pipeline on any (doc_id, lang, text)
@@ -709,8 +713,9 @@ object TextOps {
   def wordCountsByLangCached(s: org.apache.spark.sql.SparkSession,
                              dir: String): DataFrame = {
     val sig = graft.Tables.fsSig(s, s"$dir/documents.parquet")
-    wordCountsMemo.getOrElseUpdate(
-      (s.sparkContext.applicationId, s"wcl:$dir|$sig"),
+    graft.Tables.memoArtifact(wordCountsMemo,
+        s.sparkContext.applicationId, s"wcl:$dir|", sig)(
+        graft.Tables.freeCheckpoints)(
       documents(s, dir)
         .select(col("lang"), explode(split(lower(trim(col("text"))), " ")).as("w"))
         .groupBy("lang", "w").agg(count(lit(1)).as("cnt"))

@@ -1296,6 +1296,23 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("memoized queries are actually SERVED from their checkpointed artifact") {
+    // r22 (ADVICE r21 #3): the five r21 builder pins audit the plan
+    // the memo evaluates ONCE — this is the complementary query-level
+    // assertion that the registered query actually reads the artifact
+    // (a Scan ExistingRDD / checkpoint scan), so a wiring regression
+    // in a *Cached wrapper (accidentally rebuilding per call) fails
+    // loudly instead of silently doubling the work
+    Seq("text_lm_score", "text_winnow_pairs", "dedup_substring_spans",
+        "sim_ann_graph_nnd", "dedup_minhash_recall_bracket").foreach { q =>
+      // evaluate twice: the second call must be checkpoint-served
+      SparkEntry.queries(q)(spark, sf001).collect()
+      val p = plan(q)
+      assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
+        s"$q is not served from its memoized artifact:\n${p.take(3000)}")
+    }
+  }
+
   test("whole-stage codegen covers the hot paths of the flagship aggregate") {
     // AQE finalizes stages only at execution; run the query, then check
     // the final adaptive plan for codegen stage markers (`*(n)`)
