@@ -327,23 +327,37 @@ object Similarity {
       // the CLOSEST neighbors (the NN-descent heuristic — capping by
       // id starved convergence: measured 8/10 chain recall vs 10/10).
       // Same one-exchange fusion as topM: repartition(vec_id), dedup
-      // aggregate exchange-free on the subset rule, rank = sort only.
-      val capped = e
+      // aggregate exchange-free on the subset rule. r22: the capped
+      // per-hub pairs come from a per-hub sorted ARRAY + combination
+      // explode instead of rank-window + self-join — the old self-join
+      // evaluated the whole dedup+rank subtree TWICE (two plan copies
+      // above one ReusedExchange) and built a hash table per round;
+      // this shape evaluates once, rides the same single exchange, and
+      // emits the IDENTICAL pair set: array_sort on (-cos, nbr_id)
+      // structs is exactly the window's (cos desc, nbr_id) order —
+      // including the ±0.0 edge, where negation swaps the zeros and
+      // ascending order restores the window's relative order — the
+      // slice is the same ≤ NndUndCap cut, and i<j over the id-sorted
+      // capped array is the same a<b pair predicate.
+      val cand = e
         .unionByName(e.select(col("nbr_id").as("vec_id"),
                               col("vec_id").as("nbr_id"), col("cos")))
         .repartition(col("vec_id"))
         .groupBy("vec_id", "nbr_id").agg(max(col("cos")).as("cos"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nbr_id"))))
-        .where(col("rn") <= NndUndCap)
-        .select(col("vec_id").as("hub"), col("nbr_id"))
-      // candidate dedup keyed by the repartition prefix (subset rule
-      // again): hash(a) satisfies the (a, b) distinct — one exchange,
-      // and the same layout the a-side scoring join wants at scale
-      val cand = capped.select(col("hub"), col("nbr_id").as("a"))
-        .join(capped.select(col("hub"), col("nbr_id").as("b")), Seq("hub"))
-        .where(col("a") < col("b"))
-        .select("a", "b")
+        .groupBy("vec_id")
+        .agg(collect_list(struct((-col("cos")).as("nc"),
+                                 col("nbr_id").as("n"))).as("raw"))
+        .select(array_sort(transform(
+          slice(array_sort(col("raw")), 1, NndUndCap),
+          x => x.getField("n"))).as("ids"))
+        .select(explode(expr(
+          "flatten(transform(ids, (x, i) -> " +
+          "transform(slice(ids, i + 2, size(ids) - i - 1), " +
+          "y -> struct(x AS a, y AS b))))")).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        // candidate dedup keyed by the repartition prefix (subset rule
+        // again): hash(a) satisfies the (a, b) distinct — one exchange,
+        // and the same layout the a-side scoring join wants at scale
         .repartition(col("a"))
         .distinct()
       val scoredPairs = cand
